@@ -1,0 +1,89 @@
+"""Named-source catalog.
+
+The reference resolves named logins/aliases to JDBC connections
+(lwetl/config_parser.py:53-60, 239-296) and introspects remote schemas with
+per-dialect catalog SQL (lwetl/queries.py).  Here a "database" is a directory
+of parquet tables; `register_tables` exposes them as temp views so both the
+DataFrame API and ``spark.sql`` see the same catalog, and `schema_info`
+produces the same (TABLE_NAME, COLUMN_NAME, DATA_TYPE, NULLABLE, ...)
+introspection table the reference builds from information_schema
+(SURVEY §1.3, lwetl/queries.py:102-154).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: tables the driver materializes in /root/testdata/sf*/
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one parquet table (SURVEY S1).  Pure `spark.read.parquet`:
+    column pruning + predicate pushdown come free from the data source V2
+    scan — the reference's 1000-row `fetchmany` batching
+    (lwetl/jdbc.py:624-673) has no analog because the scan is columnar.
+
+    The `events` table carries TIMESTAMP(NANOS) which Spark's vectorized
+    reader rejects; `nanosAsLong` reads it as raw nanos and we rebuild a
+    microsecond timestamp (floor), matching what nanosecond-capable
+    engines report at Python datetime precision.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        for f in df.schema.fields:
+            if f.name == "ts" and isinstance(f.dataType, T.LongType):
+                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_tables(
+    spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, tables: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    """Register every table in `sf_dir` as a temp view named after it."""
+    out: dict[str, DataFrame] = {}
+    for name in tables:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if not os.path.exists(path):
+            continue
+        df = spark.read.parquet(path)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+def schema_info(spark: SparkSession, tables: dict[str, DataFrame]) -> DataFrame:
+    """Schema-introspection source (SURVEY S8): one row per column, the
+    engine-side equivalent of the reference's catalog queries
+    (lwetl/queries.py:4-204).  PK/FK metadata does not exist in parquet;
+    the db-copy planner accepts it as explicit engine metadata instead
+    (lwetl_spark/plans/db_copy.py).
+    """
+    rows = []
+    for tname, df in tables.items():
+        for f in df.schema.fields:
+            rows.append(
+                (tname.upper(), f.name.upper(), f.dataType.simpleString(), bool(f.nullable))
+            )
+    return spark.createDataFrame(
+        rows, "TABLE_NAME string, COLUMN_NAME string, DATA_TYPE string, NULLABLE boolean"
+    )

@@ -1,0 +1,39 @@
+"""Scalar function surface (SURVEY §2.6).
+
+Everything is a Column-expression builder — JVM-side, inside whole-stage
+codegen.  No Python UDFs in this module.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def md5_row_hash(*cols: Column | str, sep: str = ";") -> Column:
+    """Row checksum (SURVEY F1): md5 of the ';'-joined non-null values,
+    matching the reference idiom
+    ``md5(';'.join(str(v) for v in row if v is not None))``
+    (reference examples/calc_md5.py:12-16).  `concat_ws` skips nulls, which
+    reproduces the `if v is not None` filter exactly.
+    """
+    as_str = [F.col(c).cast("string") if isinstance(c, str) else c.cast("string") for c in cols]
+    return F.md5(F.concat_ws(sep, *as_str))
+
+
+def epoch_millis(col: Column | str) -> Column:
+    """Epoch-millisecond conversion (SURVEY F5): the reference builds
+    ``java.sql.Timestamp(epoch_s*1000 + µs//1000)`` (lwetl/uploader.py:516-517).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_millis(c)
+
+
+def grouped_string_agg(col: Column | str, sep: str = "|") -> Column:
+    """Grouped string aggregation (SURVEY A8): the reference collects names
+    per group and emits ``'|'.join(sorted(set(names)))`` client-side
+    (reference examples/usernames.py:312).  Distributed equivalent:
+    collect_set → array_sort → array_join, one shuffle, no driver loop.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.array_join(F.array_sort(F.collect_set(c)), sep)

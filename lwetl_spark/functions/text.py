@@ -1,0 +1,187 @@
+"""Text-analysis expression builders (SURVEY §2.10 NEW ops).
+
+Language-ID, quality scoring, token counting, shingling, simhash and
+fingerprinting — all as pure Column expressions (higher-order array
+functions), so they run JVM-side inside codegen and scale to 100 TB without
+touching Python.  The reference has no text operators; these are the
+training-data-pipeline additions mandated by BASELINE.json.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: tiny per-language stopword profiles for the n-gram/stopword heuristic
+#: language identifier.  Deliberately small + deterministic.
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to", "in", "is", "it", "that", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "den"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "es", "por", "los"),
+    "fr": ("le", "la", "et", "les", "des", "un", "une", "du", "est", "que"),
+    "zh": ("的", "了", "是", "我", "不", "在", "有", "他", "这", "们"),
+}
+
+_PUNCT_RE = r"[\\.,;:!\\?'\"()\\[\\]{}<>-]"
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def tokens(text: Column | str) -> Column:
+    """Lower-cased whitespace tokens, empties removed."""
+    t = _col(text)
+    return F.filter(F.split(F.lower(F.trim(t)), r"\s+"), lambda x: x != F.lit(""))
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace token count; 0 for empty/blank text."""
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """A BPE-ish proxy token count: word-pieces of ≤4 chars — every
+    whitespace token contributes ceil(len/4) — approximating subword
+    tokenizer output without shipping a vocab.  Pure expression.
+    """
+    toks = tokens(text)
+    return F.aggregate(
+        toks,
+        F.lit(0),
+        lambda acc, t: acc + F.ceil(F.length(t) / F.lit(4.0)).cast("int"),
+    )
+
+
+def word_shingles(text: Column | str, n: int = 3) -> Column:
+    """n-word shingles as an array<string> (for MinHash / Jaccard).
+
+    Built with sequence+transform so shingling happens JVM-side:
+    shingle i = tokens[i..i+n-1] joined by a space.  Documents shorter
+    than n tokens yield the whole token string as one shingle so they
+    are never silently dropped.
+    """
+    toks = tokens(text)
+    k = F.size(toks)
+    shingled = F.transform(
+        F.sequence(F.lit(1), k - F.lit(n - 1)),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return F.when(k >= n, shingled).otherwise(F.array(F.array_join(toks, " ")))
+
+
+def char_ngrams(text: Column | str, n: int = 5) -> Column:
+    """Character n-grams of the lower-cased text (array<string>)."""
+    t = F.lower(F.trim(_col(text)))
+    ln = F.length(t)
+    grams = F.transform(
+        F.sequence(F.lit(1), ln - F.lit(n - 1)),
+        lambda i: t.substr(i, F.lit(n)),
+    )
+    return F.when(ln >= n, grams).otherwise(F.array(t))
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
+    """MinHash signature (array<bigint>, length `num_hashes`) over a
+    shingle array.  Hash family: xxhash64(shingle, seed=i) — Spark's
+    builtin 64-bit xxhash with per-element seeds, all JVM-side:
+    sig[i] = min over shingles of xxhash64(shingle, i).
+    """
+    sig = [F.array_min(F.transform(shingles, lambda s, i=i: F.xxhash64(s, F.lit(i)))) for i in range(num_hashes)]
+    return F.array(*sig)
+
+
+def simhash64_df(df, text_col: str = "text", id_col: str = "doc_id"):
+    """64-bit SimHash per document → DataFrame(id_col, simhash: long).
+
+    Per-bit majority vote over xxhash64(token): bit b of the result is 1
+    iff Σ over tokens of ±1 (per that token's bit b) is positive.
+    Shaped as explode → 64 conditional-sum aggregates → bit reassembly:
+    partial (map-side) aggregation carries the whole vote, so the
+    shuffle is 64 longs per document regardless of document size.
+    (A fold-over-bits lambda is not expressible: shiftright's bit count
+    must be a literal — hence the Python-side loop over 64 bits.)
+    """
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    h = F.xxhash64("tok")
+    votes = [
+        F.sum(
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(64)
+    ]
+    counters = tok.groupBy(id_col).agg(*votes)
+    sim = F.lit(0).cast("long")
+    for b in range(64):
+        sim = sim.bitwiseOR(
+            F.when(F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return counters.select(F.col(id_col), sim.alias("simhash"))
+
+
+def rolling_fingerprint(text: Column | str, k: int = 8, bottom: int = 4) -> Column:
+    """Document fingerprint: bottom-`bottom` sketch of the rolling
+    character-k-gram hashes (winnowing-lite).  Two documents sharing
+    content share small hashes, so equal fingerprints ⇒ near-identical
+    prefixes of their k-gram sets.  Returns array<bigint> (sorted).
+    """
+    grams = char_ngrams(text, n=k)
+    hashes = F.array_sort(F.transform(grams, lambda g: F.xxhash64(g)))
+    return F.slice(hashes, 1, bottom)
+
+
+def fingerprint_md5(text: Column | str, k: int = 8, bottom: int = 4) -> Column:
+    """Engine-portable document fingerprint: the `bottom` lexicographically
+    smallest md5 digests of the character-k-grams, joined by ','.
+    Same sketch idea as `rolling_fingerprint` but md5-based so any SQL
+    engine can reproduce it (the DuckDB oracle does).
+    """
+    grams = char_ngrams(text, n=k)
+    return F.array_join(F.slice(F.array_sort(F.transform(grams, F.md5)), 1, bottom), ",")
+
+
+def quality_features(text: Column | str) -> dict[str, Column]:
+    """Quality-scoring features: n_chars, n_tokens, mean token length,
+    punctuation ratio, stopword ratio (vs the English profile), alpha
+    ratio.  Returned as named Columns for a .select / withColumns."""
+    t = _col(text)
+    toks = tokens(text)
+    n_chars = F.length(t)
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(*LANG_PROFILES["en"])))
+    n_punct = n_chars - F.length(F.regexp_replace(t, _PUNCT_RE, ""))
+    n_alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "mean_token_len": F.when(
+            n_tokens > 0,
+            F.aggregate(toks, F.lit(0).cast("long"), lambda a, x: a + F.length(x)) / n_tokens,
+        ).otherwise(F.lit(0.0)),
+        "punct_ratio": F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0)),
+        "stopword_ratio": F.when(n_tokens > 0, n_stop / n_tokens).otherwise(F.lit(0.0)),
+        "alpha_ratio": F.when(n_chars > 0, n_alpha / n_chars).otherwise(F.lit(0.0)),
+    }
+
+
+def lang_id(text: Column | str) -> Column:
+    """Heuristic language ID: argmax over per-language stopword-profile
+    hit counts; ties and zero-evidence fall back to 'und'.  Argmax is a
+    fold over a deterministic language order, JVM-side only.
+    """
+    toks = tokens(text)
+
+    def _hits(words):
+        # closure factory: pyspark derives HOF lambda arity from the python
+        # signature, so the word list must not appear as a default arg
+        return F.size(F.filter(toks, lambda x: x.isin(*words)))
+
+    scores = [(lang, _hits(words)) for lang, words in sorted(LANG_PROFILES.items())]
+    best_score = F.greatest(*[s for _, s in scores])
+    result = F.lit("und")
+    # first language (sorted order) achieving the max wins
+    for lang, score in reversed(scores):
+        result = F.when(score == best_score, F.lit(lang)).otherwise(result)
+    return F.when(best_score > 0, result).otherwise(F.lit("und"))

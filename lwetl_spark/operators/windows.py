@@ -1,0 +1,69 @@
+"""Time-window operators over the `events` table (SURVEY §2.10 NEW).
+
+The reference has no time-series operators; its closest analog is the
+commit-batch interval.  These are the batch forms; the streaming forms
+(watermarked) live in lwetl_spark/streaming/pipeline.py and reuse the same
+aggregate expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def tumbling_agg(
+    df: DataFrame,
+    ts_col: str = "ts",
+    width_seconds: int = 300,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Tumbling-window aggregate: floor(ts / width) buckets.
+
+    Uses integer epoch arithmetic (not F.window) so the bucket boundary
+    is engine-independent and exactly reproducible in the oracle SQL;
+    window_start is the bucket's opening timestamp.
+    """
+    keys = keys or ["event_type"]
+    bucket = (F.unix_timestamp(F.col(ts_col)) / width_seconds).cast("long")
+    return (
+        df.withColumn("win_start", F.timestamp_seconds(bucket * width_seconds))
+        .groupBy("win_start", *keys)
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Sessionization: per-user sessions split on gaps > `gap_seconds`.
+
+    lag + cumulative-sum-of-gap-flags — two window passes over the same
+    (user, ts) partitioning, so Spark shuffles once and reuses the sort.
+    Returns one row per session with start/end/count.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    gap_flag = (
+        F.when(
+            F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(F.lag(ts_col).over(w))
+            > gap_seconds,
+            1,
+        )
+        .otherwise(0)
+    )
+    sess = df.withColumn("new_sess", gap_flag).withColumn(
+        "session_idx", F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return sess.groupBy(user_col, "session_idx").agg(
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )

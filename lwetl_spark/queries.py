@@ -1,0 +1,1129 @@
+"""Query catalog: every SURVEY §2 ☆ operator as a named (spark, sf_dir) →
+DataFrame callable, plus the matching DuckDB oracle SQL.
+
+This module backs ``__spark_entry__.queries()`` / ``oracle_sql()`` — the
+driver's correctness gate.  Conventions:
+
+- every computed column is aliased IDENTICALLY in the Spark plan and the
+  oracle SQL (the driver hashes values under sorted column names);
+- floating-point aggregates are rounded (2 dp for money, 4-6 dp for
+  ratios/cosines) on BOTH sides, so engine-level summation-order
+  differences (~1e-12 relative) cannot flip the hash;
+- sums of integer columns are cast to BIGINT in the oracle (DuckDB
+  SUM(BIGINT) returns HUGEINT, Spark returns long);
+- LIMIT queries order by a key that is unique, so the cut is
+  deterministic in both engines.
+
+Reference parity citations sit on each builder (lwetl file:line).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lwetl_spark.catalog import load_table
+from lwetl_spark.functions.scalars import grouped_string_agg, md5_row_hash
+from lwetl_spark.functions.text import (
+    LANG_PROFILES,
+    fingerprint_md5,
+    lang_id,
+    quality_features,
+    token_count,
+    tokens,
+)
+from lwetl_spark.functions.vectors import cosine_similarity
+from lwetl_spark.operators.cardinality import column_cardinality, table_cardinality
+from lwetl_spark.operators.dedup import (
+    embedding_near_dups,
+    exact_dedup_normalized,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_buckets,
+)
+from lwetl_spark.operators.similarity import cosine_topk, lsh_ann_topk
+from lwetl_spark.operators.windows import sessionize, tumbling_agg
+from lwetl_spark.types import BOOL_TRUE_TOKENS
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ----------------------------------------------------------------------------
+# Flagship (SURVEY M1): scan + 2 joins + group/agg + having + order in one
+# statement — the A4 cardinality idiom (table_cardinality/main.py:40-42)
+# lifted onto a lineitem⋈orders⋈customer star join.
+# ----------------------------------------------------------------------------
+
+
+@register(
+    "q1_flagship",
+    """
+    SELECT c.c_mktsegment, l.l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment, l.l_returnflag
+    HAVING COUNT(*) > 1
+    """,
+)
+def q1_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", "l_returnflag")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+        .filter(F.col("n_items") > 1)
+    )
+
+
+# ----------------------------------------------------------------------------
+# 2.1 scans
+# ----------------------------------------------------------------------------
+
+
+@register("s1_scan", "SELECT r_regionkey, r_name FROM region")
+def s1_scan(spark, sf_dir):
+    """Full table scan (S1; lwetl/jdbc.py:704-720)."""
+    return _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+
+
+# ----------------------------------------------------------------------------
+# 2.2 projections / filters / predicates
+# ----------------------------------------------------------------------------
+
+
+@register("p1_projection", "SELECT c_custkey, c_name FROM customer")
+def p1_projection(spark, sf_dir):
+    """Column projection (P1; examples/usernames.py:51-55)."""
+    return _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+
+
+@register(
+    "p2_filter_compare",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+    FROM lineitem WHERE l_quantity > 30 AND l_discount <= 0.05
+    """,
+)
+def p2_filter_compare(spark, sf_dir):
+    """Comparison + conjunction predicates (P2, P6; lwetl/uploader.py:224,357)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .filter((F.col("l_quantity") > 30) & (F.col("l_discount") <= 0.05))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+    )
+
+
+@register(
+    "p3_null_filter",
+    """
+    SELECT o_orderkey, NULLIF(o_orderstatus, 'P') AS status_or_null
+    FROM orders WHERE NULLIF(o_orderstatus, 'P') IS NULL
+    """,
+)
+def p3_null_filter(spark, sf_dir):
+    """IS NULL / IS NOT NULL (P3; lwetl/uploader.py:216-218)."""
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "status_or_null", F.nullif(F.col("o_orderstatus"), F.lit("P"))
+    )
+    return o.filter(F.col("status_or_null").isNull()).select("o_orderkey", "status_or_null")
+
+
+@register(
+    "p4_like",
+    "SELECT p_partkey, p_brand FROM part WHERE p_brand LIKE 'Brand#1%'",
+)
+def p4_like(spark, sf_dir):
+    """LIKE predicate (P4; lwetl/queries.py:109)."""
+    return (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_brand").like("Brand#1%"))
+        .select("p_partkey", "p_brand")
+    )
+
+
+@register(
+    "p5_in_list",
+    """
+    SELECT c_custkey, c_mktsegment FROM customer
+    WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+    """,
+)
+def p5_in_list(spark, sf_dir):
+    """IN-list predicate (P5; lwetl/programs/db_copy/main.py:373-374)."""
+    return (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
+        .select("c_custkey", "c_mktsegment")
+    )
+
+
+@register("p7_schema_probe", "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE 0=1")
+def p7_schema_probe(spark, sf_dir):
+    """Empty-scan schema probe (P7): `SELECT * FROM t WHERE 0=1`
+    (lwetl/uploader.py:109, sql_query/main.py:296) → limit(0)."""
+    return _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice").limit(0)
+
+
+@register(
+    "p8_case_when",
+    """
+    SELECT CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 'high'
+                WHEN o_orderpriority = '3-MEDIUM' THEN 'mid'
+                ELSE 'low' END AS urgency,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders GROUP BY 1
+    """,
+)
+def p8_case_when(spark, sf_dir):
+    """CASE WHEN classification (P8; lwetl/queries.py:8-12)."""
+    urgency = (
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "high")
+        .when(F.col("o_orderpriority") == "3-MEDIUM", "mid")
+        .otherwise("low")
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy(urgency.alias("urgency"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "p9_coalesce",
+    """
+    SELECT o_orderkey, COALESCE(NULLIF(o_orderstatus, 'P'), 'PENDING') AS status_filled
+    FROM orders
+    """,
+)
+def p9_coalesce(spark, sf_dir):
+    """COALESCE / NVL / ISNULL (P9; lwetl/queries.py:18,63,175)."""
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit("PENDING")).alias(
+            "status_filled"
+        ),
+    )
+
+
+# ----------------------------------------------------------------------------
+# 2.3 joins
+# ----------------------------------------------------------------------------
+
+
+@register(
+    "j1_inner_join",
+    """
+    SELECT r.r_name, CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(SUM(c.c_acctbal), 2) AS total_balance
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def j1_inner_join(spark, sf_dir):
+    """Inner equi-join chain (J1; lwetl/queries.py:23,66).  Both dims are
+    broadcast — no shuffle on the fact side until the final group-by."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
+        )
+    )
+
+
+@register(
+    "j2_left_join",
+    """
+    SELECT n.n_name, CAST(COUNT(s.s_suppkey) AS BIGINT) AS n_suppliers
+    FROM nation n LEFT JOIN supplier s ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def j2_left_join(spark, sf_dir):
+    """Left outer join incl. empty groups (J2; lwetl/queries.py:24-31)."""
+    n = _t(spark, sf_dir, "nation")
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        n.join(s, s.s_nationkey == n.n_nationkey, "left")
+        .groupBy("n_name")
+        .agg(F.count("s_suppkey").alias("n_suppliers"))
+    )
+
+
+@register(
+    "j3_multi_cond_join",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_late,
+           ROUND(SUM(l.l_extendedprice), 2) AS late_value
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+    """,
+)
+def j3_multi_cond_join(spark, sf_dir):
+    """Multi-condition join keys (J3; lwetl/queries.py:134-137): equi key +
+    non-equi residual — Catalyst keeps the equi part hashable and applies
+    the rest as join residual."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        li.join(o, (li.l_orderkey == o.o_orderkey) & (li.l_shipdate > o.o_orderdate))
+        .agg(
+            F.count("*").alias("n_late"),
+            F.round(F.sum("l_extendedprice"), 2).alias("late_value"),
+        )
+    )
+
+
+@register(
+    "j4_derived_join",
+    """
+    SELECT c.c_custkey, c.c_name, sq.n_orders, sq.total_spent
+    FROM customer c
+    JOIN (
+        SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS total_spent
+        FROM orders GROUP BY o_custkey
+    ) sq ON sq.o_custkey = c.c_custkey
+    WHERE sq.n_orders >= 5
+    """,
+)
+def j4_derived_join(spark, sf_dir):
+    """Join against a derived table (J4; lwetl/queries.py:70-91)."""
+    c = _t(spark, sf_dir, "customer")
+    sq = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
+        )
+    )
+    return (
+        c.join(sq, sq.o_custkey == c.c_custkey)
+        .filter(F.col("n_orders") >= 5)
+        .select("c_custkey", "c_name", "n_orders", "total_spent")
+    )
+
+
+@register(
+    "j5_theta_join",
+    """
+    SELECT a.n_name AS nation_a, b.n_name AS nation_b
+    FROM nation a, nation b
+    WHERE a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+    """,
+)
+def j5_theta_join(spark, sf_dir):
+    """Implicit-comma cross join + WHERE theta predicate (J5;
+    lwetl/queries.py:77-91).  Catalyst normalizes the equi part into the
+    join key; the `<` stays as residual."""
+    a = _t(spark, sf_dir, "nation").alias("a")
+    b = _t(spark, sf_dir, "nation").alias("b")
+    return a.join(
+        b,
+        (F.col("a.n_regionkey") == F.col("b.n_regionkey"))
+        & (F.col("a.n_nationkey") < F.col("b.n_nationkey")),
+    ).select(F.col("a.n_name").alias("nation_a"), F.col("b.n_name").alias("nation_b"))
+
+
+@register(
+    "j6_anti_join",
+    """
+    SELECT o_orderkey, o_orderstatus FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+    """,
+)
+def j6_anti_join(spark, sf_dir):
+    """Anti-join (J6): the reference's client-side `pk in existing_records`
+    skip-set (db_copy/main.py:260-268) as a left_anti join."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return o.join(li, o.o_orderkey == li.l_orderkey, "left_anti").select(
+        "o_orderkey", "o_orderstatus"
+    )
+
+
+@register(
+    "j7_semi_join",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (
+        SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P'
+    )
+    """,
+)
+def j7_semi_join(spark, sf_dir):
+    """Semi-join (J7; db_copy/main.py:296-310 update-path existence)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+# ----------------------------------------------------------------------------
+# 2.4 aggregations
+# ----------------------------------------------------------------------------
+
+
+@register("a1_count", "SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM lineitem")
+def a1_count(spark, sf_dir):
+    """COUNT(*) (A1; db_copy/main.py:186-189, queries.py:206-215)."""
+    return _t(spark, sf_dir, "lineitem").agg(F.count("*").alias("n_rows"))
+
+
+@register(
+    "a2_sum_q1",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(AVG(l_quantity), 4) AS avg_qty,
+           ROUND(AVG(l_discount), 4) AS avg_disc,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def a2_sum_q1(spark, sf_dir):
+    """SUM/AVG group-by — the reference's SUM(PRICE) self-check idiom
+    (A2; tests/sql_statements.yml:159) grown into a TPC-H-Q1-shape."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "a3_max_min",
+    """
+    SELECT MAX(o_totalprice) AS max_price, MIN(o_totalprice) AS min_price,
+           MAX(o_orderdate) AS max_date, MIN(o_orderdate) AS min_date,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM orders
+    """,
+)
+def a3_max_min(spark, sf_dir):
+    """MAX/MIN (A3): the reference's PK-counter seed `SELECT MAX(pk)`
+    (lwetl/uploader.py:58-59)."""
+    return _t(spark, sf_dir, "orders").agg(
+        F.max("o_totalprice").alias("max_price"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_orderdate").alias("max_date"),
+        F.min("o_orderdate").alias("min_date"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
+@register(
+    "a4_groupby_having",
+    """
+    SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS N
+    FROM lineitem WHERE l_orderkey IS NOT NULL
+    GROUP BY l_orderkey HAVING COUNT(*) > 4
+    """,
+)
+def a4_groupby_having(spark, sf_dir):
+    """GROUP BY + HAVING duplicate histogram — verbatim semantics of
+    table_cardinality/main.py:40-42 (A4)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey").isNotNull())
+        .groupBy("l_orderkey")
+        .agg(F.count("*").alias("N"))
+        .filter(F.col("N") > 4)
+    )
+
+
+@register(
+    "a5_count_distinct",
+    """
+    SELECT CAST(COUNT(DISTINCT p_brand) AS BIGINT) AS n_brands,
+           CAST(COUNT(DISTINCT p_type) AS BIGINT) AS n_types,
+           CAST(COUNT(*) AS BIGINT) AS n_parts
+    FROM part
+    """,
+)
+def a5_count_distinct(spark, sf_dir):
+    """COUNT(DISTINCT) (A5; lwetl/queries.py:209-214)."""
+    return _t(spark, sf_dir, "part").agg(
+        F.countDistinct("p_brand").alias("n_brands"),
+        F.countDistinct("p_type").alias("n_types"),
+        F.count("*").alias("n_parts"),
+    )
+
+
+@register(
+    "a6_having_eq1",
+    """
+    SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS N
+    FROM lineitem GROUP BY l_orderkey HAVING COUNT(*) = 1
+    """,
+)
+def a6_having_eq1(spark, sf_dir):
+    """HAVING COUNT(*)=1 (A6; examples/oracle-update-sequences.py:56-61)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.count("*").alias("N"))
+        .filter(F.col("N") == 1)
+    )
+
+
+@register(
+    "a7_profile",
+    """
+    SELECT 'o_orderkey' AS column_name, CAST(COUNT(o_orderkey) AS BIGINT) AS n_nonnull,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+           CAST(COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_duplicated FROM orders
+    UNION ALL SELECT 'o_custkey', CAST(COUNT(o_custkey) AS BIGINT),
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+           CAST(COUNT(o_custkey) - COUNT(DISTINCT o_custkey) AS BIGINT) FROM orders
+    UNION ALL SELECT 'o_orderstatus', CAST(COUNT(o_orderstatus) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+           CAST(COUNT(o_orderstatus) - COUNT(DISTINCT o_orderstatus) AS BIGINT) FROM orders
+    UNION ALL SELECT 'o_totalprice', CAST(COUNT(o_totalprice) AS BIGINT),
+           CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+           CAST(COUNT(o_totalprice) - COUNT(DISTINCT o_totalprice) AS BIGINT) FROM orders
+    UNION ALL SELECT 'o_orderdate', CAST(COUNT(o_orderdate) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderdate) AS BIGINT),
+           CAST(COUNT(o_orderdate) - COUNT(DISTINCT o_orderdate) AS BIGINT) FROM orders
+    UNION ALL SELECT 'o_orderpriority', CAST(COUNT(o_orderpriority) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+           CAST(COUNT(o_orderpriority) - COUNT(DISTINCT o_orderpriority) AS BIGINT) FROM orders
+    """,
+)
+def a7_profile(spark, sf_dir):
+    """Per-column profile in one aggregation pass (A7, C3;
+    table_cardinality/main.py:47-67)."""
+    return table_cardinality(_t(spark, sf_dir, "orders"))
+
+
+@register(
+    "a8_string_agg",
+    """
+    SELECT r.r_name, string_agg(n.n_name, '|' ORDER BY n.n_name) AS nations
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def a8_string_agg(spark, sf_dir):
+    """Grouped string agg (A8): `'|'.join(sorted(set(names)))`
+    (examples/usernames.py:312) → collect_set + array_sort + array_join."""
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(grouped_string_agg("n_name").alias("nations"))
+    )
+
+
+# ----------------------------------------------------------------------------
+# 2.5 sort / limit / set ops / windows
+# ----------------------------------------------------------------------------
+
+
+@register(
+    "o1_orderby_limit",
+    """
+    SELECT o_orderkey, o_totalprice, o_orderdate FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100
+    """,
+)
+def o1_orderby_limit(spark, sf_dir):
+    """Multi-key ORDER BY + LIMIT (O1, O4; lwetl/queries.py:32-40,
+    sql_query cmdline -m).  Unique tiebreak key → deterministic cut.
+    Spark executes this as TakeOrderedAndProject (no global sort)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+        .limit(100)
+    )
+
+
+@register(
+    "o2_orderby_case",
+    """
+    SELECT c_custkey, c_mktsegment,
+           CASE WHEN c_mktsegment = 'BUILDING' THEN 0 ELSE 1 END AS seg_rank
+    FROM customer
+    ORDER BY CASE WHEN c_mktsegment = 'BUILDING' THEN 0 ELSE 1 END, c_custkey
+    LIMIT 50
+    """,
+)
+def o2_orderby_case(spark, sf_dir):
+    """ORDER BY CASE expression (O2; lwetl/queries.py:34-38)."""
+    seg_rank = F.when(F.col("c_mktsegment") == "BUILDING", 0).otherwise(1)
+    return (
+        _t(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment", seg_rank.alias("seg_rank"))
+        .orderBy("seg_rank", "c_custkey")
+        .limit(50)
+    )
+
+
+@register(
+    "o5_topk_per_group",
+    """
+    SELECT n_nationkey, c_custkey, c_acctbal, rnk FROM (
+        SELECT n.n_nationkey, c.c_custkey, c.c_acctbal,
+               ROW_NUMBER() OVER (PARTITION BY n.n_nationkey
+                                  ORDER BY c.c_acctbal DESC, c.c_custkey ASC) AS rnk
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    ) WHERE rnk <= 3
+    """,
+)
+def o5_topk_per_group(spark, sf_dir):
+    """Top-k per group via window row_number (O5;
+    table_cardinality/main.py:55-62 generalized)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select("n_nationkey", "c_custkey", "c_acctbal")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+@register(
+    "o6_except",
+    """
+    SELECT o_orderkey FROM orders
+    EXCEPT ALL
+    SELECT DISTINCT l_orderkey AS o_orderkey FROM lineitem
+    """,
+)
+def o6_except(spark, sf_dir):
+    """Set difference (O6): db-copy sync-mode delete set
+    `existing − found` (db_copy/main.py:362-363) → exceptAll."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey")
+    li = _t(spark, sf_dir, "lineitem").select(F.col("l_orderkey").alias("o_orderkey")).distinct()
+    return o.exceptAll(li)
+
+
+@register(
+    "o7_distinct",
+    "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def o7_distinct(spark, sf_dir):
+    """DISTINCT (O7; db_copy/main.py:268 set semantics)."""
+    return _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+@register(
+    "w1_running_total",
+    """
+    SELECT o_custkey, o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
+    FROM orders
+    """,
+)
+def w1_running_total(spark, sf_dir):
+    """Running total window aggregate (engine addition beyond reference,
+    which has no window functions — SURVEY W1)."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+    )
+
+
+# ----------------------------------------------------------------------------
+# 2.6 scalar functions
+# ----------------------------------------------------------------------------
+
+
+@register(
+    "f1_md5_row_hash",
+    """
+    SELECT c_custkey,
+           md5(concat_ws(';', CAST(c_custkey AS VARCHAR), c_name, c_mktsegment)) AS row_hash
+    FROM customer
+    """,
+)
+def f1_md5_row_hash(spark, sf_dir):
+    """md5 row checksum (F1; examples/calc_md5.py:12-16) — concat_ws
+    skips nulls exactly like the reference's `if v is not None`."""
+    return _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        md5_row_hash("c_custkey", "c_name", "c_mktsegment").alias("row_hash"),
+    )
+
+
+@register(
+    "f2_string_funcs",
+    """
+    SELECT s_suppkey, upper(s_name) AS name_upper,
+           concat_ws('|', s_name, CAST(s_nationkey AS VARCHAR)) AS name_key,
+           substr(s_name, 1, 8) AS name_prefix
+    FROM supplier
+    """,
+)
+def f2_string_funcs(spark, sf_dir):
+    """String concat/upper/substr (F2, F3; lwetl/jdbc.py:106,
+    examples/usernames.py)."""
+    return _t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        F.upper("s_name").alias("name_upper"),
+        F.concat_ws("|", F.col("s_name"), F.col("s_nationkey").cast("string")).alias("name_key"),
+        F.substring("s_name", 1, 8).alias("name_prefix"),
+    )
+
+
+@register(
+    "f4_date_format",
+    """
+    SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS month_value
+    FROM orders GROUP BY 1
+    """,
+)
+def f4_date_format(spark, sf_dir):
+    """Date format/parse (F4; lwetl/utils.py:38-53, uploader strftime)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("order_month"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("month_value"),
+        )
+    )
+
+
+@register(
+    "f5_epoch_millis",
+    """
+    SELECT event_id, epoch_ms(ts) AS ts_millis FROM events
+    """,
+)
+def f5_epoch_millis(spark, sf_dir):
+    """Epoch-ms conversion (F5; lwetl/uploader.py:516-517)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select("event_id", F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_millis"))
+
+
+@register(
+    "f7_base64",
+    """
+    SELECT doc_id, to_base64(encode(source)) AS src_b64 FROM documents
+    """,
+)
+def f7_base64(spark, sf_dir):
+    """Base64 encode/decode surface (F7; LDIF `::` values,
+    lwetl/table_import.py:309-327)."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", F.base64(F.col("source").cast("binary")).alias("src_b64")
+    )
+
+
+@register(
+    "f9_bool_parse",
+    """
+    SELECT CASE WHEN lower(trim(CASE event_type
+                 WHEN 'click' THEN 'y' WHEN 'view' THEN 'no'
+                 WHEN 'purchase' THEN '1' WHEN 'signup' THEN 'SI'
+                 ELSE 'false' END)) IN ('true','1','yes','si','y','s')
+           THEN TRUE ELSE FALSE END AS flag,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def f9_bool_parse(spark, sf_dir):
+    """Multilingual boolean token parse (F9; lwetl/jdbc.py:332-334)."""
+    token = (
+        F.when(F.col("event_type") == "click", "y")
+        .when(F.col("event_type") == "view", "no")
+        .when(F.col("event_type") == "purchase", "1")
+        .when(F.col("event_type") == "signup", "SI")
+        .otherwise("false")
+    )
+    flag = F.lower(F.trim(token)).isin(*BOOL_TRUE_TOKENS)
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(flag.alias("flag"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "c3_cardinality",
+    """
+    SELECT * FROM (
+        SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS N
+        FROM lineitem WHERE l_suppkey IS NOT NULL
+        GROUP BY l_suppkey HAVING COUNT(*) >= 2
+        ORDER BY N DESC, l_suppkey ASC LIMIT 50
+    )
+    """,
+)
+def c3_cardinality(spark, sf_dir):
+    """table-cardinality duplicate histogram (C3;
+    table_cardinality/main.py:40-42, capped at 50 rows per :88-91)."""
+    return column_cardinality(_t(spark, sf_dir, "lineitem"), "l_suppkey")
+
+
+# ----------------------------------------------------------------------------
+# 2.10 NEW ops — training-data pipeline over documents/embeddings/events
+# ----------------------------------------------------------------------------
+
+
+@register(
+    "x_dedup_exact",
+    """
+    SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS digest,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+           CAST(COUNT(*) AS BIGINT) AS dup_count
+    FROM documents GROUP BY 1
+    """,
+)
+def x_dedup_exact(spark, sf_dir):
+    """Exact dedup on normalized-text digest; only (digest, id) shuffles."""
+    return exact_dedup_normalized(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "x_jaccard_pairs",
+    """
+    WITH tok AS (
+        SELECT doc_id AS id,
+               unnest(list_distinct(list_filter(
+                   string_split_regex(lower(trim(text)), '\\s+'), x -> x <> ''))) AS shingle
+        FROM documents
+    ),
+    sz AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY id),
+    inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, CAST(COUNT(*) AS BIGINT) AS i
+        FROM tok a JOIN tok b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, ROUND(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+    FROM inter JOIN sz sa ON sa.id = id_a JOIN sz sb ON sb.id = id_b
+    WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.95
+    """,
+)
+def x_jaccard_pairs(spark, sf_dir):
+    """Exact token-set Jaccard near-dup pairs (shingle n=1 so the oracle
+    is SQL-expressible; the 3-gram variant is x_dedup_minhash)."""
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), shingle_n=1, threshold=0.95
+    )
+
+
+@register("x_dedup_minhash")  # rows-only: xxhash64 family not portable to DuckDB
+def x_dedup_minhash(spark, sf_dir):
+    """MinHash(32)+LSH(8 bands) near-dup candidate pairs with exact
+    Jaccard verification on 3-word shingles."""
+    return minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), num_hashes=32, bands=8, shingle_n=3, threshold=0.3
+    )
+
+
+@register("x_dedup_simhash")  # rows-only: xxhash64-based signature
+def x_dedup_simhash(spark, sf_dir):
+    """SimHash-64 banded near-dup buckets (Hamming ≤ 3 candidates)."""
+    return simhash_buckets(_t(spark, sf_dir, "documents"))
+
+
+_COS_CTE = """
+    WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+        FROM e
+    ),
+    p AS (
+        SELECT a.vec_id AS ia, b.vec_id AS ib,
+               ROUND(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
+                     / (a.nrm * b.nrm), 6) AS cos
+        FROM n a JOIN n b ON a.vec_id {cmp} b.vec_id
+        WHERE a.nrm > 0 AND b.nrm > 0
+    )
+"""
+
+@register(
+    "x_embed_near_dups",
+    _COS_CTE.format(cmp="<")
+    + """
+    SELECT ia AS id_a, ib AS id_b, cos FROM p WHERE cos >= 0.4
+    """,
+)
+def x_embed_near_dups(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (cos ≥ 0.4, id_a < id_b)."""
+    return embedding_near_dups(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+@register(
+    "x_cosine_topk",
+    _COS_CTE.format(cmp="<>")
+    + """
+    SELECT ia AS id, ib AS neighbor_id, cos, rank FROM (
+        SELECT ia, ib, cos,
+               ROW_NUMBER() OVER (PARTITION BY ia ORDER BY cos DESC, ib ASC) AS rank
+        FROM p
+    ) WHERE rank <= 5
+    """,
+)
+def x_cosine_topk(spark, sf_dir):
+    """Brute-force exact cosine top-5 neighbors per vector."""
+    return cosine_topk(_t(spark, sf_dir, "embeddings"), k=5)
+
+
+@register("x_ann_lsh")  # rows-only: hyperplane construction not SQL-portable
+def x_ann_lsh(spark, sf_dir):
+    """Approximate NN via random-hyperplane LSH buckets + exact re-rank."""
+    return lsh_ann_topk(_t(spark, sf_dir, "embeddings"), k=5)
+
+
+@register(
+    "x_token_count",
+    """
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                x -> x <> '')) AS INT) AS n_tokens
+    FROM documents
+    """,
+)
+def x_token_count(spark, sf_dir):
+    """Whitespace token count per document."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").alias("n_tokens")
+    )
+
+
+@register(
+    "x_quality",
+    """
+    WITH q AS (
+        SELECT doc_id, length(text) AS n_chars,
+               list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                           x -> x <> '') AS toks
+        FROM documents
+    )
+    SELECT doc_id, CAST(n_chars AS INT) AS n_chars,
+           CAST(len(toks) AS INT) AS n_tokens,
+           ROUND(list_sum(list_transform(toks, x -> length(x))) * 1.0 / len(toks), 4)
+               AS mean_token_len,
+           ROUND(len(list_filter(toks, x -> list_contains(
+               ['the','a','and','of','to','in','is','it','that','for'], x)))
+               * 1.0 / len(toks), 4) AS stopword_ratio
+    FROM q WHERE len(toks) > 0
+    """,
+)
+def x_quality(spark, sf_dir):
+    """Quality-scoring features (length / mean token len / stopword ratio)."""
+    feats = quality_features("text")
+    df = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        feats["n_chars"].cast("int").alias("n_chars"),
+        feats["n_tokens"].cast("int").alias("n_tokens"),
+        F.round(feats["mean_token_len"], 4).alias("mean_token_len"),
+        F.round(feats["stopword_ratio"], 4).alias("stopword_ratio"),
+    )
+    return df.filter(F.col("n_tokens") > 0)
+
+
+@register(
+    "x_lang_id",
+    """
+    WITH s AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                           x -> x <> '') AS toks
+        FROM documents
+    ),
+    sc AS (
+        SELECT doc_id,
+            len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','ein','zu','mit','den'], x))) AS s_de,
+            len(list_filter(toks, x -> list_contains(['the','a','and','of','to','in','is','it','that','for'], x))) AS s_en,
+            len(list_filter(toks, x -> list_contains(['el','la','de','que','y','en','un','es','por','los'], x))) AS s_es,
+            len(list_filter(toks, x -> list_contains(['le','la','et','les','des','un','une','du','est','que'], x))) AS s_fr,
+            len(list_filter(toks, x -> list_contains(['的','了','是','我','不','在','有','他','这','们'], x))) AS s_zh
+        FROM s
+    )
+    SELECT doc_id,
+           CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+                WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+                WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+                WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+                WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+                ELSE 'zh' END AS lang_pred
+    FROM sc
+    """,
+)
+def x_lang_id(spark, sf_dir):
+    """Heuristic stopword-profile language ID (argmax, sorted-lang
+    tiebreak, 'und' on zero evidence)."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", lang_id("text").alias("lang_pred")
+    )
+
+
+@register(
+    "x_fingerprint",
+    """
+    WITH g AS (
+        SELECT doc_id, lower(trim(text)) AS t FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN length(t) >= 8 THEN
+               array_to_string(list_sort(list_transform(
+                   range(1, length(t) - 6), i -> md5(t[i:i+7])))[1:4], ',')
+           ELSE md5(t) END AS fingerprint
+    FROM g
+    """,
+)
+def x_fingerprint(spark, sf_dir):
+    """Document fingerprint: bottom-4 sketch of char-8-gram md5 digests."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint_md5("text", k=8, bottom=4).alias("fingerprint"))
+
+
+@register(
+    "x_json_extract",
+    """
+    SELECT event_id,
+           CAST(nullif(regexp_extract(props, '"k":\\s*(\\d+)', 1), '') AS BIGINT) AS k_val
+    FROM events
+    WHERE CAST(nullif(regexp_extract(props, '"k":\\s*(\\d+)', 1), '') AS BIGINT) >= 90
+    """,
+)
+def x_json_extract(spark, sf_dir):
+    """JSON property extraction over events.props (get_json_object —
+    the oracle mimics with a regex so it needs no JSON extension)."""
+    ev = _t(spark, sf_dir, "events")
+    k_val = F.get_json_object("props", "$.k").cast("long")
+    return ev.select("event_id", k_val.alias("k_val")).filter(F.col("k_val") >= 90)
+
+
+@register(
+    "x_tumbling_window",
+    """
+    SELECT make_timestamp(CAST(floor(epoch(ts) / 300) AS BIGINT) * 300 * 1000000)
+               AS win_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY 1, 2
+    """,
+)
+def x_tumbling_window(spark, sf_dir):
+    """5-minute tumbling-window aggregate over the event stream (batch
+    form; streaming form in lwetl_spark/streaming)."""
+    return tumbling_agg(_t(spark, sf_dir, "events"), width_seconds=300)
+
+
+@register(
+    "x_sessionize",
+    """
+    WITH g AS (
+        SELECT user_id, ts, value,
+               CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    s AS (
+        SELECT user_id, ts, value,
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        FROM g
+    )
+    SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM s GROUP BY user_id, session_idx
+    """,
+)
+def x_sessionize(spark, sf_dir):
+    """Sessionization: 30-min-gap sessions per user (lag + cumsum)."""
+    out = sessionize(_t(spark, sf_dir, "events"), gap_seconds=1800)
+    return out.withColumn("session_idx", F.col("session_idx").cast("long"))
+
+
+@register("x_multimodal_stub")  # rows-only: mapInPandas plumbing, stubbed decode
+def x_multimodal_stub(spark, sf_dir):
+    """Multimodal-column plumbing: documents.text packed as an opaque
+    binary payload with typed metadata, then batch 'decoded' via
+    mapInPandas.  The decode itself is a deterministic stub (image/audio
+    libs absent in this environment); the Spark-side schema, batching and
+    UDF signature are the real, tested scale path."""
+    from lwetl_spark.streaming.multimodal import decode_binary_features
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id"),
+        F.col("text").cast("binary").alias("payload"),
+        F.struct(
+            F.lit("text/fake-image").alias("mime"),
+            F.length("text").alias("n_bytes"),
+        ).alias("meta"),
+    )
+    return decode_binary_features(d)
+
+
+def queries() -> dict[str, QueryFn]:
+    return dict(QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(ORACLES)
