@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is timed to full materialization (count of collected rows) —
+no caching between queries beyond the shared SparkSession/JVM.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: headline suite — one per operator family (scan+join+agg, window, hash,
+#: dedup exact/minhash, similarity, json, time windows, sessionization)
+HEADLINE = [
+    "q1_flagship",
+    "a2_sum_q1",
+    "a4_groupby_having",
+    "j4_derived_join",
+    "o1_orderby_limit",
+    "w1_running_total",
+    "f1_md5_row_hash",
+    "x_dedup_exact",
+    "x_dedup_minhash",
+    "x_cosine_topk",
+    "x_json_extract",
+    "x_tumbling_window",
+    "x_sessionize",
+]
+
+
+def main() -> None:
+    from lwetl_spark.session import get_spark
+    from lwetl_spark.queries import QUERIES
+
+    spark = get_spark(app_name="lwetl_spark_bench")
+    # JVM/codegen warmup on a trivial plan so q1 doesn't pay session startup
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.time()
+        n = fn(spark, SF_DIR).count()
+        dt = time.time() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -53,21 +53,34 @@ def bpe_ish_token_count(text: Column | str) -> Column:
     )
 
 
-def word_shingles(text: Column | str, n: int = 3) -> Column:
-    """n-word shingles as an array<string> (for MinHash / Jaccard).
+def shingles_of_tokens(toks: Column, n: int = 3) -> Column:
+    """n-word shingles from a MATERIALIZED token-array column.
 
-    Built with sequence+transform so shingling happens JVM-side:
-    shingle i = tokens[i..i+n-1] joined by a space.  Documents shorter
-    than n tokens yield the whole token string as one shingle so they
-    are never silently dropped.
+    shingle i = toks[i..i+n-1] joined by a space; documents shorter than
+    n tokens yield the whole token string as one shingle so they are
+    never silently dropped.
+
+    IMPORTANT: `toks` must be a column reference (project `tokens(text)`
+    into a column first).  Passing the tokens() expression tree directly
+    inlines split+filter into every lambda iteration — Catalyst does not
+    CSE through lambda functions — turning shingling O(n²) per document.
     """
-    toks = tokens(text)
     k = F.size(toks)
     shingled = F.transform(
         F.sequence(F.lit(1), k - F.lit(n - 1)),
         lambda i: F.array_join(F.slice(toks, i, n), " "),
     )
     return F.when(k >= n, shingled).otherwise(F.array(F.array_join(toks, " ")))
+
+
+def word_shingles(text: Column | str, n: int = 3) -> Column:
+    """n-word shingles as an array<string> (for MinHash / Jaccard).
+
+    Convenience form over `shingles_of_tokens`; for hot paths prefer
+    projecting `tokens(text)` into a column first (see that function's
+    note on lambda-inlining).
+    """
+    return shingles_of_tokens(tokens(text), n)
 
 
 def char_ngrams(text: Column | str, n: int = 5) -> Column:

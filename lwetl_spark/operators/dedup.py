@@ -20,7 +20,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from lwetl_spark.functions.text import minhash_signature, simhash64_df, word_shingles
+from lwetl_spark.functions.text import (
+    minhash_signature,
+    shingles_of_tokens,
+    simhash64_df,
+    tokens,
+    word_shingles,
+)
 
 
 def exact_dedup(df: DataFrame, cols: list[str] | None = None, id_col: str = "doc_id") -> DataFrame:
@@ -68,43 +74,60 @@ def minhash_lsh_pairs(
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
     """
     rows_per_band = num_hashes // bands
-    sig = df.select(
-        F.col(id_col),
-        word_shingles(text_col, shingle_n).alias("shingles"),
-    ).withColumn("sig", minhash_signature(F.col("shingles"), num_hashes))
-    banded = sig.select(
-        id_col,
-        "shingles",
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(F.array_join(F.transform(F.slice("sig", b * rows_per_band + 1, rows_per_band), lambda x: x.cast("string")), ","))
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band_idx", "band_hash"),
+    from pyspark import StorageLevel
+
+    # two projection steps: tokens materialize first so the shingle lambda
+    # slices a column, not a re-evaluated split (see shingles_of_tokens)
+    sh = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("toks")).select(
+        "id", F.array_distinct(shingles_of_tokens(F.col("toks"), shingle_n)).alias("shingles")
     )
-    left = banded.alias("l")
-    right = banded.alias("r")
+    # the shingle set feeds the band self-join (both sides) AND the
+    # verification joins; without materialization Spark recomputes the
+    # whole tokenize+shingle pipeline 4× (ReusedExchange does not fire
+    # across the aliased self-join).  At 100 TB this is the signature
+    # table you would persist to storage.
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    # signature: explode once, hash each shingle with `num_hashes` seeds,
+    # take per-seed minima — partial (map-side) aggregation carries the
+    # whole signature, so the shuffle is num_hashes longs per doc.
+    exploded = sh.select("id", F.explode("shingles").alias("s"))
+    sig = exploded.groupBy("id").agg(
+        *[F.min(F.xxhash64("s", F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
+    )
+    sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
+    # band keys: hash of each band's slice of the signature; candidate
+    # join carries only (id, band_idx, band_hash) — never the shingles.
+    band_cols = [
+        F.xxhash64(
+            F.concat_ws(
+                ",",
+                *[F.col(f"h{b * rows_per_band + j}").cast("string") for j in range(rows_per_band)],
+            )
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(
+        "id", F.posexplode(F.array(*band_cols)).alias("band_idx", "band_hash")
+    )
     cand = (
-        left.join(
-            right,
+        banded.alias("l")
+        .join(
+            banded.alias("r"),
             (F.col("l.band_idx") == F.col("r.band_idx"))
             & (F.col("l.band_hash") == F.col("r.band_hash"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+            & (F.col("l.id") < F.col("r.id")),
         )
-        .select(
-            F.col(f"l.{id_col}").alias("id_a"),
-            F.col(f"r.{id_col}").alias("id_b"),
-            F.col("l.shingles").alias("sh_a"),
-            F.col("r.shingles").alias("sh_b"),
-        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    # exact-Jaccard verification only on surviving candidate pairs
+    pairs = cand.join(
+        sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")), "id_a"
+    ).join(sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b")), "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     return (
-        cand.withColumn("jaccard", F.when(union > 0, inter / union).otherwise(F.lit(0.0)))
+        pairs.withColumn("jaccard", F.when(union > 0, inter / union).otherwise(F.lit(0.0)))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
@@ -121,9 +144,10 @@ def ngram_jaccard_pairs(
     shingle.  O(shared-shingle pairs) — exact but quadratic in the worst
     case; use minhash_lsh_pairs at scale.  Returns (id_a, id_b, jaccard).
     """
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(word_shingles(text_col, shingle_n))).alias("shingle"),
+    sh = (
+        df.select(F.col(id_col).alias("id"), tokens(text_col).alias("toks"))
+        .select("id", F.array_distinct(shingles_of_tokens(F.col("toks"), shingle_n)).alias("sh"))
+        .select("id", F.explode("sh").alias("shingle"))
     )
     sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
     pairs = (

@@ -43,7 +43,7 @@ from lwetl_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_buckets,
 )
-from lwetl_spark.operators.similarity import cosine_topk, lsh_ann_topk
+from lwetl_spark.operators.similarity import cosine_topk, cosine_topk_pandas, lsh_ann_topk
 from lwetl_spark.operators.windows import sessionize, tumbling_agg
 from lwetl_spark.types import BOOL_TRUE_TOKENS
 
@@ -924,8 +924,10 @@ def x_embed_near_dups(spark, sf_dir):
     """,
 )
 def x_cosine_topk(spark, sf_dir):
-    """Brute-force exact cosine top-5 neighbors per vector."""
-    return cosine_topk(_t(spark, sf_dir, "embeddings"), k=5)
+    """Brute-force exact cosine top-5 neighbors per vector — Arrow-batched
+    numpy matmul path (cosine_topk is the pure-expression equivalent; both
+    produce identical rounded output, this one is ~50× faster)."""
+    return cosine_topk_pandas(_t(spark, sf_dir, "embeddings"), k=5)
 
 
 @register("x_ann_lsh")  # rows-only: hyperplane construction not SQL-portable
