@@ -65,7 +65,7 @@ def register_tables(
         path = os.path.join(sf_dir, f"{name}.parquet")
         if not os.path.exists(path):
             continue
-        df = spark.read.parquet(path)
+        df = load_table(spark, sf_dir, name)  # not raw read: ns-timestamp handling
         df.createOrReplaceTempView(name)
         out[name] = df
     return out

@@ -1,0 +1,157 @@
+"""Unit tests for the type veneer, scalar/text/vector functions, and the
+self-consistency oracle idiom (reference tests/test.py:144-160: one-query
+aggregate must equal row-iterated sum)."""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_CORRECT
+
+
+def test_sum_equals_row_iteration(spark):
+    """The reference's key correctness idiom: SUM(price) query == Decimal
+    sum over row iterator (tests/test.py:144-160)."""
+    from lwetl_spark.catalog import load_table
+
+    df = load_table(spark, SF_CORRECT, "orders").select("o_totalprice")
+    agg = df.agg(F.sum("o_totalprice")).collect()[0][0]
+    it = sum(r[0] for r in df.toLocalIterator())
+    assert agg == pytest.approx(it, rel=1e-12)
+
+
+def test_cast_veneer(spark):
+    from lwetl_spark.types import apply_casts
+
+    df = spark.createDataFrame(
+        [("5", "3.5", "yes", "2024-01-02 03:04:05", "20240102")],
+        "a string, b string, c string, d string, e string",
+    )
+    out = apply_casts(df, ["int", "float", "bool", "date", "%Y%m%d"]).collect()[0]
+    assert out["a"] == 5 and out["b"] == 3.5 and out["c"] is True
+    assert out["d"].year == 2024 and out["e"].month == 1 and out["e"].day == 2
+
+
+def test_bool_tokens(spark):
+    from lwetl_spark.types import parse_bool
+
+    df = spark.createDataFrame(
+        [("si",), ("Y",), ("1",), ("nope",), (None,)], "v string"
+    )
+    got = [r[0] for r in df.select(parse_bool(F.col("v"))).collect()]
+    assert got == [True, True, True, False, None]
+
+
+def test_normalize_names(spark):
+    from lwetl_spark.types import normalize_names
+
+    df = spark.createDataFrame([(1, 2, 3, 4)], "`a` int, `A` int, `` int, `b c` int")
+    out = normalize_names(df)
+    assert out.columns == ["A", "A1", "C2", "B C"]
+
+
+def test_strptime_to_spark():
+    from lwetl_spark.types import strptime_to_spark
+
+    assert strptime_to_spark("%Y-%m-%d %H:%M:%S") == "yyyy-MM-dd HH:mm:ss"
+    assert strptime_to_spark("%d/%m/%y") == "dd/MM/yy"
+
+
+def test_md5_row_hash_null_skip(spark):
+    """concat_ws skips nulls — must equal the reference's
+    ';'.join(v for v in row if v is not None) (examples/calc_md5.py)."""
+    import hashlib
+
+    from lwetl_spark.functions.scalars import md5_row_hash
+
+    df = spark.createDataFrame([("a", None, "b")], "x string, y string, z string")
+    got = df.select(md5_row_hash("x", "y", "z").alias("h")).collect()[0]["h"]
+    assert got == hashlib.md5(b"a;b").hexdigest()
+
+
+def test_tokens_and_counts(spark):
+    from lwetl_spark.functions.text import bpe_ish_token_count, token_count, tokens
+
+    df = spark.createDataFrame([("  Hello   world  ",), ("",)], "text string")
+    rows = df.select(
+        tokens("text").alias("t"), token_count("text").alias("n"),
+        bpe_ish_token_count("text").alias("b"),
+    ).collect()
+    assert rows[0]["t"] == ["hello", "world"] and rows[0]["n"] == 2
+    assert rows[0]["b"] == 4  # ceil(5/4)*2
+    assert rows[1]["n"] == 0
+
+
+def test_shingles(spark):
+    from lwetl_spark.functions.text import word_shingles
+
+    df = spark.createDataFrame([("a b c d",), ("a b",)], "text string")
+    rows = df.select(word_shingles("text", 3).alias("s")).collect()
+    assert rows[0]["s"] == ["a b c", "b c d"]
+    assert rows[1]["s"] == ["a b"]  # shorter than n → whole text
+
+
+def test_simhash_similar_docs_close(spark):
+    """SimHash property: near-identical docs share most bits; disjoint
+    docs don't collide to the same value."""
+    from lwetl_spark.functions.text import simhash64_df
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "completely different words entirely unrelated content here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["simhash"] for r in simhash64_df(df).collect()}
+    ham12 = bin((got[1] ^ got[2]) & (2**64 - 1)).count("1")
+    ham13 = bin((got[1] ^ got[3]) & (2**64 - 1)).count("1")
+    assert ham12 < ham13
+
+
+def test_cosine_similarity(spark):
+    from lwetl_spark.functions.vectors import cosine_similarity
+
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [0.0, 1.0]), ([1.0, 1.0], [1.0, 1.0]), ([0.0, 0.0], [1.0, 0.0])],
+        "a array<double>, b array<double>",
+    )
+    got = [r[0] for r in df.select(cosine_similarity("a", "b")).collect()]
+    assert got[0] == pytest.approx(0.0)
+    assert got[1] == pytest.approx(1.0)
+    assert got[2] is None  # zero vector → null, not NaN
+
+
+def test_lang_id_profiles(spark):
+    from lwetl_spark.functions.text import lang_id
+
+    df = spark.createDataFrame(
+        [("the cat and the dog",), ("der hund und die katze ist",), ("xyzzy plugh",)],
+        "text string",
+    )
+    got = [r[0] for r in df.select(lang_id("text")).collect()]
+    assert got == ["en", "de", "und"]
+
+
+def test_statistics_facade():
+    import time
+
+    from lwetl_spark.plans.statistics import ExecutionStatistics
+
+    st = ExecutionStatistics()
+    with st.time_query("q1"):
+        time.sleep(0.01)
+    rep = st.report()
+    assert rep["tags"]["q1"]["executions"] == 1
+    assert rep["tags"]["q1"]["total_seconds"] > 0
+    assert rep["wall_seconds"] >= 0
+
+
+def test_drop_empty_values():
+    from lwetl_spark.types import drop_empty_values
+
+    assert drop_empty_values({"a": 1, "b": None, "c": "  ", "d": "x"}) == {"a": 1, "d": "x"}

@@ -1,0 +1,166 @@
+"""Formatter + uploader tests (SURVEY §2.7/§2.8 — the reference's
+formatter smoke over every table, tests/test.py:294-347, plus commit-mode
+and merge/delete semantics)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from tests.conftest import SF_CORRECT
+
+
+@pytest.fixture()
+def small(spark):
+    from lwetl_spark.catalog import load_table
+
+    return load_table(spark, SF_CORRECT, "nation")
+
+
+def test_text_table(small):
+    from lwetl_spark.sinks.formatter import format_text_table
+
+    out = format_text_table(small, max_rows=5)
+    lines = out.splitlines()
+    assert lines[0].split() == ["n_nationkey", "n_name", "n_regionkey"]
+    assert len(lines) == 6
+
+
+def test_text_table_binary_suppressed(spark):
+    from pyspark.sql import functions as F
+
+    from lwetl_spark.sinks.formatter import BINARY_PLACEHOLDER, format_text_table
+
+    df = spark.createDataFrame([(1,)], "id int").select(
+        "id", F.lit(b"\x00\x01").alias("blob")
+    )
+    assert BINARY_PLACEHOLDER[:14] in format_text_table(df)
+
+
+def test_xml_dialects(small):
+    from lwetl_spark.sinks.formatter import to_xml_string
+
+    plain = to_xml_string(small, dialect="plain", max_rows=2)
+    assert "<n_name>" in plain
+    value = to_xml_string(small, dialect="value", max_rows=2)
+    assert '<column name="n_name">' in value
+    excel = to_xml_string(small, dialect="excel", max_rows=2)
+    assert "<Workbook" in excel and 'ss:Type="Number"' in excel
+
+
+def test_sql_inserts(small):
+    from lwetl_spark.sinks.formatter import to_sql_inserts
+
+    stmts = list(to_sql_inserts(small.limit(3), "NATION"))
+    assert len(stmts) == 3
+    assert stmts[0].startswith("INSERT INTO NATION (n_nationkey, n_name, n_regionkey) VALUES (")
+    assert stmts[0].endswith(");")
+
+
+def test_sql_literal_quoting(spark):
+    from lwetl_spark.sinks.formatter import _sql_literal
+
+    assert _sql_literal("O'Brien") == "'O''Brien'"
+    assert _sql_literal(None) == "NULL"
+    assert _sql_literal(b"\x01\xff") == "X'01ff'"
+
+
+# ---------------------------------------------------------------------------
+# uploader / write policies
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def table_dir(spark, tmp_path):
+    from lwetl_spark.catalog import load_table
+
+    p = str(tmp_path / "nation.parquet")
+    load_table(spark, SF_CORRECT, "nation").write.parquet(p)
+    return p
+
+
+def test_uploader_insert_commit(spark, table_dir):
+    from lwetl_spark.sinks.uploader import Uploader, WritePolicy
+
+    up = Uploader(spark, table_dir, policy=WritePolicy.COMMIT)
+    up.insert({"n_nationkey": 99, "n_name": "ATLANTIS", "n_regionkey": 0, "bogus": 1})
+    up.insert({"n_nationkey": 100, "n_name": "  ", "n_regionkey": 0})  # blank dropped
+    assert up.commit() == 2
+    trg = up.target()
+    assert trg.count() == 27
+    row = trg.filter("n_nationkey = 100").collect()[0]
+    assert row["n_name"] is None  # empty-string → skipped → NULL
+
+
+def test_uploader_rollback_default(spark, table_dir):
+    """The reference's rollback-by-default (uploader.py:22-25): STAGE
+    policy writes a staging dir, target untouched."""
+    from lwetl_spark.sinks.uploader import Uploader
+
+    up = Uploader(spark, table_dir)  # default STAGE
+    up.insert({"n_nationkey": 99, "n_name": "ATLANTIS", "n_regionkey": 0})
+    up.commit()
+    assert up.target().count() == 25
+    assert os.path.isdir(up.staging_path)
+
+
+def test_uploader_plan_policy(spark, table_dir):
+    from lwetl_spark.sinks.uploader import Uploader, WritePolicy
+
+    up = Uploader(spark, table_dir, policy=WritePolicy.PLAN)
+    up.insert({"n_nationkey": 99, "n_name": "X", "n_regionkey": 0})
+    up.commit()
+    assert up.target().count() == 25
+
+
+def test_uploader_script_policy(spark, table_dir):
+    from lwetl_spark.sinks.uploader import Uploader, WritePolicy
+
+    up = Uploader(spark, table_dir, policy=WritePolicy.SCRIPT, table_name="NATION")
+    up.insert({"n_nationkey": 99, "n_name": "ATLANTIS", "n_regionkey": 0})
+    up.commit()
+    scripts = list(up.sql_script())
+    assert len(scripts) == 1
+    assert "INSERT INTO NATION" in scripts[0] and "'ATLANTIS'" in scripts[0]
+
+
+def test_uploader_update(spark, table_dir):
+    from lwetl_spark.sinks.uploader import Uploader, WritePolicy
+
+    up = Uploader(spark, table_dir, policy=WritePolicy.COMMIT)
+    n = up.update({"n_name": "RENAMED", "n_regionkey": None}, where={"n_nationkey": 3})
+    assert n == 1
+    row = up.target().filter("n_nationkey = 3").collect()[0]
+    assert row["n_name"] == "RENAMED" and row["n_regionkey"] is None
+
+
+def test_uploader_delete(spark, table_dir):
+    from lwetl_spark.sinks.uploader import Uploader, WritePolicy
+
+    up = Uploader(spark, table_dir, policy=WritePolicy.COMMIT)
+    assert up.delete(where={"n_regionkey": 0}) == 5
+    assert up.target().count() == 20
+
+
+def test_uploader_merge(spark, table_dir):
+    from lwetl_spark.sinks.uploader import Uploader, WritePolicy
+
+    up = Uploader(spark, table_dir, policy=WritePolicy.COMMIT)
+    src = spark.createDataFrame(
+        [(3, "UPDATED", 9), (999, "NEW", 1)],
+        "n_nationkey int, n_name string, n_regionkey int",
+    )
+    res = up.merge(src, key="n_nationkey")
+    assert res == {"inserted": 1, "updated": 1}
+    trg = up.target()
+    assert trg.count() == 26
+    assert trg.filter("n_nationkey = 3").collect()[0]["n_name"] == "UPDATED"
+
+
+def test_add_pk_column(spark):
+    from lwetl_spark.sinks.uploader import add_pk_column
+
+    df = spark.createDataFrame([("b",), ("a",), ("c",)], "v string")
+    out = add_pk_column(df, "ID", existing_max=10, order_by=["v"]).collect()
+    assert {(r["v"], r["ID"]) for r in out} == {("a", 11), ("b", 12), ("c", 13)}
