@@ -1,0 +1,72 @@
+"""Physical-plan regression tests (SURVEY §4): the optimizations that make
+the engine scale must be visible in the executed plan, not assumed.
+
+These assert Catalyst properties the 100 TB design depends on:
+- predicate pushdown + column pruning reach the parquet scan,
+- dimension joins broadcast (no shuffle of the fact side),
+- ORDER BY+LIMIT compiles to TakeOrderedAndProject (no global sort),
+- aggregations are partial+final (map-side combine),
+- anti/semi joins stay joins (no driver-side sets, unlike the reference's
+  client-side existence hash, db_copy/main.py:260-268).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_CORRECT
+
+from lwetl_spark.queries import QUERIES
+
+
+def _plan(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF_CORRECT)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_and_pruning_pushdown(spark):
+    plan = _plan(spark, "p2_filter_compare")
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    # only the 4 projected columns are read
+    assert "l_extendedprice" not in scan and "l_shipdate" not in scan
+    assert "l_quantity" in scan
+    # predicate reaches the scan
+    assert "l_quantity" in scan.split("DataFilters")[-1]
+
+
+def test_flagship_broadcasts_dimensions(spark):
+    plan = _plan(spark, "q1_flagship")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_no_global_sort(spark):
+    plan = _plan(spark, "o1_orderby_limit")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_agg_partial_final(spark):
+    plan = _plan(spark, "a2_sum_q1")
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_anti_semi_stay_joins(spark):
+    anti = _plan(spark, "j6_anti_join")
+    semi = _plan(spark, "j7_semi_join")
+    assert "LeftAnti" in anti
+    assert "LeftSemi" in semi
+
+
+def test_exact_dedup_shuffles_digest_only(spark):
+    """x_dedup_exact must not shuffle document text — only (digest, id)."""
+    plan = _plan(spark, "x_dedup_exact")
+    exchange_lines = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert exchange_lines, "expected a shuffle on the digest"
+    assert all("text" not in l for l in exchange_lines)
+
+
+def test_running_total_single_shuffle(spark):
+    """w1 window: one hash-partition exchange on the partition key, sort
+    within partitions — no extra shuffles."""
+    plan = _plan(spark, "w1_running_total")
+    assert plan.count("Exchange hashpartitioning") == 1

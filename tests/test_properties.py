@@ -1,0 +1,69 @@
+"""Property-based tests (hypothesis) for the pure-Python engine pieces:
+statement splitter, LDIF parser, name uniquification, SQL literal quoting.
+"""
+
+from __future__ import annotations
+
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from lwetl_spark.sinks.formatter import _sql_literal
+from lwetl_spark.sources.ldif import parse_ldif_text
+from lwetl_spark.sources.sqlscript import split_statements
+
+ident = st.text(alphabet=string.ascii_letters, min_size=1, max_size=8)
+
+
+@given(st.lists(st.text(alphabet=string.ascii_letters + " \n", min_size=1, max_size=30), min_size=1, max_size=10))
+def test_splitter_statement_count(stmts):
+    script = ";".join(stmts) + ";"
+    got = list(split_statements(script))
+    expected = [s.strip() for s in stmts if s.strip()]
+    assert got == expected
+
+
+@given(st.text(alphabet=string.printable, max_size=60))
+def test_splitter_quoted_semicolons_survive(s):
+    quoted = s.replace("'", "''")
+    script = f"SELECT '{quoted}' AS v"
+    got = list(split_statements(script))
+    assert len(got) == 1
+    assert got[0] == script.strip()
+
+
+@settings(max_examples=50)
+@given(
+    st.dictionaries(
+        keys=ident,
+        values=st.text(alphabet=string.ascii_letters + string.digits + " ", min_size=1, max_size=20).map(str.strip).filter(bool),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_ldif_roundtrip(attrs):
+    block = "\n".join(f"{k}: {v}" for k, v in attrs.items())
+    recs = parse_ldif_text(block)
+    assert len(recs) == 1
+    assert recs[0] == attrs
+
+
+@given(st.text(max_size=50))
+def test_sql_literal_always_quotes(s):
+    lit = _sql_literal(s)
+    assert lit.startswith("'") and lit.endswith("'")
+    # quote-doubling: interior content never terminates the literal early
+    assert lit[1:-1].replace("''", "").count("'") == 0
+
+
+@settings(max_examples=20, deadline=None)
+@given(names=st.lists(st.one_of(ident, st.just("")), min_size=1, max_size=12))
+def test_normalize_names_unique(spark, names):
+    from lwetl_spark.types import normalize_names
+
+    df = spark.createDataFrame([tuple([1] * len(names))], ", ".join(f"`c{i}` int" for i in range(len(names))))
+    df = df.toDF(*names)
+    out = normalize_names(df)
+    assert len(set(out.columns)) == len(out.columns)
+    assert all(c == c.upper() and c.strip() for c in out.columns)
