@@ -1124,8 +1124,16 @@ def x_multimodal_stub(spark, sf_dir):
 
 
 def queries() -> dict[str, QueryFn]:
+    _load_etl_queries()
     return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
+    _load_etl_queries()
     return dict(ORACLES)
+
+
+def _load_etl_queries() -> None:
+    """ETL-surface round-trip queries (sources/sinks/DML as queries) live
+    in queries_etl.py; imported lazily to avoid a circular import."""
+    import lwetl_spark.queries_etl  # noqa: F401

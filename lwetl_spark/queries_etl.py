@@ -1,0 +1,386 @@
+"""ETL-surface queries: SURVEY §2 ☆ operators whose natural form is a
+source / sink / DML program rather than a SELECT — exposed to the driver
+as round-trip queries so every claimed operator has BOTH a ``queries()``
+entry and a DuckDB ``oracle_sql()`` check.
+
+Each query materializes through the real operator (CSV/LDIF/SQL-script
+source, CSV/SQL-script sink, Uploader insert/update/delete/PK-gen,
+db-copy) into a throwaway temp directory, reads the result back, and
+returns a DataFrame whose values a plain SQL oracle can reproduce.
+Temp writes are bounded (sf0.01-sized inputs) and never touch the repo
+or the shared testdata.
+
+Reference parity citations sit on each builder (lwetl file:line).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from lwetl_spark.queries import _t, register
+
+
+def _tmpdir(tag: str) -> str:
+    return tempfile.mkdtemp(prefix=f"lwetl_spark_{tag}_")
+
+
+# ----------------------------------------------------------------------------
+# O3: ORDER BY ASC/DESC on PK (db-copy scan order, db_copy/main.py:271-276)
+# ----------------------------------------------------------------------------
+
+
+@register(
+    "o3_order_pk_desc",
+    "SELECT s_suppkey, s_name FROM supplier ORDER BY s_suppkey DESC LIMIT 10",
+)
+def o3_order_pk_desc(spark, sf_dir):
+    """Reverse-PK scan (O3): the reference's 'fast update' heuristic reads
+    `SELECT * FROM t ORDER BY pk DESC` (db_copy/main.py:271-276)."""
+    return (
+        _t(spark, sf_dir, "supplier")
+        .orderBy(F.col("s_suppkey").desc())
+        .select("s_suppkey", "s_name")
+        .limit(10)
+    )
+
+
+# ----------------------------------------------------------------------------
+# S4 + K2: CSV sink → CSV source round trip (table_import.py:120-219,
+# formatter.py:257-290)
+# ----------------------------------------------------------------------------
+
+
+@register(
+    "s4_csv_roundtrip",
+    """
+    SELECT c_custkey AS C_CUSTKEY, c_name AS C_NAME,
+           c_mktsegment AS C_MKTSEGMENT, ROUND(c_acctbal, 2) AS C_ACCTBAL
+    FROM customer
+    """,
+)
+def s4_csv_roundtrip(spark, sf_dir):
+    """K2 CSV sink (`;` separator, header row — lwetl/formatter.py:257-290)
+    then S4 CSV import with the reference's name-normalization pass
+    (upper-cased columns, lwetl/table_import.py:27-49, jdbc.py:105-107)."""
+    from lwetl_spark.sinks.formatter import write_csv
+    from lwetl_spark.sources.csv import csv_source
+
+    out = os.path.join(_tmpdir("s4"), "customer_csv")
+    src = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment", F.round("c_acctbal", 2).alias("c_acctbal")
+    )
+    write_csv(src, out, sep=";", header=True)
+    back = csv_source(spark, out, delimiter=";", header=True)
+    return back.select(
+        F.col("C_CUSTKEY").cast("long").alias("C_CUSTKEY"),
+        "C_NAME",
+        "C_MKTSEGMENT",
+        F.round(F.col("C_ACCTBAL").cast("double"), 2).alias("C_ACCTBAL"),
+    )
+
+
+# ----------------------------------------------------------------------------
+# S6: LDIF import (lwetl/table_import.py:222-375) — continuation/base64/
+# multi-value semantics checked against a string-built oracle
+# ----------------------------------------------------------------------------
+
+
+@register(
+    "s6_ldif_roundtrip",
+    """
+    SELECT 'cn=' || n_name AS DN,
+           n_name AS CN,
+           CAST(n_regionkey AS VARCHAR) AS REGIONKEY,
+           'm' || n_nationkey || '|x' || n_regionkey AS MEMBER,
+           'nation ' || n_name AS NOTE
+    FROM nation
+    """,
+)
+def s6_ldif_roundtrip(spark, sf_dir):
+    """S6 LDIF parse: multi-valued attrs join on the separator
+    (table_import.py:334-344), `::` values are base64-decoded to text
+    (table_import.py:309-327) — the oracle expects the decoded value."""
+    import base64
+
+    from lwetl_spark.sources.ldif import ldif_source
+
+    rows = (
+        _t(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
+        .collect()
+    )
+    blocks = []
+    for r in rows:
+        b64 = base64.b64encode(f"nation {r.n_name}".encode()).decode("ascii")
+        blocks.append(
+            f"dn: cn={r.n_name}\n"
+            f"cn: {r.n_name}\n"
+            f"regionkey: {r.n_regionkey}\n"
+            f"member: m{r.n_nationkey}\n"
+            f"member: x{r.n_regionkey}\n"
+            f"note:: {b64}\n"
+        )
+    path = os.path.join(_tmpdir("s6"), "nation.ldif")
+    with open(path, "w", encoding="utf-8") as fh:
+        fh.write("\n".join(blocks))
+    df = ldif_source(spark, path, separator="|")
+    return df.select("DN", "CN", "REGIONKEY", "MEMBER", "NOTE")
+
+
+# ----------------------------------------------------------------------------
+# K5/U2/F6: SQL-script sink — dialect literal rendering incl. quote
+# doubling (lwetl/formatter.py:529-594, uploader.py:337)
+# ----------------------------------------------------------------------------
+
+
+@register(
+    "k5_sql_script_sink",
+    """
+    SELECT 'INSERT INTO region_labels (r_regionkey, label) VALUES ('
+           || r_regionkey || ', '''
+           || replace(r_name || '''s', '''', '''''') || ''');' AS stmt
+    FROM region
+    """,
+)
+def k5_sql_script_sink(spark, sf_dir):
+    """K5: every row rendered as an INSERT statement with SQL-literal
+    quoting — the reference's quote-doubling `value.replace("'", "''")`
+    (lwetl/uploader.py:337) verified against DuckDB's own string build."""
+    from lwetl_spark.sinks.formatter import to_sql_inserts
+
+    src = _t(spark, sf_dir, "region").select(
+        "r_regionkey", F.concat(F.col("r_name"), F.lit("'s")).alias("label")
+    )
+    stmts = list(to_sql_inserts(src, "region_labels"))
+    return spark.createDataFrame([(s,) for s in stmts], "stmt string")
+
+
+# ----------------------------------------------------------------------------
+# S7 + C1: SQL-script source → spark.sql loop (lwetl/input.py:11-112,
+# programs/sql_query/main.py)
+# ----------------------------------------------------------------------------
+
+
+@register(
+    "c1_script_exec",
+    """
+    SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_big,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders WHERE o_totalprice > 200000
+    GROUP BY o_custkey
+    """,
+)
+def c1_script_exec(spark, sf_dir):
+    """C1 `sql-query` core: statement splitter (comments + quoted `;`
+    honored, lwetl/input.py:81-112) feeding `spark.sql` per statement;
+    the last SELECT's DataFrame is the program output."""
+    from lwetl_spark.sources.sqlscript import run_script
+
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("c1_orders")
+    script = """
+    -- big orders per customer; ';' inside quotes must not split: 'a;b'
+    CREATE OR REPLACE TEMPORARY VIEW c1_big AS
+      SELECT o_custkey, o_totalprice FROM c1_orders WHERE o_totalprice > 200000;
+    SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_big,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM c1_big GROUP BY o_custkey;
+    """
+    return run_script(spark, script)[-1]
+
+
+# ----------------------------------------------------------------------------
+# U1/U3: dict-row insert buffering + commit (lwetl/uploader.py:550-570,
+# 644-698) — empty values dropped (:309-344)
+# ----------------------------------------------------------------------------
+
+
+@register(
+    "u1_insert_commit",
+    """
+    SELECT r_regionkey, COALESCE(r_name, '(null)') AS r_name FROM region
+    UNION ALL
+    SELECT * FROM (VALUES (100, 'NEW REGION 0'),
+                          (101, 'NEW REGION 1'),
+                          (102, 'NEW REGION 2'),
+                          (103, '(null)')) v(r_regionkey, r_name)
+    """,
+)
+def u1_insert_commit(spark, sf_dir):
+    """U1 dict insert + U3 batched commit: rows buffer driver-side and
+    flush as one append on `commit()` (MultiParameterUploader,
+    lwetl/uploader.py:644-698).  The whitespace-only name on row 103 is
+    dropped by the `_filter_data` rule (:309-344) → NULL in the table."""
+    from lwetl_spark.sinks.uploader import Uploader, WritePolicy
+
+    trg = os.path.join(_tmpdir("u1"), "region.parquet")
+    _t(spark, sf_dir, "region").write.parquet(trg)
+    up = Uploader(spark, trg, policy=WritePolicy.COMMIT)
+    for i in range(3):
+        up.insert({"r_regionkey": 100 + i, "r_name": f"NEW REGION {i}"})
+    up.insert({"r_regionkey": 103, "r_name": "   "})  # empty → dropped key
+    up.commit()
+    return spark.read.parquet(trg).select(
+        "r_regionkey", F.coalesce("r_name", F.lit("(null)")).alias("r_name")
+    )
+
+
+# ----------------------------------------------------------------------------
+# U4: UPDATE ... SET ... WHERE (lwetl/uploader.py:572-608)
+# ----------------------------------------------------------------------------
+
+
+@register(
+    "u4_update_where",
+    """
+    SELECT n_nationkey,
+           CASE WHEN n_regionkey = 0 THEN 'REDACTED' ELSE n_name END AS n_name,
+           n_regionkey
+    FROM nation
+    """,
+)
+def u4_update_where(spark, sf_dir):
+    """U4 update-by-predicate as a conditional column rewrite + atomic
+    overwrite (the join-free Spark form of `UPDATE t SET c=? WHERE k=?`,
+    lwetl/uploader.py:572-608)."""
+    from lwetl_spark.sinks.uploader import Uploader, WritePolicy
+
+    trg = os.path.join(_tmpdir("u4"), "nation.parquet")
+    _t(spark, sf_dir, "nation").write.parquet(trg)
+    up = Uploader(spark, trg, policy=WritePolicy.COMMIT)
+    up.update({"n_name": "REDACTED"}, {"n_regionkey": 0})
+    return spark.read.parquet(trg).select("n_nationkey", "n_name", "n_regionkey")
+
+
+# ----------------------------------------------------------------------------
+# U5: DELETE by key set — the reference's 500-PK IN-batch delete
+# (db_copy/main.py:365-391) as an anti-join
+# ----------------------------------------------------------------------------
+
+
+@register(
+    "u5_delete_keys",
+    """
+    SELECT s_suppkey, s_name, s_nationkey FROM supplier
+    WHERE s_nationkey NOT IN
+          (SELECT n_nationkey FROM nation WHERE n_regionkey = 0)
+    """,
+)
+def u5_delete_keys(spark, sf_dir):
+    """U5 batched key delete: `DELETE FROM t WHERE pk IN (?,...)` ×500
+    (db_copy/main.py:365-391) becomes one left_anti join — no batching,
+    no IN-list size limits."""
+    from lwetl_spark.sinks.uploader import Uploader, WritePolicy
+
+    trg = os.path.join(_tmpdir("u5"), "supplier.parquet")
+    _t(spark, sf_dir, "supplier").write.parquet(trg)
+    keys = (
+        _t(spark, sf_dir, "nation")
+        .filter(F.col("n_regionkey") == 0)
+        .select(F.col("n_nationkey").alias("s_nationkey"))
+    )
+    up = Uploader(spark, trg, policy=WritePolicy.COMMIT)
+    up.delete(keys_df=keys, key="s_nationkey")
+    return spark.read.parquet(trg).select("s_suppkey", "s_name", "s_nationkey")
+
+
+# ----------------------------------------------------------------------------
+# U7: PK generation — MAX(pk) seed + monotone counter
+# (lwetl/uploader.py:31-61)
+# ----------------------------------------------------------------------------
+
+
+@register(
+    "u7_pk_generation",
+    """
+    SELECT (SELECT MAX(c_custkey) FROM customer)
+           + ROW_NUMBER() OVER (ORDER BY c_mktsegment) AS pk,
+           c_mktsegment
+    FROM (SELECT DISTINCT c_mktsegment FROM customer) d
+    """,
+)
+def u7_pk_generation(spark, sf_dir):
+    """U7 deterministic id generation: `SELECT MAX(pk)` seed
+    (lwetl/uploader.py:58-59) + row_number over an explicit ordering —
+    unlike monotonically_increasing_id, stable under retries."""
+    from lwetl_spark.sinks.uploader import add_pk_column
+
+    cust = _t(spark, sf_dir, "customer")
+    mx = cust.agg(F.max("c_custkey")).first()[0]
+    segs = cust.select("c_mktsegment").distinct()
+    return add_pk_column(segs, "pk", existing_max=mx, order_by=["c_mktsegment"]).select(
+        "pk", "c_mktsegment"
+    )
+
+
+# ----------------------------------------------------------------------------
+# C2: db-copy 'new' mode — anti-join insert into a partial target
+# (lwetl/programs/db_copy/main.py:260-315)
+# ----------------------------------------------------------------------------
+
+
+@register(
+    "c2_db_copy_new",
+    """
+    SELECT n_nationkey,
+           CASE WHEN n_nationkey % 2 = 0 THEN 'OLD' ELSE n_name END AS n_name,
+           n_regionkey
+    FROM nation
+    """,
+)
+def c2_db_copy_new(spark, sf_dir):
+    """C2 db-copy, mode='new': catalog diff + per-table left_anti insert
+    (db_copy/main.py:180-233, 260-315).  The target starts with the even
+    PKs renamed 'OLD'; copy must insert exactly the odd PKs and leave
+    existing rows untouched."""
+    from lwetl_spark.plans.db_copy import db_copy
+
+    base = _tmpdir("c2")
+    src_dir = os.path.join(base, "src")
+    trg_dir = os.path.join(base, "trg")
+    os.makedirs(src_dir)
+    os.makedirs(trg_dir)
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    nation.write.parquet(os.path.join(src_dir, "nation.parquet"))
+    region.write.parquet(os.path.join(src_dir, "region.parquet"))
+    nation.filter(F.col("n_nationkey") % 2 == 0).withColumn(
+        "n_name", F.lit("OLD")
+    ).write.parquet(os.path.join(trg_dir, "nation.parquet"))
+    region.write.parquet(os.path.join(trg_dir, "region.parquet"))
+    db_copy(
+        spark,
+        src_dir,
+        trg_dir,
+        pks={"nation": "n_nationkey", "region": "r_regionkey"},
+        mode="new",
+        fks={"nation": {"region"}},
+        activate=True,
+    )
+    return spark.read.parquet(os.path.join(trg_dir, "nation.parquet")).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+
+
+# ----------------------------------------------------------------------------
+# F10: binary round trip (examples/extract-images.py:31-38,
+# uploader.py:518-528, tests/test.py:249-276)
+# ----------------------------------------------------------------------------
+
+
+@register(
+    "f10_binary_roundtrip",
+    "SELECT doc_id, md5(text) AS payload_md5 FROM documents",
+)
+def f10_binary_roundtrip(spark, sf_dir):
+    """F10 BLOB handling: text packed to a BinaryType payload, persisted
+    to parquet, read back, digested — byte-exact like the reference's
+    JPEG round trip (tests/test.py:249-276)."""
+    trg = os.path.join(_tmpdir("f10"), "blobs.parquet")
+    _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    ).write.parquet(trg)
+    return spark.read.parquet(trg).select("doc_id", F.md5("payload").alias("payload_md5"))
