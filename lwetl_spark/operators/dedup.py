@@ -77,33 +77,38 @@ def minhash_lsh_pairs(
     from pyspark import StorageLevel
 
     # two projection steps: tokens materialize first so the shingle lambda
-    # slices a column, not a re-evaluated split (see shingles_of_tokens)
-    sh = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("toks")).select(
-        "id", F.array_distinct(shingles_of_tokens(F.col("toks"), shingle_n)).alias("shingles")
+    # slices a column, not a re-evaluated split (see shingles_of_tokens);
+    # then every shingle STRING is hashed exactly once to a 64-bit key —
+    # all `num_hashes` seed-hashes derive from that long (hash-of-hash
+    # preserves the min-hash property, and hashing a long is ~an order of
+    # magnitude cheaper than re-hashing a ~30-char string per seed).
+    sh = (
+        df.select(F.col(id_col).alias("id"), tokens(text_col).alias("toks"))
+        .select("id", shingles_of_tokens(F.col("toks"), shingle_n).alias("sh_str"))
+        .select("id", F.array_distinct(F.transform("sh_str", lambda s: F.xxhash64(s))).alias("hsh"))
     )
-    # the shingle set feeds the band self-join (both sides) AND the
+    # the hashed-shingle set feeds the band self-join (both sides) AND the
     # verification joins; without materialization Spark recomputes the
     # whole tokenize+shingle pipeline 4× (ReusedExchange does not fire
     # across the aliased self-join).  At 100 TB this is the signature
     # table you would persist to storage.
     sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
-    # signature: explode once, hash each shingle with `num_hashes` seeds,
-    # take per-seed minima — partial (map-side) aggregation carries the
-    # whole signature, so the shuffle is num_hashes longs per doc.
-    exploded = sh.select("id", F.explode("shingles").alias("s"))
+
+    # signature: explode the hashed shingles once, take per-seed minima of
+    # xxhash64(h, seed) — partial (map-side) aggregation carries the whole
+    # signature, so the shuffle is num_hashes longs per doc.  (Flat min
+    # aggregates keep the Catalyst tree small; a transform/array_min
+    # formulation costs ~1s of driver-side analysis per call.)
+    exploded = sh.select("id", F.explode("hsh").alias("h"))
     sig = exploded.groupBy("id").agg(
-        *[F.min(F.xxhash64("s", F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
+        *[F.min(F.xxhash64("h", F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
     )
     sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
-    # band keys: hash of each band's slice of the signature; candidate
-    # join carries only (id, band_idx, band_hash) — never the shingles.
+    # band keys: multi-column xxhash64 over each band's slice of the
+    # signature (no string concat); candidate join carries only
+    # (id, band_idx, band_hash) — never the shingles.
     band_cols = [
-        F.xxhash64(
-            F.concat_ws(
-                ",",
-                *[F.col(f"h{b * rows_per_band + j}").cast("string") for j in range(rows_per_band)],
-            )
-        )
+        F.xxhash64(*[F.col(f"h{b * rows_per_band + j}") for j in range(rows_per_band)])
         for b in range(bands)
     ]
     banded = sig.select(
@@ -120,10 +125,11 @@ def minhash_lsh_pairs(
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    # exact-Jaccard verification only on surviving candidate pairs
+    # exact-Jaccard verification only on surviving candidate pairs —
+    # set ops run on the hashed shingles (64-bit collisions negligible)
     pairs = cand.join(
-        sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")), "id_a"
-    ).join(sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b")), "id_b")
+        sh.select(F.col("id").alias("id_a"), F.col("hsh").alias("sh_a")), "id_a"
+    ).join(sh.select(F.col("id").alias("id_b"), F.col("hsh").alias("sh_b")), "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     return (
