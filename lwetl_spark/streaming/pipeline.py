@@ -44,13 +44,128 @@ def stream_events_tumbling(
     )
 
 
-def stream_to_memory(df: DataFrame, name: str = "stream_out") -> DataFrame:
+def stream_dedup_exact(
+    spark: SparkSession,
+    events_path: str,
+    keys: list[str] | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact deduplication: watermark-bounded dropDuplicates.
+
+    The batch form (operators/dedup.exact_dedup) keeps the whole digest
+    space; streaming state is bounded by the watermark horizon — at
+    100 TB/day the state holds one key per distinct event inside the
+    lateness window only.
+    """
+    keys = keys or ["user_id", "event_type", "ts"]
+    schema = spark.read.parquet(events_path).schema
+    stream = spark.readStream.schema(schema).parquet(events_path)
+    return (
+        stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .dropDuplicates(keys)
+    )
+
+
+def stream_sessionize(
+    spark: SparkSession,
+    events_path: str,
+    gap_seconds: int = 1800,
+    watermark: str = "1 second",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Custom stateful streaming operator: per-user sessionization via
+    ``applyInPandasWithState`` (SURVEY §2.10 — the reference has no
+    streaming; this is the scale-path form of operators/windows.sessionize).
+
+    State per user = the open session (start/end/count/sum as epoch-µs
+    scalars).  Sessions closed by an in-batch gap emit immediately;
+    the trailing open session emits on event-time timeout once the
+    watermark passes session_end + gap.  Batch and streaming share the
+    same gap rule, so closed sessions match the batch operator exactly.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    schema = spark.read.parquet(events_path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = (
+        reader.parquet(events_path)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+    )
+    gap_us = gap_seconds * 1_000_000
+
+    # NOTE: closure is pickled by value for the Python workers — imports
+    # stay inside, no references to module-level helpers (see
+    # .claude/skills/verify gotchas).
+    def fn(key, pdf_iter, state):
+        import pandas as pd
+
+        user = key[0]
+
+        def emit(start_us, end_us, n, s):
+            return pd.DataFrame(
+                {
+                    "user_id": [user],
+                    "session_start": [pd.Timestamp(start_us, unit="us")],
+                    "session_end": [pd.Timestamp(end_us, unit="us")],
+                    "n_events": [n],
+                    "sum_value": [round(s, 2)],
+                }
+            )
+
+        if state.hasTimedOut:
+            (start_us, end_us, n, s) = state.get
+            state.remove()
+            yield emit(start_us, end_us, n, s)
+            return
+
+        rows = []
+        for pdf in pdf_iter:
+            for ts, val in zip(pdf["ts"], pdf["value"]):
+                rows.append((int(pd.Timestamp(ts).value // 1000), float(val)))
+        rows.sort()
+        cur = state.get if state.exists else None  # (start, end, n, sum)
+        for ts_us, val in rows:
+            if cur is None:
+                cur = (ts_us, ts_us, 1, val)
+            elif ts_us - cur[1] > gap_us:
+                yield emit(*cur)
+                cur = (ts_us, ts_us, 1, val)
+            else:
+                cur = (cur[0], max(cur[1], ts_us), cur[2] + 1, cur[3] + val)
+        if cur is not None:
+            deadline_ms = cur[1] // 1000 + gap_seconds * 1000
+            wm_ms = state.getCurrentWatermarkMs()
+            if deadline_ms <= wm_ms:
+                state.remove() if state.exists else None
+                yield emit(*cur)
+            else:
+                state.update(cur)
+                state.setTimeoutTimestamp(deadline_ms)
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=(
+            "user_id long, session_start timestamp, session_end timestamp, "
+            "n_events long, sum_value double"
+        ),
+        stateStructType="start long, end long, n long, s double",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def stream_to_memory(df: DataFrame, name: str = "stream_out", mode: str = "complete") -> DataFrame:
     """Drive a streaming DataFrame to completion against the available
     input (processAllAvailable) and return the materialized result from
-    the memory sink.  Complete mode → every window present once.
+    the memory sink.  Complete mode → every window present once; append
+    mode (stateful/dedup queries) → only finalized rows.
     """
     q = (
-        df.writeStream.outputMode("complete")
+        df.writeStream.outputMode(mode)
         .format("memory")
         .queryName(name)
         .start()

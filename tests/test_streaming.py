@@ -43,6 +43,75 @@ def test_stream_matches_batch(spark, events_dir):
     assert len(stream_rows) > 10
 
 
+def test_stream_dedup_exact(spark, tmp_path):
+    """Streaming dedup: a doubled input collapses to the distinct key set
+    (watermark-bounded state)."""
+    from lwetl_spark.catalog import load_table
+    from lwetl_spark.streaming.pipeline import stream_dedup_exact, stream_to_memory
+
+    p = str(tmp_path / "events_dup")
+    ev = load_table(spark, SF_SMOKE, "events")
+    ev.write.parquet(p)
+    ev.write.mode("append").parquet(p)
+    deduped = stream_dedup_exact(spark, p, keys=["user_id", "event_type", "ts"])
+    got = stream_to_memory(deduped, name="t_dedup_out", mode="append")
+    n_distinct = ev.select("user_id", "event_type", "ts").distinct().count()
+    assert got.count() == n_distinct
+
+
+def test_stream_sessionize_matches_batch(spark, tmp_path):
+    """Stateful streaming sessionizer (applyInPandasWithState) must emit
+    exactly the batch operator's sessions once the watermark passes
+    everything (flushed by a far-future sentinel user)."""
+    from lwetl_spark.catalog import load_table
+    from lwetl_spark.operators.windows import sessionize
+    from lwetl_spark.streaming.pipeline import stream_sessionize, stream_to_memory
+
+    gap = 1800
+    ev = load_table(spark, SF_SMOKE, "events").select("user_id", "event_type", "ts", "value")
+    bounds = ev.agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi"), F.count("*").alias("n")
+    ).first()
+    p = str(tmp_path / "events_chunks")
+    # four time-ordered chunk files → four micro-batches, monotone watermark
+    cuts = [
+        bounds["lo"]
+        + (bounds["hi"] - bounds["lo"]) * frac
+        for frac in (0.25, 0.5, 0.75, 1.01)
+    ]
+    prev = None
+    for cut in cuts:
+        chunk = ev.filter(F.col("ts") <= F.lit(cut))
+        if prev is not None:
+            chunk = chunk.filter(F.col("ts") > F.lit(prev))
+        chunk.coalesce(1).write.mode("append").parquet(p)
+        prev = cut
+    # sentinel: far-future event advances the watermark past every
+    # real session_end + gap, firing all event-time timeouts
+    sentinel_ts = bounds["hi"] + __import__("datetime").timedelta(seconds=20 * gap)
+    spark.createDataFrame(
+        [(-1, "sentinel", sentinel_ts, 0.0)], ev.schema
+    ).coalesce(1).write.mode("append").parquet(p)
+
+    sess = stream_sessionize(spark, p, gap_seconds=gap, max_files_per_trigger=1)
+    got = stream_to_memory(sess, name="t_sess_out", mode="append")
+    stream_rows = {
+        (r["user_id"], r["session_start"], r["session_end"]): (r["n_events"], r["sum_value"])
+        for r in got.collect()
+        if r["user_id"] != -1
+    }
+    batch_rows = {
+        (r["user_id"], r["session_start"], r["session_end"]): (r["n_events"], round(r["sum_value"], 2))
+        for r in sessionize(ev, gap_seconds=gap).collect()
+    }
+    assert set(stream_rows) == set(batch_rows)
+    for k, (n, s) in stream_rows.items():
+        bn, bs = batch_rows[k]
+        assert n == bn, f"{k}: n_events {n} vs {bn}"
+        assert abs(s - bs) < 0.02, f"{k}: sum {s} vs {bs}"
+    assert len(stream_rows) > 50
+
+
 def test_multimodal_decode(spark):
     from pyspark.sql import functions as F2
 
