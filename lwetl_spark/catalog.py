@@ -87,3 +87,25 @@ def schema_info(spark: SparkSession, tables: dict[str, DataFrame]) -> DataFrame:
     return spark.createDataFrame(
         rows, "TABLE_NAME string, COLUMN_NAME string, DATA_TYPE string, NULLABLE boolean"
     )
+
+
+def engine_info(spark: SparkSession) -> DataFrame:
+    """Engine/driver metadata source (SURVEY S9): the reference's
+    `JdbcInfo` dumps driver version and property info
+    (lwetl/jdbc_info.py:7-99); here the engine IS Spark, so the analog is
+    the session's version, master, and the confs that shape execution."""
+    keys = (
+        "spark.master",
+        "spark.sql.shuffle.partitions",
+        "spark.sql.adaptive.enabled",
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.session.timeZone",
+        "spark.sql.execution.arrow.pyspark.enabled",
+    )
+    rows = [("spark.version", spark.version)]
+    for k in keys:
+        try:
+            rows.append((k, str(spark.conf.get(k))))
+        except Exception:
+            rows.append((k, None))
+    return spark.createDataFrame(rows, "PROPERTY string, VALUE string")

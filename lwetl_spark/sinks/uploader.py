@@ -32,6 +32,19 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
+class SqlExpression:
+    """U8: the reference's `NativeExpression` passes raw SQL as an insert/
+    update value (lwetl/uploader.py:64-70, 330-331).  Here the expression
+    is evaluated by Catalyst (`F.expr`) against the row being written, so
+    it may reference other columns of the target row."""
+
+    def __init__(self, sql: str):
+        self.sql = sql
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"SqlExpression({self.sql!r})"
+
+
 class WritePolicy(enum.Enum):
     PLAN = "plan"  # reference 'dryrun' (lwetl/uploader.py:22)
     STAGE = "stage"  # reference 'rollback' — the DEFAULT, writes discarded
@@ -129,7 +142,12 @@ class Uploader:
         for f in trg.schema.fields:
             if f.name in set_values:
                 v = set_values[f.name]
-                new = F.lit(None).cast(f.dataType) if v is None else F.lit(v).cast(f.dataType)
+                if isinstance(v, SqlExpression):  # U8: SET c = <raw SQL>
+                    new = F.expr(v.sql).cast(f.dataType)
+                elif v is None:
+                    new = F.lit(None).cast(f.dataType)
+                else:
+                    new = F.lit(v).cast(f.dataType)
                 cols.append(F.when(cond, new).otherwise(F.col(f.name)).alias(f.name))
             else:
                 cols.append(F.col(f.name))
@@ -180,10 +198,36 @@ class Uploader:
         if not self._buffer:
             return 0
         schema = self._target_schema()
-        rows = [tuple(r.get(f.name) for f in schema.fields) for r in self._buffer]
-        df = self.spark.createDataFrame(rows, schema)
+        plain = [
+            r for r in self._buffer if not any(isinstance(v, SqlExpression) for v in r.values())
+        ]
+        exprish = [
+            r for r in self._buffer if any(isinstance(v, SqlExpression) for v in r.values())
+        ]
         n = len(self._buffer)
         self._buffer = []
+        dfs = []
+        if plain:
+            rows = [tuple(r.get(f.name) for f in schema.fields) for r in plain]
+            dfs.append(self.spark.createDataFrame(rows, schema))
+        for r in exprish:  # U8 rows: literals first, then expressions so an
+            # expression may reference the row's other columns
+            base = self.spark.range(1).select(
+                *[
+                    F.lit(None if isinstance(r.get(f.name), SqlExpression) else r.get(f.name))
+                    .cast(f.dataType)
+                    .alias(f.name)
+                    for f in schema.fields
+                ]
+            )
+            for f in schema.fields:
+                v = r.get(f.name)
+                if isinstance(v, SqlExpression):
+                    base = base.withColumn(f.name, F.expr(v.sql).cast(f.dataType))
+            dfs.append(base)
+        df = dfs[0]
+        for d in dfs[1:]:
+            df = df.unionByName(d)
         self._write(df, mode="append")
         return n
 

@@ -75,3 +75,12 @@ def test_md5_readme_example(etl, spark):
     out = df.withColumn("HASH_VALUE", md5_row_hash(*[F.col(c) for c in df.columns]))
     row = out.take(1)[0]
     assert len(row["HASH_VALUE"]) == 32
+
+
+def test_engine_info(spark):
+    """S9: driver/engine metadata dump (reference JdbcInfo, jdbc_info.py:7-99)."""
+    from lwetl_spark.catalog import engine_info
+
+    rows = {r["PROPERTY"]: r["VALUE"] for r in engine_info(spark).collect()}
+    assert rows["spark.version"] == spark.version
+    assert rows["spark.sql.adaptive.enabled"] == "true"

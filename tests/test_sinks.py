@@ -164,3 +164,29 @@ def test_add_pk_column(spark):
     df = spark.createDataFrame([("b",), ("a",), ("c",)], "v string")
     out = add_pk_column(df, "ID", existing_max=10, order_by=["v"]).collect()
     assert {(r["v"], r["ID"]) for r in out} == {("a", 11), ("b", 12), ("c", 13)}
+
+
+def test_uploader_sql_expression_insert(spark, table_dir):
+    """U8: NativeExpression analog — raw SQL values evaluated by Catalyst,
+    may reference the row's other columns (lwetl/uploader.py:64-70)."""
+    from lwetl_spark.sinks.uploader import SqlExpression, Uploader, WritePolicy
+
+    up = Uploader(spark, table_dir, policy=WritePolicy.COMMIT)
+    up.insert({"n_nationkey": 200, "n_name": SqlExpression("upper('atlantis')"), "n_regionkey": 1})
+    up.insert({"n_nationkey": 201, "n_name": SqlExpression("concat('R', n_regionkey)"), "n_regionkey": 3})
+    up.insert({"n_nationkey": 202, "n_name": "PLAIN", "n_regionkey": 4})
+    assert up.commit() == 3
+    got = {r["n_nationkey"]: r["n_name"] for r in up.target().filter("n_nationkey >= 200").collect()}
+    assert got == {200: "ATLANTIS", 201: "R3", 202: "PLAIN"}
+
+
+def test_uploader_sql_expression_update(spark, table_dir):
+    from lwetl_spark.sinks.uploader import SqlExpression, Uploader, WritePolicy
+
+    up = Uploader(spark, table_dir, policy=WritePolicy.COMMIT)
+    n = up.update({"n_name": SqlExpression("concat(n_name, '_X')")}, {"n_regionkey": 1})
+    assert n > 0
+    updated = up.target().filter("n_regionkey = 1").collect()
+    assert all(r["n_name"].endswith("_X") for r in updated)
+    untouched = up.target().filter("n_regionkey = 0").collect()
+    assert all(not r["n_name"].endswith("_X") for r in untouched)
