@@ -1123,6 +1123,81 @@ def x_multimodal_stub(spark, sf_dir):
     return decode_binary_features(d)
 
 
+@register(
+    "x_corpus_pipeline",
+    r"""
+    WITH q AS (
+        SELECT doc_id, lang, text,
+               list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                           x -> x <> '') AS toks
+        FROM documents
+    ),
+    f AS (
+        SELECT doc_id, lang,
+               len(toks) AS n_tokens,
+               ROUND(list_sum(list_transform(toks, x -> length(x))) * 1.0
+                     / len(toks), 4) AS mtl,
+               md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS digest
+        FROM q WHERE len(toks) >= 10
+    ),
+    d AS (
+        SELECT digest, MIN(lang) AS lang, MAX(n_tokens) AS n_tokens,
+               MAX(mtl) AS mtl, COUNT(*) AS dup_count
+        FROM f GROUP BY digest
+    )
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(dup_count - 1) AS BIGINT) AS n_dups_removed,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+           ROUND(AVG(mtl), 4) AS avg_token_len
+    FROM d GROUP BY lang
+    """,
+)
+def x_corpus_pipeline(spark, sf_dir):
+    """End-to-end training-data cleaning pipeline in ONE Catalyst plan:
+    quality gate (≥10 tokens) → exact dedup on normalized-text digest →
+    per-language corpus stats.  The whole pipeline is two shuffles
+    (digest agg, lang agg); document text never shuffles — only
+    (digest, lang, 2 ints) survives the first exchange.  At 100 TB the
+    same plan holds: the digest agg is the only wide stage proportional
+    to corpus size."""
+    feats = quality_features("text")
+    scored = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.md5(F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))).alias("digest"),
+        feats["n_tokens"].alias("n_tokens"),
+        F.round(feats["mean_token_len"], 4).alias("mtl"),
+    )
+    deduped = (
+        scored.filter(F.col("n_tokens") >= 10)
+        .groupBy("digest")
+        .agg(
+            F.min("lang").alias("lang"),
+            F.max("n_tokens").alias("n_tokens"),
+            F.max("mtl").alias("mtl"),
+            F.count("*").alias("dup_count"),
+        )
+    )
+    return deduped.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("dup_count") - 1).alias("n_dups_removed"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        F.round(F.avg("mtl"), 4).alias("avg_token_len"),
+    )
+
+
+@register("a5_approx_distinct")  # rows-only: HLL estimates are engine-specific
+def a5_approx_distinct(spark, sf_dir):
+    """A5's 100 TB form: approx_count_distinct (HyperLogLog++, rsd 2%) —
+    sketches merge map-side, so the shuffle is one sketch per partition
+    instead of every distinct key.  Checked in pytest against the exact
+    count (±5%); rows-only for the driver (estimates are engine-specific)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders")
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     _load_etl_queries()
     return dict(QUERIES)

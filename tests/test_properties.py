@@ -9,6 +9,8 @@ import string
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
+from tests.conftest import SF_CORRECT
+
 from lwetl_spark.sinks.formatter import _sql_literal
 from lwetl_spark.sources.ldif import parse_ldif_text
 from lwetl_spark.sources.sqlscript import split_statements
@@ -67,3 +69,26 @@ def test_normalize_names_unique(spark, names):
     out = normalize_names(df)
     assert len(set(out.columns)) == len(out.columns)
     assert all(c == c.upper() and c.strip() for c in out.columns)
+
+
+def test_approx_distinct_within_tolerance(spark):
+    """a5_approx_distinct (HLL++, rsd 2%) must land within 5% of exact."""
+    from pyspark.sql import functions as F
+
+    from lwetl_spark.catalog import load_table
+    from lwetl_spark.queries import QUERIES
+
+    approx = {
+        r["l_returnflag"]: r["approx_orders"]
+        for r in QUERIES["a5_approx_distinct"](spark, SF_CORRECT).collect()
+    }
+    exact = {
+        r["l_returnflag"]: r["n"]
+        for r in load_table(spark, SF_CORRECT, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.countDistinct("l_orderkey").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k in exact:
+        assert abs(approx[k] - exact[k]) / exact[k] < 0.05, (k, approx[k], exact[k])
