@@ -1,0 +1,115 @@
+"""Named-source config registry (SURVEY §1.1 / §3.1 step 2).
+
+Reference: lwetl/config_parser.py — YAML configs merged from a lookup
+chain (module dir → /etc/lwetl → ~/.lwetl → cwd, later wins), defining
+named drivers/servers/logins plus string aliases; `Jdbc(login)` resolves
+a name through the alias chain to a connection.
+
+Spark form: a "connection" is a named data source — a parquet table
+directory (the common case), or a single file in any supported format.
+The YAML shape:
+
+    sources:
+      prod:   {path: /data/prod, format: parquet_dir}
+      events: {path: /data/ev.csv, format: csv, options: {delimiter: ","}}
+    alias:
+      default: prod
+
+No credentials exist (file-system permissions replace logins), so the
+reference's Fernet password encryption (C4, lwetl/security.py) has no
+analog in the data plane; the `test` connectivity probe survives as
+`probe()` (table count, like lwetl_security's table-count check).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: lookup chain, later entries override earlier (config_parser.py:53-60)
+DEFAULT_LOCATIONS = (
+    "/etc/lwetl_spark/config.yml",
+    "~/.lwetl_spark.yml",
+    "./lwetl_spark.yml",
+)
+
+
+def load_config(paths: list[str] | None = None) -> dict:
+    """Merge YAML configs along the lookup chain; later files override
+    earlier ones key-by-key within `sources` and `alias` (the reference
+    merges section-wise, config_parser.py:190-226)."""
+    import yaml
+
+    merged: dict = {"sources": {}, "alias": {}}
+    for p in paths if paths is not None else DEFAULT_LOCATIONS:
+        p = os.path.expanduser(p)
+        if not os.path.isfile(p):
+            continue
+        with open(p, encoding="utf-8") as fh:
+            doc = yaml.safe_load(fh) or {}
+        merged["sources"].update(doc.get("sources") or {})
+        merged["alias"].update(doc.get("alias") or {})
+    return merged
+
+
+class UnknownSourceError(KeyError):
+    """Reference parity: unknown service names raise a typed error
+    (tests/test.py:70-91)."""
+
+
+def resolve_source(cfg: dict, name: str) -> dict:
+    """Follow the alias chain to a source definition (cycle-safe, like
+    the reference's credential alias resolve, config_parser.py:86-146)."""
+    seen: set[str] = set()
+    while name in cfg.get("alias", {}):
+        if name in seen:
+            raise UnknownSourceError(f"alias cycle at {name!r}")
+        seen.add(name)
+        name = cfg["alias"][name]
+    src = cfg.get("sources", {}).get(name)
+    if src is None:
+        raise UnknownSourceError(name)
+    if "path" not in src:
+        raise UnknownSourceError(f"source {name!r} has no path")
+    return dict(src)
+
+
+def open_source(
+    spark: SparkSession, cfg: dict, name: str
+) -> dict[str, DataFrame] | DataFrame:
+    """Open a named source: a parquet directory registers every table as
+    a view (returns {table: DataFrame}); a single-file source returns one
+    DataFrame."""
+    src = resolve_source(cfg, name)
+    fmt = src.get("format", "parquet_dir")
+    opts = src.get("options") or {}
+    if fmt == "parquet_dir":
+        from lwetl_spark.catalog import register_tables
+
+        return register_tables(spark, src["path"])
+    if fmt == "parquet":
+        return spark.read.options(**opts).parquet(src["path"])
+    if fmt == "csv":
+        from lwetl_spark.sources.csv import csv_source
+
+        return csv_source(spark, src["path"], delimiter=opts.get("delimiter", "\t"))
+    if fmt == "ldif":
+        from lwetl_spark.sources.ldif import ldif_source
+
+        return ldif_source(spark, src["path"], separator=opts.get("separator", "|"))
+    if fmt == "xlsx":
+        from lwetl_spark.sources.xlsx import xlsx_source
+
+        return xlsx_source(spark, src["path"], sheet=opts.get("sheet"))
+    raise UnknownSourceError(f"source {name!r}: unknown format {fmt!r}")
+
+
+def probe(spark: SparkSession, cfg: dict, name: str) -> dict[str, int]:
+    """Connectivity probe (lwetl-security `test` command analog,
+    lwetl/programs/lwetl_security/main.py): open the source and count
+    tables/rows cheaply."""
+    out = open_source(spark, cfg, name)
+    if isinstance(out, dict):
+        return {t: df.count() for t, df in out.items()}
+    return {"rows": out.count()}

@@ -42,3 +42,47 @@ def test_cli_sql_format(spark):
          "SELECT r_name FROM region ORDER BY r_name"]
     )
     assert out.splitlines()[0] == "INSERT INTO R (r_name) VALUES ('AFRICA');"
+
+
+def test_cli_db_copy_plan_and_run(spark, tmp_path):
+    """C2 CLI: plan listing, staged default, activated copy."""
+    import os
+
+    from lwetl_spark.catalog import load_table
+    from lwetl_spark.cli_db_copy import main as copy_main
+
+    src = str(tmp_path / "src")
+    trg = str(tmp_path / "trg")
+    os.makedirs(src)
+    os.makedirs(trg)
+    load_table(spark, "/root/testdata/sf0.001", "region").write.parquet(
+        os.path.join(src, "region.parquet")
+    )
+    out = _run_main(copy_main, [src, trg, "-l"])
+    assert "region: src=5 trg=0 [missing]" in out
+    out = _run_main(copy_main, [src, trg, "--pk", "region=r_regionkey"])
+    assert "staged only" in out
+    assert not os.path.exists(os.path.join(trg, "region.parquet"))
+    out = _run_main(copy_main, [src, trg, "--pk", "region=r_regionkey", "-a"])
+    assert "region: inserted=5" in out
+    assert spark.read.parquet(os.path.join(trg, "region.parquet")).count() == 5
+
+
+def test_cli_cardinality_profile(spark):
+    from lwetl_spark.cli_cardinality import main as card_main
+
+    out = _run_main(card_main, ["-d", "/root/testdata/sf0.001", "nation"])
+    assert "n_nationkey" in out and "n_regionkey" in out
+    out = _run_main(card_main, ["-d", "/root/testdata/sf0.001", "nation", "--histogram", "n_regionkey"])
+    assert "N" in out.splitlines()[1]
+
+
+def _run_main(fn, argv):
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = fn(argv)
+    assert rc == 0
+    return buf.getvalue()

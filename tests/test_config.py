@@ -1,0 +1,74 @@
+"""Config registry tests (SURVEY §1.1 — lwetl/config_parser.py parity):
+merge order, alias chains, typed unknown-source errors, source opening."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture()
+def cfg_files(tmp_path):
+    a = tmp_path / "a.yml"
+    b = tmp_path / "b.yml"
+    a.write_text(
+        f"""
+sources:
+  smoke: {{path: {SF_SMOKE}, format: parquet_dir}}
+  other: {{path: /nonexistent, format: parquet_dir}}
+alias:
+  default: smoke
+  d2: default
+"""
+    )
+    b.write_text(
+        """
+sources:
+  other: {path: /still/nowhere, format: parquet_dir}
+alias:
+  loop_a: loop_b
+  loop_b: loop_a
+"""
+    )
+    return [str(a), str(b)]
+
+
+def test_merge_later_wins(cfg_files):
+    from lwetl_spark.config import load_config
+
+    cfg = load_config(cfg_files)
+    assert cfg["sources"]["other"]["path"] == "/still/nowhere"  # b overrides a
+    assert cfg["sources"]["smoke"]["path"] == SF_SMOKE  # a survives
+
+
+def test_alias_chain_and_errors(cfg_files):
+    from lwetl_spark.config import UnknownSourceError, load_config, resolve_source
+
+    cfg = load_config(cfg_files)
+    assert resolve_source(cfg, "d2")["path"] == SF_SMOKE  # d2 -> default -> smoke
+    with pytest.raises(UnknownSourceError):
+        resolve_source(cfg, "nope")
+    with pytest.raises(UnknownSourceError):
+        resolve_source(cfg, "loop_a")
+
+
+def test_open_source_and_probe(spark, cfg_files):
+    from lwetl_spark.config import load_config, open_source, probe
+
+    cfg = load_config(cfg_files)
+    tables = open_source(spark, cfg, "default")
+    assert "region" in tables and tables["region"].count() == 5
+    counts = probe(spark, cfg, "smoke")
+    assert counts["region"] == 5 and counts["nation"] == 25
+
+
+def test_open_csv_source(spark, tmp_path):
+    from lwetl_spark.config import load_config, open_source
+
+    csv = tmp_path / "t.csv"
+    csv.write_text("a,b\n1,x\n2,y\n")
+    cfgf = tmp_path / "c.yml"
+    cfgf.write_text(f"sources:\n  t: {{path: {csv}, format: csv, options: {{delimiter: ','}}}}\n")
+    df = open_source(spark, load_config([str(cfgf)]), "t")
+    assert df.count() == 2 and df.columns == ["A", "B"]  # normalized names
