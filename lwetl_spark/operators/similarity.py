@@ -63,8 +63,9 @@ def cosine_topk_pandas(
     import pandas as pd
 
     rows = df.select(id_col, vec_col).collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    order0 = np.argsort(np.array([r[0] for r in rows], dtype=np.int64), kind="stable")
+    ids = np.array([r[0] for r in rows], dtype=np.int64)[order0]  # cid-ascending
+    mat = np.array([r[1] for r in rows], dtype=np.float64)[order0]
     norms = np.linalg.norm(mat, axis=1)
     norms[norms == 0] = 1.0
     spark = df.sparkSession
@@ -74,26 +75,34 @@ def cosine_topk_pandas(
 
     def topk_batches(it):
         cids, cmat, cnorms = b_ids.value, b_mat.value, b_norms.value
+        n = len(cids)
         for pdf in it:
             q = np.array(list(pdf[vec_col]), dtype=np.float64)
+            qids = pdf[id_col].to_numpy(dtype=np.int64)
             qn = np.linalg.norm(q, axis=1)
             qn[qn == 0] = 1.0
             sims = (q @ cmat.T) / qn[:, None] / cnorms[None, :]
-            out_id, out_nb, out_cos, out_rank = [], [], [], []
-            for row_i, qid in enumerate(pdf[id_col].to_numpy()):
-                s = sims[row_i].copy()
-                self_mask = cids == qid
-                s[self_mask] = -np.inf
-                # deterministic: sort by (-cos, neighbor_id)
-                order = np.lexsort((cids, -np.round(s, 6)))
-                order = order[~np.isin(order, np.flatnonzero(self_mask))][:k]
-                for rank, j in enumerate(order, start=1):
-                    out_id.append(qid)
-                    out_nb.append(cids[j])
-                    out_cos.append(round(float(sims[row_i, j]), 6))
-                    out_rank.append(rank)
+            # fully vectorized deterministic top-k: one int64 sort key per
+            # pair = (-cos rounded to 6dp, candidate position).  Candidates
+            # are pre-sorted by id, so position order IS id order.
+            keys = (-np.rint(sims * 1e6).astype(np.int64)) * n + np.arange(n)[None, :]
+            self_pos = np.searchsorted(cids, qids)
+            is_self = (self_pos < n) & (cids[np.minimum(self_pos, n - 1)] == qids)
+            keys[np.flatnonzero(is_self), self_pos[is_self]] = np.iinfo(np.int64).max
+            kk = min(k, n - 1)
+            part = np.argpartition(keys, kk - 1, axis=1)[:, :kk]
+            part_keys = np.take_along_axis(keys, part, axis=1)
+            topk = np.take_along_axis(part, np.argsort(part_keys, axis=1), axis=1)
+            m = len(qids)
             yield pd.DataFrame(
-                {"id": out_id, "neighbor_id": out_nb, "cos": out_cos, "rank": out_rank}
+                {
+                    "id": np.repeat(qids, kk),
+                    "neighbor_id": cids[topk].ravel(),
+                    "cos": np.round(
+                        np.take_along_axis(sims, topk, axis=1).ravel(), 6
+                    ),
+                    "rank": np.tile(np.arange(1, kk + 1), m),
+                }
             )
 
     return df.select(id_col, vec_col).mapInPandas(

@@ -70,3 +70,30 @@ def test_running_total_single_shuffle(spark):
     within partitions — no extra shuffles."""
     plan = _plan(spark, "w1_running_total")
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_corpus_pipeline_two_narrow_shuffles(spark):
+    """x_corpus_pipeline: exactly the digest agg + lang agg exchanges, and
+    document text never enters a shuffle."""
+    plan = _plan(spark, "x_corpus_pipeline")
+    exchange_lines = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert len(exchange_lines) == 2, plan
+    assert all("text" not in l for l in exchange_lines)
+
+
+def test_salted_join_no_single_hot_partition(spark):
+    """salted_join joins on (key, _salt): the shuffle carries the salt so a
+    hot key spreads over `salt` reducers."""
+    from pyspark.sql import functions as F
+
+    from lwetl_spark.operators.skew import salted_join
+
+    big = spark.range(10_000).select(F.lit(1).alias("k"), F.col("id").alias("v"))
+    small = spark.range(5).select(F.col("id").alias("k"), F.lit("x").alias("name"))
+    plan = (
+        salted_join(big, small, "k", salt=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "_salt" in plan
