@@ -36,6 +36,7 @@ HEADLINE = [
     "x_json_extract",
     "x_tumbling_window",
     "x_sessionize",
+    "x_corpus_pipeline",
 ]
 
 

@@ -28,6 +28,7 @@ from lwetl_spark.catalog import load_table
 from lwetl_spark.functions.scalars import grouped_string_agg, md5_row_hash
 from lwetl_spark.functions.text import (
     LANG_PROFILES,
+    bpe_ish_token_count,
     fingerprint_md5,
     lang_id,
     quality_features,
@@ -1183,6 +1184,30 @@ def x_corpus_pipeline(spark, sf_dir):
         F.sum(F.col("dup_count") - 1).alias("n_dups_removed"),
         F.sum("n_tokens").alias("sum_tokens"),
         F.round(F.avg("mtl"), 4).alias("avg_token_len"),
+    )
+
+
+@register(
+    "x_bpe_tokens",
+    r"""
+    WITH q AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                           x -> x <> '') AS toks
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(COALESCE(list_sum(list_transform(
+               toks, x -> CAST(ceil(length(x) / 4.0) AS INT))), 0) AS INT)
+               AS n_subwords
+    FROM q
+    """,
+)
+def x_bpe_tokens(spark, sf_dir):
+    """BPE-ish subword count (≤4-char word-pieces) — the schedulable proxy
+    for tokenizer-based budget accounting; pure expression, no vocab."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", bpe_ish_token_count("text").alias("n_subwords")
     )
 
 

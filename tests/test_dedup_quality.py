@@ -1,0 +1,100 @@
+"""Semantic quality checks for the rows-only dedup operators: the driver
+only row-counts these, so pytest pins what the rows MEAN — planted
+near-duplicates must be found, unrelated docs must not pair, and reported
+similarities must match Python-computed ground truth."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def _mk_docs(spark):
+    """20 clearly-distinct base docs + 3 planted near-dup mutations."""
+    base = [
+        " ".join(f"w{i}_{j} tok{(i * 31 + j) % 97}" for j in range(40)) for i in range(20)
+    ]
+    docs = [(i, t) for i, t in enumerate(base)]
+    # near-dups: copy doc 0/1/2 and mutate one token near the end
+    for off, src in enumerate((0, 1, 2)):
+        words = base[src].split()
+        words[-3] = "MUTATED"
+        docs.append((100 + off, " ".join(words)))
+    return spark.createDataFrame(docs, "doc_id long, text string")
+
+
+def _true_jaccard(a: str, b: str, n: int = 3) -> float:
+    def sh(t):
+        toks = t.lower().split()
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    sa, sb = sh(a), sh(b)
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_minhash_finds_planted_near_dups(spark):
+    from lwetl_spark.operators.dedup import minhash_lsh_pairs
+
+    df = _mk_docs(spark)
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(df, threshold=0.5).collect()
+    }
+    assert (0, 100) in pairs and (1, 101) in pairs and (2, 102) in pairs
+    # no cross-pairs between distinct base docs
+    assert all(b - a >= 100 for a, b in pairs)
+    # reported jaccard equals true shingle-set jaccard (hashed sets are
+    # collision-free at this size)
+    texts = {r["doc_id"]: r["text"] for r in df.collect()}
+    for (a, b), j in pairs.items():
+        assert j == pytest.approx(_true_jaccard(texts[a], texts[b]), abs=1e-6)
+
+
+def test_ngram_jaccard_exact_values(spark):
+    from lwetl_spark.operators.dedup import ngram_jaccard_pairs
+
+    df = _mk_docs(spark)
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, shingle_n=3, threshold=0.5).collect()
+    }
+    assert set(pairs) == {(0, 100), (1, 101), (2, 102)}
+    texts = {r["doc_id"]: r["text"] for r in df.collect()}
+    for (a, b), j in pairs.items():
+        assert j == pytest.approx(_true_jaccard(texts[a], texts[b]), abs=1e-6)
+
+
+def test_simhash_buckets_near_dups_collide(spark):
+    from lwetl_spark.operators.dedup import simhash_buckets
+
+    df = _mk_docs(spark)
+    buckets = simhash_buckets(df).collect()
+    together = set()
+    for r in buckets:
+        ids = r["ids"]
+        for a in ids:
+            for b in ids:
+                if a < b:
+                    together.add((a, b))
+    # one-token mutations are Hamming-close → must share ≥1 band bucket
+    assert {(0, 100), (1, 101), (2, 102)} <= together
+
+
+def test_embedding_near_dups_threshold(spark):
+    import math
+
+    from lwetl_spark.operators.dedup import embedding_near_dups
+
+    vecs = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),  # near-dup of 1
+        (3, [0.0, 1.0, 0.0, 0.0]),  # orthogonal
+        (4, [0.0, 0.999, 0.01, 0.0]),  # near-dup of 3
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in embedding_near_dups(df, threshold=0.95).collect()
+    }
+    assert set(pairs) == {(1, 2), (3, 4)}
+    expected = (0.999) / math.sqrt(0.999**2 + 0.01**2)
+    assert pairs[(1, 2)] == pytest.approx(expected, abs=1e-6)

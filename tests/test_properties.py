@@ -92,3 +92,16 @@ def test_approx_distinct_within_tolerance(spark):
     assert set(approx) == set(exact)
     for k in exact:
         assert abs(approx[k] - exact[k]) / exact[k] < 0.05, (k, approx[k], exact[k])
+
+
+def test_lsh_ann_recall_floor(spark):
+    """x_ann_lsh: recall@5 vs the exact top-k must stay above 0.7 at the
+    default (4 planes, 12 tables) — guards against plane-correlation
+    regressions (correlated planes scored ~0.2)."""
+    from lwetl_spark.catalog import load_table
+    from lwetl_spark.operators.similarity import cosine_topk_pandas, lsh_ann_topk
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    exact = {(r["id"], r["neighbor_id"]) for r in cosine_topk_pandas(emb, k=5).collect()}
+    approx = {(r["id"], r["neighbor_id"]) for r in lsh_ann_topk(emb, k=5).collect()}
+    assert len(exact & approx) / len(exact) >= 0.7
