@@ -126,10 +126,13 @@ def minhash_lsh_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     # exact-Jaccard verification only on surviving candidate pairs —
-    # set ops run on the hashed shingles (64-bit collisions negligible)
-    pairs = cand.join(
-        sh.select(F.col("id").alias("id_a"), F.col("hsh").alias("sh_a")), "id_a"
-    ).join(sh.select(F.col("id").alias("id_b"), F.col("hsh").alias("sh_b")), "id_b")
+    # set ops run on the hashed shingles (64-bit collisions negligible).
+    # The shingle table grows with the corpus and must NEVER broadcast
+    # (Catalyst underestimates array columns and will try): hint it to
+    # the shuffle side explicitly.
+    sh_a = sh.select(F.col("id").alias("id_a"), F.col("hsh").alias("sh_a")).hint("shuffle_hash")
+    sh_b = sh.select(F.col("id").alias("id_b"), F.col("hsh").alias("sh_b")).hint("shuffle_hash")
+    pairs = cand.join(sh_a, "id_a").join(sh_b, "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     return (

@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""Scaling probe: run the training-data operators on 1x/4x/16x copies of
+the documents corpus and report wall time + throughput.  Copies are
+de-correlated (per-copy vowel rotation) so near-dup structure — and thus
+output size — stays proportional to corpus size, isolating the engine's
+scaling behavior from workload blow-up.
+
+Usage: python tools/scale_probe.py [sf_dir]   (default /root/testdata/sf0.1)
+Writes one JSON line per (operator, scale).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from itertools import permutations
+
+#: 24 distinct vowel permutations — every copy gets a unique rotation so
+#: no two copies are textually identical (output stays ~linear in scale)
+ROTS = ["".join(p) for p in permutations("aeiou")][:24]
+
+
+def scaled_docs(spark, sf_dir: str, scale: int):
+    from lwetl_spark.catalog import load_table
+
+    base = load_table(spark, sf_dir, "documents")
+    n = base.count()
+    parts = []
+    for i in range(scale):
+        parts.append(
+            base.select(
+                (F.col("doc_id") + i * 10_000_000).alias("doc_id"),
+                F.translate("text", "aeiou", ROTS[i % len(ROTS)]).alias("text"),
+                "lang",
+            )
+        )
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    return df, n * scale
+
+
+def main() -> None:
+    from lwetl_spark.operators.dedup import exact_dedup_normalized, minhash_lsh_pairs
+    from lwetl_spark.queries import QUERIES  # noqa: F401 (session warm path)
+    from lwetl_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = get_spark(app_name="scale_probe")
+
+    ops = {
+        "exact_dedup": lambda d: exact_dedup_normalized(d).count(),
+        "minhash_lsh": lambda d: minhash_lsh_pairs(d, threshold=0.5).count(),
+        "token_stats": lambda d: d.select(
+            F.size(F.split(F.lower(F.trim("text")), r"\s+")).alias("n")
+        )
+        .agg(F.sum("n"), F.avg("n"))
+        .collect(),
+    }
+    for op_name, fn in ops.items():
+        for scale in (1, 4, 16):
+            df, n_docs = scaled_docs(spark, sf_dir, scale)
+            df = df.persist()
+            df.count()  # materialize input outside the timing
+            t0 = time.time()
+            fn(df)
+            dt = time.time() - t0
+            df.unpersist()
+            # the dedup operators persist their signature tables (the
+            # at-scale contract is "write to storage"); between probe
+            # points we drop everything so runs don't compound
+            spark.catalog.clearCache()
+            print(
+                json.dumps(
+                    {
+                        "op": op_name,
+                        "scale": scale,
+                        "docs": n_docs,
+                        "sec": round(dt, 2),
+                        "docs_per_sec": int(n_docs / dt),
+                    }
+                )
+            )
+
+
+if __name__ == "__main__":
+    main()
