@@ -1,0 +1,70 @@
+"""Deterministic sampling & corpus mixing (training-data pipeline ops).
+
+`df.sample()` is seed- and partitioning-dependent — rerunning on a
+re-partitioned 100 TB corpus yields a different sample.  These operators
+hash a KEY instead: membership is a pure function of the row's key and
+the salt, so samples are reproducible across runs, clusters, engines
+(md5 is everywhere — the DuckDB oracle runs the same predicate), and
+stable under retries.  Sampling a changed corpus keeps the overlap:
+unchanged keys keep their verdict.
+
+- `deterministic_sample`: keep rows whose md5(key ‖ salt) bucket falls
+  below the fraction (16-bit bucket space → fraction granularity 1/65536).
+- `split_by_key`: disjoint + exhaustive train/holdout split on the same
+  hash — a row's split never changes when the corpus grows.
+- `mix_corpora`: weighted union of named sources, each deterministically
+  down-sampled — the "data mixture" step in front of tokenization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_BUCKETS = 65536  # 4 hex chars
+
+
+def _bucket(key_col: str, salt: str):
+    """16-bit bucket from md5(key ‖ salt) — portable across engines."""
+    h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
+    return F.conv(F.substring(h, 1, 4), 16, 10).cast("int")
+
+
+def deterministic_sample(
+    df: DataFrame, key_col: str, fraction: float, salt: str = ""
+) -> DataFrame:
+    """Keep ~`fraction` of rows, chosen by key hash (reproducible,
+    partitioning-independent).  The predicate is a pure row-local
+    expression — it pushes into the scan like any filter."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction {fraction} outside [0, 1]")
+    cut = int(fraction * _BUCKETS)
+    return df.filter(_bucket(key_col, salt) < cut)
+
+
+def split_by_key(
+    df: DataFrame, key_col: str, holdout_fraction: float, salt: str = "split"
+) -> tuple[DataFrame, DataFrame]:
+    """(train, holdout) — disjoint, exhaustive, and stable: a key keeps
+    its split assignment forever (new data lands proportionally)."""
+    cut = int(holdout_fraction * _BUCKETS)
+    b = _bucket(key_col, salt)
+    return df.filter(b >= cut), df.filter(b < cut)
+
+
+def mix_corpora(
+    parts: dict[str, tuple[DataFrame, float]],
+    key_col: str,
+    salt: str = "mix",
+) -> DataFrame:
+    """Weighted corpus mixture: each named source is deterministically
+    sampled to its fraction and tagged with `source_name`.  Columns are
+    unioned by name (missing columns → NULL)."""
+    out = None
+    for name, (df, fraction) in parts.items():
+        part = deterministic_sample(df, key_col, fraction, salt=f"{salt}:{name}")
+        part = part.withColumn("source_name", F.lit(name))
+        out = part if out is None else out.unionByName(part, allowMissingColumns=True)
+    if out is None:
+        raise ValueError("mix_corpora needs at least one part")
+    return out

@@ -1104,7 +1104,19 @@ def x_sessionize(spark, sf_dir):
     return out.withColumn("session_idx", F.col("session_idx").cast("long"))
 
 
-@register("x_multimodal_stub")  # rows-only: mapInPandas plumbing, stubbed decode
+@register(
+    "x_multimodal_stub",
+    """
+    SELECT doc_id,
+           'text/fake-image' AS mime,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           md5(text) AS digest,
+           list_transform([1, 9, 17, 25],
+               i -> ('0x' || substr(md5(text), i, 8))::BIGINT / 4294967296.0)
+               AS feat
+    FROM documents
+    """,
+)
 def x_multimodal_stub(spark, sf_dir):
     """Multimodal-column plumbing: documents.text packed as an opaque
     binary payload with typed metadata, then batch 'decoded' via
@@ -1209,6 +1221,46 @@ def x_bpe_tokens(spark, sf_dir):
     return _t(spark, sf_dir, "documents").select(
         "doc_id", bpe_ish_token_count("text").alias("n_subwords")
     )
+
+
+@register(
+    "x_det_sample",
+    """
+    SELECT doc_id, lang FROM documents
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT < 16384
+    """,
+)
+def x_det_sample(spark, sf_dir):
+    """Deterministic 25% sample by key hash — reproducible across runs,
+    partitionings and engines (the oracle runs the same predicate in
+    DuckDB), unlike seed-based df.sample()."""
+    from lwetl_spark.operators.sampling import deterministic_sample
+
+    return deterministic_sample(
+        _t(spark, sf_dir, "documents"), "doc_id", 0.25
+    ).select("doc_id", "lang")
+
+
+@register(
+    "x_train_split",
+    """
+    SELECT CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'split'), 1, 4))::INT
+                     < 6553 THEN 'holdout' ELSE 'train' END AS split,
+           lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY 1, 2
+    """,
+)
+def x_train_split(spark, sf_dir):
+    """Stable train/holdout split (10%) on the key hash: disjoint,
+    exhaustive, and a key keeps its assignment as the corpus grows."""
+    from lwetl_spark.operators.sampling import split_by_key
+
+    docs = _t(spark, sf_dir, "documents")
+    train, hold = split_by_key(docs, "doc_id", holdout_fraction=0.1)
+    tagged = train.withColumn("split", F.lit("train")).unionByName(
+        hold.withColumn("split", F.lit("holdout"))
+    )
+    return tagged.groupBy("split", "lang").agg(F.count("*").alias("n_docs"))
 
 
 @register("a5_approx_distinct")  # rows-only: HLL estimates are engine-specific

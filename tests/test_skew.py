@@ -66,3 +66,38 @@ def test_salted_topk_matches_plain(spark, skewed):
         skewed, group_col="k", order_col="v", k=5, tiebreak_col="row_id", salt=8
     ).select("k", "row_id", "rank")
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+# ---------------------------------------------------------------------------
+# deterministic sampling / mixing
+# ---------------------------------------------------------------------------
+
+
+def test_split_disjoint_exhaustive_stable(spark):
+    from pyspark.sql import functions as F
+
+    from lwetl_spark.operators.sampling import split_by_key
+
+    df = spark.range(10_000).select(F.col("id").alias("k"))
+    train, hold = split_by_key(df, "k", holdout_fraction=0.2)
+    n_t, n_h = train.count(), hold.count()
+    assert n_t + n_h == 10_000
+    assert abs(n_h / 10_000 - 0.2) < 0.02
+    # stability: a grown corpus keeps every old assignment
+    train2, _ = split_by_key(spark.range(20_000).select(F.col("id").alias("k")), "k", 0.2)
+    old_train = {r["k"] for r in train.collect()}
+    new_train = {r["k"] for r in train2.filter("k < 10000").collect()}
+    assert old_train == new_train
+
+
+def test_mix_corpora_proportions(spark):
+    from pyspark.sql import functions as F
+
+    from lwetl_spark.operators.sampling import mix_corpora
+
+    a = spark.range(20_000).select(F.col("id").alias("k"), F.lit("A").alias("payload"))
+    b = spark.range(20_000, 40_000).select(F.col("id").alias("k"), F.lit("B").alias("payload"))
+    mixed = mix_corpora({"web": (a, 0.5), "books": (b, 0.1)}, key_col="k")
+    counts = {r["source_name"]: r["n"] for r in mixed.groupBy("source_name").agg(F.count("*").alias("n")).collect()}
+    assert abs(counts["web"] / 20_000 - 0.5) < 0.03
+    assert abs(counts["books"] / 20_000 - 0.1) < 0.02
