@@ -97,3 +97,29 @@ def test_salted_join_no_single_hot_partition(spark):
         .toString()
     )
     assert "_salt" in plan
+
+
+def test_partition_pruning(spark, tmp_path):
+    """A filter on the partition column must prune at the scan
+    (PartitionFilters), not read-then-filter."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from lwetl_spark.catalog import load_table
+    from lwetl_spark.sinks.partitioned import read_partitioned, write_partitioned
+
+    p = str(tmp_path / "events_part")
+    ev = load_table(spark, SF_CORRECT, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    write_partitioned(ev, p, partition_by=["day"])
+    days = sorted(os.listdir(p))
+    assert sum(d.startswith("day=") for d in days) > 1  # really partitioned
+
+    back = read_partitioned(spark, p)
+    one_day = back.filter(F.col("day") == F.lit(ev.agg(F.min("day")).first()[0]))
+    plan = one_day._jdf.queryExecution().executedPlan().toString()
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    assert "PartitionFilters" in scan and "day" in scan.split("PartitionFilters")[-1]
+    assert one_day.count() > 0
