@@ -42,3 +42,32 @@ def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
     """Read back a partitioned table (partition columns reconstructed
     from directory names)."""
     return spark.read.parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    path: str,
+    bucket_by: list[str],
+    num_buckets: int = 32,
+    sort_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write a bucketed (hash-clustered) table registered in the session
+    catalog as an external table at `path`.
+
+    Bucketing pre-shuffles the table ON DISK: two tables bucketed on the
+    same key with the same bucket count join with ZERO exchanges (pinned
+    by tests/test_plans.py::test_bucketed_join_no_shuffle).  At 100 TB
+    this converts every recurring fact-fact join on the bucket key from
+    a full shuffle of both sides into a local zip of bucket files — the
+    single biggest cost lever for repeated pipelines.
+    """
+    writer = (
+        df.write.mode(mode)
+        .option("path", path)
+        .bucketBy(num_buckets, *bucket_by)
+    )
+    if sort_by:
+        writer = writer.sortBy(*sort_by)
+    writer.saveAsTable(table_name)

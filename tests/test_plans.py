@@ -123,3 +123,40 @@ def test_partition_pruning(spark, tmp_path):
     scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
     assert "PartitionFilters" in scan and "day" in scan.split("PartitionFilters")[-1]
     assert one_day.count() > 0
+
+
+def test_bucketed_join_no_shuffle(spark, tmp_path):
+    """Two tables bucketed on the join key must join without any
+    exchange — the co-located join that makes recurring 100 TB fact-fact
+    joins affordable."""
+    from pyspark.sql import functions as F
+
+    from lwetl_spark.catalog import load_table
+    from lwetl_spark.sinks.partitioned import write_bucketed
+
+    li = load_table(spark, SF_CORRECT, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    o = load_table(spark, SF_CORRECT, "orders").select("o_orderkey", "o_totalprice")
+    write_bucketed(li, "b_lineitem", str(tmp_path / "b_li"), ["l_orderkey"], 8)
+    write_bucketed(
+        o.withColumnRenamed("o_orderkey", "l_orderkey"),
+        "b_orders",
+        str(tmp_path / "b_o"),
+        ["l_orderkey"],
+        8,
+    )
+    try:
+        joined = (
+            spark.table("b_lineitem")
+            .hint("merge")  # forbid broadcast so the shuffle question is real
+            .join(spark.table("b_orders"), "l_orderkey")
+            .groupBy("l_orderkey")
+            .agg(F.sum("l_quantity").alias("q"))
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert joined.count() > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
