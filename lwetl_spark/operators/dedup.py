@@ -103,17 +103,19 @@ def minhash_lsh_pairs(
     sig = exploded.groupBy("id").agg(
         *[F.min(F.xxhash64("h", F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
     )
-    sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
     # band keys: multi-column xxhash64 over each band's slice of the
     # signature (no string concat); candidate join carries only
-    # (id, band_idx, band_hash) — never the shingles.
+    # (id, band_idx, band_hash) — never the shingles.  The BANDED table
+    # (3 longs per doc-band) is what persists — both sides of the
+    # self-join read it, the full signature computes exactly once and
+    # never caches.
     band_cols = [
         F.xxhash64(*[F.col(f"h{b * rows_per_band + j}") for j in range(rows_per_band)])
         for b in range(bands)
     ]
     banded = sig.select(
         "id", F.posexplode(F.array(*band_cols)).alias("band_idx", "band_hash")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     cand = (
         banded.alias("l")
         .join(
