@@ -93,6 +93,11 @@ def q1_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
+    # Measured choice: the "aggregate under the join" rewrite (pre-agg
+    # lineitem on (orderkey, flag), COUNT(*) instead of COUNT(DISTINCT))
+    # benches ~30% SLOWER here because the dimension joins broadcast and
+    # the fact side never shuffles for the join — the extra pre-agg
+    # shuffle costs more than the final agg's expand saves.
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
@@ -115,6 +120,27 @@ def q1_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 def s1_scan(spark, sf_dir):
     """Full table scan (S1; lwetl/jdbc.py:704-720)."""
     return _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+
+
+@register(
+    "s2_param_query",
+    """
+    SELECT s_suppkey, s_name, ROUND(s_acctbal, 2) AS s_acctbal
+    FROM supplier WHERE s_acctbal > 5000.0 AND s_nationkey <> 3
+    """,
+)
+def s2_param_query(spark, sf_dir):
+    """Parameterized query (S2; lwetl/jdbc.py:508-601): the reference
+    binds JDBC `?` params; Spark ≥3.4 binds named `:params` server-side —
+    same injection-safety, Catalyst still sees constants to push down."""
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("s2_supplier")
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name, ROUND(s_acctbal, 2) AS s_acctbal
+        FROM s2_supplier WHERE s_acctbal > :min_bal AND s_nationkey <> :skip_nation
+        """,
+        args={"min_bal": 5000.0, "skip_nation": 3},
+    )
 
 
 # ----------------------------------------------------------------------------
