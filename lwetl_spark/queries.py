@@ -1250,6 +1250,128 @@ def x_bpe_tokens(spark, sf_dir):
 
 
 @register(
+    "x_rollup",
+    """
+    SELECT COALESCE(c_mktsegment, '(all)') AS c_mktsegment,
+           COALESCE(o_orderpriority, '(all)') AS o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY ROLLUP (c_mktsegment, o_orderpriority)
+    """,
+)
+def x_rollup(spark, sf_dir):
+    """Hierarchical totals in one pass (ROLLUP) — subtotal rows computed
+    inside the same partial/final aggregation, no second scan.  NULL
+    grouping keys are labeled so the hash compare is unambiguous."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .rollup("c_mktsegment", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .select(
+            F.coalesce("c_mktsegment", F.lit("(all)")).alias("c_mktsegment"),
+            F.coalesce("o_orderpriority", F.lit("(all)")).alias("o_orderpriority"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+@register(
+    "x_median_stats",
+    """
+    SELECT c_mktsegment,
+           ROUND(MEDIAN(FLOOR(o_totalprice)), 1) AS median_price,
+           ROUND(MIN(o_totalprice), 2) AS min_price,
+           ROUND(MAX(o_totalprice), 2) AS max_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def x_median_stats(spark, sf_dir):
+    """Exact per-group median (F.median, exact since Spark 3.4) + extrema.
+    At 100 TB swap for approx_percentile(0.5) — the exact form sorts each
+    group's values; the approximate form merges t-digest sketches
+    map-side."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            # median over FLOORed ints: interpolated medians are k or k+.5,
+            # exactly representable — no cross-engine rounding boundary
+            F.round(F.median(F.floor("o_totalprice")), 1).alias("median_price"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+    )
+
+
+@register(
+    "w2_lag_delta",
+    """
+    SELECT user_id, ts,
+           COALESCE(ROUND(EXTRACT(EPOCH FROM ts - LAG(ts) OVER w), 1), -1.0) AS gap_s,
+           COALESCE(LEAD(event_type) OVER w, '(end)') AS next_event
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_type)
+    """,
+)
+def w2_lag_delta(spark, sf_dir):
+    """lag/lead over the per-user timeline: inter-event gap + next event.
+    Same single (user_id) shuffle as w1 — both window functions share the
+    frame."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_type")
+    return ev.select(
+        "user_id",
+        "ts",
+        F.coalesce(
+            F.round(
+                F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w), 1
+            ),
+            F.lit(-1.0),
+        ).alias("gap_s"),
+        F.coalesce(F.lead("event_type").over(w), F.lit("(end)")).alias("next_event"),
+    )
+
+
+@register(
+    "o8_set_ops",
+    """
+    WITH hi AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000),
+         seg AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+    SELECT 'union' AS op, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT c_custkey FROM hi UNION SELECT c_custkey FROM seg)
+    UNION ALL
+    SELECT 'intersect', CAST(COUNT(*) AS BIGINT)
+    FROM (SELECT c_custkey FROM hi INTERSECT SELECT c_custkey FROM seg)
+    UNION ALL
+    SELECT 'except', CAST(COUNT(*) AS BIGINT)
+    FROM (SELECT c_custkey FROM hi EXCEPT SELECT c_custkey FROM seg)
+    """,
+)
+def o8_set_ops(spark, sf_dir):
+    """UNION / INTERSECT / EXCEPT — the set algebra the engine adds over
+    the reference's client-side set arithmetic (db_copy/main.py:362-363)."""
+    c = _t(spark, sf_dir, "customer")
+    hi = c.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    seg = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    counts = [
+        ("union", hi.union(seg).distinct().count()),
+        ("intersect", hi.intersect(seg).count()),
+        ("except", hi.exceptAll(seg).distinct().count()),
+    ]
+    return spark.createDataFrame(counts, "op string, n long")
+
+
+@register(
     "x_det_sample",
     """
     SELECT doc_id, lang FROM documents

@@ -86,9 +86,14 @@ def normalize_names(df: DataFrame, upper: bool = True) -> DataFrame:
         if not name:
             name = f"C{i}"
         if name in seen:
-            seen[name] += 1
-            name = f"{name}{seen[name]}"
-        seen.setdefault(name, 0)
+            # bump the suffix until free — a suffixed name can itself
+            # collide with an explicit column (e.g. ['c', '', 'c'] must
+            # not produce C1 twice)
+            base = name
+            while name in seen:
+                seen[base] = seen.get(base, 0) + 1
+                name = f"{base}{seen[base]}"
+        seen[name] = 0
         new.append(name)
     return df.toDF(*new)
 
