@@ -104,28 +104,39 @@ def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
     return F.array(*sig)
 
 
-def simhash64_df(df, text_col: str = "text", id_col: str = "doc_id"):
-    """64-bit SimHash per document → DataFrame(id_col, simhash: long).
+def simhash64_df(
+    df, text_col: str = "text", id_col: str = "doc_id", hash_family: str = "xxhash64"
+):
+    """SimHash per document → DataFrame(id_col, simhash: long).
 
-    Per-bit majority vote over xxhash64(token): bit b of the result is 1
+    Per-bit majority vote over hash(token): bit b of the result is 1
     iff Σ over tokens of ±1 (per that token's bit b) is positive.
-    Shaped as explode → 64 conditional-sum aggregates → bit reassembly:
+    Shaped as explode → N conditional-sum aggregates → bit reassembly:
     partial (map-side) aggregation carries the whole vote, so the
-    shuffle is 64 longs per document regardless of document size.
+    shuffle is N longs per document regardless of document size.
     (A fold-over-bits lambda is not expressible: shiftright's bit count
-    must be a literal — hence the Python-side loop over 64 bits.)
+    must be a literal — hence the Python-side loop over the bits.)
+
+    hash_family: "xxhash64" (default hot path, 64 bits, JVM-native) or
+    "md5" (60 bits from the leading 15 hex chars — reproducible in any
+    engine with md5; used by the oracle-checked x_simhash_portable).
     """
     tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
-    h = F.xxhash64("tok")
+    if hash_family == "md5":
+        bits = 60
+        h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+    else:
+        bits = 64
+        h = F.xxhash64("tok")
     votes = [
         F.sum(
             F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"b{b}")
-        for b in range(64)
+        for b in range(bits)
     ]
     counters = tok.groupBy(id_col).agg(*votes)
     sim = F.lit(0).cast("long")
-    for b in range(64):
+    for b in range(bits):
         sim = sim.bitwiseOR(
             F.when(F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
                 F.lit(0).cast("long")

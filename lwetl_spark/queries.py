@@ -909,6 +909,36 @@ def x_dedup_simhash(spark, sf_dir):
     return simhash_buckets(_t(spark, sf_dir, "documents"))
 
 
+@register(
+    "x_simhash_portable",
+    r"""
+    WITH tok AS (
+        SELECT doc_id, unnest(list_filter(
+            string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) AS tok
+        FROM documents
+    ),
+    h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tok),
+    v AS (
+        SELECT doc_id, b, SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+        FROM h, generate_series(0, 59) AS t(b)
+        GROUP BY doc_id, b
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN vote > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT)
+               AS simhash
+    FROM v GROUP BY doc_id
+    """,
+)
+def x_simhash_portable(spark, sf_dir):
+    """Bit-exact cross-engine SimHash (md5 hash family, 60 bits): every
+    one of the 60 majority votes per document must agree with DuckDB's —
+    the strongest portability check in the catalog.  The xxhash64 family
+    (x_dedup_simhash) stays the hot path."""
+    from lwetl_spark.functions.text import simhash64_df
+
+    return simhash64_df(_t(spark, sf_dir, "documents"), hash_family="md5")
+
+
 _COS_CTE = """
     WITH e AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
