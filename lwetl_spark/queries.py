@@ -1280,6 +1280,62 @@ def x_bpe_tokens(spark, sf_dir):
 
 
 @register(
+    "c6_dimension_sync",
+    """
+    WITH dim_new AS (
+        SELECT c_custkey,
+               array_to_string(list_sort(list_distinct(list(o_orderpriority))), '|') AS prios
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c_custkey
+    ),
+    dim_old AS (
+        SELECT c_custkey,
+               array_to_string(list_sort(list_distinct(list(o_orderpriority))), '|') AS prios
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE o.o_orderkey % 2 = 0
+        GROUP BY c_custkey
+    )
+    SELECT CASE WHEN o.c_custkey IS NULL THEN 'insert'
+                WHEN n.c_custkey IS NULL THEN 'delete'
+                WHEN n.prios <> o.prios THEN 'update'
+                ELSE 'unchanged' END AS action,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM dim_new n FULL OUTER JOIN dim_old o ON n.c_custkey = o.c_custkey
+    GROUP BY 1
+    """,
+)
+def c6_dimension_sync(spark, sf_dir):
+    """C6 (examples/usernames.py, 343 lines → one plan): incremental
+    dimension build with diff-based insert/update/delete classification.
+    The 'stored state' is the dimension computed from an older snapshot
+    (even order keys); the full-outer diff classifies each customer the
+    way the reference's row loop does — batch lookup join (J8) + grouped
+    string agg (A8) + upsert diff in a single Catalyst plan."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+
+    def dim(odf):
+        return (
+            odf.join(F.broadcast(c), odf.o_custkey == c.c_custkey)
+            .groupBy("c_custkey")
+            .agg(grouped_string_agg("o_orderpriority").alias("prios"))
+        )
+
+    new = dim(o).select(F.col("c_custkey").alias("nk"), F.col("prios").alias("np"))
+    old = dim(o.filter(F.col("o_orderkey") % 2 == 0)).select(
+        F.col("c_custkey").alias("ok"), F.col("prios").alias("op")
+    )
+    diff = new.join(old, new.nk == old.ok, "full_outer").select(
+        F.when(F.col("ok").isNull(), "insert")
+        .when(F.col("nk").isNull(), "delete")
+        .when(F.col("np") != F.col("op"), "update")
+        .otherwise("unchanged")
+        .alias("action")
+    )
+    return diff.groupBy("action").agg(F.count("*").alias("n"))
+
+
+@register(
     "x_rollup",
     """
     SELECT COALESCE(c_mktsegment, '(all)') AS c_mktsegment,
