@@ -47,6 +47,27 @@ def scaled_docs(spark, sf_dir: str, scale: int):
     return df, n * scale
 
 
+def _corpus_pipeline(d):
+    """quality gate → digest dedup → per-lang stats (x_corpus_pipeline shape)."""
+    from lwetl_spark.functions.text import quality_features
+
+    feats = quality_features("text")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        F.md5(F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))).alias("digest"),
+        feats["n_tokens"].alias("n_tokens"),
+    )
+    return (
+        scored.filter(F.col("n_tokens") >= 10)
+        .groupBy("digest")
+        .agg(F.min("lang").alias("lang"), F.max("n_tokens").alias("n_tokens"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("sum_tokens"))
+        .collect()
+    )
+
+
 def main() -> None:
     from lwetl_spark.operators.dedup import exact_dedup_normalized, minhash_lsh_pairs
     from lwetl_spark.queries import QUERIES  # noqa: F401 (session warm path)
@@ -63,6 +84,7 @@ def main() -> None:
         )
         .agg(F.sum("n"), F.avg("n"))
         .collect(),
+        "corpus_pipeline": _corpus_pipeline,
     }
     for op_name, fn in ops.items():
         for scale in (1, 4, 16):
