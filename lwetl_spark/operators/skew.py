@@ -43,8 +43,11 @@ def salted_join(
 
     Equivalent to ``big.join(small, on, how)`` for inner/left joins.
     The small side is shuffled `salt`× (it is small); the big side's hot
-    keys fan out over `salt` reducers.
+    keys fan out over `salt` reducers.  Right/full joins are rejected:
+    the replicated small side would null-extend once per salt value.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(f"salted_join supports inner/left joins, not {how!r}")
     keys = [on] if isinstance(on, str) else list(on)
     big_s = big.withColumn("_salt", _salt_col(big, salt, exclude=keys))
     small_s = small.withColumn(

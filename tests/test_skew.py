@@ -101,3 +101,13 @@ def test_mix_corpora_proportions(spark):
     counts = {r["source_name"]: r["n"] for r in mixed.groupBy("source_name").agg(F.count("*").alias("n")).collect()}
     assert abs(counts["web"] / 20_000 - 0.5) < 0.03
     assert abs(counts["books"] / 20_000 - 0.1) < 0.02
+
+
+def test_salted_join_rejects_right_full(spark, skewed, dim):
+    import pytest as _pytest
+
+    from lwetl_spark.operators.skew import salted_join
+
+    for how in ("right", "full", "full_outer"):
+        with _pytest.raises(ValueError):
+            salted_join(skewed, dim, "k", how=how)
