@@ -110,6 +110,91 @@ def cosine_topk_pandas(
     )
 
 
+def ivf_topk(
+    df: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_centroids: int = 16,
+    nprobe: int = 6,
+    train_sample: int = 10_000,
+    iters: int = 8,
+) -> DataFrame:
+    """Approximate top-k via IVF (inverted-file) cells.
+
+    Coarse quantizer: deterministic spherical k-means (seeded init, Lloyd
+    iterations on L2-normalized vectors) trained driver-side on a bounded
+    sample — at 100 TB you train on ~10⁵ sampled vectors and the rest of
+    the pipeline is unchanged.  Every vector lands in its nearest cell;
+    each query probes its `nprobe` nearest cells; exact cosine re-rank
+    runs inside the probed cells only, so compute per query is
+    |corpus|·nprobe/num_centroids pairs instead of |corpus|.
+    """
+    import numpy as np
+
+    rows = df.select(id_col, vec_col).limit(train_sample).collect()
+    X = np.array([r[1] for r in rows], dtype=np.float64)
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1), 1e-12)[:, None]
+    rs = np.random.RandomState(7)
+    C = Xn[rs.choice(len(Xn), size=min(num_centroids, len(Xn)), replace=False)]
+    for _ in range(iters):
+        assign = (Xn @ C.T).argmax(axis=1)  # cosine on normalized = dot
+        for j in range(len(C)):
+            members = Xn[assign == j]
+            if len(members):
+                m = members.mean(axis=0)
+                C[j] = m / max(np.linalg.norm(m), 1e-12)
+    spark = df.sparkSession
+    b_C = spark.sparkContext.broadcast(C)
+    n_cells = len(C)
+
+    def assign_cells(probe_n):
+        def gen(it):
+            import numpy as np  # noqa: F811 — pickled by value for workers
+            import pandas as pd
+
+            cents = b_C.value
+            for pdf in it:
+                v = np.array(list(pdf["v"]), dtype=np.float64)
+                vn = v / np.maximum(np.linalg.norm(v, axis=1), 1e-12)[:, None]
+                sims = vn @ cents.T
+                top = np.argsort(-sims, axis=1, kind="stable")[:, :probe_n]
+                m = len(pdf)
+                yield pd.DataFrame(
+                    {
+                        "id": np.repeat(pdf["id"].to_numpy(), probe_n),
+                        "cell": top.ravel().astype("int32"),
+                    }
+                )
+
+        return gen
+
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    data_cells = base.mapInPandas(assign_cells(1), schema="id long, cell int")
+    probe_cells = base.mapInPandas(
+        assign_cells(min(nprobe, n_cells)), schema="id long, cell int"
+    )
+    vecs = df.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("cv"))
+    cand = (
+        probe_cells.alias("q")
+        .join(data_cells.alias("d"), "cell")
+        .select(F.col("q.id").alias("id"), F.col("d.id").alias("neighbor_id"))
+        .filter(F.col("id") != F.col("neighbor_id"))
+        .dropDuplicates(["id", "neighbor_id"])
+    )
+    scored = (
+        cand.join(base.withColumnRenamed("id", "qid"), cand.id == F.col("qid"))
+        .join(vecs, cand.neighbor_id == vecs.nid)
+        .withColumn("cos", F.round(cosine_similarity("v", "cv"), 6))
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("id", "neighbor_id", "cos", "rank")
+    )
+
+
 def lsh_ann_topk(
     df: DataFrame,
     k: int = 5,

@@ -993,6 +993,15 @@ def x_ann_lsh(spark, sf_dir):
     return lsh_ann_topk(_t(spark, sf_dir, "embeddings"), k=5)
 
 
+@register("x_ann_ivf")  # rows-only: k-means quantizer not SQL-portable
+def x_ann_ivf(spark, sf_dir):
+    """Approximate NN via IVF cells (deterministic spherical k-means
+    coarse quantizer, nprobe probing, exact re-rank in-cell)."""
+    from lwetl_spark.operators.similarity import ivf_topk
+
+    return ivf_topk(_t(spark, sf_dir, "embeddings"), k=5)
+
+
 @register(
     "x_token_count",
     """

@@ -105,3 +105,15 @@ def test_lsh_ann_recall_floor(spark):
     exact = {(r["id"], r["neighbor_id"]) for r in cosine_topk_pandas(emb, k=5).collect()}
     approx = {(r["id"], r["neighbor_id"]) for r in lsh_ann_topk(emb, k=5).collect()}
     assert len(exact & approx) / len(exact) >= 0.7
+
+
+def test_ivf_ann_recall_floor(spark):
+    """x_ann_ivf: recall@5 vs exact must stay above 0.65 at the default
+    (16 centroids, nprobe 6 — probing ~37% of the corpus)."""
+    from lwetl_spark.catalog import load_table
+    from lwetl_spark.operators.similarity import cosine_topk_pandas, ivf_topk
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    exact = {(r["id"], r["neighbor_id"]) for r in cosine_topk_pandas(emb, k=5).collect()}
+    approx = {(r["id"], r["neighbor_id"]) for r in ivf_topk(emb, k=5).collect()}
+    assert len(exact & approx) / len(exact) >= 0.65
