@@ -1,0 +1,143 @@
+"""Temporal / range join operators (SURVEY §2.3 "not present" gaps, NEW).
+
+The reference emits only equi/theta joins (lwetl/queries.py:23-91) and has
+no time-series joins at all.  These two close the gap Spark itself leaves
+open — neither as-of nor interval joins exist as built-in DataFrame ops —
+using *compositions of existing operators* so Catalyst/AQE still own the
+physical plan (SURVEY §2 custom-operator rule (a): composition before UDF).
+
+- `asof_join`: the classic "most recent fact at or before each probe time"
+  join.  Implemented as union → single (key)-partitioned window →
+  last(ignorenulls) — ONE shuffle on the join key, no point-vs-fact cross
+  product, no per-key pandas.  This is the optimal distributed as-of
+  algorithm: at 100 TB both sides shuffle once on the key and each
+  partition does a linear merge (the in-partition sort is spillable).
+  A hot key serializes its window — pre-aggregate the right side per
+  (key, ts) (cheap, map-side combinable) and salt the left if a single
+  key exceeds one executor's slice.
+
+- `range_join_banded`: point-in-interval join without the O(n·m) cross
+  join: quantize both sides to fixed-width bands, equi-join on the band
+  id, then apply the exact residual predicate.  Each interval lands in
+  ceil(width/band)+1 bands, so candidate pairs stay ~|matches| when
+  band_width ≈ typical interval width.  The band join is an ordinary
+  equi-join: broadcast when the interval side is small, shuffle-hash
+  when both sides are large — Catalyst decides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    how: str = "inner",
+    tolerance_seconds: float | None = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Backward as-of join: for each left row, attach the right row with
+    the greatest ``right_ts <= left_ts`` within the same key group
+    (ties at equal ts match, like DuckDB/pandas ``ASOF``).
+
+    Right rows must be unique per (key, right_ts) — pre-aggregate the
+    right side if not, or the matched row is engine-dependent.
+
+    ``how``: 'inner' drops unmatched left rows; 'left' keeps them with
+    nulls.  ``tolerance_seconds`` additionally voids matches older than
+    the tolerance.  Right payload columns keep their names unless they
+    collide with a left column, then get ``suffix``.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"asof_join supports inner/left, got {how!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+    l_payload = [c for c in left.columns if c not in keys]
+    r_payload = [c for c in right.columns if c not in keys and c != right_ts]
+
+    lstruct = F.struct(*[F.col(c) for c in l_payload])
+    rstruct = F.struct(F.col(right_ts).alias("__rts"), *[F.col(c) for c in r_payload])
+    ltype = left.select(lstruct.alias("s")).schema["s"].dataType.simpleString()
+    rtype = right.select(rstruct.alias("s")).schema["s"].dataType.simpleString()
+
+    l2 = left.select(
+        *keys,
+        F.col(left_ts).alias("__ord"),
+        F.lit(1).alias("__side"),
+        lstruct.alias("__l"),
+        F.lit(None).cast(rtype).alias("__r"),
+    )
+    r2 = right.select(
+        *keys,
+        F.col(right_ts).alias("__ord"),
+        F.lit(0).alias("__side"),
+        F.lit(None).cast(ltype).alias("__l"),
+        rstruct.alias("__r"),
+    )
+    # (ts, side) order puts a right row before a left row at the same ts,
+    # so last(..., ignorenulls) implements ">= with ties matching".
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("__ord", "__side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    m = (
+        l2.unionByName(r2)
+        .withColumn("__m", F.last("__r", ignorenulls=True).over(w))
+        .filter(F.col("__side") == 1)
+    )
+    if tolerance_seconds is not None:
+        in_tol = (
+            F.col("__ord").cast("double") - F.col("__m.__rts").cast("double")
+        ) <= float(tolerance_seconds)
+        m = m.withColumn("__m", F.when(in_tol, F.col("__m")))
+    if how == "inner":
+        m = m.filter(F.col("__m").isNotNull())
+
+    def _rname(c: str) -> str:
+        return c + suffix if c in left.columns or c in keys else c
+
+    out = [
+        *[F.col(k) for k in keys],
+        *[F.col(f"__l.{c}").alias(c) for c in l_payload],
+        F.col("__m.__rts").alias(_rname(right_ts)),
+        *[F.col(f"__m.{c}").alias(_rname(c)) for c in r_payload],
+    ]
+    return m.select(*out)
+
+
+def range_join_banded(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    band_width: float,
+    closed: str = "left",
+) -> DataFrame:
+    """Inner join of points to every interval containing them
+    (``lo <= p < hi`` for closed='left', ``lo <= p <= hi`` for 'both'),
+    as band-equi-join + exact residual filter.  Overlapping intervals
+    yield one output row per containing interval.
+    """
+    if band_width <= 0:
+        raise ValueError("band_width must be positive")
+
+    def band(c: Column) -> Column:
+        return F.floor(c / F.lit(float(band_width))).cast("long")
+
+    p = points.withColumn("__band", band(F.col(point_col)))
+    iv = intervals.withColumn(
+        "__band", F.explode(F.sequence(band(F.col(lo_col)), band(F.col(hi_col))))
+    )
+    residual = F.col(point_col) >= F.col(lo_col)
+    residual &= (
+        F.col(point_col) <= F.col(hi_col)
+        if closed == "both"
+        else F.col(point_col) < F.col(hi_col)
+    )
+    return p.join(iv, on="__band", how="inner").filter(residual).drop("__band")

@@ -52,6 +52,35 @@ def split_by_key(
     return df.filter(b >= cut), df.filter(b < cut)
 
 
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic sample: each stratum keeps its own
+    fraction, chosen by the same key hash (so a row's verdict is stable
+    and the per-stratum samples are NESTED across fractions — raising a
+    stratum's rate only adds rows).  The predicate is one CASE + filter:
+    row-local, pushdown-friendly, no shuffle."""
+    for name, frac in fractions.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction {frac} for stratum {name!r} outside [0, 1]")
+    cut = None
+    for name, frac in fractions.items():
+        cond = F.col(strata_col) == name
+        c = int(frac * _BUCKETS)
+        cut = F.when(cond, c) if cut is None else cut.when(cond, c)
+    cut = (
+        F.lit(int(default_fraction * _BUCKETS))
+        if cut is None
+        else cut.otherwise(int(default_fraction * _BUCKETS))
+    )
+    return df.filter(_bucket(key_col, salt) < cut)
+
+
 def mix_corpora(
     parts: dict[str, tuple[DataFrame, float]],
     key_col: str,

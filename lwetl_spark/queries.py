@@ -1518,6 +1518,249 @@ def a5_approx_distinct(spark, sf_dir):
     )
 
 
+@register(
+    "x_asof_join",
+    """
+    WITH l AS (
+        SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+    ),
+    r AS (
+        SELECT user_id, ts, ROUND(SUM(value), 2) AS purchase_value
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    )
+    SELECT l.user_id, l.event_id, l.ts AS click_ts,
+           r.ts AS purchase_ts, r.purchase_value,
+           ROUND(EXTRACT(EPOCH FROM l.ts - r.ts), 1) AS lag_s
+    FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def x_asof_join(spark, sf_dir):
+    """As-of join: each click matched to the user's most recent prior (or
+    simultaneous) purchase — union + one keyed window, a single shuffle
+    on user_id (operators/joins.asof_join; oracle is DuckDB's native
+    ASOF JOIN, so the matching semantics are checked engine-vs-engine)."""
+    from lwetl_spark.operators.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "event_id", "ts")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.sum("value"), 2).alias("purchase_value"))
+    )
+    j = asof_join(clicks, purchases, on="user_id", how="inner")
+    return j.select(
+        "user_id",
+        "event_id",
+        F.col("ts").alias("click_ts"),
+        F.col("ts_r").alias("purchase_ts"),
+        "purchase_value",
+        F.round(
+            F.col("ts").cast("double") - F.col("ts_r").cast("double"), 1
+        ).alias("lag_s"),
+    )
+
+
+@register(
+    "x_range_join",
+    """
+    WITH iv AS (
+        SELECT n_nationkey, n_name,
+               n_nationkey * 15.0 AS lo, n_nationkey * 15.0 + 25.0 AS hi
+        FROM nation
+    )
+    SELECT iv.n_nationkey, iv.n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(e.value), 2) AS sum_value
+    FROM events e JOIN iv ON e.value >= iv.lo AND e.value < iv.hi
+    GROUP BY iv.n_nationkey, iv.n_name
+    """,
+)
+def x_range_join(spark, sf_dir):
+    """Point-in-interval join (overlapping value bands derived from
+    nation) via band-quantized equi-join + residual filter — no cross
+    product; the oracle runs the naive theta join in DuckDB."""
+    from lwetl_spark.operators.joins import range_join_banded
+
+    ev = _t(spark, sf_dir, "events").select("value")
+    iv = _t(spark, sf_dir, "nation").select(
+        "n_nationkey",
+        "n_name",
+        (F.col("n_nationkey") * 15.0).alias("lo"),
+        (F.col("n_nationkey") * 15.0 + 25.0).alias("hi"),
+    )
+    j = range_join_banded(ev, iv, "value", "lo", "hi", band_width=25.0)
+    return j.groupBy("n_nationkey", "n_name").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+@register(
+    "x_minhash_portable",
+    r"""
+    WITH tok AS (
+        SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                   x -> x <> '') AS t
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        FROM tok WHERE len(t) >= 3
+    )
+    SELECT doc_id,
+           MIN(('0x' || substr(md5('0:' || s), 1, 15))::BIGINT) AS h0,
+           MIN(('0x' || substr(md5('1:' || s), 1, 15))::BIGINT) AS h1,
+           MIN(('0x' || substr(md5('2:' || s), 1, 15))::BIGINT) AS h2,
+           MIN(('0x' || substr(md5('3:' || s), 1, 15))::BIGINT) AS h3,
+           MIN(('0x' || substr(md5('4:' || s), 1, 15))::BIGINT) AS h4,
+           MIN(('0x' || substr(md5('5:' || s), 1, 15))::BIGINT) AS h5,
+           MIN(('0x' || substr(md5('6:' || s), 1, 15))::BIGINT) AS h6,
+           MIN(('0x' || substr(md5('7:' || s), 1, 15))::BIGINT) AS h7
+    FROM sh GROUP BY doc_id
+    """,
+)
+def x_minhash_portable(spark, sf_dir):
+    """Bit-exact cross-engine MinHash signature (md5 hash family, 8
+    permutations over 3-word shingles): every signature slot must equal
+    DuckDB's MIN over the same shingle set.  Companion to
+    x_simhash_portable; the xxhash64 32-perm family (x_dedup_minhash)
+    stays the hot path."""
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.expr(r"filter(split(lower(trim(text)), '\\s+'), x -> x <> '')").alias("t"),
+    ).filter(F.size("t") >= 3)
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(0, size(t) - 3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))")
+        ).alias("s"),
+    )
+    aggs = [
+        F.min(
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{i}:"), F.col("s"))), 1, 15), 16, 10
+            ).cast("long")
+        ).alias(f"h{i}")
+        for i in range(8)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+@register(
+    "x_cube",
+    """
+    SELECT COALESCE(l_returnflag, '(all)') AS l_returnflag,
+           COALESCE(l_linestatus, '(all)') AS l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           ROUND(SUM(l_extendedprice), 2) AS total_price
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def x_cube(spark, sf_dir):
+    """CUBE: all 2^2 grouping combinations in one partial+final
+    aggregation pass (completes the ROLLUP family, x_rollup)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("(all)")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("(all)")).alias("l_linestatus"),
+            "n_items",
+            "total_price",
+        )
+    )
+
+
+@register(
+    "x_multi_rollup",
+    """
+    WITH m5 AS (
+        SELECT CAST(floor(epoch(ts) / 300) AS BIGINT) * 300 AS b,
+               COUNT(*) AS n, SUM(value) AS sv
+        FROM events GROUP BY 1
+    )
+    SELECT '5m' AS resolution, make_timestamp(b * 1000000) AS win_start,
+           CAST(n AS BIGINT) AS n_events, ROUND(sv, 2) AS sum_value
+    FROM m5
+    UNION ALL
+    SELECT '1h', make_timestamp((b // 3600) * 3600 * 1000000),
+           CAST(SUM(n) AS BIGINT), ROUND(SUM(sv), 2)
+    FROM m5 GROUP BY 2
+    UNION ALL
+    SELECT '1d', make_timestamp((b // 86400) * 86400 * 1000000),
+           CAST(SUM(n) AS BIGINT), ROUND(SUM(sv), 2)
+    FROM m5 GROUP BY 2
+    """,
+)
+def x_multi_rollup(spark, sf_dir):
+    """Hypertable-style multi-resolution rollup (5m / 1h / 1d) in ONE
+    pass: precompute the three bucket columns per row, then GROUPING
+    SETS ((b5),(b1h),(b1d)) — one scan, and the Expand×3 feeds map-side
+    partial aggregation, so the single shuffle carries O(buckets), not
+    O(rows).  (A union of three re-aggregations reads the scan 3× —
+    Catalyst does not share subplans across union branches; measured.)
+    At 100 TB with persistent storage, materialize the 5m level with
+    `sinks/partitioned.write_partitioned` and roll coarser levels up
+    from the partials — the streaming form incrementalizes the same way."""
+    ev = _t(spark, sf_dir, "events")
+
+    def bucket(width):
+        return (F.unix_timestamp("ts") / width).cast("long") * width
+
+    ev2 = ev.select(
+        bucket(300).alias("b5"),
+        bucket(3600).alias("b1h"),
+        bucket(86400).alias("b1d"),
+        "value",
+    )
+    g = ev2.groupingSets([["b5"], ["b1h"], ["b1d"]], "b5", "b1h", "b1d").agg(
+        F.count("*").alias("n"), F.sum("value").alias("sv")
+    )
+    return g.select(
+        F.when(F.col("b5").isNotNull(), "5m")
+        .when(F.col("b1h").isNotNull(), "1h")
+        .otherwise("1d")
+        .alias("resolution"),
+        F.timestamp_seconds(F.coalesce("b5", "b1h", "b1d")).alias("win_start"),
+        F.col("n").cast("long").alias("n_events"),
+        F.round("sv", 2).alias("sum_value"),
+    )
+
+
+@register(
+    "x_stratified_sample",
+    """
+    SELECT doc_id, source FROM documents
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'strat'), 1, 4))::INT <
+          CASE source WHEN 'src0' THEN 65536 WHEN 'src1' THEN 32768
+                      WHEN 'src2' THEN 16384 ELSE 6553 END
+    """,
+)
+def x_stratified_sample(spark, sf_dir):
+    """Per-stratum deterministic sampling (100% / 50% / 25% / default
+    10% by source): same md5-bucket predicate as x_det_sample but with a
+    per-stratum cut — the 'data mixture' primitive for corpus curation."""
+    from lwetl_spark.operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs,
+        "doc_id",
+        "source",
+        {"src0": 1.0, "src1": 0.5, "src2": 0.25},
+        default_fraction=0.1,
+        salt="strat",
+    ).select("doc_id", "source")
+
+
 def queries() -> dict[str, QueryFn]:
     _load_etl_queries()
     return dict(QUERIES)

@@ -160,3 +160,41 @@ def test_bucketed_join_no_shuffle(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
         spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_asof_join_single_shuffle(spark):
+    """asof_join = union + one keyed window: exactly one hash exchange,
+    no sort-merge join, no cross product."""
+    from pyspark.sql import functions as F
+
+    from lwetl_spark.catalog import load_table
+    from lwetl_spark.operators.joins import asof_join
+
+    ev = load_table(spark, SF_CORRECT, "events")
+    l = ev.filter(F.col("event_type") == "click").select("user_id", "event_id", "ts")
+    r = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    plan = (
+        asof_join(l, r, on="user_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "SortMergeJoin" not in plan and "Cartesian" not in plan
+
+
+def test_range_join_broadcasts_intervals_no_cross(spark):
+    """range_join_banded: the band equi-join broadcasts the small interval
+    side; no CartesianProduct / BroadcastNestedLoopJoin anywhere."""
+    plan = _plan(spark, "x_range_join")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+
+
+def test_multi_rollup_one_scan_one_shuffle(spark):
+    """x_multi_rollup (GROUPING SETS): one events scan, Expand feeding
+    partial aggregation, a single O(buckets) hash exchange."""
+    plan = _plan(spark, "x_multi_rollup")
+    assert plan.count("FileScan parquet") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Expand" in plan
