@@ -219,3 +219,54 @@ def embedding_near_dups(
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Duplicate-cluster resolution: connected components over a pair
+    list via iterative min-label propagation.  Returns (node, cluster_id)
+    where cluster_id = the smallest node id in the component — the
+    canonical "keep this one" representative for dedup.
+
+    Each round is one join + one groupBy (both on node ids, no payload),
+    checkpointed to truncate lineage; rounds needed = graph diameter.
+    Near-dup graphs have tiny diameters (dup clusters are dense), so this
+    converges in a handful of rounds at any corpus size.  For adversarial
+    chain-shaped graphs use the large-star/small-star variant (halves the
+    diameter per round); not needed for dedup workloads.  Convergence is
+    detected by the label-sum fixpoint (labels only ever decrease), one
+    cheap scalar agg per round.
+    """
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    sym = sym.localCheckpoint()
+    labels = sym.select(F.col("a").alias("node")).distinct().withColumn(
+        "lbl", F.col("node")
+    )
+    prev_sum = None
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(
+                labels.select(F.col("node").alias("b"), F.col("lbl").alias("nlbl")),
+                "b",
+            )
+            .groupBy("a")
+            .agg(F.min("nlbl").alias("m"))
+        )
+        labels = (
+            labels.join(nbr, labels["node"] == nbr["a"], "left")
+            .select(
+                "node",
+                F.least(F.col("lbl"), F.coalesce(F.col("m"), F.col("lbl"))).alias("lbl"),
+            )
+            .localCheckpoint()
+        )
+        s = labels.agg(F.sum("lbl")).first()[0]
+        if s == prev_sum:
+            return labels.select(F.col("node"), F.col("lbl").alias("cluster_id"))
+        prev_sum = s
+    raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")

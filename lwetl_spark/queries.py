@@ -1761,6 +1761,189 @@ def x_stratified_sample(spark, sf_dir):
     ).select("doc_id", "source")
 
 
+@register(
+    "x_dedup_clusters",
+    """
+    WITH RECURSIVE tok AS (
+        SELECT doc_id AS id,
+               unnest(list_distinct(list_filter(
+                   string_split_regex(lower(trim(text)), '\\s+'), x -> x <> ''))) AS shingle
+        FROM documents
+    ),
+    sz AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY id),
+    inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, CAST(COUNT(*) AS BIGINT) AS i
+        FROM tok a JOIN tok b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT id_a, id_b FROM inter
+        JOIN sz sa ON sa.id = id_a JOIN sz sb ON sb.id = id_b
+        WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.95
+    ),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    )
+    SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+    FROM reach GROUP BY a
+    """,
+)
+def x_dedup_clusters(spark, sf_dir):
+    """Pairs → duplicate CLUSTERS: connected components (iterative
+    min-label propagation) over the exact-Jaccard pair list — the step
+    that turns any near-dup pair generator (minhash / simhash / jaccard)
+    into actionable keep/drop groups.  cluster_id = smallest doc_id in
+    the component; the oracle computes the same closure with a DuckDB
+    recursive CTE."""
+    from lwetl_spark.operators.dedup import connected_components
+
+    pairs = ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), shingle_n=1, threshold=0.95
+    )
+    cc = connected_components(pairs.select("id_a", "id_b"))
+    return cc.select(F.col("node").alias("doc_id"), "cluster_id")
+
+
+@register(
+    "x_heavy_hitters",
+    r"""
+    WITH tok AS (
+        SELECT doc_id, unnest(list_filter(
+            string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) AS tok
+        FROM documents
+    )
+    SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+    FROM tok GROUP BY tok
+    ORDER BY n_occurrences DESC, tok LIMIT 20
+    """,
+)
+def x_heavy_hitters(spark, sf_dir):
+    """Corpus-wide top-20 tokens (term + document frequency): explode →
+    partial+final agg → TakeOrderedAndProject — the frequent-vocabulary
+    probe of a tokenizer pipeline; no global sort, the driver merges k
+    rows per partition."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(r"filter(split(lower(trim(text)), '\\s+'), x -> x <> '')")
+        ).alias("tok"),
+    )
+    return (
+        tok.groupBy("tok")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("tok"))
+        .limit(20)
+    )
+
+
+@register(
+    "w3_range_frame",
+    """
+    SELECT user_id, ts,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_last_hour,
+           ROUND(SUM(value) OVER w, 2) AS sum_last_hour
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW)
+    """,
+)
+def w3_range_frame(spark, sf_dir):
+    """Time-based RANGE window frame: per-user trailing-1-hour count and
+    sum at every event (the sliding-window analytic a rows-frame can't
+    express).  Ordered on microsecond epoch so the frame boundary is
+    bit-identical to DuckDB's INTERVAL arithmetic; same single (user_id)
+    shuffle as any keyed window."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "user_id",
+        "ts",
+        F.count("*").over(w).alias("n_last_hour"),
+        F.round(F.sum("value").over(w), 2).alias("sum_last_hour"),
+    )
+
+
+@register(
+    "x_tfidf",
+    r"""
+    WITH tok AS (
+        SELECT doc_id, unnest(list_filter(
+            string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) AS tok
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+    df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    s AS (
+        SELECT tf.doc_id, tf.tok, tf.tf * 100000 // df.df AS score
+        FROM tf JOIN df ON tf.tok = df.tok
+    )
+    SELECT doc_id, tok, CAST(score AS BIGINT) AS score, CAST(rnk AS BIGINT) AS rnk
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY score DESC, tok) AS rnk
+        FROM s
+    ) WHERE rnk <= 3
+    """,
+)
+def x_tfidf(spark, sf_dir):
+    """Top-3 distinctive terms per document by a tf/df score (tf·idf with
+    a rational score, `tf * 100000 div df`, instead of a log — integer
+    arithmetic is bit-identical across engines where `ln` is not, so the
+    ranking is hash-checkable).  Term frequency agg → doc-frequency agg →
+    token-keyed join → per-doc top-k window: every stage is
+    key-partitioned; the vocabulary table shuffles, never collects."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(r"filter(split(lower(trim(text)), '\\s+'), x -> x <> '')")
+        ).alias("tok"),
+    )
+    tf = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    s = tf.join(df_, "tok").select(
+        "doc_id", "tok", F.expr("tf * 100000 div df").alias("score")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("tok"))
+    return (
+        s.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "tok", "score", F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
+@register("x_approx_quantile")  # rows-only: t-digest estimates are engine-specific
+def x_approx_quantile(spark, sf_dir):
+    """The 100 TB quantile form: approx_percentile (p50/p90/p99, accuracy
+    10⁴) — sketches merge map-side like HLL (a5_approx_distinct), so the
+    shuffle carries one sketch per partition per group instead of sorting
+    group values.  Checked in pytest against exact percentiles (±1%);
+    rows-only for the driver.  Exact median parity lives in
+    x_median_stats."""
+    li = _t(spark, sf_dir, "lineitem")
+    q = F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000)
+    return li.groupBy("l_returnflag").agg(
+        F.round(q[0], 2).alias("p50"),
+        F.round(q[1], 2).alias("p90"),
+        F.round(q[2], 2).alias("p99"),
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     _load_etl_queries()
     return dict(QUERIES)

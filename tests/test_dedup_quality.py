@@ -98,3 +98,22 @@ def test_embedding_near_dups_threshold(spark):
     assert set(pairs) == {(1, 2), (3, 4)}
     expected = (0.999) / math.sqrt(0.999**2 + 0.01**2)
     assert pairs[(1, 2)] == pytest.approx(expected, abs=1e-6)
+
+
+def test_connected_components_chain_and_clusters(spark):
+    """Min-label propagation must cross a 5-node chain (multi-round) and
+    keep disjoint components separate."""
+    from lwetl_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (20, 21), (21, 22), (22, 20)],
+        "id_a long, id_b long",
+    )
+    got = {
+        r["node"]: r["cluster_id"] for r in connected_components(edges).collect()
+    }
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+        10: 10, 11: 10,
+        20: 20, 21: 20, 22: 20,
+    }

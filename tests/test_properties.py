@@ -117,3 +117,32 @@ def test_ivf_ann_recall_floor(spark):
     exact = {(r["id"], r["neighbor_id"]) for r in cosine_topk_pandas(emb, k=5).collect()}
     approx = {(r["id"], r["neighbor_id"]) for r in ivf_topk(emb, k=5).collect()}
     assert len(exact & approx) / len(exact) >= 0.65
+
+
+def test_approx_quantile_within_tolerance(spark, duck):
+    """x_approx_quantile (t-digest sketches) must land within 1% of the
+    exact per-group percentiles."""
+    from lwetl_spark.queries import QUERIES
+    from tests.conftest import SF_CORRECT
+
+    approx = {
+        r["l_returnflag"]: (r["p50"], r["p90"], r["p99"])
+        for r in QUERIES["x_approx_quantile"](spark, SF_CORRECT).collect()
+    }
+    exact = {
+        row[0]: row[1:]
+        for row in duck.execute(
+            """
+            SELECT l_returnflag,
+                   quantile_cont(l_extendedprice, 0.5),
+                   quantile_cont(l_extendedprice, 0.9),
+                   quantile_cont(l_extendedprice, 0.99)
+            FROM lineitem GROUP BY 1
+            """
+        ).fetchall()
+    }
+    assert set(approx) == set(exact)
+    for flag, (a50, a90, a99) in approx.items():
+        e50, e90, e99 = exact[flag]
+        for a, e in ((a50, e50), (a90, e90), (a99, e99)):
+            assert abs(a - e) / e < 0.01, (flag, a, e)

@@ -68,6 +68,45 @@ def _corpus_pipeline(d):
     )
 
 
+def scaled_events(spark, sf_dir: str, scale: int):
+    """Copies with shifted user_ids: key cardinality grows with scale,
+    as it does when a real event stream grows."""
+    from lwetl_spark.catalog import load_table
+
+    base = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "value"
+    )
+    n = base.count()
+    parts = [
+        base.withColumn("user_id", F.col("user_id") + i * 10_000_000)
+        for i in range(scale)
+    ]
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    return df, n * scale
+
+
+def _asof_probe(ev):
+    from lwetl_spark.operators.joins import asof_join
+
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.sum("value").alias("v"))
+    )
+    return asof_join(clicks, purchases, on="user_id").count()
+
+
+def _cluster_probe(d):
+    """minhash pairs → connected components (the full pairs→clusters path)."""
+    from lwetl_spark.operators.dedup import connected_components, minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(d, threshold=0.5).select("id_a", "id_b")
+    return connected_components(pairs).count()
+
+
 def main() -> None:
     from lwetl_spark.operators.dedup import exact_dedup_normalized, minhash_lsh_pairs
     from lwetl_spark.queries import QUERIES  # noqa: F401 (session warm path)
@@ -76,7 +115,31 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     spark = get_spark(app_name="scale_probe")
 
+    event_ops = {"asof_join": _asof_probe}
+    for op_name, fn in event_ops.items():
+        for scale in (1, 4, 16):
+            df, n_rows = scaled_events(spark, sf_dir, scale)
+            df = df.persist()
+            df.count()
+            t0 = time.time()
+            fn(df)
+            dt = time.time() - t0
+            df.unpersist()
+            spark.catalog.clearCache()
+            print(
+                json.dumps(
+                    {
+                        "op": op_name,
+                        "scale": scale,
+                        "rows": n_rows,
+                        "sec": round(dt, 2),
+                        "rows_per_sec": int(n_rows / dt),
+                    }
+                )
+            )
+
     ops = {
+        "dedup_clusters": _cluster_probe,
         "exact_dedup": lambda d: exact_dedup_normalized(d).count(),
         "minhash_lsh": lambda d: minhash_lsh_pairs(d, threshold=0.5).count(),
         "token_stats": lambda d: d.select(
