@@ -1944,6 +1944,68 @@ def x_approx_quantile(spark, sf_dir):
     )
 
 
+@register(
+    "x_pivot",
+    """
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+           CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+           CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+           CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+           CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS view
+    FROM events GROUP BY 1
+    """,
+)
+def x_pivot(spark, sf_dir):
+    """PIVOT (long → wide reshaping): daily event counts, one column per
+    event type.  Values are pinned explicitly — at scale never let pivot
+    infer them (that's an extra distinct scan + an unbounded column
+    count); with pinned values it's a single partial+final agg, exactly
+    the FILTER-aggregate the oracle runs."""
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    p = (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    # pivot yields NULL for empty cells where the FILTER-agg yields 0
+    return p.select(
+        "day", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in types]
+    )
+
+
+@register(
+    "x_unpivot",
+    """
+    SELECT 'l_quantity' AS metric, ROUND(SUM(l_quantity), 2) AS total,
+           CAST(COUNT(*) AS BIGINT) AS n FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', ROUND(SUM(l_discount), 2), CAST(COUNT(*) AS BIGINT) FROM lineitem
+    UNION ALL
+    SELECT 'l_tax', ROUND(SUM(l_tax), 2), CAST(COUNT(*) AS BIGINT) FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', ROUND(SUM(l_extendedprice), 2), CAST(COUNT(*) AS BIGINT)
+    FROM lineitem
+    """,
+)
+def x_unpivot(spark, sf_dir):
+    """UNPIVOT/melt (wide → long reshaping) + per-metric totals: the
+    Expand-based unpivot emits 4 rows per input row map-side but the
+    partial aggregate collapses them before the shuffle — one scan
+    versus the oracle's four."""
+    li = _t(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ["l_orderkey"],
+        ["l_quantity", "l_discount", "l_tax", "l_extendedprice"],
+        "metric",
+        "val",
+    )
+    return long.groupBy("metric").agg(
+        F.round(F.sum("val"), 2).alias("total"), F.count("*").alias("n")
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     _load_etl_queries()
     return dict(QUERIES)

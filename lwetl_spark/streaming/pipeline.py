@@ -175,3 +175,20 @@ def stream_to_memory(df: DataFrame, name: str = "stream_out", mode: str = "compl
     finally:
         q.stop()
     return df.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+def stream_enrich(
+    spark: SparkSession,
+    events_path: str,
+    dim: DataFrame,
+    on: str | list[str],
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join: every micro-batch joins against the
+    static dimension.  The dim side is broadcast (stateless — no join
+    state accumulates, unlike stream-stream joins) and is re-resolved
+    each batch, so a slowly-changing dimension refreshes without a query
+    restart.  This is the streaming face of the J1/J2 dimension joins."""
+    schema = spark.read.parquet(events_path).schema
+    stream = spark.readStream.schema(schema).parquet(events_path)
+    return stream.join(F.broadcast(dim), on, how)

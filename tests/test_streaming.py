@@ -130,3 +130,24 @@ def test_multimodal_decode(spark):
     assert r["mime"] == "text/fake-image"
     assert len(r["feat"]) == 4 and all(0 <= x <= 1 for x in r["feat"])
     assert len(r["digest"]) == 32
+
+
+def test_stream_enrich_matches_batch(spark, events_dir):
+    """Stream-static broadcast join: per-batch enrichment must produce
+    exactly the batch join's rows (stateless, append mode)."""
+    from lwetl_spark.streaming.pipeline import stream_enrich, stream_to_memory
+
+    dim = spark.createDataFrame(
+        [(i, f"segment_{i % 3}") for i in range(50)], "user_id long, segment string"
+    )
+    enriched = stream_enrich(
+        spark, events_dir, dim, on="user_id"
+    ).select("event_id", "user_id", "segment")
+    got = stream_to_memory(enriched, name="t_enrich_out", mode="append")
+    batch = (
+        spark.read.parquet(events_dir)
+        .join(dim, "user_id", "left")
+        .select("event_id", "user_id", "segment")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
+    assert got.filter(F.col("segment").isNotNull()).count() > 0
