@@ -2006,6 +2006,32 @@ def x_unpivot(spark, sf_dir):
     )
 
 
+@register(
+    "x_frame_sample",
+    """
+    SELECT doc_id, 4 AS n_frames,
+           list_transform([0, 1, 2, 3],
+               i -> md5(i::VARCHAR || ':' ||
+                        substr(text, i * (length(text) // 4) + 1,
+                               length(text) // 4))) AS frame_digests
+    FROM documents
+    """,
+)
+def x_frame_sample(spark, sf_dir):
+    """Frame-sampling plumbing (video-like payloads): each binary payload
+    split into 4 equal windows, one digest per "frame", via Arrow-batched
+    mapInPandas (streaming/multimodal.sample_frames).  The window digest
+    stands in for a per-frame decoder; the oracle recomputes the same
+    windows in SQL (byte windows == char windows on this ASCII corpus —
+    verified len==strlen corpus-wide)."""
+    from lwetl_spark.streaming.multimodal import sample_frames
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    return sample_frames(d, n_frames=4)
+
+
 def queries() -> dict[str, QueryFn]:
     _load_etl_queries()
     return dict(QUERIES)

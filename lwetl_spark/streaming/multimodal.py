@@ -63,3 +63,44 @@ def decode_binary_features(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(decode, schema=DECODE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id long, n_frames int, frame_digests array<string>"
+
+
+def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Frame-sampling plumbing for video-like payloads: split each binary
+    payload into `n_frames` equal byte windows ("frames") and digest each
+    — the Spark-side shape of ffmpeg-style keyframe extraction (swap the
+    window digest for a real decoder per frame; batching, schema and
+    partitioning are unchanged).  Byte-window arithmetic keeps the stub
+    deterministic and engine-portable for the oracle.
+
+    Input: (doc_id long, payload binary).  Closure is pickled by value —
+    see decode_binary_features.
+    """
+
+    def sample(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import hashlib as _hashlib
+
+        import pandas as pd
+
+        k = n_frames  # capture as plain int
+
+        def frames(payload: bytes) -> list[str]:
+            w = len(payload) // k
+            return [
+                _hashlib.md5(b"%d:" % i + payload[i * w : i * w + w]).hexdigest()
+                for i in range(k)
+            ]
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_frames": k,
+                    "frame_digests": pdf["payload"].map(frames),
+                }
+            )
+
+    return df.mapInPandas(sample, schema=FRAME_SCHEMA)

@@ -151,3 +151,20 @@ def test_stream_enrich_matches_batch(spark, events_dir):
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
     assert got.filter(F.col("segment").isNotNull()).count() > 0
+
+
+def test_sample_frames_shape(spark):
+    """Frame sampler: fixed frame count, 32-hex digests, deterministic."""
+    from lwetl_spark.streaming.multimodal import sample_frames
+
+    d = spark.createDataFrame(
+        [(1, b"0123456789abcdef"), (2, b"xy")], "doc_id long, payload binary"
+    )
+    rows = {r["doc_id"]: r for r in sample_frames(d, n_frames=4).collect()}
+    assert rows[1]["n_frames"] == 4 and len(rows[1]["frame_digests"]) == 4
+    assert all(len(h) == 32 for h in rows[1]["frame_digests"])
+    # short payload: zero-width windows still yield 4 distinct digests
+    assert len(set(rows[2]["frame_digests"])) == 4
+    import hashlib
+
+    assert rows[1]["frame_digests"][1] == hashlib.md5(b"1:4567").hexdigest()
