@@ -141,3 +141,39 @@ def range_join_banded(
         else F.col(point_col) < F.col(hi_col)
     )
     return p.join(iv, on="__band", how="inner").filter(residual).drop("__band")
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_lo: str,
+    l_hi: str,
+    r_lo: str,
+    r_hi: str,
+    band_width: float,
+) -> DataFrame:
+    """Interval-interval overlap join (half-open: ``l_lo < r_hi AND
+    r_lo < l_hi``) via band quantization.  Both sides explode into the
+    bands they span; a pair overlapping several bands would match once
+    per shared band, so the residual keeps only the CANONICAL band — the
+    one containing ``greatest(l_lo, r_lo)`` (the overlap's start, which
+    by construction lies in both intervals' band ranges) — making the
+    output exactly one row per overlapping pair with no distinct-shuffle.
+    Equi-join on the band id: broadcast or shuffle, Catalyst decides;
+    band_width ≈ typical interval width bounds candidate fan-out.
+    """
+    if band_width <= 0:
+        raise ValueError("band_width must be positive")
+
+    def band(c: Column) -> Column:
+        return F.floor(c / F.lit(float(band_width))).cast("long")
+
+    lb = left.withColumn(
+        "__band", F.explode(F.sequence(band(F.col(l_lo)), band(F.col(l_hi))))
+    )
+    rb = right.withColumn(
+        "__band", F.explode(F.sequence(band(F.col(r_lo)), band(F.col(r_hi))))
+    )
+    overlap = (F.col(l_lo) < F.col(r_hi)) & (F.col(r_lo) < F.col(l_hi))
+    canonical = F.col("__band") == band(F.greatest(F.col(l_lo), F.col(r_lo)))
+    return lb.join(rb, on="__band", how="inner").filter(overlap & canonical).drop("__band")

@@ -2032,6 +2032,145 @@ def x_frame_sample(spark, sf_dir):
     return sample_frames(d, n_frames=4)
 
 
+@register(
+    "x_interval_join",
+    """
+    WITH g AS (
+        SELECT user_id, ts,
+               CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    s AS (
+        SELECT user_id,
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx,
+               ts
+        FROM g
+    ),
+    sess AS (
+        SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end
+        FROM s GROUP BY user_id, session_idx
+    ),
+    camp AS (
+        SELECT n_nationkey AS campaign_id,
+               TIMESTAMP '2024-01-01' + n_nationkey * INTERVAL 1 DAY AS lo,
+               TIMESTAMP '2024-01-01' + n_nationkey * INTERVAL 1 DAY
+                   + INTERVAL 60 HOUR AS hi
+        FROM nation
+    )
+    SELECT c.campaign_id,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(COUNT(DISTINCT s.user_id) AS BIGINT) AS n_users
+    FROM sess s JOIN camp c
+      ON s.session_start < c.hi AND c.lo < s.session_end
+    GROUP BY c.campaign_id
+    """,
+)
+def x_interval_join(spark, sf_dir):
+    """Interval-interval overlap join: user sessions (from sessionize)
+    × overlapping 60-hour campaign windows, banded by day so the pair
+    generation is an equi-join; each overlapping pair is emitted exactly
+    once via the canonical-band trick (no distinct).  Oracle runs the
+    naive theta join over the same sessionization CTE."""
+    from lwetl_spark.operators.joins import interval_overlap_join
+
+    sess = sessionize(_t(spark, sf_dir, "events"), gap_seconds=1800).select(
+        "user_id",
+        F.col("session_start").cast("double").alias("s_lo"),
+        F.col("session_end").cast("double").alias("s_hi"),
+    )
+    base = 1704067200  # epoch of 2024-01-01 UTC
+    camp = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("campaign_id"),
+        (F.lit(base) + F.col("n_nationkey") * 86400).cast("double").alias("c_lo"),
+        (F.lit(base) + F.col("n_nationkey") * 86400 + 216000)
+        .cast("double")
+        .alias("c_hi"),
+    )
+    j = interval_overlap_join(
+        sess, camp, "s_lo", "s_hi", "c_lo", "c_hi", band_width=86400.0
+    )
+    return j.groupBy("campaign_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@register(
+    "x_reservoir_per_group",
+    """
+    SELECT source, doc_id, CAST(rnk AS BIGINT) AS sample_rank FROM (
+        SELECT source, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR) || 'rsv'), doc_id) AS rnk
+        FROM documents
+    ) WHERE rnk <= 5
+    """,
+)
+def x_reservoir_per_group(spark, sf_dir):
+    """Fixed-size uniform sample per group (a deterministic reservoir):
+    exactly min(k, |group|) docs per source, chosen by hash order — the
+    per-group counterpart of x_det_sample.  One keyed window; at scale
+    the same two-phase trick as salted_topk_per_group applies to hot
+    groups."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("rsv"))), "doc_id"
+    )
+    return (
+        docs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("source", "doc_id", F.col("rnk").cast("long").alias("sample_rank"))
+    )
+
+
+@register(
+    "x_funnel",
+    """
+    WITH s1 AS (
+        SELECT user_id, MIN(ts) AS t1 FROM events
+        WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+        WHERE e.event_type = 'click' AND e.ts >= s1.t1 GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts >= s2.t2 GROUP BY e.user_id
+    )
+    SELECT 'signup' AS stage, CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_users
+    UNION ALL
+    SELECT 'signup>click', CAST((SELECT COUNT(*) FROM s2) AS BIGINT)
+    UNION ALL
+    SELECT 'signup>click>purchase', CAST((SELECT COUNT(*) FROM s3) AS BIGINT)
+    """,
+)
+def x_funnel(spark, sf_dir):
+    """Ordered event funnel (signup → later click → later purchase):
+    stage N filters on stage N-1's conditional min — each stage is a
+    keyed agg + join, all map-side combinable; no per-user event-list
+    collection."""
+    ev = _t(spark, sf_dir, "events")
+
+    def stage(event_type, prev):
+        e = ev.filter(F.col("event_type") == event_type)
+        if prev is not None:
+            e = e.join(prev, "user_id").filter(F.col("ts") >= F.col("t"))
+        return e.groupBy("user_id").agg(F.min("ts").alias("t"))
+
+    s1 = stage("signup", None)
+    s2 = stage("click", s1)
+    s3 = stage("purchase", s2)
+    counts = [
+        ("signup", s1.count()),
+        ("signup>click", s2.count()),
+        ("signup>click>purchase", s3.count()),
+    ]
+    return spark.createDataFrame(counts, "stage string, n_users long")
+
+
 def queries() -> dict[str, QueryFn]:
     _load_etl_queries()
     return dict(QUERIES)

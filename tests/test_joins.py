@@ -105,3 +105,29 @@ def test_stratified_sample_nested_and_exact(spark):
     assert abs(counts["s2"] / 1000 - 0.1) < 0.06
     # default stratum s2 absent at default_fraction=0
     assert all(not g.startswith("s2") for g in {r["grp"] for r in lo.collect()})
+
+
+def test_interval_overlap_join_equals_naive(spark):
+    from lwetl_spark.operators.joins import interval_overlap_join
+
+    a = spark.createDataFrame(
+        [(i, i * 5.0, i * 5.0 + 8.0) for i in range(30)], "aid int, alo double, ahi double"
+    )
+    b = spark.createDataFrame(
+        [(j, j * 11.0, j * 11.0 + 30.0) for j in range(12)], "bid int, blo double, bhi double"
+    )
+    for band in (4.0, 10.0, 50.0):  # result must be band-width invariant
+        got = sorted(
+            (r["aid"], r["bid"])
+            for r in interval_overlap_join(
+                a, b, "alo", "ahi", "blo", "bhi", band_width=band
+            ).collect()
+        )
+        naive = sorted(
+            (r["aid"], r["bid"])
+            for r in a.crossJoin(b)
+            .filter((F.col("alo") < F.col("bhi")) & (F.col("blo") < F.col("ahi")))
+            .collect()
+        )
+        assert got == naive and len(got) > 0
+        assert len(got) == len(set(got))  # exactly once per pair, no dup bands
