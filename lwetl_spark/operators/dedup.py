@@ -270,3 +270,75 @@ def connected_components(
             return labels.select(F.col("node"), F.col("lbl").alias("cluster_id"))
         prev_sum = s
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+
+
+def connected_components_two_phase(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components via alternating large-star/small-star rounds
+    (the MapReduce CC algorithm of Kiveris et al.): converges in O(log n)
+    rounds on ANY graph shape, where min-label propagation
+    (`connected_components`) needs O(diameter).  Use this when components
+    can be long chains (entity-resolution edges, link graphs); for
+    near-dup clusters (dense, tiny diameter) the simple propagation does
+    less work per round.
+
+    large-star hooks every neighbor larger than u to u's component
+    minimum; small-star re-hangs the small neighbors.  Both are one
+    groupBy + one join on bare (long, long) edges.  Returns
+    (node, cluster_id = component minimum), same contract as
+    `connected_components`.
+    """
+    e = (
+        edges.select(F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    prev_sig = None
+    for _ in range(max_iter):
+        # large star: for each node u, attach strictly-larger neighbors to
+        # m(u) = min(neighbors ∪ {u})
+        nb = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = nb.groupBy("u").agg(F.min("v").alias("mv"))
+        m = m.select("u", F.least("mv", F.col("u")).alias("m"))
+        e1 = (
+            nb.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # after large-star every edge points large → small, so small-star
+        # needs no re-direction: re-hang all of u's small neighbors (and u)
+        # onto the smallest
+        m2 = e1.groupBy("u").agg(F.min("v").alias("mv"))
+        out_a = (
+            e1.join(m2, "u")
+            .filter(F.col("v") != F.col("mv"))
+            .select(F.col("v").alias("u"), F.col("mv").alias("v"))
+        )
+        e = (
+            out_a.union(m2.select("u", F.col("mv").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # decimal sum: long-sum of 64-bit hashes overflows under ANSI mode
+        sig = tuple(
+            e.agg(
+                F.count("*"), F.sum(F.xxhash64("u", "v").cast("decimal(38,0)"))
+            ).first()
+        )
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(f"two-phase CC did not converge in {max_iter} rounds")
+    return (
+        e.select(F.col("u").alias("node"), F.col("v").alias("cluster_id"))
+        .union(e.select(F.col("v").alias("node"), F.col("v").alias("cluster_id")))
+        .distinct()
+    )

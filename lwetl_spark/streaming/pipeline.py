@@ -192,3 +192,28 @@ def stream_enrich(
     schema = spark.read.parquet(events_path).schema
     stream = spark.readStream.schema(schema).parquet(events_path)
     return stream.join(F.broadcast(dim), on, how)
+
+
+def stream_upload(
+    spark: SparkSession,
+    events_path: str,
+    uploader,
+    transform=None,
+) -> "object":
+    """The true streaming analog of the reference's per-N-rows commit
+    loop (U9, sql_query/main.py:196-244 / db_copy/main.py:329-360):
+    `foreachBatch` hands each micro-batch to the Uploader's bulk path,
+    so the reference's "commit every N rows" becomes "commit every
+    micro-batch" with the same dry-run/commit write-policy gate applied
+    per batch.  Returns the started StreamingQuery (caller stops it);
+    exactly-once per batch comes from the checkpoint + idempotent
+    append-by-batchId discipline of foreachBatch sinks."""
+    schema = spark.read.parquet(events_path).schema
+    stream = spark.readStream.schema(schema).parquet(events_path)
+    if transform is not None:
+        stream = transform(stream)
+
+    def sink(batch_df, batch_id: int) -> None:
+        uploader.insert_df(batch_df)
+
+    return stream.writeStream.foreachBatch(sink).start()

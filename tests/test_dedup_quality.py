@@ -117,3 +117,40 @@ def test_connected_components_chain_and_clusters(spark):
         10: 10, 11: 10,
         20: 20, 21: 20, 22: 20,
     }
+
+
+def test_two_phase_cc_matches_label_propagation(spark):
+    """large-star/small-star must agree with min-label propagation on
+    seeded random graphs."""
+    import random
+
+    from lwetl_spark.operators.dedup import (
+        connected_components,
+        connected_components_two_phase,
+    )
+
+    for seed in (3, 17, 42):
+        rng = random.Random(seed)
+        edges = [
+            (rng.randint(0, 60), rng.randint(0, 60)) for _ in range(50)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        lp = {(r["node"], r["cluster_id"]) for r in connected_components(df).collect()}
+        tp = {
+            (r["node"], r["cluster_id"])
+            for r in connected_components_two_phase(df).collect()
+        }
+        assert lp == tp, seed
+
+
+def test_two_phase_cc_long_chain(spark):
+    """A 300-node chain (diameter 299) finishes in O(log n) rounds —
+    the shape min-label propagation cannot afford."""
+    from lwetl_spark.operators.dedup import connected_components_two_phase
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(299)], "id_a long, id_b long"
+    )
+    got = {r["node"]: r["cluster_id"] for r in connected_components_two_phase(chain).collect()}
+    assert len(got) == 300 and set(got.values()) == {0}

@@ -131,3 +131,35 @@ def test_interval_overlap_join_equals_naive(spark):
         )
         assert got == naive and len(got) > 0
         assert len(got) == len(set(got))  # exactly once per pair, no dup bands
+
+
+def test_asof_property_random_frames(spark):
+    """Randomized as-of property check against a brute-force reference
+    (seeded variants rather than hypothesis — one Spark round-trip per
+    generated example would be prohibitively slow)."""
+    import random
+
+    for seed in (7, 23, 99, 123, 2024):
+        rng = random.Random(seed)
+        nl, nr = rng.randint(1, 80), rng.randint(0, 60)
+        left = [(rng.randint(0, 5), rng.randint(0, 200), i) for i in range(nl)]
+        right = {(k, t): float(rng.randint(0, 9)) for k, t in
+                 ((rng.randint(0, 5), rng.randint(0, 200)) for _ in range(nr))}
+        from lwetl_spark.operators.joins import asof_join
+
+        l = spark.createDataFrame(left, "k int, ts int, lid int")
+        r = (
+            spark.createDataFrame(
+                [(k, t, v) for (k, t), v in right.items()] or [(0, -1, 0.0)],
+                "k int, ts int, rv double",
+            )
+        )
+        got = {
+            (row["k"], row["lid"]): (row["ts_r"], row["rv"])
+            for row in asof_join(l, r, on="k", how="left").collect()
+        }
+        # reference: per left row, max right ts <= left ts within key
+        for k, ts, lid in left:
+            cands = [(t, v) for (rk, t), v in right.items() if rk == k and t <= ts]
+            exp = max(cands) if cands else (None, None)
+            assert got[(k, lid)] == exp, (seed, k, ts, lid, got[(k, lid)], exp)

@@ -168,3 +168,22 @@ def test_sample_frames_shape(spark):
     import hashlib
 
     assert rows[1]["frame_digests"][1] == hashlib.md5(b"1:4567").hexdigest()
+
+
+def test_stream_upload_commits_batches(spark, events_dir, tmp_path):
+    """foreachBatch → Uploader bulk insert (U9 analog): all streamed rows
+    land in the target table under COMMIT policy."""
+    from lwetl_spark.streaming.pipeline import stream_upload
+    from lwetl_spark.sinks.uploader import Uploader, WritePolicy
+
+    target = str(tmp_path / "upload_target")
+    src = spark.read.parquet(events_dir).limit(0)
+    src.write.parquet(target)  # empty table with the events schema
+    up = Uploader(spark, target, policy=WritePolicy.COMMIT)
+    q = stream_upload(spark, events_dir, up)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    n_src = spark.read.parquet(events_dir).count()
+    assert spark.read.parquet(target).count() == n_src
