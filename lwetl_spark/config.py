@@ -83,7 +83,7 @@ def open_source(
     DataFrame."""
     src = resolve_source(cfg, name)
     fmt = src.get("format", "parquet_dir")
-    opts = src.get("options") or {}
+    opts = resolve_options(src.get("options") or {})
     if fmt == "parquet_dir":
         from lwetl_spark.catalog import register_tables
 
@@ -113,3 +113,80 @@ def probe(spark: SparkSession, cfg: dict, name: str) -> dict[str, int]:
     if isinstance(out, dict):
         return {t: df.count() for t, df in out.items()}
     return {"rows": out.count()}
+
+
+# -- C4: secret handling (lwetl-security analog) ---------------------------
+
+SECRET_PREFIX = "ENC:"
+_KEY_ENV = "LWETL_SPARK_KEY"
+_KEY_FILE = "~/.lwetl_spark.key"
+
+
+class SecurityError(RuntimeError):
+    """Typed error for missing/invalid encryption keys (reference parity:
+    lwetl/security.py raises on absent keyring entries)."""
+
+
+def _fernet(key: str | bytes | None = None):
+    from cryptography.fernet import Fernet
+
+    if key is None:
+        key = os.environ.get(_KEY_ENV)
+    if key is None:
+        kf = os.path.expanduser(_KEY_FILE)
+        if os.path.isfile(kf):
+            with open(kf, "rb") as fh:
+                key = fh.read().strip()
+    if not key:
+        raise SecurityError(
+            f"no encryption key: set ${_KEY_ENV} or create {_KEY_FILE}"
+        )
+    try:
+        return Fernet(key)
+    except Exception as e:  # invalid key material
+        raise SecurityError(f"invalid Fernet key: {e}") from e
+
+
+def generate_key(path: str | None = None) -> str:
+    """Generate a Fernet key; optionally persist it 0600 (the reference
+    stores its key in the OS keyring, lwetl/security.py — a key file is
+    the headless-cluster equivalent)."""
+    from cryptography.fernet import Fernet
+
+    key = Fernet.generate_key().decode()
+    if path:
+        p = os.path.expanduser(path)
+        with open(p, "w", encoding="utf-8") as fh:
+            fh.write(key)
+        os.chmod(p, 0o600)
+    return key
+
+
+def encrypt_value(value: str, key: str | bytes | None = None) -> str:
+    """Encrypt a config option value → ``ENC:<token>`` (the reference's
+    `encrypt` command over config passwords,
+    lwetl/programs/lwetl_security/main.py)."""
+    return SECRET_PREFIX + _fernet(key).encrypt(value.encode()).decode()
+
+
+def decrypt_value(value: str, key: str | bytes | None = None) -> str:
+    """Decrypt an ``ENC:``-prefixed value; plaintext passes through
+    (like the reference, which only decrypts marked passwords)."""
+    if not value.startswith(SECRET_PREFIX):
+        return value
+    from cryptography.fernet import InvalidToken
+
+    try:
+        return _fernet(key).decrypt(value[len(SECRET_PREFIX):].encode()).decode()
+    except InvalidToken as e:
+        raise SecurityError("secret does not decrypt with this key") from e
+
+
+def resolve_options(options: dict, key: str | bytes | None = None) -> dict:
+    """Decrypt every ``ENC:`` option value at source-resolve time — the
+    shape credentials take when a source is a JDBC/S3 location in a real
+    deployment (options dicts feed spark.read.options verbatim)."""
+    return {
+        k: decrypt_value(v, key) if isinstance(v, str) else v
+        for k, v in options.items()
+    }

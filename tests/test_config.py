@@ -72,3 +72,40 @@ def test_open_csv_source(spark, tmp_path):
     cfgf.write_text(f"sources:\n  t: {{path: {csv}, format: csv, options: {{delimiter: ','}}}}\n")
     df = open_source(spark, load_config([str(cfgf)]), "t")
     assert df.count() == 2 and df.columns == ["A", "B"]  # normalized names
+
+
+def test_secret_roundtrip_and_passthrough(monkeypatch):
+    from lwetl_spark.config import (
+        SecurityError,
+        decrypt_value,
+        encrypt_value,
+        generate_key,
+        resolve_options,
+    )
+
+    key = generate_key()
+    token = encrypt_value("s3cret", key=key)
+    assert token.startswith("ENC:") and "s3cret" not in token
+    assert decrypt_value(token, key=key) == "s3cret"
+    assert decrypt_value("plaintext", key=key) == "plaintext"  # passthrough
+    opts = resolve_options({"password": token, "user": "bob", "n": 3}, key=key)
+    assert opts == {"password": "s3cret", "user": "bob", "n": 3}
+    # wrong key → typed error (reference parity: typed auth errors)
+    import pytest as _pytest
+
+    with _pytest.raises(SecurityError):
+        decrypt_value(token, key=generate_key())
+    # env-chain: key resolvable from $LWETL_SPARK_KEY
+    monkeypatch.setenv("LWETL_SPARK_KEY", key)
+    assert decrypt_value(token) == "s3cret"
+
+
+def test_secret_missing_key_raises(monkeypatch, tmp_path):
+    from lwetl_spark import config as C
+
+    monkeypatch.delenv("LWETL_SPARK_KEY", raising=False)
+    monkeypatch.setattr(C, "_KEY_FILE", str(tmp_path / "nokey"))
+    import pytest as _pytest
+
+    with _pytest.raises(C.SecurityError):
+        C.encrypt_value("x")
