@@ -2171,6 +2171,105 @@ def x_funnel(spark, sf_dir):
     return spark.createDataFrame(counts, "stage string, n_users long")
 
 
+@register(
+    "x_salted_join",
+    """
+    SELECT p_brand, ROUND(SUM(l_quantity), 2) AS sum_qty,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+)
+def x_salted_join(spark, sf_dir):
+    """Skew-resistant equi-join surfaced as a driver-checked query: the
+    salted plan (big side salted into 8 shards, small side replicated 8x)
+    must produce EXACTLY the plain-join result — the oracle is the
+    unsalted SQL join.  At 100 TB this is the shape for a hot-partkey
+    lineitem⋈part when the dim is too big to broadcast (SCALE.md §skew)."""
+    from lwetl_spark.operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("partkey"), "l_quantity"
+    )
+    pt = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("partkey"), "p_brand"
+    )
+    return (
+        salted_join(li, pt, on="partkey", salt=8)
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "x_cc_two_phase",
+    """
+    SELECT c_custkey, MIN(c_custkey) OVER (PARTITION BY c_nationkey) AS cluster_id
+    FROM customer
+    QUALIFY COUNT(*) OVER (PARTITION BY c_nationkey) >= 2
+    """,
+)
+def x_cc_two_phase(spark, sf_dir):
+    """Two-phase (large-star/small-star) connected components on the
+    worst-case graph shape for plain label propagation: one long PATH per
+    nation (consecutive customers chained by custkey).  Components are
+    whole nations, so the oracle is a closed-form window min — while the
+    Spark side must actually converge the O(log n)-round algorithm over
+    ~60-node chains.  Complements x_dedup_clusters (dense near-dup
+    cliques, small diameter)."""
+    from lwetl_spark.operators.dedup import connected_components_two_phase
+
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_custkey")
+    edges = (
+        cust.select(
+            "c_custkey", F.lag("c_custkey").over(w).alias("prev")
+        )
+        .filter(F.col("prev").isNotNull())
+        .select(F.col("prev").alias("id_a"), F.col("c_custkey").alias("id_b"))
+    )
+    cc = connected_components_two_phase(edges)
+    return cc.select(F.col("node").alias("c_custkey"), "cluster_id")
+
+
+@register(
+    "x_mix_corpora",
+    """
+    SELECT doc_id, source, 'web' AS source_name FROM documents
+    WHERE source = 'src0'
+    UNION ALL
+    SELECT doc_id, source, 'books' AS source_name FROM documents
+    WHERE source = 'src1'
+      AND ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'mix:books'), 1, 4))::INT < 32768
+    UNION ALL
+    SELECT doc_id, source, 'code' AS source_name FROM documents
+    WHERE source = 'src2'
+      AND ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'mix:code'), 1, 4))::INT < 16384
+    """,
+)
+def x_mix_corpora(spark, sf_dir):
+    """Weighted corpus mixture (the data-mixture step in front of
+    tokenization): three named sources down-sampled to 100% / 50% / 25%
+    by the portable md5-bucket predicate and tagged with source_name.
+    Membership is a pure function of (doc_id, salt) — reproducible across
+    engines, partitionings, and corpus growth; the filter pushes into the
+    scan."""
+    from lwetl_spark.operators.sampling import mix_corpora
+
+    docs = _t(spark, sf_dir, "documents")
+    parts = {
+        "web": (docs.filter(F.col("source") == "src0"), 1.0),
+        "books": (docs.filter(F.col("source") == "src1"), 0.5),
+        "code": (docs.filter(F.col("source") == "src2"), 0.25),
+    }
+    return mix_corpora(parts, "doc_id", salt="mix").select(
+        "doc_id", "source", "source_name"
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     _load_etl_queries()
     return dict(QUERIES)
