@@ -1,0 +1,93 @@
+"""Benchmark decontamination (training-data pipeline op, NEW — no
+reference analog; the reference stops at row-level copy/dedup,
+lwetl/programs/db_copy/main.py).
+
+Removes (or flags) corpus documents that share a word n-gram with a
+benchmark/eval set — the standard guard against test-set leakage before
+pretraining (the GPT-3 appendix's 13-gram rule is the canonical form).
+
+Scale design (100 TB corpus, MB-scale benchmark):
+- The benchmark's distinct n-gram set is tiny relative to the corpus
+  (eval suites are a few hundred MB of text at most), so it is
+  BROADCAST: the corpus side streams through a map-side hash semi-join —
+  no shuffle of corpus grams at all.  `broadcast_benchmark=False` falls
+  back to a shuffle join for pathological benchmark sizes.
+- Corpus grams are generated per-row by pure column expressions
+  (split → sequence → slice → concat_ws): no Python UDF, fully
+  whole-stage-codegen'd, and never materialized beyond the join probe.
+- At 64-bit scale, join on `xxhash64(gram)` instead of the gram string
+  (`hash_grams=True`): 8-byte probe keys, identical semantics modulo a
+  ~2^-64 collision rate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def word_ngrams(
+    df: DataFrame, n: int, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, gram) pairs: whitespace word n-grams of lower(trim(text)).
+    Documents shorter than n words produce no rows.  Pure column
+    expressions — no UDF."""
+    toks = rf"filter(split(lower(trim({text_col})), '\\s+'), x -> x <> '')"
+    grams = (
+        f"case when size({toks}) >= {n} then "
+        f"transform(sequence(1, size({toks}) - {n - 1}), "
+        f"i -> concat_ws(' ', slice({toks}, i, {n}))) end"
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.explode(F.expr(grams)).alias("gram")
+    )
+
+
+def contamination_hits(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_benchmark: bool = True,
+    hash_grams: bool = False,
+) -> DataFrame:
+    """Per-corpus-document count of DISTINCT n-grams also present in the
+    benchmark: (doc_id, n_hits), contaminated docs only.  `hash_grams`
+    joins on xxhash64(gram) — 8-byte probe keys for the 100 TB path
+    (collision odds ~2^-64 per pair)."""
+
+    def _grams(df: DataFrame) -> DataFrame:
+        g = word_ngrams(df, n, text_col, id_col)
+        return g.withColumn("gram", F.xxhash64("gram")) if hash_grams else g
+
+    bench = _grams(benchmark).select("gram").distinct()
+    if broadcast_benchmark:
+        bench = F.broadcast(bench)
+    # probe BEFORE any corpus-side distinct: the broadcast join filters
+    # map-side, so the only shuffle is the countDistinct over the (tiny)
+    # contaminated subset — a corpus-gram distinct here would shuffle the
+    # whole exploded corpus
+    corp = _grams(corpus)
+    return (
+        corp.join(bench, "gram")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("gram").alias("n_hits"))
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_benchmark: bool = True,
+    hash_grams: bool = False,
+) -> DataFrame:
+    """Corpus minus every document sharing an n-gram with the benchmark
+    (left anti-join on the contaminated id set)."""
+    hits = contamination_hits(
+        corpus, benchmark, n, text_col, id_col, broadcast_benchmark, hash_grams
+    ).select(F.col("doc_id").alias(id_col))
+    return corpus.join(hits, id_col, "left_anti")

@@ -2270,6 +2270,42 @@ def x_mix_corpora(spark, sf_dir):
     )
 
 
+@register(
+    "x_decontaminate",
+    r"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS toks,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'decon'), 1, 4))::INT AS b
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, b, unnest(list_transform(generate_series(1, len(toks) - 4),
+             i -> array_to_string(toks[i:i+4], ' '))) AS g
+      FROM tok WHERE len(toks) >= 5
+    ),
+    bench AS (SELECT DISTINCT g FROM grams WHERE b < 6553),
+    corp AS (SELECT DISTINCT doc_id, g FROM grams WHERE b >= 6553)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+    FROM corp JOIN bench USING (g)
+    GROUP BY doc_id
+    """,
+)
+def x_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (test-set-leakage guard): the 10%
+    hash-holdout plays the benchmark, and every remaining document
+    sharing a word 5-gram with it is flagged with its distinct-hit count.
+    The benchmark gram set is broadcast, so the corpus side is one
+    map-side semi-join probe — no corpus-gram shuffle (the 100 TB shape:
+    eval suites are MBs, the corpus is not)."""
+    from lwetl_spark.operators.decontaminate import contamination_hits
+    from lwetl_spark.operators.sampling import split_by_key
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus, benchmark = split_by_key(docs, "doc_id", 0.1, salt="decon")
+    return contamination_hits(corpus, benchmark, n=5)
+
+
 def queries() -> dict[str, QueryFn]:
     _load_etl_queries()
     return dict(QUERIES)
