@@ -1,0 +1,79 @@
+"""Sequence packing (training-data pipeline op, NEW — no reference
+analog; the nearest reference idea is commit-batch chunking,
+lwetl/uploader.py:22-25, which chunks ROWS — this chunks TOKEN BUDGET).
+
+Assigns every document a (seq_id, offset_in_seq) under
+concatenate-and-cut semantics: documents are laid end-to-end in a
+deterministic hash-shuffled order and the token stream is cut every
+`budget` tokens — the standard packing step in front of LLM
+pretraining.  A document whose span crosses a cut belongs to the
+sequence where it STARTS (its tail spills into the next cut window;
+the tokenizer-side splitter consumes offsets, not this op).
+
+Scale design (100 TB): a naive running total is one global
+ORDER BY window — a single reducer sees every row.  This implements the
+classic two-phase distributed prefix sum instead:
+
+1. bucket by the leading byte of the order key (md5 → buckets are
+   ORDERED, uniform ranges of the key space);
+2. per-bucket running totals — `buckets`-way parallel windows;
+3. per-bucket grand totals (tiny: one row per bucket) get a cumulative
+   offset via a window over `buckets` rows on one reducer — trivially
+   small — and are broadcast-joined back.
+
+Result is IDENTICAL to the naive global window (the DuckDB oracle runs
+the naive form); wall-clock is bounded by the largest bucket, ~1/256 of
+the corpus.  Determinism: order key is md5(id ‖ salt) — reproducible
+across runs, partitionings, and engines, and doubles as the shuffle
+that decorrelates adjacent documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    n_tokens: Column | str,
+    id_col: str = "doc_id",
+    salt: str = "pack",
+    buckets: int = 256,
+) -> DataFrame:
+    """Adds (seq_id, offset_in_seq) to `df` — see module docstring.
+
+    `n_tokens` is a column (or name) holding the document's token count;
+    `buckets` bounds per-reducer work at corpus_tokens / buckets.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    n = F.col(n_tokens) if isinstance(n_tokens, str) else n_tokens
+    okey = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    staged = df.withColumn("_n", n.cast("long")).withColumn("_okey", okey)
+    # leading-byte bucket: ordered, uniform ranges of the md5 key space
+    staged = staged.withColumn(
+        "_bucket", F.conv(F.substring("_okey", 1, 2), 16, 10).cast("int") % buckets
+    )
+    w_local = (
+        Window.partitionBy("_bucket")
+        .orderBy("_okey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = staged.withColumn("_local_end", F.sum("_n").over(w_local))
+    totals = staged.groupBy("_bucket").agg(F.sum("_n").alias("_tot"))
+    w_prev = (
+        Window.orderBy("_bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "_bucket", F.coalesce(F.sum("_tot").over(w_prev), F.lit(0)).alias("_off")
+    )
+    out = staged.join(F.broadcast(offsets), "_bucket")
+    start = F.col("_off") + F.col("_local_end") - F.col("_n")
+    return (
+        out.withColumn("seq_id", F.floor(start / F.lit(budget)).cast("long"))
+        .withColumn("offset_in_seq", start - F.col("seq_id") * budget)
+        .drop("_n", "_okey", "_bucket", "_local_end", "_off")
+    )

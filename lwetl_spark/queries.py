@@ -2306,6 +2306,43 @@ def x_decontaminate(spark, sf_dir):
     return contamination_hits(corpus, benchmark, n=5)
 
 
+@register(
+    "x_pack_sequences",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                  x -> x <> '')) AS BIGINT) AS n_tokens,
+             md5(CAST(doc_id AS VARCHAR) || 'pack') AS okey
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             CAST(SUM(n_tokens) OVER (ORDER BY okey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                  - n_tokens AS strt
+      FROM t
+    )
+    SELECT doc_id, n_tokens, strt // 512 AS seq_id,
+           strt - (strt // 512) * 512 AS offset_in_seq
+    FROM c
+    """,
+)
+def x_pack_sequences(spark, sf_dir):
+    """Token-budget sequence packing (concatenate-and-cut at 512 tokens
+    over a deterministic hash-shuffled order).  The Spark side runs the
+    two-phase distributed prefix sum (256 ordered md5 buckets → parallel
+    per-bucket windows → broadcast bucket offsets); the oracle is the
+    naive single-window form — the two MUST agree row-for-row, which
+    pins the distributed decomposition's correctness."""
+    from lwetl_spark.operators.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").cast("long").alias("n_tokens")
+    )
+    return pack_sequences(docs, budget=512, n_tokens="n_tokens", salt="pack")
+
+
 def queries() -> dict[str, QueryFn]:
     _load_etl_queries()
     return dict(QUERIES)
