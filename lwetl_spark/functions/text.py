@@ -209,3 +209,38 @@ def lang_id(text: Column | str) -> Column:
     for lang, score in reversed(scores):
         result = F.when(score == best_score, F.lit(lang)).otherwise(result)
     return F.when(best_score > 0, result).otherwise(F.lit("und"))
+
+
+# -- PII redaction (NEW training-pipeline op; no reference analog — the
+# reference's closest concern is secret handling in config, C4) ----------
+
+# applied IN ORDER: emails first (may contain digit runs), then dotted
+# IPs, then bare digit runs — counts are computed on the same
+# progressively-redacted text so every count equals actual replacements
+DEFAULT_PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}(?:\.\d{1,3}){3}\b", "<IP>"),
+    ("number", r"\d{4,}", "<NUMBER>"),
+]
+
+
+def redact_pii(text: Column | str, patterns=None) -> Column:
+    """Sequentially replace every PII pattern occurrence — a pure
+    regexp_replace chain, whole-stage-codegen'd (no UDF)."""
+    c = _col(text)
+    for _, pat, tok in patterns or DEFAULT_PII_PATTERNS:
+        c = F.regexp_replace(c, pat, tok)
+    return c
+
+
+def pii_counts(text: Column | str, patterns=None) -> list[Column]:
+    """One `n_<name>` count column per pattern, evaluated on the text as
+    redacted by all PRECEDING patterns (so overlapping patterns — a
+    digit run inside an email — are counted exactly once, matching what
+    `redact_pii` replaces)."""
+    c = _col(text)
+    out = []
+    for name, pat, tok in patterns or DEFAULT_PII_PATTERNS:
+        out.append(F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0))).alias(f"n_{name}"))
+        c = F.regexp_replace(c, pat, tok)
+    return out

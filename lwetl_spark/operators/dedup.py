@@ -342,3 +342,58 @@ def connected_components_two_phase(
         .union(e.select(F.col("v").alias("node"), F.col("v").alias("cluster_id")))
         .distinct()
     )
+
+
+def dedup_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    max_doc_freq: int = 1,
+    broadcast_hot: bool = True,
+) -> DataFrame:
+    """Boilerplate-line removal (the CCNet/RefinedWeb-style pass): drop
+    every line that occurs in more than `max_doc_freq` distinct
+    documents, reassemble the survivors in original order.  Returns
+    (id_col, text_col, n_lines_kept) — docs whose every line was
+    boilerplate come back with '' / 0, not dropped.
+
+    Scale (100 TB): the frequency aggregate shuffles (line, id) pairs —
+    that IS the doc-frequency computation and is map-side combinable;
+    the hot set it yields (lines above the threshold — boilerplate
+    vocabulary, tiny relative to the corpus) is BROADCAST into a
+    map-side anti-join, so the filtering pass never shuffles the corpus.
+    Reassembly groups by doc id, shuffling only surviving (pos, line)
+    pairs."""
+    lines = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    )
+    hot = (
+        lines.groupBy("line")
+        .agg(F.count_distinct("_id").alias("_df"))
+        .filter(F.col("_df") > max_doc_freq)
+        .select("line")
+    )
+    if broadcast_hot:
+        hot = F.broadcast(hot)
+    kept = lines.join(hot, "line", "left_anti")
+    rebuilt = kept.groupBy("_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda x: x["line"],
+            ),
+            sep,
+        ).alias("_text"),
+        F.count(F.lit(1)).alias("n_lines_kept"),
+    )
+    base = df.select(F.col(id_col))
+    return (
+        base.join(rebuilt, base[id_col] == rebuilt["_id"], "left")
+        .select(
+            id_col,
+            F.coalesce("_text", F.lit("")).alias(text_col),
+            F.coalesce("n_lines_kept", F.lit(0)).cast("long").alias("n_lines_kept"),
+        )
+    )

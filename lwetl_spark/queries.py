@@ -2343,6 +2343,123 @@ def x_pack_sequences(spark, sf_dir):
     return pack_sequences(docs, budget=512, n_tokens="n_tokens", salt="pack")
 
 
+@register(
+    "x_line_dedup",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                 x -> x <> '') AS toks
+      FROM documents
+    ),
+    chunk AS (
+      SELECT doc_id, list_transform(generate_series(1, len(toks), 8),
+             i -> array_to_string(toks[i:i+7], ' ')) AS lines
+      FROM tok WHERE len(toks) > 0
+    ),
+    l AS (
+      SELECT doc_id, unnest(lines) AS line,
+             unnest(generate_series(1, len(lines))) AS pos
+      FROM chunk
+    ),
+    hot AS (SELECT line FROM l GROUP BY line HAVING COUNT(DISTINCT doc_id) > 1),
+    kept AS (SELECT l.* FROM l ANTI JOIN hot USING (line)),
+    re AS (
+      SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
+             CAST(COUNT(*) AS BIGINT) AS n_lines_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id, COALESCE(re.text, '') AS text,
+           COALESCE(re.n_lines_kept, 0) AS n_lines_kept
+    FROM documents d LEFT JOIN re ON d.doc_id = re.doc_id
+    """,
+)
+def x_line_dedup(spark, sf_dir):
+    """Boilerplate-line removal over a derived multi-line corpus (docs
+    re-wrapped at 8 tokens/line — the synthetic corpus has no newlines):
+    any line occurring in >1 document is dropped everywhere, survivors
+    reassembled in order; fully-boilerplate docs come back empty rather
+    than disappearing.  The hot-line set is broadcast — the filtering
+    pass is a map-side anti-join (SCALE.md dedup family)."""
+    from lwetl_spark.operators.dedup import dedup_lines
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.expr(r"filter(split(lower(trim(text)), '\\s+'), x -> x <> '')")
+    chunked = (
+        docs.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") > 0)
+        .select(
+            "doc_id",
+            F.array_join(
+                F.expr(
+                    "transform(sequence(1, size(toks), 8),"
+                    " i -> concat_ws(' ', slice(toks, i, 8)))"
+                ),
+                "\n",
+            ).alias("text"),
+        )
+    )
+    return dedup_lines(chunked, max_doc_freq=1)
+
+
+@register(
+    "x_pii_redact",
+    r"""
+    WITH inj AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or 10.' || CAST(doc_id % 200 AS VARCHAR)
+                  || '.0.1 ref ' || CAST(doc_id * 7919 AS VARCHAR) AS t
+      FROM documents
+    ),
+    s1 AS (
+      SELECT doc_id, t,
+             regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                            '<EMAIL>', 'g') AS t1
+      FROM inj
+    ),
+    s2 AS (
+      SELECT *, regexp_replace(t1, '\b\d{1,3}(?:\.\d{1,3}){3}\b', '<IP>', 'g') AS t2
+      FROM s1
+    )
+    SELECT doc_id,
+           regexp_replace(t2, '\d{4,}', '<NUMBER>', 'g') AS clean_text,
+           CAST(len(regexp_extract_all(t,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', 0)) AS INT) AS n_email,
+           CAST(len(regexp_extract_all(t1,
+                '\b\d{1,3}(?:\.\d{1,3}){3}\b', 0)) AS INT) AS n_ipv4,
+           CAST(len(regexp_extract_all(t2, '\d{4,}', 0)) AS INT) AS n_number
+    FROM s2
+    """,
+)
+def x_pii_redact(spark, sf_dir):
+    """PII redaction (email / IPv4 / long digit run → typed tokens) with
+    per-category counts.  The synthetic corpus carries no PII, so the
+    query deterministically injects some first — both engines build the
+    identical dirty text, then the oracle pins Spark's (Java-regex)
+    replace-all + extract-all against DuckDB's (RE2) 'g'-flagged forms.
+    Counts are taken on the progressively-redacted text, so each count
+    equals actual replacements (a digit run inside an email never
+    double-counts).  Pure regexp expression chain — codegen, no UDF."""
+    from lwetl_spark.functions.text import pii_counts, redact_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    dirty = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 10."),
+        (F.col("doc_id") % 200).cast("string"),
+        F.lit(".0.1 ref "),
+        (F.col("doc_id") * 7919).cast("string"),
+    )
+    staged = docs.select("doc_id", dirty.alias("t"))
+    return staged.select(
+        "doc_id",
+        redact_pii("t").alias("clean_text"),
+        *pii_counts("t"),
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     _load_etl_queries()
     return dict(QUERIES)

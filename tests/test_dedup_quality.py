@@ -154,3 +154,34 @@ def test_two_phase_cc_long_chain(spark):
     )
     got = {r["node"]: r["cluster_id"] for r in connected_components_two_phase(chain).collect()}
     assert len(got) == 300 and set(got.values()) == {0}
+
+
+def test_dedup_lines_drops_cross_doc_boilerplate(spark):
+    from lwetl_spark.operators.dedup import dedup_lines
+
+    df = spark.createDataFrame(
+        [
+            (1, "keep one\nCOPYRIGHT FOOTER\nkeep two"),
+            (2, "COPYRIGHT FOOTER\nunique line"),
+            (3, "COPYRIGHT FOOTER"),  # all-boilerplate -> empty, not dropped
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.text, r.n_lines_kept) for r in dedup_lines(df).collect()}
+    assert out == {
+        1: ("keep one\nkeep two", 2),
+        2: ("unique line", 1),
+        3: ("", 0),
+    }
+
+
+def test_dedup_lines_max_doc_freq_threshold(spark):
+    from lwetl_spark.operators.dedup import dedup_lines
+
+    df = spark.createDataFrame(
+        [(1, "a\nb"), (2, "a\nc"), (3, "a\nb")],
+        "doc_id long, text string",
+    )
+    # 'a' in 3 docs, 'b' in 2: with max_doc_freq=2 only 'a' is dropped
+    out = {r.doc_id: r.text for r in dedup_lines(df, max_doc_freq=2).collect()}
+    assert out == {1: "b", 2: "c", 3: "b"}

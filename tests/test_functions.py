@@ -155,3 +155,35 @@ def test_drop_empty_values():
     from lwetl_spark.types import drop_empty_values
 
     assert drop_empty_values({"a": 1, "b": None, "c": "  ", "d": "x"}) == {"a": 1, "d": "x"}
+
+
+def test_redact_pii_and_counts(spark):
+    from pyspark.sql import functions as F
+
+    from lwetl_spark.functions.text import pii_counts, redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at bob.smith+x@corp.example.org thanks"),
+            (2, "server 192.168.1.250 answered"),
+            (3, "account 123456789 and code 9999"),
+            (4, "clean text only"),
+            (5, "user12345@x.io has 12345 inside"),  # digits inside email: counted once
+        ],
+        "id long, t string",
+    )
+    rows = {
+        r.id: r
+        for r in df.select("id", redact_pii("t").alias("c"), *pii_counts("t")).collect()
+    }
+    assert rows[1].c == "mail me at <EMAIL> thanks"
+    assert (rows[1].n_email, rows[1].n_ipv4, rows[1].n_number) == (1, 0, 0)
+    assert rows[2].c == "server <IP> answered"
+    assert (rows[2].n_email, rows[2].n_ipv4, rows[2].n_number) == (0, 1, 0)
+    assert rows[3].c == "account <NUMBER> and code <NUMBER>"
+    assert rows[3].n_number == 2
+    assert rows[4].c == "clean text only"
+    assert (rows[4].n_email, rows[4].n_ipv4, rows[4].n_number) == (0, 0, 0)
+    # the 12345 inside the email is redacted AS the email, not double-counted
+    assert rows[5].c == "<EMAIL> has <NUMBER> inside"
+    assert (rows[5].n_email, rows[5].n_number) == (1, 1)
