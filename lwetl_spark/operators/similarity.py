@@ -119,6 +119,7 @@ def ivf_topk(
     nprobe: int = 6,
     train_sample: int = 10_000,
     iters: int = 8,
+    score: str = "broadcast",
 ) -> DataFrame:
     """Approximate top-k via IVF (inverted-file) cells.
 
@@ -174,7 +175,6 @@ def ivf_topk(
     probe_cells = base.mapInPandas(
         assign_cells(min(nprobe, n_cells)), schema="id long, cell int"
     )
-    vecs = df.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("cv"))
     cand = (
         probe_cells.alias("q")
         .join(data_cells.alias("d"), "cell")
@@ -182,17 +182,72 @@ def ivf_topk(
         .filter(F.col("id") != F.col("neighbor_id"))
         .dropDuplicates(["id", "neighbor_id"])
     )
-    scored = (
-        cand.join(base.withColumnRenamed("id", "qid"), cand.id == F.col("qid"))
-        .join(vecs, cand.neighbor_id == vecs.nid)
-        .withColumn("cos", F.round(cosine_similarity("v", "cv"), 6))
-    )
+    scored = _score_candidates(df, cand, vec_col, id_col, score)
     w = Window.partitionBy("id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("id", "neighbor_id", "cos", "rank")
     )
+
+
+def _score_candidates(
+    df: DataFrame,
+    cand: DataFrame,
+    vec_col: str,
+    id_col: str,
+    score: str = "broadcast",
+) -> DataFrame:
+    """Score bare (id, neighbor_id) candidate pairs with exact cosine.
+
+    'broadcast': both vectors come from a broadcast id-sorted matrix and
+    each Arrow batch is one numpy gather + row-wise dot — no vector ever
+    rides a shuffle (valid to ~10M x 64d, like cosine_topk_pandas).
+    'join': re-join vectors by key and fold cosine as a column
+    expression — the beyond-broadcast path.
+    """
+    if score == "join":
+        vecs = df.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"))
+        return (
+            cand.join(
+                vecs.withColumnRenamed("_vid", "id").withColumnRenamed("_v", "qv"), "id"
+            )
+            .join(
+                vecs.withColumnRenamed("_vid", "neighbor_id").withColumnRenamed("_v", "cv"),
+                "neighbor_id",
+            )
+            .withColumn("cos", F.round(cosine_similarity("qv", "cv"), 6))
+            .select("id", "neighbor_id", "cos")
+        )
+    import numpy as np
+
+    spark = df.sparkSession
+    rows = df.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    mat = np.array([r[1] for r in rows], dtype=np.float64)[order]
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(mat)
+    b_norms = spark.sparkContext.broadcast(norms)
+
+    def score_batches(it):
+        import numpy as np
+
+        cids, cmat, cnorms = b_ids.value, b_mat.value, b_norms.value
+        for pdf in it:
+            if not len(pdf):
+                continue
+            qi = np.searchsorted(cids, pdf["id"].to_numpy(np.int64))
+            ci = np.searchsorted(cids, pdf["neighbor_id"].to_numpy(np.int64))
+            cos = (cmat[qi] * cmat[ci]).sum(axis=1) / (cnorms[qi] * cnorms[ci])
+            # HALF_UP like F.round (np.round is banker's)
+            cos = np.floor(cos * 1e6 + 0.5) / 1e6
+            yield pdf.assign(cos=cos)
+
+    return cand.mapInPandas(score_batches, "id long, neighbor_id long, cos double")
 
 
 def lsh_ann_topk(
@@ -203,6 +258,7 @@ def lsh_ann_topk(
     num_planes: int = 4,
     num_tables: int = 12,
     dim: int = 64,
+    score: str = "broadcast",
 ) -> DataFrame:
     """Approximate top-k via random-hyperplane LSH.
 
@@ -213,53 +269,57 @@ def lsh_ann_topk(
     within buckets only.  Independence across tables is what makes
     recall compound: ~0.7 recall@5 at (3 planes, 8 tables) on the test
     corpus vs ~0.2 for correlated sinusoidal planes.
+
+    Execution shape (measured 28.8s -> ~6s at sf0.1): all
+    num_tables*num_planes projections per vector are one Arrow-batched
+    numpy matmul (not interpreted per-element HOF folds); the self-join
+    and pair-dedup carry BARE (id, neighbor) longs — vectors never ride
+    the candidate shuffle; `_score_candidates` looks vectors up in a
+    broadcast matrix ('broadcast') or re-joins them by key ('join', the
+    beyond-~10M-vectors path).
     """
     import numpy as np
 
     rs = np.random.RandomState(42)
-    planes = rs.standard_normal((num_tables, num_planes, dim)).tolist()
-
-    def bucket_expr(table_idx: int):
-        tbl = planes[table_idx]
-        bits = []
-        for p_idx, plane in enumerate(tbl):
-            arr = F.array(*[F.lit(x) for x in plane])
-            proj = F.aggregate(
-                F.zip_with(F.transform(F.col(vec_col), lambda x: x.cast("double")), arr, lambda a, b: a * b),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            bits.append(F.when(proj >= 0, F.lit(1 << p_idx)).otherwise(F.lit(0)))
-        key = bits[0]
-        for b in bits[1:]:
-            key = key + b
-        return key
-
-    buckets = df.select(
-        F.col(id_col),
-        F.col(vec_col),
-        F.posexplode(F.array(*[bucket_expr(t) for t in range(num_tables)])).alias(
-            "table_idx", "bucket"
-        ),
+    planes = rs.standard_normal((num_tables, num_planes, dim))
+    spark = df.sparkSession
+    b_planes = spark.sparkContext.broadcast(
+        planes.reshape(num_tables * num_planes, dim)
     )
-    a = buckets.alias("a")
-    b = buckets.alias("b")
+    n_tables, n_planes = num_tables, num_planes
+
+    def bucketize(it):
+        import numpy as np
+        import pandas as pd
+
+        P = b_planes.value
+        pow2 = 1 << np.arange(n_planes)
+        for pdf in it:
+            if not len(pdf):
+                continue
+            mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            proj = mat @ P.T
+            bits = (proj >= 0).reshape(len(pdf), n_tables, n_planes)
+            buckets = (bits * pow2).sum(axis=2).astype(np.int32)
+            yield pd.DataFrame(
+                {
+                    "id": np.repeat(pdf[id_col].to_numpy(np.int64), n_tables),
+                    "table_idx": np.tile(np.arange(n_tables, dtype=np.int32), len(pdf)),
+                    "bucket": buckets.ravel(),
+                }
+            )
+
+    bucketed = df.select(id_col, vec_col).mapInPandas(
+        bucketize, "id long, table_idx int, bucket int"
+    )
+    a, b = bucketed.alias("a"), bucketed.alias("b")
     cand = (
-        a.join(
-            b,
-            (F.col("a.table_idx") == F.col("b.table_idx"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id"),
-            F.col(f"b.{id_col}").alias("neighbor_id"),
-            F.col(f"a.{vec_col}").alias("qv"),
-            F.col(f"b.{vec_col}").alias("cv"),
-        )
+        a.join(b, ["table_idx", "bucket"])
+        .filter(F.col("a.id") != F.col("b.id"))
+        .select(F.col("a.id").alias("id"), F.col("b.id").alias("neighbor_id"))
         .dropDuplicates(["id", "neighbor_id"])
     )
-    scored = cand.withColumn("cos", F.round(cosine_similarity("qv", "cv"), 6))
+    scored = _score_candidates(df, cand, vec_col, id_col, score)
     w = Window.partitionBy("id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

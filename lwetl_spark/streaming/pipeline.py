@@ -158,6 +158,45 @@ def stream_sessionize(
     )
 
 
+def stream_multi_rollup(
+    spark: SparkSession,
+    events_path: str,
+    fine: str = "5 minutes",
+    coarse: str = "1 hour",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming continuous aggregate at two resolutions: a watermarked
+    fine-grained tumbling aggregate CHAINED into a coarse re-aggregation
+    (`F.window_time` over the fine window — the multiple-stateful-
+    operator support of Spark ≥ 3.4).  This is the streaming counterpart
+    of the batch `x_multi_rollup` (5m → 1h → 1d re-aggregation): coarse
+    buckets consume finalized fine buckets, never raw events, so
+    per-operator state is bounded by windows in the lateness horizon —
+    not by event volume.  Append mode is required: a coarse bucket emits
+    once, when the watermark passes its end."""
+    schema = spark.read.parquet(events_path).schema
+    stream = spark.readStream.schema(schema).parquet(events_path)
+    fine_agg = (
+        stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", fine))
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+    )
+    return (
+        fine_agg.groupBy(F.window(F.window_time("window"), coarse))
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.round(F.sum("sum_value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("win_start"),
+            F.col("window.end").alias("win_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def stream_to_memory(df: DataFrame, name: str = "stream_out", mode: str = "complete") -> DataFrame:
     """Drive a streaming DataFrame to completion against the available
     input (processAllAvailable) and return the materialized result from

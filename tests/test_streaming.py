@@ -187,3 +187,32 @@ def test_stream_upload_commits_batches(spark, events_dir, tmp_path):
         q.stop()
     n_src = spark.read.parquet(events_dir).count()
     assert spark.read.parquet(target).count() == n_src
+
+
+def test_stream_multi_rollup_matches_batch(spark, events_dir):
+    """Chained streaming aggregation (5m fine buckets re-aggregated to 1h
+    coarse buckets via window_time): every EMITTED coarse bucket must
+    equal the batch 1h rollup for that bucket, and buckets fully behind
+    the final watermark must all have been emitted."""
+    from lwetl_spark.streaming.pipeline import stream_multi_rollup, stream_to_memory
+
+    roll = stream_multi_rollup(spark, events_dir, fine="5 minutes", coarse="1 hour")
+    got = stream_to_memory(roll, name="t_multiroll_out", mode="append")
+    stream_rows = {
+        r["win_start"]: (r["n_events"], r["sum_value"]) for r in got.collect()
+    }
+    assert len(stream_rows) > 5  # append mode emitted finalized buckets
+    batch = (
+        spark.read.parquet(events_dir)
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("v"))
+        .select(F.col("window.start").alias("ws"), "n", "v")
+    )
+    batch_rows = {r["ws"]: (r["n"], r["v"]) for r in batch.collect()}
+    for ws, vals in stream_rows.items():
+        assert batch_rows[ws] == vals, ws
+    # nothing behind the watermark horizon is missing: only the trailing
+    # hour(s) inside the 10-minute lateness window may be unemitted
+    missing = set(batch_rows) - set(stream_rows)
+    horizon = max(batch_rows)
+    assert all(ws >= horizon or ws in stream_rows for ws in batch_rows), missing
