@@ -63,16 +63,25 @@ def main() -> None:
     else:
         spark.range(1000).selectExpr("sum(id)").collect()
 
+    # Per-query time = MIN over `repeats` back-to-back runs: the minimum
+    # estimates steady-state engine throughput and is robust to one-off
+    # GC/JIT/compaction hiccups (observed ±0.5s suite variance collapses
+    # to ~±0.1s at repeats=2).  clearCache between queries keeps
+    # persist()-ing queries (minhash) from subsidizing later ones.
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2")))
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
         fn = QUERIES[name]
-        t0 = time.time()
-        n = fn(spark, SF_DIR).count()
-        dt = time.time() - t0
-        timings[name] = round(dt, 3)
-        total += dt
-        print(f"# {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
+        best, n = float("inf"), 0
+        for _ in range(repeats):
+            spark.catalog.clearCache()
+            t0 = time.time()
+            n = fn(spark, SF_DIR).count()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
+        total += best
+        print(f"# {name}: {best:.2f}s ({n} rows)", file=sys.stderr)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -82,6 +91,7 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "repeats": repeats,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
