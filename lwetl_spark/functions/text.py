@@ -244,3 +244,21 @@ def pii_counts(text: Column | str, patterns=None) -> list[Column]:
         out.append(F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0))).alias(f"n_{name}"))
         c = F.regexp_replace(c, pat, tok)
     return out
+
+
+def repeated_ngram_stats(
+    text: Column | str, n: int = 2
+) -> tuple[Column, Column]:
+    """(n_grams, n_distinct_grams) for whitespace word n-grams — the
+    within-document repetition signal behind the Gopher repetition
+    filters.  Entirely row-local array expressions (no explode, no
+    shuffle): repetition scoring of a 100 TB corpus is scan-bound."""
+    toks = tokens(text)
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.size(grams), F.size(F.array_distinct(grams))

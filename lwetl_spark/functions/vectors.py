@@ -40,3 +40,24 @@ def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     d = dot(a, b)
     na, nb = l2_norm(a), l2_norm(b)
     return F.when((na > 0) & (nb > 0), d / (na * nb)).otherwise(F.lit(None).cast("double"))
+
+
+def max_abs(a: Column | str) -> Column:
+    """max |a[i]| in double — the symmetric-quantization scale basis."""
+    return F.array_max(F.transform(_as_double(_col(a)), F.abs))
+
+
+def quantize_int8(a: Column | str) -> Column:
+    """Symmetric int8 quantization: q[i] = floor((x*127)/max|x|), the
+    embedding-compression step of a vector-store ingest (4x smaller than
+    float32, 8x smaller than float64 on the wire and in ANN state).
+
+    floor (not round) and the exact (x*127)/m association are chosen
+    because both are bit-reproducible across engines on identical IEEE
+    doubles — the DuckDB oracle mirrors the formula term-for-term.
+    Zero vectors quantize to zeros.  Row-local, codegen'd, zero shuffle.
+    """
+    v = _as_double(_col(a))
+    m = F.array_max(F.transform(v, F.abs))
+    q = F.transform(v, lambda x: F.floor((x * F.lit(127.0)) / m).cast("int"))
+    return F.when(m > 0, q).otherwise(F.transform(v, lambda x: F.lit(0)))

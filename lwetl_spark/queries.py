@@ -2460,6 +2460,90 @@ def x_pii_redact(spark, sf_dir):
     )
 
 
+@register(
+    "x_repetition",
+    r"""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                 x -> x <> '') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 2
+                  THEN list_transform(generate_series(1, len(toks) - 1),
+                                      i -> array_to_string(toks[i:i+1], ' '))
+                  ELSE [] END AS grams
+      FROM t
+    )
+    SELECT doc_id, CAST(len(grams) AS INT) AS n_grams,
+           CAST(len(list_distinct(grams)) AS INT) AS n_distinct,
+           (len(grams) - len(list_distinct(grams))) * 100 > len(grams) * 5
+               AS is_repetitive
+    FROM g
+    """,
+)
+def x_repetition(spark, sf_dir):
+    """Within-document repetition stats (the Gopher repetition-filter
+    signal): word-2-gram count vs distinct count, flagged when >5% of
+    grams are repeats.  Entirely row-local array expressions — no
+    explode, no shuffle; repetition scoring of a 100 TB corpus is
+    scan-bound.  Integer comparison (d*100 > n*5) so the flag is exact
+    in both engines."""
+    from lwetl_spark.functions.text import repeated_ngram_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    n_grams, n_distinct = repeated_ngram_stats("text", n=2)
+    return docs.select(
+        "doc_id",
+        n_grams.alias("n_grams"),
+        n_distinct.alias("n_distinct"),
+        ((n_grams - n_distinct) * 100 > n_grams * 5).alias("is_repetitive"),
+    )
+
+
+@register(
+    "x_quantize_embeddings",
+    """
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS m
+      FROM embeddings
+    )
+    SELECT vec_id,
+           ROUND(m, 6) AS max_abs,
+           CASE WHEN m > 0
+                THEN array_to_string(list_transform(ve,
+                     x -> CAST(floor((x * 127) / m) AS INT)), ',')
+                ELSE array_to_string(list_transform(ve, x -> 0), ',')
+           END AS q_csv,
+           CAST(CASE WHEN m > 0
+                THEN len(list_filter(ve,
+                     x -> abs(CAST(floor((x * 127) / m) AS INT)) = 127))
+                ELSE 0 END AS INT) AS n_sat
+    FROM v
+    """,
+)
+def x_quantize_embeddings(spark, sf_dir):
+    """Symmetric int8 embedding quantization (the vector-store ingest
+    compression step: 8x narrower ANN state / wire format).  floor and
+    the exact (x*127)/m association are bit-reproducible across engines
+    on identical IEEE doubles, so the oracle matches the full quantized
+    vector (CSV-serialized), not just a summary.  Row-local — zero
+    shuffle."""
+    from lwetl_spark.functions.vectors import max_abs, quantize_int8
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = quantize_int8("embedding")
+    return emb.select(
+        "vec_id",
+        F.round(max_abs("embedding"), 6).alias("max_abs"),
+        F.array_join(F.transform(q, lambda x: x.cast("string")), ",").alias("q_csv"),
+        F.size(F.filter(q, lambda x: F.abs(x) == F.lit(127))).alias("n_sat"),
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     _load_etl_queries()
     return dict(QUERIES)

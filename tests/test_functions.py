@@ -187,3 +187,37 @@ def test_redact_pii_and_counts(spark):
     # the 12345 inside the email is redacted AS the email, not double-counted
     assert rows[5].c == "<EMAIL> has <NUMBER> inside"
     assert (rows[5].n_email, rows[5].n_number) == (1, 1)
+
+
+def test_quantize_int8_known_values(spark):
+    from pyspark.sql import functions as F
+
+    from lwetl_spark.functions.vectors import max_abs, quantize_int8
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25]), (2, [0.0, 0.0]), (3, [-2.0, 1.0])],
+        "id long, embedding array<double>",
+    )
+    rows = {
+        r.id: (r.q, r.m)
+        for r in df.select(
+            "id", quantize_int8("embedding").alias("q"), max_abs("embedding").alias("m")
+        ).collect()
+    }
+    assert rows[1] == ([127, -64, 31], 1.0)  # floor(-63.5) = -64
+    assert rows[2] == ([0, 0], 0.0)  # zero vector -> zeros, no div-by-zero
+    assert rows[3] == ([-127, 63], 2.0)  # floor(63.5) = 63
+
+
+def test_repeated_ngram_stats(spark):
+    from lwetl_spark.functions.text import repeated_ngram_stats
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "x"), (3, "one two three")],
+        "id long, t string",
+    )
+    n, d = repeated_ngram_stats("t", n=2)
+    rows = {r.id: (r.n, r.d) for r in df.select("id", n.alias("n"), d.alias("d")).collect()}
+    assert rows[1] == (3, 2)  # "a b","b a","a b"
+    assert rows[2] == (0, 0)  # shorter than n
+    assert rows[3] == (2, 2)
