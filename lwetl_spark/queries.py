@@ -2544,6 +2544,84 @@ def x_quantize_embeddings(spark, sf_dir):
     )
 
 
+@register(
+    "x_curation_pipeline",
+    r"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                         x -> x <> '') AS toks,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'decon'), 1, 4))::INT AS b
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, b, unnest(list_transform(generate_series(1, len(toks) - 4),
+             i -> array_to_string(toks[i:i+4], ' '))) AS g
+      FROM tok WHERE len(toks) >= 5
+    ),
+    bench AS (SELECT DISTINCT g FROM grams WHERE b < 6553),
+    contaminated AS (
+      SELECT DISTINCT doc_id FROM grams JOIN bench USING (g) WHERE b >= 6553
+    ),
+    clean AS (
+      SELECT doc_id, toks FROM tok
+      WHERE b >= 6553 AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ),
+    rep AS (
+      SELECT doc_id, toks,
+             CASE WHEN len(toks) >= 2
+                  THEN list_transform(generate_series(1, len(toks) - 1),
+                                      i -> array_to_string(toks[i:i+1], ' '))
+                  ELSE [] END AS g2
+      FROM clean
+    ),
+    kept AS (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+             md5(CAST(doc_id AS VARCHAR) || 'pack') AS okey
+      FROM rep
+      WHERE NOT ((len(g2) - len(list_distinct(g2))) * 100 > len(g2) * 5)
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             CAST(SUM(n_tokens) OVER (ORDER BY okey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                  - n_tokens AS strt
+      FROM kept
+    )
+    SELECT strt // 512 AS seq_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+    FROM c GROUP BY 1
+    """,
+)
+def x_curation_pipeline(spark, sf_dir):
+    """End-to-end training-data curation as ONE declarative plan:
+    benchmark decontamination (5-gram broadcast probe) → repetition
+    filter (row-local 2-gram stats) → token counting → sequence packing
+    (two-phase prefix sum), aggregated to per-sequence (n_docs,
+    n_tokens).  Every stage is an operator verified by its own oracle
+    elsewhere; this pins that they COMPOSE — Catalyst fuses the
+    row-local filters into the scans, and the only corpus-wide shuffles
+    are the contamination count-distinct and the pack bucketing."""
+    from lwetl_spark.functions.text import repeated_ngram_stats
+    from lwetl_spark.operators.decontaminate import contamination_hits
+    from lwetl_spark.operators.packing import pack_sequences
+    from lwetl_spark.operators.sampling import split_by_key
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus, benchmark = split_by_key(docs, "doc_id", 0.1, salt="decon")
+    bad = contamination_hits(corpus, benchmark, n=5).select("doc_id")
+    clean = corpus.join(bad, "doc_id", "left_anti")
+    n_grams, n_distinct = repeated_ngram_stats("text", n=2)
+    kept = clean.filter(~((n_grams - n_distinct) * 100 > n_grams * 5)).select(
+        "doc_id", token_count("text").cast("long").alias("n_tokens")
+    )
+    packed = pack_sequences(kept, budget=512, n_tokens="n_tokens", salt="pack")
+    return packed.groupBy("seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     _load_etl_queries()
     return dict(QUERIES)
