@@ -252,13 +252,24 @@ def repeated_ngram_stats(
     """(n_grams, n_distinct_grams) for whitespace word n-grams — the
     within-document repetition signal behind the Gopher repetition
     filters.  Entirely row-local array expressions (no explode, no
-    shuffle): repetition scoring of a 100 TB corpus is scan-bound."""
+    shuffle): repetition scoring of a 100 TB corpus is scan-bound.
+
+    Gram construction: arrays_zip of n shifted slices, hashed per element
+    with xxhash64 — the lambda touches only its struct argument.  The
+    naive transform(sequence(...), i -> f(slice(toks, i, n))) form embeds
+    the token array INSIDE the lambda, and lambda-embedded subtrees are
+    re-evaluated PER ELEMENT (interpreted HOFs have no CSE): tokenization
+    ran once per gram, ~300× too often (measured 5.8s → 0.2s on the
+    sf0.1 corpus).  Hash grams are one long per gram; a within-document
+    64-bit collision (~n²/2⁶⁴) is the accepted error bar — counts match
+    the string-gram DuckDB oracle in x_repetition."""
     toks = tokens(text)
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    n_out = F.size(toks) - (n - 1)
+    shifted = [F.slice(toks, j + 1, n_out) for j in range(n)]
+    grams = F.transform(
+        F.arrays_zip(*shifted), lambda x: F.xxhash64(*[x[str(j)] for j in range(n)])
+    )
+    grams = F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<bigint>")
+    )
     return F.size(grams), F.size(F.array_distinct(grams))

@@ -2615,7 +2615,9 @@ def x_curation_pipeline(spark, sf_dir):
     kept = clean.filter(~((n_grams - n_distinct) * 100 > n_grams * 5)).select(
         "doc_id", token_count("text").cast("long").alias("n_tokens")
     )
-    packed = pack_sequences(kept, budget=512, n_tokens="n_tokens", salt="pack")
+    packed = pack_sequences(
+        kept, budget=512, n_tokens="n_tokens", salt="pack", cache_input=True
+    )
     return packed.groupBy("seq_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("n_tokens"),
