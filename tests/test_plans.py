@@ -198,3 +198,42 @@ def test_multi_rollup_one_scan_one_shuffle(spark):
     assert plan.count("FileScan parquet") == 1, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "Expand" in plan
+
+
+def test_decontaminate_probe_streams_mapside(spark):
+    """x_decontaminate: the benchmark gram set broadcasts, and the corpus
+    side flows scan→generate→probe with NO exchange before the join —
+    the only shuffle sits above the join (count-distinct over hits)."""
+    plan = _plan(spark, "x_decontaminate")
+    assert "BroadcastHashJoin" in plan
+    join_pos = plan.index("BroadcastHashJoin")
+    # the corpus branch is printed after the join operator; its segment up
+    # to the BroadcastExchange (benchmark side) must contain no shuffle
+    corpus_seg = plan[join_pos : plan.index("BroadcastExchange")]
+    assert "Exchange hashpartitioning" not in corpus_seg
+
+
+def test_repetition_zero_shuffle(spark):
+    """x_repetition is row-local: no exchange anywhere in the plan."""
+    plan = _plan(spark, "x_repetition")
+    assert "Exchange" not in plan
+    assert "FileScan parquet" in plan
+
+
+def test_quantize_zero_shuffle(spark):
+    plan = _plan(spark, "x_quantize_embeddings")
+    assert "Exchange" not in plan
+
+
+def test_pack_sequences_bucketed_windows_and_broadcast_offsets(spark):
+    """x_pack_sequences: per-bucket windows (hash exchange on _bucket),
+    offsets joined via broadcast — and NO global single-partition
+    exchange over the data path (the 256-row totals window is the only
+    SinglePartition, never the corpus)."""
+    plan = _plan(spark, "x_pack_sequences")
+    assert "BroadcastHashJoin" in plan
+    data_exchanges = [
+        l for l in plan.splitlines()
+        if "Exchange hashpartitioning(_bucket" in l
+    ]
+    assert data_exchanges, "expected the bucket-partitioned window exchange"
