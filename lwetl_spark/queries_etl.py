@@ -384,3 +384,35 @@ def f10_binary_roundtrip(spark, sf_dir):
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
     ).write.parquet(trg)
     return spark.read.parquet(trg).select("doc_id", F.md5("payload").alias("payload_md5"))
+
+
+# ----------------------------------------------------------------------------
+# U8: SQL-expression values (the reference's NativeExpression,
+# lwetl/uploader.py:64-70, 330-331) — raw SQL as an update value, evaluated
+# against the row being written
+# ----------------------------------------------------------------------------
+
+
+@register(
+    "u8_sql_expression",
+    """
+    SELECT p_partkey, p_brand,
+           CASE WHEN p_brand = 'Brand#11' THEN p_size + 100 ELSE p_size END
+               AS p_size
+    FROM part
+    """,
+)
+def u8_sql_expression(spark, sf_dir):
+    """U8: `SqlExpression` update value — `SET p_size = p_size + 100`
+    referencing the target row's own column, evaluated by Catalyst
+    (`F.expr`) during the conditional rewrite (vs the reference passing
+    the raw string through to the RDBMS)."""
+    from lwetl_spark.sinks.uploader import SqlExpression, Uploader, WritePolicy
+
+    trg = os.path.join(_tmpdir("u8"), "part.parquet")
+    _t(spark, sf_dir, "part").write.parquet(trg)
+    up = Uploader(spark, trg, policy=WritePolicy.COMMIT)
+    up.update(
+        {"p_size": SqlExpression("p_size + 100")}, where={"p_brand": "Brand#11"}
+    )
+    return spark.read.parquet(trg).select("p_partkey", "p_brand", "p_size")
