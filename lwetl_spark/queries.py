@@ -2624,6 +2624,65 @@ def x_curation_pipeline(spark, sf_dir):
     )
 
 
+@register(
+    "s3_scalar_probes",
+    """
+    SELECT 'count' AS probe, (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS value
+    UNION ALL
+    SELECT 'max_key', (SELECT CAST(MAX(o_orderkey) AS BIGINT) FROM orders)
+    UNION ALL
+    SELECT 'missing_as_zero', 0
+    """,
+)
+def s3_scalar_probes(spark, sf_dir):
+    """S3 scalar probes (query_single_value / get_int,
+    lwetl/jdbc.py:722-753): driver-side scalars re-surfaced as a one-row-
+    per-probe DataFrame so the contract (None → 0 for get_int) is
+    driver-checked."""
+    from lwetl_spark.api import SparkEtl
+
+    etl = SparkEtl(sf_dir, spark)
+    rows = [
+        ("count", etl.get_int("SELECT COUNT(*) FROM orders")),
+        ("max_key", etl.get_int("SELECT MAX(o_orderkey) FROM orders")),
+        (
+            "missing_as_zero",
+            etl.get_int("SELECT MAX(o_orderkey) FROM orders WHERE 0 = 1"),
+        ),
+    ]
+    return spark.createDataFrame(rows, "probe string, value long")
+
+
+@register(
+    "s8_schema_info",
+    """
+    SELECT upper(table_name) AS table_name, upper(column_name) AS column_name
+    FROM information_schema.columns
+    WHERE table_name IN ('region','nation','customer','supplier','part',
+                         'orders','lineitem','events','documents','embeddings')
+    """,
+)
+def s8_schema_info(spark, sf_dir):
+    """S8 schema introspection (the reference's per-RDBMS catalog
+    queries, lwetl/queries.py:4-204): one row per column across the full
+    catalog.  Type names are engine-specific, so the cross-engine
+    contract is the (table, column) inventory; types/nullability are
+    covered engine-side by test_api."""
+    from lwetl_spark.catalog import schema_info
+
+    tables = {
+        t: _t(spark, sf_dir, t)
+        for t in (
+            "region nation customer supplier part orders lineitem "
+            "events documents embeddings".split()
+        )
+    }
+    return schema_info(spark, tables).select(
+        F.col("TABLE_NAME").alias("table_name"),
+        F.col("COLUMN_NAME").alias("column_name"),
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     _load_etl_queries()
     return dict(QUERIES)
