@@ -40,6 +40,28 @@ HEADLINE = [
 ]
 
 
+def _minhash_pairs(spark, sf_dir):
+    """Bench surface for x_dedup_minhash: the raw MinHash+LSH pair
+    operator.  The queries() entry of the same name wraps this in a
+    recall contract (it also brute-forces the exact pair set for the
+    oracle) — benching that would time the verification harness, not
+    the engine; this override keeps the benched workload identical to
+    BASELINE's."""
+    from lwetl_spark.catalog import load_table
+    from lwetl_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"),
+        num_hashes=32,
+        bands=8,
+        shingle_n=3,
+        threshold=0.3,
+    )
+
+
+BENCH_OVERRIDES = {"x_dedup_minhash": _minhash_pairs}
+
+
 def main() -> None:
     from lwetl_spark.session import get_spark
     from lwetl_spark.queries import QUERIES
@@ -54,7 +76,7 @@ def main() -> None:
     if os.path.isdir(warm_dir) and os.path.realpath(warm_dir) != os.path.realpath(SF_DIR):
         for name in HEADLINE:
             try:
-                QUERIES[name](spark, warm_dir).count()
+                (BENCH_OVERRIDES.get(name) or QUERIES[name])(spark, warm_dir).count()
             except Exception as e:  # pragma: no cover - warmup is best-effort
                 print(f"# warmup {name} failed: {e}", file=sys.stderr)
         # drop warmup-persisted tables (minhash signatures etc.) so the
@@ -72,7 +94,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
-        fn = QUERIES[name]
+        fn = BENCH_OVERRIDES.get(name) or QUERIES[name]
         best, n = float("inf"), 0
         for _ in range(repeats):
             spark.catalog.clearCache()

@@ -894,19 +894,112 @@ def x_jaccard_pairs(spark, sf_dir):
     )
 
 
-@register("x_dedup_minhash")  # rows-only: xxhash64 family not portable to DuckDB
+@register(
+    "x_dedup_minhash",
+    r"""
+    WITH tok AS (
+        SELECT doc_id AS id,
+               list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                           x -> x <> '') AS ts
+        FROM documents
+    ),
+    sh AS (
+        SELECT id, unnest(list_distinct(
+            CASE WHEN len(ts) >= 3
+                 THEN list_transform(generate_series(1, len(ts) - 2),
+                                     i -> array_to_string(ts[i:i+2], ' '))
+                 ELSE [array_to_string(ts, ' ')] END)) AS shingle
+        FROM tok
+    ),
+    sz AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY id),
+    inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, CAST(COUNT(*) AS BIGINT) AS i
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY 1, 2
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs, TRUE AS recall_ok
+    FROM inter JOIN sz sa ON sa.id = id_a JOIN sz sb ON sb.id = id_b
+    WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.3
+    """,
+)
 def x_dedup_minhash(spark, sf_dir):
     """MinHash(32)+LSH(8 bands) near-dup candidate pairs with exact
-    Jaccard verification on 3-word shingles."""
-    return minhash_lsh_pairs(
-        _t(spark, sf_dir, "documents"), num_hashes=32, bands=8, shingle_n=3, threshold=0.3
+    Jaccard verification on 3-word shingles.  The xxhash64 signature
+    family isn't DuckDB-portable, so the driver-checked contract is
+    recall: the oracle computes the TRUE 3-gram Jaccard ≥ 0.3 pair
+    count from scratch (same shingle definition, cross-engine), and
+    `recall_ok` asserts LSH surfaced ≥ 90% of those pairs (measured
+    1.00 at sf0.001-0.1 — dup clusters are high-Jaccard, where the
+    8-band bucket probability is ≈1).  Verified candidates are a subset
+    of the true pair set by construction (candidates are exact-Jaccard
+    filtered), so recall is the only free variable."""
+    docs = _t(spark, sf_dir, "documents")
+    exact = ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.3).select(
+        "id_a", "id_b"
+    )
+    found = minhash_lsh_pairs(
+        docs, num_hashes=32, bands=8, shingle_n=3, threshold=0.3
+    ).select("id_a", "id_b", F.lit(1).alias("_f"))
+    j = exact.join(found, ["id_a", "id_b"], "left")
+    return j.agg(
+        F.count("*").cast("long").alias("n_true_pairs"),
+        F.coalesce(F.count("_f") / F.count("*") >= 0.9, F.lit(True)).alias(
+            "recall_ok"
+        ),
     )
 
 
-@register("x_dedup_simhash")  # rows-only: xxhash64-based signature
+@register(
+    "x_dedup_simhash",
+    r"""
+    WITH g AS (
+        SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS dg,
+               CAST(COUNT(*) AS BIGINT) AS m
+        FROM documents GROUP BY 1
+    )
+    SELECT CAST(COALESCE(SUM(m * (m - 1) / 2), 0) AS BIGINT) AS n_dup_pairs,
+           TRUE AS all_dups_bucketed
+    FROM g
+    """,
+)
 def x_dedup_simhash(spark, sf_dir):
-    """SimHash-64 banded near-dup buckets (Hamming ≤ 3 candidates)."""
-    return simhash_buckets(_t(spark, sf_dir, "documents"))
+    """SimHash-64 banded near-dup buckets (Hamming ≤ 3 candidates).  The
+    xxhash64-based signature isn't DuckDB-portable (the md5-family
+    variant with a bit-exact oracle is x_simhash_portable), so the
+    driver-checked contract is the banding guarantee: every pair of
+    EXACT duplicates (identical normalized text ⇒ identical simhash ⇒
+    Hamming 0) must co-occur in at least one of the four 16-bit band
+    buckets.  The oracle recomputes the dup-pair count from the same
+    normalized digest cross-engine; `all_dups_bucketed` is the
+    Spark-side containment check.  Bucket surface itself
+    (`simhash_buckets`) is exercised in test_dedup_quality."""
+    from lwetl_spark.operators.dedup import simhash_buckets
+
+    docs = _t(spark, sf_dir, "documents")
+    dg = F.md5(F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")))
+    d = docs.select(F.col("doc_id"), dg.alias("dg"))
+    dup_pairs = (
+        d.alias("a")
+        .join(
+            d.alias("b"),
+            (F.col("a.dg") == F.col("b.dg"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    )
+    bucket_pairs = (
+        simhash_buckets(docs)
+        .select(F.explode("ids").alias("id_a"), F.col("ids"))
+        .select("id_a", F.explode("ids").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .distinct()
+        .withColumn("_b", F.lit(1))
+    )
+    j = dup_pairs.join(bucket_pairs, ["id_a", "id_b"], "left")
+    return j.agg(
+        F.count("*").cast("long").alias("n_dup_pairs"),
+        (F.count("_b") == F.count("*")).alias("all_dups_bucketed"),
+    )
 
 
 @register(
@@ -987,19 +1080,58 @@ def x_cosine_topk(spark, sf_dir):
     return cosine_topk_pandas(_t(spark, sf_dir, "embeddings"), k=5)
 
 
-@register("x_ann_lsh")  # rows-only: hyperplane construction not SQL-portable
+def _ann_recall_contract(spark, sf_dir, ann_fn, floor):
+    """Driver-checked ANN contract: run the approximate top-k AND the
+    brute-force exact top-k, join per query id, and return
+    (n_queries, recall_ok) where recall_ok asserts corpus recall@5 ≥
+    `floor`.  The hyperplane/quantizer constructions aren't
+    SQL-portable, but the recall property IS checkable cross-engine:
+    the oracle pins n_queries to the embedding count and expects
+    recall_ok TRUE.  Both sides are deterministic (fixed-seed planes /
+    k-means, argpartition re-rank), so the band is stable; measured
+    recall is lsh ≈ 0.82-0.86, ivf ≈ 0.71-0.75 at sf0.001-0.1."""
+    emb = _t(spark, sf_dir, "embeddings")
+    exact = cosine_topk_pandas(emb, k=5).groupBy("id").agg(
+        F.collect_set("neighbor_id").alias("_ex")
+    )
+    ann = ann_fn(emb, k=5).groupBy("id").agg(
+        F.collect_set("neighbor_id").alias("_an")
+    )
+    per_q = exact.join(ann, "id", "left").select(
+        F.coalesce(F.size(F.array_intersect("_ex", "_an")), F.lit(0)).alias("_hit"),
+        F.size("_ex").alias("_k"),
+    )
+    return per_q.agg(
+        F.count("*").cast("long").alias("n_queries"),
+        (F.sum("_hit") / F.sum("_k") >= floor).alias("recall_ok"),
+    )
+
+
+_ANN_ORACLE = """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS recall_ok
+    FROM embeddings
+    """
+
+
+@register("x_ann_lsh", _ANN_ORACLE)
 def x_ann_lsh(spark, sf_dir):
-    """Approximate NN via random-hyperplane LSH buckets + exact re-rank."""
-    return lsh_ann_topk(_t(spark, sf_dir, "embeddings"), k=5)
+    """Approximate NN via random-hyperplane LSH buckets + exact re-rank,
+    driver-checked as a recall@5 ≥ 0.7 contract against the brute-force
+    exact top-k (see _ann_recall_contract).  The neighbor-list surface
+    is `operators/similarity.lsh_ann_topk`, tested in
+    test_properties."""
+    return _ann_recall_contract(spark, sf_dir, lsh_ann_topk, 0.7)
 
 
-@register("x_ann_ivf")  # rows-only: k-means quantizer not SQL-portable
+@register("x_ann_ivf", _ANN_ORACLE)
 def x_ann_ivf(spark, sf_dir):
     """Approximate NN via IVF cells (deterministic spherical k-means
-    coarse quantizer, nprobe probing, exact re-rank in-cell)."""
+    coarse quantizer, nprobe probing, exact re-rank in-cell),
+    driver-checked as a recall@5 ≥ 0.65 contract against the
+    brute-force exact top-k (see _ann_recall_contract)."""
     from lwetl_spark.operators.similarity import ivf_topk
 
-    return ivf_topk(_t(spark, sf_dir, "embeddings"), k=5)
+    return _ann_recall_contract(spark, sf_dir, ivf_topk, 0.65)
 
 
 @register(
@@ -1506,15 +1638,36 @@ def x_train_split(spark, sf_dir):
     return tagged.groupBy("split", "lang").agg(F.count("*").alias("n_docs"))
 
 
-@register("a5_approx_distinct")  # rows-only: HLL estimates are engine-specific
+@register(
+    "a5_approx_distinct",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           TRUE AS within_5pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def a5_approx_distinct(spark, sf_dir):
     """A5's 100 TB form: approx_count_distinct (HyperLogLog++, rsd 2%) —
     sketches merge map-side, so the shuffle is one sketch per partition
-    instead of every distinct key.  Checked in pytest against the exact
-    count (±5%); rows-only for the driver (estimates are engine-specific)."""
+    instead of every distinct key.  The HLL estimate itself is
+    engine-specific, so the driver-checked contract is the accuracy
+    BAND: `within_5pct` asserts the estimate lands within ±5% of the
+    exact count (HLL++ is deterministic for given data, so the check is
+    stable run-to-run); the oracle pins the exact counts and expects
+    every band check TRUE."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_orderkey").alias("exact_orders"),
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("_approx"),
+    )
+    return agg.select(
+        "l_returnflag",
+        F.col("exact_orders").cast("long").alias("exact_orders"),
+        (
+            F.abs(F.col("_approx") - F.col("exact_orders"))
+            <= 0.05 * F.col("exact_orders")
+        ).alias("within_5pct"),
     )
 
 
@@ -1927,20 +2080,40 @@ def x_tfidf(spark, sf_dir):
     )
 
 
-@register("x_approx_quantile")  # rows-only: t-digest estimates are engine-specific
+@register(
+    "x_approx_quantile",
+    """
+    SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def x_approx_quantile(spark, sf_dir):
     """The 100 TB quantile form: approx_percentile (p50/p90/p99, accuracy
     10⁴) — sketches merge map-side like HLL (a5_approx_distinct), so the
     shuffle carries one sketch per partition per group instead of sorting
-    group values.  Checked in pytest against exact percentiles (±1%);
-    rows-only for the driver.  Exact median parity lives in
-    x_median_stats."""
+    group values.  The sketch estimate is engine-specific, so the
+    driver-checked contract is the accuracy band: each p*_ok asserts the
+    sketch lands within ±1% of the EXACT percentile (both computed
+    Spark-side, so no cross-engine float interpolation hazard); the
+    oracle pins group counts and expects every band TRUE.  Both
+    aggregates are deterministic, so the check is stable.  Exact median
+    parity lives in x_median_stats."""
     li = _t(spark, sf_dir, "lineitem")
     q = F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000)
-    return li.groupBy("l_returnflag").agg(
-        F.round(q[0], 2).alias("p50"),
-        F.round(q[1], 2).alias("p90"),
-        F.round(q[2], 2).alias("p99"),
+    e = F.percentile("l_extendedprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
+    agg = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"), q.alias("_q"), e.alias("_e")
+    )
+    band = lambda i: (
+        F.abs(F.col("_q")[i] - F.col("_e")[i]) <= 0.01 * F.col("_e")[i]
+    )
+    return agg.select(
+        "l_returnflag",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        band(0).alias("p50_ok"),
+        band(1).alias("p90_ok"),
+        band(2).alias("p99_ok"),
     )
 
 

