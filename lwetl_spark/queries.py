@@ -2856,6 +2856,188 @@ def s8_schema_info(spark, sf_dir):
     )
 
 
+@register(
+    "k1_text_table",
+    """
+    WITH src AS (
+        SELECT n_nationkey, n_name,
+               n_name || ' belongs to region ' || r_name AS long_desc
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+    ),
+    fmt AS (
+        SELECT n_nationkey,
+            lpad(CAST(n_nationkey AS VARCHAR), 20, ' ') AS c1,
+            CASE WHEN length(n_name) > 20 THEN substr(n_name, 1, 17) || '...'
+                 ELSE rpad(n_name, 20, ' ') END AS c2,
+            CASE WHEN length(long_desc) > 20 THEN substr(long_desc, 1, 17) || '...'
+                 ELSE rpad(long_desc, 20, ' ') END AS c3
+        FROM src
+    )
+    SELECT 0 AS line_no,
+           rtrim(lpad('n_nationkey', 20, ' ') || ' ' || rpad('n_name', 20, ' ')
+                 || ' ' || rpad('long_desc', 20, ' ')) AS line
+    UNION ALL
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_nationkey) AS INT),
+           rtrim(c1 || ' ' || c2 || ' ' || c3)
+    FROM fmt
+    """,
+)
+def k1_text_table(spark, sf_dir):
+    """K1 fixed-width text sink (lwetl/formatter.py:198-253) as a
+    driver-checked round trip: format nation (with a >20-char computed
+    description so truncation fires) through `format_text_table`
+    (width-20 cells, `...` truncation, numbers right-aligned, trailing
+    space stripped) and re-surface the emitted lines as rows.  The
+    oracle rebuilds every line with SQL string functions, so alignment,
+    truncation, and header placement are all checked character-exact.
+    Driver-side by design — the reference's text sink is a bounded
+    report format (SURVEY §7)."""
+    from lwetl_spark.sinks.formatter import format_text_table
+
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    src = (
+        nat.join(reg, nat["n_regionkey"] == reg["r_regionkey"])
+        .select(
+            "n_nationkey",
+            "n_name",
+            F.concat(
+                F.col("n_name"), F.lit(" belongs to region "), F.col("r_name")
+            ).alias("long_desc"),
+        )
+        .orderBy("n_nationkey")
+    )
+    lines = format_text_table(src).splitlines()
+    return spark.createDataFrame(
+        list(enumerate(lines)), "line_no int, line string"
+    )
+
+
+@register(
+    "k3_xml_sink",
+    """
+    WITH src AS (
+        SELECT r_regionkey, r_name,
+               'sells A&B <' || r_name || '> wares' AS note
+        FROM region
+    ),
+    esc AS (
+        SELECT r_regionkey,
+            replace(replace(replace(r_name, '&', '&amp;'), '<', '&lt;'), '>', '&gt;') AS en,
+            replace(replace(replace(note, '&', '&amp;'), '<', '&lt;'), '>', '&gt;') AS ec
+        FROM src
+    ),
+    body AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY r_regionkey) AS INT) AS line_no,
+            '  <row>'
+            || '<r_regionkey>' || CAST(r_regionkey AS VARCHAR) || '</r_regionkey>'
+            || '<r_name>' || en || '</r_name>'
+            || '<note>' || ec || '</note>'
+            || '</row>' AS line
+        FROM esc
+    )
+    SELECT 0 AS line_no, '<table>' AS line
+    UNION ALL SELECT line_no, line FROM body
+    UNION ALL SELECT CAST(c + 1 AS INT), '</table>'
+              FROM (SELECT COUNT(*) AS c FROM region)
+    """,
+)
+def k3_xml_sink(spark, sf_dir):
+    """K3 XML sink, 'plain' dialect (lwetl/formatter.py:294-438) as a
+    driver-checked round trip: serialize region (with a computed column
+    containing &, <, > so the escape path fires) through
+    `to_xml_string` and re-surface the document lines as rows.  The
+    oracle rebuilds each `<row><col>value</col>…</row>` line including
+    the XML escape chain (& before < before >, matching
+    saxutils.escape), so tag layout and escaping are checked
+    character-exact.  The 'value' and 'excel' dialects share the same
+    cell pipeline and are covered in test_sinks."""
+    from lwetl_spark.sinks.formatter import to_xml_string
+
+    reg = (
+        _t(spark, sf_dir, "region")
+        .select(
+            "r_regionkey",
+            "r_name",
+            F.concat(
+                F.lit("sells A&B <"), F.col("r_name"), F.lit("> wares")
+            ).alias("note"),
+        )
+        .orderBy("r_regionkey")
+    )
+    lines = to_xml_string(reg, dialect="plain").splitlines()
+    return spark.createDataFrame(
+        list(enumerate(lines)), "line_no int, line string"
+    )
+
+
+@register(
+    "k7_binary_suppression",
+    """
+    WITH d AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 5)
+    SELECT 0 AS line_no,
+           rtrim(lpad('doc_id', 20, ' ') || ' ' || rpad('blob', 20, ' ')
+                 || ' ' || lpad('n_bytes', 20, ' ')) AS line
+    UNION ALL
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY doc_id) AS INT),
+           rtrim(lpad(CAST(doc_id AS VARCHAR), 20, ' ') || ' '
+                 || 'Binary data suppr...' || ' ' || lpad('16', 20, ' '))
+    FROM d
+    """,
+)
+def k7_binary_suppression(spark, sf_dir):
+    """K7 binary suppression (lwetl/formatter.py:173-181): bytes columns
+    render as the 'Binary data suppressed.' placeholder in text-ish
+    sinks, never raw bytes.  Driver-checked by pushing a real
+    BinaryType column (md5 bytes of the text) through the K1 text sink;
+    the oracle pins each line including the placeholder (width-20
+    truncated) and the byte length the engine reports for the
+    suppressed cell."""
+    from lwetl_spark.sinks.formatter import format_text_table
+
+    blob = F.unhex(F.md5("text"))
+    d = (
+        _t(spark, sf_dir, "documents")
+        .orderBy("doc_id")
+        .limit(5)
+        .select("doc_id", blob.alias("blob"), F.length(blob).alias("n_bytes"))
+        .orderBy("doc_id")
+    )
+    lines = format_text_table(d).splitlines()
+    return spark.createDataFrame(
+        list(enumerate(lines)), "line_no int, line string"
+    )
+
+
+@register(
+    "s9_engine_info",
+    """
+    SELECT * FROM (VALUES
+        ('spark.version', TRUE),
+        ('spark.master', TRUE),
+        ('spark.sql.shuffle.partitions', TRUE),
+        ('spark.sql.adaptive.enabled', TRUE),
+        ('spark.sql.autoBroadcastJoinThreshold', TRUE),
+        ('spark.sql.session.timeZone', TRUE),
+        ('spark.sql.execution.arrow.pyspark.enabled', TRUE)
+    ) AS t(property, has_value)
+    """,
+)
+def s9_engine_info(spark, sf_dir):
+    """S9 driver metadata (the reference's JdbcInfo dump,
+    lwetl/jdbc_info.py:7-99): the values are engine-specific by nature
+    (Spark version, master URL), so the driver-checked contract is the
+    PROPERTY inventory — every execution-shaping conf the engine
+    reports must be present and resolvable in an untuned session.
+    Value contents are asserted engine-side in test_api."""
+    from lwetl_spark.catalog import engine_info
+
+    return engine_info(spark).select(
+        F.col("PROPERTY").alias("property"),
+        F.col("VALUE").isNotNull().alias("has_value"),
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     _load_etl_queries()
     return dict(QUERIES)
