@@ -61,3 +61,37 @@ def quantize_int8(a: Column | str) -> Column:
     m = F.array_max(F.transform(v, F.abs))
     q = F.transform(v, lambda x: F.floor((x * F.lit(127.0)) / m).cast("int"))
     return F.when(m > 0, q).otherwise(F.transform(v, lambda x: F.lit(0)))
+
+
+def standardize_embeddings(df: "DataFrame", col: str = "embedding") -> "DataFrame":
+    """Per-dimension z-score standardization of an embedding column —
+    the feature-scaling step in front of clustering / quantization /
+    similarity training.  (Training-pipeline op, NEW — no reference
+    analog.)
+
+    Scale design (100 TB): per-dim stats come from ONE aggregation over
+    posexplode(dim, v) — d groups only, so map-side partial aggregation
+    reduces each partition to d rows and the shuffle carries
+    O(partitions · d), not O(rows · d).  The d-row result is collected
+    and folded back as two literal arrays (a broadcast of 2·d doubles),
+    so the normalization itself is a row-local pair of zip_with's —
+    zero shuffle, no join, no second pass over the data.  Degenerate
+    dimensions (stddev 0) divide by 1, leaving the centered value.
+
+    Adds `<col>_z` (array<double>); leaves every input column intact.
+    """
+    from pyspark.sql import functions as F
+
+    stats = (
+        df.select(F.posexplode(col).alias("dim", "v"))
+        .groupBy("dim")
+        .agg(F.avg("v").alias("m"), F.stddev_pop("v").alias("s"))
+        .collect()
+    )
+    by_dim = {r["dim"]: r for r in stats}
+    means = F.array(*[F.lit(float(by_dim[i]["m"])) for i in sorted(by_dim)])
+    stds = F.array(
+        *[F.lit(float(by_dim[i]["s"]) if by_dim[i]["s"] else 1.0) for i in sorted(by_dim)]
+    )
+    centered = F.zip_with(F.col(col), means, lambda v, mm: v - mm)
+    return df.withColumn(col + "_z", F.zip_with(centered, stds, lambda c, s: c / s))

@@ -411,3 +411,83 @@ def dedup_lines(
             F.coalesce("n_lines_kept", F.lit(0)).cast("long").alias("n_lines_kept"),
         )
     )
+
+
+def _bloom_positions(fp, k: int, m) -> "F.Column":
+    """k engine-portable bloom bit positions for a fingerprint string:
+    position_j = bigint(md5(j ‖ ':' ‖ fp)[:15 hex]) mod m.  The md5
+    family keeps every position bit-exactly reproducible in any SQL
+    engine (same trick as the portable MinHash, x_minhash_portable)."""
+    return F.array(
+        *[
+            (
+                F.conv(
+                    F.substring(F.md5(F.concat(F.lit(f"{j}:"), fp)), 1, 15), 16, 10
+                ).cast("long")
+                % m
+            )
+            for j in range(k)
+        ]
+    )
+
+
+def bloom_filter_dedup(
+    corpus: DataFrame,
+    batch: DataFrame,
+    fp_col: str = "fp",
+    id_col: str = "doc_id",
+    k: int = 3,
+    bits_per_item: int = 16,
+) -> DataFrame:
+    """Incremental dedup with a Bloom-filter membership pre-screen: flag
+    each new-batch document whose fingerprint *might* already be in the
+    corpus, alongside ground truth.  (Training-pipeline op, NEW — the
+    streaming/incremental complement of exact_dedup; reference analog is
+    the client-side existence hash of db-copy,
+    lwetl/programs/db_copy/main.py:260-268.)
+
+    Returns (id_col, might_contain, is_dup) per batch document.  Bloom
+    guarantees NO false negatives (is_dup ⇒ might_contain, a pytest
+    invariant); false positives occur at the classic
+    (1 - e^{-kn/m})^k rate — k=3, m=16n gives ~0.7%.  The filter is
+    fully deterministic (md5 positions), so the DuckDB oracle
+    reproduces the EXACT same flags — false positives included — and
+    the driver check is exact, not banded.
+
+    Scale design (100 TB): the occupied-bit set is at most min(k·n, m)
+    distinct longs — 3n for a dedup corpus — built with one
+    explode+distinct (map-side partial dedup), then broadcast to probe
+    the batch without shuffling it.  At corpus sizes where k·n longs
+    exceed broadcast limits, swap the probe join for a bitmap compacted
+    via groupBy(pos/64)+bit_or (m/64 longs, 8 MB per 2^26 bits) or the
+    JVM-side df.stat.bloomFilter; the flag semantics are identical.
+    The batch side stays un-shuffled either way — this is what makes
+    the pre-screen worth it in front of an exact anti-join: only the
+    ~dup_rate + 0.7% flagged slice pays the fingerprint shuffle.
+    """
+    n = corpus.count()
+    m = max(64, bits_per_item * n)
+    occ = (
+        corpus.select(F.explode(_bloom_positions(F.col(fp_col), k, m)).alias("p"))
+        .distinct()
+        .withColumn("_occ", F.lit(1))
+    )
+    probes = batch.select(
+        id_col, fp_col, F.explode(_bloom_positions(F.col(fp_col), k, m)).alias("p")
+    )
+    hits = (
+        probes.join(F.broadcast(occ), "p", "left")
+        .groupBy(id_col, fp_col)
+        .agg((F.count("_occ") == k).alias("might_contain"))
+    )
+    # ground-truth side: ordinary join (corpus-sized — let AQE pick the
+    # strategy; only the occupied-bit set above is hint-broadcast)
+    dups = corpus.select(fp_col).distinct().withColumn("_dup", F.lit(1))
+    return (
+        hits.join(dups, fp_col, "left")
+        .select(
+            id_col,
+            "might_contain",
+            F.col("_dup").isNotNull().alias("is_dup"),
+        )
+    )

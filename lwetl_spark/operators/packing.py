@@ -96,3 +96,57 @@ def pack_sequences(
         .withColumn("offset_in_seq", start - F.col("seq_id") * budget)
         .drop("_n", "_okey", "_bucket", "_local_end", "_off")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_size: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Token-window chunking: split each document's token stream into
+    windows of `chunk_size` tokens advancing by `stride` (overlap =
+    chunk_size - stride), the standard context-window prep for
+    pretraining / RAG ingestion.  (Training-pipeline op, NEW — nearest
+    reference analog is row-batch chunking, lwetl/uploader.py:22-25.)
+
+    Chunk i covers tokens [i*stride, i*stride + chunk_size); the last
+    chunk may be short; every non-empty document yields >= 1 chunk.
+    n_chunks = max(1, ceil((n - chunk_size) / stride) + 1) — integer
+    ceil over a double division, engine-exact (the DuckDB oracle
+    mirrors it term-for-term).
+
+    Scale design (100 TB): entirely row-local — tokenize once into a
+    materialized array column (HOF subtrees embedded in a lambda
+    re-evaluate PER ELEMENT), build all chunk slices with one
+    transform-over-sequence, posexplode.  Zero shuffle; output rows
+    ~= corpus tokens / stride, each carrying a fixed-size hash rather
+    than the chunk text, so the explode does not amplify bytes.  The
+    chunk_hash (md5 of the space-joined window) is the join key a
+    downstream exact-dedup or decontamination pass runs on.
+    """
+    if stride <= 0 or chunk_size <= 0:
+        raise ValueError(f"chunk_size and stride must be positive, got {chunk_size}, {stride}")
+    from lwetl_spark.functions.text import tokens
+
+    d = df.select(
+        F.col(id_col), tokens(text_col).alias("_t")
+    ).filter(F.size("_t") > 0)
+    n = F.size("_t")
+    n_chunks = F.greatest(
+        F.lit(1),
+        (F.ceil((n - F.lit(chunk_size)) / F.lit(float(stride))) + 1).cast("int"),
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.slice("_t", i * stride + 1, chunk_size),
+    )
+    return d.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "_c")
+    ).select(
+        id_col,
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.size("_c").cast("int").alias("n_tokens"),
+        F.md5(F.array_join("_c", " ")).alias("chunk_hash"),
+    )

@@ -67,3 +67,45 @@ def sessionize(
         F.count("*").alias("n_events"),
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
+
+
+def scd2_from_events(
+    events: DataFrame,
+    key_col: str = "user_id",
+    attr_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Slowly-changing-dimension (type 2) builder: collapse a per-key
+    event stream into validity intervals — one row per attribute CHANGE,
+    carrying [valid_from, valid_to) and an is_current flag.  (Warehouse
+    op, NEW — the reference's closest analog is the diff-based dimension
+    maintenance of examples/usernames.py, C6, which keeps only the
+    latest value; SCD2 keeps the full history.)
+
+    Change detection is lag() over (key ORDER BY ts, tiebreak) — the
+    tiebreak column makes the interval set deterministic when timestamps
+    collide.  valid_to = lead(valid_from) over the surviving change
+    rows; NULL (open interval) marks the current row.
+
+    Scale design (100 TB): both windows hash-partition by key only —
+    thousands of events per key sort in-memory per task, and the second
+    window reuses the first's partitioning (same key ⇒ no second
+    shuffle; the filter between them preserves distribution and order).
+    No global sort, no driver state.  Skewed hot keys are bounded by
+    per-key event counts, not corpus size; a key with millions of
+    events should be pre-bucketed by time range first.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    changes = events.withColumn("_prev", F.lag(attr_col).over(w)).filter(
+        ~F.col("_prev").eqNullSafe(F.col(attr_col))
+    )
+    w2 = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    nxt = F.lead(ts_col).over(w2)
+    return changes.select(
+        key_col,
+        attr_col,
+        F.col(ts_col).alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )

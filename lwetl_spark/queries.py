@@ -2517,6 +2517,130 @@ def x_pack_sequences(spark, sf_dir):
 
 
 @register(
+    "x_chunk_docs",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                 x -> x <> '') AS t
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, t, len(t) AS n,
+             greatest(1, CAST(ceil((len(t) - 64) / 48.0) AS INT) + 1) AS nc
+      FROM tok WHERE len(t) > 0
+    ),
+    e AS (
+      SELECT doc_id, t, n, unnest(range(nc)) AS chunk_idx FROM c
+    )
+    SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+           CAST(len(list_slice(t, chunk_idx * 48 + 1,
+                               least(chunk_idx * 48 + 64, n))) AS INT) AS n_tokens,
+           md5(array_to_string(list_slice(t, chunk_idx * 48 + 1,
+                               least(chunk_idx * 48 + 64, n)), ' ')) AS chunk_hash
+    FROM e
+    """,
+)
+def x_chunk_docs(spark, sf_dir):
+    """Token-window chunking (64-token windows, stride 48): the
+    context-window prep step in front of pretraining / RAG ingestion.
+    Row-local (zero shuffle) — tokenize once into a materialized array
+    column, build every window with one transform-over-sequence,
+    posexplode; each chunk is carried as an md5 hash, not text, so the
+    explode does not amplify bytes.  The oracle re-derives every
+    (chunk_idx, length, hash) from first principles with DuckDB list
+    slicing — window boundaries must agree token-for-token."""
+    from lwetl_spark.operators.packing import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_size=64, stride=48
+    )
+
+
+@register(
+    "x_scd2",
+    """
+    WITH o AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    c AS (
+      SELECT user_id, event_type, ts, event_id FROM o
+      WHERE prev IS NULL OR prev <> event_type
+    )
+    SELECT user_id, event_type, ts AS valid_from,
+           COALESCE(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                    TIMESTAMP '9999-12-31 00:00:00') AS valid_to,
+           (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL)
+               AS is_current
+    FROM c
+    """,
+)
+def x_scd2(spark, sf_dir):
+    """SCD type-2 dimension build: per-user event_type history collapsed
+    to validity intervals (valid_from, valid_to, is_current) — one row
+    per change, deterministic under timestamp ties via the event_id
+    tiebreak.  Open intervals are pinned to the 9999-12-31 sentinel on
+    BOTH sides (the parity harness cannot sort NULL timestamps).  Both
+    windows share one hash-partition-by-user shuffle."""
+    from lwetl_spark.operators.windows import scd2_from_events
+
+    out = scd2_from_events(_t(spark, sf_dir, "events"))
+    return out.withColumn(
+        "valid_to",
+        F.coalesce("valid_to", F.lit("9999-12-31 00:00:00").cast("timestamp")),
+    )
+
+
+@register(
+    "x_bloom_dedup",
+    r"""
+    WITH d AS (
+      SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents
+    ),
+    corpus AS (SELECT * FROM d WHERE doc_id % 2 = 0),
+    batch  AS (SELECT * FROM d WHERE doc_id % 2 = 1),
+    mv AS (SELECT greatest(64, 16 * COUNT(*)) AS m FROM corpus),
+    occ AS (
+      SELECT DISTINCT ('0x' || substr(md5(j::VARCHAR || ':' || fp), 1, 15))::BIGINT % m AS p
+      FROM corpus, mv, (SELECT unnest([0, 1, 2]) AS j) js
+    ),
+    bp AS (
+      SELECT doc_id, fp,
+             ('0x' || substr(md5(j::VARCHAR || ':' || fp), 1, 15))::BIGINT % m AS p
+      FROM batch, mv, (SELECT unnest([0, 1, 2]) AS j) js
+    ),
+    hits AS (
+      SELECT bp.doc_id, bp.fp, (COUNT(occ.p) = 3) AS might_contain
+      FROM bp LEFT JOIN occ USING (p) GROUP BY bp.doc_id, bp.fp
+    )
+    SELECT h.doc_id, h.might_contain,
+           (cf.fp IS NOT NULL) AS is_dup
+    FROM hits h
+    LEFT JOIN (SELECT DISTINCT fp FROM corpus) cf USING (fp)
+    """,
+)
+def x_bloom_dedup(spark, sf_dir):
+    """Bloom-filter incremental dedup: even-doc_id documents are the
+    existing corpus, odd-doc_id documents the incoming batch; each batch
+    doc gets (might_contain, is_dup).  The md5-position filter is fully
+    deterministic, so the oracle rebuilds the EXACT same filter in SQL
+    and every flag — false positives included — must agree.  No false
+    negatives is a pytest invariant (test_dedup_quality)."""
+    from lwetl_spark.operators.dedup import bloom_filter_dedup
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.lower(F.trim("text"))).alias("fp")
+    )
+    return bloom_filter_dedup(
+        d.filter(F.col("doc_id") % 2 == 0),
+        d.filter(F.col("doc_id") % 2 == 1),
+        fp_col="fp",
+        id_col="doc_id",
+    )
+
+
+@register(
     "x_line_dedup",
     r"""
     WITH tok AS (
@@ -2715,6 +2839,48 @@ def x_quantize_embeddings(spark, sf_dir):
         F.array_join(F.transform(q, lambda x: x.cast("string")), ",").alias("q_csv"),
         F.size(F.filter(q, lambda x: F.abs(x) == F.lit(127))).alias("n_sat"),
     )
+
+
+@register(
+    "x_embed_standardize",
+    """
+    WITH e AS (
+      SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+             unnest(embedding) AS v
+      FROM embeddings
+    ),
+    s AS (
+      SELECT dim, avg(v) AS m, stddev_pop(v) AS sd FROM e GROUP BY dim
+    ),
+    z AS (
+      SELECT e.dim,
+             (e.v - s.m) / (CASE WHEN s.sd = 0 THEN 1 ELSE s.sd END) AS zv
+      FROM e JOIN s USING (dim)
+    )
+    SELECT CAST(dim AS INT) AS dim, CAST(COUNT(*) AS BIGINT) AS n_vals,
+           (abs(avg(zv)) < 1e-6) AS mean_ok,
+           (abs(stddev_pop(zv) - 1.0) < 1e-4) AS std_ok
+    FROM z GROUP BY dim
+    """,
+)
+def x_embed_standardize(spark, sf_dir):
+    """Per-dimension z-score standardization, verified as a round-trip
+    contract: after standardization every dimension must have mean ~ 0
+    (|mean| < 1e-6) and stddev ~ 1 (|sd-1| < 1e-4).  The oracle
+    standardizes from first principles in SQL and applies the SAME
+    bands — the tolerances absorb engine summation-order noise (~1e-12)
+    while pinning the math.  The Spark side is the scalable form: one
+    d-group aggregation (map-side partials), stats folded back as
+    literal arrays, zero-shuffle zip_with normalization."""
+    from lwetl_spark.functions.vectors import standardize_embeddings
+
+    z = standardize_embeddings(_t(spark, sf_dir, "embeddings"))
+    e = z.select(F.posexplode("embedding_z").alias("dim", "zv"))
+    return e.groupBy("dim").agg(
+        F.count("*").cast("long").alias("n_vals"),
+        (F.abs(F.avg("zv")) < 1e-6).alias("mean_ok"),
+        (F.abs(F.stddev_pop("zv") - 1.0) < 1e-4).alias("std_ok"),
+    ).select(F.col("dim").cast("int").alias("dim"), "n_vals", "mean_ok", "std_ok")
 
 
 @register(

@@ -185,3 +185,38 @@ def test_dedup_lines_max_doc_freq_threshold(spark):
     # 'a' in 3 docs, 'b' in 2: with max_doc_freq=2 only 'a' is dropped
     out = {r.doc_id: r.text for r in dedup_lines(df, max_doc_freq=2).collect()}
     assert out == {1: "b", 2: "c", 3: "b"}
+
+
+def test_bloom_dedup_no_false_negatives(spark):
+    from lwetl_spark.operators.dedup import bloom_filter_dedup
+
+    corpus = spark.createDataFrame(
+        [(i, f"fp{i % 40}") for i in range(0, 200, 2)], ["doc_id", "fp"]
+    )
+    # batch: half share corpus fingerprints, half are new
+    batch = spark.createDataFrame(
+        [(i, f"fp{(i - 1) % 40}" if i % 4 == 1 else f"new{i}") for i in range(1, 200, 2)],
+        ["doc_id", "fp"],
+    )
+    out = bloom_filter_dedup(corpus, batch, fp_col="fp", id_col="doc_id").collect()
+    assert len(out) == batch.count()
+    dups = [r for r in out if r.is_dup]
+    assert dups, "planted duplicates must be detected"
+    # Bloom invariant: every true duplicate is flagged
+    assert all(r.might_contain for r in dups)
+
+
+def test_bloom_dedup_deterministic_flags(spark):
+    from lwetl_spark.operators.dedup import bloom_filter_dedup
+
+    corpus = spark.createDataFrame(
+        [(i, f"c{i}") for i in range(0, 100, 2)], ["doc_id", "fp"]
+    )
+    batch = spark.createDataFrame(
+        [(i, f"b{i}") for i in range(1, 100, 2)], ["doc_id", "fp"]
+    )
+    a = {r.doc_id: r.might_contain
+         for r in bloom_filter_dedup(corpus, batch).collect()}
+    b = {r.doc_id: r.might_contain
+         for r in bloom_filter_dedup(corpus, batch).collect()}
+    assert a == b  # md5 positions: same filter, same flags, every run

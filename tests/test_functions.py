@@ -221,3 +221,21 @@ def test_repeated_ngram_stats(spark):
     assert rows[1] == (3, 2)  # "a b","b a","a b"
     assert rows[2] == (0, 0)  # shorter than n
     assert rows[3] == (2, 2)
+
+
+def test_standardize_embeddings_round_trip(spark):
+    import math
+
+    from lwetl_spark.functions.vectors import standardize_embeddings
+
+    rows = [(i, [float(i % 7), float(i) * 0.5, 42.0]) for i in range(50)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    z = standardize_embeddings(df)
+    vals = [r.embedding_z for r in z.collect()]
+    for dim in range(3):
+        col = [v[dim] for v in vals]
+        mean = sum(col) / len(col)
+        sd = math.sqrt(sum((x - mean) ** 2 for x in col) / len(col))
+        assert abs(mean) < 1e-9
+        # constant dim (42.0) stays centered at 0 with sd 0; others sd ~ 1
+        assert sd == 0 or abs(sd - 1.0) < 1e-9

@@ -58,3 +58,53 @@ def test_bad_budget_rejected(spark):
 
     with pytest.raises(ValueError):
         pack_sequences(_docs(spark, 5), 0, "n_tokens")
+
+
+# ---------------------------------------------------------------- chunking
+
+
+def _chunk_docs(spark):
+    rows = [
+        (1, " ".join(f"t{i}" for i in range(150))),   # 150 toks -> 3 chunks
+        (2, " ".join(f"u{i}" for i in range(64))),    # exactly one window
+        (3, "single"),                                # 1 token -> 1 short chunk
+        (4, " ".join(f"v{i}" for i in range(112))),   # boundary: (112-64)%48==0
+        (5, "   "),                                   # empty after trim -> dropped
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_chunk_documents_boundaries(spark):
+    from lwetl_spark.operators.packing import chunk_documents
+
+    out = chunk_documents(_chunk_docs(spark), chunk_size=64, stride=48)
+    by_doc = {}
+    for r in out.collect():
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_idx, r.n_tokens))
+    for v in by_doc.values():
+        v.sort()
+    assert by_doc[1] == [(0, 64), (1, 64), (2, 54)]  # 150 = 2*48 + 54
+    assert by_doc[2] == [(0, 64)]
+    assert by_doc[3] == [(0, 1)]
+    assert by_doc[4] == [(0, 64), (1, 64)]  # last window ends exactly at 112
+    assert 5 not in by_doc
+
+
+def test_chunk_documents_cover_every_token(spark):
+    from lwetl_spark.functions.text import tokens
+    from lwetl_spark.operators.packing import chunk_documents
+
+    df = _chunk_docs(spark)
+    out = chunk_documents(df, chunk_size=64, stride=48)
+    # stride coverage: chunk i covers [i*48, i*48 + n_tokens); union must be [0, n)
+    cover = {}
+    for r in out.collect():
+        s = r.chunk_idx * 48
+        cover.setdefault(r.doc_id, set()).update(range(s, s + r.n_tokens))
+    n_by_doc = {
+        r.doc_id: r.n
+        for r in df.select("doc_id", F.size(tokens("text")).alias("n")).collect()
+    }
+    for doc, n in n_by_doc.items():
+        if n > 0:
+            assert cover[doc] == set(range(n)), doc
