@@ -102,6 +102,16 @@ def open_source(
         from lwetl_spark.sources.xlsx import xlsx_source
 
         return xlsx_source(spark, src["path"], sheet=opts.get("sheet"))
+    if fmt == "jdbc":
+        # path = JDBC URL; options carry dbtable/query + credentials.
+        # ENC:-prefixed options (e.g. password) were already decrypted by
+        # resolve_options above — the reference's encrypted-credential
+        # store (lwetl/config_parser.py:86-146) in Spark form.
+        from lwetl_spark.sources.jdbc import jdbc_source
+
+        table = opts.pop("dbtable", None)
+        query = opts.pop("query", None)
+        return jdbc_source(spark, src["path"], table=table, query=query, options=opts)
     raise UnknownSourceError(f"source {name!r}: unknown format {fmt!r}")
 
 

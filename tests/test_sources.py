@@ -133,3 +133,69 @@ def test_sql_script_splitter(spark):
     assert stmts[1] == "SELECT 'x;y' AS s"
     results = run_script(spark, script)
     assert [r.collect()[0][0] for r in results] == [1, "x;y", 2]
+
+
+# ---------------------------------------------------------------- jdbc
+
+
+def test_jdbc_options_single_connection_defaults():
+    from lwetl_spark.sources.jdbc import jdbc_options
+
+    o = jdbc_options("jdbc:postgresql://h/db", table="t")
+    # reference parity: fetchsize is lwetl's array_size read batch (1000)
+    assert o == {"url": "jdbc:postgresql://h/db", "dbtable": "t", "fetchsize": "1000"}
+
+
+def test_jdbc_options_partitioned_read():
+    from lwetl_spark.sources.jdbc import jdbc_options
+
+    o = jdbc_options(
+        "jdbc:postgresql://h/db",
+        table="orders",
+        partition_column="o_orderkey",
+        lower_bound=0,
+        upper_bound=6000000,
+        num_partitions=32,
+        options={"pushDownPredicate": True},
+    )
+    assert o["partitionColumn"] == "o_orderkey"
+    assert o["numPartitions"] == "32"
+    assert o["pushDownPredicate"] == "True"
+
+
+def test_jdbc_options_validation():
+    import pytest
+
+    from lwetl_spark.sources.jdbc import jdbc_options
+
+    with pytest.raises(ValueError):
+        jdbc_options("u")  # neither table nor query
+    with pytest.raises(ValueError):
+        jdbc_options("u", table="t", query="select 1")  # both
+    with pytest.raises(ValueError):
+        jdbc_options("u", table="t", partition_column="c")  # incomplete spec
+    with pytest.raises(ValueError):
+        jdbc_options("u", query="select 1", partition_column="c",
+                     lower_bound=0, upper_bound=1, num_partitions=2)
+
+
+def test_jdbc_named_source_resolves_and_fails_without_driver(spark):
+    from lwetl_spark.config import open_source
+
+    cfg = {
+        "sources": {
+            "warehouse": {
+                "path": "jdbc:postgresql://example.invalid/db",
+                "format": "jdbc",
+                "options": {"dbtable": "t", "user": "scott"},
+            }
+        },
+        "alias": {"wh": "warehouse"},
+    }
+    # registry plumbing resolves the alias and reaches the JDBC load,
+    # which must fail on the absent driver jar (none ship here), not on
+    # config resolution
+    import pytest
+
+    with pytest.raises(Exception, match="[Dd]river"):
+        open_source(spark, cfg, "wh")
