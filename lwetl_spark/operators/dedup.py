@@ -306,17 +306,32 @@ def connected_components_two_phase(
         edges.select(F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        .localCheckpoint()
     )
+    # pin the iteration's shuffle width to the edge count (~1M edges per
+    # partition, floor 8): every round is 3 shuffles of a set that only
+    # SHRINKS, so the session-wide spark.sql.shuffle.partitions (sized
+    # for scans) massively over-partitions it — at 15k edges, 200-part
+    # rounds spent 2x the wall-clock on task scheduling alone.  Explicit
+    # repartition(parts, keys) seeds each window/distinct with a
+    # satisfying hashpartitioning, so EnsureRequirements inserts no
+    # further exchange and the count sticks (AQE never coalesces an
+    # explicit repartition).  The upfront checkpoint also stops the
+    # round-0 union from computing the input distinct twice.
+    parts = max(8, min(65536, 1 + e.count() // 1_000_000))
     prev_sig = None
     for _ in range(max_iter):
         # large star: attach strictly-larger neighbors to
         # m(u) = min(neighbors ∪ {u}); one window shuffle
-        nb = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        nb = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).repartition(
+            parts, "u"
+        )
         e1 = (
             nb.withColumn("m", F.least(F.min("v").over(wu), F.col("u")))
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
+            .repartition(parts, "u")
         )
         # after large-star every edge points large → small, so small-star
         # needs no re-direction: re-hang all of u's small neighbors onto
@@ -337,6 +352,7 @@ def connected_components_two_phase(
                 ).alias("edge")
             )
             .select("edge.u", "edge.v")
+            .repartition(parts, "u", "v")
             .distinct()
             .localCheckpoint()
         )
