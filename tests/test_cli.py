@@ -86,3 +86,43 @@ def _run_main(fn, argv):
         rc = fn(argv)
     assert rc == 0
     return buf.getvalue()
+
+
+def test_cli_security_keygen_encrypt_decrypt(tmp_path, capsys, monkeypatch):
+    from lwetl_spark.cli_security import main as sec_main
+
+    keyfile = tmp_path / "k.key"
+    assert sec_main(["keygen", "-o", str(keyfile)]) == 0
+    monkeypatch.setenv("LWETL_SPARK_KEY", keyfile.read_text().strip())
+    capsys.readouterr()
+
+    assert sec_main(["encrypt", "s3cret"]) == 0
+    token = capsys.readouterr().out.strip()
+    assert token.startswith("ENC:")
+
+    assert sec_main(["decrypt", token]) == 0
+    assert capsys.readouterr().out.strip() == "s3cret"
+
+
+def test_cli_security_test_probe(spark, tmp_path, capsys):
+    import yaml
+
+    from lwetl_spark.cli_security import main as sec_main
+
+    cfg = tmp_path / "cfg.yml"
+    cfg.write_text(yaml.safe_dump({
+        "sources": {"smoke": {"path": "/root/testdata/sf0.001", "format": "parquet_dir"}},
+        "alias": {"s": "smoke"},
+    }))
+    assert sec_main(["test", "s", "-c", str(cfg)]) == 0
+    out = capsys.readouterr().out
+    assert "region\t" in out and "lineitem\t" in out
+
+
+def test_cli_security_unknown_source(tmp_path, capsys):
+    from lwetl_spark.cli_security import main as sec_main
+
+    cfg = tmp_path / "cfg.yml"
+    cfg.write_text("sources: {}\n")
+    assert sec_main(["test", "nope", "-c", str(cfg)]) == 1
+    assert "error" in capsys.readouterr().out
