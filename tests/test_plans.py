@@ -237,3 +237,27 @@ def test_pack_sequences_bucketed_windows_and_broadcast_offsets(spark):
         if "Exchange hashpartitioning(_bucket" in l
     ]
     assert data_exchanges, "expected the bucket-partitioned window exchange"
+
+
+def test_chunk_documents_zero_shuffle(spark):
+    # token-window chunking is row-local: no Exchange anywhere — at
+    # 100 TB it rides the scan
+    plan = _plan(spark, "x_chunk_docs")
+    assert "Exchange" not in plan
+    assert "Generate" in plan  # the posexplode
+
+
+def test_scd2_windows_share_one_exchange(spark):
+    # change-detect lag() and interval lead() partition identically; the
+    # filter preserves distribution+order so the second window inserts
+    # no exchange
+    plan = _plan(spark, "x_scd2")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Window") == 2
+
+
+def test_bloom_probe_broadcasts_occupied_set(spark):
+    # the occupied-bit set broadcasts; the batch side is probed without
+    # a shuffle on the probe key
+    plan = _plan(spark, "x_bloom_dedup")
+    assert "BroadcastHashJoin" in plan

@@ -161,3 +161,39 @@ def test_approx_quantile_within_tolerance(spark, duck):
     # and the driver-facing contract reports the same bands as TRUE
     out = QUERIES["x_approx_quantile"](spark, SF_CORRECT).collect()
     assert all(r["p50_ok"] and r["p90_ok"] and r["p99_ok"] for r in out)
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=300), min_size=1, max_size=8),
+    st.sampled_from([(64, 48), (32, 32), (16, 8), (100, 10)]),
+)
+@settings(max_examples=12, deadline=None)
+def test_chunk_documents_tiling_property(spark, token_counts, cfg):
+    """For ANY doc lengths and (chunk_size, stride): chunk i starts at
+    i*stride, covers min(chunk_size, n - i*stride) tokens, the union of
+    windows covers [0, n) exactly, and non-empty docs yield
+    max(1, ceil((n-W)/S)+1) chunks."""
+    import math
+
+    from lwetl_spark.operators.packing import chunk_documents
+
+    W, S = cfg
+    rows = [(i, " ".join(f"w{j}" for j in range(n))) for i, n in enumerate(token_counts)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = chunk_documents(df, chunk_size=W, stride=S)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.doc_id, []).append((r.chunk_idx, r.n_tokens))
+    for doc_id, n in enumerate(token_counts):
+        if n == 0:
+            assert doc_id not in got
+            continue
+        chunks = sorted(got[doc_id])
+        expect_nc = max(1, math.ceil((n - W) / S) + 1)
+        assert len(chunks) == expect_nc, (n, W, S)
+        covered = set()
+        for idx, (ci, nt) in enumerate(chunks):
+            assert ci == idx
+            assert nt == min(W, n - ci * S)
+            covered.update(range(ci * S, ci * S + nt))
+        assert covered == set(range(n))
