@@ -97,3 +97,45 @@ def mix_corpora(
     if out is None:
         raise ValueError("mix_corpora needs at least one part")
     return out
+
+
+def percentile_filter(
+    df: DataFrame,
+    value_col: str,
+    group_col: str | None = None,
+    keep_frac: float = 0.3,
+) -> DataFrame:
+    """Keep the top `keep_frac` of rows by `value_col`, per group — the
+    percentile-threshold curation step ("keep the top 30% of documents
+    by quality, per language").  (Training-pipeline op, NEW — no
+    reference analog.)
+
+    The cut uses `percentile_disc` (a DISCRETE percentile: an actual
+    data value, no interpolation), so the threshold — and therefore the
+    kept set — is bit-identical across engines; the DuckDB oracle uses
+    `quantile_disc` and must agree row-for-row.  Rows EQUAL to the
+    threshold are kept, so the kept fraction is >= keep_frac (ties
+    inflate it), never below.
+
+    Scale design (100 TB): the threshold table is one row per group —
+    broadcast back, so the data pays one aggregation and a map-side
+    filter; no global sort, no window over the corpus.  Caveat: exact
+    percentile aggregation buffers each group's values; beyond ~10^8
+    rows per group swap `percentile_disc` for `approx_percentile`
+    (mergeable t-digest sketch, same plan shape) and accept the
+    documented +-1% rank error — the accuracy-band pattern of
+    x_approx_quantile.
+
+    Adds `_thr` (the group's threshold) to the output.
+    """
+    if not 0.0 < keep_frac <= 1.0:
+        raise ValueError(f"keep_frac must be in (0, 1], got {keep_frac}")
+    q = 1.0 - keep_frac
+    pd = F.expr(f"percentile_disc({q!r}) WITHIN GROUP (ORDER BY {value_col})")
+    if group_col is None:
+        thr = df.agg(pd.alias("_thr"))
+        return df.crossJoin(F.broadcast(thr)).filter(F.col(value_col) >= F.col("_thr"))
+    thr = df.groupBy(group_col).agg(pd.alias("_thr"))
+    return df.join(F.broadcast(thr), group_col).filter(
+        F.col(value_col) >= F.col("_thr")
+    )

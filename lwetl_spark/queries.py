@@ -2842,6 +2842,41 @@ def x_quantize_embeddings(spark, sf_dir):
 
 
 @register(
+    "x_percentile_filter",
+    r"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                  x -> x <> '')) AS INT) AS n_tokens
+      FROM documents
+    ),
+    thr AS (
+      SELECT lang, quantile_disc(n_tokens, 0.7) AS thr FROM t GROUP BY lang
+    )
+    SELECT t.doc_id, t.lang, t.n_tokens, CAST(thr.thr AS INT) AS thr
+    FROM t JOIN thr USING (lang)
+    WHERE t.n_tokens >= thr.thr
+    """,
+)
+def x_percentile_filter(spark, sf_dir):
+    """Percentile-threshold curation: keep the top 30% of documents by
+    token count, per language.  percentile_disc picks an ACTUAL data
+    value (no interpolation), so the per-language threshold — and the
+    kept set — matches DuckDB's quantile_disc exactly.  The one-row-per-
+    language threshold table broadcasts back; the corpus pays one
+    aggregation and a map-side filter, no global sort."""
+    from lwetl_spark.operators.sampling import percentile_filter
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", token_count("text").cast("int").alias("n_tokens")
+    )
+    out = percentile_filter(d, "n_tokens", group_col="lang", keep_frac=0.3)
+    return out.select(
+        "doc_id", "lang", "n_tokens", F.col("_thr").cast("int").alias("thr")
+    )
+
+
+@register(
     "x_embed_standardize",
     """
     WITH e AS (

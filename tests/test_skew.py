@@ -111,3 +111,28 @@ def test_salted_join_rejects_right_full(spark, skewed, dim):
     for how in ("right", "full", "full_outer"):
         with _pytest.raises(ValueError):
             salted_join(skewed, dim, "k", how=how)
+
+
+def test_percentile_filter_keeps_top_fraction(spark):
+    import pytest
+
+    from lwetl_spark.operators.sampling import percentile_filter
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, "g1" if i < 100 else "g2", i % 100) for i in range(200)],
+        ["id", "g", "v"],
+    )
+    out = percentile_filter(df, "v", group_col="g", keep_frac=0.3)
+    rows = out.collect()
+    # threshold is an actual data value; everything kept is >= it
+    assert all(r.v >= r._thr for r in rows)
+    # ties can only inflate the kept fraction, never shrink it
+    for g in ("g1", "g2"):
+        kept = sum(1 for r in rows if r.g == g)
+        assert kept >= 30
+    # ungrouped form
+    allv = percentile_filter(df, "v", keep_frac=0.5).collect()
+    assert all(r.v >= r._thr for r in allv)
+    with pytest.raises(ValueError):
+        percentile_filter(df, "v", keep_frac=0.0)
