@@ -273,3 +273,63 @@ def repeated_ngram_stats(
         F.array().cast("array<bigint>")
     )
     return F.size(grams), F.size(F.array_distinct(grams))
+
+
+def url_host(url: Column | str) -> Column:
+    """Hostname of a URL via the JVM-side ``try_parse_url`` expression
+    (codegen, no Python).  NULL for unparseable values — the plain
+    ``parse_url`` THROWS under ANSI mode (Spark 4 default), which would
+    fail the whole job on one malformed crawl URL."""
+    return F.try_parse_url(_col(url), F.lit("HOST"))
+
+
+def registrable_domain(host: Column | str, labels: int = 2) -> Column:
+    """Naive registrable domain: the last ``labels`` dot-labels of a
+    hostname (www.news.site7.com -> site7.com).  A production crawl
+    curation pass would consult the public-suffix list (co.uk,
+    com.au, ...) — that list is a ~10k-entry broadcast lookup keyed the
+    same way, so the plan shape is identical; the naive form keeps the
+    function a pure expression."""
+    return F.substring_index(_col(host), ".", -labels)
+
+
+#: C0/C1 control characters except tab/newline/CR, plus DEL
+_CONTROL_RE = "[" + "".join(
+    "\\x%02x" % c for c in list(range(0x00, 0x09)) + [0x0B, 0x0C] + list(range(0x0E, 0x20)) + [0x7F]
+) + "]"
+
+
+def normalize_text(
+    text: Column | str,
+    form: str = "NFC",
+    strip_control: bool = False,
+) -> Column:
+    """Unicode-normalize text (NFC/NFKC/NFD/NFKD) — the canonicalization
+    pass in front of dedup/tokenization (combining sequences, width and
+    compatibility variants otherwise defeat exact and near dedup).
+
+    Spark has no built-in Unicode normalizer, so this is the documented
+    slow path done right: an Arrow-batched ``pandas_udf`` (vectorized
+    transfer, one Python call per batch — not per row).  It is the ONLY
+    Python-side text function in this module; everything around it
+    (control-char strip, downstream hashing) stays JVM-side.  At 100 TB
+    the op is embarrassingly parallel and scan-bound: no shuffle, state,
+    or skew — Python worker throughput is the budget, so run it once,
+    early in the pipeline, not inside hot inner loops.
+
+    ``strip_control`` removes C0 controls EXCEPT tab/newline/CR (plus
+    DEL) after normalization, JVM-side.
+    """
+
+    @F.pandas_udf("string")
+    def _norm(s):  # pragma: no cover - executed on workers
+        import unicodedata
+
+        return s.map(
+            lambda v: unicodedata.normalize(form, v) if v is not None else None
+        )
+
+    out = _norm(_col(text))
+    if strip_control:
+        out = F.regexp_replace(out, _CONTROL_RE, "")
+    return out

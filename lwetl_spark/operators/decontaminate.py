@@ -96,3 +96,42 @@ def decontaminate(
         corpus, benchmark, n, text_col, id_col, broadcast_benchmark, hash_grams
     ).select(F.col("doc_id").alias(id_col))
     return corpus.join(hits, id_col, "left_anti")
+
+
+def blocklist_filter(
+    df: DataFrame,
+    url_col: str,
+    blocked_domains: DataFrame | list[str],
+    keep_audit_cols: bool = False,
+) -> DataFrame:
+    """Drop rows whose URL's registrable domain is on a blocklist — the
+    domain-level curation pass every web corpus runs (spam/adult/SEO-farm
+    lists).  (Training-pipeline op, NEW — no reference analog.)
+
+    Scale design (100 TB): real blocklists are 10^5–10^7 domains — a few
+    hundred MB at most — so the list is BROADCAST and the corpus streams
+    through a map-side LEFT ANTI join: zero shuffle of the corpus, and
+    the host/domain extraction (`parse_url` + `substring_index`) is pure
+    codegen.  For a blocklist too big to broadcast, drop the hint and the
+    same plan degrades gracefully to a shuffle anti-join on the 8-byte
+    domain hash.
+
+    `keep_audit_cols=True` retains `_host`/`_domain` for lineage audits.
+    """
+    from lwetl_spark.functions.text import registrable_domain, url_host
+
+    if isinstance(blocked_domains, list):
+        spark = df.sparkSession
+        blocked = spark.createDataFrame(
+            [(d.lower(),) for d in blocked_domains], "_domain STRING"
+        ).distinct()
+    else:
+        cols = blocked_domains.columns
+        blocked = blocked_domains.select(
+            F.lower(F.col(cols[0])).alias("_domain")
+        ).distinct()
+    tagged = df.withColumn("_host", F.lower(url_host(url_col))).withColumn(
+        "_domain", registrable_domain("_host")
+    )
+    out = tagged.join(F.broadcast(blocked), "_domain", "left_anti")
+    return out if keep_audit_cols else out.drop("_host", "_domain")

@@ -3239,6 +3239,102 @@ def s9_engine_info(spark, sf_dir):
     )
 
 
+@register(
+    "x_url_filter",
+    r"""
+    WITH u AS (
+      SELECT doc_id,
+             'https://' || CASE WHEN doc_id % 7 = 0 THEN 'news.' ELSE 'www.' END
+               || 'site' || (doc_id % 97) || '.'
+               || ['com','org','net'][CAST(doc_id % 3 AS INT) + 1]
+               || '/d/' || doc_id AS url
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id, regexp_extract(url, '^https://([^/]+)', 1) AS host FROM u
+    )
+    SELECT doc_id, host,
+           regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain
+    FROM h
+    WHERE regexp_extract(host, '([^.]+\.[^.]+)$', 1) NOT IN
+          ('site0.com','site10.net','site20.org','site30.com','site40.net',
+           'site50.org','site60.com','site70.net','site80.org','site90.com',
+           'site13.com','site26.net')
+    """,
+)
+def x_url_filter(spark, sf_dir):
+    """Domain-blocklist curation: synthesize a deterministic URL per
+    document (host varies subdomain, site number and TLD), extract the
+    host with the JVM-side `parse_url`, reduce to the registrable domain
+    and drop rows on the blocklist via a broadcast LEFT ANTI join —
+    zero corpus shuffle.  The `news.` subdomain rows prove the filter
+    keys on the registrable domain, not the raw host."""
+    from lwetl_spark.operators.decontaminate import blocklist_filter
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("news.")).otherwise(F.lit("www.")),
+        F.lit("site"),
+        (F.col("doc_id") % 97).cast("string"),
+        F.lit("."),
+        F.element_at(
+            F.array(F.lit("com"), F.lit("org"), F.lit("net")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ),
+        F.lit("/d/"),
+        F.col("doc_id").cast("string"),
+    )
+    blocked = [
+        "site0.com", "site10.net", "site20.org", "site30.com", "site40.net",
+        "site50.org", "site60.com", "site70.net", "site80.org", "site90.com",
+        "site13.com", "site26.net",
+    ]
+    out = blocklist_filter(
+        d.withColumn("url", url), "url", blocked, keep_audit_cols=True
+    )
+    return out.select(
+        "doc_id", F.col("_host").alias("host"), F.col("_domain").alias("domain")
+    )
+
+
+@register(
+    "x_text_normalize",
+    """
+    WITH inj AS (
+      SELECT doc_id,
+             'Cafe' || chr(769) || ' ' || chr(65313) || ': ' || text AS raw
+      FROM documents
+    )
+    SELECT doc_id,
+           md5(nfc_normalize(raw)) AS norm_md5,
+           nfc_normalize(raw) <> raw AS changed
+    FROM inj
+    """,
+)
+def x_text_normalize(spark, sf_dir):
+    """Unicode NFC canonicalization (Arrow-batched pandas_udf — Spark has
+    no built-in normalizer).  Every row gets a decomposed combining
+    sequence (e + U+0301) and a fullwidth letter (U+FF21) injected, so
+    the md5 oracle proves real normalization happened (NFC composes the
+    pair; the fullwidth char survives NFC — it would only fold under
+    NFKC), not an identity pass."""
+    from lwetl_spark.functions.text import normalize_text
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("Cafe\u0301 \uff21: "), F.col("text")
+        ).alias("raw"),
+    )
+    norm = normalize_text("raw")
+    return d.select(
+        "doc_id",
+        F.md5(norm).alias("norm_md5"),
+        (norm != F.col("raw")).alias("changed"),
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     _load_etl_queries()
     return dict(QUERIES)

@@ -416,3 +416,75 @@ def u8_sql_expression(spark, sf_dir):
         {"p_size": SqlExpression("p_size + 100")}, where={"p_brand": "Brand#11"}
     )
     return spark.read.parquet(trg).select("p_partkey", "p_brand", "p_size")
+
+
+# ----------------------------------------------------------------------------
+# S10 (NEW): JSONL source/sink round trip — the training-data interchange
+# format; no reference analog (its import surface stops at CSV/XLSX/LDIF,
+# lwetl/table_import.py)
+# ----------------------------------------------------------------------------
+
+
+@register(
+    "s10_jsonl_roundtrip",
+    """
+    SELECT doc_id, lang, n_chars, md5(text) AS text_md5
+    FROM documents
+    """,
+)
+def s10_jsonl_roundtrip(spark, sf_dir):
+    """JSONL sink then source with an EXPLICIT schema (no inference pass —
+    at 100 TB inference is a second full scan).  The text column rides
+    through JSON string escaping (newlines, quotes, non-ASCII), so the
+    md5 on the far side proves the escape/unescape chain is lossless;
+    doc_id/lang/n_chars prove typed round-tripping."""
+    from lwetl_spark.sources.json import jsonl_source, write_jsonl
+
+    out = os.path.join(_tmpdir("s10"), "documents_jsonl")
+    write_jsonl(
+        _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars", "text"),
+        out,
+    )
+    back = jsonl_source(
+        spark, out, schema="doc_id LONG, lang STRING, n_chars LONG, text STRING"
+    )
+    return back.select("doc_id", "lang", "n_chars", F.md5("text").alias("text_md5"))
+
+
+# ----------------------------------------------------------------------------
+# K8 (NEW): ORC sink/source round trip — second columnar format beside
+# parquet; Spark-native ORC writer/reader (no reference analog)
+# ----------------------------------------------------------------------------
+
+
+@register(
+    "k8_orc_roundtrip",
+    """
+    SELECT o_orderstatus, COUNT(*) AS n, CAST(SUM(o_totalprice) AS DECIMAL(18,2)) AS total
+    FROM orders
+    WHERE o_orderdate >= DATE '1995-01-01'
+    GROUP BY o_orderstatus
+    """,
+)
+def k8_orc_roundtrip(spark, sf_dir):
+    """ORC round trip: write orders as ORC, read back, aggregate.  The
+    date filter sits ON the ORC scan so predicate pushdown reaches the
+    ORC reader (min/max stripe stats prune at scale exactly as parquet
+    row groups do); SUM over DECIMAL proves type fidelity through the
+    format."""
+    trg = os.path.join(_tmpdir("k8"), "orders_orc")
+    _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_orderdate",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"),
+    ).write.mode("overwrite").orc(trg)
+    return (
+        spark.read.orc(trg)
+        .filter(F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("o_totalprice").cast("decimal(18,2)").alias("total"),
+        )
+    )

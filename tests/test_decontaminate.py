@@ -67,3 +67,33 @@ def test_hash_grams_matches_string_grams(spark):
         map(tuple, contamination_hits(corpus, bench, n=3, hash_grams=True).collect())
     )
     assert a == b
+
+
+def test_blocklist_filter_domains_and_subdomains(spark):
+    from lwetl_spark.operators.decontaminate import blocklist_filter
+
+    rows = [
+        (1, "https://www.good.com/a"),
+        (2, "https://bad.com/x"),
+        (3, "https://ads.tracker.bad.com/y"),      # subdomain of blocked domain
+        (4, "https://news.site.org/z?q=1"),
+        (5, "https://BAD.COM/upper"),              # case-insensitive
+        (6, "https://goodbad.com/r"),              # NOT bad.com — must survive
+    ]
+    df = spark.createDataFrame(rows, "id LONG, url STRING")
+    kept = blocklist_filter(df, "url", ["bad.com"])
+    assert sorted(r.id for r in kept.collect()) == [1, 4, 6]
+    # DataFrame blocklist form + audit columns
+    bl = spark.createDataFrame([("site.org",)], "d STRING")
+    audited = blocklist_filter(df, "url", bl, keep_audit_cols=True)
+    got = {r.id: (r._host, r._domain) for r in audited.collect()}
+    assert 4 not in got
+    assert got[3] == ("ads.tracker.bad.com", "bad.com")
+
+
+def test_blocklist_filter_plan_is_broadcast_anti(spark):
+    from lwetl_spark.operators.decontaminate import blocklist_filter
+
+    df = spark.createDataFrame([(1, "https://a.com/x")], "id LONG, url STRING")
+    plan = blocklist_filter(df, "url", ["b.com"])._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan

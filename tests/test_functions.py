@@ -239,3 +239,49 @@ def test_standardize_embeddings_round_trip(spark):
         assert abs(mean) < 1e-9
         # constant dim (42.0) stays centered at 0 with sd 0; others sd ~ 1
         assert sd == 0 or abs(sd - 1.0) < 1e-9
+
+
+def test_normalize_text_nfc_nfkc_and_controls(spark):
+    from lwetl_spark.functions.text import normalize_text
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "Café"),          # decomposed -> composed under NFC
+        (2, "ＡBC"),            # fullwidth A: NFC keeps, NFKC folds to 'ABC'
+        (3, "a\x00b\x1fc\td"),      # controls stripped, tab kept
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "id LONG, t STRING")
+    got = {
+        r.id: (r.nfc, r.nfkc, r.clean)
+        for r in df.select(
+            "id",
+            normalize_text("t").alias("nfc"),
+            normalize_text("t", form="NFKC").alias("nfkc"),
+            normalize_text("t", strip_control=True).alias("clean"),
+        ).collect()
+    }
+    assert got[1][0] == "Café" and got[1][1] == "Café"
+    assert got[2][0] == "ＡBC" and got[2][1] == "ABC"
+    assert got[3][2] == "abc\td"
+    assert got[4] == (None, None, None)
+
+
+def test_url_host_and_registrable_domain(spark):
+    from lwetl_spark.functions.text import registrable_domain, url_host
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "https://a.b.example.com:8080/p?q=1"), (2, "not a url")],
+        "id LONG, url STRING",
+    )
+    got = {
+        r.id: (r.host, r.dom)
+        for r in df.select(
+            "id",
+            url_host("url").alias("host"),
+            registrable_domain(url_host("url")).alias("dom"),
+        ).collect()
+    }
+    assert got[1] == ("a.b.example.com:8080", "example.com:8080") or got[1][0].startswith("a.b.example.com")
+    assert got[2][0] is None

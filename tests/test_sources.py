@@ -199,3 +199,51 @@ def test_jdbc_named_source_resolves_and_fails_without_driver(spark):
 
     with pytest.raises(Exception, match="[Dd]river"):
         open_source(spark, cfg, "wh")
+
+
+def test_jsonl_roundtrip_utf8_and_nulls(spark, tmp):
+    """JSONL escape chain (newlines, quotes, backslash, 4-byte UTF-8) and
+    explicit-null round trip under a fixed schema."""
+    from lwetl_spark.sources.json import jsonl_source, write_jsonl
+
+    rows = [
+        (1, 'line1\nline2\t"quoted" \\ slash', "en"),
+        (2, "emoji \U0001f600 and CJK 漢字 and RTL שלום", "xx"),
+        (3, None, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING, lang STRING")
+    out = os.path.join(tmp, "docs_jsonl")
+    write_jsonl(df, out)
+    back = jsonl_source(spark, out, schema="doc_id LONG, text STRING, lang STRING")
+    assert sorted(tuple(r) for r in back.collect()) == sorted(rows)
+
+
+def test_jsonl_explicit_schema_skips_inference(spark, tmp):
+    """With an explicit schema the reader must not re-type values (a
+    numeric-looking string stays a string) and extra fields are pruned."""
+    from lwetl_spark.sources.json import jsonl_source
+
+    p = os.path.join(tmp, "x.jsonl")
+    with open(p, "w") as fh:
+        fh.write('{"a": "007", "b": 1, "extra": true}\n{"a": "8", "b": 2}\n')
+    back = jsonl_source(spark, p, schema="a STRING, b LONG")
+    got = sorted(tuple(r) for r in back.collect())
+    assert got == [("007", 1), ("8", 2)]
+    assert back.columns == ["a", "b"]
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp):
+    """ORC sink/source round trip; the filter must reach the ORC scan as
+    a pushed predicate (stripe-stat pruning at scale)."""
+    from lwetl_spark.catalog import load_table
+
+    orders = load_table(spark, SF_CORRECT, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    trg = os.path.join(tmp, "orders_orc")
+    orders.write.orc(trg)
+    back = spark.read.orc(trg).filter("o_totalprice > 100000")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "orc" in plan.lower()
+    exp = orders.filter("o_totalprice > 100000").count()
+    assert back.count() == exp
