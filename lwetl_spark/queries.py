@@ -3335,6 +3335,32 @@ def x_text_normalize(spark, sf_dir):
     )
 
 
+def _zorder_oracle() -> str:
+    from lwetl_spark.operators.zorder import zvalue_sql
+
+    return (
+        "SELECT o_orderkey, "
+        + zvalue_sql(["o_custkey", "o_orderkey"], bits=8)
+        + " AS zval FROM orders"
+    )
+
+
+@register("x_zorder", _zorder_oracle())
+def x_zorder(spark, sf_dir):
+    """Morton z-value computation (the sort key behind multi-dimensional
+    data-skipping layout): interleaves the low 8 bits of o_custkey and
+    o_orderkey via static shift/mask terms — bit-identical in any engine
+    (the oracle is generated from the same term list by `zvalue_sql`).
+    The layout effect (bounded per-file min/max boxes on BOTH columns
+    after `zorder_write`) is pinned in test_plans via parquet footer
+    stats."""
+    from lwetl_spark.operators.zorder import zvalue
+
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey", zvalue(["o_custkey", "o_orderkey"], bits=8).alias("zval")
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     _load_etl_queries()
     return dict(QUERIES)

@@ -488,3 +488,38 @@ def k8_orc_roundtrip(spark, sf_dir):
             F.sum("o_totalprice").cast("decimal(18,2)").alias("total"),
         )
     )
+
+
+# ----------------------------------------------------------------------------
+# K9 (NEW): small-file compaction — maintenance pass for fragmented tables
+# ----------------------------------------------------------------------------
+
+
+@register(
+    "k9_compaction",
+    """
+    SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def k9_compaction(spark, sf_dir):
+    """Fragment documents into 64 tiny files, compact to byte-sized
+    targets (shuffle-free coalesce + atomic swap), and prove the rewrite
+    is lossless by aggregating the compacted table.  The compaction
+    itself is asserted in test_plans (file counts, plan shape); the
+    driver-checked surface is data fidelity through the rewrite."""
+    from lwetl_spark.sinks.partitioned import compact_files
+
+    trg = os.path.join(_tmpdir("k9"), "docs_frag")
+    _t(spark, sf_dir, "documents").repartition(64).write.parquet(trg)
+    stats = compact_files(spark, trg, target_file_bytes=64 * 1024 * 1024)
+    assert stats["files_after"] <= stats["files_before"]
+    return (
+        spark.read.parquet(trg)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("chars"),
+        )
+    )

@@ -71,3 +71,68 @@ def write_bucketed(
     if sort_by:
         writer = writer.sortBy(*sort_by)
     writer.saveAsTable(table_name)
+
+
+def compact_files(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 256 * 1024 * 1024,
+    min_files_to_compact: int = 2,
+) -> dict:
+    """Rewrite a parquet directory into ~`target_file_bytes` files — the
+    small-files maintenance pass (streaming sinks, per-batch appends and
+    over-parallel writes all fragment tables; at 100 TB a million 1 MB
+    files turns scan planning and NameNode/object-store listing into the
+    bottleneck long before I/O does).
+
+    Scale design: file sizing derives from the ACTUAL on-disk byte size
+    (`coalesce(ceil(bytes / target))`), not row counts.  `coalesce` (not
+    `repartition`) merges existing partitions WITHOUT a shuffle — each
+    output task concatenates a handful of input files; row order within
+    files is irrelevant to parquet scan performance.  The rewrite stages
+    into a sibling temp dir then atomically swaps, so readers never see
+    a half-compacted table.  Returns {files_before, files_after,
+    bytes, target_files}.
+
+    Production note: on object stores the swap is two renames; an ACID
+    table format (Delta/Iceberg OPTIMIZE) does this transactionally —
+    this operator is the format-free equivalent, and the docstring IS
+    the gate: with Delta jars present, prefer `OPTIMIZE`.
+    """
+    import glob
+    import os
+    import shutil
+
+    files = [
+        f
+        for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        if os.path.isfile(f)
+    ]
+    total = sum(os.path.getsize(f) for f in files)
+    if len(files) < min_files_to_compact:
+        return {
+            "files_before": len(files),
+            "files_after": len(files),
+            "bytes": total,
+            "target_files": len(files),
+        }
+    n_out = max(1, -(-total // target_file_bytes))  # ceil
+    tmp = path.rstrip("/") + "._compact_tmp"
+    spark.read.parquet(path).coalesce(int(n_out)).write.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + "._compact_old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    after = len(
+        [
+            f
+            for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+            if os.path.isfile(f)
+        ]
+    )
+    return {
+        "files_before": len(files),
+        "files_after": after,
+        "bytes": total,
+        "target_files": int(n_out),
+    }

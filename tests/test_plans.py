@@ -261,3 +261,78 @@ def test_bloom_probe_broadcasts_occupied_set(spark):
     # a shuffle on the probe key
     plan = _plan(spark, "x_bloom_dedup")
     assert "BroadcastHashJoin" in plan
+
+
+def test_compact_files_merges_without_shuffle(spark, tmp_path):
+    from lwetl_spark.sinks.partitioned import compact_files
+
+    p = str(tmp_path / "frag")
+    spark.range(0, 10_000).repartition(32).write.parquet(p)
+    stats = compact_files(spark, p, target_file_bytes=1 << 30)
+    assert stats["files_before"] >= 32
+    assert stats["files_after"] == 1
+    back = spark.read.parquet(p)
+    assert back.count() == 10_000
+    assert back.agg({"id": "sum"}).first()[0] == 10_000 * 9_999 // 2
+    # idempotent / under-threshold: nothing to do
+    again = compact_files(spark, p, target_file_bytes=1 << 30)
+    assert again["files_after"] == again["files_before"] == 1
+
+
+def test_zvalue_interleaves_bits(spark):
+    from lwetl_spark.operators.zorder import zvalue
+
+    df = spark.createDataFrame([(1, 2), (3, 3), (0, 0)], "x LONG, y LONG")
+    got = [r.z for r in df.select(zvalue(["x", "y"], bits=2).alias("z")).collect()]
+    # (x=01, y=10) -> z bits: pos0=x0=1, pos1=y0=0, pos2=x1=0, pos3=y1=1 -> 9
+    assert got == [9, 15, 0]
+    import pytest
+
+    with pytest.raises(ValueError):
+        zvalue(["x", "y"], bits=32)
+
+
+def test_zorder_write_bounds_both_dims(spark, tmp_path):
+    """After z-order clustering, every parquet file's footer min/max box
+    is tight on BOTH dimensions (the data-skipping contract); a plain
+    x-sort leaves the y range at full width in every file."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from lwetl_spark.operators.zorder import zorder_write
+    from pyspark.sql import functions as F
+
+    df = spark.range(128 * 128).select(
+        (F.col("id") % 128).alias("x"), (F.col("id") / 128).cast("long").alias("y")
+    )
+    zp = str(tmp_path / "zord")
+    zorder_write(df, zp, ["x", "y"], bits=8, num_files=16)
+
+    def file_ranges(path, col):
+        out = []
+        for f in glob.glob(path + "/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            lo, hi = None, None
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    c = md.row_group(rg).column(ci)
+                    if c.path_in_schema == col and c.statistics is not None:
+                        lo = c.statistics.min if lo is None else min(lo, c.statistics.min)
+                        hi = c.statistics.max if hi is None else max(hi, c.statistics.max)
+            if lo is not None:
+                out.append(hi - lo)
+        return out
+
+    # ~1024 z-points per file = 32x32 tiles; sampled range boundaries can
+    # straddle a major quadrant edge, so assert MOST files are tight on
+    # both dims (a straddler spans the full axis) — linear sort has none.
+    for col in ("x", "y"):
+        ranges = file_ranges(zp, col)
+        tight = sum(1 for r in ranges if r <= 63)
+        assert tight >= 0.75 * len(ranges), (col, ranges)
+
+    lp = str(tmp_path / "linear")
+    df.repartitionByRange(16, "x").sortWithinPartitions("x").write.parquet(lp)
+    y_ranges = file_ranges(lp, "y")
+    assert all(r >= 120 for r in y_ranges)  # x-sort leaves y unbounded
