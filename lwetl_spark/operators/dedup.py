@@ -507,3 +507,59 @@ def bloom_filter_dedup(
             F.col("_dup").isNotNull().alias("is_dup"),
         )
     )
+
+
+def bloom_pruned_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    how: str = "inner",
+    k: int = 3,
+    bits_per_item: int = 16,
+) -> DataFrame:
+    """Equi-join with a Bloom pre-filter on the big side: build a Bloom
+    over the small side's join keys, drop big-side rows that cannot
+    match BEFORE the join shuffle, then run the ordinary join.  Result
+    is exactly `big.join(small, on, how)` for inner/semi joins — Bloom
+    false positives only let a few extra rows into the shuffle, where
+    the exact join discards them; no false negatives (pytest pins
+    equality).
+
+    Scale design (100 TB fact ⋈ 10^7-row dim too big to BROADCAST but
+    small enough to sketch): the wins come when the fact side is mostly
+    non-matching — the Bloom turns "shuffle 100 TB then discard 95%"
+    into "discard 95% at the scan, shuffle 5%".  The occupied-bit set
+    (≤ k·n longs) broadcasts even when the dim's payload columns don't.
+    Spark's own AQE runtime filter (
+    spark.sql.optimizer.runtime.bloomFilter.enabled) injects the same
+    idea automatically for one-shot plans; the explicit operator exists
+    for when the pruned stream feeds MULTIPLE downstream stages (reuse
+    the filtered scan), for derived join keys AQE's creation-side
+    heuristics skip, and for engine-portable determinism (md5 position
+    family, same as `bloom_filter_dedup`).
+
+    `how` must be 'inner' or a semi variant — pruning the left side of
+    an outer join would drop rows the join must keep.
+    """
+    if how not in ("inner", "semi", "left_semi", "leftsemi"):
+        raise ValueError(f"bloom_pruned_join supports inner/semi joins, got {how}")
+    n = small.count()
+    m = max(64, bits_per_item * n)
+    fp = lambda c: F.md5(F.col(c).cast("string"))  # noqa: E731
+    occ = F.broadcast(
+        small.select(F.explode(_bloom_positions(fp(on), k, m)).alias("p")).distinct()
+    )
+    # one broadcast LEFT SEMI join per hash index — every probe is
+    # map-side against the same broadcast occupied-bit set (the exchange
+    # is reused), so the big side is never shuffled by the pre-filter;
+    # an explode+groupBy membership count would re-shuffle the fact
+    # table and defeat the operator
+    pruned = big
+    pos = _bloom_positions(fp(on), k, m)
+    for j in range(k):
+        pruned = (
+            pruned.withColumn("_pj", F.element_at(pos, j + 1))
+            .join(occ, F.col("_pj") == F.col("p"), "left_semi")
+            .drop("_pj")
+        )
+    return pruned.join(small, on, how)

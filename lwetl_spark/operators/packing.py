@@ -150,3 +150,49 @@ def chunk_documents(
         F.size("_c").cast("int").alias("n_tokens"),
         F.md5(F.array_join("_c", " ")).alias("chunk_hash"),
     )
+
+
+def batch_by_length(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bucket_width: int = 32,
+    batch_size: int = 8,
+) -> DataFrame:
+    """Length-bucketed batching (dynamic batching for inference /
+    padded training): group documents of similar token length into
+    fixed-size batches so per-batch padding waste is bounded by
+    ``bucket_width - 1`` tokens per document.  (Training-pipeline op,
+    NEW — no reference analog.)
+
+    Plan shape: bucket = n_tokens div bucket_width (a map-side
+    expression), then ONE hash exchange on the bucket and a per-bucket
+    `row_number` ordered by (n_tokens, id) — batches are
+    `row_number div batch_size` within the bucket.  Batching is thus
+    embarrassingly parallel ACROSS buckets; a GLOBAL length-sorted
+    row_number (the single-reducer formulation) would funnel the whole
+    corpus through one task for strictly less useful semantics —
+    batches never span buckets anyway by design.
+
+    Skew note (100 TB): natural-language length histograms concentrate
+    mass in few buckets; per-bucket windows sort only each bucket's
+    rows, and a hot bucket can be split by salting the bucket id with
+    `pmod(hash(id), s)` — each salt shard then batches independently
+    (batch ids stay unique via the shard term).  Returns (id, n_tokens,
+    bucket, batch_id) with batch_id unique across buckets.
+    """
+    from lwetl_spark.functions.text import token_count
+
+    d = df.select(
+        F.col(id_col), token_count(text_col).cast("int").alias("n_tokens")
+    ).withColumn("bucket", (F.col("n_tokens") / bucket_width).cast("int"))
+    w = Window.partitionBy("bucket").orderBy("n_tokens", id_col)
+    return d.select(
+        id_col,
+        "n_tokens",
+        "bucket",
+        (
+            F.col("bucket").cast("long") * 1_000_000
+            + ((F.row_number().over(w) - 1) / batch_size).cast("long")
+        ).alias("batch_id"),
+    )

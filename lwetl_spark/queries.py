@@ -3361,6 +3361,68 @@ def x_zorder(spark, sf_dir):
     )
 
 
+@register(
+    "x_bloom_join",
+    """
+    SELECT l.l_partkey AS partkey, l.l_orderkey, CAST(l.l_quantity AS INT) AS qty,
+           p.p_brand
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_size = 50
+    """,
+)
+def x_bloom_join(spark, sf_dir):
+    """Bloom-pruned fact⋈dim join: the dim's key Bloom (md5 position
+    family) broadcasts and drops non-matching fact rows at the scan via
+    map-side semi probes; only survivors reach the exact join, whose
+    output — the oracle pins this — is IDENTICAL to the plain join
+    (false positives die in the exact join; no false negatives)."""
+    from lwetl_spark.operators.dedup import bloom_pruned_join
+
+    big = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("partkey"),
+        "l_orderkey",
+        F.col("l_quantity").cast("int").alias("qty"),
+    )
+    small = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_size") == 50)
+        .select(F.col("p_partkey").alias("partkey"), "p_brand")
+    )
+    return bloom_pruned_join(big, small, "partkey")
+
+
+@register(
+    "x_length_batching",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                  x -> x <> '')) AS INT) AS n_tokens
+      FROM documents
+    ),
+    b AS (SELECT doc_id, n_tokens, n_tokens // 32 AS bucket FROM t),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY n_tokens, doc_id) AS rn
+      FROM b
+    )
+    SELECT doc_id, n_tokens, CAST(bucket AS INT) AS bucket,
+           CAST(bucket * 1000000 + (rn - 1) // 8 AS BIGINT) AS batch_id
+    FROM r
+    """,
+)
+def x_length_batching(spark, sf_dir):
+    """Length-bucketed dynamic batching: one hash exchange on the length
+    bucket, per-bucket row_number → batches of 8 docs whose padding
+    waste is bounded by the 32-token bucket width.  Parallel across
+    buckets — the global-sort formulation would serialize the corpus
+    through one reducer for no better batches."""
+    from lwetl_spark.operators.packing import batch_by_length
+
+    return batch_by_length(
+        _t(spark, sf_dir, "documents"), bucket_width=32, batch_size=8
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     _load_etl_queries()
     return dict(QUERIES)

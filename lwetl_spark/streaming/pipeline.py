@@ -197,6 +197,55 @@ def stream_multi_rollup(
     )
 
 
+def stream_stream_join(
+    spark: SparkSession,
+    events_path: str,
+    left_type: str = "click",
+    right_type: str = "purchase",
+    watermark: str = "10 minutes",
+    max_gap: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream INNER join: pair each left-type event
+    with the same user's right-type events that follow within
+    ``max_gap`` (click→purchase attribution — the canonical
+    stream-stream use).
+
+    Scale design: a stream-stream join buffers BOTH sides in state; the
+    two things that bound that state are exactly what this plan encodes
+    — a watermark on each side (late data horizon) and a TIME-RANGE
+    predicate in the join condition (``r.ts BETWEEN l.ts AND l.ts +
+    gap``), which lets Spark evict any buffered row once the watermark
+    passes its last possible match.  An equi-join without the range
+    bound would accumulate state forever.  The join itself shuffles both
+    streams on user_id once per micro-batch; the state store is
+    partitioned the same way, so matching is local thereafter.
+    """
+    schema = spark.read.parquet(events_path).schema
+
+    def _side(tag: str, typ: str) -> DataFrame:
+        s = spark.readStream.schema(schema).parquet(events_path)
+        return (
+            s.filter(F.col("event_type") == typ)
+            .select(
+                F.col("user_id").alias(f"{tag}_user"),
+                F.col("ts").cast("timestamp").alias(f"{tag}_ts"),
+                F.col("value").alias(f"{tag}_value"),
+            )
+            .withWatermark(f"{tag}_ts", watermark)
+        )
+
+    left, right = _side("l", left_type), _side("r", right_type)
+    return left.join(
+        right,
+        F.expr(
+            "l_user = r_user AND "
+            f"r_ts >= l_ts AND r_ts <= l_ts + INTERVAL {max_gap}"
+        ),
+    ).select(
+        F.col("l_user").alias("user_id"), "l_ts", "r_ts", "l_value", "r_value"
+    )
+
+
 def stream_to_memory(df: DataFrame, name: str = "stream_out", mode: str = "complete") -> DataFrame:
     """Drive a streaming DataFrame to completion against the available
     input (processAllAvailable) and return the materialized result from

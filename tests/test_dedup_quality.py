@@ -220,3 +220,47 @@ def test_bloom_dedup_deterministic_flags(spark):
     b = {r.doc_id: r.might_contain
          for r in bloom_filter_dedup(corpus, batch).collect()}
     assert a == b  # md5 positions: same filter, same flags, every run
+
+
+def test_bloom_pruned_join_equals_plain_join(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from lwetl_spark.operators.dedup import bloom_pruned_join
+
+    big = spark.range(0, 2000).select(
+        (F.col("id") % 500).alias("k"), F.col("id").alias("payload")
+    )
+    small = spark.range(0, 50).select(
+        (F.col("id") * 7).alias("k"), (F.col("id") + 1000).alias("dim")
+    )
+    got = sorted(tuple(r) for r in bloom_pruned_join(big, small, "k").collect())
+    exp = sorted(tuple(r) for r in big.join(small, "k").collect())
+    assert got == exp and len(exp) > 0
+    semi = sorted(
+        tuple(r) for r in bloom_pruned_join(big, small, "k", how="left_semi").collect()
+    )
+    exp_semi = sorted(tuple(r) for r in big.join(small, "k", "left_semi").collect())
+    assert semi == exp_semi
+    with pytest.raises(ValueError):
+        bloom_pruned_join(big, small, "k", how="left")
+
+
+def test_bloom_pruned_join_prefilter_is_broadcast_only(spark):
+    """The pre-filter stage must contain only broadcast joins — no
+    exchange of the big side before the final join."""
+    from pyspark.sql import functions as F
+
+    from lwetl_spark.operators.dedup import bloom_pruned_join
+
+    big = spark.range(0, 1000).select((F.col("id") % 100).alias("k"), "id")
+    small = spark.range(0, 10).select((F.col("id") * 3).alias("k"))
+    plan = (
+        bloom_pruned_join(big, small, "k", how="left_semi")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # all semi probes are BroadcastHashJoin; the big side never shuffles
+    assert plan.count("BroadcastHashJoin") >= 4  # 3 bloom probes + final semi
+    assert "ShuffledHashJoin" not in plan and "SortMergeJoin" not in plan

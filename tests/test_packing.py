@@ -108,3 +108,26 @@ def test_chunk_documents_cover_every_token(spark):
     for doc, n in n_by_doc.items():
         if n > 0:
             assert cover[doc] == set(range(n)), doc
+
+
+def test_batch_by_length_bounds_padding_and_size(spark):
+    from pyspark.sql import functions as F
+
+    from lwetl_spark.operators.packing import batch_by_length
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (1 + (i * 37) % 200))) for i in range(300)],
+        "doc_id LONG, text STRING",
+    )
+    out = batch_by_length(docs, bucket_width=32, batch_size=8).collect()
+    assert len(out) == 300
+    by_batch = {}
+    for r in out:
+        by_batch.setdefault(r.batch_id, []).append(r)
+    for batch_id, rows in by_batch.items():
+        assert len(rows) <= 8
+        lens = [r.n_tokens for r in rows]
+        assert max(lens) - min(lens) <= 31  # padding bound: one bucket wide
+        assert len({r.bucket for r in rows}) == 1  # batches never span buckets
+    # every doc in exactly one batch
+    assert sum(len(v) for v in by_batch.values()) == 300
