@@ -1,0 +1,106 @@
+"""Grouped analytical operators: per-group recursive/statistical passes.
+
+Two deliberately different execution strategies, chosen by what the
+math allows:
+
+- `group_ols` — closed-form least squares from sufficient statistics:
+  ONE JVM-side aggregation (map-side combinable, one shuffle of five
+  longs per group).  When an algorithm has a sufficient-statistics
+  form, the Spark-first answer is an `agg`, never a UDF.
+- `grouped_ewma` — exponential moving average, a true recursion
+  (y_t depends on y_{t-1}): not expressible as a window/agg, so it is
+  the canonical `groupBy().applyInPandas` case — Arrow ships each
+  group to Python once, the recursion runs in-process, results come
+  back columnar.
+
+Scale notes (100 TB): `group_ols` is bounded by the groupBy shuffle of
+5 numbers per group — effectively free.  `grouped_ewma` shuffles each
+group's rows to one task (inherent: the recursion is sequential per
+group) — fine when groups are users/sessions (millions of small
+groups, perfectly parallel), wrong for a handful of giant groups; for
+those, segment the series and carry the boundary state like
+pack_sequences' two-phase prefix pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def group_ols(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    digits: int = 6,
+) -> DataFrame:
+    """Per-group simple linear regression y ≈ a·x + b, computed from
+    EXACT integer sufficient statistics (inputs are floored to ints, so
+    Σx, Σy, Σxy, Σx² are exact BIGINTs in any engine; slope/intercept
+    are then one identical float division — bit-reproducible, the same
+    determinism trick as quantize_int8's floor form).
+
+    Returns (group, n, slope, intercept) rounded to ``digits``.
+    """
+    x = F.floor(F.col(x_col)).cast("long")
+    y = F.floor(F.col(y_col)).cast("long")
+    agg = df.groupBy(group_col).agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+    )
+    num = agg["n"] * agg["sxy"] - agg["sx"] * agg["sy"]
+    den = agg["n"] * agg["sxx"] - agg["sx"] * agg["sx"]
+    slope = num.cast("double") / den.cast("double")
+    intercept = (agg["sy"].cast("double") - slope * agg["sx"].cast("double")) / agg[
+        "n"
+    ].cast("double")
+    return agg.select(
+        group_col,
+        "n",
+        F.round(slope, digits).alias("slope"),
+        F.round(intercept, digits).alias("intercept"),
+    )
+
+
+def grouped_ewma(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list[str],
+    value_col: str,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-group exponential moving average y_t = α·x_t + (1−α)·y_{t−1}
+    (y_0 = x_0), ordered by ``order_cols`` within each group.
+
+    A true recursion — each output depends on the previous OUTPUT — so
+    no window frame or aggregate expresses it; this is the canonical
+    grouped-map (`applyInPandas`) case.  The recursion is written as an
+    explicit per-row loop with a fixed operation order
+    (α·x + (1−α)·y, IEEE doubles), so any engine replaying the same
+    order reproduces it bit-for-bit — the DuckDB oracle does, via a
+    recursive CTE (x_grouped_ewma).
+
+    Output: group, order cols, value, ewma.
+    """
+    out_fields = [group_col, *order_cols, value_col]
+    schema_src = df.select(*out_fields).schema
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema_src)
+    schema += ", ewma double"
+    a = float(alpha)
+
+    def fn(pdf):  # pragma: no cover - executed on workers
+        pdf = pdf.sort_values(order_cols).reset_index(drop=True)
+        vals = pdf[value_col].astype("float64").tolist()
+        out, y = [], None
+        for x in vals:
+            y = x if y is None else a * x + (1.0 - a) * y
+            out.append(y)
+        pdf = pdf[out_fields].copy()
+        pdf["ewma"] = out
+        return pdf
+
+    return df.select(*out_fields).groupBy(group_col).applyInPandas(fn, schema)

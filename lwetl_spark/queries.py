@@ -3423,6 +3423,76 @@ def x_length_batching(spark, sf_dir):
     )
 
 
+@register(
+    "x_group_ols",
+    r"""
+    WITH t AS (
+      SELECT lang, n_chars AS x,
+             CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                  x -> x <> '')) AS BIGINT) AS y
+      FROM documents
+    ),
+    s AS (
+      SELECT lang, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x*y) AS sxy, SUM(x*x) AS sxx
+      FROM t GROUP BY lang
+    )
+    SELECT lang, n,
+           ROUND(CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE), 6)
+               AS slope,
+           ROUND((CAST(sy AS DOUBLE)
+                  - (CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE))
+                    * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS intercept
+    FROM s
+    """,
+)
+def x_group_ols(spark, sf_dir):
+    """Per-language least-squares fit of token count against character
+    count — closed-form OLS from exact integer sufficient statistics
+    (one map-side-combinable aggregation, five longs per group through
+    the shuffle; the float division happens once on identical exact
+    integers, so both engines produce the same double bit-for-bit)."""
+    from lwetl_spark.functions.text import token_count
+    from lwetl_spark.operators.grouped import group_ols
+
+    d = _t(spark, sf_dir, "documents").select(
+        "lang", "n_chars", token_count("text").cast("long").alias("n_tok")
+    )
+    return group_ols(d, "lang", "n_chars", "n_tok")
+
+
+@register(
+    "x_grouped_ewma",
+    """
+    WITH RECURSIVE t AS (
+      SELECT user_id, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    e AS (
+      SELECT user_id, event_id, value, rn, value AS ewma FROM t WHERE rn = 1
+      UNION ALL
+      SELECT t.user_id, t.event_id, t.value, t.rn,
+             0.5 * t.value + 0.5 * e.ewma
+      FROM t JOIN e ON t.user_id = e.user_id AND t.rn = e.rn + 1
+    )
+    SELECT user_id, event_id, ewma FROM e
+    """,
+)
+def x_grouped_ewma(spark, sf_dir):
+    """Per-user exponential moving average of event values — a true
+    recursion (each output feeds the next), the canonical
+    `applyInPandas` grouped-map case.  The fixed operation order
+    (0.5·x + 0.5·y on IEEE doubles) makes the result bit-identical to
+    the oracle's recursive CTE replaying the same order — an EXACT
+    float oracle, no tolerance band."""
+    from lwetl_spark.operators.grouped import grouped_ewma
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    out = grouped_ewma(ev, "user_id", ["ts", "event_id"], "value", alpha=0.5)
+    return out.select("user_id", "event_id", "ewma")
+
+
 def queries() -> dict[str, QueryFn]:
     _load_etl_queries()
     return dict(QUERIES)

@@ -1,0 +1,61 @@
+"""Grouped analytical operators: closed-form OLS (pure agg) and the
+applyInPandas EWMA recursion."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_group_ols_recovers_exact_line(spark):
+    from lwetl_spark.operators.grouped import group_ols
+
+    # y = 3x + 7 exactly in group a; y = -2x + 1 in group b
+    rows = [("a", x, 3 * x + 7) for x in range(10)] + [
+        ("b", x, -2 * x + 1) for x in range(10)
+    ]
+    df = spark.createDataFrame(rows, "g STRING, x LONG, y LONG")
+    got = {r.g: (r.n, r.slope, r.intercept) for r in group_ols(df, "g", "x", "y").collect()}
+    assert got["a"] == (10, 3.0, 7.0)
+    assert got["b"] == (10, -2.0, 1.0)
+
+
+def test_group_ols_floors_float_inputs(spark):
+    from lwetl_spark.operators.grouped import group_ols
+
+    df = spark.createDataFrame(
+        [("a", 1.9, 3.2), ("a", 2.7, 5.9), ("a", 3.1, 7.99)],
+        "g STRING, x DOUBLE, y DOUBLE",
+    )
+    # floors to (1,3),(2,5),(3,7): y = 2x + 1
+    got = group_ols(df, "g", "x", "y").collect()[0]
+    assert (got.slope, got.intercept) == (2.0, 1.0)
+
+
+def test_grouped_ewma_recursion_and_order(spark):
+    from lwetl_spark.operators.grouped import grouped_ewma
+
+    rows = [
+        ("u1", 3, 5.0),
+        ("u1", 1, 1.0),
+        ("u1", 2, 3.0),
+        ("u2", 1, 10.0),
+    ]
+    df = spark.createDataFrame(rows, "u STRING, seq LONG, v DOUBLE")
+    got = {
+        (r.u, r.seq): r.ewma
+        for r in grouped_ewma(df, "u", ["seq"], "v", alpha=0.5).collect()
+    }
+    # ordered by seq: 1.0 -> .5*3+.5*1=2.0 -> .5*5+.5*2=3.5
+    assert got[("u1", 1)] == 1.0
+    assert got[("u1", 2)] == 2.0
+    assert got[("u1", 3)] == 3.5
+    assert got[("u2", 1)] == 10.0
+
+
+def test_grouped_ewma_alpha(spark):
+    from lwetl_spark.operators.grouped import grouped_ewma
+
+    df = spark.createDataFrame([("u", 1, 0.0), ("u", 2, 1.0)], "u STRING, seq LONG, v DOUBLE")
+    got = {r.seq: r.ewma for r in grouped_ewma(df, "u", ["seq"], "v", alpha=0.25).collect()}
+    assert got[1] == 0.0 and got[2] == 0.25
