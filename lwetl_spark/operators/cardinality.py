@@ -56,3 +56,45 @@ def table_cardinality(df: DataFrame, exact: bool = True) -> DataFrame:
     return one_row.selectExpr(
         f"stack({len(df.columns)}, {stack_args}) as (column_name, n_nonnull, n_distinct)"
     ).withColumn("n_duplicated", F.col("n_nonnull") - F.col("n_distinct"))
+
+
+def equi_width_histogram(df: DataFrame, column: str, width: float) -> DataFrame:
+    """Equi-width histogram: bucket = floor(col / width), with per-bucket
+    count and actual min/max.  One map-side-combinable aggregation (the
+    profiling companion of `table_cardinality`); bucket arithmetic is a
+    single float division + floor, identical IEEE ops in any engine, so
+    the oracle is exact.  Returns (bucket, n, lo, hi)."""
+    b = F.floor(F.col(column) / F.lit(float(width))).cast("long")
+    return (
+        df.groupBy(b.alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min(column).alias("lo"),
+            F.max(column).alias("hi"),
+        )
+    )
+
+
+def table_checksum(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Order-insensitive whole-table checksum: SUM over rows of the
+    15-hex-digit prefix of md5(concat_ws('|', cols)) as DECIMAL(38,0),
+    plus the row count.  Any engine reproduces it bit-for-bit (the md5
+    family trick), so source and target of a copy can be checked WITHOUT
+    moving either table — each side computes one number locally and only
+    the numbers travel.  That is the 100 TB story: validation cost is
+    one scan + a 2-value exchange, versus db-copy's row-set diff when
+    you need to know WHICH rows differ.
+
+    Callers must pre-format float columns deterministically (cast to
+    DECIMAL / round) — raw double→string rendering is engine-specific.
+    NULLs: concat_ws skips nulls, which conflates NULL with '' — pass
+    pre-coalesced columns where that distinction matters.
+    """
+    cols = columns or df.columns
+    fp = F.conv(
+        F.substring(F.md5(F.concat_ws("|", *[F.col(c) for c in cols])), 1, 15), 16, 10
+    ).cast("decimal(38,0)")
+    return df.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(fp).cast("decimal(38,0)").alias("checksum"),
+    )

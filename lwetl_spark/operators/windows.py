@@ -109,3 +109,37 @@ def scd2_from_events(
         nxt.alias("valid_to"),
         nxt.isNull().alias("is_current"),
     )
+
+
+def sliding_agg(
+    df: DataFrame,
+    ts_col: str = "ts",
+    width_seconds: int = 3600,
+    slide_seconds: int = 1800,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Sliding (hopping) window aggregate via the native ``F.window``
+    with a slide: each event lands in ``ceil(width/slide)`` overlapping
+    windows (Spark materializes the per-event window list and explodes —
+    the input amplification factor IS width/slide, the inherent cost of
+    hopping windows; keep the ratio small at scale or switch to
+    multi-resolution rollups, x_multi_rollup, which aggregate each tier
+    once instead).  Window starts are epoch-aligned multiples of the
+    slide, so the oracle reproduces them with integer arithmetic."""
+    keys = keys or ["event_type"]
+    w = F.window(
+        F.col(ts_col), f"{width_seconds} seconds", f"{slide_seconds} seconds"
+    )
+    return (
+        df.groupBy(w.alias("win"), *keys)
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            *keys,
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -3493,6 +3493,84 @@ def x_grouped_ewma(spark, sf_dir):
     return out.select("user_id", "event_id", "ewma")
 
 
+@register(
+    "x_sliding_window",
+    """
+    WITH c AS (
+      SELECT event_type, value,
+             CAST(floor(epoch(ts) / 1800) AS BIGINT) AS k
+      FROM events
+    ),
+    w AS (
+      SELECT event_type, value, make_timestamp(k * 1800 * 1000000) AS win_start
+      FROM c
+      UNION ALL
+      SELECT event_type, value, make_timestamp((k - 1) * 1800 * 1000000)
+      FROM c
+    )
+    SELECT win_start, event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM w GROUP BY 1, 2
+    """,
+)
+def x_sliding_window(spark, sf_dir):
+    """Hopping-window aggregate (60-min windows sliding every 30): the
+    native F.window with a slide puts each event in exactly
+    width/slide = 2 windows; the oracle replays the same epoch-aligned
+    assignment as a two-branch UNION ALL."""
+    from lwetl_spark.operators.windows import sliding_agg
+
+    return sliding_agg(
+        _t(spark, sf_dir, "events"), width_seconds=3600, slide_seconds=1800
+    )
+
+
+@register(
+    "x_histogram",
+    """
+    SELECT CAST(floor(o_totalprice / 20000.0) AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+    FROM orders GROUP BY 1
+    """,
+)
+def x_histogram(spark, sf_dir):
+    """Equi-width histogram of order totals: floor(x/width) buckets with
+    actual min/max — the profiling companion of c3_cardinality; bucket
+    arithmetic and extrema are identical IEEE ops, exact oracle."""
+    from lwetl_spark.operators.cardinality import equi_width_histogram
+
+    return equi_width_histogram(_t(spark, sf_dir, "orders"), "o_totalprice", 20000.0)
+
+
+@register(
+    "x_table_checksum",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(('0x' || substr(md5(
+               c_custkey || '|' || c_name || '|' || c_mktsegment || '|'
+               || CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR)
+           ), 1, 15)) AS BIGINT)) AS DECIMAL(38,0)) AS checksum
+    FROM customer
+    """,
+)
+def x_table_checksum(spark, sf_dir):
+    """Order-insensitive table checksum (copy-validation primitive): sum
+    of md5-prefix fingerprints as DECIMAL(38,0).  Source and target of a
+    db-copy each compute one number locally — only two values travel,
+    never the rows (the 100 TB validation path; db_copy's row-diff
+    modes are for finding WHICH rows differ)."""
+    from lwetl_spark.operators.cardinality import table_checksum
+
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("string").alias("k"),
+        "c_name",
+        "c_mktsegment",
+        F.col("c_acctbal").cast("decimal(12,2)").cast("string").alias("bal"),
+    )
+    return table_checksum(c, ["k", "c_name", "c_mktsegment", "bal"])
+
+
 def queries() -> dict[str, QueryFn]:
     _load_etl_queries()
     return dict(QUERIES)

@@ -68,3 +68,23 @@ def test_rows_only_queries_run(name, spark):
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
+
+
+def test_table_checksum_detects_single_row_change(spark):
+    from pyspark.sql import functions as F
+
+    from lwetl_spark.operators.cardinality import table_checksum
+
+    df = spark.createDataFrame(
+        [(i, f"name{i}") for i in range(100)], "id LONG, name STRING"
+    )
+    base = table_checksum(df).first()
+    # same rows, different order -> same checksum
+    shuffled = table_checksum(df.orderBy(F.rand(7))).first()
+    assert (base.n_rows, base.checksum) == (shuffled.n_rows, shuffled.checksum)
+    # one changed value -> different checksum, same count
+    mutated = df.withColumn(
+        "name", F.when(F.col("id") == 50, F.lit("NAMEX")).otherwise(F.col("name"))
+    )
+    mut = table_checksum(mutated).first()
+    assert mut.n_rows == base.n_rows and mut.checksum != base.checksum

@@ -42,3 +42,20 @@ def test_scd2_deterministic(spark):
     a = sorted(map(tuple, scd2_from_events(_events(spark)).collect()))
     b = sorted(map(tuple, scd2_from_events(_events(spark)).collect()))
     assert a == b
+
+
+def test_sliding_agg_each_event_in_two_windows(spark):
+    from pyspark.sql import functions as F
+
+    from lwetl_spark.catalog import load_table
+    from lwetl_spark.operators.windows import sliding_agg
+    from tests.conftest import SF_SMOKE
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    out = sliding_agg(ev, width_seconds=3600, slide_seconds=1800)
+    # total event-window memberships = 2x event count (width/slide = 2)
+    total = out.agg(F.sum("n_events")).first()[0]
+    assert total == 2 * ev.count()
+    # window starts align to the slide
+    starts = [r.win_start for r in out.select("win_start").distinct().collect()]
+    assert all(s.minute in (0, 30) and s.second == 0 for s in starts)
