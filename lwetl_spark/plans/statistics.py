@@ -59,3 +59,18 @@ class ExecutionStatistics:
                 for tag, times in sorted(self.executions.items())
             },
         }
+
+
+def plan_shuffle_count(df) -> int:
+    """Number of exchanges (shuffles) in the DataFrame's physical plan —
+    the single most important scale metric of a plan shape.  Used by
+    tests to PIN that an operator doesn't regress into extra shuffles
+    (e.g. test_plans, test_skew), and handy interactively:
+    a `groupBy.join.window` chain that reports 4 when you expected 2
+    is telling you a partitioning isn't being reused."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return sum(
+        plan.count(marker)
+        for marker in ("Exchange hashpartitioning", "Exchange rangepartitioning",
+                       "Exchange RoundRobinPartitioning", "Exchange SinglePartition")
+    )

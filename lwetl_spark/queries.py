@@ -3571,6 +3571,42 @@ def x_table_checksum(spark, sf_dir):
     return table_checksum(c, ["k", "c_name", "c_mktsegment", "bal"])
 
 
+@register(
+    "x_incremental_agg",
+    """
+    SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def x_incremental_agg(spark, sf_dir):
+    """Incremental materialized-view maintenance: a state table built
+    from pre-1997 orders is merged with the 1997+ delta batch via
+    delta-side aggregation + full-outer coalesce-add — and must equal
+    the from-scratch aggregate over everything (the oracle).  DECIMAL
+    sums keep the merge exact; at scale the delta shuffles, the state
+    doesn't (bucketed state makes its side exchange-free)."""
+    from lwetl_spark.operators.incremental import merge_partial_aggs
+
+    keys = ["o_orderstatus", "o_orderpriority"]
+    orders = _t(spark, sf_dir, "orders").select(
+        *keys,
+        "o_orderdate",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    cutoff = F.lit("1997-01-01").cast("date")
+    state = (
+        orders.filter(F.col("o_orderdate") < cutoff)
+        .groupBy(*keys)
+        .agg(F.count("*").alias("n"), F.sum("price").alias("price"))
+    )
+    delta = orders.filter(F.col("o_orderdate") >= cutoff)
+    merged = merge_partial_aggs(state, delta, keys, ["price"], count_col="n")
+    return merged.select(
+        *keys, "n", F.col("price").cast("decimal(38,2)").alias("total")
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     _load_etl_queries()
     return dict(QUERIES)

@@ -523,3 +523,43 @@ def k9_compaction(spark, sf_dir):
             F.sum("n_chars").cast("bigint").alias("chars"),
         )
     )
+
+
+# ----------------------------------------------------------------------------
+# S11 (NEW): schema evolution — batches with drifting schemas unified at read
+# ----------------------------------------------------------------------------
+
+
+@register(
+    "s11_schema_evolution",
+    """
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(n_chars) AS BIGINT) AS n_with_chars,
+           CAST(SUM(COALESCE(n_chars, 0)) AS BIGINT) AS chars
+    FROM (
+      SELECT lang, NULL AS n_chars FROM documents WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT lang, n_chars FROM documents WHERE doc_id % 2 = 1
+    ) GROUP BY lang
+    """,
+)
+def s11_schema_evolution(spark, sf_dir):
+    """Schema drift across batches (columns added over time — the normal
+    life of a long-lived corpus): batch 1 lacks `n_chars`, batch 2 has
+    it; `mergeSchema` unifies at read with NULL fill for the missing
+    column.  At scale, pass the merged schema EXPLICITLY once known —
+    mergeSchema reads every file's footer up front (a planning-time
+    full-file-listing pass, the schema-inference tax again)."""
+    d = _t(spark, sf_dir, "documents")
+    trg = os.path.join(_tmpdir("s11"), "evolving")
+    d.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang").write.parquet(trg)
+    d.filter(F.col("doc_id") % 2 == 1).select("doc_id", "lang", "n_chars").write.mode(
+        "append"
+    ).parquet(trg)
+    back = spark.read.option("mergeSchema", "true").parquet(trg)
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.count("n_chars").alias("n_with_chars"),
+        F.sum(F.coalesce(F.col("n_chars"), F.lit(0))).cast("bigint").alias("chars"),
+    )

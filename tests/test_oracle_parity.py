@@ -88,3 +88,26 @@ def test_table_checksum_detects_single_row_change(spark):
     )
     mut = table_checksum(mutated).first()
     assert mut.n_rows == base.n_rows and mut.checksum != base.checksum
+
+
+def test_merge_partial_aggs_equals_full_recompute(spark):
+    from pyspark.sql import functions as F
+
+    from lwetl_spark.operators.incremental import merge_partial_aggs
+
+    full = spark.createDataFrame(
+        [(i % 5, i % 3, i) for i in range(1000)], "a LONG, b LONG, v LONG"
+    )
+    base = full.filter("v < 700")
+    delta = full.filter("v >= 700")
+    state = base.groupBy("a", "b").agg(
+        F.count("*").alias("n"), F.sum("v").alias("v")
+    )
+    merged = merge_partial_aggs(state, delta, ["a", "b"], ["v"])
+    exp = full.groupBy("a", "b").agg(F.count("*").alias("n"), F.sum("v").alias("v"))
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, exp.collect()))
+    # delta containing brand-new groups (not in state)
+    new_delta = spark.createDataFrame([(99, 99, 1), (99, 99, 2)], "a LONG, b LONG, v LONG")
+    m2 = merge_partial_aggs(merged, new_delta, ["a", "b"], ["v"])
+    row = m2.filter("a = 99").collect()[0]
+    assert (row.n, row.v) == (2, 3)

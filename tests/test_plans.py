@@ -336,3 +336,21 @@ def test_zorder_write_bounds_both_dims(spark, tmp_path):
     df.repartitionByRange(16, "x").sortWithinPartitions("x").write.parquet(lp)
     y_ranges = file_ranges(lp, "y")
     assert all(r >= 120 for r in y_ranges)  # x-sort leaves y unbounded
+
+
+def test_plan_shuffle_count(spark):
+    from pyspark.sql import functions as F
+
+    from lwetl_spark.plans.statistics import plan_shuffle_count
+
+    df = spark.range(1000).select((F.col("id") % 10).alias("k"), "id")
+    assert plan_shuffle_count(df) == 0
+    agg = df.groupBy("k").count()
+    assert plan_shuffle_count(agg) == 1
+    # reusing the same key partitioning: window over the agg adds NO
+    # extra exchange (hash(k) satisfies both)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("k").orderBy("count")
+    agg2 = agg.withColumn("rn", F.row_number().over(w))
+    assert plan_shuffle_count(agg2) == 1
