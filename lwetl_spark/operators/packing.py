@@ -158,6 +158,7 @@ def batch_by_length(
     text_col: str = "text",
     bucket_width: int = 32,
     batch_size: int = 8,
+    n_tokens_col: str | None = None,
 ) -> DataFrame:
     """Length-bucketed batching (dynamic batching for inference /
     padded training): group documents of similar token length into
@@ -180,17 +181,25 @@ def batch_by_length(
     `pmod(hash(id), s)` — each salt shard then batches independently
     (batch ids stay unique via the shard term).  Returns (id, n_tokens,
     bucket, batch_id) with batch_id unique across buckets.
-    """
-    from lwetl_spark.functions.text import token_count
 
-    d = df.select(
-        F.col(id_col), token_count(text_col).cast("int").alias("n_tokens")
-    ).withColumn("bucket", (F.col("n_tokens") / bucket_width).cast("int"))
-    w = Window.partitionBy("bucket").orderBy("n_tokens", id_col)
+    ``n_tokens_col``: pass a PRECOMPUTED count column to skip
+    tokenization (pipelines that already counted upstream — avoids a
+    second pass over the text); every input column is then carried
+    through to the output.
+    """
+    if n_tokens_col is None:
+        from lwetl_spark.functions.text import token_count
+
+        d = df.select(
+            F.col(id_col), token_count(text_col).cast("int").alias("n_tokens")
+        )
+        n_tokens_col = "n_tokens"
+    else:
+        d = df
+    d = d.withColumn("bucket", (F.col(n_tokens_col) / bucket_width).cast("int"))
+    w = Window.partitionBy("bucket").orderBy(n_tokens_col, id_col)
     return d.select(
-        id_col,
-        "n_tokens",
-        "bucket",
+        *d.columns,
         (
             F.col("bucket").cast("long") * 1_000_000
             + ((F.row_number().over(w) - 1) / batch_size).cast("long")

@@ -3607,6 +3607,96 @@ def x_incremental_agg(spark, sf_dir):
     )
 
 
+@register(
+    "x_web_pipeline",
+    r"""
+    WITH u AS (
+      SELECT doc_id, lang, text,
+             'site' || (doc_id % 97) || '.'
+               || ['com','org','net'][CAST(doc_id % 3 AS INT) + 1] AS domain
+      FROM documents
+    ),
+    k1 AS (
+      SELECT doc_id, lang, text FROM u
+      WHERE domain NOT IN ('site0.com','site10.net','site20.org','site30.com',
+                           'site40.net','site50.org','site60.com','site70.net',
+                           'site80.org','site90.com','site13.com','site26.net')
+    ),
+    tok AS (
+      SELECT doc_id, lang,
+             CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                  x -> x <> '')) AS INT) AS n_tokens
+      FROM k1
+    ),
+    thr AS (
+      SELECT lang, quantile_disc(n_tokens, 0.5) AS thr FROM tok GROUP BY lang
+    ),
+    k2 AS (
+      SELECT tok.doc_id, tok.lang, tok.n_tokens, thr.thr
+      FROM tok JOIN thr USING (lang)
+      WHERE tok.n_tokens >= thr.thr
+    ),
+    b AS (SELECT *, n_tokens // 32 AS bucket FROM k2),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY n_tokens, doc_id) AS rn
+      FROM b
+    )
+    SELECT doc_id, lang, n_tokens, CAST(thr AS INT) AS thr,
+           CAST(bucket AS INT) AS bucket,
+           CAST(bucket * 1000000 + (rn - 1) // 8 AS BIGINT) AS batch_id
+    FROM r
+    """,
+)
+def x_web_pipeline(spark, sf_dir):
+    """End-to-end web-curation pipeline in ONE Catalyst plan: domain
+    blocklist (broadcast anti-join) → per-language percentile-threshold
+    quality cut (broadcast thresholds) → length-bucketed batching (one
+    bucket exchange).  Composes three session operators; the corpus
+    crosses exactly ONE wide shuffle (the bucket exchange) — everything
+    else is broadcast joins plus the tiny per-language threshold
+    aggregate — and the oracle replays the chain as CTEs."""
+    from lwetl_spark.operators.decontaminate import blocklist_filter
+    from lwetl_spark.operators.packing import batch_by_length
+    from lwetl_spark.operators.sampling import percentile_filter
+    from lwetl_spark.functions.text import token_count
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    url = F.concat(
+        F.lit("https://www.site"),
+        (F.col("doc_id") % 97).cast("string"),
+        F.lit("."),
+        F.element_at(
+            F.array(F.lit("com"), F.lit("org"), F.lit("net")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ),
+        F.lit("/d/"),
+        F.col("doc_id").cast("string"),
+    )
+    blocked = [
+        "site0.com", "site10.net", "site20.org", "site30.com", "site40.net",
+        "site50.org", "site60.com", "site70.net", "site80.org", "site90.com",
+        "site13.com", "site26.net",
+    ]
+    k1 = blocklist_filter(d.withColumn("url", url), "url", blocked).drop("url")
+    tok = k1.select(
+        "doc_id", "lang", token_count("text").cast("int").alias("n_tokens")
+    )
+    k2 = percentile_filter(tok, "n_tokens", group_col="lang", keep_frac=0.5)
+    out = batch_by_length(
+        k2.withColumnRenamed("_thr", "thr"),
+        id_col="doc_id",
+        n_tokens_col="n_tokens",
+    )
+    return out.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.col("thr").cast("int").alias("thr"),
+        "bucket",
+        "batch_id",
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     _load_etl_queries()
     return dict(QUERIES)
