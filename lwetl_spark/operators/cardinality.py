@@ -98,3 +98,64 @@ def table_checksum(df: DataFrame, columns: list[str] | None = None) -> DataFrame
         F.count("*").alias("n_rows"),
         F.sum(fp).cast("decimal(38,0)").alias("checksum"),
     )
+
+
+def drift_chi2(
+    df_ref: DataFrame,
+    df_cur: DataFrame,
+    value_col: str,
+    width: float,
+    digits: int = 6,
+) -> DataFrame:
+    """Distribution-drift detection between a reference and a current
+    batch of the same column: equi-width binning on both, then the
+    per-bucket chi-square contribution (obs − exp)²/exp where exp is
+    the reference count scaled to the current batch size.  The monitor
+    sums `chi2_term` driver-side and compares to a χ² critical value;
+    per-bucket terms are returned (not pre-summed) so the output is
+    bit-exact across engines — counts are integers, the scale factor
+    and each term are one fixed-order float expression per bucket, no
+    order-dependent float summation anywhere.  (NEW — data-quality op;
+    the profiling companion of equi_width_histogram at pipeline scale.)
+
+    Scale: two map-side-combinable count aggregations (one per batch)
+    plus a full-outer join on ~#buckets rows — the data is never
+    shuffled beyond the bucket counts.  Returns
+    (bucket, n_ref, n_cur, expected, chi2_term).
+    """
+    def counts(d: DataFrame, name: str) -> DataFrame:
+        return (
+            d.select(
+                F.floor(F.col(value_col) / F.lit(float(width))).cast("long").alias("bucket")
+            )
+            .groupBy("bucket")
+            .agg(F.count("*").alias(name))
+        )
+
+    ref = counts(df_ref, "n_ref")
+    cur = counts(df_cur, "n_cur")
+    tot_ref = df_ref.count()
+    tot_cur = df_cur.count()
+    scale = float(tot_cur) / float(tot_ref) if tot_ref else 0.0
+    j = (
+        ref.join(cur, "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.coalesce("n_ref", F.lit(0)).cast("long").alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).cast("long").alias("n_cur"),
+        )
+    )
+    expected = F.col("n_ref").cast("double") * F.lit(scale)
+    term = F.when(
+        F.col("n_ref") > 0,
+        (F.col("n_cur").cast("double") - expected)
+        * (F.col("n_cur").cast("double") - expected)
+        / expected,
+    ).otherwise(F.lit(None).cast("double"))
+    return j.select(
+        "bucket",
+        "n_ref",
+        "n_cur",
+        F.round(expected, digits).alias("expected"),
+        F.round(term, digits).alias("chi2_term"),
+    )

@@ -177,6 +177,135 @@ def ngram_jaccard_pairs(
     )
 
 
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 4,
+    max_len_diff: int = 2,
+) -> DataFrame:
+    """Blocked sorted-neighborhood dedup (Hernández & Stolfo's SNM,
+    the classic record-linkage method): sort records by a blocking key,
+    compare each record only to its ``window-1`` sort-neighbours.
+
+    The textbook method sorts GLOBALLY — a single reducer at 100 TB.
+    This implementation blocks first (block = first 2 chars of the
+    normalized text + a 64-char length bucket) and runs the sliding
+    window WITHIN each block: `row_number` over a per-block window, then
+    a self-equi-join on the block key with `0 < rn_b − rn_a < window`.
+    Both sides shuffle once on the block key, blocks are independent and
+    parallel, and cross-block candidate loss is the same trade the
+    blocked variant of SNM always makes (documented, not hidden).
+
+    Candidate filter: neighbours whose trimmed lengths differ by at most
+    ``max_len_diff`` chars.  Returns (id_a, id_b, block, len_diff).
+    Everything is deterministic string/integer logic — exact cross-engine
+    oracle (x_sorted_neighborhood).
+    """
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.concat_ws(
+            "#", F.substring(norm, 1, 2), F.floor(F.length(norm) / 64).cast("string")
+        ).alias("block"),
+        F.length(norm).alias("n_len"),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("block").orderBy("n_len", "id")
+    )
+    ranked = base.select("id", "block", "n_len", rn.alias("rn"))
+    a, b = ranked.alias("a"), ranked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("b.rn") > F.col("a.rn"))
+            & (F.col("b.rn") < F.col("a.rn") + window),
+        )
+        .filter(F.abs(F.col("b.n_len") - F.col("a.n_len")) <= max_len_diff)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.block").alias("block"),
+            (F.col("b.n_len") - F.col("a.n_len")).cast("int").alias("len_diff"),
+        )
+    )
+
+
+def ppjoin_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Set-similarity join with PREFIX FILTERING (the PPJoin family,
+    Xiao et al., WWW'08): find all pairs of documents whose word-token
+    sets have Jaccard ≥ ``threshold``, without the all-pairs explode
+    join of `ngram_jaccard_pairs`.
+
+    Prefix-filter principle (LOSSLESS for Jaccard): order each doc's
+    tokens by ascending global document frequency (rarest first, token
+    as tie-break) and keep only the first
+    p = s − ⌈t·s⌉ + 1 tokens; any pair with J ≥ t MUST share at least
+    one prefix token, so joining on prefix tokens alone produces a
+    candidate superset — then an exact Jaccard check on candidates.
+    The result set is therefore IDENTICAL to brute force (the DuckDB
+    oracle runs the naive all-pairs join — equality, not recall).
+
+    Scale: candidate generation joins only prefix tokens — rare tokens
+    by construction, so bucket fan-in is tiny where it matters (the
+    frequent-token buckets that blow up the naive join are exactly the
+    ones pruned from prefixes).  Two shuffles (df-rank join, candidate
+    groupBy); the per-doc rank window partitions by doc, never global.
+    """
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(tokens(text_col))).alias("tok"),
+    )
+    sizes = tok.groupBy("id").agg(F.count("*").alias("s"))
+    docfreq = tok.groupBy("tok").agg(F.count("*").alias("df_tok"))
+    ranked = (
+        tok.join(docfreq, "tok")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("id").orderBy("df_tok", "tok")
+            ),
+        )
+        .join(sizes, "id")
+    )
+    prefix = ranked.filter(
+        F.col("rn") <= F.col("s") - F.ceil(F.lit(threshold) * F.col("s")) + 1
+    ).select("id", "tok")
+    cands = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.tok") == F.col("b.tok")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    inter = (
+        cands.join(tok.select(F.col("id").alias("id_a"), "tok"), "id_a")
+        .join(tok.select(F.col("id").alias("id_b"), F.col("tok").alias("tok_b")), "id_b")
+        .filter(F.col("tok") == F.col("tok_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("s").alias("s_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("s").alias("s_b"))
+    jac = F.col("inter").cast("double") / (
+        F.col("s_a") + F.col("s_b") - F.col("inter")
+    )
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(jac >= F.lit(float(threshold)))
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
 def simhash_buckets(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """SimHash near-dup candidate buckets: 64-bit simhash split into four
     16-bit bands; docs sharing any band are Hamming-≤3 candidates.

@@ -66,6 +66,48 @@ def group_ols(
     )
 
 
+def group_corr(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    digits: int = 6,
+) -> DataFrame:
+    """Per-group Pearson correlation from EXACT sufficient statistics.
+
+    Same determinism strategy as :func:`group_ols`: inputs are floored
+    to integers, the five sufficient statistics (n, Σx, Σy, Σxy, Σx²,
+    Σy²) accumulate exactly as DECIMAL(38,0) (BIGINT would overflow at
+    ~1e18 — price² sums cross that near sf1), and the only float ops
+    are one fixed-order tail: cast→sqrt→multiply→divide, identical IEEE
+    doubles in any engine.  ``F.corr`` exists but accumulates in
+    floating point with engine-specific order — unusable for a
+    bit-exact cross-engine oracle.
+
+    One map-side-combinable aggregation: six numbers per group through
+    the shuffle, scale-free at 100 TB.
+    """
+    x = F.floor(F.col(x_col)).cast("decimal(38,0)")
+    y = F.floor(F.col(y_col)).cast("decimal(38,0)")
+    agg = df.groupBy(group_col).agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    num = (agg["n"] * agg["sxy"] - agg["sx"] * agg["sy"]).cast("double")
+    dx = (agg["n"] * agg["sxx"] - agg["sx"] * agg["sx"]).cast("double")
+    dy = (agg["n"] * agg["syy"] - agg["sy"] * agg["sy"]).cast("double")
+    corr = num / (F.sqrt(dx) * F.sqrt(dy))
+    return agg.select(
+        group_col,
+        agg["n"].cast("long").alias("n"),
+        F.round(corr, digits).alias("corr"),
+    )
+
+
 def grouped_ewma(
     df: DataFrame,
     group_col: str,

@@ -99,6 +99,44 @@ def mix_corpora(
     return out
 
 
+def priority_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "prio",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via priority sampling
+    (Duffield–Lund–Thorup, JACM 2007): each row gets priority
+    q = w / u with u ~ Uniform(0,1]; the k highest-priority rows form a
+    weighted sample supporting unbiased subset-sum estimation.
+
+    Determinism: u comes from the first 13 hex chars of
+    md5(key ‖ salt) — a 52-bit integer, exactly representable as an
+    IEEE double — so u, q, and therefore the SAMPLE ITSELF are a pure
+    function of (key, salt), reproducible across runs, partitionings,
+    and engines (exact DuckDB oracle, ties broken by key).
+
+    Scale: priority is a map-side column expression; the top-k is
+    `orderBy(desc).limit(k)` which Spark executes as TakeOrdered —
+    per-partition heaps of size k, no global sort, no full shuffle.
+    Returns (key, weight, priority).
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
+    # (int53 + 1) / 2^52 ∈ (0, 1] — +1 keeps u nonzero
+    u = (F.conv(F.substring(h, 1, 13), 16, 10).cast("double") + F.lit(1.0)) / F.lit(
+        float(1 << 52)
+    )
+    q = F.col(weight_col).cast("double") / u
+    return (
+        df.select(key_col, weight_col, q.alias("priority"))
+        .orderBy(F.desc("priority"), key_col)
+        .limit(k)
+    )
+
+
 def percentile_filter(
     df: DataFrame,
     value_col: str,

@@ -3697,6 +3697,217 @@ def x_web_pipeline(spark, sf_dir):
     )
 
 
+@register(
+    "x_group_corr",
+    """
+    WITH t AS (
+      SELECT l_returnflag,
+             CAST(floor(l_quantity) AS HUGEINT) AS x,
+             CAST(floor(l_extendedprice) AS HUGEINT) AS y
+      FROM lineitem
+    ),
+    s AS (
+      SELECT l_returnflag, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x*y) AS sxy, SUM(x*x) AS sxx, SUM(y*y) AS syy
+      FROM t GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           ROUND(CAST(n*sxy - sx*sy AS DOUBLE)
+                 / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+                    * sqrt(CAST(n*syy - sy*sy AS DOUBLE))), 6) AS corr
+    FROM s
+    """,
+)
+def x_group_corr(spark, sf_dir):
+    """Per-group Pearson correlation (quantity vs price per return
+    flag) from exact DECIMAL(38,0) sufficient statistics — `F.corr`
+    accumulates in engine-ordered floating point and cannot give a
+    cross-engine-exact answer; the sufficient-statistics form pays one
+    map-side-combinable agg (6 numbers per group) and one fixed-order
+    float tail.  Same determinism family as x_group_ols."""
+    from lwetl_spark.operators.grouped import group_corr
+
+    return group_corr(
+        _t(spark, sf_dir, "lineitem"), "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+
+
+@register(
+    "x_sorted_neighborhood",
+    r"""
+    WITH n AS (
+      SELECT doc_id AS id,
+             lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS norm
+      FROM documents
+    ),
+    b AS (
+      SELECT id,
+             substr(norm, 1, 2) || '#'
+               || CAST(CAST(floor(length(norm) / 64) AS BIGINT) AS VARCHAR) AS block,
+             length(norm) AS n_len
+      FROM n
+    ),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY block ORDER BY n_len, id) AS rn
+      FROM b
+    )
+    SELECT a.id AS id_a, b2.id AS id_b, a.block AS block,
+           CAST(b2.n_len - a.n_len AS INT) AS len_diff
+    FROM r a JOIN r b2
+      ON a.block = b2.block AND b2.rn > a.rn AND b2.rn < a.rn + 4
+    WHERE abs(b2.n_len - a.n_len) <= 2
+    """,
+)
+def x_sorted_neighborhood(spark, sf_dir):
+    """Blocked sorted-neighborhood dedup (Hernández–Stolfo SNM): sort
+    within blocking key, compare each doc to its 3 sort-neighbours with
+    a length-difference candidate filter.  The textbook global sort is
+    replaced by per-block windows so the method parallelizes — one
+    shuffle on the block key, blocks independent."""
+    from lwetl_spark.operators.dedup import sorted_neighborhood_pairs
+
+    return sorted_neighborhood_pairs(
+        _t(spark, sf_dir, "documents"), window=4, max_len_diff=2
+    )
+
+
+@register(
+    "x_priority_sample",
+    """
+    WITH t AS (
+      SELECT doc_id, n_chars,
+             CAST(n_chars AS DOUBLE)
+             / ((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'prio'), 1, 13))
+                      AS BIGINT) + CAST(1.0 AS DOUBLE)) / 4503599627370496.0)
+               AS priority
+      FROM documents
+    )
+    SELECT doc_id, n_chars, ROUND(priority, 6) AS priority
+    FROM t ORDER BY priority DESC, doc_id LIMIT 100
+    """,
+)
+def x_priority_sample(spark, sf_dir):
+    """Weighted sampling without replacement via priority sampling
+    (Duffield–Lund–Thorup): priority = weight / u with u a 52-bit
+    md5-derived uniform — the sample is a pure function of (key, salt),
+    reproducible across engines and partitionings.  Top-k executes as
+    TakeOrdered (per-partition heaps), never a global sort."""
+    from lwetl_spark.operators.sampling import priority_sample
+
+    out = priority_sample(
+        _t(spark, sf_dir, "documents"), "doc_id", "n_chars", k=100, salt="prio"
+    )
+    return out.select("doc_id", "n_chars", F.round("priority", 6).alias("priority"))
+
+
+@register(
+    "x_pagerank",
+    """
+    WITH e AS (
+      SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+                      'p' || CAST(l_partkey AS VARCHAR) AS dst
+      FROM lineitem
+    ),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    od AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+    r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS pr FROM nodes),
+    c1 AS (SELECT e.dst AS node, SUM(r0.pr / od.outdeg) AS s
+           FROM e JOIN od ON e.src = od.src JOIN r0 ON r0.node = e.src
+           GROUP BY e.dst),
+    r1 AS (SELECT nodes.node,
+                  (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+                  + CAST(0.85 AS DOUBLE) * COALESCE(c1.s, CAST(0.0 AS DOUBLE)) AS pr
+           FROM nodes LEFT JOIN c1 ON nodes.node = c1.node),
+    c2 AS (SELECT e.dst AS node, SUM(r1.pr / od.outdeg) AS s
+           FROM e JOIN od ON e.src = od.src JOIN r1 ON r1.node = e.src
+           GROUP BY e.dst),
+    r2 AS (SELECT nodes.node,
+                  (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+                  + CAST(0.85 AS DOUBLE) * COALESCE(c2.s, CAST(0.0 AS DOUBLE)) AS pr
+           FROM nodes LEFT JOIN c2 ON nodes.node = c2.node),
+    c3 AS (SELECT e.dst AS node, SUM(r2.pr / od.outdeg) AS s
+           FROM e JOIN od ON e.src = od.src JOIN r2 ON r2.node = e.src
+           GROUP BY e.dst),
+    r3 AS (SELECT nodes.node,
+                  (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+                  + CAST(0.85 AS DOUBLE) * COALESCE(c3.s, CAST(0.0 AS DOUBLE)) AS pr
+           FROM nodes LEFT JOIN c3 ON nodes.node = c3.node)
+    SELECT node, ROUND(pr, 6) AS pr FROM r3
+    """,
+)
+def x_pagerank(spark, sf_dir):
+    """Three-iteration PageRank over the supplier→part bipartite graph
+    from lineitem — the canonical loop-unrolled iterative dataflow:
+    loop-invariant edges/out-degrees persisted once, one shuffle per
+    iteration (the dst aggregation).  The oracle replays the identical
+    three iterations as chained CTEs; per-node float sums are
+    order-dependent in the last ulps, so ranks round to 6 dp (repo
+    float convention)."""
+    from lwetl_spark.operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+    )
+    out = pagerank(edges, iterations=3, damping=0.85)
+    return out.withColumnRenamed("rank", "pr")
+
+
+@register(
+    "x_drift_chi2",
+    """
+    WITH ref AS (
+      SELECT CAST(floor(value / 25.0) AS BIGINT) AS bucket, COUNT(*) AS nr
+      FROM events WHERE user_id % 2 = 0 GROUP BY 1
+    ),
+    cur AS (
+      SELECT CAST(floor(value / 25.0) AS BIGINT) AS bucket, COUNT(*) AS nc
+      FROM events WHERE user_id % 2 = 1 GROUP BY 1
+    ),
+    sc AS (
+      SELECT (SELECT CAST(COUNT(*) AS DOUBLE) FROM events WHERE user_id % 2 = 1)
+           / (SELECT CAST(COUNT(*) AS DOUBLE) FROM events WHERE user_id % 2 = 0)
+             AS scale
+    ),
+    j AS (
+      SELECT COALESCE(ref.bucket, cur.bucket) AS bucket,
+             COALESCE(nr, 0) AS n_ref, COALESCE(nc, 0) AS n_cur
+      FROM ref FULL OUTER JOIN cur ON ref.bucket = cur.bucket
+    ),
+    x AS (
+      SELECT bucket, n_ref, n_cur,
+             CAST(n_ref AS DOUBLE) * (SELECT scale FROM sc) AS expected
+      FROM j
+    )
+    SELECT bucket, CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+           ROUND(expected, 6) AS expected,
+           ROUND(CASE WHEN n_ref > 0 THEN
+                   (CAST(n_cur AS DOUBLE) - expected)
+                   * (CAST(n_cur AS DOUBLE) - expected) / expected
+                 END, 6) AS chi2_term
+    FROM x
+    """,
+)
+def x_drift_chi2(spark, sf_dir):
+    """Distribution-drift monitor: chi-square per-bucket contributions
+    between two cohorts of events (even vs odd users), equi-width bins.
+    Counts are integers and each float term is one fixed-order
+    expression per bucket — no order-dependent summation, exact
+    cross-engine oracle.  Two count aggs + a buckets-sized outer join;
+    the raw data never shuffles."""
+    from lwetl_spark.operators.cardinality import drift_chi2
+
+    ev = _t(spark, sf_dir, "events")
+    return drift_chi2(
+        ev.filter(F.col("user_id") % 2 == 0),
+        ev.filter(F.col("user_id") % 2 == 1),
+        "value",
+        25.0,
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     _load_etl_queries()
     return dict(QUERIES)

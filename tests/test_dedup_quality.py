@@ -264,3 +264,35 @@ def test_bloom_pruned_join_prefilter_is_broadcast_only(spark):
     # all semi probes are BroadcastHashJoin; the big side never shuffles
     assert plan.count("BroadcastHashJoin") >= 4  # 3 bloom probes + final semi
     assert "ShuffledHashJoin" not in plan and "SortMergeJoin" not in plan
+
+
+def test_sorted_neighborhood_finds_near_identical_docs(spark):
+    from lwetl_spark.operators.dedup import sorted_neighborhood_pairs
+
+    rows = [
+        (1, "the quick brown fox jumps"),
+        (2, "the quick brown fox jumps!"),  # same block, len diff 1
+        (3, "zz completely different subject matter here"),
+        (4, "the quick brown fox jumps over everything else entirely " + "x" * 100),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    pairs = {(r.id_a, r.id_b) for r in sorted_neighborhood_pairs(df, window=4).collect()}
+    assert (1, 2) in pairs          # neighbours in the same block
+    assert all(a < 0 or True for a, _ in pairs)
+    # doc 4 is in a different length bucket -> never paired with 1/2
+    assert not any(4 in p for p in pairs)
+
+
+def test_priority_sample_deterministic_and_sized(spark):
+    from lwetl_spark.operators.sampling import priority_sample
+
+    df = spark.createDataFrame(
+        [(i, 1 + (i % 10)) for i in range(500)], "k LONG, w LONG"
+    )
+    a = priority_sample(df, "k", "w", k=50).collect()
+    b = priority_sample(df.repartition(13), "k", "w", k=50).collect()
+    assert len(a) == 50
+    assert {r.k for r in a} == {r.k for r in b}  # partitioning-invariant
+    # weighted: the sampled mean weight must exceed the population mean
+    pop_mean = 5.5
+    assert sum(r.w for r in a) / 50 > pop_mean

@@ -59,3 +59,47 @@ def test_grouped_ewma_alpha(spark):
     df = spark.createDataFrame([("u", 1, 0.0), ("u", 2, 1.0)], "u STRING, seq LONG, v DOUBLE")
     got = {r.seq: r.ewma for r in grouped_ewma(df, "u", ["seq"], "v", alpha=0.25).collect()}
     assert got[1] == 0.0 and got[2] == 0.25
+
+
+def test_group_corr_perfect_and_inverse(spark):
+    from lwetl_spark.operators.grouped import group_corr
+
+    rows = [("a", x, 2 * x + 1) for x in range(10)] + [
+        ("b", x, 30 - 3 * x) for x in range(10)
+    ]
+    df = spark.createDataFrame(rows, "g STRING, x LONG, y LONG")
+    got = {r.g: (r.n, r.corr) for r in group_corr(df, "g", "x", "y").collect()}
+    assert got["a"] == (10, 1.0)
+    assert got["b"] == (10, -1.0)
+
+
+def test_group_corr_bounded(spark, sf_smoke_dir="/root/testdata/sf0.001"):
+    from lwetl_spark.catalog import load_table
+    from lwetl_spark.operators.grouped import group_corr
+
+    li = load_table(spark, sf_smoke_dir, "lineitem")
+    for r in group_corr(li, "l_returnflag", "l_quantity", "l_extendedprice").collect():
+        assert -1.0 <= r.corr <= 1.0
+
+
+def test_pagerank_mass_and_node_count(spark):
+    from lwetl_spark.operators.graph import pagerank
+
+    # star: a -> b, a -> c, b -> a  (c dangling: leaks mass)
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "a")], "src STRING, dst STRING"
+    )
+    out = {r.node: r.rank for r in pagerank(edges, iterations=5).collect()}
+    assert set(out) == {"a", "b", "c"}
+    assert all(v > 0 for v in out.values())
+    assert sum(out.values()) <= 1.0 + 1e-6  # dangling c leaks, never gains
+    assert out["a"] > out["c"]  # a has in-links from b; c only from a's split
+
+
+def test_drift_chi2_identical_batches_zero(spark):
+    from lwetl_spark.operators.cardinality import drift_chi2
+
+    df = spark.createDataFrame([(float(i % 7),) for i in range(100)], "v DOUBLE")
+    out = drift_chi2(df, df, "v", 2.0).collect()
+    assert out and all(r.chi2_term == 0.0 for r in out)
+    assert all(r.n_ref == r.n_cur for r in out)
