@@ -108,6 +108,50 @@ def group_corr(
     )
 
 
+def group_zscore_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_cols: list[str],
+    k: float = 2.0,
+    digits: int = 4,
+) -> DataFrame:
+    """Per-group z-score outlier detection: flag rows with
+    |x − μ_g| > k·σ_g (population σ), the standard anomaly gate in a
+    data-quality pipeline.
+
+    Determinism: values are scaled to centi-units and floored
+    (floor(x·100) — the same ops in any engine give the same integer,
+    even where x·100 rounds oddly in IEEE), sufficient statistics
+    accumulate exactly in DECIMAL(38,0), and μ, σ, z are one fixed-order
+    float tail — so the FLAGGED SET is bit-identical across engines,
+    including rows sitting next to the k·σ boundary.
+
+    Scale: one stats agg (3 numbers per group) + a broadcast join back
+    → map-side filter; the data shuffles zero times.  Returns the
+    outlier rows as (id_cols…, group, value, z).
+    """
+    x = F.floor(F.col(value_col) * 100).cast("decimal(38,0)")
+    stats = df.groupBy(group_col).agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(x * x).alias("sxx"),
+    )
+    mean = stats["sx"].cast("double") / stats["n"].cast("double")
+    var = (stats["n"] * stats["sxx"] - stats["sx"] * stats["sx"]).cast("double") / (
+        stats["n"].cast("double") * stats["n"].cast("double")
+    )
+    st = stats.select(
+        group_col, mean.alias("_mean"), F.sqrt(var).alias("_std")
+    )
+    z = (x.cast("double") - F.col("_mean")) / F.col("_std")
+    return (
+        df.join(F.broadcast(st), group_col)
+        .filter(F.abs(z) > F.lit(float(k)))
+        .select(*id_cols, group_col, value_col, F.round(z, digits).alias("z"))
+    )
+
+
 def grouped_ewma(
     df: DataFrame,
     group_col: str,
