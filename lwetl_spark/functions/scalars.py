@@ -37,3 +37,19 @@ def grouped_string_agg(col: Column | str, sep: str = "|") -> Column:
     """
     c = F.col(col) if isinstance(col, str) else col
     return F.array_join(F.array_sort(F.collect_set(c)), sep)
+
+
+def epoch_seconds(col: Column | str) -> Column:
+    """Naive epoch seconds (double, microsecond precision).
+
+    Works for both TIMESTAMP and TIMESTAMP_NTZ inputs and is independent
+    of the session timezone: Spark ≥4.1 forbids the direct
+    TIMESTAMP_NTZ→DOUBLE cast, so the portable form is a microsecond
+    diff against the NTZ epoch literal.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.timestamp_diff(
+        "MICROSECOND",
+        F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+        c.cast("timestamp_ntz"),
+    ) / F.lit(1000000.0)

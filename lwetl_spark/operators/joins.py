@@ -91,9 +91,15 @@ def asof_join(
         .filter(F.col("__side") == 1)
     )
     if tolerance_seconds is not None:
-        in_tol = (
-            F.col("__ord").cast("double") - F.col("__m.__rts").cast("double")
-        ) <= float(tolerance_seconds)
+        # Spark ≥4.1 forbids TIMESTAMP_NTZ→DOUBLE casts; diff timestamps
+        # natively, numerics by subtraction.
+        if dict(m.dtypes)["__ord"].startswith("timestamp"):
+            gap = F.timestamp_diff(
+                "MICROSECOND", F.col("__m.__rts"), F.col("__ord")
+            ) / F.lit(1000000.0)
+        else:
+            gap = F.col("__ord").cast("double") - F.col("__m.__rts").cast("double")
+        in_tol = gap <= float(tolerance_seconds)
         m = m.withColumn("__m", F.when(in_tol, F.col("__m")))
     if how == "inner":
         m = m.filter(F.col("__m").isNotNull())

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lwetl_spark.catalog import load_table
-from lwetl_spark.functions.scalars import grouped_string_agg, md5_row_hash
+from lwetl_spark.functions.scalars import epoch_seconds, grouped_string_agg, md5_row_hash
 from lwetl_spark.functions.text import (
     LANG_PROFILES,
     bpe_ish_token_count,
@@ -1561,7 +1561,9 @@ def w2_lag_delta(spark, sf_dir):
         "ts",
         F.coalesce(
             F.round(
-                F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w), 1
+                F.timestamp_diff("MICROSECOND", F.lag("ts").over(w), F.col("ts"))
+                / F.lit(1000000.0),
+                1,
             ),
             F.lit(-1.0),
         ).alias("gap_s"),
@@ -1709,7 +1711,7 @@ def x_asof_join(spark, sf_dir):
         F.col("ts_r").alias("purchase_ts"),
         "purchase_value",
         F.round(
-            F.col("ts").cast("double") - F.col("ts_r").cast("double"), 1
+            epoch_seconds("ts") - epoch_seconds("ts_r"), 1
         ).alias("lag_s"),
     )
 
@@ -2018,9 +2020,14 @@ def w3_range_frame(spark, sf_dir):
     bit-identical to DuckDB's INTERVAL arithmetic; same single (user_id)
     shuffle as any keyed window."""
     ev = _t(spark, sf_dir, "events")
+    micros = F.timestamp_diff(
+        "MICROSECOND",
+        F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+        F.col("ts").cast("timestamp_ntz"),
+    )
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_micros("ts"))
+        .orderBy(micros)
         .rangeBetween(-3_600_000_000, 0)
     )
     return ev.select(
@@ -2250,8 +2257,8 @@ def x_interval_join(spark, sf_dir):
 
     sess = sessionize(_t(spark, sf_dir, "events"), gap_seconds=1800).select(
         "user_id",
-        F.col("session_start").cast("double").alias("s_lo"),
-        F.col("session_end").cast("double").alias("s_hi"),
+        epoch_seconds("session_start").alias("s_lo"),
+        epoch_seconds("session_end").alias("s_hi"),
     )
     base = 1704067200  # epoch of 2024-01-01 UTC
     camp = _t(spark, sf_dir, "nation").select(
