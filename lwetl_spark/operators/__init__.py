@@ -6,7 +6,12 @@ from lwetl_spark.operators.dedup import (
     simhash_buckets,
     embedding_near_dups,
 )
-from lwetl_spark.operators.similarity import cosine_topk, cosine_topk_pandas, lsh_ann_topk
+from lwetl_spark.operators.similarity import (
+    cosine_topk,
+    cosine_topk_blocked,
+    cosine_topk_pandas,
+    lsh_ann_topk,
+)
 from lwetl_spark.operators.windows import tumbling_agg, sessionize
 from lwetl_spark.operators.cardinality import column_cardinality, table_cardinality
 
@@ -18,6 +23,7 @@ __all__ = [
     "simhash_buckets",
     "embedding_near_dups",
     "cosine_topk",
+    "cosine_topk_blocked",
     "cosine_topk_pandas",
     "lsh_ann_topk",
     "tumbling_agg",

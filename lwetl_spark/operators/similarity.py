@@ -6,6 +6,9 @@
 - `cosine_topk_pandas`: same semantics, Arrow-batched numpy matmul —
   the fast path when candidates fit in memory (they ship as a plain
   broadcast variable).  ~50× less per-pair overhead than HOF eval.
+- `cosine_topk_blocked`: same semantics, 2-D block-partitioned cogroup
+  matmul — the DEFAULT exact path: no driver collect, bounded per-task
+  memory, scales by raising the block counts.
 - `lsh_ann_topk`: the 100 TB path — random-hyperplane LSH buckets
   (deterministic seeded planes), candidates only within bucket, then
   exact re-rank.  Recall < 1 by construction; `num_tables` trades
@@ -110,6 +113,93 @@ def cosine_topk_pandas(
     )
 
 
+def cosine_topk_blocked(
+    df: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    q_blocks: int = 4,
+    c_blocks: int = 4,
+) -> DataFrame:
+    """Distributed exact top-k — the beyond-broadcast brute-force path.
+
+    2-D block decomposition of the n×n similarity grid: queries hash into
+    `q_blocks` row-blocks, candidates into `c_blocks` column-blocks, and
+    each (qblk, cblk) cell is one cogrouped Arrow task doing a local numpy
+    matmul + per-query local top-(k+1).  A final window merges the
+    per-cell winners into the global top-k.  Nothing is collected to the
+    driver and no single task ever holds more than n/q_blocks queries ×
+    n/c_blocks candidates, so the same plan runs at any corpus size by
+    raising the block counts (shuffle volume is n·c_blocks + n·q_blocks
+    vector rows; compute stays the inherent O(n²) of exact search).
+
+    Output contract and numerics are identical to `cosine_topk_pandas`
+    (float64 matmul, 6-dp rounding, ties by neighbor id ascending).
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    # replicate each query row across all candidate blocks and vice versa —
+    # the broadcast grids are c_blocks/q_blocks ints, never data rows
+    cgrid = spark.range(c_blocks).select(F.col("id").cast("int").alias("cblk"))
+    qgrid = spark.range(q_blocks).select(F.col("id").cast("int").alias("qblk"))
+    q = (
+        df.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+        .withColumn("qblk", F.pmod(F.xxhash64("qid"), F.lit(q_blocks)).cast("int"))
+        .crossJoin(F.broadcast(cgrid))
+    )
+    c = (
+        df.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+        .withColumn("cblk", F.pmod(F.xxhash64("cid"), F.lit(c_blocks)).cast("int"))
+        .crossJoin(F.broadcast(qgrid))
+    )
+
+    def local_topk(qpdf: "pd.DataFrame", cpdf: "pd.DataFrame") -> "pd.DataFrame":
+        empty = pd.DataFrame({"id": [], "neighbor_id": [], "cos": []})
+        if not len(qpdf) or not len(cpdf):
+            return empty
+        cids = cpdf["cid"].to_numpy(np.int64)
+        order = np.argsort(cids, kind="stable")  # position order == id order
+        cids = cids[order]
+        cmat = np.array(cpdf["cv"].tolist(), dtype=np.float64)[order]
+        cnorms = np.linalg.norm(cmat, axis=1)
+        cnorms[cnorms == 0] = 1.0
+        qids = qpdf["qid"].to_numpy(np.int64)
+        qmat = np.array(qpdf["qv"].tolist(), dtype=np.float64)
+        qnorms = np.linalg.norm(qmat, axis=1)
+        qnorms[qnorms == 0] = 1.0
+        sims = (qmat @ cmat.T) / qnorms[:, None] / cnorms[None, :]
+        n = len(cids)
+        # same deterministic sort key as cosine_topk_pandas
+        keys = (-np.rint(sims * 1e6).astype(np.int64)) * n + np.arange(n)[None, :]
+        kk = min(k + 1, n)  # +1 headroom for the self row; global window trims
+        part = np.argpartition(keys, kk - 1, axis=1)[:, :kk]
+        part_keys = np.take_along_axis(keys, part, axis=1)
+        topk = np.take_along_axis(part, np.argsort(part_keys, axis=1), axis=1)
+        m = len(qids)
+        out = pd.DataFrame(
+            {
+                "id": np.repeat(qids, kk),
+                "neighbor_id": cids[topk].ravel(),
+                "cos": np.round(np.take_along_axis(sims, topk, axis=1).ravel(), 6),
+            }
+        )
+        return out[out["id"] != out["neighbor_id"]]
+
+    local = (
+        q.groupBy("qblk", "cblk")
+        .cogroup(c.groupBy("qblk", "cblk"))
+        .applyInPandas(local_topk, "id long, neighbor_id long, cos double")
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("id", "neighbor_id", "cos", "rank")
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     k: int = 5,
@@ -119,7 +209,7 @@ def ivf_topk(
     nprobe: int = 6,
     train_sample: int = 10_000,
     iters: int = 8,
-    score: str = "broadcast",
+    score: str = "join",
 ) -> DataFrame:
     """Approximate top-k via IVF (inverted-file) cells.
 
@@ -196,19 +286,26 @@ def _score_candidates(
     cand: DataFrame,
     vec_col: str,
     id_col: str,
-    score: str = "broadcast",
+    score: str = "join",
 ) -> DataFrame:
     """Score bare (id, neighbor_id) candidate pairs with exact cosine.
 
-    'broadcast': both vectors come from a broadcast id-sorted matrix and
-    each Arrow batch is one numpy gather + row-wise dot — no vector ever
-    rides a shuffle (valid to ~10M x 64d, like cosine_topk_pandas).
-    'join': re-join vectors by key and fold cosine as a column
-    expression — the beyond-broadcast path.
+    'join' (DEFAULT — the 100 TB path): re-join vectors by key and fold
+    cosine as a JVM column expression.  No driver collect anywhere; AQE
+    is free to broadcast the vector side when it is actually small, so
+    defaulting to 'join' costs nothing at test scale and never OOMs the
+    driver at cluster scale.
+    'broadcast' (opt-in): both vectors come from a driver-collected,
+    id-sorted broadcast matrix and each Arrow batch is one numpy gather +
+    row-wise dot — no vector ever rides a shuffle, but the whole corpus
+    must fit on the driver (valid to ~10M x 64d, like
+    cosine_topk_pandas).
     """
     if score == "join":
+        import numpy as np
+
         vecs = df.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"))
-        return (
+        paired = (
             cand.join(
                 vecs.withColumnRenamed("_vid", "id").withColumnRenamed("_v", "qv"), "id"
             )
@@ -216,8 +313,27 @@ def _score_candidates(
                 vecs.withColumnRenamed("_vid", "neighbor_id").withColumnRenamed("_v", "cv"),
                 "neighbor_id",
             )
-            .withColumn("cos", F.round(cosine_similarity("qv", "cv"), 6))
-            .select("id", "neighbor_id", "cos")
+        )
+
+        def cos_batches(it):
+            import numpy as np
+
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                q = np.array(pdf["qv"].tolist(), dtype=np.float64)
+                c = np.array(pdf["cv"].tolist(), dtype=np.float64)
+                qn = np.linalg.norm(q, axis=1)
+                cn = np.linalg.norm(c, axis=1)
+                qn[qn == 0] = 1.0
+                cn[cn == 0] = 1.0
+                cos = (q * c).sum(axis=1) / (qn * cn)
+                # HALF_UP like F.round (np.round is banker's)
+                cos = np.floor(cos * 1e6 + 0.5) / 1e6
+                yield pdf[["id", "neighbor_id"]].assign(cos=cos)
+
+        return paired.mapInPandas(
+            cos_batches, "id long, neighbor_id long, cos double"
         )
     import numpy as np
 
@@ -258,7 +374,7 @@ def lsh_ann_topk(
     num_planes: int = 4,
     num_tables: int = 12,
     dim: int = 64,
-    score: str = "broadcast",
+    score: str = "join",
 ) -> DataFrame:
     """Approximate top-k via random-hyperplane LSH.
 
@@ -274,9 +390,10 @@ def lsh_ann_topk(
     num_tables*num_planes projections per vector are one Arrow-batched
     numpy matmul (not interpreted per-element HOF folds); the self-join
     and pair-dedup carry BARE (id, neighbor) longs — vectors never ride
-    the candidate shuffle; `_score_candidates` looks vectors up in a
-    broadcast matrix ('broadcast') or re-joins them by key ('join', the
-    beyond-~10M-vectors path).
+    the candidate shuffle; `_score_candidates` re-joins vectors by key
+    ('join', the default and the beyond-broadcast path — AQE broadcasts
+    the vector side when small) or looks them up in a driver-collected
+    broadcast matrix ('broadcast', opt-in).
     """
     import numpy as np
 

@@ -354,3 +354,85 @@ def test_plan_shuffle_count(spark):
     w = Window.partitionBy("k").orderBy("count")
     agg2 = agg.withColumn("rn", F.row_number().over(w))
     assert plan_shuffle_count(agg2) == 1
+
+
+def test_similarity_default_path_no_full_corpus_collect(spark, monkeypatch):
+    """Pin VERDICT r1 item 1: the DEFAULT scoring path of the similarity
+    operators never collects the full corpus to the driver.  The blocked
+    exact path and the 'join' ANN scorer must run zero DataFrame.collect
+    calls; ivf_topk is allowed only its bounded (limit train_sample)
+    k-means training collect."""
+    from lwetl_spark.operators.similarity import (
+        cosine_topk_blocked,
+        ivf_topk,
+        lsh_ann_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n_corpus = emb.count()
+
+    # patch the concrete class (pyspark 4 splits the abstract
+    # pyspark.sql.DataFrame from the classic implementation)
+    cls = type(emb)
+    sizes = []
+    orig = cls.collect
+
+    def spy(self):
+        rows = orig(self)
+        sizes.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(cls, "collect", spy)
+
+    assert cosine_topk_blocked(emb, k=3).count() > 0
+    assert sizes == [], "blocked exact path must not collect"
+
+    assert lsh_ann_topk(emb, k=3).count() > 0
+    assert sizes == [], "default (join) LSH scorer must not collect"
+
+    train = 100
+    assert ivf_topk(emb, k=3, train_sample=train).count() > 0
+    assert sizes and all(s <= train < n_corpus for s in sizes), (
+        "ivf may only collect its bounded training sample",
+        sizes,
+    )
+
+
+def test_cosine_topk_blocked_matches_pandas(spark):
+    """The distributed blocked exact top-k is value-identical to the
+    single-broadcast Arrow path (same float64 matmul, rounding and
+    tie-break)."""
+    from lwetl_spark.operators.similarity import (
+        cosine_topk_blocked,
+        cosine_topk_pandas,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = sorted(map(tuple, cosine_topk_blocked(emb, k=5).collect()))
+    b = sorted(map(tuple, cosine_topk_pandas(emb, k=5).collect()))
+    assert a == b
+
+
+def test_funnel_and_setops_are_single_lazy_plans(spark, monkeypatch):
+    """Pin VERDICT r1 item 2: x_funnel and o8_set_ops build ONE lazy plan —
+    no .count()/.collect() actions fire during query construction, and the
+    plans carry the minimal shuffle count (funnel: hash(user_id) + the
+    single-partition final agg; set-ops: the final agg only)."""
+    from lwetl_spark.plans.statistics import plan_shuffle_count
+    from lwetl_spark.queries import QUERIES
+
+    cls = type(spark.range(1))
+
+    def boom(self, *a, **kw):
+        raise AssertionError("eager action during query construction")
+
+    monkeypatch.setattr(cls, "count", boom)
+    monkeypatch.setattr(cls, "collect", boom)
+    funnel = QUERIES["x_funnel"](spark, "/root/testdata/sf0.001")
+    setops = QUERIES["o8_set_ops"](spark, "/root/testdata/sf0.001")
+    monkeypatch.undo()
+
+    assert plan_shuffle_count(setops) == 1
+    assert plan_shuffle_count(funnel) == 2
+    assert setops.count() == 3
+    assert funnel.count() == 3
