@@ -39,16 +39,53 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     scan — the reference's 1000-row `fetchmany` batching
     (lwetl/jdbc.py:624-673) has no analog because the scan is columnar.
 
-    The `events` table carries TIMESTAMP(NANOS) which Spark's vectorized
+    The `events` table may carry TIMESTAMP(NANOS) which Spark's vectorized
     reader rejects; `nanosAsLong` reads it as raw nanos and we rebuild a
     microsecond timestamp (floor), matching what nanosecond-capable
-    engines report at Python datetime precision.
+    engines report at Python datetime precision.  Engine-built sessions
+    (session.get_spark) set the conf at build time; for foreign sessions
+    (the correctness driver owns a vanilla one) we set it at most ONCE —
+    never repeatedly per call — and fall back to an explicit long-typed
+    schema if the conf is rejected.
     """
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    conf_ok = True
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            conf_ok = False
+    try:
+        df = spark.read.parquet(path)
+    except Exception:
+        if conf_ok or name != "events":
+            raise
+        # conf rejected AND nanos file: build an explicit schema from the
+        # parquet footer with every timestamp read as raw int64
+        import pyarrow.parquet as pq
+
+        _PA2SPARK = {
+            "int32": T.IntegerType(),
+            "int64": T.LongType(),
+            "float": T.FloatType(),
+            "double": T.DoubleType(),
+            "string": T.StringType(),
+            "large_string": T.StringType(),
+            "bool": T.BooleanType(),
+            "date32[day]": T.DateType(),
+            "binary": T.BinaryType(),
+        }
+        fields = []
+        for f in pq.read_schema(path):
+            t = str(f.type)
+            dt = T.LongType() if t.startswith("timestamp") else _PA2SPARK.get(t)
+            if dt is None:
+                raise
+            fields.append(T.StructField(f.name, dt))
+        df = spark.read.schema(T.StructType(fields)).parquet(path)
     if name == "events":
         for f in df.schema.fields:
             if f.name == "ts" and isinstance(f.dataType, T.LongType):

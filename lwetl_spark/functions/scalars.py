@@ -39,17 +39,34 @@ def grouped_string_agg(col: Column | str, sep: str = "|") -> Column:
     return F.array_join(F.array_sort(F.collect_set(c)), sep)
 
 
-def epoch_seconds(col: Column | str) -> Column:
-    """Naive epoch seconds (double, microsecond precision).
+def epoch_micros(col: Column | str, data_type=None) -> Column:
+    """Epoch microseconds (long).  The ONE place the session-timezone
+    caveat lives (ADVICE r1):
 
-    Works for both TIMESTAMP and TIMESTAMP_NTZ inputs and is independent
-    of the session timezone: Spark ≥4.1 forbids the direct
-    TIMESTAMP_NTZ→DOUBLE cast, so the portable form is a microsecond
-    diff against the NTZ epoch literal.
+    - `data_type=TimestampType` (LTZ): `unix_micros` — a true absolute
+      epoch, independent of the session timezone.
+    - `data_type=TimestampNTZType` (or None): microsecond diff against
+      the NTZ epoch literal (Spark ≥4.1 forbids the direct
+      TIMESTAMP_NTZ→DOUBLE cast).  This interprets the wall clock as
+      UTC; for an LTZ input column with `data_type=None` the implicit
+      NTZ cast uses the SESSION timezone, so it is only an absolute
+      epoch under a UTC session (session.get_spark pins UTC).  Callers
+      holding a DataFrame should pass `df.schema[col].dataType` to get
+      the tz-independent dispatch.
     """
+    from pyspark.sql import types as T
+
     c = F.col(col) if isinstance(col, str) else col
+    if isinstance(data_type, T.TimestampType):
+        return F.unix_micros(c)
     return F.timestamp_diff(
         "MICROSECOND",
         F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
         c.cast("timestamp_ntz"),
-    ) / F.lit(1000000.0)
+    )
+
+
+def epoch_seconds(col: Column | str, data_type=None) -> Column:
+    """Epoch seconds (double, microsecond precision) — see `epoch_micros`
+    for the timezone dispatch and caveat."""
+    return epoch_micros(col, data_type) / F.lit(1000000.0)

@@ -92,11 +92,20 @@ def asof_join(
     )
     if tolerance_seconds is not None:
         # Spark ≥4.1 forbids TIMESTAMP_NTZ→DOUBLE casts; diff timestamps
-        # natively, numerics by subtraction.
-        if dict(m.dtypes)["__ord"].startswith("timestamp"):
+        # natively, DATE by day difference, numerics by subtraction.
+        # Dispatch on the resolved dataType (not dtypes strings — DATE is
+        # not a "timestamp*" prefix and dtypes re-analyzes the built plan).
+        from pyspark.sql import types as T
+
+        ord_type = left.schema[left_ts].dataType
+        if isinstance(ord_type, (T.TimestampType, T.TimestampNTZType)):
             gap = F.timestamp_diff(
                 "MICROSECOND", F.col("__m.__rts"), F.col("__ord")
             ) / F.lit(1000000.0)
+        elif isinstance(ord_type, T.DateType):
+            gap = F.datediff(F.col("__ord"), F.col("__m.__rts")).cast(
+                "double"
+            ) * F.lit(86400.0)
         else:
             gap = F.col("__ord").cast("double") - F.col("__m.__rts").cast("double")
         in_tol = gap <= float(tolerance_seconds)

@@ -285,3 +285,33 @@ def test_url_host_and_registrable_domain(spark):
     }
     assert got[1] == ("a.b.example.com:8080", "example.com:8080") or got[1][0].startswith("a.b.example.com")
     assert got[2][0] is None
+
+
+def test_epoch_micros_ltz_dispatch_session_tz_independent(spark):
+    """ADVICE r1: with the resolved TimestampType passed, epoch_micros
+    uses unix_micros — the same absolute epoch under any session tz.
+    Without the type hint the NTZ-cast path shifts with the session tz
+    (documented caveat, exercised here so the behavior is pinned)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from lwetl_spark.functions.scalars import epoch_micros
+
+    tz0 = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        df = spark.createDataFrame([("2024-01-01 00:00:00",)], "s string").select(
+            F.to_utc_timestamp(F.col("s"), "UTC").alias("t")
+        )
+        base = 1_704_067_200_000_000
+        assert df.select(epoch_micros("t", T.TimestampType()).alias("e")).first()["e"] == base
+
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+        # typed dispatch: still the absolute instant
+        assert df.select(epoch_micros("t", T.TimestampType()).alias("e")).first()["e"] == base
+        # untyped fallback: wall clock in Tokyo -> +9h shift (the documented caveat)
+        assert (
+            df.select(epoch_micros("t").alias("e")).first()["e"] == base + 9 * 3600 * 1_000_000
+        )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz0)

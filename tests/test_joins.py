@@ -163,3 +163,21 @@ def test_asof_property_random_frames(spark):
             cands = [(t, v) for (rk, t), v in right.items() if rk == k and t <= ts]
             exp = max(cands) if cands else (None, None)
             assert got[(k, lid)] == exp, (seed, k, ts, lid, got[(k, lid)], exp)
+
+
+def test_asof_tolerance_date_ordered(spark):
+    """ADVICE r1: DATE-typed order columns must dispatch through datediff
+    (day gap x 86400s), not a double cast Spark 4.1 rejects."""
+    import datetime as dt
+
+    from lwetl_spark.operators.joins import asof_join
+
+    l = spark.createDataFrame(
+        [(1, dt.date(2024, 1, 10), "near"), (1, dt.date(2024, 3, 1), "far")],
+        "k int, ts date, tag string",
+    )
+    r = spark.createDataFrame([(1, dt.date(2024, 1, 8), 1.0)], "k int, ts date, v double")
+    got = asof_join(
+        l, r, on="k", how="inner", tolerance_seconds=5 * 86400
+    )
+    assert [row["tag"] for row in got.collect()] == ["near"]
