@@ -66,21 +66,47 @@ def plan_copy(
     trg_dir: str,
     fks: dict[str, set[str]] | None = None,
 ) -> DbCopyPlan:
-    """Catalog diff + copy order (reference db_copy/main.py:180-233)."""
+    """Catalog diff + copy order (reference db_copy/main.py:180-233).
+
+    Per-table source/target counts run as ONE union-aggregate job
+    (VERDICT r1 #9) instead of 2 jobs per table: every table contributes
+    a zero-column scan tagged (tbl, side), the groupBy is map-side
+    combinable, and wide schemas cost nothing because column pruning
+    leaves only the count.  (The reference counts both sides client-side
+    per table, db_copy/main.py:186-189.)"""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
     src_tables = _tables_in(src_dir)
     trg_tables = _tables_in(trg_dir) if os.path.isdir(trg_dir) else []
     plan = DbCopyPlan()
     plan.common = [t for t in src_tables if t in trg_tables]
     plan.missing_in_target = [t for t in src_tables if t not in trg_tables]
     plan.missing_in_source = [t for t in trg_tables if t not in src_tables]
+    parts = []
     for t in src_tables:
-        n_src = spark.read.parquet(os.path.join(src_dir, f"{t}.parquet")).count()
-        n_trg = (
-            spark.read.parquet(os.path.join(trg_dir, f"{t}.parquet")).count()
-            if t in plan.common
-            else 0
+        parts.append(
+            spark.read.parquet(os.path.join(src_dir, f"{t}.parquet")).select(
+                F.lit(t).alias("tbl"), F.lit("src").alias("side")
+            )
         )
-        plan.counts[t] = (n_src, n_trg)
+        if t in plan.common:
+            parts.append(
+                spark.read.parquet(os.path.join(trg_dir, f"{t}.parquet")).select(
+                    F.lit(t).alias("tbl"), F.lit("trg").alias("side")
+                )
+            )
+    counted: dict[tuple[str, str], int] = {}
+    if parts:
+        u = reduce(lambda a, b: a.unionByName(b), parts)
+        counted = {
+            (r["tbl"], r["side"]): r["n"]
+            for r in u.groupBy("tbl", "side").agg(F.count("*").alias("n")).collect()
+        }
+    for t in src_tables:
+        n_src = counted.get((t, "src"), 0)
+        plan.counts[t] = (n_src, counted.get((t, "trg"), 0))
         if n_src == 0:
             plan.empty_source.append(t)
     copyable = [t for t in src_tables if t not in plan.empty_source]

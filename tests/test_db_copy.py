@@ -116,3 +116,43 @@ def test_db_copy_rollback_default(spark, src_trg):
     db_copy(spark, src, trg, pks={"region": "r_regionkey", "nation": "n_nationkey"}, mode="new")
     nat = spark.read.parquet(os.path.join(trg, "nation.parquet"))
     assert nat.count() == 10
+
+
+def test_plan_copy_counts_single_action(spark, tmp_path):
+    """VERDICT r1 #9: plan_copy's per-table counts run as one
+    union-aggregate action — zero DataFrame.count() calls, exactly one
+    collect — and still produce correct per-table (src, trg) counts."""
+    import os
+
+    from lwetl_spark.plans.db_copy import plan_copy
+
+    src = str(tmp_path / "src")
+    trg = str(tmp_path / "trg")
+    os.makedirs(src)
+    os.makedirs(trg)
+    spark.range(7).write.parquet(os.path.join(src, "a.parquet"))
+    spark.range(3).write.parquet(os.path.join(src, "b.parquet"))
+    spark.range(0).write.parquet(os.path.join(src, "c.parquet"))
+    spark.range(2).write.parquet(os.path.join(trg, "a.parquet"))
+
+    cls = type(spark.range(1))
+    n_count, n_collect = [0], [0]
+    orig_count, orig_collect = cls.count, cls.collect
+
+    def spy_count(self):
+        n_count[0] += 1
+        return orig_count(self)
+
+    def spy_collect(self):
+        n_collect[0] += 1
+        return orig_collect(self)
+
+    cls.count, cls.collect = spy_count, spy_collect
+    try:
+        plan = plan_copy(spark, src, trg)
+    finally:
+        cls.count, cls.collect = orig_count, orig_collect
+
+    assert n_count[0] == 0 and n_collect[0] == 1, (n_count, n_collect)
+    assert plan.counts == {"a": (7, 2), "b": (3, 0), "c": (0, 0)}
+    assert plan.empty_source == ["c"]
