@@ -2,7 +2,8 @@
 
 Reference: lwetl/programs/sql_query — multi-statement SQL from arg, file
 or stdin, routed to a chosen formatter; table-name shorthand expands to
-`SELECT * FROM t`; special commands `list` and `table_info`.
+`SELECT * FROM t`; special commands `list`, `table_info` and
+`jdbc_info` (reference sql_query/main.py:263-286).
 
 Spark form: register the parquet tables of a source directory as views,
 run each `;`-terminated statement through spark.sql, format results.
@@ -22,7 +23,8 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("command", nargs="?", help="SQL text, table name, 'list', or '-' for stdin")
     p.add_argument("-d", "--data-dir", default=None, help="parquet table directory (default $SPARK_GRAFT_SF_DIR)")
-    p.add_argument("-f", "--format", default="text", choices=["text", "csv", "xml", "sql"])
+    p.add_argument("-f", "--format", default="text", choices=["text", "csv", "xml", "sql", "xlsx"])
+    p.add_argument("-o", "--output", help="output file (required for -f xlsx)")
     p.add_argument("-m", "--max-rows", type=int, default=1000, help="output row cap (reference -m)")
     p.add_argument("--sep", default=";", help="CSV separator (reference ; default)")
     p.add_argument("--table", default="RESULT", help="table name for -f sql INSERT output")
@@ -46,10 +48,53 @@ def main(argv: list[str] | None = None) -> int:
         for t in sorted(tables):
             print(t)
         return 0
+    if cmd == "jdbc_info":  # reference sql_query/main.py:282-283 →
+        # engine/driver metadata; the engine IS Spark so this dumps the
+        # session's version + execution-shaping confs (catalog.engine_info)
+        from lwetl_spark.catalog import engine_info
+
+        print(format_text_table(engine_info(spark), max_rows=args.max_rows), end="")
+        return 0
+    if cmd == "table_info":  # reference sql_query/main.py:284-286 →
+        # one row per column across every registered table
+        from lwetl_spark.catalog import schema_info
+
+        print(
+            format_text_table(schema_info(spark, tables), max_rows=args.max_rows),
+            end="",
+        )
+        return 0
     if cmd in tables:  # bare-table-name shorthand → full scan probe
         cmd = f"SELECT * FROM {cmd}"
 
-    for stmt in split_statements(cmd):
+    stmts = split_statements(cmd)
+    # multi-result routing (K6, reference sql_query/main.py:169-174):
+    # xlsx/xml get one sheet per result set; text/csv/sql concatenate
+    if args.format == "xlsx":
+        from lwetl_spark.sinks.formatter import write_xlsx_sheets
+
+        if not args.output:
+            print("-f xlsx requires -o OUTPUT", file=sys.stderr)
+            return 2
+        write_xlsx_sheets(
+            [(f"Sheet{i+1}", spark.sql(s)) for i, s in enumerate(stmts)],
+            args.output,
+            max_rows=args.max_rows,
+        )
+        print(f"wrote {args.output}")
+        return 0
+    if args.format == "xml" and len(stmts) > 1:
+        from lwetl_spark.sinks.formatter import to_xml_string_sheets
+
+        print(
+            to_xml_string_sheets(
+                [(f"Sheet{i+1}", spark.sql(s)) for i, s in enumerate(stmts)],
+                max_rows=args.max_rows,
+            ),
+            end="",
+        )
+        return 0
+    for stmt in stmts:
         df = spark.sql(stmt)
         if args.format == "text":
             print(format_text_table(df, max_rows=args.max_rows), end="")

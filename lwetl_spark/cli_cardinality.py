@@ -54,11 +54,9 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.output:
         # multi-sheet XLSX like the reference's report (main.py:88-91)
-        import pandas as pd
+        from lwetl_spark.sinks.formatter import write_xlsx_sheets
 
-        with pd.ExcelWriter(args.output) as xw:
-            for t, df in reports:
-                df.limit(10_000).toPandas().to_excel(xw, sheet_name=t[:31], index=False)
+        write_xlsx_sheets(reports, args.output, max_rows=10_000)
         print(f"wrote {args.output}")
         return 0
 

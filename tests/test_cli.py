@@ -126,3 +126,29 @@ def test_cli_security_unknown_source(tmp_path, capsys):
     cfg.write_text("sources: {}\n")
     assert sec_main(["test", "nope", "-c", str(cfg)]) == 1
     assert "error" in capsys.readouterr().out
+
+
+def test_cli_jdbc_info_and_table_info(spark):
+    """VERDICT r1 #5: jdbc_info (reference sql_query/main.py:282-283) and
+    table_info special commands, backed by engine_info/schema_info."""
+    out = _run(["-d", "/root/testdata/sf0.001", "jdbc_info"])
+    assert "spark.version" in out and "spark.sql.shuffle" in out
+
+    out = _run(["-d", "/root/testdata/sf0.001", "table_info"])
+    assert "TABLE_NAME" in out.splitlines()[0]
+    assert "REGION" in out and "R_NAME" in out
+
+
+def test_security_console_script_wired():
+    """Parity with reference setup.py:35-42: all four programs are
+    installable entry points."""
+    import tomllib
+
+    with open("/root/repo/pyproject.toml", "rb") as f:
+        scripts = tomllib.load(f)["project"]["scripts"]
+    assert scripts["lwetl-spark-security"] == "lwetl_spark.cli_security:main"
+    assert len(scripts) == 4
+
+    from lwetl_spark.cli_security import main  # imports cleanly
+
+    assert callable(main)
