@@ -59,31 +59,32 @@ def format_text_table(df: DataFrame, column_width: int = 20, max_rows: int | Non
     return out.getvalue()
 
 
-def to_xml_string(df: DataFrame, dialect: str = "plain", root: str = "table", row_tag: str = "row", max_rows: int | None = None) -> str:
-    """XML sink (K3; lwetl/formatter.py:294-438), three dialects:
-    - 'plain': <row><COL>value</COL>...</row>
-    - 'value': <row><column name="COL">value</column>...</row>
-    - 'excel': SpreadsheetML Workbook/Worksheet/Row/Cell
-    """
-    out = io.StringIO()
+_XML_EXCEL_HEADER = (
+    '<?xml version="1.0"?>\n<Workbook xmlns="urn:schemas-microsoft-com:office:'
+    'spreadsheet" xmlns:ss="urn:schemas-microsoft-com:office:spreadsheet">\n'
+)
+
+
+def _xml_excel_worksheet(out: io.StringIO, name: str, df: DataFrame, max_rows: int | None) -> None:
+    """One SpreadsheetML Worksheet block (the reference's `next_sheet`
+    unit, lwetl/formatter.py:326-354)."""
     cols = df.columns
-    rows = df.toLocalIterator()
-    if dialect == "excel":
-        out.write('<?xml version="1.0"?>\n<Workbook xmlns="urn:schemas-microsoft-com:office:spreadsheet" xmlns:ss="urn:schemas-microsoft-com:office:spreadsheet">\n')
-        out.write(' <Worksheet ss:Name="Sheet1">\n  <Table>\n')
-        out.write("   <Row>" + "".join(f'<Cell><Data ss:Type="String">{escape(c)}</Data></Cell>' for c in cols) + "</Row>\n")
-        for i, row in enumerate(rows):
-            if max_rows is not None and i >= max_rows:
-                break
-            cells = []
-            for v in row:
-                typ = "Number" if isinstance(v, (int, float)) and not isinstance(v, bool) else "String"
-                cells.append(f'<Cell><Data ss:Type="{typ}">{escape(_present(v))}</Data></Cell>')
-            out.write("   <Row>" + "".join(cells) + "</Row>\n")
-        out.write("  </Table>\n </Worksheet>\n</Workbook>\n")
-        return out.getvalue()
-    out.write(f"<{root}>\n")
-    for i, row in enumerate(rows):
+    out.write(f' <Worksheet ss:Name="{escape(name)}">\n  <Table>\n')
+    out.write("   <Row>" + "".join(f'<Cell><Data ss:Type="String">{escape(c)}</Data></Cell>' for c in cols) + "</Row>\n")
+    for i, row in enumerate(df.toLocalIterator()):
+        if max_rows is not None and i >= max_rows:
+            break
+        cells = []
+        for v in row:
+            typ = "Number" if isinstance(v, (int, float)) and not isinstance(v, bool) else "String"
+            cells.append(f'<Cell><Data ss:Type="{typ}">{escape(_present(v))}</Data></Cell>')
+        out.write("   <Row>" + "".join(cells) + "</Row>\n")
+    out.write("  </Table>\n </Worksheet>\n")
+
+
+def _xml_plain_rows(out: io.StringIO, df: DataFrame, dialect: str, row_tag: str, max_rows: int | None) -> None:
+    cols = df.columns
+    for i, row in enumerate(df.toLocalIterator()):
         if max_rows is not None and i >= max_rows:
             break
         out.write(f"  <{row_tag}>")
@@ -93,18 +94,95 @@ def to_xml_string(df: DataFrame, dialect: str = "plain", root: str = "table", ro
             else:
                 out.write(f"<{c}>{escape(_present(v))}</{c}>")
         out.write(f"</{row_tag}>\n")
+
+
+def to_xml_string(df: DataFrame, dialect: str = "plain", root: str = "table", row_tag: str = "row", max_rows: int | None = None) -> str:
+    """XML sink (K3; lwetl/formatter.py:294-438), three dialects:
+    - 'plain': <row><COL>value</COL>...</row>
+    - 'value': <row><column name="COL">value</column>...</row>
+    - 'excel': SpreadsheetML Workbook/Worksheet/Row/Cell
+    """
+    out = io.StringIO()
+    if dialect == "excel":
+        out.write(_XML_EXCEL_HEADER)
+        _xml_excel_worksheet(out, "Sheet1", df, max_rows)
+        out.write("</Workbook>\n")
+        return out.getvalue()
+    out.write(f"<{root}>\n")
+    _xml_plain_rows(out, df, dialect, row_tag, max_rows)
     out.write(f"</{root}>\n")
+    return out.getvalue()
+
+
+def to_xml_string_sheets(
+    sheets: list[tuple[str, DataFrame]],
+    dialect: str = "plain",
+    max_rows: int | None = None,
+) -> str:
+    """Multi-result XML routing (K3/K6 `next_sheet` parity): one sheet
+    per result set like the reference's multi-statement sql_query output
+    (lwetl/formatter.py:326-354; sql_query/main.py:169-174).
+
+    - 'excel': ONE Workbook, one <Worksheet ss:Name=...> per result.
+    - 'plain'/'value': <document> root, one <table name=...> per result.
+    """
+    out = io.StringIO()
+    if dialect == "excel":
+        out.write(_XML_EXCEL_HEADER)
+        for name, df in sheets:
+            _xml_excel_worksheet(out, name, df, max_rows)
+        out.write("</Workbook>\n")
+        return out.getvalue()
+    out.write("<document>\n")
+    for name, df in sheets:
+        out.write(f' <table name="{escape(name)}">\n')
+        _xml_plain_rows(out, df, dialect, "row", max_rows)
+        out.write(" </table>\n")
+    out.write("</document>\n")
     return out.getvalue()
 
 
 def write_xlsx(df: DataFrame, path: str, sheet: str = "Sheet1", max_rows: int = 100_000) -> None:
     """XLSX sink (K4; lwetl/formatter.py:442-525) — driver-side by nature;
-    bounded like the reference's report outputs."""
-    pdf = df.limit(max_rows).toPandas()
+    bounded like the reference's report outputs.  Uses pandas+openpyxl
+    when installed, else the dependency-free SpreadsheetML engine
+    (sinks/xlsx_minimal.py)."""
+    write_xlsx_sheets([(sheet, df)], path, max_rows=max_rows)
+
+
+def write_xlsx_sheets(
+    sheets: list[tuple[str, DataFrame]], path: str, max_rows: int = 100_000
+) -> None:
+    """Multi-sheet XLSX (K4 `next_sheet` parity, lwetl/formatter.py:442-525
+    + sql_query/main.py:169-174): one worksheet per result set, sheet
+    names deduplicated and truncated to Excel's 31-char limit.  Prefers
+    pandas+openpyxl; falls back to the built-in minimal writer."""
+    seen: dict[str, int] = {}
+    named: list[tuple[str, DataFrame]] = []
+    for name, df in sheets:
+        base = str(name)[:31] or "Sheet"
+        n = seen.get(base, 0)
+        seen[base] = n + 1
+        named.append((base if n == 0 else f"{base[:28]}_{n+1}", df))
     try:
-        pdf.to_excel(path, sheet_name=sheet, index=False)
-    except ImportError as e:  # pragma: no cover
-        raise ImportError("write_xlsx needs openpyxl; use write_csv instead") from e
+        import openpyxl  # noqa: F401
+        import pandas as pd
+
+        with pd.ExcelWriter(path) as xw:
+            for sheet_name, df in named:
+                df.limit(max_rows).toPandas().to_excel(
+                    xw, sheet_name=sheet_name, index=False
+                )
+    except ImportError:
+        from lwetl_spark.sinks.xlsx_minimal import iter_df_rows, write_workbook
+
+        write_workbook(
+            [
+                (sheet_name, list(df.columns), iter_df_rows(df, max_rows))
+                for sheet_name, df in named
+            ],
+            path,
+        )
 
 
 def _sql_literal(v: object) -> str:

@@ -23,22 +23,34 @@ def xlsx_source(
     header: bool = True,
     upper_names: bool = True,
 ) -> DataFrame:
-    """Read one worksheet into a DataFrame.  Requires openpyxl or pandas
-    with an xlsx engine; raises ImportError with guidance otherwise."""
+    """Read one worksheet into a DataFrame.  Parses with pandas+openpyxl
+    when installed, else the dependency-free SpreadsheetML reader
+    (sinks/xlsx_minimal.py — handles inline, shared-string and numeric
+    cells, so it reads openpyxl-produced workbooks too)."""
+    import pandas as pd
+
     try:
-        import pandas as pd
+        import openpyxl  # noqa: F401
 
         pdf = pd.read_excel(path, sheet_name=sheet, header=0 if header else None)
-    except ImportError as e:  # pragma: no cover - env without pandas/openpyxl
-        raise ImportError(
-            "xlsx_source needs pandas+openpyxl; install them or convert the "
-            "workbook to CSV and use csv_source"
-        ) from e
+    except ImportError:
+        from lwetl_spark.sinks.xlsx_minimal import read_workbook
+
+        book = read_workbook(path)
+        if isinstance(sheet, int):
+            rows = list(book.values())[sheet]
+        else:
+            rows = book[sheet]
+        if header:
+            cols = [str(c) for c in rows[0]]
+            pdf = pd.DataFrame(rows[1:], columns=cols)
+        else:
+            pdf = pd.DataFrame(rows)
     if not header:
         pdf.columns = [f"C{i}" for i in range(len(pdf.columns))]
     else:
         pdf.columns = [str(c) for c in pdf.columns]
     # pandas NaN → None so Spark gets real nulls
-    pdf = pdf.where(pdf.notna(), None)
+    pdf = pdf.astype(object).where(pdf.notna(), None)
     df = spark.createDataFrame(pdf)
     return normalize_names(df, upper=upper_names)

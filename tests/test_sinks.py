@@ -190,3 +190,77 @@ def test_uploader_sql_expression_update(spark, table_dir):
     assert all(r["n_name"].endswith("_X") for r in updated)
     untouched = up.target().filter("n_regionkey = 0").collect()
     assert all(not r["n_name"].endswith("_X") for r in untouched)
+
+
+def test_xlsx_multi_sheet_roundtrip(spark, tmp_path):
+    """VERDICT r1 #4: one worksheet per result set (reference next_sheet,
+    formatter.py:442-525 + sql_query/main.py:169-174), read back per-sheet."""
+    from lwetl_spark.sinks.formatter import write_xlsx_sheets
+    from lwetl_spark.sinks.xlsx_minimal import read_workbook
+
+    a = spark.createDataFrame([(1, "x"), (2, "y")], "id int, v string")
+    b = spark.createDataFrame([(9.5,)], "z double")
+    path = str(tmp_path / "multi.xlsx")
+    write_xlsx_sheets([("Sheet1", a), ("Sheet2", b), ("Sheet1", a)], path)
+
+    book = read_workbook(path)
+    assert set(book) == {"Sheet1", "Sheet2", "Sheet1_2"}  # dedup'd names
+    assert book["Sheet1"][0] == ["id", "v"]
+    assert [r[0] for r in book["Sheet1"][1:]] == [1, 2]
+    assert book["Sheet2"][1] == [9.5]
+
+
+def test_xml_multi_sheet_excel_and_plain(spark):
+    """Multi-result XML: excel dialect = one Workbook with N Worksheets;
+    plain dialect = <document> with N named <table> blocks.  Single-sheet
+    to_xml_string output is unchanged (k3 oracle is char-exact)."""
+    import xml.etree.ElementTree as ET
+
+    from lwetl_spark.sinks.formatter import to_xml_string, to_xml_string_sheets
+
+    a = spark.createDataFrame([(1, "x")], "id int, v string")
+    b = spark.createDataFrame([(2,)], "n int")
+
+    excel = to_xml_string_sheets([("Sheet1", a), ("Sheet2", b)], dialect="excel")
+    ns = {"ss": "urn:schemas-microsoft-com:office:spreadsheet"}
+    root = ET.fromstring(excel)
+    names = [
+        ws.get("{urn:schemas-microsoft-com:office:spreadsheet}Name")
+        for ws in root.findall("ss:Worksheet", ns)
+    ]
+    assert names == ["Sheet1", "Sheet2"]
+
+    plain = to_xml_string_sheets([("s1", a), ("s2", b)], dialect="plain")
+    doc = ET.fromstring(plain)
+    assert [t.get("name") for t in doc.findall("table")] == ["s1", "s2"]
+    assert doc.find("table[@name='s2']/row/n").text == "2"
+
+    # single-sheet surface byte-stability: header + one worksheet
+    single = to_xml_string(a, dialect="excel")
+    assert single.count("<Worksheet") == 1 and 'ss:Name="Sheet1"' in single
+
+
+def test_cli_xlsx_multi_statement(spark, tmp_path):
+    """sql-query CLI routes multi-statement scripts to one sheet per
+    statement (K6 + next_sheet parity)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from lwetl_spark.cli import main
+    from lwetl_spark.sinks.xlsx_minimal import read_workbook
+
+    out = str(tmp_path / "cli.xlsx")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main(
+            [
+                "-d", "/root/testdata/sf0.001", "-f", "xlsx", "-o", out,
+                "SELECT r_regionkey FROM region ORDER BY r_regionkey;"
+                "SELECT COUNT(*) AS n FROM nation;",
+            ]
+        )
+    assert rc == 0
+    book = read_workbook(out)
+    assert set(book) == {"Sheet1", "Sheet2"}
+    assert [r[0] for r in book["Sheet1"][1:]] == [0, 1, 2, 3, 4]
+    assert book["Sheet2"][1][0] == 25

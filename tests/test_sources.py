@@ -65,7 +65,7 @@ def test_csv_no_header_cn_names(spark, tmp):
 
 
 def test_xlsx_roundtrip(spark, tmp):
-    openpyxl = pytest.importorskip("openpyxl")  # noqa: F841
+    # no importorskip: sinks/xlsx_minimal.py makes K4/S5 work without openpyxl
     from lwetl_spark.sinks.formatter import write_xlsx
     from lwetl_spark.sources.xlsx import xlsx_source
     from lwetl_spark.catalog import load_table
