@@ -31,10 +31,11 @@ independent executor connections.  Rules of thumb encoded here:
   before `jdbc_sink` to bound connection count; `isolationLevel=NONE`
   for bulk loads where the DB allows it.
 
-No JDBC driver jars ship in this environment, so anything that touches
-a live database raises Spark's "No suitable driver" — the option
-construction and registry plumbing are tested; the live path is the
-stock `DataFrameReader.jdbc` contract.
+Live path exercised end-to-end in tests/test_jdbc.py against embedded
+Apache Derby (ships on Spark's own classpath): round-trip write →
+partitioned read → transform → write-back, predicate pushdown into the
+database, raw-query dispatch, and append batching.  The suite skips
+cleanly on classpaths without the Derby driver.
 """
 
 from __future__ import annotations
