@@ -47,6 +47,7 @@ from lwetl_spark.operators.dedup import (
     exact_dedup_normalized,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    ppjoin_pairs,
     simhash_buckets,
 )
 from lwetl_spark.operators.similarity import (
@@ -902,6 +903,89 @@ def x_jaccard_pairs(spark, sf_dir):
     return ngram_jaccard_pairs(
         _t(spark, sf_dir, "documents"), shingle_n=1, threshold=0.95
     )
+
+
+@register(
+    "x_ppjoin",
+    """
+    WITH tok AS (
+        SELECT doc_id AS id,
+               unnest(list_distinct(list_filter(
+                   string_split_regex(lower(trim(text)), '\\s+'), x -> x <> ''))) AS t
+        FROM documents
+    ),
+    sz AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY id),
+    inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, CAST(COUNT(*) AS BIGINT) AS i
+        FROM tok a JOIN tok b ON a.t = b.t AND a.id < b.id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, ROUND(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+    FROM inter JOIN sz sa ON sa.id = id_a JOIN sz sb ON sb.id = id_b
+    WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8
+    """,
+)
+def x_ppjoin(spark, sf_dir):
+    """Prefix-filtered set-similarity join (PPJoin family, Xiao et al.
+    WWW'08): candidates only from rare prefix tokens, exact Jaccard
+    verify on candidates — LOSSLESS, so the oracle is the NAIVE all-pairs
+    join and the comparison is equality, not a recall band.  At scale the
+    prefix filter prunes precisely the frequent-token buckets that blow
+    up the naive join (operators/dedup.ppjoin_pairs)."""
+    return ppjoin_pairs(_t(spark, sf_dir, "documents"), threshold=0.8)
+
+
+@register(
+    "x_countmin",
+    """
+    WITH tok AS (
+        SELECT unnest(list_filter(
+            string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')) AS token
+        FROM documents
+    ),
+    hashed AS (
+        SELECT j, ('0x' || substr(md5(token || 'cms' || CAST(j AS VARCHAR)), 1, 8))::BIGINT % 256 AS pos
+        FROM tok CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j)
+    ),
+    sketch AS (
+        SELECT j, pos, CAST(COUNT(*) AS BIGINT) AS cnt FROM hashed GROUP BY 1, 2
+    ),
+    probes AS (
+        SELECT token, COUNT(*) AS n FROM tok GROUP BY 1
+        ORDER BY n DESC, token LIMIT 20
+    ),
+    probe_pos AS (
+        SELECT p.token, j.j,
+               ('0x' || substr(md5(p.token || 'cms' || CAST(j.j AS VARCHAR)), 1, 8))::BIGINT % 256 AS pos
+        FROM probes p CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j) j
+    )
+    SELECT pp.token, CAST(MIN(COALESCE(s.cnt, 0)) AS BIGINT) AS cms_est
+    FROM probe_pos pp LEFT JOIN sketch s ON s.j = pp.j AND s.pos = pp.pos
+    GROUP BY pp.token
+    """,
+)
+def x_countmin(spark, sf_dir):
+    """Count-min sketch frequency estimation (operators/sketch.py): d=4
+    hash rows × w=256 counters built in ONE map-side-combinable agg —
+    constant size at any corpus scale, counter-wise mergeable across
+    batches.  Positions use the md5-hex family so the sketch is
+    bit-reproducible cross-engine: the oracle rebuilds the identical
+    sketch in DuckDB and compares estimates EXACTLY for the top-20
+    tokens (probe side joins the sketch via d broadcast lookups)."""
+    from lwetl_spark.functions.text import tokens
+    from lwetl_spark.operators.sketch import cms_build, cms_estimate
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(tokens("text")).alias("token"))
+    sketch = cms_build(tok, depth=4, width=256)
+    probes = (
+        tok.groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(20)
+        .select("token")
+    )
+    return cms_estimate(sketch, probes, depth=4, width=256)
 
 
 @register(

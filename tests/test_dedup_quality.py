@@ -296,3 +296,52 @@ def test_priority_sample_deterministic_and_sized(spark):
     # weighted: the sampled mean weight must exceed the population mean
     pop_mean = 5.5
     assert sum(r.w for r in a) / 50 > pop_mean
+
+
+def test_ppjoin_equals_naive_jaccard(spark):
+    """PPJoin prefix filtering is LOSSLESS: output equals the naive
+    all-pairs token-set Jaccard join at the same threshold."""
+    from lwetl_spark.operators.dedup import ngram_jaccard_pairs, ppjoin_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over a lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "a completely different sentence entirely here now"),
+            (4, "the quick brown fox leaps over a lazy dog"),
+            (5, "quick brown dog"),
+        ],
+        "doc_id long, text string",
+    )
+    for t in (0.5, 0.7, 0.9):
+        pp = sorted(map(tuple, ppjoin_pairs(df, threshold=t).collect()))
+        naive = sorted(
+            map(tuple, ngram_jaccard_pairs(df, shingle_n=1, threshold=t).collect())
+        )
+        assert pp == naive, t
+
+
+def test_countmin_overestimates_and_exact_on_sparse(spark):
+    """CMS invariants: estimate >= true count always; with far fewer
+    distinct tokens than counters the estimate is exact."""
+    from pyspark.sql import functions as F
+
+    from lwetl_spark.operators.sketch import cms_build, cms_estimate
+
+    rows = [(f"tok{i % 13}",) for i in range(500)]
+    tok = spark.createDataFrame(rows, "token string")
+    sketch = cms_build(tok, depth=4, width=256)
+    probes = tok.distinct()
+    est = {r["token"]: r["cms_est"] for r in cms_estimate(sketch, probes).collect()}
+    true = {
+        r["token"]: r["n"]
+        for r in tok.groupBy("token").agg(F.count("*").alias("n")).collect()
+    }
+    assert all(est[t] >= n for t, n in true.items())
+    # 13 distinct tokens in 256*4 counters: collisions virtually absent
+    assert est == true
+    # unseen token estimates 0 (or a collision's count, never negative)
+    miss = cms_estimate(
+        sketch, spark.createDataFrame([("neverseen",)], "token string")
+    ).first()["cms_est"]
+    assert miss >= 0
