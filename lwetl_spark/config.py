@@ -137,11 +137,32 @@ class SecurityError(RuntimeError):
     lwetl/security.py raises on absent keyring entries)."""
 
 
+#: OS-keyring coordinates, matching the reference's storage
+#: (lwetl/security.py uses the system keyring for the Fernet key)
+_KEYRING_SERVICE = "lwetl_spark"
+_KEYRING_USER = "fernet_key"
+
+
+def _keyring_key() -> str | None:
+    """Reference-parity keyring lookup (lwetl/security.py), gated behind
+    an import-try: headless clusters rarely have a keyring backend, so
+    absence of the module or of a backend is silent and the env-var /
+    key-file chain takes over."""
+    try:
+        import keyring
+
+        return keyring.get_password(_KEYRING_SERVICE, _KEYRING_USER)
+    except Exception:
+        return None
+
+
 def _fernet(key: str | bytes | None = None):
     from cryptography.fernet import Fernet
 
     if key is None:
         key = os.environ.get(_KEY_ENV)
+    if key is None:
+        key = _keyring_key()
     if key is None:
         kf = os.path.expanduser(_KEY_FILE)
         if os.path.isfile(kf):
@@ -149,7 +170,8 @@ def _fernet(key: str | bytes | None = None):
                 key = fh.read().strip()
     if not key:
         raise SecurityError(
-            f"no encryption key: set ${_KEY_ENV} or create {_KEY_FILE}"
+            f"no encryption key: set ${_KEY_ENV}, store one in the OS "
+            f"keyring ({_KEYRING_SERVICE}/{_KEYRING_USER}), or create {_KEY_FILE}"
         )
     try:
         return Fernet(key)

@@ -109,3 +109,37 @@ def test_secret_missing_key_raises(monkeypatch, tmp_path):
 
     with _pytest.raises(C.SecurityError):
         C.encrypt_value("x")
+
+
+def test_keyring_key_lookup(monkeypatch):
+    """Reference parity (lwetl/security.py): the Fernet key resolves from
+    the OS keyring when a backend exists, between the env var and the
+    key file; module/backend absence falls through silently."""
+    import sys
+    import types
+
+    from cryptography.fernet import Fernet
+
+    from lwetl_spark import config as cfg
+
+    key = Fernet.generate_key().decode()
+    fake = types.ModuleType("keyring")
+    calls = []
+
+    def get_password(service, user):
+        calls.append((service, user))
+        return key
+
+    fake.get_password = get_password
+    monkeypatch.setitem(sys.modules, "keyring", fake)
+    monkeypatch.delenv("LWETL_SPARK_KEY", raising=False)
+
+    token = cfg.encrypt_value("s3cret")
+    assert cfg.decrypt_value(token) == "s3cret"
+    assert calls and calls[0] == ("lwetl_spark", "fernet_key")
+
+    # env var wins over keyring
+    calls.clear()
+    monkeypatch.setenv("LWETL_SPARK_KEY", key)
+    cfg.decrypt_value(token)
+    assert calls == []
