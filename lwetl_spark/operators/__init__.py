@@ -11,6 +11,7 @@ from lwetl_spark.operators.similarity import (
     cosine_topk_blocked,
     cosine_topk_pandas,
     lsh_ann_topk,
+    semantic_dedup,
 )
 from lwetl_spark.operators.windows import tumbling_agg, sessionize
 from lwetl_spark.operators.cardinality import column_cardinality, table_cardinality
@@ -25,6 +26,7 @@ __all__ = [
     "cosine_topk",
     "cosine_topk_blocked",
     "cosine_topk_pandas",
+    "semantic_dedup",
     "lsh_ann_topk",
     "tumbling_agg",
     "sessionize",

