@@ -305,3 +305,44 @@ def stream_upload(
         uploader.insert_df(batch_df)
 
     return stream.writeStream.foreachBatch(sink).start()
+
+
+def stream_cms(
+    spark: SparkSession,
+    docs_path: str,
+    text_col: str = "text",
+    depth: int = 4,
+    width: int = 256,
+    max_files_per_trigger: int = 2,
+):
+    """Streaming count-min sketch (NEW; pairs with operators/sketch.py).
+
+    Each micro-batch runs ONE map-side-combinable aggregation producing
+    at most d·w counter rows; `foreachBatch` folds them counter-wise
+    into a constant-size accumulator.  This is the sketch's mergeability
+    made operational: state is d·w longs REGARDLESS of stream volume —
+    the streaming analog of merging per-partition sketches in batch.
+    Exactly the same counters as a batch `cms_build` over the union of
+    all batches (addition is associative/commutative), pinned by
+    test_streaming.
+
+    Returns (query, counters) — caller awaits the query, then reads
+    `counters` {(j, pos): cnt}.
+    """
+    from lwetl_spark.functions.text import tokens
+    from lwetl_spark.operators.sketch import cms_build
+
+    schema = spark.read.parquet(docs_path).schema
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", max_files_per_trigger
+    ).parquet(docs_path)
+    counters: dict[tuple[int, int], int] = {}
+
+    def sink(batch_df, batch_id: int) -> None:
+        tok = batch_df.select(F.explode(tokens(text_col)).alias("token"))
+        for r in cms_build(tok, depth=depth, width=width).collect():
+            k = (r["j"], r["pos"])
+            counters[k] = counters.get(k, 0) + r["cnt"]
+
+    q = stream.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    return q, counters

@@ -246,3 +246,25 @@ def test_stream_stream_join_matches_batch(spark, events_dir):
     batch_rows = {tuple(x) for x in batch.collect()}
     assert stream_rows == batch_rows
     assert len(stream_rows) > 20
+
+
+def test_stream_cms_merges_to_batch_sketch(spark, tmp_path):
+    """Count-min counters folded over micro-batches equal the batch
+    sketch over all data — mergeability is the sketch's scale property."""
+    from lwetl_spark.functions.text import tokens
+    from lwetl_spark.operators.sketch import cms_build
+    from lwetl_spark.streaming.pipeline import stream_cms
+
+    p = str(tmp_path / "docs_stream")
+    docs = spark.read.parquet(SF_SMOKE + "/documents.parquet").select("doc_id", "text")
+    docs.repartition(5).write.parquet(p)  # several files -> several micro-batches
+
+    q, counters = stream_cms(spark, p, depth=4, width=64)
+    q.awaitTermination(120)
+
+    tok = spark.read.parquet(p).select(F.explode(tokens("text")).alias("token"))
+    batch = {
+        (r["j"], r["pos"]): r["cnt"] for r in cms_build(tok, depth=4, width=64).collect()
+    }
+    assert counters == batch
+    assert len(batch) > 50
