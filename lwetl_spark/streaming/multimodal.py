@@ -104,3 +104,69 @@ def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
             )
 
     return df.mapInPandas(sample, schema=FRAME_SCHEMA)
+
+
+RESIZE_SCHEMA = "doc_id long, width int, height int, thumb binary"
+
+
+def resize_images(df: DataFrame, width: int = 16, height: int = 16) -> DataFrame:
+    """Image-resize plumbing: produce a fixed-size thumbnail payload per
+    item.  The stub samples width*height evenly-spaced bytes from the
+    payload (deterministic, engine-portable); a real implementation is
+    one line of PIL in the same closure —
+    ``Image.open(io.BytesIO(b)).resize((w, h)).tobytes()`` — with
+    identical schema, batching and partitioning.
+
+    Output thumbnails are CONSTANT-size binary, so downstream stages
+    (dedup on thumb digest, embedding extraction) can plan for fixed row
+    width no matter how large the source media was.  Closure pickles by
+    value — see decode_binary_features.
+    """
+
+    def resize(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import pandas as pd
+
+        w, h = width, height
+
+        def thumb(payload: bytes) -> bytes:
+            n = w * h
+            if not payload:
+                return bytes(n)
+            step = max(1, len(payload) // n)
+            return bytes(payload[min(i * step, len(payload) - 1)] for i in range(n))
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": w,
+                    "height": h,
+                    "thumb": pdf["payload"].map(thumb),
+                }
+            )
+
+    return df.mapInPandas(resize, schema=RESIZE_SCHEMA)
+
+
+def repartition_by_payload_bytes(
+    df: DataFrame,
+    payload_col: str = "payload",
+    target_bytes: int = 64 * 1024 * 1024,
+    min_partitions: int = 1,
+) -> DataFrame:
+    """Size binary-column partitions by BYTES, not rows.
+
+    Row-count partitioning breaks for media: 10k rows of 10 MB videos is
+    100 GB in one task, and a single Arrow record batch must stay well
+    under the 2 GB IPC limit.  One cheap agg sums payload length, then a
+    round-robin repartition targets `target_bytes` per partition — the
+    media analog of `spark.sql.files.maxPartitionBytes` for data already
+    in a DataFrame.  (At 100 TB, pair with
+    `spark.sql.execution.arrow.maxRecordsPerBatch` to bound rows per
+    Arrow batch inside each task.)
+    """
+    from pyspark.sql import functions as F
+
+    total = df.agg(F.sum(F.length(payload_col))).first()[0] or 0
+    parts = max(min_partitions, int(total // target_bytes) + 1)
+    return df.repartition(parts)

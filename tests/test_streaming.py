@@ -268,3 +268,40 @@ def test_stream_cms_merges_to_batch_sketch(spark, tmp_path):
     }
     assert counters == batch
     assert len(batch) > 50
+
+
+def test_resize_images_constant_thumb(spark):
+    """Resize plumbing: constant-size deterministic thumbnails regardless
+    of source payload size; empty payloads yield zero bytes."""
+    from pyspark.sql import functions as F2
+
+    from lwetl_spark.catalog import load_table
+    from lwetl_spark.streaming.multimodal import resize_images
+
+    d = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", F2.col("text").cast("binary").alias("payload")
+    )
+    rows = resize_images(d, width=8, height=4).collect()
+    assert len(rows) == d.count()
+    assert all(len(r["thumb"]) == 32 and r["width"] == 8 and r["height"] == 4 for r in rows)
+    again = {r["doc_id"]: bytes(r["thumb"]) for r in resize_images(d, 8, 4).collect()}
+    assert all(bytes(r["thumb"]) == again[r["doc_id"]] for r in rows)  # deterministic
+
+    empty = spark.createDataFrame([(1, b"")], "doc_id long, payload binary")
+    assert bytes(resize_images(empty, 4, 4).first()["thumb"]) == bytes(16)
+
+
+def test_repartition_by_payload_bytes(spark):
+    from pyspark.sql import functions as F2
+
+    from lwetl_spark.streaming.multimodal import repartition_by_payload_bytes
+
+    big = spark.range(100).select(
+        "id", F2.repeat(F2.lit("x"), 10_000).cast("binary").alias("payload")
+    )
+    # 1 MB total, 100 KB target -> ~11 partitions; row data unchanged
+    out = repartition_by_payload_bytes(big, target_bytes=100_000)
+    assert out.rdd.getNumPartitions() == 11
+    assert out.count() == 100
+    tiny = repartition_by_payload_bytes(big.limit(1), target_bytes=100 << 20)
+    assert tiny.rdd.getNumPartitions() == 1
