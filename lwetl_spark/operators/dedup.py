@@ -306,6 +306,60 @@ def ppjoin_pairs(
     )
 
 
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 20,
+) -> DataFrame:
+    """Exact substring-level duplication stats (the span-dedup signal of
+    Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better", arXiv:2107.06499 — their 50-token exact substrings, here a
+    parameterized token window).
+
+    Every ``window``-token sliding window is fingerprinted (md5 of the
+    space-joined tokens — portable, the oracle rebuilds it verbatim);
+    a window occurrence counts as duplicated when the same fingerprint
+    appears in ≥ 2 DISTINCT documents.  Returns one row per document
+    with ≥ `window` tokens: (doc_id, n_windows, n_dup_windows,
+    dup_fraction) — the per-doc boilerplate/memorization-risk measure a
+    curation pipeline thresholds on.
+
+    Scale shape: suffix-array-free — window generation is row-local
+    O(tokens·window) work; the only shuffles carry (fingerprint, doc_id)
+    pairs and the per-doc aggregation.  Output is LINEAR in documents
+    (unlike pair-listing dedup ops), so the operator composes into a
+    100 TB curation pass as a plain column producer.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"), tokens(text_col).alias("toks")
+    ).filter(F.size("toks") >= window)
+    win = toks.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - window + 1),
+                lambda i: F.md5(F.concat_ws(" ", F.slice("toks", i, window))),
+            )
+        ).alias("whash"),
+    )
+    freq = win.groupBy("whash").agg(F.countDistinct("id").alias("nd"))
+    per_doc = (
+        win.join(freq, "whash")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.count_if(F.col("nd") >= 2).alias("n_dup_windows"),
+        )
+    )
+    return per_doc.select(
+        F.col("id").alias(id_col),
+        "n_windows",
+        "n_dup_windows",
+        F.round(F.col("n_dup_windows") / F.col("n_windows"), 6).alias("dup_fraction"),
+    )
+
+
 def simhash_buckets(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """SimHash near-dup candidate buckets: 64-bit simhash split into four
     16-bit bands; docs sharing any band are Hamming-≤3 candidates.

@@ -43,6 +43,7 @@ from lwetl_spark.functions.text import (
 from lwetl_spark.functions.vectors import cosine_similarity
 from lwetl_spark.operators.cardinality import column_cardinality, table_cardinality
 from lwetl_spark.operators.dedup import (
+    duplicate_spans,
     embedding_near_dups,
     exact_dedup_normalized,
     minhash_lsh_pairs,
@@ -934,6 +935,38 @@ def x_ppjoin(spark, sf_dir):
     prefix filter prunes precisely the frequent-token buckets that blow
     up the naive join (operators/dedup.ppjoin_pairs)."""
     return ppjoin_pairs(_t(spark, sf_dir, "documents"), threshold=0.8)
+
+
+@register(
+    "x_dup_spans",
+    """
+    WITH d AS (
+        SELECT doc_id, list_filter(
+            string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS toks
+        FROM documents
+    ),
+    w AS (
+        SELECT doc_id, md5(array_to_string(toks[i:i+19], ' ')) AS whash
+        FROM d, UNNEST(range(1, len(toks) - 18)) AS t(i)
+        WHERE len(toks) >= 20
+    ),
+    freq AS (SELECT whash, COUNT(DISTINCT doc_id) AS nd FROM w GROUP BY 1)
+    SELECT w.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(COUNT(*) FILTER (freq.nd >= 2) AS BIGINT) AS n_dup_windows,
+           ROUND(COUNT(*) FILTER (freq.nd >= 2) * 1.0 / COUNT(*), 6) AS dup_fraction
+    FROM w JOIN freq USING (whash)
+    GROUP BY w.doc_id
+    """,
+)
+def x_dup_spans(spark, sf_dir):
+    """Exact substring-span duplication stats (Lee et al. 2022 span
+    dedup, 20-token windows): per-doc count/fraction of sliding windows
+    whose fingerprint appears in ≥2 distinct docs.  Suffix-array-free,
+    linear output, md5-portable fingerprints — the oracle rebuilds the
+    identical windows in DuckDB and compares exactly
+    (operators/dedup.duplicate_spans)."""
+    return duplicate_spans(_t(spark, sf_dir, "documents"), window=20)
 
 
 @register(

@@ -345,3 +345,25 @@ def test_countmin_overestimates_and_exact_on_sparse(spark):
         sketch, spark.createDataFrame([("neverseen",)], "token string")
     ).first()["cms_est"]
     assert miss >= 0
+
+
+def test_duplicate_spans_exact_windows(spark):
+    """Span-dedup stats on hand-built docs: shared 3-token windows count,
+    short docs are excluded, fractions are exact."""
+    from lwetl_spark.operators.dedup import duplicate_spans
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e"),     # windows: abc bcd cde
+            (2, "x a b c d y"),   # windows: xab abc bcd cdy
+            (3, "p q r"),         # windows: pqr (unique)
+            (4, "t u"),           # too short -> excluded
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in duplicate_spans(df, window=3).collect()}
+    assert set(out) == {1, 2, 3}
+    assert (out[1]["n_windows"], out[1]["n_dup_windows"]) == (3, 2)  # abc, bcd shared
+    assert (out[2]["n_windows"], out[2]["n_dup_windows"]) == (4, 2)
+    assert (out[3]["n_windows"], out[3]["n_dup_windows"]) == (1, 0)
+    assert out[1]["dup_fraction"] == round(2 / 3, 6)
