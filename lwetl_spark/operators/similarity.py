@@ -396,6 +396,141 @@ def _score_candidates(
     return cand.mapInPandas(score_batches, "id long, neighbor_id long, cos double")
 
 
+def build_lsh_index(
+    df: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_planes: int = 4,
+    num_tables: int = 12,
+    dim: int = 64,
+) -> None:
+    """Persist an LSH index: bucket assignments partitioned by table_idx
+    (so a probe prunes to its table's directories) plus the id→vector
+    map.  Build once over the corpus, probe many times —
+    at 100 TB re-bucketing per query batch is the cost you amortize
+    away; the index build is one Arrow pass + one partitioned write.
+
+    Layout: `{path}/buckets/table_idx=*/...` (id, bucket) and
+    `{path}/vectors/` (id, vec).  Hyperplanes are the same fixed-seed
+    family as `lsh_ann_topk`, so index params live in the path contract:
+    query with the SAME (num_planes, num_tables, dim).
+    """
+    bucketed = _lsh_bucketize(df, vec_col, id_col, num_planes, num_tables, dim)
+    bucketed.write.mode("overwrite").partitionBy("table_idx").parquet(
+        f"{path}/buckets"
+    )
+    df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/vectors")
+
+
+def query_lsh_index(
+    spark,
+    path: str,
+    queries_df: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_planes: int = 4,
+    num_tables: int = 12,
+    dim: int = 64,
+) -> DataFrame:
+    """Probe a persisted LSH index (see `build_lsh_index`) with a batch
+    of query vectors: bucketize ONLY the queries (cheap), equi-join
+    against the stored buckets, re-join vectors for exact scoring —
+    the same collect-free 'join' scorer as the inline operator.  The
+    corpus is never re-bucketized; candidate pruning happens at the
+    parquet scan via the table_idx partitioning + bucket pushdown.
+
+    Same output contract as `lsh_ann_topk` (self-matches excluded when a
+    query id also exists in the index).
+    """
+    q_buckets = _lsh_bucketize(queries_df, vec_col, id_col, num_planes, num_tables, dim)
+    c_buckets = spark.read.parquet(f"{path}/buckets").select(
+        F.col("id").alias("neighbor_id"), "table_idx", "bucket"
+    )
+    cand = (
+        q_buckets.join(c_buckets, ["table_idx", "bucket"])
+        .filter(F.col("id") != F.col("neighbor_id"))
+        .select("id", "neighbor_id")
+        .dropDuplicates(["id", "neighbor_id"])
+    )
+    vectors = spark.read.parquet(f"{path}/vectors")
+    q_vecs = queries_df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("qv"))
+    paired = cand.join(q_vecs, "id").join(
+        vectors.select(F.col("id").alias("neighbor_id"), F.col("vec").alias("cv")),
+        "neighbor_id",
+    )
+
+    def cos_batches(it):
+        import numpy as np
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            q = np.array(pdf["qv"].tolist(), dtype=np.float64)
+            c = np.array(pdf["cv"].tolist(), dtype=np.float64)
+            qn = np.linalg.norm(q, axis=1)
+            cn = np.linalg.norm(c, axis=1)
+            qn[qn == 0] = 1.0
+            cn[cn == 0] = 1.0
+            cos = (q * c).sum(axis=1) / (qn * cn)
+            cos = np.floor(cos * 1e6 + 0.5) / 1e6  # HALF_UP like F.round
+            yield pdf[["id", "neighbor_id"]].assign(cos=cos)
+
+    scored = paired.mapInPandas(cos_batches, "id long, neighbor_id long, cos double")
+    w = Window.partitionBy("id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("id", "neighbor_id", "cos", "rank")
+    )
+
+
+def _lsh_bucketize(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    num_planes: int,
+    num_tables: int,
+    dim: int,
+) -> DataFrame:
+    """(id, table_idx, bucket) rows from the fixed-seed hyperplane family
+    shared with `lsh_ann_topk` — one Arrow-batched matmul per batch."""
+    import numpy as np
+
+    rs = np.random.RandomState(42)
+    planes = rs.standard_normal((num_tables, num_planes, dim))
+    spark = df.sparkSession
+    b_planes = spark.sparkContext.broadcast(planes.reshape(num_tables * num_planes, dim))
+    n_tables, n_planes = num_tables, num_planes
+    vc, ic = vec_col, id_col
+
+    def bucketize(it):
+        import numpy as np
+        import pandas as pd
+
+        P = b_planes.value
+        pow2 = 1 << np.arange(n_planes)
+        for pdf in it:
+            if not len(pdf):
+                continue
+            mat = np.array(pdf[vc].tolist(), dtype=np.float64)
+            proj = mat @ P.T
+            bits = (proj >= 0).reshape(len(pdf), n_tables, n_planes)
+            buckets = (bits * pow2).sum(axis=2).astype(np.int32)
+            yield pd.DataFrame(
+                {
+                    "id": np.repeat(pdf[ic].to_numpy(np.int64), n_tables),
+                    "table_idx": np.tile(np.arange(n_tables, dtype=np.int32), len(pdf)),
+                    "bucket": buckets.ravel(),
+                }
+            )
+
+    return df.select(ic, vc).mapInPandas(bucketize, "id long, table_idx int, bucket int")
+
+
 def semantic_dedup(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -503,40 +638,7 @@ def lsh_ann_topk(
     the vector side when small) or looks them up in a driver-collected
     broadcast matrix ('broadcast', opt-in).
     """
-    import numpy as np
-
-    rs = np.random.RandomState(42)
-    planes = rs.standard_normal((num_tables, num_planes, dim))
-    spark = df.sparkSession
-    b_planes = spark.sparkContext.broadcast(
-        planes.reshape(num_tables * num_planes, dim)
-    )
-    n_tables, n_planes = num_tables, num_planes
-
-    def bucketize(it):
-        import numpy as np
-        import pandas as pd
-
-        P = b_planes.value
-        pow2 = 1 << np.arange(n_planes)
-        for pdf in it:
-            if not len(pdf):
-                continue
-            mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-            proj = mat @ P.T
-            bits = (proj >= 0).reshape(len(pdf), n_tables, n_planes)
-            buckets = (bits * pow2).sum(axis=2).astype(np.int32)
-            yield pd.DataFrame(
-                {
-                    "id": np.repeat(pdf[id_col].to_numpy(np.int64), n_tables),
-                    "table_idx": np.tile(np.arange(n_tables, dtype=np.int32), len(pdf)),
-                    "bucket": buckets.ravel(),
-                }
-            )
-
-    bucketed = df.select(id_col, vec_col).mapInPandas(
-        bucketize, "id long, table_idx int, bucket int"
-    )
+    bucketed = _lsh_bucketize(df, vec_col, id_col, num_planes, num_tables, dim)
     a, b = bucketed.alias("a"), bucketed.alias("b")
     cand = (
         a.join(b, ["table_idx", "bucket"])

@@ -436,3 +436,12 @@ def test_funnel_and_setops_are_single_lazy_plans(spark, monkeypatch):
     assert plan_shuffle_count(funnel) == 2
     assert setops.count() == 3
     assert funnel.count() == 3
+
+
+def test_dup_spans_shuffles_fingerprints_only(spark):
+    """x_dup_spans: shuffles carry (whash, id) and the per-doc agg — the
+    token arrays and document text never enter an exchange."""
+    plan = _plan(spark, "x_dup_spans")
+    exchange_lines = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert exchange_lines
+    assert all("text" not in l and "toks" not in l for l in exchange_lines), plan

@@ -221,3 +221,29 @@ def test_semantic_dedup_invariants(spark):
     assert {(r["id"], r["keep"]) for r in rows2} == {
         (r["id"], r["keep"]) for r in rows
     }
+
+
+def test_lsh_index_build_then_query_matches_inline(spark, tmp_path):
+    """Persisted LSH index (build once / probe many): querying the index
+    with the full corpus reproduces the inline lsh_ann_topk exactly —
+    same hyperplane family, same join scorer, no corpus re-bucketize."""
+    from lwetl_spark.operators.similarity import (
+        build_lsh_index,
+        lsh_ann_topk,
+        query_lsh_index,
+    )
+
+    emb = spark.read.parquet(SF_CORRECT + "/embeddings.parquet")
+    path = str(tmp_path / "lsh_index")
+    build_lsh_index(emb, path)
+    got = sorted(map(tuple, query_lsh_index(spark, path, emb, k=5).collect()))
+    want = sorted(map(tuple, lsh_ann_topk(emb, k=5).collect()))
+    assert got == want
+
+    # probing a small query batch touches only its buckets
+    some = emb.limit(7)
+    sub = query_lsh_index(spark, path, some, k=3)
+    ids = {r["vec_id"] for r in some.select("vec_id").collect()}
+    rows = sub.collect()
+    assert {r["id"] for r in rows} <= ids
+    assert all(r["rank"] <= 3 for r in rows)
