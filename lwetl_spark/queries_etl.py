@@ -563,3 +563,39 @@ def s11_schema_evolution(spark, sf_dir):
         F.count("n_chars").alias("n_with_chars"),
         F.sum(F.coalesce(F.col("n_chars"), F.lit(0))).cast("bigint").alias("chars"),
     )
+
+
+@register(
+    "x_lsh_index_roundtrip",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS index_matches_inline
+    FROM embeddings
+    """,
+)
+def x_lsh_index_roundtrip(spark, sf_dir):
+    """Persisted-LSH-index round-trip (operators/similarity.build_lsh_index
+    / query_lsh_index): build the index once, probe it with the full
+    corpus, and assert the result EQUALS the inline lsh_ann_topk — same
+    fixed-seed hyperplane family, same collect-free join scorer, zero
+    corpus re-bucketization at query time.  The contract row carries the
+    per-query count and the equality verdict (the bucketing itself is
+    not SQL-portable; the equality property is engine-checkable)."""
+    from lwetl_spark.operators.similarity import (
+        build_lsh_index,
+        lsh_ann_topk,
+        query_lsh_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = os.path.join(_tmpdir("lshidx"), "index")
+    build_lsh_index(emb, path)
+    idx = query_lsh_index(spark, path, emb, k=5)
+    inline = lsh_ann_topk(emb, k=5)
+    # symmetric difference empty AND per-query coverage == corpus size
+    diff_a = idx.exceptAll(inline)
+    diff_b = inline.exceptAll(idx)
+    mismatches = diff_a.union(diff_b).count()
+    n_queries = emb.count()
+    return spark.createDataFrame(
+        [(n_queries, mismatches == 0)], "n_queries long, index_matches_inline boolean"
+    )
