@@ -2216,6 +2216,62 @@ def w3_range_frame(spark, sf_dir):
 
 
 @register(
+    "w4_lag_lead",
+    """
+    SELECT user_id, event_id, ts,
+           ROUND(EXTRACT(EPOCH FROM ts - LAG(ts) OVER w), 1) AS gap_s,
+           LEAD(event_type) OVER w AS next_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def w4_lag_lead(spark, sf_dir):
+    """LAG/LEAD analytics: per-user inter-event gap seconds and the next
+    event's type — the session-delta primitives (one keyed window, same
+    single hash(user_id) exchange as every W-family op).  Ordering ties
+    break on event_id so both engines pick identical neighbors."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    micros = epoch_micros("ts", ev.schema["ts"].dataType)
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(
+            (micros - F.lag(micros).over(w)) / F.lit(1000000.0), 1
+        ).alias("gap_s"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+@register(
+    "w5_ntile_rank",
+    """
+    SELECT o_orderkey,
+           NTILE(4) OVER w AS quartile,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS cume
+    FROM orders
+    WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def w5_ntile_rank(spark, sf_dir):
+    """NTILE / PERCENT_RANK / CUME_DIST over a global price ordering —
+    the distribution-bucketing analytics.  A single unpartitioned window
+    IS a one-reducer sort by construction (documented; for the
+    distributed form use approx quantile cuts — x_approx_quantile — or a
+    partitioned window).  Ties break on the key for engine determinism."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@register(
     "x_tfidf",
     r"""
     WITH tok AS (
