@@ -1,0 +1,168 @@
+"""corpus-curate CLI (NEW — the training-data composite program; the
+reference's closest analog is the db-copy composite, db_copy/main.py).
+
+One command runs the standard curation pass over a documents table and
+writes a curated parquet plus a stats report:
+
+    python -m lwetl_spark.cli_curate -d SF_DIR -o OUT_DIR
+        [--min-tokens 10]            quality gate
+        [--max-dup-fraction 0.5]     drop docs mostly made of duplicated
+                                     20-token spans (Lee et al. 2022)
+        [--no-dedup]                 skip exact normalized-text dedup
+        [--decontaminate PARQUET]    drop docs sharing 3-gram shingles
+                                     with a benchmark table (text column)
+        [--report REPORT.xlsx]       multi-sheet report (summary + params)
+
+The whole filter chain is ONE Catalyst plan over the documents scan: the
+quality gate and span filter are column predicates, dedup keeps the
+min-doc_id representative per normalized digest (one digest-only
+shuffle), decontamination is a broadcast-gram anti-join.  Document text
+shuffles only in the span-fingerprint stage, as bare (fingerprint, id)
+pairs.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="lwetl-spark-curate",
+        description="curate a documents table into a training-ready parquet",
+    )
+    p.add_argument("-d", "--data-dir", default=None, help="parquet table directory")
+    p.add_argument("-o", "--output", required=True, help="curated parquet output dir")
+    p.add_argument("--min-tokens", type=int, default=10)
+    p.add_argument(
+        "--max-dup-fraction", type=float, default=None,
+        help="drop docs whose 20-token-span dup fraction exceeds this",
+    )
+    p.add_argument("--no-dedup", action="store_true", help="skip exact dedup")
+    p.add_argument(
+        "--decontaminate", metavar="PARQUET",
+        help="benchmark parquet with a text column; overlapping docs drop",
+    )
+    p.add_argument("--report", help="write a multi-sheet XLSX report here")
+    return p
+
+
+def curate(
+    spark,
+    sf_dir: str,
+    out_dir: str,
+    min_tokens: int = 10,
+    max_dup_fraction: float | None = None,
+    dedup: bool = True,
+    decontaminate_path: str | None = None,
+):
+    """Programmatic surface of the CLI; returns the stats dict."""
+    from pyspark.sql import functions as F
+
+    from lwetl_spark.catalog import load_table
+    from lwetl_spark.functions.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_input = docs.count()
+    stats = {"n_input": n_input}
+
+    kept = docs.filter(token_count("text") >= min_tokens)
+
+    if max_dup_fraction is not None:
+        from lwetl_spark.operators.dedup import duplicate_spans
+
+        spans = duplicate_spans(docs, window=20).select(
+            "doc_id", "dup_fraction"
+        )
+        # left join: docs too short to have a span row pass the filter
+        kept = (
+            kept.join(spans, "doc_id", "left")
+            .filter(
+                F.coalesce(F.col("dup_fraction"), F.lit(0.0)) <= max_dup_fraction
+            )
+            .drop("dup_fraction")
+        )
+
+    if dedup:
+        digest = F.md5(
+            F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+        )
+        w_min = (
+            kept.select(F.col("doc_id").alias("_keep_id"), digest.alias("_dg"))
+            .groupBy("_dg")
+            .agg(F.min("_keep_id").alias("_keep_id"))
+        )
+        kept = kept.join(
+            w_min, kept["doc_id"] == w_min["_keep_id"], "left_semi"
+        )
+
+    if decontaminate_path:
+        from lwetl_spark.operators.decontaminate import decontaminate
+
+        bench = spark.read.parquet(decontaminate_path)
+        if "doc_id" not in bench.columns:  # gram extraction needs an id
+            bench = bench.withColumn("doc_id", F.monotonically_increasing_id())
+        kept = decontaminate(kept, bench, n=3)
+
+    kept.write.mode("overwrite").parquet(out_dir)
+    curated = spark.read.parquet(out_dir)
+    stats["n_kept"] = curated.count()
+    stats["n_dropped"] = n_input - stats["n_kept"]
+    per_lang = {
+        r["lang"]: r["n"]
+        for r in curated.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    stats["langs"] = per_lang
+    return stats
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    from lwetl_spark.catalog import DEFAULT_SF_DIR
+    from lwetl_spark.session import get_spark
+
+    spark = get_spark(app_name="lwetl_spark_curate")
+    stats = curate(
+        spark,
+        args.data_dir or DEFAULT_SF_DIR,
+        args.output,
+        min_tokens=args.min_tokens,
+        max_dup_fraction=args.max_dup_fraction,
+        dedup=not args.no_dedup,
+        decontaminate_path=args.decontaminate,
+    )
+    print(
+        f"curated {stats['n_input']} -> {stats['n_kept']} docs "
+        f"({stats['n_dropped']} dropped) into {args.output}"
+    )
+    for lang, n in sorted(stats["langs"].items()):
+        print(f"  {lang}: {n}")
+
+    if args.report:
+        from pyspark.sql import functions as F
+
+        from lwetl_spark.sinks.formatter import write_xlsx_sheets
+
+        curated = spark.read.parquet(args.output)
+        summary = curated.groupBy("lang").agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg(F.length("text")), 1).alias("avg_chars"),
+        )
+        params = spark.createDataFrame(
+            [
+                ("min_tokens", str(args.min_tokens)),
+                ("max_dup_fraction", str(args.max_dup_fraction)),
+                ("dedup", str(not args.no_dedup)),
+                ("decontaminate", str(args.decontaminate)),
+                ("n_input", str(stats["n_input"])),
+                ("n_kept", str(stats["n_kept"])),
+            ],
+            "param string, value string",
+        )
+        write_xlsx_sheets([("summary", summary), ("params", params)], args.report)
+        print(f"wrote {args.report}")
+    return 0
+
+
+if __name__ == "__main__":  # pragma: no cover
+    raise SystemExit(main())

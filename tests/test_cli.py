@@ -147,8 +147,48 @@ def test_security_console_script_wired():
     with open("/root/repo/pyproject.toml", "rb") as f:
         scripts = tomllib.load(f)["project"]["scripts"]
     assert scripts["lwetl-spark-security"] == "lwetl_spark.cli_security:main"
-    assert len(scripts) == 4
+    for prog in ("sql", "db-copy", "cardinality", "security"):  # reference's four
+        assert f"lwetl-spark-{prog}" in scripts
+    assert scripts["lwetl-spark-curate"] == "lwetl_spark.cli_curate:main"
 
+    from lwetl_spark.cli_curate import main as curate_main
     from lwetl_spark.cli_security import main  # imports cleanly
 
-    assert callable(main)
+    assert callable(main) and callable(curate_main)
+
+
+def test_cli_curate_end_to_end(spark, tmp_path):
+    """corpus-curate: quality gate + span filter + exact dedup +
+    decontamination in one pass, curated parquet + xlsx report out."""
+    from lwetl_spark.cli_curate import main
+    from lwetl_spark.sinks.xlsx_minimal import read_workbook
+
+    bench = str(tmp_path / "bench_parquet")
+    spark.createDataFrame(
+        [("the quick brown fox jumps over the lazy dog",)], "text string"
+    ).write.parquet(bench)
+    out = str(tmp_path / "curated")
+    report = str(tmp_path / "report.xlsx")
+    rc = main(
+        [
+            "-d", "/root/testdata/sf0.001", "-o", out,
+            "--min-tokens", "5", "--max-dup-fraction", "0.9",
+            "--decontaminate", bench, "--report", report,
+        ]
+    )
+    assert rc == 0
+    curated = spark.read.parquet(out)
+    n_in = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").count()
+    n_out = curated.count()
+    assert 0 < n_out <= n_in
+    assert curated.selectExpr("min(size(split(trim(text), '\\\\s+')))").first()[0] >= 5
+    # exact dedup happened: normalized digests are unique
+    from pyspark.sql import functions as F
+
+    dg = curated.select(
+        F.md5(F.lower(F.regexp_replace(F.trim("text"), r"\s+", " "))).alias("d")
+    )
+    assert dg.distinct().count() == n_out
+    book = read_workbook(report)
+    assert set(book) == {"summary", "params"}
+    assert ["param", "value"] == book["params"][0]
