@@ -396,6 +396,73 @@ def _score_candidates(
     return cand.mapInPandas(score_batches, "id long, neighbor_id long, cos double")
 
 
+def has_near_duplicate(
+    df: DataFrame,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    smaller_id_only: bool = False,
+    q_blocks: int = 4,
+    c_blocks: int = 4,
+) -> DataFrame:
+    """Exact existence check with LINEAR output: (id, has_dup) — does any
+    other vector (optionally: any SMALLER-id vector, the semantic-dedup
+    drop rule) have cosine ≥ `threshold`?
+
+    Same 2-D blocked cogroup decomposition as `cosine_topk_blocked`
+    (numpy matmul per cell, no driver collect, bounded task memory), but
+    each cell emits one boolean per query and the final fold is a tiny
+    keyed OR — so the exact O(n²) similarity scan costs matmul speed and
+    produces n rows, not n² pairs.  This is the fast exact ground truth
+    for near-dup contracts (the HOF pair-join `embedding_near_dups` is
+    ~50× slower per pair and emits the quadratic pair list).
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    cgrid = spark.range(c_blocks).select(F.col("id").cast("int").alias("cblk"))
+    qgrid = spark.range(q_blocks).select(F.col("id").cast("int").alias("qblk"))
+    q = (
+        df.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+        .withColumn("qblk", F.pmod(F.xxhash64("qid"), F.lit(q_blocks)).cast("int"))
+        .crossJoin(F.broadcast(cgrid))
+    )
+    c = (
+        df.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+        .withColumn("cblk", F.pmod(F.xxhash64("cid"), F.lit(c_blocks)).cast("int"))
+        .crossJoin(F.broadcast(qgrid))
+    )
+    thr = float(threshold)
+    smaller = smaller_id_only
+
+    def local_any(qpdf: "pd.DataFrame", cpdf: "pd.DataFrame") -> "pd.DataFrame":
+        if not len(qpdf):
+            return pd.DataFrame({"id": [], "d": []})
+        qids = qpdf["qid"].to_numpy(np.int64)
+        if not len(cpdf):
+            return pd.DataFrame({"id": qids, "d": np.zeros(len(qids), dtype=bool)})
+        cids = cpdf["cid"].to_numpy(np.int64)
+        cmat = np.array(cpdf["cv"].tolist(), dtype=np.float64)
+        cnorms = np.maximum(np.linalg.norm(cmat, axis=1), 1e-12)
+        qmat = np.array(qpdf["qv"].tolist(), dtype=np.float64)
+        qnorms = np.maximum(np.linalg.norm(qmat, axis=1), 1e-12)
+        sims = (qmat @ cmat.T) / qnorms[:, None] / cnorms[None, :]
+        ok = sims >= thr
+        if smaller:
+            ok &= cids[None, :] < qids[:, None]
+        else:
+            ok &= cids[None, :] != qids[:, None]
+        return pd.DataFrame({"id": qids, "d": ok.any(axis=1)})
+
+    per_cell = (
+        q.groupBy("qblk", "cblk")
+        .cogroup(c.groupBy("qblk", "cblk"))
+        .applyInPandas(local_any, "id long, d boolean")
+    )
+    return per_cell.groupBy("id").agg(F.max("d").alias("has_dup"))
+
+
 def build_lsh_index(
     df: DataFrame,
     path: str,

@@ -1261,13 +1261,17 @@ def x_semdedup(spark, sf_dir):
     measured 0.95-0.98 at nprobe=4 across sf0.001-0.1).  The clustering
     is not SQL-portable; both properties ARE checkable cross-engine
     because the ground truth is the exact cosine join."""
+    from lwetl_spark.operators.similarity import has_near_duplicate
+
     emb = _t(spark, sf_dir, "embeddings")
     out = semantic_dedup(emb, threshold=0.4, nprobe=4)
     dropped = out.filter(~F.col("keep")).select("id").withColumn("_d", F.lit(1))
+    # exact ground truth via the blocked matmul existence check (linear
+    # output; the HOF pair-join was the quadratic slow path at sf≥0.1)
     droppable = (
-        embedding_near_dups(emb, threshold=0.4)
-        .select(F.col("id_b").alias("id"))
-        .distinct()
+        has_near_duplicate(emb, threshold=0.4, smaller_id_only=True)
+        .filter("has_dup")
+        .select("id")
         .withColumn("_g", F.lit(1))
     )
     stats = dropped.join(droppable, "id", "full_outer").agg(

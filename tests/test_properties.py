@@ -247,3 +247,29 @@ def test_lsh_index_build_then_query_matches_inline(spark, tmp_path):
     rows = sub.collect()
     assert {r["id"] for r in rows} <= ids
     assert all(r["rank"] <= 3 for r in rows)
+
+
+def test_has_near_duplicate_matches_pair_join(spark):
+    """Blocked existence check == the set derived from the exact pair
+    join, in both smaller-id and any-neighbor modes."""
+    from lwetl_spark.operators.dedup import embedding_near_dups
+    from lwetl_spark.operators.similarity import has_near_duplicate
+
+    emb = spark.read.parquet(SF_CORRECT + "/embeddings.parquet")
+    pairs = embedding_near_dups(emb, threshold=0.4).select("id_a", "id_b").collect()
+    by_smaller = {r["id_b"] for r in pairs}
+    any_side = {r["id_a"] for r in pairs} | by_smaller
+
+    got_smaller = {
+        r["id"]
+        for r in has_near_duplicate(emb, 0.4, smaller_id_only=True)
+        .filter("has_dup")
+        .collect()
+    }
+    got_any = {
+        r["id"] for r in has_near_duplicate(emb, 0.4).filter("has_dup").collect()
+    }
+    assert got_smaller == by_smaller
+    assert got_any == any_side
+    # one row per vector, linear output
+    assert has_near_duplicate(emb, 0.4).count() == emb.count()
