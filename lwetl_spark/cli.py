@@ -23,7 +23,7 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("command", nargs="?", help="SQL text, table name, 'list', or '-' for stdin")
     p.add_argument("-d", "--data-dir", default=None, help="parquet table directory (default $SPARK_GRAFT_SF_DIR)")
-    p.add_argument("-f", "--format", default="text", choices=["text", "csv", "xml", "sql", "xlsx"])
+    p.add_argument("-f", "--format", default="text", choices=["text", "csv", "xml", "xmlp", "sql", "xlsx"])
     p.add_argument("-o", "--output", help="output file (required for -f xlsx)")
     p.add_argument("-m", "--max-rows", type=int, default=1000, help="output row cap (reference -m)")
     p.add_argument("--sep", default=";", help="CSV separator (reference ; default)")
@@ -83,16 +83,14 @@ def main(argv: list[str] | None = None) -> int:
         )
         print(f"wrote {args.output}")
         return 0
-    if args.format == "xml" and len(stmts) > 1:
-        from lwetl_spark.sinks.formatter import to_xml_string_sheets
+    if args.format in ("xml", "xmlp") and len(stmts) > 1:
+        from lwetl_spark.sinks.formatter import _prettify, to_xml_string_sheets
 
-        print(
-            to_xml_string_sheets(
-                [(f"Sheet{i+1}", spark.sql(s)) for i, s in enumerate(stmts)],
-                max_rows=args.max_rows,
-            ),
-            end="",
+        doc = to_xml_string_sheets(
+            [(f"Sheet{i+1}", spark.sql(s)) for i, s in enumerate(stmts)],
+            max_rows=args.max_rows,
         )
+        print(_prettify(doc) if args.format == "xmlp" else doc, end="")
         return 0
     for stmt in stmts:
         df = spark.sql(stmt)
@@ -107,8 +105,13 @@ def main(argv: list[str] | None = None) -> int:
                 if i >= args.max_rows:
                     break
                 w.writerow(list(row))
-        elif args.format == "xml":
-            print(to_xml_string(df, max_rows=args.max_rows), end="")
+        elif args.format in ("xml", "xmlp"):
+            print(
+                to_xml_string(
+                    df, max_rows=args.max_rows, pretty=args.format == "xmlp"
+                ),
+                end="",
+            )
         elif args.format == "sql":
             for line in to_sql_inserts(df, args.table, max_rows=args.max_rows):
                 print(line)

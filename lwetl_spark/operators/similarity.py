@@ -696,6 +696,15 @@ def lsh_ann_topk(
     recall compound: ~0.7 recall@5 at (3 planes, 8 tables) on the test
     corpus vs ~0.2 for correlated sinusoidal planes.
 
+    SIZE `num_planes` TO THE CORPUS: a table has 2^num_planes buckets,
+    so expected bucket size is n/2^p and candidate volume is
+    ~n²·12/2^p — with planes FIXED, candidates grow quadratically no
+    matter how the data is distributed (measured: 16× corpus → 257×
+    candidate slots at p=4).  Keep per-bucket size roughly constant by
+    setting p ≈ log2(n / target_bucket_size) (e.g. p=16 for 10⁸ vectors
+    at ~1.5k/bucket), and raise `num_tables` to recover recall as the
+    per-table collision probability drops.
+
     Execution shape (measured 28.8s -> ~6s at sf0.1): all
     num_tables*num_planes projections per vector are one Arrow-batched
     numpy matmul (not interpreted per-element HOF folds); the self-join

@@ -53,6 +53,12 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")
+        # local mode: driver heap IS the executor heap; pyspark's 1g
+        # default chokes 32-thread Arrow workloads (only applies when
+        # this builder actually launches the JVM)
+        .config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+        )
     )
     if not os.environ.get("SPARK_MASTER") and "SPARK_GRAFT_NO_MASTER" not in os.environ:
         builder = builder.master(os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]"))

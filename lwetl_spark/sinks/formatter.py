@@ -96,22 +96,34 @@ def _xml_plain_rows(out: io.StringIO, df: DataFrame, dialect: str, row_tag: str,
         out.write(f"</{row_tag}>\n")
 
 
-def to_xml_string(df: DataFrame, dialect: str = "plain", root: str = "table", row_tag: str = "row", max_rows: int | None = None) -> str:
+def to_xml_string(df: DataFrame, dialect: str = "plain", root: str = "table", row_tag: str = "row", max_rows: int | None = None, pretty: bool = False) -> str:
     """XML sink (K3; lwetl/formatter.py:294-438), three dialects:
     - 'plain': <row><COL>value</COL>...</row>
     - 'value': <row><column name="COL">value</column>...</row>
     - 'excel': SpreadsheetML Workbook/Worksheet/Row/Cell
+    ``pretty`` re-indents the document (the reference's `xmlp` format /
+    pretty_print flag, formatter.py:330-356) — bounded report output
+    only, like every driver-side sink here.
     """
     out = io.StringIO()
     if dialect == "excel":
         out.write(_XML_EXCEL_HEADER)
         _xml_excel_worksheet(out, "Sheet1", df, max_rows)
         out.write("</Workbook>\n")
-        return out.getvalue()
+        return _prettify(out.getvalue()) if pretty else out.getvalue()
     out.write(f"<{root}>\n")
     _xml_plain_rows(out, df, dialect, row_tag, max_rows)
     out.write(f"</{root}>\n")
-    return out.getvalue()
+    return _prettify(out.getvalue()) if pretty else out.getvalue()
+
+
+def _prettify(xml_text: str) -> str:
+    """Re-indent an XML document (reference `xmlp`)."""
+    from xml.dom import minidom
+
+    pretty = minidom.parseString(xml_text).toprettyxml(indent="  ")
+    # drop blank lines minidom leaves behind for text-free nodes
+    return "\n".join(l for l in pretty.splitlines() if l.strip()) + "\n"
 
 
 def to_xml_string_sheets(

@@ -264,3 +264,26 @@ def test_cli_xlsx_multi_statement(spark, tmp_path):
     assert set(book) == {"Sheet1", "Sheet2"}
     assert [r[0] for r in book["Sheet1"][1:]] == [0, 1, 2, 3, 4]
     assert book["Sheet2"][1][0] == 25
+
+
+def test_xmlp_pretty_output(spark):
+    """Reference `xmlp` format: pretty-printed XML, same content."""
+    import xml.etree.ElementTree as ET
+
+    from lwetl_spark.sinks.formatter import to_xml_string
+
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "id int, v string")
+    plain = to_xml_string(df)
+    pretty = to_xml_string(df, pretty=True)
+    assert pretty != plain and pretty.count("\n") > plain.count("\n")
+    # semantically identical documents
+    def norm(t):
+        root = ET.fromstring(t)
+        for el in root.iter():
+            if el.text is not None and not el.text.strip():
+                el.text = None
+            if el.tail is not None and not el.tail.strip():
+                el.tail = None
+        return ET.tostring(root)
+
+    assert norm(pretty) == norm(plain)

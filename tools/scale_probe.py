@@ -138,7 +138,96 @@ def main() -> None:
                 )
             )
 
+    # round-2 ops over scaled embeddings: copies get rotated vectors
+    # (norm-preserving, decorrelates neighbors) and shifted ids
+    def scaled_embeddings(scale: int):
+        from lwetl_spark.catalog import load_table
+
+        base = load_table(spark, sf_dir, "embeddings")
+        n = base.count()
+        parts = []
+        for i in range(scale):
+            rot = (i * 7) % 64
+            parts.append(
+                base.select(
+                    (F.col("vec_id") + i * 10_000_000).alias("vec_id"),
+                    F.expr(
+                        f"concat(slice(embedding, {rot + 1}, {64 - rot}),"
+                        f" slice(embedding, 1, {rot}))"
+                    ).alias("embedding"),
+                )
+            )
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        return df, n * scale
+
+    from lwetl_spark.operators.similarity import (
+        cosine_topk_blocked,
+        has_near_duplicate,
+        lsh_ann_topk,
+        semantic_dedup,
+    )
+
+    import math
+
+    # LSH planes and k-means cells must grow with the corpus so buckets /
+    # cells keep constant size (see lsh_ann_topk docstring: fixed planes
+    # -> quadratic candidates); blocks likewise keep per-task memory flat
+    emb_ops = {
+        "ann_lsh_join": (
+            lambda d, s: lsh_ann_topk(
+                d, k=5, num_planes=4 + int(math.log2(s)), num_tables=12
+            ).count(),
+            (1, 4, 16),
+        ),
+        "semantic_dedup": (
+            lambda d, s: semantic_dedup(
+                d, threshold=0.4, nprobe=2, num_centroids=16 * s
+            ).count(),
+            (1, 4, 16),
+        ),
+        "has_near_dup_exact": (
+            lambda d, s: has_near_duplicate(
+                d, 0.4, q_blocks=4 * s, c_blocks=4
+            ).count(),
+            (1, 4, 16),
+        ),
+        # inherently O(n^2): probe 1x/4x only, expect ~16x time at 4x
+        "exact_topk_blocked": (
+            lambda d, s: cosine_topk_blocked(
+                d, k=5, q_blocks=4 * s, c_blocks=4
+            ).count(),
+            (1, 4),
+        ),
+    }
+    for op_name, (fn, scales) in emb_ops.items():
+        for scale in scales:
+            df, n_vecs = scaled_embeddings(scale)
+            df = df.persist()
+            df.count()
+            t0 = time.time()
+            fn(df, scale)
+            dt = time.time() - t0
+            df.unpersist()
+            spark.catalog.clearCache()
+            print(
+                json.dumps(
+                    {
+                        "op": op_name,
+                        "scale": scale,
+                        "vecs": n_vecs,
+                        "sec": round(dt, 2),
+                        "vecs_per_sec": int(n_vecs / dt),
+                    }
+                ),
+                flush=True,
+            )
+
     ops = {
+        "dup_spans": lambda d: __import__(
+            "lwetl_spark.operators.dedup", fromlist=["duplicate_spans"]
+        ).duplicate_spans(d).count(),
         "dedup_clusters": _cluster_probe,
         "exact_dedup": lambda d: exact_dedup_normalized(d).count(),
         "minhash_lsh": lambda d: minhash_lsh_pairs(d, threshold=0.5).count(),
