@@ -684,7 +684,7 @@ def lsh_ann_topk(
     num_planes: int = 4,
     num_tables: int = 12,
     dim: int = 64,
-    score: str = "join",
+    score: str = "bucket",
 ) -> DataFrame:
     """Approximate top-k via random-hyperplane LSH.
 
@@ -709,23 +709,105 @@ def lsh_ann_topk(
     num_tables*num_planes projections per vector are one Arrow-batched
     numpy matmul (not interpreted per-element HOF folds); the self-join
     and pair-dedup carry BARE (id, neighbor) longs — vectors never ride
-    the candidate shuffle; `_score_candidates` re-joins vectors by key
-    ('join', the default and the beyond-broadcast path — AQE broadcasts
-    the vector side when small) or looks them up in a driver-collected
-    broadcast matrix ('broadcast', opt-in).
+    the candidate shuffle.  Scoring paths, all value-identical:
+    'bucket' (DEFAULT — the 100 TB path): vectors shuffle once per
+    table replication and every (table, bucket) group matmuls locally,
+    emitting bare scored pairs — no driver collect, no per-pair vector
+    shuffle (measured 153.9s→26.6s at 32k vectors vs 'join');
+    'join': candidate pairs re-join vectors by key (collect-free but
+    ships both vectors per pair); 'broadcast' (opt-in): driver-collected
+    id-sorted matrix, valid to ~10M×64d.
     """
-    bucketed = _lsh_bucketize(df, vec_col, id_col, num_planes, num_tables, dim)
-    a, b = bucketed.alias("a"), bucketed.alias("b")
-    cand = (
-        a.join(b, ["table_idx", "bucket"])
-        .filter(F.col("a.id") != F.col("b.id"))
-        .select(F.col("a.id").alias("id"), F.col("b.id").alias("neighbor_id"))
-        .dropDuplicates(["id", "neighbor_id"])
-    )
-    scored = _score_candidates(df, cand, vec_col, id_col, score)
+    if score == "bucket":
+        scored = _lsh_bucket_scored(df, vec_col, id_col, num_planes, num_tables, dim)
+    else:
+        bucketed = _lsh_bucketize(df, vec_col, id_col, num_planes, num_tables, dim)
+        a, b = bucketed.alias("a"), bucketed.alias("b")
+        cand = (
+            a.join(b, ["table_idx", "bucket"])
+            .filter(F.col("a.id") != F.col("b.id"))
+            .select(F.col("a.id").alias("id"), F.col("b.id").alias("neighbor_id"))
+            .dropDuplicates(["id", "neighbor_id"])
+        )
+        scored = _score_candidates(df, cand, vec_col, id_col, score)
     w = Window.partitionBy("id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("id", "neighbor_id", "cos", "rank")
+    )
+
+
+def _lsh_bucket_scored(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    num_planes: int,
+    num_tables: int,
+    dim: int,
+) -> DataFrame:
+    """Bucket-local exact scoring: vectors ride the shuffle ONCE per
+    (table) replication — n·num_tables vector rows — and each
+    (table, bucket) group matmuls its members locally, emitting only
+    bare (id, neighbor_id, cos) pairs.  Versus the candidate-pair
+    re-join ('join' scorer) this removes the per-PAIR vector shuffle
+    (~40× less shuffled bytes when candidates/query ≈ 10³), which the
+    scale probe showed dominating at 32k vectors.  Output pairs dedup
+    by key (every table that co-buckets a pair computes the same cos).
+    """
+    import numpy as np
+    import pandas as pd
+
+    rs = np.random.RandomState(42)
+    planes = rs.standard_normal((num_tables, num_planes, dim))
+    spark = df.sparkSession
+    b_planes = spark.sparkContext.broadcast(planes.reshape(num_tables * num_planes, dim))
+    n_tables, n_planes = num_tables, num_planes
+    vc, ic = vec_col, id_col
+
+    def bucketize_v(it):
+        import numpy as np
+        import pandas as pd
+
+        P = b_planes.value
+        pow2 = 1 << np.arange(n_planes)
+        for pdf in it:
+            if not len(pdf):
+                continue
+            mat = np.array(pdf[vc].tolist(), dtype=np.float64)
+            proj = mat @ P.T
+            bits = (proj >= 0).reshape(len(pdf), n_tables, n_planes)
+            buckets = (bits * pow2).sum(axis=2).astype(np.int32)
+            yield pd.DataFrame(
+                {
+                    "id": np.repeat(pdf[ic].to_numpy(np.int64), n_tables),
+                    "v": np.repeat(pdf[vc].to_numpy(), n_tables),
+                    "table_idx": np.tile(np.arange(n_tables, dtype=np.int32), len(pdf)),
+                    "bucket": buckets.ravel(),
+                }
+            )
+
+    bucketed = df.select(ic, vc).mapInPandas(
+        bucketize_v, "id long, v array<double>, table_idx int, bucket int"
+    )
+
+    def score_bucket(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame({"id": [], "neighbor_id": [], "cos": []})
+        ids = pdf["id"].to_numpy(np.int64)
+        mat = np.array(pdf["v"].tolist(), dtype=np.float64)
+        norms = np.maximum(np.linalg.norm(mat, axis=1), 1e-12)
+        sims = (mat @ mat.T) / norms[:, None] / norms[None, :]
+        # HALF_UP like F.round (np.round is banker's)
+        sims = np.floor(sims * 1e6 + 0.5) / 1e6
+        qi, ci = np.nonzero(~np.eye(m, dtype=bool))
+        return pd.DataFrame(
+            {"id": ids[qi], "neighbor_id": ids[ci], "cos": sims[qi, ci]}
+        )
+
+    return (
+        bucketed.groupBy("table_idx", "bucket")
+        .applyInPandas(score_bucket, "id long, neighbor_id long, cos double")
+        .dropDuplicates(["id", "neighbor_id"])
     )

@@ -591,10 +591,16 @@ def x_lsh_index_roundtrip(spark, sf_dir):
     build_lsh_index(emb, path)
     idx = query_lsh_index(spark, path, emb, k=5)
     inline = lsh_ann_topk(emb, k=5)
-    # symmetric difference empty AND per-query coverage == corpus size
-    diff_a = idx.exceptAll(inline)
-    diff_b = inline.exceptAll(idx)
-    mismatches = diff_a.union(diff_b).count()
+    # multiset equality via per-row counts (exceptAll trips a Spark 4.1
+    # attribute-binding bug on these shared-lineage pandas plans)
+    cols = ["id", "neighbor_id", "cos", "rank"]
+    a = idx.groupBy(*cols).agg(F.count("*").alias("_ca"))
+    b = inline.groupBy(*cols).agg(F.count("*").alias("_cb"))
+    mismatches = (
+        a.join(b, cols, "full_outer")
+        .filter("_ca IS NULL OR _cb IS NULL OR _ca <> _cb")
+        .count()
+    )
     n_queries = emb.count()
     return spark.createDataFrame(
         [(n_queries, mismatches == 0)], "n_queries long, index_matches_inline boolean"
