@@ -252,7 +252,7 @@ def ivf_topk(
     nprobe: int = 6,
     train_sample: int = 10_000,
     iters: int = 8,
-    score: str = "join",
+    score: str = "cell",
 ) -> DataFrame:
     """Approximate top-k via IVF (inverted-file) cells.
 
@@ -263,13 +263,25 @@ def ivf_topk(
     each query probes its `nprobe` nearest cells; exact cosine re-rank
     runs inside the probed cells only, so compute per query is
     |corpus|·nprobe/num_centroids pairs instead of |corpus|.
+
+    Scoring paths (value-identical): 'cell' (DEFAULT — the 100 TB
+    path): queries cogroup with each probed cell's members and the
+    matmul runs cell-locally, emitting bare scored pairs — vectors
+    shuffle once per probe replication, never per candidate pair (the
+    same shape as lsh_ann_topk's 'bucket' scorer); 'join' re-joins
+    vectors per candidate pair; 'broadcast' is the opt-in
+    driver-matrix path.  Each data vector lives in exactly ONE cell, so
+    'cell' needs no pair dedup.
     """
+    import numpy as np
+    import pandas as pd
+
     C = _train_spherical_kmeans(df, vec_col, id_col, num_centroids, train_sample, iters)
     spark = df.sparkSession
     b_C = spark.sparkContext.broadcast(C)
     n_cells = len(C)
 
-    def assign_cells(probe_n):
+    def assign_cells(probe_n, carry_v=False):
         def gen(it):
             import numpy as np  # noqa: F811 — pickled by value for workers
             import pandas as pd
@@ -280,29 +292,75 @@ def ivf_topk(
                 vn = v / np.maximum(np.linalg.norm(v, axis=1), 1e-12)[:, None]
                 sims = vn @ cents.T
                 top = np.argsort(-sims, axis=1, kind="stable")[:, :probe_n]
-                m = len(pdf)
-                yield pd.DataFrame(
-                    {
-                        "id": np.repeat(pdf["id"].to_numpy(), probe_n),
-                        "cell": top.ravel().astype("int32"),
-                    }
-                )
+                cols = {
+                    "id": np.repeat(pdf["id"].to_numpy(), probe_n),
+                    "cell": top.ravel().astype("int32"),
+                }
+                if carry_v:
+                    cols["v"] = np.repeat(pdf["v"].to_numpy(), probe_n)
+                yield pd.DataFrame(cols)
 
         return gen
 
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    data_cells = base.mapInPandas(assign_cells(1), schema="id long, cell int")
-    probe_cells = base.mapInPandas(
-        assign_cells(min(nprobe, n_cells)), schema="id long, cell int"
-    )
-    cand = (
-        probe_cells.alias("q")
-        .join(data_cells.alias("d"), "cell")
-        .select(F.col("q.id").alias("id"), F.col("d.id").alias("neighbor_id"))
-        .filter(F.col("id") != F.col("neighbor_id"))
-        .dropDuplicates(["id", "neighbor_id"])
-    )
-    scored = _score_candidates(df, cand, vec_col, id_col, score)
+    probe_n = min(nprobe, n_cells)
+    if score == "cell":
+        data_v = base.mapInPandas(
+            assign_cells(1, carry_v=True), "id long, cell int, v array<double>"
+        )
+        probe_v = base.mapInPandas(
+            assign_cells(probe_n, carry_v=True), "id long, cell int, v array<double>"
+        )
+        kk_target = k
+
+        def cell_topk(qpdf: "pd.DataFrame", dpdf: "pd.DataFrame") -> "pd.DataFrame":
+            empty = pd.DataFrame({"id": [], "neighbor_id": [], "cos": []})
+            if not len(qpdf) or not len(dpdf):
+                return empty
+            dids = dpdf["id"].to_numpy(np.int64)
+            order = np.argsort(dids, kind="stable")  # position order == id order
+            dids = dids[order]
+            dmat = np.array(dpdf["v"].tolist(), dtype=np.float64)[order]
+            dnorms = np.maximum(np.linalg.norm(dmat, axis=1), 1e-12)
+            qids = qpdf["id"].to_numpy(np.int64)
+            qmat = np.array(qpdf["v"].tolist(), dtype=np.float64)
+            qnorms = np.maximum(np.linalg.norm(qmat, axis=1), 1e-12)
+            sims = (qmat @ dmat.T) / qnorms[:, None] / dnorms[None, :]
+            # HALF_UP like F.round, matching the other scorers
+            sims = np.floor(sims * 1e6 + 0.5) / 1e6
+            n = len(dids)
+            keys = (-np.rint(sims * 1e6).astype(np.int64)) * n + np.arange(n)[None, :]
+            kk = min(kk_target + 1, n)  # +1 headroom for the self row
+            part = np.argpartition(keys, kk - 1, axis=1)[:, :kk]
+            part_keys = np.take_along_axis(keys, part, axis=1)
+            topk = np.take_along_axis(part, np.argsort(part_keys, axis=1), axis=1)
+            out = pd.DataFrame(
+                {
+                    "id": np.repeat(qids, kk),
+                    "neighbor_id": dids[topk].ravel(),
+                    "cos": np.take_along_axis(sims, topk, axis=1).ravel(),
+                }
+            )
+            return out[out["id"] != out["neighbor_id"]]
+
+        scored = (
+            probe_v.groupBy("cell")
+            .cogroup(data_v.groupBy("cell"))
+            .applyInPandas(cell_topk, "id long, neighbor_id long, cos double")
+        )
+    else:
+        data_cells = base.mapInPandas(assign_cells(1), schema="id long, cell int")
+        probe_cells = base.mapInPandas(
+            assign_cells(probe_n), schema="id long, cell int"
+        )
+        cand = (
+            probe_cells.alias("q")
+            .join(data_cells.alias("d"), "cell")
+            .select(F.col("q.id").alias("id"), F.col("d.id").alias("neighbor_id"))
+            .filter(F.col("id") != F.col("neighbor_id"))
+            .dropDuplicates(["id", "neighbor_id"])
+        )
+        scored = _score_candidates(df, cand, vec_col, id_col, score)
     w = Window.partitionBy("id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
