@@ -717,9 +717,10 @@ def bloom_pruned_join(
     spark.sql.optimizer.runtime.bloomFilter.enabled) injects the same
     idea automatically for one-shot plans; the explicit operator exists
     for when the pruned stream feeds MULTIPLE downstream stages (reuse
-    the filtered scan), for derived join keys AQE's creation-side
-    heuristics skip, and for engine-portable determinism (md5 position
-    family, same as `bloom_filter_dedup`).
+    the filtered scan) and for derived join keys AQE's creation-side
+    heuristics skip.  Positions use seeded xxhash64 (pure JVM long math —
+    see inline note); the final join OUTPUT, not the filter positions, is
+    what stays engine-checkable.
 
     `how` must be 'inner' or a semi variant — pruning the left side of
     an outer join would drop rows the join must keep.

@@ -85,9 +85,13 @@ def cosine_topk_pandas(
             qn = np.linalg.norm(q, axis=1)
             qn[qn == 0] = 1.0
             sims = (q @ cmat.T) / qn[:, None] / cnorms[None, :]
+            # HALF_UP like F.round (np.round is banker's) — all exact paths
+            # agree bit-for-bit at 6-dp boundaries
+            sims = np.floor(sims * 1e6 + 0.5) / 1e6
             # fully vectorized deterministic top-k: one int64 sort key per
             # pair = (-cos rounded to 6dp, candidate position).  Candidates
-            # are pre-sorted by id, so position order IS id order.
+            # are pre-sorted by id, so position order IS id order.  sims is
+            # already 6-dp-integral so rint is exact here.
             keys = (-np.rint(sims * 1e6).astype(np.int64)) * n + np.arange(n)[None, :]
             self_pos = np.searchsorted(cids, qids)
             is_self = (self_pos < n) & (cids[np.minimum(self_pos, n - 1)] == qids)
@@ -101,9 +105,7 @@ def cosine_topk_pandas(
                 {
                     "id": np.repeat(qids, kk),
                     "neighbor_id": cids[topk].ravel(),
-                    "cos": np.round(
-                        np.take_along_axis(sims, topk, axis=1).ravel(), 6
-                    ),
+                    "cos": np.take_along_axis(sims, topk, axis=1).ravel(),
                     "rank": np.tile(np.arange(1, kk + 1), m),
                 }
             )
@@ -170,8 +172,12 @@ def cosine_topk_blocked(
         qnorms = np.linalg.norm(qmat, axis=1)
         qnorms[qnorms == 0] = 1.0
         sims = (qmat @ cmat.T) / qnorms[:, None] / cnorms[None, :]
+        # HALF_UP like F.round (np.round is banker's) — matches
+        # cosine_topk/cosine_topk_pandas and the cell/bucket/join scorers
+        sims = np.floor(sims * 1e6 + 0.5) / 1e6
         n = len(cids)
-        # same deterministic sort key as cosine_topk_pandas
+        # same deterministic sort key as cosine_topk_pandas (sims is
+        # 6-dp-integral here, so rint is exact)
         keys = (-np.rint(sims * 1e6).astype(np.int64)) * n + np.arange(n)[None, :]
         kk = min(k + 1, n)  # +1 headroom for the self row; global window trims
         part = np.argpartition(keys, kk - 1, axis=1)[:, :kk]
@@ -182,7 +188,7 @@ def cosine_topk_blocked(
             {
                 "id": np.repeat(qids, kk),
                 "neighbor_id": cids[topk].ravel(),
-                "cos": np.round(np.take_along_axis(sims, topk, axis=1).ravel(), 6),
+                "cos": np.take_along_axis(sims, topk, axis=1).ravel(),
             }
         )
         return out[out["id"] != out["neighbor_id"]]
@@ -810,8 +816,12 @@ def _lsh_bucket_scored(
     bare (id, neighbor_id, cos) pairs.  Versus the candidate-pair
     re-join ('join' scorer) this removes the per-PAIR vector shuffle
     (~40× less shuffled bytes when candidates/query ≈ 10³), which the
-    scale probe showed dominating at 32k vectors.  Output pairs dedup
-    by key (every table that co-buckets a pair computes the same cos).
+    scale probe showed dominating at 32k vectors.  A pair co-bucketed by
+    several tables is scored once per table; the duplicates collapse via
+    MIN(cos) — a deterministic pick even if BLAS gemm accumulation order
+    diverges by an ulp across group shapes at a 6-dp rounding boundary
+    (dropDuplicates kept an arbitrary copy, which could break the
+    x_lsh_index_roundtrip equality contract).
     """
     import numpy as np
     import pandas as pd
@@ -867,5 +877,6 @@ def _lsh_bucket_scored(
     return (
         bucketed.groupBy("table_idx", "bucket")
         .applyInPandas(score_bucket, "id long, neighbor_id long, cos double")
-        .dropDuplicates(["id", "neighbor_id"])
+        .groupBy("id", "neighbor_id")
+        .agg(F.min("cos").alias("cos"))
     )

@@ -64,6 +64,15 @@ def _cell_xml(ref: str, v: object) -> str:
     if isinstance(v, bool):
         return f'<c r="{ref}" t="b"><v>{1 if v else 0}</v></c>'
     if isinstance(v, (int, float)):
+        # NaN/inf are not valid numeric cell content (<v>nan</v> renders
+        # inconsistently across readers) — emit them as inline strings,
+        # which is what openpyxl does for inf and Excel shows verbatim
+        if isinstance(v, float) and (v != v or v in (float("inf"), float("-inf"))):
+            s = "NaN" if v != v else ("inf" if v > 0 else "-inf")
+            return (
+                f'<c r="{ref}" t="inlineStr"><is>'
+                f'<t xml:space="preserve">{s}</t></is></c>'
+            )
         return f'<c r="{ref}" t="n"><v>{v!r}</v></c>'
     if isinstance(v, datetime.datetime):
         s = v.isoformat(sep=" ")
@@ -171,6 +180,11 @@ def read_workbook(path: str) -> dict[str, list[list[object]]]:
         for sheet in wb.iter(f"{{{_NS}}}sheet"):
             name = sheet.get("name")
             target = rel_target.get(sheet.get(f"{{{_NS_REL}}}id"))
+            if target is None:
+                raise ValueError(
+                    f"workbook sheet {name!r} has no worksheet relationship "
+                    "(missing or mismatched r:id in xl/_rels/workbook.xml.rels)"
+                )
             target = target if target.startswith("xl/") else f"xl/{target}"
             ws = ET.fromstring(z.read(target))
             rows: list[list[object]] = []

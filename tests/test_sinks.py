@@ -210,6 +210,50 @@ def test_xlsx_multi_sheet_roundtrip(spark, tmp_path):
     assert book["Sheet2"][1] == [9.5]
 
 
+def test_xlsx_nan_inf_cells_roundtrip(tmp_path):
+    """NaN/inf are not valid t="n" numeric cells (ADVICE r2) — they are
+    written as inline strings and read back as such, never as a bogus
+    float("nan") that silently propagates."""
+    from lwetl_spark.sinks.xlsx_minimal import read_workbook, write_workbook
+
+    path = str(tmp_path / "nan.xlsx")
+    write_workbook(
+        [("S", ["a", "b"], [(float("nan"), 1.5), (float("inf"), float("-inf"))])],
+        path,
+    )
+    book = read_workbook(path)
+    assert book["S"][1] == ["NaN", 1.5]
+    assert book["S"][2] == ["inf", "-inf"]
+    # the xml itself must not contain numeric nan/inf cells
+    import zipfile
+
+    with zipfile.ZipFile(path) as z:
+        xml = z.read("xl/worksheets/sheet1.xml").decode()
+    assert "<v>nan</v>" not in xml and "<v>inf</v>" not in xml
+
+
+def test_xlsx_missing_sheet_relationship_raises(tmp_path):
+    """A workbook whose sheet r:id has no matching relationship must fail
+    with a clear error, not a NoneType dereference (ADVICE r2)."""
+    import zipfile
+
+    import pytest as _pytest
+
+    from lwetl_spark.sinks.xlsx_minimal import read_workbook, write_workbook
+
+    src = str(tmp_path / "ok.xlsx")
+    write_workbook([("S", ["a"], [(1,)])], src)
+    broken = str(tmp_path / "broken.xlsx")
+    with zipfile.ZipFile(src) as zin, zipfile.ZipFile(broken, "w") as zout:
+        for item in zin.namelist():
+            data = zin.read(item)
+            if item == "xl/_rels/workbook.xml.rels":
+                data = data.replace(b'Id="rIdS1"', b'Id="rIdWRONG"')
+            zout.writestr(item, data)
+    with _pytest.raises(ValueError, match="no worksheet relationship"):
+        read_workbook(broken)
+
+
 def test_xml_multi_sheet_excel_and_plain(spark):
     """Multi-result XML: excel dialect = one Workbook with N Worksheets;
     plain dialect = <document> with N named <table> blocks.  Single-sheet

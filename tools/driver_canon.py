@@ -1,0 +1,58 @@
+"""The driver's result canonicalizer, replicated for the local gate.
+
+The real spark-graft driver canonicalizes each query result through
+pandas before hashing: build a DataFrame, order columns by name, then
+`sort_values` over every column.  Two output shapes that plain Python
+tuples tolerate are hard FAILURES on that path (both shipped as r02
+`err` rows):
+
+- array/map/struct-valued cells — `sort_values` -> `factorize` raises
+  ``TypeError: unhashable type: 'list'``;
+- timestamps outside pandas' datetime64[ns] range (1677-09-21 ..
+  2262-04-11) — coercion raises ``OutOfBoundsDatetime``.
+
+`tools/driver_sim.py` and `tests/test_driver_contract.py` both import
+this module so the local gate is exactly as strict as the driver.
+"""
+from __future__ import annotations
+
+import datetime
+
+import pandas as pd
+
+
+def canon(rows, cols):
+    """Canonicalize collected rows the way the driver does.
+
+    Raises exactly where the driver raises: list/dict cells fail inside
+    `sort_values`, out-of-ns-range datetimes fail in `pd.to_datetime`
+    (the driver's canon performs the equivalent datetime coercion)."""
+    df = pd.DataFrame.from_records(rows, columns=cols)
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            sample = next((v for v in df[c] if v is not None), None)
+            if isinstance(sample, (datetime.datetime, datetime.date)):
+                df[c] = pd.to_datetime(df[c])  # raises OutOfBoundsDatetime
+    if len(df):
+        df = df.sort_values(by=list(df.columns), kind="mergesort")
+    return df.reset_index(drop=True)
+
+
+def records(df: pd.DataFrame) -> list[tuple]:
+    """Canonical frame -> comparable tuples: NaN/NaT (the pandas image of
+    SQL NULL) map to None so both engines' NULLs compare equal, floats
+    normalize -0.0, Timestamps come back as stdlib datetimes."""
+    out = []
+    for row in df.itertuples(index=False):
+        rec = []
+        for v in row:
+            if v is pd.NaT:
+                v = None
+            elif isinstance(v, float):
+                v = None if v != v else v + 0.0
+            elif isinstance(v, pd.Timestamp):
+                v = v.to_pydatetime()
+            rec.append(v)
+        out.append(tuple(rec))
+    return out
