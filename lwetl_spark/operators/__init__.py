@@ -7,10 +7,15 @@ from lwetl_spark.operators.dedup import (
     embedding_near_dups,
 )
 from lwetl_spark.operators.similarity import (
+    build_ivf_index,
+    build_lsh_index,
     cosine_topk,
     cosine_topk_blocked,
     cosine_topk_pandas,
+    ivf_topk,
     lsh_ann_topk,
+    query_ivf_index,
+    query_lsh_index,
     semantic_dedup,
 )
 from lwetl_spark.operators.windows import tumbling_agg, sessionize
@@ -28,6 +33,11 @@ __all__ = [
     "cosine_topk_pandas",
     "semantic_dedup",
     "lsh_ann_topk",
+    "ivf_topk",
+    "build_lsh_index",
+    "query_lsh_index",
+    "build_ivf_index",
+    "query_ivf_index",
     "tumbling_agg",
     "sessionize",
     "column_cardinality",

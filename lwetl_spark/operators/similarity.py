@@ -3,6 +3,8 @@
 - `cosine_topk`: brute-force exact top-k — the correctness baseline.
   Join is broadcast (candidate set ships once per executor); per-pair
   cosine is a JVM-side fold; ranking is one window per query id.
+  Corpora above `max_broadcast_rows` auto-route to the blocked path —
+  the broadcast form is an explicit opt-in, never a scale default.
 - `cosine_topk_pandas`: same semantics, Arrow-batched numpy matmul —
   the fast path when candidates fit in memory (they ship as a plain
   broadcast variable).  ~50× less per-pair overhead than HOF eval.
@@ -29,12 +31,28 @@ def cosine_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     queries: DataFrame | None = None,
+    max_broadcast_rows: int | None = 100_000,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for every row (excluding self).
 
     Returns (id, neighbor_id, cos, rank), rank 1..k, ties broken by
     neighbor id ascending for determinism.
+
+    Auto-routing (VERDICT r2 #4): the pure-expression form broadcasts the
+    whole candidate set to every executor — fine for dimension-sized
+    corpora, an executor-OOM footgun at corpus scale (Catalyst
+    UNDERESTIMATES array-column sizes, so it happily builds the
+    broadcast).  With no separate `queries` frame, a corpus larger than
+    `max_broadcast_rows` therefore routes to `cosine_topk_blocked`
+    (identical output contract, no broadcast, bounded task memory).  The
+    size probe is `limit(n+1).count()` — bounded work even on a 100 TB
+    scan, unlike a full count.  Pass `max_broadcast_rows=None` to opt in
+    to the broadcast form unconditionally (e.g. a corpus known small
+    against a separate query set).
     """
+    if queries is None and max_broadcast_rows is not None:
+        if df.limit(max_broadcast_rows + 1).count() > max_broadcast_rows:
+            return cosine_topk_blocked(df, k=k, vec_col=vec_col, id_col=id_col)
     q = (queries or df).select(F.col(id_col).alias("id"), F.col(vec_col).alias("qv"))
     c = df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
     scored = (
@@ -288,25 +306,7 @@ def ivf_topk(
     n_cells = len(C)
 
     def assign_cells(probe_n, carry_v=False):
-        def gen(it):
-            import numpy as np  # noqa: F811 — pickled by value for workers
-            import pandas as pd
-
-            cents = b_C.value
-            for pdf in it:
-                v = np.array(list(pdf["v"]), dtype=np.float64)
-                vn = v / np.maximum(np.linalg.norm(v, axis=1), 1e-12)[:, None]
-                sims = vn @ cents.T
-                top = np.argsort(-sims, axis=1, kind="stable")[:, :probe_n]
-                cols = {
-                    "id": np.repeat(pdf["id"].to_numpy(), probe_n),
-                    "cell": top.ravel().astype("int32"),
-                }
-                if carry_v:
-                    cols["v"] = np.repeat(pdf["v"].to_numpy(), probe_n)
-                yield pd.DataFrame(cols)
-
-        return gen
+        return _make_assign_cells(b_C, probe_n, carry_v)
 
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     probe_n = min(nprobe, n_cells)
@@ -317,42 +317,10 @@ def ivf_topk(
         probe_v = base.mapInPandas(
             assign_cells(probe_n, carry_v=True), "id long, cell int, v array<double>"
         )
-        kk_target = k
-
-        def cell_topk(qpdf: "pd.DataFrame", dpdf: "pd.DataFrame") -> "pd.DataFrame":
-            empty = pd.DataFrame({"id": [], "neighbor_id": [], "cos": []})
-            if not len(qpdf) or not len(dpdf):
-                return empty
-            dids = dpdf["id"].to_numpy(np.int64)
-            order = np.argsort(dids, kind="stable")  # position order == id order
-            dids = dids[order]
-            dmat = np.array(dpdf["v"].tolist(), dtype=np.float64)[order]
-            dnorms = np.maximum(np.linalg.norm(dmat, axis=1), 1e-12)
-            qids = qpdf["id"].to_numpy(np.int64)
-            qmat = np.array(qpdf["v"].tolist(), dtype=np.float64)
-            qnorms = np.maximum(np.linalg.norm(qmat, axis=1), 1e-12)
-            sims = (qmat @ dmat.T) / qnorms[:, None] / dnorms[None, :]
-            # HALF_UP like F.round, matching the other scorers
-            sims = np.floor(sims * 1e6 + 0.5) / 1e6
-            n = len(dids)
-            keys = (-np.rint(sims * 1e6).astype(np.int64)) * n + np.arange(n)[None, :]
-            kk = min(kk_target + 1, n)  # +1 headroom for the self row
-            part = np.argpartition(keys, kk - 1, axis=1)[:, :kk]
-            part_keys = np.take_along_axis(keys, part, axis=1)
-            topk = np.take_along_axis(part, np.argsort(part_keys, axis=1), axis=1)
-            out = pd.DataFrame(
-                {
-                    "id": np.repeat(qids, kk),
-                    "neighbor_id": dids[topk].ravel(),
-                    "cos": np.take_along_axis(sims, topk, axis=1).ravel(),
-                }
-            )
-            return out[out["id"] != out["neighbor_id"]]
-
         scored = (
             probe_v.groupBy("cell")
             .cogroup(data_v.groupBy("cell"))
-            .applyInPandas(cell_topk, "id long, neighbor_id long, cos double")
+            .applyInPandas(_make_cell_topk(k), "id long, neighbor_id long, cos double")
         )
     else:
         data_cells = base.mapInPandas(assign_cells(1), schema="id long, cell int")
@@ -373,6 +341,82 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("id", "neighbor_id", "cos", "rank")
     )
+
+
+def _make_assign_cells(b_C, probe_n: int, carry_v: bool = False):
+    """mapInPandas generator assigning each (id, v) row to its `probe_n`
+    nearest k-means cells (cosine on normalized vectors = dot with the
+    broadcast centroid matrix).  Shared by `ivf_topk`, `build_ivf_index`
+    and `query_ivf_index` so build-time and query-time assignments are
+    bit-identical.  Closure captures the centroid broadcast + ints only —
+    pickled by value for driver-owned sessions."""
+
+    def gen(it):
+        import numpy as np  # noqa: F811 — pickled by value for workers
+        import pandas as pd
+
+        cents = b_C.value
+        for pdf in it:
+            if not len(pdf):
+                continue
+            v = np.array(list(pdf["v"]), dtype=np.float64)
+            vn = v / np.maximum(np.linalg.norm(v, axis=1), 1e-12)[:, None]
+            sims = vn @ cents.T
+            top = np.argsort(-sims, axis=1, kind="stable")[:, :probe_n]
+            cols = {
+                "id": np.repeat(pdf["id"].to_numpy(), probe_n),
+                "cell": top.ravel().astype("int32"),
+            }
+            if carry_v:
+                cols["v"] = np.repeat(pdf["v"].to_numpy(), probe_n)
+            yield pd.DataFrame(cols)
+
+    return gen
+
+
+def _make_cell_topk(kk_target: int):
+    """Cell-local exact top-k scorer shared by `ivf_topk` (inline) and
+    `query_ivf_index` (persisted index) — both paths must produce
+    bit-identical (id, neighbor_id, cos) rows for the
+    x_ivf_index_roundtrip equality contract.  Cogroup callback: queries
+    probing a cell × that cell's members, one numpy matmul, HALF_UP 6-dp
+    rounding, per-query local top-(k+1) (+1 headroom for the self row;
+    the global window trims).  Closure captures only ints + module
+    references, so cloudpickle ships it by value."""
+    import numpy as np
+    import pandas as pd
+
+    def cell_topk(qpdf: "pd.DataFrame", dpdf: "pd.DataFrame") -> "pd.DataFrame":
+        empty = pd.DataFrame({"id": [], "neighbor_id": [], "cos": []})
+        if not len(qpdf) or not len(dpdf):
+            return empty
+        dids = dpdf["id"].to_numpy(np.int64)
+        order = np.argsort(dids, kind="stable")  # position order == id order
+        dids = dids[order]
+        dmat = np.array(dpdf["v"].tolist(), dtype=np.float64)[order]
+        dnorms = np.maximum(np.linalg.norm(dmat, axis=1), 1e-12)
+        qids = qpdf["id"].to_numpy(np.int64)
+        qmat = np.array(qpdf["v"].tolist(), dtype=np.float64)
+        qnorms = np.maximum(np.linalg.norm(qmat, axis=1), 1e-12)
+        sims = (qmat @ dmat.T) / qnorms[:, None] / dnorms[None, :]
+        # HALF_UP like F.round, matching the other scorers
+        sims = np.floor(sims * 1e6 + 0.5) / 1e6
+        n = len(dids)
+        keys = (-np.rint(sims * 1e6).astype(np.int64)) * n + np.arange(n)[None, :]
+        kk = min(kk_target + 1, n)  # +1 headroom for the self row
+        part = np.argpartition(keys, kk - 1, axis=1)[:, :kk]
+        part_keys = np.take_along_axis(keys, part, axis=1)
+        topk = np.take_along_axis(part, np.argsort(part_keys, axis=1), axis=1)
+        out = pd.DataFrame(
+            {
+                "id": np.repeat(qids, kk),
+                "neighbor_id": dids[topk].ravel(),
+                "cos": np.take_along_axis(sims, topk, axis=1).ravel(),
+            }
+        )
+        return out[out["id"] != out["neighbor_id"]]
+
+    return cell_topk
 
 
 def _score_candidates(
@@ -611,6 +655,92 @@ def query_lsh_index(
             yield pdf[["id", "neighbor_id"]].assign(cos=cos)
 
     scored = paired.mapInPandas(cos_batches, "id long, neighbor_id long, cos double")
+    w = Window.partitionBy("id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("id", "neighbor_id", "cos", "rank")
+    )
+
+
+def build_ivf_index(
+    df: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_centroids: int = 16,
+    train_sample: int = 10_000,
+    iters: int = 8,
+) -> None:
+    """Persist an IVF index (VERDICT r2 #6, parallel to `build_lsh_index`):
+    train the deterministic spherical k-means quantizer once, then write
+
+    - `{path}/centroids`: (cell, centroid array<double>) — num_centroids
+      rows, the coarse quantizer itself;
+    - `{path}/cells/cell=*/...`: (id, v) member vectors partitioned by
+      cell, so a probe's parquet scan prunes to its nprobe directories.
+
+    Build once over the corpus, probe many times: at 100 TB the k-means
+    train (bounded driver sample) and the one Arrow assignment pass are
+    the amortized cost; queries never re-cluster or re-assign the corpus.
+    Query with the SAME (num_centroids, train_sample, iters) family —
+    params are part of the path contract, like the LSH planes.
+    """
+    C = _train_spherical_kmeans(df, vec_col, id_col, num_centroids, train_sample, iters)
+    spark = df.sparkSession
+    b_C = spark.sparkContext.broadcast(C)
+    spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(C)],
+        "cell int, centroid array<double>",
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    assigned = base.mapInPandas(
+        _make_assign_cells(b_C, 1, carry_v=True), "id long, cell int, v array<double>"
+    )
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/cells")
+
+
+def query_ivf_index(
+    spark,
+    path: str,
+    queries_df: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    nprobe: int = 6,
+) -> DataFrame:
+    """Probe a persisted IVF index (see `build_ivf_index`) with a batch of
+    query vectors: load the centroid matrix (num_centroids rows — the one
+    bounded driver read), assign ONLY the queries to their `nprobe`
+    nearest cells, then cogroup the probes with the stored cell members
+    for the same cell-local matmul top-k as the inline operator
+    (`_make_cell_topk` — bit-identical scoring).  The corpus is never
+    re-clustered or re-assigned; candidate pruning happens at the parquet
+    scan via the cell partitioning.
+
+    Same output contract as `ivf_topk` (self-matches excluded when a
+    query id also exists in the index).
+    """
+    import numpy as np
+
+    cent_rows = spark.read.parquet(f"{path}/centroids").collect()
+    C = np.array(
+        [r["centroid"] for r in sorted(cent_rows, key=lambda r: r["cell"])],
+        dtype=np.float64,
+    )
+    b_C = spark.sparkContext.broadcast(C)
+    probe_n = min(nprobe, len(C))
+    q_base = queries_df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    probe_v = q_base.mapInPandas(
+        _make_assign_cells(b_C, probe_n, carry_v=True),
+        "id long, cell int, v array<double>",
+    )
+    cells = spark.read.parquet(f"{path}/cells").select("id", "cell", "v")
+    scored = (
+        probe_v.groupBy("cell")
+        .cogroup(cells.groupBy("cell"))
+        .applyInPandas(_make_cell_topk(k), "id long, neighbor_id long, cos double")
+    )
     w = Window.partitionBy("id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

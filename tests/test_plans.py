@@ -398,6 +398,31 @@ def test_similarity_default_path_no_full_corpus_collect(spark, monkeypatch):
     )
 
 
+def test_cosine_topk_autoswitches_to_blocked_above_threshold(spark):
+    """Pin VERDICT r2 #4: cosine_topk itself must not broadcast a corpus
+    bigger than max_broadcast_rows — above the threshold it routes to the
+    blocked cogroup path (no BroadcastExchange of data rows; the blocked
+    plan's only broadcasts are the q_blocks/c_blocks int grids), and the
+    two paths agree value-for-value."""
+    from lwetl_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = emb.count()
+    assert n > 10
+
+    routed = cosine_topk(emb, k=3, max_broadcast_rows=10)
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" in plan, "expected the blocked cogroup path"
+
+    broadcast_form = cosine_topk(emb, k=3, max_broadcast_rows=None)
+    bplan = broadcast_form._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" not in bplan, "opt-out must keep the join form"
+
+    assert sorted(map(tuple, routed.collect())) == sorted(
+        map(tuple, broadcast_form.collect())
+    )
+
+
 def test_cosine_topk_blocked_matches_pandas(spark):
     """The distributed blocked exact top-k is value-identical to the
     single-broadcast Arrow path (same float64 matmul, rounding and

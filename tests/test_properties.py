@@ -249,6 +249,33 @@ def test_lsh_index_build_then_query_matches_inline(spark, tmp_path):
     assert all(r["rank"] <= 3 for r in rows)
 
 
+def test_ivf_index_build_then_query_matches_inline(spark, tmp_path):
+    """Persisted IVF index (build once / probe many): querying the index
+    with the full corpus reproduces the inline ivf_topk('cell') exactly —
+    same deterministic k-means quantizer, same cell-local scorer, no
+    corpus re-clustering at query time."""
+    from lwetl_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk,
+        query_ivf_index,
+    )
+
+    emb = spark.read.parquet(SF_CORRECT + "/embeddings.parquet")
+    path = str(tmp_path / "ivf_index")
+    build_ivf_index(emb, path)
+    got = sorted(map(tuple, query_ivf_index(spark, path, emb, k=5).collect()))
+    want = sorted(map(tuple, ivf_topk(emb, k=5).collect()))
+    assert got == want
+
+    # probing a small query batch returns results only for those queries
+    some = emb.limit(7)
+    sub = query_ivf_index(spark, path, some, k=3)
+    ids = {r["vec_id"] for r in some.select("vec_id").collect()}
+    rows = sub.collect()
+    assert {r["id"] for r in rows} <= ids
+    assert all(r["rank"] <= 3 for r in rows)
+
+
 def test_has_near_duplicate_matches_pair_join(spark):
     """Blocked existence check == the set derived from the exact pair
     join, in both smaller-id and any-neighbor modes."""

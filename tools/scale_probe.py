@@ -224,6 +224,43 @@ def main() -> None:
                 flush=True,
             )
 
+    # persisted IVF index: build once (timed) then probe with a 1k query
+    # batch (timed separately) — the build-once/probe-many amortization
+    # story.  Cells grow with the corpus (16·s) so per-cell membership —
+    # and thus per-probe candidate volume — stays constant.
+    import shutil
+    import tempfile
+
+    from lwetl_spark.operators.similarity import build_ivf_index, query_ivf_index
+
+    for scale in (1, 4, 16):
+        df, n_vecs = scaled_embeddings(scale)
+        df = df.persist()
+        df.count()
+        path = tempfile.mkdtemp(prefix="ivfidx_probe_") + "/index"
+        t0 = time.time()
+        build_ivf_index(df, path, num_centroids=16 * scale)
+        t_build = time.time() - t0
+        qbatch = df.orderBy(F.xxhash64("vec_id")).limit(1000)
+        t0 = time.time()
+        query_ivf_index(spark, path, qbatch, k=5).count()
+        t_probe = time.time() - t0
+        df.unpersist()
+        spark.catalog.clearCache()
+        print(
+            json.dumps(
+                {
+                    "op": "ivf_index",
+                    "scale": scale,
+                    "vecs": n_vecs,
+                    "build_sec": round(t_build, 2),
+                    "probe_1k_sec": round(t_probe, 2),
+                }
+            ),
+            flush=True,
+        )
+        shutil.rmtree(path.rsplit("/", 1)[0], ignore_errors=True)
+
     ops = {
         "dup_spans": lambda d: __import__(
             "lwetl_spark.operators.dedup", fromlist=["duplicate_spans"]
