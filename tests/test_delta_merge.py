@@ -1,0 +1,125 @@
+"""Optional Delta Lake MERGE integration (VERDICT r2 #5).
+
+`Uploader.merge` documents a 1:1 mapping onto Delta `MERGE` (the
+reference's transactional U4/U5 semantics, lwetl/uploader.py:572-636);
+the parquet join+swap path is the always-available implementation tested
+in test_sinks.  This module proves the mapping when the delta-spark
+package + jars ARE importable and skips cleanly otherwise:
+
+- no `delta` module (this container)   -> importorskip skip
+- `delta` present but the already-running shared SparkSession lacks the
+  Delta SQL extension (session configs are fixed at creation) -> skip
+  with instructions to run the module standalone
+- `delta` + fresh session               -> full equivalence test
+
+Run standalone as: pytest tests/test_delta_merge.py  (no other module
+first, so this module's builder creates the Delta-enabled session).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+delta = pytest.importorskip("delta", reason="delta-spark not installed")
+
+_DELTA_EXT = "io.delta.sql.DeltaSparkSessionExtension"
+
+
+@pytest.fixture(scope="module")
+def delta_spark():
+    from pyspark.sql import SparkSession
+
+    builder = (
+        SparkSession.builder.master("local[4]")
+        .appName("delta-merge-test")
+        .config("spark.sql.extensions", _DELTA_EXT)
+        .config(
+            "spark.sql.catalog.spark_catalog",
+            "org.apache.spark.sql.delta.catalog.DeltaCatalog",
+        )
+        .config("spark.sql.shuffle.partitions", "4")
+    )
+    s = delta.configure_spark_with_delta_pip(builder).getOrCreate()
+    if _DELTA_EXT not in (s.conf.get("spark.sql.extensions", "") or ""):
+        # getOrCreate returned a pre-existing session whose configs are
+        # frozen — Delta SQL cannot be enabled retroactively
+        pytest.skip(
+            "active SparkSession lacks the Delta extension; run this "
+            "module standalone: pytest tests/test_delta_merge.py"
+        )
+    yield s
+
+
+def _seed(spark, fmt: str, path: str) -> None:
+    spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "id long, name string, amount double",
+    ).write.format(fmt).save(path)
+
+
+def _source(spark):
+    # id=2 updated, id=9 brand new — the canonical upsert batch
+    return spark.createDataFrame(
+        [(2, "B2", 22.0), (9, "i", 90.0)], "id long, name string, amount double"
+    )
+
+
+def test_uploader_merge_matches_delta_merge(delta_spark, tmp_path):
+    """The parquet join+swap `Uploader.merge` and a real Delta MERGE
+    (whenMatchedUpdateAll / whenNotMatchedInsertAll) produce identical
+    final tables and identical inserted/updated counts."""
+    from delta.tables import DeltaTable
+
+    from lwetl_spark.sinks.uploader import Uploader, WritePolicy
+
+    spark = delta_spark
+    pq_path = str(tmp_path / "pq_target")
+    dl_path = str(tmp_path / "dl_target")
+    _seed(spark, "parquet", pq_path)
+    _seed(spark, "delta", dl_path)
+    src = _source(spark)
+
+    up = Uploader(spark, pq_path, policy=WritePolicy.COMMIT)
+    counts = up.merge(src, key="id")
+    assert counts == {"inserted": 1, "updated": 1}
+
+    dt = DeltaTable.forPath(spark, dl_path)
+    (
+        dt.alias("t")
+        .merge(src.alias("s"), "t.id = s.id")
+        .whenMatchedUpdateAll()
+        .whenNotMatchedInsertAll()
+        .execute()
+    )
+    dl_ops = dt.history(1).select("operationMetrics").collect()[0][0]
+    assert int(dl_ops["numTargetRowsInserted"]) == counts["inserted"]
+    assert int(dl_ops["numTargetRowsUpdated"]) == counts["updated"]
+
+    got = sorted(map(tuple, spark.read.parquet(pq_path).collect()))
+    want = sorted(map(tuple, spark.read.format("delta").load(dl_path).collect()))
+    assert got == want
+
+
+def test_delta_delete_matches_uploader_delete(delta_spark, tmp_path):
+    """U5 parity: the anti-join delete equals Delta DELETE."""
+    from delta.tables import DeltaTable
+    from pyspark.sql import functions as F
+
+    from lwetl_spark.sinks.uploader import Uploader, WritePolicy
+
+    spark = delta_spark
+    pq_path = str(tmp_path / "pq_del")
+    dl_path = str(tmp_path / "dl_del")
+    _seed(spark, "parquet", pq_path)
+    _seed(spark, "delta", dl_path)
+
+    up = Uploader(spark, pq_path, policy=WritePolicy.COMMIT)
+    keys = spark.createDataFrame([(2,)], "id long")
+    n = up.delete(keys_df=keys, key="id")
+    assert n == 1
+
+    DeltaTable.forPath(spark, dl_path).delete(F.col("id") == 2)
+
+    got = sorted(map(tuple, spark.read.parquet(pq_path).collect()))
+    want = sorted(map(tuple, spark.read.format("delta").load(dl_path).collect()))
+    assert got == want
