@@ -14,6 +14,7 @@ from lwetl_spark.operators.similarity import (
     cosine_topk_pandas,
     ivf_topk,
     lsh_ann_topk,
+    pq_topk,
     query_ivf_index,
     query_lsh_index,
     semantic_dedup,
@@ -34,6 +35,7 @@ __all__ = [
     "semantic_dedup",
     "lsh_ann_topk",
     "ivf_topk",
+    "pq_topk",
     "build_lsh_index",
     "query_lsh_index",
     "build_ivf_index",

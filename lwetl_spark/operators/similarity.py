@@ -663,6 +663,203 @@ def query_lsh_index(
     )
 
 
+def _train_pq_codebooks(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    m: int,
+    ksub: int,
+    train_sample: int,
+    iters: int,
+):
+    """Deterministic per-subspace k-means codebooks (product quantization,
+    Jégou et al. 2011, "Product quantization for nearest neighbor
+    search") on the same bounded partitioning-invariant sample as
+    `_train_spherical_kmeans`.  Vectors are L2-normalized first so the
+    asymmetric dot-product scan approximates cosine.  Returns an
+    (m, ksub, dim/m) float64 array — a few KB, broadcast once."""
+    import numpy as np
+
+    rows = (
+        df.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col)))
+        .limit(train_sample)
+        .collect()
+    )
+    X = np.array([r[1] for r in rows], dtype=np.float64)
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1), 1e-12)[:, None]
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    sub = dim // m
+    rs = np.random.RandomState(11)
+    books = np.empty((m, ksub, sub))
+    for j in range(m):
+        S = Xn[:, j * sub : (j + 1) * sub]
+        k_eff = min(ksub, len(S))
+        C = S[rs.choice(len(S), size=k_eff, replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(k_eff):
+                members = S[assign == c]
+                if len(members):
+                    C[c] = members.mean(axis=0)
+        if k_eff < ksub:  # degenerate tiny corpus: pad with copies
+            C = np.vstack([C, np.repeat(C[:1], ksub - k_eff, axis=0)])
+        books[j] = C
+    return books
+
+
+def pq_topk(
+    df: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 8,
+    ksub: int = 64,
+    train_sample: int = 10_000,
+    iters: int = 8,
+    q_blocks: int = 4,
+    c_blocks: int = 4,
+    rerank: int = 100,
+) -> DataFrame:
+    """Approximate top-k via product quantization + asymmetric distance
+    (ADC) shortlist + exact re-rank — the memory-bound 100 TB ANN path
+    (Jégou et al. 2011).
+
+    The corpus is compressed to `m` sub-codes of ⌈log2 ksub⌉ bits packed
+    into ONE int64 per vector (m=8, ksub≤256): a 64-dim float64 row (512
+    B) becomes 16 B of (id, code) — 32× less shuffle/cache footprint, so
+    the blocked all-pairs scan that is memory-bound on raw vectors stays
+    in-cache on codes.  Queries stay full-precision: each task builds one
+    (m × ksub) dot-product table per query against the broadcast
+    codebooks and scores every candidate code with m table lookups — no
+    decode, no per-pair float vector in the scan.
+
+    The ADC ranking is coarse (a lossy 8-byte sketch of a 512-byte
+    vector), so it selects a per-query shortlist of `rerank` candidates,
+    which the collect-free 'join' scorer re-ranks with EXACT cosine —
+    only n·rerank vector pairs ever re-join, versus n² for brute force.
+    `rerank` and `ksub` trade compute for recall (measured recall@5 on
+    the 2k-vector corpus: ≈0.3 ADC-only; 0.73 at ksub=64/rerank=50; 0.86
+    at the ksub=64/rerank=100 defaults) — at larger corpora raise
+    `rerank` with expected neighbor-list density, not corpus size.
+
+    The scan is the same 2-D blocked cogroup as `cosine_topk_blocked`
+    (queries × code-blocks, local numpy, one window merge), so the plan
+    scales by raising block counts.  Codebooks are deterministic
+    (fixed-seed k-means per subspace on the bounded
+    partitioning-invariant sample); cos rounds HALF_UP to 6 dp with
+    neighbor-id tie-break, so the output is fully deterministic.
+
+    Returns (id, neighbor_id, cos, rank) — same contract as the other
+    ANN operators; recall vs exact is the driver contract (`x_ann_pq`).
+    """
+    import numpy as np
+    import pandas as pd
+
+    if ksub > 256:
+        raise ValueError("ksub > 256 cannot pack into 8-bit sub-codes")
+    books = _train_pq_codebooks(df, vec_col, id_col, m, ksub, train_sample, iters)
+    spark = df.sparkSession
+    b_books = spark.sparkContext.broadcast(books)
+
+    def encode(it):
+        import numpy as np  # noqa: F811 — pickled by value for workers
+        import pandas as pd
+
+        B = b_books.value
+        mm, kk_, sub = B.shape
+        for pdf in it:
+            if not len(pdf):
+                continue
+            v = np.array(pdf["v"].tolist(), dtype=np.float64)
+            vn = v / np.maximum(np.linalg.norm(v, axis=1), 1e-12)[:, None]
+            code = np.zeros(len(pdf), dtype=np.int64)
+            for j in range(mm):
+                S = vn[:, j * sub : (j + 1) * sub]
+                d2 = ((S[:, None, :] - B[j][None, :, :]) ** 2).sum(axis=2)
+                code |= d2.argmin(axis=1).astype(np.int64) << (8 * j)
+            yield pd.DataFrame({"cid": pdf["id"].to_numpy(np.int64), "code": code})
+
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    codes = base.mapInPandas(encode, "cid long, code long")
+
+    cgrid = spark.range(c_blocks).select(F.col("id").cast("int").alias("cblk"))
+    qgrid = spark.range(q_blocks).select(F.col("id").cast("int").alias("qblk"))
+    q = (
+        base.select(F.col("id").alias("qid"), F.col("v").alias("qv"))
+        .withColumn("qblk", F.pmod(F.xxhash64("qid"), F.lit(q_blocks)).cast("int"))
+        .crossJoin(F.broadcast(cgrid))
+    )
+    c = (
+        codes.withColumn(
+            "cblk", F.pmod(F.xxhash64("cid"), F.lit(c_blocks)).cast("int")
+        ).crossJoin(F.broadcast(qgrid))
+    )
+
+    shortlist_n = max(rerank, k)
+
+    def local_adc(qpdf: "pd.DataFrame", cpdf: "pd.DataFrame") -> "pd.DataFrame":
+        empty = pd.DataFrame({"id": [], "neighbor_id": [], "score": []})
+        if not len(qpdf) or not len(cpdf):
+            return empty
+        B = b_books.value
+        mm, kk_, sub = B.shape
+        cids = cpdf["cid"].to_numpy(np.int64)
+        order = np.argsort(cids, kind="stable")  # position order == id order
+        cids = cids[order]
+        code = cpdf["code"].to_numpy(np.int64)[order]
+        sub_codes = np.empty((len(cids), mm), dtype=np.int64)
+        for j in range(mm):
+            sub_codes[:, j] = (code >> (8 * j)) & 0xFF
+        qids = qpdf["qid"].to_numpy(np.int64)
+        qmat = np.array(qpdf["qv"].tolist(), dtype=np.float64)
+        qn = qmat / np.maximum(np.linalg.norm(qmat, axis=1), 1e-12)[:, None]
+        # ADC: one (m, ksub) dot table per query, m lookups per candidate
+        scores = np.zeros((len(qids), len(cids)))
+        for j in range(mm):
+            T = qn[:, j * sub : (j + 1) * sub] @ B[j].T  # (nq, ksub)
+            scores += T[:, sub_codes[:, j]]
+        scores = np.floor(scores * 1e6 + 0.5) / 1e6  # HALF_UP like F.round
+        n = len(cids)
+        keys = (-np.rint(scores * 1e6).astype(np.int64)) * n + np.arange(n)[None, :]
+        kk = min(shortlist_n + 1, n)  # +1 headroom for the self row
+        part = np.argpartition(keys, kk - 1, axis=1)[:, :kk]
+        part_keys = np.take_along_axis(keys, part, axis=1)
+        topk = np.take_along_axis(part, np.argsort(part_keys, axis=1), axis=1)
+        out = pd.DataFrame(
+            {
+                "id": np.repeat(qids, kk),
+                "neighbor_id": cids[topk].ravel(),
+                "score": np.take_along_axis(scores, topk, axis=1).ravel(),
+            }
+        )
+        return out[out["id"] != out["neighbor_id"]]
+
+    local = (
+        q.groupBy("qblk", "cblk")
+        .cogroup(c.groupBy("qblk", "cblk"))
+        .applyInPandas(local_adc, "id long, neighbor_id long, score double")
+    )
+    # per-query ADC shortlist across blocks, then EXACT re-rank of only
+    # those pairs via the collect-free join scorer
+    w_adc = Window.partitionBy("id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    shortlist = (
+        local.withColumn("_r", F.row_number().over(w_adc))
+        .filter(F.col("_r") <= shortlist_n)
+        .select("id", "neighbor_id")
+    )
+    scored = _score_candidates(df, shortlist, vec_col, id_col, "join")
+    w = Window.partitionBy("id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("id", "neighbor_id", "cos", "rank")
+    )
+
+
 def build_ivf_index(
     df: DataFrame,
     path: str,

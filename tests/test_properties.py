@@ -249,6 +249,23 @@ def test_lsh_index_build_then_query_matches_inline(spark, tmp_path):
     assert all(r["rank"] <= 3 for r in rows)
 
 
+def test_pq_topk_recall_and_determinism(spark):
+    """PQ ADC-shortlist + exact re-rank: recall@5 >= 0.7 vs brute force
+    (the x_ann_pq contract floor) and identical output under
+    repartitioning (codebooks train on the partitioning-invariant
+    sample)."""
+    from lwetl_spark.operators.similarity import cosine_topk_blocked, pq_topk
+
+    emb = spark.read.parquet(SF_CORRECT + "/embeddings.parquet")
+    exact = {(r["id"], r["neighbor_id"]) for r in cosine_topk_blocked(emb, k=5).collect()}
+    out = pq_topk(emb, k=5)
+    approx = {(r["id"], r["neighbor_id"]) for r in out.collect()}
+    assert len(exact & approx) / len(exact) >= 0.7
+
+    again = pq_topk(emb.repartition(13), k=5)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
 def test_ivf_index_build_then_query_matches_inline(spark, tmp_path):
     """Persisted IVF index (build once / probe many): querying the index
     with the full corpus reproduces the inline ivf_topk('cell') exactly —

@@ -166,6 +166,7 @@ def main() -> None:
         cosine_topk_blocked,
         has_near_duplicate,
         lsh_ann_topk,
+        pq_topk,
         semantic_dedup,
     )
 
@@ -199,6 +200,13 @@ def main() -> None:
                 d, k=5, q_blocks=4 * s, c_blocks=4
             ).count(),
             (1, 4),
+        ),
+        # PQ: the O(n^2) ADC scan runs on 16-byte (id, code) rows, not
+        # 512-byte vectors — blocks scale like exact_topk but each cell
+        # moves/holds 32x less data; re-rank joins only n*rerank pairs
+        "ann_pq": (
+            lambda d, s: pq_topk(d, k=5, q_blocks=4 * s, c_blocks=4).count(),
+            (1, 4, 16),
         ),
     }
     for op_name, (fn, scales) in emb_ops.items():
