@@ -177,3 +177,76 @@ def percentile_filter(
     return df.join(F.broadcast(thr), group_col).filter(
         F.col(value_col) >= F.col("_thr")
     )
+
+
+def dsir_weights(
+    df: DataFrame,
+    target_cond,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """DSIR-style importance weights for data selection (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling",
+    arXiv:2302.03169): score every document by how much its unigram
+    distribution resembles a TARGET domain (rows matching `target_cond`)
+    relative to the full corpus.  (Training-pipeline op, NEW — no
+    reference analog.)
+
+    Engine-portable scoring: the canonical DSIR weight is a sum of
+    log-likelihood-ratios; `ln` is not bit-identical across engines, so —
+    like x_tfidf's rational tf/df — each gram scores the SMOOTHED
+    likelihood ratio as exact integer arithmetic,
+
+        score(g) = (ct+1)·(Ns+V)·scale  DIV  (cs+1)·(Nt+V)
+
+    (ct/cs = gram count in target/corpus, Nt/Ns = total grams, V =
+    vocabulary size; Laplace smoothing), and a document's weight is the
+    exact integer sum over its gram occurrences divided once at the end —
+    every intermediate is a BIGINT, so the DuckDB oracle hash-matches.
+    Monotone in the same direction as the log form for ranking/top-k
+    selection; feed `weight` to `percentile_filter` or `priority_sample`
+    for the resampling step.
+
+    Scale shape (100 TB): gram explode → one vocab-keyed agg (map-side
+    combinable counts), a 3-long totals row broadcast, one vocab-keyed
+    join back, one doc-keyed agg.  Documents' text never shuffles — only
+    (doc_id, tok) pairs and integer counts.  Overflow headroom: the
+    numerator is ≤ (Nt+1)·(Ns+V)·scale; keep `scale`·corpus-grams² under
+    2⁶³ (at ~10¹² grams drop `scale` to 1 or pre-divide Ns).
+
+    Returns (doc_id, n_grams, sum_score, weight_ppm) for every document
+    with ≥1 token; weight_ppm = sum_score DIV n_grams — the mean gram
+    likelihood-ratio in millionths (kept integral: a float mean hits
+    exact .5·10⁻⁶ rounding boundaries on real data, where HALF_UP vs
+    HALF_EVEN engines disagree).
+    """
+    grams = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.when(target_cond, F.lit(1)).otherwise(F.lit(0)).alias("is_t"),
+        F.explode(
+            F.expr(rf"filter(split(lower(trim({text_col})), '\\s+'), x -> x <> '')")
+        ).alias("tok"),
+    )
+    stats = grams.groupBy("tok").agg(
+        F.count("*").alias("cs"), F.sum("is_t").alias("ct")
+    )
+    totals = stats.agg(
+        F.sum("cs").alias("ns"), F.sum("ct").alias("nt"), F.count("*").alias("v")
+    )
+    scored = (
+        grams.join(stats, "tok")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            F.expr(
+                f"(ct + 1) * (ns + v) * CAST({scale} AS BIGINT)"
+                f" DIV ((cs + 1) * (nt + v))"
+            ).alias("score"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_grams"),
+        F.sum("score").alias("sum_score"),
+        F.expr("sum(score) DIV count(*)").alias("weight_ppm"),
+    )

@@ -2355,6 +2355,52 @@ def x_tfidf(spark, sf_dir):
 
 
 @register(
+    "x_dsir_weights",
+    r"""
+    WITH g AS (
+      SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_t,
+             unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                x -> x <> '')) AS tok
+      FROM documents
+    ),
+    s AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS cs, CAST(SUM(is_t) AS BIGINT) AS ct
+      FROM g GROUP BY tok
+    ),
+    t AS (
+      SELECT CAST(SUM(cs) AS BIGINT) AS ns, CAST(SUM(ct) AS BIGINT) AS nt,
+             CAST(COUNT(*) AS BIGINT) AS v
+      FROM s
+    ),
+    sc AS (
+      SELECT g.doc_id,
+             (s.ct + 1) * (t.ns + t.v) * 1000000 // ((s.cs + 1) * (t.nt + t.v))
+                 AS score
+      FROM g JOIN s USING (tok) CROSS JOIN t
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(score) AS BIGINT) AS sum_score,
+           CAST(SUM(score) // COUNT(*) AS BIGINT) AS weight_ppm
+    FROM sc GROUP BY doc_id
+    """,
+)
+def x_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023, arXiv:2302.03169): score
+    every document by smoothed unigram likelihood ratio against the
+    target domain (lang='en' here), the selection signal in front of
+    importance resampling (`operators/sampling.dsir_weights` →
+    percentile_filter / priority_sample).  The weight is exact integer
+    arithmetic (rational likelihood ratio × 1e6, like x_tfidf's tf/df)
+    so every intermediate hash-matches DuckDB — `ln` would not.  One
+    vocab agg + one vocab join + one doc agg; text never shuffles."""
+    from lwetl_spark.operators.sampling import dsir_weights
+
+    return dsir_weights(
+        _t(spark, sf_dir, "documents"), target_cond=F.col("lang") == "en"
+    )
+
+
+@register(
     "x_approx_quantile",
     """
     SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,

@@ -367,3 +367,50 @@ def test_duplicate_spans_exact_windows(spark):
     assert (out[2]["n_windows"], out[2]["n_dup_windows"]) == (4, 2)
     assert (out[3]["n_windows"], out[3]["n_dup_windows"]) == (1, 0)
     assert out[1]["dup_fraction"] == round(2 / 3, 6)
+
+
+def test_dsir_weights_target_ranks_higher(spark):
+    """DSIR importance weights: documents drawn from the target domain
+    must score higher on average than off-target documents, the score is
+    partitioning-invariant, and hand-computable on a toy corpus."""
+    from pyspark.sql import functions as F
+
+    from lwetl_spark.operators.sampling import dsir_weights
+
+    # toy corpus: target docs speak 'aa bb', off-target speak 'zz yy'
+    df = spark.createDataFrame(
+        [
+            (1, "aa bb aa", "t"),
+            (2, "bb aa bb", "t"),
+            (3, "zz yy zz", "o"),
+            (4, "aa zz", "o"),
+        ],
+        "doc_id long, text string, src string",
+    )
+    out = {r["doc_id"]: r for r in dsir_weights(df, F.col("src") == "t").collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1]["n_grams"] == 3
+    # pure-target docs outweigh pure-off-target; mixed lands between
+    assert out[1]["weight_ppm"] > out[4]["weight_ppm"] > out[3]["weight_ppm"]
+    assert out[2]["weight_ppm"] > out[3]["weight_ppm"]
+
+    again = {
+        r["doc_id"]: r
+        for r in dsir_weights(df.repartition(7), F.col("src") == "t").collect()
+    }
+    assert {(k, v["sum_score"]) for k, v in out.items()} == {
+        (k, v["sum_score"]) for k, v in again.items()
+    }
+
+    # real corpus: en (target) mean weight above non-en mean weight
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    w = dsir_weights(docs, F.col("lang") == "en").join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    means = {
+        r["t"]: r["m"]
+        for r in w.groupBy((F.col("lang") == "en").alias("t"))
+        .agg(F.avg("weight_ppm").alias("m"))
+        .collect()
+    }
+    assert means[True] > means[False]
