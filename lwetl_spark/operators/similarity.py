@@ -756,14 +756,30 @@ def pq_topk(
     Returns (id, neighbor_id, cos, rank) — same contract as the other
     ANN operators; recall vs exact is the driver contract (`x_ann_pq`).
     """
-    import numpy as np
-    import pandas as pd
-
     if ksub > 256:
         raise ValueError("ksub > 256 cannot pack into 8-bit sub-codes")
     books = _train_pq_codebooks(df, vec_col, id_col, m, ksub, train_sample, iters)
     spark = df.sparkSession
     b_books = spark.sparkContext.broadcast(books)
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    codes = base.mapInPandas(_make_pq_encode(b_books), "cid long, code long")
+    shortlist = _pq_adc_shortlist(
+        base, codes, b_books, max(rerank, k), q_blocks, c_blocks
+    )
+    scored = _score_candidates(df, shortlist, vec_col, id_col, "join")
+    w = Window.partitionBy("id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("id", "neighbor_id", "cos", "rank")
+    )
+
+
+def _make_pq_encode(b_books):
+    """mapInPandas generator packing each (id, v) row's m sub-codes into
+    one int64 against the broadcast codebooks.  Shared by `pq_topk` and
+    `build_pq_index` so inline and persisted codes are bit-identical.
+    Closure captures the broadcast only — pickled by value."""
 
     def encode(it):
         import numpy as np  # noqa: F811 — pickled by value for workers
@@ -783,13 +799,30 @@ def pq_topk(
                 code |= d2.argmin(axis=1).astype(np.int64) << (8 * j)
             yield pd.DataFrame({"cid": pdf["id"].to_numpy(np.int64), "code": code})
 
-    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    codes = base.mapInPandas(encode, "cid long, code long")
+    return encode
 
+
+def _pq_adc_shortlist(
+    base_q: DataFrame,
+    codes: DataFrame,
+    b_books,
+    shortlist_n: int,
+    q_blocks: int,
+    c_blocks: int,
+) -> DataFrame:
+    """Blocked ADC scan: full-precision queries (id, v) × packed codes
+    (cid, code) → per-query shortlist of `shortlist_n` candidate pairs
+    (bare ids).  The 2-D cogroup decomposition of `cosine_topk_blocked`,
+    but the candidate side is 16 bytes/row.  Shared by `pq_topk` and
+    `query_pq_index`."""
+    import numpy as np
+    import pandas as pd
+
+    spark = base_q.sparkSession
     cgrid = spark.range(c_blocks).select(F.col("id").cast("int").alias("cblk"))
     qgrid = spark.range(q_blocks).select(F.col("id").cast("int").alias("qblk"))
     q = (
-        base.select(F.col("id").alias("qid"), F.col("v").alias("qv"))
+        base_q.select(F.col("id").alias("qid"), F.col("v").alias("qv"))
         .withColumn("qblk", F.pmod(F.xxhash64("qid"), F.lit(q_blocks)).cast("int"))
         .crossJoin(F.broadcast(cgrid))
     )
@@ -798,8 +831,6 @@ def pq_topk(
             "cblk", F.pmod(F.xxhash64("cid"), F.lit(c_blocks)).cast("int")
         ).crossJoin(F.broadcast(qgrid))
     )
-
-    shortlist_n = max(rerank, k)
 
     def local_adc(qpdf: "pd.DataFrame", cpdf: "pd.DataFrame") -> "pd.DataFrame":
         empty = pd.DataFrame({"id": [], "neighbor_id": [], "score": []})
@@ -843,15 +874,103 @@ def pq_topk(
         .cogroup(c.groupBy("qblk", "cblk"))
         .applyInPandas(local_adc, "id long, neighbor_id long, score double")
     )
-    # per-query ADC shortlist across blocks, then EXACT re-rank of only
-    # those pairs via the collect-free join scorer
+    # per-query ADC shortlist across blocks; bare pairs out for re-rank
     w_adc = Window.partitionBy("id").orderBy(F.desc("score"), F.asc("neighbor_id"))
-    shortlist = (
+    return (
         local.withColumn("_r", F.row_number().over(w_adc))
         .filter(F.col("_r") <= shortlist_n)
         .select("id", "neighbor_id")
     )
-    scored = _score_candidates(df, shortlist, vec_col, id_col, "join")
+
+
+def build_pq_index(
+    df: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 8,
+    ksub: int = 64,
+    train_sample: int = 10_000,
+    iters: int = 8,
+) -> None:
+    """Persist a PQ index: trained codebooks, packed int64 codes, and the
+    id→vector map for exact re-rank.  Build once, probe many — at 100 TB
+    the codes table is ~32× smaller than the vectors and is the ONLY
+    thing the ADC scan reads; vectors are touched just for the per-query
+    shortlist re-join.
+
+    Layout: `{path}/codebooks` (subspace, code, centroid),
+    `{path}/codes` (cid, code), `{path}/vectors` (id, vec).  Query with
+    the same (m, ksub) family — params are part of the path contract.
+    """
+    if ksub > 256:
+        raise ValueError("ksub > 256 cannot pack into 8-bit sub-codes")
+    books = _train_pq_codebooks(df, vec_col, id_col, m, ksub, train_sample, iters)
+    spark = df.sparkSession
+    b_books = spark.sparkContext.broadcast(books)
+    spark.createDataFrame(
+        [
+            (j, c, [float(x) for x in books[j, c]])
+            for j in range(books.shape[0])
+            for c in range(books.shape[1])
+        ],
+        "subspace int, code int, centroid array<double>",
+    ).write.mode("overwrite").parquet(f"{path}/codebooks")
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    base.mapInPandas(_make_pq_encode(b_books), "cid long, code long").write.mode(
+        "overwrite"
+    ).parquet(f"{path}/codes")
+    df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/vectors")
+
+
+def query_pq_index(
+    spark,
+    path: str,
+    queries_df: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    q_blocks: int = 4,
+    c_blocks: int = 4,
+    rerank: int = 100,
+) -> DataFrame:
+    """Probe a persisted PQ index (see `build_pq_index`): load the
+    codebooks (m·ksub rows — the one bounded driver read), ADC-scan the
+    stored codes with the full-precision query batch, exact-re-rank each
+    query's shortlist against the stored vectors.  The corpus is never
+    re-encoded; the scan reads 16-byte code rows only.
+
+    Same output contract as `pq_topk` (self-matches excluded when a
+    query id also exists in the index)."""
+    import numpy as np
+
+    cb = spark.read.parquet(f"{path}/codebooks").collect()
+    mm = max(r["subspace"] for r in cb) + 1
+    kk = max(r["code"] for r in cb) + 1
+    sub = len(cb[0]["centroid"])
+    books = np.empty((mm, kk, sub))
+    for r in cb:
+        books[r["subspace"], r["code"]] = r["centroid"]
+    b_books = spark.sparkContext.broadcast(books)
+    codes = spark.read.parquet(f"{path}/codes")
+    base_q = queries_df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    shortlist = _pq_adc_shortlist(
+        base_q, codes, b_books, max(rerank, k), q_blocks, c_blocks
+    )
+    # exact re-rank vectors: stored corpus vectors ∪ the query batch
+    # (same ids carry identical vectors, so the union is conflict-free)
+    vectors = (
+        spark.read.parquet(f"{path}/vectors")
+        .unionByName(
+            queries_df.select(
+                F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+            )
+        )
+        .dropDuplicates(["id"])
+    )
+    scored = _score_candidates(vectors, shortlist, "vec", "id", "join")
     w = Window.partitionBy("id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -1625,6 +1625,65 @@ def x_bpe_tokens(spark, sf_dir):
 
 
 @register(
+    "x_bpe_merge_step",
+    r"""
+    WITH w AS (
+      SELECT tok AS word, CAST(COUNT(*) AS BIGINT) AS wc
+      FROM (
+        SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                  x -> x <> '')) AS tok
+        FROM documents
+      ) GROUP BY 1
+    ),
+    p AS (
+      SELECT unnest(list_transform(generate_series(1, length(word) - 1),
+                                   i -> substr(word, i, 2))) AS pair, wc
+      FROM w WHERE length(word) >= 2
+    ),
+    f AS (SELECT pair, CAST(SUM(wc) AS BIGINT) AS freq FROM p GROUP BY pair)
+    SELECT pair, freq, CAST(rnk AS BIGINT) AS rnk FROM (
+      SELECT pair, freq,
+             ROW_NUMBER() OVER (ORDER BY freq DESC, pair ASC) AS rnk
+      FROM f
+    ) WHERE rnk <= 20
+    """,
+)
+def x_bpe_merge_step(spark, sf_dir):
+    """One BPE merge iteration (Sennrich et al. 2016, arXiv:1508.07909 —
+    the tokenizer-training primitive): count each adjacent symbol pair
+    weighted by word frequency and rank the top-20 merge candidates.
+    Spark-first shape: the corpus collapses to a (word, count) table
+    FIRST (one agg — the corpus-sized stage), then pairs explode from
+    the far smaller vocabulary, so the pair agg is vocab-sized, not
+    corpus-sized.  Iterating merges re-runs this plan on a re-segmented
+    vocab table (driver loop over a small table, like pagerank); the
+    first step here is the exact, oracle-checkable unit."""
+    docs = _t(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(
+                F.expr(r"filter(split(lower(trim(text)), '\\s+'), x -> x <> '')")
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count("*").alias("wc"))
+    )
+    pairs = words.filter(F.length("word") >= 2).select(
+        F.explode(
+            F.expr("transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))")
+        ).alias("pair"),
+        "wc",
+    )
+    freqs = pairs.groupBy("pair").agg(F.sum("wc").alias("freq"))
+    w = Window.orderBy(F.desc("freq"), F.asc("pair"))
+    return (
+        freqs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 20)
+        .select("pair", "freq", F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
+@register(
     "c6_dimension_sync",
     """
     WITH dim_new AS (

@@ -608,6 +608,44 @@ def x_lsh_index_roundtrip(spark, sf_dir):
 
 
 @register(
+    "x_pq_index_roundtrip",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS index_matches_inline
+    FROM embeddings
+    """,
+)
+def x_pq_index_roundtrip(spark, sf_dir):
+    """Persisted-PQ-index round-trip (operators/similarity.build_pq_index
+    / query_pq_index): codebooks + packed int64 codes + vector map on
+    disk; probing with the full corpus must EQUAL the inline pq_topk —
+    same fixed-seed codebooks, same ADC shortlist, same exact re-rank.
+    Same equality contract as the LSH/IVF index round-trips."""
+    from lwetl_spark.operators.similarity import (
+        build_pq_index,
+        pq_topk,
+        query_pq_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = os.path.join(_tmpdir("pqidx"), "index")
+    build_pq_index(emb, path)
+    idx = query_pq_index(spark, path, emb, k=5)
+    inline = pq_topk(emb, k=5)
+    cols = ["id", "neighbor_id", "cos", "rank"]
+    a = idx.groupBy(*cols).agg(F.count("*").alias("_ca"))
+    b = inline.groupBy(*cols).agg(F.count("*").alias("_cb"))
+    mismatches = (
+        a.join(b, cols, "full_outer")
+        .filter("_ca IS NULL OR _cb IS NULL OR _ca <> _cb")
+        .count()
+    )
+    n_queries = emb.count()
+    return spark.createDataFrame(
+        [(n_queries, mismatches == 0)], "n_queries long, index_matches_inline boolean"
+    )
+
+
+@register(
     "x_ivf_index_roundtrip",
     """
     SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS index_matches_inline

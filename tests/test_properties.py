@@ -293,6 +293,31 @@ def test_ivf_index_build_then_query_matches_inline(spark, tmp_path):
     assert all(r["rank"] <= 3 for r in rows)
 
 
+def test_pq_index_build_then_query_matches_inline(spark, tmp_path):
+    """Persisted PQ index: probing with the full corpus reproduces the
+    inline pq_topk exactly — same codebooks, same ADC shortlist, same
+    exact re-rank; the scan reads only 16-byte code rows."""
+    from lwetl_spark.operators.similarity import (
+        build_pq_index,
+        pq_topk,
+        query_pq_index,
+    )
+
+    emb = spark.read.parquet(SF_CORRECT + "/embeddings.parquet")
+    path = str(tmp_path / "pq_index")
+    build_pq_index(emb, path)
+    got = sorted(map(tuple, query_pq_index(spark, path, emb, k=5).collect()))
+    want = sorted(map(tuple, pq_topk(emb, k=5).collect()))
+    assert got == want
+
+    some = emb.limit(7)
+    sub = query_pq_index(spark, path, some, k=3)
+    ids = {r["vec_id"] for r in some.select("vec_id").collect()}
+    rows = sub.collect()
+    assert {r["id"] for r in rows} <= ids
+    assert all(r["rank"] <= 3 for r in rows)
+
+
 def test_has_near_duplicate_matches_pair_join(spark):
     """Blocked existence check == the set derived from the exact pair
     join, in both smaller-id and any-neighbor modes."""
