@@ -346,3 +346,62 @@ def stream_cms(
 
     q = stream.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
     return q, counters
+
+
+def stream_dedup_against_corpus(
+    spark: SparkSession,
+    docs_path: str,
+    state_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_files_per_trigger: int = 2,
+):
+    """Incremental corpus-ingestion dedup (NEW; the streaming form of
+    bloom_filter_dedup's corpus-vs-batch split): every micro-batch of
+    documents is fingerprinted (md5 of normalized text), checked against
+    the PERSISTED admitted-fingerprint state, and only novel fingerprints
+    are admitted — the state parquet grows by exactly the admitted rows,
+    so re-ingesting a document (or a retry replaying a batch) can never
+    admit it twice.
+
+    Scale shape: the state probe is one anti-join per micro-batch keyed
+    on the 16-byte fingerprint — (fp, id) rows only, document text never
+    leaves the batch.  At 100 TB of accumulated state, front the
+    anti-join with `operators/dedup.bloom_pruned_join` (broadcast bit-set
+    prune, then exact anti-join) — same plan shape, same output.  The
+    admitted batch is eagerly materialized (localCheckpoint) BEFORE the
+    append so the state read and the state write never overlap on the
+    same files.
+
+    Returns the started StreamingQuery (caller stops it); the admitted
+    state lives at `state_path` as (fp, doc_id) parquet.
+    """
+
+    schema = spark.read.parquet(docs_path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(docs_path)
+    )
+
+    def sink(batch_df, batch_id: int) -> None:
+        firsts = (
+            batch_df.select(
+                F.col(id_col),
+                F.md5(F.lower(F.trim(F.col(text_col)))).alias("fp"),
+            )
+            .groupBy("fp")
+            .agg(F.min(id_col).alias(id_col))  # in-batch dedup, min-id rep
+        )
+        sess = batch_df.sparkSession
+        try:
+            state = sess.read.parquet(state_path).select("fp")
+            novel = firsts.join(state, "fp", "left_anti")
+        except Exception:  # first batch: no state yet
+            novel = firsts
+        # eager materialization: the append below must not race the
+        # state scan feeding the anti-join (same directory)
+        novel = novel.localCheckpoint(eager=True)
+        novel.write.mode("append").parquet(state_path)
+
+    return stream.writeStream.foreachBatch(sink).start()

@@ -305,3 +305,56 @@ def test_repartition_by_payload_bytes(spark):
     assert out.count() == 100
     tiny = repartition_by_payload_bytes(big.limit(1), target_bytes=100 << 20)
     assert tiny.rdd.getNumPartitions() == 1
+
+
+def test_stream_dedup_against_corpus_admits_each_fp_once(spark, tmp_path):
+    """Incremental ingestion dedup: after streaming a corpus with
+    cross-batch duplicates, the admitted state holds EXACTLY one row per
+    distinct fingerprint, and every admitted (fp, doc_id) pair is a real
+    (fingerprint, doc) pair from the source."""
+    from pyspark.sql import functions as F2
+
+    from lwetl_spark.streaming.pipeline import stream_dedup_against_corpus
+
+    docs_dir = str(tmp_path / "docs")
+    state_dir = str(tmp_path / "state")
+    # 3 files -> multiple micro-batches (maxFilesPerTrigger=1); text 'b'
+    # repeats within AND across batches
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "doc_id long, text string"
+    ).write.parquet(docs_dir)
+    spark.createDataFrame(
+        [(3, "b"), (4, "c")], "doc_id long, text string"
+    ).write.mode("append").parquet(docs_dir)
+    spark.createDataFrame(
+        [(5, "c"), (6, "d"), (7, "d")], "doc_id long, text string"
+    ).write.mode("append").parquet(docs_dir)
+
+    q = stream_dedup_against_corpus(
+        spark, docs_dir, state_dir, max_files_per_trigger=1
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    state = spark.read.parquet(state_dir).collect()
+    src = spark.read.parquet(docs_dir).select(
+        "doc_id", F2.md5(F2.lower(F2.trim("text"))).alias("fp")
+    )
+    valid_pairs = {(r["fp"], r["doc_id"]) for r in src.collect()}
+    distinct_fps = {fp for fp, _ in valid_pairs}
+
+    assert len(state) == len(distinct_fps)  # one admission per fingerprint
+    assert {r["fp"] for r in state} == distinct_fps
+    assert {(r["fp"], r["doc_id"]) for r in state} <= valid_pairs
+
+    # replaying the same corpus admits nothing new
+    q2 = stream_dedup_against_corpus(
+        spark, docs_dir, state_dir, max_files_per_trigger=2
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert spark.read.parquet(state_dir).count() == len(distinct_fps)
