@@ -234,8 +234,12 @@ def dsir_weights(
     totals = stats.agg(
         F.sum("cs").alias("ns"), F.sum("ct").alias("nt"), F.count("*").alias("v")
     )
+    # Catalyst underestimates explode output and tried to BROADCAST the
+    # corpus-sized grams table (BuildLeft) — fatal at scale.  Hint the
+    # vocab-sized stats side as the shuffle-hash build instead: no sort,
+    # and nothing corpus-sized ever broadcasts.
     scored = (
-        grams.join(stats, "tok")
+        grams.join(stats.hint("shuffle_hash"), "tok")
         .crossJoin(F.broadcast(totals))
         .select(
             "doc_id",
