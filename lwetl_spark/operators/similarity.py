@@ -442,13 +442,23 @@ def _score_candidates(
     if score == "join":
         import numpy as np
 
+        # shuffle_hash hint: the vector table grows with the corpus and
+        # Catalyst UNDERESTIMATES array-column sizes, so left alone it
+        # picks BroadcastHashJoin on the corpus-sized vector side (plan
+        # audit caught it) — the same at-scale OOM class the minhash
+        # verify join hit.  SHJ keeps both sides shuffled, build on vecs.
         vecs = df.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"))
         paired = (
             cand.join(
-                vecs.withColumnRenamed("_vid", "id").withColumnRenamed("_v", "qv"), "id"
+                vecs.withColumnRenamed("_vid", "id")
+                .withColumnRenamed("_v", "qv")
+                .hint("shuffle_hash"),
+                "id",
             )
             .join(
-                vecs.withColumnRenamed("_vid", "neighbor_id").withColumnRenamed("_v", "cv"),
+                vecs.withColumnRenamed("_vid", "neighbor_id")
+                .withColumnRenamed("_v", "cv")
+                .hint("shuffle_hash"),
                 "neighbor_id",
             )
         )
@@ -633,8 +643,13 @@ def query_lsh_index(
     )
     vectors = spark.read.parquet(f"{path}/vectors")
     q_vecs = queries_df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("qv"))
-    paired = cand.join(q_vecs, "id").join(
-        vectors.select(F.col("id").alias("neighbor_id"), F.col("vec").alias("cv")),
+    # stored corpus vectors grow with the index — never let the array-size
+    # underestimate broadcast them (see _score_candidates); the query
+    # batch side may be small but pays only a shuffle of itself
+    paired = cand.join(q_vecs.hint("shuffle_hash"), "id").join(
+        vectors.select(
+            F.col("id").alias("neighbor_id"), F.col("vec").alias("cv")
+        ).hint("shuffle_hash"),
         "neighbor_id",
     )
 
