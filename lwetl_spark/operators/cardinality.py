@@ -159,3 +159,39 @@ def drift_chi2(
         F.round(expected, digits).alias("expected"),
         F.round(term, digits).alias("chi2_term"),
     )
+
+
+def skew_profile(df: DataFrame, key_col: str, top_n: int = 10) -> DataFrame:
+    """Join/aggregation-key skew diagnostics: the heaviest `top_n` keys
+    with their share of the table and the salting factor that would
+    level them.  (NEW — scale-tuning op; the reference's cardinality
+    report, `lwetl/utils.py` count loop, answers "how many per key" but
+    not "is this key distribution safe to shuffle on".)
+
+    For each heavy key: `skew_x100` = how many times the mean key load
+    this key carries (×100, integer), and `suggested_salt` =
+    ceil(cnt / mean) — the number of salt buckets that splits the key
+    down to average load (feed to `operators/joins.salted_join`).  All
+    integer arithmetic, so the DuckDB oracle hash-matches.
+
+    Scale: one map-side-combinable count agg over the key, a 2-long
+    totals row broadcast, and a TakeOrdered top-n (per-partition heaps,
+    no global sort).  The table itself never shuffles — only (key, cnt).
+    """
+    if top_n <= 0:
+        raise ValueError(f"top_n must be positive, got {top_n}")
+    counts = df.groupBy(key_col).agg(F.count("*").alias("cnt"))
+    totals = counts.agg(
+        F.sum("cnt").alias("n_rows"), F.count("*").alias("n_keys")
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            key_col,
+            "cnt",
+            F.expr("cnt * n_keys * 100 DIV n_rows").alias("skew_x100"),
+            F.expr("(cnt * n_keys + n_rows - 1) DIV n_rows").alias("suggested_salt"),
+        )
+        .orderBy(F.desc("cnt"), F.col(key_col))
+        .limit(top_n)
+    )

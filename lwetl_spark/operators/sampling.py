@@ -254,3 +254,37 @@ def dsir_weights(
         F.sum("score").alias("sum_score"),
         F.expr("sum(score) DIV count(*)").alias("weight_ppm"),
     )
+
+
+def shard_by_key(
+    df: DataFrame, key_col: str, n_shards: int, salt: str = "shard"
+) -> DataFrame:
+    """Deterministic training-shard assignment: `shard` is a pure
+    function of the row's key (md5 bucket mod `n_shards`), so a
+    100 TB corpus re-sharded after retries, repartitioning, or an
+    engine swap lands every document in the SAME shard — the property
+    that makes training-data manifests reproducible.  Row-local
+    expression; pushes past any partitioning.
+    """
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    return df.withColumn("shard", _bucket(key_col, salt) % F.lit(n_shards))
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    n_shards: int,
+    salt: str = "shard",
+) -> None:
+    """Materialize deterministic training shards as
+    `path/shard=N/*.parquet`: one hash-partitioned write so each task
+    streams one shard (a few tasks carry two on hash collision — they
+    just emit two files).  Readers get partition pruning on `shard`
+    for free; at 100 TB raise `n_shards` so each shard stays near the
+    HDFS-friendly file size instead of coalescing further."""
+    sharded = shard_by_key(df, key_col, n_shards, salt=salt)
+    sharded.repartition(n_shards, F.col("shard")).write.mode(
+        "overwrite"
+    ).partitionBy("shard").parquet(path)

@@ -4318,6 +4318,70 @@ def x_drift_chi2(spark, sf_dir):
     )
 
 
+@register(
+    "x_skew_profile",
+    """
+    WITH c AS (
+      SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY l_suppkey
+    ),
+    t AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) AS BIGINT) AS n_keys
+      FROM c
+    )
+    SELECT l_suppkey, cnt,
+           CAST(cnt * n_keys * 100 // n_rows AS BIGINT) AS skew_x100,
+           CAST((cnt * n_keys + n_rows - 1) // n_rows AS BIGINT) AS suggested_salt
+    FROM c CROSS JOIN t
+    ORDER BY cnt DESC, l_suppkey
+    LIMIT 10
+    """,
+)
+def x_skew_profile(spark, sf_dir):
+    """Shuffle-key skew diagnostics before a big join/agg: the 10
+    heaviest `l_suppkey`s, their multiple of the mean key load (×100)
+    and the salt factor that would level each (feed to
+    `x_salted_join`).  Integer arithmetic throughout; one count agg +
+    broadcast totals + TakeOrdered — the fact table never shuffles."""
+    from lwetl_spark.operators.cardinality import skew_profile
+
+    return skew_profile(_t(spark, sf_dir, "lineitem"), "l_suppkey", top_n=10)
+
+
+@register(
+    "x_shard_assign",
+    """
+    WITH s AS (
+      SELECT doc_id, n_chars,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'shard'), 1, 4))::INT % 8
+                 AS shard
+      FROM documents
+    )
+    SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc
+    FROM s GROUP BY shard
+    """,
+)
+def x_shard_assign(spark, sf_dir):
+    """Deterministic training-shard manifest: every document's shard is
+    a pure function of its key (md5 bucket mod 8), so the manifest is
+    reproducible across runs, partitionings, and engines — the writer
+    (`write_training_shards`) materializes `shard=N/` directories that
+    readers partition-prune.  Row-local assignment + one agg."""
+    from lwetl_spark.operators.sampling import shard_by_key
+
+    docs = _t(spark, sf_dir, "documents")
+    return shard_by_key(docs, "doc_id", 8).groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
 #: keys the round-1 driver run already sampled green (CORRECTNESS_r01.json);
 #: listed so the catalog can surface the yet-unsampled entries FIRST for a
 #: driver that checks a prefix of the registration order (VERDICT r1 #6).

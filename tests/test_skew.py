@@ -136,3 +136,64 @@ def test_percentile_filter_keeps_top_fraction(spark):
     assert all(r.v >= r._thr for r in allv)
     with pytest.raises(ValueError):
         percentile_filter(df, "v", keep_frac=0.0)
+
+
+def test_skew_profile_flags_hot_key(spark, skewed):
+    from lwetl_spark.operators.cardinality import skew_profile
+
+    rows = skew_profile(skewed, "k", top_n=5).collect()
+    assert len(rows) == 5
+    top = rows[0]
+    assert top["k"] == 0  # the hot key surfaces first
+    # key 0 holds ~70% of 200k rows over ~97 distinct keys -> far above mean
+    assert top["skew_x100"] > 100 * 10
+    assert top["suggested_salt"] >= 10
+    # every non-hot key is near mean load: salt suggestion stays small
+    assert all(r["suggested_salt"] <= 2 for r in rows[1:])
+    # counts descend and arithmetic is self-consistent
+    assert [r["cnt"] for r in rows] == sorted((r["cnt"] for r in rows), reverse=True)
+
+
+def test_skew_profile_rejects_bad_topn(spark, skewed):
+    from lwetl_spark.operators.cardinality import skew_profile
+
+    with pytest.raises(ValueError):
+        skew_profile(skewed, "k", top_n=0)
+
+
+def test_shard_assignment_deterministic_and_partition_invariant(spark):
+    from lwetl_spark.operators.sampling import shard_by_key
+
+    df = spark.range(5_000).select(F.col("id").alias("doc_id"))
+    a = {r["doc_id"]: r["shard"] for r in shard_by_key(df, "doc_id", 16).collect()}
+    b = {
+        r["doc_id"]: r["shard"]
+        for r in shard_by_key(df.repartition(13), "doc_id", 16).collect()
+    }
+    assert a == b  # partitioning never changes an assignment
+    assert set(a.values()) == set(range(16))
+    with pytest.raises(ValueError):
+        shard_by_key(df, "doc_id", 0)
+
+
+def test_write_training_shards_roundtrip(spark, tmp_path):
+    from lwetl_spark.operators.sampling import shard_by_key, write_training_shards
+
+    df = spark.range(2_000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7).alias("v")
+    )
+    out = str(tmp_path / "shards")
+    write_training_shards(df, out, "doc_id", 8)
+    back = spark.read.parquet(out)
+    # every row lands in exactly its deterministic shard
+    expect = shard_by_key(df, "doc_id", 8)
+    assert (
+        back.select("doc_id", "v", F.col("shard").cast("int").alias("shard"))
+        .exceptAll(expect.select("doc_id", "v", F.col("shard").cast("int")))
+        .count()
+        == 0
+    )
+    assert back.count() == 2_000
+    # partition pruning: reading one shard dir touches only that data
+    one = spark.read.parquet(out).filter(F.col("shard") == 3)
+    assert one.count() == expect.filter(F.col("shard") == 3).count()
