@@ -288,3 +288,73 @@ def write_training_shards(
     sharded.repartition(n_shards, F.col("shard")).write.mode(
         "overwrite"
     ).partitionBy("shard").parquet(path)
+
+
+def fluency_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """CCNet-style LM-fluency bucketing (Wenzek et al. 2020, "CCNet:
+    Extracting High Quality Monolingual Datasets from Web Crawl Data",
+    arXiv:1911.00359): score each document by how *fluent* it looks
+    under a corpus unigram LM, then split every language into
+    head / middle / tail quality buckets.  (Training-pipeline op,
+    NEW — no reference analog.)
+
+    Engine-portable scoring (the `ln`-free pattern of `dsir_weights`):
+    each token scores its corpus frequency in ppm — `cs·scale DIV N`,
+    bounded by `scale` BY CONSTRUCTION, so the per-doc sum fits int64
+    at ANY corpus size (≤ n_tok·scale) — and a document's fluency is
+    the integer mean token-frequency-ppm.  Common-word-rich docs score
+    high (CCNet's low-perplexity head), gibberish scores low.
+
+    Bucketing is THRESHOLD-based, not rank-based: per-language 0.25 /
+    0.75 interpolated percentiles of the integer score (dyadic
+    fractions → bit-exact across engines), broadcast back, one CASE.
+    `NTILE` would need a total order per language — a single-reducer
+    sort at 100 TB; `percentile` is a partial-aggregable agg, so
+    nothing here globally sorts.
+
+    Returns (doc_id, lang, n_tok, fluency_ppm, bucket) for every
+    document with ≥1 token; bucket ∈ head (top quartile) / middle /
+    tail (bottom quartile) within the document's language.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(lang_col).alias("lang"),
+        F.explode(
+            F.expr(rf"filter(split(lower(trim({text_col})), '\\s+'), x -> x <> '')")
+        ).alias("tok"),
+    )
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("cs"))
+    totals = vocab.agg(F.sum("cs").alias("n"))
+    freq = vocab.crossJoin(F.broadcast(totals)).select(
+        "tok", F.expr(f"cs * CAST({scale} AS BIGINT) DIV n").alias("f_ppm")
+    )
+    # corpus-sized toks side must never broadcast (Catalyst underestimates
+    # exploded outputs); build the hash table on the vocab-sized freq side
+    doc = (
+        toks.join(freq.hint("shuffle_hash"), "tok")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").alias("n_tok"),
+            F.expr("sum(f_ppm) DIV count(*)").alias("fluency_ppm"),
+        )
+    )
+    cuts = doc.groupBy("lang").agg(
+        F.expr("percentile(fluency_ppm, 0.75)").alias("t_hi"),
+        F.expr("percentile(fluency_ppm, 0.25)").alias("t_lo"),
+    )
+    return doc.join(F.broadcast(cuts), "lang").select(
+        "doc_id",
+        "lang",
+        "n_tok",
+        "fluency_ppm",
+        F.when(F.col("fluency_ppm") >= F.col("t_hi"), F.lit("head"))
+        .when(F.col("fluency_ppm") < F.col("t_lo"), F.lit("tail"))
+        .otherwise(F.lit("middle"))
+        .alias("bucket"),
+    )

@@ -4382,6 +4382,47 @@ def x_shard_assign(spark, sf_dir):
     )
 
 
+@register(
+    "x_fluency_buckets",
+    r"""
+    WITH g AS (
+      SELECT doc_id, lang,
+             unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                x -> x <> '')) AS tok
+      FROM documents
+    ),
+    v AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cs FROM g GROUP BY tok),
+    t AS (SELECT CAST(SUM(cs) AS BIGINT) AS n FROM v),
+    f AS (SELECT tok, cs * 1000000 // n AS f_ppm FROM v CROSS JOIN t),
+    d AS (
+      SELECT g.doc_id, g.lang, CAST(COUNT(*) AS BIGINT) AS n_tok,
+             CAST(SUM(f_ppm) // COUNT(*) AS BIGINT) AS fluency_ppm
+      FROM g JOIN f USING (tok) GROUP BY g.doc_id, g.lang
+    ),
+    c AS (
+      SELECT lang, quantile_cont(fluency_ppm, 0.75) AS t_hi,
+             quantile_cont(fluency_ppm, 0.25) AS t_lo
+      FROM d GROUP BY lang
+    )
+    SELECT doc_id, d.lang, n_tok, fluency_ppm,
+           CASE WHEN fluency_ppm >= t_hi THEN 'head'
+                WHEN fluency_ppm < t_lo THEN 'tail'
+                ELSE 'middle' END AS bucket
+    FROM d JOIN c ON d.lang = c.lang
+    """,
+)
+def x_fluency_buckets(spark, sf_dir):
+    """CCNet-style per-language head/middle/tail quality split
+    (arXiv:1911.00359) on an integer unigram-LM fluency score — the
+    ln-free DSIR arithmetic pattern, overflow-proof at any corpus size
+    (per-token score ≤ 1e6 by construction).  Threshold-based via
+    dyadic interpolated percentiles (partial-aggregable), NOT ntile —
+    no per-language total sort anywhere."""
+    from lwetl_spark.operators.sampling import fluency_buckets
+
+    return fluency_buckets(_t(spark, sf_dir, "documents"))
+
+
 #: keys the round-1 driver run already sampled green (CORRECTNESS_r01.json);
 #: listed so the catalog can surface the yet-unsampled entries FIRST for a
 #: driver that checks a prefix of the registration order (VERDICT r1 #6).

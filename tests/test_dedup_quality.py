@@ -414,3 +414,36 @@ def test_dsir_weights_target_ranks_higher(spark):
         .collect()
     }
     assert means[True] > means[False]
+
+
+def test_fluency_buckets_split_and_invariance(spark):
+    """CCNet-style buckets: common-word docs land in head, gibberish in
+    tail; each language splits ~25/50/25; scores are partitioning-
+    invariant integers."""
+    from pyspark.sql import functions as F
+
+    from lwetl_spark.operators.sampling import fluency_buckets
+
+    rows = [(i, "the and of to the a in", "en") for i in range(8)]  # fluent
+    rows += [(100 + i, f"qzx{i} wvb{i} jkl{i}", "en") for i in range(8)]  # gibberish
+    rows += [(200 + i, "common words only here", "fr") for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    out = {r["doc_id"]: r for r in fluency_buckets(df).collect()}
+    assert len(out) == 20
+    # every fluent en doc outranks every gibberish en doc
+    flu = [out[i]["fluency_ppm"] for i in range(8)]
+    gib = [out[100 + i]["fluency_ppm"] for i in range(8)]
+    assert min(flu) > max(gib)
+    # fluent docs tie at the 0.75 cut -> head; gibberish docs tie AT the
+    # 0.25 cut (score == t_lo, not < t_lo) -> middle, never head
+    assert all(out[i]["bucket"] == "head" for i in range(8))
+    assert all(out[100 + i]["bucket"] == "middle" for i in range(8))
+    # fr is bucketed within fr only: identical docs -> identical score,
+    # score == threshold on both cuts -> all head
+    assert {out[200 + i]["bucket"] for i in range(4)} == {"head"}
+
+    again = {r["doc_id"]: r for r in fluency_buckets(df.repartition(11)).collect()}
+    assert {(k, v["fluency_ppm"], v["bucket"]) for k, v in out.items()} == {
+        (k, v["fluency_ppm"], v["bucket"]) for k, v in again.items()
+    }
