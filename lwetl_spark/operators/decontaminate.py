@@ -135,3 +135,81 @@ def blocklist_filter(
     )
     out = tagged.join(F.broadcast(blocked), "_domain", "left_anti")
     return out if keep_audit_cols else out.drop("_host", "_domain")
+
+
+def _minhash_bands(sig: DataFrame, n_perm: int, bands: int) -> DataFrame:
+    """(doc_id, band, key) rows: the signature's `n_perm` slots split
+    into `bands` groups of r = n_perm/bands rows each; `key` is the
+    group's slots joined into one string.  One stack() — row-local,
+    no shuffle."""
+    if n_perm % bands:
+        raise ValueError(f"bands {bands} must divide n_perm {n_perm}")
+    r = n_perm // bands
+    parts = ", ".join(
+        f"{b}, concat_ws('|', {', '.join(f'h{b * r + j}' for j in range(r))})"
+        for b in range(bands)
+    )
+    return sig.select(
+        "doc_id", F.expr(f"stack({bands}, {parts}) AS (band, key)")
+    )
+
+
+def fuzzy_contamination_hits(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_perm: int = 8,
+    bands: int = 4,
+    shingle_len: int = 3,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """NEAR-duplicate benchmark contamination: corpus documents whose
+    MinHash signature collides with an eval-set document in ≥1 LSH band
+    — catching paraphrased/lightly-edited test-set leakage that the
+    exact n-gram rule (`contamination_hits`) misses.  The GPT-3
+    appendix's exact 13-gram guard plus this fuzzy pass is the standard
+    two-layer decontamination stack.
+
+    Uses the md5 portable signature family (`portable_minhash_
+    signatures`) so the DuckDB oracle rebuilds the collision set
+    bit-for-bit; with n_perm=8, bands=4 (r=2), a pair at Jaccard s
+    collides with prob 1-(1-s²)⁴ — ~0.94 at s=0.7.
+
+    Scale (100 TB corpus, MB-scale benchmark): the corpus never
+    shuffles — signatures reduce map-side to (doc_id, 8 longs), band
+    rows are row-local, and the benchmark band table BROADCASTS, so
+    the only shuffle is the count-distinct over actual collision
+    pairs.  Returns (doc_id, n_bench_hits), contaminated docs only.
+    """
+    from lwetl_spark.operators.dedup import portable_minhash_signatures
+
+    csig = portable_minhash_signatures(corpus, text_col, id_col, n_perm, shingle_len)
+    bsig = portable_minhash_signatures(benchmark, text_col, id_col, n_perm, shingle_len)
+    cb = _minhash_bands(csig, n_perm, bands)
+    bb = _minhash_bands(bsig, n_perm, bands).withColumnRenamed("doc_id", "bench_id")
+    if broadcast_benchmark:
+        bb = F.broadcast(bb)
+    pairs = cb.join(bb, ["band", "key"]).select("doc_id", "bench_id")
+    return pairs.groupBy("doc_id").agg(
+        F.count_distinct("bench_id").alias("n_bench_hits")
+    )
+
+
+def fuzzy_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_perm: int = 8,
+    bands: int = 4,
+    shingle_len: int = 3,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Corpus minus every document MinHash-band-colliding with the
+    benchmark (left anti-join on the fuzzy hit set)."""
+    hits = fuzzy_contamination_hits(
+        corpus, benchmark, text_col, id_col, n_perm, bands, shingle_len,
+        broadcast_benchmark,
+    ).select(F.col("doc_id").alias(id_col))
+    return corpus.join(hits, id_col, "left_anti")

@@ -752,3 +752,49 @@ def bloom_pruned_join(
             .drop("_pj")
         )
     return pruned.join(small, on, how)
+
+
+def portable_minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_perm: int = 8,
+    shingle_len: int = 3,
+) -> DataFrame:
+    """Engine-portable MinHash signatures (md5 hash family): slot i is
+    MIN over the document's word shingles of the first 60 bits of
+    md5('i:' ‖ shingle) — bit-identical in any engine with md5 (the
+    DuckDB oracles rebuild it verbatim).  The xxhash64 32-perm family
+    (`minhash_lsh_pairs`) stays the intra-corpus hot path; this family
+    exists for signatures that must be CHECKABLE or durable across
+    engines (persisted manifests, cross-system contamination audits).
+
+    Scale: shingling is row-local column expressions; the only shuffle
+    is the per-doc groupBy whose MIN slots combine map-side — (doc_id,
+    n_perm longs) is all that moves.  Docs shorter than `shingle_len`
+    words produce no signature.
+    """
+    d = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(rf"filter(split(lower(trim({text_col})), '\\s+'), x -> x <> '')").alias(
+            "_t"
+        ),
+    ).filter(F.size("_t") >= shingle_len)
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(_t) - {shingle_len}), "
+                f"i -> concat_ws(' ', slice(_t, i + 1, {shingle_len})))"
+            )
+        ).alias("s"),
+    )
+    aggs = [
+        F.min(
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{i}:"), F.col("s"))), 1, 15), 16, 10
+            ).cast("long")
+        ).alias(f"h{i}")
+        for i in range(n_perm)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)

@@ -2056,26 +2056,11 @@ def x_minhash_portable(spark, sf_dir):
     DuckDB's MIN over the same shingle set.  Companion to
     x_simhash_portable; the xxhash64 32-perm family (x_dedup_minhash)
     stays the hot path."""
-    docs = _t(spark, sf_dir, "documents")
-    d = docs.select(
-        "doc_id",
-        F.expr(r"filter(split(lower(trim(text)), '\\s+'), x -> x <> '')").alias("t"),
-    ).filter(F.size("t") >= 3)
-    sh = d.select(
-        "doc_id",
-        F.explode(
-            F.expr("transform(sequence(0, size(t) - 3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))")
-        ).alias("s"),
+    from lwetl_spark.operators.dedup import portable_minhash_signatures
+
+    return portable_minhash_signatures(
+        _t(spark, sf_dir, "documents"), n_perm=8, shingle_len=3
     )
-    aggs = [
-        F.min(
-            F.conv(
-                F.substring(F.md5(F.concat(F.lit(f"{i}:"), F.col("s"))), 1, 15), 16, 10
-            ).cast("long")
-        ).alias(f"h{i}")
-        for i in range(8)
-    ]
-    return sh.groupBy("doc_id").agg(*aggs)
 
 
 @register(
@@ -4421,6 +4406,72 @@ def x_fluency_buckets(spark, sf_dir):
     from lwetl_spark.operators.sampling import fluency_buckets
 
     return fluency_buckets(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "x_fuzzy_decontaminate",
+    r"""
+    WITH tk AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                         x -> x <> '') AS t,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'bench'), 1, 4))::INT
+                 < 2621 AS is_bench
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, is_bench,
+             unnest(list_transform(range(1, len(t) - 1),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      FROM tk WHERE len(t) >= 3
+    ),
+    sig AS (
+      SELECT doc_id, is_bench,
+             MIN(('0x' || substr(md5('0:' || s), 1, 15))::BIGINT) AS h0,
+             MIN(('0x' || substr(md5('1:' || s), 1, 15))::BIGINT) AS h1,
+             MIN(('0x' || substr(md5('2:' || s), 1, 15))::BIGINT) AS h2,
+             MIN(('0x' || substr(md5('3:' || s), 1, 15))::BIGINT) AS h3,
+             MIN(('0x' || substr(md5('4:' || s), 1, 15))::BIGINT) AS h4,
+             MIN(('0x' || substr(md5('5:' || s), 1, 15))::BIGINT) AS h5,
+             MIN(('0x' || substr(md5('6:' || s), 1, 15))::BIGINT) AS h6,
+             MIN(('0x' || substr(md5('7:' || s), 1, 15))::BIGINT) AS h7
+      FROM sh GROUP BY doc_id, is_bench
+    ),
+    bandt AS (
+      SELECT doc_id, is_bench, 0 AS band,
+             CAST(h0 AS VARCHAR) || '|' || CAST(h1 AS VARCHAR) AS key FROM sig
+      UNION ALL
+      SELECT doc_id, is_bench, 1,
+             CAST(h2 AS VARCHAR) || '|' || CAST(h3 AS VARCHAR) FROM sig
+      UNION ALL
+      SELECT doc_id, is_bench, 2,
+             CAST(h4 AS VARCHAR) || '|' || CAST(h5 AS VARCHAR) FROM sig
+      UNION ALL
+      SELECT doc_id, is_bench, 3,
+             CAST(h6 AS VARCHAR) || '|' || CAST(h7 AS VARCHAR) FROM sig
+    ),
+    pairs AS (
+      SELECT DISTINCT c.doc_id AS doc_id, b.doc_id AS bench_id
+      FROM bandt c JOIN bandt b ON c.band = b.band AND c.key = b.key
+      WHERE NOT c.is_bench AND b.is_bench
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bench_hits
+    FROM pairs GROUP BY doc_id
+    """,
+)
+def x_fuzzy_decontaminate(spark, sf_dir):
+    """Fuzzy (near-duplicate) benchmark decontamination: corpus docs
+    whose md5-family MinHash signature band-collides with a held-out
+    4% eval split — the paraphrase-leakage guard layered on top of the
+    exact 13-gram rule (`x_decontaminate`).  Corpus never shuffles:
+    map-side signature MIN slots, row-local bands, broadcast benchmark
+    bands, and only real collision pairs reach the final count."""
+    from lwetl_spark.operators.decontaminate import fuzzy_contamination_hits
+    from lwetl_spark.operators.sampling import split_by_key
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus, bench = split_by_key(docs, "doc_id", 0.04, salt="bench")
+    return fuzzy_contamination_hits(corpus, bench)
 
 
 #: keys the round-1 driver run already sampled green (CORRECTNESS_r01.json);

@@ -1,6 +1,8 @@
 """Decontamination operator semantics (word n-grams, hit counting,
 anti-join removal)."""
 
+import pytest
+
 from lwetl_spark.operators.decontaminate import (
     contamination_hits,
     decontaminate,
@@ -97,3 +99,52 @@ def test_blocklist_filter_plan_is_broadcast_anti(spark):
     df = spark.createDataFrame([(1, "https://a.com/x")], "id LONG, url STRING")
     plan = blocklist_filter(df, "url", ["b.com"])._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_fuzzy_contamination_catches_paraphrase(spark):
+    """A corpus doc that shares most shingles with a benchmark doc must
+    band-collide; an unrelated doc must not; the anti-join removes
+    exactly the flagged docs; results are partitioning-invariant."""
+    from pyspark.sql import functions as F
+
+    from lwetl_spark.operators.decontaminate import (
+        fuzzy_contamination_hits,
+        fuzzy_decontaminate,
+    )
+
+    bench = spark.createDataFrame(
+        [(900, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # near-copy: last word swapped -> 8 of 9 shingles shared
+            # (md5 family is fixed: this pair collides in band 2, forever)
+            (1, "the quick brown fox jumps over the lazy dog now"),
+            # unrelated
+            (2, "completely different words about spark query planning"),
+            # exact copy
+            (3, "the quick brown fox jumps over the lazy dog today"),
+        ],
+        "doc_id long, text string",
+    )
+    hits = {r["doc_id"]: r["n_bench_hits"] for r in
+            fuzzy_contamination_hits(corpus, bench).collect()}
+    assert hits.get(3) == 1  # exact copy collides in every band
+    assert 2 not in hits
+    assert hits.get(1) == 1  # paraphrase shares a band
+
+    clean = fuzzy_decontaminate(corpus, bench)
+    assert {r["doc_id"] for r in clean.select("doc_id").collect()} == {2}
+
+    again = {r["doc_id"]: r["n_bench_hits"] for r in
+             fuzzy_contamination_hits(corpus.repartition(5), bench).collect()}
+    assert hits == again
+
+
+def test_fuzzy_contamination_rejects_bad_bands(spark):
+    from lwetl_spark.operators.decontaminate import fuzzy_contamination_hits
+
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        fuzzy_contamination_hits(df, df, n_perm=8, bands=3).collect()
