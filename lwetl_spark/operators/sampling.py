@@ -358,3 +358,49 @@ def fluency_buckets(
         .otherwise(F.lit("middle"))
         .alias("bucket"),
     )
+
+
+def unimax_allocation(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+    budget: int,
+    max_epochs: int = 2,
+) -> DataFrame:
+    """UniMax budget allocation (Chung et al. 2023, "UniMax: Fairer and
+    More Effective Language Sampling for Large-Scale Multilingual
+    Pretraining", arXiv:2304.09151): split a total training budget
+    across groups (languages/sources) as uniformly as possible while
+    capping any group at `max_epochs` passes over its data — the
+    fairness-preserving alternative to temperature sampling.
+
+    Exact UniMax recurrence, ascending by size: each group gets
+    min(size · max_epochs, remaining_budget DIV remaining_groups); what
+    a capped group leaves behind is re-split over the rest.  All
+    integer arithmetic (floor division) so the DuckDB recursive-CTE
+    oracle reproduces every quota bit-for-bit.
+
+    Scale: the recurrence is inherently sequential over GROUPS, not
+    rows — the collect is one row per language/source (bounded
+    metadata, same class as the k-means training sample), after a
+    map-side-combinable sum over the corpus.  Returns
+    (group, size, quota) with `epochs_ppm` = quota·1e6 DIV size for
+    auditability.
+    """
+    if budget <= 0 or max_epochs <= 0:
+        raise ValueError("budget and max_epochs must be positive")
+    sizes = (
+        df.groupBy(group_col)
+        .agg(F.sum(weight_col).cast("long").alias("n"))
+        .collect()
+    )  # one row per group — bounded metadata collect
+    sizes.sort(key=lambda r: (r["n"], r[group_col]))
+    rem, rows = int(budget), []
+    for i, r in enumerate(sizes):
+        share = rem // (len(sizes) - i)
+        quota = min(r["n"] * max_epochs, share)
+        rows.append((r[group_col], int(r["n"]), int(quota), quota * 1_000_000 // r["n"] if r["n"] else 0))
+        rem -= quota
+    return df.sparkSession.createDataFrame(
+        rows, f"{group_col} string, size bigint, quota bigint, epochs_ppm bigint"
+    )

@@ -4474,6 +4474,49 @@ def x_fuzzy_decontaminate(spark, sf_dir):
     return fuzzy_contamination_hits(corpus, bench)
 
 
+@register(
+    "x_unimax_budget",
+    """
+    WITH RECURSIVE sizes AS (
+      SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS n
+      FROM documents GROUP BY lang
+    ),
+    ranked AS (
+      SELECT lang, n, ROW_NUMBER() OVER (ORDER BY n, lang) AS rk,
+             COUNT(*) OVER () AS k
+      FROM sizes
+    ),
+    alloc AS (
+      SELECT lang, n, rk, k,
+             LEAST(n * 2, CAST(200000 AS BIGINT) // k) AS quota,
+             CAST(200000 AS BIGINT) - LEAST(n * 2, CAST(200000 AS BIGINT) // k)
+                 AS rem
+      FROM ranked WHERE rk = 1
+      UNION ALL
+      SELECT r.lang, r.n, r.rk, r.k,
+             LEAST(r.n * 2, a.rem // (r.k - r.rk + 1)),
+             a.rem - LEAST(r.n * 2, a.rem // (r.k - r.rk + 1))
+      FROM ranked r JOIN alloc a ON r.rk = a.rk + 1
+    )
+    SELECT lang, n AS size, quota,
+           CAST(quota * 1000000 // n AS BIGINT) AS epochs_ppm
+    FROM alloc
+    """,
+)
+def x_unimax_budget(spark, sf_dir):
+    """UniMax training-budget allocation across languages
+    (arXiv:2304.09151): uniform share per language, capped at 2 epochs
+    of any language's data, leftovers re-split over the rest — exact
+    integer recurrence, one bounded per-language collect (the oracle
+    replays it as a recursive CTE)."""
+    from lwetl_spark.operators.sampling import unimax_allocation
+
+    return unimax_allocation(
+        _t(spark, sf_dir, "documents"), "lang", "n_chars",
+        budget=200_000, max_epochs=2,
+    )
+
+
 #: keys the round-1 driver run already sampled green (CORRECTNESS_r01.json);
 #: listed so the catalog can surface the yet-unsampled entries FIRST for a
 #: driver that checks a prefix of the registration order (VERDICT r1 #6).

@@ -447,3 +447,24 @@ def test_fluency_buckets_split_and_invariance(spark):
     assert {(k, v["fluency_ppm"], v["bucket"]) for k, v in out.items()} == {
         (k, v["fluency_ppm"], v["bucket"]) for k, v in again.items()
     }
+
+
+def test_unimax_allocation_caps_and_conserves(spark):
+    """UniMax: small groups cap at max_epochs, the freed budget re-splits
+    over larger groups, nothing over-allocates, and the total never
+    exceeds the budget."""
+    from lwetl_spark.operators.sampling import unimax_allocation
+
+    df = spark.createDataFrame(
+        [("a", 10), ("a", 10), ("b", 100), ("c", 1000)],
+        "g string, w long",
+    )
+    out = {r["g"]: r for r in unimax_allocation(df, "g", "w", budget=900, max_epochs=3).collect()}
+    # sizes: a=20, b=100, c=1000; shares: a: 900//3=300 -> capped 60;
+    # b: 840//2=420 -> capped 300; c: 540//1=540 (budget-bound)
+    assert (out["a"]["quota"], out["b"]["quota"], out["c"]["quota"]) == (60, 300, 540)
+    assert sum(r["quota"] for r in out.values()) == 900
+    assert out["a"]["epochs_ppm"] == 3_000_000
+    assert out["c"]["epochs_ppm"] == 540_000
+    with pytest.raises(ValueError):
+        unimax_allocation(df, "g", "w", budget=0)
