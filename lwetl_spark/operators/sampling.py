@@ -296,6 +296,7 @@ def fluency_buckets(
     id_col: str = "doc_id",
     lang_col: str = "lang",
     scale: int = 1_000_000,
+    cache_scores: bool = True,
 ) -> DataFrame:
     """CCNet-style LM-fluency bucketing (Wenzek et al. 2020, "CCNet:
     Extracting High Quality Monolingual Datasets from Web Crawl Data",
@@ -321,6 +322,15 @@ def fluency_buckets(
     Returns (doc_id, lang, n_tok, fluency_ppm, bucket) for every
     document with ≥1 token; bucket ∈ head (top quartile) / middle /
     tail (bottom quartile) within the document's language.
+
+    The score table feeds two branches (the percentile cuts and the
+    output join) and Spark recomputes lazy sibling branches of one
+    job — the default `cache_scores=True` pins it via eager
+    localCheckpoint so the token explode + vocab join runs ONCE
+    (measured 7.5 s -> 2.5 s at the 16x probe point; the
+    pack_sequences `cache_input` pattern).  At 100 TB write the score
+    table to storage between the two passes instead
+    (`cache_scores=False` keeps the plan fully lazy for that).
     """
     toks = df.select(
         F.col(id_col).alias("doc_id"),
@@ -344,6 +354,8 @@ def fluency_buckets(
             F.expr("sum(f_ppm) DIV count(*)").alias("fluency_ppm"),
         )
     )
+    if cache_scores:
+        doc = doc.localCheckpoint(eager=True)
     cuts = doc.groupBy("lang").agg(
         F.expr("percentile(fluency_ppm, 0.75)").alias("t_hi"),
         F.expr("percentile(fluency_ppm, 0.25)").alias("t_lo"),

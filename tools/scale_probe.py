@@ -47,6 +47,14 @@ def scaled_docs(spark, sf_dir: str, scale: int):
     return df, n * scale
 
 
+def _fuzzy_probe(d):
+    from lwetl_spark.operators.decontaminate import fuzzy_contamination_hits
+    from lwetl_spark.operators.sampling import split_by_key
+
+    corpus, bench = split_by_key(d, "doc_id", 0.04, salt="bench")
+    return fuzzy_contamination_hits(corpus, bench).count()
+
+
 def _corpus_pipeline(d):
     """quality gate → digest dedup → per-lang stats (x_corpus_pipeline shape)."""
     from lwetl_spark.functions.text import quality_features
@@ -112,11 +120,18 @@ def main() -> None:
     from lwetl_spark.queries import QUERIES  # noqa: F401 (session warm path)
     from lwetl_spark.session import get_spark
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    args = [a for a in sys.argv[1:] if not a.startswith("--only=")]
+    only = None
+    for a in sys.argv[1:]:
+        if a.startswith("--only="):
+            only = set(a.split("=", 1)[1].split(","))
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
     spark = get_spark(app_name="scale_probe")
 
     event_ops = {"asof_join": _asof_probe}
     for op_name, fn in event_ops.items():
+        if only and op_name not in only:
+            continue
         for scale in (1, 4, 16):
             df, n_rows = scaled_events(spark, sf_dir, scale)
             df = df.persist()
@@ -210,6 +225,8 @@ def main() -> None:
         ),
     }
     for op_name, (fn, scales) in emb_ops.items():
+        if only and op_name not in only:
+            continue
         for scale in scales:
             df, n_vecs = scaled_embeddings(scale)
             df = df.persist()
@@ -241,7 +258,7 @@ def main() -> None:
 
     from lwetl_spark.operators.similarity import build_ivf_index, query_ivf_index
 
-    for scale in (1, 4, 16):
+    for scale in () if (only and "ivf_index" not in only) else (1, 4, 16):
         df, n_vecs = scaled_embeddings(scale)
         df = df.persist()
         df.count()
@@ -282,8 +299,19 @@ def main() -> None:
         .agg(F.sum("n"), F.avg("n"))
         .collect(),
         "corpus_pipeline": _corpus_pipeline,
+        # r3: corpus-frequency fluency scoring — the vocab agg + vocab
+        # join is the scale surface; bucket distribution consumed so the
+        # threshold join isn't pruned
+        "fluency_buckets": lambda d: __import__(
+            "lwetl_spark.operators.sampling", fromlist=["fluency_buckets"]
+        ).fluency_buckets(d).groupBy("bucket").count().collect(),
+        # r3: fuzzy decontamination of the corpus against a 4% bench
+        # split — signature MIN agg is the only corpus shuffle
+        "fuzzy_decon": _fuzzy_probe,
     }
     for op_name, fn in ops.items():
+        if only and op_name not in only:
+            continue
         for scale in (1, 4, 16):
             df, n_docs = scaled_docs(spark, sf_dir, scale)
             df = df.persist()
