@@ -333,3 +333,61 @@ def normalize_text(
     if strip_control:
         out = F.regexp_replace(out, _CONTROL_RE, "")
     return out
+
+
+#: Gopher rule-filter stopword list (Rae et al. 2021, Appendix A1.1.2)
+GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(
+    text: Column | str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> dict[str, Column]:
+    """The Gopher quality-rule battery (Rae et al. 2021, "Scaling
+    Language Models: ... Gopher", arXiv:2112.11446, Appendix A): the
+    canonical heuristic document filter every web-scale corpus applies
+    before model-based scoring.  (Training-pipeline op, NEW — no
+    reference analog.)
+
+    Every rule is an INTEGER cross-multiplied comparison (e.g. "mean
+    word length in [3,10]" ⇒ `3·n_words ≤ sum_len ≤ 10·n_words`) — no
+    float ratios, so verdicts are bit-identical across engines and the
+    DuckDB oracle reproduces every flag.  All row-local whole-stage-
+    codegen expressions; the token and line arrays must be materialized
+    as real columns by the CALLER's select before these are applied
+    (HOF-embedded subtrees re-evaluate per element).
+
+    Returns named Columns over `_toks` / `_lines` array columns plus
+    the raw text: rule_word_count, rule_mean_word_len,
+    rule_symbol_ratio, rule_bullet_lines, rule_ellipsis_lines,
+    rule_alpha_words, rule_stopwords, and `keep` (AND of all).
+    """
+    t = _col(text)
+    n_words = F.size(F.col("_toks"))
+    sum_len = F.aggregate(
+        F.col("_toks"), F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    )
+    n_hash = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    n_ell = (F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))) / F.lit(3)
+    n_lines = F.size(F.col("_lines"))
+    n_bullet = F.size(
+        F.filter(F.col("_lines"), lambda x: F.ltrim(x).rlike(r"^[-*•]"))
+    )
+    n_ell_lines = F.size(F.filter(F.col("_lines"), lambda x: F.rtrim(x).rlike(r"\.\.\.$")))
+    n_alpha = F.size(F.filter(F.col("_toks"), lambda x: x.rlike("[a-z]")))
+    n_stop = F.size(F.array_intersect(F.array_distinct(F.col("_toks")), F.array(*[F.lit(s) for s in GOPHER_STOPS])))
+    rules = {
+        "rule_word_count": (n_words >= min_words) & (n_words <= max_words),
+        "rule_mean_word_len": (F.lit(3) * n_words <= sum_len)
+        & (sum_len <= F.lit(10) * n_words),
+        "rule_symbol_ratio": F.lit(10) * (n_hash + n_ell.cast("long")) < n_words,
+        "rule_bullet_lines": F.lit(10) * n_bullet < F.lit(9) * n_lines,
+        "rule_ellipsis_lines": F.lit(10) * n_ell_lines < F.lit(3) * n_lines,
+        "rule_alpha_words": F.lit(5) * n_alpha >= F.lit(4) * n_words,
+        "rule_stopwords": n_stop >= F.lit(2),
+    }
+    keep = None
+    for c in rules.values():
+        keep = c if keep is None else keep & c
+    return {"n_words": n_words, **rules, "keep": keep}

@@ -4560,6 +4560,134 @@ def x_retention_cohorts(spark, sf_dir):
     )
 
 
+@register(
+    "x_gopher_rules",
+    r"""
+    WITH q AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                         x -> x <> '') AS toks,
+             string_split(text, chr(10)) AS lines
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id,
+             len(toks) AS n_words,
+             coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS sum_len,
+             length(text) - length(replace(text, '#', '')) AS n_hash,
+             (length(text) - length(replace(text, '...', ''))) // 3 AS n_ell,
+             len(lines) AS n_lines,
+             len(list_filter(lines, x -> regexp_matches(ltrim(x), '^[-*•]')))
+                 AS n_bullet,
+             len(list_filter(lines, x -> regexp_matches(rtrim(x), '\.\.\.$')))
+                 AS n_ell_lines,
+             len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
+             len(list_intersect(list_distinct(toks),
+                 ['the','be','to','of','and','that','have','with'])) AS n_stop
+      FROM q
+    )
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+           n_words BETWEEN 50 AND 100000 AS rule_word_count,
+           3 * n_words <= sum_len AND sum_len <= 10 * n_words
+               AS rule_mean_word_len,
+           10 * (n_hash + n_ell) < n_words AS rule_symbol_ratio,
+           10 * n_bullet < 9 * n_lines AS rule_bullet_lines,
+           10 * n_ell_lines < 3 * n_lines AS rule_ellipsis_lines,
+           5 * n_alpha >= 4 * n_words AS rule_alpha_words,
+           n_stop >= 2 AS rule_stopwords,
+           (n_words BETWEEN 50 AND 100000)
+             AND (3 * n_words <= sum_len AND sum_len <= 10 * n_words)
+             AND (10 * (n_hash + n_ell) < n_words)
+             AND (10 * n_bullet < 9 * n_lines)
+             AND (10 * n_ell_lines < 3 * n_lines)
+             AND (5 * n_alpha >= 4 * n_words)
+             AND (n_stop >= 2) AS keep
+    FROM c
+    """,
+)
+def x_gopher_rules(spark, sf_dir):
+    """The Gopher heuristic quality-filter battery (arXiv:2112.11446
+    App. A): word-count bounds, mean-word-length band, symbol/bullet/
+    ellipsis caps, alpha-word floor, stopword floor — every verdict an
+    integer cross-multiplied comparison (bit-exact cross-engine), all
+    row-local codegen, zero shuffles."""
+    from lwetl_spark.functions.text import gopher_rules
+
+    docs = _t(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id",
+        "text",
+        F.expr(r"filter(split(lower(trim(text)), '\\s+'), x -> x <> '')").alias(
+            "_toks"
+        ),
+        F.split("text", "\n").alias("_lines"),
+    )
+    g = gopher_rules("text")
+    return staged.select(
+        "doc_id",
+        g["n_words"].cast("long").alias("n_words"),
+        *[g[k].alias(k) for k in (
+            "rule_word_count", "rule_mean_word_len", "rule_symbol_ratio",
+            "rule_bullet_lines", "rule_ellipsis_lines", "rule_alpha_words",
+            "rule_stopwords", "keep",
+        )],
+    )
+
+
+@register(
+    "x_bigram_lm",
+    r"""
+    WITH tk AS (
+      SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    pr AS (
+      SELECT unnest(list_transform(range(1, len(t)), i -> [t[i], t[i+1]])) AS p
+      FROM tk WHERE len(t) >= 2
+    ),
+    bg AS (
+      SELECT p[1] AS w1, p[2] AS w2, CAST(COUNT(*) AS BIGINT) AS c2
+      FROM pr GROUP BY p[1], p[2]
+    ),
+    un AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM bg GROUP BY w1)
+    SELECT bg.w1, w2, c2, CAST(c2 * 1000000 // c1 AS BIGINT) AS cond_ppm
+    FROM bg JOIN un USING (w1)
+    ORDER BY c2 DESC, bg.w1, w2 LIMIT 20
+    """,
+)
+def x_bigram_lm(spark, sf_dir):
+    """Count-based bigram LM estimation (the KenLM-style n-gram-LM
+    training primitive, counts + conditional probabilities in exact
+    integer ppm — companion to x_bpe_merge_step's tokenizer training):
+    top-20 bigrams with P(w2|w1).  Corpus collapses to bigram counts
+    map-side; the unigram table derives FROM the bigram counts (no
+    second corpus pass); TakeOrdered top-k — no global sort."""
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        F.expr(r"filter(split(lower(trim(text)), '\\s+'), x -> x <> '')").alias("t")
+    ).filter(F.size("t") >= 2)
+    pairs = d.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(t) - 2),"
+                " i -> struct(t[i] AS w1, t[i + 1] AS w2))"
+            )
+        ).alias("p")
+    ).select("p.*")
+    bg = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    un = bg.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    return (
+        bg.join(un.hint("shuffle_hash"), "w1")
+        .select(
+            "w1", "w2", "c2",
+            F.expr("c2 * CAST(1000000 AS BIGINT) DIV c1").alias("cond_ppm"),
+        )
+        .orderBy(F.desc("c2"), "w1", "w2")
+        .limit(20)
+    )
+
+
 #: keys the round-1 driver run already sampled green (CORRECTNESS_r01.json);
 #: listed so the catalog can surface the yet-unsampled entries FIRST for a
 #: driver that checks a prefix of the registration order (VERDICT r1 #6).

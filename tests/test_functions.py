@@ -315,3 +315,44 @@ def test_epoch_micros_ltz_dispatch_session_tz_independent(spark):
         )
     finally:
         spark.conf.set("spark.sql.session.timeZone", tz0)
+
+
+def test_gopher_rules_each_rule_fires(spark):
+    """Each Gopher rule must fail on a doc crafted to violate exactly
+    that rule (others held passing where possible)."""
+    from pyspark.sql import functions as F
+
+    from lwetl_spark.functions.text import gopher_rules
+
+    good = "the be to of and that have with " + " ".join(
+        f"word{i:03d}" for i in range(60)
+    )
+    docs = [
+        (0, good),                                        # passes everything
+        (1, "the be to of and word"),                     # too few words
+        (2, "the be " + " ".join(["aa"] * 60)),           # mean word len < 3
+        (3, good + " " + " ".join(["#"] * 20)),           # symbol ratio
+        (4, "\n".join(["- bullet point here"] * 10)),     # 100% bullet lines
+        (5, "\n".join(["trailing line..."] * 10)),        # 100% ellipsis lines
+        (6, "the be " + " ".join(["123"] * 60)),          # alpha words < 80%
+        (7, " ".join(f"word{i:03d}" for i in range(60))), # no stopwords
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    staged = df.select(
+        "doc_id",
+        "text",
+        F.expr(r"filter(split(lower(trim(text)), '\\s+'), x -> x <> '')").alias("_toks"),
+        F.split("text", "\n").alias("_lines"),
+    )
+    g = gopher_rules("text")
+    out = {r["doc_id"]: r.asDict() for r in staged.select("doc_id", *[g[k].alias(k) for k in g]).collect()}
+    assert out[0]["keep"] is True
+    assert out[1]["rule_word_count"] is False
+    assert out[2]["rule_mean_word_len"] is False
+    assert out[3]["rule_symbol_ratio"] is False
+    assert out[4]["rule_bullet_lines"] is False
+    assert out[5]["rule_ellipsis_lines"] is False
+    assert out[6]["rule_alpha_words"] is False
+    assert out[7]["rule_stopwords"] is False
+    for i in range(1, 8):
+        assert out[i]["keep"] is False
