@@ -798,3 +798,42 @@ def portable_minhash_signatures(
         for i in range(n_perm)
     ]
     return sh.groupBy("doc_id").agg(*aggs)
+
+
+def soft_dedup_weights(
+    ids: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """SoftDeDup reweighting (He et al., ACL 2024 "SoftDedup: an
+    Efficient Data Reweighting Method for Speeding Up Language Model
+    Pretraining"): instead of DROPPING near-duplicates, keep every
+    document and down-weight it by its duplicate-cluster size —
+    weight = scale DIV |cluster| (exact integer, so the DuckDB oracle
+    hash-matches).  Feeds the sampling weight of the training loader;
+    singletons keep full weight.
+
+    `pairs` is any near-dup pair list (minhash / simhash / jaccard /
+    ppjoin); clusters come from `connected_components` (O(log n)
+    rounds).  Scale: only (id, cluster_id) pairs shuffle; the
+    cluster-size join is keyed on cluster_id and the singleton
+    anti-join on the id — document text never moves.
+
+    Returns (id_col, cluster_size, weight_ppm) for EVERY id in `ids`.
+    """
+    cc = connected_components(pairs.select("id_a", "id_b"))
+    sizes = cc.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    clustered = cc.join(sizes, "cluster_id").select(
+        F.col("node").alias(id_col),
+        "cluster_size",
+        F.expr(f"CAST({scale} AS BIGINT) DIV cluster_size").alias("weight_ppm"),
+    )
+    singles = ids.select(id_col).join(
+        cc.select(F.col("node").alias(id_col)), id_col, "left_anti"
+    ).select(
+        id_col,
+        F.lit(1).cast("long").alias("cluster_size"),
+        F.lit(scale).cast("long").alias("weight_ppm"),
+    )
+    return clustered.unionByName(singles)

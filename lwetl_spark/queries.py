@@ -4688,6 +4688,67 @@ def x_bigram_lm(spark, sf_dir):
     )
 
 
+@register(
+    "x_soft_dedup",
+    """
+    WITH RECURSIVE tok AS (
+        SELECT doc_id AS id,
+               unnest(list_distinct(list_filter(
+                   string_split_regex(lower(trim(text)), '\\s+'), x -> x <> ''))) AS shingle
+        FROM documents
+    ),
+    sz AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY id),
+    inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, CAST(COUNT(*) AS BIGINT) AS i
+        FROM tok a JOIN tok b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY 1, 2
+    ),
+    prs AS (
+        SELECT id_a, id_b FROM inter
+        JOIN sz sa ON sa.id = id_a JOIN sz sb ON sb.id = id_b
+        WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.95
+    ),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM prs
+        UNION SELECT id_b, id_a FROM prs
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    cc AS (
+        SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+        FROM reach GROUP BY a
+    ),
+    szs AS (
+        SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+        FROM cc GROUP BY cluster_id
+    ),
+    clustered AS (
+        SELECT doc_id, cluster_size,
+               CAST(1000000 // cluster_size AS BIGINT) AS weight_ppm
+        FROM cc JOIN szs USING (cluster_id)
+    )
+    SELECT doc_id, cluster_size, weight_ppm FROM clustered
+    UNION ALL
+    SELECT doc_id, CAST(1 AS BIGINT), CAST(1000000 AS BIGINT)
+    FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM clustered)
+    """,
+)
+def x_soft_dedup(spark, sf_dir):
+    """SoftDeDup reweighting (He et al., ACL 2024): every document kept,
+    down-weighted by its near-dup cluster size (weight = 1e6 DIV
+    |cluster|, exact integers) — the drop-free alternative to
+    x_dedup_clusters for training loaders that take sampling weights.
+    Only (id, cluster_id) pairs shuffle; text never moves."""
+    from lwetl_spark.operators.dedup import soft_dedup_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, shingle_n=1, threshold=0.95)
+    return soft_dedup_weights(docs.select("doc_id"), pairs)
+
+
 #: keys the round-1 driver run already sampled green (CORRECTNESS_r01.json);
 #: listed so the catalog can surface the yet-unsampled entries FIRST for a
 #: driver that checks a prefix of the registration order (VERDICT r1 #6).

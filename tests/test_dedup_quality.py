@@ -468,3 +468,21 @@ def test_unimax_allocation_caps_and_conserves(spark):
     assert out["c"]["epochs_ppm"] == 540_000
     with pytest.raises(ValueError):
         unimax_allocation(df, "g", "w", budget=0)
+
+
+def test_soft_dedup_weights_cluster_sizes(spark):
+    """SoftDeDup: clustered docs share weight 1e6/|cluster|; singletons
+    keep full weight; every input id appears exactly once."""
+    from lwetl_spark.operators.dedup import soft_dedup_weights
+
+    ids = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (3, 4)], "id_a long, id_b long"
+    )
+    out = {r["doc_id"]: r for r in soft_dedup_weights(ids, pairs).collect()}
+    assert len(out) == 6
+    assert all(out[i]["cluster_size"] == 3 and out[i]["weight_ppm"] == 333_333
+               for i in (0, 1, 2))
+    assert all(out[i]["cluster_size"] == 2 and out[i]["weight_ppm"] == 500_000
+               for i in (3, 4))
+    assert out[5]["cluster_size"] == 1 and out[5]["weight_ppm"] == 1_000_000
