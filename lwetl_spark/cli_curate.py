@@ -43,6 +43,28 @@ def build_parser() -> argparse.ArgumentParser:
         "--decontaminate", metavar="PARQUET",
         help="benchmark parquet with a text column; overlapping docs drop",
     )
+    p.add_argument(
+        "--gopher", action="store_true",
+        help="apply the Gopher quality-rule battery (arXiv:2112.11446)",
+    )
+    p.add_argument(
+        "--gopher-min-words", type=int, default=50,
+        help="lower word-count bound for the Gopher battery",
+    )
+    p.add_argument(
+        "--drop-fluency-tail", action="store_true",
+        help="drop the per-language CCNet fluency tail quartile",
+    )
+    p.add_argument(
+        "--fuzzy-decontaminate", action="store_true",
+        help="also drop MinHash band-collisions with the benchmark "
+             "(needs --decontaminate)",
+    )
+    p.add_argument(
+        "--shards", type=int, default=None, metavar="N",
+        help="write output as N deterministic training shards "
+             "(shard=K/ partition dirs) instead of a flat parquet",
+    )
     p.add_argument("--report", help="write a multi-sheet XLSX report here")
     return p
 
@@ -55,6 +77,11 @@ def curate(
     max_dup_fraction: float | None = None,
     dedup: bool = True,
     decontaminate_path: str | None = None,
+    gopher: bool = False,
+    gopher_min_words: int = 50,
+    drop_fluency_tail: bool = False,
+    fuzzy: bool = False,
+    n_shards: int | None = None,
 ):
     """Programmatic surface of the CLI; returns the stats dict."""
     from pyspark.sql import functions as F
@@ -67,6 +94,30 @@ def curate(
     stats = {"n_input": n_input}
 
     kept = docs.filter(token_count("text") >= min_tokens)
+
+    if gopher:
+        # row-local rule battery: stays inside the same scan/plan
+        from lwetl_spark.functions.text import gopher_rules
+
+        staged = kept.withColumns(
+            {
+                "_toks": F.expr(
+                    r"filter(split(lower(trim(text)), '\\s+'), x -> x <> '')"
+                ),
+                "_lines": F.split("text", "\n"),
+            }
+        )
+        kept = staged.filter(
+            gopher_rules("text", min_words=gopher_min_words)["keep"]
+        ).drop("_toks", "_lines")
+
+    if drop_fluency_tail:
+        # corpus-relative score: one extra pass (vocab agg + join), then
+        # an id-keyed semi-join back into the chain
+        from lwetl_spark.operators.sampling import fluency_buckets
+
+        good = fluency_buckets(kept).filter(F.col("bucket") != "tail")
+        kept = kept.join(good.select("doc_id"), "doc_id", "left_semi")
 
     if max_dup_fraction is not None:
         from lwetl_spark.operators.dedup import duplicate_spans
@@ -103,8 +154,17 @@ def curate(
         if "doc_id" not in bench.columns:  # gram extraction needs an id
             bench = bench.withColumn("doc_id", F.monotonically_increasing_id())
         kept = decontaminate(kept, bench, n=3)
+        if fuzzy:
+            from lwetl_spark.operators.decontaminate import fuzzy_decontaminate
 
-    kept.write.mode("overwrite").parquet(out_dir)
+            kept = fuzzy_decontaminate(kept, bench)
+
+    if n_shards:
+        from lwetl_spark.operators.sampling import write_training_shards
+
+        write_training_shards(kept, out_dir, "doc_id", n_shards)
+    else:
+        kept.write.mode("overwrite").parquet(out_dir)
     curated = spark.read.parquet(out_dir)
     stats["n_kept"] = curated.count()
     stats["n_dropped"] = n_input - stats["n_kept"]
@@ -130,6 +190,11 @@ def main(argv: list[str] | None = None) -> int:
         max_dup_fraction=args.max_dup_fraction,
         dedup=not args.no_dedup,
         decontaminate_path=args.decontaminate,
+        gopher=args.gopher,
+        gopher_min_words=args.gopher_min_words,
+        drop_fluency_tail=args.drop_fluency_tail,
+        fuzzy=args.fuzzy_decontaminate,
+        n_shards=args.shards,
     )
     print(
         f"curated {stats['n_input']} -> {stats['n_kept']} docs "

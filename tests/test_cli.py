@@ -192,3 +192,67 @@ def test_cli_curate_end_to_end(spark, tmp_path):
     book = read_workbook(report)
     assert set(book) == {"summary", "params"}
     assert ["param", "value"] == book["params"][0]
+
+
+def test_cli_curate_round3_stages(spark, tmp_path):
+    """curate with the r3 stages: Gopher battery + fluency-tail drop +
+    fuzzy decontamination + sharded output."""
+    from pyspark.sql import functions as F
+
+    from lwetl_spark.cli_curate import main
+
+    bench = str(tmp_path / "bench_parquet")
+    spark.createDataFrame(
+        [("the quick brown fox jumps over the lazy dog",)], "text string"
+    ).write.parquet(bench)
+    out = str(tmp_path / "curated_shards")
+    rc = main(
+        [
+            "-d", "/root/testdata/sf0.001", "-o", out,
+            "--min-tokens", "5",
+            "--drop-fluency-tail",
+            "--decontaminate", bench, "--fuzzy-decontaminate",
+            "--shards", "4",
+        ]
+    )
+    assert rc == 0
+    curated = spark.read.parquet(out)
+    n_in = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").count()
+    n_out = curated.count()
+    assert 0 < n_out < n_in  # the fluency tail (~25%/lang) must drop
+    # sharded layout with deterministic assignment
+    assert "shard" in curated.columns
+    from lwetl_spark.operators.sampling import shard_by_key
+
+    expect = shard_by_key(curated.drop("shard"), "doc_id", 4)
+    mism = (
+        curated.select("doc_id", F.col("shard").cast("int").alias("shard"))
+        .exceptAll(expect.select("doc_id", F.col("shard").cast("int")))
+        .count()
+    )
+    assert mism == 0
+    assert curated.filter(F.size(F.split(F.trim("text"), r"\s+")) < 5).count() == 0
+
+
+def test_cli_curate_gopher_stage(spark, tmp_path):
+    """The --gopher stage drops rule-violating docs and keeps clean ones
+    (crafted corpus: the synthetic testdata lacks Gopher stopwords)."""
+    from lwetl_spark.cli_curate import curate
+
+    sf = str(tmp_path / "sf")
+    good = "the be to of and that have with " + " ".join(
+        f"word{i:03d}" for i in range(20)
+    )
+    bad = "the be " + " ".join(["123"] * 30)  # alpha-word rule fails
+    spark.createDataFrame(
+        [(1, good, "en", len(good), "s"), (2, bad, "en", len(bad), "s")],
+        "doc_id long, text string, lang string, n_chars int, source string",
+    ).write.parquet(sf + "/documents.parquet")
+    out = str(tmp_path / "out")
+    stats = curate(
+        spark, sf, out, min_tokens=1, dedup=False,
+        gopher=True, gopher_min_words=5,
+    )
+    assert stats["n_input"] == 2 and stats["n_kept"] == 1
+    kept = spark.read.parquet(out)
+    assert [r["doc_id"] for r in kept.collect()] == [1]

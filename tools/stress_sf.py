@@ -15,7 +15,8 @@ spark.sparkContext.setLogLevel("ERROR")
 SF = "/root/testdata/sf0.1"
 # exact-verification ops documented as bounded-scale (SCALE.md "known
 # bounded surfaces"): quadratic pair verification on purpose
-SKIP = {"x_embed_near_dups", "x_jaccard_pairs", "x_dedup_clusters", "x_ppjoin"}
+SKIP = {"x_embed_near_dups", "x_jaccard_pairs", "x_dedup_clusters", "x_ppjoin",
+        "x_soft_dedup"}  # soft_dedup: same exact-Jaccard pair generator as x_dedup_clusters
 q = mod.queries()
 slow = []
 for name in sorted(q):
