@@ -4749,6 +4749,67 @@ def x_soft_dedup(spark, sf_dir):
     return soft_dedup_weights(docs.select("doc_id"), pairs)
 
 
+@register(
+    "x_manifest_diff",
+    """
+    WITH v1 AS (SELECT doc_id, md5(text) AS dg FROM documents),
+    v2 AS (
+      SELECT doc_id,
+             md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END) AS dg
+      FROM documents WHERE doc_id % 7 <> 0
+      UNION ALL
+      SELECT doc_id + 1000000, md5(text) FROM documents WHERE doc_id % 11 = 0
+    ),
+    j AS (
+      SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+             CASE WHEN v2.doc_id IS NULL THEN 'removed'
+                  WHEN v1.doc_id IS NULL THEN 'added'
+                  WHEN v1.dg <> v2.dg THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+    )
+    SELECT status, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc
+    FROM j GROUP BY status
+    """,
+)
+def x_manifest_diff(spark, sf_dir):
+    """Corpus snapshot diff — added / removed / changed / unchanged
+    between two corpus versions by (doc_id, content digest): the
+    incremental-crawl bookkeeping in front of incremental dedup and
+    dimension sync (C6).  Digest-only full-outer join: (id, 32-char
+    md5) rows shuffle, never document text."""
+    docs = _t(spark, sf_dir, "documents")
+    v1 = docs.select("doc_id", F.md5("text").alias("dg"))
+    v2_kept = docs.filter(F.col("doc_id") % 7 != 0).select(
+        "doc_id",
+        F.md5(
+            F.when(
+                F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" v2"))
+            ).otherwise(F.col("text"))
+        ).alias("dg"),
+    )
+    v2_new = docs.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), F.md5("text").alias("dg")
+    )
+    v2 = v2_kept.unionByName(v2_new)
+    # USING-style full outer: Spark emits ONE coalesced doc_id key column
+    j = v1.alias("a").join(v2.alias("b"), "doc_id", "full_outer").select(
+        F.col("doc_id"),
+        F.when(F.col("b.dg").isNull(), "removed")
+        .when(F.col("a.dg").isNull(), "added")
+        .when(F.col("a.dg") != F.col("b.dg"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+    )
+    return j.groupBy("status").agg(
+        F.count("*").alias("n_docs"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
 #: keys the round-1 driver run already sampled green (CORRECTNESS_r01.json);
 #: listed so the catalog can surface the yet-unsampled entries FIRST for a
 #: driver that checks a prefix of the registration order (VERDICT r1 #6).
