@@ -172,7 +172,11 @@ def skew_profile(df: DataFrame, key_col: str, top_n: int = 10) -> DataFrame:
     this key carries (×100, integer), and `suggested_salt` =
     ceil(cnt / mean) — the number of salt buckets that splits the key
     down to average load (feed to `operators/joins.salted_join`).  All
-    integer arithmetic, so the DuckDB oracle hash-matches.
+    integer arithmetic, so the DuckDB oracle hash-matches.  The mean is
+    the FLOORED `n_rows DIV n_keys` (≥ 1 since every key has a row):
+    ratios against it avoid the `cnt · n_keys` product, which overflows
+    int64 (ANSI error at scale) once keys × heavy-key-count passes
+    ~9·10¹⁸ — real at 100 TB cardinalities.
 
     Scale: one map-side-combinable count agg over the key, a 2-long
     totals row broadcast, and a TakeOrdered top-n (per-partition heaps,
@@ -189,8 +193,10 @@ def skew_profile(df: DataFrame, key_col: str, top_n: int = 10) -> DataFrame:
         .select(
             key_col,
             "cnt",
-            F.expr("cnt * n_keys * 100 DIV n_rows").alias("skew_x100"),
-            F.expr("(cnt * n_keys + n_rows - 1) DIV n_rows").alias("suggested_salt"),
+            F.expr("cnt * 100 DIV (n_rows DIV n_keys)").alias("skew_x100"),
+            F.expr(
+                "(cnt + (n_rows DIV n_keys) - 1) DIV (n_rows DIV n_keys)"
+            ).alias("suggested_salt"),
         )
         .orderBy(F.desc("cnt"), F.col(key_col))
         .limit(top_n)

@@ -4316,8 +4316,9 @@ def x_drift_chi2(spark, sf_dir):
       FROM c
     )
     SELECT l_suppkey, cnt,
-           CAST(cnt * n_keys * 100 // n_rows AS BIGINT) AS skew_x100,
-           CAST((cnt * n_keys + n_rows - 1) // n_rows AS BIGINT) AS suggested_salt
+           CAST(cnt * 100 // (n_rows // n_keys) AS BIGINT) AS skew_x100,
+           CAST((cnt + (n_rows // n_keys) - 1) // (n_rows // n_keys) AS BIGINT)
+               AS suggested_salt
     FROM c CROSS JOIN t
     ORDER BY cnt DESC, l_suppkey
     LIMIT 10
