@@ -83,3 +83,82 @@ def pagerank(
             ).alias("rank"),
         )
     return ranks.select("node", F.round("rank", digits).alias("rank"))
+
+
+def triangle_stats(
+    edges: DataFrame,
+    a: str = "a",
+    b: str = "b",
+) -> DataFrame:
+    """Global triangle census of an undirected graph: one row
+    (n_nodes, n_edges, n_wedges, n_triangles, gcc_ppm).
+
+    Algorithm: degree-ordered edge orientation ("compact-forward").
+    Every edge is oriented from its lower-(degree, id) endpoint to the
+    higher one, making a DAG under the total order (deg, id); a triangle
+    {x,y,z} ordered x<y<z then has edges x→y, x→z, y→z and is counted
+    EXACTLY once — as the wedge (y,z) at x closed by y→z.  Orienting by
+    degree bounds every out-adjacency by O(√m), so wedge generation is
+    O(m^1.5) total instead of Σ deg² — the difference between feasible
+    and not on power-law graphs (a celebrity node with deg 10⁶ would
+    otherwise emit 10¹² wedge candidates from one key).
+
+    Plan: two keyed self-joins (wedge build on the apex, closure probe
+    on the wedge pair) + one scalar agg — no collect, no iteration.
+    gcc = 3·triangles / wedges is emitted as exact-integer ppm
+    (3e6·tri div wedges), hash-stable cross-engine.
+    """
+    ec = (
+        edges.select(
+            F.least(F.col(a), F.col(b)).alias("a"),
+            F.greatest(F.col(a), F.col(b)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        ec.select(F.col("a").alias("node"))
+        .unionAll(ec.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    # orient each edge toward the higher (deg, id) endpoint
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
+    w_edges = ec.join(da, "a").join(db, "b")
+    fwd = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    od = w_edges.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(fwd, F.col("deg_b")).otherwise(F.col("deg_a")).alias("deg_v"),
+    )
+    e1 = od.select(F.col("u"), F.col("v").alias("v1"), F.col("deg_v").alias("d1"))
+    e2 = od.select(F.col("u"), F.col("v").alias("v2"), F.col("deg_v").alias("d2"))
+    lt = (F.col("d1") < F.col("d2")) | (
+        (F.col("d1") == F.col("d2")) & (F.col("v1") < F.col("v2"))
+    )
+    wedges = e1.join(e2, "u").filter(lt).select("v1", "v2")
+    closer = od.select(F.col("u").alias("v1"), F.col("v").alias("v2"))
+    tri = wedges.join(closer, ["v1", "v2"], "inner")
+
+    # ONE lazy plan (the funnel/set-ops rule): three single-row aggs
+    # cross-joined — no driver-side counts, the result is a DataFrame
+    # the caller can compose/collect once.
+    ne = ec.agg(F.count("*").alias("n_edges"))
+    nt = tri.agg(F.count("*").alias("n_triangles"))
+    dg = deg.agg(
+        F.count("*").alias("n_nodes"),
+        F.sum(F.expr("deg * (deg - 1) div 2")).alias("n_wedges"),
+    )
+    return dg.crossJoin(ne).crossJoin(nt).select(
+        "n_nodes",
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        F.when(F.col("n_wedges") > 0, F.expr("3000000 * n_triangles div n_wedges"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("gcc_ppm"),
+    )

@@ -192,3 +192,62 @@ def interval_overlap_join(
     overlap = (F.col(l_lo) < F.col(r_hi)) & (F.col(r_lo) < F.col(l_hi))
     canonical = F.col("__band") == band(F.greatest(F.col(l_lo), F.col(r_lo)))
     return lb.join(rb, on="__band", how="inner").filter(overlap & canonical).drop("__band")
+
+
+def fuzzy_join_blocked(
+    left: DataFrame,
+    right: DataFrame,
+    block_cols: list[str],
+    left_col: str,
+    right_col: str,
+    max_dist: int = 2,
+    left_id: str | None = None,
+    right_order: str | None = None,
+    best_only: bool = True,
+) -> DataFrame:
+    """Record linkage: edit-distance match within blocking groups (NEW —
+    no reference analog; the classic dirty-dimension reconciliation step
+    in front of db_copy/dimension sync).
+
+    Candidate pairs come ONLY from an equi-join on `block_cols` — the
+    standard blocking trick that turns the O(|L|·|R|) all-pairs string
+    comparison into per-block products (same family as
+    sorted-neighborhood dedup, which blocks by sort-key window instead).
+    `levenshtein` is a JVM built-in, evaluated once per candidate inside
+    whole-stage codegen; candidates above `max_dist` die in the same
+    stage — only matches reach the (optional) best-match window.
+
+    With `best_only`, ties are broken (dist, `right_order`) so the
+    selected match is deterministic under any partitioning.
+
+    Scale: a hash join on the block key; hot blocks are the skew risk —
+    pick block keys with bounded fan-out (brand, zip, sort-key prefix),
+    or salt the block column first (operators/skew.py) and union the
+    residue.  No all-pairs stage exists at any scale.
+    """
+    if best_only and (left_id is None or right_order is None):
+        raise ValueError("best_only requires left_id and right_order")
+    l = left.select(
+        *[F.col(c) for c in block_cols],
+        *[F.col(c) for c in left.columns if c not in block_cols],
+    )
+    r_payload = [c for c in right.columns if c not in block_cols]
+    r = right.select(
+        *[F.col(c) for c in block_cols],
+        *[F.col(c).alias(f"r_{c}") for c in r_payload],
+    )
+    cand = (
+        l.join(r, on=block_cols, how="inner")
+        .withColumn(
+            "dist", F.levenshtein(F.col(left_col), F.col(f"r_{right_col}")).cast("long")
+        )
+        .filter(F.col("dist") <= max_dist)
+    )
+    if not best_only:
+        return cand
+    w = Window.partitionBy(left_id).orderBy(F.asc("dist"), F.asc(f"r_{right_order}"))
+    return (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -1,0 +1,152 @@
+"""Lexical retrieval: inverted-index statistics + BM25 top-k ranking
+(NEW — no reference analog; lwetl's nearest surface is parameterized
+SELECT, `/root/reference/lwetl/jdbc.py:520-585`.  This is the lexical
+complement to the embedding ANN family: a training-data pipeline needs
+BOTH "find documents like this vector" and "find documents matching
+these terms" — e.g. decontamination probes, targeted corpus slicing,
+retrieval-augmented eval-set construction).
+
+Scoring is Okapi BM25 with k1=1.2, b=0.75, re-expressed in exact
+integer arithmetic so every engine reproduces the ranking bit-for-bit
+(the same portability rule as x_tfidf / x_dsir_weights: `ln` and float
+division are not hash-stable across engines; integer rationals are):
+
+- tf component  tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)) with avgdl kept
+  as the per-mille integer `adl_m = 1000·Σdl div N`, multiplied out to
+  the integer rational  22·tf·adl_m / (10·tf·adl_m + 3·adl_m + 9000·dl)
+  and floored at 1e6 scale (`tfc_ppm`, ≤ 2.2e6 = k1+1);
+- idf component: the Robertson ratio (N−df+0.5)/(df+0.5) kept rational
+  as (2N−2df+1)/(2df+1), floored at 1e3 scale (`idf_mil`) — a monotone
+  proxy for the log form (ranking within a term is identical; weighting
+  across terms favors rarer terms more sharply than log, which is the
+  desirable direction for probe-style retrieval);
+- term score = tfc_ppm · idf_mil div 1000  (1e6 scale), summed per
+  (query, doc).
+
+Overflow budget (all BIGINT): tfc numerator 1e6·22·tf·adl_m needs
+tf·avgdl < 4e11 — satisfied by any real corpus (tf ≤ 1e4, avgdl ≤ 1e4);
+the idf·tfc product needs N ≤ ~2e9 docs at these scales — beyond that,
+drop `idf_scale` to 100 (sizing rule, same spirit as SCALE.md's
+LSH-planes rule).
+
+Scale design (100 TB): document text is tokenized map-side and never
+shuffles — the only wide stages carry (tok, doc_id, tf) postings and
+(tok, df) vocabulary rows.  The query set is tiny and broadcast.  Top-k
+per query is two-phase (salted partial top-k, then final top-k) because
+"per query" is a few-groups window — a single-pass window over
+query_id alone would funnel every matching posting through one task per
+query at corpus scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: tokenizer shared with x_tfidf / x_corpus_pipeline (split on runs of
+#: whitespace, drop empties) — keep in lockstep with the DuckDB oracle.
+_TOKENIZE = r"filter(split(lower(trim({col})), '\\s+'), x -> x <> '')"
+
+
+def doc_term_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Tokenize once, return the three inverted-index statistics tables:
+
+    - `tf`: (doc_id, tok, tf) term frequencies,
+    - `dl`: (doc_id, dl) document lengths in tokens,
+    - `stats`: single row (n BIGINT, adl_m BIGINT) — corpus size and
+      per-mille average document length.
+
+    One explode + two keyed aggs; the explode output carries only
+    (doc_id, tok).
+    """
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.expr(_TOKENIZE.format(col=text_col))).alias("tok"),
+    )
+    tf = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n"),
+        F.expr("1000 * sum(dl) div count(*)").alias("adl_m"),
+    )
+    return tf, dl, stats
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    term_col: str = "term",
+    k: int = 10,
+    salt_buckets: int = 64,
+    idf_scale: int = 1000,
+) -> DataFrame:
+    """Top-k documents per query under integer-rational BM25.
+
+    `queries` is one (query_id, term) row per query term (pre-exploded —
+    callers with array-typed queries explode first).  Returns
+    (query_id, doc_id, score_ppm, n_terms, rnk) with rnk in 1..k,
+    ordered ties broken by doc_id so the cut is deterministic.
+
+    Plan shape: postings ⨝ broadcast(query terms) → per-(query,doc) sum
+    → salted partial top-k → final top-k.  The posting⨝query join drops
+    every non-query term before any wide exchange, so the per-query agg
+    is bounded by the postings of |q| terms, not the corpus.
+    """
+    tf, dl, stats = doc_term_stats(docs, id_col=id_col, text_col=text_col)
+    q = queries.select(
+        F.col(query_id_col).cast("long").alias("query_id"),
+        F.col(term_col).alias("tok"),
+    )
+    # Prune postings to query terms FIRST (broadcast joins), so the df
+    # agg and everything downstream run over |q| terms' postings, not
+    # the whole vocabulary.  df comes from tf (one row per (doc, tok))
+    # pruned by DISTINCT query terms — pruning via `matched` would
+    # double-count docs for a term shared by two queries.
+    matched = tf.join(F.broadcast(q), "tok")
+    df_ = (
+        tf.join(F.broadcast(q.select("tok").distinct()), "tok")
+        .groupBy("tok")
+        .agg(F.count("*").alias("df"))
+    )
+    scored = (
+        matched.join(F.broadcast(df_), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "doc_id",
+            F.expr(
+                "(1000000 * 22 * tf * adl_m"
+                " div (10 * tf * adl_m + 3 * adl_m + 9000 * dl))"
+                f" * ({idf_scale} * (2 * n - 2 * df + 1) div (2 * df + 1))"
+                f" div {idf_scale}"
+            ).alias("term_score"),
+        )
+    )
+    per_doc = scored.groupBy("query_id", "doc_id").agg(
+        F.sum("term_score").alias("score_ppm"),
+        F.count("*").alias("n_terms"),
+    )
+    salt = F.pmod(F.xxhash64("doc_id"), F.lit(salt_buckets))
+    w_partial = Window.partitionBy("query_id", "_salt").orderBy(
+        F.desc("score_ppm"), F.asc("doc_id")
+    )
+    w_final = Window.partitionBy("query_id").orderBy(
+        F.desc("score_ppm"), F.asc("doc_id")
+    )
+    return (
+        per_doc.withColumn("_salt", salt)
+        .withColumn("_rn", F.row_number().over(w_partial))
+        .filter(F.col("_rn") <= k)
+        .drop("_salt", "_rn")
+        .withColumn("rnk", F.row_number().over(w_final))
+        .filter(F.col("rnk") <= k)
+        .withColumn("rnk", F.col("rnk").cast("long"))
+    )

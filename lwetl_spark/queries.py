@@ -4811,6 +4811,206 @@ def x_manifest_diff(spark, sf_dir):
     )
 
 
+@register(
+    "x_bm25",
+    r"""
+    WITH tok AS (
+        SELECT doc_id, unnest(list_filter(
+            string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) AS tok
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY 1),
+    st AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(1000 * SUM(dl) // COUNT(*) AS BIGINT) AS adl_m
+        FROM dl
+    ),
+    tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM tok GROUP BY 1, 2),
+    q AS (SELECT * FROM (VALUES (1, 'scan'), (1, 'table'),
+                                (2, 'merge'), (2, 'sort'), (2, 'window'),
+                                (3, 'hash'), (3, 'part')) t(query_id, term)),
+    dfq AS (
+        SELECT tf.tok, CAST(COUNT(*) AS BIGINT) AS df
+        FROM tf JOIN (SELECT DISTINCT term FROM q) qt ON tf.tok = qt.term
+        GROUP BY 1
+    ),
+    sc AS (
+        SELECT CAST(q.query_id AS BIGINT) AS query_id, tf.doc_id,
+               CAST((1000000 * 22 * tf.tf * st.adl_m
+                     // (10 * tf.tf * st.adl_m + 3 * st.adl_m + 9000 * dl.dl))
+                    * (1000 * (2 * st.n - 2 * dfq.df + 1) // (2 * dfq.df + 1))
+                    // 1000 AS BIGINT) AS term_score
+        FROM q JOIN tf ON q.term = tf.tok
+        JOIN dfq ON tf.tok = dfq.tok
+        JOIN dl ON tf.doc_id = dl.doc_id
+        CROSS JOIN st
+    ),
+    s AS (
+        SELECT query_id, doc_id, CAST(SUM(term_score) AS BIGINT) AS score_ppm,
+               CAST(COUNT(*) AS BIGINT) AS n_terms
+        FROM sc GROUP BY 1, 2
+    )
+    SELECT query_id, doc_id, score_ppm, n_terms, CAST(rnk AS BIGINT) AS rnk
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY score_ppm DESC, doc_id) AS rnk
+        FROM s
+    ) WHERE rnk <= 10
+    """,
+)
+def x_bm25(spark, sf_dir):
+    """BM25 top-10 lexical retrieval for a 3-query probe set — the
+    lexical complement to the ANN family (decontamination probes,
+    targeted corpus slicing).  Okapi BM25 (k1=1.2, b=0.75) re-expressed
+    in exact integer rationals so the ranking hash-matches DuckDB (the
+    x_tfidf portability rule: ln/float-div are not hash-stable, integer
+    rationals are; idf is the Robertson ratio (2N−2df+1)/(2df+1) at 1e3
+    scale, a monotone proxy for its log).
+
+    Scale: text tokenizes map-side and never shuffles; postings prune to
+    the broadcast query terms before any wide stage; top-k is two-phase
+    (salted partial, then final) because per-query is a few-groups
+    window (operators/retrieval.py docstring has the overflow budget)."""
+    from lwetl_spark.operators.retrieval import bm25_topk
+
+    queries = spark.createDataFrame(
+        [(1, "scan"), (1, "table"), (2, "merge"), (2, "sort"), (2, "window"),
+         (3, "hash"), (3, "part")],
+        "query_id int, term string",
+    )
+    return bm25_topk(_t(spark, sf_dir, "documents"), queries, k=10)
+
+
+@register(
+    "x_fuzzy_join",
+    """
+    WITH dirty AS (
+        SELECT p_partkey AS d_id,
+               CASE WHEN p_partkey % 3 = 0
+                    THEN substr(p_name, 1, strlen(p_name) - 1)
+                    ELSE p_name END AS d_name,
+               p_brand
+        FROM part
+    ),
+    cand AS (
+        SELECT d.d_id, d.d_name, p.p_partkey, p.p_name,
+               CAST(levenshtein(d.d_name, p.p_name) AS BIGINT) AS dist
+        FROM dirty d JOIN part p USING (p_brand)
+        WHERE levenshtein(d.d_name, p.p_name) <= 2
+    )
+    SELECT d_id, d_name, p_partkey AS match_key, p_name AS match_name, dist
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY d_id
+                                     ORDER BY dist, p_partkey) AS rn
+        FROM cand
+    ) WHERE rn = 1
+    """,
+)
+def x_fuzzy_join(spark, sf_dir):
+    """Record linkage: a deterministically-corrupted copy of `part`
+    (every third name loses its last character — the x_manifest_diff
+    trick for synthesizing a second version in-plan) is matched back to
+    the catalog by Levenshtein ≤ 2 WITHIN brand blocks, best match per
+    dirty record (ties → lowest partkey).  Blocking turns all-pairs into
+    per-brand products; levenshtein runs JVM-side in the join stage
+    (operators/joins.py:fuzzy_join_blocked has the skew guidance)."""
+    from lwetl_spark.operators.joins import fuzzy_join_blocked
+
+    part = _t(spark, sf_dir, "part")
+    dirty = part.select(
+        F.col("p_partkey").alias("d_id"),
+        F.when(
+            F.col("p_partkey") % 3 == 0,
+            F.expr("substring(p_name, 1, length(p_name) - 1)"),
+        )
+        .otherwise(F.col("p_name"))
+        .alias("d_name"),
+        "p_brand",
+    )
+    right = part.select("p_brand", "p_partkey", "p_name")
+    out = fuzzy_join_blocked(
+        dirty,
+        right,
+        block_cols=["p_brand"],
+        left_col="d_name",
+        right_col="p_name",
+        max_dist=2,
+        left_id="d_id",
+        right_order="p_partkey",
+    )
+    return out.select(
+        "d_id",
+        "d_name",
+        F.col("r_p_partkey").alias("match_key"),
+        F.col("r_p_name").alias("match_name"),
+        "dist",
+    )
+
+
+@register(
+    "x_triangle_count",
+    """
+    WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+        SELECT x.l_partkey AS a, y.l_partkey AS b
+        FROM pp x JOIN pp y
+          ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    deg AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+            SELECT a AS node FROM e UNION ALL SELECT b FROM e
+        ) GROUP BY 1
+    ),
+    tri AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+        FROM e e1 JOIN e e2 ON e1.b = e2.a JOIN e e3
+          ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    dd AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+               CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges
+        FROM deg
+    ),
+    ee AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM e)
+    SELECT n_nodes, n_edges, n_wedges, n_triangles,
+           CAST(CASE WHEN n_wedges > 0
+                THEN 3000000 * n_triangles // n_wedges ELSE 0 END AS BIGINT)
+               AS gcc_ppm
+    FROM dd CROSS JOIN ee CROSS JOIN tri
+    """,
+)
+def x_triangle_count(spark, sf_dir):
+    """Triangle census of the co-purchase graph (parts co-occurring in
+    ≥2 orders): n_nodes/n_edges/n_wedges/n_triangles + global clustering
+    coefficient as exact-integer ppm.  The operator orients edges by
+    (degree, id) — compact-forward, O(m^1.5) wedge generation — so a
+    power-law hub cannot emit quadratic candidates; the oracle counts
+    the same triangles via the naive a<b<c enumeration (orientation
+    changes the plan, never the census)."""
+    from lwetl_spark.operators.graph import triangle_stats
+
+    li = _t(spark, sf_dir, "lineitem")
+    pp = li.select("l_orderkey", "l_partkey").distinct()
+    x = pp.alias("x")
+    y = pp.alias("y")
+    edges = (
+        x.join(
+            y,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .groupBy(
+            F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b")
+        )
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("a", "b")
+    )
+    return triangle_stats(edges)
+
+
 #: keys the round-1 driver run already sampled green (CORRECTNESS_r01.json);
 #: listed so the catalog can surface the yet-unsampled entries FIRST for a
 #: driver that checks a prefix of the registration order (VERDICT r1 #6).

@@ -127,3 +127,85 @@ def test_pagerank_checkpoint_every_same_values_20_iters(spark):
     lp_unrolled = len(unrolled._jdf.queryExecution().logical().toString())
     lp_truncated = len(truncated._jdf.queryExecution().logical().toString())
     assert lp_truncated < lp_unrolled / 2, (lp_truncated, lp_unrolled)
+
+
+def test_triangle_stats_hand_checked(spark):
+    """K4 minus one edge: 4 nodes, 5 edges, 2 triangles; wedges = sum
+    deg(deg-1)/2 = 3+3+1+1 = 8; gcc = 3*2/8 = 0.75 -> 750000 ppm."""
+    from lwetl_spark.operators.graph import triangle_stats
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4)], "a long, b long"
+    )
+    r = triangle_stats(edges).collect()[0]
+    assert (r.n_nodes, r.n_edges, r.n_wedges, r.n_triangles) == (4, 5, 8, 2)
+    assert r.gcc_ppm == 750_000
+
+
+def test_triangle_stats_orientation_invariance(spark):
+    """Duplicate, reversed and self-loop edges canonicalize away."""
+    from lwetl_spark.operators.graph import triangle_stats
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 1), (1, 1), (2, 3)], "a long, b long"
+    )
+    r = triangle_stats(edges).collect()[0]
+    assert (r.n_edges, r.n_triangles) == (3, 1)
+    assert r.gcc_ppm == 1_000_000  # every wedge closed
+
+
+def test_triangle_stats_single_lazy_plan_no_collect(spark, monkeypatch):
+    """triangle_stats must build ONE DataFrame lazily — no .collect()/
+    .count() actions inside the operator."""
+    from lwetl_spark.operators.graph import triangle_stats
+
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], "a long, b long")
+    cls = type(edges)
+    calls = []
+    orig_collect, orig_count = cls.collect, cls.count
+    monkeypatch.setattr(cls, "collect", lambda self: calls.append("c") or orig_collect(self))
+    monkeypatch.setattr(cls, "count", lambda self: calls.append("n") or orig_count(self))
+    out = triangle_stats(edges)
+    assert calls == [], "operator must not run driver actions while building"
+    assert orig_collect(out)[0].n_triangles == 1
+
+
+def test_fuzzy_join_blocked_best_match(spark):
+    from lwetl_spark.operators.joins import fuzzy_join_blocked
+
+    left = spark.createDataFrame(
+        [(1, "red widgey", "B1"), (2, "blue bolt", "B1"), (3, "green gear", "B2")],
+        "d_id long, d_name string, brand string",
+    )
+    right = spark.createDataFrame(
+        [(10, "red widget", "B1"), (11, "red widget", "B1"),
+         (12, "blue bolt", "B1"), (13, "green gear", "B9")],
+        "rid long, name string, brand string",
+    )
+    out = fuzzy_join_blocked(
+        left, right, ["brand"], "d_name", "name",
+        max_dist=2, left_id="d_id", right_order="rid",
+    ).collect()
+    by_id = {r.d_id: r for r in out}
+    # ties at dist=1 -> lowest rid wins
+    assert by_id[1].r_rid == 10 and by_id[1].dist == 1
+    assert by_id[2].r_rid == 12 and by_id[2].dist == 0
+    # 3 has no candidate in its block (B2 vs B9): blocked out entirely
+    assert 3 not in by_id
+
+
+def test_fuzzy_join_blocked_all_candidates(spark):
+    from lwetl_spark.operators.joins import fuzzy_join_blocked
+
+    left = spark.createDataFrame([(1, "abc", "B")], "d_id long, d_name string, brand string")
+    right = spark.createDataFrame(
+        [(10, "abd", "B"), (11, "abcde", "B"), (12, "zzz", "B")],
+        "rid long, name string, brand string",
+    )
+    got = sorted(
+        (r.r_rid, r.dist)
+        for r in fuzzy_join_blocked(
+            left, right, ["brand"], "d_name", "name", max_dist=2, best_only=False
+        ).collect()
+    )
+    assert got == [(10, 1), (11, 2)]

@@ -1,0 +1,96 @@
+"""BM25 lexical retrieval: hand-checked scores on a tiny corpus, ranking
+properties, and the plan shape the 100 TB design depends on (query terms
+broadcast; document text never in a wide exchange)."""
+
+from __future__ import annotations
+
+from tests.conftest import SF_CORRECT
+
+from lwetl_spark.operators.retrieval import bm25_topk, doc_term_stats
+from lwetl_spark.queries import QUERIES
+
+
+def _mini(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana"),
+            (2, "apple cherry"),
+            (3, "banana banana banana cherry"),
+            (4, "durian durian durian"),
+        ],
+        "doc_id long, text string",
+    )
+    q = spark.createDataFrame([(1, "apple"), (2, "banana")], "query_id int, term string")
+    return docs, q
+
+
+def _expected_score(tf, dl, df, n, adl_m):
+    tfc = 1_000_000 * 22 * tf * adl_m // (10 * tf * adl_m + 3 * adl_m + 9000 * dl)
+    idf = 1000 * (2 * n - 2 * df + 1) // (2 * df + 1)
+    return tfc * idf // 1000
+
+
+def test_bm25_hand_checked(spark):
+    docs, q = _mini(spark)
+    out = bm25_topk(docs, q, k=10).collect()
+    # corpus: N=4, dl = 3,2,4,3 → sum=12, adl_m = 1000*12//4 = 3000
+    adl_m, n = 3000, 4
+    by_qd = {(r["query_id"], r["doc_id"]): r for r in out}
+    # 'apple': df=2; doc1 tf=2 dl=3; doc2 tf=1 dl=2
+    assert by_qd[(1, 1)]["score_ppm"] == _expected_score(2, 3, 2, n, adl_m)
+    assert by_qd[(1, 2)]["score_ppm"] == _expected_score(1, 2, 2, n, adl_m)
+    # 'banana': df=2; doc3 tf=3 dl=4; doc1 tf=1 dl=3
+    assert by_qd[(2, 3)]["score_ppm"] == _expected_score(3, 4, 2, n, adl_m)
+    assert by_qd[(2, 1)]["score_ppm"] == _expected_score(1, 3, 2, n, adl_m)
+    # ranks: higher-tf doc wins within each query
+    assert by_qd[(1, 1)]["rnk"] == 1 and by_qd[(1, 2)]["rnk"] == 2
+    assert by_qd[(2, 3)]["rnk"] == 1 and by_qd[(2, 1)]["rnk"] == 2
+    # doc4 matches nothing → absent
+    assert not [k for k in by_qd if k[1] == 4]
+
+
+def test_bm25_rarer_term_outscores_common_at_equal_tf(spark):
+    """idf direction: with identical tf/dl, the lower-df term scores higher."""
+    docs = spark.createDataFrame(
+        [(i, "common rare") if i == 0 else (i, "common pad") for i in range(6)],
+        "doc_id long, text string",
+    )
+    q = spark.createDataFrame(
+        [(1, "common"), (2, "rare")], "query_id int, term string"
+    )
+    out = {(r["query_id"], r["doc_id"]): r["score_ppm"] for r in
+           bm25_topk(docs, q, k=10).collect()}
+    assert out[(2, 0)] > out[(1, 0)]
+
+
+def test_bm25_k_cut_is_deterministic(spark):
+    """Ties broken by doc_id: equal-score docs cut at k reproducibly."""
+    docs = spark.createDataFrame(
+        [(i, "same text here") for i in range(20)], "doc_id long, text string"
+    )
+    q = spark.createDataFrame([(1, "same")], "query_id int, term string")
+    a = sorted(r["doc_id"] for r in bm25_topk(docs, q, k=5).collect())
+    b = sorted(r["doc_id"] for r in bm25_topk(docs, q, k=5).collect())
+    assert a == b == list(range(5))
+
+
+def test_doc_term_stats_shapes(spark):
+    docs, _ = _mini(spark)
+    tf, dl, stats = doc_term_stats(docs)
+    assert dict((r["doc_id"], r["dl"]) for r in dl.collect()) == {1: 3, 2: 2, 3: 4, 4: 3}
+    s = stats.collect()[0]
+    assert s["n"] == 4 and s["adl_m"] == 3000
+    assert {(r["doc_id"], r["tok"]): r["tf"] for r in tf.collect()}[(1, "apple")] == 2
+
+
+def test_bm25_plan_queries_broadcast_text_never_shuffles(spark):
+    """Scale pins: the query-term join is a BroadcastHashJoin, and no
+    hash exchange ever carries the raw `text` column — only postings."""
+    df = QUERIES["x_bm25"](spark, SF_CORRECT)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    exchange_lines = [
+        l for l in plan.splitlines() if "Exchange hashpartitioning" in l
+    ]
+    assert exchange_lines, "expected keyed exchanges for tf/df aggs"
+    assert all("text" not in l for l in exchange_lines)
