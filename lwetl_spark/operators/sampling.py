@@ -416,3 +416,39 @@ def unimax_allocation(
     return df.sparkSession.createDataFrame(
         rows, f"{group_col} string, size bigint, quota bigint, epochs_ppm bigint"
     )
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    group_col: str | None = None,
+    lo: float = 0.05,
+    hi: float = 0.95,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Winsorization: clip `value_col` into its [lo, hi] percentile band,
+    per group — the outlier-taming companion to `percentile_filter`
+    (which DROPS the tail; winsorize KEEPS every row, pinning tails to
+    the band edge — the right shape for robust means/OLS and for
+    feature columns feeding training).
+
+    Both band edges use `percentile_disc` (actual data values, no
+    interpolation) so the clipped output is bit-identical across
+    engines.  Adds `_lo`/`_hi` band columns and `out_col` (default
+    `<value_col>_w`).  Same plan as percentile_filter: one group agg →
+    broadcast band table → map-side clip; same beyond-10^8-rows-per-
+    group caveat (swap in approx_percentile).
+    """
+    if not 0.0 <= lo < hi <= 1.0:
+        raise ValueError(f"need 0 <= lo < hi <= 1, got ({lo}, {hi})")
+    out_col = out_col or f"{value_col}_w"
+    p_lo = F.expr(f"percentile_disc({lo!r}) WITHIN GROUP (ORDER BY {value_col})")
+    p_hi = F.expr(f"percentile_disc({hi!r}) WITHIN GROUP (ORDER BY {value_col})")
+    if group_col is None:
+        band = df.agg(p_lo.alias("_lo"), p_hi.alias("_hi"))
+        j = df.crossJoin(F.broadcast(band))
+    else:
+        band = df.groupBy(group_col).agg(p_lo.alias("_lo"), p_hi.alias("_hi"))
+        j = df.join(F.broadcast(band), group_col)
+    clipped = F.least(F.greatest(F.col(value_col), F.col("_lo")), F.col("_hi"))
+    return j.withColumn(out_col, clipped)

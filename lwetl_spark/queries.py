@@ -5011,6 +5011,123 @@ def x_triangle_count(spark, sf_dir):
     return triangle_stats(edges)
 
 
+@register(
+    "x_winsorize",
+    """
+    WITH t AS (SELECT l_returnflag AS flag, l_extendedprice AS v FROM lineitem),
+    b AS (
+        SELECT flag, quantile_disc(v, 0.05) AS lo, quantile_disc(v, 0.95) AS hi
+        FROM t GROUP BY 1
+    )
+    SELECT t.flag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN v < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+           CAST(SUM(CASE WHEN v > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
+           ROUND(SUM(CASE WHEN v < lo THEN lo WHEN v > hi THEN hi ELSE v END), 2)
+               AS sum_w,
+           ROUND(lo, 2) AS lo, ROUND(hi, 2) AS hi
+    FROM t JOIN b USING (flag)
+    GROUP BY t.flag, b.lo, b.hi
+    """,
+)
+def x_winsorize(spark, sf_dir):
+    """Winsorized per-flag price stats: values clipped into the exact
+    [p05, p95] band (percentile_disc — actual data values, so the band
+    and every clipped value are bit-identical to DuckDB's
+    quantile_disc).  Drops nothing — tails pin to the band edge, the
+    robust-statistics companion to x_percentile_filter's drop.  One
+    group agg for the band, broadcast back, map-side clip, one final
+    agg (operators/sampling.py:winsorize)."""
+    from lwetl_spark.operators.sampling import winsorize
+
+    t = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"), F.col("l_extendedprice").alias("v")
+    )
+    w = winsorize(t, "v", group_col="flag", lo=0.05, hi=0.95, out_col="v_w")
+    return w.groupBy("flag", "_lo", "_hi").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(F.col("v") < F.col("_lo"), 1).otherwise(0)).alias("n_clip_lo"),
+        F.sum(F.when(F.col("v") > F.col("_hi"), 1).otherwise(0)).alias("n_clip_hi"),
+        F.round(F.sum("v_w"), 2).alias("sum_w"),
+    ).select(
+        "flag",
+        "n_rows",
+        "n_clip_lo",
+        "n_clip_hi",
+        "sum_w",
+        F.round("_lo", 2).alias("lo"),
+        F.round("_hi", 2).alias("hi"),
+    )
+
+
+@register(
+    "x_grouping_sets",
+    """
+    SELECT COALESCE(l_returnflag, '*') AS flag,
+           COALESCE(l_linestatus, '*') AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           ROUND(SUM(l_extendedprice), 2) AS sum_price
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                            (l_returnflag, l_linestatus))
+    """,
+)
+def x_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS — the general form behind x_rollup/x_cube
+    (sets chosen freely, not the rollup/cube lattices).  One scan, one
+    Expand (each row replicated once per set) feeding a single partial+
+    final aggregation — the same single-shuffle plan as rollup.  NULL
+    set-members are COALESCEd to '*' on both sides (the parity
+    harness's NULL-sentinel rule)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag"], ["l_linestatus"], ["l_returnflag", "l_linestatus"]],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("*")).alias("flag"),
+            F.coalesce("l_linestatus", F.lit("*")).alias("status"),
+            "n_items",
+            "sum_price",
+        )
+    )
+
+
+@register(
+    "x_pca_project",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           TRUE AS orthonormal_ok,
+           TRUE AS decreasing_var_ok,
+           TRUE AS centered_ok,
+           TRUE AS reconstruction_ok
+    FROM embeddings
+    """,
+)
+def x_pca_project(spark, sf_dir):
+    """PCA projection of the embedding corpus onto its top-8 principal
+    axes, verified by the x_semdedup contract pattern (eigendecomposition
+    is not SQL-expressible, so the engine checks its own invariants —
+    orthonormal components, eigenvalue-matching non-increasing variances,
+    centering, the Eckart–Young reconstruction identity — and the oracle
+    states them as literal TRUE plus the exact row count).
+
+    Scale: two map-only corpus passes (sufficient-stats partials,
+    projection matmul) around a d²-row combine and a 64×64 driver eigh —
+    operators/projection.py has the full design."""
+    from lwetl_spark.operators.projection import pca_contract
+
+    return pca_contract(
+        _t(spark, sf_dir, "embeddings"), id_col="vec_id", vec_col="embedding", k=8
+    )
+
+
 #: keys the round-1 driver run already sampled green (CORRECTNESS_r01.json);
 #: listed so the catalog can surface the yet-unsampled entries FIRST for a
 #: driver that checks a prefix of the registration order (VERDICT r1 #6).
