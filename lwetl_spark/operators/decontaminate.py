@@ -213,3 +213,60 @@ def fuzzy_decontaminate(
         broadcast_benchmark,
     ).select(F.col("doc_id").alias(id_col))
     return corpus.join(hits, id_col, "left_anti")
+
+
+def corpus_overlap_matrix(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram_n: int = 5,
+) -> DataFrame:
+    """Pairwise corpus-overlap matrix: Jaccard similarity of the
+    distinct word-`gram_n`-gram vocabularies of every pair of groups
+    (sources, snapshots, language slices) — the corpus-level view of
+    contamination_hits' doc-level check: which sources are near-copies
+    of each other, which crawl snapshot duplicates which.
+
+    Returns (src_a, src_b, n_a, n_b, n_common, jaccard_ppm) for pairs
+    with n_common ≥ 1, src_a < src_b, jaccard as exact-integer ppm.
+
+    Scale design: the unit of work is the DISTINCT (group, gram) pair —
+    document text dies map-side in the gram projection.  The pair join
+    is on the gram, and fan-out per gram is bounded by the NUMBER OF
+    GROUPS (≤ S rows per gram after the distinct), so the join output
+    is ≤ S²/2 per gram regardless of corpus size — a 100 TB corpus with
+    20 sources produces the same 190-row matrix, through shuffles that
+    carry (md5, source) pairs only.
+    """
+    # word_ngrams' id slot carries the GROUP (no uniqueness needed —
+    # only the distinct gram set survives), skipping a doc_id join.
+    grams = word_ngrams(df, gram_n, text_col=text_col, id_col=group_col)
+    g = grams.select(
+        F.col("doc_id").alias("_grp"), F.md5("gram").alias("gh")
+    ).distinct()
+    sz = g.groupBy("_grp").agg(F.count("*").alias("n"))
+    a = g.select(F.col("_grp").alias("src_a"), "gh")
+    b = g.select(F.col("_grp").alias("src_b"), "gh")
+    inter = (
+        a.join(b, "gh")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sz.select(F.col("_grp").alias("src_a"), F.col("n").alias("n_a"))
+    sb = sz.select(F.col("_grp").alias("src_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_a",
+            "n_b",
+            "n_common",
+            F.expr("1000000 * n_common div (n_a + n_b - n_common)").alias(
+                "jaccard_ppm"
+            ),
+        )
+    )

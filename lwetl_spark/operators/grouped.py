@@ -190,3 +190,52 @@ def grouped_ewma(
         return pdf
 
     return df.select(*out_fields).groupBy(group_col).applyInPandas(fn, schema)
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Per-group MAD (median-absolute-deviation) outlier census — the
+    ROBUST companion to `group_zscore_outliers`: median and MAD ignore
+    the very outliers being hunted, so a single 10⁶× corrupt value
+    cannot widen the gate around itself (which it does to μ/σ).
+
+    Both medians use `percentile_disc` (actual data values, no
+    interpolation) so med, MAD, and the flagged set are bit-identical
+    across engines; the k·MAD comparison is the same IEEE multiply
+    everywhere.  Returns one row per group:
+    (group, n_rows, med, mad, n_outliers).
+
+    Plan: two group aggs with a broadcast join between (median pass,
+    then MAD-of-deviation pass) and a final count agg — the data
+    shuffles zero times; each agg ships 1 value per (group, row).
+    Beyond ~10^8 rows per group, swap percentile_disc for
+    approx_percentile (percentile_filter's caveat).
+    """
+    med = df.groupBy(group_col).agg(
+        F.expr(
+            f"percentile_disc(0.5) WITHIN GROUP (ORDER BY {value_col})"
+        ).alias("_med")
+    )
+    dev = df.join(F.broadcast(med), group_col).withColumn(
+        "_dev", F.abs(F.col(value_col) - F.col("_med"))
+    )
+    mad = dev.groupBy(group_col).agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY _dev)").alias("_mad")
+    )
+    flagged = dev.join(F.broadcast(mad), group_col)
+    return flagged.groupBy(group_col, "_med", "_mad").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(
+            F.when(F.col("_dev") > F.lit(float(k)) * F.col("_mad"), 1).otherwise(0)
+        ).alias("n_outliers"),
+    ).select(
+        group_col,
+        "n_rows",
+        F.col("_med").alias("med"),
+        F.col("_mad").alias("mad"),
+        "n_outliers",
+    )

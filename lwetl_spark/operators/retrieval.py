@@ -104,19 +104,39 @@ def bm25_topk(
         F.col(query_id_col).cast("long").alias("query_id"),
         F.col(term_col).alias("tok"),
     )
-    # Prune postings to query terms FIRST (broadcast joins), so the df
-    # agg and everything downstream run over |q| terms' postings, not
-    # the whole vocabulary.  df comes from tf (one row per (doc, tok))
-    # pruned by DISTINCT query terms — pruning via `matched` would
-    # double-count docs for a term shared by two queries.
-    matched = tf.join(F.broadcast(q), "tok")
-    df_ = (
-        tf.join(F.broadcast(q.select("tok").distinct()), "tok")
-        .groupBy("tok")
-        .agg(F.count("*").alias("df"))
+    return _bm25_from_stats(
+        tf, dl, stats, q, k=k, salt_buckets=salt_buckets, idf_scale=idf_scale
     )
+
+
+def _bm25_from_stats(
+    tf: DataFrame,
+    dl: DataFrame,
+    stats: DataFrame,
+    q: DataFrame,
+    df_table: DataFrame | None = None,
+    k: int = 10,
+    salt_buckets: int = 64,
+    idf_scale: int = 1000,
+) -> DataFrame:
+    """Shared scoring path for the inline and persisted-index forms.
+
+    Postings prune to the broadcast query terms FIRST, so the df agg
+    (when not precomputed) and everything downstream run over |q|
+    terms' postings, not the whole vocabulary.  df comes from tf (one
+    row per (doc, tok)) pruned by DISTINCT query terms — pruning via
+    the matched (per-query) join would double-count docs for a term
+    shared by two queries.
+    """
+    matched = tf.join(F.broadcast(q), "tok")
+    if df_table is None:
+        df_table = (
+            tf.join(F.broadcast(q.select("tok").distinct()), "tok")
+            .groupBy("tok")
+            .agg(F.count("*").alias("df"))
+        )
     scored = (
-        matched.join(F.broadcast(df_), "tok")
+        matched.join(F.broadcast(df_table), "tok")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .select(
@@ -149,4 +169,88 @@ def bm25_topk(
         .withColumn("rnk", F.row_number().over(w_final))
         .filter(F.col("rnk") <= k)
         .withColumn("rnk", F.col("rnk").cast("long"))
+    )
+
+
+#: tok-hash directory fan-out for the persisted postings table — probes
+#: prune to the buckets their terms hash into, so a query touches
+#: |q| / 256 of the index files regardless of corpus size.
+_INDEX_BUCKETS = 256
+
+
+def build_text_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Persist the inverted-index statistics as a probe-many on-disk
+    index: `postings/` (tok, doc_id, tf — hive-partitioned by the
+    256-way tok hash bucket), `doclen/` (doc_id, dl), `df/` (tok, df —
+    same bucketing), `stats/` (n, adl_m).
+
+    Build once, probe many — the BM25 analog of build_lsh_index.
+    Partitioning postings AND df by the tok-hash bucket means a probe
+    reads only the directories its terms fall in (partition pruning at
+    the file listing, before any I/O); df is precomputed corpus-wide at
+    build time so probe-time scoring never aggregates the vocabulary.
+    """
+    tf, dl, stats = doc_term_stats(docs, id_col=id_col, text_col=text_col)
+    bucket = F.pmod(F.xxhash64("tok"), F.lit(_INDEX_BUCKETS)).alias("bucket")
+    tf.withColumn("bucket", bucket).repartition("bucket").write.mode(
+        "overwrite"
+    ).partitionBy("bucket").parquet(f"{path}/postings")
+    df_table = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    df_table.withColumn("bucket", bucket).repartition("bucket").write.mode(
+        "overwrite"
+    ).partitionBy("bucket").parquet(f"{path}/df")
+    dl.write.mode("overwrite").parquet(f"{path}/doclen")
+    stats.write.mode("overwrite").parquet(f"{path}/stats")
+
+
+def query_text_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    query_id_col: str = "query_id",
+    term_col: str = "term",
+    k: int = 10,
+    salt_buckets: int = 64,
+    idf_scale: int = 1000,
+) -> DataFrame:
+    """Probe a persisted text index: identical output contract to
+    `bm25_topk` over the same corpus (pinned by
+    x_bm25_index_roundtrip).  The probe filters postings/df on the
+    query terms' hash buckets — Catalyst turns the IN-list on the
+    partition column into partition pruning, so only |q| of the 256
+    bucket directories are ever listed or read."""
+    q = queries.select(
+        F.col(query_id_col).cast("long").alias("query_id"),
+        F.col(term_col).alias("tok"),
+    )
+    buckets = [
+        r["b"]
+        for r in q.select(
+            F.pmod(F.xxhash64("tok"), F.lit(_INDEX_BUCKETS)).alias("b")
+        )
+        .distinct()
+        .collect()
+    ]
+    tf = spark.read.parquet(f"{path}/postings").filter(
+        F.col("bucket").isin(buckets)
+    ).drop("bucket")
+    df_table = spark.read.parquet(f"{path}/df").filter(
+        F.col("bucket").isin(buckets)
+    ).drop("bucket")
+    dl = spark.read.parquet(f"{path}/doclen")
+    stats = spark.read.parquet(f"{path}/stats")
+    return _bm25_from_stats(
+        tf,
+        dl,
+        stats,
+        q,
+        df_table=df_table,
+        k=k,
+        salt_buckets=salt_buckets,
+        idf_scale=idf_scale,
     )

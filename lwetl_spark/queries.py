@@ -5128,6 +5128,176 @@ def x_pca_project(spark, sf_dir):
     )
 
 
+@register(
+    "x_mad_outliers",
+    """
+    WITH t AS (SELECT o_orderstatus AS grp, o_totalprice AS v FROM orders),
+    med AS (SELECT grp, quantile_disc(v, 0.5) AS med FROM t GROUP BY 1),
+    dev AS (
+        SELECT t.grp, t.v, med.med, abs(t.v - med.med) AS dv
+        FROM t JOIN med USING (grp)
+    ),
+    mad AS (SELECT grp, quantile_disc(dv, 0.5) AS mad FROM dev GROUP BY 1)
+    SELECT dev.grp,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(dev.med, 2) AS med,
+           ROUND(mad.mad, 2) AS mad,
+           CAST(SUM(CASE WHEN dev.dv > 3.0 * mad.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM dev JOIN mad USING (grp)
+    GROUP BY dev.grp, dev.med, mad.mad
+    """,
+)
+def x_mad_outliers(spark, sf_dir):
+    """Robust per-status outlier census of order totals: median + MAD
+    gates (percentile_disc — actual data values, so the flagged set is
+    bit-identical to DuckDB).  MAD ignores the outliers being hunted —
+    a corrupt extreme can't widen its own gate, unlike μ/σ
+    (x_group_zscore's trade).  Zero data shuffles: two broadcast-back
+    group medians and a final count
+    (operators/grouped.py:mad_outliers)."""
+    from lwetl_spark.operators.grouped import mad_outliers
+
+    t = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("grp"), F.col("o_totalprice").alias("v")
+    )
+    out = mad_outliers(t, "grp", "v", k=3)
+    return out.select(
+        "grp",
+        "n_rows",
+        F.round("med", 2).alias("med"),
+        F.round("mad", 2).alias("mad"),
+        "n_outliers",
+    )
+
+
+@register(
+    "x_source_overlap",
+    r"""
+    WITH d AS (
+        SELECT source, list_filter(
+            string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS toks
+        FROM documents
+    ),
+    g AS (
+        SELECT DISTINCT source, md5(array_to_string(toks[i:i+4], ' ')) AS gh
+        FROM d, UNNEST(range(1, len(toks) - 3)) AS t(i)
+        WHERE len(toks) >= 5
+    ),
+    sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM g GROUP BY 1),
+    inter AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM g a JOIN g b ON a.gh = b.gh AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT src_a, src_b, sa.n AS n_a, sb.n AS n_b, n_common,
+           CAST(1000000 * n_common // (sa.n + sb.n - n_common) AS BIGINT)
+               AS jaccard_ppm
+    FROM inter
+    JOIN sz sa ON sa.source = src_a
+    JOIN sz sb ON sb.source = src_b
+    """,
+)
+def x_source_overlap(spark, sf_dir):
+    """Pairwise source-overlap matrix: Jaccard of distinct 5-gram
+    vocabularies between every pair of corpus sources — which sources
+    near-duplicate each other (crawl-snapshot and mirror detection; the
+    corpus-level companion to x_decontaminate's doc-level probe).
+    Gram fan-out per key is bounded by the number of SOURCES after the
+    distinct, so the matrix costs the same ≤S²/2-per-gram join at any
+    corpus size (operators/decontaminate.py:corpus_overlap_matrix)."""
+    from lwetl_spark.operators.decontaminate import corpus_overlap_matrix
+
+    return corpus_overlap_matrix(
+        _t(spark, sf_dir, "documents"), group_col="source", gram_n=5
+    )
+
+
+@register(
+    "x_entity_resolution",
+    """
+    WITH RECURSIVE rec AS (
+        SELECT p_partkey AS rid, p_name AS name, p_brand AS brand FROM part
+        UNION ALL
+        SELECT p_partkey + 1000000, substr(p_name, 1, strlen(p_name) - 1),
+               p_brand
+        FROM part WHERE p_partkey % 4 = 0
+    ),
+    e0 AS (
+        SELECT a.rid AS ra, b.rid AS rb
+        FROM rec a JOIN rec b
+          ON a.brand = b.brand AND a.rid < b.rid
+         AND levenshtein(a.name, b.name) <= 2
+    ),
+    edges AS (SELECT ra AS a, rb AS b FROM e0 UNION SELECT rb, ra FROM e0),
+    reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    cc AS (SELECT a AS rid, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a),
+    f AS (
+        SELECT rec.rid, rec.name, COALESCE(cc.cluster_id, rec.rid) AS cluster_id
+        FROM rec LEFT JOIN cc USING (rid)
+    )
+    SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_records,
+           MIN(name) AS canonical_name,
+           CAST(SUM(CASE WHEN rid >= 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_aliases
+    FROM f GROUP BY 1
+    """,
+)
+def x_entity_resolution(spark, sf_dir):
+    """End-to-end entity resolution — the full record-linkage stack in
+    one plan: a registry of part records plus corrupted aliases (every
+    fourth name truncated) → blocked Levenshtein candidate edges
+    (fuzzy_join_blocked, brand blocks) → exact connected components
+    (two-phase large-star/small-star — entity graphs chain, so the
+    O(log n)-round variant) → one golden record per cluster
+    (lexicographic-min canonical name, alias census).  Singletons keep
+    their own rid as cluster_id.  The oracle replays the identical
+    pipeline with a recursive CTE."""
+    from lwetl_spark.operators.dedup import connected_components_two_phase
+    from lwetl_spark.operators.joins import fuzzy_join_blocked
+
+    part = _t(spark, sf_dir, "part")
+    originals = part.select(
+        F.col("p_partkey").alias("rid"),
+        F.col("p_name").alias("name"),
+        F.col("p_brand").alias("brand"),
+    )
+    aliases = part.filter(F.col("p_partkey") % 4 == 0).select(
+        (F.col("p_partkey") + 1_000_000).alias("rid"),
+        F.expr("substring(p_name, 1, length(p_name) - 1)").alias("name"),
+        F.col("p_brand").alias("brand"),
+    )
+    rec = originals.unionByName(aliases)
+    cand = fuzzy_join_blocked(
+        rec,
+        rec,
+        block_cols=["brand"],
+        left_col="name",
+        right_col="name",
+        max_dist=2,
+        best_only=False,
+    )
+    edges = cand.filter(F.col("rid") < F.col("r_rid")).select(
+        F.col("rid").alias("id_a"), F.col("r_rid").alias("id_b")
+    )
+    cc = connected_components_two_phase(edges)
+    f = rec.join(
+        cc.select(F.col("node").alias("rid"), "cluster_id"), "rid", "left"
+    ).select(
+        "rid", "name", F.coalesce("cluster_id", "rid").alias("cluster_id")
+    )
+    return f.groupBy("cluster_id").agg(
+        F.count("*").alias("n_records"),
+        F.min("name").alias("canonical_name"),
+        F.sum(F.when(F.col("rid") >= 1_000_000, 1).otherwise(0)).alias("n_aliases"),
+    )
+
+
 #: keys the round-1 driver run already sampled green (CORRECTNESS_r01.json);
 #: listed so the catalog can surface the yet-unsampled entries FIRST for a
 #: driver that checks a prefix of the registration order (VERDICT r1 #6).

@@ -687,3 +687,48 @@ def x_ivf_index_roundtrip(spark, sf_dir):
     return spark.createDataFrame(
         [(n_queries, mismatches == 0)], "n_queries long, index_matches_inline boolean"
     )
+
+
+@register(
+    "x_bm25_index_roundtrip",
+    """
+    SELECT CAST(3 AS BIGINT) AS n_queries, TRUE AS index_matches_inline
+    """,
+)
+def x_bm25_index_roundtrip(spark, sf_dir):
+    """Persisted-inverted-index round-trip (operators/retrieval.
+    build_text_index / query_text_index): postings + doc lengths +
+    document frequencies + corpus stats written bucket-partitioned to
+    disk, probed with the x_bm25 query set, and asserted EQUAL to the
+    inline bm25_topk — build once, probe many, with the probe pruning
+    to the buckets its terms hash into.  Same equality contract as the
+    LSH/IVF/PQ index round-trips (the bucketed layout is not
+    SQL-portable; the equality property is engine-checkable)."""
+    from lwetl_spark.operators.retrieval import (
+        bm25_topk,
+        build_text_index,
+        query_text_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        [(1, "scan"), (1, "table"), (2, "merge"), (2, "sort"), (2, "window"),
+         (3, "hash"), (3, "part")],
+        "query_id int, term string",
+    )
+    path = os.path.join(_tmpdir("bm25idx"), "index")
+    build_text_index(docs, path)
+    idx = query_text_index(spark, path, queries, k=10)
+    inline = bm25_topk(docs, queries, k=10)
+    cols = ["query_id", "doc_id", "score_ppm", "n_terms", "rnk"]
+    a = idx.groupBy(*cols).agg(F.count("*").alias("_ca"))
+    b = inline.groupBy(*cols).agg(F.count("*").alias("_cb"))
+    mismatches = (
+        a.join(b, cols, "full_outer")
+        .filter("_ca IS NULL OR _cb IS NULL OR _ca <> _cb")
+        .count()
+    )
+    n_queries = queries.select("query_id").distinct().count()
+    return spark.createDataFrame(
+        [(n_queries, mismatches == 0)], "n_queries long, index_matches_inline boolean"
+    )

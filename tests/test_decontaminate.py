@@ -148,3 +148,26 @@ def test_fuzzy_contamination_rejects_bad_bands(spark):
     df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
     with pytest.raises(ValueError):
         fuzzy_contamination_hits(df, df, n_perm=8, bands=3).collect()
+
+
+def test_corpus_overlap_matrix_hand_checked(spark):
+    from lwetl_spark.operators.decontaminate import corpus_overlap_matrix
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f", "s1"),       # grams(3): abc bcd cde def
+            (2, "a b c d e f", "s2"),       # identical -> jaccard 1
+            (3, "x y z w v u", "s3"),       # disjoint
+            (4, "a b c d q r", "s4"),       # shares abc bcd with s1
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {
+        (r["src_a"], r["src_b"]): r
+        for r in corpus_overlap_matrix(docs, gram_n=3).collect()
+    }
+    assert out[("s1", "s2")]["jaccard_ppm"] == 1_000_000
+    assert ("s1", "s3") not in out  # zero overlap pairs absent
+    r = out[("s1", "s4")]
+    assert (r["n_a"], r["n_b"], r["n_common"]) == (4, 4, 2)
+    assert r["jaccard_ppm"] == 1_000_000 * 2 // 6

@@ -209,3 +209,27 @@ def test_fuzzy_join_blocked_all_candidates(spark):
         ).collect()
     )
     assert got == [(10, 1), (11, 2)]
+
+
+def test_mad_outliers_hand_checked(spark):
+    """Group of 1..9 plus a 1000 spike: med=5 over 10 values? — values
+    [1..9, 1000]: lower median = 5, deviations [4,3,2,1,0,1,2,3,4,995],
+    MAD = lower median of sorted devs [0,1,1,2,2,3,3,4,4,995] = 2;
+    outliers: |x-5| > 6 -> only the 1000 spike."""
+    from lwetl_spark.operators.grouped import mad_outliers
+
+    rows = [("g", float(v)) for v in range(1, 10)] + [("g", 1000.0)]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    r = mad_outliers(df, "grp", "v", k=3).collect()[0]
+    assert (r["n_rows"], r["med"], r["mad"], r["n_outliers"]) == (10, 5.0, 2.0, 1)
+
+
+def test_mad_outliers_robust_to_extreme_corruption(spark):
+    """The z-score gate widens with the corruption; the MAD gate must
+    not: one 1e9 value in a tight cluster stays flagged."""
+    from lwetl_spark.operators.grouped import mad_outliers
+
+    rows = [("g", 100.0 + (i % 5)) for i in range(50)] + [("g", 1e9)]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    r = mad_outliers(df, "grp", "v", k=3).collect()[0]
+    assert r["n_outliers"] == 1 and r["mad"] <= 2.0
