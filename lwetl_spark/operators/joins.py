@@ -236,12 +236,19 @@ def fuzzy_join_blocked(
         *[F.col(c) for c in block_cols],
         *[F.col(c).alias(f"r_{c}") for c in r_payload],
     )
+    # Two cost cuts inside the block product, both JVM-side:
+    # 1. length-band prefilter — |len(a)−len(b)| > max_dist can never be
+    #    within distance, and the length compare is O(1) vs lev's
+    #    O(len²); it prunes most of a dense block before the real work.
+    # 2. thresholded levenshtein — Spark's 3-arg form early-exits a row
+    #    as soon as the running distance exceeds max_dist (returns −1),
+    #    bounding per-pair work by O(len·max_dist) instead of O(len²).
+    lc, rc = F.col(left_col), F.col(f"r_{right_col}")
     cand = (
         l.join(r, on=block_cols, how="inner")
-        .withColumn(
-            "dist", F.levenshtein(F.col(left_col), F.col(f"r_{right_col}")).cast("long")
-        )
-        .filter(F.col("dist") <= max_dist)
+        .filter(F.abs(F.length(lc) - F.length(rc)) <= max_dist)
+        .withColumn("dist", F.levenshtein(lc, rc, max_dist).cast("long"))
+        .filter(F.col("dist") >= 0)
     )
     if not best_only:
         return cand

@@ -5298,6 +5298,78 @@ def x_entity_resolution(spark, sf_dir):
     )
 
 
+@register(
+    "x_data_contract",
+    """
+    SELECT 'custkey_not_null' AS rule, 'not_null' AS kind,
+           CAST(COUNT(*) AS BIGINT) AS n_checked,
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'price_positive', 'range', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN o_totalprice IS NOT NULL AND o_totalprice < 0
+                    THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'status_known', 'accepted_values', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN o_orderstatus IS NOT NULL
+                          AND o_orderstatus NOT IN ('F', 'O', 'P')
+                    THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'orderkey_unique', 'unique', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem_fk_orders', 'foreign_key', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN l_orderkey IS NOT NULL AND o.o_orderkey IS NULL
+                    THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    """,
+)
+def x_data_contract(spark, sf_dir):
+    """Declarative data-contract validation (the dbt-test shape): five
+    rules — not-null, range, accepted-values, key uniqueness, and a
+    lineitem→orders referential check — each reported as a violation
+    census row.  All row-local rules compile into ONE conditional-count
+    scan (adding rules adds agg columns, not data passes); unique adds
+    one keyed agg, the FK check one key-pruned anti join
+    (operators/validate.py)."""
+    from lwetl_spark.operators.validate import validate
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    out = validate(
+        orders,
+        [
+            {"rule": "custkey_not_null", "kind": "not_null", "col": "o_custkey"},
+            {"rule": "price_positive", "kind": "range", "col": "o_totalprice", "lo": 0},
+            {
+                "rule": "status_known",
+                "kind": "accepted_values",
+                "col": "o_orderstatus",
+                "values": ["F", "O", "P"],
+            },
+            {"rule": "orderkey_unique", "kind": "unique", "cols": ["o_orderkey"]},
+        ],
+    )
+    fk = validate(
+        li,
+        [
+            {
+                "rule": "lineitem_fk_orders",
+                "kind": "foreign_key",
+                "col": "l_orderkey",
+                "parent": "orders",
+                "parent_col": "o_orderkey",
+            }
+        ],
+        parents={"orders": orders},
+    )
+    return out.unionByName(fk)
+
+
 #: keys the round-1 driver run already sampled green (CORRECTNESS_r01.json);
 #: listed so the catalog can surface the yet-unsampled entries FIRST for a
 #: driver that checks a prefix of the registration order (VERDICT r1 #6).

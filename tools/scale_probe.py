@@ -47,6 +47,29 @@ def scaled_docs(spark, sf_dir: str, scale: int):
     return df, n * scale
 
 
+def scaled_docs_src(spark, sf_dir: str, scale: int):
+    """scaled_docs + the source column (constant source set across
+    copies — group count stays fixed while the corpus grows)."""
+    from lwetl_spark.catalog import load_table
+
+    base = load_table(spark, sf_dir, "documents")
+    n = base.count()
+    parts = []
+    for i in range(scale):
+        parts.append(
+            base.select(
+                (F.col("doc_id") + i * 10_000_000).alias("doc_id"),
+                F.translate("text", "aeiou", ROTS[i % len(ROTS)]).alias("text"),
+                "lang",
+                "source",
+            )
+        )
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    return df, n * scale
+
+
 def _fuzzy_probe(d):
     from lwetl_spark.operators.decontaminate import fuzzy_contamination_hits
     from lwetl_spark.operators.sampling import split_by_key
@@ -334,6 +357,206 @@ def main() -> None:
                         "docs_per_sec": int(n_docs / dt),
                     }
                 )
+            )
+
+    # ------------------------------------------------------------------
+    # round-3 additions: retrieval, graph census, record linkage, PCA,
+    # corpus overlap, robust stats — same 1x/4x/16x protocol
+    # ------------------------------------------------------------------
+    def _bm25_probe(spark_, d):
+        from lwetl_spark.operators.retrieval import bm25_topk
+
+        q = spark_.createDataFrame(
+            [(1, "scan"), (1, "table"), (2, "merge"), (2, "sort"),
+             (2, "window"), (3, "hash"), (3, "part")],
+            "query_id int, term string",
+        )
+        return bm25_topk(d, q, k=10).count()
+
+    def _overlap_probe(spark_, d):
+        from lwetl_spark.operators.decontaminate import corpus_overlap_matrix
+
+        return corpus_overlap_matrix(d, group_col="source", gram_n=5).count()
+
+    doc_ops_r3 = {"bm25_topk": _bm25_probe, "source_overlap": _overlap_probe}
+    for op_name, fn in doc_ops_r3.items():
+        if only and op_name not in only:
+            continue
+        for scale in (1, 4, 16):
+            df, n_docs = scaled_docs_src(spark, sf_dir, scale)
+            df = df.persist()
+            df.count()
+            t0 = time.time()
+            fn(spark, df)
+            dt = time.time() - t0
+            df.unpersist()
+            spark.catalog.clearCache()
+            print(
+                json.dumps(
+                    {"op": op_name, "scale": scale, "docs": n_docs,
+                     "sec": round(dt, 2), "docs_per_sec": int(n_docs / dt)}
+                ),
+                flush=True,
+            )
+
+    # persisted text index: build once, probe many (bm25 analog of the
+    # ivf_index probe) — probe cost must stay near-flat as the corpus
+    # grows because postings prune to the query terms' hash buckets
+    if not only or "text_index" in only:
+        import shutil
+        import tempfile
+
+        from lwetl_spark.operators.retrieval import (
+            build_text_index,
+            query_text_index,
+        )
+
+        for scale in (1, 4, 16):
+            df, n_docs = scaled_docs_src(spark, sf_dir, scale)
+            df = df.persist()
+            df.count()
+            path = tempfile.mkdtemp(prefix="textidx_probe_") + "/index"
+            qset = spark.createDataFrame(
+                [(1, "scan"), (1, "table"), (2, "merge"), (2, "sort"),
+                 (2, "window"), (3, "hash"), (3, "part")],
+                "query_id int, term string",
+            )
+            t0 = time.time()
+            build_text_index(df, path)
+            t_build = time.time() - t0
+            t0 = time.time()
+            query_text_index(spark, path, qset, k=10).count()
+            t_probe = time.time() - t0
+            df.unpersist()
+            spark.catalog.clearCache()
+            print(
+                json.dumps(
+                    {"op": "text_index", "scale": scale, "docs": n_docs,
+                     "build_sec": round(t_build, 2),
+                     "probe_sec": round(t_probe, 2)}
+                ),
+                flush=True,
+            )
+            shutil.rmtree(path.rsplit("/", 1)[0], ignore_errors=True)
+
+    # graph census over scaled co-purchase edges: copies shift BOTH key
+    # spaces, so components stay disconnected and edges grow linearly —
+    # the probe isolates the engine's joins from workload blow-up
+    if not only or "triangle_count" in only:
+        from lwetl_spark.catalog import load_table
+        from lwetl_spark.operators.graph import triangle_stats
+
+        li = load_table(spark, sf_dir, "lineitem")
+        pp0 = li.select("l_orderkey", "l_partkey").distinct()
+        for scale in (1, 4, 16):
+            parts = [
+                pp0.select(
+                    (F.col("l_orderkey") + i * 100_000_000).alias("l_orderkey"),
+                    (F.col("l_partkey") + i * 100_000_000).alias("l_partkey"),
+                )
+                for i in range(scale)
+            ]
+            pp = parts[0]
+            for prt in parts[1:]:
+                pp = pp.unionByName(prt)
+            x, y = pp.alias("x"), pp.alias("y")
+            edges = (
+                x.join(
+                    y,
+                    (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+                    & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+                )
+                .groupBy(
+                    F.col("x.l_partkey").alias("a"),
+                    F.col("y.l_partkey").alias("b"),
+                )
+                .agg(F.count("*").alias("w"))
+                .filter(F.col("w") >= 2)
+                .select("a", "b")
+                .persist()
+            )
+            n_edges = edges.count()
+            t0 = time.time()
+            triangle_stats(edges).collect()
+            dt = time.time() - t0
+            edges.unpersist()
+            spark.catalog.clearCache()
+            print(
+                json.dumps(
+                    {"op": "triangle_count", "scale": scale, "edges": n_edges,
+                     "sec": round(dt, 2)}
+                ),
+                flush=True,
+            )
+
+    # record linkage: block COUNT scales (brand x copy), block SIZE
+    # constant — the honest blocked-join scaling design (growing the
+    # blocks instead would be quadratic per block, the documented skew
+    # caveat in fuzzy_join_blocked)
+    if not only or "fuzzy_join" in only:
+        from lwetl_spark.catalog import load_table
+        from lwetl_spark.operators.joins import fuzzy_join_blocked
+
+        part0 = load_table(spark, sf_dir, "part")
+        for scale in (1, 4, 16):
+            parts = [
+                part0.select(
+                    (F.col("p_partkey") + i * 100_000_000).alias("p_partkey"),
+                    "p_name",
+                    F.concat(F.col("p_brand"), F.lit(f"#c{i}")).alias("p_brand"),
+                )
+                for i in range(scale)
+            ]
+            pt = parts[0]
+            for prt in parts[1:]:
+                pt = pt.unionByName(prt)
+            pt = pt.persist()
+            n_parts = pt.count()
+            dirty = pt.select(
+                F.col("p_partkey").alias("d_id"),
+                F.when(
+                    F.col("p_partkey") % 3 == 0,
+                    F.expr("substring(p_name, 1, length(p_name) - 1)"),
+                ).otherwise(F.col("p_name")).alias("d_name"),
+                "p_brand",
+            )
+            t0 = time.time()
+            fuzzy_join_blocked(
+                dirty, pt.select("p_brand", "p_partkey", "p_name"),
+                block_cols=["p_brand"], left_col="d_name", right_col="p_name",
+                max_dist=2, left_id="d_id", right_order="p_partkey",
+            ).count()
+            dt = time.time() - t0
+            pt.unpersist()
+            spark.catalog.clearCache()
+            print(
+                json.dumps(
+                    {"op": "fuzzy_join", "scale": scale, "parts": n_parts,
+                     "sec": round(dt, 2), "parts_per_sec": int(n_parts / dt)}
+                ),
+                flush=True,
+            )
+
+    # PCA: two map-only corpus passes around a d^2 combine — expect
+    # near-linear wall in the corpus with flat shuffle volume
+    if not only or "pca_project" in only:
+        from lwetl_spark.operators.projection import pca_project
+
+        for scale in (1, 4, 16):
+            df, n_vecs = scaled_embeddings(scale)
+            df = df.persist()
+            df.count()
+            t0 = time.time()
+            pca_project(df, k=8).select(F.sum(F.element_at("proj", 1))).collect()
+            dt = time.time() - t0
+            df.unpersist()
+            spark.catalog.clearCache()
+            print(
+                json.dumps(
+                    {"op": "pca_project", "scale": scale, "vecs": n_vecs,
+                     "sec": round(dt, 2), "vecs_per_sec": int(n_vecs / dt)}
+                ),
+                flush=True,
             )
 
 
