@@ -732,3 +732,70 @@ def x_bm25_index_roundtrip(spark, sf_dir):
     return spark.createDataFrame(
         [(n_queries, mismatches == 0)], "n_queries long, index_matches_inline boolean"
     )
+
+
+@register(
+    "x_hll_sketch_store",
+    """
+    WITH s AS (
+        SELECT source, CAST(COUNT(DISTINCT text) AS BIGINT) AS exact_src
+        FROM documents GROUP BY source
+    ),
+    g AS (SELECT CAST(COUNT(DISTINCT text) AS BIGINT) AS exact_global
+          FROM documents)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sources,
+           CAST(SUM(exact_src) AS BIGINT) AS sum_per_source,
+           MAX(exact_global) AS exact_global,
+           TRUE AS union_within_5pct,
+           TRUE AS all_sources_within_5pct
+    FROM s CROSS JOIN g
+    """,
+)
+def x_hll_sketch_store(spark, sf_dir):
+    """Persisted mergeable-sketch store — the warehouse pattern behind
+    incremental distinct counts at 100 TB: per-source Datasketches HLL
+    sketches (one binary blob per source) are WRITTEN to parquet, read
+    back, and union-merged into a global estimate WITHOUT rescanning the
+    corpus.  New partitions only sketch their own rows; history is a
+    sketch-merge, never a re-count — the property a5's in-plan HLL++
+    cannot give (its sketch dies with the query).
+
+    Driver contract (the a5 accuracy-band pattern: estimates are
+    engine-specific, bands are checkable): exact per-source and global
+    distinct counts pinned by the oracle, plus booleans asserting every
+    persisted-sketch estimate and the merged-union estimate land within
+    ±5% of exact.  lgConfigK=14 (~0.8% rse) leaves wide margin."""
+    d = _t(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.hll_sketch_agg("text", 14).alias("sketch"),
+        F.count_distinct("text").alias("exact_src"),
+    )
+    path = os.path.join(_tmpdir("hllstore"), "sketches")
+    per_src.write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    per_ok = back.select(
+        F.count("*").alias("n_sources"),
+        F.sum("exact_src").alias("sum_per_source"),
+        F.min(
+            F.abs(F.hll_sketch_estimate("sketch") - F.col("exact_src"))
+            <= 0.05 * F.col("exact_src")
+        ).alias("all_sources_within_5pct"),
+    )
+    merged = back.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("_est")
+    )
+    exact_g = d.agg(F.count_distinct("text").alias("exact_global"))
+    return (
+        per_ok.crossJoin(merged)
+        .crossJoin(exact_g)
+        .select(
+            F.col("n_sources").cast("long"),
+            F.col("sum_per_source").cast("long"),
+            F.col("exact_global").cast("long"),
+            (
+                F.abs(F.col("_est") - F.col("exact_global"))
+                <= 0.05 * F.col("exact_global")
+            ).alias("union_within_5pct"),
+            "all_sources_within_5pct",
+        )
+    )

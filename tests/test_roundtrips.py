@@ -84,3 +84,24 @@ def test_unknown_source_raises():
 
     with pytest.raises(UnknownSourceError):
         resolve_source({"sources": {}, "alias": {}}, "nope")
+
+
+def test_hll_sketch_store_merge_matches_partition_union(spark, tmp_path):
+    """Sketches persisted per slice then union-merged must estimate the
+    GLOBAL distinct count — including keys shared across slices (the
+    property a plain sum of per-slice counts lacks)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i % 3, f"k{i % 500}") for i in range(5000)], "grp int, key string"
+    )
+    per = df.groupBy("grp").agg(F.hll_sketch_agg("key", 14).alias("sk"))
+    path = str(tmp_path / "sketches")
+    per.write.parquet(path)
+    est = (
+        spark.read.parquet(path)
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("e"))
+        .collect()[0]["e"]
+    )
+    # 500 distinct keys global; per-slice sum would be ~1500
+    assert abs(est - 500) <= 25
