@@ -405,3 +405,52 @@ def stream_dedup_against_corpus(
         novel.write.mode("append").parquet(state_path)
 
     return stream.writeStream.foreachBatch(sink).start()
+
+
+def stream_validate(
+    spark: SparkSession,
+    src_path: str,
+    rules: list[dict],
+    max_files_per_trigger: int = 2,
+):
+    """Streaming data-contract gate (NEW; the foreachBatch form of
+    operators/validate.py — the ingest-time quality gate a 100 TB
+    pipeline runs BEFORE publishing each partition).
+
+    Every micro-batch runs the same one-scan conditional-count
+    validation as the batch operator (row-local rules only — unique/FK
+    need cross-batch state, which is the persisted-state pattern of
+    stream_dedup_against_corpus, not a per-batch census); violation
+    counts fold additively into a constant-size accumulator, so the
+    gate's state is one counter pair per rule REGARDLESS of stream
+    volume — mergeable exactly like the count-min counters.
+
+    Totals equal the batch validate() over the union of all batches
+    (addition is associative; pinned by test_streaming).  Returns
+    (query, totals) — caller awaits the query, then reads
+    `totals` {rule: {"n_checked": .., "n_violations": ..}}.
+    """
+    from lwetl_spark.operators.validate import validate
+
+    for r in rules:
+        if r["kind"] in ("unique", "foreign_key"):
+            raise ValueError(
+                f"rule {r['rule']!r}: {r['kind']} needs cross-batch state — "
+                "run it as a batch pass over the published table instead"
+            )
+    schema = spark.read.parquet(src_path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(src_path)
+    )
+    totals: dict[str, dict[str, int]] = {}
+
+    def sink(batch_df, batch_id: int) -> None:
+        for r in validate(batch_df, rules).collect():
+            t = totals.setdefault(r["rule"], {"n_checked": 0, "n_violations": 0})
+            t["n_checked"] += r["n_checked"]
+            t["n_violations"] += r["n_violations"]
+
+    q = stream.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    return q, totals

@@ -358,3 +358,47 @@ def test_stream_dedup_against_corpus_admits_each_fp_once(spark, tmp_path):
     finally:
         q2.stop()
     assert spark.read.parquet(state_dir).count() == len(distinct_fps)
+
+
+def test_stream_validate_totals_match_batch(spark, tmp_path):
+    """Per-batch contract censuses fold to the batch validate() over all
+    data — the gate's state is one counter pair per rule."""
+    from lwetl_spark.operators.validate import validate
+    from lwetl_spark.streaming.pipeline import stream_validate
+
+    p = str(tmp_path / "orders_stream")
+    orders = spark.read.parquet(SF_SMOKE + "/orders.parquet")
+    orders.repartition(5).write.parquet(p)
+
+    rules = [
+        {"rule": "custkey_not_null", "kind": "not_null", "col": "o_custkey"},
+        {"rule": "price_pos", "kind": "range", "col": "o_totalprice", "lo": 0.0},
+        {
+            "rule": "status_ok",
+            "kind": "accepted_values",
+            "col": "o_orderstatus",
+            "values": ["F", "O", "P"],
+        },
+    ]
+    q, totals = stream_validate(spark, p, rules)
+    q.awaitTermination(120)
+
+    batch = {
+        r["rule"]: (r["n_checked"], r["n_violations"])
+        for r in validate(spark.read.parquet(p), rules).collect()
+    }
+    assert {
+        k: (v["n_checked"], v["n_violations"]) for k, v in totals.items()
+    } == batch
+    assert all(v[0] > 0 for v in batch.values())
+
+
+def test_stream_validate_rejects_stateful_rules(spark, tmp_path):
+    import pytest as _pytest
+
+    from lwetl_spark.streaming.pipeline import stream_validate
+
+    p = str(tmp_path / "x")
+    spark.range(3).write.parquet(p)
+    with _pytest.raises(ValueError):
+        stream_validate(spark, p, [{"rule": "u", "kind": "unique", "cols": ["id"]}])
