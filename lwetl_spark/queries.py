@@ -5370,6 +5370,71 @@ def x_data_contract(spark, sf_dir):
     return out.unionByName(fk)
 
 
+@register(
+    "x_pit_join",
+    """
+    WITH o AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    c AS (
+      SELECT user_id, event_type, ts, event_id FROM o
+      WHERE prev IS NULL OR prev <> event_type
+    ),
+    dim AS (
+      SELECT user_id, event_type AS regime, ts AS valid_from,
+             COALESCE(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                      TIMESTAMP '2262-01-01 00:00:00') AS valid_to
+      FROM c
+    )
+    SELECT dim.regime, e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(e.value), 2) AS sum_value
+    FROM events e JOIN dim
+      ON e.user_id = dim.user_id
+     AND e.ts >= dim.valid_from AND e.ts < dim.valid_to
+    GROUP BY dim.regime, e.event_type
+    """,
+)
+def x_pit_join(spark, sf_dir):
+    """Point-in-time join — every fact matched to the SCD2 dimension row
+    valid AT its event time (the "no time travel leakage" join behind
+    feature-store backfills and as-of reporting).  The dimension is the
+    x_scd2 regime history; intervals partition each user's timeline, so
+    every fact lands in exactly one row; the half-open [from, to) bound
+    puts boundary events in the NEXT interval on both engines.
+
+    Scale: an equi-join on user_id with the interval predicate applied
+    in the same stage — per-user work is (facts × regimes of that user),
+    bounded by regime-change counts, not the corpus.  A dimension-wide
+    broadcast is wrong here (the SCD2 table grows with users); hash join
+    on the user key is the right plan and Catalyst picks it."""
+    from lwetl_spark.operators.windows import scd2_from_events
+
+    ev = _t(spark, sf_dir, "events")
+    dim = scd2_from_events(ev).select(
+        "user_id",
+        F.col("event_type").alias("regime"),
+        "valid_from",
+        F.coalesce(
+            "valid_to", F.lit("2262-01-01 00:00:00").cast("timestamp")
+        ).alias("valid_to"),
+    )
+    e = ev.alias("e")
+    d = dim.alias("d")
+    j = e.join(
+        d,
+        (F.col("e.user_id") == F.col("d.user_id"))
+        & (F.col("e.ts") >= F.col("d.valid_from"))
+        & (F.col("e.ts") < F.col("d.valid_to")),
+    )
+    return j.groupBy(F.col("d.regime").alias("regime"), F.col("e.event_type")).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("e.value"), 2).alias("sum_value"),
+    )
+
+
 #: keys the round-1 driver run already sampled green (CORRECTNESS_r01.json);
 #: listed so the catalog can surface the yet-unsampled entries FIRST for a
 #: driver that checks a prefix of the registration order (VERDICT r1 #6).
