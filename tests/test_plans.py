@@ -479,3 +479,47 @@ def test_dup_spans_shuffles_fingerprints_only(spark):
     exchange_lines = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
     assert exchange_lines
     assert all("text" not in l and "toks" not in l for l in exchange_lines), plan
+
+
+def test_pit_join_hash_join_on_user_no_nested_loop(spark):
+    """x_pit_join: equi-join on user_id with the interval predicate in
+    the same stage — never a BroadcastNestedLoopJoin/cartesian (the
+    SCD2 dimension grows with users; a range-only join would be O(n²))."""
+    plan = _plan(spark, "x_pit_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
+
+
+def test_entity_resolution_no_cartesian(spark):
+    """Blocked fuzzy edges: candidates come only from the brand
+    equi-join — no all-pairs stage anywhere in the plan."""
+    plan = _plan(spark, "x_entity_resolution")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_source_overlap_shuffles_hashes_never_text(spark):
+    """x_source_overlap: every hash exchange carries (md5, source)
+    pairs — document text dies map-side in the gram projection."""
+    plan = _plan(spark, "x_source_overlap")
+    exchange_lines = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert exchange_lines
+    assert all("text" not in l for l in exchange_lines)
+
+
+def test_grouping_sets_single_expand_single_agg_pair(spark):
+    """x_grouping_sets: one scan → one Expand → partial+final agg; the
+    three sets must not become three scans."""
+    plan = _plan(spark, "x_grouping_sets")
+    assert plan.count("Expand") == 1
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_winsorize_band_broadcast_back(spark):
+    """x_winsorize: the percentile band table joins back via broadcast —
+    the fact table never shuffles for the clip."""
+    plan = _plan(spark, "x_winsorize")
+    assert "BroadcastHashJoin" in plan
