@@ -342,3 +342,99 @@ def test_has_near_duplicate_matches_pair_join(spark):
     assert got_any == any_side
     # one row per vector, linear output
     assert has_near_duplicate(emb, 0.4).count() == emb.count()
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),  # doc seed
+            st.integers(min_value=1, max_value=12),  # length in tokens
+        ),
+        min_size=3,
+        max_size=12,
+    )
+)
+def test_bm25_properties(spark, corpus_spec):
+    """BM25 invariants on arbitrary tiny corpora: scores positive,
+    ranks contiguous from 1 with deterministic ordering, and every
+    returned doc actually contains a query term."""
+    from lwetl_spark.operators.retrieval import bm25_topk
+
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon"]
+    rows = [
+        (i, " ".join(vocab[(seed + j) % len(vocab)] for j in range(ln)))
+        for i, (seed, ln) in enumerate(corpus_spec)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    q = spark.createDataFrame(
+        [(1, "alpha"), (1, "gamma"), (2, "epsilon")], "query_id int, term string"
+    )
+    out = bm25_topk(docs, q, k=5).collect()
+    texts = dict(rows)
+    terms = {1: {"alpha", "gamma"}, 2: {"epsilon"}}
+    by_q: dict = {}
+    for r in out:
+        assert r["score_ppm"] > 0
+        assert terms[r["query_id"]] & set(texts[r["doc_id"]].split())
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rs in by_q.items():
+        rs.sort(key=lambda r: r["rnk"])
+        assert [r["rnk"] for r in rs] == list(range(1, len(rs) + 1))
+        scores = [r["score_ppm"] for r in rs]
+        assert scores == sorted(scores, reverse=True)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+        min_size=4,
+        max_size=40,
+    )
+)
+def test_winsorize_properties(spark, values):
+    """Winsorize never drops rows, output stays inside [lo, hi] band,
+    and the band edges are actual data values."""
+    from lwetl_spark.operators.sampling import winsorize
+
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(values)], "id long, v double"
+    )
+    out = winsorize(df, "v", lo=0.1, hi=0.9).collect()
+    assert len(out) == len(values)
+    vs = set(values)
+    for r in out:
+        assert r["_lo"] in vs and r["_hi"] in vs
+        assert r["_lo"] <= r["v_w"] <= r["_hi"]
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=12),
+            st.integers(min_value=0, max_value=12),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    st.integers(min_value=1, max_value=1_000_000),
+)
+def test_triangle_census_relabel_invariance(spark, edge_list, offset):
+    """The triangle census is invariant under node relabeling (any
+    order-preserving or not — census counts don't depend on ids)."""
+    from lwetl_spark.operators.graph import triangle_stats
+
+    e1 = spark.createDataFrame(
+        [(a, b) for a, b in edge_list], "a long, b long"
+    )
+    # relabel: x -> offset - x (order-reversing bijection)
+    e2 = spark.createDataFrame(
+        [(offset - a, offset - b) for a, b in edge_list], "a long, b long"
+    )
+    r1 = triangle_stats(e1).collect()[0]
+    r2 = triangle_stats(e2).collect()[0]
+    assert (r1["n_nodes"], r1["n_edges"], r1["n_wedges"], r1["n_triangles"]) == (
+        r2["n_nodes"], r2["n_edges"], r2["n_wedges"], r2["n_triangles"]
+    )
