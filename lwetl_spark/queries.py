@@ -5435,6 +5435,72 @@ def x_pit_join(spark, sf_dir):
     )
 
 
+@register(
+    "x_batch_inference",
+    """
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 1000000 AS BIGINT)
+               AS score_ppm,
+           (('0x' || substr(md5(text), 1, 8))::BIGINT % 1000000) >= 500000
+               AS keep
+    FROM documents
+    """,
+)
+def x_batch_inference(spark, sf_dir):
+    """Batch model-inference plumbing: every document scored by an
+    Arrow-batched `mapInPandas` "model" (deterministic md5 stub — the
+    multimodal-decode convention: model libs absent, so the stub is
+    portable and the WHOLE inference path is value-checked against the
+    oracle, not just smoke-run), then thresholded JVM-side.  A real
+    quality classifier / reward model drops in via the `scorer` arg with
+    an identical plan (operators/inference.py has the batching and
+    memory-bounding design)."""
+    from lwetl_spark.operators.inference import batch_score
+
+    scored = batch_score(_t(spark, sf_dir, "documents"))
+    return scored.select(
+        "doc_id", "score_ppm", (F.col("score_ppm") >= 500_000).alias("keep")
+    )
+
+
+@register(
+    "x_mean_pool",
+    """
+    SELECT label,
+           CAST(dim AS BIGINT) AS dim,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           ROUND(AVG(v), 6) AS mean_v
+    FROM (
+        SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+               unnest(embedding) AS v
+        FROM embeddings
+    )
+    WHERE dim < 8
+    GROUP BY label, dim
+    """,
+)
+def x_mean_pool(spark, sf_dir):
+    """Per-label mean-pooled embeddings (first 8 dims shown): the
+    pooling step behind chunk→document embedding aggregation and
+    class centroids.  posexplode → (label, dim) keyed agg: the shuffle
+    carries (label, dim, float) triples — partial aggregation compacts
+    each map task to |labels|·d rows regardless of corpus size, the
+    same sufficient-statistics shape as PCA's covariance pass."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .filter(F.col("dim") < 8)
+        .groupBy("label", "dim")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.avg("v"), 6).alias("mean_v"),
+        )
+        .select(
+            "label", F.col("dim").cast("long").alias("dim"), "n_vecs", "mean_v"
+        )
+    )
+
+
 #: keys the round-1 driver run already sampled green (CORRECTNESS_r01.json);
 #: listed so the catalog can surface the yet-unsampled entries FIRST for a
 #: driver that checks a prefix of the registration order (VERDICT r1 #6).

@@ -103,3 +103,36 @@ def test_winsorize_rejects_bad_band(spark):
     df = spark.createDataFrame([(1, 1.0)], "id long, v double")
     with pytest.raises(ValueError):
         winsorize(df, "v", lo=0.9, hi=0.1)
+
+
+def test_batch_score_default_stub_portable(spark):
+    import hashlib
+
+    from lwetl_spark.operators.inference import batch_score
+
+    docs = spark.createDataFrame(
+        [(i, f"text number {i}") for i in range(20)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["score_ppm"] for r in batch_score(docs).collect()}
+    for i in range(20):
+        expected = int(hashlib.md5(f"text number {i}".encode()).hexdigest()[:8], 16) % 1_000_000
+        assert got[i] == expected
+
+
+def test_batch_score_custom_scorer_and_rechunk(spark):
+    """batch_rows bounds what the scorer sees per call; a custom scorer
+    slots in without changing the plumbing."""
+    from lwetl_spark.operators.inference import batch_score
+
+    docs = spark.createDataFrame(
+        [(i, "x" * (i % 7 + 1)) for i in range(50)], "doc_id long, text string"
+    ).coalesce(1)
+
+    def scorer(texts):
+        n = len(list(texts))
+        assert n <= 8, f"scorer saw a chunk of {n} > batch_rows"
+        return [len(t) * 1000 for t in texts]
+
+    got = {r["doc_id"]: r["score_ppm"] for r in
+           batch_score(docs, batch_rows=8, scorer=scorer).collect()}
+    assert got[3] == 4000 and len(got) == 50
