@@ -454,3 +454,54 @@ def stream_validate(
 
     q = stream.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
     return q, totals
+
+
+def stream_hll_distinct(
+    spark: SparkSession,
+    src_path: str,
+    state_path: str,
+    key_col: str,
+    lg_k: int = 14,
+    max_files_per_trigger: int = 2,
+):
+    """Streaming incremental distinct count (NEW; the streaming form of
+    x_hll_sketch_store): every micro-batch reduces to ONE Datasketches
+    HLL blob appended to the sketch store; the running distinct estimate
+    is an `hll_union_agg` over the store — no batch is ever re-scanned,
+    and re-counting history costs |batches| sketch rows, not data.
+
+    Cross-batch duplicates are handled by the sketch itself (a key
+    inserted in two batches unions to one), which a running sum of
+    per-batch exact counts cannot do.  State grows by one ~2^lg_k-byte
+    row per batch regardless of batch size; compact by periodically
+    rewriting the store as the single merged sketch
+    (`hll_union_agg` → overwrite), the same maintenance shape as
+    compact_files.
+
+    Returns the started query; read the estimate with
+    `hll_store_estimate(spark, state_path)`.
+    """
+    schema = spark.read.parquet(src_path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(src_path)
+    )
+
+    def sink(batch_df, batch_id: int) -> None:
+        sk = batch_df.agg(
+            F.hll_sketch_agg(key_col, F.lit(lg_k)).alias("sketch")
+        ).withColumn("batch_id", F.lit(batch_id))
+        sk.write.mode("append").parquet(state_path)
+
+    return stream.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+
+
+def hll_store_estimate(spark: SparkSession, state_path: str) -> int:
+    """Merged distinct estimate over a sketch store written by
+    `stream_hll_distinct` (or any per-slice `hll_sketch_agg` writer)."""
+    return int(
+        spark.read.parquet(state_path)
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("e"))
+        .collect()[0]["e"]
+    )

@@ -402,3 +402,28 @@ def test_stream_validate_rejects_stateful_rules(spark, tmp_path):
     spark.range(3).write.parquet(p)
     with _pytest.raises(ValueError):
         stream_validate(spark, p, [{"rule": "u", "kind": "unique", "cols": ["id"]}])
+
+
+def test_stream_hll_distinct_unions_across_batches(spark, tmp_path):
+    """Per-batch sketches union to the GLOBAL distinct count — keys
+    repeated across micro-batches count once (a running sum of exact
+    per-batch counts would overcount)."""
+    from lwetl_spark.streaming.pipeline import (
+        hll_store_estimate,
+        stream_hll_distinct,
+    )
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "sketches")
+    df = spark.createDataFrame(
+        [(i, f"k{i % 400}") for i in range(4000)], "i long, key string"
+    )
+    df.repartition(6).write.parquet(src)  # several files -> several batches
+
+    q = stream_hll_distinct(spark, src, state, key_col="key")
+    q.awaitTermination(120)
+
+    est = hll_store_estimate(spark, state)
+    assert abs(est - 400) <= 20
+    n_rows = spark.read.parquet(state).count()
+    assert 1 <= n_rows <= 6  # one sketch row per micro-batch
