@@ -256,3 +256,56 @@ def test_cli_curate_gopher_stage(spark, tmp_path):
     assert stats["n_input"] == 2 and stats["n_kept"] == 1
     kept = spark.read.parquet(out)
     assert [r["doc_id"] for r in kept.collect()] == [1]
+
+
+def test_cli_validate_end_to_end(spark, tmp_path, capsys):
+    """lwetl-spark-validate: clean rules exit 0; violating rules print a
+    census and exit 2 in CI-gate mode."""
+    import json
+
+    from lwetl_spark.cli_validate import main
+
+    rules = [
+        {"rule": "custkey_not_null", "kind": "not_null", "col": "o_custkey"},
+        {"rule": "price_pos", "kind": "range", "col": "o_totalprice", "lo": 0},
+        {"rule": "pk", "kind": "unique", "cols": ["o_orderkey"]},
+        {
+            "rule": "fk_customer",
+            "kind": "foreign_key",
+            "col": "o_custkey",
+            "parent": "customer",
+            "parent_col": "c_custkey",
+        },
+    ]
+    rf = tmp_path / "rules.json"
+    rf.write_text(json.dumps(rules))
+    rc = main(["orders", "-r", str(rf), "-d", "/root/testdata/sf0.001",
+               "--fail-on-violation"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "all 4 rule(s) clean" in out
+    assert "custkey_not_null" in out
+
+    bad = [{"rule": "impossible", "kind": "range", "col": "o_totalprice",
+            "hi": -1}]
+    rf.write_text(json.dumps(bad))
+    rc = main(["orders", "-r", str(rf), "-d", "/root/testdata/sf0.001",
+               "--fail-on-violation"])
+    out = capsys.readouterr().out
+    assert rc == 2
+    assert "violation(s)" in out
+
+
+def test_cli_validate_unknown_table_and_parent(spark, tmp_path, capsys):
+    import json
+
+    from lwetl_spark.cli_validate import main
+
+    rf = tmp_path / "r.json"
+    rf.write_text(json.dumps([{"rule": "x", "kind": "not_null", "col": "c"}]))
+    assert main(["nope", "-r", str(rf), "-d", "/root/testdata/sf0.001"]) == 1
+    rf.write_text(
+        json.dumps([{"rule": "x", "kind": "foreign_key", "col": "o_custkey",
+                     "parent": "ghost", "parent_col": "g"}])
+    )
+    assert main(["orders", "-r", str(rf), "-d", "/root/testdata/sf0.001"]) == 1
