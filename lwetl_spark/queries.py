@@ -5501,6 +5501,84 @@ def x_mean_pool(spark, sf_dir):
     )
 
 
+@register(
+    "x_assoc_rules",
+    """
+    WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM pp),
+    item AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS cnt FROM pp GROUP BY 1),
+    pair AS (
+        SELECT x.l_partkey AS a, y.l_partkey AS b, CAST(COUNT(*) AS BIGINT) AS ab
+        FROM pp x JOIN pp y
+          ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= 3
+    ),
+    r AS (
+        SELECT a, b, ab,
+               CAST(1000000 * ab // n.n_orders AS BIGINT) AS support_ppm,
+               CAST(1000000 * ab // ia.cnt AS BIGINT) AS conf_ppm,
+               CAST(1000000 * ab * n.n_orders // (ia.cnt * ib.cnt) AS BIGINT)
+                   AS lift_ppm
+        FROM pair
+        JOIN item ia ON ia.l_partkey = a
+        JOIN item ib ON ib.l_partkey = b
+        CROSS JOIN n
+    )
+    SELECT a, b, ab, support_ppm, conf_ppm, lift_ppm
+    FROM r ORDER BY lift_ppm DESC, a, b LIMIT 20
+    """,
+)
+def x_assoc_rules(spark, sf_dir):
+    """Association rules over the co-purchase baskets: support /
+    confidence / lift for part pairs co-occurring in ≥3 orders, top-20
+    by lift — the frequent-itemset primitive (pair level: the 2-itemset
+    pass of Apriori/FP-growth, which is where basket analysis spends
+    its time) in exact integer ppm so the ranking hash-matches DuckDB.
+
+    Scale: the pair generation is the x_triangle_count edge build (the
+    min-support HAVING is the Apriori prune — applied in the same agg,
+    before anything wide); item counts join back un-hinted (AQE
+    broadcasts while the catalog fits, keyed join beyond); top-20 by
+    lift is
+    TakeOrdered, no global sort.  Overflow bound: ab·n_orders ≤ 9e18
+    needs n_orders ≲ 3e9 when ab ≤ n_orders — beyond that, drop the ppm
+    scale a notch (the BM25 sizing rule)."""
+    li = _t(spark, sf_dir, "lineitem")
+    pp = li.select("l_orderkey", "l_partkey").distinct()
+    n = pp.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    item = pp.groupBy("l_partkey").agg(F.count("*").alias("cnt"))
+    x = pp.alias("x")
+    y = pp.alias("y")
+    pair = (
+        x.join(
+            y,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .groupBy(F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b"))
+        .agg(F.count("*").alias("ab"))
+        .filter(F.col("ab") >= 3)
+    )
+    ia = item.select(F.col("l_partkey").alias("a"), F.col("cnt").alias("cnt_a"))
+    ib = item.select(F.col("l_partkey").alias("b"), F.col("cnt").alias("cnt_b"))
+    # item counts grow with the catalog — no broadcast hint; Catalyst/AQE
+    # broadcasts while it fits and falls back to a keyed join beyond
+    r = (
+        pair.join(ia, "a")
+        .join(ib, "b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "a",
+            "b",
+            "ab",
+            F.expr("1000000 * ab div n_orders").alias("support_ppm"),
+            F.expr("1000000 * ab div cnt_a").alias("conf_ppm"),
+            F.expr("1000000 * ab * n_orders div (cnt_a * cnt_b)").alias("lift_ppm"),
+        )
+    )
+    return r.orderBy(F.desc("lift_ppm"), F.asc("a"), F.asc("b")).limit(20)
+
+
 #: keys the round-1 driver run already sampled green (CORRECTNESS_r01.json);
 #: listed so the catalog can surface the yet-unsampled entries FIRST for a
 #: driver that checks a prefix of the registration order (VERDICT r1 #6).
