@@ -1341,3 +1341,59 @@ def _lsh_bucket_scored(
         .groupBy("id", "neighbor_id")
         .agg(F.min("cos").alias("cos"))
     )
+
+
+def kmeans_cluster(
+    df: DataFrame,
+    k: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    train_sample: int = 10_000,
+    iters: int = 8,
+) -> DataFrame:
+    """First-class k-means clustering over an embedding column:
+    (id, cluster_id, cos) — each vector assigned to its nearest
+    spherical-k-means centroid, with the cosine to that centroid
+    (6-dp HALF_UP, the repo float convention).
+
+    This is the coarse quantizer the IVF/SemDeDup family already uses,
+    exposed as the standalone clustering operator (corpus segmentation,
+    topic bucketing, stratified-eval construction).  Same scale shape:
+    bounded deterministic driver-side train (TakeOrdered sample — the
+    documented collect exception), broadcast k×d centroid matrix, ONE
+    Arrow assignment pass over the corpus; assignments are
+    partitioning-invariant because both the trainer sample and the
+    argmax are (pinned by test_kmeans_partitioning_invariance).
+    """
+    import numpy as np
+
+    C = _train_spherical_kmeans(df, vec_col, id_col, k, train_sample, iters)
+    spark = df.sparkSession
+    b_C = spark.sparkContext.broadcast(C)
+
+    def gen(it):
+        import numpy as _np
+        import pandas as _pd
+
+        cents = b_C.value
+        for pdf in it:
+            if not len(pdf):
+                continue
+            v = _np.array(list(pdf["v"]), dtype=_np.float64)
+            vn = v / _np.maximum(_np.linalg.norm(v, axis=1), 1e-12)[:, None]
+            sims = vn @ cents.T
+            best = sims.argmax(axis=1)
+            cos = sims[_np.arange(len(vn)), best]
+            cos = _np.floor(cos * 1e6 + 0.5) / 1e6  # HALF_UP like F.round
+            yield _pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "cluster_id": best.astype("int32"),
+                    "cos": cos,
+                }
+            )
+
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    return base.mapInPandas(gen, "id long, cluster_id int, cos double").select(
+        F.col("id").alias(id_col), "cluster_id", "cos"
+    )

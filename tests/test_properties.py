@@ -438,3 +438,40 @@ def test_triangle_census_relabel_invariance(spark, edge_list, offset):
     assert (r1["n_nodes"], r1["n_edges"], r1["n_wedges"], r1["n_triangles"]) == (
         r2["n_nodes"], r2["n_edges"], r2["n_wedges"], r2["n_triangles"]
     )
+
+
+def test_kmeans_partitioning_invariance(spark):
+    """kmeans_cluster assignments are a pure function of the data —
+    identical under any input partitioning (trainer samples by hash
+    order, not partition order)."""
+    from lwetl_spark.operators.similarity import kmeans_cluster
+
+    emb = spark.read.parquet(SF_CORRECT + "/embeddings.parquet")
+    a = {r["vec_id"]: (r["cluster_id"], r["cos"])
+         for r in kmeans_cluster(emb, k=8).collect()}
+    b = {r["vec_id"]: (r["cluster_id"], r["cos"])
+         for r in kmeans_cluster(emb.repartition(17), k=8).collect()}
+    assert a == b and len(a) == emb.count()
+
+
+def test_kmeans_assigns_nearest_centroid(spark):
+    """Every point's recorded cos is the max over all centroids (the
+    assignment really is argmax, checked independently in numpy)."""
+    import numpy as np
+
+    from lwetl_spark.operators.similarity import (
+        _train_spherical_kmeans,
+        kmeans_cluster,
+    )
+
+    emb = spark.read.parquet(SF_CORRECT + "/embeddings.parquet").limit(200)
+    emb = emb.localCheckpoint(eager=True)  # freeze the 200-row sample
+    C = _train_spherical_kmeans(emb, "embedding", "vec_id", 8, 10_000, 8)
+    rows = emb.collect()
+    got = {r["vec_id"]: r for r in kmeans_cluster(emb, k=8).collect()}
+    for r in rows:
+        v = np.array(r["embedding"], dtype=np.float64)
+        vn = v / max(np.linalg.norm(v), 1e-12)
+        sims = vn @ C.T
+        expect = np.floor(sims.max() * 1e6 + 0.5) / 1e6
+        assert abs(got[r["vec_id"]]["cos"] - expect) < 1e-9
