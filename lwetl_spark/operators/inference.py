@@ -54,8 +54,13 @@ def batch_score(
         import pandas as _pd
 
         def default_scorer(texts):
+            # NULL text scores as empty string — a worker crash on one
+            # null row is the wrong failure mode for a corpus pass
             return [
-                int(_hashlib.md5(t.encode("utf-8")).hexdigest()[:8], 16) % 1_000_000
+                int(
+                    _hashlib.md5((t or "").encode("utf-8")).hexdigest()[:8], 16
+                )
+                % 1_000_000
                 for t in texts
             ]
 

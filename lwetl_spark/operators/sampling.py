@@ -450,5 +450,11 @@ def winsorize(
     else:
         band = df.groupBy(group_col).agg(p_lo.alias("_lo"), p_hi.alias("_hi"))
         j = df.join(F.broadcast(band), group_col)
-    clipped = F.least(F.greatest(F.col(value_col), F.col("_lo")), F.col("_hi"))
+    # explicit NULL passthrough: Spark's greatest/least SKIP nulls, so a
+    # bare least(greatest(v, lo), hi) would clip a NULL value to lo —
+    # silently diverging from the SQL CASE form (NULL in → NULL out)
+    clipped = F.when(
+        F.col(value_col).isNotNull(),
+        F.least(F.greatest(F.col(value_col), F.col("_lo")), F.col("_hi")),
+    )
     return j.withColumn(out_col, clipped)

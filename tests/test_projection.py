@@ -136,3 +136,26 @@ def test_batch_score_custom_scorer_and_rechunk(spark):
     got = {r["doc_id"]: r["score_ppm"] for r in
            batch_score(docs, batch_rows=8, scorer=scorer).collect()}
     assert got[3] == 4000 and len(got) == 50
+
+
+def test_winsorize_null_passthrough(spark):
+    """NULL values stay NULL (greatest/least skip nulls — a bare
+    composition would clip NULL to the lower band edge)."""
+    from lwetl_spark.operators.sampling import winsorize
+
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, None), (3, 100.0), (4, 50.0)], "id long, v double"
+    )
+    out = {r["id"]: r["v_w"] for r in winsorize(df, "v", lo=0.25, hi=0.75).collect()}
+    assert out[2] is None
+    assert out[4] == 50.0
+
+
+def test_batch_score_null_text_scores_as_empty(spark):
+    import hashlib
+
+    from lwetl_spark.operators.inference import batch_score
+
+    docs = spark.createDataFrame([(1, None), (2, "x")], "doc_id long, text string")
+    got = {r["doc_id"]: r["score_ppm"] for r in batch_score(docs).collect()}
+    assert got[1] == int(hashlib.md5(b"").hexdigest()[:8], 16) % 1_000_000
