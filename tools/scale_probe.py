@@ -105,11 +105,12 @@ def scaled_events(spark, sf_dir: str, scale: int):
     from lwetl_spark.catalog import load_table
 
     base = load_table(spark, sf_dir, "events").select(
-        "user_id", "ts", "event_type", "value"
+        "event_id", "user_id", "ts", "event_type", "value"
     )
     n = base.count()
     parts = [
         base.withColumn("user_id", F.col("user_id") + i * 10_000_000)
+        .withColumn("event_id", F.col("event_id") + i * 1_000_000_000)
         for i in range(scale)
     ]
     df = parts[0]
@@ -554,6 +555,71 @@ def main() -> None:
             print(
                 json.dumps(
                     {"op": "pca_project", "scale": scale, "vecs": n_vecs,
+                     "sec": round(dt, 2), "vecs_per_sec": int(n_vecs / dt)}
+                ),
+                flush=True,
+            )
+
+    # point-in-time join: the DIMENSION grows with users (scd2 regime
+    # history), so the join must stay a keyed hash/sort join — this
+    # probe would blow up if anything tried to broadcast the dim
+    if not only or "pit_join" in only:
+        from lwetl_spark.operators.windows import scd2_from_events
+
+        for scale in (1, 4, 16):
+            ev, n_rows = scaled_events(spark, sf_dir, scale)
+            ev = ev.persist()
+            ev.count()
+            dim = scd2_from_events(ev).select(
+                "user_id",
+                F.col("event_type").alias("regime"),
+                "valid_from",
+                F.coalesce(
+                    "valid_to", F.lit("2262-01-01 00:00:00").cast("timestamp")
+                ).alias("valid_to"),
+            )
+            e, d = ev.alias("e"), dim.alias("d")
+            t0 = time.time()
+            (
+                e.join(
+                    d,
+                    (F.col("e.user_id") == F.col("d.user_id"))
+                    & (F.col("e.ts") >= F.col("d.valid_from"))
+                    & (F.col("e.ts") < F.col("d.valid_to")),
+                )
+                .groupBy(F.col("d.regime"), F.col("e.event_type"))
+                .agg(F.count("*"), F.sum("e.value"))
+                .collect()
+            )
+            dt = time.time() - t0
+            ev.unpersist()
+            spark.catalog.clearCache()
+            print(
+                json.dumps(
+                    {"op": "pit_join", "scale": scale, "rows": n_rows,
+                     "sec": round(dt, 2), "rows_per_sec": int(n_rows / dt)}
+                ),
+                flush=True,
+            )
+
+    # k-means corpus segmentation: bounded driver train + one Arrow
+    # assignment pass — expect near-linear wall; centroids grow with the
+    # corpus (16·s) like the IVF sizing rule
+    if not only or "kmeans" in only:
+        from lwetl_spark.operators.similarity import kmeans_cluster
+
+        for scale in (1, 4, 16):
+            df, n_vecs = scaled_embeddings(scale)
+            df = df.persist()
+            df.count()
+            t0 = time.time()
+            kmeans_cluster(df, k=16 * scale).groupBy("cluster_id").count().collect()
+            dt = time.time() - t0
+            df.unpersist()
+            spark.catalog.clearCache()
+            print(
+                json.dumps(
+                    {"op": "kmeans", "scale": scale, "vecs": n_vecs,
                      "sec": round(dt, 2), "vecs_per_sec": int(n_vecs / dt)}
                 ),
                 flush=True,
