@@ -662,17 +662,22 @@ def o2_orderby_case(spark, sf_dir):
     """,
 )
 def o5_topk_per_group(spark, sf_dir):
-    """Top-k per group via window row_number (O5;
-    table_cardinality/main.py:55-62 generalized)."""
+    """Top-k per group (O5; table_cardinality/main.py:55-62 generalized)
+    — on the salted TWO-PHASE path by default: 25 nations means a plain
+    `row_number().over(partitionBy(nation))` funnels the whole customer
+    table through 25 reducers; phase 1 keeps k per (group, salt) so the
+    wide stage fans out, phase 2 ranks ≤ salt·k survivors.  Values are
+    identical to the unsalted window (pinned by test_skew)."""
+    from lwetl_spark.operators.skew import salted_topk_per_group
+
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
-    w = Window.partitionBy("n_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
-    return (
-        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .select("n_nationkey", "c_custkey", "c_acctbal")
-        .withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 3)
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
+        "n_nationkey", "c_custkey", "c_acctbal"
     )
+    return salted_topk_per_group(
+        joined, "n_nationkey", "c_acctbal", 3, "c_custkey"
+    ).withColumnRenamed("rank", "rnk")
 
 
 @register(
