@@ -2665,17 +2665,21 @@ def x_interval_join(spark, sf_dir):
 def x_reservoir_per_group(spark, sf_dir):
     """Fixed-size uniform sample per group (a deterministic reservoir):
     exactly min(k, |group|) docs per source, chosen by hash order — the
-    per-group counterpart of x_det_sample.  One keyed window; at scale
-    the same two-phase trick as salted_topk_per_group applies to hot
-    groups."""
-    docs = _t(spark, sf_dir, "documents")
-    w = Window.partitionBy("source").orderBy(
-        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("rsv"))), "doc_id"
+    per-group counterpart of x_det_sample.  Runs on the salted
+    TWO-PHASE path (salted_topk_per_group, the o5 treatment): a handful
+    of sources means a single keyed window would funnel the corpus
+    through |sources| reducers; phase 1 keeps k per (source, salt),
+    phase 2 ranks the ≤ salt·k survivors — identical rows out."""
+    from lwetl_spark.operators.skew import salted_topk_per_group
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "_h", F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("rsv")))
     )
-    return (
-        docs.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 5)
-        .select("source", "doc_id", F.col("rnk").cast("long").alias("sample_rank"))
+    out = salted_topk_per_group(
+        docs, "source", "_h", 5, "doc_id", descending=False
+    )
+    return out.select(
+        "source", "doc_id", F.col("rank").cast("long").alias("sample_rank")
     )
 
 
