@@ -39,9 +39,13 @@ def main() -> None:
             with open(os.path.join(out_dir, f"doc_{r['doc_id']}.bin"), "wb") as fh:
                 fh.write(bytes(r["payload"]))
 
+    n = blobs.count()  # cluster-correct census (executors write locally)
     blobs.foreachPartition(dump)
-    n = len([f for f in os.listdir(out_dir) if f.endswith(".bin")])
-    print(f"extracted {n} payloads -> {out_dir}")
+    # on a real cluster each executor writes to ITS OWN filesystem —
+    # point out_dir at a shared mount (NFS/FUSE) there; this local-mode
+    # listing is a verification, not the count
+    local = len([f for f in os.listdir(out_dir) if f.endswith(".bin")])
+    print(f"extracted {n} payloads -> {out_dir} ({local} visible locally)")
 
 
 if __name__ == "__main__":

@@ -219,7 +219,6 @@ def corpus_overlap_matrix(
     df: DataFrame,
     group_col: str = "source",
     text_col: str = "text",
-    id_col: str = "doc_id",
     gram_n: int = 5,
 ) -> DataFrame:
     """Pairwise corpus-overlap matrix: Jaccard similarity of the

@@ -66,9 +66,10 @@ def _covariance_stats(df: DataFrame, vec_col: str, dim: int) -> tuple[int, np.nd
         .agg(F.sum("v").alias("v"), F.sum("n").alias("nn"))
     )
     rows = combined.collect()  # d + d² rows — bounded driver state
-    n_batches_sum = {r["idx"]: r["nn"] for r in rows}
+    if not rows:
+        raise ValueError("PCA needs at least one vector; input is empty")
     # every idx row carries the same Σn (each batch contributes to all)
-    n = int(next(iter(n_batches_sum.values())))
+    n = int(rows[0]["nn"])
     flat = np.zeros(dim + dim * dim)
     for r in rows:
         flat[r["idx"]] = r["v"]
@@ -103,14 +104,25 @@ def pca_project(
     k: int = 8,
     whiten: bool = False,
     eps: float = 1e-9,
+    components: tuple | None = None,
 ) -> DataFrame:
     """Project every vector onto the top-k principal components:
     (id, proj array<double>[k]).  `whiten=True` scales each coordinate
-    by 1/√eigenvalue so the output has identity covariance."""
-    dim = len(df.select(vec_col).first()[0])
-    _, mean, comps, vals, _ = pca_components(df, vec_col, dim, k)
+    by 1/√eigenvalue so the output has identity covariance.
+
+    `components=(mean, comps, eigvals)` (the `pca_components` outputs)
+    skips the statistics pass — the reuse hook pca_contract needs to
+    keep its claim of two corpus passes honest."""
+    probe = df.select(vec_col).first()
+    if probe is None:
+        raise ValueError("PCA needs at least one vector; input is empty")
+    dim = len(probe[0])
+    if components is None:
+        _, mean, comps, vals, _ = pca_components(df, vec_col, dim, k)
+    else:
+        mean, comps, vals = components
     scale = 1.0 / np.sqrt(np.maximum(vals, eps)) if whiten else np.ones(k)
-    mean_l, comps_l, scale_l = mean.tolist(), comps.tolist(), scale.tolist()
+    mean_l, comps_l, scale_l = mean.tolist(), list(map(list, comps)), list(scale)
 
     def project(it):
         import numpy as _np
@@ -153,13 +165,24 @@ def pca_contract(
     - `reconstruction_ok`: MSE of the rank-k reconstruction equals the
       dropped eigenvalue mass (the Eckart–Young identity) within tol,
     - `n_vecs`: projected row count (exact, hash-checked).
+
+    Cost: exactly TWO corpus passes — the sufficient-statistics pass
+    (via pca_components) and ONE evaluation of the projection whose
+    per-component (n, mean, var) aggregation also yields the row count
+    and total kept variance (Σ E[v²] = Σ(var_c + mean_c²)) — nothing is
+    recomputed per check.
     """
-    dim = len(df.select(vec_col).first()[0])
+    probe = df.select(vec_col).first()
+    if probe is None:
+        raise ValueError("PCA needs at least one vector; input is empty")
+    dim = len(probe[0])
     n, mean, comps, vals, all_vals = pca_components(df, vec_col, dim, k)
     orthonormal_ok = bool(
         np.max(np.abs(comps @ comps.T - np.eye(k))) < tol
     )
-    proj = pca_project(df, id_col=id_col, vec_col=vec_col, k=k)
+    proj = pca_project(
+        df, id_col=id_col, vec_col=vec_col, k=k, components=(mean, comps, vals)
+    )
     stats = (
         proj.select(F.posexplode("proj").alias("c", "v"))
         .groupBy("c")
@@ -180,17 +203,14 @@ def pca_contract(
     )
     centered_ok = all(abs(r["m"]) < max(tol, tol * scale) for r in stats)
     dropped_mass = float(np.sum(all_vals[k:]))
-    total_var = (
-        proj.select(F.posexplode("proj").alias("c", "v"))
-        .agg(F.sum(F.col("v") * F.col("v")).alias("ss"))
-        .collect()[0]["ss"]
-    )
-    kept_mass = total_var / n
+    # Σ E[v_c²] over components, from the same collected stats — no
+    # second evaluation of the projection
+    kept_mass = sum(r["var"] + r["m"] * r["m"] for r in stats)
     full_mass = float(np.sum(all_vals))
     reconstruction_ok = abs((full_mass - kept_mass) - dropped_mass) < max(
         tol, tol * scale
     )
-    n_vecs = proj.count()
+    n_vecs = stats[0]["n"] if stats else 0
     spark = df.sparkSession
     return spark.createDataFrame(
         [

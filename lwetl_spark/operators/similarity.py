@@ -1393,7 +1393,8 @@ def kmeans_cluster(
                 }
             )
 
+    out_id_type = dict(df.dtypes)[id_col]
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    return base.mapInPandas(gen, "id long, cluster_id int, cos double").select(
-        F.col("id").alias(id_col), "cluster_id", "cos"
-    )
+    return base.mapInPandas(
+        gen, f"id {out_id_type}, cluster_id int, cos double"
+    ).select(F.col("id").alias(id_col), "cluster_id", "cos")

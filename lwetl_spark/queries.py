@@ -5448,10 +5448,10 @@ def x_pit_join(spark, sf_dir):
     "x_batch_inference",
     """
     SELECT doc_id,
-           CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 1000000 AS BIGINT)
-               AS score_ppm,
-           (('0x' || substr(md5(text), 1, 8))::BIGINT % 1000000) >= 500000
-               AS keep
+           CAST(('0x' || substr(md5(COALESCE(text, '')), 1, 8))::BIGINT
+                % 1000000 AS BIGINT) AS score_ppm,
+           (('0x' || substr(md5(COALESCE(text, '')), 1, 8))::BIGINT
+                % 1000000) >= 500000 AS keep
     FROM documents
     """,
 )
