@@ -148,3 +148,65 @@ def validate(
     for o in outs[1:]:
         result = result.unionByName(o)
     return result
+
+
+def quarantine(
+    df: DataFrame,
+    rules: list[dict],
+) -> tuple[DataFrame, DataFrame]:
+    """Split rows into (clean, quarantined) under the ROW-LOCAL rules —
+    the operational form of `validate` (whose output is the census):
+    clean rows flow on to the pipeline, quarantined rows carry a
+    `violated_rules` array naming every rule they broke, ready for a
+    dead-letter sink.
+
+    Only row-local kinds (not_null/range/accepted_values/regex) apply —
+    uniqueness and referential checks are table-level verdicts that
+    cannot tag an individual row without cross-row state (run them via
+    `validate` on the published table, the stream_validate rule).
+
+    Both outputs derive from ONE flag projection (a when/array column) —
+    filters push into the scan; persist the flagged frame first when
+    consuming both sides of a wide input twice matters.
+    """
+    flags = []
+    for r in rules:
+        kind = r["kind"]
+        name = r["rule"]
+        if kind == "not_null":
+            viol = F.col(r["col"]).isNull()
+        elif kind == "range":
+            conds = []
+            if "lo" in r:
+                conds.append(F.col(r["col"]) < F.lit(r["lo"]))
+            if "hi" in r:
+                conds.append(F.col(r["col"]) > F.lit(r["hi"]))
+            if not conds:
+                raise ValueError(f"range rule {name!r} needs lo and/or hi")
+            viol = conds[0]
+            for c in conds[1:]:
+                viol = viol | c
+            viol = F.col(r["col"]).isNotNull() & viol
+        elif kind == "accepted_values":
+            viol = F.col(r["col"]).isNotNull() & ~F.col(r["col"]).isin(
+                list(r["values"])
+            )
+        elif kind == "regex":
+            viol = F.col(r["col"]).isNotNull() & ~F.col(r["col"]).rlike(
+                r["pattern"]
+            )
+        else:
+            raise ValueError(
+                f"rule {name!r}: {kind} is table-level — quarantine takes "
+                "row-local rules only (run it through validate instead)"
+            )
+        flags.append(F.when(viol, F.lit(name)))
+    if not flags:
+        raise ValueError("quarantine needs at least one rule")
+    flagged = df.withColumn(
+        "violated_rules",
+        F.array_compact(F.array(*flags)),
+    )
+    clean = flagged.filter(F.size("violated_rules") == 0).drop("violated_rules")
+    bad = flagged.filter(F.size("violated_rules") > 0)
+    return clean, bad

@@ -113,3 +113,36 @@ def test_validate_errors(spark):
         validate(df, [{"rule": "r", "kind": "nope", "col": "price"}])
     with pytest.raises(ValueError):
         validate(df, [])
+
+
+def test_quarantine_split(spark):
+    from lwetl_spark.operators.validate import quarantine
+
+    df = _df(spark)
+    clean, bad = quarantine(
+        df,
+        [
+            {"rule": "k_not_null", "kind": "not_null", "col": "k"},
+            {"rule": "price_pos", "kind": "range", "col": "price", "lo": 0.0},
+        ],
+    )
+    assert clean.count() + bad.count() == 4
+    assert clean.columns == df.columns  # tag column dropped on the clean side
+    tags = {tuple(r["violated_rules"]) for r in bad.collect()}
+    assert ("price_pos",) in tags and ("k_not_null",) in tags
+    # multi-violation rows list every broken rule
+    both = quarantine(
+        spark.createDataFrame([(None, -1.0)], "k int, price double"),
+        [
+            {"rule": "k_not_null", "kind": "not_null", "col": "k"},
+            {"rule": "price_pos", "kind": "range", "col": "price", "lo": 0.0},
+        ],
+    )[1].collect()[0]["violated_rules"]
+    assert sorted(both) == ["k_not_null", "price_pos"]
+
+
+def test_quarantine_rejects_table_level_rules(spark):
+    from lwetl_spark.operators.validate import quarantine
+
+    with pytest.raises(ValueError):
+        quarantine(_df(spark), [{"rule": "u", "kind": "unique", "cols": ["k"]}])
