@@ -5766,13 +5766,42 @@ _SAMPLED_R02 = frozenset(
 
 _SAMPLED_GREEN = _SAMPLED_R01 | _SAMPLED_R02
 
+#: VERDICT r2 #1/#3 priority tier for the round-3 sample: the three r02
+#: `err` keys (outputs fixed, must re-record green) followed by every
+#: key that existed in the r2 catalog but was never driver-sampled —
+#: 46 keys, so a 50-key sample prefix covers the WHOLE backlog before
+#: any round-3 addition takes a slot (the additions have judge-side
+#: full-sim evidence in the meantime).
+_PRIORITY_R3 = (
+    "x_multimodal_stub", "x_frame_sample", "x_scd2",
+    "x_quantize_embeddings", "x_percentile_filter", "x_embed_standardize",
+    "x_curation_pipeline", "s3_scalar_probes", "s8_schema_info",
+    "k1_text_table", "k3_xml_sink", "k7_binary_suppression",
+    "s9_engine_info", "x_url_filter", "x_text_normalize", "x_bloom_join",
+    "x_length_batching", "x_group_ols", "x_grouped_ewma",
+    "x_sliding_window", "x_histogram", "x_table_checksum",
+    "x_incremental_agg", "x_web_pipeline", "x_group_corr",
+    "x_sorted_neighborhood", "x_priority_sample", "x_pagerank",
+    "x_drift_chi2", "o3_order_pk_desc", "s4_csv_roundtrip",
+    "s6_ldif_roundtrip", "k5_sql_script_sink", "c1_script_exec",
+    "u1_insert_commit", "u4_update_where", "u5_delete_keys",
+    "u7_pk_generation", "c2_db_copy_new", "f10_binary_roundtrip",
+    "u8_sql_expression", "s10_jsonl_roundtrip", "k8_orc_roundtrip",
+    "k9_compaction", "s11_schema_evolution", "x_lsh_index_roundtrip",
+)
+
 
 def _unsampled_first(d: dict) -> dict:
-    """Stable reorder: keys never green-sampled by a driver round first
-    (in their registration order), then the already-driver-verified rest
-    — a driver that checks a prefix of the registration order always
-    sees the entries still lacking driver-side evidence."""
-    fresh = {k: v for k, v in d.items() if k not in _SAMPLED_GREEN}
+    """Stable reorder: the r2-backlog priority tier first (r02 `err`
+    keys + every never-driver-sampled r2-era key, 46 total), then the
+    remaining never-sampled keys (this round's additions, registration
+    order), then the already-driver-verified rest — a driver that
+    checks a prefix of the registration order clears the whole backlog
+    before re-verifying anything."""
+    fresh = {k: d[k] for k in _PRIORITY_R3 if k in d}
+    fresh.update(
+        {k: v for k, v in d.items() if k not in _SAMPLED_GREEN and k not in fresh}
+    )
     fresh.update({k: v for k, v in d.items() if k in _SAMPLED_GREEN})
     return fresh
 
