@@ -5648,6 +5648,59 @@ def x_kmeans(spark, sf_dir):
     )
 
 
+@register(
+    "x_quarantine",
+    """
+    WITH t AS (
+        SELECT *,
+               CASE WHEN o_custkey IS NULL THEN 'custkey_not_null;' ELSE '' END ||
+               CASE WHEN o_totalprice IS NOT NULL AND o_totalprice > 300000
+                    THEN 'price_cap;' ELSE '' END ||
+               CASE WHEN o_orderstatus IS NOT NULL
+                         AND o_orderstatus NOT IN ('F', 'O')
+                    THEN 'status_strict;' ELSE '' END AS tags
+        FROM orders
+    )
+    SELECT CASE WHEN tags = '' THEN '<clean>' ELSE rtrim(tags, ';') END
+               AS violated,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(o_totalprice), 2) AS sum_price
+    FROM t GROUP BY 1
+    """,
+)
+def x_quarantine(spark, sf_dir):
+    """Quarantine split exercised end-to-end: orders routed clean vs
+    dead-letter under three row-local rules, summarized per
+    violated-rule combination (rule names joined ';' in rule order, the
+    oracle's concat).  One flag projection feeds both sides
+    (operators/validate.py:quarantine); this query re-unions them so
+    the driver checks the SPLIT — counts and sums per tag combo must
+    reconstruct the table exactly (nothing dropped, nothing doubled)."""
+    from lwetl_spark.operators.validate import quarantine
+
+    orders = _t(spark, sf_dir, "orders")
+    rules = [
+        {"rule": "custkey_not_null", "kind": "not_null", "col": "o_custkey"},
+        {"rule": "price_cap", "kind": "range", "col": "o_totalprice", "hi": 300000},
+        {
+            "rule": "status_strict",
+            "kind": "accepted_values",
+            "col": "o_orderstatus",
+            "values": ["F", "O"],
+        },
+    ]
+    clean, bad = quarantine(orders, rules)
+    tagged = clean.withColumn("violated", F.lit("<clean>")).unionByName(
+        bad.withColumn(
+            "violated", F.array_join("violated_rules", ";")
+        ).drop("violated_rules")
+    )
+    return tagged.groupBy("violated").agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
 #: keys the round-1 driver run already sampled green (CORRECTNESS_r01.json);
 #: listed so the catalog can surface the yet-unsampled entries FIRST for a
 #: driver that checks a prefix of the registration order (VERDICT r1 #6).
