@@ -458,3 +458,46 @@ def winsorize(
         F.least(F.greatest(F.col(value_col), F.col("_lo")), F.col("_hi")),
     )
     return j.withColumn(out_col, clipped)
+
+
+def priority_sample_per_group(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    group_col: str,
+    k: int,
+    salt: str = "prio",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Weighted sampling without replacement PER GROUP — k rows from
+    every group, selected by Duffield–Lund–Thorup priorities
+    (q = w/u, u from the md5(key‖salt) 52-bit fraction, exactly the
+    `priority_sample` construction, so the sample is a pure function of
+    (key, salt): reproducible across runs, partitionings, and engines).
+
+    The per-group cut runs on the salted TWO-PHASE top-k path
+    (the o5 treatment): phase 1 keeps k per (group, hash-salt), phase 2
+    ranks ≤ salt_buckets·k survivors — a hot group never funnels
+    through one reducer.  Ties break by key; returns
+    (group, key, weight, priority, rank), rank 1..min(k, |group|).
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
+    u = (F.conv(F.substring(h, 1, 13), 16, 10).cast("double") + F.lit(1.0)) / F.lit(
+        float(1 << 52)
+    )
+    scored = df.select(
+        F.col(group_col),
+        F.col(key_col),
+        F.col(weight_col),
+        (F.col(weight_col).cast("double") / u).alias("priority"),
+    )
+    from lwetl_spark.operators.skew import salted_topk_per_group
+
+    out = salted_topk_per_group(
+        scored, group_col, "priority", k, key_col, salt=salt_buckets
+    )
+    return out.select(
+        group_col, key_col, weight_col, "priority", F.col("rank").cast("long").alias("rank")
+    )

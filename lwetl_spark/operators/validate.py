@@ -95,6 +95,33 @@ def validate(
             )
             extra.append(dup)
             continue
+        elif kind == "functional_dependency":
+            # X → Y holds iff every X-group carries exactly one distinct
+            # (non-NULL) Y; violations count the ROWS of broken groups —
+            # the data-profiling check behind "is this column derivable"
+            lhs = list(r["determinant"])
+            rhs = r["dependent"]
+            fd = (
+                df.groupBy(*lhs)
+                .agg(
+                    F.countDistinct(rhs).alias("_d"),
+                    F.count("*").alias("_n"),
+                )
+                .agg(
+                    F.coalesce(
+                        F.sum(F.when(F.col("_d") > 1, F.col("_n"))), F.lit(0)
+                    ).alias("n_violations"),
+                    F.coalesce(F.sum("_n"), F.lit(0)).alias("n_checked"),
+                )
+                .select(
+                    F.lit(name).alias("rule"),
+                    F.lit(kind).alias("kind"),
+                    F.col("n_checked").cast("long"),
+                    F.col("n_violations").cast("long"),
+                )
+            )
+            extra.append(fd)
+            continue
         elif kind == "foreign_key":
             parent = parents[r["parent"]]
             child_key = df.select(F.col(r["col"]).alias("_k"))

@@ -146,3 +146,19 @@ def test_quarantine_rejects_table_level_rules(spark):
 
     with pytest.raises(ValueError):
         quarantine(_df(spark), [{"rule": "u", "kind": "unique", "cols": ["k"]}])
+
+
+def test_validate_functional_dependency(spark):
+    from lwetl_spark.operators.validate import validate
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "a"), (2, "b"), (3, "c")],
+        "x int, y string",
+    )
+    r = validate(
+        df,
+        [{"rule": "fd", "kind": "functional_dependency",
+          "determinant": ["x"], "dependent": "y"}],
+    ).collect()[0]
+    # group x=2 is multi-valued (2 rows); groups 1 and 3 hold
+    assert (r["n_checked"], r["n_violations"]) == (5, 2)
