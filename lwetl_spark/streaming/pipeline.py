@@ -505,3 +505,54 @@ def hll_store_estimate(spark: SparkSession, state_path: str) -> int:
         .agg(F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("e"))
         .collect()[0]["e"]
     )
+
+
+def stream_pit_enrich(
+    spark: SparkSession,
+    src_path: str,
+    dim_path: str,
+    out_path: str,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    max_files_per_trigger: int = 2,
+):
+    """Streaming point-in-time enrichment (NEW; the streaming form of
+    x_pit_join): every micro-batch of facts joins to the PERSISTED SCD2
+    dimension row valid AT each fact's event time — the feature-store
+    backfill rule ("no time-travel leakage") applied at ingest instead
+    of in a batch repair later.
+
+    The dimension parquet is re-read per micro-batch (stream-static:
+    picks up dimension updates between batches without restarting the
+    query); the join is keyed on `key_col` with the half-open
+    [valid_from, valid_to) residual in the same stage — per-key work is
+    facts × that key's regimes, and the dimension is never broadcast
+    (it grows with keys; x_pit_join's plan rule).  Late or pre-history
+    facts that precede every interval enrich to NULL regime via the
+    left join — they are data, not errors.
+
+    Enriched batches append to `out_path`; equality with the batch PIT
+    join over the union of batches is pinned by test_streaming.
+    """
+    schema = spark.read.parquet(src_path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(src_path)
+    )
+
+    def sink(batch_df, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        dim = sess.read.parquet(dim_path)
+        e = batch_df.alias("e")
+        d = dim.alias("d")
+        enriched = e.join(
+            d,
+            (F.col(f"e.{key_col}") == F.col(f"d.{key_col}"))
+            & (F.col(f"e.{ts_col}") >= F.col("d.valid_from"))
+            & (F.col(f"e.{ts_col}") < F.col("d.valid_to")),
+            "left",
+        ).select("e.*", F.col("d.regime").alias("regime"))
+        enriched.write.mode("append").parquet(out_path)
+
+    return stream.writeStream.foreachBatch(sink).trigger(availableNow=True).start()

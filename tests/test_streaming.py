@@ -427,3 +427,45 @@ def test_stream_hll_distinct_unions_across_batches(spark, tmp_path):
     assert abs(est - 400) <= 20
     n_rows = spark.read.parquet(state).count()
     assert 1 <= n_rows <= 6  # one sketch row per micro-batch
+
+
+def test_stream_pit_enrich_matches_batch_pit_join(spark, tmp_path):
+    """Micro-batch PIT enrichment over a persisted SCD2 dimension equals
+    the batch point-in-time join over all facts."""
+    from lwetl_spark.operators.windows import scd2_from_events
+
+    from lwetl_spark.streaming.pipeline import stream_pit_enrich
+
+    ev = spark.read.parquet(SF_SMOKE + "/events.parquet")
+    from lwetl_spark.catalog import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    dim = scd2_from_events(ev).select(
+        "user_id",
+        F.col("event_type").alias("regime"),
+        "valid_from",
+        F.coalesce(
+            "valid_to", F.lit("2262-01-01 00:00:00").cast("timestamp")
+        ).alias("valid_to"),
+    )
+    dim_path = str(tmp_path / "dim")
+    dim.write.parquet(dim_path)
+    src = str(tmp_path / "facts")
+    ev.repartition(5).write.parquet(src)
+    out = str(tmp_path / "enriched")
+
+    q = stream_pit_enrich(spark, src, dim_path, out)
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    e, d = ev.alias("e"), spark.read.parquet(dim_path).alias("d")
+    expect = e.join(
+        d,
+        (F.col("e.user_id") == F.col("d.user_id"))
+        & (F.col("e.ts") >= F.col("d.valid_from"))
+        & (F.col("e.ts") < F.col("d.valid_to")),
+        "left",
+    ).select("e.*", F.col("d.regime").alias("regime"))
+    a = sorted(map(tuple, got.collect()))
+    b = sorted(map(tuple, expect.collect()))
+    assert a == b and len(a) >= ev.count()
