@@ -201,3 +201,66 @@ def skew_profile(df: DataFrame, key_col: str, top_n: int = 10) -> DataFrame:
         .orderBy(F.desc("cnt"), F.col(key_col))
         .limit(top_n)
     )
+
+
+def join_size_estimate(
+    left: DataFrame,
+    left_key: str,
+    right: DataFrame,
+    right_key: str,
+    buckets: int = 64,
+) -> DataFrame:
+    """Histogram-based equi-join output-size estimation — the classic
+    optimizer technique (per-bucket |A_b|·|B_b| / max(d_A_b, d_B_b)
+    under uniformity within a bucket), exposed as a diagnostics operator
+    so a pipeline can PREDICT a join's cost before paying it (the
+    planning companion to `skew_profile`: that one locates hot keys,
+    this one sizes the output).
+
+    Keys hash into `buckets` md5-derived buckets (portable — the DuckDB
+    oracle rebuilds the identical histogram); each side reduces to
+    `buckets` rows of (n_rows, n_distinct), so the estimate costs two
+    count aggregations and a 64-row join REGARDLESS of table size —
+    this is what makes it usable as a pre-flight check at 100 TB.
+    Returns one row: (est_rows, n_left, n_right).  On an FK join (child
+    keys ⊆ unique parent keys) the estimate is exact by construction —
+    the pinned test case; correlated skew within a bucket degrades it
+    like any histogram estimator.
+    """
+    def side(df: DataFrame, key: str, tag: str) -> DataFrame:
+        b = F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("_k").cast("string"), F.lit("jse"))), 1, 4
+            ),
+            16,
+            10,
+        ).cast("int") % buckets
+        return (
+            df.select(F.col(key).alias("_k"))
+            .filter(F.col("_k").isNotNull())
+            .withColumn("_b", b)
+            .groupBy("_b")
+            .agg(
+                F.count("*").alias(f"n_{tag}"),
+                F.countDistinct("_k").alias(f"d_{tag}"),
+            )
+        )
+    a = side(left, left_key, "a")
+    bb = side(right, right_key, "b")
+    per_bucket = a.join(bb, "_b", "inner").select(
+        F.expr("n_a * n_b div greatest(d_a, d_b)").alias("est_b"),
+        "n_a",
+        "n_b",
+    )
+    totals_a = a.agg(F.coalesce(F.sum("n_a"), F.lit(0)).alias("n_left"))
+    totals_b = bb.agg(F.coalesce(F.sum("n_b"), F.lit(0)).alias("n_right"))
+    est = per_bucket.agg(F.coalesce(F.sum("est_b"), F.lit(0)).alias("est_rows"))
+    return (
+        est.crossJoin(totals_a)
+        .crossJoin(totals_b)
+        .select(
+            F.col("est_rows").cast("long"),
+            F.col("n_left").cast("long"),
+            F.col("n_right").cast("long"),
+        )
+    )

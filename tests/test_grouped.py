@@ -233,3 +233,28 @@ def test_mad_outliers_robust_to_extreme_corruption(spark):
     df = spark.createDataFrame(rows, "grp string, v double")
     r = mad_outliers(df, "grp", "v", k=3).collect()[0]
     assert r["n_outliers"] == 1 and r["mad"] <= 2.0
+
+
+def test_join_size_estimate_exact_on_fk(spark):
+    """FK join (child keys subset of unique parent keys): the histogram
+    estimate equals the true output size."""
+    from lwetl_spark.operators.cardinality import join_size_estimate
+
+    parent = spark.createDataFrame([(i,) for i in range(100)], "pk long")
+    child = spark.createDataFrame(
+        [(i % 100, i) for i in range(1000)], "fk long, payload long"
+    )
+    r = join_size_estimate(child, "fk", parent, "pk").collect()[0]
+    assert (r["est_rows"], r["n_left"], r["n_right"]) == (1000, 1000, 100)
+
+
+def test_join_size_estimate_upper_bounds_many_to_many(spark):
+    """Many-to-many with uniform keys: estimate equals the true n*m per
+    key product (uniformity holds exactly here)."""
+    from lwetl_spark.operators.cardinality import join_size_estimate
+
+    a = spark.createDataFrame([(i % 10,) for i in range(100)], "k long")
+    b = spark.createDataFrame([(i % 10,) for i in range(50)], "k long")
+    r = join_size_estimate(a, "k", b, "k").collect()[0]
+    # true join size = 10 keys * 10 * 5 = 500; uniform-within-bucket holds
+    assert r["est_rows"] == 500
