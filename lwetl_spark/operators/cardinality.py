@@ -264,3 +264,63 @@ def join_size_estimate(
             F.col("n_right").cast("long"),
         )
     )
+
+
+def equi_depth_histogram(
+    df: DataFrame,
+    column: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Equi-DEPTH histogram: bucket boundaries at the exact
+    percentile_disc quantiles (actual data values — hash-stable
+    cross-engine, the percentile_filter rule), with per-bucket counts.
+    The optimizer-statistics companion of `equi_width_histogram`: equal
+    POPULATION per bucket instead of equal width, which is what
+    selectivity estimation and `join_size_estimate`-style reasoning
+    want on skewed columns (a width histogram puts 99% of a power-law
+    column in one bucket).
+
+    Plan: one percentile aggregation for the ≤ n_buckets−1 boundaries
+    (broadcast back as a single row), one conditional-count pass.
+    Rows equal to a boundary fall in the LOWER bucket (<= boundary),
+    so bucket membership is deterministic in any engine.  Returns
+    (bucket, n, lo_bound, hi_bound) with NULL lo/hi on the open ends.
+    """
+    if n_buckets < 2:
+        raise ValueError(f"need >= 2 buckets, got {n_buckets}")
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = df.agg(
+        *[
+            F.expr(
+                f"percentile_disc({q!r}) WITHIN GROUP (ORDER BY {column})"
+            ).alias(f"_q{i}")
+            for i, q in enumerate(qs)
+        ]
+    )
+    j = df.select(column).crossJoin(F.broadcast(bounds))
+    bucket = None
+    for i in range(len(qs)):
+        cond = F.col(column) <= F.col(f"_q{i}")
+        bucket = F.when(cond, i) if bucket is None else bucket.when(cond, i)
+    bucket = bucket.otherwise(len(qs))
+    out = (
+        j.withColumn("bucket", bucket.cast("long"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+    )
+    bound_cols = [F.col(f"_q{i}") for i in range(len(qs))]
+    # bucket i spans (q_{i-1}, q_i]; the open ends carry NULL bounds
+    lo = None
+    for i in range(1, len(qs) + 1):
+        c = F.col("bucket") == i
+        lo = F.when(c, bound_cols[i - 1]) if lo is None else lo.when(c, bound_cols[i - 1])
+    hi = None
+    for i in range(len(qs)):
+        c = F.col("bucket") == i
+        hi = F.when(c, bound_cols[i]) if hi is None else hi.when(c, bound_cols[i])
+    return out.crossJoin(F.broadcast(bounds)).select(
+        "bucket",
+        "n",
+        lo.alias("lo_bound"),
+        hi.alias("hi_bound"),
+    )

@@ -5848,6 +5848,52 @@ def x_join_estimate(spark, sf_dir):
     )
 
 
+@register(
+    "x_equi_depth_hist",
+    """
+    WITH b AS (
+        SELECT quantile_disc(o_totalprice, 0.25) AS q0,
+               quantile_disc(o_totalprice, 0.50) AS q1,
+               quantile_disc(o_totalprice, 0.75) AS q2
+        FROM orders
+    ),
+    t AS (
+        SELECT CASE WHEN o_totalprice <= q0 THEN 0
+                    WHEN o_totalprice <= q1 THEN 1
+                    WHEN o_totalprice <= q2 THEN 2
+                    ELSE 3 END AS bucket,
+               q0, q1, q2
+        FROM orders CROSS JOIN b
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CASE bucket WHEN 1 THEN q0 WHEN 2 THEN q1 WHEN 3 THEN q2 END, 2)
+               AS lo_bound,
+           ROUND(CASE bucket WHEN 0 THEN q0 WHEN 1 THEN q1 WHEN 2 THEN q2 END, 2)
+               AS hi_bound
+    FROM t GROUP BY bucket, q0, q1, q2
+    """,
+)
+def x_equi_depth_hist(spark, sf_dir):
+    """Equi-depth (quartile) histogram of order totals: boundaries at
+    exact percentile_disc quantiles — actual data values, bit-identical
+    to DuckDB's quantile_disc — with equal-population buckets, the
+    histogram shape selectivity estimation wants on skewed columns
+    (equi-width puts a power-law tail in one bucket).  One percentile
+    agg broadcast back + one conditional-count pass
+    (operators/cardinality.py:equi_depth_histogram)."""
+    from lwetl_spark.operators.cardinality import equi_depth_histogram
+
+    out = equi_depth_histogram(
+        _t(spark, sf_dir, "orders"), "o_totalprice", n_buckets=4
+    )
+    return out.select(
+        "bucket",
+        "n",
+        F.round("lo_bound", 2).alias("lo_bound"),
+        F.round("hi_bound", 2).alias("hi_bound"),
+    )
+
+
 #: keys the round-1 driver run already sampled green (CORRECTNESS_r01.json);
 #: listed so the catalog can surface the yet-unsampled entries FIRST for a
 #: driver that checks a prefix of the registration order (VERDICT r1 #6).

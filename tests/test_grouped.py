@@ -258,3 +258,14 @@ def test_join_size_estimate_upper_bounds_many_to_many(spark):
     r = join_size_estimate(a, "k", b, "k").collect()[0]
     # true join size = 10 keys * 10 * 5 = 500; uniform-within-bucket holds
     assert r["est_rows"] == 500
+
+
+def test_equi_depth_histogram_quartiles(spark):
+    from lwetl_spark.operators.cardinality import equi_depth_histogram
+
+    df = spark.createDataFrame([(float(i),) for i in range(1, 101)], "v double")
+    rows = {r["bucket"]: r for r in equi_depth_histogram(df, "v", 4).collect()}
+    assert [rows[b]["n"] for b in range(4)] == [25, 25, 25, 25]
+    assert rows[0]["lo_bound"] is None and rows[0]["hi_bound"] == 25.0
+    assert rows[3]["lo_bound"] == 75.0 and rows[3]["hi_bound"] is None
+    assert rows[1]["lo_bound"] == 25.0 and rows[1]["hi_bound"] == 50.0
