@@ -5894,6 +5894,62 @@ def x_equi_depth_hist(spark, sf_dir):
     )
 
 
+@register(
+    "x_ngram_novelty",
+    r"""
+    WITH d AS (
+        SELECT doc_id, list_filter(
+            string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS toks
+        FROM documents
+    ),
+    g AS (
+        SELECT DISTINCT doc_id, md5(array_to_string(toks[i:i+2], ' ')) AS gh
+        FROM d, UNNEST(range(1, len(toks) - 1)) AS t(i)
+        WHERE len(toks) >= 3
+    ),
+    freq AS (SELECT gh, CAST(COUNT(*) AS BIGINT) AS nd FROM g GROUP BY 1)
+    SELECT g.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(COUNT(*) FILTER (freq.nd = 1) AS BIGINT) AS n_novel,
+           CAST(1000000 * COUNT(*) FILTER (freq.nd = 1) // COUNT(*) AS BIGINT)
+               AS novelty_ppm
+    FROM g JOIN freq USING (gh)
+    GROUP BY g.doc_id
+    """,
+)
+def x_ngram_novelty(spark, sf_dir):
+    """Per-document 3-gram novelty: the fraction of a doc's DISTINCT
+    grams appearing in no other document — the corpus-DIVERSITY signal
+    (prioritize novel docs under a token budget; x_dup_spans measures
+    the opposite tail, window-level duplication).  Same scale shape as
+    dup_spans: row-local gram fingerprinting, (md5, doc_id)-only
+    shuffles, output linear in documents; novelty as exact-integer
+    ppm."""
+    docs = _t(spark, sf_dir, "documents")
+    from lwetl_spark.operators.decontaminate import word_ngrams
+
+    g = (
+        word_ngrams(docs, 3)
+        .select("doc_id", F.md5("gram").alias("gh"))
+        .distinct()
+    )
+    freq = g.groupBy("gh").agg(F.count("*").alias("nd"))
+    return (
+        g.join(freq, "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count_if(F.col("nd") == 1).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            F.expr("1000000 * n_novel div n_grams").alias("novelty_ppm"),
+        )
+    )
+
+
 #: keys the round-1 driver run already sampled green (CORRECTNESS_r01.json);
 #: listed so the catalog can surface the yet-unsampled entries FIRST for a
 #: driver that checks a prefix of the registration order (VERDICT r1 #6).
