@@ -556,3 +556,46 @@ def stream_pit_enrich(
         enriched.write.mode("append").parquet(out_path)
 
     return stream.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+
+
+def stream_quarantine(
+    spark: SparkSession,
+    src_path: str,
+    rules: list[dict],
+    clean_path: str,
+    dlq_path: str,
+    max_files_per_trigger: int = 2,
+):
+    """Streaming dead-letter routing (NEW; `stream_validate` counts,
+    this one ROUTES): every micro-batch splits under the row-local
+    contract rules — clean rows append to `clean_path`, violating rows
+    append to `dlq_path` WITH their `violated_rules` tag array, so bad
+    records are preserved for repair instead of poisoning the published
+    table or being dropped silently.
+
+    Per batch this is operators/validate.quarantine verbatim: one flag
+    projection, two filtered appends — rule evaluation happens once.
+    Union(clean, dlq-sans-tags) equals the source exactly (nothing
+    dropped, nothing doubled; pinned by test_streaming).
+    """
+    from lwetl_spark.operators.validate import quarantine
+
+    for r in rules:
+        if r["kind"] in ("unique", "foreign_key", "functional_dependency"):
+            raise ValueError(
+                f"rule {r['rule']!r}: {r['kind']} needs cross-batch state — "
+                "validate the published table instead"
+            )
+    schema = spark.read.parquet(src_path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(src_path)
+    )
+
+    def sink(batch_df, batch_id: int) -> None:
+        clean, bad = quarantine(batch_df, rules)
+        clean.write.mode("append").parquet(clean_path)
+        bad.write.mode("append").parquet(dlq_path)
+
+    return stream.writeStream.foreachBatch(sink).trigger(availableNow=True).start()

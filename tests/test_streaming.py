@@ -469,3 +469,32 @@ def test_stream_pit_enrich_matches_batch_pit_join(spark, tmp_path):
     a = sorted(map(tuple, got.collect()))
     b = sorted(map(tuple, expect.collect()))
     assert a == b and len(a) >= ev.count()
+
+
+def test_stream_quarantine_routes_and_conserves(spark, tmp_path):
+    """Streamed split: clean + dead-letter reconstruct the source; DLQ
+    rows carry their violated-rule tags."""
+    from lwetl_spark.streaming.pipeline import stream_quarantine
+
+    src = str(tmp_path / "src")
+    rows = [(i, float(i - 5)) for i in range(20)]  # 0..4 violate price >= 0
+    spark.createDataFrame(rows, "id long, price double").repartition(4).write.parquet(src)
+
+    clean_p, dlq_p = str(tmp_path / "clean"), str(tmp_path / "dlq")
+    q = stream_quarantine(
+        spark, src,
+        [{"rule": "price_pos", "kind": "range", "col": "price", "lo": 0.0}],
+        clean_p, dlq_p,
+    )
+    q.awaitTermination(120)
+
+    clean = spark.read.parquet(clean_p)
+    dlq = spark.read.parquet(dlq_p)
+    assert clean.count() == 15 and dlq.count() == 5
+    assert set(clean.columns) == {"id", "price"}
+    assert all(r["violated_rules"] == ["price_pos"] for r in dlq.collect())
+    got = sorted(
+        [(r["id"], r["price"]) for r in clean.collect()]
+        + [(r["id"], r["price"]) for r in dlq.collect()]
+    )
+    assert got == sorted(rows)
