@@ -72,12 +72,18 @@ def main(argv: list[str] | None = None) -> int:
         print(f"unknown parent table(s): {sorted(missing)}")
         return 1
 
-    result = validate(
-        tables[args.table],
-        rules,
-        parents={n: tables[n] for n in parent_names},
-    )
-    rows = result.collect()
+    try:
+        result = validate(
+            tables[args.table],
+            rules,
+            parents={n: tables[n] for n in parent_names},
+        )
+        rows = result.collect()
+    except (ValueError, KeyError) as e:
+        # malformed rule objects (unknown kind, missing 'col'/'values'/...)
+        # get the same friendly exit-1 path as unknown tables/parents
+        print(f"invalid rule file {args.rules!r}: {e}")
+        return 1
     # format from the collected rows (a local re-wrap) so the validation
     # scan runs exactly once — the scan IS the cost at scale
     print(format_text_table(spark.createDataFrame(rows, result.schema)), end="")

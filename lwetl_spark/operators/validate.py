@@ -12,7 +12,9 @@ Rule kinds:
 - ``accepted_values``: col NOT IN (…)
 - ``regex``:           col does not rlike pattern
 - ``unique``:          duplicate occurrences of a key tuple (violations
-                       = rows beyond the first per key)
+                       = rows beyond the first per key; NULL-keyed rows
+                       never violate and are excluded from n_checked,
+                       the SQL-standard UNIQUE convention)
 - ``foreign_key``:     rows whose key has no match in a parent table
 
 Scale design: every ROW-LOCAL rule (not_null/range/accepted/regex)
@@ -76,9 +78,18 @@ def validate(
                 r["pattern"]
             )
         elif kind == "unique":
+            # SQL-standard UNIQUE semantics: NULL keys never violate
+            # uniqueness (and are excluded from n_checked), so N
+            # NULL-keyed rows contribute 0 violations — this also matches
+            # the DuckDB oracle idiom COUNT(col) - COUNT(DISTINCT col),
+            # both of which skip NULLs.  Oracles exercising nullable keys
+            # must use that form, NOT COUNT(*) - COUNT(DISTINCT col).
             cols = list(r["cols"])
+            keyed = df
+            for c in cols:
+                keyed = keyed.filter(F.col(c).isNotNull())
             dup = (
-                df.groupBy(*cols)
+                keyed.groupBy(*cols)
                 .agg(F.count("*").alias("_n"))
                 .agg(
                     F.coalesce(F.sum(F.col("_n") - 1), F.lit(0)).alias(

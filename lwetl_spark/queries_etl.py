@@ -460,7 +460,8 @@ def s10_jsonl_roundtrip(spark, sf_dir):
 @register(
     "k8_orc_roundtrip",
     """
-    SELECT o_orderstatus, COUNT(*) AS n, CAST(SUM(o_totalprice) AS DECIMAL(18,2)) AS total
+    SELECT o_orderstatus, COUNT(*) AS n,
+           ROUND(CAST(CAST(SUM(o_totalprice) AS DECIMAL(18,2)) AS DOUBLE), 2) AS total
     FROM orders
     WHERE o_orderdate >= DATE '1995-01-01'
     GROUP BY o_orderstatus
@@ -471,7 +472,9 @@ def k8_orc_roundtrip(spark, sf_dir):
     date filter sits ON the ORC scan so predicate pushdown reaches the
     ORC reader (min/max stripe stats prune at scale exactly as parquet
     row groups do); SUM over DECIMAL proves type fidelity through the
-    format."""
+    format.  The driver-facing total is ROUND(double, 2): DECIMAL stays
+    internal because DecimalType is off the portable driver-hash dtype
+    whitelist (tools/driver_canon.py)."""
     trg = os.path.join(_tmpdir("k8"), "orders_orc")
     _t(spark, sf_dir, "orders").select(
         "o_orderkey",
@@ -485,7 +488,9 @@ def k8_orc_roundtrip(spark, sf_dir):
         .groupBy("o_orderstatus")
         .agg(
             F.count("*").alias("n"),
-            F.sum("o_totalprice").cast("decimal(18,2)").alias("total"),
+            F.round(
+                F.sum("o_totalprice").cast("decimal(18,2)").cast("double"), 2
+            ).alias("total"),
         )
     )
 

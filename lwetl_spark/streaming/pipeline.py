@@ -418,9 +418,11 @@ def stream_validate(
     pipeline runs BEFORE publishing each partition).
 
     Every micro-batch runs the same one-scan conditional-count
-    validation as the batch operator (row-local rules only — unique/FK
-    need cross-batch state, which is the persisted-state pattern of
-    stream_dedup_against_corpus, not a per-batch census); violation
+    validation as the batch operator (row-local rules only — unique/FK/
+    functional-dependency need cross-batch state: an FD broken across
+    micro-batches folds additively to 0 violations, so those are the
+    persisted-state pattern of stream_dedup_against_corpus, not a
+    per-batch census); violation
     counts fold additively into a constant-size accumulator, so the
     gate's state is one counter pair per rule REGARDLESS of stream
     volume — mergeable exactly like the count-min counters.
@@ -433,7 +435,7 @@ def stream_validate(
     from lwetl_spark.operators.validate import validate
 
     for r in rules:
-        if r["kind"] in ("unique", "foreign_key"):
+        if r["kind"] in ("unique", "foreign_key", "functional_dependency"):
             raise ValueError(
                 f"rule {r['rule']!r}: {r['kind']} needs cross-batch state — "
                 "run it as a batch pass over the published table instead"

@@ -2,15 +2,22 @@
 ship again: the real driver canonicalizes every query result through
 pandas (`sort_values` over all columns), which hard-fails on (a)
 array/map/struct-valued columns and (b) timestamps outside pandas'
-datetime64[ns] range.  Three r02 queries were mathematically correct but
-`err`'d on exactly these shapes (`x_multimodal_stub`, `x_frame_sample`,
-`x_scd2`).
+datetime64[ns] range, and (c) silently hash-mismatches DecimalType
+columns (Spark collects decimal.Decimal, DuckDB renders float64 — equal
+values, different hash inputs).  Three r02 queries were mathematically
+correct but `err`'d on shapes (a)/(b); three r03 queries were
+bit-identical but hash-FAILED on shape (c) (`x_table_checksum`,
+`x_incremental_agg`, `k8_orc_roundtrip`).
+
+The driver-facing output dtype whitelist is
+**long / double / string / date / timestamp / bool** — nothing else has
+proven cross-engine hash behavior.
 
 Three layers of defense:
 1. the shared canonicalizer (`tools/driver_canon.py`, also used by
-   `tools/driver_sim.py`) provably rejects both shapes;
-2. every registered query's schema is statically scalar-typed — no
-   Array/Map/Struct columns can reach the driver;
+   `tools/driver_sim.py`) provably rejects all three shapes;
+2. every registered query's schema is statically whitelist-typed — no
+   Array/Map/Struct/Decimal columns can reach the driver;
 3. every query with timestamp-typed output columns is executed at
    sf0.001 and its rows pushed through the canonicalizer, so an
    out-of-range sentinel raises here first.
@@ -37,12 +44,24 @@ _spec.loader.exec_module(driver_canon)
 
 QUERIES = entry_mod.queries()
 
-_NON_SCALAR = (T.ArrayType, T.MapType, T.StructType)
+_NON_PORTABLE = (T.ArrayType, T.MapType, T.StructType, T.DecimalType)
 
 
 def test_canon_rejects_array_cells():
     with pytest.raises(TypeError):
         driver_canon.canon([(1, [1.0, 2.0]), (2, [3.0, 4.0])], ["a", "b"])
+
+
+def test_canon_rejects_decimal_cells():
+    """decimal.Decimal cells are the r03 failure class: equal values hash
+    differently across engines, so the canon must refuse them outright."""
+    import decimal
+
+    with pytest.raises(TypeError, match="decimal"):
+        driver_canon.canon(
+            [(1, decimal.Decimal("10.25")), (2, decimal.Decimal("3.50"))],
+            ["a", "b"],
+        )
 
 
 def test_canon_rejects_out_of_range_timestamps():
@@ -63,14 +82,19 @@ def test_canon_accepts_max_inrange_sentinel():
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_schema_is_scalar_typed(name, spark):
-    """No registered query may expose array/map/struct columns — the
-    driver's pandas canon cannot factorize them (r02 `err`).  Schema is
-    available without executing the plan."""
+    """No registered query may expose array/map/struct columns (the
+    driver's pandas canon cannot factorize them — r02 `err`) or decimal
+    columns (equal values hash differently across engines — r03
+    hash-FAIL).  The driver-facing whitelist is long/double/string/
+    date/timestamp/bool.  Schema is available without executing the
+    plan."""
     df = QUERIES[name](spark, SF_SMOKE)
-    bad = [f.name for f in df.schema.fields if isinstance(f.dataType, _NON_SCALAR)]
+    bad = [f.name for f in df.schema.fields if isinstance(f.dataType, _NON_PORTABLE)]
     assert not bad, (
-        f"{name} exposes non-scalar columns {bad}; serialize or posexplode "
-        "them — the driver cannot canonicalize arrays/maps/structs"
+        f"{name} exposes non-portable columns {bad}; the driver-facing "
+        "dtype whitelist is long/double/string/date/timestamp/bool — "
+        "serialize/posexplode arrays, cast decimals to string or "
+        "ROUND(double, n)"
     )
 
 
