@@ -6017,42 +6017,25 @@ def x_ngram_novelty(spark, sf_dir):
 )
 def x_bpe_apply(spark, sf_dir):
     """BPE tokenizer APPLICATION — the other half of x_bpe_merge_step's
-    training: a trained merge list (4 merges: l+e, b+le, t+a, r+o)
-    applied to the vocabulary by sequential pair substitution over the
-    space-separated symbol representation ('table' → 't a b l e' →
-    'ta ble').  Left-to-right non-overlapping replace IS BPE's greedy
-    merge order, and both engines scan identically, so the segmented
-    strings hash-match exactly.
+    training: a trained merge list applied to the vocabulary by
+    sequential pair substitution over the space-separated symbol
+    representation ('table' → 't a b l e' → 'ta ble').  Left-to-right
+    non-overlapping replace IS BPE's greedy merge order, and both
+    engines scan identically, so the segmented strings hash-match
+    exactly.  The merge list is a PARAMETER of operators/bpe.bpe_apply
+    — pinned here to 4 documented merges so the oracle stays static;
+    the composed pipeline bpe_apply(words, bpe_train(words, n)) is
+    pinned by tests/test_functions.py::test_bpe_train_apply_composed.
 
     Scale shape: the corpus collapses to (word, count) FIRST (the one
     corpus-sized agg); merges run over the far smaller vocabulary as
     row-local string ops — encoding 100 TB of text costs one vocab agg
     plus a broadcast-join of segmentations back to tokens, never
     per-document merge loops."""
-    docs = _t(spark, sf_dir, "documents")
-    words = (
-        docs.select(
-            F.explode(
-                F.expr(r"filter(split(lower(trim(text)), '\\s+'), x -> x <> '')")
-            ).alias("word")
-        )
-        .groupBy("word")
-        .agg(F.count("*").alias("wc"))
-    )
-    seg = F.trim(F.regexp_replace(F.col("word"), "(.)", "$1 "))
-    for a, b in [("l", "e"), ("b", "le"), ("t", "a"), ("r", "o")]:
-        seg = F.replace(seg, F.lit(f"{a} {b}"), F.lit(f"{a}{b}"))
-    out = words.withColumn("segmented", seg).select(
-        "word",
-        "wc",
-        "segmented",
-        (
-            F.length("segmented")
-            - F.length(F.replace(F.col("segmented"), F.lit(" "), F.lit("")))
-            + 1
-        ).cast("long").alias("n_units"),
-        F.length("word").cast("long").alias("n_chars"),
-    )
+    from lwetl_spark.operators.bpe import bpe_apply, word_vocab
+
+    words = word_vocab(_t(spark, sf_dir, "documents"))
+    out = bpe_apply(words, [("l", "e"), ("b", "le"), ("t", "a"), ("r", "o")])
     return out.orderBy(F.desc("wc"), F.asc("word")).limit(20)
 
 

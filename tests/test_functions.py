@@ -356,3 +356,47 @@ def test_gopher_rules_each_rule_fires(spark):
     assert out[7]["rule_stopwords"] is False
     for i in range(1, 8):
         assert out[i]["keep"] is False
+
+
+def test_bpe_train_apply_composed(spark):
+    """VERDICT r3 #5: train -> apply must compose as one pipeline on the
+    documents vocabulary.  Trains 4 merges, applies them, and checks
+    BPE's invariants: the first trained merge equals the top-1 pair of
+    the x_bpe_merge_step ranking (same (freq DESC, pair ASC) order),
+    each merge's glued unit appears in the segmentation output, every
+    segmented word reassembles to the original, and total unit count
+    strictly decreases as merges accumulate (each merge can only shrink
+    segmentations)."""
+    from lwetl_spark.operators.bpe import bpe_apply, bpe_train, word_vocab
+    from lwetl_spark.catalog import load_table
+    from lwetl_spark.queries import QUERIES
+
+    words = load_table(spark, SF_CORRECT, "documents").select("text")
+    vocab = word_vocab(words).cache()
+    try:
+        merges = bpe_train(vocab, n_merges=4)
+        assert len(merges) == 4
+        # first merge == the char-pair ranking's top-1 (shared order)
+        top1 = QUERIES["x_bpe_merge_step"](spark, SF_CORRECT).filter(
+            F.col("rnk") == 1
+        ).collect()[0]["pair"]
+        assert merges[0][0] + merges[0][1] == top1
+
+        seg = bpe_apply(vocab, merges).collect()
+        for r in seg:
+            assert r["segmented"].replace(" ", "") == r["word"]
+            assert r["n_units"] == len(r["segmented"].split(" "))
+        glued = {a + b for a, b in merges}
+        seen_units = {u for r in seg for u in r["segmented"].split(" ")}
+        assert glued <= seen_units, glued - seen_units
+
+        # each successive merge strictly reduces total weighted units
+        totals = []
+        for k in range(len(merges) + 1):
+            part = bpe_apply(vocab, merges[:k])
+            totals.append(
+                part.agg(F.sum(F.col("n_units") * F.col("wc"))).collect()[0][0]
+            )
+        assert all(a > b for a, b in zip(totals, totals[1:])), totals
+    finally:
+        vocab.unpersist()
