@@ -52,6 +52,15 @@ def build_parser() -> argparse.ArgumentParser:
         help="lower word-count bound for the Gopher battery",
     )
     p.add_argument(
+        "--gopher-stops", metavar="W1,W2,...", default=None,
+        help="comma-separated stopword list for the Gopher stopword rule "
+             "(default: the paper's English list; swap per language)",
+    )
+    p.add_argument(
+        "--gopher-min-stops", type=int, default=2,
+        help="distinct stopwords required by the Gopher stopword rule",
+    )
+    p.add_argument(
         "--drop-fluency-tail", action="store_true",
         help="drop the per-language CCNet fluency tail quartile",
     )
@@ -79,6 +88,8 @@ def curate(
     decontaminate_path: str | None = None,
     gopher: bool = False,
     gopher_min_words: int = 50,
+    gopher_stops: list[str] | None = None,
+    gopher_min_stops: int = 2,
     drop_fluency_tail: bool = False,
     fuzzy: bool = False,
     n_shards: int | None = None,
@@ -108,7 +119,12 @@ def curate(
             }
         )
         kept = staged.filter(
-            gopher_rules("text", min_words=gopher_min_words)["keep"]
+            gopher_rules(
+                "text",
+                min_words=gopher_min_words,
+                stops=gopher_stops,
+                min_stops=gopher_min_stops,
+            )["keep"]
         ).drop("_toks", "_lines")
 
     if drop_fluency_tail:
@@ -117,7 +133,13 @@ def curate(
         from lwetl_spark.operators.sampling import fluency_buckets
 
         good = fluency_buckets(kept).filter(F.col("bucket") != "tail")
-        kept = kept.join(good.select("doc_id"), "doc_id", "left_semi")
+        # the id set grows WITH the corpus — never let Catalyst broadcast
+        # it (its size estimate under-counts post-filter cardinality; the
+        # 16x rehearsal, tools/curate_rehearsal.py, failed here with
+        # "Not enough memory to build and broadcast")
+        kept = kept.join(
+            good.select("doc_id").hint("shuffle_hash"), "doc_id", "left_semi"
+        )
 
     if max_dup_fraction is not None:
         from lwetl_spark.operators.dedup import duplicate_spans
@@ -125,9 +147,10 @@ def curate(
         spans = duplicate_spans(docs, window=20).select(
             "doc_id", "dup_fraction"
         )
-        # left join: docs too short to have a span row pass the filter
+        # left join: docs too short to have a span row pass the filter.
+        # spans is corpus-sized — shuffle_hash, never broadcast
         kept = (
-            kept.join(spans, "doc_id", "left")
+            kept.join(spans.hint("shuffle_hash"), "doc_id", "left")
             .filter(
                 F.coalesce(F.col("dup_fraction"), F.lit(0.0)) <= max_dup_fraction
             )
@@ -143,8 +166,11 @@ def curate(
             .groupBy("_dg")
             .agg(F.min("_keep_id").alias("_keep_id"))
         )
+        # one representative id per digest — also corpus-sized
         kept = kept.join(
-            w_min, kept["doc_id"] == w_min["_keep_id"], "left_semi"
+            w_min.hint("shuffle_hash"),
+            kept["doc_id"] == w_min["_keep_id"],
+            "left_semi",
         )
 
     if decontaminate_path:
@@ -165,7 +191,13 @@ def curate(
         write_training_shards(kept, out_dir, "doc_id", n_shards)
     else:
         kept.write.mode("overwrite").parquet(out_dir)
-    curated = spark.read.parquet(out_dir)
+    try:
+        curated = spark.read.parquet(out_dir)
+    except Exception:
+        # a fully-filtered run writes only _SUCCESS (no part files to
+        # infer a schema from) — an empty corpus is a valid outcome of
+        # aggressive filters, not a crash
+        curated = spark.createDataFrame([], kept.schema)
     stats["n_kept"] = curated.count()
     stats["n_dropped"] = n_input - stats["n_kept"]
     per_lang = {
@@ -192,6 +224,8 @@ def main(argv: list[str] | None = None) -> int:
         decontaminate_path=args.decontaminate,
         gopher=args.gopher,
         gopher_min_words=args.gopher_min_words,
+        gopher_stops=args.gopher_stops.split(",") if args.gopher_stops else None,
+        gopher_min_stops=args.gopher_min_stops,
         drop_fluency_tail=args.drop_fluency_tail,
         fuzzy=args.fuzzy_decontaminate,
         n_shards=args.shards,

@@ -343,6 +343,8 @@ def gopher_rules(
     text: Column | str,
     min_words: int = 50,
     max_words: int = 100_000,
+    stops: list[str] | None = None,
+    min_stops: int = 2,
 ) -> dict[str, Column]:
     """The Gopher quality-rule battery (Rae et al. 2021, "Scaling
     Language Models: ... Gopher", arXiv:2112.11446, Appendix A): the
@@ -376,7 +378,14 @@ def gopher_rules(
     )
     n_ell_lines = F.size(F.filter(F.col("_lines"), lambda x: F.rtrim(x).rlike(r"\.\.\.$")))
     n_alpha = F.size(F.filter(F.col("_toks"), lambda x: x.rlike("[a-z]")))
-    n_stop = F.size(F.array_intersect(F.array_distinct(F.col("_toks")), F.array(*[F.lit(s) for s in GOPHER_STOPS])))
+    # stops/min_stops default to the paper's English list and "≥2 of
+    # them" rule; real multilingual pipelines swap per-language lists
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(F.col("_toks")),
+            F.array(*[F.lit(s) for s in (GOPHER_STOPS if stops is None else stops)]),
+        )
+    )
     rules = {
         "rule_word_count": (n_words >= min_words) & (n_words <= max_words),
         "rule_mean_word_len": (F.lit(3) * n_words <= sum_len)
@@ -385,7 +394,7 @@ def gopher_rules(
         "rule_bullet_lines": F.lit(10) * n_bullet < F.lit(9) * n_lines,
         "rule_ellipsis_lines": F.lit(10) * n_ell_lines < F.lit(3) * n_lines,
         "rule_alpha_words": F.lit(5) * n_alpha >= F.lit(4) * n_words,
-        "rule_stopwords": n_stop >= F.lit(2),
+        "rule_stopwords": n_stop >= F.lit(min_stops),
     }
     keep = None
     for c in rules.values():

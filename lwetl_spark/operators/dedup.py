@@ -311,6 +311,7 @@ def duplicate_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
     window: int = 20,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Exact substring-level duplication stats (the span-dedup signal of
     Lee et al. 2022, "Deduplicating Training Data Makes Language Models
@@ -330,7 +331,18 @@ def duplicate_spans(
     pairs and the per-doc aggregation.  Output is LINEAR in documents
     (unlike pair-listing dedup ops), so the operator composes into a
     100 TB curation pass as a plain column producer.
+
+    ``hash_mode``: "xxhash64" (default) shuffles 8-byte long
+    fingerprints — the 16x composed-pipeline rehearsal
+    (tools/curate_rehearsal.py) measured the md5 form dominating the
+    whole curate chain's shuffle volume because a 32-char hex string
+    per TOKEN POSITION is ~6x the underlying text bytes; collision odds
+    are ~2^-64 per window pair.  "md5" keeps the engine-portable
+    fingerprint the x_dup_spans DuckDB oracle rebuilds verbatim.
     """
+    if hash_mode not in ("xxhash64", "md5"):
+        raise ValueError(f"hash_mode must be 'xxhash64' or 'md5', got {hash_mode!r}")
+    hfn = F.md5 if hash_mode == "md5" else F.xxhash64
     toks = df.select(
         F.col(id_col).alias("id"), tokens(text_col).alias("toks")
     ).filter(F.size("toks") >= window)
@@ -339,7 +351,7 @@ def duplicate_spans(
         F.explode(
             F.transform(
                 F.sequence(F.lit(1), F.size("toks") - window + 1),
-                lambda i: F.md5(F.concat_ws(" ", F.slice("toks", i, window))),
+                lambda i: hfn(F.concat_ws(" ", F.slice("toks", i, window))),
             )
         ).alias("whash"),
     )
@@ -837,3 +849,63 @@ def soft_dedup_weights(
         F.lit(scale).cast("long").alias("weight_ppm"),
     )
     return clustered.unionByName(singles)
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram_n: int = 3,
+    window: int = 5,
+) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 "Winnowing: Local Algorithms for Document
+    Fingerprinting" — the MOSS algorithm; training-pipeline op, NEW, no
+    reference analog).  Guarantees every match of length >=
+    window + gram_n - 1 tokens between two documents shares at least one
+    SELECTED fingerprint, while keeping only ~2/(window+1) of all gram
+    hashes — the bounded-density sketch the bottom-k fingerprint
+    (`fingerprint_md5`) cannot promise.
+
+    Selection rule (suffix-min variant, deterministic): position i is
+    selected iff its hash is the minimum of the trailing window
+    [i-window+1, i].  Engine-portable hashes: the md5-prefix integer
+    idiom of x_minhash_portable, identical in any SQL engine.
+
+    Returns (id_col, pos, fp) — selected fingerprints with their token
+    position (distinct per (doc, fp, pos)).
+
+    Scale: gram hashing is row-local (token array materialized FIRST —
+    HOF-embedded subtrees re-evaluate per element); the only wide stage
+    is the per-document ordered window, shuffling bare
+    (doc_id, pos, 8-byte hash) triples — text never moves.  Downstream
+    overlap detection groups by fp: linear output, the dup_spans
+    pattern.
+    """
+    toks = rf"filter(split(lower(trim({text_col})), '\\s+'), x -> x <> '')"
+    grams = (
+        f"case when size(_toks) >= {gram_n} then "
+        f"transform(sequence(1, size(_toks) - {gram_n - 1}), "
+        f"i -> concat_ws(' ', slice(_toks, i, {gram_n}))) end"
+    )
+    g = (
+        df.select(F.col(id_col), F.expr(toks).alias("_toks"))
+        .select(F.col(id_col), F.posexplode(F.expr(grams)).alias("pos", "gram"))
+        .select(
+            id_col,
+            "pos",
+            F.expr(
+                "cast(conv(substring(md5(gram), 1, 15), 16, 10) as bigint)"
+            ).alias("h"),
+        )
+    )
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(-(window - 1), Window.currentRow)
+    )
+    return (
+        g.withColumn("_wmin", F.min("h").over(w))
+        .filter(F.col("h") == F.col("_wmin"))
+        .select(id_col, F.col("pos").cast("long").alias("pos"), F.col("h").alias("fp"))
+    )

@@ -162,3 +162,72 @@ def triangle_stats(
         .cast("long")
         .alias("gcc_ppm"),
     )
+
+
+def local_clustering(
+    edges: DataFrame,
+    a: str = "a",
+    b: str = "b",
+) -> DataFrame:
+    """Per-node local clustering coefficient of an undirected graph:
+    (node, deg, n_tri, lcc_ppm) where lcc = 2·triangles(v) / deg·(deg−1)
+    as exact-integer ppm — the node-level companion of
+    ``triangle_stats``'s global census (Watts–Strogatz clustering; the
+    community-structure signal behind link-spam and bot-farm detection).
+
+    Same degree-ordered orientation as ``triangle_stats`` (every
+    out-adjacency bounded by O(√m), so wedge generation is O(m^1.5) even
+    on power-law graphs); each found triangle (u, v1, v2) is exploded to
+    its three member nodes and counted per node — one extra
+    wedge-output-sized explode + keyed agg over the global version,
+    never a per-node neighborhood materialization.
+    """
+    ec = (
+        edges.select(
+            F.least(F.col(a), F.col(b)).alias("a"),
+            F.greatest(F.col(a), F.col(b)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        ec.select(F.col("a").alias("node"))
+        .unionAll(ec.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
+    w_edges = ec.join(da, "a").join(db, "b")
+    fwd = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    od = w_edges.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(fwd, F.col("deg_b")).otherwise(F.col("deg_a")).alias("deg_v"),
+    )
+    e1 = od.select(F.col("u"), F.col("v").alias("v1"), F.col("deg_v").alias("d1"))
+    e2 = od.select(F.col("u"), F.col("v").alias("v2"), F.col("deg_v").alias("d2"))
+    lt = (F.col("d1") < F.col("d2")) | (
+        (F.col("d1") == F.col("d2")) & (F.col("v1") < F.col("v2"))
+    )
+    wedges = e1.join(e2, "u").filter(lt).select("u", "v1", "v2")
+    closer = od.select(F.col("u").alias("v1"), F.col("v").alias("v2"))
+    tri = wedges.join(closer, ["v1", "v2"], "inner")
+    members = tri.select(
+        F.explode(F.array(F.col("u"), F.col("v1"), F.col("v2"))).alias("node")
+    )
+    node_tri = members.groupBy("node").agg(F.count("*").alias("n_tri"))
+    return deg.join(node_tri, "node", "left").select(
+        "node",
+        F.col("deg").cast("long").alias("deg"),
+        F.coalesce(F.col("n_tri"), F.lit(0)).cast("long").alias("n_tri"),
+        F.when(
+            F.col("deg") >= 2,
+            F.expr("2000000 * coalesce(n_tri, 0) div (deg * (deg - 1))"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("lcc_ppm"),
+    )

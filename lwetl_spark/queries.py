@@ -986,7 +986,9 @@ def x_dup_spans(spark, sf_dir):
     linear output, md5-portable fingerprints — the oracle rebuilds the
     identical windows in DuckDB and compares exactly
     (operators/dedup.duplicate_spans)."""
-    return duplicate_spans(_t(spark, sf_dir, "documents"), window=20)
+    # md5 mode: the oracle rebuilds the fingerprint verbatim; the
+    # scale-path default is 8-byte xxhash64 (see operator docstring)
+    return duplicate_spans(_t(spark, sf_dir, "documents"), window=20, hash_mode="md5")
 
 
 @register(
@@ -6037,6 +6039,261 @@ def x_bpe_apply(spark, sf_dir):
     words = word_vocab(_t(spark, sf_dir, "documents"))
     out = bpe_apply(words, [("l", "e"), ("b", "le"), ("t", "a"), ("r", "o")])
     return out.orderBy(F.desc("wc"), F.asc("word")).limit(20)
+
+
+# ----------------------------------------------------------------------------
+# Round-4 wave: Markov transition analytics, tokenizer fertility,
+# winnowing fingerprint selection, per-node clustering coefficients,
+# retrieval evaluation + rank fusion
+# ----------------------------------------------------------------------------
+
+
+@register(
+    "x_markov_chain",
+    """
+    WITH o AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev
+        FROM events
+    ),
+    t AS (
+        SELECT prev, event_type AS cur, CAST(COUNT(*) AS BIGINT) AS n
+        FROM o WHERE prev IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT prev, cur, n,
+           CAST(1000000 * n // SUM(n) OVER (PARTITION BY prev) AS BIGINT)
+               AS prob_ppm
+    FROM t
+    """,
+)
+def x_markov_chain(spark, sf_dir):
+    """First-order Markov transition matrix of the event stream: per
+    user, order events by (ts, event_id) and count prev→cur event-type
+    transitions; row-normalized probabilities as exact-integer ppm.
+    The behavioral-model primitive behind next-event prediction and
+    anomaly scoring.
+
+    Scale: ONE shuffle on user_id for the lag window (sessions are
+    user-local), then a transition-pair agg whose output is bounded by
+    |event_types|² regardless of stream size — the per-prev
+    normalization window runs over that tiny table."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.withColumn("prev", F.lag("event_type").over(w))
+        .filter(F.col("prev").isNotNull())
+        .groupBy("prev", F.col("event_type").alias("cur"))
+        .agg(F.count("*").alias("n"))
+    )
+    wp = Window.partitionBy("prev")
+    return trans.select(
+        "prev",
+        "cur",
+        F.col("n").cast("long"),
+        F.expr("1000000 * n div sum(n) over (partition by prev)")
+        .cast("long")
+        .alias("prob_ppm"),
+    )
+
+
+@register(
+    "x_winnowing",
+    r"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                           x -> x <> '') AS toks
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+               CAST(('0x' || substr(md5(array_to_string(toks[i:i+2], ' ')),
+                                    1, 15)) AS BIGINT) AS h
+        FROM t, UNNEST(generate_series(1, len(toks) - 2)) AS u(i)
+        WHERE len(toks) >= 3
+    ),
+    sel AS (
+        SELECT doc_id, pos, h FROM (
+            SELECT doc_id, pos, h,
+                   MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS m
+            FROM g
+        ) WHERE h = m
+    ),
+    fp AS (SELECT DISTINCT doc_id, h FROM sel),
+    hot AS (SELECT h FROM fp GROUP BY h HAVING COUNT(*) >= 2),
+    per AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams FROM g GROUP BY 1),
+    sd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_selected,
+                  CAST(COUNT(DISTINCT h) AS BIGINT) AS n_fp
+           FROM sel GROUP BY 1),
+    shd AS (SELECT fp.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+            FROM fp JOIN hot USING (h) GROUP BY 1)
+    SELECT per.doc_id, per.n_grams, sd.n_selected, sd.n_fp,
+           CAST(COALESCE(shd.n_shared, 0) AS BIGINT) AS n_shared,
+           CAST(1000000 * sd.n_selected // per.n_grams AS BIGINT)
+               AS density_ppm
+    FROM per JOIN sd ON per.doc_id = sd.doc_id
+    LEFT JOIN shd ON per.doc_id = shd.doc_id
+    """,
+)
+def x_winnowing(spark, sf_dir):
+    """Winnowing fingerprint census (Schleimer et al., SIGMOD 2003 — the
+    MOSS algorithm): per document, how many token-3-gram positions
+    exist, how many the trailing-window-min rule SELECTS, how many
+    distinct fingerprints that yields, and how many of those are shared
+    with at least one other document — plus the selection density in
+    ppm.  Winnowing's guarantee: any shared run of >= window+gram_n-1
+    tokens is caught by a shared SELECTED fingerprint at ~2/(window+1)
+    the sketch size of keeping every gram — bounded-density overlap
+    detection the bottom-k fingerprint (x_fingerprint) cannot promise.
+    Only bare (doc_id, pos, hash) triples shuffle; the shared-fp join is
+    keyed on the 8-byte hash (operators/dedup.py:winnow_fingerprints)."""
+    from lwetl_spark.operators.dedup import winnow_fingerprints
+
+    docs = _t(spark, sf_dir, "documents")
+    sel = winnow_fingerprints(docs, gram_n=3, window=5)
+    toks = r"filter(split(lower(trim(text)), '\\s+'), x -> x <> '')"
+    per = (
+        docs.select("doc_id", F.expr(toks).alias("_toks"))
+        .filter(F.size("_toks") >= 3)
+        .select("doc_id", (F.size("_toks") - 2).cast("long").alias("n_grams"))
+    )
+    sd = sel.groupBy("doc_id").agg(
+        F.count("*").alias("n_selected"),
+        F.countDistinct("fp").alias("n_fp"),
+    )
+    fp = sel.select("doc_id", "fp").distinct()
+    hot = fp.groupBy("fp").agg(F.count("*").alias("_nd")).filter(F.col("_nd") >= 2)
+    shd = (
+        fp.join(hot.select("fp").hint("shuffle_hash"), "fp")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        per.join(sd, "doc_id")
+        .join(shd, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_selected",
+            "n_fp",
+            F.coalesce(F.col("n_shared"), F.lit(0)).cast("long").alias("n_shared"),
+            F.expr("1000000 * n_selected div n_grams").cast("long").alias("density_ppm"),
+        )
+    )
+
+
+@register(
+    "x_local_clustering",
+    """
+    WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+        SELECT x.l_partkey AS a, y.l_partkey AS b
+        FROM pp x JOIN pp y
+          ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    deg AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+            SELECT a AS node FROM e UNION ALL SELECT b FROM e
+        ) GROUP BY 1
+    ),
+    tri AS (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM e e1 JOIN e e2 ON e1.b = e2.a JOIN e e3
+          ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    nt AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri FROM (
+            SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri
+        ) GROUP BY 1
+    )
+    SELECT d.node, d.deg,
+           CAST(COALESCE(nt.n_tri, 0) AS BIGINT) AS n_tri,
+           CAST(CASE WHEN d.deg >= 2
+                THEN 2000000 * COALESCE(nt.n_tri, 0) // (d.deg * (d.deg - 1))
+                ELSE 0 END AS BIGINT) AS lcc_ppm
+    FROM deg d LEFT JOIN nt ON d.node = nt.node
+    """,
+)
+def x_local_clustering(spark, sf_dir):
+    """Per-node local clustering coefficient of the co-purchase graph
+    (same graph as x_triangle_count: parts co-occurring in ≥2 orders):
+    how tightly each part's neighborhood is interlinked, as exact-
+    integer ppm.  The engine uses the degree-ordered O(m^1.5)
+    orientation and explodes each triangle to its three members
+    (operators/graph.py:local_clustering); the oracle re-counts per
+    node from the naive a<b<c enumeration."""
+    from lwetl_spark.operators.graph import local_clustering
+
+    li = _t(spark, sf_dir, "lineitem")
+    pp = li.select("l_orderkey", "l_partkey").distinct()
+    x = pp.alias("x")
+    y = pp.alias("y")
+    edges = (
+        x.join(
+            y,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .groupBy(
+            F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b")
+        )
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("a", "b")
+    )
+    return local_clustering(edges)
+
+
+@register(
+    "x_tokenizer_fertility",
+    r"""
+    WITH q AS (
+        SELECT lang,
+               list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                           x -> x <> '') AS toks
+        FROM documents
+    ),
+    d AS (
+        SELECT lang,
+               CAST(len(toks) AS BIGINT) AS n_words,
+               CAST(COALESCE(list_sum(list_transform(
+                   toks, x -> CAST(ceil(length(x) / 4.0) AS INT))), 0)
+                   AS BIGINT) AS n_subwords
+        FROM q
+    )
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS n_words,
+           CAST(SUM(n_subwords) AS BIGINT) AS n_subwords,
+           CAST(1000000 * SUM(n_subwords) // SUM(n_words) AS BIGINT)
+               AS fertility_ppm
+    FROM d GROUP BY lang
+    """,
+)
+def x_tokenizer_fertility(spark, sf_dir):
+    """Tokenizer fertility per language: subwords-per-word ratio of the
+    ≤4-char word-piece proxy tokenizer, as exact-integer ppm.  THE
+    multilingual-tokenizer health metric (a language with fertility ≫
+    the corpus mean is under-served by the vocabulary and burns context
+    window).  Row-local arithmetic over one scan; the per-language agg
+    output is bounded by the language count."""
+    docs = _t(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "lang",
+        token_count("text").cast("long").alias("n_words"),
+        bpe_ish_token_count("text").cast("long").alias("n_subwords"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_words").alias("n_words"),
+        F.sum("n_subwords").alias("n_subwords"),
+        F.expr("1000000 * sum(n_subwords) div sum(n_words)")
+        .cast("long")
+        .alias("fertility_ppm"),
+    )
 
 
 #: keys the round-1 driver run already sampled green (CORRECTNESS_r01.json);
