@@ -254,3 +254,85 @@ def query_text_index(
         salt_buckets=salt_buckets,
         idf_scale=idf_scale,
     )
+
+
+def rank_eval(
+    ranking: DataFrame,
+    relevance: DataFrame,
+    k: int = 10,
+    rel_threshold: int = 1,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Retrieval-quality metrics over a ranked list — the evaluation leg
+    of the BM25/ANN family (NEW; no reference analog).  All metrics are
+    exact integers so any SQL engine reproduces them bit-for-bit:
+
+    - ``mrr_ppm``: scale // rank of the first relevant hit (0 if none) —
+      reciprocal rank without float division;
+    - ``p_at_k_ppm``: scale · |relevant in top-k| // k — precision@k;
+    - ``hdcg_ppm``: Σ scale · rel // (rnk + 1) — DCG with HARMONIC
+      discounts (1/(r+1) instead of 1/log2(r+1)): same top-heavy shape,
+      exact in integers where the log form is float-unstable across
+      engines (the x_bm25 integer-rational portability rule).
+
+    ``ranking`` carries (query_id, doc_id, rnk); ``relevance`` carries
+    (query_id, doc_id, rel) with integer grades (missing pairs = 0).
+    ``rel_threshold`` sets the binary-relevance cut for mrr/p@k (hdcg
+    always uses the raw grades).
+    Scale: one keyed left join on (query_id, doc_id) + one per-query agg
+    — both bounded by |queries|·k rows, independent of corpus size."""
+    r = (
+        ranking.filter(F.col("rnk") <= k)
+        .join(relevance, ["query_id", "doc_id"], "left")
+        .withColumn("rel", F.coalesce(F.col("rel"), F.lit(0)).cast("long"))
+    )
+    return r.groupBy("query_id").agg(
+        F.count("*").cast("long").alias("n_ranked"),
+        F.coalesce(
+            F.expr(f"{scale} div min(case when rel >= {rel_threshold} then rnk end)"),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("mrr_ppm"),
+        F.expr(f"{scale} * count_if(rel >= {rel_threshold}) div {k}")
+        .cast("long")
+        .alias(f"p_at_{k}_ppm"),
+        F.expr(f"sum({scale} * rel div (rnk + 1))").cast("long").alias("hdcg_ppm"),
+    )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k_const: int = 60,
+    topk: int = 10,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009)
+    of N ranked lists — the standard hybrid-retrieval combiner (lexical
+    BM25 + dense ANN): every (query, doc) scores
+    Σ_lists scale // (k_const + rnk), exact in integers, so lists with
+    incomparable score scales fuse by RANK alone.
+
+    Each input carries (query_id, doc_id, rnk).  Returns
+    (query_id, doc_id, n_lists, rrf_ppm, rnk) — top-`topk` per query by
+    (rrf_ppm DESC, doc_id).  Scale: inputs are already |queries|·k-sized;
+    the union + keyed agg + per-query window all run over that bounded
+    set, never the corpus."""
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    parts = [
+        r.select("query_id", "doc_id", F.col("rnk").cast("long").alias("rnk"))
+        for r in rankings
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = u.groupBy("query_id", "doc_id").agg(
+        F.count("*").cast("long").alias("n_lists"),
+        F.expr(f"sum({scale} div ({k_const} + rnk))").cast("long").alias("rrf_ppm"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rrf_ppm"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= topk)
+    )

@@ -4848,9 +4848,11 @@ def x_manifest_diff(spark, sf_dir):
     )
 
 
-@register(
-    "x_bm25",
-    r"""
+#: shared DuckDB CTE chain for the BM25 probe-query workload — ends at
+#: `r`, the per-query top-10 ranking.  x_bm25 selects it verbatim;
+#: x_rank_eval and x_rrf_fusion build evaluation / fusion on top of it,
+#: so all three oracles share ONE scoring definition.
+_BM25_CTE = r"""
     WITH tok AS (
         SELECT doc_id, unnest(list_filter(
             string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) AS tok
@@ -4887,13 +4889,37 @@ def x_manifest_diff(spark, sf_dir):
         SELECT query_id, doc_id, CAST(SUM(term_score) AS BIGINT) AS score_ppm,
                CAST(COUNT(*) AS BIGINT) AS n_terms
         FROM sc GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT query_id, doc_id, score_ppm, n_terms, CAST(rnk AS BIGINT) AS rnk
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY score_ppm DESC, doc_id) AS rnk
+            FROM s
+        ) WHERE rnk <= 10
     )
-    SELECT query_id, doc_id, score_ppm, n_terms, CAST(rnk AS BIGINT) AS rnk
-    FROM (
-        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                                     ORDER BY score_ppm DESC, doc_id) AS rnk
-        FROM s
-    ) WHERE rnk <= 10
+"""
+
+#: the probe query set shared by x_bm25 / x_rank_eval / x_rrf_fusion
+_BM25_PROBES = [
+    (1, "scan"), (1, "table"),
+    (2, "merge"), (2, "sort"), (2, "window"),
+    (3, "hash"), (3, "part"),
+]
+
+
+def _bm25_probe_ranking(spark, sf_dir):
+    from lwetl_spark.operators.retrieval import bm25_topk
+
+    queries = spark.createDataFrame(_BM25_PROBES, "query_id int, term string")
+    return queries, bm25_topk(_t(spark, sf_dir, "documents"), queries, k=10)
+
+
+@register(
+    "x_bm25",
+    _BM25_CTE
+    + """
+    SELECT query_id, doc_id, score_ppm, n_terms, rnk FROM r
     """,
 )
 def x_bm25(spark, sf_dir):
@@ -4909,14 +4935,8 @@ def x_bm25(spark, sf_dir):
     the broadcast query terms before any wide stage; top-k is two-phase
     (salted partial, then final) because per-query is a few-groups
     window (operators/retrieval.py docstring has the overflow budget)."""
-    from lwetl_spark.operators.retrieval import bm25_topk
-
-    queries = spark.createDataFrame(
-        [(1, "scan"), (1, "table"), (2, "merge"), (2, "sort"), (2, "window"),
-         (3, "hash"), (3, "part")],
-        "query_id int, term string",
-    )
-    return bm25_topk(_t(spark, sf_dir, "documents"), queries, k=10)
+    _, ranking = _bm25_probe_ranking(spark, sf_dir)
+    return ranking
 
 
 @register(
@@ -6182,6 +6202,152 @@ def x_winnowing(spark, sf_dir):
             F.expr("1000000 * n_selected div n_grams").cast("long").alias("density_ppm"),
         )
     )
+
+
+@register(
+    "x_rank_eval",
+    _BM25_CTE
+    + """
+    , rel AS (
+        SELECT CAST(q.query_id AS BIGINT) AS query_id, tf.doc_id,
+               CAST(COUNT(DISTINCT q.term) AS BIGINT) AS rel
+        FROM q JOIN tf ON q.term = tf.tok GROUP BY 1, 2
+    )
+    SELECT r.query_id,
+           CAST(COUNT(*) AS BIGINT) AS n_ranked,
+           CAST(COALESCE(1000000 // MIN(CASE WHEN COALESCE(rel.rel, 0) >= 2
+                                             THEN r.rnk END), 0) AS BIGINT)
+               AS mrr_ppm,
+           CAST(1000000 * SUM(CASE WHEN COALESCE(rel.rel, 0) >= 2
+                                   THEN 1 ELSE 0 END) // 10 AS BIGINT)
+               AS p_at_10_ppm,
+           CAST(SUM(1000000 * COALESCE(rel.rel, 0) // (r.rnk + 1)) AS BIGINT)
+               AS hdcg_ppm
+    FROM r LEFT JOIN rel ON r.query_id = rel.query_id AND r.doc_id = rel.doc_id
+    GROUP BY 1
+    """,
+)
+def x_rank_eval(spark, sf_dir):
+    """Retrieval evaluation over the BM25 probe ranking: MRR,
+    precision@10 and harmonic-discount DCG per query, all exact-integer
+    ppm (operators/retrieval.py:rank_eval).  Relevance grades are the
+    count of distinct query terms a document contains; the binary cut
+    for mrr/p@k is rel >= 2 ("matches at least two terms"), so the
+    metrics measure whether BM25 front-loads multi-term matches — not
+    the tautology that ranked docs match one term.  Shares the exact
+    scoring CTE with x_bm25, so the two oracles cannot drift."""
+    from lwetl_spark.operators.retrieval import rank_eval
+
+    queries, ranking = _bm25_probe_ranking(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    toks = r"filter(split(lower(trim(text)), '\\s+'), x -> x <> '')"
+    tok = docs.select("doc_id", F.explode_outer(F.expr(toks)).alias("tok"))
+    rel = (
+        tok.join(F.broadcast(queries), tok["tok"] == queries["term"])
+        .groupBy("query_id", "doc_id")
+        .agg(F.countDistinct("term").alias("rel"))
+        .select(
+            F.col("query_id").cast("long").alias("query_id"), "doc_id", "rel"
+        )
+    )
+    return rank_eval(ranking, rel, k=10, rel_threshold=2)
+
+
+@register(
+    "x_rrf_fusion",
+    _BM25_CTE
+    + """
+    , e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    nv AS (
+        SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+        FROM e
+    ),
+    qv AS (SELECT vec_id AS query_id, v, nrm FROM nv WHERE vec_id IN (1, 2, 3)),
+    dcos AS (
+        SELECT qv.query_id, nv.vec_id AS doc_id,
+               ROUND(list_sum(list_transform(range(1, 65),
+                                             i -> qv.v[i] * nv.v[i]))
+                     / (qv.nrm * nv.nrm), 6) AS cos
+        FROM qv JOIN nv ON nv.vec_id <> qv.query_id
+        WHERE qv.nrm > 0 AND nv.nrm > 0
+    ),
+    dr AS (
+        SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+               CAST(rnk AS BIGINT) AS rnk
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY cos DESC, doc_id) AS rnk
+            FROM dcos
+        ) WHERE rnk <= 10
+    ),
+    u AS (
+        SELECT query_id, doc_id, rnk FROM r
+        UNION ALL SELECT query_id, doc_id, rnk FROM dr
+    ),
+    f AS (
+        SELECT query_id, doc_id, CAST(COUNT(*) AS BIGINT) AS n_lists,
+               CAST(SUM(1000000 // (60 + rnk)) AS BIGINT) AS rrf_ppm
+        FROM u GROUP BY 1, 2
+    )
+    SELECT query_id, doc_id, n_lists, rrf_ppm, CAST(rnk AS BIGINT) AS rnk
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY rrf_ppm DESC, doc_id) AS rnk
+        FROM f
+    ) WHERE rnk <= 10
+    """,
+)
+def x_rrf_fusion(spark, sf_dir):
+    """Hybrid retrieval: reciprocal-rank fusion (Cormack et al., SIGIR
+    2009) of the BM25 lexical top-10 and a dense cosine top-10 (query
+    vectors = embeddings 1-3, same id space as documents), fused by
+    rank alone — 1e6 // (60 + rnk) summed per doc, exact integers
+    (operators/retrieval.py:rrf_fuse).  The dense leg broadcasts the
+    3 query vectors and ranks by ROUND(cos, 6) with doc_id tiebreak
+    (the x_cosine_topk portability idiom); the lexical leg shares the
+    x_bm25 scoring CTE.  Scale: fusion runs over |queries|·k rows —
+    corpus-independent after the two retrieval legs."""
+    from lwetl_spark.operators.retrieval import rrf_fuse
+
+    _, lex = _bm25_probe_ranking(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+    ).withColumn(
+        "nrm",
+        F.expr("sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x))"),
+    ).filter(F.col("nrm") > 0)
+    qv = emb.filter(F.col("vec_id").isin(1, 2, 3)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    dcos = (
+        emb.crossJoin(F.broadcast(qv))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                F.expr(
+                    "aggregate(zip_with(qv, v, (a, b) -> a * b),"
+                    " 0D, (acc, x) -> acc + x)"
+                )
+                / (F.col("qnrm") * F.col("nrm")),
+                6,
+            ).alias("cos"),
+        )
+    )
+    wd = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("doc_id"))
+    dense = (
+        dcos.withColumn("rnk", F.row_number().over(wd).cast("long"))
+        .filter(F.col("rnk") <= 10)
+        .select("query_id", "doc_id", "rnk")
+    )
+    return rrf_fuse([lex.select("query_id", "doc_id", "rnk"), dense], topk=10)
 
 
 @register(

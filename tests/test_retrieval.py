@@ -139,3 +139,53 @@ def test_text_index_probe_prunes_partitions(spark, tmp_path):
     import re
 
     assert re.search(r"PartitionFilters: \[isnotnull\(bucket#\d+\), \(bucket#\d+ = \d+\)", plan), plan
+
+
+def test_rank_eval_metrics(spark):
+    """Hand-computed metrics on a tiny ranking: relevant docs at ranks
+    2 and 4 of 5 -> mrr = 1e6//2, p@5 = 2/5, hdcg sums graded rels."""
+    from lwetl_spark.operators.retrieval import rank_eval
+
+    ranking = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3), (1, 13, 4), (1, 14, 5)],
+        "query_id long, doc_id long, rnk long",
+    )
+    rel = spark.createDataFrame(
+        [(1, 11, 2), (1, 13, 1), (1, 14, 3)],
+        "query_id long, doc_id long, rel long",
+    )
+    out = rank_eval(ranking, rel, k=5, rel_threshold=2).collect()[0]
+    assert out["n_ranked"] == 5
+    assert out["mrr_ppm"] == 1_000_000 // 2          # first rel>=2 at rank 2
+    assert out["p_at_5_ppm"] == 1_000_000 * 2 // 5   # ranks 2 and 5
+    # hdcg: rel 2 at rnk2 -> 2e6//3; rel 1 at rnk4 -> 1e6//5; rel 3 at rnk5 -> 3e6//6
+    assert out["hdcg_ppm"] == 2_000_000 // 3 + 1_000_000 // 5 + 3_000_000 // 6
+
+
+def test_rank_eval_no_relevant_hits(spark):
+    from lwetl_spark.operators.retrieval import rank_eval
+
+    ranking = spark.createDataFrame(
+        [(7, 1, 1), (7, 2, 2)], "query_id long, doc_id long, rnk long"
+    )
+    rel = spark.createDataFrame([], "query_id long, doc_id long, rel long")
+    out = rank_eval(ranking, rel, k=10).collect()[0]
+    assert out["mrr_ppm"] == 0 and out["p_at_10_ppm"] == 0 and out["hdcg_ppm"] == 0
+
+
+def test_rrf_fuse_agreement_wins(spark):
+    """A doc ranked mid-list in BOTH inputs outscores docs topping only
+    one list: 2/(60+3) > 1/(60+1) — the RRF consensus property."""
+    from lwetl_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 100, 1), (1, 300, 3)], "query_id long, doc_id long, rnk long"
+    )
+    b = spark.createDataFrame(
+        [(1, 200, 1), (1, 300, 3)], "query_id long, doc_id long, rnk long"
+    )
+    rows = {r["doc_id"]: r for r in rrf_fuse([a, b], topk=10).collect()}
+    assert rows[300]["n_lists"] == 2
+    assert rows[300]["rrf_ppm"] == 2 * (1_000_000 // 63)
+    assert rows[100]["rrf_ppm"] == 1_000_000 // 61
+    assert rows[300]["rnk"] == 1  # consensus beats single-list rank 1
