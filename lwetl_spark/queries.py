@@ -6415,6 +6415,74 @@ def x_local_clustering(spark, sf_dir):
 
 
 @register(
+    "x_quality_logreg",
+    """
+    WITH y AS (
+        SELECT doc_id,
+               CASE WHEN (length(text) >= 300)
+                         <> (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                                  1, 15)) AS BIGINT) % 10 = 0)
+                    THEN 1 ELSE 0 END AS label
+        FROM documents
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_scored,
+           CAST(SUM(label) AS BIGINT) AS n_pos,
+           CAST(COUNT(*) - SUM(label) AS BIGINT) AS n_neg,
+           TRUE AS converged, TRUE AS auc_ok
+    FROM y
+    """,
+)
+def x_quality_logreg(spark, sf_dir):
+    """Model-based quality scoring: an IRLS-trained logistic regression
+    (operators/classifier.py) over three quality features, evaluated
+    with the exact Mann-Whitney AUC.  The weak label is a known
+    deterministic rule (n_chars >= 300) with 10% md5-deterministic
+    flips, so the solver must RECOVER a signal the features contain
+    under label noise — the contract pins the exact class counts
+    (portable: both engines re-derive the label rule) plus two
+    engine-checked booleans: weights finite, AUC >= 0.75 (noise-capped
+    optimum ~0.82; an untrained/broken solver scores ~0.5).
+
+    Scale: each IRLS iteration is ONE aggregation emitting d² driver
+    floats; features are localCheckpointed so 8 iterations re-read a
+    compact cache, not the corpus; scoring is a row-local sigmoid;
+    AUC evaluates the (bounded) scored set."""
+    import math
+
+    from lwetl_spark.operators.classifier import (
+        auc_exact,
+        logreg_score,
+        logreg_train,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    q = quality_features("text")
+    flip = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 10 == 0
+    )
+    feats = docs.select(
+        "doc_id",
+        q["n_tokens"].cast("double").alias("f_tokens"),
+        q["mean_token_len"].cast("double").alias("f_mtl"),
+        q["alpha_ratio"].cast("double").alias("f_alpha"),
+        ((F.length("text") >= 300) != flip).cast("long").alias("label"),
+    ).localCheckpoint(eager=True)  # 8 IRLS passes read this cache, not the corpus
+    cols = ["f_tokens", "f_mtl", "f_alpha"]
+    beta = logreg_train(feats, cols, "label", iterations=8)
+    scored = feats.withColumn("score", logreg_score(feats, cols, beta))
+    auc = auc_exact(scored, "score", "label")
+    converged = all(math.isfinite(b) for b in beta)
+    return auc.select(
+        (F.col("n_pos") + F.col("n_neg")).cast("long").alias("n_scored"),
+        "n_pos",
+        "n_neg",
+        F.lit(bool(converged)).alias("converged"),
+        (F.col("auc_ppm") >= 750_000).alias("auc_ok"),
+    )
+
+
+@register(
     "x_tokenizer_fertility",
     r"""
     WITH q AS (
