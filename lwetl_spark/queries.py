@@ -6483,6 +6483,85 @@ def x_quality_logreg(spark, sf_dir):
 
 
 @register(
+    "x_survival",
+    """
+    WITH u AS (
+        SELECT user_id, MIN(ts) AS first_ts, MAX(ts) AS last_ts FROM events
+        GROUP BY 1
+    ),
+    mx AS (SELECT MAX(ts) AS end_ts FROM events),
+    lif AS (
+        SELECT user_id,
+               CAST(date_diff('day', first_ts, last_ts) AS BIGINT) AS dur,
+               CASE WHEN last_ts < end_ts - INTERVAL 14 DAY
+                    THEN 1 ELSE 0 END AS churned
+        FROM u CROSS JOIN mx
+    ),
+    g AS (
+        SELECT dur, CAST(SUM(churned) AS BIGINT) AS n_deaths,
+               CAST(COUNT(*) - SUM(churned) AS BIGINT) AS n_censored
+        FROM lif GROUP BY 1
+    )
+    SELECT dur, n_deaths, n_censored,
+           CAST(SUM(n_deaths + n_censored)
+                OVER (ORDER BY dur DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS n_risk,
+           CAST(1000000 * n_deaths
+                // SUM(n_deaths + n_censored)
+                   OVER (ORDER BY dur DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS hazard_ppm
+    FROM g
+    """,
+)
+def x_survival(spark, sf_dir):
+    """Kaplan-Meier-style survival/hazard table over user lifetimes in
+    the event stream: per distinct lifetime (days between a user's first
+    and last event), how many users CHURN there (last event > 14 days
+    before stream end) vs are CENSORED (still active at the edge), the
+    at-risk count, and the discrete hazard d/n as exact-integer ppm —
+    the churn-curve primitive (the survival function is the running
+    product of (1 − hazard), left to the consumer because cumulative
+    float products are not hash-portable; every column here is an exact
+    integer).
+
+    Scale: one user-keyed agg (first/last ts), a broadcast 1-row stream
+    end, a lifetime-keyed agg bounded by distinct lifetime days, and a
+    window over THAT tiny table — the corpus-sized stages shuffle only
+    (user_id, 2 timestamps)."""
+    ev = _t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts")
+    )
+    mx = ev.agg(F.max("ts").alias("end_ts"))
+    lif = u.crossJoin(F.broadcast(mx)).select(
+        F.datediff("last_ts", "first_ts").cast("long").alias("dur"),
+        F.when(
+            F.col("last_ts") < F.col("end_ts") - F.expr("INTERVAL 14 DAY"), 1
+        )
+        .otherwise(0)
+        .alias("churned"),
+    )
+    g = lif.groupBy("dur").agg(
+        F.sum("churned").cast("long").alias("n_deaths"),
+        (F.count("*") - F.sum("churned")).cast("long").alias("n_censored"),
+    )
+    w = Window.orderBy(F.desc("dur")).rowsBetween(Window.unboundedPreceding, 0)
+    at_risk = F.sum(F.col("n_deaths") + F.col("n_censored")).over(w)
+    return (
+        g.withColumn("n_risk", at_risk.cast("long"))
+        .select(
+            "dur",
+            "n_deaths",
+            "n_censored",
+            "n_risk",
+            F.expr("1000000 * n_deaths div n_risk").cast("long").alias("hazard_ppm"),
+        )
+    )
+
+
+@register(
     "x_tokenizer_fertility",
     r"""
     WITH q AS (

@@ -601,3 +601,96 @@ def stream_quarantine(
         bad.write.mode("append").parquet(dlq_path)
 
     return stream.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+
+
+def stream_markov(
+    spark: SparkSession,
+    events_path: str,
+    state_path: str,
+    max_files_per_trigger: int = 2,
+):
+    """Streaming first-order transition counting with CROSS-BATCH state
+    (NEW; the streaming form of x_markov_chain, and the pattern
+    stream_validate's docstring points stateful kinds at): a user's
+    transition can straddle a micro-batch boundary, so per-batch lag
+    alone undercounts — this keeps each user's LAST event as persisted
+    state and stitches the boundary transition (state.last_type →
+    first in-batch type) before folding counts additively.
+
+    Per micro-batch: one user-keyed lag window over the batch (within-
+    batch transitions), one keyed join of per-user batch-firsts to the
+    state (boundary transitions), one keyed window for per-user batch-
+    lasts, and a state rewrite of one row per user ever seen —
+    (user_id, last_type, last_ts, last_event_id) only, never event
+    payloads.  At 100 TB of users, swap the overwrite for a Delta MERGE
+    (same keyed shape); counts stay a constant-size accumulator keyed
+    by (prev, cur) exactly like stream_validate's totals.
+
+    ASSUMES event files arrive in time order per user (the standard
+    log-shipping contract; within a batch, ordering is re-established
+    by (ts, event_id)).  Under that contract the accumulated totals
+    equal the batch x_markov_chain counts over the union of all batches
+    (pinned by test_streaming).
+
+    Returns (query, totals) — totals is {(prev, cur): n}, live-updated.
+    """
+    schema = spark.read.parquet(events_path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(events_path)
+    )
+    totals: dict[tuple[str, str], int] = {}
+
+    def sink(batch_df, batch_id: int) -> None:
+        from pyspark.sql.window import Window as W
+
+        sess = batch_df.sparkSession
+        b = batch_df.select("user_id", "event_id", "ts", "event_type")
+        w = W.partitionBy("user_id").orderBy("ts", "event_id")
+        with_prev = b.withColumn("prev", F.lag("event_type").over(w))
+        try:
+            state = sess.read.parquet(state_path)
+        except Exception:  # first batch: no state yet
+            state = None
+        within = with_prev.filter(F.col("prev").isNotNull()).select(
+            "prev", F.col("event_type").alias("cur")
+        )
+        trans = within
+        if state is not None:
+            boundary = (
+                with_prev.filter(F.col("prev").isNull())
+                .join(state, "user_id")
+                .select(
+                    F.col("last_type").alias("prev"),
+                    F.col("event_type").alias("cur"),
+                )
+            )
+            trans = within.unionByName(boundary)
+        for r in trans.groupBy("prev", "cur").agg(F.count("*").alias("n")).collect():
+            k = (r["prev"], r["cur"])
+            totals[k] = totals.get(k, 0) + r["n"]
+        wl = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+        last = (
+            b.withColumn("_rn", F.row_number().over(wl))
+            .filter(F.col("_rn") == 1)
+            .select(
+                "user_id",
+                F.col("event_type").alias("last_type"),
+                F.col("ts").alias("last_ts"),
+                "event_id",
+            )
+        )
+        if state is not None:
+            carried = state.join(
+                b.select("user_id").distinct(), "user_id", "left_anti"
+            )
+            last = last.unionByName(
+                carried.select("user_id", "last_type", "last_ts", "event_id")
+            )
+        # eager materialization: the overwrite below must not race the
+        # state scan that fed the boundary join (same directory)
+        last = last.localCheckpoint(eager=True)
+        last.write.mode("overwrite").parquet(state_path)
+
+    return stream.writeStream.foreachBatch(sink).start(), totals

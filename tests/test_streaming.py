@@ -498,3 +498,56 @@ def test_stream_quarantine_routes_and_conserves(spark, tmp_path):
         + [(r["id"], r["price"]) for r in dlq.collect()]
     )
     assert got == sorted(rows)
+
+
+def test_stream_markov_totals_match_batch(spark, tmp_path):
+    """Cross-batch transition stitching: events split into time-ordered
+    files (one per micro-batch) must yield EXACTLY the batch
+    x_markov_chain counts over the union — a per-batch lag alone would
+    lose every boundary transition."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F2
+    from pyspark.sql.window import Window as W
+
+    from lwetl_spark.streaming.pipeline import stream_markov
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # 3 users x 9 events interleaved; types cycle differently per user
+    for step in range(9):
+        for u, cycle in ((1, ["a", "b", "c"]), (2, ["b", "b", "a"]), (3, ["c", "a", "a"])):
+            rows.append((eid, t0 + dt.timedelta(minutes=step), u, cycle[step % 3]))
+            eid += 1
+    src = str(tmp_path / "events")
+    state = str(tmp_path / "state")
+    # time-ordered files: batch k holds steps 3k..3k+2 (appended in order)
+    for k in range(3):
+        chunk = [r for r in rows if 3 * k * 3 <= r[0] < 3 * (k + 1) * 3]
+        spark.createDataFrame(
+            chunk, "event_id long, ts timestamp, user_id long, event_type string"
+        ).coalesce(1).write.mode("append").parquet(src)  # ONE file per batch
+
+    q, totals = stream_markov(spark, src, state, max_files_per_trigger=1)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    batch = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    expected = {
+        (r["prev"], r["cur"]): r["n"]
+        for r in batch.withColumn("prev", F2.lag("event_type").over(w))
+        .filter(F2.col("prev").isNotNull())
+        .groupBy("prev", F2.col("event_type").alias("cur"))
+        .agg(F2.count("*").alias("n"))
+        .collect()
+    }
+    assert totals == expected
+    # state holds exactly one row per user, carrying their LAST event type
+    st = {r["user_id"]: r["last_type"] for r in spark.read.parquet(state).collect()}
+    assert st == {1: ["a", "b", "c"][8 % 3], 2: ["b", "b", "a"][8 % 3], 3: ["c", "a", "a"][8 % 3]}
