@@ -21,7 +21,7 @@ a base-sized scan with a delta-sized one.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -50,3 +50,41 @@ def merge_partial_aggs(
             ).alias(c)
         )
     return merged.select(*out_cols)
+
+
+def apply_changelog(
+    changes: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Apply a CDC change log to produce the current snapshot: for every
+    key, the LAST change in ``order_cols`` order wins; keys whose last
+    change is a delete vanish.  The standard upsert-log → table
+    materialization (Debezium/outbox replay; the reference's nearest
+    surface is U4/U5 row DML, lwetl/uploader.py:572-636 — this is the
+    set-based form that replaces per-row apply loops).
+
+    Semantics are pure SQL (one keyed window + a filter), so the
+    result is engine-exact and the x_cdc_apply oracle rebuilds it
+    verbatim.  ``order_cols`` must totally order changes within a key
+    (ts + a unique sequence id — the log-shipping contract).
+
+    Scale: ONE shuffle on the key columns; the window keeps only the
+    row_number-1 row per key, so state per reducer is a single row at
+    a time (no per-key buffering of history).  For continuous apply,
+    pair with a streaming foreachBatch that merges per-batch winners
+    into the snapshot (the stream_markov persisted-state shape).
+    """
+    if not key_cols or not order_cols:
+        raise ValueError("apply_changelog needs key_cols and order_cols")
+    w = Window.partitionBy(*key_cols).orderBy(
+        *[F.col(c).desc() for c in order_cols]
+    )
+    return (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .filter(F.col(op_col) != delete_op)
+        .drop("_rn")
+    )

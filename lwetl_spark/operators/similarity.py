@@ -1398,3 +1398,79 @@ def kmeans_cluster(
     return base.mapInPandas(
         gen, f"id {out_id_type}, cluster_id int, cos double"
     ).select(F.col("id").alias(id_col), "cluster_id", "cos")
+
+
+def mmr_diversify(
+    candidates: DataFrame,
+    k: int = 5,
+    lam: float = 0.5,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rel_col: str = "rel",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR 1998): greedily pick `k` of each query's candidates maximizing
+    ``lam·relevance − (1−lam)·max cosine to the already-selected set`` —
+    the standard diversification pass between retrieval and a context
+    window (near-duplicate passages crowd out coverage).
+
+    Input: per-query candidate rows (query_col, id_col, rel_col,
+    vec_col).  Returns (query_col, id_col, mmr_rank, rel) — `k` rows per
+    query in selection order.  Ties break on id for determinism.
+
+    Scale: one `applyInPandas` per QUERY GROUP — the greedy loop and the
+    O(c²) pairwise-cosine matrix live on a candidate list that is
+    top-c-bounded (c ≈ 20-100) regardless of corpus size; the corpus
+    itself was already reduced by the upstream retrieval leg.  The
+    iterative argmax is not SQL-expressible, so the catalog query wraps
+    this in a diversity contract instead of a value oracle.
+    """
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+
+    def pick(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        nrm = np.maximum(np.linalg.norm(V, axis=1), 1e-12)
+        S = (V / nrm[:, None]) @ (V / nrm[:, None]).T
+        rel = pdf["r"].to_numpy().astype(np.float64)
+        n = len(pdf)
+        chosen: list[int] = []
+        avail = list(range(n))
+        while avail and len(chosen) < k:
+            if chosen:
+                penal = S[np.ix_(avail, chosen)].max(axis=1)
+            else:
+                penal = np.zeros(len(avail))
+            score = lam * rel[avail] - (1.0 - lam) * penal
+            j = int(np.argmax(score))  # first max = lowest doc_id (sorted)
+            chosen.append(avail.pop(j))
+        return pd.DataFrame(
+            {
+                "query_id": pdf["q"].iloc[chosen].to_numpy(),
+                "doc_id": pdf["doc_id"].iloc[chosen].to_numpy(),
+                "mmr_rank": np.arange(1, len(chosen) + 1, dtype=np.int64),
+                "rel": rel[chosen],
+            }
+        )
+
+    base = candidates.select(
+        F.col(query_col).alias("q"),
+        F.col(id_col).alias("doc_id"),
+        F.col(rel_col).cast("double").alias("r"),
+        F.col(vec_col).alias("v"),
+    )
+    return (
+        base.groupBy("q")
+        .applyInPandas(pick, "query_id long, doc_id long, mmr_rank long, rel double")
+        .select(
+            F.col("query_id").alias(query_col),
+            F.col("doc_id").alias(id_col),
+            "mmr_rank",
+            "rel",
+        )
+    )

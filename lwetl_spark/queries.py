@@ -6351,6 +6351,340 @@ def x_rrf_fusion(spark, sf_dir):
 
 
 @register(
+    "x_mmr",
+    """
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(5 AS BIGINT) AS k_selected,
+           TRUE AS relevance_sane, TRUE AS diversity_ok
+    FROM (VALUES (1), (2), (3)) q(query_id)
+    """,
+)
+def x_mmr(spark, sf_dir):
+    """MMR diversification (Carbonell & Goldstein, SIGIR 1998) of the
+    dense top-20 candidates for 3 probe queries: greedy
+    λ·rel − (1−λ)·max-sim selection of 5 (operators/similarity.py:
+    mmr_diversify).  The greedy argmax is not SQL-expressible, so the
+    driver checks the CONTRACT: exactly 5 picks per query, the top-1
+    candidate is always picked first (relevance_sane), and the picked
+    set's mean pairwise cosine does not exceed the plain top-5's
+    (diversity_ok) — the property MMR exists to enforce.  All inputs
+    deterministic, so the booleans are stable."""
+    from lwetl_spark.operators.similarity import mmr_diversify
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+    ).withColumn(
+        "nrm", F.expr("sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x))")
+    ).filter(F.col("nrm") > 0)
+    qv = emb.filter(F.col("vec_id").isin(1, 2, 3)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    cands = (
+        emb.crossJoin(F.broadcast(qv))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                F.expr(
+                    "aggregate(zip_with(qv, v, (a, b) -> a * b),"
+                    " 0D, (acc, x) -> acc + x)"
+                )
+                / (F.col("qnrm") * F.col("nrm")),
+                6,
+            ).alias("rel"),
+            F.col("v").alias("embedding"),
+        )
+    )
+    wd = Window.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("doc_id"))
+    top20 = cands.withColumn("rnk", F.row_number().over(wd)).filter(
+        F.col("rnk") <= 20
+    )
+    picked = mmr_diversify(top20, k=5, lam=0.5).localCheckpoint(eager=True)
+
+    def _avg_pairwise(sel):
+        a = sel.select("query_id", F.col("doc_id").alias("da"))
+        b = sel.select("query_id", F.col("doc_id").alias("db"))
+        pairs = a.join(b, "query_id").filter(F.col("da") < F.col("db"))
+        ev = emb.select(
+            F.col("vec_id").alias("da"), F.col("v").alias("va"), F.col("nrm").alias("na")
+        )
+        ew = emb.select(
+            F.col("vec_id").alias("db"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+        )
+        return (
+            pairs.join(ev, "da")
+            .join(ew, "db")
+            .select(
+                "query_id",
+                (
+                    F.expr(
+                        "aggregate(zip_with(va, vb, (a, b) -> a * b),"
+                        " 0D, (acc, x) -> acc + x)"
+                    )
+                    / (F.col("na") * F.col("nb"))
+                ).alias("cos"),
+            )
+            .groupBy("query_id")
+            .agg(F.avg("cos").alias("avg_cos"))
+        )
+    mmr_div = _avg_pairwise(picked.select("query_id", "doc_id"))
+    plain5 = top20.filter(F.col("rnk") <= 5).select("query_id", "doc_id")
+    plain_div = _avg_pairwise(plain5)
+    top1 = top20.filter(F.col("rnk") == 1).select(
+        "query_id", F.col("doc_id").alias("best_doc")
+    )
+    first_pick = picked.filter(F.col("mmr_rank") == 1).select(
+        "query_id", F.col("doc_id").alias("first_pick")
+    )
+    return (
+        picked.groupBy("query_id")
+        .agg(F.count("*").alias("k_selected"))
+        .join(top1, "query_id")
+        .join(first_pick, "query_id")
+        .join(mmr_div.withColumnRenamed("avg_cos", "mmr_cos"), "query_id")
+        .join(plain_div.withColumnRenamed("avg_cos", "plain_cos"), "query_id")
+        .select(
+            F.col("query_id").cast("long"),
+            F.col("k_selected").cast("long"),
+            (F.col("best_doc") == F.col("first_pick")).alias("relevance_sane"),
+            (F.col("mmr_cos") <= F.col("plain_cos") + F.lit(1e-9)).alias(
+                "diversity_ok"
+            ),
+        )
+    )
+
+
+@register(
+    "x_matryoshka",
+    """
+    WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    n64 AS (
+        SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+        FROM e
+    ),
+    t64 AS (
+        SELECT ia, ib FROM (
+            SELECT a.vec_id AS ia, b.vec_id AS ib,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY ROUND(list_sum(list_transform(range(1, 65),
+                                          i -> a.v[i] * b.v[i]))
+                                      / (a.nrm * b.nrm), 6) DESC, b.vec_id ASC
+                   ) AS rank
+            FROM n64 a JOIN n64 b ON a.vec_id <> b.vec_id
+            WHERE a.nrm > 0 AND b.nrm > 0
+        ) WHERE rank <= 5
+    ),
+    n16 AS (
+        SELECT vec_id, v[1:16] AS v,
+               sqrt(list_sum(list_transform(v[1:16], x -> x * x))) AS nrm
+        FROM e
+    ),
+    t16 AS (
+        SELECT ia, ib FROM (
+            SELECT a.vec_id AS ia, b.vec_id AS ib,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY ROUND(list_sum(list_transform(range(1, 17),
+                                          i -> a.v[i] * b.v[i]))
+                                      / (a.nrm * b.nrm), 6) DESC, b.vec_id ASC
+                   ) AS rank
+            FROM n16 a JOIN n16 b ON a.vec_id <> b.vec_id
+            WHERE a.nrm > 0 AND b.nrm > 0
+        ) WHERE rank <= 5
+    )
+    SELECT CAST((SELECT COUNT(DISTINCT ia) FROM t64) AS BIGINT) AS n_vecs,
+           CAST((SELECT COUNT(*) FROM t64) AS BIGINT) AS n_pairs,
+           CAST((SELECT COUNT(*) FROM t64 JOIN t16 USING (ia, ib)) AS BIGINT)
+               AS n_hits,
+           CAST(1000000 * (SELECT COUNT(*) FROM t64 JOIN t16 USING (ia, ib))
+                // (SELECT COUNT(*) FROM t64) AS BIGINT) AS recall_ppm
+    """,
+)
+def x_matryoshka(spark, sf_dir):
+    """Matryoshka-truncation evaluation: how much exact top-5 cosine
+    recall survives truncating 64-dim embeddings to their first 16
+    dimensions — the dimension-for-cost trade modern MRL-trained
+    embedding stacks exploit (search the 4×-cheaper prefix, re-rank
+    with full vectors).  Both rankings use the deterministic
+    ROUND(cos, 6)+id ordering, so the hit count is EXACT and the
+    DuckDB oracle recomputes the whole experiment (no band needed).
+    Scale: two blocked exact top-k passes (the x_cosine_topk plan —
+    bounded task memory, no driver collect) + a |vecs|·5-row join."""
+    full = cosine_topk_blocked(_t(spark, sf_dir, "embeddings"), k=5).select(
+        F.col("id").alias("ia"), F.col("neighbor_id").alias("ib")
+    )
+    trunc_in = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("slice(embedding, 1, 16)").alias("embedding")
+    )
+    trunc = cosine_topk_blocked(trunc_in, k=5).select(
+        F.col("id").alias("ia"), F.col("neighbor_id").alias("ib")
+    )
+    hits = full.join(trunc, ["ia", "ib"]).agg(F.count("*").alias("n_hits"))
+    stats = full.agg(
+        F.countDistinct("ia").alias("n_vecs"), F.count("*").alias("n_pairs")
+    )
+    return stats.crossJoin(F.broadcast(hits)).select(
+        F.col("n_vecs").cast("long"),
+        F.col("n_pairs").cast("long"),
+        F.col("n_hits").cast("long"),
+        F.expr("1000000 * n_hits div n_pairs").cast("long").alias("recall_ppm"),
+    )
+
+
+@register(
+    "x_cdc_apply",
+    """
+    WITH log AS (
+        SELECT o_custkey, o_orderdate, o_orderkey,
+               CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,
+               o_totalprice, o_orderpriority
+        FROM orders
+    ),
+    last AS (
+        SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY o_custkey
+                ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+            FROM log
+        ) WHERE rn = 1
+    )
+    SELECT o_custkey, o_orderdate,
+           ROUND(CAST(o_totalprice AS DOUBLE), 2) AS last_price,
+           o_orderpriority
+    FROM last WHERE op <> 'D'
+    """,
+)
+def x_cdc_apply(spark, sf_dir):
+    """CDC changelog replay: treat each customer's orders as an upsert
+    log ordered by (date, key) where status 'F' marks a delete, and
+    materialize the current snapshot — last change wins, deleted keys
+    vanish (operators/incremental.py:apply_changelog).  The set-based
+    form of the reference's per-row U4/U5 apply loop (lwetl/
+    uploader.py:572-636): ONE key shuffle + a row_number window that
+    holds one row per key at a time, identical in any engine."""
+    from lwetl_spark.operators.incremental import apply_changelog
+
+    log = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderdate",
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "F", "D").otherwise("U").alias("op"),
+        "o_totalprice",
+        "o_orderpriority",
+    )
+    snap = apply_changelog(
+        log, ["o_custkey"], ["o_orderdate", "o_orderkey"], op_col="op"
+    )
+    return snap.select(
+        "o_custkey",
+        "o_orderdate",
+        F.round(F.col("o_totalprice").cast("double"), 2).alias("last_price"),
+        "o_orderpriority",
+    )
+
+
+@register(
+    "x_pmi",
+    r"""
+    WITH td AS (
+        SELECT DISTINCT doc_id, tok FROM (
+            SELECT doc_id, unnest(list_filter(
+                string_split_regex(lower(trim(text)), '\s+'), x -> x <> ''))
+                AS tok
+            FROM documents
+        )
+    ),
+    n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM td),
+    dfreq AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM td GROUP BY 1
+    ),
+    common AS (SELECT tok, df FROM dfreq WHERE df >= 50),
+    tc AS (SELECT td.doc_id, td.tok, common.df FROM td JOIN common USING (tok)),
+    pairs AS (
+        SELECT a.tok AS ta, b.tok AS tb,
+               CAST(COUNT(*) AS BIGINT) AS c_ab,
+               MIN(a.df) AS c_a, MIN(b.df) AS c_b
+        FROM tc a JOIN tc b ON a.doc_id = b.doc_id AND a.tok < b.tok
+        GROUP BY 1, 2
+    )
+    SELECT ta, tb, c_ab, c_a, c_b, lift_ppm, CAST(rnk AS BIGINT) AS rnk
+    FROM (
+        SELECT *,
+               CAST(1000000 * c_ab * n_docs // (c_a * c_b) AS BIGINT)
+                   AS lift_ppm,
+               ROW_NUMBER() OVER (
+                   ORDER BY 1000000 * c_ab * n_docs // (c_a * c_b) DESC,
+                            ta, tb) AS rnk
+        FROM pairs CROSS JOIN n WHERE c_ab >= 5
+    ) WHERE rnk <= 30
+    """,
+)
+def x_pmi(spark, sf_dir):
+    """Collocation extraction: top-30 token pairs by PMI-style lift —
+    P(a,b)/(P(a)P(b)) over document co-occurrence, as the exact integer
+    rational 1e6·c_ab·N // (c_a·c_b) (the x_tfidf/bm25 portability
+    rule: no logs, no float division).  The corpus-statistics primitive
+    behind phrase mining and compound-term vocabularies.
+
+    Scale: tokens reduce to DISTINCT (doc, token) pairs map-side; the
+    pair self-join runs only over tokens with df ≥ 50 (a Heaps-law-
+    bounded "common" vocabulary), so per-doc pair fan-out is bounded by
+    the per-doc count of COMMON terms, not document length; all output
+    aggregation is (pair)-keyed."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = r"filter(split(lower(trim(text)), '\\s+'), x -> x <> '')"
+    td = (
+        docs.select("doc_id", F.explode(F.expr(toks)).alias("tok")).distinct()
+    )
+    n = td.agg(F.countDistinct("doc_id").alias("n_docs"))
+    dfreq = td.groupBy("tok").agg(F.count("*").alias("df"))
+    common = dfreq.filter(F.col("df") >= 50)
+    tc = td.join(common, "tok").select("doc_id", "tok", "df")
+    a = tc.select(
+        "doc_id", F.col("tok").alias("ta"), F.col("df").alias("dfa")
+    )
+    b = tc.select(
+        "doc_id", F.col("tok").alias("tb"), F.col("df").alias("dfb")
+    )
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(
+            F.count("*").alias("c_ab"),
+            F.min("dfa").alias("c_a"),
+            F.min("dfb").alias("c_b"),
+        )
+        .filter(F.col("c_ab") >= 5)
+    )
+    scored = pairs.crossJoin(F.broadcast(n)).withColumn(
+        "lift_ppm",
+        F.expr("1000000 * c_ab * n_docs div (c_a * c_b)").cast("long"),
+    )
+    w = Window.orderBy(F.desc("lift_ppm"), F.asc("ta"), F.asc("tb"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 30)
+        .select(
+            "ta", "tb",
+            F.col("c_ab").cast("long"),
+            F.col("c_a").cast("long"),
+            F.col("c_b").cast("long"),
+            "lift_ppm",
+            F.col("rnk").cast("long"),
+        )
+    )
+
+
+@register(
     "x_local_clustering",
     """
     WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

@@ -93,3 +93,42 @@ def test_auc_random_scores_near_half(spark):
     df = spark.createDataFrame(rows, "score double, label long")
     out = auc_exact(df, "score", "label").collect()[0]
     assert 450_000 < out["auc_ppm"] < 550_000
+
+
+def test_mmr_diversify_hand_case(spark):
+    """Four candidates: two near-duplicates with top relevance, two
+    diverse lower-rel docs.  Plain top-2 takes both near-dups; MMR at
+    lam=0.5 must take one near-dup then a DIVERSE doc."""
+    from lwetl_spark.operators.similarity import mmr_diversify
+
+    rows = [
+        # (query, doc, rel, vec): docs 1,2 nearly identical; 3 orthogonal
+        (1, 1, 0.99, [1.0, 0.0, 0.0]),
+        (1, 2, 0.98, [0.999, 0.04, 0.0]),
+        (1, 3, 0.60, [0.0, 1.0, 0.0]),
+        (1, 4, 0.10, [0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(
+        rows, "query_id long, doc_id long, rel double, embedding array<double>"
+    )
+    got = (
+        mmr_diversify(df, k=2, lam=0.5)
+        .orderBy("mmr_rank")
+        .collect()
+    )
+    assert [r["doc_id"] for r in got] == [1, 3]
+    assert [r["mmr_rank"] for r in got] == [1, 2]
+
+
+def test_mmr_diversify_k_exceeds_candidates(spark):
+    from lwetl_spark.operators.similarity import mmr_diversify
+
+    df = spark.createDataFrame(
+        [(1, 7, 0.5, [1.0, 0.0])],
+        "query_id long, doc_id long, rel double, embedding array<double>",
+    )
+    got = mmr_diversify(df, k=5).collect()
+    assert len(got) == 1 and got[0]["doc_id"] == 7
+
+    with pytest.raises(ValueError, match="lam"):
+        mmr_diversify(df, k=2, lam=1.5)

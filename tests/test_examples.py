@@ -15,6 +15,7 @@ EXAMPLES = [
     "usernames",
     "extract_binaries",
     "ann_search",
+    "hybrid_search",
 ]
 
 

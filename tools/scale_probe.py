@@ -625,6 +625,118 @@ def main() -> None:
                 flush=True,
             )
 
+    # ------------------------------------------------------------------
+    # round-4 additions: winnowing (window-min selection), PMI
+    # (common-vocab pair fan-out — THE blow-up surface to watch),
+    # IRLS logreg (8 passes over a cached feature frame), Markov
+    # transitions + survival table (event-keyed windows/aggs)
+    # ------------------------------------------------------------------
+    def _winnow_probe(d):
+        from lwetl_spark.operators.dedup import winnow_fingerprints
+
+        return winnow_fingerprints(d).groupBy("doc_id").count().count()
+
+    def _pmi_probe(d):
+        # mirror of x_pmi without the top-30 cut: measures the full
+        # common-vocab pair aggregation
+        td = d.select(
+            "doc_id",
+            F.explode(
+                F.expr(r"filter(split(lower(trim(text)), '\\s+'), x -> x <> '')")
+            ).alias("tok"),
+        ).distinct()
+        common = td.groupBy("tok").agg(F.count("*").alias("df")).filter(
+            F.col("df") >= 50
+        )
+        tc = td.join(common, "tok").select("doc_id", "tok")
+        a = tc.select("doc_id", F.col("tok").alias("ta"))
+        b = tc.select("doc_id", F.col("tok").alias("tb"))
+        return (
+            a.join(b, "doc_id")
+            .filter(F.col("ta") < F.col("tb"))
+            .groupBy("ta", "tb")
+            .count()
+            .count()
+        )
+
+    def _logreg_probe(d):
+        from lwetl_spark.functions.text import quality_features
+        from lwetl_spark.operators.classifier import logreg_train
+
+        q = quality_features("text")
+        feats = d.select(
+            q["n_tokens"].cast("double").alias("f1"),
+            q["mean_token_len"].cast("double").alias("f2"),
+            (F.length("text") >= 300).cast("long").alias("label"),
+        ).localCheckpoint(eager=True)
+        return logreg_train(feats, ["f1", "f2"], "label", iterations=8)
+
+    doc_ops_r4 = {
+        "winnowing": _winnow_probe,
+        "pmi_pairs": _pmi_probe,
+        "logreg_irls8": _logreg_probe,
+    }
+    for op_name, fn in doc_ops_r4.items():
+        if only and op_name not in only:
+            continue
+        for scale in (1, 4, 16):
+            df, n_docs = scaled_docs(spark, sf_dir, scale)
+            df = df.persist()
+            df.count()
+            t0 = time.time()
+            fn(df)
+            dt = time.time() - t0
+            df.unpersist()
+            spark.catalog.clearCache()
+            print(
+                json.dumps(
+                    {"op": op_name, "scale": scale, "docs": n_docs,
+                     "sec": round(dt, 2), "docs_per_sec": int(n_docs / dt)}
+                ),
+                flush=True,
+            )
+
+    def _markov_probe(ev):
+        from pyspark.sql.window import Window as W
+
+        w = W.partitionBy("user_id").orderBy("ts", "event_id")
+        return (
+            ev.withColumn("prev", F.lag("event_type").over(w))
+            .filter(F.col("prev").isNotNull())
+            .groupBy("prev", "event_type")
+            .count()
+            .collect()
+        )
+
+    def _survival_probe(ev):
+        u = ev.groupBy("user_id").agg(
+            F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts")
+        )
+        return u.select(
+            F.datediff("last_ts", "first_ts").alias("dur")
+        ).groupBy("dur").count().collect()
+
+    event_ops_r4 = {"markov_chain": _markov_probe, "survival_agg": _survival_probe}
+    for op_name, fn in event_ops_r4.items():
+        if only and op_name not in only:
+            continue
+        for scale in (1, 4, 16):
+            df, n_rows = scaled_events(spark, sf_dir, scale)
+            df = df.persist()
+            df.count()
+            t0 = time.time()
+            fn(df)
+            dt = time.time() - t0
+            df.unpersist()
+            spark.catalog.clearCache()
+            print(
+                json.dumps(
+                    {"op": op_name, "scale": scale, "rows": n_rows,
+                     "sec": round(dt, 2), "rows_per_sec": int(n_rows / dt)}
+                ),
+                flush=True,
+            )
+
 
 if __name__ == "__main__":
     main()
