@@ -6635,10 +6635,13 @@ def x_pmi(spark, sf_dir):
     behind phrase mining and compound-term vocabularies.
 
     Scale: tokens reduce to DISTINCT (doc, token) pairs map-side; the
-    pair self-join runs only over tokens with df ≥ 50 (a Heaps-law-
-    bounded "common" vocabulary), so per-doc pair fan-out is bounded by
-    the per-doc count of COMMON terms, not document length; all output
-    aggregation is (pair)-keyed."""
+    pair self-join runs only over tokens with df ≥ 50 — 10% of docs at
+    this SF.  The production rule is a RELATIVE min_df (e.g. 1% of
+    docs): the scale probe measured that a fixed absolute threshold
+    loosens with corpus growth and lets the common vocabulary — and so
+    per-doc pair fan-out — grow super-linearly (2.6→16.0 s at 16×),
+    while the relative form stays near-flat (tools/scale_probe.py
+    `_pmi_probe`).  All output aggregation is (pair)-keyed."""
     docs = _t(spark, sf_dir, "documents")
     toks = r"filter(split(lower(trim(text)), '\\s+'), x -> x <> '')"
     td = (

@@ -638,7 +638,12 @@ def main() -> None:
 
     def _pmi_probe(d):
         # mirror of x_pmi without the top-30 cut: measures the full
-        # common-vocab pair aggregation
+        # common-vocab pair aggregation.  min_df is RELATIVE (1% of
+        # docs) — the production scale rule: an absolute threshold
+        # loosens 16x at 16x corpus, letting the common vocabulary (and
+        # thus per-doc pair fan-out) grow with scale (first probe run
+        # measured 2.6->16.0s at fixed df>=50; relative is near-flat)
+        n_docs_in = d.count()
         td = d.select(
             "doc_id",
             F.explode(
@@ -646,7 +651,7 @@ def main() -> None:
             ).alias("tok"),
         ).distinct()
         common = td.groupBy("tok").agg(F.count("*").alias("df")).filter(
-            F.col("df") >= 50
+            F.col("df") >= max(50, n_docs_in // 100)
         )
         tc = td.join(common, "tok").select("doc_id", "tok")
         a = tc.select("doc_id", F.col("tok").alias("ta"))
