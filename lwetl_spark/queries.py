@@ -6688,6 +6688,167 @@ def x_pmi(spark, sf_dir):
 
 
 @register(
+    "x_feature_hash",
+    r"""
+    WITH tok AS (
+        SELECT doc_id, unnest(list_filter(
+            string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) AS tok
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 1024
+                AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM tok GROUP BY 1, 2
+    """,
+)
+def x_feature_hash(spark, sf_dir):
+    """The hashing trick (Weinberger et al., ICML 2009): project an
+    unbounded token vocabulary into 1024 fixed feature buckets via an
+    engine-portable md5-prefix hash — the constant-memory featurizer in
+    front of linear models (no vocabulary build, no dictionary
+    broadcast).  Row-local hashing + one (doc, bucket) agg; the feature
+    space is FIXED-width regardless of corpus size, which is the whole
+    point at 100 TB."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = r"filter(split(lower(trim(text)), '\\s+'), x -> x <> '')"
+    return (
+        docs.select("doc_id", F.explode(F.expr(toks)).alias("tok"))
+        .select(
+            "doc_id",
+            (
+                F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+                % 1024
+            ).alias("bucket"),
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "x_target_encode",
+    """
+    WITH y AS (
+        SELECT o_orderpriority AS cat,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+        FROM orders
+    ),
+    g AS (SELECT CAST(SUM(y) AS BIGINT) AS gy, CAST(COUNT(*) AS BIGINT) AS gn
+          FROM y),
+    c AS (
+        SELECT cat, CAST(SUM(y) AS BIGINT) AS cy, CAST(COUNT(*) AS BIGINT) AS cn
+        FROM y GROUP BY 1
+    )
+    SELECT cat, cn AS n, cy AS n_pos,
+           ROUND((cy + 20.0 * gy / gn) / (cn + 20), 6) AS encoded,
+           ROUND(CAST(gy AS DOUBLE) / gn, 6) AS prior
+    FROM c CROSS JOIN g
+    """,
+)
+def x_target_encode(spark, sf_dir):
+    """Smoothed target encoding (Micci-Barreca, SIGKDD Explorations
+    2001): replace a category with the shrinkage blend
+    (Σy + m·prior) / (n + m), m=20 — the leakage-robust categorical
+    featurizer for gradient models.  Both factors derive from exact
+    integer sums, so the single float division is bit-identical across
+    engines under the repo's ROUND(·, 6) convention.  One keyed agg +
+    one broadcast 1-row global — no per-category collect."""
+    y = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("cat"),
+        (F.col("o_orderstatus") == "F").cast("long").alias("y"),
+    )
+    g = y.agg(F.sum("y").alias("gy"), F.count("*").alias("gn"))
+    c = y.groupBy("cat").agg(F.sum("y").alias("cy"), F.count("*").alias("cn"))
+    return c.crossJoin(F.broadcast(g)).select(
+        "cat",
+        F.col("cn").cast("long").alias("n"),
+        F.col("cy").cast("long").alias("n_pos"),
+        F.round(
+            (F.col("cy") + F.lit(20.0) * F.col("gy") / F.col("gn"))
+            / (F.col("cn") + F.lit(20)),
+            6,
+        ).alias("encoded"),
+        F.round(F.col("gy").cast("double") / F.col("gn"), 6).alias("prior"),
+    )
+
+
+@register(
+    "x_ab_test",
+    """
+    WITH u AS (
+        SELECT user_id, CAST(user_id % 2 AS BIGINT) AS variant,
+               MAX(CASE WHEN event_type = 'purchase' AND value > 90
+                        THEN 1 ELSE 0 END) AS conv
+        FROM events GROUP BY 1
+    ),
+    v AS (
+        SELECT variant, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(conv) AS BIGINT) AS k
+        FROM u GROUP BY 1
+    ),
+    w AS (
+        SELECT a.n AS n0, a.k AS k0, b.n AS n1, b.k AS k1
+        FROM v a JOIN v b ON a.variant = 0 AND b.variant = 1
+    )
+    SELECT n0, k0, n1, k1,
+           ROUND(CAST(k0 AS DOUBLE) / n0 - CAST(k1 AS DOUBLE) / n1, 6)
+               AS rate_diff,
+           ROUND(
+               (CAST(k0 AS DOUBLE) / n0 - CAST(k1 AS DOUBLE) / n1)
+               * (CAST(k0 AS DOUBLE) / n0 - CAST(k1 AS DOUBLE) / n1)
+               / ((CAST(k0 + k1 AS DOUBLE) / (n0 + n1))
+                  * (1 - CAST(k0 + k1 AS DOUBLE) / (n0 + n1))
+                  * (1.0 / n0 + 1.0 / n1)), 6) AS z_squared
+    FROM w
+    """,
+)
+def x_ab_test(spark, sf_dir):
+    """Two-proportion A/B conversion test: split users by id parity,
+    conversion = any purchase over 90, and compute the pooled two-proportion
+    z² statistic (z² > 3.84 ⇔ p < .05).  Every input to the float
+    expression is an exact integer aggregate and the expression tree is
+    identical on both engines, so ROUND(·, 6) is hash-stable (the
+    x_group_ols sufficient-statistics idiom).  Scale: one user-keyed
+    agg + a 2-row variant table — the statistic itself is driver-free
+    arithmetic on 4 integers."""
+    u = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                ((F.col("event_type") == "purchase") & (F.col("value") > 90)).cast(
+                    "int"
+                )
+            ).alias("conv")
+        )
+        .select((F.col("user_id") % 2).cast("long").alias("variant"), "conv")
+    )
+    v = u.groupBy("variant").agg(
+        F.count("*").alias("n"), F.sum("conv").alias("k")
+    )
+    a = v.filter(F.col("variant") == 0).select(
+        F.col("n").cast("long").alias("n0"), F.col("k").cast("long").alias("k0")
+    )
+    b = v.filter(F.col("variant") == 1).select(
+        F.col("n").cast("long").alias("n1"), F.col("k").cast("long").alias("k1")
+    )
+    w = a.crossJoin(F.broadcast(b))
+    p0 = F.col("k0").cast("double") / F.col("n0")
+    p1 = F.col("k1").cast("double") / F.col("n1")
+    pp = (F.col("k0") + F.col("k1")).cast("double") / (F.col("n0") + F.col("n1"))
+    return w.select(
+        "n0", "k0", "n1", "k1",
+        F.round(p0 - p1, 6).alias("rate_diff"),
+        F.round(
+            (p0 - p1) * (p0 - p1)
+            / (pp * (F.lit(1) - pp) * (F.lit(1.0) / F.col("n0") + F.lit(1.0) / F.col("n1"))),
+            6,
+        ).alias("z_squared"),
+    )
+
+
+@register(
     "x_local_clustering",
     """
     WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
