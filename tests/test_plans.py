@@ -523,3 +523,56 @@ def test_winsorize_band_broadcast_back(spark):
     the fact table never shuffles for the clip."""
     plan = _plan(spark, "x_winsorize")
     assert "BroadcastHashJoin" in plan
+
+
+def test_winnowing_shuffles_hashes_never_text(spark):
+    """x_winnowing: exchanges carry (doc_id, pos, 8-byte hash) triples
+    and fp-keyed aggregates — gram strings and text die map-side."""
+    plan = _plan(spark, "x_winnowing")
+    exchange_lines = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert exchange_lines
+    assert all("text" not in l and "gram" not in l for l in exchange_lines), plan
+
+
+def test_markov_single_user_shuffle_bounded_output(spark):
+    """x_markov_chain: the lag window shuffles on user_id; the
+    transition agg output is |types|²-bounded.  No joins at all."""
+    plan = _plan(spark, "x_markov_chain")
+    assert "Join" not in plan
+    assert "Exchange hashpartitioning(user_id" in plan
+
+
+def test_cdc_apply_one_key_shuffle_no_join(spark):
+    """x_cdc_apply: last-change-wins is ONE window over the key shuffle
+    plus filters — no self-join against a max-ts subquery."""
+    plan = _plan(spark, "x_cdc_apply")
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_survival_shuffles_user_pairs_only(spark):
+    """x_survival: corpus-sized stages shuffle (user_id, ts) aggregates;
+    the day-level window runs over the bounded lifetime census."""
+    plan = _plan(spark, "x_survival")
+    exchange_lines = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert exchange_lines
+    assert all("event_type" not in l and "props" not in l for l in exchange_lines)
+
+
+def test_feature_hash_no_join_fixed_width(spark):
+    """x_feature_hash: hashing-trick featurization is explode + agg —
+    no vocabulary build, no join, no broadcast."""
+    plan = _plan(spark, "x_feature_hash")
+    assert "Join" not in plan
+
+
+def test_pmi_no_cartesian_two_phase_topk(spark):
+    """x_pmi: the pair stage is a doc_id equi-join over the common
+    vocabulary — never an all-pairs product (the one BNLJ in the plan
+    is the broadcast of the 1-row doc-count, the BM25 stats idiom) —
+    and the top-30 is two-phase salted (no global single-reducer sort
+    over every pair)."""
+    plan = _plan(spark, "x_pmi")
+    assert "CartesianProduct" not in plan
+    # two windows: salted partial then ≤64·30-row final
+    assert plan.count("Window") >= 2, plan
