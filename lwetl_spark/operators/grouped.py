@@ -239,3 +239,56 @@ def mad_outliers(
         F.col("_mad").alias("mad"),
         "n_outliers",
     )
+
+
+def grouped_holt(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list[str],
+    value_col: str,
+    alpha: float = 0.5,
+    beta: float = 0.5,
+) -> DataFrame:
+    """Per-group Holt linear (double) exponential smoothing — level +
+    trend, the next step up from `grouped_ewma` when series drift:
+
+        l_t = α·x_t + (1−α)·(l_{t−1} + b_{t−1})
+        b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}       (l_0 = x_0, b_0 = 0)
+
+    A doubly-recursive map — both states feed the next step — so like
+    the EWMA it is the canonical `applyInPandas` grouped-map case, and
+    like the EWMA the operation ORDER is fixed (dyadic α/β on IEEE
+    doubles, l_t computed before b_t), so a recursive CTE replaying the
+    same order reproduces it bit-for-bit: x_holt_trend carries an EXACT
+    float oracle, no tolerance band.
+
+    Output: group, order cols, value, level, trend (one-step-ahead
+    forecast = level + trend).  Scale: one shuffle on the group key;
+    per-group state during the scan is two doubles.
+    """
+    out_fields = [group_col, *order_cols, value_col]
+    schema_src = df.select(*out_fields).schema
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema_src)
+    schema += ", level double, trend double"
+    a, b_ = float(alpha), float(beta)
+
+    def fn(pdf):  # pragma: no cover - executed on workers
+        pdf = pdf.sort_values(order_cols).reset_index(drop=True)
+        vals = pdf[value_col].astype("float64").tolist()
+        levels, trends = [], []
+        l = b = None
+        for x in vals:
+            if l is None:
+                l, b = x, 0.0
+            else:
+                l_new = a * x + (1.0 - a) * (l + b)
+                b = b_ * (l_new - l) + (1.0 - b_) * b
+                l = l_new
+            levels.append(l)
+            trends.append(b)
+        pdf = pdf[out_fields].copy()
+        pdf["level"] = levels
+        pdf["trend"] = trends
+        return pdf
+
+    return df.select(*out_fields).groupBy(group_col).applyInPandas(fn, schema)

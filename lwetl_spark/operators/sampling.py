@@ -501,3 +501,89 @@ def priority_sample_per_group(
     return out.select(
         group_col, key_col, weight_col, "priority", F.col("rank").cast("long").alias("rank")
     )
+
+
+def negative_samples(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 3,
+    buckets: int = 256,
+    salt: str = "neg",
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: each
+    anchor draws `k` pseudo-random negatives from the corpus, stable
+    under re-runs, repartitioning, and engine swaps (the md5 idiom of
+    `deterministic_sample`) — the pair-construction step in front of
+    embedding/reranker training, where irreproducible negatives make
+    loss curves uncomparable across runs.
+
+    Construction (fully SQL-expressible, so x_negative_sample carries a
+    complete value oracle): corpus ids hash into `buckets` buckets; each
+    bucket precomputes its two smallest member ids (a `buckets`-row
+    table, broadcastable at any corpus size); draw j of anchor a picks
+    bucket md5(a‖':'‖j‖salt) and takes the bucket's min id — or its
+    second-min when the min IS the anchor.  `neg_id` is NULL when the
+    drawn bucket is empty or holds only the anchor (rare: p ≈ (1/B)^k).
+
+    Scale: the bucket-reps table is `buckets` rows regardless of corpus
+    size and broadcast-joins against the k-exploded anchors — no
+    corpus-vs-corpus stage, no global index, no collect.
+
+    Returns (id_col, draw, neg_id).
+    """
+    if k <= 0 or buckets <= 1:
+        raise ValueError(f"k and buckets must be positive, got {k}, {buckets}")
+    ids = df.select(F.col(id_col).alias("_id")).distinct().withColumn(
+        "_b",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{salt}-m:"), F.col("_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % buckets,
+    )
+    min1 = ids.groupBy("_b").agg(F.min("_id").alias("_min1"))
+    min2 = (
+        ids.join(min1, "_b")
+        .filter(F.col("_id") != F.col("_min1"))
+        .groupBy("_b")
+        .agg(F.min("_id").alias("_min2"))
+    )
+    reps = min1.join(min2, "_b", "left")
+    draws = df.select(F.col(id_col)).distinct().select(
+        id_col, F.explode(F.array(*[F.lit(j) for j in range(k)])).alias("draw")
+    )
+    draw_bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col(id_col).cast("string"),
+                        F.lit(":"),
+                        F.col("draw").cast("string"),
+                        F.lit(f":{salt}"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % buckets
+    )
+    return (
+        draws.withColumn("_b", draw_bucket)
+        .join(F.broadcast(reps), "_b", "left")
+        .select(
+            id_col,
+            F.col("draw").cast("long").alias("draw"),
+            F.when(F.col("_min1") != F.col(id_col), F.col("_min1"))
+            .otherwise(F.col("_min2"))
+            .alias("neg_id"),
+        )
+    )

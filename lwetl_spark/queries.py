@@ -6908,6 +6908,86 @@ def x_vocab_growth(spark, sf_dir):
 
 
 @register(
+    "x_holt_trend",
+    """
+    WITH RECURSIVE t AS (
+      SELECT user_id, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    e AS (
+      SELECT user_id, event_id, value, rn,
+             value AS level, CAST(0 AS DOUBLE) AS trend
+      FROM t WHERE rn = 1
+      UNION ALL
+      SELECT t.user_id, t.event_id, t.value, t.rn,
+             0.5 * t.value + 0.5 * (e.level + e.trend),
+             0.5 * ((0.5 * t.value + 0.5 * (e.level + e.trend)) - e.level)
+               + 0.5 * e.trend
+      FROM t JOIN e ON t.user_id = e.user_id AND t.rn = e.rn + 1
+    )
+    SELECT user_id, event_id, level, trend FROM e
+    """,
+)
+def x_holt_trend(spark, sf_dir):
+    """Per-user Holt linear (level+trend) smoothing of event values —
+    the drift-aware extension of x_grouped_ewma.  Doubly recursive
+    (level and trend both feed the next step), computed in a FIXED
+    operation order with dyadic coefficients, so the oracle's recursive
+    CTE replaying that order is bit-identical: an EXACT float oracle
+    (operators/grouped.py:grouped_holt)."""
+    from lwetl_spark.operators.grouped import grouped_holt
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    out = grouped_holt(ev, "user_id", ["ts", "event_id"], "value")
+    return out.select("user_id", "event_id", "level", "trend")
+
+
+@register(
+    "x_negative_sample",
+    """
+    WITH ids AS (
+        SELECT DISTINCT doc_id,
+               CAST(('0x' || substr(md5('neg-m:' || CAST(doc_id AS VARCHAR)),
+                                    1, 15)) AS BIGINT) % 256 AS b
+        FROM documents
+    ),
+    m1 AS (SELECT b, MIN(doc_id) AS min1 FROM ids GROUP BY 1),
+    m2 AS (
+        SELECT ids.b, MIN(doc_id) AS min2
+        FROM ids JOIN m1 ON ids.b = m1.b AND ids.doc_id <> m1.min1
+        GROUP BY 1
+    ),
+    reps AS (SELECT m1.b, m1.min1, m2.min2 FROM m1 LEFT JOIN m2 ON m1.b = m2.b),
+    draws AS (
+        SELECT doc_id, CAST(j AS BIGINT) AS draw,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                                        || CAST(j AS VARCHAR) || ':neg'),
+                                    1, 15)) AS BIGINT) % 256 AS b
+        FROM (SELECT DISTINCT doc_id FROM documents),
+             (VALUES (0), (1), (2)) t(j)
+    )
+    SELECT d.doc_id, d.draw,
+           CASE WHEN r.min1 <> d.doc_id THEN r.min1 ELSE r.min2 END AS neg_id
+    FROM draws d LEFT JOIN reps r ON d.b = r.b
+    """,
+)
+def x_negative_sample(spark, sf_dir):
+    """Deterministic negative sampling for contrastive training: 3
+    pseudo-random negatives per anchor, reproducible across runs,
+    partitionings, and engines (operators/sampling.py:
+    negative_samples).  Negatives come from md5-drawn hash buckets
+    whose two-smallest-member representatives form a 256-row broadcast
+    table — no corpus self-join, no global index, and the whole
+    construction is plain SQL, so the oracle reproduces every draw."""
+    from lwetl_spark.operators.sampling import negative_samples
+
+    return negative_samples(
+        _t(spark, sf_dir, "documents"), "doc_id", k=3, buckets=256
+    )
+
+
+@register(
     "x_local_clustering",
     """
     WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

@@ -269,3 +269,51 @@ def test_equi_depth_histogram_quartiles(spark):
     assert rows[0]["lo_bound"] is None and rows[0]["hi_bound"] == 25.0
     assert rows[3]["lo_bound"] == 75.0 and rows[3]["hi_bound"] is None
     assert rows[1]["lo_bound"] == 25.0 and rows[1]["hi_bound"] == 50.0
+
+
+def test_grouped_holt_matches_reference_loop(spark):
+    from lwetl_spark.operators.grouped import grouped_holt
+
+    rows = [(1, i, float(v)) for i, v in enumerate([10, 12, 11, 15, 18, 17])]
+    rows += [(2, i, float(v)) for i, v in enumerate([5, 5, 5, 5])]
+    df = spark.createDataFrame(rows, "g long, t long, x double")
+    got = {
+        (r["g"], r["t"]): (r["level"], r["trend"])
+        for r in grouped_holt(df, "g", ["t"], "x").collect()
+    }
+
+    def ref(vals):
+        out, l, b = [], None, None
+        for x in vals:
+            if l is None:
+                l, b = x, 0.0
+            else:
+                ln = 0.5 * x + 0.5 * (l + b)
+                b = 0.5 * (ln - l) + 0.5 * b
+                l = ln
+            out.append((l, b))
+        return out
+
+    for g, series in ((1, [10, 12, 11, 15, 18, 17]), (2, [5, 5, 5, 5])):
+        for t, (l, b) in enumerate(ref([float(v) for v in series])):
+            assert got[(g, t)] == (l, b)  # bit-exact, fixed op order
+    # constant series: trend stays 0, level stays at the constant
+    assert got[(2, 3)] == (5.0, 0.0)
+
+
+def test_negative_samples_properties(spark):
+    """Never self, deterministic under repartition, k draws per anchor."""
+    from lwetl_spark.operators.sampling import negative_samples
+
+    df = spark.createDataFrame([(i,) for i in range(100)], "doc_id long")
+    out = negative_samples(df, "doc_id", k=3, buckets=16).collect()
+    assert len(out) == 300
+    for r in out:
+        assert r["neg_id"] is None or r["neg_id"] != r["doc_id"]
+    a = sorted(map(tuple, out))
+    b = sorted(
+        map(tuple, negative_samples(df.repartition(7), "doc_id", k=3, buckets=16).collect())
+    )
+    assert a == b
+    # with 100 ids over 16 buckets, no draw should come up empty
+    assert all(r[2] is not None for r in a)
