@@ -292,3 +292,40 @@ def grouped_holt(
         return pdf
 
     return df.select(*out_fields).groupBy(group_col).applyInPandas(fn, schema)
+
+
+def two_proportion_z2(per_user: DataFrame) -> DataFrame:
+    """Pooled two-proportion z² from a per-user (variant, conv) frame
+    (variant ∈ {0,1}, conv ∈ {0,1}): one row
+    (n0, k0, n1, k1, rate_diff, z_squared), z² > 3.84 ⇔ p < .05.
+    Every float input derives from exact integer aggregates and the
+    expression tree is fixed, so ROUND(·, 6) is hash-stable across
+    engines (the group_ols sufficient-statistics idiom).  Shared by the
+    batch x_ab_test query and the streaming stream_ab_test state reader.
+    """
+    v = per_user.groupBy("variant").agg(
+        F.count("*").alias("n"), F.sum("conv").alias("k")
+    )
+    a = v.filter(F.col("variant") == 0).select(
+        F.col("n").cast("long").alias("n0"), F.col("k").cast("long").alias("k0")
+    )
+    b = v.filter(F.col("variant") == 1).select(
+        F.col("n").cast("long").alias("n1"), F.col("k").cast("long").alias("k1")
+    )
+    w = a.crossJoin(F.broadcast(b))
+    p0 = F.col("k0").cast("double") / F.col("n0")
+    p1 = F.col("k1").cast("double") / F.col("n1")
+    pp = (F.col("k0") + F.col("k1")).cast("double") / (F.col("n0") + F.col("n1"))
+    return w.select(
+        "n0", "k0", "n1", "k1",
+        F.round(p0 - p1, 6).alias("rate_diff"),
+        F.round(
+            (p0 - p1) * (p0 - p1)
+            / (
+                pp
+                * (F.lit(1) - pp)
+                * (F.lit(1.0) / F.col("n0") + F.lit(1.0) / F.col("n1"))
+            ),
+            6,
+        ).alias("z_squared"),
+    )

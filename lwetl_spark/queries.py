@@ -6823,6 +6823,8 @@ def x_ab_test(spark, sf_dir):
     x_group_ols sufficient-statistics idiom).  Scale: one user-keyed
     agg + a 2-row variant table — the statistic itself is driver-free
     arithmetic on 4 integers."""
+    from lwetl_spark.operators.grouped import two_proportion_z2
+
     u = (
         _t(spark, sf_dir, "events")
         .groupBy("user_id")
@@ -6835,28 +6837,7 @@ def x_ab_test(spark, sf_dir):
         )
         .select((F.col("user_id") % 2).cast("long").alias("variant"), "conv")
     )
-    v = u.groupBy("variant").agg(
-        F.count("*").alias("n"), F.sum("conv").alias("k")
-    )
-    a = v.filter(F.col("variant") == 0).select(
-        F.col("n").cast("long").alias("n0"), F.col("k").cast("long").alias("k0")
-    )
-    b = v.filter(F.col("variant") == 1).select(
-        F.col("n").cast("long").alias("n1"), F.col("k").cast("long").alias("k1")
-    )
-    w = a.crossJoin(F.broadcast(b))
-    p0 = F.col("k0").cast("double") / F.col("n0")
-    p1 = F.col("k1").cast("double") / F.col("n1")
-    pp = (F.col("k0") + F.col("k1")).cast("double") / (F.col("n0") + F.col("n1"))
-    return w.select(
-        "n0", "k0", "n1", "k1",
-        F.round(p0 - p1, 6).alias("rate_diff"),
-        F.round(
-            (p0 - p1) * (p0 - p1)
-            / (pp * (F.lit(1) - pp) * (F.lit(1.0) / F.col("n0") + F.lit(1.0) / F.col("n1"))),
-            6,
-        ).alias("z_squared"),
-    )
+    return two_proportion_z2(u)
 
 
 @register(
@@ -6984,6 +6965,51 @@ def x_negative_sample(spark, sf_dir):
 
     return negative_samples(
         _t(spark, sf_dir, "documents"), "doc_id", k=3, buckets=256
+    )
+
+
+@register(
+    "x_k_anonymity",
+    """
+    WITH g AS (
+        SELECT c_mktsegment, c_nationkey, CAST(COUNT(*) AS BIGINT) AS grp_n,
+               CAST(COUNT(DISTINCT c_acctbal) AS BIGINT) AS n_sensitive
+        FROM customer GROUP BY 1, 2
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(grp_n) AS BIGINT) AS n_rows,
+           CAST(MIN(grp_n) AS BIGINT) AS k_anonymity,
+           CAST(SUM(CASE WHEN grp_n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_groups_below_5,
+           CAST(SUM(CASE WHEN grp_n < 5 THEN grp_n ELSE 0 END) AS BIGINT)
+               AS n_rows_at_risk,
+           CAST(MIN(n_sensitive) AS BIGINT) AS l_diversity
+    FROM g
+    """,
+)
+def x_k_anonymity(spark, sf_dir):
+    """Privacy census over quasi-identifiers: k-anonymity (size of the
+    smallest (segment, nation) equivalence class), the count of classes
+    and rows below the k=5 publishing threshold, and l-diversity (the
+    minimum count of distinct sensitive values — account balance — in
+    any class).  The pre-release governance gate for any dataset with
+    person-level rows; the release decision reads ONE row.  Scale: one
+    QI-keyed agg (map-side combined) + a census over the class table,
+    bounded by |QI-combinations|."""
+    c = _t(spark, sf_dir, "customer")
+    g = c.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count("*").alias("grp_n"),
+        F.countDistinct("c_acctbal").alias("n_sensitive"),
+    )
+    return g.agg(
+        F.count("*").cast("long").alias("n_groups"),
+        F.sum("grp_n").cast("long").alias("n_rows"),
+        F.min("grp_n").cast("long").alias("k_anonymity"),
+        F.count_if(F.col("grp_n") < 5).cast("long").alias("n_groups_below_5"),
+        F.sum(F.when(F.col("grp_n") < 5, F.col("grp_n")).otherwise(0))
+        .cast("long")
+        .alias("n_rows_at_risk"),
+        F.min("n_sensitive").cast("long").alias("l_diversity"),
     )
 
 

@@ -694,3 +694,88 @@ def stream_markov(
         last.write.mode("overwrite").parquet(state_path)
 
     return stream.writeStream.foreachBatch(sink).start(), totals
+
+
+def stream_ab_test(
+    spark: SparkSession,
+    events_path: str,
+    state_path: str,
+    value_threshold: float = 90.0,
+    max_files_per_trigger: int = 2,
+):
+    """Streaming A/B conversion monitoring with CROSS-BATCH per-user
+    state (NEW; the streaming form of x_ab_test): a user's conversion is
+    a MAX over their whole event history, so per-batch aggregation alone
+    undercounts — each batch's per-user conversions merge into a
+    persisted (user_id, variant, conv) table via coalesce-max (exactly
+    the stream_markov state pattern; at 100 TB of users, a Delta MERGE
+    on the same keys).
+
+    Returns (query, stats) — ``stats()`` reads the state and computes
+    the pooled two-proportion z² with the SAME operator the batch query
+    uses (`operators/grouped.two_proportion_z2`), so after
+    processAllAvailable the streaming statistic equals the batch one
+    over the union of all batches (pinned by test_streaming).
+    """
+    from lwetl_spark.operators.grouped import two_proportion_z2
+
+    schema = spark.read.parquet(events_path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(events_path)
+    )
+
+    def sink(batch_df, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        b = (
+            batch_df.groupBy("user_id")
+            .agg(
+                F.max(
+                    (
+                        (F.col("event_type") == "purchase")
+                        & (F.col("value") > value_threshold)
+                    ).cast("int")
+                ).alias("conv")
+            )
+            .select(
+                "user_id",
+                (F.col("user_id") % 2).cast("long").alias("variant"),
+                "conv",
+            )
+        )
+        try:
+            state = sess.read.parquet(state_path)
+            merged = (
+                b.select(
+                    "user_id", "variant", F.col("conv").alias("_new")
+                )
+                .join(
+                    state.select("user_id", F.col("conv").alias("_old")),
+                    "user_id",
+                    "full_outer",
+                )
+                .select(
+                    "user_id",
+                    F.coalesce(
+                        F.col("variant"), (F.col("user_id") % 2).cast("long")
+                    ).alias("variant"),
+                    F.greatest(
+                        F.coalesce(F.col("_new"), F.lit(0)),
+                        F.coalesce(F.col("_old"), F.lit(0)),
+                    ).alias("conv"),
+                )
+            )
+        except Exception:  # first batch: no state yet
+            merged = b
+        merged = merged.localCheckpoint(eager=True)
+        merged.write.mode("overwrite").parquet(state_path)
+
+    q = stream.writeStream.foreachBatch(sink).start()
+
+    def stats():
+        return two_proportion_z2(
+            spark.read.parquet(state_path).select("variant", "conv")
+        )
+
+    return q, stats

@@ -551,3 +551,37 @@ def test_stream_markov_totals_match_batch(spark, tmp_path):
     # state holds exactly one row per user, carrying their LAST event type
     st = {r["user_id"]: r["last_type"] for r in spark.read.parquet(state).collect()}
     assert st == {1: ["a", "b", "c"][8 % 3], 2: ["b", "b", "a"][8 % 3], 3: ["c", "a", "a"][8 % 3]}
+
+
+def test_stream_ab_test_matches_batch(spark, tmp_path, events_dir):
+    """Per-user conversion state across micro-batches: after draining
+    the stream, the z² statistic must equal the batch computation over
+    the full events table — a user whose qualifying purchase lands in a
+    later batch than their first events would otherwise be undercounted."""
+    from pyspark.sql import functions as F2
+
+    from lwetl_spark.operators.grouped import two_proportion_z2
+    from lwetl_spark.streaming.pipeline import stream_ab_test
+
+    state = str(tmp_path / "ab_state")
+    q, stats = stream_ab_test(spark, events_dir, state, max_files_per_trigger=1)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = stats().collect()[0]
+
+    batch_u = (
+        spark.read.parquet(events_dir)
+        .groupBy("user_id")
+        .agg(
+            F2.max(
+                ((F2.col("event_type") == "purchase") & (F2.col("value") > 90)).cast(
+                    "int"
+                )
+            ).alias("conv")
+        )
+        .select((F2.col("user_id") % 2).cast("long").alias("variant"), "conv")
+    )
+    want = two_proportion_z2(batch_u).collect()[0]
+    assert tuple(got) == tuple(want)
