@@ -336,3 +336,89 @@ def rrf_fuse(
         fused.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= topk)
     )
+
+
+def update_text_index(
+    spark,
+    path: str,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Incrementally add documents to a persisted text index — the
+    maintenance half of build-once/probe-many (a daily-crawl ingest must
+    not re-tokenize the existing 100 TB).  ``new_docs`` ids must be
+    disjoint from the indexed corpus (the ingest contract; exact dedup
+    runs upstream).
+
+    Cost model, all delta-sized except one bounded pass:
+
+    - postings: the delta's (tok, doc_id, tf) rows APPEND into their
+      hash-bucket partitions — existing partitions are untouched;
+    - df: additive per token, so only the buckets containing delta
+      tokens rewrite (dynamic partition overwrite) with
+      old ⟗ delta coalesce-sum — the merge reads |affected buckets| /
+      256 of the vocabulary;
+    - doclen: append;
+    - stats: recomputed from doclen with ONE (doc_id, dl)-sized agg —
+      exact, schema-stable, and immune to floor-loss in the stored
+      per-mille average.
+
+    Equivalence contract: after any sequence of updates the index is
+    row-identical to a from-scratch build over the union, and probes
+    return identical rankings (pinned by test_retrieval).
+    """
+    tf_new, dl_new, _ = doc_term_stats(new_docs, id_col=id_col, text_col=text_col)
+    bucket = F.pmod(F.xxhash64("tok"), F.lit(_INDEX_BUCKETS)).alias("bucket")
+    tf_new = tf_new.localCheckpoint(eager=True)  # tokenize once, reuse 3x
+    tf_new.withColumn("bucket", bucket).repartition("bucket").write.mode(
+        "append"
+    ).partitionBy("bucket").parquet(f"{path}/postings")
+
+    delta_df = tf_new.groupBy("tok").agg(F.count("*").alias("df"))
+    affected = [
+        r["b"]
+        for r in delta_df.select(
+            F.pmod(F.xxhash64("tok"), F.lit(_INDEX_BUCKETS)).alias("b")
+        )
+        .distinct()
+        .collect()
+    ]  # bounded: at most 256 values
+    old_df = (
+        spark.read.parquet(f"{path}/df")
+        .filter(F.col("bucket").isin(affected))
+        .drop("bucket")
+    )
+    merged = (
+        old_df.select("tok", F.col("df").alias("_old"))
+        .join(delta_df.select("tok", F.col("df").alias("_new")), "tok", "full_outer")
+        .select(
+            "tok",
+            (
+                F.coalesce(F.col("_old"), F.lit(0))
+                + F.coalesce(F.col("_new"), F.lit(0))
+            ).alias("df"),
+        )
+        .withColumn("bucket", bucket)
+        # eager: the dynamic-overwrite below must not race the scan above
+        .localCheckpoint(eager=True)
+    )
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged.repartition("bucket").write.mode("overwrite").partitionBy(
+            "bucket"
+        ).parquet(f"{path}/df")
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+
+    dl_new.write.mode("append").parquet(f"{path}/doclen")
+    stats = (
+        spark.read.parquet(f"{path}/doclen")
+        .agg(
+            F.count("*").alias("n"),
+            F.expr("1000 * sum(dl) div count(*)").alias("adl_m"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    stats.write.mode("overwrite").parquet(f"{path}/stats")

@@ -7014,6 +7014,41 @@ def x_k_anonymity(spark, sf_dir):
 
 
 @register(
+    "x_index_incremental",
+    _BM25_CTE
+    + """
+    SELECT query_id, doc_id, score_ppm, n_terms, rnk FROM r
+    """,
+)
+def x_index_incremental(spark, sf_dir):
+    """Incremental text-index maintenance end-to-end: build the
+    persisted inverted index on HALF the corpus, `update_text_index`
+    with the other half (delta-append postings, dynamic-overwrite only
+    the affected df buckets, one bounded stats pass), then probe — the
+    ranking must equal BM25 over the FULL corpus, so this key shares
+    x_bm25's oracle verbatim.  The daily-crawl ingest story: adding
+    documents never re-tokenizes the existing corpus
+    (operators/retrieval.py:update_text_index)."""
+    import os as _os
+    import tempfile as _tempfile
+
+    from lwetl_spark.operators.retrieval import (
+        build_text_index,
+        query_text_index,
+        update_text_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    path = _os.path.join(
+        _tempfile.mkdtemp(prefix="lwetl_spark_incidx_"), "index"
+    )
+    build_text_index(docs.filter(F.col("doc_id") % 2 == 0), path)
+    update_text_index(spark, path, docs.filter(F.col("doc_id") % 2 == 1))
+    queries = spark.createDataFrame(_BM25_PROBES, "query_id int, term string")
+    return query_text_index(spark, path, queries, k=10)
+
+
+@register(
     "x_local_clustering",
     """
     WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

@@ -189,3 +189,46 @@ def test_rrf_fuse_agreement_wins(spark):
     assert rows[300]["rrf_ppm"] == 2 * (1_000_000 // 63)
     assert rows[100]["rrf_ppm"] == 1_000_000 // 61
     assert rows[300]["rnk"] == 1  # consensus beats single-list rank 1
+
+
+def test_update_text_index_equals_rebuild(spark, tmp_path):
+    """Incremental maintenance contract: build on A, update with B then
+    C — postings/df/doclen/stats must be row-identical to a from-scratch
+    build over A∪B∪C, and probes must return the same ranking."""
+    from pyspark.sql import functions as F
+
+    from lwetl_spark.catalog import load_table
+    from lwetl_spark.operators.retrieval import (
+        build_text_index,
+        query_text_index,
+        update_text_index,
+    )
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    a = docs.filter(F.col("doc_id") % 3 == 0)
+    b = docs.filter(F.col("doc_id") % 3 == 1)
+    c = docs.filter(F.col("doc_id") % 3 == 2)
+
+    inc = str(tmp_path / "inc")
+    full = str(tmp_path / "full")
+    build_text_index(a, inc)
+    update_text_index(spark, inc, b)
+    update_text_index(spark, inc, c)
+    build_text_index(docs, full)
+
+    for part in ("postings", "df", "doclen", "stats"):
+        got = sorted(
+            map(tuple, spark.read.parquet(f"{inc}/{part}").drop("bucket").collect())
+        )
+        want = sorted(
+            map(tuple, spark.read.parquet(f"{full}/{part}").drop("bucket").collect())
+        )
+        assert got == want, f"{part} diverged after incremental updates"
+
+    q = spark.createDataFrame(
+        [(1, "spark"), (1, "sort"), (2, "hash")], "query_id int, term string"
+    )
+    gi = sorted(map(tuple, query_text_index(spark, inc, q, k=10).collect()))
+    gf = sorted(map(tuple, query_text_index(spark, full, q, k=10).collect()))
+    assert gi == gf and gi
