@@ -7049,6 +7049,117 @@ def x_index_incremental(spark, sf_dir):
 
 
 @register(
+    "x_inter_event",
+    """
+    WITH o AS (
+        SELECT user_id,
+               CAST(date_diff('second',
+                    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                    ts) AS BIGINT) AS gap_s
+        FROM events
+    ),
+    g AS (SELECT gap_s FROM o WHERE gap_s IS NOT NULL)
+    SELECT CAST(CASE WHEN gap_s < 60 THEN 0
+                     WHEN gap_s < 300 THEN 1
+                     WHEN gap_s < 1800 THEN 2
+                     WHEN gap_s < 3600 THEN 3
+                     WHEN gap_s < 86400 THEN 4
+                     ELSE 5 END AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(gap_s) AS BIGINT) AS min_gap_s,
+           CAST(MAX(gap_s) AS BIGINT) AS max_gap_s
+    FROM g GROUP BY 1
+    """,
+)
+def x_inter_event(spark, sf_dir):
+    """Inter-arrival-time census: per-user consecutive-event gaps in
+    seconds, bucketed into activity bands (<1m burst, <5m, <30m, <1h,
+    <1d, dormant) — the burstiness profile that calibrates session-gap
+    and watermark parameters (sessionize's gap_seconds and streaming
+    lateness horizons should be CHOSEN from this table, not guessed).
+    Integer seconds end-to-end, so the census is exact.  One user-keyed
+    lag window; the band agg output is 6 rows at any stream size."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        .filter(F.col("prev_ts").isNotNull())
+        .select(
+            (
+                F.unix_timestamp("ts") - F.unix_timestamp("prev_ts")
+            ).cast("long").alias("gap_s")
+        )
+    )
+    bucket = (
+        F.when(F.col("gap_s") < 60, 0)
+        .when(F.col("gap_s") < 300, 1)
+        .when(F.col("gap_s") < 1800, 2)
+        .when(F.col("gap_s") < 3600, 3)
+        .when(F.col("gap_s") < 86400, 4)
+        .otherwise(5)
+    )
+    return gaps.groupBy(bucket.cast("long").alias("bucket")).agg(
+        F.count("*").alias("n"),
+        F.min("gap_s").alias("min_gap_s"),
+        F.max("gap_s").alias("max_gap_s"),
+    )
+
+
+@register(
+    "x_concentration",
+    """
+    WITH u AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_ev FROM events GROUP BY 1
+    ),
+    p AS (
+        SELECT quantile_disc(n_ev, 0.9) AS p90 FROM u
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(n_ev) AS BIGINT) AS n_events,
+           CAST(MIN(p90) AS BIGINT) AS p90_events,
+           CAST(SUM(CASE WHEN n_ev >= p90 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_heavy_users,
+           CAST(SUM(CASE WHEN n_ev >= p90 THEN n_ev ELSE 0 END) AS BIGINT)
+               AS heavy_events,
+           CAST(1000000 * SUM(CASE WHEN n_ev >= p90 THEN n_ev ELSE 0 END)
+                // SUM(n_ev) AS BIGINT) AS heavy_share_ppm
+    FROM u CROSS JOIN p
+    """,
+)
+def x_concentration(spark, sf_dir):
+    """Traffic-concentration census: what share of events comes from the
+    heavy tail of users at or above the P90 per-user event count — the
+    Pareto dial behind skew planning (a heavy_share ≫ 10% says the user
+    key needs salting and per-user state will be hot-spotted).
+    percentile_disc keeps the threshold an ACTUAL count value, so every
+    column is an exact integer.  One user-keyed agg, a 1-row broadcast
+    threshold, one census pass over the (bounded) per-user table."""
+    u = _t(spark, sf_dir, "events").groupBy("user_id").agg(
+        F.count("*").alias("n_ev")
+    )
+    p = u.agg(
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY n_ev)").alias("p90")
+    )
+    return u.crossJoin(F.broadcast(p)).agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("n_ev").cast("long").alias("n_events"),
+        F.min("p90").cast("long").alias("p90_events"),
+        F.count_if(F.col("n_ev") >= F.col("p90"))
+        .cast("long")
+        .alias("n_heavy_users"),
+        F.sum(F.when(F.col("n_ev") >= F.col("p90"), F.col("n_ev")).otherwise(0))
+        .cast("long")
+        .alias("heavy_events"),
+        F.expr(
+            "1000000 * sum(case when n_ev >= p90 then n_ev else 0 end)"
+            " div sum(n_ev)"
+        )
+        .cast("long")
+        .alias("heavy_share_ppm"),
+    )
+
+
+@register(
     "x_local_clustering",
     """
     WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
