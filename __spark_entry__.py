@@ -40,7 +40,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable oracle SQL per query (omitted for the genuinely
-    non-SQL-portable ops: xxhash64-based sketches, LSH planes,
-    mapInPandas multimodal stub — driver records rows-only checks)."""
+    """DuckDB-runnable oracle SQL per query — EVERY registered key has
+    one (non-SQL-portable constructions register value-contract oracles:
+    the query emits exact driver-checkable values plus booleans
+    asserting the non-portable part's documented property, and the
+    oracle pins both)."""
     return _catalog.oracle_sql()
