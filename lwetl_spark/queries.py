@@ -7160,6 +7160,237 @@ def x_concentration(spark, sf_dir):
 
 
 @register(
+    "x_hll_intersect",
+    r"""
+    WITH t AS (
+        SELECT CAST(substr(source, 4) AS INT) AS s,
+               list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                           x -> x <> '') AS toks
+        FROM documents
+    ),
+    g AS (
+        SELECT s, array_to_string(toks[i:i+2], ' ') AS gram
+        FROM t, UNNEST(generate_series(1, len(toks) - 2)) u(i)
+        WHERE len(toks) >= 3
+    ),
+    a AS (SELECT DISTINCT gram FROM g WHERE s < 10),
+    b AS (SELECT DISTINCT gram FROM g WHERE s >= 10)
+    SELECT CAST((SELECT COUNT(*) FROM a) AS BIGINT) AS n_a,
+           CAST((SELECT COUNT(*) FROM b) AS BIGINT) AS n_b,
+           CAST((SELECT COUNT(*) FROM a JOIN b USING (gram)) AS BIGINT)
+               AS n_inter,
+           TRUE AS a_band_ok, TRUE AS b_band_ok, TRUE AS union_band_ok,
+           TRUE AS inter_band_ok
+    """,
+)
+def x_hll_intersect(spark, sf_dir):
+    """Sketch ALGEBRA: estimate the cross-corpus-half 3-gram
+    intersection by inclusion-exclusion over mergeable HLL sketches —
+    |A∩B| ≈ est(A) + est(B) − est(A∪B) — without ever joining the two
+    gram sets.  THE pattern for pairwise overlap among N corpus slices
+    at 100 TB: N sketches (KB each) instead of N² distinct-joins; union
+    is `hll_union`, so slices sketch once and intersect many.  The
+    oracle pins the EXACT counts (the a5 accuracy-band idiom) and the
+    engine asserts each estimate inside its band: ±2% for the direct
+    estimates (lgK=12 ⇒ ~0.8% σ), ±15% for the subtraction-amplified
+    intersection (measured drift ≈ 5%; sketches are deterministic for
+    given data, so the booleans are stable)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = r"filter(split(lower(trim(text)), '\\s+'), x -> x <> '')"
+    g = docs.select(
+        F.substring("source", 4, 10).cast("int").alias("s"),
+        F.expr(toks).alias("_toks"),
+    ).filter(F.size("_toks") >= 3).select(
+        "s",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(_toks) - 2),"
+                " i -> concat_ws(' ', slice(_toks, i, 3)))"
+            )
+        ).alias("gram"),
+    )
+    a = g.filter(F.col("s") < 10).select("gram").distinct()
+    b = g.filter(F.col("s") >= 10).select("gram").distinct()
+    sa = a.agg(F.expr("hll_sketch_agg(gram)").alias("sk_a"))
+    sb = b.agg(F.expr("hll_sketch_agg(gram)").alias("sk_b"))
+    exact = (
+        a.agg(F.count("*").alias("n_a"))
+        .crossJoin(b.agg(F.count("*").alias("n_b")))
+        .crossJoin(a.join(b, "gram").agg(F.count("*").alias("n_inter")))
+    )
+    est = sa.crossJoin(sb).select(
+        F.expr("hll_sketch_estimate(sk_a)").alias("ea"),
+        F.expr("hll_sketch_estimate(sk_b)").alias("eb"),
+        F.expr("hll_sketch_estimate(hll_union(sk_a, sk_b))").alias("eu"),
+    )
+    out = exact.crossJoin(F.broadcast(est))
+    inter_est = F.col("ea") + F.col("eb") - F.col("eu")
+    return out.select(
+        F.col("n_a").cast("long"),
+        F.col("n_b").cast("long"),
+        F.col("n_inter").cast("long"),
+        (F.abs(F.col("ea") - F.col("n_a")) <= 0.02 * F.col("n_a")).alias(
+            "a_band_ok"
+        ),
+        (F.abs(F.col("eb") - F.col("n_b")) <= 0.02 * F.col("n_b")).alias(
+            "b_band_ok"
+        ),
+        (
+            F.abs(F.col("eu") - (F.col("n_a") + F.col("n_b") - F.col("n_inter")))
+            <= 0.02 * (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+        ).alias("union_band_ok"),
+        (F.abs(inter_est - F.col("n_inter")) <= 0.15 * F.col("n_inter")).alias(
+            "inter_band_ok"
+        ),
+    )
+
+
+@register(
+    "x_rfm",
+    """
+    WITH mx AS (SELECT MAX(ts) AS end_ts FROM events),
+    u AS (
+        SELECT user_id,
+               CAST(date_diff('day', MAX(ts), MIN(end_ts)) AS BIGINT) AS recency_d,
+               CAST(COUNT(*) AS BIGINT) AS frequency,
+               ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value
+                              ELSE 0 END), 2) AS monetary
+        FROM events CROSS JOIN mx GROUP BY user_id
+    ),
+    q AS (
+        SELECT quantile_disc(recency_d, [0.25, 0.5, 0.75]) AS rq,
+               quantile_disc(frequency, [0.25, 0.5, 0.75]) AS fq,
+               quantile_disc(monetary, [0.25, 0.5, 0.75]) AS mq
+        FROM u
+    )
+    SELECT user_id, recency_d, frequency, monetary,
+           CAST(CASE WHEN recency_d <= rq[1] THEN 4
+                     WHEN recency_d <= rq[2] THEN 3
+                     WHEN recency_d <= rq[3] THEN 2 ELSE 1 END AS BIGINT)
+               AS r_score,
+           CAST(CASE WHEN frequency <= fq[1] THEN 1
+                     WHEN frequency <= fq[2] THEN 2
+                     WHEN frequency <= fq[3] THEN 3 ELSE 4 END AS BIGINT)
+               AS f_score,
+           CAST(CASE WHEN monetary <= mq[1] THEN 1
+                     WHEN monetary <= mq[2] THEN 2
+                     WHEN monetary <= mq[3] THEN 3 ELSE 4 END AS BIGINT)
+               AS m_score
+    FROM u CROSS JOIN q
+    """,
+)
+def x_rfm(spark, sf_dir):
+    """RFM customer scoring (recency / frequency / monetary with
+    quartile scores 1-4): THE segmentation primitive of lifecycle
+    analytics.  Quartile boundaries come from `percentile_disc` (actual
+    data values — the only hash-portable quantile), recency/frequency
+    are exact integers, and monetary is the repo-standard ROUND(sum, 2)
+    — so every score is engine-exact.  Scale: one user-keyed agg, a
+    broadcast 1-row boundary table, row-local CASE scoring; nothing
+    sorts globally."""
+    ev = _t(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("end_ts"))
+    u = (
+        ev.crossJoin(F.broadcast(mx))
+        .groupBy("user_id")
+        .agg(
+            F.datediff(F.min("end_ts"), F.max("ts")).cast("long").alias("recency_d"),
+            F.count("*").alias("frequency"),
+            F.round(
+                F.sum(
+                    F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(
+                        0.0
+                    )
+                ),
+                2,
+            ).alias("monetary"),
+        )
+    )
+    q = u.agg(
+        *[
+            F.expr(
+                f"percentile_disc({p}) WITHIN GROUP (ORDER BY {c})"
+            ).alias(f"{c[0]}q{i}")
+            for c in ("recency_d", "frequency", "monetary")
+            for i, p in ((1, 0.25), (2, 0.5), (3, 0.75))
+        ]
+    )
+    j = u.crossJoin(F.broadcast(q))
+    r_score = (
+        F.when(F.col("recency_d") <= F.col("rq1"), 4)
+        .when(F.col("recency_d") <= F.col("rq2"), 3)
+        .when(F.col("recency_d") <= F.col("rq3"), 2)
+        .otherwise(1)
+    )
+    f_score = (
+        F.when(F.col("frequency") <= F.col("fq1"), 1)
+        .when(F.col("frequency") <= F.col("fq2"), 2)
+        .when(F.col("frequency") <= F.col("fq3"), 3)
+        .otherwise(4)
+    )
+    m_score = (
+        F.when(F.col("monetary") <= F.col("mq1"), 1)
+        .when(F.col("monetary") <= F.col("mq2"), 2)
+        .when(F.col("monetary") <= F.col("mq3"), 3)
+        .otherwise(4)
+    )
+    return j.select(
+        "user_id",
+        "recency_d",
+        F.col("frequency").cast("long").alias("frequency"),
+        "monetary",
+        r_score.cast("long").alias("r_score"),
+        f_score.cast("long").alias("f_score"),
+        m_score.cast("long").alias("m_score"),
+    )
+
+
+@register(
+    "x_source_diversity",
+    """
+    WITH c AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY 1
+    ),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sources,
+           MIN(total) AS n_docs,
+           CAST(MAX(n) AS BIGINT) AS max_source,
+           CAST(1000000 * SUM(n * (n - 1)) // (MIN(total) * (MIN(total) - 1))
+                AS BIGINT) AS simpson_ppm,
+           CAST(1000000 * MAX(n) // MIN(total) AS BIGINT)
+               AS berger_parker_ppm
+    FROM c CROSS JOIN t
+    """,
+)
+def x_source_diversity(spark, sf_dir):
+    """Corpus-composition diversity: Simpson's concentration index
+    Σnᵢ(nᵢ−1)/N(N−1) and the Berger-Parker dominance (largest source's
+    share) as exact-integer ppm — the mixture-health dials a pretraining
+    blend monitors (a drifting Simpson means one crawl is eating the
+    mix; UniMax/temperature re-balancing consumes exactly these
+    counts).  Shannon entropy is deliberately absent: ln is not
+    hash-portable, and Simpson orders mixtures the same way.  One
+    source-keyed agg + a census over the source table."""
+    c = _t(spark, sf_dir, "documents").groupBy("source").agg(
+        F.count("*").alias("n")
+    )
+    t = c.agg(F.sum("n").alias("total"))
+    return c.crossJoin(F.broadcast(t)).agg(
+        F.count("*").cast("long").alias("n_sources"),
+        F.min("total").cast("long").alias("n_docs"),
+        F.max("n").cast("long").alias("max_source"),
+        F.expr(
+            "1000000 * sum(n * (n - 1)) div (min(total) * (min(total) - 1))"
+        )
+        .cast("long")
+        .alias("simpson_ppm"),
+        F.expr("1000000 * max(n) div min(total)")
+        .cast("long")
+        .alias("berger_parker_ppm"),
+    )
+
+
+@register(
     "x_local_clustering",
     """
     WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
