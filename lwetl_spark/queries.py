@@ -7391,6 +7391,94 @@ def x_source_diversity(spark, sf_dir):
 
 
 @register(
+    "x_linkage_eval",
+    """
+    WITH dirty AS (
+        SELECT p_partkey AS d_id,
+               CASE WHEN p_partkey % 3 = 0
+                    THEN substr(p_name, 1, strlen(p_name) - 1)
+                    ELSE p_name END AS d_name,
+               p_brand
+        FROM part
+    ),
+    cand AS (
+        SELECT d.d_id, p.p_partkey,
+               CAST(levenshtein(d.d_name, p.p_name) AS BIGINT) AS dist
+        FROM dirty d JOIN part p USING (p_brand)
+        WHERE levenshtein(d.d_name, p.p_name) <= 2
+    ),
+    best AS (
+        SELECT d_id, p_partkey FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY d_id
+                                         ORDER BY dist, p_partkey) AS rn
+            FROM cand
+        ) WHERE rn = 1
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM dirty)
+    SELECT MIN(n_truth) AS n_truth,
+           CAST(COUNT(*) AS BIGINT) AS n_predicted,
+           CAST(SUM(CASE WHEN d_id = p_partkey THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_correct,
+           CAST(1000000 * SUM(CASE WHEN d_id = p_partkey THEN 1 ELSE 0 END)
+                // COUNT(*) AS BIGINT) AS precision_ppm,
+           CAST(1000000 * SUM(CASE WHEN d_id = p_partkey THEN 1 ELSE 0 END)
+                // MIN(n_truth) AS BIGINT) AS recall_ppm
+    FROM best CROSS JOIN n
+    """,
+)
+def x_linkage_eval(spark, sf_dir):
+    """Record-linkage EVALUATION: the fuzzy join's best-match
+    predictions scored against the planted ground truth (each dirty
+    record's true identity IS its source partkey — the corruption is
+    synthetic, so truth is free): precision and recall as exact-integer
+    ppm.  Closes the ER loop the way x_rank_eval closes retrieval —
+    implement, then MEASURE; a blocking or threshold change shows up
+    here as a recall drop before it ships.  Same blocked plan as
+    x_fuzzy_join + one census agg."""
+    from lwetl_spark.operators.joins import fuzzy_join_blocked
+
+    part = _t(spark, sf_dir, "part")
+    dirty = part.select(
+        F.col("p_partkey").alias("d_id"),
+        F.when(
+            F.col("p_partkey") % 3 == 0,
+            F.expr("substring(p_name, 1, length(p_name) - 1)"),
+        )
+        .otherwise(F.col("p_name"))
+        .alias("d_name"),
+        "p_brand",
+    )
+    right = part.select("p_brand", "p_partkey", "p_name")
+    best = fuzzy_join_blocked(
+        dirty,
+        right,
+        block_cols=["p_brand"],
+        left_col="d_name",
+        right_col="p_name",
+        max_dist=2,
+        left_id="d_id",
+        right_order="p_partkey",
+    )
+    n = dirty.agg(F.count("*").alias("n_truth"))
+    correct = (F.col("d_id") == F.col("r_p_partkey")).cast("int")
+    return best.crossJoin(F.broadcast(n)).agg(
+        F.min("n_truth").cast("long").alias("n_truth"),
+        F.count("*").cast("long").alias("n_predicted"),
+        F.sum(correct).cast("long").alias("n_correct"),
+        F.expr(
+            "1000000 * sum(cast(d_id = r_p_partkey as int)) div count(*)"
+        )
+        .cast("long")
+        .alias("precision_ppm"),
+        F.expr(
+            "1000000 * sum(cast(d_id = r_p_partkey as int)) div min(n_truth)"
+        )
+        .cast("long")
+        .alias("recall_ppm"),
+    )
+
+
+@register(
     "x_local_clustering",
     """
     WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
