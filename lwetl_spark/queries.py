@@ -7479,6 +7479,115 @@ def x_linkage_eval(spark, sf_dir):
 
 
 @register(
+    "x_fd_repair",
+    """
+    WITH holes AS (
+        SELECT o_orderkey, o_custkey,
+               CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                    ELSE o_orderpriority END AS o_orderpriority
+        FROM orders
+    ),
+    donor AS (
+        SELECT o_custkey, o_orderpriority AS fill FROM (
+            SELECT o_custkey, o_orderpriority, COUNT(*) AS c,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                      ORDER BY COUNT(*) DESC,
+                                               o_orderpriority ASC) AS rn
+            FROM holes WHERE o_orderpriority IS NOT NULL
+            GROUP BY o_custkey, o_orderpriority
+        ) WHERE rn = 1
+    ),
+    fixed AS (
+        SELECT h.o_orderkey,
+               h.o_orderpriority IS NULL AS was_null,
+               COALESCE(h.o_orderpriority, d.fill) AS val
+        FROM holes h LEFT JOIN donor d ON h.o_custkey = d.o_custkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN was_null THEN 1 ELSE 0 END) AS BIGINT) AS n_holes,
+           CAST(SUM(CASE WHEN was_null AND val IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_repaired,
+           CAST(SUM(CASE WHEN val IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unrepairable,
+           CAST(('0x' || substr(md5(string_agg(
+               lpad(CAST(o_orderkey AS VARCHAR), 12, '0') || ':'
+                   || COALESCE(val, '-'), ','
+               ORDER BY lpad(CAST(o_orderkey AS VARCHAR), 12, '0') || ':'
+                   || COALESCE(val, '-'))), 1, 15)) AS BIGINT)
+               AS repaired_checksum
+    FROM fixed
+    """,
+)
+def x_fd_repair(spark, sf_dir):
+    """Determinant-based data repair: NULLed values (every 7th order's
+    priority, the synthetic-corruption idiom) are imputed from the
+    MAJORITY value of their determinant group (customer), ties broken
+    lexicographically — the set-based "fill from the functional
+    dependency" repair a warehouse runs instead of row-at-a-time
+    fixups.  Repairs are deterministic, so the oracle pins the repaired
+    census AND an order-deterministic md5 checksum over every repaired
+    row.  Scale: one keyed majority agg + one keyed join; no collect;
+    the checksum is ordered string_agg at sf0.01 scale only (the
+    census columns are the at-scale surface; x_table_checksum is the
+    order-insensitive form)."""
+    holes = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.when(F.col("o_orderkey") % 7 == 0, None)
+        .otherwise(F.col("o_orderpriority"))
+        .alias("o_orderpriority"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("c"), F.asc("o_orderpriority")
+    )
+    donor = (
+        holes.filter(F.col("o_orderpriority").isNotNull())
+        .groupBy("o_custkey", "o_orderpriority")
+        .agg(F.count("*").alias("c"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", F.col("o_orderpriority").alias("fill"))
+    )
+    fixed = holes.join(donor, "o_custkey", "left").select(
+        "o_orderkey",
+        F.col("o_orderpriority").isNull().alias("was_null"),
+        F.coalesce("o_orderpriority", "fill").alias("val"),
+    )
+    return fixed.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.count_if(F.col("was_null")).cast("long").alias("n_holes"),
+        F.count_if(F.col("was_null") & F.col("val").isNotNull())
+        .cast("long")
+        .alias("n_repaired"),
+        F.count_if(F.col("val").isNull()).cast("long").alias("n_unrepairable"),
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.array_join(
+                        F.array_sort(
+                            F.collect_list(
+                                F.concat(
+                                    F.lpad(F.col("o_orderkey").cast("string"), 12, "0"),
+                                    F.lit(":"),
+                                    F.coalesce(F.col("val"), F.lit("-")),
+                                )
+                            )
+                        ),
+                        ",",
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("repaired_checksum"),
+    )
+
+
+@register(
     "x_local_clustering",
     """
     WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
