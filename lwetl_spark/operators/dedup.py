@@ -909,3 +909,73 @@ def winnow_fingerprints(
         .filter(F.col("h") == F.col("_wmin"))
         .select(id_col, F.col("pos").cast("long").alias("pos"), F.col("h").alias("fp"))
     )
+
+
+def cdc_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+    mask: int = 64,
+) -> DataFrame:
+    """Content-defined chunking (the rolling-hash boundary idea behind
+    FastCDC / rsync / storage dedup, Muthitacharoen et al. SOSP 2001):
+    cut a document wherever the hash of the `window`-char run ending at
+    that position is ≡ 0 (mod `mask`) — boundaries move WITH the
+    content, so an insertion early in a document shifts chunk contents
+    by one chunk, not all of them (the property fixed-size blocks lack,
+    and the reason CDC catches shifted duplication that token-window
+    fingerprints anchored at offsets miss).
+
+    Expected chunk length ≈ `mask` chars; no minimum-size floor (kept
+    rule-free so the construction is a pure array expression both
+    engines evaluate identically — the x_cdc_chunking oracle rebuilds
+    it verbatim with md5-prefix hashes).
+
+    Returns (id_col, chunk_idx, chunk_md5, chunk_len) — one row per
+    chunk.  Scale: boundary detection and slicing are row-local array
+    expressions over a materialized normalized-text column; only
+    (doc_id, 32-char digest, len) rows leave the map side, and
+    downstream duplicate detection groups by digest exactly like
+    dup_spans.
+    """
+    t = F.lower(F.trim(F.col(text_col)))
+    d = df.select(F.col(id_col), t.alias("_t")).filter(F.length("_t") >= 1)
+    # docs shorter than `window` get a single whole-doc chunk: the
+    # length guard inside the lambda keeps substring starts positive
+    # (non-positive starts are engine-divergent), and the greatest()
+    # bound keeps sequence() ascending for short docs
+    cond = (
+        f"p -> length(_t) >= {window} and"
+        f" cast(conv(substring(md5(substring(_t, p - {window - 1}, {window})),"
+        f" 1, 15), 16, 10) as bigint) % {mask} = 0"
+    )
+    ends = (
+        f"array_distinct(concat(filter(sequence({window},"
+        f" greatest(length(_t), {window})), {cond}), array(length(_t))))"
+    )
+    d = d.select(id_col, "_t", F.expr(f"array_sort({ends})").alias("_ends"))
+    d = d.select(
+        id_col,
+        "_t",
+        "_ends",
+        F.expr(
+            "concat(array(1), transform(slice(_ends, 1, size(_ends) - 1),"
+            " e -> e + 1))"
+        ).alias("_starts"),
+    )
+    chunks = d.select(
+        id_col,
+        F.posexplode(
+            F.expr(
+                "zip_with(_starts, _ends,"
+                " (s, e) -> substring(_t, s, e - s + 1))"
+            )
+        ).alias("chunk_idx", "_chunk"),
+    )
+    return chunks.select(
+        id_col,
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.md5("_chunk").alias("chunk_md5"),
+        F.length("_chunk").cast("long").alias("chunk_len"),
+    )

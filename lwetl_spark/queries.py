@@ -7588,6 +7588,86 @@ def x_fd_repair(spark, sf_dir):
 
 
 @register(
+    "x_cdc_chunking",
+    r"""
+    WITH d AS (
+        SELECT doc_id, lower(trim(text)) AS t FROM documents
+        WHERE length(lower(trim(text))) >= 1
+    ),
+    e AS (
+        SELECT doc_id, t,
+               list_sort(list_distinct(list_concat(
+                   list_filter(range(8, greatest(length(t), 8) + 1),
+                       p -> length(t) >= 8 AND
+                            CAST(('0x' || substr(md5(substr(t, p - 7, 8)),
+                                                 1, 15)) AS BIGINT) % 64 = 0),
+                   [length(t)]))) AS ends
+        FROM d
+    ),
+    s AS (
+        SELECT doc_id, t, ends,
+               list_concat([1], list_transform(ends[1:len(ends)-1],
+                                               x -> x + 1)) AS starts
+        FROM e
+    ),
+    c AS (
+        SELECT doc_id, md5(t[starts[i]:ends[i]]) AS chunk_md5,
+               CAST(ends[i] - starts[i] + 1 AS BIGINT) AS chunk_len
+        FROM s, UNNEST(generate_series(1, len(ends))) u(i)
+    ),
+    hot AS (
+        SELECT chunk_md5 FROM (SELECT DISTINCT doc_id, chunk_md5 FROM c)
+        GROUP BY 1 HAVING COUNT(*) >= 2
+    )
+    SELECT c.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(chunk_len) AS BIGINT) AS n_bytes,
+           CAST(SUM(CASE WHEN hot.chunk_md5 IS NOT NULL
+                    THEN chunk_len ELSE 0 END) AS BIGINT) AS dup_bytes,
+           CAST(1000000 * SUM(CASE WHEN hot.chunk_md5 IS NOT NULL
+                              THEN chunk_len ELSE 0 END)
+                // SUM(chunk_len) AS BIGINT) AS dup_ppm
+    FROM c LEFT JOIN hot ON c.chunk_md5 = hot.chunk_md5
+    GROUP BY c.doc_id
+    """,
+)
+def x_cdc_chunking(spark, sf_dir):
+    """Content-defined chunking census (the FastCDC/rsync boundary idea,
+    Muthitacharoen et al. SOSP 2001): chunk every document at
+    content-derived cut points (md5 of the 8-char run ≡ 0 mod 64), then
+    measure per document how many BYTES live in chunks shared with at
+    least one other document — byte-level shifted-duplication detection
+    that offset-anchored token windows miss (operators/dedup.py:
+    cdc_chunks).  Only (doc_id, digest, len) rows shuffle; the hot-chunk
+    join is keyed on the digest."""
+    from lwetl_spark.operators.dedup import cdc_chunks
+
+    c = cdc_chunks(_t(spark, sf_dir, "documents"), window=8, mask=64)
+    hot = (
+        c.select("doc_id", "chunk_md5")
+        .distinct()
+        .groupBy("chunk_md5")
+        .agg(F.count("*").alias("_nd"))
+        .filter(F.col("_nd") >= 2)
+        .select("chunk_md5")
+    )
+    j = c.join(hot.withColumn("_hot", F.lit(1)).hint("shuffle_hash"), "chunk_md5", "left")
+    return j.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_chunks"),
+        F.sum("chunk_len").cast("long").alias("n_bytes"),
+        F.sum(F.when(F.col("_hot").isNotNull(), F.col("chunk_len")).otherwise(0))
+        .cast("long")
+        .alias("dup_bytes"),
+        F.expr(
+            "1000000 * sum(case when _hot is not null then chunk_len else 0 end)"
+            " div sum(chunk_len)"
+        )
+        .cast("long")
+        .alias("dup_ppm"),
+    )
+
+
+@register(
     "x_local_clustering",
     """
     WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

@@ -529,3 +529,44 @@ def test_winnowing_deterministic_under_repartition(spark):
     a = sorted(map(tuple, winnow_fingerprints(df).collect()))
     b = sorted(map(tuple, winnow_fingerprints(df.repartition(7)).collect()))
     assert a == b
+
+
+def test_cdc_chunks_shift_invariance_and_reassembly(spark):
+    """The CDC property: prepending text to a document perturbs only the
+    chunks up to the first content-defined boundary after the edit —
+    the tail chunks keep their digests (fixed-size blocks would lose
+    every digest).  Also: chunk lengths must sum back to the doc."""
+    import hashlib
+
+    from lwetl_spark.operators.dedup import cdc_chunks
+
+    base = (
+        "the quick brown fox jumps over the lazy dog again and again "
+        "while seventeen pelicans argue about checksum boundaries near "
+        "the harbor wall during an unusually content defined afternoon "
+    ) * 6
+    shifted = "PREFIX INSERTED HERE " + base
+    df = spark.createDataFrame(
+        [(1, base), (2, shifted)], "doc_id long, text string"
+    )
+    rows = cdc_chunks(df, window=8, mask=64).collect()
+    by_doc = {1: [], 2: []}
+    for r in sorted(rows, key=lambda r: (r["doc_id"], r["chunk_idx"])):
+        by_doc[r["doc_id"]].append((r["chunk_md5"], r["chunk_len"]))
+    # reassembly: lengths sum to the normalized doc length
+    assert sum(l for _, l in by_doc[1]) == len(base.lower().strip())
+    assert sum(l for _, l in by_doc[2]) == len(shifted.lower().strip())
+    # shift invariance: most of doc 1's chunk digests survive in doc 2
+    d1 = {h for h, _ in by_doc[1]}
+    d2 = {h for h, _ in by_doc[2]}
+    assert len(d1) > 3, "base doc must split into several chunks"
+    shared = len(d1 & d2) / len(d1)
+    assert shared >= 0.5, f"only {shared:.0%} of chunks survived the shift"
+    # determinism under repartition
+    again = cdc_chunks(df.repartition(5), window=8, mask=64).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    # single-chunk short doc
+    short = spark.createDataFrame([(9, "tiny")], "doc_id long, text string")
+    out = cdc_chunks(short).collect()
+    assert len(out) == 1 and out[0]["chunk_len"] == 4
+    assert out[0]["chunk_md5"] == hashlib.md5(b"tiny").hexdigest()
