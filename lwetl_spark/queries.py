@@ -7668,6 +7668,49 @@ def x_cdc_chunking(spark, sf_dir):
 
 
 @register(
+    "x_pretokenize",
+    r"""
+    WITH p AS (
+        SELECT doc_id,
+               regexp_extract_all(text,
+                   '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+| +')
+                   AS pieces
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(pieces) AS BIGINT) AS n_pieces,
+           CAST(COALESCE(list_sum(list_transform(pieces, x -> length(x))), 0)
+                AS BIGINT) AS n_chars,
+           md5(array_to_string(pieces, chr(31))) AS pieces_md5
+    FROM p
+    """,
+)
+def x_pretokenize(spark, sf_dir):
+    """GPT-2-style regex PRE-tokenization (Radford et al. 2019's
+    pattern, ASCII-restricted so the Java-regex and RE2 dialects agree):
+    contraction suffixes, space-prefixed letter runs, digit runs,
+    punctuation runs, residual spaces — the split that runs BEFORE BPE
+    merges and decides token-boundary behavior.  The md5 over the
+    unit-separator-joined piece list makes the whole segmentation
+    hash-checked, not just the counts.  Row-local regexp_extract_all —
+    one scan, zero shuffle before the driver's collect."""
+    pat = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+| +"
+    pieces = F.expr(f"regexp_extract_all(text, {pat!r}, 0)")
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select("doc_id", pieces.alias("_p"))
+    return d.select(
+        "doc_id",
+        F.size("_p").cast("long").alias("n_pieces"),
+        F.coalesce(
+            F.expr("aggregate(_p, 0L, (a, x) -> a + length(x))"), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_chars"),
+        F.md5(F.array_join("_p", "\x1f")).alias("pieces_md5"),
+    )
+
+
+@register(
     "x_local_clustering",
     """
     WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

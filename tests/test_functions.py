@@ -400,3 +400,37 @@ def test_bpe_train_apply_composed(spark):
         assert all(a > b for a, b in zip(totals, totals[1:])), totals
     finally:
         vocab.unpersist()
+
+
+def test_pretokenize_matches_python_re(spark):
+    """The GPT-2-style pre-tokenizer regex must split exactly like
+    Python's `re` on representative text (contractions, digit runs,
+    punctuation runs, multi-space, non-ASCII)."""
+    import re
+
+    from lwetl_spark.queries import QUERIES  # noqa: F401 (pattern source)
+
+    pat = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+| +"
+    samples = [
+        "It's John's 2nd try, isn't it?  We'll see...",
+        "price=42.50 USD (was 50)",
+        "café naïve — résumé!!",
+        "a  b   c",
+        "",
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(samples)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["p"]
+        for r in df.select(
+            "doc_id",
+            __import__("pyspark.sql.functions", fromlist=["expr"]).expr(
+                f"regexp_extract_all(text, {pat!r}, 0)"
+            ).alias("p"),
+        ).collect()
+    }
+    for i, s in enumerate(samples):
+        assert got[i] == re.findall(pat, s), (i, got[i], re.findall(pat, s))
+        # lossless: pieces concatenate back to the input
+        assert "".join(got[i]) == s
