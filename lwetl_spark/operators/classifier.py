@@ -105,7 +105,9 @@ def auc_exact(
     AUC = (Σ_pos rank − n_pos(n_pos+1)/2) / (n_pos·n_neg), with average
     ranks for score ties (the textbook tie correction).  One global rank
     window — an EVALUATION-set operator (bounded input), not a corpus
-    pass.  Returns one row (n_pos, n_neg, auc_ppm)."""
+    pass.  Returns one row (n_pos, n_neg, auc_ppm); auc_ppm is NULL
+    when either class is empty (AUC is undefined — a raw division
+    would be an ANSI divide-by-zero)."""
     w = Window.orderBy(F.col(score_col).asc())
     ranked = df.select(
         F.col(label_col).cast("long").alias("y"),
@@ -117,8 +119,9 @@ def auc_exact(
         F.count_if(F.col("y") == 1).cast("long").alias("n_pos"),
         F.count_if(F.col("y") == 0).cast("long").alias("n_neg"),
         F.expr(
-            f"cast(round({scale} * (sum(case when y = 1 then r end)"
+            f"case when count_if(y = 1) > 0 and count_if(y = 0) > 0 then"
+            f" cast(round({scale} * (sum(case when y = 1 then r end)"
             f" - count_if(y = 1) * (count_if(y = 1) + 1) / 2)"
-            f" / (count_if(y = 1) * count_if(y = 0))) as bigint)"
+            f" / (count_if(y = 1) * count_if(y = 0))) as bigint) end"
         ).alias("auc_ppm"),
     )

@@ -302,6 +302,9 @@ def two_proportion_z2(per_user: DataFrame) -> DataFrame:
     expression tree is fixed, so ROUND(·, 6) is hash-stable across
     engines (the group_ols sufficient-statistics idiom).  Shared by the
     batch x_ab_test query and the streaming stream_ab_test state reader.
+    ``z_squared`` is NULL when the pooled rate is 0 or 1 (the variance
+    vanishes — a raw division would be an ANSI divide-by-zero on
+    saturated arms) and no row is returned unless both variants exist.
     """
     v = per_user.groupBy("variant").agg(
         F.count("*").alias("n"), F.sum("conv").alias("k")
@@ -319,13 +322,16 @@ def two_proportion_z2(per_user: DataFrame) -> DataFrame:
     return w.select(
         "n0", "k0", "n1", "k1",
         F.round(p0 - p1, 6).alias("rate_diff"),
-        F.round(
-            (p0 - p1) * (p0 - p1)
-            / (
-                pp
-                * (F.lit(1) - pp)
-                * (F.lit(1.0) / F.col("n0") + F.lit(1.0) / F.col("n1"))
+        F.when(
+            (pp > 0) & (pp < 1),
+            F.round(
+                (p0 - p1) * (p0 - p1)
+                / (
+                    pp
+                    * (F.lit(1) - pp)
+                    * (F.lit(1.0) / F.col("n0") + F.lit(1.0) / F.col("n1"))
+                ),
+                6,
             ),
-            6,
         ).alias("z_squared"),
     )

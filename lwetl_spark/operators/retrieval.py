@@ -278,9 +278,12 @@ def rank_eval(
     ``ranking`` carries (query_id, doc_id, rnk); ``relevance`` carries
     (query_id, doc_id, rel) with integer grades (missing pairs = 0).
     ``rel_threshold`` sets the binary-relevance cut for mrr/p@k (hdcg
-    always uses the raw grades).
+    always uses the raw grades).  ``k`` must be positive (it is the
+    p@k divisor).
     Scale: one keyed left join on (query_id, doc_id) + one per-query agg
     — both bounded by |queries|·k rows, independent of corpus size."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
     r = (
         ranking.filter(F.col("rnk") <= k)
         .join(relevance, ["query_id", "doc_id"], "left")

@@ -1428,6 +1428,8 @@ def mmr_diversify(
     """
     if not 0.0 <= lam <= 1.0:
         raise ValueError(f"lam must be in [0, 1], got {lam}")
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
 
     def pick(pdf):
         import numpy as np
