@@ -676,10 +676,25 @@ def main() -> None:
         ).localCheckpoint(eager=True)
         return logreg_train(feats, ["f1", "f2"], "label", iterations=8)
 
+    def _cdc_probe(d):
+        from lwetl_spark.operators.dedup import cdc_chunks
+
+        return cdc_chunks(d).groupBy("doc_id").count().count()
+
+    def _pretok_probe(d):
+        pat = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+| +"
+        return (
+            d.select(F.expr(f"size(regexp_extract_all(text, {pat!r}, 0))").alias("n"))
+            .agg(F.sum("n"))
+            .collect()
+        )
+
     doc_ops_r4 = {
         "winnowing": _winnow_probe,
         "pmi_pairs": _pmi_probe,
         "logreg_irls8": _logreg_probe,
+        "cdc_chunking": _cdc_probe,
+        "pretokenize": _pretok_probe,
     }
     for op_name, fn in doc_ops_r4.items():
         if only and op_name not in only:
