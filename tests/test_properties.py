@@ -475,3 +475,64 @@ def test_kmeans_assigns_nearest_centroid(spark):
         sims = vn @ C.T
         expect = np.floor(sims.max() * 1e6 + 0.5) / 1e6
         assert abs(got[r["vec_id"]]["cos"] - expect) < 1e-9
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),    # key
+            st.integers(min_value=0, max_value=50),   # seq (made unique below)
+            st.sampled_from(["U", "U", "U", "D"]),    # op
+            st.integers(min_value=0, max_value=99),   # payload
+        ),
+        min_size=0,
+        max_size=40,
+    )
+)
+def test_apply_changelog_matches_dict_replay(spark, rows):
+    """Property: apply_changelog == a sequential dict replay of the log
+    in (key, seq) order — last change wins, deletes remove the key."""
+    from lwetl_spark.operators.incremental import apply_changelog
+
+    # make (key, seq) unique (the log-shipping total-order contract)
+    seen = set()
+    uniq = []
+    for k, s, op, v in rows:
+        while (k, s) in seen:
+            s += 1
+        seen.add((k, s))
+        uniq.append((k, s, op, v))
+    if not uniq:
+        return
+    df = spark.createDataFrame(uniq, "k long, seq long, op string, v long")
+    got = {
+        (r["k"]): (r["seq"], r["v"])
+        for r in apply_changelog(df, ["k"], ["seq"]).collect()
+    }
+    state: dict[int, tuple[int, int]] = {}
+    for k, s, op, v in sorted(uniq, key=lambda t: (t[0], t[1])):
+        if op == "D":
+            state.pop(k, None)
+        else:
+            state[k] = (s, v)
+    assert got == state
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=12)
+    .map(lambda xs: sorted(set(xs)))
+)
+def test_rrf_fusion_identical_lists_preserve_order(spark, docs):
+    """Property: fusing a ranking with ITSELF preserves the ranking
+    (RRF is rank-monotone on agreeing inputs)."""
+    from lwetl_spark.operators.retrieval import rrf_fuse
+
+    rows = [(1, d, i + 1) for i, d in enumerate(docs)]
+    df = spark.createDataFrame(rows, "query_id long, doc_id long, rnk long")
+    out = sorted(
+        rrf_fuse([df, df], topk=len(docs)).collect(), key=lambda r: r["rnk"]
+    )
+    assert [r["doc_id"] for r in out] == [d for d in docs]
+    assert all(r["n_lists"] == 2 for r in out)
