@@ -7711,6 +7711,154 @@ def x_pretokenize(spark, sf_dir):
 
 
 @register(
+    "x_dataset_card",
+    r"""
+    WITH q AS (
+        SELECT doc_id, lang, source,
+               md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS dg,
+               len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                               x -> x <> '')) AS n_tok
+        FROM documents
+    ),
+    dups AS (
+        SELECT CAST(SUM(c - 1) AS BIGINT) AS n_dup_docs
+        FROM (SELECT dg, COUNT(*) AS c FROM q GROUP BY 1)
+    ),
+    vocab AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size,
+               CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax
+        FROM (
+            SELECT tok, COUNT(*) AS c FROM (
+                SELECT unnest(list_filter(string_split_regex(lower(trim(text)),
+                           '\s+'), x -> x <> '')) AS tok
+                FROM documents
+            ) GROUP BY 1
+        )
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(1000 * SUM(n_tok) // COUNT(*) AS BIGINT) AS mean_tokens_milli,
+           MIN(n_dup_docs) AS n_dup_docs,
+           CAST(1000000 * MIN(n_dup_docs) // COUNT(*) AS BIGINT) AS dup_ppm,
+           MIN(vocab_size) AS vocab_size,
+           MIN(hapax) AS n_hapax
+    FROM q CROSS JOIN dups CROSS JOIN vocab
+    """,
+)
+def x_dataset_card(spark, sf_dir):
+    """One-row dataset card: the numbers a release writes next to the
+    parquet — document/token counts, language and source breadth, mean
+    document length (milli-tokens, exact integer), exact-duplicate
+    count and rate, vocabulary size and hapax count.  ONE lazy plan:
+    the corpus scan feeds the doc census, the digest agg, and the vocab
+    agg; three single-row aggregates cross-join at the end (the
+    funnel/set-ops rule — no driver-side counting)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = r"filter(split(lower(trim(text)), '\\s+'), x -> x <> '')"
+    q = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.md5(
+            F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+        ).alias("dg"),
+        F.size(F.expr(toks)).alias("n_tok"),
+    )
+    dups = (
+        q.groupBy("dg")
+        .agg(F.count("*").alias("c"))
+        .agg(F.sum(F.col("c") - 1).cast("long").alias("n_dup_docs"))
+    )
+    vocab = (
+        docs.select(F.explode(F.expr(toks)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .agg(
+            F.count("*").cast("long").alias("vocab_size"),
+            F.count_if(F.col("c") == 1).cast("long").alias("hapax"),
+        )
+    )
+    base = q.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.expr("1000 * sum(n_tok) div count(*)").alias("mean_tokens_milli"),
+    )
+    return (
+        base.crossJoin(F.broadcast(dups))
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.col("n_docs").cast("long"),
+            F.col("n_tokens").cast("long"),
+            F.col("n_langs").cast("long"),
+            F.col("n_sources").cast("long"),
+            F.col("mean_tokens_milli").cast("long"),
+            F.col("n_dup_docs").cast("long"),
+            F.expr("1000000 * n_dup_docs div n_docs").cast("long").alias("dup_ppm"),
+            F.col("vocab_size").cast("long"),
+            F.col("hapax").cast("long").alias("n_hapax"),
+        )
+    )
+
+
+@register(
+    "x_degree_dist",
+    """
+    WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+        SELECT x.l_partkey AS a, y.l_partkey AS b
+        FROM pp x JOIN pp y
+          ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    deg AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+            SELECT a AS node FROM e UNION ALL SELECT b FROM e
+        ) GROUP BY 1
+    )
+    SELECT deg, CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY 1
+    """,
+)
+def x_degree_dist(spark, sf_dir):
+    """Degree distribution of the co-purchase graph (same graph as the
+    triangle census): the power-law diagnostic that decides whether
+    degree-ordered orientation and hub salting are NEEDED before any
+    graph algorithm runs — a heavy right tail here is the go/no-go for
+    the O(m^1.5) orientation over naive wedges.  Output is bounded by
+    the distinct-degree count."""
+    li = _t(spark, sf_dir, "lineitem")
+    pp = li.select("l_orderkey", "l_partkey").distinct()
+    x = pp.alias("x")
+    y = pp.alias("y")
+    edges = (
+        x.join(
+            y,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .groupBy(
+            F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b")
+        )
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("a", "b")
+    )
+    deg = (
+        edges.select(F.col("a").alias("node"))
+        .unionAll(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    return deg.groupBy(F.col("deg").cast("long").alias("deg")).agg(
+        F.count("*").alias("n_nodes")
+    )
+
+
+@register(
     "x_local_clustering",
     """
     WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
