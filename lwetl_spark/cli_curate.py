@@ -95,6 +95,7 @@ def curate(
     n_shards: int | None = None,
 ):
     """Programmatic surface of the CLI; returns the stats dict."""
+    from pyspark.errors import AnalysisException
     from pyspark.sql import functions as F
 
     from lwetl_spark.catalog import load_table
@@ -193,10 +194,11 @@ def curate(
         kept.write.mode("overwrite").parquet(out_dir)
     try:
         curated = spark.read.parquet(out_dir)
-    except Exception:
+    except AnalysisException:
         # a fully-filtered run writes only _SUCCESS (no part files to
-        # infer a schema from) — an empty corpus is a valid outcome of
-        # aggressive filters, not a crash
+        # infer a schema from -> UNABLE_TO_INFER_SCHEMA) — an empty
+        # corpus is a valid outcome of aggressive filters, not a crash.
+        # Real IO errors raise other exception classes and propagate.
         curated = spark.createDataFrame([], kept.schema)
     stats["n_kept"] = curated.count()
     stats["n_dropped"] = n_input - stats["n_kept"]
@@ -224,7 +226,11 @@ def main(argv: list[str] | None = None) -> int:
         decontaminate_path=args.decontaminate,
         gopher=args.gopher,
         gopher_min_words=args.gopher_min_words,
-        gopher_stops=args.gopher_stops.split(",") if args.gopher_stops else None,
+        gopher_stops=(
+            [w.strip().lower() for w in args.gopher_stops.split(",") if w.strip()]
+            if args.gopher_stops
+            else None
+        ),
         gopher_min_stops=args.gopher_min_stops,
         drop_fluency_tail=args.drop_fluency_tail,
         fuzzy=args.fuzzy_decontaminate,

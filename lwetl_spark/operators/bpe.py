@@ -7,22 +7,29 @@ aggregation in :func:`word_vocab`.  Everything after runs over the far
 smaller vocabulary:
 
 - **train**: a driver loop of ``n_merges`` vocabulary-sized jobs.  Each
-  iteration re-segments the vocab with the merges learned so far (pure
-  string expressions, row-local), explodes adjacent unit pairs weighted
-  by word count, and takes the single most frequent pair — exactly the
-  pagerank/k-means bounded-driver-loop pattern (per-iteration driver
-  state = one (pair, freq) row).
-- **apply**: ``functools.reduce`` folds the merge list over
-  ``F.replace`` — left-to-right non-overlapping replace IS BPE's greedy
-  merge order, the whole segmentation is one row-local whole-stage-
-  codegen expression, and encoding 100 TB of text costs one vocab agg
-  plus a broadcast join of segmentations back to tokens, never
-  per-document merge loops.
+  iteration re-segments the vocab with the merges learned so far,
+  explodes adjacent unit pairs weighted by word count, and takes the
+  single most frequent pair — exactly the pagerank/k-means bounded-
+  driver-loop pattern (per-iteration driver state = one (pair, freq)
+  row).  Segmentation during training is the EXACT per-word greedy
+  merge (an Arrow-batched pandas_udf — the vocab is small, and exact
+  pair statistics are what make trained merges correct).
+- **apply**: exact mode uses the same per-word greedy merge; portable
+  mode folds the merge list over ``F.replace`` on the space-separated
+  symbol string — a deterministic whole-stage-codegen transform that
+  any SQL engine reproduces verbatim (the x_bpe_apply oracle), BUT an
+  APPROXIMATION of BPE: a plain substring replace can merge across
+  unit boundaries when a merge's left symbol is the suffix of an
+  existing unit (e.g. units ``ta b`` + merge (a, b) — true BPE has no
+  adjacent (a, b) pair, the substring form still glues them).  Use
+  exact mode for anything consumed by a tokenizer; portable mode
+  exists for cross-engine hash-checking.
 
-Both halves use the same space-separated symbol representation
-(``'table' -> 't a b l e' -> 'ta ble'``), so ``bpe_apply(words,
+Both modes share the space-separated symbol representation
+(``'table' -> 't a b l e' -> 'ta ble'``); ``bpe_apply(words,
 bpe_train(words, n))`` composes as one pipeline (pinned by
-tests/test_functions.py::test_bpe_train_apply_composed).
+tests/test_functions.py::test_bpe_train_apply_composed, including the
+boundary counterexample above).
 """
 
 from __future__ import annotations
@@ -49,14 +56,68 @@ def word_vocab(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def bpe_segment_col(word_col, merges: list[tuple[str, str]]):
-    """Column expression: segment a word with a trained merge list.
+def segment_word(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """EXACT per-word BPE application (driver/worker-side Python): start
+    from characters, apply each merge in training order by collapsing
+    every adjacent (a, b) UNIT pair left-to-right.  The reference
+    semantics both Spark paths are tested against."""
+    units = list(word)
+    for a, b in merges:
+        i, out = 0, []
+        while i < len(units):
+            if i + 1 < len(units) and units[i] == a and units[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(units[i])
+                i += 1
+        units = out
+    return units
 
-    Starts from the character representation (every char separated by a
-    space) and folds each merge ``(a, b)`` as the string replace
-    ``'a b' -> 'ab'`` — sequential, in training order, which is BPE's
-    greedy application.  Pure built-in expressions: stays inside
-    whole-stage codegen, no Python in the loop.
+
+def bpe_segment_exact(word_col, merges: list[tuple[str, str]]):
+    """Column: exact BPE segmentation via an Arrow-batched pandas_udf —
+    true unit-boundary-aware greedy merging (`segment_word`).  Runs over
+    the VOCABULARY (already collapsed from the corpus), so the Python
+    hop is vocab-sized, never corpus-sized."""
+    from pyspark.sql.functions import pandas_udf
+
+    frozen = [tuple(m) for m in merges]
+
+    @pandas_udf("string")
+    def _seg(words):
+        import pandas as pd
+
+        def one(w):
+            units = list(w)
+            for a, b in frozen:
+                i, out = 0, []
+                while i < len(units):
+                    if i + 1 < len(units) and units[i] == a and units[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(units[i])
+                        i += 1
+                units = out
+            return " ".join(units)
+
+        return pd.Series([one(w) for w in words])
+
+    return _seg(word_col)
+
+
+def bpe_segment_col(word_col, merges: list[tuple[str, str]]):
+    """Column expression: PORTABLE substring-replace segmentation.
+
+    Folds each merge ``(a, b)`` as the string replace ``'a b' -> 'ab'``
+    over the space-separated symbol string — pure built-in expressions
+    (whole-stage codegen) that DuckDB replays verbatim, which is what
+    makes x_bpe_apply hash-checkable cross-engine.  NOT exact BPE: the
+    replace can glue across unit boundaries when a merge's left symbol
+    suffixes an existing unit ('ta b' + (a, b) -> 'tab'; true BPE keeps
+    'ta b').  Use :func:`bpe_segment_exact` when the segmentation feeds
+    a tokenizer; this form exists for cross-engine verification.
     """
     base = F.trim(F.regexp_replace(word_col, "(.)", "$1 "))
     return reduce(
@@ -72,8 +133,10 @@ def bpe_train(
     """Learn ``n_merges`` BPE merges from a (word, wc) vocabulary.
 
     Driver loop of vocab-sized jobs: per iteration, segment with the
-    merges so far, count adjacent unit pairs weighted by wc, take the
-    top pair (ties broken lexicographically for determinism — the same
+    merges so far (EXACT semantics — substring-replace segmentation
+    would corrupt the pair statistics whenever a merge's left symbol
+    suffixes an existing unit), count adjacent unit pairs weighted by
+    wc, take the top pair (ties broken lexicographically — the same
     (freq DESC, pair ASC) order x_bpe_merge_step pins), stop early when
     the best pair's frequency drops below ``min_freq``.  Driver state
     per iteration is ONE row; the vocab never leaves the cluster.
@@ -81,7 +144,9 @@ def bpe_train(
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
         seg = (
-            words.select(bpe_segment_col(F.col("word"), merges).alias("seg"), "wc")
+            words.select(
+                bpe_segment_exact(F.col("word"), merges).alias("seg"), "wc"
+            )
             # materialize units as a real column FIRST: interpreted HOF
             # lambdas re-evaluate embedded subtrees once per element
             .select(F.split("seg", " ").alias("u"), "wc")
@@ -109,12 +174,25 @@ def bpe_train(
     return merges
 
 
-def bpe_apply(words: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
+def bpe_apply(
+    words: DataFrame,
+    merges: list[tuple[str, str]],
+    mode: str = "exact",
+) -> DataFrame:
     """Apply a trained merge list to a (word, wc) vocabulary.
+
+    ``mode="exact"`` (default) uses true unit-boundary-aware greedy
+    merging; ``mode="portable"`` uses the substring-replace expression
+    the DuckDB oracle reproduces (see bpe_segment_col's caveat).
 
     Returns (word, wc, segmented, n_units, n_chars) — the segmentation
     table a tokenizer broadcast-joins back onto the token stream."""
-    seg = bpe_segment_col(F.col("word"), merges)
+    if mode == "exact":
+        seg = bpe_segment_exact(F.col("word"), merges)
+    elif mode == "portable":
+        seg = bpe_segment_col(F.col("word"), merges)
+    else:
+        raise ValueError(f"mode must be 'exact' or 'portable', got {mode!r}")
     return words.withColumn("segmented", seg).select(
         "word",
         "wc",

@@ -371,9 +371,11 @@ def update_text_index(
     row-identical to a from-scratch build over the union, and probes
     return identical rankings (pinned by test_retrieval).
     """
-    tf_new, dl_new, _ = doc_term_stats(new_docs, id_col=id_col, text_col=text_col)
+    tf_new, _, _ = doc_term_stats(new_docs, id_col=id_col, text_col=text_col)
     bucket = F.pmod(F.xxhash64("tok"), F.lit(_INDEX_BUCKETS)).alias("bucket")
-    tf_new = tf_new.localCheckpoint(eager=True)  # tokenize once, reuse 3x
+    tf_new = tf_new.localCheckpoint(eager=True)  # tokenize ONCE; postings,
+    # df, and doclen all derive from this checkpoint (dl = Σ tf per doc)
+    dl_new = tf_new.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     tf_new.withColumn("bucket", bucket).repartition("bucket").write.mode(
         "append"
     ).partitionBy("bucket").parquet(f"{path}/postings")

@@ -1466,9 +1466,16 @@ def mmr_diversify(
         F.col(rel_col).cast("double").alias("r"),
         F.col(vec_col).alias("v"),
     )
+    # output schema follows the INPUT id/query types (string doc ids are
+    # a normal retrieval id space — hardcoding long would Arrow-error)
+    dtypes = dict(base.dtypes)
+    out_schema = (
+        f"query_id {dtypes['q']}, doc_id {dtypes['doc_id']}, "
+        "mmr_rank long, rel double"
+    )
     return (
         base.groupBy("q")
-        .applyInPandas(pick, "query_id long, doc_id long, mmr_rank long, rel double")
+        .applyInPandas(pick, out_schema)
         .select(
             F.col("query_id").alias(query_col),
             F.col("doc_id").alias(id_col),

@@ -6041,13 +6041,15 @@ def x_bpe_apply(spark, sf_dir):
     """BPE tokenizer APPLICATION — the other half of x_bpe_merge_step's
     training: a trained merge list applied to the vocabulary by
     sequential pair substitution over the space-separated symbol
-    representation ('table' → 't a b l e' → 'ta ble').  Left-to-right
-    non-overlapping replace IS BPE's greedy merge order, and both
-    engines scan identically, so the segmented strings hash-match
-    exactly.  The merge list is a PARAMETER of operators/bpe.bpe_apply
-    — pinned here to 4 documented merges so the oracle stays static;
-    the composed pipeline bpe_apply(words, bpe_train(words, n)) is
-    pinned by tests/test_functions.py::test_bpe_train_apply_composed.
+    representation ('table' → 't a b l e' → 'ta ble').  This registered
+    form uses operators/bpe.bpe_apply's PORTABLE mode (substring
+    replace, which both engines scan identically — hash-exact), chosen
+    because it is cross-engine-checkable; it approximates true BPE when
+    a merge's left symbol suffixes an existing unit (the 4 pinned
+    merges have no such case, so exact == portable here — asserted in
+    tests).  Tokenizer-facing callers use the default EXACT mode; the
+    composed pipeline bpe_apply(words, bpe_train(words, n)) is pinned
+    by tests/test_functions.py::test_bpe_train_apply_composed.
 
     Scale shape: the corpus collapses to (word, count) FIRST (the one
     corpus-sized agg); merges run over the far smaller vocabulary as
@@ -6057,7 +6059,11 @@ def x_bpe_apply(spark, sf_dir):
     from lwetl_spark.operators.bpe import bpe_apply, word_vocab
 
     words = word_vocab(_t(spark, sf_dir, "documents"))
-    out = bpe_apply(words, [("l", "e"), ("b", "le"), ("t", "a"), ("r", "o")])
+    out = bpe_apply(
+        words,
+        [("l", "e"), ("b", "le"), ("t", "a"), ("r", "o")],
+        mode="portable",
+    )
     return out.orderBy(F.desc("wc"), F.asc("word")).limit(20)
 
 
@@ -6106,7 +6112,6 @@ def x_markov_chain(spark, sf_dir):
         .groupBy("prev", F.col("event_type").alias("cur"))
         .agg(F.count("*").alias("n"))
     )
-    wp = Window.partitionBy("prev")
     return trans.select(
         "prev",
         "cur",
@@ -6202,6 +6207,51 @@ def x_winnowing(spark, sf_dir):
             F.expr("1000000 * n_selected div n_grams").cast("long").alias("density_ppm"),
         )
     )
+
+
+
+
+def _dense_topk_candidates(spark, sf_dir, query_ids=(1, 2, 3), k=10):
+    """Shared dense-retrieval leg (the x_cosine_topk portability idiom:
+    double-cast vectors, norm filter, broadcast query vectors,
+    ROUND(cos, 6) with doc_id tiebreak).  Returns (candidates, topk):
+    `candidates` carries (query_id, doc_id, rel, embedding) for every
+    corpus vector; `topk` is the per-query rank-k cut with `rnk`.
+    x_rrf_fusion, x_mmr, and their oracles all derive from THIS one
+    definition so the rounding/tiebreak can never drift between them."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+    ).withColumn(
+        "nrm", F.expr("sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x))")
+    ).filter(F.col("nrm") > 0)
+    qv = emb.filter(F.col("vec_id").isin(*query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    cands = (
+        emb.crossJoin(F.broadcast(qv))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                F.expr(
+                    "aggregate(zip_with(qv, v, (a, b) -> a * b),"
+                    " 0D, (acc, x) -> acc + x)"
+                )
+                / (F.col("qnrm") * F.col("nrm")),
+                6,
+            ).alias("rel"),
+            F.col("v").alias("embedding"),
+        )
+    )
+    wd = Window.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("doc_id"))
+    topk = cands.withColumn("rnk", F.row_number().over(wd).cast("long")).filter(
+        F.col("rnk") <= k
+    )
+    return cands, topk
 
 
 @register(
@@ -6313,41 +6363,12 @@ def x_rrf_fusion(spark, sf_dir):
     from lwetl_spark.operators.retrieval import rrf_fuse
 
     _, lex = _bm25_probe_ranking(spark, sf_dir)
-    emb = _t(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
-    ).withColumn(
-        "nrm",
-        F.expr("sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x))"),
-    ).filter(F.col("nrm") > 0)
-    qv = emb.filter(F.col("vec_id").isin(1, 2, 3)).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        F.col("nrm").alias("qnrm"),
+    _, dense = _dense_topk_candidates(spark, sf_dir, k=10)
+    return rrf_fuse(
+        [lex.select("query_id", "doc_id", "rnk"),
+         dense.select("query_id", "doc_id", "rnk")],
+        topk=10,
     )
-    dcos = (
-        emb.crossJoin(F.broadcast(qv))
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            F.col("query_id").cast("long").alias("query_id"),
-            F.col("vec_id").alias("doc_id"),
-            F.round(
-                F.expr(
-                    "aggregate(zip_with(qv, v, (a, b) -> a * b),"
-                    " 0D, (acc, x) -> acc + x)"
-                )
-                / (F.col("qnrm") * F.col("nrm")),
-                6,
-            ).alias("cos"),
-        )
-    )
-    wd = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("doc_id"))
-    dense = (
-        dcos.withColumn("rnk", F.row_number().over(wd).cast("long"))
-        .filter(F.col("rnk") <= 10)
-        .select("query_id", "doc_id", "rnk")
-    )
-    return rrf_fuse([lex.select("query_id", "doc_id", "rnk"), dense], topk=10)
 
 
 @register(
@@ -6371,39 +6392,14 @@ def x_mmr(spark, sf_dir):
     deterministic, so the booleans are stable."""
     from lwetl_spark.operators.similarity import mmr_diversify
 
+    _, top20 = _dense_topk_candidates(spark, sf_dir, k=20)
+    picked = mmr_diversify(top20, k=5, lam=0.5).localCheckpoint(eager=True)
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
     ).withColumn(
         "nrm", F.expr("sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x))")
     ).filter(F.col("nrm") > 0)
-    qv = emb.filter(F.col("vec_id").isin(1, 2, 3)).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        F.col("nrm").alias("qnrm"),
-    )
-    cands = (
-        emb.crossJoin(F.broadcast(qv))
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            F.col("query_id").cast("long").alias("query_id"),
-            F.col("vec_id").alias("doc_id"),
-            F.round(
-                F.expr(
-                    "aggregate(zip_with(qv, v, (a, b) -> a * b),"
-                    " 0D, (acc, x) -> acc + x)"
-                )
-                / (F.col("qnrm") * F.col("nrm")),
-                6,
-            ).alias("rel"),
-            F.col("v").alias("embedding"),
-        )
-    )
-    wd = Window.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("doc_id"))
-    top20 = cands.withColumn("rnk", F.row_number().over(wd)).filter(
-        F.col("rnk") <= 20
-    )
-    picked = mmr_diversify(top20, k=5, lam=0.5).localCheckpoint(eager=True)
 
     def _avg_pairwise(sel):
         a = sel.select("query_id", F.col("doc_id").alias("da"))

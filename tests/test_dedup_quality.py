@@ -511,7 +511,8 @@ def test_winnowing_guarantee_shared_run_shares_fingerprint(spark):
         for rows in [fp.filter(fp.doc_id == r["doc_id"]).collect()]
     }
     assert sets[1] & sets[2], "shared 12-token run must share a fingerprint"
-    assert not (sets[1] & sets[3] and sets[2] & sets[3]) or True  # doc 3 unrelated
+    assert not (sets[1] & sets[3]), "unrelated doc must share nothing with doc 1"
+    assert not (sets[2] & sets[3]), "unrelated doc must share nothing with doc 2"
     # density: selected positions are a strict subset of gram positions
     per = fp.groupBy("doc_id").count().collect()
     for r in per:

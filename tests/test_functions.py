@@ -434,3 +434,32 @@ def test_pretokenize_matches_python_re(spark):
         assert got[i] == re.findall(pat, s), (i, got[i], re.findall(pat, s))
         # lossless: pieces concatenate back to the input
         assert "".join(got[i]) == s
+
+
+def test_bpe_exact_vs_portable_boundary_case(spark):
+    """The substring-replace (portable) form glues across unit
+    boundaries; exact mode must not.  'tab' with merges (t,a), (a,b):
+    after (t,a) the units are [ta, b] — no adjacent (a, b) pair exists,
+    so exact BPE keeps 'ta b' while the portable replace yields 'tab'.
+    Also: on the 4 pinned x_bpe_apply merges (whose left symbols suffix
+    no unit), the two modes agree on the whole vocabulary."""
+    from lwetl_spark.operators.bpe import bpe_apply, segment_word, word_vocab
+    from lwetl_spark.catalog import load_table
+
+    assert segment_word("tab", [("t", "a"), ("a", "b")]) == ["ta", "b"]
+    df = spark.createDataFrame([("tab", 1)], "word string, wc long")
+    exact = bpe_apply(df, [("t", "a"), ("a", "b")], mode="exact").collect()[0]
+    portable = bpe_apply(df, [("t", "a"), ("a", "b")], mode="portable").collect()[0]
+    assert exact["segmented"] == "ta b"
+    assert portable["segmented"] == "tab"  # the documented approximation
+
+    vocab = word_vocab(load_table(spark, SF_CORRECT, "documents").select("text"))
+    merges = [("l", "e"), ("b", "le"), ("t", "a"), ("r", "o")]
+    e = {r["word"]: r["segmented"] for r in bpe_apply(vocab, merges, mode="exact").collect()}
+    p = {r["word"]: r["segmented"] for r in bpe_apply(vocab, merges, mode="portable").collect()}
+    assert e == p  # no suffix-collision case in the pinned merge list
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="mode"):
+        bpe_apply(df, merges, mode="fast")
