@@ -59,7 +59,65 @@ def _minhash_pairs(spark, sf_dir):
     )
 
 
-BENCH_OVERRIDES = {"x_dedup_minhash": _minhash_pairs}
+#: extended suite (VERDICT r4 #3) — the heavy r3/r4 operators whose
+#: regressions would matter at 100 TB and which the r01-frozen HEADLINE
+#: can't see: lexical retrieval, PQ-ANN, dup-clustering (CC), blocked
+#: fuzzy join, IRLS quality model, and the composed curate chain.
+#: Timed under the same best-of-N protocol; reported under "extended"
+#: in the same JSON line so BENCH_rN archives both, round-comparable.
+EXTENDED = [
+    "x_bm25",
+    "x_ann_pq",
+    "x_dedup_clusters",
+    "x_fuzzy_join",
+    "x_quality_logreg",
+    "curate_chain",
+]
+
+
+def _pq_ann(spark, sf_dir):
+    """Bench surface for x_ann_pq: the raw PQ top-k operator.  The
+    queries() entry wraps it in a recall contract that ALSO runs the
+    brute-force exact top-k (the verification harness) — benching that
+    would time the oracle, not the engine."""
+    from lwetl_spark.catalog import load_table
+    from lwetl_spark.operators.similarity import pq_topk
+
+    return pq_topk(load_table(spark, sf_dir, "embeddings"), k=5)
+
+
+def _curate_chain(spark, sf_dir):
+    """Composed curation chain (cli_curate.curate: token floor + gopher
+    battery + exact dedup + fuzzy near-dedup) writing curated parquet to
+    a scratch dir — the end-to-end pipeline a 100 TB campaign runs, as
+    one timed unit.  Returns the curated output for the row count."""
+    import tempfile
+
+    from lwetl_spark.cli_curate import curate
+
+    out = tempfile.mkdtemp(prefix="bench_curate_") + "/out"
+    curate(
+        spark,
+        sf_dir,
+        out,
+        min_tokens=10,
+        max_dup_fraction=0.5,
+        dedup=True,
+        gopher=True,
+        # the synthetic corpus has no English stopwords; vowels keep the
+        # stopword rule live without dropping 100% (see curate_rehearsal)
+        gopher_min_words=20,
+        gopher_stops=["a", "e", "i", "o", "u"],
+        gopher_min_stops=1,
+    )
+    return spark.read.parquet(out)
+
+
+BENCH_OVERRIDES = {
+    "x_dedup_minhash": _minhash_pairs,
+    "x_ann_pq": _pq_ann,
+    "curate_chain": _curate_chain,
+}
 
 
 def main() -> None:
@@ -74,7 +132,7 @@ def main() -> None:
     # costs more GC pressure than the closer AQE plan shapes save.)
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir) and os.path.realpath(warm_dir) != os.path.realpath(SF_DIR):
-        for name in HEADLINE:
+        for name in HEADLINE + EXTENDED:
             try:
                 (BENCH_OVERRIDES.get(name) or QUERIES[name])(spark, warm_dir).count()
             except Exception as e:  # pragma: no cover - warmup is best-effort
@@ -94,19 +152,27 @@ def main() -> None:
     # between queries keeps persist()-ing queries (minhash) from
     # subsidizing later ones.
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "5")))
-    timings: dict[str, float] = {}
-    total = 0.0
-    for name in HEADLINE:
-        fn = BENCH_OVERRIDES.get(name) or QUERIES[name]
-        best, n = float("inf"), 0
-        for _ in range(repeats):
-            spark.catalog.clearCache()
-            t0 = time.time()
-            n = fn(spark, SF_DIR).count()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
-        total += best
-        print(f"# {name}: {best:.2f}s ({n} rows)", file=sys.stderr)
+
+    def run_suite(names: list[str]) -> tuple[dict[str, float], float]:
+        timings: dict[str, float] = {}
+        total = 0.0
+        for name in names:
+            fn = BENCH_OVERRIDES.get(name) or QUERIES[name]
+            best, n = float("inf"), 0
+            for _ in range(repeats):
+                spark.catalog.clearCache()
+                t0 = time.time()
+                n = fn(spark, SF_DIR).count()
+                best = min(best, time.time() - t0)
+            timings[name] = round(best, 3)
+            total += best
+            print(f"# {name}: {best:.2f}s ({n} rows)", file=sys.stderr)
+        return timings, total
+
+    timings, total = run_suite(HEADLINE)
+    # extended suite is additive evidence: its total is reported
+    # separately so "value" stays comparable to BENCH_r01-r04
+    ext_timings, ext_total = run_suite(EXTENDED)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -116,6 +182,8 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "extended": ext_timings,
+                "extended_wall": round(ext_total, 3),
                 "repeats": repeats,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

@@ -127,39 +127,71 @@ def bpe_segment_col(word_col, merges: list[tuple[str, str]]):
     )
 
 
+def _merge_once_expr(seg_col, a: str, b: str):
+    """Column: ONE exact BPE merge pass over a space-separated unit
+    string, as a single JVM-side ``regexp_replace`` (whole-stage
+    codegen, no Python hop).
+
+    The lookarounds pin both units to boundaries (start/space before
+    ``a``, space/end after ``b``) so the replace can never glue across
+    unit boundaries the way a plain substring replace can; Java's
+    matcher consumes matches left-to-right over the original string
+    without rescanning replaced text, which is exactly
+    :func:`segment_word`'s single non-overlapping left-to-right pass
+    (``a a a`` + merge (a, a) -> ``aa a``, not ``aa aa``)."""
+    import re as _re
+
+    pat = f"(?<=^| ){_re.escape(a)} {_re.escape(b)}(?= |$)"
+    # Java replacement-string escapes: backslash and dollar are special.
+    repl = (a + b).replace("\\", "\\\\").replace("$", "\\$")
+    return F.regexp_replace(seg_col, pat, repl)
+
+
 def bpe_train(
-    words: DataFrame, n_merges: int, min_freq: int = 2
+    words: DataFrame,
+    n_merges: int,
+    min_freq: int = 2,
+    checkpoint_every: int = 16,
 ) -> list[tuple[str, str]]:
     """Learn ``n_merges`` BPE merges from a (word, wc) vocabulary.
 
-    Driver loop of vocab-sized jobs: per iteration, segment with the
-    merges so far (EXACT semantics — substring-replace segmentation
-    would corrupt the pair statistics whenever a merge's left symbol
-    suffixes an existing unit), count adjacent unit pairs weighted by
-    wc, take the top pair (ties broken lexicographically — the same
-    (freq DESC, pair ASC) order x_bpe_merge_step pins), stop early when
-    the best pair's frequency drops below ``min_freq``.  Driver state
-    per iteration is ONE row; the vocab never leaves the cluster.
-    """
+    Driver loop of vocab-sized jobs: per iteration, count adjacent unit
+    pairs weighted by wc, take the top pair (ties broken
+    lexicographically — the same (freq DESC, pair ASC) order
+    x_bpe_merge_step pins), stop early when the best pair's frequency
+    drops below ``min_freq``.  Driver state per iteration is ONE row;
+    the vocab never leaves the cluster.
+
+    The segmented vocabulary is INCREMENTAL state (VERDICT r4 #2):
+    iteration *i* applies only the newest merge to the carried ``seg``
+    column via :func:`_merge_once_expr` instead of re-applying all
+    *i-1* learned merges from scratch, turning the per-iteration cost
+    from O(i) merge passes into O(1).  ``localCheckpoint`` every
+    ``checkpoint_every`` merges truncates the regexp_replace lineage so
+    a 30k-merge train keeps a bounded plan (the
+    ``pagerank(checkpoint_every)`` pattern, operators/graph.py)."""
+    state = words.select(
+        # 'table' -> 't a b l e': initial single-character units
+        F.trim(F.regexp_replace("word", "(.)", "$1 ")).alias("seg"),
+        "wc",
+    )
     merges: list[tuple[str, str]] = []
+    chained = 0
     for _ in range(n_merges):
-        seg = (
-            words.select(
-                bpe_segment_exact(F.col("word"), merges).alias("seg"), "wc"
-            )
+        pairs = (
             # materialize units as a real column FIRST: interpreted HOF
             # lambdas re-evaluate embedded subtrees once per element
-            .select(F.split("seg", " ").alias("u"), "wc")
+            state.select(F.split("seg", " ").alias("u"), "wc")
             .filter(F.size("u") >= 2)
-        )
-        pairs = seg.select(
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(u) - 1), "
-                    "i -> concat(element_at(u, i), ' ', element_at(u, i + 1)))"
-                )
-            ).alias("pair"),
-            "wc",
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(u) - 1), "
+                        "i -> concat(element_at(u, i), ' ', element_at(u, i + 1)))"
+                    )
+                ).alias("pair"),
+                "wc",
+            )
         )
         top = (
             pairs.groupBy("pair")
@@ -171,6 +203,13 @@ def bpe_train(
             break
         a, b = top["pair"].split(" ", 1)
         merges.append((a, b))
+        state = state.select(
+            _merge_once_expr(F.col("seg"), a, b).alias("seg"), "wc"
+        )
+        chained += 1
+        if chained >= checkpoint_every:
+            state = state.localCheckpoint()
+            chained = 0
     return merges
 
 

@@ -8113,215 +8113,54 @@ def x_tokenizer_fertility(spark, sf_dir):
     )
 
 
-#: keys the round-1 driver run already sampled green (CORRECTNESS_r01.json);
-#: listed so the catalog can surface the yet-unsampled entries FIRST for a
-#: driver that checks a prefix of the registration order (VERDICT r1 #6).
-_SAMPLED_R01 = frozenset(
-    {
-        "a1_count",
-        "a2_sum_q1",
-        "a3_max_min",
-        "a4_groupby_having",
-        "a5_count_distinct",
-        "a6_having_eq1",
-        "a7_profile",
-        "a8_string_agg",
-        "c3_cardinality",
-        "f1_md5_row_hash",
-        "f2_string_funcs",
-        "f4_date_format",
-        "f5_epoch_millis",
-        "f7_base64",
-        "f9_bool_parse",
-        "j1_inner_join",
-        "j2_left_join",
-        "j3_multi_cond_join",
-        "j4_derived_join",
-        "j5_theta_join",
-        "j6_anti_join",
-        "j7_semi_join",
-        "o1_orderby_limit",
-        "o2_orderby_case",
-        "o5_topk_per_group",
-        "o6_except",
-        "o7_distinct",
-        "p1_projection",
-        "p2_filter_compare",
-        "p3_null_filter",
-        "p4_like",
-        "p5_in_list",
-        "p7_schema_probe",
-        "p8_case_when",
-        "p9_coalesce",
-        "q1_flagship",
-        "s1_scan",
-        "s2_param_query",
-        "w1_running_total",
-        "x_ann_ivf",
-        "x_ann_lsh",
-        "x_cosine_topk",
-        "x_dedup_exact",
-        "x_dedup_minhash",
-        "x_dedup_simhash",
-        "x_embed_near_dups",
-        "x_jaccard_pairs",
-        "x_quality",
-        "x_simhash_portable",
-        "x_token_count",
-    }
-)
+def _driver_green_keys() -> frozenset:
+    """Keys with a fully-green row (rows+schema+hash) in their LATEST
+    driver-recorded check, derived from the ``CORRECTNESS_r*.json`` files
+    the driver ships into the repo root after each round.
+
+    VERDICT r4 #1: three consecutive rounds of hand-frozen sampled-key
+    sets went stale and starved new keys of driver evidence; deriving the
+    set from the recorded artifacts makes the ordering self-maintaining.
+    Any key whose latest recorded check failed is treated as never-green
+    so it re-enters the priority prefix.
+    """
+    import glob as _glob
+    import json as _json
+    import os as _os
+
+    root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    latest: dict = {}
+    for path in sorted(_glob.glob(_os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as fh:
+                data = _json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(data, dict):
+            continue
+        for key, row in data.items():
+            if isinstance(row, dict):
+                latest[key] = row  # later (sorted) rounds overwrite earlier
+    return frozenset(
+        k
+        for k, row in latest.items()
+        if row.get("rows_match")
+        and row.get("schema_match")
+        and row.get("hash_match", True)
+    )
 
 
-#: keys the round-2 driver run sampled GREEN (CORRECTNESS_r02.json).  The
-#: three r02 `err` rows (x_multimodal_stub, x_frame_sample, x_scd2 — output
-#: shapes the driver's pandas canon rejected, fixed since) are deliberately
-#: NOT listed: they stay in the surface-first set so round 3 re-samples
-#: them and records green rows.
-_SAMPLED_R02 = frozenset(
-    {
-        "a5_approx_distinct",
-        "c6_dimension_sync",
-        "o8_set_ops",
-        "w2_lag_delta",
-        "w3_range_frame",
-        "w4_lag_lead",
-        "w5_ntile_rank",
-        "x_approx_quantile",
-        "x_asof_join",
-        "x_bloom_dedup",
-        "x_bpe_tokens",
-        "x_cc_two_phase",
-        "x_chunk_docs",
-        "x_corpus_pipeline",
-        "x_countmin",
-        "x_cube",
-        "x_decontaminate",
-        "x_dedup_clusters",
-        "x_det_sample",
-        "x_dup_spans",
-        "x_fingerprint",
-        "x_funnel",
-        "x_heavy_hitters",
-        "x_interval_join",
-        "x_json_extract",
-        "x_lang_id",
-        "x_line_dedup",
-        "x_median_stats",
-        "x_minhash_portable",
-        "x_mix_corpora",
-        "x_multi_rollup",
-        "x_pack_sequences",
-        "x_pii_redact",
-        "x_pivot",
-        "x_ppjoin",
-        "x_range_join",
-        "x_repetition",
-        "x_reservoir_per_group",
-        "x_rollup",
-        "x_salted_join",
-        "x_semdedup",
-        "x_sessionize",
-        "x_stratified_sample",
-        "x_tfidf",
-        "x_train_split",
-        "x_tumbling_window",
-        "x_unpivot",
-    }
-)
-
-#: keys the round-3 driver run sampled GREEN (CORRECTNESS_r03.json).  The
-#: three r03 `hash_match: false` rows (x_table_checksum, x_incremental_agg,
-#: k8_orc_roundtrip — DecimalType output columns the driver hash
-#: canonicalizes differently than DuckDB; de-decimalized since) are
-#: deliberately NOT listed: they lead the round-4 priority tier so the
-#: driver re-samples them and records green rows.
-_SAMPLED_R03 = frozenset(
-    {
-        "c1_script_exec",
-        "c2_db_copy_new",
-        "f10_binary_roundtrip",
-        "k1_text_table",
-        "k3_xml_sink",
-        "k5_sql_script_sink",
-        "k7_binary_suppression",
-        "k9_compaction",
-        "o3_order_pk_desc",
-        "s10_jsonl_roundtrip",
-        "s11_schema_evolution",
-        "s3_scalar_probes",
-        "s4_csv_roundtrip",
-        "s6_ldif_roundtrip",
-        "s8_schema_info",
-        "s9_engine_info",
-        "u1_insert_commit",
-        "u4_update_where",
-        "u5_delete_keys",
-        "u7_pk_generation",
-        "u8_sql_expression",
-        "x_ann_pq",
-        "x_bloom_join",
-        "x_bpe_merge_step",
-        "x_curation_pipeline",
-        "x_drift_chi2",
-        "x_dsir_weights",
-        "x_embed_standardize",
-        "x_frame_sample",
-        "x_group_corr",
-        "x_group_ols",
-        "x_grouped_ewma",
-        "x_histogram",
-        "x_length_batching",
-        "x_lsh_index_roundtrip",
-        "x_multimodal_stub",
-        "x_pagerank",
-        "x_percentile_filter",
-        "x_priority_sample",
-        "x_quantize_embeddings",
-        "x_scd2",
-        "x_sliding_window",
-        "x_sorted_neighborhood",
-        "x_text_normalize",
-        "x_url_filter",
-        "x_web_pipeline",
-        "x_zorder",
-    }
-)
-
-_SAMPLED_GREEN = _SAMPLED_R01 | _SAMPLED_R02 | _SAMPLED_R03
-
-#: VERDICT r3 #1/#3 priority tier for the round-4 sample: the three r03
-#: decimal-hash-FAIL keys (outputs de-decimalized, must re-record green)
-#: followed by every round-3 addition that has never been driver-sampled
-#: (36 keys, judge-sim green at sf0.01 but per the contract the driver's
-#: own row is the hard signal) — 39 keys, comfortably inside one 50-key
-#: sample prefix.
-_PRIORITY_R4 = (
-    "x_table_checksum", "x_incremental_agg", "k8_orc_roundtrip",
-    "x_skew_profile", "x_shard_assign", "x_fluency_buckets",
-    "x_fuzzy_decontaminate", "x_unimax_budget", "x_retention_cohorts",
-    "x_gopher_rules", "x_bigram_lm", "x_soft_dedup", "x_manifest_diff",
-    "x_bm25", "x_fuzzy_join", "x_triangle_count", "x_winsorize",
-    "x_grouping_sets", "x_pca_project", "x_mad_outliers",
-    "x_source_overlap", "x_entity_resolution", "x_data_contract",
-    "x_pit_join", "x_batch_inference", "x_mean_pool", "x_assoc_rules",
-    "x_kmeans", "x_quarantine", "x_weighted_sample_group", "x_fd_check",
-    "x_join_estimate", "x_equi_depth_hist", "x_ngram_novelty",
-    "x_bpe_apply", "x_pq_index_roundtrip", "x_ivf_index_roundtrip",
-    "x_bm25_index_roundtrip", "x_hll_sketch_store",
-)
+_SAMPLED_GREEN = _driver_green_keys()
 
 
 def _unsampled_first(d: dict) -> dict:
-    """Stable reorder: the round-4 priority tier first (the 3 r03
-    decimal-fix keys + every never-driver-sampled round-3 key, 39
-    total), then any remaining never-sampled keys (this round's
-    additions, registration order), then the already-driver-verified
-    rest — a driver that checks a prefix of the registration order
-    clears the whole backlog before re-verifying anything."""
-    fresh = {k: d[k] for k in _PRIORITY_R4 if k in d}
-    fresh.update(
-        {k: v for k, v in d.items() if k not in _SAMPLED_GREEN and k not in fresh}
-    )
+    """Stable reorder: every key WITHOUT a green row in the latest
+    recorded driver check first (registration order — covers both
+    never-sampled keys and any regression the driver recorded), then the
+    already-driver-verified rest. A driver that checks a prefix of the
+    returned order therefore clears the whole backlog before
+    re-verifying anything."""
+    fresh = {k: v for k, v in d.items() if k not in _SAMPLED_GREEN}
     fresh.update({k: v for k, v in d.items() if k in _SAMPLED_GREEN})
     return fresh
 

@@ -309,3 +309,61 @@ def test_cli_validate_unknown_table_and_parent(spark, tmp_path, capsys):
                      "parent": "ghost", "parent_col": "g"}])
     )
     assert main(["orders", "-r", str(rf), "-d", "/root/testdata/sf0.001"]) == 1
+
+
+def test_cli_curate_quality_model_stage(spark, tmp_path):
+    """VERDICT r4 #4: --quality-model trains the IRLS logreg on the
+    Gopher pass/fail labels and drops the low-score tail.  Crafted
+    corpus: 8 clean docs (stopword-rich, alpha words) + 8 junk docs
+    (numeric, punct-heavy — every Gopher-fail pattern the features
+    separate).  The model must (a) learn a separating β (recorded in
+    stats), (b) drop >= the tail fraction, and (c) drop junk docs
+    before clean ones — the scorer generalizes the rule battery."""
+    from lwetl_spark.cli_curate import curate
+
+    sf = str(tmp_path / "sf")
+    rows = []
+    for i in range(8):
+        good = (
+            "the be to of and that have with it for not on he as "
+            + " ".join(f"word{i}{j:02d}" for j in range(25))
+        )
+        rows.append((i, good, "en", len(good), "s"))
+    for i in range(8, 16):
+        bad = "%% " + " ".join([f"{i}1234 !!!"] * 15)
+        rows.append((i, bad, "en", len(bad), "s"))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, n_chars int, source string"
+    ).write.parquet(sf + "/documents.parquet")
+
+    out = str(tmp_path / "out")
+    stats = curate(
+        spark, sf, out, min_tokens=1, dedup=False,
+        quality_model=True, quality_tail=0.5, gopher_min_words=5,
+    )
+    assert stats["n_input"] == 16
+    assert stats["quality_beta"] is not None
+    assert stats["quality_threshold"] is not None
+    # >= half dropped (strict-> threshold ties drop together)
+    assert stats["n_kept"] <= 8
+    kept_ids = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    # no junk doc may outrank a clean doc: all kept docs are clean
+    assert kept_ids <= set(range(8)), kept_ids
+    # internal feature/score columns must not leak into the output
+    assert set(spark.read.parquet(out).columns) == {
+        "doc_id", "text", "lang", "n_chars", "source"
+    }
+
+    # degenerate labels (all docs pass the battery): stage records the
+    # skip and passes everything through unchanged
+    out2 = str(tmp_path / "out2")
+    sf2 = str(tmp_path / "sf2")
+    spark.createDataFrame(
+        rows[:8], "doc_id long, text string, lang string, n_chars int, source string"
+    ).write.parquet(sf2 + "/documents.parquet")
+    stats2 = curate(
+        spark, sf2, out2, min_tokens=1, dedup=False,
+        quality_model=True, quality_tail=0.5, gopher_min_words=5,
+    )
+    assert stats2["quality_beta"] is None
+    assert stats2["n_kept"] == 8

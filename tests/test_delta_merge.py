@@ -14,6 +14,21 @@ package + jars ARE importable and skips cleanly otherwise:
 
 Run standalone as: pytest tests/test_delta_merge.py  (no other module
 first, so this module's builder creates the Delta-enabled session).
+
+Round-5 execution attempt (VERDICT r4 #6): ``pip download --no-deps
+delta-spark`` fails in this container with DNS resolution errors
+(`Name or service not known`) — there is NO network access, so neither
+the delta-spark wheel nor the io.delta jars can be fetched, and no
+delta jar ships in pyspark's jars dir (verified by filesystem search).
+The leg remains environment-blocked, not code-blocked.  On any machine
+with network, the one-command recipe is:
+
+    python -m venv /tmp/delta-venv && . /tmp/delta-venv/bin/activate \
+      && pip install 'pyspark>=4.0' 'delta-spark>=4.0' pytest \
+      && cd /root/repo && python -m pytest tests/test_delta_merge.py -v
+
+(delta-spark's builder fetches the matching io.delta:delta-spark jars
+via `spark.jars.packages` on first session start.)
 """
 
 from __future__ import annotations

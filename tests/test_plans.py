@@ -576,3 +576,39 @@ def test_pmi_no_cartesian_two_phase_topk(spark):
     assert "CartesianProduct" not in plan
     # two windows: salted partial then ≤64·30-row final
     assert plan.count("Window") >= 2, plan
+
+
+def test_composed_curate_shuffle_text_ratio_ci_gate():
+    """VERDICT r4 #7: the composed-rehearsal shuffle accounting as a CI
+    gate.  Runs tools/curate_rehearsal.py (the FULL curate chain incl.
+    gopher battery, fluency tail, dup-span filter, exact dedup, 3-gram
+    + fuzzy decontamination, quality model, sharded write) at a
+    scaled-down 4x/sf0.01 in a subprocess (own UI-enabled session — the
+    tuned pytest session disables the status REST API) and pins the
+    stage-level shuffle-bytes / corpus-text-bytes ratio.
+
+    Measured envelope: 5.7x at 4x/sf0.01, 6.3x at 16x/sf0.1 (SCALE.md).
+    Threshold = 2x the measured envelope: an operator edit that
+    reintroduces a corpus-sized broadcast side or puts document text
+    back on an exchange (the two failure classes the 16x rehearsal
+    caught by hand in round 4) fails HERE instead of waiting for the
+    next manual rehearsal."""
+    import json
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    proc = subprocess.run(
+        [sys.executable, str(repo / "tools" / "curate_rehearsal.py"),
+         "4", "/root/testdata/sf0.01"],
+        capture_output=True, text=True, timeout=420, cwd=str(repo),
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+    out = json.loads(line)
+    assert out["n_kept"] > 0, out  # the chain must retain documents
+    assert out["shuffle_to_text_ratio"] <= 12.0, out
+    # text never rides an exchange: shuffle volume is metadata-sized,
+    # bounded well below input bytes x chain depth
+    assert out["shuffle_write_bytes"] < 4 * out["input_bytes"], out

@@ -13,8 +13,10 @@ small multiple of METADATA size (digests, fingerprints, ids), not of
 corpus text size.  A ratio near or above 1.0 would mean document text
 rides an exchange somewhere — the thing that breaks at 100 TB.
 
-Usage: python tools/curate_rehearsal.py [scale]   (default 16)
-Prints one JSON line; paste the numbers into SCALE.md.
+Usage: python tools/curate_rehearsal.py [scale] [sf_dir]
+(defaults: 16 /root/testdata/sf0.1).  Prints one JSON line; paste the
+numbers into SCALE.md.  tests/test_plans.py runs this at a scaled-down
+sf as a CI gate on the shuffle/text ratio (VERDICT r4 #7).
 """
 
 from __future__ import annotations
@@ -58,7 +60,7 @@ def _shuffle_totals(spark) -> tuple[int, int, int]:
 
 def main() -> None:
     scale = int(sys.argv[1]) if len(sys.argv) > 1 else 16
-    sf_dir = "/root/testdata/sf0.1"
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     work = Path("/tmp/curate_rehearsal")
     shutil.rmtree(work, ignore_errors=True)
     work.mkdir(parents=True)
@@ -122,6 +124,12 @@ def main() -> None:
         drop_fluency_tail=True,
         fuzzy=True,
         n_shards=8,
+        # VERDICT r4 #4: the model-based scorer rides the same chain —
+        # training is d²-floats driver state over a checkpointed feature
+        # cache, β re-enters the plan as literals, so the stage must add
+        # ~zero shuffle (the envelope assertion below would catch it)
+        quality_model=True,
+        quality_tail=0.1,
     )
     wall = time.time() - t0
     rd1, wr1, in1 = _shuffle_totals(spark)

@@ -22,9 +22,32 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from itertools import permutations
 
-#: 24 distinct vowel permutations — every copy gets a unique rotation so
-#: no two copies are textually identical (output stays ~linear in scale)
+#: 24 distinct vowel permutations (every permutation keeps vowels
+#: vowels, so stopword/fluency statistics survive the rotation)
 ROTS = ["".join(p) for p in permutations("aeiou")][:24]
+
+#: VERDICT r4 #5: a SECOND independent transform family so copies past
+#: 24x stay textually distinct — per-copy consonant permutations over
+#: 'bcdfg'.  120 permutations x 24 vowel rotations = 2880 distinct
+#: (vowel, consonant) combos, enough for a 256x (and beyond) rehearsal
+#: with meaningful dedup retention.  permutations() yields the identity
+#: first, so copies 0-23 are byte-identical to the pre-r5 generator
+#: (probe rows stay comparable).  Both families are char->char
+#: translates: length, token boundaries, punctuation, alpha ratio, and
+#: word-length distributions are all preserved — only the token
+#: identities change, which is exactly what de-correlates near-dup
+#: structure without perturbing the quality statistics under test.
+CROTS = ["".join(p) for p in permutations("bcdfg")]
+
+
+def _decorrelate(text_col, i: int):
+    """Per-copy deterministic de-correlation: vowel rotation i%24 +
+    consonant rotation (i//24)%120 — unique combo for i < 2880."""
+    rotated = F.translate(text_col, "aeiou", ROTS[i % len(ROTS)])
+    ci = (i // len(ROTS)) % len(CROTS)
+    if ci:
+        rotated = F.translate(rotated, "bcdfg", CROTS[ci])
+    return rotated
 
 
 def scaled_docs(spark, sf_dir: str, scale: int):
@@ -37,7 +60,7 @@ def scaled_docs(spark, sf_dir: str, scale: int):
         parts.append(
             base.select(
                 (F.col("doc_id") + i * 10_000_000).alias("doc_id"),
-                F.translate("text", "aeiou", ROTS[i % len(ROTS)]).alias("text"),
+                _decorrelate(F.col("text"), i).alias("text"),
                 "lang",
             )
         )
@@ -59,7 +82,7 @@ def scaled_docs_src(spark, sf_dir: str, scale: int):
         parts.append(
             base.select(
                 (F.col("doc_id") + i * 10_000_000).alias("doc_id"),
-                F.translate("text", "aeiou", ROTS[i % len(ROTS)]).alias("text"),
+                _decorrelate(F.col("text"), i).alias("text"),
                 "lang",
                 "source",
             )
@@ -735,6 +758,34 @@ def main() -> None:
         return u.select(
             F.datediff("last_ts", "first_ts").alias("dur")
         ).groupBy("dur").count().collect()
+
+    # VERDICT r4 #2: bpe_train carries incremental segmented state and
+    # applies only the newest merge per iteration, so per-merge cost must
+    # be near-CONSTANT in n_merges (the old form re-applied all i-1
+    # merges per iteration: O(n_merges^2) per word).  Probe: train 50 vs
+    # 200 merges on the 16x corpus vocabulary — linear per-iteration
+    # cost means sec(200)/sec(50) ~ 4, quadratic would show ~16.
+    if not only or "bpe_train" in only:
+        from lwetl_spark.operators.bpe import bpe_train, word_vocab
+
+        df16, n_docs = scaled_docs(spark, sf_dir, 16)
+        vocab = word_vocab(df16).persist()
+        n_words = vocab.count()
+        for n_merges in (50, 200):
+            t0 = time.time()
+            merges = bpe_train(vocab, n_merges=n_merges, min_freq=2)
+            dt = time.time() - t0
+            print(
+                json.dumps(
+                    {"op": "bpe_train", "scale": 16, "docs": n_docs,
+                     "vocab_words": n_words, "merges": len(merges),
+                     "sec": round(dt, 2),
+                     "sec_per_merge": round(dt / max(len(merges), 1), 3)}
+                ),
+                flush=True,
+            )
+        vocab.unpersist()
+        spark.catalog.clearCache()
 
     event_ops_r4 = {"markov_chain": _markov_probe, "survival_agg": _survival_probe}
     for op_name, fn in event_ops_r4.items():
