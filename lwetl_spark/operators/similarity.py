@@ -1408,6 +1408,7 @@ def mmr_diversify(
     id_col: str = "doc_id",
     rel_col: str = "rel",
     vec_col: str = "embedding",
+    with_diversity: bool = False,
 ) -> DataFrame:
     """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
     SIGIR 1998): greedily pick `k` of each query's candidates maximizing
@@ -1417,7 +1418,12 @@ def mmr_diversify(
 
     Input: per-query candidate rows (query_col, id_col, rel_col,
     vec_col).  Returns (query_col, id_col, mmr_rank, rel) — `k` rows per
-    query in selection order.  Ties break on id for determinism.
+    query in selection order.  Ties break on id for determinism.  With
+    ``with_diversity=True`` a ``sel_avg_cos`` column is appended: the
+    mean pairwise cosine among the selected set (constant per query,
+    NaN when fewer than 2 picks), computed from the S matrix the greedy
+    loop already holds — callers measuring diversity (x_mmr's contract)
+    need no join back to the embeddings table.
 
     Scale: one `applyInPandas` per QUERY GROUP — the greedy loop and the
     O(c²) pairwise-cosine matrix live on a candidate list that is
@@ -1451,14 +1457,21 @@ def mmr_diversify(
             score = lam * rel[avail] - (1.0 - lam) * penal
             j = int(np.argmax(score))  # first max = lowest doc_id (sorted)
             chosen.append(avail.pop(j))
-        return pd.DataFrame(
-            {
-                "query_id": pdf["q"].iloc[chosen].to_numpy(),
-                "doc_id": pdf["doc_id"].iloc[chosen].to_numpy(),
-                "mmr_rank": np.arange(1, len(chosen) + 1, dtype=np.int64),
-                "rel": rel[chosen],
-            }
-        )
+        out = {
+            "query_id": pdf["q"].iloc[chosen].to_numpy(),
+            "doc_id": pdf["doc_id"].iloc[chosen].to_numpy(),
+            "mmr_rank": np.arange(1, len(chosen) + 1, dtype=np.int64),
+            "rel": rel[chosen],
+        }
+        if with_diversity:
+            if len(chosen) >= 2:
+                sub = S[np.ix_(chosen, chosen)]
+                iu = np.triu_indices(len(chosen), 1)
+                avg = float(sub[iu].mean())
+            else:
+                avg = float("nan")
+            out["sel_avg_cos"] = np.full(len(chosen), avg)
+        return pd.DataFrame(out)
 
     base = candidates.select(
         F.col(query_col).alias("q"),
@@ -1473,13 +1486,13 @@ def mmr_diversify(
         f"query_id {dtypes['q']}, doc_id {dtypes['doc_id']}, "
         "mmr_rank long, rel double"
     )
-    return (
-        base.groupBy("q")
-        .applyInPandas(pick, out_schema)
-        .select(
-            F.col("query_id").alias(query_col),
-            F.col("doc_id").alias(id_col),
-            "mmr_rank",
-            "rel",
-        )
-    )
+    out_cols = [
+        F.col("query_id").alias(query_col),
+        F.col("doc_id").alias(id_col),
+        F.col("mmr_rank"),
+        F.col("rel"),
+    ]
+    if with_diversity:
+        out_schema += ", sel_avg_cos double"
+        out_cols.append(F.col("sel_avg_cos"))
+    return base.groupBy("q").applyInPandas(pick, out_schema).select(*out_cols)
