@@ -427,3 +427,157 @@ def update_text_index(
         .localCheckpoint(eager=True)
     )
     stats.write.mode("overwrite").parquet(f"{path}/stats")
+
+
+def compact_text_index(
+    spark,
+    path: str,
+    replacement_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Replace already-indexed documents' content in a persisted text
+    index — the compaction half of the append-only contract
+    (`update_text_index` refuses re-entering ids; CHANGED crawl docs
+    defer here, see operators/incremental.ingest_increment).
+
+    Semantics: for every id in ``replacement_docs``, the old postings /
+    doclen rows vanish and the new content's rows take their place;
+    afterwards the index is row-identical to a from-scratch build where
+    those ids always had the new content (pinned by test_retrieval).
+
+    Cost model — compaction is the RARE maintenance pass, sized by what
+    it must touch and nothing more, except one honest full-scan:
+
+    - postings: finding the old rows of the replaced ids requires one
+      full postings READ (the index is term-partitioned, not
+      doc-partitioned — the classic inverted-index trade; a 100 TB
+      deployment amortizes this by batching deferred changes).  The
+      WRITE is bounded: only buckets containing an old or new token of
+      a replaced doc dynamic-overwrite; untouched buckets keep their
+      files.
+    - df: recomputed as old − removed-contribution + added-contribution
+      per token; only affected buckets rewrite.
+    - doclen: one filter-out + append-union overwrite pass ((doc_id,
+      dl) longs — corpus-COUNT-sized, not corpus-TEXT-sized).
+    - stats: one bounded agg, as in build/update.
+    """
+    from pyspark.sql.utils import AnalysisException  # noqa: F401
+
+    tf_new, _, _ = doc_term_stats(
+        replacement_docs, id_col=id_col, text_col=text_col
+    )
+    tf_new = tf_new.localCheckpoint(eager=True)  # tokenize once
+    ids = replacement_docs.select(
+        F.col(id_col).alias("doc_id")
+    ).localCheckpoint(eager=True)
+
+    bucket = F.pmod(F.xxhash64("tok"), F.lit(_INDEX_BUCKETS)).alias("bucket")
+    postings = spark.read.parquet(f"{path}/postings")
+    # one full read, bounded output: the replaced ids' old rows
+    tf_old = postings.join(ids, "doc_id", "left_semi").drop("bucket")
+    tf_old = tf_old.localCheckpoint(eager=True)
+
+    affected = [
+        r["b"]
+        for r in tf_old.unionByName(tf_new)
+        .select(F.pmod(F.xxhash64("tok"), F.lit(_INDEX_BUCKETS)).alias("b"))
+        .distinct()
+        .collect()
+    ]  # bounded: at most 256 values
+    if not affected:
+        return
+
+    # postings: affected buckets rewrite as (old-bucket-rows minus
+    # replaced ids) + new rows; untouched buckets keep their files
+    kept = (
+        postings.filter(F.col("bucket").isin(affected))
+        .drop("bucket")
+        .join(ids, "doc_id", "left_anti")
+    )
+    merged_tf = (
+        kept.unionByName(tf_new)
+        .withColumn("bucket", bucket)
+        # eager: the dynamic-overwrite must not race its own scan
+        .localCheckpoint(eager=True)
+    )
+
+    # df: old − removed + added, per token within affected buckets
+    old_df = (
+        spark.read.parquet(f"{path}/df")
+        .filter(F.col("bucket").isin(affected))
+        .drop("bucket")
+    )
+    rem_df = tf_old.groupBy("tok").agg(F.count("*").alias("_rem"))
+    add_df = tf_new.groupBy("tok").agg(F.count("*").alias("_add"))
+    merged_df = (
+        # full outer: a replacement can introduce tokens new to the
+        # bucket (no old_df row) — they must still enter with df=_add
+        old_df.join(rem_df, "tok", "full_outer")
+        .join(add_df, "tok", "full_outer")
+        .select(
+            "tok",
+            (
+                F.coalesce(F.col("df"), F.lit(0))
+                - F.coalesce(F.col("_rem"), F.lit(0))
+                + F.coalesce(F.col("_add"), F.lit(0))
+            ).alias("df"),
+        )
+        .filter(F.col("df") > 0)
+        .withColumn("bucket", bucket)
+        .localCheckpoint(eager=True)
+    )
+
+    # dynamic partition overwrite cannot DELETE a bucket whose rows all
+    # belonged to replaced docs (no rows for it in the written frame →
+    # the stale partition would survive).  When that rare case appears,
+    # fall back to a full static overwrite of that table (the replaced
+    # set must then have owned a whole hash bucket's vocabulary — a
+    # tiny index; at real scale every bucket keeps other docs' rows).
+    def _overwrite(frame: DataFrame, table: str) -> None:
+        present = {
+            r["bucket"] for r in frame.select("bucket").distinct().collect()
+        }
+        if set(affected) - present:
+            full = (
+                spark.read.parquet(f"{path}/{table}")
+                .filter(~F.col("bucket").isin(affected))
+                .unionByName(frame)
+                .localCheckpoint(eager=True)
+            )
+            full.repartition("bucket").write.mode("overwrite").partitionBy(
+                "bucket"
+            ).parquet(f"{path}/{table}")
+            return
+        prev = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            frame.repartition("bucket").write.mode("overwrite").partitionBy(
+                "bucket"
+            ).parquet(f"{path}/{table}")
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    _overwrite(merged_tf, "postings")
+    _overwrite(merged_df, "df")
+
+    # doclen: filter-out + union overwrite (one (doc_id, dl)-sized pass)
+    dl_new = tf_new.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    dl_merged = (
+        spark.read.parquet(f"{path}/doclen")
+        .join(ids, "doc_id", "left_anti")
+        .unionByName(dl_new)
+        .localCheckpoint(eager=True)
+    )
+    dl_merged.write.mode("overwrite").parquet(f"{path}/doclen")
+    stats = (
+        spark.read.parquet(f"{path}/doclen")
+        .agg(
+            F.count("*").alias("n"),
+            F.expr("1000 * sum(dl) div count(*)").alias("adl_m"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    stats.write.mode("overwrite").parquet(f"{path}/stats")

@@ -265,7 +265,10 @@ def test_ingest_increment_campaign_equals_rebuild(spark, tmp_path):
     index = str(tmp_path / "index")
 
     s0 = ingest_increment(spark, snap0, manifest, state, index)
-    assert s0 == {"n_snapshot": 5, "n_new_or_changed": 5, "n_admitted": 5}
+    assert s0 == {
+        "n_snapshot": 5, "n_new_or_changed": 5, "n_admitted": 5,
+        "n_compacted": 0,
+    }
 
     # day 1: ids 0-4 unchanged (re-crawled), 5 removed is impossible in a
     # superset crawl so drop id 4 instead (removed), new ids 10-13:
@@ -324,6 +327,106 @@ def test_ingest_increment_campaign_equals_rebuild(spark, tmp_path):
     gf = sorted(map(tuple, query_text_index(spark, full, q, k=10).collect()))
     assert gi == gf and gi
 
-    # idempotence: replaying the same snapshot admits nothing
+    # idempotence: replaying the same snapshot admits nothing — but the
+    # DEFERRED change (doc 3) keeps resurfacing as changed because the
+    # manifest intentionally holds its old digest until it is applied
     s2 = ingest_increment(spark, snap1, manifest, state, index)
-    assert s2["n_admitted"] == 0 and s2["n_new_or_changed"] == 0
+    assert s2["n_admitted"] == 0 and s2["n_new_or_changed"] == 1
+
+    # day 2 with compact_changed=True: doc 3's deferred change (still
+    # present in the crawl) now compacts — its index entry is replaced
+    # in-place, its state fingerprint follows, and the index equals a
+    # rebuild where doc 3 always had the new content
+    s3 = ingest_increment(
+        spark, snap1, manifest, state, index, compact_changed=True
+    )
+    assert s3["n_admitted"] == 0 and s3["n_compacted"] == 1
+
+    full2 = str(tmp_path / "full2")
+    build_text_index(
+        snap0.filter(F.col("doc_id") != 3)
+        .unionByName(snap1.filter(F.col("doc_id").isin(3, 10, 12)))
+        .filter(F.col("doc_id").isin(list(admitted))),
+        full2,
+    )
+    for part in ("postings", "df", "doclen", "stats"):
+        got = sorted(
+            map(tuple, spark.read.parquet(f"{index}/{part}").drop("bucket").collect())
+        )
+        want = sorted(
+            map(tuple, spark.read.parquet(f"{full2}/{part}").drop("bucket").collect())
+        )
+        assert got == want, f"{part} diverged after compacting the change"
+    # replay again: the change is applied, nothing left to compact
+    s4 = ingest_increment(
+        spark, snap1, manifest, state, index, compact_changed=True
+    )
+    assert s4["n_compacted"] == 0 and s4["n_admitted"] == 0
+
+
+def test_compact_text_index_replaces_changed_docs(spark, tmp_path):
+    """compact_text_index: after replacing changed docs' content, the
+    index must be row-identical to a from-scratch build where those ids
+    always had the new content — the compaction half of the append-only
+    contract (ingest_increment defers changed docs here).  Also pins
+    the empty-bucket fallback: replacing EVERY doc (all buckets turn
+    over, dynamic overwrite alone could strand stale partitions) still
+    converges to the rebuild."""
+    from pyspark.sql import functions as F
+
+    from lwetl_spark.catalog import load_table
+    from lwetl_spark.operators.retrieval import (
+        build_text_index,
+        compact_text_index,
+        query_text_index,
+    )
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    changed = docs.filter(F.col("doc_id") % 10 == 3).select(
+        "doc_id", F.concat(F.lit("revised edition "), F.col("text")).alias("text")
+    )
+
+    inc = str(tmp_path / "inc")
+    full = str(tmp_path / "full")
+    build_text_index(docs, inc)
+    compact_text_index(spark, inc, changed)
+    build_text_index(
+        docs.filter(F.col("doc_id") % 10 != 3).unionByName(changed), full
+    )
+    for part in ("postings", "df", "doclen", "stats"):
+        got = sorted(
+            map(tuple, spark.read.parquet(f"{inc}/{part}").drop("bucket").collect())
+        )
+        want = sorted(
+            map(tuple, spark.read.parquet(f"{full}/{part}").drop("bucket").collect())
+        )
+        assert got == want, f"{part} diverged after compaction"
+    q = spark.createDataFrame(
+        [(1, "revised"), (1, "data"), (2, "table")], "query_id int, term string"
+    )
+    gi = sorted(map(tuple, query_text_index(spark, inc, q, k=10).collect()))
+    gf = sorted(map(tuple, query_text_index(spark, full, q, k=10).collect()))
+    assert gi == gf and gi
+
+    # total-turnover case: tiny index, every doc replaced with content
+    # whose tokens land in DIFFERENT buckets -> old buckets must vanish
+    tiny = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")], "doc_id long, text string"
+    )
+    tiny2 = spark.createDataFrame(
+        [(1, "epsilon zeta"), (2, "eta theta")], "doc_id long, text string"
+    )
+    t_inc = str(tmp_path / "tiny_inc")
+    t_full = str(tmp_path / "tiny_full")
+    build_text_index(tiny, t_inc)
+    compact_text_index(spark, t_inc, tiny2)
+    build_text_index(tiny2, t_full)
+    for part in ("postings", "df", "doclen", "stats"):
+        got = sorted(
+            map(tuple, spark.read.parquet(f"{t_inc}/{part}").drop("bucket").collect())
+        )
+        want = sorted(
+            map(tuple, spark.read.parquet(f"{t_full}/{part}").drop("bucket").collect())
+        )
+        assert got == want, f"tiny {part} kept stale rows"
