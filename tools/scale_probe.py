@@ -759,6 +759,9 @@ def main() -> None:
             F.datediff("last_ts", "first_ts").alias("dur")
         ).groupBy("dur").count().collect()
 
+    if not only or "ingest_increment" in only:
+        campaign_probe(spark, sf_dir)
+
     # VERDICT r4 #2: bpe_train carries incremental segmented state and
     # applies only the newest merge per iteration, so per-merge cost must
     # be near-CONSTANT in n_merges (the old form re-applied all i-1
@@ -811,3 +814,54 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
+
+
+def campaign_probe(spark, sf_dir: str) -> None:
+    """VERDICT r4 #8 follow-through: the daily-crawl increment's cost
+    must be O(delta), not O(corpus).  Protocol: bootstrap the campaign
+    state on a 1x/4x/16x corpus, then ingest the SAME fixed ~2k-doc
+    delta into each — increment wall time should stay near-flat as the
+    pre-existing corpus grows 16x (the whole point of incremental
+    maintenance; a rebuild-shaped implementation would scale with the
+    corpus instead)."""
+    import shutil
+    import tempfile
+
+    from lwetl_spark.operators.incremental import ingest_increment
+
+    for scale in (1, 4, 16):
+        base, n_docs = scaled_docs(spark, sf_dir, scale)
+        base = base.select("doc_id", "text")
+        # fixed-size delta: 2k new docs de-correlated from every corpus
+        # copy (rotation combos far past the corpus's range)
+        delta_src, _ = scaled_docs(spark, sf_dir, 1)
+        delta = (
+            delta_src.select(
+                (F.col("doc_id") + 900_000_000).alias("doc_id"),
+                F.translate(
+                    F.translate("text", "aeiou", ROTS[23]), "bcdfg", CROTS[119]
+                ).alias("text"),
+            )
+            .orderBy("doc_id")
+            .limit(2000)
+        )
+        work = tempfile.mkdtemp(prefix="campaign_probe_")
+        man, st, idx = f"{work}/manifest", f"{work}/state", f"{work}/index"
+        t0 = time.time()
+        ingest_increment(spark, base, man, st, idx)
+        t_boot = time.time() - t0
+        snapshot2 = base.unionByName(delta)
+        t0 = time.time()
+        stats = ingest_increment(spark, snapshot2, man, st, idx)
+        t_inc = time.time() - t0
+        shutil.rmtree(work, ignore_errors=True)
+        spark.catalog.clearCache()
+        print(
+            json.dumps(
+                {"op": "ingest_increment", "scale": scale, "corpus_docs": n_docs,
+                 "delta_docs": 2000, "bootstrap_sec": round(t_boot, 2),
+                 "increment_sec": round(t_inc, 2),
+                 "n_admitted": stats["n_admitted"]}
+            ),
+            flush=True,
+        )
