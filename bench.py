@@ -75,6 +75,26 @@ EXTENDED = [
 ]
 
 
+def _dedup_clusters(spark, sf_dir):
+    """Bench surface for x_dedup_clusters: MinHash-LSH candidate pairs →
+    connected components — the pairs→clusters composition a 100 TB run
+    executes.  The queries() entry instead lists EXACT 1-gram Jaccard
+    pairs (portable, DuckDB-reproducible oracle), which is inherently
+    quadratic-output on the template-heavy synthetic corpus (~3M pairs
+    at sf0.1, 128 s) — benching that times the oracle workload, not the
+    engine's scale path."""
+    from lwetl_spark.catalog import load_table
+    from lwetl_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
+
+    pairs = minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.5
+    ).select("id_a", "id_b")
+    return connected_components(pairs)
+
+
 def _pq_ann(spark, sf_dir):
     """Bench surface for x_ann_pq: the raw PQ top-k operator.  The
     queries() entry wraps it in a recall contract that ALSO runs the
@@ -115,6 +135,7 @@ def _curate_chain(spark, sf_dir):
 
 BENCH_OVERRIDES = {
     "x_dedup_minhash": _minhash_pairs,
+    "x_dedup_clusters": _dedup_clusters,
     "x_ann_pq": _pq_ann,
     "curate_chain": _curate_chain,
 }
