@@ -430,3 +430,60 @@ def test_compact_text_index_replaces_changed_docs(spark, tmp_path):
             map(tuple, spark.read.parquet(f"{t_full}/{part}").drop("bucket").collect())
         )
         assert got == want, f"tiny {part} kept stale rows"
+
+
+def test_ingest_increment_delta_mode(spark, tmp_path):
+    """snapshot_is_delta=True: a partial batch (only the day's files)
+    must (a) not treat absent ids as removed — the manifest MERGES, so
+    a later full diff still sees every id; (b) admit novel content and
+    reject duplicates exactly as full mode; (c) leave the index equal
+    to full-snapshot mode fed the equivalent superset snapshot."""
+    from pyspark.sql import functions as F
+
+    from lwetl_spark.operators.incremental import ingest_increment
+    from lwetl_spark.operators.retrieval import query_text_index
+
+    texts = {
+        0: "spark shuffles hash partitions across the cluster",
+        1: "sort merge join spills gracefully to local disk",
+        2: "broadcast joins ship the small dimension everywhere",
+    }
+    snap0 = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    delta = spark.createDataFrame(
+        [
+            (10, "adaptive execution coalesces tiny shuffle partitions"),
+            (11, texts[2]),  # duplicate content -> rejected
+        ],
+        "doc_id long, text string",
+    )
+
+    # delta-mode campaign
+    md, sd, xd = (str(tmp_path / p) for p in ("m_d", "s_d", "x_d"))
+    ingest_increment(spark, snap0, md, sd, xd)
+    st = ingest_increment(spark, delta, md, sd, xd, snapshot_is_delta=True)
+    assert st["n_admitted"] == 1 and st["n_new_or_changed"] == 2
+    # manifest merged: day-0 ids survive the partial batch
+    assert {r["doc_id"] for r in spark.read.parquet(md).collect()} == {
+        0, 1, 2, 10, 11
+    }
+
+    # full-mode reference fed the superset snapshot
+    mf, sf, xf = (str(tmp_path / p) for p in ("m_f", "s_f", "x_f"))
+    ingest_increment(spark, snap0, mf, sf, xf)
+    ingest_increment(spark, snap0.unionByName(delta), mf, sf, xf)
+
+    q = spark.createDataFrame(
+        [(1, "shuffle"), (2, "broadcast")], "query_id int, term string"
+    )
+    gd = sorted(map(tuple, query_text_index(spark, xd, q, k=10).collect()))
+    gf = sorted(map(tuple, query_text_index(spark, xf, q, k=10).collect()))
+    assert gd == gf and gd
+
+    # replaying the delta admits nothing and keeps the manifest intact
+    st2 = ingest_increment(spark, delta, md, sd, xd, snapshot_is_delta=True)
+    assert st2["n_admitted"] == 0
+    assert {r["doc_id"] for r in spark.read.parquet(md).collect()} == {
+        0, 1, 2, 10, 11
+    }

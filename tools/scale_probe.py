@@ -812,10 +812,6 @@ def main() -> None:
             )
 
 
-if __name__ == "__main__":
-    main()
-
-
 def campaign_probe(spark, sf_dir: str) -> None:
     """VERDICT r4 #8 follow-through: the daily-crawl increment's cost
     must be O(delta), not O(corpus).  Protocol: bootstrap the campaign
@@ -850,18 +846,37 @@ def campaign_probe(spark, sf_dir: str) -> None:
         t0 = time.time()
         ingest_increment(spark, base, man, st, idx)
         t_boot = time.time() - t0
+        # full-snapshot mode: the crawl re-delivers everything — the
+        # increment must fingerprint the whole snapshot just to diff it
         snapshot2 = base.unionByName(delta)
         t0 = time.time()
         stats = ingest_increment(spark, snapshot2, man, st, idx)
-        t_inc = time.time() - t0
+        t_full = time.time() - t0
+        shutil.rmtree(work, ignore_errors=True)
+        # delta-only mode: the crawl ships just the day's files — the
+        # whole increment is O(delta) and must stay flat across scales
+        work = tempfile.mkdtemp(prefix="campaign_probe_")
+        man, st, idx = f"{work}/manifest", f"{work}/state", f"{work}/index"
+        ingest_increment(spark, base, man, st, idx)
+        t0 = time.time()
+        stats_d = ingest_increment(
+            spark, delta, man, st, idx, snapshot_is_delta=True
+        )
+        t_delta = time.time() - t0
         shutil.rmtree(work, ignore_errors=True)
         spark.catalog.clearCache()
         print(
             json.dumps(
                 {"op": "ingest_increment", "scale": scale, "corpus_docs": n_docs,
                  "delta_docs": 2000, "bootstrap_sec": round(t_boot, 2),
-                 "increment_sec": round(t_inc, 2),
-                 "n_admitted": stats["n_admitted"]}
+                 "full_snapshot_sec": round(t_full, 2),
+                 "delta_only_sec": round(t_delta, 2),
+                 "n_admitted": stats["n_admitted"],
+                 "n_admitted_delta": stats_d["n_admitted"]}
             ),
             flush=True,
         )
+
+
+if __name__ == "__main__":
+    main()
