@@ -779,3 +779,56 @@ def stream_ab_test(
         )
 
     return q, stats
+
+
+def stream_ingest_increment(
+    spark: SparkSession,
+    docs_path: str,
+    manifest_path: str,
+    state_path: str,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_files_per_trigger: int = 2,
+):
+    """Continuous daily-crawl ingestion: every micro-batch of crawled
+    documents runs one delta-mode campaign increment
+    (operators/incremental.ingest_increment, snapshot_is_delta=True) —
+    manifest merge, content dedup against the persisted admitted set,
+    incremental inverted-index update.  The streaming form of the batch
+    campaign, built the stream_dedup_against_corpus way: foreachBatch +
+    persisted parquet state, so a replayed batch is idempotent (its
+    fingerprints are already admitted → nothing re-enters) and the
+    index stays continuously probe-able while ingestion runs.
+
+    Scale shape: each batch's cost is O(batch) + id/digest-keyed joins
+    against state (SCALE.md's campaign table measures the batch form
+    flat across a 16× corpus); batches serialize through foreachBatch,
+    which is exactly the ordering the manifest/state updates need.
+
+    Returns the started StreamingQuery (caller stops it).
+    """
+    from lwetl_spark.operators.incremental import ingest_increment
+
+    schema = spark.read.parquet(docs_path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(docs_path)
+    )
+
+    def sink(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        ingest_increment(
+            batch_df.sparkSession,
+            batch_df.select(id_col, text_col),
+            manifest_path,
+            state_path,
+            index_path,
+            id_col=id_col,
+            text_col=text_col,
+            snapshot_is_delta=True,
+        )
+
+    return stream.writeStream.foreachBatch(sink).start()

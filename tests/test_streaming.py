@@ -585,3 +585,71 @@ def test_stream_ab_test_matches_batch(spark, tmp_path, events_dir):
     )
     want = two_proportion_z2(batch_u).collect()[0]
     assert tuple(got) == tuple(want)
+
+
+def test_stream_ingest_increment_continuous_campaign(spark, tmp_path):
+    """Streaming daily-crawl campaign: files arriving as micro-batches
+    run delta-mode increments — duplicate content across batches never
+    admits twice, the manifest accumulates every seen id, and the final
+    index is row-identical to a from-scratch build over the admitted
+    docs (the same equivalence contract as the batch campaign)."""
+    from pyspark.sql import functions as F2
+
+    from lwetl_spark.operators.retrieval import build_text_index, query_text_index
+    from lwetl_spark.streaming.pipeline import stream_ingest_increment
+
+    docs_dir = str(tmp_path / "docs")
+    man, st, idx = (str(tmp_path / p) for p in ("manifest", "state", "index"))
+
+    texts = {
+        1: "spark shuffles hash partitions across the cluster",
+        2: "sort merge join spills gracefully to local disk",
+        3: "broadcast joins ship the small dimension everywhere",
+        4: "window functions rank rows inside each partition",
+    }
+    spark.createDataFrame(
+        [(1, texts[1]), (2, texts[2])], "doc_id long, text string"
+    ).coalesce(1).write.parquet(docs_dir)
+    # batch 2: one new doc + one cross-batch duplicate of doc 1
+    spark.createDataFrame(
+        [(3, texts[3]), (10, texts[1])], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(docs_dir)
+    # batch 3: new doc + in-batch duplicate pair (min id 4 wins)
+    spark.createDataFrame(
+        [(4, texts[4]), (5, texts[4])], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(docs_dir)
+
+    q = stream_ingest_increment(
+        spark, docs_dir, man, st, idx, max_files_per_trigger=1
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    admitted = {r["doc_id"] for r in spark.read.parquet(st).collect()}
+    assert admitted == {1, 2, 3, 4}
+    seen = {r["doc_id"] for r in spark.read.parquet(man).collect()}
+    assert seen == {1, 2, 3, 4, 5, 10}
+
+    full = str(tmp_path / "full")
+    build_text_index(
+        spark.createDataFrame(
+            [(i, texts[i]) for i in (1, 2, 3, 4)], "doc_id long, text string"
+        ),
+        full,
+    )
+    for part in ("postings", "df", "doclen", "stats"):
+        got = sorted(
+            map(tuple, spark.read.parquet(f"{idx}/{part}").drop("bucket").collect())
+        )
+        want = sorted(
+            map(tuple, spark.read.parquet(f"{full}/{part}").drop("bucket").collect())
+        )
+        assert got == want, f"{part} diverged from rebuild"
+    qd = spark.createDataFrame(
+        [(1, "shuffle"), (2, "rank")], "query_id int, term string"
+    )
+    gi = sorted(map(tuple, query_text_index(spark, idx, qd, k=10).collect()))
+    gf = sorted(map(tuple, query_text_index(spark, full, qd, k=10).collect()))
+    assert gi == gf and gi
