@@ -85,8 +85,9 @@ def main() -> None:
     )
     query_text_index(spark, index, q, k=5).show(15, truncate=False)
 
+    # no spark.stop(): get_spark() shares the session (test harness runs
+    # examples in-process); standalone runs clean up at process exit
     shutil.rmtree(work, ignore_errors=True)
-    spark.stop()
 
 
 if __name__ == "__main__":

@@ -125,6 +125,7 @@ def ingest_increment(
     text_col: str = "text",
     compact_changed: bool = False,
     snapshot_is_delta: bool = False,
+    retire_removed: bool = False,
 ) -> dict:
     """One daily-crawl increment, composed end-to-end (VERDICT r4 #8):
 
@@ -165,6 +166,16 @@ def ingest_increment(
     compact_text_index's cost model), so a 100 TB campaign batches it
     (weekly, or when the deferred count crosses a threshold) rather
     than per-increment — the flag exists for exactly that scheduling.
+
+    ``retire_removed=True`` (full-snapshot mode only — a delta batch
+    carries no removal signal) additionally PURGES ``removed`` ids that
+    are in the index: operators/retrieval.remove_from_index drops their
+    postings/doclen rows and decrements df, and their state
+    fingerprints vanish, so a re-crawl of the same content under a new
+    id admits fresh.  The weekly full snapshot is exactly where
+    takedowns/404s must take effect; like compaction it pays one
+    postings read, so the two maintenance passes batch naturally
+    together.
 
     ``snapshot_is_delta=True`` declares the snapshot a PARTIAL batch
     (only the day's new/re-crawled files, the usual crawl delivery):
@@ -295,6 +306,29 @@ def ingest_increment(
             )
             new_state.write.mode("overwrite").parquet(state_path)
 
+    n_retired = 0
+    if retire_removed and have_manifest and not snapshot_is_delta:
+        from lwetl_spark.operators.retrieval import remove_from_index
+
+        try:
+            state_now = spark.read.parquet(state_path)
+        except Exception:
+            state_now = None
+        if state_now is not None:
+            removed = (
+                diff.filter(F.col("status") == "removed")
+                .select(id_col)
+                .join(state_now.select(id_col), id_col, "left_semi")
+                .localCheckpoint(eager=True)
+            )
+            n_retired = removed.count()
+            if n_retired:
+                remove_from_index(spark, index_path, removed, id_col=id_col)
+                kept_state = state_now.join(
+                    removed, id_col, "left_anti"
+                ).localCheckpoint(eager=True)
+                kept_state.write.mode("overwrite").parquet(state_path)
+
     # the manifest advances to the new snapshot (diff basis) — replaced
     # wholesale in full-snapshot mode, MERGED (untouched old ids keep
     # their rows) in delta mode.  EXCEPTION in both modes: ids whose
@@ -334,4 +368,5 @@ def ingest_increment(
         "n_new_or_changed": n_fresh,
         "n_admitted": n_admitted,
         "n_compacted": n_compacted,
+        "n_retired": n_retired,
     }

@@ -435,6 +435,7 @@ def compact_text_index(
     replacement_docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    remove_ids: DataFrame | None = None,
 ) -> None:
     """Replace already-indexed documents' content in a persisted text
     index — the compaction half of the append-only contract
@@ -461,6 +462,11 @@ def compact_text_index(
     - doclen: one filter-out + append-union overwrite pass ((doc_id,
       dl) longs — corpus-COUNT-sized, not corpus-TEXT-sized).
     - stats: one bounded agg, as in build/update.
+
+    ``remove_ids`` (a one-column DataFrame of ids) additionally PURGES
+    documents outright — their rows vanish with no replacement (the
+    "removed" half of a full-snapshot crawl diff; see
+    :func:`remove_from_index`).
     """
     from pyspark.sql.utils import AnalysisException  # noqa: F401
 
@@ -468,9 +474,12 @@ def compact_text_index(
         replacement_docs, id_col=id_col, text_col=text_col
     )
     tf_new = tf_new.localCheckpoint(eager=True)  # tokenize once
-    ids = replacement_docs.select(
-        F.col(id_col).alias("doc_id")
-    ).localCheckpoint(eager=True)
+    ids = replacement_docs.select(F.col(id_col).alias("doc_id"))
+    if remove_ids is not None:
+        ids = ids.unionByName(
+            remove_ids.select(F.col(remove_ids.columns[0]).alias("doc_id"))
+        ).distinct()
+    ids = ids.localCheckpoint(eager=True)
 
     bucket = F.pmod(F.xxhash64("tok"), F.lit(_INDEX_BUCKETS)).alias("bucket")
     postings = spark.read.parquet(f"{path}/postings")
@@ -581,3 +590,24 @@ def compact_text_index(
         .localCheckpoint(eager=True)
     )
     stats.write.mode("overwrite").parquet(f"{path}/stats")
+
+
+def remove_from_index(
+    spark,
+    path: str,
+    ids: DataFrame,
+    id_col: str = "doc_id",
+) -> None:
+    """Purge documents from a persisted text index — the "removed" half
+    of a full-snapshot crawl diff (404s, takedowns, robots changes).
+    Delegates to :func:`compact_text_index` with an empty replacement
+    set: postings/doclen rows for the ids vanish, df decrements (tokens
+    reaching 0 drop out), stats recompute; afterwards the index is
+    row-identical to a from-scratch build without those docs (pinned by
+    test_retrieval).  Same cost model as compaction: one postings read,
+    bounded bucket rewrites."""
+    id_type = ids.schema[0].dataType.simpleString()
+    empty = spark.createDataFrame([], f"{id_col} {id_type}, text string")
+    compact_text_index(
+        spark, path, empty, id_col=id_col, text_col="text", remove_ids=ids
+    )

@@ -16,6 +16,7 @@ EXAMPLES = [
     "extract_binaries",
     "ann_search",
     "hybrid_search",
+    "daily_increment",
 ]
 
 

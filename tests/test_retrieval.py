@@ -487,3 +487,62 @@ def test_ingest_increment_delta_mode(spark, tmp_path):
     assert {r["doc_id"] for r in spark.read.parquet(md).collect()} == {
         0, 1, 2, 10, 11
     }
+
+
+def test_ingest_increment_retire_removed(spark, tmp_path):
+    """retire_removed=True: ids absent from a full snapshot purge from
+    index + state (remove_from_index), the index equals a rebuild
+    without them, and a later re-crawl of the SAME content under a new
+    id admits fresh (its fingerprint left the admitted set with the
+    retirement)."""
+    from pyspark.sql import functions as F
+
+    from lwetl_spark.operators.incremental import ingest_increment
+    from lwetl_spark.operators.retrieval import (
+        build_text_index,
+        query_text_index,
+    )
+
+    texts = {
+        1: "spark shuffles hash partitions across the cluster",
+        2: "sort merge join spills gracefully to local disk",
+        3: "broadcast joins ship the small dimension everywhere",
+    }
+    snap0 = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    man, st, idx = (str(tmp_path / p) for p in ("m", "s", "x"))
+    ingest_increment(spark, snap0, man, st, idx)
+
+    # day 1: doc 2 vanishes from the crawl (takedown)
+    snap1 = snap0.filter(F.col("doc_id") != 2)
+    s1 = ingest_increment(spark, snap1, man, st, idx, retire_removed=True)
+    assert s1["n_retired"] == 1 and s1["n_admitted"] == 0
+
+    assert {r["doc_id"] for r in spark.read.parquet(st).collect()} == {1, 3}
+    full = str(tmp_path / "full")
+    build_text_index(snap1, full)
+    for part in ("postings", "df", "doclen", "stats"):
+        got = sorted(
+            map(tuple, spark.read.parquet(f"{idx}/{part}").drop("bucket").collect())
+        )
+        want = sorted(
+            map(tuple, spark.read.parquet(f"{full}/{part}").drop("bucket").collect())
+        )
+        assert got == want, f"{part} kept retired rows"
+
+    # day 2: the taken-down CONTENT re-crawls under a new id — its
+    # fingerprint is gone from the admitted set, so it admits fresh
+    snap2 = snap1.unionByName(
+        spark.createDataFrame([(20, texts[2])], "doc_id long, text string")
+    )
+    s2 = ingest_increment(spark, snap2, man, st, idx, retire_removed=True)
+    assert s2["n_admitted"] == 1 and s2["n_retired"] == 0
+    assert {r["doc_id"] for r in spark.read.parquet(st).collect()} == {1, 3, 20}
+
+    q = spark.createDataFrame([(1, "sort"), (2, "shuffle")], "query_id int, term string")
+    full2 = str(tmp_path / "full2")
+    build_text_index(snap2, full2)
+    gi = sorted(map(tuple, query_text_index(spark, idx, q, k=10).collect()))
+    gf = sorted(map(tuple, query_text_index(spark, full2, q, k=10).collect()))
+    assert gi == gf and gi
