@@ -267,7 +267,7 @@ def test_ingest_increment_campaign_equals_rebuild(spark, tmp_path):
     s0 = ingest_increment(spark, snap0, manifest, state, index)
     assert s0 == {
         "n_snapshot": 5, "n_new_or_changed": 5, "n_admitted": 5,
-        "n_compacted": 0,
+        "n_compacted": 0, "n_retired": 0,
     }
 
     # day 1: ids 0-4 unchanged (re-crawled), 5 removed is impossible in a
