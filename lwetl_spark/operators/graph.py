@@ -26,6 +26,84 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def transitive_root(
+    edges: DataFrame,
+    child: str = "child",
+    parent: str = "parent",
+    max_iters: int = 20,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Resolve every node of a parent-pointer forest to its root:
+    returns (node, root_id, depth) for EVERY node that appears in the
+    edge list (roots included, with depth 0).  The hierarchy-flattening
+    primitive behind org charts, BOM explosions, category trees and
+    reply-thread rollups — the workload SQL engines serve with
+    WITH RECURSIVE, re-expressed for Spark.
+
+    Algorithm: pointer doubling (a.k.a. path halving).  State is one
+    row per node: (node, anc, depth) where ``anc`` is the furthest
+    known ancestor and ``depth`` the exact edge count to it.  Each
+    round self-joins the state on ``anc = other.node`` and composes the
+    two hops, DOUBLING the jump distance — a depth-d forest resolves in
+    ceil(log2 d) rounds, not d.  WITH RECURSIVE walks one level per
+    scan (O(d) passes); at 100 TB a retail category tree of depth 40
+    finishes here in 6 rounds.
+
+    Scale notes:
+    - each round is ONE self-join shuffle keyed on ``anc``; the state
+      never exceeds one row per node (no frontier blow-up — contrast
+      with enumerating all ancestor PAIRS, which is O(n·d)).
+    - rows whose ``anc`` is already a root stop advancing (left join
+      misses), so late rounds shuffle only the unresolved remainder.
+    - lineage doubles per round → ``checkpoint_every`` truncates it
+      with an eager localCheckpoint (the pagerank pattern).
+    - convergence is detected with one count per round on the
+      advanced-row subset; the loop exits as soon as a round advances
+      nothing, so ``max_iters`` is a backstop, not a tuning knob.
+
+    Cycles: a parent cycle never reaches a root; those nodes are
+    dropped after ``max_iters`` (documented contract — feed a DAG).
+    """
+    ptr = edges.select(
+        F.col(child).alias("node"),
+        F.col(parent).alias("anc"),
+        F.lit(1).cast("long").alias("depth"),
+    ).filter(F.col("node") != F.col("anc"))
+    # roots: parents that never appear as a child — they resolve to
+    # themselves at depth 0 and form the join target where walks stop
+    roots = (
+        ptr.select(F.col("anc").alias("node"))
+        .distinct()
+        .join(ptr.select("node").distinct(), "node", "left_anti")
+        .select("node", F.col("node").alias("root_id"), F.lit(0).cast("long").alias("depth"))
+    )
+    internal = ptr.select("node").distinct().persist()
+    for it in range(max_iters):
+        if checkpoint_every and it and it % checkpoint_every == 0:
+            ptr = ptr.localCheckpoint(eager=True)
+        hop = ptr.select(
+            F.col("node").alias("anc"),
+            F.col("anc").alias("anc2"),
+            F.col("depth").alias("d2"),
+        )
+        ptr = ptr.join(hop, "anc", "left").select(
+            "node",
+            F.coalesce(F.col("anc2"), F.col("anc")).alias("anc"),
+            (F.col("depth") + F.coalesce(F.col("d2"), F.lit(0))).alias("depth"),
+        )
+        # converged when no anc is itself a child (i.e. all point at roots)
+        remaining = ptr.join(
+            internal.withColumnRenamed("node", "anc"), "anc", "left_semi"
+        )
+        if remaining.isEmpty():
+            break
+    internal.unpersist()
+    resolved = ptr.join(
+        roots.select(F.col("node").alias("anc")), "anc", "left_semi"
+    ).select("node", F.col("anc").alias("root_id"), "depth")
+    return resolved.unionByName(roots)
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",

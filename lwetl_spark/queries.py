@@ -8137,6 +8137,405 @@ def x_tokenizer_fertility(spark, sf_dir):
     )
 
 
+# ----------------------------------------------------------------------------
+# Round-5 wave: hierarchy flattening (recursive-CTE workload), event-sequence
+# pattern matching, CUSUM change-point scan, day-of-week seasonality,
+# cross-source score normalization, script/charset detection, weighted median
+# ----------------------------------------------------------------------------
+
+
+@register(
+    "x_hierarchy_root",
+    """
+    WITH RECURSIVE walk AS (
+        SELECT c_custkey AS node, c_custkey AS anc, 0 AS depth
+        FROM customer WHERE c_custkey >= 1
+      UNION ALL
+        SELECT node, anc // 10, depth + 1 FROM walk WHERE anc >= 10
+    )
+    SELECT CAST(node AS BIGINT) AS node,
+           CAST(anc AS BIGINT) AS root_id,
+           CAST(depth AS BIGINT) AS depth
+    FROM walk WHERE anc < 10
+    """,
+)
+def x_hierarchy_root(spark, sf_dir):
+    """Flatten a parent-pointer hierarchy to (node, root, depth) — the
+    WITH RECURSIVE workload (org charts, BOM explosion, category
+    rollups) on Spark, which has no recursive SQL.  The forest is the
+    deterministic decimal-truncation tree over customer keys
+    (parent = custkey div 10, roots 1–9); the oracle walks it with a
+    real recursive CTE, so this pins the Spark closure against the SQL
+    engines' native semantics.
+
+    Scale: pointer DOUBLING (operators/graph.transitive_root) — a
+    depth-d forest resolves in ceil(log2 d) self-join rounds, each ONE
+    shuffle on the current-ancestor key with state bounded at one row
+    per node; WITH RECURSIVE's one-level-per-scan plan needs d corpus
+    passes.  Lineage is truncated by localCheckpoint (pagerank
+    pattern)."""
+    from lwetl_spark.operators.graph import transitive_root
+
+    cust = _t(spark, sf_dir, "customer")
+    edges = cust.filter(F.col("c_custkey") >= 10).select(
+        F.col("c_custkey").alias("child"),
+        F.expr("c_custkey div 10").alias("parent"),
+    )
+    out = transitive_root(edges, max_iters=8, checkpoint_every=4)
+    return out.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("root_id").cast("long").alias("root_id"),
+        F.col("depth").cast("long").alias("depth"),
+    )
+
+
+@register(
+    "x_event_pattern",
+    """
+    WITH s AS (
+        SELECT user_id, ts, event_type,
+               LEAD(event_type, 1) OVER w AS e2,
+               LEAD(event_type, 2) OVER w AS e3,
+               LEAD(ts, 2) OVER w AS t3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_matches,
+           MIN(ts) AS first_match_ts
+    FROM s
+    WHERE event_type = 'view' AND e2 = 'click' AND e3 = 'purchase'
+      AND t3 <= ts + INTERVAL 7 DAY
+    GROUP BY user_id
+    """,
+)
+def x_event_pattern(spark, sf_dir):
+    """Event-sequence pattern matching (MATCH_RECOGNIZE's core case):
+    per user, find CONSECUTIVE view→click→purchase triples completing
+    within 7 days — the strict-contiguity complement of x_funnel's
+    stage-reach counting (an intervening event breaks this pattern but
+    not a funnel).  Emits per-user match count + first match time, the
+    conversion-path primitive.
+
+    Scale: ONE shuffle — both LEADs and the final agg share
+    hash(user_id), so the whole pattern scan is a single wide stage;
+    per-row state is two lookahead slots regardless of history length
+    (no per-user event-list materialization)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+        F.lead("ts", 2).over(w).alias("t3"),
+    )
+    hits = s.filter(
+        (F.col("event_type") == "view")
+        & (F.col("e2") == "click")
+        & (F.col("e3") == "purchase")
+        & (F.col("t3") <= F.col("ts") + F.expr("INTERVAL 7 DAY"))
+    )
+    return hits.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_matches"),
+        F.min("ts").alias("first_match_ts"),
+    )
+
+
+@register(
+    "x_cusum",
+    """
+    WITH d AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_cents
+        FROM orders GROUP BY 1
+    ),
+    c AS (
+        SELECT day, rev_cents,
+               SUM(rev_cents) OVER (ORDER BY day) AS run,
+               ROW_NUMBER() OVER (ORDER BY day) AS i,
+               COUNT(*) OVER () AS n,
+               SUM(rev_cents) OVER () AS total
+        FROM d
+    )
+    SELECT day, CAST(rev_cents AS BIGINT) AS rev_cents,
+           CAST(n * run - i * total AS BIGINT) AS cusum_scaled,
+           CAST(CASE WHEN abs(n * run - i * total) =
+                     MAX(abs(n * run - i * total)) OVER () THEN 1 ELSE 0 END
+                AS BIGINT) AS is_peak
+    FROM c
+    """,
+)
+def x_cusum(spark, sf_dir):
+    """CUSUM change-point scan over the daily revenue series: the
+    running sum of deviations from the series mean, whose |max| marks
+    the most likely level-shift day (Page's statistic).  All exact
+    integers: revenue in cents, and the mean-subtraction is scaled by
+    n (cusum_scaled = n·Σ_{≤t} v − t·Σv) so no float division ever
+    happens — hash-identical in any engine.
+
+    Scale: the corpus-sized stage is one day-keyed partial agg
+    (map-side combine onto ≤ calendar-days rows); every window after
+    that runs on the bounded daily table, so the single-partition
+    ordered windows are safe by construction."""
+    o = _t(spark, sf_dir, "orders")
+    d = (
+        o.select(
+            F.col("o_orderdate").cast("date").alias("day"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("day")
+        .agg(F.sum("cents").alias("rev_cents"))
+    )
+    wo = Window.orderBy("day")
+    wall = Window.partitionBy()
+    c = d.select(
+        "day",
+        "rev_cents",
+        F.sum("rev_cents").over(wo.rowsBetween(Window.unboundedPreceding, 0)).alias("run"),
+        F.row_number().over(wo).alias("i"),
+        F.count("*").over(wall).alias("n"),
+        F.sum("rev_cents").over(wall).alias("total"),
+    )
+    c = c.withColumn("cusum_scaled", F.col("n") * F.col("run") - F.col("i") * F.col("total"))
+    return c.select(
+        "day",
+        F.col("rev_cents").cast("long").alias("rev_cents"),
+        F.col("cusum_scaled").cast("long").alias("cusum_scaled"),
+        F.when(
+            F.abs("cusum_scaled") == F.max(F.abs("cusum_scaled")).over(wall), 1
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("is_peak"),
+    )
+
+
+@register(
+    "x_dow_seasonality",
+    """
+    WITH d AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    g AS (
+        SELECT datediff('day', DATE '1970-01-01', day) % 7 AS dow,
+               COUNT(*) AS n, SUM(cents) AS s
+        FROM d GROUP BY 1
+    )
+    SELECT CAST(dow AS BIGINT) AS dow,
+           CAST(n AS BIGINT) AS n_orders,
+           CAST(s AS BIGINT) AS rev_cents,
+           CAST(1000000 * (s // n) // (SUM(s) OVER () // SUM(n) OVER ())
+                AS BIGINT) AS seasonal_ppm
+    FROM g
+    """,
+)
+def x_dow_seasonality(spark, sf_dir):
+    """Day-of-week seasonal index of order revenue: mean revenue per
+    dow over the global mean, as exact-integer ppm (a dow at 1,000,000
+    ppm is exactly average; retail Saturdays run hot).  The weekday is
+    derived arithmetically (days-since-epoch mod 7, 0 = Thursday) —
+    locale- and engine-independent, unlike name-formatting functions.
+
+    Scale: one map-side-combinable agg onto ≤7 rows; the normalization
+    windows run over that 7-row table.  Exact integer division keeps
+    the index hash-portable (documented: loses < 1 cent of mean
+    precision, irrelevant at ppm scale)."""
+    o = _t(spark, sf_dir, "orders")
+    g = (
+        o.select(
+            (
+                F.datediff(F.col("o_orderdate").cast("date"), F.to_date(F.lit("1970-01-01")))
+                % 7
+            ).alias("dow"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("dow")
+        .agg(F.count("*").alias("n"), F.sum("cents").alias("s"))
+    )
+    wall = Window.partitionBy()
+    return g.select(
+        F.col("dow").cast("long").alias("dow"),
+        F.col("n").cast("long").alias("n_orders"),
+        F.col("s").cast("long").alias("rev_cents"),
+        F.expr(
+            "1000000 * (s div n) div "
+            "(sum(s) over () div sum(n) over ())"
+        )
+        .cast("long")
+        .alias("seasonal_ppm"),
+    )
+
+
+@register(
+    "x_score_normalize",
+    """
+    SELECT doc_id, source,
+           round(PERCENT_RANK() OVER
+                     (PARTITION BY source ORDER BY n_chars, doc_id), 6)
+               AS pct_rank,
+           CAST(least(CAST(floor(PERCENT_RANK() OVER
+                     (PARTITION BY source ORDER BY n_chars, doc_id) * 10)
+                 AS BIGINT), 9) AS BIGINT) AS decile
+    FROM documents
+    """,
+)
+def x_score_normalize(spark, sf_dir):
+    """Cross-source quality-score normalization: percent-rank each
+    document's score WITHIN its source, so a threshold like "keep the
+    top 30%" means the same thing for a curated source and a crawl
+    source (raw score distributions are never comparable across
+    sources; rank normalization is the standard fix before mixing).
+    Emits pct_rank + its decile bucket.  percent_rank is the exact
+    rational (rank−1)/(n−1) with a deterministic (score, doc_id) tie
+    order — identical IEEE ops in any engine.
+
+    Scale: one sort-shuffle per source partition (Spark range-sorts
+    within hash(source) — sources are few but large, so this is the
+    one operator here that pays a per-source global sort; for
+    100 TB-scale sources swap in approx-quantile bucket boundaries
+    (x_equi_depth_hist) and broadcast them instead of exact ranks)."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    pr = F.percent_rank().over(w)
+    return docs.select(
+        "doc_id",
+        "source",
+        F.round(pr, 6).alias("pct_rank"),
+        F.least(F.floor(pr * 10), F.lit(9)).cast("long").alias("decile"),
+    )
+
+
+@register(
+    "x_script_detect",
+    r"""
+    WITH c AS (
+        SELECT doc_id,
+               length(text) AS n,
+               length(text) - length(regexp_replace(text, '[a-z]', '', 'g'))
+                   AS n_letter,
+               length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+                   AS n_digit,
+               length(text) - length(regexp_replace(text, '\s', '', 'g'))
+                   AS n_space
+        FROM documents WHERE length(text) > 0
+    )
+    SELECT doc_id,
+           CAST(1000000 * n_letter // n AS BIGINT) AS letter_ppm,
+           CAST(1000000 * n_digit // n AS BIGINT) AS digit_ppm,
+           CAST(1000000 * n_space // n AS BIGINT) AS space_ppm,
+           CAST(1000000 * (n - n_letter - n_digit - n_space) // n AS BIGINT)
+               AS other_ppm,
+           CASE WHEN n_letter >= n_digit
+                 AND n_letter >= (n - n_letter - n_digit - n_space)
+                THEN 'latin'
+                WHEN n_digit >= (n - n_letter - n_digit - n_space)
+                THEN 'numeric' ELSE 'other' END AS script
+    FROM c
+    """,
+)
+def x_script_detect(spark, sf_dir):
+    """Per-document script/charset profile: ASCII-letter, digit,
+    whitespace and other-character ratios (exact-integer ppm) plus a
+    dominant-script label — the cheap first gate of a multilingual
+    crawl pipeline (a "text" document that is 80% 'other' bytes is
+    markup, binary spill, or a non-Latin script headed to a different
+    tokenizer; runs before the n-gram x_lang_id, which assumes the
+    script is already known).  Counts come from length-difference
+    after global regexp_replace — one scan, row-local, zero shuffle.
+
+    Scale: embarrassingly parallel; output is (doc_id, 4 ints, label),
+    so nothing text-sized survives the scan."""
+    docs = _t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    n = F.length("text")
+    c = docs.select(
+        "doc_id",
+        n.alias("n"),
+        (n - F.length(F.regexp_replace("text", "[a-z]", ""))).alias("n_letter"),
+        (n - F.length(F.regexp_replace("text", "[0-9]", ""))).alias("n_digit"),
+        (n - F.length(F.regexp_replace("text", r"\s", ""))).alias("n_space"),
+    )
+    other = F.col("n") - F.col("n_letter") - F.col("n_digit") - F.col("n_space")
+    return c.select(
+        "doc_id",
+        F.expr("1000000 * n_letter div n").cast("long").alias("letter_ppm"),
+        F.expr("1000000 * n_digit div n").cast("long").alias("digit_ppm"),
+        F.expr("1000000 * n_space div n").cast("long").alias("space_ppm"),
+        F.expr("1000000 * (n - n_letter - n_digit - n_space) div n")
+        .cast("long")
+        .alias("other_ppm"),
+        F.when(
+            (F.col("n_letter") >= F.col("n_digit")) & (F.col("n_letter") >= other),
+            F.lit("latin"),
+        )
+        .when(F.col("n_digit") >= other, F.lit("numeric"))
+        .otherwise(F.lit("other"))
+        .alias("script"),
+    )
+
+
+@register(
+    "x_weighted_median",
+    """
+    WITH d AS (
+        SELECT l_returnflag AS flag,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+               CAST(l_quantity AS BIGINT) AS w
+        FROM lineitem
+    ),
+    g AS (
+        SELECT flag, price_cents, SUM(w) AS w FROM d GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT flag, price_cents, w,
+               SUM(w) OVER (PARTITION BY flag ORDER BY price_cents) AS cw,
+               SUM(w) OVER (PARTITION BY flag) AS tw
+        FROM g
+    )
+    SELECT flag, CAST(MIN(price_cents) AS BIGINT) AS wmedian_cents
+    FROM c WHERE 2 * cw >= tw GROUP BY flag
+    """,
+)
+def x_weighted_median(spark, sf_dir):
+    """Quantity-weighted median line price per return flag: the
+    smallest price where cumulative quantity reaches half the total —
+    the robust "typical unit price" no built-in aggregate computes
+    (percentile functions weight rows, not quantities).  All exact
+    integers (cents, integral quantities): hash-identical cross-engine.
+
+    Scale: duplicate prices merge in a map-side-combinable pre-agg
+    BEFORE the window, so the per-flag cumulative scan runs over
+    distinct prices only; the window partitions by flag (bounded
+    fan-in ≤ distinct prices, not lineitems).  For truly unbounded
+    value domains, the documented swap is approx-percentile over
+    weight-expanded buckets."""
+    li = _t(spark, sf_dir, "lineitem")
+    g = (
+        li.select(
+            F.col("l_returnflag").alias("flag"),
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_cents"),
+            F.col("l_quantity").cast("long").alias("w"),
+        )
+        .groupBy("flag", "price_cents")
+        .agg(F.sum("w").alias("w"))
+    )
+    wf = Window.partitionBy("flag")
+    c = g.select(
+        "flag",
+        "price_cents",
+        F.sum("w").over(wf.orderBy("price_cents").rowsBetween(Window.unboundedPreceding, 0)).alias("cw"),
+        F.sum("w").over(wf).alias("tw"),
+    )
+    return (
+        c.filter(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("flag")
+        .agg(F.min("price_cents").cast("long").alias("wmedian_cents"))
+    )
+
+
 def _driver_green_keys() -> frozenset:
     """Keys with a fully-green row (rows+schema+hash) in their LATEST
     driver-recorded check, derived from the ``CORRECTNESS_r*.json`` files

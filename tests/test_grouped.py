@@ -317,3 +317,51 @@ def test_negative_samples_properties(spark):
     assert a == b
     # with 100 ids over 16 buckets, no draw should come up empty
     assert all(r[2] is not None for r in a)
+
+
+def test_transitive_root_forest_hand_checked(spark):
+    """Two trees: 5→4→2→1 and 3→1 (root 1), 10→20 (root 20).  Every
+    node that appears in the edge list must come back with its root and
+    exact depth; roots themselves resolve to depth 0."""
+    from lwetl_spark.operators.graph import transitive_root
+
+    edges = spark.createDataFrame(
+        [(2, 1), (3, 1), (4, 2), (5, 4), (10, 20)], "child long, parent long"
+    )
+    out = {r.node: (r.root_id, r.depth) for r in transitive_root(edges).collect()}
+    assert out == {
+        1: (1, 0),
+        2: (1, 1),
+        3: (1, 1),
+        4: (1, 2),
+        5: (1, 3),
+        10: (20, 1),
+        20: (20, 0),
+    }
+
+
+def test_transitive_root_deep_chain_log_rounds(spark):
+    """A depth-50 chain resolves within max_iters=8 (pointer doubling:
+    2^6 ≥ 50) with exact depths — the log-rounds claim, not O(d)."""
+    from lwetl_spark.operators.graph import transitive_root
+
+    edges = spark.createDataFrame(
+        [(i + 1, i) for i in range(50)], "child long, parent long"
+    )
+    out = {r.node: (r.root_id, r.depth) for r in transitive_root(edges, max_iters=8).collect()}
+    assert len(out) == 51
+    assert all(root == 0 for root, _ in out.values())
+    assert all(out[i] == (0, i) for i in range(51))
+
+
+def test_transitive_root_cycle_dropped_others_resolve(spark):
+    """A parent cycle (7↔8) never reaches a root: its nodes are dropped
+    after max_iters (documented contract); the acyclic rest is
+    unaffected."""
+    from lwetl_spark.operators.graph import transitive_root
+
+    edges = spark.createDataFrame(
+        [(7, 8), (8, 7), (2, 1)], "child long, parent long"
+    )
+    out = {r.node: (r.root_id, r.depth) for r in transitive_root(edges, max_iters=3).collect()}
+    assert out == {1: (1, 0), 2: (1, 1)}
