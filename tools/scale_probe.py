@@ -762,6 +762,38 @@ def main() -> None:
     if not only or "ingest_increment" in only:
         campaign_probe(spark, sf_dir)
 
+    # hierarchy flattening: pointer doubling must scale ~linearly in
+    # NODES while rounds grow only with log(depth).  Synthetic forest:
+    # parent = id div 8 (depth grows log8(n) with scale, so a flat
+    # per-node cost here demonstrates both claims at once).
+    if not only or "transitive_root" in only:
+        from lwetl_spark.operators.graph import transitive_root
+
+        for scale in (1, 4, 16):
+            n = 200_000 * scale
+            edges = (
+                spark.range(8, n)
+                .select(
+                    F.col("id").alias("child"),
+                    F.expr("id div 8").alias("parent"),
+                )
+                .persist()
+            )
+            edges.count()
+            t0 = time.time()
+            n_out = transitive_root(edges, max_iters=10).count()
+            dt = time.time() - t0
+            edges.unpersist()
+            spark.catalog.clearCache()
+            print(
+                json.dumps(
+                    {"op": "transitive_root", "scale": scale, "nodes": n,
+                     "resolved": n_out, "sec": round(dt, 2),
+                     "nodes_per_sec": int(n / dt)}
+                ),
+                flush=True,
+            )
+
     # VERDICT r4 #2: bpe_train carries incremental segmented state and
     # applies only the newest merge per iteration, so per-merge cost must
     # be near-CONSTANT in n_merges (the old form re-applied all i-1
@@ -864,6 +896,23 @@ def campaign_probe(spark, sf_dir: str) -> None:
         )
         t_delta = time.time() - t0
         shutil.rmtree(work, ignore_errors=True)
+        # maintenance pass: compact a FIXED 500-doc changed set — cost is
+        # the one postings read (grows with the index) + bounded bucket
+        # rewrites; this is the documented trade vs the flat delta path
+        from lwetl_spark.operators.retrieval import compact_text_index
+
+        work = tempfile.mkdtemp(prefix="campaign_probe_")
+        man, st, idx = f"{work}/manifest", f"{work}/state", f"{work}/index"
+        ingest_increment(spark, base, man, st, idx)
+        changed = (
+            base.orderBy("doc_id")
+            .limit(500)
+            .select("doc_id", F.concat(F.lit("rev2 "), F.col("text")).alias("text"))
+        )
+        t0 = time.time()
+        compact_text_index(spark, idx, changed)
+        t_compact = time.time() - t0
+        shutil.rmtree(work, ignore_errors=True)
         spark.catalog.clearCache()
         print(
             json.dumps(
@@ -871,6 +920,7 @@ def campaign_probe(spark, sf_dir: str) -> None:
                  "delta_docs": 2000, "bootstrap_sec": round(t_boot, 2),
                  "full_snapshot_sec": round(t_full, 2),
                  "delta_only_sec": round(t_delta, 2),
+                 "compact_500_sec": round(t_compact, 2),
                  "n_admitted": stats["n_admitted"],
                  "n_admitted_delta": stats_d["n_admitted"]}
             ),
