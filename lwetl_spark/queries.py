@@ -8536,6 +8536,225 @@ def x_weighted_median(spark, sf_dir):
     )
 
 
+@register(
+    "x_ks_test",
+    """
+    WITH pts AS (
+        SELECT v,
+               SUM(CASE WHEN s = 0 THEN c ELSE 0 END) AS c0,
+               SUM(CASE WHEN s = 1 THEN c ELSE 0 END) AS c1
+        FROM (
+            SELECT n_chars AS v, 0 AS s, COUNT(*) AS c
+            FROM documents WHERE source = 'src0' GROUP BY 1
+            UNION ALL
+            SELECT n_chars AS v, 1 AS s, COUNT(*) AS c
+            FROM documents WHERE source = 'src1' GROUP BY 1
+        ) u GROUP BY v
+    ),
+    c AS (
+        SELECT SUM(c0) OVER (ORDER BY v) AS f0,
+               SUM(c1) OVER (ORDER BY v) AS f1,
+               SUM(c0) OVER () AS n0,
+               SUM(c1) OVER () AS n1
+        FROM pts
+    )
+    SELECT CAST(MAX(abs(f0 * n1 - f1 * n0)) AS BIGINT) AS d_num,
+           CAST(MAX(n0 * n1) AS BIGINT) AS d_den,
+           CAST(1000000 * MAX(abs(f0 * n1 - f1 * n0)) // MAX(n0 * n1)
+                AS BIGINT) AS ks_ppm
+    FROM c
+    """,
+)
+def x_ks_test(spark, sf_dir):
+    """Two-sample Kolmogorov–Smirnov distance between two sources'
+    document-length distributions — the standard "did this source's
+    shape drift / do these two crawls match" test, complementing
+    x_drift_chi2's binned form with the exact sup-norm statistic.
+    KS D = max|F0(v) − F1(v)| is computed as an exact INTEGER rational:
+    |f0·n1 − f1·n0| over n0·n1 (cross-multiplied empirical CDFs), so
+    the result is hash-identical in any engine — no float CDFs.
+
+    Scale: per-value counts pre-aggregate map-side (bounded by the
+    value domain, not rows); the CDF windows run over that distinct
+    -value table.  For unbounded real-valued domains the documented
+    swap is equi-depth binning first (x_equi_depth_hist)."""
+    docs = _t(spark, sf_dir, "documents")
+    u = (
+        docs.filter(F.col("source") == "src0")
+        .groupBy(F.col("n_chars").alias("v"))
+        .agg(F.lit(0).alias("s"), F.count("*").alias("c"))
+        .unionByName(
+            docs.filter(F.col("source") == "src1")
+            .groupBy(F.col("n_chars").alias("v"))
+            .agg(F.lit(1).alias("s"), F.count("*").alias("c"))
+        )
+    )
+    pts = u.groupBy("v").agg(
+        F.sum(F.when(F.col("s") == 0, F.col("c")).otherwise(0)).alias("c0"),
+        F.sum(F.when(F.col("s") == 1, F.col("c")).otherwise(0)).alias("c1"),
+    )
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    c = pts.select(
+        F.sum("c0").over(wv).alias("f0"),
+        F.sum("c1").over(wv).alias("f1"),
+        F.sum("c0").over(wall).alias("n0"),
+        F.sum("c1").over(wall).alias("n1"),
+    )
+    return c.agg(
+        F.max(F.abs(F.col("f0") * F.col("n1") - F.col("f1") * F.col("n0")))
+        .cast("long")
+        .alias("d_num"),
+        F.max(F.col("n0") * F.col("n1")).cast("long").alias("d_den"),
+        F.expr(
+            "1000000 * max(abs(f0 * n1 - f1 * n0)) div max(n0 * n1)"
+        )
+        .cast("long")
+        .alias("ks_ppm"),
+    )
+
+
+@register(
+    "x_gini",
+    """
+    WITH per_cust AS (
+        SELECT o_custkey,
+               SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders GROUP BY 1
+    ),
+    r AS (
+        SELECT cents,
+               ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS i,
+               COUNT(*) OVER () AS n,
+               SUM(cents) OVER () AS total
+        FROM per_cust
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_customers,
+           CAST(MAX(total) AS BIGINT) AS total_cents,
+           CAST(1000000 * ((2 * SUM(i * cents) - (MAX(n) + 1) * MAX(total))
+                           // MAX(n)) // MAX(total) AS BIGINT) AS gini_ppm
+    FROM r
+    """,
+)
+def x_gini(spark, sf_dir):
+    """Gini coefficient of customer revenue concentration — the
+    inequality summary behind "do 1% of users drive 90% of volume",
+    complementing x_concentration's P90-share with the full-curve
+    statistic.  Uses the rank formula G = (2·Σ i·xᵢ − (n+1)·Σx) /
+    (n·Σx) over ascending revenue with a deterministic (value, key)
+    tie order; everything is exact integer cents, so the ppm output is
+    hash-identical cross-engine.
+
+    Scale: per-customer revenue is one map-side-combinable agg; the
+    rank runs over customers (not orders).  The global sort is real —
+    at 10⁹ customers swap in the documented grouped form (Gini from an
+    equi-depth-bucketed Lorenz curve, boundaries via approx
+    percentiles)."""
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        o.select(
+            "o_custkey",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
+        )
+        .groupBy("o_custkey")
+        .agg(F.sum("c").alias("cents"))
+    )
+    wall = Window.partitionBy()
+    r = per_cust.select(
+        "cents",
+        F.row_number().over(Window.orderBy("cents", "o_custkey")).alias("i"),
+        F.count("*").over(wall).alias("n"),
+        F.sum("cents").over(wall).alias("total"),
+    )
+    return r.agg(
+        F.max("n").cast("long").alias("n_customers"),
+        F.max("total").cast("long").alias("total_cents"),
+        F.expr(
+            # divide by n BEFORE the ppm scale-up: 1e6 * (numerator ≈ n·T
+            # ≈ 2e16) overflows int64, 1e6 * (numerator div n ≤ T) fits.
+            # Same reassociated form on both sides → identical integers.
+            "1000000 * ((2 * sum(i * cents) - (max(n) + 1) * max(total))"
+            " div max(n)) div max(total)"
+        )
+        .cast("long")
+        .alias("gini_ppm"),
+    )
+
+
+@register(
+    "x_benford",
+    """
+    WITH d AS (
+        SELECT substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                      1, 1) AS digit
+        FROM orders WHERE o_totalprice >= 1
+    ),
+    g AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY 1),
+    e AS (
+        SELECT digit, n, SUM(n) OVER () AS total,
+               CASE digit WHEN '1' THEN 301030 WHEN '2' THEN 176091
+                          WHEN '3' THEN 124939 WHEN '4' THEN 96910
+                          WHEN '5' THEN 79181  WHEN '6' THEN 66947
+                          WHEN '7' THEN 57992  WHEN '8' THEN 51153
+                          ELSE 45757 END AS exp_ppm
+        FROM g
+    )
+    SELECT digit, n,
+           CAST(1000000 * n // total AS BIGINT) AS obs_ppm,
+           CAST(exp_ppm AS BIGINT) AS exp_ppm,
+           CAST(1000000 * n // total - exp_ppm AS BIGINT) AS dev_ppm
+    FROM e
+    """,
+)
+def x_benford(spark, sf_dir):
+    """Benford first-digit audit of the order amounts: observed
+    leading-digit frequencies vs the Benford expectation (log10(1+1/d),
+    pre-computed as exact ppm literals), the classic fabricated-data /
+    unit-mixing screen for ingested numeric feeds.  The leading digit
+    comes from integer-string truncation (floor → BIGINT → first char)
+    — float-formatting differences between engines never touch it.
+
+    Scale: one map-side-combinable agg onto ≤9 rows; the normalization
+    window runs over those 9."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    g = (
+        o.select(
+            F.substring(
+                F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+            ).alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count("*").alias("n"))
+    )
+    exp_ppm = (
+        F.when(F.col("digit") == "1", 301030)
+        .when(F.col("digit") == "2", 176091)
+        .when(F.col("digit") == "3", 124939)
+        .when(F.col("digit") == "4", 96910)
+        .when(F.col("digit") == "5", 79181)
+        .when(F.col("digit") == "6", 66947)
+        .when(F.col("digit") == "7", 57992)
+        .when(F.col("digit") == "8", 51153)
+        .otherwise(45757)
+    )
+    wall = Window.partitionBy()
+    e = g.select(
+        "digit",
+        F.col("n").cast("long").alias("n"),
+        F.sum("n").over(wall).alias("total"),
+        exp_ppm.alias("exp_ppm"),
+    )
+    return e.select(
+        "digit",
+        "n",
+        F.expr("1000000 * n div total").cast("long").alias("obs_ppm"),
+        F.col("exp_ppm").cast("long").alias("exp_ppm"),
+        (F.expr("1000000 * n div total") - F.col("exp_ppm"))
+        .cast("long")
+        .alias("dev_ppm"),
+    )
+
+
 def _driver_green_keys() -> frozenset:
     """Keys with a fully-green row (rows+schema+hash) in their LATEST
     driver-recorded check, derived from the ``CORRECTNESS_r*.json`` files
