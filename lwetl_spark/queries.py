@@ -8755,6 +8755,202 @@ def x_benford(spark, sf_dir):
     )
 
 
+@register(
+    "x_mann_kendall",
+    """
+    WITH d AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS v
+        FROM orders GROUP BY 1
+    ),
+    p AS (
+        SELECT CASE WHEN b.v > a.v THEN 1
+                    WHEN b.v < a.v THEN -1 ELSE 0 END AS sgn
+        FROM d a JOIN d b ON b.day > a.day
+    )
+    SELECT CAST(SUM(sgn) AS BIGINT) AS s_stat,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(CASE WHEN SUM(sgn) < 0 THEN -1 ELSE 1 END
+                * (1000000 * abs(SUM(sgn)) // COUNT(*)) AS BIGINT) AS tau_ppm
+    FROM p
+    """,
+)
+def x_mann_kendall(spark, sf_dir):
+    """Mann–Kendall trend test on the daily revenue series: S =
+    Σ_{i<j} sign(xⱼ − xᵢ) and Kendall's τ = S / C(n,2) as exact-integer
+    ppm — the nonparametric "is there a monotone trend" test that needs
+    no distributional assumption (complements x_cusum's level-shift
+    scan and x_holt_trend's parametric slope).  Negative-division
+    hazard: DuckDB `//` floors while Spark `div` truncates, so τ is
+    emitted as sign(S)·(1e6·|S| div pairs) — floor == truncate on
+    non-negatives, identical in both engines.
+
+    Scale: the corpus-sized stage is the day-keyed partial agg; the
+    O(n²) pair join runs over the BOUNDED daily table (n ≈ calendar
+    days, ~3M pairs for a decade) — never over raw rows.  τ ties are
+    uncorrected (documented; tie correction needs only the per-value
+    counts already in the daily table)."""
+    o = _t(spark, sf_dir, "orders")
+    d = (
+        o.select(
+            F.col("o_orderdate").cast("date").alias("day"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
+        )
+        .groupBy("day")
+        .agg(F.sum("c").alias("v"))
+    )
+    a = d.select(F.col("day").alias("day_a"), F.col("v").alias("v_a"))
+    b = d.select(F.col("day").alias("day_b"), F.col("v").alias("v_b"))
+    p = a.join(b, F.col("day_b") > F.col("day_a")).select(
+        F.when(F.col("v_b") > F.col("v_a"), 1)
+        .when(F.col("v_b") < F.col("v_a"), -1)
+        .otherwise(0)
+        .alias("sgn")
+    )
+    return p.agg(
+        F.sum("sgn").cast("long").alias("s_stat"),
+        F.count("*").cast("long").alias("n_pairs"),
+        F.expr(
+            "case when sum(sgn) < 0 then -1 else 1 end"
+            " * (1000000 * abs(sum(sgn)) div count(*))"
+        )
+        .cast("long")
+        .alias("tau_ppm"),
+    )
+
+
+@register(
+    "x_theil_sen",
+    """
+    WITH d AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS v
+        FROM orders GROUP BY 1
+    ),
+    p AS (
+        SELECT CASE WHEN b.v < a.v THEN -1 ELSE 1 END
+               * (1000 * abs(b.v - a.v)
+                  // datediff('day', a.day, b.day)) AS slope_milli
+        FROM d a JOIN d b ON b.day > a.day
+    )
+    SELECT CAST(quantile_disc(slope_milli, 0.5) AS BIGINT)
+               AS median_slope_milli,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM p
+    """,
+)
+def x_theil_sen(spark, sf_dir):
+    """Theil–Sen robust trend slope of the daily revenue series: the
+    MEDIAN of all pairwise slopes (cents/day, milli-scaled) — up to
+    ~29% outlier days cannot move it, unlike the OLS slope
+    (x_group_ols).  Each slope is an exact integer
+    (sign·(1000·|Δv| div Δt), the floor-vs-truncate-safe form) and the
+    median is percentile_disc — an actual data value, so the result is
+    hash-identical cross-engine with no float division anywhere.
+
+    Scale: same shape as x_mann_kendall — one day-keyed partial agg,
+    then O(n²) pairs over the bounded daily table; the median is one
+    percentile_disc over those pairs."""
+    o = _t(spark, sf_dir, "orders")
+    d = (
+        o.select(
+            F.col("o_orderdate").cast("date").alias("day"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
+        )
+        .groupBy("day")
+        .agg(F.sum("c").alias("v"))
+    )
+    a = d.select(F.col("day").alias("day_a"), F.col("v").alias("v_a"))
+    b = d.select(F.col("day").alias("day_b"), F.col("v").alias("v_b"))
+    p = a.join(b, F.col("day_b") > F.col("day_a")).select(
+        F.expr(
+            "case when v_b < v_a then -1 else 1 end"
+            " * (1000 * abs(v_b - v_a) div datediff(day_b, day_a))"
+        ).alias("slope_milli")
+    )
+    return p.agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY slope_milli)")
+        .cast("long")
+        .alias("median_slope_milli"),
+        F.count("*").cast("long").alias("n_pairs"),
+    )
+
+
+@register(
+    "x_runs_test",
+    """
+    WITH d AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS v
+        FROM orders GROUP BY 1
+    ),
+    m AS (SELECT quantile_disc(v, 0.5) AS med FROM d),
+    b AS (
+        SELECT day, CASE WHEN v > med THEN 1 ELSE 0 END AS hi
+        FROM d, m WHERE v <> med
+    ),
+    r AS (
+        SELECT hi, LAG(hi) OVER (ORDER BY day) AS prev FROM b
+    )
+    SELECT CAST(1 + SUM(CASE WHEN prev IS NOT NULL AND hi <> prev
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_runs,
+           CAST(SUM(hi) AS BIGINT) AS n_above,
+           CAST(SUM(1 - hi) AS BIGINT) AS n_below,
+           CAST(1000 + 2000 * SUM(hi) * SUM(1 - hi) // COUNT(*)
+                AS BIGINT) AS e_runs_milli
+    FROM r
+    """,
+)
+def x_runs_test(spark, sf_dir):
+    """Wald–Wolfowitz runs test on the daily revenue series: count the
+    runs of consecutive above-median / below-median days and compare
+    with the randomness expectation E[R] = 1 + 2·n₁n₂/n (milli-scaled
+    integer).  Far fewer runs than expected ⇒ positive autocorrelation
+    (regimes); far more ⇒ oscillation — the model-free serial-
+    dependence check behind "is this series i.i.d. enough to sample
+    uniformly".  Median days are excluded (standard practice) and the
+    median itself is percentile_disc, so every emitted number is an
+    exact integer.
+
+    Scale: day-keyed partial agg, then a single-partition lag window
+    over the bounded daily table (safe by construction)."""
+    o = _t(spark, sf_dir, "orders")
+    d = (
+        o.select(
+            F.col("o_orderdate").cast("date").alias("day"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
+        )
+        .groupBy("day")
+        .agg(F.sum("c").alias("v"))
+    )
+    med = d.agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY v)").alias("med")
+    )
+    b = (
+        d.crossJoin(F.broadcast(med))
+        .filter(F.col("v") != F.col("med"))
+        .select("day", F.when(F.col("v") > F.col("med"), 1).otherwise(0).alias("hi"))
+    )
+    r = b.select("hi", F.lag("hi").over(Window.orderBy("day")).alias("prev"))
+    return r.agg(
+        (
+            F.lit(1)
+            + F.sum(
+                F.when(
+                    F.col("prev").isNotNull() & (F.col("hi") != F.col("prev")), 1
+                ).otherwise(0)
+            )
+        )
+        .cast("long")
+        .alias("n_runs"),
+        F.sum("hi").cast("long").alias("n_above"),
+        F.sum(1 - F.col("hi")).cast("long").alias("n_below"),
+        F.expr("1000 + 2000 * sum(hi) * sum(1 - hi) div count(*)")
+        .cast("long")
+        .alias("e_runs_milli"),
+    )
+
+
 def _driver_green_keys() -> frozenset:
     """Keys with a fully-green row (rows+schema+hash) in their LATEST
     driver-recorded check, derived from the ``CORRECTNESS_r*.json`` files
