@@ -832,3 +832,96 @@ def stream_ingest_increment(
         )
 
     return stream.writeStream.foreachBatch(sink).start()
+
+
+def stream_event_pattern(
+    spark: SparkSession,
+    events_path: str,
+    state_path: str,
+    pattern: tuple[str, str, str] = ("view", "click", "purchase"),
+    within_days: int = 7,
+    max_files_per_trigger: int = 2,
+):
+    """Streaming strict-contiguity pattern detection with CROSS-BATCH
+    state: the streaming form of x_event_pattern (consecutive
+    p1→p2→p3 triples completing within ``within_days``).  A triple can
+    straddle a micro-batch boundary with one OR two of its events in
+    the previous batch, so the state keeps each user's last TWO events
+    ((user_id, type, ts, event_id) × ≤2 — never payloads); each batch
+    is detected over the stitched (state-tail + batch) sequence.
+
+    No double counting, by construction: every match needs 3 events
+    and the state tail holds only the final 2 of the previous batch —
+    a triple counted now must END on an in-batch event (enforced with
+    a row-source flag), and a triple ending in the previous batch was
+    complete there.  Totals therefore equal the batch x_event_pattern
+    counts over the union of all batches under the per-user
+    time-ordered-arrival contract (same as stream_markov; pinned by
+    test_streaming).
+
+    Per micro-batch: one user-keyed window pass over (tail + batch),
+    one keyed state rewrite.  At 100 TB of users the overwrite becomes
+    a keyed MERGE, identical shape.  Returns (query, totals) — totals
+    is {user_id: n_matches}, live-updated.
+    """
+    schema = spark.read.parquet(events_path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(events_path)
+    )
+    totals: dict[int, int] = {}
+    p1, p2, p3 = pattern
+
+    def sink(batch_df, batch_id: int) -> None:
+        from pyspark.sql.window import Window as W
+
+        sess = batch_df.sparkSession
+        b = batch_df.select("user_id", "event_id", "ts", "event_type").withColumn(
+            "from_state", F.lit(False)
+        )
+        try:
+            state = sess.read.parquet(state_path)
+        except Exception:  # first batch: no state yet
+            state = None
+        stitched = b
+        if state is not None:
+            stitched = b.unionByName(
+                state.withColumn("from_state", F.lit(True))
+            )
+        w = W.partitionBy("user_id").orderBy("ts", "event_id")
+        s = stitched.select(
+            "user_id",
+            "ts",
+            "event_type",
+            F.lead("event_type", 1).over(w).alias("e2"),
+            F.lead("event_type", 2).over(w).alias("e3"),
+            F.lead("ts", 2).over(w).alias("t3"),
+            F.lead("from_state", 2).over(w).alias("ends_in_state"),
+        )
+        hits = s.filter(
+            (F.col("event_type") == p1)
+            & (F.col("e2") == p2)
+            & (F.col("e3") == p3)
+            & (F.col("t3") <= F.col("ts") + F.expr(f"INTERVAL {int(within_days)} DAY"))
+            & (~F.col("ends_in_state"))
+        )
+        for r in hits.groupBy("user_id").agg(F.count("*").alias("n")).collect():
+            totals[r["user_id"]] = totals.get(r["user_id"], 0) + r["n"]
+        # new state: last 2 events per user over the stitched sequence,
+        # plus untouched users carried forward
+        wl = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+        tail = (
+            stitched.withColumn("_rn", F.row_number().over(wl))
+            .filter(F.col("_rn") <= 2)
+            .select("user_id", "event_id", "ts", "event_type")
+        )
+        if state is not None:
+            carried = state.join(
+                b.select("user_id").distinct(), "user_id", "left_anti"
+            ).select("user_id", "event_id", "ts", "event_type")
+            tail = tail.unionByName(carried)
+        tail = tail.localCheckpoint(eager=True)  # don't race the state scan
+        tail.write.mode("overwrite").parquet(state_path)
+
+    return stream.writeStream.foreachBatch(sink).start(), totals

@@ -653,3 +653,86 @@ def test_stream_ingest_increment_continuous_campaign(spark, tmp_path):
     gi = sorted(map(tuple, query_text_index(spark, idx, qd, k=10).collect()))
     gf = sorted(map(tuple, query_text_index(spark, full, qd, k=10).collect()))
     assert gi == gf and gi
+
+
+def test_stream_event_pattern_totals_match_batch(spark, tmp_path):
+    """Cross-batch triple stitching: view→click→purchase triples that
+    straddle micro-batch boundaries with 1 OR 2 events in the previous
+    batch must still be counted exactly once — totals equal the batch
+    x_event_pattern logic over the union of all batches."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F2
+    from pyspark.sql.window import Window as W
+
+    from lwetl_spark.streaming.pipeline import stream_event_pattern
+
+    t0 = dt.datetime(2024, 1, 1)
+    # user 1: triple fully inside batch 0, then a boundary triple with
+    #   view+click in batch 1 and purchase in batch 2 (2 events in state)
+    # user 2: boundary triple with view at the end of batch 0 (1 event in
+    #   state), then a NON-match (intervening error) across batch 1/2
+    # user 3: a too-slow triple (purchase 8 days later) — never counted
+    rows = [
+        # (event_id, minutes_offset_or_days, user, type, batch)
+        (0, 0, 1, "view", 0), (1, 1, 1, "click", 0), (2, 2, 1, "purchase", 0),
+        (3, 3, 2, "signup", 0), (4, 4, 2, "view", 0),
+        (5, 10, 2, "click", 1), (6, 11, 1, "view", 1), (7, 12, 1, "click", 1),
+        (8, 13, 2, "purchase", 1),
+        (9, 20, 1, "purchase", 2), (10, 21, 2, "view", 2), (11, 22, 2, "error", 2),
+        (12, 23, 2, "click", 2), (13, 24, 2, "purchase", 2),
+    ]
+    slow = [
+        (14, 0, 3, "view", 0), (15, 1, 3, "click", 0),
+    ]
+    slow_purchase = [(16, 60 * 24 * 8, 3, "purchase", 2)]  # 8 days later
+    all_rows = rows + slow + slow_purchase
+    src = str(tmp_path / "events")
+    state = str(tmp_path / "state")
+    for k in range(3):
+        chunk = [
+            (eid, t0 + dt.timedelta(minutes=m), u, typ)
+            for (eid, m, u, typ, b) in all_rows
+            if b == k
+        ]
+        spark.createDataFrame(
+            chunk, "event_id long, ts timestamp, user_id long, event_type string"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    q, totals = stream_event_pattern(spark, src, state, max_files_per_trigger=1)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    batch = spark.createDataFrame(
+        [(eid, t0 + dt.timedelta(minutes=m), u, typ) for (eid, m, u, typ, _b) in all_rows],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    s = batch.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F2.lead("event_type", 1).over(w).alias("e2"),
+        F2.lead("event_type", 2).over(w).alias("e3"),
+        F2.lead("ts", 2).over(w).alias("t3"),
+    )
+    expected = {
+        r["user_id"]: r["n"]
+        for r in s.filter(
+            (F2.col("event_type") == "view")
+            & (F2.col("e2") == "click")
+            & (F2.col("e3") == "purchase")
+            & (F2.col("t3") <= F2.col("ts") + F2.expr("INTERVAL 7 DAY"))
+        )
+        .groupBy("user_id")
+        .agg(F2.count("*").alias("n"))
+        .collect()
+    }
+    assert expected == {1: 2, 2: 1}  # the scenario is what we think it is
+    assert totals == expected
+    # state is bounded: at most 2 rows per user, never event payloads
+    st = spark.read.parquet(state)
+    assert st.groupBy("user_id").count().agg(F2.max("count")).collect()[0][0] <= 2
+    assert set(st.columns) == {"user_id", "event_id", "ts", "event_type"}
