@@ -612,3 +612,50 @@ def test_composed_curate_shuffle_text_ratio_ci_gate():
     # text never rides an exchange: shuffle volume is metadata-sized,
     # bounded well below input bytes x chain depth
     assert out["shuffle_write_bytes"] < 4 * out["input_bytes"], out
+
+
+def test_event_pattern_single_user_shuffle(spark):
+    """x_event_pattern: both LEAD windows and the final agg share
+    hash(user_id) — the whole pattern scan is ONE wide stage, and
+    nothing but user-keyed exchanges appear."""
+    plan = _plan(spark, "x_event_pattern")
+    exchange_lines = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert len(exchange_lines) == 1, plan
+    assert "user_id" in exchange_lines[0]
+
+
+def test_cusum_corpus_stage_is_partial_agg(spark):
+    """x_cusum: the only corpus-sized work is the day-keyed partial
+    aggregation (map-side combine onto calendar days); the CUSUM windows
+    run post-agg.  Partial+final HashAggregate must surround the one
+    day-keyed exchange."""
+    plan = _plan(spark, "x_cusum")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_weighted_median_premerges_before_window(spark):
+    """x_weighted_median: duplicate prices merge in a partial/final agg
+    BEFORE the cumulative window, so the per-flag scan runs over
+    distinct prices; lineitem's text-free columns are the only scan."""
+    plan = _plan(spark, "x_weighted_median")
+    # agg exchange on (flag, price) + window exchange on flag
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "l_extendedprice" in plan and "l_comment" not in plan
+
+
+def test_transitive_root_rounds_are_bounded_joins(spark):
+    """transitive_root: converged output for a depth-3 forest contains
+    no corpus-sized cartesian stage and resolves within the log bound;
+    state never exceeds one row per node (the count IS the node set)."""
+    from pyspark.sql import functions as F2
+
+    from lwetl_spark.operators.graph import transitive_root
+
+    edges = spark.range(4, 4096).select(
+        F2.col("id").alias("child"), F2.expr("id div 4").alias("parent")
+    )
+    out = transitive_root(edges, max_iters=6)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert out.count() == 4095  # nodes 1..4095, exactly once each
