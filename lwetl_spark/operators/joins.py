@@ -240,18 +240,40 @@ def fuzzy_join_blocked(
     # 1. length-band prefilter — |len(a)−len(b)| > max_dist can never be
     #    within distance, and the length compare is O(1) vs lev's
     #    O(len²); it prunes most of a dense block before the real work.
+    #    (Pushing the band INTO the join key — ±1 exploded buckets of
+    #    width max_dist+1 — was measured SLOWER here: real name columns
+    #    concentrate in a handful of length values, so the explode
+    #    triples the build side and prunes nothing.)
     # 2. thresholded levenshtein — Spark's 3-arg form early-exits a row
     #    as soon as the running distance exceeds max_dist (returns −1),
     #    bounding per-pair work by O(len·max_dist) instead of O(len²).
     lc, rc = F.col(left_col), F.col(f"r_{right_col}")
-    cand = (
-        l.join(r, on=block_cols, how="inner")
-        .filter(F.abs(F.length(lc) - F.length(rc)) <= max_dist)
-        .withColumn("dist", F.levenshtein(lc, rc, max_dist).cast("long"))
-        .filter(F.col("dist") >= 0)
-    )
+
+    def _fuzzy_cand(lf: DataFrame) -> DataFrame:
+        return (
+            lf.join(r, on=block_cols, how="inner")
+            .filter(F.abs(F.length(lc) - F.length(rc)) <= max_dist)
+            .withColumn("dist", F.levenshtein(lc, rc, max_dist).cast("long"))
+            .filter(F.col("dist") >= 0)
+        )
+
     if not best_only:
-        return cand
+        return _fuzzy_cand(l)
+    # Exact-first short circuit: a distance-0 match always wins the
+    # (dist, order) ranking, so lefts with an equi-match on the name
+    # resolve in ONE hash join (their window runs over the tiny dist-0
+    # candidate set) and only the residue pays the block product — on
+    # real linkage inputs most records are clean, so this removes most
+    # of the quadratic work without changing a single output row.
+    exact = (
+        l.withColumn("__name", lc)
+        .join(r.withColumn("__name", rc), on=block_cols + ["__name"], how="inner")
+        .drop("__name")
+        .withColumn("dist", F.lit(0).cast("long"))
+    )
+    matched_ids = exact.select(left_id).distinct()
+    residue = l.join(matched_ids, left_id, "left_anti")
+    cand = exact.unionByName(_fuzzy_cand(residue))
     w = Window.partitionBy(left_id).orderBy(F.asc("dist"), F.asc(f"r_{right_order}"))
     return (
         cand.withColumn("__rn", F.row_number().over(w))
