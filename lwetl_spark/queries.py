@@ -8951,6 +8951,173 @@ def x_runs_test(spark, sf_dir):
     )
 
 
+@register(
+    "x_islands",
+    """
+    WITH d AS (
+        SELECT DISTINCT CAST(o_orderdate AS DATE) AS day FROM orders
+    ),
+    g AS (
+        SELECT day,
+               datediff('day', DATE '1970-01-01', day)
+                 - ROW_NUMBER() OVER (ORDER BY day) AS grp
+        FROM d
+    )
+    SELECT MIN(day) AS island_start, MAX(day) AS island_end,
+           CAST(COUNT(*) AS BIGINT) AS n_days
+    FROM g GROUP BY grp
+    """,
+)
+def x_islands(spark, sf_dir):
+    """Gaps-and-islands over the order calendar: contiguous runs of
+    active days collapse to (start, end, length) rows — the classic
+    continuity census behind uptime reports, coverage audits and
+    "which date ranges are missing from this feed".  Uses the
+    days-since-epoch − row_number trick: consecutive days share the
+    difference, so one subtraction turns contiguity into a group key
+    (no self-join, no recursion).
+
+    Scale: the corpus-sized stage is the DISTINCT day partial agg; the
+    row_number and island agg run over the bounded daily table."""
+    o = _t(spark, sf_dir, "orders")
+    d = o.select(F.col("o_orderdate").cast("date").alias("day")).distinct()
+    g = d.select(
+        "day",
+        (
+            F.datediff(F.col("day"), F.to_date(F.lit("1970-01-01")))
+            - F.row_number().over(Window.orderBy("day"))
+        ).alias("grp"),
+    )
+    return g.groupBy("grp").agg(
+        F.min("day").alias("island_start"),
+        F.max("day").alias("island_end"),
+        F.count("*").cast("long").alias("n_days"),
+    ).drop("grp")
+
+
+@register(
+    "x_mom_growth",
+    """
+    WITH m AS (
+        SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS month,
+               SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
+        FROM orders GROUP BY 1
+    ),
+    c AS (
+        SELECT CAST(month AS DATE) AS month, rev,
+               LAG(rev) OVER (ORDER BY month) AS prev
+        FROM m
+    )
+    SELECT month, CAST(rev AS BIGINT) AS rev_cents,
+           CAST(prev AS BIGINT) AS prev_cents,
+           CAST(CASE WHEN rev >= prev THEN 1 ELSE -1 END
+                * (1000000 * abs(rev - prev) // prev) AS BIGINT)
+               AS growth_ppm
+    FROM c WHERE prev IS NOT NULL
+    """,
+)
+def x_mom_growth(spark, sf_dir):
+    """Month-over-month revenue growth — the bread-and-butter BI trend
+    table, in exact integers: cents via round(×100), growth as
+    sign-safe ppm (sign·(1e6·|Δ| div prev), the floor-vs-truncate-safe
+    form — growth can be negative and DuckDB's // floors where Spark's
+    div truncates).
+
+    Scale: one month-keyed partial agg (map-side combine onto ≤
+    calendar months); the lag window runs over that bounded table."""
+    o = _t(spark, sf_dir, "orders")
+    m = (
+        o.select(
+            F.date_trunc("month", F.col("o_orderdate").cast("date"))
+            .cast("date")
+            .alias("month"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
+        )
+        .groupBy("month")
+        .agg(F.sum("c").alias("rev"))
+    )
+    c = m.select(
+        "month", "rev", F.lag("rev").over(Window.orderBy("month")).alias("prev")
+    ).filter(F.col("prev").isNotNull())
+    return c.select(
+        "month",
+        F.col("rev").cast("long").alias("rev_cents"),
+        F.col("prev").cast("long").alias("prev_cents"),
+        F.expr(
+            "case when rev >= prev then 1 else -1 end"
+            " * (1000000 * abs(rev - prev) div prev)"
+        )
+        .cast("long")
+        .alias("growth_ppm"),
+    )
+
+
+@register(
+    "x_attribution",
+    """
+    WITH s AS (
+        SELECT user_id, ts, event_id, event_type,
+               MAX(CASE WHEN event_type = 'click' THEN ts END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS last_click_ts
+        FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(CASE WHEN last_click_ts IS NOT NULL
+                          AND last_click_ts >= ts - INTERVAL 7 DAY
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_attributed,
+           CAST(SUM(CASE WHEN last_click_ts IS NOT NULL
+                          AND last_click_ts >= ts - INTERVAL 7 DAY
+                         THEN date_diff('second', last_click_ts, ts)
+                         ELSE 0 END) AS BIGINT) AS total_lag_sec
+    FROM s WHERE event_type = 'purchase'
+    GROUP BY user_id
+    """,
+)
+def x_attribution(spark, sf_dir):
+    """Last-touch attribution with a 7-day lookback: each purchase is
+    attributed to the user's most recent STRICTLY-PRECEDING click (the
+    marketing-analytics primitive); emits per-user purchase counts,
+    attributed counts, and total click→purchase lag seconds (exact
+    integers).  The preceding-click lookup is a running conditional MAX
+    over a rows-frame ending 1 PRECEDING — no per-purchase self-join,
+    no event-list materialization.
+
+    Scale: ONE shuffle — the window and the final agg share
+    hash(user_id); window state per user is one timestamp."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    s = ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.max(F.when(F.col("event_type") == "click", F.col("ts"))).over(w).alias(
+            "last_click_ts"
+        ),
+    ).filter(F.col("event_type") == "purchase")
+    attributed = F.col("last_click_ts").isNotNull() & (
+        F.col("last_click_ts") >= F.col("ts") - F.expr("INTERVAL 7 DAY")
+    )
+    return s.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_purchases"),
+        F.sum(F.when(attributed, 1).otherwise(0)).cast("long").alias("n_attributed"),
+        F.sum(
+            F.when(
+                attributed,
+                F.unix_timestamp("ts") - F.unix_timestamp("last_click_ts"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("total_lag_sec"),
+    )
+
+
 def _driver_green_keys() -> frozenset:
     """Keys with a fully-green row (rows+schema+hash) in their LATEST
     driver-recorded check, derived from the ``CORRECTNESS_r*.json`` files
