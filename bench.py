@@ -111,10 +111,16 @@ def _curate_chain(spark, sf_dir):
     battery + exact dedup + fuzzy near-dedup) writing curated parquet to
     a scratch dir — the end-to-end pipeline a 100 TB campaign runs, as
     one timed unit.  Returns the curated output for the row count."""
+    import glob
+    import shutil
     import tempfile
 
     from lwetl_spark.cli_curate import curate
 
+    # reclaim earlier repeats' scratch dirs (one per timed run otherwise
+    # accumulates in /tmp across warmup + best-of-N + rounds)
+    for stale in glob.glob(tempfile.gettempdir() + "/bench_curate_*"):
+        shutil.rmtree(stale, ignore_errors=True)
     out = tempfile.mkdtemp(prefix="bench_curate_") + "/out"
     curate(
         spark,

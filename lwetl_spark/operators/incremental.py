@@ -267,14 +267,28 @@ def ingest_increment(
     if compact_changed and have_manifest:
         from lwetl_spark.operators.retrieval import compact_text_index
 
-        changed_ids = diff.filter(F.col("status") == "changed").select(id_col)
-        cand = snapshot.join(changed_ids, id_col, "left_semi").select(
-            id_col, text_col, digest.alias("_fp")
-        )
+        # Deferred-change set = any snapshot id that is ALREADY INDEXED
+        # but whose new content digest differs from its indexed
+        # fingerprint — derived from (id, fp) STATE PAIRS, not from the
+        # diff status: a doc temporarily absent from one full snapshot
+        # re-enters as status 'added' (its manifest row was dropped) yet
+        # is just as much a deferred change as a 'changed' row — the
+        # append-only admission path can never index it again, so only
+        # compaction can apply its new content.
         # re-read AFTER this increment's admissions appended their rows
         state_full = spark.read.parquet(state_path)
-        # only ids actually indexed can compact (deferred set)
-        cand = cand.join(state_full.select(id_col), id_col, "left_semi")
+        stale_ids = (
+            manifest_new.join(state_full.select(id_col), id_col, "left_semi")
+            .join(
+                state_full.select(id_col, F.col("fp").alias("dg")),
+                [id_col, "dg"],
+                "left_anti",
+            )
+            .select(id_col)
+        )
+        cand = snapshot.join(stale_ids, id_col, "left_semi").select(
+            id_col, text_col, digest.alias("_fp")
+        )
         # novel-content guard: if the new content is already admitted
         # under ANY OTHER id, the changed doc is now a duplicate — it
         # stays deferred and dedup wins
@@ -332,11 +346,12 @@ def ingest_increment(
     # the manifest advances to the new snapshot (diff basis) — replaced
     # wholesale in full-snapshot mode, MERGED (untouched old ids keep
     # their rows) in delta mode.  EXCEPTION in both modes: ids whose
-    # change was DEFERRED (changed + still indexed + not compacted this
-    # round) keep their OLD digest, so the next crawl re-detects them
-    # as changed and a later compact_changed run can still apply them —
-    # advancing their digest here would silently forget the deferral
-    # forever.
+    # change was DEFERRED (indexed under a different fingerprint + not
+    # compacted this round — whether the diff called them 'changed' or
+    # they re-entered as 'added' after a snapshot gap) keep their OLD
+    # manifest row (or none), so the next crawl re-detects them and a
+    # later compact_changed run can still apply them — advancing their
+    # digest here would silently forget the deferral forever.
     if snapshot_is_delta and have_manifest:
         manifest_out = manifest_old.join(
             manifest_new, id_col, "left_anti"
@@ -345,17 +360,32 @@ def ingest_increment(
         manifest_out = manifest_new
     if have_manifest:
         try:
-            state_ids = spark.read.parquet(state_path).select(id_col)
+            state_pairs = spark.read.parquet(state_path)
         except Exception:
-            state_ids = None
-        if state_ids is not None:
+            state_pairs = None
+        if state_pairs is not None:
+            # deferred = indexed ids whose new digest differs from the
+            # indexed fingerprint (same pair-derived set as compaction:
+            # covers both 'changed' rows AND re-added ids whose manifest
+            # row was dropped by an intervening snapshot).  Compacted
+            # ids just updated their state fp, so the pair anti-join
+            # already excludes them; the explicit anti keeps that
+            # invariant visible.
             deferred = (
-                diff.filter(F.col("status") == "changed")
+                manifest_new.join(state_pairs.select(id_col), id_col, "left_semi")
+                .join(
+                    state_pairs.select(id_col, F.col("fp").alias("dg")),
+                    [id_col, "dg"],
+                    "left_anti",
+                )
                 .select(id_col)
-                .join(state_ids, id_col, "left_semi")
             )
             if compacted_ids is not None:
                 deferred = deferred.join(compacted_ids, id_col, "left_anti")
+            # formerly-present ids keep their OLD manifest row; a
+            # re-added id has no old row and is dropped entirely, so the
+            # next crawl re-detects it as 'added' and re-enters this
+            # same deferral until a compact run applies it
             manifest_out = manifest_out.join(
                 deferred, id_col, "left_anti"
             ).unionByName(manifest_old.join(deferred, id_col, "left_semi"))

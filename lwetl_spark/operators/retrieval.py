@@ -468,8 +468,6 @@ def compact_text_index(
     "removed" half of a full-snapshot crawl diff; see
     :func:`remove_from_index`).
     """
-    from pyspark.sql.utils import AnalysisException  # noqa: F401
-
     tf_new, _, _ = doc_term_stats(
         replacement_docs, id_col=id_col, text_col=text_col
     )
@@ -547,6 +545,9 @@ def compact_text_index(
         present = {
             r["bucket"] for r in frame.select("bucket").distinct().collect()
         }
+        prev = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
         if set(affected) - present:
             full = (
                 spark.read.parquet(f"{path}/{table}")
@@ -554,13 +555,20 @@ def compact_text_index(
                 .unionByName(frame)
                 .localCheckpoint(eager=True)
             )
-            full.repartition("bucket").write.mode("overwrite").partitionBy(
-                "bucket"
-            ).parquet(f"{path}/{table}")
+            # pin STATIC explicitly: this branch exists to DELETE the
+            # emptied bucket, and under a session-wide dynamic default
+            # the overwrite would only rewrite the partitions present
+            # in the frame — the stale bucket would survive
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+            try:
+                full.repartition("bucket").write.mode("overwrite").partitionBy(
+                    "bucket"
+                ).parquet(f"{path}/{table}")
+            finally:
+                spark.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", prev
+                )
             return
-        prev = spark.conf.get(
-            "spark.sql.sources.partitionOverwriteMode", "static"
-        )
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
             frame.repartition("bucket").write.mode("overwrite").partitionBy(

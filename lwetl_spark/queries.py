@@ -7039,8 +7039,10 @@ def x_ingest_campaign(spark, sf_dir):
     leave the index equal to a build over the FULL corpus — so the
     final probe shares x_bm25's oracle verbatim.  (The sf0.01 corpus
     has no duplicate normalized texts, so admitted == corpus exactly;
-    the three state dirs live in a scratch tempdir per call.)"""
+    the scratch manifest/state/index tree is deleted after the
+    probe result is checkpointed.)"""
     import os as _os
+    import shutil as _shutil
     import tempfile as _tempfile
 
     from lwetl_spark.operators.incremental import ingest_increment
@@ -7065,7 +7067,13 @@ def x_ingest_campaign(spark, sf_dir):
         spark, docs.unionByName(dupes), manifest, state, index
     )
     queries = spark.createDataFrame(_BM25_PROBES, "query_id int, term string")
-    return query_text_index(spark, index, queries, k=10)
+    out = query_text_index(spark, index, queries, k=10)
+    # the probe result is tiny (|probes|·k rows): materialize it off the
+    # scratch parquet so the tempdir can be deleted instead of leaking
+    # one manifest+state+index tree per invocation
+    out = out.localCheckpoint(eager=True)
+    _shutil.rmtree(work, ignore_errors=True)
+    return out
 
 
 @register(
@@ -8415,7 +8423,7 @@ def x_score_normalize(spark, sf_dir):
     WITH c AS (
         SELECT doc_id,
                length(text) AS n,
-               length(text) - length(regexp_replace(text, '[a-z]', '', 'g'))
+               length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))
                    AS n_letter,
                length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
                    AS n_digit,
@@ -8454,7 +8462,7 @@ def x_script_detect(spark, sf_dir):
     c = docs.select(
         "doc_id",
         n.alias("n"),
-        (n - F.length(F.regexp_replace("text", "[a-z]", ""))).alias("n_letter"),
+        (n - F.length(F.regexp_replace("text", "[A-Za-z]", ""))).alias("n_letter"),
         (n - F.length(F.regexp_replace("text", "[0-9]", ""))).alias("n_digit"),
         (n - F.length(F.regexp_replace("text", r"\s", ""))).alias("n_space"),
     )

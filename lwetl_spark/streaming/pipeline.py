@@ -908,18 +908,24 @@ def stream_event_pattern(
         )
         for r in hits.groupBy("user_id").agg(F.count("*").alias("n")).collect():
             totals[r["user_id"]] = totals.get(r["user_id"], 0) + r["n"]
-        # new state: last 2 events per user over the stitched sequence,
-        # plus untouched users carried forward
+        # new state: last 2 events per user over the stitched sequence —
+        # but ONLY for users present in this batch (stitched also holds
+        # idle users' state rows; recomputing their tail AND carrying
+        # them forward would duplicate their rows each idle batch,
+        # silently breaking strict contiguity); untouched users carry
+        # their existing rows forward unchanged
+        batch_users = b.select("user_id").distinct()
         wl = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
         tail = (
-            stitched.withColumn("_rn", F.row_number().over(wl))
+            stitched.join(batch_users, "user_id", "left_semi")
+            .withColumn("_rn", F.row_number().over(wl))
             .filter(F.col("_rn") <= 2)
             .select("user_id", "event_id", "ts", "event_type")
         )
         if state is not None:
-            carried = state.join(
-                b.select("user_id").distinct(), "user_id", "left_anti"
-            ).select("user_id", "event_id", "ts", "event_type")
+            carried = state.join(batch_users, "user_id", "left_anti").select(
+                "user_id", "event_id", "ts", "event_type"
+            )
             tail = tail.unionByName(carried)
         tail = tail.localCheckpoint(eager=True)  # don't race the state scan
         tail.write.mode("overwrite").parquet(state_path)

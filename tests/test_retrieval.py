@@ -546,3 +546,85 @@ def test_ingest_increment_retire_removed(spark, tmp_path):
     gi = sorted(map(tuple, query_text_index(spark, idx, q, k=10).collect()))
     gf = sorted(map(tuple, query_text_index(spark, full2, q, k=10).collect()))
     assert gi == gf and gi
+
+
+def test_ingest_increment_readded_after_snapshot_gap(spark, tmp_path):
+    """A doc temporarily absent from one full snapshot re-enters the
+    diff as 'added' (its manifest row was dropped) — but it is still
+    indexed, so its new content must flow through the same deferral /
+    compaction path as a 'changed' row.  Pre-fix, the manifest advanced
+    the NEW digest for such ids and the change was lost forever."""
+    from pyspark.sql import functions as F
+
+    from lwetl_spark.operators.incremental import ingest_increment
+    from lwetl_spark.operators.retrieval import (
+        build_text_index,
+        query_text_index,
+    )
+
+    a0 = "spark shuffles hash partitions across the cluster"
+    a1 = "sort merge join spills gracefully to local disk"
+    b1 = "vectorized readers decode parquet pages in batches"
+    manifest = str(tmp_path / "manifest")
+    state = str(tmp_path / "state")
+    index = str(tmp_path / "index")
+    snap = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+
+    ingest_increment(spark, snap([(0, a0), (1, a1)]), manifest, state, index)
+    # day 1: crawl hiccup — doc 1 missing; not retired (default)
+    ingest_increment(spark, snap([(0, a0)]), manifest, state, index)
+    assert {r["doc_id"] for r in spark.read.parquet(manifest).collect()} == {0}
+
+    # day 2, NO compaction: doc 1 returns with NEW content — it must be
+    # deferred (not admitted, manifest must keep re-detecting it)
+    s2 = ingest_increment(
+        spark, snap([(0, a0), (1, b1)]), manifest, state, index
+    )
+    assert s2["n_admitted"] == 0 and s2["n_compacted"] == 0
+    assert {r["doc_id"] for r in spark.read.parquet(manifest).collect()} == {0}
+
+    # day 3, WITH compaction: the deferred change is finally applied
+    s3 = ingest_increment(
+        spark,
+        snap([(0, a0), (1, b1)]),
+        manifest,
+        state,
+        index,
+        compact_changed=True,
+    )
+    assert s3["n_compacted"] == 1
+    mrows = {r["doc_id"]: r["dg"] for r in spark.read.parquet(manifest).collect()}
+    assert set(mrows) == {0, 1}
+
+    # the index now equals a rebuild over the NEW content
+    full = str(tmp_path / "full")
+    build_text_index(snap([(0, a0), (1, b1)]), full)
+    for part in ("postings", "df", "doclen", "stats"):
+        got = sorted(
+            map(tuple, spark.read.parquet(f"{index}/{part}").drop("bucket").collect())
+        )
+        want = sorted(
+            map(tuple, spark.read.parquet(f"{full}/{part}").drop("bucket").collect())
+        )
+        assert got == want, f"{part} diverged from rebuild"
+    q = spark.createDataFrame([(1, "vectorized")], "query_id int, term string")
+    hits = query_text_index(spark, index, q, k=10).collect()
+    assert {r["doc_id"] for r in hits} == {1}
+
+    # re-added with UNCHANGED content is NOT a deferred change: the
+    # manifest records it and nothing compacts
+    manifest2 = str(tmp_path / "manifest2")
+    state2 = str(tmp_path / "state2")
+    index2 = str(tmp_path / "index2")
+    ingest_increment(spark, snap([(0, a0), (1, a1)]), manifest2, state2, index2)
+    ingest_increment(spark, snap([(0, a0)]), manifest2, state2, index2)
+    s = ingest_increment(
+        spark,
+        snap([(0, a0), (1, a1)]),
+        manifest2,
+        state2,
+        index2,
+        compact_changed=True,
+    )
+    assert s["n_admitted"] == 0 and s["n_compacted"] == 0
+    assert {r["doc_id"] for r in spark.read.parquet(manifest2).collect()} == {0, 1}

@@ -686,7 +686,14 @@ def test_stream_event_pattern_totals_match_batch(spark, tmp_path):
         (14, 0, 3, "view", 0), (15, 1, 3, "click", 0),
     ]
     slow_purchase = [(16, 60 * 24 * 8, 3, "purchase", 2)]  # 8 days later
-    all_rows = rows + slow + slow_purchase
+    # user 4: view+click in batch 0, IDLE through batch 1, purchase in
+    # batch 2 — the state tail must survive an idle batch un-duplicated
+    # (a duplicated tail reads v,v,c,c,p: no contiguous triple)
+    idle_straddle = [
+        (17, 0, 4, "view", 0), (18, 1, 4, "click", 0),
+        (19, 30, 4, "purchase", 2),
+    ]
+    all_rows = rows + slow + slow_purchase + idle_straddle
     src = str(tmp_path / "events")
     state = str(tmp_path / "state")
     for k in range(3):
@@ -730,7 +737,7 @@ def test_stream_event_pattern_totals_match_batch(spark, tmp_path):
         .agg(F2.count("*").alias("n"))
         .collect()
     }
-    assert expected == {1: 2, 2: 1}  # the scenario is what we think it is
+    assert expected == {1: 2, 2: 1, 4: 1}  # the scenario is what we think
     assert totals == expected
     # state is bounded: at most 2 rows per user, never event payloads
     st = spark.read.parquet(state)
