@@ -9126,6 +9126,185 @@ def x_attribution(spark, sf_dir):
     )
 
 
+@register(
+    "x_seasonal_decompose",
+    """
+    WITH d AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS v
+        FROM orders GROUP BY 1
+    ),
+    t AS (
+        SELECT day, v,
+               SUM(v) OVER (ORDER BY day
+                            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS w7,
+               COUNT(*) OVER (ORDER BY day
+                              ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS n7
+        FROM d
+    )
+    SELECT day, CAST(v AS BIGINT) AS rev_cents,
+           CAST(w7 // n7 AS BIGINT) AS trend_cents,
+           CAST(1000000 * v * n7 // w7 AS BIGINT) AS seasonal_ppm
+    FROM t WHERE n7 = 7
+    """,
+)
+def x_seasonal_decompose(spark, sf_dir):
+    """Trend/seasonal decomposition of the daily revenue series: trend
+    = centered 7-day moving mean, seasonal index = the day's value over
+    its own local trend (ppm) — the detrended complement of
+    x_dow_seasonality's global dow index (a holiday spike shows up
+    here even when its weekday is globally average).  All exact
+    integers: the trend is an integer-divided window SUM and the index
+    multiplies BEFORE dividing (1e6·v·n7 div w7), so no float touches
+    any output.  Edge days without a full 7-day window are excluded
+    (centered-MA convention).
+
+    Scale: one day-keyed partial agg; the rows-frame windows run over
+    the bounded daily table."""
+    o = _t(spark, sf_dir, "orders")
+    d = (
+        o.select(
+            F.col("o_orderdate").cast("date").alias("day"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
+        )
+        .groupBy("day")
+        .agg(F.sum("c").alias("v"))
+    )
+    w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    t = d.select(
+        "day",
+        "v",
+        F.sum("v").over(w7).alias("w7"),
+        F.count("*").over(w7).alias("n7"),
+    ).filter(F.col("n7") == 7)
+    return t.select(
+        "day",
+        F.col("v").cast("long").alias("rev_cents"),
+        F.expr("w7 div n7").cast("long").alias("trend_cents"),
+        F.expr("1000000 * v * n7 div w7").cast("long").alias("seasonal_ppm"),
+    )
+
+
+@register(
+    "x_new_returning",
+    """
+    WITH m AS (
+        SELECT o_custkey,
+               date_trunc('month', CAST(o_orderdate AS DATE)) AS month
+        FROM orders GROUP BY 1, 2
+    ),
+    f AS (
+        SELECT o_custkey, month,
+               MIN(month) OVER (PARTITION BY o_custkey) AS first_month
+        FROM m
+    )
+    SELECT CAST(month AS DATE) AS month,
+           CAST(SUM(CASE WHEN month = first_month THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_new,
+           CAST(SUM(CASE WHEN month <> first_month THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_returning,
+           CAST(1000000 * SUM(CASE WHEN month = first_month THEN 1 ELSE 0 END)
+                // COUNT(*) AS BIGINT) AS new_share_ppm
+    FROM f GROUP BY month
+    """,
+)
+def x_new_returning(spark, sf_dir):
+    """New-vs-returning customer census per month: a customer is "new"
+    in their first active month, "returning" in every later one — the
+    acquisition/retention split every growth report opens with
+    (complements x_retention_cohorts' full matrix with the one-line
+    summary).  Exact integers throughout.
+
+    Scale: the corpus-sized stage is the (customer, month) distinct
+    partial agg; the first-month window and the census run over
+    customer-months, and both share hash(o_custkey) for the window then
+    one bounded month-keyed agg."""
+    o = _t(spark, sf_dir, "orders")
+    m = (
+        o.select(
+            "o_custkey",
+            F.date_trunc("month", F.col("o_orderdate").cast("date"))
+            .cast("date")
+            .alias("month"),
+        )
+        .distinct()
+    )
+    f = m.select(
+        "month",
+        F.min("month").over(Window.partitionBy("o_custkey")).alias("first_month"),
+    )
+    is_new = F.when(F.col("month") == F.col("first_month"), 1).otherwise(0)
+    return f.groupBy("month").agg(
+        F.sum(is_new).cast("long").alias("n_new"),
+        F.sum(1 - is_new).cast("long").alias("n_returning"),
+        F.expr(
+            "1000000 * sum(case when month = first_month then 1 else 0 end)"
+            " div count(*)"
+        )
+        .cast("long")
+        .alias("new_share_ppm"),
+    )
+
+
+@register(
+    "x_dau_mau",
+    """
+    WITH du AS (
+        SELECT date_trunc('month', ts) AS month,
+               CAST(ts AS DATE) AS day, user_id
+        FROM events GROUP BY 1, 2, 3
+    ),
+    dau AS (
+        SELECT month, day, COUNT(*) AS n_users FROM du GROUP BY 1, 2
+    ),
+    mau AS (
+        SELECT month, COUNT(DISTINCT user_id) AS mau FROM du GROUP BY 1
+    )
+    SELECT CAST(d.month AS DATE) AS month,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(d.n_users) AS BIGINT) AS sum_dau,
+           CAST(MAX(m.mau) AS BIGINT) AS mau,
+           CAST(1000000 * SUM(d.n_users) // (COUNT(*) * MAX(m.mau))
+                AS BIGINT) AS stickiness_ppm
+    FROM dau d JOIN mau m USING (month)
+    GROUP BY d.month
+    """,
+)
+def x_dau_mau(spark, sf_dir):
+    """DAU/MAU stickiness per month: mean daily active users over
+    monthly active users (ppm) — THE engagement ratio (a 250,000 ppm
+    stickiness means the average user shows up ~1 week per month).
+    Exact integer arithmetic: stickiness = 1e6·Σdau div (days·mau).
+
+    Scale: one (month, day, user) distinct partial agg is the only
+    corpus-sized stage; DAU and MAU aggs run over its output.  The
+    exact MAU count-distinct is per-month-bounded; at extreme user
+    cardinality the documented swap is the a5 HLL idiom."""
+    ev = _t(spark, sf_dir, "events")
+    du = (
+        ev.select(
+            F.date_trunc("month", "ts").cast("date").alias("month"),
+            F.col("ts").cast("date").alias("day"),
+            "user_id",
+        )
+        .distinct()
+    )
+    dau = du.groupBy("month", "day").agg(F.count("*").alias("n_users"))
+    mau = du.groupBy("month").agg(F.countDistinct("user_id").alias("mau"))
+    return (
+        dau.join(mau, "month")
+        .groupBy("month")
+        .agg(
+            F.count("*").cast("long").alias("n_days"),
+            F.sum("n_users").cast("long").alias("sum_dau"),
+            F.max("mau").cast("long").alias("mau"),
+            F.expr("1000000 * sum(n_users) div (count(*) * max(mau))")
+            .cast("long")
+            .alias("stickiness_ppm"),
+        )
+    )
+
+
 def _driver_green_keys() -> frozenset:
     """Keys with a fully-green row (rows+schema+hash) in their LATEST
     driver-recorded check, derived from the ``CORRECTNESS_r*.json`` files
