@@ -104,8 +104,16 @@ def curate(
     n_shards: int | None = None,
     quality_model: bool = False,
     quality_tail: float = 0.1,
+    attribution: bool = False,
 ):
-    """Programmatic surface of the CLI; returns the stats dict."""
+    """Programmatic surface of the CLI; returns the stats dict.
+
+    ``attribution=True`` additionally records the survivor count after
+    every enabled stage (``n_after_<stage>`` keys) — the "why was this
+    document removed" release-card breakdown.  Costs one count action
+    per enabled stage (each is a map-side count over the stage's plan),
+    so it is off by default and meant for release builds, not the
+    per-batch hot path."""
     from pyspark.errors import AnalysisException
     from pyspark.sql import functions as F
 
@@ -117,6 +125,12 @@ def curate(
     stats = {"n_input": n_input}
 
     kept = docs.filter(token_count("text") >= min_tokens)
+
+    def _mark(stage: str, frame) -> None:
+        if attribution:
+            stats[f"n_after_{stage}"] = frame.count()
+
+    _mark("min_tokens", kept)
 
     if gopher:
         # row-local rule battery: stays inside the same scan/plan
@@ -138,6 +152,7 @@ def curate(
                 min_stops=gopher_min_stops,
             )["keep"]
         ).drop("_toks", "_lines")
+        _mark("gopher", kept)
 
     if quality_model:
         # VERDICT r4 #4: model-based quality scoring closes the curate
@@ -209,6 +224,7 @@ def curate(
                 # together — deterministic, never splits a score band)
                 scored = scored.filter(F.col("_qscore") > F.lit(thr_row["thr"]))
             kept = scored.drop("_qscore", *feat_cols)
+            _mark("quality_model", kept)
         else:
             # degenerate labels (all pass / all fail): nothing to learn
             # — heuristic stages already decided; skip, record why
@@ -228,6 +244,7 @@ def curate(
         kept = kept.join(
             good.select("doc_id").hint("shuffle_hash"), "doc_id", "left_semi"
         )
+        _mark("fluency_tail", kept)
 
     if max_dup_fraction is not None:
         from lwetl_spark.operators.dedup import duplicate_spans
@@ -244,6 +261,7 @@ def curate(
             )
             .drop("dup_fraction")
         )
+        _mark("dup_spans", kept)
 
     if dedup:
         digest = F.md5(
@@ -260,6 +278,7 @@ def curate(
             kept["doc_id"] == w_min["_keep_id"],
             "left_semi",
         )
+        _mark("exact_dedup", kept)
 
     if decontaminate_path:
         from lwetl_spark.operators.decontaminate import decontaminate
@@ -268,10 +287,12 @@ def curate(
         if "doc_id" not in bench.columns:  # gram extraction needs an id
             bench = bench.withColumn("doc_id", F.monotonically_increasing_id())
         kept = decontaminate(kept, bench, n=3)
+        _mark("decontaminate", kept)
         if fuzzy:
             from lwetl_spark.operators.decontaminate import fuzzy_decontaminate
 
             kept = fuzzy_decontaminate(kept, bench)
+            _mark("fuzzy_decontaminate", kept)
 
     if n_shards:
         from lwetl_spark.operators.sampling import write_training_shards

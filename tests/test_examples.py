@@ -17,6 +17,7 @@ EXAMPLES = [
     "ann_search",
     "hybrid_search",
     "daily_increment",
+    "dataset_release",
 ]
 
 
