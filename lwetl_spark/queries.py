@@ -9305,6 +9305,137 @@ def x_dau_mau(spark, sf_dir):
     )
 
 
+@register(
+    "x_time_to_convert",
+    """
+    WITH u AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup
+        FROM events GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id,
+               CAST(date_diff('second', u.t_signup, MIN(e.ts)) AS BIGINT)
+                   AS lag_s
+        FROM events e JOIN u USING (user_id)
+        WHERE e.event_type = 'purchase' AND u.t_signup IS NOT NULL
+          AND e.ts >= u.t_signup
+        GROUP BY e.user_id, u.t_signup
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+           CAST(quantile_disc(lag_s, 0.5) AS BIGINT) AS median_lag_s,
+           CAST(quantile_disc(lag_s, 0.9) AS BIGINT) AS p90_lag_s,
+           CAST(MIN(lag_s) AS BIGINT) AS min_lag_s,
+           CAST(MAX(lag_s) AS BIGINT) AS max_lag_s
+    FROM c
+    """,
+)
+def x_time_to_convert(spark, sf_dir):
+    """Time-to-convert distribution: per user, seconds from first
+    signup to first subsequent purchase; one summary row with exact
+    percentile_disc quantiles — the latency half of the funnel story
+    (x_funnel counts WHO converts; this measures HOW LONG conversion
+    takes, the number an activation team actually tracks).  Integer
+    seconds + discrete quantiles: hash-identical cross-engine.
+
+    Scale: two user-keyed aggs sharing hash(user_id); the quantile runs
+    over one row per converted user."""
+    ev = _t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(
+            "t_signup"
+        )
+    )
+    c = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(u.filter(F.col("t_signup").isNotNull()), "user_id")
+        .filter(F.col("ts") >= F.col("t_signup"))
+        .groupBy("user_id", "t_signup")
+        .agg(F.min("ts").alias("t_conv"))
+        .select(
+            (
+                F.unix_timestamp("t_conv") - F.unix_timestamp("t_signup")
+            ).cast("long").alias("lag_s")
+        )
+    )
+    return c.agg(
+        F.count("*").cast("long").alias("n_converted"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY lag_s)")
+        .cast("long")
+        .alias("median_lag_s"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY lag_s)")
+        .cast("long")
+        .alias("p90_lag_s"),
+        F.min("lag_s").cast("long").alias("min_lag_s"),
+        F.max("lag_s").cast("long").alias("max_lag_s"),
+    )
+
+
+@register(
+    "x_p_chart",
+    """
+    WITH d AS (
+        SELECT CAST(ts AS DATE) AS day,
+               COUNT(*) AS n,
+               SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS x
+        FROM events GROUP BY 1
+    ),
+    t AS (
+        SELECT day, n, x,
+               SUM(n) OVER () AS big_n, SUM(x) OVER () AS big_x
+        FROM d
+    )
+    SELECT day, CAST(n AS BIGINT) AS n_events, CAST(x AS BIGINT) AS n_errors,
+           CAST(1000000 * x // n AS BIGINT) AS err_ppm,
+           CAST(CASE WHEN (x * big_n - n * big_x) * (x * big_n - n * big_x)
+                          > 9 * big_x * (big_n - big_x) * n
+                     THEN 1 ELSE 0 END AS BIGINT) AS out_of_control
+    FROM t
+    """,
+)
+def x_p_chart(spark, sf_dir):
+    """Shewhart p-chart over the daily error proportion: flag days
+    whose error share sits outside the 3σ binomial control limits —
+    the SRE/data-quality alarm primitive.  The 3σ test is evaluated in
+    EXACT integers by squaring and cross-multiplying:
+    |x/n − X/N| > 3·√(p̄(1−p̄)/n)  ⇔  (x·N − n·X)² > 9·X·(N−X)·n —
+    no square root, no float, hash-identical cross-engine.
+
+    Scale: one day-keyed partial agg (map-side combine onto calendar
+    days); the control-limit windows run over the bounded daily table.
+    The cross-multiplied form needs x·N to fit int64 — beyond ~10¹⁸
+    event-days, pre-scale the daily counts to ppm shares before the
+    squaring (documented 1e-6-resolution trade)."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("x"),
+    )
+    wall = Window.partitionBy()
+    t = d.select(
+        "day",
+        "n",
+        "x",
+        F.sum("n").over(wall).alias("big_n"),
+        F.sum("x").over(wall).alias("big_x"),
+    )
+    dev = F.col("x") * F.col("big_n") - F.col("n") * F.col("big_x")
+    return t.select(
+        "day",
+        F.col("n").cast("long").alias("n_events"),
+        F.col("x").cast("long").alias("n_errors"),
+        F.expr("1000000 * x div n").cast("long").alias("err_ppm"),
+        F.when(
+            dev * dev
+            > 9 * F.col("big_x") * (F.col("big_n") - F.col("big_x")) * F.col("n"),
+            1,
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("out_of_control"),
+    )
+
+
 def _driver_green_keys() -> frozenset:
     """Keys with a fully-green row (rows+schema+hash) in their LATEST
     driver-recorded check, derived from the ``CORRECTNESS_r*.json`` files
