@@ -55,8 +55,11 @@ def transitive_root(
       with enumerating all ancestor PAIRS, which is O(n·d)).
     - rows whose ``anc`` is already a root stop advancing (left join
       misses), so late rounds shuffle only the unresolved remainder.
-    - lineage doubles per round → ``checkpoint_every`` truncates it
-      with an eager localCheckpoint (the pagerank pattern).
+    - the state is eagerly localCheckpointed every round: the
+      convergence probe must materialize it anyway, and an
+      un-checkpointed lineage makes round k recompute rounds 1..k−1
+      (measured 3× wall on a depth-4 forest; ``checkpoint_every`` is
+      retained for API compatibility but materialization is per-round).
     - convergence is detected with one count per round on the
       advanced-row subset; the loop exits as soon as a round advances
       nothing, so ``max_iters`` is a backstop, not a tuning knob.
@@ -78,19 +81,24 @@ def transitive_root(
         .select("node", F.col("node").alias("root_id"), F.lit(0).cast("long").alias("depth"))
     )
     internal = ptr.select("node").distinct().persist()
+    ptr = ptr.localCheckpoint(eager=True)
     for it in range(max_iters):
-        if checkpoint_every and it and it % checkpoint_every == 0:
-            ptr = ptr.localCheckpoint(eager=True)
         hop = ptr.select(
             F.col("node").alias("anc"),
             F.col("anc").alias("anc2"),
             F.col("depth").alias("d2"),
         )
+        # eager checkpoint EVERY round: the state is one (node, anc,
+        # depth) row per node, and the convergence probe below would
+        # otherwise materialize the un-checkpointed join lineage —
+        # making round k recompute rounds 1..k-1 (measured: 3x wall on
+        # a depth-4 forest).  checkpoint_every is kept for API
+        # compatibility; materialization is what the probe needs anyway.
         ptr = ptr.join(hop, "anc", "left").select(
             "node",
             F.coalesce(F.col("anc2"), F.col("anc")).alias("anc"),
             (F.col("depth") + F.coalesce(F.col("d2"), F.lit(0))).alias("depth"),
-        )
+        ).localCheckpoint(eager=True)
         # converged when no anc is itself a child (i.e. all point at roots)
         remaining = ptr.join(
             internal.withColumnRenamed("node", "anc"), "anc", "left_semi"
