@@ -31,7 +31,6 @@ def transitive_root(
     child: str = "child",
     parent: str = "parent",
     max_iters: int = 20,
-    checkpoint_every: int = 4,
 ) -> DataFrame:
     """Resolve every node of a parent-pointer forest to its root:
     returns (node, root_id, depth) for EVERY node that appears in the
@@ -58,8 +57,7 @@ def transitive_root(
     - the state is eagerly localCheckpointed every round: the
       convergence probe must materialize it anyway, and an
       un-checkpointed lineage makes round k recompute rounds 1..k−1
-      (measured 3× wall on a depth-4 forest; ``checkpoint_every`` is
-      retained for API compatibility but materialization is per-round).
+      (measured 3× wall on a depth-4 forest).
     - convergence is detected with one count per round on the
       advanced-row subset; the loop exits as soon as a round advances
       nothing, so ``max_iters`` is a backstop, not a tuning knob.
@@ -92,8 +90,7 @@ def transitive_root(
         # depth) row per node, and the convergence probe below would
         # otherwise materialize the un-checkpointed join lineage —
         # making round k recompute rounds 1..k-1 (measured: 3x wall on
-        # a depth-4 forest).  checkpoint_every is kept for API
-        # compatibility; materialization is what the probe needs anyway.
+        # a depth-4 forest); materialization is what the probe needs anyway
         ptr = ptr.join(hop, "anc", "left").select(
             "node",
             F.coalesce(F.col("anc2"), F.col("anc")).alias("anc"),

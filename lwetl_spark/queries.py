@@ -8189,7 +8189,7 @@ def x_hierarchy_root(spark, sf_dir):
         F.col("c_custkey").alias("child"),
         F.expr("c_custkey div 10").alias("parent"),
     )
-    out = transitive_root(edges, max_iters=8, checkpoint_every=4)
+    out = transitive_root(edges, max_iters=8)
     return out.select(
         F.col("node").cast("long").alias("node"),
         F.col("root_id").cast("long").alias("root_id"),
@@ -9261,10 +9261,13 @@ def x_new_returning(spark, sf_dir):
         SELECT month, COUNT(DISTINCT user_id) AS mau FROM du GROUP BY 1
     )
     SELECT CAST(d.month AS DATE) AS month,
-           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(COUNT(*) AS BIGINT) AS n_active_days,
+           CAST(day(last_day(CAST(d.month AS DATE))) AS BIGINT)
+               AS days_in_month,
            CAST(SUM(d.n_users) AS BIGINT) AS sum_dau,
            CAST(MAX(m.mau) AS BIGINT) AS mau,
-           CAST(1000000 * SUM(d.n_users) // (COUNT(*) * MAX(m.mau))
+           CAST(1000000 * SUM(d.n_users)
+                // (day(last_day(CAST(d.month AS DATE))) * MAX(m.mau))
                 AS BIGINT) AS stickiness_ppm
     FROM dau d JOIN mau m USING (month)
     GROUP BY d.month
@@ -9274,7 +9277,12 @@ def x_dau_mau(spark, sf_dir):
     """DAU/MAU stickiness per month: mean daily active users over
     monthly active users (ppm) — THE engagement ratio (a 250,000 ppm
     stickiness means the average user shows up ~1 week per month).
-    Exact integer arithmetic: stickiness = 1e6·Σdau div (days·mau).
+    The mean divides by CALENDAR days in the month (zero-event days
+    drag the average down, as the standard metric requires — dividing
+    by active days only would inflate sparse months); partial edge
+    months are the metric's usual caveat and n_active_days is emitted
+    so consumers can see them.  Exact integer arithmetic:
+    stickiness = 1e6·Σdau div (days_in_month·mau).
 
     Scale: one (month, day, user) distinct partial agg is the only
     corpus-sized stage; DAU and MAU aggs run over its output.  The
@@ -9295,10 +9303,16 @@ def x_dau_mau(spark, sf_dir):
         dau.join(mau, "month")
         .groupBy("month")
         .agg(
-            F.count("*").cast("long").alias("n_days"),
+            F.count("*").cast("long").alias("n_active_days"),
+            F.dayofmonth(F.last_day(F.max("month")))
+            .cast("long")
+            .alias("days_in_month"),
             F.sum("n_users").cast("long").alias("sum_dau"),
             F.max("mau").cast("long").alias("mau"),
-            F.expr("1000000 * sum(n_users) div (count(*) * max(mau))")
+            F.expr(
+                "1000000 * sum(n_users)"
+                " div (day(last_day(max(month))) * max(mau))"
+            )
             .cast("long")
             .alias("stickiness_ppm"),
         )
