@@ -9450,6 +9450,132 @@ def x_p_chart(spark, sf_dir):
     )
 
 
+@register(
+    "x_abc_classification",
+    """
+    WITH p AS (
+        SELECT l_partkey,
+               SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS rev
+        FROM lineitem GROUP BY 1
+    ),
+    c AS (
+        SELECT l_partkey, rev,
+               SUM(rev) OVER (ORDER BY rev DESC, l_partkey) AS cum,
+               SUM(rev) OVER () AS total
+        FROM p
+    ),
+    k AS (
+        SELECT CASE WHEN 100 * (cum - rev) < 80 * total THEN 'A'
+                    WHEN 100 * (cum - rev) < 95 * total THEN 'B'
+                    ELSE 'C' END AS cls,
+               rev FROM c
+    )
+    SELECT cls, CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(rev) AS BIGINT) AS rev_cents,
+           CAST(1000000 * SUM(rev) // SUM(SUM(rev)) OVER () AS BIGINT)
+               AS rev_share_ppm
+    FROM k GROUP BY cls
+    """,
+)
+def x_abc_classification(spark, sf_dir):
+    """ABC inventory classification: parts ranked by revenue, class A =
+    the parts that make up the first 80% of cumulative revenue, B the
+    next 15%, C the tail — the warehouse-planning workhorse (A parts
+    get the prime shelf space and tight stock control).  A part belongs
+    to the class of the revenue BAND IT STARTS IN (cum − rev < 80%·T,
+    cross-multiplied to exact integers, deterministic (rev, partkey)
+    tie order) so every part lands in exactly one class with zero float
+    arithmetic.
+
+    Scale: the corpus-sized stage is a part-keyed partial agg; the
+    ranked cumulative window runs over parts (not lineitems).  At 10⁹
+    parts, the documented swap for the global ordered window is a
+    two-phase prefix sum over range buckets (the pack_sequences
+    pattern)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = (
+        li.select(
+            "l_partkey",
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("c"),
+        )
+        .groupBy("l_partkey")
+        .agg(F.sum("c").alias("rev"))
+    )
+    wc = Window.orderBy(F.desc("rev"), F.asc("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy()
+    c = p.select(
+        "rev",
+        F.sum("rev").over(wc).alias("cum"),
+        F.sum("rev").over(wall).alias("total"),
+    )
+    k = c.select(
+        F.when(100 * (F.col("cum") - F.col("rev")) < 80 * F.col("total"), "A")
+        .when(100 * (F.col("cum") - F.col("rev")) < 95 * F.col("total"), "B")
+        .otherwise("C")
+        .alias("cls"),
+        "rev",
+    )
+    return k.groupBy("cls").agg(
+        F.count("*").cast("long").alias("n_parts"),
+        F.sum("rev").cast("long").alias("rev_cents"),
+        F.expr("1000000 * sum(rev) div sum(sum(rev)) over ()")
+        .cast("long")
+        .alias("rev_share_ppm"),
+    )
+
+
+@register(
+    "x_cross_sell",
+    """
+    WITH ob AS (
+        SELECT DISTINCT l.l_orderkey, p.p_brand
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    pairs AS (
+        SELECT x.p_brand AS brand_a, y.p_brand AS brand_b
+        FROM ob x JOIN ob y
+          ON x.l_orderkey = y.l_orderkey AND x.p_brand < y.p_brand
+    )
+    SELECT brand_a, brand_b, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM pairs GROUP BY 1, 2
+    HAVING COUNT(*) >= 5
+    ORDER BY n_orders DESC, brand_a, brand_b LIMIT 50
+    """,
+)
+def x_cross_sell(spark, sf_dir):
+    """Cross-sell brand matrix: how often two brands land in the SAME
+    order — the co-purchase signal behind "customers also bought" and
+    bundle design (the brand-level cousin of x_assoc_rules' itemsets
+    and the co-purchase edge list x_triangle_count builds on).  Top-50
+    pairs with a support floor.
+
+    Scale: the (order, brand) distinct pre-agg bounds the self-join
+    fan-out at brands-per-order (≪ items-per-order); pair output is
+    capped by |brands|² regardless of corpus size, and the top-50
+    compiles to TakeOrderedAndProject (per-partition heaps, no global
+    sort)."""
+    li = _t(spark, sf_dir, "lineitem")
+    pt = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.select("l_orderkey", "l_partkey")
+        .join(pt, li["l_partkey"] == pt["p_partkey"])
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    x = ob.select(F.col("l_orderkey"), F.col("p_brand").alias("brand_a"))
+    y = ob.select(F.col("l_orderkey"), F.col("p_brand").alias("brand_b"))
+    pairs = x.join(y, "l_orderkey").filter(F.col("brand_a") < F.col("brand_b"))
+    return (
+        pairs.groupBy("brand_a", "brand_b")
+        .agg(F.count("*").cast("long").alias("n_orders"))
+        .filter(F.col("n_orders") >= 5)
+        .orderBy(F.desc("n_orders"), "brand_a", "brand_b")
+        .limit(50)
+    )
+
+
 def _driver_green_keys() -> frozenset:
     """Keys with a fully-green row (rows+schema+hash) in their LATEST
     driver-recorded check, derived from the ``CORRECTNESS_r*.json`` files
