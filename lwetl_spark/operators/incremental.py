@@ -183,9 +183,10 @@ def ingest_increment(
     MERGES (old rows for untouched ids + the delta's rows) instead of
     replacing.  This makes the whole increment O(delta): full-snapshot
     mode must fingerprint every snapshot doc just to diff it (probe:
-    16× corpus → ~3.4× increment wall, sub-linear but snapshot-bound),
+    64× corpus → ~2.2× increment wall, strongly sub-linear but
+    snapshot-bound),
     while delta mode's per-doc work is delta-sized and the state joins
-    stay id/digest-keyed (probe: near-flat across a 16× corpus,
+    stay id/digest-keyed (probe: flat across a 64× corpus,
     SCALE.md).  Removal detection needs full snapshots — run one
     weekly; daily deltas in between.
 
@@ -215,6 +216,17 @@ def ingest_increment(
     else:
         fresh = snapshot
     fresh = fresh.select(id_col, text_col, digest.alias("_fp"))
+    # eager checkpoint: `fresh` is referenced on BOTH branches of the
+    # dedup plan below (the groupBy-min side and the semi-probe side) and
+    # Catalyst does not share subtrees across branches — without this,
+    # the whole snapshot-scan + diff subtree re-executes per reference
+    # inside ONE AQE mega-plan, which measured SUPER-LINEAR on the 64×
+    # campaign probe (full-snapshot increment 17 s at 16× → 46 min at
+    # 64×; flat-delta mode was unaffected because its fresh is
+    # delta-sized).  After the diff, fresh is added+changed rows only, so
+    # the materialization is delta-sized in steady state and one
+    # corpus-sized pass at bootstrap.
+    fresh = fresh.localCheckpoint(eager=True)
     n_fresh = fresh.count()
 
     try:

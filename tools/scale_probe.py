@@ -167,11 +167,14 @@ def main() -> None:
     from lwetl_spark.queries import QUERIES  # noqa: F401 (session warm path)
     from lwetl_spark.session import get_spark
 
-    args = [a for a in sys.argv[1:] if not a.startswith("--only=")]
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
     only = None
+    cli_scales = None  # NB: 'scales' is rebound by the emb_ops loop below
     for a in sys.argv[1:]:
         if a.startswith("--only="):
             only = set(a.split("=", 1)[1].split(","))
+        if a.startswith("--scales="):
+            cli_scales = tuple(int(x) for x in a.split("=", 1)[1].split(","))
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
     spark = get_spark(app_name="scale_probe")
 
@@ -760,7 +763,7 @@ def main() -> None:
         ).groupBy("dur").count().collect()
 
     if not only or "ingest_increment" in only:
-        campaign_probe(spark, sf_dir)
+        campaign_probe(spark, sf_dir, scales=cli_scales or (1, 4, 16))
 
     # hierarchy flattening: pointer doubling must scale ~linearly in
     # NODES while rounds grow only with log(depth).  Synthetic forest:
@@ -844,7 +847,7 @@ def main() -> None:
             )
 
 
-def campaign_probe(spark, sf_dir: str) -> None:
+def campaign_probe(spark, sf_dir: str, scales=(1, 4, 16)) -> None:
     """VERDICT r4 #8 follow-through: the daily-crawl increment's cost
     must be O(delta), not O(corpus).  Protocol: bootstrap the campaign
     state on a 1x/4x/16x corpus, then ingest the SAME fixed ~2k-doc
@@ -857,7 +860,7 @@ def campaign_probe(spark, sf_dir: str) -> None:
 
     from lwetl_spark.operators.incremental import ingest_increment
 
-    for scale in (1, 4, 16):
+    for scale in scales:
         base, n_docs = scaled_docs(spark, sf_dir, scale)
         base = base.select("doc_id", "text")
         # fixed-size delta: 2k new docs de-correlated from every corpus
