@@ -301,6 +301,12 @@ def ingest_increment(
         cand = snapshot.join(stale_ids, id_col, "left_semi").select(
             id_col, text_col, digest.alias("_fp")
         )
+        # eager checkpoint for the same reason as `fresh` above: cand
+        # feeds three downstream branches (other_fps anti-probe, the
+        # in-batch groupBy-min, and the semi probe) and its upstream is
+        # a snapshot-sized scan + diff — checkpoint the delta-sized set
+        # once instead of re-executing that subtree per branch
+        cand = cand.localCheckpoint(eager=True)
         # novel-content guard: if the new content is already admitted
         # under ANY OTHER id, the changed doc is now a duplicate — it
         # stays deferred and dedup wins
