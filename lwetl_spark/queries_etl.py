@@ -695,6 +695,68 @@ def x_ivf_index_roundtrip(spark, sf_dir):
 
 
 @register(
+    "x_ivf_incremental",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS index_matches_rebuild
+    FROM embeddings
+    """,
+)
+def x_ivf_incremental(spark, sf_dir):
+    """Incremental vector-index lifecycle end-to-end — the embedding
+    side of the daily-crawl campaign (operators/similarity.
+    update_ivf_index / remove_from_ivf_index): build the persisted IVF
+    index on the even-id half, `update_ivf_index` with the odd half
+    (frozen quantizer, delta-only Arrow assignment, cell-partition
+    appends), then purge every vec_id % 10 == 3 (bounded locate
+    collect, affected-cell-only rewrites).  Probing with the full
+    corpus must EQUAL probing a from-scratch build over (union minus
+    removed) with ``train_df=`` the even half — appends never move the
+    centroids, so the equality is exact, not approximate.  Same
+    engine-checkable contract as the LSH/IVF/PQ round-trips (the
+    clustering is not SQL-portable)."""
+    import shutil as _shutil
+
+    from lwetl_spark.operators.similarity import (
+        build_ivf_index,
+        query_ivf_index,
+        remove_from_ivf_index,
+        update_ivf_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    even = emb.filter(F.col("vec_id") % 2 == 0)
+    odd = emb.filter(F.col("vec_id") % 2 == 1)
+    removed = emb.filter(F.col("vec_id") % 10 == 3).select("vec_id")
+
+    work = _tmpdir("ivfinc")
+    inc_path = os.path.join(work, "inc")
+    ref_path = os.path.join(work, "ref")
+    build_ivf_index(even, inc_path)
+    update_ivf_index(spark, inc_path, odd)
+    remove_from_ivf_index(spark, inc_path, removed)
+    build_ivf_index(
+        emb.join(removed, "vec_id", "left_anti"), ref_path, train_df=even
+    )
+
+    inc = query_ivf_index(spark, inc_path, emb, k=5)
+    ref = query_ivf_index(spark, ref_path, emb, k=5)
+    cols = ["id", "neighbor_id", "cos", "rank"]
+    a = inc.groupBy(*cols).agg(F.count("*").alias("_ca"))
+    b = ref.groupBy(*cols).agg(F.count("*").alias("_cb"))
+    mismatches = (
+        a.join(b, cols, "full_outer")
+        .filter("_ca IS NULL OR _cb IS NULL OR _ca <> _cb")
+        .count()
+    )
+    n_queries = emb.count()
+    _shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        [(n_queries, mismatches == 0)],
+        "n_queries long, index_matches_rebuild boolean",
+    )
+
+
+@register(
     "x_bm25_index_roundtrip",
     """
     SELECT CAST(3 AS BIGINT) AS n_queries, TRUE AS index_matches_inline

@@ -293,6 +293,93 @@ def test_ivf_index_build_then_query_matches_inline(spark, tmp_path):
     assert all(r["rank"] <= 3 for r in rows)
 
 
+def test_ivf_incremental_lifecycle_matches_rebuild(spark, tmp_path):
+    """Incremental IVF maintenance == from-scratch rebuild: build on the
+    even half, update_ivf_index with the odd half (frozen centroids,
+    delta-only assignment), remove_from_ivf_index a planted subset —
+    probes must equal an index built over (union − removed) with
+    train_df= the even half.  Also pins the emptied-cell fallback (all
+    members of some cell removed → static overwrite deletes the
+    partition) and the stats census arithmetic."""
+    from pyspark.sql import functions as F
+
+    from lwetl_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_stats,
+        query_ivf_index,
+        remove_from_ivf_index,
+        retrain_ivf_index,
+        update_ivf_index,
+    )
+
+    emb = spark.read.parquet(SF_CORRECT + "/embeddings.parquet")
+    even = emb.filter(F.col("vec_id") % 2 == 0)
+    odd = emb.filter(F.col("vec_id") % 2 == 1)
+    removed = emb.filter(F.col("vec_id") % 10 == 3).select("vec_id")
+
+    inc_path = str(tmp_path / "inc")
+    ref_path = str(tmp_path / "ref")
+    build_ivf_index(even, inc_path)
+    update_ivf_index(spark, inc_path, odd)
+    remove_from_ivf_index(spark, inc_path, removed)
+    build_ivf_index(emb.join(removed, "vec_id", "left_anti"), ref_path,
+                    train_df=even)
+
+    got = sorted(map(tuple, query_ivf_index(spark, inc_path, emb, k=5).collect()))
+    want = sorted(map(tuple, query_ivf_index(spark, ref_path, emb, k=5).collect()))
+    assert got == want
+
+    # stats census: totals reconcile, imbalance is exact integer math
+    st = ivf_index_stats(spark, inc_path).collect()[0]
+    n_kept = emb.join(removed, "vec_id", "left_anti").count()
+    assert st["n_vectors"] == n_kept
+    assert st["min_cell"] >= 1  # census never reports phantom empty cells
+    assert st["imbalance_pm"] == 1000 * st["max_cell"] * st["n_cells"] // st["n_vectors"]
+    assert st["imbalance_pm"] >= 1000  # max >= mean always
+
+    # removing EVERY member of one cell exercises the static fallback:
+    # the emptied partition must actually vanish from the census
+    cells_tbl = spark.read.parquet(f"{inc_path}/cells")
+    victim = cells_tbl.groupBy("cell").count().orderBy("count", "cell").first()
+    victim_ids = cells_tbl.filter(F.col("cell") == victim["cell"]).select("id")
+    remove_from_ivf_index(spark, inc_path, victim_ids)
+    st2 = ivf_index_stats(spark, inc_path).collect()[0]
+    assert st2["n_cells"] == st["n_cells"] - 1
+    assert st2["n_vectors"] == n_kept - victim["count"]
+
+    # retrain over current members: same member ids, fresh quantizer
+    retrain_ivf_index(spark, inc_path)
+    members = spark.read.parquet(f"{inc_path}/cells")
+    assert members.count() == n_kept - victim["count"]
+    probe = query_ivf_index(spark, inc_path, emb.limit(5), k=3)
+    assert probe.count() > 0
+
+
+def test_ivf_update_rejects_nothing_but_is_noop_safe(spark, tmp_path):
+    """Edge contracts: an empty delta append and an unknown-id removal
+    both leave the index byte-equivalent (probe-identical)."""
+    from pyspark.sql import functions as F
+
+    from lwetl_spark.operators.similarity import (
+        build_ivf_index,
+        query_ivf_index,
+        remove_from_ivf_index,
+        update_ivf_index,
+    )
+
+    emb = spark.read.parquet(SF_CORRECT + "/embeddings.parquet")
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, path)
+    before = sorted(map(tuple, query_ivf_index(spark, path, emb, k=5).collect()))
+
+    update_ivf_index(spark, path, emb.filter(F.lit(False)))
+    remove_from_ivf_index(
+        spark, path, spark.createDataFrame([(10**12,)], "vec_id long")
+    )
+    after = sorted(map(tuple, query_ivf_index(spark, path, emb, k=5).collect()))
+    assert before == after
+
+
 def test_pq_index_build_then_query_matches_inline(spark, tmp_path):
     """Persisted PQ index: probing with the full corpus reproduces the
     inline pq_topk exactly — same codebooks, same ADC shortlist, same
@@ -519,10 +606,18 @@ def test_apply_changelog_matches_dict_replay(spark, rows):
     assert got == state
 
 
+def _sorted_unique(xs):
+    # named (not a lambda): hypothesis source-extracts lambdas passed to
+    # .map() for its repr, and that extraction has a thread-unsafe
+    # `assert "lambda" in source` that flaked once under the full suite
+    # (Spark's py4j threads touch the recursion limit / linecache)
+    return sorted(set(xs))
+
+
 @settings(max_examples=10, deadline=None)
 @given(
     st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=12)
-    .map(lambda xs: sorted(set(xs)))
+    .map(_sorted_unique)
 )
 def test_rrf_fusion_identical_lists_preserve_order(spark, docs):
     """Property: fusing a ranking with ITSELF preserves the ranking
