@@ -299,6 +299,76 @@ def main() -> None:
                 flush=True,
             )
 
+    # IVF lifecycle: the CLAIM is that update cost is DELTA-sized (one
+    # bounded centroid read + delta-only assignment + appends) and that
+    # removal cost is locate (an (id, cell)-pruned scan) + bounded cell
+    # rewrites — so a FIXED delta/removal set against a growing index
+    # must stay near-flat.  Cells grow with the corpus (constant cell
+    # size), mirroring a real deployment.
+    if only is None or "ivf_update" in only:
+        import shutil
+        import tempfile
+
+        from lwetl_spark.operators.similarity import (
+            build_ivf_index,
+            ivf_index_stats,
+            remove_from_ivf_index,
+            update_ivf_index,
+        )
+
+        for scale in cli_scales or (1, 4, 16):
+            df, n_vecs = scaled_embeddings(scale)
+            df = df.persist()
+            df.count()
+            # FIXED delta across scales: the base table under shifted ids
+            # (2k vecs at sf0.1) — a flat row below means the lifecycle
+            # pays for its delta, not for the index it lands in
+            base_emb, n_delta = scaled_embeddings(1)
+            delta = base_emb.select(
+                (F.col("vec_id") + 900_000_000).alias("vec_id"), "embedding"
+            ).localCheckpoint(eager=True)
+            removed = (
+                delta.filter(F.col("vec_id") % 4 == 1)
+                .select("vec_id")
+                .localCheckpoint(eager=True)
+            )
+            n_removed = removed.count()
+            work = tempfile.mkdtemp(prefix="lwetl_spark_ivfprobe_")
+            path = work + "/index"
+            t0 = time.time()
+            build_ivf_index(df, path, num_centroids=16 * scale)
+            t_build = time.time() - t0
+            t0 = time.time()
+            update_ivf_index(spark, path, delta)
+            t_update = time.time() - t0
+            t0 = time.time()
+            remove_from_ivf_index(spark, path, removed)
+            t_remove = time.time() - t0
+            t0 = time.time()
+            st = ivf_index_stats(spark, path).collect()[0]
+            t_stats = time.time() - t0
+            assert st["n_vectors"] == n_vecs + n_delta - n_removed, st
+            df.unpersist()
+            spark.catalog.clearCache()
+            shutil.rmtree(work, ignore_errors=True)
+            print(
+                json.dumps(
+                    {
+                        "op": "ivf_update",
+                        "scale": scale,
+                        "vecs": n_vecs,
+                        "delta": n_delta,
+                        "removed": n_removed,
+                        "build_sec": round(t_build, 2),
+                        "update_sec": round(t_update, 2),
+                        "remove_sec": round(t_remove, 2),
+                        "stats_sec": round(t_stats, 2),
+                        "imbalance_pm": st["imbalance_pm"],
+                    }
+                ),
+                flush=True,
+            )
+
     # persisted IVF index: build once (timed) then probe with a 1k query
     # batch (timed separately) — the build-once/probe-many amortization
     # story.  Cells grow with the corpus (16·s) so per-cell membership —
