@@ -9576,24 +9576,31 @@ def x_cross_sell(spark, sf_dir):
     )
 
 
-def _driver_green_keys() -> frozenset:
-    """Keys with a fully-green row (rows+schema+hash) in their LATEST
-    driver-recorded check, derived from the ``CORRECTNESS_r*.json`` files
-    the driver ships into the repo root after each round.
+def _driver_green_keys() -> dict:
+    """Map of key → round number of its LATEST fully-green driver check
+    (rows+schema+hash), derived from the ``CORRECTNESS_r*.json`` files the
+    driver ships into the repo root after each round. Keys whose latest
+    recorded check failed are absent, so they re-enter the priority prefix.
 
     VERDICT r4 #1: three consecutive rounds of hand-frozen sampled-key
     sets went stale and starved new keys of driver evidence; deriving the
     set from the recorded artifacts makes the ordering self-maintaining.
-    Any key whose latest recorded check failed is treated as never-green
-    so it re-enters the priority prefix.
+    VERDICT r5 #1: the green tier must also ROTATE — keeping the round of
+    each key's latest evidence lets `_unsampled_first` re-verify the
+    stalest keys first instead of the same registration-order prefix
+    forever.
     """
     import glob as _glob
     import json as _json
     import os as _os
+    import re as _re
 
     root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
     latest: dict = {}
+    latest_round: dict = {}
     for path in sorted(_glob.glob(_os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = _re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as fh:
                 data = _json.load(fh)
@@ -9604,13 +9611,14 @@ def _driver_green_keys() -> frozenset:
         for key, row in data.items():
             if isinstance(row, dict):
                 latest[key] = row  # later (sorted) rounds overwrite earlier
-    return frozenset(
-        k
+                latest_round[key] = rnd
+    return {
+        k: latest_round[k]
         for k, row in latest.items()
         if row.get("rows_match")
         and row.get("schema_match")
         and row.get("hash_match", True)
-    )
+    }
 
 
 _SAMPLED_GREEN = _driver_green_keys()
@@ -9620,11 +9628,18 @@ def _unsampled_first(d: dict) -> dict:
     """Stable reorder: every key WITHOUT a green row in the latest
     recorded driver check first (registration order — covers both
     never-sampled keys and any regression the driver recorded), then the
-    already-driver-verified rest. A driver that checks a prefix of the
-    returned order therefore clears the whole backlog before
-    re-verifying anything."""
+    already-driver-verified rest ordered STALEST-EVIDENCE-FIRST (oldest
+    green round first; registration order breaks ties). A driver that
+    checks a prefix of the returned order therefore clears the whole
+    backlog first, then continuously refreshes the oldest evidence
+    instead of re-checking the same prefix every round."""
     fresh = {k: v for k, v in d.items() if k not in _SAMPLED_GREEN}
-    fresh.update({k: v for k, v in d.items() if k in _SAMPLED_GREEN})
+    reg_order = {k: i for i, k in enumerate(d)}
+    for k in sorted(
+        (k for k in d if k in _SAMPLED_GREEN),
+        key=lambda k: (_SAMPLED_GREEN[k], reg_order[k]),
+    ):
+        fresh[k] = d[k]
     return fresh
 
 

@@ -124,3 +124,24 @@ def test_timestamp_outputs_are_pandas_canonicalizable(spark):
             raise AssertionError(f"{name}: driver canon rejected output: {e}") from e
         checked.append(name)
     assert "x_scd2" in checked  # the r02 regression case must be covered
+
+
+def test_sample_order_is_stale_first():
+    """VERDICT r5 #1: the driver samples a 50-key prefix of queries()
+    each round. Never/failed keys must surface first (backlog), and the
+    already-green tier must rotate STALEST-EVIDENCE-FIRST so old rows
+    get refreshed instead of re-checking the same registration prefix
+    forever."""
+    from lwetl_spark import queries as Q
+
+    green = Q._SAMPLED_GREEN
+    assert green, "CORRECTNESS_r*.json artifacts must be parseable"
+    order = list(Q.queries().keys())
+    # every non-green key precedes every green key
+    green_positions = [i for i, k in enumerate(order) if k in green]
+    fresh_positions = [i for i, k in enumerate(order) if k not in green]
+    if fresh_positions and green_positions:
+        assert max(fresh_positions) < min(green_positions)
+    # the green tier is non-decreasing in evidence round
+    rounds = [green[k] for k in order if k in green]
+    assert rounds == sorted(rounds), "green tier must be oldest-evidence-first"
