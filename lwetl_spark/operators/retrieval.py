@@ -43,6 +43,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from lwetl_spark.operators import _partwrite as _pw
+
 #: tokenizer shared with x_tfidf / x_corpus_pipeline (split on runs of
 #: whitespace, drop empties) — keep in lockstep with the DuckDB oracle.
 _TOKENIZE = r"filter(split(lower(trim({col})), '\\s+'), x -> x <> '')"
@@ -408,14 +410,10 @@ def update_text_index(
         # eager: the dynamic-overwrite below must not race the scan above
         .localCheckpoint(eager=True)
     )
-    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        merged.repartition("bucket").write.mode("overwrite").partitionBy(
-            "bucket"
-        ).parquet(f"{path}/df")
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+    # per-write dynamic mode: the session conf is never mutated, so a
+    # concurrent job on the same SparkSession cannot observe the wrong
+    # overwrite mode mid-write (r5 ADVICE)
+    _pw.dynamic_overwrite(merged, f"{path}/df", "bucket", repartition=True)
 
     dl_new.write.mode("append").parquet(f"{path}/doclen")
     stats = (
@@ -537,45 +535,41 @@ def compact_text_index(
 
     # dynamic partition overwrite cannot DELETE a bucket whose rows all
     # belonged to replaced docs (no rows for it in the written frame →
-    # the stale partition would survive).  When that rare case appears,
-    # fall back to a full static overwrite of that table (the replaced
-    # set must then have owned a whole hash bucket's vocabulary — a
-    # tiny index; at real scale every bucket keeps other docs' rows).
+    # the stale partition would survive).  Emptied buckets have their
+    # partition DIRECTORIES deleted instead (r5 ADVICE: the old full
+    # static-rewrite fallback escalated a bounded bucket rewrite to a
+    # full-table rewrite); if the compaction empties the whole table,
+    # one zero-row footer file keeps it readable.
     def _overwrite(frame: DataFrame, table: str) -> None:
         present = {
             r["bucket"] for r in frame.select("bucket").distinct().collect()
         }
-        prev = spark.conf.get(
-            "spark.sql.sources.partitionOverwriteMode", "static"
-        )
-        if set(affected) - present:
-            full = (
-                spark.read.parquet(f"{path}/{table}")
-                .filter(~F.col("bucket").isin(affected))
-                .unionByName(frame)
-                .localCheckpoint(eager=True)
+        emptied = set(affected) - present
+        if emptied:
+            # collect BEFORE the write: the overwrite deletes old files
+            survivors = {
+                r["bucket"]
+                for r in spark.read.parquet(f"{path}/{table}")
+                .select("bucket")
+                .distinct()
+                .collect()
+            } - emptied  # bounded: ≤ _INDEX_BUCKETS values
+        if present:
+            _pw.dynamic_overwrite(
+                frame, f"{path}/{table}", "bucket", repartition=True
             )
-            # pin STATIC explicitly: this branch exists to DELETE the
-            # emptied bucket, and under a session-wide dynamic default
-            # the overwrite would only rewrite the partitions present
-            # in the frame — the stale bucket would survive
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
-            try:
-                full.repartition("bucket").write.mode("overwrite").partitionBy(
-                    "bucket"
-                ).parquet(f"{path}/{table}")
-            finally:
-                spark.conf.set(
-                    "spark.sql.sources.partitionOverwriteMode", prev
+        if emptied:
+            _pw.delete_partition_dirs(
+                spark, f"{path}/{table}", "bucket", sorted(emptied)
+            )
+            if not survivors:
+                _pw.write_empty_partition(
+                    spark,
+                    f"{path}/{table}",
+                    "bucket",
+                    min(emptied),
+                    frame.drop("bucket").schema,
                 )
-            return
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            frame.repartition("bucket").write.mode("overwrite").partitionBy(
-                "bucket"
-            ).parquet(f"{path}/{table}")
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
     _overwrite(merged_tf, "postings")
     _overwrite(merged_df, "df")

@@ -1035,6 +1035,12 @@ def build_ivf_index(
         [(i, [float(x) for x in row]) for i, row in enumerate(C)],
         "cell int, centroid array<double>",
     ).write.mode("overwrite").parquet(f"{path}/centroids")
+    # persist the quantizer family so maintenance passes (retrain) can
+    # preserve the index's geometry instead of assuming defaults
+    spark.createDataFrame(
+        [(int(num_centroids), int(train_sample), int(iters))],
+        "num_centroids int, train_sample int, iters int",
+    ).write.mode("overwrite").parquet(f"{path}/params")
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     assigned = base.mapInPandas(
         _make_assign_cells(b_C, 1, carry_v=True), "id long, cell int, v array<double>"
@@ -1140,29 +1146,39 @@ def remove_from_ivf_index(spark, path: str, ids: DataFrame) -> None:
     a full-snapshot crawl diff, mirroring `retrieval.remove_from_index`.
     ``ids`` is a one-column DataFrame of vector ids.
 
-    Cost model: one cells scan PRUNED to (id, cell) — the vectors
-    themselves never shuffle during the locate step — then a rewrite of
-    ONLY the cell partitions that held a removed id (dynamic partition
-    overwrite; at most num_centroids of them, found via a bounded
-    collect).  A cell emptied outright falls back to one static
-    overwrite, because dynamic mode cannot delete a partition it writes
-    no rows for (the same fallback, for the same reason, as
-    `compact_text_index._overwrite`).
+    Cost model — delta-sized no matter how the removal set lands (r5
+    ADVICE: the old emptied-cell path escalated to a full static
+    rewrite):
+
+    - locate: one cells scan PRUNED to (id, cell) — the vectors
+      themselves never shuffle — plus two bounded collects (affected /
+      surviving cell ids, each ≤ num_centroids values);
+    - rewrite: ONLY the affected cell partitions that still hold rows,
+      via per-write dynamic partition overwrite (the session conf is
+      never mutated — `_partwrite.dynamic_overwrite`);
+    - cells emptied outright have their partition DIRECTORIES deleted
+      (`_partwrite.delete_partition_dirs`) instead of triggering a
+      full-table rewrite;
+    - if the removal empties the whole index, one zero-row footer file
+      keeps `{path}/cells` readable for query/stats/update
+      (`_partwrite.write_empty_partition`).
     """
+    from lwetl_spark.operators import _partwrite as _pw
+
     ids_n = (
         ids.select(F.col(ids.columns[0]).alias("id"))
         .distinct()
         .localCheckpoint(eager=True)
     )
     cells_tbl = spark.read.parquet(f"{path}/cells")
-    affected = [
-        r["cell"]
-        for r in cells_tbl.select("id", "cell")
+    located = (
+        cells_tbl.select("id", "cell")
         .join(ids_n, "id", "left_semi")
         .select("cell")
         .distinct()
-        .collect()
-    ]  # bounded: at most num_centroids values
+    )
+    affected = [r["cell"] for r in located.collect()]
+    # bounded: at most num_centroids values
     if not affected:
         return
     kept = (
@@ -1173,27 +1189,26 @@ def remove_from_ivf_index(spark, path: str, ids: DataFrame) -> None:
         .localCheckpoint(eager=True)
     )
     present = {r["cell"] for r in kept.select("cell").distinct().collect()}
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    if set(affected) - present:
-        full = (
-            cells_tbl.filter(~F.col("cell").isin(affected))
-            .select("id", "v", "cell")
-            .unionByName(kept)
-            .localCheckpoint(eager=True)
-        )
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
-        try:
-            full.write.mode("overwrite").partitionBy("cell").parquet(
-                f"{path}/cells"
+    emptied = set(affected) - present
+    if emptied:
+        # collect BEFORE any write: cells_tbl's file listing is a
+        # read-time snapshot and the overwrite below deletes old files
+        survivors = {
+            r["cell"]
+            for r in cells_tbl.select("cell").distinct().collect()
+        } - emptied  # bounded: ≤ num_centroids partition values
+    if present:
+        _pw.dynamic_overwrite(kept, f"{path}/cells", "cell")
+    if emptied:
+        _pw.delete_partition_dirs(spark, f"{path}/cells", "cell", sorted(emptied))
+        if not survivors:
+            _pw.write_empty_partition(
+                spark,
+                f"{path}/cells",
+                "cell",
+                min(emptied),
+                "id long, v array<double>",
             )
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-        return
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        kept.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/cells")
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
 def ivf_index_stats(spark, path: str) -> DataFrame:
@@ -1222,9 +1237,9 @@ def ivf_index_stats(spark, path: str) -> DataFrame:
 def retrain_ivf_index(
     spark,
     path: str,
-    num_centroids: int = 16,
-    train_sample: int = 10_000,
-    iters: int = 8,
+    num_centroids: int | None = None,
+    train_sample: int | None = None,
+    iters: int | None = None,
 ) -> None:
     """Re-train the quantizer over the CURRENT members and re-assign —
     the weekly/monthly maintenance pass that repays append drift
@@ -1232,7 +1247,28 @@ def retrain_ivf_index(
     (checkpointed so the overwrite cannot race it), then a standard
     `build_ivf_index` over the members: bounded-sample k-means train +
     one Arrow assignment pass — the same amortized cost as the original
-    build, paid only when `ivf_index_stats` says the index drifted."""
+    build, paid only when `ivf_index_stats` says the index drifted.
+
+    Geometry defaults to the INDEX'S OWN family (r5 ADVICE: a retrain
+    must not silently shrink a 64-cell index to 16 cells): the params
+    persisted by `build_ivf_index` at `{path}/params`, falling back to
+    the stored centroid count for indexes built before params existed.
+    Pass explicit values only to deliberately change the family."""
+    if num_centroids is None or train_sample is None or iters is None:
+        stored_n = stored_s = stored_i = None
+        try:
+            p = spark.read.parquet(f"{path}/params").collect()[0]
+            stored_n, stored_s, stored_i = (
+                p["num_centroids"], p["train_sample"], p["iters"],
+            )
+        except Exception:  # pre-params index: geometry from the centroids
+            stored_n = len(_load_ivf_centroids(spark, path))
+        num_centroids = num_centroids if num_centroids is not None else stored_n
+        train_sample = (
+            train_sample if train_sample is not None
+            else (stored_s if stored_s is not None else 10_000)
+        )
+        iters = iters if iters is not None else (stored_i if stored_i is not None else 8)
     members = (
         spark.read.parquet(f"{path}/cells")
         .select("id", "v")

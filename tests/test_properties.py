@@ -9,7 +9,7 @@ import string
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
-from tests.conftest import SF_CORRECT
+from tests.conftest import SF_CORRECT, SF_SMOKE
 
 from lwetl_spark.sinks.formatter import _sql_literal
 from lwetl_spark.sources.ldif import parse_ldif_text
@@ -631,3 +631,102 @@ def test_rrf_fusion_identical_lists_preserve_order(spark, docs):
     )
     assert [r["doc_id"] for r in out] == [d for d in docs]
     assert all(r["n_lists"] == 2 for r in out)
+
+
+def test_ivf_remove_everything_keeps_index_readable(spark, tmp_path):
+    """r5 ADVICE: removing every vector must not leave {path}/cells
+    without a single parquet footer — stats/query/update all have to
+    keep working on the emptied index, and a later update must fully
+    repopulate it."""
+    from pyspark.sql import functions as F
+
+    from lwetl_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_stats,
+        query_ivf_index,
+        update_ivf_index,
+        remove_from_ivf_index,
+    )
+
+    emb = spark.read.parquet(SF_SMOKE + "/embeddings.parquet")
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, path, num_centroids=4)
+    remove_from_ivf_index(spark, path, emb.select("vec_id"))
+
+    st = ivf_index_stats(spark, path).collect()[0]
+    assert (st["n_vectors"] or 0) == 0
+    assert query_ivf_index(spark, path, emb.limit(3), k=3).count() == 0
+
+    # the index must accept a repopulating delta after total removal
+    update_ivf_index(spark, path, emb)
+    st2 = ivf_index_stats(spark, path).collect()[0]
+    assert st2["n_vectors"] == emb.count()
+    assert query_ivf_index(spark, path, emb.limit(3), k=3).count() > 0
+
+
+def test_ivf_retrain_preserves_geometry(spark, tmp_path):
+    """r5 ADVICE: retrain_ivf_index must default to the index's OWN
+    quantizer family (persisted params; centroid count for pre-params
+    indexes), not shrink a non-default index to 16 cells."""
+    from lwetl_spark.operators.similarity import (
+        build_ivf_index,
+        retrain_ivf_index,
+    )
+
+    emb = spark.read.parquet(SF_SMOKE + "/embeddings.parquet")
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, path, num_centroids=4, train_sample=200, iters=3)
+    retrain_ivf_index(spark, path)
+    assert spark.read.parquet(f"{path}/centroids").count() == 4
+
+    # pre-params index (simulate by deleting the params dir): geometry
+    # falls back to the stored centroid count
+    import shutil
+
+    shutil.rmtree(f"{path}/params")
+    retrain_ivf_index(spark, path)
+    assert spark.read.parquet(f"{path}/centroids").count() == 4
+
+    # explicit override still wins
+    retrain_ivf_index(spark, path, num_centroids=2)
+    assert spark.read.parquet(f"{path}/centroids").count() == 2
+
+
+def test_ivf_remove_rewrites_only_affected_cells(spark, tmp_path):
+    """Scale contract of remove_from_ivf_index: partitions without a
+    removed id keep their exact data files (no full-table rewrite), and
+    an emptied cell's DIRECTORY is deleted rather than escalating to a
+    static overwrite of everything."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from lwetl_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_stats,
+    )
+    from lwetl_spark.operators.similarity import remove_from_ivf_index
+
+    emb = spark.read.parquet(SF_SMOKE + "/embeddings.parquet")
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, path, num_centroids=4)
+    cells_tbl = spark.read.parquet(f"{path}/cells")
+    by_size = cells_tbl.groupBy("cell").count().orderBy("count", "cell").collect()
+    victim, untouched = by_size[0]["cell"], by_size[-1]["cell"]
+
+    def _files(cell):
+        d = f"{path}/cells/cell={cell}"
+        return sorted(
+            (f, os.path.getmtime(os.path.join(d, f)))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+
+    before = _files(untouched)
+    victim_ids = cells_tbl.filter(F.col("cell") == victim).select("id")
+    remove_from_ivf_index(spark, path, victim_ids)
+
+    assert not os.path.isdir(f"{path}/cells/cell={victim}")
+    assert _files(untouched) == before  # byte-identical file set
+    st = ivf_index_stats(spark, path).collect()[0]
+    assert st["n_cells"] == len(by_size) - 1

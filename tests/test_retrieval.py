@@ -628,3 +628,39 @@ def test_ingest_increment_readded_after_snapshot_gap(spark, tmp_path):
     )
     assert s["n_admitted"] == 0 and s["n_compacted"] == 0
     assert {r["doc_id"] for r in spark.read.parquet(manifest2).collect()} == {0, 1}
+
+
+def test_remove_everything_keeps_text_index_readable(spark, tmp_path):
+    """r5 ADVICE (mirror of the IVF case): purging every document must
+    leave postings/df/doclen with at least one parquet footer so the
+    index stays readable, and a later update must repopulate it to
+    rebuild-equality."""
+    from lwetl_spark.operators.retrieval import (
+        build_text_index,
+        query_text_index,
+        remove_from_index,
+        update_text_index,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "adaptive query execution replans at runtime"),
+            (2, "columnar parquet scans prune row groups"),
+        ],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "x")
+    build_text_index(docs, path)
+    remove_from_index(spark, path, docs.select("doc_id"))
+
+    q = spark.createDataFrame([(1, "parquet")], "query_id long, term string")
+    assert query_text_index(spark, path, q, k=5).count() == 0
+    for part in ("postings", "df", "doclen"):
+        assert spark.read.parquet(f"{path}/{part}").count() == 0
+
+    update_text_index(spark, path, docs)
+    full = str(tmp_path / "full")
+    build_text_index(docs, full)
+    got = sorted(map(tuple, query_text_index(spark, path, q, k=5).collect()))
+    want = sorted(map(tuple, query_text_index(spark, full, q, k=5).collect()))
+    assert got == want and got
