@@ -126,6 +126,10 @@ def ingest_increment(
     compact_changed: bool = False,
     snapshot_is_delta: bool = False,
     retire_removed: bool = False,
+    embeddings: DataFrame | None = None,
+    vector_index_path: str | None = None,
+    vec_col: str = "embedding",
+    vector_num_centroids: int = 16,
 ) -> dict:
     """One daily-crawl increment, composed end-to-end (VERDICT r4 #8):
 
@@ -190,10 +194,80 @@ def ingest_increment(
     SCALE.md).  Removal detection needs full snapshots — run one
     weekly; daily deltas in between.
 
+    **Dual-index mode** (VERDICT r5 #2): passing ``embeddings`` (a
+    DataFrame of (``id_col``, ``vec_col``) rows covering the snapshot's
+    docs — the embed-the-delta output of the same crawl) and
+    ``vector_index_path`` maintains a persisted IVF vector index
+    (operators/similarity) from the SAME manifest diff that maintains
+    the text index, with mirrored semantics per lifecycle event:
+
+    - admitted docs' vectors append into their cells
+      (`update_ivf_index`; the bootstrap increment builds the index and
+      freezes the quantizer on its admitted vectors);
+    - compacted changed docs remove-then-re-add, so the NEW content's
+      embedding replaces the old one (`remove_from_ivf_index` +
+      `update_ivf_index` — the vector-side analog of
+      `compact_text_index`);
+    - retired docs purge (`remove_from_ivf_index`);
+    - DEFERRED changed docs touch neither index — the old vector stays,
+      exactly as the old postings do, until a compact run applies both.
+
+    Equivalence contract (pinned by test_retrieval +
+    x_campaign_vectors): after any sequence of increments, probing the
+    vector index equals probing `build_ivf_index` over the currently
+    admitted docs' embeddings with ``train_df=`` the bootstrap
+    increment's admitted vectors — appends never move the frozen
+    quantizer, and remove/re-add assigns by the same centroids.
+    If supplied at all, ``embeddings`` must be supplied from the
+    campaign's FIRST increment onward (the quantizer trains at
+    bootstrap); ids lacking an embedding row enter the text index only.
+
     Returns {"n_snapshot", "n_new_or_changed", "n_admitted",
-    "n_compacted"}.
+    "n_compacted", "n_retired", "n_vec_indexed", "n_vec_retired"}.
     """
     from lwetl_spark.operators.retrieval import update_text_index
+
+    if (embeddings is None) != (vector_index_path is None):
+        raise ValueError(
+            "dual-index mode needs BOTH embeddings and vector_index_path"
+        )
+
+    def _vec_delta_for(ids_df: DataFrame) -> DataFrame:
+        return (
+            embeddings.select(id_col, vec_col)
+            .join(ids_df.select(id_col), id_col, "left_semi")
+            .localCheckpoint(eager=True)
+        )
+
+    def _vec_add(ids_df: DataFrame) -> int:
+        """Append the ids' vectors into the IVF index (build at
+        bootstrap); returns the number of vectors indexed."""
+        from lwetl_spark.operators.similarity import (
+            build_ivf_index,
+            update_ivf_index,
+        )
+
+        vec_delta = _vec_delta_for(ids_df)
+        n = vec_delta.count()
+        if not n:
+            return 0
+        try:
+            spark.read.parquet(f"{vector_index_path}/centroids")
+            have_vindex = True
+        except Exception:  # bootstrap: quantizer trains on this batch
+            have_vindex = False
+        if have_vindex:
+            update_ivf_index(
+                spark, vector_index_path, vec_delta,
+                vec_col=vec_col, id_col=id_col,
+            )
+        else:
+            build_ivf_index(
+                vec_delta, vector_index_path,
+                vec_col=vec_col, id_col=id_col,
+                num_centroids=vector_num_centroids,
+            )
+        return n
 
     digest = F.md5(F.lower(F.trim(F.col(text_col))))
     manifest_new = snapshot.select(
@@ -274,6 +348,10 @@ def ingest_increment(
         admitted.select(F.col("_fp").alias("fp"), id_col).write.mode(
             "append"
         ).parquet(state_path)
+    n_vec_indexed = 0
+    n_vec_retired = 0
+    if embeddings is not None and n_admitted:
+        n_vec_indexed += _vec_add(admitted)
     n_compacted = 0
     compacted_ids = None
     if compact_changed and have_manifest:
@@ -337,6 +415,18 @@ def ingest_increment(
                 .localCheckpoint(eager=True)
             )
             new_state.write.mode("overwrite").parquet(state_path)
+            if embeddings is not None:
+                # vector-side compaction: remove-then-re-add, so the
+                # NEW content's embedding replaces the old one under
+                # the frozen quantizer (assign-only — == rebuild holds)
+                from lwetl_spark.operators.similarity import (
+                    remove_from_ivf_index,
+                )
+
+                remove_from_ivf_index(
+                    spark, vector_index_path, cand.select(id_col)
+                )
+                n_vec_indexed += _vec_add(cand)
 
     n_retired = 0
     if retire_removed and have_manifest and not snapshot_is_delta:
@@ -360,6 +450,13 @@ def ingest_increment(
                     removed, id_col, "left_anti"
                 ).localCheckpoint(eager=True)
                 kept_state.write.mode("overwrite").parquet(state_path)
+                if embeddings is not None:
+                    from lwetl_spark.operators.similarity import (
+                        remove_from_ivf_index,
+                    )
+
+                    remove_from_ivf_index(spark, vector_index_path, removed)
+                    n_vec_retired = n_retired
 
     # the manifest advances to the new snapshot (diff basis) — replaced
     # wholesale in full-snapshot mode, MERGED (untouched old ids keep
@@ -417,4 +514,6 @@ def ingest_increment(
         "n_admitted": n_admitted,
         "n_compacted": n_compacted,
         "n_retired": n_retired,
+        "n_vec_indexed": n_vec_indexed,
+        "n_vec_retired": n_vec_retired,
     }

@@ -757,6 +757,95 @@ def x_ivf_incremental(spark, sf_dir):
 
 
 @register(
+    "x_campaign_vectors",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS index_matches_rebuild
+    FROM embeddings
+    """,
+)
+def x_campaign_vectors(spark, sf_dir):
+    """Dual-index daily-crawl campaign (VERDICT r5 #2): ONE manifest
+    diff maintains BOTH the text index and the IVF vector index
+    (operators/incremental.ingest_increment with ``embeddings=`` +
+    ``vector_index_path=``).  Day 0 bootstraps on the even-id half
+    (quantizer trains and freezes on its admitted vectors); day 1
+    ingests the full corpus plus 25 duplicate-content ids (rejected by
+    the admitted-state dedup, so they enter NEITHER index); day 2's
+    full snapshot drops every doc_id % 10 == 3 with
+    ``retire_removed=True`` (purged from BOTH indexes).  The final ANN
+    probe must EQUAL probing a from-scratch `build_ivf_index` over the
+    surviving admitted docs' embeddings with ``train_df=`` the
+    bootstrap batch — appends never move the frozen quantizer and
+    remove/re-add assigns by the same centroids, so the equality is
+    exact (the x_ivf_incremental == rebuild idiom, now reached through
+    the composed campaign)."""
+    import shutil as _shutil
+
+    from lwetl_spark.operators.incremental import ingest_increment
+    from lwetl_spark.operators.similarity import (
+        build_ivf_index,
+        query_ivf_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    work = _tmpdir("campvec")
+    man, st, idx, vidx, ref = (
+        os.path.join(work, p) for p in ("m", "s", "x", "v", "ref")
+    )
+
+    even_docs = docs.filter(F.col("doc_id") % 2 == 0)
+    ingest_increment(
+        spark, even_docs, man, st, idx,
+        embeddings=emb, vector_index_path=vidx,
+    )
+    dupes = (
+        even_docs.orderBy("doc_id")
+        .limit(25)
+        .select((F.col("doc_id") + 10_000_000).alias("doc_id"), "text")
+    )
+    ingest_increment(
+        spark, docs.unionByName(dupes), man, st, idx,
+        embeddings=emb, vector_index_path=vidx,
+    )
+    keep = docs.filter(F.col("doc_id") % 10 != 3)
+    ingest_increment(
+        spark, keep, man, st, idx,
+        embeddings=emb, vector_index_path=vidx, retire_removed=True,
+    )
+
+    even_emb = emb.join(even_docs.select("doc_id"), "doc_id", "left_semi")
+    kept_emb = emb.join(keep.select("doc_id"), "doc_id", "left_semi")
+    build_ivf_index(
+        kept_emb, ref, vec_col="embedding", id_col="doc_id",
+        train_df=even_emb,
+    )
+
+    inc = query_ivf_index(
+        spark, vidx, emb, k=5, vec_col="embedding", id_col="doc_id"
+    )
+    refq = query_ivf_index(
+        spark, ref, emb, k=5, vec_col="embedding", id_col="doc_id"
+    )
+    cols = ["id", "neighbor_id", "cos", "rank"]
+    a = inc.groupBy(*cols).agg(F.count("*").alias("_ca"))
+    b = refq.groupBy(*cols).agg(F.count("*").alias("_cb"))
+    mismatches = (
+        a.join(b, cols, "full_outer")
+        .filter("_ca IS NULL OR _cb IS NULL OR _ca <> _cb")
+        .count()
+    )
+    n_queries = emb.count()
+    _shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        [(n_queries, mismatches == 0)],
+        "n_queries long, index_matches_rebuild boolean",
+    )
+
+
+@register(
     "x_bm25_index_roundtrip",
     """
     SELECT CAST(3 AS BIGINT) AS n_queries, TRUE AS index_matches_inline

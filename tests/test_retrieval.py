@@ -664,3 +664,124 @@ def test_remove_everything_keeps_text_index_readable(spark, tmp_path):
     got = sorted(map(tuple, query_text_index(spark, path, q, k=5).collect()))
     want = sorted(map(tuple, query_text_index(spark, full, q, k=5).collect()))
     assert got == want and got
+
+
+def test_ingest_campaign_dual_index_lifecycle(spark, tmp_path):
+    """VERDICT r5 #2: dual-index campaign — one manifest diff maintains
+    BOTH the text index and the IVF vector index with mirrored
+    semantics (admit/defer/compact/retire + remove-then-readmit), and
+    after every increment the vector index probe-equals a from-scratch
+    build over the currently admitted content's embeddings with
+    train_df= the bootstrap batch (frozen-quantizer == rebuild idiom)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from lwetl_spark.operators.incremental import ingest_increment
+    from lwetl_spark.operators.similarity import (
+        build_ivf_index,
+        query_ivf_index,
+    )
+
+    def e(text):  # deterministic content-derived embedding: new content
+        h = hashlib.md5(text.encode()).digest()  # => new vector
+        return [b / 255.0 + 0.05 for b in h[:6]]
+
+    c1 = "adaptive execution replans joins at runtime"
+    c2a = "columnar scans prune row groups by statistics"
+    c2b = "vectorized readers decode batches into arrow"
+    c3 = "broadcast joins ship the small side everywhere"
+    c4 = "shuffle partitions coalesce under low volume"
+
+    def docs_df(pairs):
+        return spark.createDataFrame(list(pairs), "doc_id long, text string")
+
+    def emb_df(pairs):
+        return spark.createDataFrame(
+            [(i, e(t)) for i, t in pairs], "doc_id long, embedding array<double>"
+        )
+
+    man, st, idx, vidx = (str(tmp_path / p) for p in ("m", "s", "x", "v"))
+
+    def probe_equals_rebuild(current_content, train_pairs):
+        ref = str(tmp_path / "ref")
+        import shutil
+
+        shutil.rmtree(ref, ignore_errors=True)
+        build_ivf_index(
+            emb_df(current_content), ref,
+            vec_col="embedding", id_col="doc_id", num_centroids=2,
+            train_df=emb_df(train_pairs),
+        )
+        probes = emb_df(current_content)
+        got = sorted(map(tuple, query_ivf_index(
+            spark, vidx, probes, k=3, vec_col="embedding", id_col="doc_id"
+        ).collect()))
+        want = sorted(map(tuple, query_ivf_index(
+            spark, ref, probes, k=3, vec_col="embedding", id_col="doc_id"
+        ).collect()))
+        assert got == want and got
+
+    day0 = [(1, c1), (2, c2a), (3, c3)]
+    s0 = ingest_increment(
+        spark, docs_df(day0), man, st, idx,
+        embeddings=emb_df(day0), vector_index_path=vidx,
+        vector_num_centroids=2,
+    )
+    assert s0["n_vec_indexed"] == 3
+    probe_equals_rebuild(day0, day0)
+
+    # day 1: doc 4 added, doc 2 CHANGED (deferred -> old vector stays),
+    # doc 5 duplicates doc 1's content (rejected -> never indexed)
+    day1 = [(1, c1), (2, c2b), (3, c3), (4, c4), (5, c1)]
+    s1 = ingest_increment(
+        spark, docs_df(day1), man, st, idx,
+        embeddings=emb_df(day1), vector_index_path=vidx,
+        vector_num_centroids=2,
+    )
+    assert s1["n_admitted"] == 1 and s1["n_vec_indexed"] == 1
+    # indexed content: doc 2 still carries its OLD content's vector
+    probe_equals_rebuild([(1, c1), (2, c2a), (3, c3), (4, c4)], day0)
+
+    # day 2: compaction applies doc 2's deferred change to BOTH indexes
+    s2 = ingest_increment(
+        spark, docs_df(day1), man, st, idx,
+        embeddings=emb_df(day1), vector_index_path=vidx,
+        compact_changed=True, vector_num_centroids=2,
+    )
+    assert s2["n_compacted"] == 1 and s2["n_vec_indexed"] == 1
+    probe_equals_rebuild([(1, c1), (2, c2b), (3, c3), (4, c4)], day0)
+
+    # day 3: doc 3 vanishes from the full snapshot -> retired from both
+    day3 = [(1, c1), (2, c2b), (4, c4), (5, c1)]
+    s3 = ingest_increment(
+        spark, docs_df(day3), man, st, idx,
+        embeddings=emb_df(day3), vector_index_path=vidx,
+        retire_removed=True, vector_num_centroids=2,
+    )
+    assert s3["n_retired"] == 1 and s3["n_vec_retired"] == 1
+    probe_equals_rebuild([(1, c1), (2, c2b), (4, c4)], day0)
+
+    # day 4: doc 3's CONTENT re-crawls under a new id — its fingerprint
+    # left the admitted state with the retirement, so it readmits fresh
+    # and its vector re-enters the index
+    day4 = day3 + [(30, c3)]
+    s4 = ingest_increment(
+        spark, docs_df(day4), man, st, idx,
+        embeddings=emb_df(day4), vector_index_path=vidx,
+        retire_removed=True, vector_num_centroids=2,
+    )
+    assert s4["n_admitted"] == 1 and s4["n_vec_indexed"] == 1
+    probe_equals_rebuild([(1, c1), (2, c2b), (4, c4), (30, c3)], day0)
+
+
+def test_ingest_dual_index_requires_both_args(spark, tmp_path):
+    from lwetl_spark.operators.incremental import ingest_increment
+    import pytest as _pytest
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        ingest_increment(
+            spark, docs, str(tmp_path / "m"), str(tmp_path / "s"),
+            str(tmp_path / "x"), vector_index_path=str(tmp_path / "v"),
+        )
