@@ -72,6 +72,13 @@ EXTENDED = [
     "x_fuzzy_join",
     "x_quality_logreg",
     "curate_chain",
+    # incremental-campaign spine (VERDICT r5 #3): the lifecycle costs a
+    # daily-crawl deployment actually pays, tracked round-over-round
+    # like the heavy queries instead of living only in SCALE.md probes.
+    # All three run the DUAL-index form (text + IVF vector index).
+    "campaign_bootstrap",
+    "campaign_increment",
+    "campaign_compact",
 ]
 
 
@@ -139,11 +146,135 @@ def _curate_chain(spark, sf_dir):
     return spark.read.parquet(out)
 
 
+def _campaign_tables(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from lwetl_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    return docs, emb
+
+
+#: bootstrap-once template state for the increment/compact rows, keyed
+#: by sf_dir (warmup builds a sf0.001 one, timed runs a sf0.1 one).
+#: Built OUTSIDE the timed window; each timed run gets a hardlink copy
+#: (parquet files are never modified in place — appends create new
+#: files, overwrites unlink+recreate — so hardlinks are safe and the
+#: per-run copy is metadata-only).
+_CAMPAIGN_TEMPLATES: dict[str, str] = {}
+
+
+def _campaign_template(spark, sf_dir) -> str:
+    import tempfile
+
+    key = os.path.realpath(sf_dir)
+    if key not in _CAMPAIGN_TEMPLATES:
+        from pyspark.sql import functions as F
+
+        from lwetl_spark.operators.incremental import ingest_increment
+
+        docs, emb = _campaign_tables(spark, sf_dir)
+        base = tempfile.mkdtemp(prefix="bench_campaign_tmpl_")
+        seed = docs.filter(F.col("doc_id") % 10 != 7)  # delta tail held out
+        ingest_increment(
+            spark, seed, f"{base}/m", f"{base}/s", f"{base}/x",
+            embeddings=emb, vector_index_path=f"{base}/v",
+        )
+        _CAMPAIGN_TEMPLATES[key] = base
+    return _CAMPAIGN_TEMPLATES[key]
+
+
+def _campaign_scratch(template: str) -> str:
+    """Fresh per-run working copy of the template state (hardlinks)."""
+    import glob
+    import shutil
+    import tempfile
+
+    for stale in glob.glob(tempfile.gettempdir() + "/bench_campaign_run_*"):
+        shutil.rmtree(stale, ignore_errors=True)
+    run = tempfile.mkdtemp(prefix="bench_campaign_run_")
+    for part in ("m", "s", "x", "v"):
+        shutil.copytree(f"{template}/{part}", f"{run}/{part}",
+                        copy_function=os.link)
+    return run
+
+
+def _campaign_bootstrap(spark, sf_dir):
+    """Day-0 cost: manifest bootstrap + content dedup + text index build
+    + IVF build (quantizer train) over the full corpus, as one unit."""
+    import glob
+    import shutil
+    import tempfile
+
+    from lwetl_spark.operators.incremental import ingest_increment
+
+    for stale in glob.glob(tempfile.gettempdir() + "/bench_campaign_boot_*"):
+        shutil.rmtree(stale, ignore_errors=True)
+    docs, emb = _campaign_tables(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="bench_campaign_boot_")
+    ingest_increment(
+        spark, docs, f"{base}/m", f"{base}/s", f"{base}/x",
+        embeddings=emb, vector_index_path=f"{base}/v",
+    )
+    return spark.read.parquet(f"{base}/s")
+
+
+def _campaign_increment(spark, sf_dir):
+    """Steady-state daily cost: one O(delta) partial-batch increment
+    (snapshot_is_delta) admitting the held-out 10% tail into both
+    indexes of a hardlink copy of the bootstrap template."""
+    from pyspark.sql import functions as F
+
+    from lwetl_spark.operators.incremental import ingest_increment
+
+    docs, emb = _campaign_tables(spark, sf_dir)
+    run = _campaign_scratch(_campaign_template(spark, sf_dir))
+    delta = docs.filter(F.col("doc_id") % 10 == 7)
+    ingest_increment(
+        spark, delta, f"{run}/m", f"{run}/s", f"{run}/x",
+        embeddings=emb, vector_index_path=f"{run}/v",
+        snapshot_is_delta=True,
+    )
+    return spark.read.parquet(f"{run}/s")
+
+
+def _campaign_compact(spark, sf_dir):
+    """Maintenance-pass cost: a full snapshot with ~10% changed content
+    runs defer-then-compact in one call (compact_changed=True) — one
+    postings read, affected-bucket rewrites, vector remove/re-add."""
+    from pyspark.sql import functions as F
+
+    from lwetl_spark.operators.incremental import ingest_increment
+
+    docs, emb = _campaign_tables(spark, sf_dir)
+    run = _campaign_scratch(_campaign_template(spark, sf_dir))
+    seed = docs.filter(F.col("doc_id") % 10 != 7)
+    changed = seed.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 10 == 5,
+            F.concat(F.col("text"), F.lit(" refreshed content marker")),
+        ).otherwise(F.col("text")),
+    )
+    ingest_increment(
+        spark, changed, f"{run}/m", f"{run}/s", f"{run}/x",
+        embeddings=emb, vector_index_path=f"{run}/v",
+        compact_changed=True,
+    )
+    return spark.read.parquet(f"{run}/s")
+
+
 BENCH_OVERRIDES = {
     "x_dedup_minhash": _minhash_pairs,
     "x_dedup_clusters": _dedup_clusters,
     "x_ann_pq": _pq_ann,
     "curate_chain": _curate_chain,
+    "campaign_bootstrap": _campaign_bootstrap,
+    "campaign_increment": _campaign_increment,
+    "campaign_compact": _campaign_compact,
 }
 
 
