@@ -516,3 +516,53 @@ def test_bpe_incremental_train_regex_pass(spark):
             assert r["segmented"] == " ".join(segment_word(r["word"], merges))
     finally:
         vocab.unpersist()
+
+
+def test_bpe_batched_training_disjoint_and_equal_when_independent(spark):
+    """VERDICT r5 #5: merges_per_job batches symbol-disjoint merges per
+    pair-count job.  (a) The selector never batches pairs sharing a
+    unit and cuts at the first conflict; (b) on a vocabulary whose top
+    pairs are mutually independent, batched training learns EXACTLY the
+    sequential merge list; (c) batched-trained merges still segment via
+    the exact reference semantics."""
+    from lwetl_spark.operators.bpe import (
+        _select_disjoint_batch,
+        bpe_apply,
+        bpe_train,
+        segment_word,
+    )
+
+    # (a) selector unit contract
+    ranked = [("a", "b", 10), ("c", "d", 9), ("b", "x", 8), ("e", "f", 7)]
+    assert _select_disjoint_batch(ranked, 4) == [
+        ("a", "b"), ("c", "d"), ("e", "f")
+    ]  # (b, x) skipped — shares b — and re-ranks next job
+    assert _select_disjoint_batch([("a", "a", 5), ("a", "b", 4)], 2) == [
+        ("a", "a")
+    ]  # (a, b) conflicts on a and there is nothing after it
+
+    # (b) independent top pairs: batched == sequential
+    rows = (
+        [("aa",)] * 10 + [("bb",)] * 9 + [("cc",)] * 8 + [("dd",)] * 7
+    )
+    vocab = (
+        spark.createDataFrame(rows, "word string")
+        .groupBy("word")
+        .agg(__import__("pyspark").sql.functions.count("*").alias("wc"))
+    )
+    seq = bpe_train(vocab, n_merges=4, min_freq=2)
+    batched = bpe_train(vocab, n_merges=4, min_freq=2, merges_per_job=4)
+    assert batched == seq == [("a", "a"), ("b", "b"), ("c", "c"), ("d", "d")]
+
+    # (c) batched merges apply with exact semantics on a richer vocab
+    rich = spark.createDataFrame(
+        [("tablet", 6), ("table", 5), ("stable", 4), ("ablate", 3)],
+        "word string, wc long",
+    )
+    merges = bpe_train(rich, n_merges=6, min_freq=2, merges_per_job=3)
+    assert len(merges) == 6
+    got = {
+        r["word"]: r["segmented"] for r in bpe_apply(rich, merges).collect()
+    }
+    for w in got:
+        assert got[w] == " ".join(segment_word(w, merges))
