@@ -343,6 +343,92 @@ def rrf_fuse(
     )
 
 
+def cross_encoder_rerank(
+    candidates: DataFrame,
+    queries: DataFrame,
+    docs: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_text_col: str = "query_text",
+    batch_rows: int = 1024,
+    scorer=None,
+) -> DataFrame:
+    """Cross-encoder-style re-ranking of a fused candidate list — the
+    final stage of the retrieve→fuse→re-rank pipeline every modern
+    retrieval stack runs (BM25 + dense → `rrf_fuse` → THIS; VERDICT r5
+    #8).  ``candidates`` carries (query_id, doc_id) (any extra columns
+    ignored); ``queries`` carries (query_id, ``query_text_col``);
+    ``docs`` is the corpus (``id_col``, ``text_col``).  Returns
+    (query_id, doc_id, ce_ppm, rnk) — top-``k`` per query by pair score.
+
+    The Spark plumbing is the deliverable (the `inference.batch_score`
+    convention — model libs are absent, so the default scorer is the
+    PORTABLE md5 stub ``md5(query_text || '|' || doc_text)`` and the
+    whole path is value-checked against the DuckDB oracle, not just
+    smoke-run; a real cross-encoder drops in via ``scorer`` with an
+    identical plan):
+
+    - the candidate list is |queries|·k rows: query texts broadcast
+      onto it, and the candidate side BROADCASTS into the one id-keyed
+      join that fetches document text — the 100 TB corpus never
+      shuffles for a re-rank;
+    - (query_text, doc_text) pairs score through one Arrow-batched
+      `mapInPandas` with model-memory re-chunking (``batch_rows``
+      bounds the scorer's batch regardless of partition size);
+    - thresholding/ordering stays JVM-side: one per-query window over
+      the |queries|·k scored rows.
+    """
+    qd = candidates.select("query_id", F.col(id_col)).join(
+        F.broadcast(queries.select("query_id", query_text_col)), "query_id"
+    )
+    pairs = docs.select(id_col, text_col).join(F.broadcast(qd), id_col)
+    br = batch_rows
+    qc, tc = query_text_col, text_col
+
+    def run(batches):
+        import hashlib as _hashlib
+
+        import pandas as _pd
+
+        def default_scorer(qs, ts):
+            # the portable pair stub; NULLs score as empty strings (the
+            # batch_score convention — one null row must not kill a pass)
+            return [
+                int(
+                    _hashlib.md5(
+                        f"{q or ''}|{t or ''}".encode("utf-8")
+                    ).hexdigest()[:8],
+                    16,
+                )
+                % 1_000_000
+                for q, t in zip(qs, ts)
+            ]
+
+        fn = scorer or default_scorer
+        for pdf in batches:
+            for lo in range(0, len(pdf), br):
+                chunk = pdf.iloc[lo : lo + br]
+                yield _pd.DataFrame(
+                    {
+                        "query_id": chunk["query_id"],
+                        "doc_id": chunk["_did"],
+                        "ce_ppm": list(fn(chunk[qc], chunk[tc])),
+                    }
+                )
+
+    qid_type = dict(qd.dtypes)["query_id"]
+    did_type = dict(docs.select(id_col).dtypes)[id_col]
+    scored = pairs.withColumnRenamed(id_col, "_did").mapInPandas(
+        run, schema=f"query_id {qid_type}, doc_id {did_type}, ce_ppm long"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("ce_ppm"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+    )
+
+
 def update_text_index(
     spark,
     path: str,

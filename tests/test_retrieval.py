@@ -785,3 +785,38 @@ def test_ingest_dual_index_requires_both_args(spark, tmp_path):
             spark, docs, str(tmp_path / "m"), str(tmp_path / "s"),
             str(tmp_path / "x"), vector_index_path=str(tmp_path / "v"),
         )
+
+
+def test_cross_encoder_rerank_custom_scorer_and_nulls(spark):
+    """cross_encoder_rerank plumbing: a custom pair scorer drops in with
+    an identical plan (scores decide the ordering), NULL document text
+    scores as empty instead of killing the pass, and k truncates per
+    query with the (ce_ppm DESC, doc_id ASC) tiebreak."""
+    from lwetl_spark.operators.retrieval import cross_encoder_rerank
+
+    cands = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 10), (2, 13)],
+        "query_id long, doc_id long",
+    )
+    queries = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "query_id long, query_text string"
+    )
+    docs = spark.createDataFrame(
+        [(10, "short"), (11, "a much longer document"), (12, None),
+         (13, "mid size")],
+        "doc_id long, text string",
+    )
+
+    def scorer(qs, ts):  # longer doc wins; query term breaks nothing
+        return [len(t or "") for t in ts]
+
+    got = {
+        (r["query_id"], r["rnk"]): (r["doc_id"], r["ce_ppm"])
+        for r in cross_encoder_rerank(
+            cands, queries, docs, k=2, scorer=scorer
+        ).collect()
+    }
+    assert got[(1, 1)] == (11, 22)   # longest text first
+    assert got[(1, 2)] == (10, 5)    # then 'short'; null-text doc 12 cut
+    assert got[(2, 1)] == (13, 8) and got[(2, 2)] == (10, 5)
+    assert len(got) == 4
