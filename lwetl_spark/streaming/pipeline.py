@@ -790,6 +790,8 @@ def stream_ingest_increment(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_files_per_trigger: int = 2,
+    vector_index_path: str | None = None,
+    vec_col: str = "embedding",
 ):
     """Continuous daily-crawl ingestion: every micro-batch of crawled
     documents runs one delta-mode campaign increment
@@ -800,6 +802,14 @@ def stream_ingest_increment(
     persisted parquet state, so a replayed batch is idempotent (its
     fingerprints are already admitted → nothing re-enters) and the
     index stays continuously probe-able while ingestion runs.
+
+    With ``vector_index_path`` the stream maintains the IVF vector
+    index too (the dual-index campaign, VERDICT r5 #2): the streamed
+    parquet then carries a ``vec_col`` embedding column (crawl + embed
+    the delta arrive together), the FIRST admitting batch builds the
+    index and freezes the quantizer, and every later batch's admitted
+    vectors append — the same == rebuild-with-train_df= contract as the
+    batch form, continuously probe-able.
 
     Scale shape: each batch's cost is O(batch) + id/digest-keyed joins
     against state (SCALE.md's campaign table measures the batch form
@@ -820,6 +830,15 @@ def stream_ingest_increment(
     def sink(batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        vec_kwargs = (
+            {
+                "embeddings": batch_df.select(id_col, vec_col),
+                "vector_index_path": vector_index_path,
+                "vec_col": vec_col,
+            }
+            if vector_index_path is not None
+            else {}
+        )
         ingest_increment(
             batch_df.sparkSession,
             batch_df.select(id_col, text_col),
@@ -829,6 +848,7 @@ def stream_ingest_increment(
             id_col=id_col,
             text_col=text_col,
             snapshot_is_delta=True,
+            **vec_kwargs,
         )
 
     return stream.writeStream.foreachBatch(sink).start()

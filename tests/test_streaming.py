@@ -743,3 +743,85 @@ def test_stream_event_pattern_totals_match_batch(spark, tmp_path):
     st = spark.read.parquet(state)
     assert st.groupBy("user_id").count().agg(F2.max("count")).collect()[0][0] <= 2
     assert set(st.columns) == {"user_id", "event_id", "ts", "event_type"}
+
+
+def test_stream_ingest_increment_dual_index(spark, tmp_path):
+    """Streaming dual-index campaign: micro-batches carrying an
+    embedding column maintain the IVF vector index alongside the text
+    index — the first admitting batch trains/freezes the quantizer,
+    later batches append, duplicate content enters NEITHER index, and
+    the final vector index probe-equals a from-scratch build over the
+    admitted docs with train_df= the first batch (the batch-campaign
+    equivalence contract, continuously)."""
+    import hashlib
+
+    from lwetl_spark.operators.similarity import (
+        build_ivf_index,
+        query_ivf_index,
+    )
+    from lwetl_spark.streaming.pipeline import stream_ingest_increment
+
+    def e(text):
+        h = hashlib.md5(text.encode()).digest()
+        return [b / 255.0 + 0.05 for b in h[:6]]
+
+    texts = {
+        1: "spark shuffles hash partitions across the cluster",
+        2: "sort merge join spills gracefully to local disk",
+        3: "broadcast joins ship the small dimension everywhere",
+        4: "window functions rank rows inside each partition",
+    }
+    schema = "doc_id long, text string, embedding array<double>"
+
+    def rows(ids_texts):
+        return [(i, t, e(t)) for i, t in ids_texts]
+
+    docs_dir = str(tmp_path / "docs")
+    man, st, idx, vidx = (
+        str(tmp_path / p) for p in ("manifest", "state", "index", "vindex")
+    )
+    spark.createDataFrame(
+        rows([(1, texts[1]), (2, texts[2])]), schema
+    ).coalesce(1).write.parquet(docs_dir)
+    # batch 2: one new doc + a cross-batch duplicate of doc 1's content
+    spark.createDataFrame(
+        rows([(3, texts[3]), (10, texts[1])]), schema
+    ).coalesce(1).write.mode("append").parquet(docs_dir)
+    spark.createDataFrame(
+        rows([(4, texts[4])]), schema
+    ).coalesce(1).write.mode("append").parquet(docs_dir)
+
+    q = stream_ingest_increment(
+        spark, docs_dir, man, st, idx,
+        max_files_per_trigger=1, vector_index_path=vidx,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    admitted = {r["doc_id"] for r in spark.read.parquet(st).collect()}
+    assert admitted == {1, 2, 3, 4}
+    # the duplicate-content id never entered the vector index either
+    cells = spark.read.parquet(f"{vidx}/cells")
+    assert {r["id"] for r in cells.select("id").collect()} == {1, 2, 3, 4}
+
+    def emb_df(ids):
+        return spark.createDataFrame(
+            [(i, e(texts[i])) for i in ids], "doc_id long, embedding array<double>"
+        )
+
+    ref = str(tmp_path / "ref")
+    build_ivf_index(
+        emb_df([1, 2, 3, 4]), ref,
+        vec_col="embedding", id_col="doc_id", num_centroids=16,
+        train_df=emb_df([1, 2]),
+    )
+    probes = emb_df([1, 2, 3, 4])
+    got = sorted(map(tuple, query_ivf_index(
+        spark, vidx, probes, k=3, vec_col="embedding", id_col="doc_id"
+    ).collect()))
+    want = sorted(map(tuple, query_ivf_index(
+        spark, ref, probes, k=3, vec_col="embedding", id_col="doc_id"
+    ).collect()))
+    assert got == want and got

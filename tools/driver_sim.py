@@ -52,7 +52,10 @@ if not only:
 import duckdb
 
 con = duckdb.connect()
-SF = "/root/testdata/sf0.01"
+#: SPARK_GRAFT_SIM_SF overrides the parity scale — the real driver runs
+#: sf0.01; SCALE.md's order-of-magnitude-up spot-check runs the heavy
+#: keys at sf0.1 through the SAME oracle comparison (VERDICT r5 #6)
+SF = os.environ.get("SPARK_GRAFT_SIM_SF", "/root/testdata/sf0.01")
 for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
 
