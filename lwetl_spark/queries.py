@@ -7094,9 +7094,36 @@ def x_index_incremental(spark, sf_dir):
     return query_text_index(spark, path, queries, k=10)
 
 
+#: x_ingest_campaign's oracle scores BM25 over the ADMITTED corpus: the
+#: campaign content-dedups, and its admission winner per duplicate
+#: digest is the min even id if the content appeared in the day-0 even
+#: half, else the min odd id (day-1 in-batch min-id dedup).  At sf0.01
+#: the corpus has no duplicate texts so this equals plain `documents`;
+#: at sf0.1+ duplicates exist and the plain-corpus assumption breaks
+#: (caught by the r6 sf0.1 parity run) — this CTE surgery keeps ONE
+#: scoring definition (x_bm25's) while swapping the corpus.
+_CAMPAIGN_BM25_CTE = _BM25_CTE.replace(
+    "FROM documents", "FROM corpus"  # the tok CTE's one corpus read
+).replace(
+    "WITH tok AS (",
+    """WITH dd AS (
+        SELECT doc_id, text, md5(lower(trim(text))) AS dg FROM documents
+    ),
+    w AS (
+        SELECT dg, COALESCE(MIN(CASE WHEN doc_id % 2 = 0 THEN doc_id END),
+                            MIN(doc_id)) AS keep_id
+        FROM dd GROUP BY dg
+    ),
+    corpus AS (
+        SELECT d.doc_id, d.text FROM dd d JOIN w ON d.doc_id = w.keep_id
+    ),
+    tok AS (""",
+)
+
+
 @register(
     "x_ingest_campaign",
-    _BM25_CTE
+    _CAMPAIGN_BM25_CTE
     + """
     SELECT query_id, doc_id, score_ppm, n_terms, rnk FROM r
     """,
@@ -7110,11 +7137,13 @@ def x_ingest_campaign(spark, sf_dir):
     smuggles in 25 byte-copies of day-0 content under fresh ids.  The
     manifest diff must pass only the adds, the admitted-state anti-join
     must reject every duplicate-content id, and update_text_index must
-    leave the index equal to a build over the FULL corpus — so the
-    final probe shares x_bm25's oracle verbatim.  (The sf0.01 corpus
-    has no duplicate normalized texts, so admitted == corpus exactly;
-    the scratch manifest/state/index tree is deleted after the
-    probe result is checkpointed.)"""
+    leave the index equal to a build over the ADMITTED corpus — the
+    content-deduped winner set the oracle reconstructs with the same
+    min-even-else-min-odd rule (scale-portable: at sf0.01 the corpus
+    has no duplicate texts and this equals plain documents; at sf0.1
+    duplicates exist and the r6 parity run caught the plain-corpus
+    assumption).  The scratch manifest/state/index tree is deleted
+    after the probe result is checkpointed."""
     import os as _os
     import shutil as _shutil
     import tempfile as _tempfile

@@ -801,6 +801,12 @@ def x_campaign_vectors(spark, sf_dir):
         spark, even_docs, man, st, idx,
         embeddings=emb, vector_index_path=vidx,
     )
+    # the quantizer froze on the day-0 ADMITTED vectors (content-deduped
+    # winners, not the whole even half — at sf0.1 the corpus has real
+    # duplicate texts; the r6 parity run caught the even_emb assumption)
+    boot_ids = spark.read.parquet(st).select("doc_id").localCheckpoint(
+        eager=True
+    )
     dupes = (
         even_docs.orderBy("doc_id")
         .limit(25)
@@ -816,11 +822,17 @@ def x_campaign_vectors(spark, sf_dir):
         embeddings=emb, vector_index_path=vidx, retire_removed=True,
     )
 
-    even_emb = emb.join(even_docs.select("doc_id"), "doc_id", "left_semi")
-    kept_emb = emb.join(keep.select("doc_id"), "doc_id", "left_semi")
+    # == rebuild over exactly the currently ADMITTED docs' embeddings,
+    # quantizer trained on the bootstrap admissions — the equivalence
+    # contract as stated, self-consistent at any scale
+    admitted_ids = spark.read.parquet(st).select("doc_id").localCheckpoint(
+        eager=True
+    )
+    boot_emb = emb.join(boot_ids, "doc_id", "left_semi")
+    kept_emb = emb.join(admitted_ids, "doc_id", "left_semi")
     build_ivf_index(
         kept_emb, ref, vec_col="embedding", id_col="doc_id",
-        train_df=even_emb,
+        train_df=boot_emb,
     )
 
     inc = query_ivf_index(
