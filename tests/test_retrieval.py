@@ -268,6 +268,7 @@ def test_ingest_increment_campaign_equals_rebuild(spark, tmp_path):
     assert s0 == {
         "n_snapshot": 5, "n_new_or_changed": 5, "n_admitted": 5,
         "n_compacted": 0, "n_retired": 0,
+        "n_vec_indexed": 0, "n_vec_retired": 0,  # text-only campaign
     }
 
     # day 1: ids 0-4 unchanged (re-crawled), 5 removed is impossible in a
