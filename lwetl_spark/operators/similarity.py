@@ -898,6 +898,11 @@ def _pq_adc_shortlist(
     )
 
 
+#: hash-bucket fanout of the PQ codes/vectors tables — removals rewrite
+#: only the buckets holding a removed id (≤64 dirs), updates append
+_PQ_BUCKETS = 64
+
+
 def build_pq_index(
     df: DataFrame,
     path: str,
@@ -907,6 +912,7 @@ def build_pq_index(
     ksub: int = 64,
     train_sample: int = 10_000,
     iters: int = 8,
+    train_df: DataFrame | None = None,
 ) -> None:
     """Persist a PQ index: trained codebooks, packed int64 codes, and the
     id→vector map for exact re-rank.  Build once, probe many — at 100 TB
@@ -915,12 +921,23 @@ def build_pq_index(
     shortlist re-join.
 
     Layout: `{path}/codebooks` (subspace, code, centroid),
-    `{path}/codes` (cid, code), `{path}/vectors` (id, vec).  Query with
-    the same (m, ksub) family — params are part of the path contract.
+    `{path}/codes` (cid, code; hash-bucket-partitioned),
+    `{path}/vectors` (id, vec; same bucketing), `{path}/params` (the
+    quantizer family, preserved by `retrain_pq_index`).  Query with the
+    same (m, ksub) family — params are part of the path contract.
+
+    ``train_df`` trains the codebooks on a different frame than the one
+    being encoded — the anchor of the incremental lifecycle's
+    equivalence contract (`update_pq_index`): an index built over A then
+    updated with B is row-identical to a build over A∪B with
+    ``train_df=A``, because appends never move the codebooks.
     """
     if ksub > 256:
         raise ValueError("ksub > 256 cannot pack into 8-bit sub-codes")
-    books = _train_pq_codebooks(df, vec_col, id_col, m, ksub, train_sample, iters)
+    books = _train_pq_codebooks(
+        df if train_df is None else train_df,
+        vec_col, id_col, m, ksub, train_sample, iters,
+    )
     spark = df.sparkSession
     b_books = spark.sparkContext.broadcast(books)
     spark.createDataFrame(
@@ -931,13 +948,22 @@ def build_pq_index(
         ],
         "subspace int, code int, centroid array<double>",
     ).write.mode("overwrite").parquet(f"{path}/codebooks")
+    spark.createDataFrame(
+        [(int(m), int(ksub), int(train_sample), int(iters))],
+        "m int, ksub int, train_sample int, iters int",
+    ).write.mode("overwrite").parquet(f"{path}/params")
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    base.mapInPandas(_make_pq_encode(b_books), "cid long, code long").write.mode(
-        "overwrite"
+    bucket = F.pmod(F.xxhash64("cid"), F.lit(_PQ_BUCKETS)).alias("bucket")
+    base.mapInPandas(
+        _make_pq_encode(b_books), "cid long, code long"
+    ).withColumn("bucket", bucket).write.mode("overwrite").partitionBy(
+        "bucket"
     ).parquet(f"{path}/codes")
-    df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")).write.mode(
-        "overwrite"
-    ).parquet(f"{path}/vectors")
+    df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    ).withColumn(
+        "bucket", F.pmod(F.xxhash64("id"), F.lit(_PQ_BUCKETS))
+    ).write.mode("overwrite").partitionBy("bucket").parquet(f"{path}/vectors")
 
 
 def query_pq_index(
@@ -969,7 +995,7 @@ def query_pq_index(
     for r in cb:
         books[r["subspace"], r["code"]] = r["centroid"]
     b_books = spark.sparkContext.broadcast(books)
-    codes = spark.read.parquet(f"{path}/codes")
+    codes = spark.read.parquet(f"{path}/codes").select("cid", "code")
     base_q = queries_df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     shortlist = _pq_adc_shortlist(
         base_q, codes, b_books, max(rerank, k), q_blocks, c_blocks
@@ -978,6 +1004,7 @@ def query_pq_index(
     # (same ids carry identical vectors, so the union is conflict-free)
     vectors = (
         spark.read.parquet(f"{path}/vectors")
+        .select("id", "vec")
         .unionByName(
             queries_df.select(
                 F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
@@ -991,6 +1018,172 @@ def query_pq_index(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("id", "neighbor_id", "cos", "rank")
+    )
+
+
+def update_pq_index(
+    spark,
+    path: str,
+    delta_df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Incrementally add vectors to a persisted PQ index — the PQ
+    counterpart of `update_ivf_index` (a daily-crawl ingest encodes only
+    the delta; re-encoding the existing corpus would defeat
+    build-once/probe-many).  ``delta_df`` ids must be disjoint from the
+    indexed set (the same ingest contract).
+
+    Cost model — every stage is delta-sized: ONE bounded driver read
+    (the m·ksub codebooks — frozen; appends never move them, which is
+    what makes `== rebuild with train_df=` exact), one Arrow encode pass
+    over the delta, and bucket-partition APPENDS into codes and vectors
+    (existing partitions untouched)."""
+    import numpy as np
+
+    cb = spark.read.parquet(f"{path}/codebooks").collect()
+    mm = max(r["subspace"] for r in cb) + 1
+    kk = max(r["code"] for r in cb) + 1
+    sub = len(cb[0]["centroid"])
+    books = np.empty((mm, kk, sub))
+    for r in cb:
+        books[r["subspace"], r["code"]] = r["centroid"]
+    b_books = spark.sparkContext.broadcast(books)
+    base = delta_df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    base.mapInPandas(
+        _make_pq_encode(b_books), "cid long, code long"
+    ).withColumn(
+        "bucket", F.pmod(F.xxhash64("cid"), F.lit(_PQ_BUCKETS))
+    ).write.mode("append").partitionBy("bucket").parquet(f"{path}/codes")
+    delta_df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    ).withColumn(
+        "bucket", F.pmod(F.xxhash64("id"), F.lit(_PQ_BUCKETS))
+    ).write.mode("append").partitionBy("bucket").parquet(f"{path}/vectors")
+
+
+def remove_from_pq_index(spark, path: str, ids: DataFrame) -> None:
+    """Purge vectors from a persisted PQ index — the PQ counterpart of
+    `remove_from_ivf_index`.  ``ids`` is a one-column DataFrame of
+    vector ids.
+
+    Cost model: one bounded locate collect (affected hash buckets,
+    ≤ _PQ_BUCKETS values — codes and vectors share the id hash, so one
+    locate covers both), then per-write dynamic overwrites of ONLY the
+    affected buckets that still hold rows; emptied buckets have their
+    directories deleted; a remove-everything call leaves one zero-row
+    footer per table so the index stays readable
+    (`operators/_partwrite`)."""
+    from lwetl_spark.operators import _partwrite as _pw
+
+    ids_n = (
+        ids.select(F.col(ids.columns[0]).alias("id"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    vectors_tbl = spark.read.parquet(f"{path}/vectors")
+    affected = [
+        r["bucket"]
+        for r in vectors_tbl.select("id", "bucket")
+        .join(ids_n, "id", "left_semi")
+        .select("bucket")
+        .distinct()
+        .collect()
+    ]  # bounded: ≤ _PQ_BUCKETS values
+    if not affected:
+        return
+    codes_tbl = spark.read.parquet(f"{path}/codes")
+    for tbl, frame, key, data_schema in (
+        ("vectors", vectors_tbl, "id", None),
+        ("codes", codes_tbl, "cid", "cid long, code long"),
+    ):
+        kept = (
+            frame.filter(F.col("bucket").isin(affected))
+            .join(ids_n, frame[key] == ids_n["id"], "left_anti")
+            .drop("bucket")
+            .withColumn(
+                "bucket", F.pmod(F.xxhash64(key), F.lit(_PQ_BUCKETS))
+            )
+            # eager: the overwrite below must not race its own scan
+            .localCheckpoint(eager=True)
+        )
+        present = {r["bucket"] for r in kept.select("bucket").distinct().collect()}
+        emptied = set(affected) - present
+        if emptied:
+            # collect BEFORE any write: the frame's file listing is a
+            # read-time snapshot and the overwrite deletes old files
+            survivors = {
+                r["bucket"]
+                for r in frame.select("bucket").distinct().collect()
+            } - emptied
+        if present:
+            _pw.dynamic_overwrite(kept, f"{path}/{tbl}", "bucket")
+        if emptied:
+            _pw.delete_partition_dirs(
+                spark, f"{path}/{tbl}", "bucket", sorted(emptied)
+            )
+            if not survivors:
+                schema = data_schema or kept.drop("bucket").schema
+                _pw.write_empty_partition(
+                    spark, f"{path}/{tbl}", "bucket", min(emptied), schema
+                )
+
+
+def pq_index_stats(spark, path: str) -> DataFrame:
+    """Census of a persisted PQ index: vector/code row counts (equal in
+    a healthy index — the encode pass emits exactly one packed-code row
+    per vector) and the bucket spread.  One (bucket)-keyed count over
+    each table → ≤ _PQ_BUCKETS rows → a single bounded output row."""
+    v = spark.read.parquet(f"{path}/vectors").groupBy("bucket").agg(
+        F.count("*").alias("n")
+    )
+    c = spark.read.parquet(f"{path}/codes").agg(
+        F.count("*").cast("long").alias("n_codes")
+    )
+    return (
+        v.agg(
+            F.sum("n").cast("long").alias("n_vectors"),
+            F.count("*").cast("long").alias("n_buckets"),
+            F.max("n").cast("long").alias("max_bucket"),
+        )
+        .crossJoin(c)
+        .select(
+            "n_vectors", "n_codes", "n_buckets", "max_bucket",
+            (F.col("n_vectors") == F.col("n_codes")).alias("consistent"),
+        )
+    )
+
+
+def retrain_pq_index(
+    spark,
+    path: str,
+    m: int | None = None,
+    ksub: int | None = None,
+    train_sample: int | None = None,
+    iters: int | None = None,
+) -> None:
+    """Re-train the codebooks over the CURRENT vectors and re-encode —
+    the maintenance pass that repays append drift (`update_pq_index`
+    freezes the codebooks by design).  Geometry defaults to the INDEX'S
+    OWN family from `{path}/params` (the retrain_ivf_index contract: a
+    maintenance pass must not silently change the quantizer family);
+    explicit args override."""
+    if m is None or ksub is None or train_sample is None or iters is None:
+        p = spark.read.parquet(f"{path}/params").collect()[0]
+        m = m if m is not None else p["m"]
+        ksub = ksub if ksub is not None else p["ksub"]
+        train_sample = (
+            train_sample if train_sample is not None else p["train_sample"]
+        )
+        iters = iters if iters is not None else p["iters"]
+    members = (
+        spark.read.parquet(f"{path}/vectors")
+        .select("id", "vec")
+        .localCheckpoint(eager=True)
+    )
+    build_pq_index(
+        members, path, vec_col="vec", id_col="id",
+        m=m, ksub=ksub, train_sample=train_sample, iters=iters,
     )
 
 

@@ -757,6 +757,68 @@ def x_ivf_incremental(spark, sf_dir):
 
 
 @register(
+    "x_pq_incremental",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS index_matches_rebuild
+    FROM embeddings
+    """,
+)
+def x_pq_incremental(spark, sf_dir):
+    """Incremental PQ-index lifecycle end-to-end — the packed-code
+    counterpart of x_ivf_incremental (operators/similarity.
+    update_pq_index / remove_from_pq_index): build the persisted PQ
+    index on the even-id half, `update_pq_index` with the odd half
+    (frozen codebooks, delta-only Arrow encode, bucket-partition
+    appends), then purge every vec_id % 10 == 3 (bounded locate,
+    affected-bucket-only rewrites via per-write dynamic overwrite).
+    Probing with the full corpus must EQUAL probing a from-scratch
+    build over (union minus removed) with ``train_df=`` the even half —
+    appends never move the codebooks, so the equality is exact.  Same
+    engine-checkable contract as the LSH/IVF/PQ round-trips (the
+    quantization is not SQL-portable)."""
+    import shutil as _shutil
+
+    from lwetl_spark.operators.similarity import (
+        build_pq_index,
+        query_pq_index,
+        remove_from_pq_index,
+        update_pq_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    even = emb.filter(F.col("vec_id") % 2 == 0)
+    odd = emb.filter(F.col("vec_id") % 2 == 1)
+    removed = emb.filter(F.col("vec_id") % 10 == 3).select("vec_id")
+
+    work = _tmpdir("pqinc")
+    inc_path = os.path.join(work, "inc")
+    ref_path = os.path.join(work, "ref")
+    build_pq_index(even, inc_path)
+    update_pq_index(spark, inc_path, odd)
+    remove_from_pq_index(spark, inc_path, removed)
+    build_pq_index(
+        emb.join(removed, "vec_id", "left_anti"), ref_path, train_df=even
+    )
+
+    inc = query_pq_index(spark, inc_path, emb, k=5)
+    ref = query_pq_index(spark, ref_path, emb, k=5)
+    cols = ["id", "neighbor_id", "cos", "rank"]
+    a = inc.groupBy(*cols).agg(F.count("*").alias("_ca"))
+    b = ref.groupBy(*cols).agg(F.count("*").alias("_cb"))
+    mismatches = (
+        a.join(b, cols, "full_outer")
+        .filter("_ca IS NULL OR _cb IS NULL OR _ca <> _cb")
+        .count()
+    )
+    n_queries = emb.count()
+    _shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        [(n_queries, mismatches == 0)],
+        "n_queries long, index_matches_rebuild boolean",
+    )
+
+
+@register(
     "x_campaign_vectors",
     """
     SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS index_matches_rebuild

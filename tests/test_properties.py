@@ -730,3 +730,61 @@ def test_ivf_remove_rewrites_only_affected_cells(spark, tmp_path):
     assert _files(untouched) == before  # byte-identical file set
     st = ivf_index_stats(spark, path).collect()[0]
     assert st["n_cells"] == len(by_size) - 1
+
+
+def test_pq_incremental_lifecycle_matches_rebuild(spark, tmp_path):
+    """PQ index lifecycle (the update_ivf_index contract, PQ side):
+    build on the even half, update_pq_index with the odd half (frozen
+    codebooks, delta-only encode, bucket appends), remove a planted
+    subset — probes must equal an index built over (union − removed)
+    with train_df= the even half.  Also pins the stats census, the
+    remove-everything readability guard, and geometry-preserving
+    retrain."""
+    from pyspark.sql import functions as F
+
+    from lwetl_spark.operators.similarity import (
+        build_pq_index,
+        pq_index_stats,
+        query_pq_index,
+        remove_from_pq_index,
+        retrain_pq_index,
+        update_pq_index,
+    )
+
+    emb = spark.read.parquet(SF_SMOKE + "/embeddings.parquet")
+    even = emb.filter(F.col("vec_id") % 2 == 0)
+    odd = emb.filter(F.col("vec_id") % 2 == 1)
+    removed = emb.filter(F.col("vec_id") % 10 == 3).select("vec_id")
+
+    inc, ref = str(tmp_path / "inc"), str(tmp_path / "ref")
+    build_pq_index(even, inc, m=8, ksub=16, train_sample=200, iters=3)
+    update_pq_index(spark, inc, odd)
+    remove_from_pq_index(spark, inc, removed)
+    build_pq_index(
+        emb.join(removed, "vec_id", "left_anti"), ref,
+        m=8, ksub=16, train_sample=200, iters=3, train_df=even,
+    )
+    probes = emb.limit(20)
+    got = sorted(map(tuple, query_pq_index(spark, inc, probes, k=5).collect()))
+    want = sorted(map(tuple, query_pq_index(spark, ref, probes, k=5).collect()))
+    assert got == want and got
+
+    st = pq_index_stats(spark, inc).collect()[0]
+    n_kept = emb.join(removed, "vec_id", "left_anti").count()
+    assert st["n_vectors"] == n_kept and st["consistent"]
+
+    # geometry-preserving retrain: ksub=16 family survives a no-arg pass
+    retrain_pq_index(spark, inc)
+    assert (
+        spark.read.parquet(f"{inc}/codebooks")
+        .agg(F.max("code")).collect()[0][0] == 15
+    )
+    assert query_pq_index(spark, inc, probes, k=3).count() > 0
+
+    # remove everything: stats/query stay readable, update repopulates
+    remove_from_pq_index(spark, inc, emb.select("vec_id"))
+    st2 = pq_index_stats(spark, inc).collect()[0]
+    assert (st2["n_vectors"] or 0) == 0
+    assert query_pq_index(spark, inc, probes, k=3).count() == 0
+    update_pq_index(spark, inc, emb)
+    assert pq_index_stats(spark, inc).collect()[0]["n_vectors"] == emb.count()
