@@ -605,9 +605,150 @@ def build_lsh_index(
     bucketed.write.mode("overwrite").partitionBy("table_idx").parquet(
         f"{path}/buckets"
     )
-    df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")).write.mode(
-        "overwrite"
-    ).parquet(f"{path}/vectors")
+    spark = df.sparkSession
+    spark.createDataFrame(
+        [(int(num_planes), int(num_tables), int(dim))],
+        "num_planes int, num_tables int, dim int",
+    ).write.mode("overwrite").parquet(f"{path}/params")
+    df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    ).withColumn(
+        "vbucket", F.pmod(F.xxhash64("id"), F.lit(_PQ_BUCKETS))
+    ).write.mode("overwrite").partitionBy("vbucket").parquet(f"{path}/vectors")
+
+
+def update_lsh_index(
+    spark,
+    path: str,
+    delta_df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Incrementally add vectors to a persisted LSH index.  The
+    hyperplane family is fixed-seed and data-independent (the path
+    contract), so appends are EXACTLY what a rebuild would produce — no
+    `train_df=` anchor needed, unlike IVF/PQ.  Plane geometry comes
+    from `{path}/params` (persisted by `build_lsh_index`), so the delta
+    bucketizes with the index's own family by construction.  Cost:
+    one Arrow bucketize pass over the delta + partition appends."""
+    p = spark.read.parquet(f"{path}/params").collect()[0]
+    bucketed = _lsh_bucketize(
+        delta_df, vec_col, id_col, p["num_planes"], p["num_tables"], p["dim"]
+    )
+    bucketed.write.mode("append").partitionBy("table_idx").parquet(
+        f"{path}/buckets"
+    )
+    delta_df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    ).withColumn(
+        "vbucket", F.pmod(F.xxhash64("id"), F.lit(_PQ_BUCKETS))
+    ).write.mode("append").partitionBy("vbucket").parquet(f"{path}/vectors")
+
+
+def remove_from_lsh_index(spark, path: str, ids: DataFrame) -> None:
+    """Purge vectors from a persisted LSH index.  Every id appears once
+    per hash table, so the buckets rewrite touches all table partitions
+    — but buckets rows are (id, bucket) longs (metadata-sized, ~24
+    bytes/row/table), never vectors; the VECTOR rewrite prunes to the
+    ≤ _PQ_BUCKETS hash buckets holding a removed id.  Per-write dynamic
+    overwrite + dir-delete retirement + remove-everything readability,
+    the `_partwrite` contract shared with the IVF/PQ/text indexes."""
+    from lwetl_spark.operators import _partwrite as _pw
+
+    ids_n = (
+        ids.select(F.col(ids.columns[0]).alias("id"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # vectors: prune to affected hash buckets (the PQ removal shape)
+    vectors_tbl = spark.read.parquet(f"{path}/vectors")
+    affected = [
+        r["vbucket"]
+        for r in vectors_tbl.select("id", "vbucket")
+        .join(ids_n, "id", "left_semi")
+        .select("vbucket")
+        .distinct()
+        .collect()
+    ]  # bounded: ≤ _PQ_BUCKETS values
+    if not affected:
+        return
+    kept_v = (
+        vectors_tbl.filter(F.col("vbucket").isin(affected))
+        .join(ids_n, "id", "left_anti")
+        .drop("vbucket")
+        .withColumn("vbucket", F.pmod(F.xxhash64("id"), F.lit(_PQ_BUCKETS)))
+        .localCheckpoint(eager=True)
+    )
+    present = {r["vbucket"] for r in kept_v.select("vbucket").distinct().collect()}
+    emptied = set(affected) - present
+    if emptied:
+        survivors = {
+            r["vbucket"]
+            for r in vectors_tbl.select("vbucket").distinct().collect()
+        } - emptied
+    if present:
+        _pw.dynamic_overwrite(kept_v, f"{path}/vectors", "vbucket")
+    if emptied:
+        _pw.delete_partition_dirs(
+            spark, f"{path}/vectors", "vbucket", sorted(emptied)
+        )
+        if not survivors:
+            _pw.write_empty_partition(
+                spark, f"{path}/vectors", "vbucket", min(emptied),
+                kept_v.drop("vbucket").schema,
+            )
+
+    # buckets: metadata-sized anti-join rewrite across the table
+    # partitions (every table holds the removed ids by construction)
+    buckets_tbl = spark.read.parquet(f"{path}/buckets")
+    tables = [
+        r["table_idx"]
+        for r in buckets_tbl.select("table_idx").distinct().collect()
+    ]  # bounded: num_tables values
+    kept_b = (
+        buckets_tbl.join(ids_n, "id", "left_anti")
+        .select("id", "bucket", "table_idx")
+        .localCheckpoint(eager=True)
+    )
+    present_t = {
+        r["table_idx"] for r in kept_b.select("table_idx").distinct().collect()
+    }
+    if present_t:
+        _pw.dynamic_overwrite(kept_b, f"{path}/buckets", "table_idx")
+    emptied_t = set(tables) - present_t
+    if emptied_t:
+        _pw.delete_partition_dirs(
+            spark, f"{path}/buckets", "table_idx", sorted(emptied_t)
+        )
+        if not present_t:
+            _pw.write_empty_partition(
+                spark, f"{path}/buckets", "table_idx", min(emptied_t),
+                "id long, bucket int",
+            )
+
+
+def lsh_index_stats(spark, path: str) -> DataFrame:
+    """Census of a persisted LSH index: indexed vector count, table
+    count, and the hottest bucket's load (the collision-rate health
+    signal — a degenerate plane family shows up as one overfull
+    bucket).  Bounded: one (table_idx, bucket)-keyed count → one row."""
+    per_bucket = (
+        spark.read.parquet(f"{path}/buckets")
+        .groupBy("table_idx", "bucket")
+        .agg(F.count("*").alias("n"))
+    )
+    n_vec = spark.read.parquet(f"{path}/vectors").agg(
+        F.count("*").cast("long").alias("n_vectors")
+    )
+    return (
+        per_bucket.agg(
+            F.countDistinct("table_idx").cast("long").alias("n_tables"),
+            F.max("n").cast("long").alias("max_bucket"),
+            F.count("*").cast("long").alias("n_nonempty_buckets"),
+        )
+        .crossJoin(n_vec)
+        .select("n_vectors", "n_tables", "max_bucket", "n_nonempty_buckets")
+    )
 
 
 def query_lsh_index(

@@ -819,6 +819,63 @@ def x_pq_incremental(spark, sf_dir):
 
 
 @register(
+    "x_lsh_incremental",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS index_matches_rebuild
+    FROM embeddings
+    """,
+)
+def x_lsh_incremental(spark, sf_dir):
+    """Incremental LSH-index lifecycle — completing the maintenance
+    symmetry across all persisted ANN indexes (x_ivf_incremental,
+    x_pq_incremental, this): build on the even-id half,
+    `update_lsh_index` with the odd half (fixed-seed plane family from
+    `{path}/params`, so appends are EXACTLY a rebuild — no train_df
+    anchor needed), purge every vec_id % 10 == 3 (metadata-sized
+    buckets rewrite + hash-bucket-pruned vector rewrite).  Probing with
+    the full corpus must EQUAL probing a from-scratch build over
+    (union minus removed)."""
+    import shutil as _shutil
+
+    from lwetl_spark.operators.similarity import (
+        build_lsh_index,
+        query_lsh_index,
+        remove_from_lsh_index,
+        update_lsh_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    even = emb.filter(F.col("vec_id") % 2 == 0)
+    odd = emb.filter(F.col("vec_id") % 2 == 1)
+    removed = emb.filter(F.col("vec_id") % 10 == 3).select("vec_id")
+
+    work = _tmpdir("lshinc")
+    inc_path = os.path.join(work, "inc")
+    ref_path = os.path.join(work, "ref")
+    build_lsh_index(even, inc_path)
+    update_lsh_index(spark, inc_path, odd)
+    remove_from_lsh_index(spark, inc_path, removed)
+    build_lsh_index(emb.join(removed, "vec_id", "left_anti"), ref_path)
+
+    inc = query_lsh_index(spark, inc_path, emb, k=5)
+    ref = query_lsh_index(spark, ref_path, emb, k=5)
+    cols = ["id", "neighbor_id", "cos", "rank"]
+    a = inc.groupBy(*cols).agg(F.count("*").alias("_ca"))
+    b = ref.groupBy(*cols).agg(F.count("*").alias("_cb"))
+    mismatches = (
+        a.join(b, cols, "full_outer")
+        .filter("_ca IS NULL OR _cb IS NULL OR _ca <> _cb")
+        .count()
+    )
+    n_queries = emb.count()
+    _shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        [(n_queries, mismatches == 0)],
+        "n_queries long, index_matches_rebuild boolean",
+    )
+
+
+@register(
     "x_campaign_vectors",
     """
     SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS index_matches_rebuild

@@ -788,3 +788,49 @@ def test_pq_incremental_lifecycle_matches_rebuild(spark, tmp_path):
     assert query_pq_index(spark, inc, probes, k=3).count() == 0
     update_pq_index(spark, inc, emb)
     assert pq_index_stats(spark, inc).collect()[0]["n_vectors"] == emb.count()
+
+
+def test_lsh_incremental_lifecycle_matches_rebuild(spark, tmp_path):
+    """LSH index lifecycle: the plane family is fixed-seed and
+    data-independent, so update∘remove == rebuild needs no train_df
+    anchor at all — build on the even half, update with the odd half
+    (plane geometry read from {path}/params), remove a planted subset,
+    probe-equal a build over (union − removed).  Plus stats census and
+    remove-everything readability."""
+    from pyspark.sql import functions as F
+
+    from lwetl_spark.operators.similarity import (
+        build_lsh_index,
+        lsh_index_stats,
+        query_lsh_index,
+        remove_from_lsh_index,
+        update_lsh_index,
+    )
+
+    emb = spark.read.parquet(SF_SMOKE + "/embeddings.parquet")
+    even = emb.filter(F.col("vec_id") % 2 == 0)
+    odd = emb.filter(F.col("vec_id") % 2 == 1)
+    removed = emb.filter(F.col("vec_id") % 10 == 3).select("vec_id")
+
+    inc, ref = str(tmp_path / "inc"), str(tmp_path / "ref")
+    build_lsh_index(even, inc)
+    update_lsh_index(spark, inc, odd)
+    remove_from_lsh_index(spark, inc, removed)
+    build_lsh_index(emb.join(removed, "vec_id", "left_anti"), ref)
+
+    probes = emb.limit(20)
+    got = sorted(map(tuple, query_lsh_index(spark, inc, probes, k=5).collect()))
+    want = sorted(map(tuple, query_lsh_index(spark, ref, probes, k=5).collect()))
+    assert got == want and got
+
+    st = lsh_index_stats(spark, inc).collect()[0]
+    n_kept = emb.join(removed, "vec_id", "left_anti").count()
+    assert st["n_vectors"] == n_kept and st["n_tables"] == 12
+    assert st["max_bucket"] <= n_kept
+
+    remove_from_lsh_index(spark, inc, emb.select("vec_id"))
+    st2 = lsh_index_stats(spark, inc).collect()[0]
+    assert (st2["n_vectors"] or 0) == 0
+    assert query_lsh_index(spark, inc, probes, k=3).count() == 0
+    update_lsh_index(spark, inc, emb)
+    assert lsh_index_stats(spark, inc).collect()[0]["n_vectors"] == emb.count()
