@@ -258,6 +258,35 @@ def query_text_index(
     )
 
 
+def text_index_stats(spark, path: str) -> DataFrame:
+    """Census of a persisted text index — the health/maintenance-trigger
+    counterpart of `ivf_index_stats`/`pq_index_stats`: document count,
+    vocabulary size, postings volume, average document length (per
+    mille, the stored BM25 normalizer), and the heaviest term's document
+    frequency (stop-word saturation — when max_df approaches n_docs the
+    index wants a blocklist pass).  All exact integers derived from the
+    persisted tables with bounded aggs, so a SQL oracle recomputing them
+    from the raw corpus must match bit-for-bit (x_text_index_stats)."""
+    dl = spark.read.parquet(f"{path}/doclen")
+    df_t = spark.read.parquet(f"{path}/df")
+    postings = spark.read.parquet(f"{path}/postings")
+    docs = dl.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.expr("1000 * sum(dl) div count(*)").cast("long").alias("adl_m"),
+        F.sum("dl").cast("long").alias("n_tokens"),
+    )
+    vocab = df_t.agg(
+        F.count("*").cast("long").alias("n_terms"),
+        F.max("df").cast("long").alias("max_df"),
+    )
+    post = postings.agg(F.count("*").cast("long").alias("n_postings"))
+    return (
+        docs.crossJoin(vocab)
+        .crossJoin(post)
+        .select("n_docs", "n_tokens", "adl_m", "n_terms", "max_df", "n_postings")
+    )
+
+
 def rank_eval(
     ranking: DataFrame,
     relevance: DataFrame,

@@ -819,6 +819,51 @@ def x_pq_incremental(spark, sf_dir):
 
 
 @register(
+    "x_text_index_stats",
+    r"""
+    WITH tok AS (
+        SELECT doc_id, unnest(list_filter(
+            string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) AS tok
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY 1),
+    tf AS (SELECT doc_id, tok FROM tok GROUP BY doc_id, tok),
+    dfq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM dl) AS n_docs,
+           (SELECT CAST(SUM(dl) AS BIGINT) FROM dl) AS n_tokens,
+           (SELECT CAST(1000 * SUM(dl) // COUNT(*) AS BIGINT) FROM dl) AS adl_m,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM dfq) AS n_terms,
+           (SELECT CAST(MAX(df) AS BIGINT) FROM dfq) AS max_df,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM tf) AS n_postings
+    """,
+)
+def x_text_index_stats(spark, sf_dir):
+    """Persisted-text-index census (operators/retrieval.
+    text_index_stats) — the health/maintenance-trigger counterpart of
+    ivf/pq_index_stats: docs, total tokens, stored per-mille average
+    document length (the BM25 normalizer), vocabulary size, heaviest
+    term's df (stop-word saturation signal), postings volume.  The
+    oracle recomputes every number from the raw corpus — so this key
+    value-checks that the index's PERSISTED statistics stay faithful to
+    the corpus through the build path (the numbers BM25 scoring
+    actually reads)."""
+    import shutil as _shutil
+
+    from lwetl_spark.operators.retrieval import (
+        build_text_index,
+        text_index_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    work = _tmpdir("txstats")
+    path = os.path.join(work, "index")
+    build_text_index(docs, path)
+    out = text_index_stats(spark, path).localCheckpoint(eager=True)
+    _shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+@register(
     "x_lsh_incremental",
     """
     SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS index_matches_rebuild

@@ -835,6 +835,9 @@ def main() -> None:
     if not only or "ingest_increment" in only:
         campaign_probe(spark, sf_dir, scales=cli_scales or (1, 4, 16))
 
+    if not only or "campaign_vectors" in only:
+        campaign_vectors_probe(spark, sf_dir, scales=cli_scales or (1, 4, 16))
+
     # hierarchy flattening: pointer doubling must scale ~linearly in
     # NODES while rounds grow only with log(depth).  Synthetic forest:
     # parent = id div 8 (depth grows log8(n) with scale, so a flat
@@ -996,6 +999,102 @@ def campaign_probe(spark, sf_dir: str, scales=(1, 4, 16)) -> None:
                  "compact_500_sec": round(t_compact, 2),
                  "n_admitted": stats["n_admitted"],
                  "n_admitted_delta": stats_d["n_admitted"]}
+            ),
+            flush=True,
+        )
+
+
+def _hash_embeddings(docs, dims: int = 16):
+    """Deterministic JVM-side synthetic embeddings keyed by doc_id —
+    the probe only needs the vector LEG's cost shape (assign + append /
+    remove), not semantic vectors, and a hash expression keeps the
+    probe corpus generator shuffle- and Python-free."""
+    cols = [
+        (
+            F.pmod(F.xxhash64(F.col("doc_id") * F.lit(i + 1)), F.lit(1000))
+            / 1000.0
+            + 0.001
+        )
+        for i in range(dims)
+    ]
+    return docs.select("doc_id", F.array(*cols).alias("embedding"))
+
+
+def campaign_vectors_probe(spark, sf_dir: str, scales=(1, 4, 16)) -> None:
+    """Dual-index campaign cost shape (VERDICT r5 #2 follow-through):
+    with the IVF vector leg attached, the delta-mode increment must
+    STAY O(delta) — the leg adds one bounded centroid read, one
+    delta-sized Arrow assign, and cell-partition appends; none of that
+    may scale with the pre-existing corpus.  Protocol mirrors
+    campaign_probe: bootstrap dual-index state on a 1x/4x/16x corpus,
+    ingest the SAME fixed ~2k-doc delta (docs + embeddings), then
+    retire a fixed 500-id set (bounded locates + affected-partition
+    rewrites on BOTH indexes)."""
+    import shutil
+    import tempfile
+
+    from lwetl_spark.operators.incremental import ingest_increment
+
+    for scale in scales:
+        base, n_docs = scaled_docs(spark, sf_dir, scale)
+        base = base.select("doc_id", "text")
+        delta_src, _ = scaled_docs(spark, sf_dir, 1)
+        delta = (
+            delta_src.select(
+                (F.col("doc_id") + 900_000_000).alias("doc_id"),
+                F.translate(
+                    F.translate("text", "aeiou", ROTS[23]), "bcdfg", CROTS[119]
+                ).alias("text"),
+            )
+            .orderBy("doc_id")
+            .limit(2000)
+        )
+        base_emb = _hash_embeddings(base)
+        delta_emb = _hash_embeddings(delta)
+
+        work = tempfile.mkdtemp(prefix="campaignv_probe_")
+        man, st, idx, vidx = (
+            f"{work}/manifest", f"{work}/state", f"{work}/index",
+            f"{work}/vindex",
+        )
+        t0 = time.time()
+        ingest_increment(
+            spark, base, man, st, idx,
+            embeddings=base_emb, vector_index_path=vidx,
+        )
+        t_boot = time.time() - t0
+        t0 = time.time()
+        stats_d = ingest_increment(
+            spark, delta, man, st, idx,
+            embeddings=delta_emb, vector_index_path=vidx,
+            snapshot_is_delta=True,
+        )
+        t_delta = time.time() - t0
+        # weekly full snapshot retiring a fixed 500-id set from BOTH
+        # indexes (bounded locate collects + affected-partition rewrites)
+        retired_ids = base.select("doc_id").orderBy("doc_id").limit(500)
+        retire_snapshot = base.unionByName(delta).join(
+            retired_ids, "doc_id", "left_anti"
+        )
+        t0 = time.time()
+        stats_r = ingest_increment(
+            spark, retire_snapshot, man, st, idx,
+            embeddings=_hash_embeddings(retire_snapshot),
+            vector_index_path=vidx, retire_removed=True,
+        )
+        t_retire = time.time() - t0
+        shutil.rmtree(work, ignore_errors=True)
+        spark.catalog.clearCache()
+        print(
+            json.dumps(
+                {"op": "campaign_vectors", "scale": scale,
+                 "corpus_docs": n_docs, "delta_docs": 2000,
+                 "bootstrap_sec": round(t_boot, 2),
+                 "delta_only_sec": round(t_delta, 2),
+                 "retire_500_sec": round(t_retire, 2),
+                 "n_admitted_delta": stats_d["n_admitted"],
+                 "n_vec_delta": stats_d["n_vec_indexed"],
+                 "n_retired": stats_r["n_retired"]}
             ),
             flush=True,
         )
