@@ -72,6 +72,9 @@ EXTENDED = [
     "x_fuzzy_join",
     "x_quality_logreg",
     "curate_chain",
+    # retrieve -> fuse -> re-rank composition (r6): BM25 + dense legs,
+    # RRF, cross-encoder-style pair scoring — the full hybrid pipeline
+    "x_rerank",
     # incremental-campaign spine (VERDICT r5 #3): the lifecycle costs a
     # daily-crawl deployment actually pays, tracked round-over-round
     # like the heavy queries instead of living only in SCALE.md probes.
