@@ -126,6 +126,7 @@ def ingest_increment(
     compact_changed: bool = False,
     snapshot_is_delta: bool = False,
     retire_removed: bool = False,
+    tombstones: DataFrame | None = None,
     embeddings: DataFrame | None = None,
     vector_index_path: str | None = None,
     vec_col: str = "embedding",
@@ -180,6 +181,18 @@ def ingest_increment(
     takedowns/404s must take effect; like compaction it pays one
     postings read, so the two maintenance passes batch naturally
     together.
+
+    ``tombstones`` (a one-column DataFrame of ids) retires documents by
+    EXPLICIT deletion signal — the CDC-style feed real crawl pipelines
+    ship alongside delta batches, closing the "removals need a full
+    snapshot" gap for campaigns that never re-deliver everything.
+    Tombstoned ids purge from the index (and the vector index in
+    dual-index mode), the admitted state, and the manifest — so a later
+    re-crawl of the id or its content admits fresh — and deletion WINS
+    within the batch: a snapshot row carrying a tombstoned id is
+    ignored.  Works in both full-snapshot and delta mode; equivalent to
+    ``retire_removed`` on a full snapshot lacking those ids (pinned by
+    test_retrieval).
 
     ``snapshot_is_delta=True`` declares the snapshot a PARTIAL batch
     (only the day's new/re-crawled files, the usual crawl delivery):
@@ -268,6 +281,17 @@ def ingest_increment(
                 num_centroids=vector_num_centroids,
             )
         return n
+
+    tomb = None
+    if tombstones is not None:
+        tomb = (
+            tombstones.select(F.col(tombstones.columns[0]).alias(id_col))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # deletion wins within the batch: a snapshot row carrying a
+        # tombstoned id never reaches the diff or admission
+        snapshot = snapshot.join(tomb, id_col, "left_anti")
 
     digest = F.md5(F.lower(F.trim(F.col(text_col))))
     manifest_new = snapshot.select(
@@ -458,6 +482,39 @@ def ingest_increment(
                     remove_from_ivf_index(spark, vector_index_path, removed)
                     n_vec_retired = n_retired
 
+    if tomb is not None:
+        # explicit deletion feed: same purge shape as retire_removed,
+        # but signal-driven — works in delta mode too (idempotent with
+        # retire_removed: an id both modes retire leaves the state on
+        # the first pass, so the semi-join below finds nothing)
+        from lwetl_spark.operators.retrieval import remove_from_index
+
+        try:
+            state_now = spark.read.parquet(state_path)
+        except Exception:
+            state_now = None
+        if state_now is not None:
+            removed_t = tomb.join(
+                state_now.select(id_col), id_col, "left_semi"
+            ).localCheckpoint(eager=True)
+            n_tomb = removed_t.count()
+            if n_tomb:
+                remove_from_index(spark, index_path, removed_t, id_col=id_col)
+                kept_state = state_now.join(
+                    removed_t, id_col, "left_anti"
+                ).localCheckpoint(eager=True)
+                kept_state.write.mode("overwrite").parquet(state_path)
+                if embeddings is not None:
+                    from lwetl_spark.operators.similarity import (
+                        remove_from_ivf_index,
+                    )
+
+                    remove_from_ivf_index(
+                        spark, vector_index_path, removed_t
+                    )
+                    n_vec_retired += n_tomb
+                n_retired += n_tomb
+
     # the manifest advances to the new snapshot (diff basis) — replaced
     # wholesale in full-snapshot mode, MERGED (untouched old ids keep
     # their rows) in delta mode.  EXCEPTION in both modes: ids whose
@@ -473,6 +530,11 @@ def ingest_increment(
         ).unionByName(manifest_new)
     else:
         manifest_out = manifest_new
+    if tomb is not None:
+        # tombstoned ids leave the manifest too (delta mode keeps old
+        # rows for untouched ids — a deleted id must not be one), so a
+        # later re-crawl of the id re-enters as 'added'
+        manifest_out = manifest_out.join(tomb, id_col, "left_anti")
     if have_manifest:
         try:
             state_pairs = spark.read.parquet(state_path)

@@ -821,3 +821,94 @@ def test_cross_encoder_rerank_custom_scorer_and_nulls(spark):
     assert got[(1, 2)] == (10, 5)    # then 'short'; null-text doc 12 cut
     assert got[(2, 1)] == (13, 8) and got[(2, 2)] == (10, 5)
     assert len(got) == 4
+
+
+def test_ingest_tombstones_delta_mode_retirement(spark, tmp_path):
+    """Explicit deletion feed (CDC-style tombstones): retiring by signal
+    in DELTA mode must leave index + state identical to a full-snapshot
+    retire_removed run, deletion must win over a same-batch re-crawl of
+    the tombstoned id, the manifest must forget the id (a later
+    re-crawl admits fresh), and in dual-index mode the vector purges
+    too."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from lwetl_spark.operators.incremental import ingest_increment
+    from lwetl_spark.operators.similarity import ivf_index_stats
+
+    def e(text):
+        h = hashlib.md5(text.encode()).digest()
+        return [b / 255.0 + 0.05 for b in h[:6]]
+
+    texts = {
+        1: "adaptive execution replans joins at runtime",
+        2: "columnar scans prune row groups by statistics",
+        3: "broadcast joins ship the small side everywhere",
+        4: "shuffle partitions coalesce under low volume",
+    }
+    schema = "doc_id long, text string, embedding array<double>"
+
+    def snap(ids):
+        return spark.createDataFrame(
+            [(i, texts[i], e(texts[i])) for i in ids], schema
+        ).select("doc_id", "text")
+
+    def emb(ids):
+        return spark.createDataFrame(
+            [(i, e(texts[i])) for i in ids],
+            "doc_id long, embedding array<double>",
+        )
+
+    # campaign A: bootstrap {1,2,3}, then ONE delta batch that adds doc
+    # 4, re-crawls tombstoned doc 2 (deletion must win), and carries
+    # the tombstone for 2
+    a = {p: str(tmp_path / f"a_{p}") for p in ("m", "s", "x", "v")}
+    ingest_increment(
+        spark, snap([1, 2, 3]), a["m"], a["s"], a["x"],
+        embeddings=emb([1, 2, 3]), vector_index_path=a["v"],
+        vector_num_centroids=2,
+    )
+    sA = ingest_increment(
+        spark, snap([2, 4]), a["m"], a["s"], a["x"],
+        embeddings=emb([2, 4]), vector_index_path=a["v"],
+        snapshot_is_delta=True,
+        tombstones=spark.createDataFrame([(2,)], "doc_id long"),
+        vector_num_centroids=2,
+    )
+    assert sA["n_admitted"] == 1          # doc 4 only — deletion won
+    assert sA["n_retired"] == 1 and sA["n_vec_retired"] == 1
+
+    # campaign B: same end state via full snapshots + retire_removed
+    b = {p: str(tmp_path / f"b_{p}") for p in ("m", "s", "x", "v")}
+    ingest_increment(
+        spark, snap([1, 2, 3]), b["m"], b["s"], b["x"],
+        embeddings=emb([1, 2, 3]), vector_index_path=b["v"],
+        vector_num_centroids=2,
+    )
+    ingest_increment(
+        spark, snap([1, 3, 4]), b["m"], b["s"], b["x"],
+        embeddings=emb([1, 3, 4]), vector_index_path=b["v"],
+        retire_removed=True, vector_num_centroids=2,
+    )
+
+    for part in ("postings", "df", "doclen", "stats"):
+        ga = sorted(map(tuple,
+            spark.read.parquet(f"{a['x']}/{part}").drop("bucket").collect()))
+        gb = sorted(map(tuple,
+            spark.read.parquet(f"{b['x']}/{part}").drop("bucket").collect()))
+        assert ga == gb, f"{part}: tombstone != full-snapshot retirement"
+    assert sorted(map(tuple, spark.read.parquet(a["s"]).collect())) == sorted(
+        map(tuple, spark.read.parquet(b["s"]).collect())
+    )
+    stA = ivf_index_stats(spark, a["v"]).collect()[0]
+    assert stA["n_vectors"] == 3  # {1, 3, 4}
+
+    # the manifest forgot doc 2: its content re-crawls under the SAME
+    # id and admits fresh
+    s2 = ingest_increment(
+        spark, snap([2]), a["m"], a["s"], a["x"],
+        embeddings=emb([2]), vector_index_path=a["v"],
+        snapshot_is_delta=True, vector_num_centroids=2,
+    )
+    assert s2["n_admitted"] == 1 and s2["n_vec_indexed"] == 1
