@@ -7180,6 +7180,62 @@ def x_ingest_campaign(spark, sf_dir):
 
 
 @register(
+    "x_campaign_tombstones",
+    _CAMPAIGN_BM25_CTE.replace(
+        "SELECT d.doc_id, d.text FROM dd d JOIN w ON d.doc_id = w.keep_id",
+        "SELECT d.doc_id, d.text FROM dd d JOIN w ON d.doc_id = w.keep_id "
+        "WHERE d.doc_id % 10 != 4",
+    )
+    + """
+    SELECT query_id, doc_id, score_ppm, n_terms, rnk FROM r
+    """,
+)
+def x_campaign_tombstones(spark, sf_dir):
+    """Tombstone retirement through the composed campaign
+    (operators/incremental.ingest_increment(tombstones=)): day 0
+    ingests the even-id half; day 1's DELTA batch adds the odd ids,
+    RE-CRAWLS the tombstoned ids (deletion must win in-batch), and
+    carries tombstones for every id % 10 == 4 (always even, so every
+    one was a day-0 admission candidate).  The final probe
+    must equal BM25 over the admitted winner set MINUS the tombstoned
+    ids — the oracle filters the x_ingest_campaign winner CTE by the
+    same rule.  Note the ordering contract the oracle encodes: an odd
+    duplicate of a tombstoned doc's content stays REJECTED (its
+    fingerprint was still admitted when day 1's admission ran; the
+    retirement happens at the end of the increment), so tombstoned
+    content only readmits on a LATER crawl."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from lwetl_spark.operators.incremental import ingest_increment
+    from lwetl_spark.operators.retrieval import query_text_index
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    work = _tempfile.mkdtemp(prefix="lwetl_spark_tombstone_")
+    manifest = _os.path.join(work, "manifest")
+    state = _os.path.join(work, "state")
+    index = _os.path.join(work, "index")
+
+    even = docs.filter(F.col("doc_id") % 2 == 0)
+    ingest_increment(spark, even, manifest, state, index)
+    tomb = even.filter(F.col("doc_id") % 10 == 4).select("doc_id")
+    day1 = docs.filter(F.col("doc_id") % 2 == 1).unionByName(
+        docs.join(tomb, "doc_id", "left_semi")  # re-crawl; deletion wins
+    )
+    ingest_increment(
+        spark, day1, manifest, state, index,
+        snapshot_is_delta=True, tombstones=tomb,
+    )
+    queries = spark.createDataFrame(_BM25_PROBES, "query_id int, term string")
+    out = query_text_index(spark, index, queries, k=10).localCheckpoint(
+        eager=True
+    )
+    _shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+@register(
     "x_inter_event",
     """
     WITH o AS (
