@@ -766,8 +766,14 @@ def query_lsh_index(
     of query vectors: bucketize ONLY the queries (cheap), equi-join
     against the stored buckets, re-join vectors for exact scoring —
     the same collect-free 'join' scorer as the inline operator.  The
-    corpus is never re-bucketized; candidate pruning happens at the
-    parquet scan via the table_idx partitioning + bucket pushdown.
+    corpus is never re-bucketized.  Cost shape, stated honestly: the
+    (table_idx, bucket) equi-join scans the full buckets table — but
+    that table is (id, bucket) longs (metadata-sized, ~24 bytes per
+    row per table), and only matching candidates reach the
+    vector-fetch join, so corpus VECTORS are touched per-candidate
+    only (a literal bucket-list pushdown would need the probe's
+    distinct buckets collected, which saturates to every bucket for
+    any real query batch — the filter join is the scale-correct form).
 
     Same output contract as `lsh_ann_topk` (self-matches excluded when a
     query id also exists in the index).
