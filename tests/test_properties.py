@@ -862,3 +862,57 @@ def test_ivf_probe_prunes_cells(spark, tmp_path):
     assert m, f"cells scan not partition-pruned:\n{plan[:2000]}"
     # and the probe returns the same rows as before the pruning
     assert df.count() > 0
+
+
+def test_concurrent_index_maintenance_no_conf_race(spark, tmp_path):
+    """r5 ADVICE: maintenance writes must not mutate the session-global
+    partitionOverwriteMode — two removals running CONCURRENTLY on the
+    same SparkSession (different indexes) must both land correctly even
+    with an adversarial session default, because the mode is scoped
+    per-write.  Under the old set/restore dance one thread could
+    observe the other's mode and either clobber unaffected partitions
+    (static leak) or strand removed rows (dynamic leak)."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from lwetl_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_stats,
+        remove_from_ivf_index,
+    )
+
+    emb = spark.read.parquet(SF_SMOKE + "/embeddings.parquet")
+    paths = [str(tmp_path / f"ivf{i}") for i in range(2)]
+    for p in paths:
+        build_ivf_index(emb, p, num_centroids=4)
+
+    # adversarial default: dynamic session-wide (the old static fallback
+    # branch would silently strand partitions under this)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    errors = []
+
+    def worker(p, mod):
+        try:
+            remove_from_ivf_index(
+                spark, p, emb.filter(F.col("vec_id") % 5 == mod).select("vec_id")
+            )
+        except Exception as e:  # noqa: BLE001
+            errors.append((p, e))
+
+    try:
+        ts = [
+            threading.Thread(target=worker, args=(paths[i], i))
+            for i in range(2)
+        ]
+        [t.start() for t in ts]
+        [t.join() for t in ts]
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    assert not errors, errors
+    n = emb.count()
+    for i, p in enumerate(paths):
+        expect = n - emb.filter(F.col("vec_id") % 5 == i).count()
+        st = ivf_index_stats(spark, p).collect()[0]
+        assert st["n_vectors"] == expect, (p, st)
