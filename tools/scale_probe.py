@@ -838,6 +838,9 @@ def main() -> None:
     if not only or "campaign_vectors" in only:
         campaign_vectors_probe(spark, sf_dir, scales=cli_scales or (1, 4, 16))
 
+    if not only or "ann_maintenance" in only:
+        ann_maintenance_probe(spark, sf_dir, scales=cli_scales or (1, 4, 16))
+
     # hierarchy flattening: pointer doubling must scale ~linearly in
     # NODES while rounds grow only with log(depth).  Synthetic forest:
     # parent = id div 8 (depth grows log8(n) with scale, so a flat
@@ -1098,6 +1101,84 @@ def campaign_vectors_probe(spark, sf_dir: str, scales=(1, 4, 16)) -> None:
             ),
             flush=True,
         )
+
+
+def ann_maintenance_probe(spark, sf_dir: str, scales=(1, 4, 16)) -> None:
+    """Maintenance cost shape of the three persisted ANN indexes: a
+    FIXED 500-vector update and a FIXED 500-id removal against a
+    1x/4x/16x index.  The update must be flat (delta-sized assign/
+    encode/bucketize + appends); the removal locates via bounded
+    collects and rewrites only affected partitions — with hash-bucketed
+    layouts a random 500-id set touches most partitions, so removal is
+    bounded by the AFFECTED-PARTITION volume (≈ the table at these toy
+    sizes, a vanishing fraction at 100 TB with num_centroids/buckets
+    sized to the corpus); the probe's job is catching super-linear
+    regressions, not proving O(delta) removal."""
+    import shutil
+    import tempfile
+
+    from lwetl_spark.operators.similarity import (
+        build_ivf_index,
+        build_lsh_index,
+        build_pq_index,
+        remove_from_ivf_index,
+        remove_from_lsh_index,
+        remove_from_pq_index,
+        update_ivf_index,
+        update_lsh_index,
+        update_pq_index,
+    )
+
+    from lwetl_spark.catalog import load_table
+
+    def scaled_emb(scale: int):
+        base = load_table(spark, sf_dir, "embeddings")
+        n = base.count()
+        parts = []
+        for i in range(scale):
+            rot = (i * 7) % 64
+            parts.append(
+                base.select(
+                    (F.col("vec_id") + i * 10_000_000).alias("vec_id"),
+                    F.expr(
+                        f"concat(slice(embedding, {rot + 1}, {64 - rot}),"
+                        f" slice(embedding, 1, {rot}))"
+                    ).alias("embedding"),
+                )
+            )
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        return df, n * scale
+
+    builders = {
+        "ivf": (build_ivf_index, update_ivf_index, remove_from_ivf_index),
+        "pq": (build_pq_index, update_pq_index, remove_from_pq_index),
+        "lsh": (build_lsh_index, update_lsh_index, remove_from_lsh_index),
+    }
+    for scale in scales:
+        emb, n = scaled_emb(scale)
+        emb = emb.localCheckpoint(eager=True)
+        delta = emb.orderBy("vec_id").limit(500).select(
+            (F.col("vec_id") + 800_000_000).alias("vec_id"), "embedding"
+        )
+        removed = emb.orderBy("vec_id").limit(500).select("vec_id")
+        row = {"op": "ann_maintenance", "scale": scale, "vectors": n}
+        for name, (build, update, remove) in builders.items():
+            work = tempfile.mkdtemp(prefix=f"annmaint_{name}_")
+            path = f"{work}/idx"
+            t0 = time.time()
+            build(emb, path)
+            row[f"{name}_build_sec"] = round(time.time() - t0, 2)
+            t0 = time.time()
+            update(spark, path, delta)
+            row[f"{name}_update_500_sec"] = round(time.time() - t0, 2)
+            t0 = time.time()
+            remove(spark, path, removed)
+            row[f"{name}_remove_500_sec"] = round(time.time() - t0, 2)
+            shutil.rmtree(work, ignore_errors=True)
+        spark.catalog.clearCache()
+        print(json.dumps(row), flush=True)
 
 
 if __name__ == "__main__":
