@@ -916,3 +916,45 @@ def test_concurrent_index_maintenance_no_conf_race(spark, tmp_path):
         expect = n - emb.filter(F.col("vec_id") % 5 == i).count()
         st = ivf_index_stats(spark, p).collect()[0]
         assert st["n_vectors"] == expect, (p, st)
+
+
+@given(
+    ranked=st.lists(
+        st.tuples(
+            st.text(alphabet="abcdef", min_size=1, max_size=3),
+            st.text(alphabet="abcdef", min_size=1, max_size=3),
+            st.integers(min_value=1, max_value=100),
+        ),
+        max_size=30,
+    ),
+    k=st.integers(min_value=1, max_value=8),
+)
+@settings(max_examples=200, deadline=None)
+def test_select_disjoint_batch_properties(ranked, k):
+    """Invariants of the batched-BPE selector for ANY candidate list:
+    (a) at most k pairs; (b) pairwise symbol-disjoint — the property
+    that makes simultaneous application order-independent; (c) a
+    subsequence of the input (greedy order preserved); (d) greedy
+    maximality — every candidate before the cut that was NOT selected
+    conflicts with an earlier selection."""
+    from lwetl_spark.operators.bpe import _select_disjoint_batch
+
+    batch = _select_disjoint_batch(ranked, k)
+    assert len(batch) <= k
+    used = set()
+    for a, b in batch:
+        assert a not in used and b not in used
+        used.update((a, b))
+    # subsequence of input pairs
+    pairs_in = [(a, b) for a, b, _ in ranked]
+    it = iter(pairs_in)
+    assert all(p in it for p in batch)
+    # greedy maximality up to the point the batch filled
+    if len(batch) < k:
+        ptr, sel = 0, set()
+        for a, b, _ in ranked:
+            if ptr < len(batch) and batch[ptr] == (a, b) and a not in sel and b not in sel:
+                sel.update((a, b))
+                ptr += 1
+                continue
+            assert a in sel or b in sel, f"({a},{b}) skipped without conflict"
