@@ -85,6 +85,42 @@ def main() -> None:
     )
     query_text_index(spark, index, q, k=5).show(15, truncate=False)
 
+    # ---- dual-index campaign: the SAME manifest diff can maintain an
+    # IVF vector index (crawl + embed the delta arrive together).  A
+    # fresh campaign over docs that carry embeddings:
+    from lwetl_spark.catalog import load_table as _lt
+    from lwetl_spark.operators.similarity import query_ivf_index
+
+    emb = _lt(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    work2 = tempfile.mkdtemp(prefix="daily_increment_dual_")
+    m2, s2p, x2, v2 = (f"{work2}/{p}" for p in ("m", "s", "x", "v"))
+    sv0 = ingest_increment(
+        spark, docs.filter(F.col("doc_id") % 2 == 0), m2, s2p, x2,
+        embeddings=emb, vector_index_path=v2,
+    )
+    print(f"dual day 0: {sv0}  (vector index built, quantizer frozen)")
+    sv1 = ingest_increment(
+        spark, docs, m2, s2p, x2,
+        embeddings=emb, vector_index_path=v2,
+    )
+    print(f"dual day 1: {sv1}  (both indexes extended from one diff)")
+    # a takedown feed (CDC tombstones) retires from BOTH indexes — no
+    # full snapshot needed
+    tomb = docs.filter(F.col("doc_id") % 50 == 7).select("doc_id")
+    sv2 = ingest_increment(
+        spark, docs.limit(0), m2, s2p, x2,
+        embeddings=emb, vector_index_path=v2,
+        snapshot_is_delta=True, tombstones=tomb,
+    )
+    print(f"dual day 2: {sv2}  (tombstoned ids purged from text + vectors)")
+    probes = emb.limit(3)
+    query_ivf_index(
+        spark, v2, probes, k=3, vec_col="embedding", id_col="doc_id"
+    ).show(9, truncate=False)
+    shutil.rmtree(work2, ignore_errors=True)
+
     # no spark.stop(): get_spark() shares the session (test harness runs
     # examples in-process); standalone runs clean up at process exit
     shutil.rmtree(work, ignore_errors=True)
