@@ -208,6 +208,15 @@ def build_text_index(
     ).partitionBy("bucket").parquet(f"{path}/df")
     dl.write.mode("overwrite").parquet(f"{path}/doclen")
     stats.write.mode("overwrite").parquet(f"{path}/stats")
+    # doc→bucket sidecar (r6): which hash buckets hold each document's
+    # postings — lets compaction/removal LOCATE a doc's old rows by
+    # reading only its buckets instead of one full postings scan (the
+    # term-partitioned index's classic maintenance trade, removed).
+    # Size: ≤ min(distinct tokens, 256) rows of two longs per doc —
+    # corpus-doc-count-scaled metadata, not postings-scaled.
+    tf.select("doc_id", bucket).distinct().write.mode("overwrite").parquet(
+        f"{path}/docbuckets"
+    )
 
 
 def query_text_index(
@@ -496,6 +505,15 @@ def update_text_index(
     tf_new.withColumn("bucket", bucket).repartition("bucket").write.mode(
         "append"
     ).partitionBy("bucket").parquet(f"{path}/postings")
+    try:  # sidecar append ONLY if the index has one: a pre-sidecar
+        spark.read.parquet(f"{path}/docbuckets")  # index must stay
+        has_db = True  # sidecar-less — a PARTIAL sidecar would make
+    except Exception:  # compaction silently miss pre-existing docs' rows
+        has_db = False
+    if has_db:
+        tf_new.select("doc_id", bucket).distinct().write.mode(
+            "append"
+        ).parquet(f"{path}/docbuckets")
 
     delta_df = tf_new.groupBy("tok").agg(F.count("*").alias("df"))
     affected = [
@@ -561,15 +579,17 @@ def compact_text_index(
     those ids always had the new content (pinned by test_retrieval).
 
     Cost model — compaction is the RARE maintenance pass, sized by what
-    it must touch and nothing more, except one honest full-scan:
+    it must touch and nothing more:
 
-    - postings: finding the old rows of the replaced ids requires one
-      full postings READ (the index is term-partitioned, not
-      doc-partitioned — the classic inverted-index trade; a 100 TB
-      deployment amortizes this by batching deferred changes).  The
-      WRITE is bounded: only buckets containing an old or new token of
-      a replaced doc dynamic-overwrite; untouched buckets keep their
-      files.
+    - postings: the replaced ids' old rows are LOCATED via the
+      `docbuckets` sidecar (doc_id → its postings' hash buckets,
+      maintained by build/update/compact), so the READ prunes to the
+      ≤256 buckets that actually hold a replaced doc's rows — the
+      former one-full-postings-scan trade of the term-partitioned
+      layout is gone (r6; pre-sidecar indexes fall back to the full
+      read).  The WRITE is bounded as before: only buckets containing
+      an old or new token of a replaced doc dynamic-overwrite;
+      untouched buckets keep their files.
     - df: recomputed as old − removed-contribution + added-contribution
       per token; only affected buckets rewrite.
     - doclen: one filter-out + append-union overwrite pass ((doc_id,
@@ -594,8 +614,31 @@ def compact_text_index(
 
     bucket = F.pmod(F.xxhash64("tok"), F.lit(_INDEX_BUCKETS)).alias("bucket")
     postings = spark.read.parquet(f"{path}/postings")
-    # one full read, bounded output: the replaced ids' old rows
-    tf_old = postings.join(ids, "doc_id", "left_semi").drop("bucket")
+    # locate the replaced ids' old rows.  With the docbuckets sidecar
+    # (r6, written by build/update) the scan prunes to the ≤256 buckets
+    # that actually hold a replaced doc's postings — replacing the one
+    # honest full postings read this pass used to pay.  A pre-sidecar
+    # index falls back to the full read and stays sidecar-less (healing
+    # would need a full (doc_id, bucket) distinct; rebuild to adopt).
+    try:
+        db_tbl = spark.read.parquet(f"{path}/docbuckets")
+        affected_old = [
+            r["bucket"]
+            for r in db_tbl.join(ids, "doc_id", "left_semi")
+            .select("bucket")
+            .distinct()
+            .collect()
+        ]  # bounded: ≤ _INDEX_BUCKETS values
+        old_scan = (
+            postings.filter(F.col("bucket").isin(affected_old))
+            if affected_old
+            else postings.filter(F.lit(False))
+        )
+        have_db = True
+    except Exception:
+        old_scan = postings
+        have_db = False
+    tf_old = old_scan.join(ids, "doc_id", "left_semi").drop("bucket")
     tf_old = tf_old.localCheckpoint(eager=True)
 
     affected = [
@@ -698,6 +741,18 @@ def compact_text_index(
         .localCheckpoint(eager=True)
     )
     dl_merged.write.mode("overwrite").parquet(f"{path}/doclen")
+
+    if have_db:
+        # sidecar follows the content: replaced/removed ids' rows drop,
+        # the replacements' new (doc_id, bucket) rows enter — the same
+        # metadata-sized filter-out + union overwrite as doclen
+        db_merged = (
+            spark.read.parquet(f"{path}/docbuckets")
+            .join(ids, "doc_id", "left_anti")
+            .unionByName(tf_new.select("doc_id", bucket).distinct())
+            .localCheckpoint(eager=True)
+        )
+        db_merged.write.mode("overwrite").parquet(f"{path}/docbuckets")
     stats = (
         spark.read.parquet(f"{path}/doclen")
         .agg(

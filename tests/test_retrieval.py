@@ -912,3 +912,87 @@ def test_ingest_tombstones_delta_mode_retirement(spark, tmp_path):
         snapshot_is_delta=True, vector_num_centroids=2,
     )
     assert s2["n_admitted"] == 1 and s2["n_vec_indexed"] == 1
+
+
+def test_docbuckets_sidecar_consistency_and_legacy_fallback(spark, tmp_path):
+    """r6 sidecar: after any build/update/compact/remove sequence the
+    docbuckets table equals the distinct (doc_id, bucket) projection of
+    the live postings (the invariant that makes the pruned locate
+    correct), and a pre-sidecar index (docbuckets deleted) still
+    compacts correctly via the full-read fallback WITHOUT growing a
+    partial sidecar."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from lwetl_spark.operators.retrieval import (
+        build_text_index,
+        compact_text_index,
+        query_text_index,
+        remove_from_index,
+        update_text_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta w{i % 5} gamma{' delta' * (i % 3)}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "x")
+    build_text_index(docs.filter(F.col("doc_id") < 20), path)
+    update_text_index(spark, path, docs.filter(F.col("doc_id") >= 20))
+    compact_text_index(
+        spark, path,
+        docs.filter(F.col("doc_id") % 7 == 0)
+        .select("doc_id", F.concat(F.col("text"), F.lit(" extra")).alias("text")),
+    )
+    remove_from_index(
+        spark, path, docs.filter(F.col("doc_id") % 9 == 1).select("doc_id")
+    )
+
+    def pairs(df):
+        return sorted(map(tuple, df.collect()))
+
+    live = spark.read.parquet(f"{path}/postings").select(
+        "doc_id", F.col("bucket").cast("long").alias("bucket")
+    ).distinct()
+    side = spark.read.parquet(f"{path}/docbuckets").select(
+        "doc_id", F.col("bucket").cast("long").alias("bucket")
+    )
+    assert pairs(side) == pairs(live), "sidecar drifted from postings"
+
+    # legacy fallback: kill the sidecar; compaction must still equal a
+    # rebuild and must NOT create a partial sidecar
+    shutil.rmtree(f"{path}/docbuckets")
+    changed = docs.filter(F.col("doc_id") == 2).select(
+        "doc_id", F.lit("totally fresh words here").alias("text")
+    )
+    compact_text_index(spark, path, changed)
+    update_text_index(
+        spark, path,
+        spark.createDataFrame([(100, "brand new doc")], "doc_id long, text string"),
+    )
+    import os
+
+    assert not os.path.isdir(f"{path}/docbuckets")
+
+    # final content == rebuild over the equivalent corpus
+    current = (
+        docs.filter(F.col("doc_id") % 9 != 1)
+        .withColumn(
+            "text",
+            F.when(F.col("doc_id") == 2, F.lit("totally fresh words here"))
+            .when(F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" extra")))
+            .otherwise(F.col("text")),
+        )
+        .unionByName(
+            spark.createDataFrame([(100, "brand new doc")], "doc_id long, text string")
+        )
+    )
+    full = str(tmp_path / "full")
+    build_text_index(current, full)
+    q = spark.createDataFrame(
+        [(1, "alpha"), (2, "delta"), (3, "fresh")], "query_id int, term string"
+    )
+    got = sorted(map(tuple, query_text_index(spark, path, q, k=10).collect()))
+    want = sorted(map(tuple, query_text_index(spark, full, q, k=10).collect()))
+    assert got == want and got
