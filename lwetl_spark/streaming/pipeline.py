@@ -854,6 +854,80 @@ def stream_ingest_increment(
     return stream.writeStream.foreachBatch(sink).start()
 
 
+def stream_ingest_cdc(
+    spark: SparkSession,
+    changes_path: str,
+    manifest_path: str,
+    state_path: str,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    op_col: str = "op",
+    delete_op: str = "D",
+    max_files_per_trigger: int = 2,
+    compact_changed: bool = False,
+    vector_index_path: str | None = None,
+    vec_col: str = "embedding",
+):
+    """CDC-stream form of the campaign: every micro-batch carries an
+    ``op_col`` (upsert rows + ``delete_op`` tombstone rows — the
+    Debezium/outbox delivery shape), and each batch runs ONE delta-mode
+    `ingest_increment` with the batch's deletes as the tombstone feed:
+    upserts admit/defer through the normal manifest-diff path, deletes
+    purge index + state + manifest (and the vector index in dual-index
+    mode), and deletion wins over a same-batch upsert of the same id
+    (the tombstone contract).  ``compact_changed=True`` additionally
+    applies deferred changed docs per batch — correct but postings-read
+    priced; leave it off and batch compaction into a maintenance window
+    unless the stream is small.
+
+    foreachBatch + persisted parquet state, like `stream_ingest_
+    increment`: replays are idempotent, the index stays continuously
+    probe-able, and batches serialize in exactly the order the
+    manifest/state updates need.  Returns the started StreamingQuery.
+    """
+    from lwetl_spark.operators.incremental import ingest_increment
+
+    schema = spark.read.parquet(changes_path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(changes_path)
+    )
+
+    def sink(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        from pyspark.sql import functions as F2
+
+        upserts = batch_df.filter(F2.col(op_col) != delete_op)
+        deletes = batch_df.filter(F2.col(op_col) == delete_op).select(id_col)
+        vec_kwargs = (
+            {
+                "embeddings": upserts.select(id_col, vec_col),
+                "vector_index_path": vector_index_path,
+                "vec_col": vec_col,
+            }
+            if vector_index_path is not None
+            else {}
+        )
+        ingest_increment(
+            batch_df.sparkSession,
+            upserts.select(id_col, text_col),
+            manifest_path,
+            state_path,
+            index_path,
+            id_col=id_col,
+            text_col=text_col,
+            snapshot_is_delta=True,
+            compact_changed=compact_changed,
+            tombstones=deletes,
+            **vec_kwargs,
+        )
+
+    return stream.writeStream.foreachBatch(sink).start()
+
+
 def stream_event_pattern(
     spark: SparkSession,
     events_path: str,

@@ -825,3 +825,94 @@ def test_stream_ingest_increment_dual_index(spark, tmp_path):
         spark, ref, probes, k=3, vec_col="embedding", id_col="doc_id"
     ).collect()))
     assert got == want and got
+
+
+def test_stream_ingest_cdc_upserts_and_tombstones(spark, tmp_path):
+    """CDC-stream campaign: micro-batches carrying upsert + delete ops
+    drive delta-mode increments with the batch's deletes as tombstones.
+    Deletion wins over a same-batch upsert of the same id; a later
+    re-crawl readmits; the final text index equals a rebuild over the
+    live set and the vector index probe-equals rebuild-with-train_df."""
+    import hashlib
+
+    from lwetl_spark.operators.retrieval import (
+        build_text_index,
+        query_text_index,
+    )
+    from lwetl_spark.operators.similarity import (
+        build_ivf_index,
+        query_ivf_index,
+    )
+    from lwetl_spark.streaming.pipeline import stream_ingest_cdc
+
+    def e(text):
+        h = hashlib.md5(text.encode()).digest()
+        return [b / 255.0 + 0.05 for b in h[:6]]
+
+    texts = {
+        1: "spark shuffles hash partitions across the cluster",
+        2: "sort merge join spills gracefully to local disk",
+        3: "broadcast joins ship the small dimension everywhere",
+    }
+    schema = "doc_id long, text string, embedding array<double>, op string"
+
+    def batch(rows):
+        return spark.createDataFrame(
+            [(i, t, e(t or ""), op) for i, t, op in rows], schema
+        )
+
+    changes = str(tmp_path / "changes")
+    man, st, idx, vidx = (
+        str(tmp_path / p) for p in ("m", "s", "x", "v")
+    )
+    # batch 1: two upserts
+    batch([(1, texts[1], "U"), (2, texts[2], "U")]).coalesce(1).write.parquet(changes)
+    # batch 2: upsert 3, DELETE 2, and a same-batch re-upsert of 2
+    # (deletion must win)
+    batch([(3, texts[3], "U"), (2, texts[2], "D"),
+           (2, texts[2], "U")]).coalesce(1).write.mode("append").parquet(changes)
+    # batch 3: id 2's content re-crawls -> readmits fresh
+    batch([(2, texts[2], "U")]).coalesce(1).write.mode("append").parquet(changes)
+
+    q = stream_ingest_cdc(
+        spark, changes, man, st, idx,
+        max_files_per_trigger=1, vector_index_path=vidx,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert {r["doc_id"] for r in spark.read.parquet(st).collect()} == {1, 2, 3}
+
+    live = spark.createDataFrame(
+        [(i, texts[i]) for i in (1, 2, 3)], "doc_id long, text string"
+    )
+    full = str(tmp_path / "full")
+    build_text_index(live, full)
+    probe_q = spark.createDataFrame(
+        [(1, "shuffle"), (2, "broadcast")], "query_id int, term string"
+    )
+    gi = sorted(map(tuple, query_text_index(spark, idx, probe_q, k=10).collect()))
+    gf = sorted(map(tuple, query_text_index(spark, full, probe_q, k=10).collect()))
+    assert gi == gf and gi
+
+    def emb_df(ids):
+        return spark.createDataFrame(
+            [(i, e(texts[i])) for i in ids],
+            "doc_id long, embedding array<double>",
+        )
+
+    ref = str(tmp_path / "ref")
+    build_ivf_index(
+        emb_df([1, 2, 3]), ref, vec_col="embedding", id_col="doc_id",
+        num_centroids=16, train_df=emb_df([1, 2]),
+    )
+    probes = emb_df([1, 2, 3])
+    got = sorted(map(tuple, query_ivf_index(
+        spark, vidx, probes, k=3, vec_col="embedding", id_col="doc_id"
+    ).collect()))
+    want = sorted(map(tuple, query_ivf_index(
+        spark, ref, probes, k=3, vec_col="embedding", id_col="doc_id"
+    ).collect()))
+    assert got == want and got
