@@ -9757,9 +9757,17 @@ def _driver_green_keys() -> dict:
     root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
     latest: dict = {}
     latest_round: dict = {}
-    for path in sorted(_glob.glob(_os.path.join(root, "CORRECTNESS_r*.json"))):
-        m = _re.search(r"CORRECTNESS_r(\d+)\.json$", path)
-        rnd = int(m.group(1)) if m else 0
+
+    def _round_of(p: str) -> int:
+        m = _re.search(r"CORRECTNESS_r(\d+)\.json$", p)
+        return int(m.group(1)) if m else 0
+
+    # sort by PARSED round, not filename: "later overwrites earlier"
+    # must survive unpadded names (r9 vs r10) in future rounds
+    for path in sorted(
+        _glob.glob(_os.path.join(root, "CORRECTNESS_r*.json")), key=_round_of
+    ):
+        rnd = _round_of(path)
         try:
             with open(path) as fh:
                 data = _json.load(fh)
