@@ -1229,21 +1229,25 @@ def remove_from_pq_index(spark, path: str, ids: DataFrame) -> None:
         .localCheckpoint(eager=True)
     )
     vectors_tbl = spark.read.parquet(f"{path}/vectors")
-    affected = [
-        r["bucket"]
-        for r in vectors_tbl.select("id", "bucket")
-        .join(ids_n, "id", "left_semi")
-        .select("bucket")
-        .distinct()
-        .collect()
-    ]  # bounded: ≤ _PQ_BUCKETS values
-    if not affected:
-        return
     codes_tbl = spark.read.parquet(f"{path}/codes")
     for tbl, frame, key, data_schema in (
         ("vectors", vectors_tbl, "id", None),
         ("codes", codes_tbl, "cid", "cid long, code long"),
     ):
+        # locate affected buckets PER TABLE: the two tables hash their
+        # own key column, and xxhash64 is type-width-sensitive (an int
+        # id would bucket vectors differently from the long cids) — a
+        # shared affected list could silently strand rows in one table
+        affected = [
+            r["bucket"]
+            for r in frame.select(key, "bucket")
+            .join(ids_n, frame[key] == ids_n["id"], "left_semi")
+            .select("bucket")
+            .distinct()
+            .collect()
+        ]  # bounded: ≤ _PQ_BUCKETS values
+        if not affected:
+            continue
         kept = (
             frame.filter(F.col("bucket").isin(affected))
             .join(ids_n, frame[key] == ids_n["id"], "left_anti")
