@@ -868,6 +868,7 @@ def stream_ingest_cdc(
     compact_changed: bool = False,
     vector_index_path: str | None = None,
     vec_col: str = "embedding",
+    order_col: str | None = None,
 ):
     """CDC-stream form of the campaign: every micro-batch carries an
     ``op_col`` (upsert rows + ``delete_op`` tombstone rows — the
@@ -880,6 +881,15 @@ def stream_ingest_cdc(
     applies deferred changed docs per batch — correct but postings-read
     priced; leave it off and batch compaction into a maintenance window
     unless the stream is small.
+
+    ``order_col`` (a per-id total order: sequence id or log timestamp)
+    enables LAST-WRITE-WINS reduction when one micro-batch can carry
+    several changes for the same id — the apply_changelog contract,
+    with the delete signal PRESERVED (a last-change delete tombstones;
+    a delete followed by a later upsert in the same batch admits the
+    upsert).  Without it, a batch is assumed to carry at most one
+    change per id, except the delete+upsert pair the tombstone
+    deletion-wins contract already defines.
 
     foreachBatch + persisted parquet state, like `stream_ingest_
     increment`: replays are idempotent, the index stays continuously
@@ -899,7 +909,15 @@ def stream_ingest_cdc(
         if batch_df.isEmpty():
             return
         from pyspark.sql import functions as F2
+        from pyspark.sql.window import Window as W2
 
+        if order_col is not None:
+            w = W2.partitionBy(id_col).orderBy(F2.col(order_col).desc())
+            batch_df = (
+                batch_df.withColumn("_rn", F2.row_number().over(w))
+                .filter(F2.col("_rn") == 1)
+                .drop("_rn")
+            )
         upserts = batch_df.filter(F2.col(op_col) != delete_op)
         deletes = batch_df.filter(F2.col(op_col) == delete_op).select(id_col)
         vec_kwargs = (

@@ -916,3 +916,33 @@ def test_stream_ingest_cdc_upserts_and_tombstones(spark, tmp_path):
         spark, ref, probes, k=3, vec_col="embedding", id_col="doc_id"
     ).collect()))
     assert got == want and got
+
+
+def test_stream_ingest_cdc_last_write_wins(spark, tmp_path):
+    """order_col: several changes for one id in ONE micro-batch reduce
+    last-write-wins with the delete signal preserved — upsert-then-
+    delete vanishes, delete-then-upsert admits."""
+    from lwetl_spark.streaming.pipeline import stream_ingest_cdc
+
+    rows = [
+        (5, "doc five first draft", 1, "U"),
+        (5, "doc five first draft", 2, "D"),   # last change: delete
+        (6, "doc six arrives late", 1, "D"),
+        (6, "doc six arrives late", 2, "U"),   # last change: upsert
+        (7, "doc seven only once", 1, "U"),
+    ]
+    changes = str(tmp_path / "changes")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, seq long, op string"
+    ).coalesce(1).write.parquet(changes)
+    man, st, idx = (str(tmp_path / p) for p in ("m", "s", "x"))
+
+    q = stream_ingest_cdc(
+        spark, changes, man, st, idx, order_col="seq",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert {r["doc_id"] for r in spark.read.parquet(st).collect()} == {6, 7}
+    assert spark.read.parquet(f"{idx}/doclen").count() == 2
