@@ -1,14 +1,16 @@
 """Engine addition (no reference analog): hybrid retrieval end-to-end —
 lexical BM25 + dense cosine candidates, fused by reciprocal rank,
-evaluated with exact metrics, then MMR-diversified for a context window.
+evaluated with exact metrics, MMR-diversified for a context window, and
+finally cross-encoder re-ranked (the full modern retrieval stack).
 
-The four stages compose on DataFrames, so the whole program is a single
+The stages compose on DataFrames, so the whole program is a single
 lazy pipeline per query batch:
 
     bm25_topk ──┐
                 ├─ rrf_fuse ── rank_eval (MRR / p@k / harmonic DCG)
     dense topk ─┘                │
-                                 └─ mmr_diversify (λ·rel − (1−λ)·max-sim)
+                                 ├─ mmr_diversify (λ·rel − (1−λ)·max-sim)
+                                 └─ cross_encoder_rerank (pair scores)
 
 Run: python examples/hybrid_search.py [sf_dir]
 """
@@ -94,6 +96,22 @@ def main() -> None:
     )
     n = picked.count()
     print(f"mmr picked {n} diversified passages across queries")
+
+    # final stage: cross-encoder-style re-rank of the fused candidates
+    # (portable md5 pair stub here; a real model drops in via scorer=)
+    from lwetl_spark.operators.retrieval import cross_encoder_rerank
+
+    qtext = (
+        queries.groupBy("query_id")
+        .agg(F.concat_ws(" ", F.array_sort(F.collect_list("term"))).alias("query_text"))
+        .select(F.col("query_id").cast("long").alias("query_id"), "query_text")
+    )
+    reranked = cross_encoder_rerank(
+        fused, qtext, docs.select("doc_id", "text"), k=3
+    )
+    print("re-ranked top-3 per query (pair-scored):")
+    for r in reranked.orderBy("query_id", "rnk").collect():
+        print(f"  q{r['query_id']} #{r['rnk']}: doc {r['doc_id']} (ce {r['ce_ppm']})")
 
 
 if __name__ == "__main__":
