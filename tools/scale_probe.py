@@ -940,11 +940,13 @@ def campaign_probe(spark, sf_dir: str, scales=(1, 4, 16)) -> None:
         base, n_docs = scaled_docs(spark, sf_dir, scale)
         base = base.select("doc_id", "text")
         # fixed-size delta: 2k new docs de-correlated from every corpus
-        # copy (rotation combos far past the corpus's range)
+        # copy (rotation combos past the ≤64× corpus range; the id
+        # offset must clear i·10M for any probed scale — +90e9 does,
+        # +900M collided with copy 90 at 256× in the dual probe)
         delta_src, _ = scaled_docs(spark, sf_dir, 1)
         delta = (
             delta_src.select(
-                (F.col("doc_id") + 900_000_000).alias("doc_id"),
+                (F.col("doc_id") + 90_000_000_000).alias("doc_id"),
                 F.translate(
                     F.translate("text", "aeiou", ROTS[23]), "bcdfg", CROTS[119]
                 ).alias("text"),
@@ -1042,11 +1044,18 @@ def campaign_vectors_probe(spark, sf_dir: str, scales=(1, 4, 16)) -> None:
         base, n_docs = scaled_docs(spark, sf_dir, scale)
         base = base.select("doc_id", "text")
         delta_src, _ = scaled_docs(spark, sf_dir, 1)
+        # delta must be novel vs EVERY corpus copy at ANY scale, in BOTH
+        # id and content: copies shift ids by i·10M (i < scale), so the
+        # +900M offset COLLIDED with copy 90's id range at 256× (the
+        # diff called the delta 'changed' and deferred it — the probe
+        # silently measured the wrong path); +90e9 clears any scale,
+        # and the per-doc unique suffix replaces the rotation-combo
+        # trick whose combo space 256 copies exhausted
         delta = (
             delta_src.select(
-                (F.col("doc_id") + 900_000_000).alias("doc_id"),
-                F.translate(
-                    F.translate("text", "aeiou", ROTS[23]), "bcdfg", CROTS[119]
+                (F.col("doc_id") + 90_000_000_000).alias("doc_id"),
+                F.concat(
+                    F.col("text"), F.lit(" uq"), F.col("doc_id").cast("string")
                 ).alias("text"),
             )
             .orderBy("doc_id")
