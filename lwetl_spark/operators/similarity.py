@@ -76,9 +76,12 @@ def cosine_topk_pandas(
     """Arrow-batched exact top-k: candidate matrix broadcast to executors,
     per-batch numpy matmul, heap-free argpartition top-k.
 
-    Same output contract as `cosine_topk`.  The candidate set must fit in
-    executor memory (fine up to ~10M × 64d float32 ≈ 2.5 GB); beyond that
-    use `lsh_ann_topk`.
+    Same output contract as `cosine_topk`.  The candidate set is
+    `collect()`ed to the DRIVER first and then broadcast, so the binding
+    limit is DRIVER heap, not just executor memory: ~10M × 64d float64
+    ≈ 5 GB on the driver (plus one broadcast copy per executor).  Beyond
+    that use `cosine_topk_blocked` (no driver collect) or
+    `lsh_ann_topk`.
     """
     import numpy as np
     import pandas as pd
@@ -224,6 +227,50 @@ def cosine_topk_blocked(
     )
 
 
+def _train_sample_matrix(
+    df: DataFrame, vec_col: str, id_col: str, train_sample: int
+):
+    """The bounded partitioning-invariant training sample as an
+    L2-normalized numpy matrix — the `train_sample` smallest
+    xxhash64(id) rows, a pseudo-random sample identical under ANY
+    partitioning (a bare limit() takes partition-order-dependent rows,
+    which made trained quantizers — and every downstream assignment —
+    partitioning-dependent).  orderBy+limit compiles to
+    TakeOrderedAndProject: per-partition top-k, driver merge, no global
+    sort shuffle.  Shared by the IVF/PQ/IVFADC trainers so the composed
+    index samples exactly like its halves."""
+    import numpy as np
+
+    rows = (
+        df.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col)))
+        .limit(train_sample)
+        .collect()
+    )
+    X = np.array([r[1] for r in rows], dtype=np.float64)
+    return X / np.maximum(np.linalg.norm(X, axis=1), 1e-12)[:, None]
+
+
+def _spherical_kmeans_from_matrix(Xn, num_centroids: int, iters: int):
+    """Deterministic spherical k-means (fixed-seed init, Lloyd
+    iterations) on an already-normalized matrix — the matrix-level core
+    of `_train_spherical_kmeans`, shared with the IVFADC trainer
+    (operators/ivfpq) so the composed coarse quantizer is bit-identical
+    to a standalone IVF one trained on the same sample."""
+    import numpy as np
+
+    rs = np.random.RandomState(7)
+    C = Xn[rs.choice(len(Xn), size=min(num_centroids, len(Xn)), replace=False)]
+    for _ in range(iters):
+        assign = (Xn @ C.T).argmax(axis=1)  # cosine on normalized = dot
+        for j in range(len(C)):
+            members = Xn[assign == j]
+            if len(members):
+                m = members.mean(axis=0)
+                C[j] = m / max(np.linalg.norm(m), 1e-12)
+    return C
+
+
 def _train_spherical_kmeans(
     df: DataFrame,
     vec_col: str,
@@ -236,35 +283,9 @@ def _train_spherical_kmeans(
     (fixed-seed init, Lloyd iterations on L2-normalized vectors).  The
     only driver-side collect in the IVF/semantic-dedup family — capped at
     `train_sample` rows by construction; at 100 TB you still train on
-    ~10⁵ sampled vectors and broadcast the num_centroids × dim matrix.
-
-    The sample is the `train_sample` smallest xxhash64(id) rows — a
-    pseudo-random sample that is identical under ANY partitioning (a
-    bare limit() takes partition-order-dependent rows, which made the
-    trained centroids — and every downstream cell assignment —
-    partitioning-dependent).  orderBy+limit compiles to
-    TakeOrderedAndProject: per-partition top-k, driver merge, no global
-    sort shuffle."""
-    import numpy as np
-
-    rows = (
-        df.select(id_col, vec_col)
-        .orderBy(F.xxhash64(F.col(id_col)))
-        .limit(train_sample)
-        .collect()
-    )
-    X = np.array([r[1] for r in rows], dtype=np.float64)
-    Xn = X / np.maximum(np.linalg.norm(X, axis=1), 1e-12)[:, None]
-    rs = np.random.RandomState(7)
-    C = Xn[rs.choice(len(Xn), size=min(num_centroids, len(Xn)), replace=False)]
-    for _ in range(iters):
-        assign = (Xn @ C.T).argmax(axis=1)  # cosine on normalized = dot
-        for j in range(len(C)):
-            members = Xn[assign == j]
-            if len(members):
-                m = members.mean(axis=0)
-                C[j] = m / max(np.linalg.norm(m), 1e-12)
-    return C
+    ~10⁵ sampled vectors and broadcast the num_centroids × dim matrix."""
+    Xn = _train_sample_matrix(df, vec_col, id_col, train_sample)
+    return _spherical_kmeans_from_matrix(Xn, num_centroids, iters)
 
 
 def ivf_topk(
@@ -825,32 +846,16 @@ def query_lsh_index(
     )
 
 
-def _train_pq_codebooks(
-    df: DataFrame,
-    vec_col: str,
-    id_col: str,
-    m: int,
-    ksub: int,
-    train_sample: int,
-    iters: int,
-):
-    """Deterministic per-subspace k-means codebooks (product quantization,
-    Jégou et al. 2011, "Product quantization for nearest neighbor
-    search") on the same bounded partitioning-invariant sample as
-    `_train_spherical_kmeans`.  Vectors are L2-normalized first so the
-    asymmetric dot-product scan approximates cosine.  Returns an
-    (m, ksub, dim/m) float64 array — a few KB, broadcast once."""
+def _pq_codebooks_from_matrix(Xn, m: int, ksub: int, iters: int):
+    """Deterministic per-subspace k-means codebooks on an in-memory
+    training matrix — the matrix-level core of `_train_pq_codebooks`,
+    shared with the IVFADC trainer (operators/ivfpq), where the training
+    matrix is the cell RESIDUALS rather than the normalized vectors.
+    Returns an (m, ksub, dim/m) float64 array — a few KB, broadcast
+    once."""
     import numpy as np
 
-    rows = (
-        df.select(id_col, vec_col)
-        .orderBy(F.xxhash64(F.col(id_col)))
-        .limit(train_sample)
-        .collect()
-    )
-    X = np.array([r[1] for r in rows], dtype=np.float64)
-    Xn = X / np.maximum(np.linalg.norm(X, axis=1), 1e-12)[:, None]
-    dim = X.shape[1]
+    dim = Xn.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
     sub = dim // m
@@ -871,6 +876,24 @@ def _train_pq_codebooks(
             C = np.vstack([C, np.repeat(C[:1], ksub - k_eff, axis=0)])
         books[j] = C
     return books
+
+
+def _train_pq_codebooks(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    m: int,
+    ksub: int,
+    train_sample: int,
+    iters: int,
+):
+    """Deterministic per-subspace k-means codebooks (product quantization,
+    Jégou et al. 2011, "Product quantization for nearest neighbor
+    search") on the same bounded partitioning-invariant sample as
+    `_train_spherical_kmeans`.  Vectors are L2-normalized first so the
+    asymmetric dot-product scan approximates cosine."""
+    Xn = _train_sample_matrix(df, vec_col, id_col, train_sample)
+    return _pq_codebooks_from_matrix(Xn, m, ksub, iters)
 
 
 def pq_topk(

@@ -1349,6 +1349,27 @@ def x_ann_pq(spark, sf_dir):
     return _ann_recall_contract(spark, sf_dir, pq_topk, 0.7)
 
 
+@register("x_ann_ivfpq", _ANN_ORACLE)
+def x_ann_ivfpq(spark, sf_dir):
+    """Approximate NN via composed IVF+PQ (IVFADC, Jégou et al. 2011
+    §IV; operators/ivfpq): coarse-quantizer cell pruning over PACKED
+    residual PQ codes — the probe reads nprobe/num_centroids of a
+    16-byte-per-row codes table (cell-pruned AND 32× compressed, the
+    property neither half has alone) — then ADC shortlist + exact
+    re-rank.  Driver-checked as a recall@5 ≥ 0.7 contract vs the
+    brute-force exact top-k (measured 0.77-0.83 at nprobe=8/rerank=200
+    across sf0.001-0.1); deterministic fixed-seed quantizers make the
+    band stable."""
+    from lwetl_spark.operators.ivfpq import ivfpq_topk
+
+    return _ann_recall_contract(
+        spark,
+        sf_dir,
+        lambda df, k: ivfpq_topk(df, k=k, nprobe=8, rerank=200),
+        0.7,
+    )
+
+
 @register(
     "x_token_count",
     """

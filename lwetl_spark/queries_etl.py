@@ -819,6 +819,108 @@ def x_pq_incremental(spark, sf_dir):
 
 
 @register(
+    "x_ivfpq_index_roundtrip",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS index_matches_inline
+    FROM embeddings
+    """,
+)
+def x_ivfpq_index_roundtrip(spark, sf_dir):
+    """Persisted-IVFADC-index round-trip (operators/ivfpq.
+    build_ivfpq_index / query_ivfpq_index, VERDICT r6 #1): coarse
+    centroids + residual codebooks + CELL-PARTITIONED packed codes +
+    hash-bucketed vectors on disk; probing with the full corpus must
+    EQUAL the inline ivfpq_topk — same fixed-seed quantizer pair
+    (shared matrix-level trainers), same cell-local ADC scorer, same
+    exact re-rank.  Same equality contract as the LSH/IVF/PQ index
+    round-trips (the quantization is not SQL-portable; the equality
+    property is engine-checkable)."""
+    from lwetl_spark.operators.ivfpq import (
+        build_ivfpq_index,
+        ivfpq_topk,
+        query_ivfpq_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = os.path.join(_tmpdir("ivfpqidx"), "index")
+    build_ivfpq_index(emb, path)
+    idx = query_ivfpq_index(spark, path, emb, k=5)
+    inline = ivfpq_topk(emb, k=5)
+    cols = ["id", "neighbor_id", "cos", "rank"]
+    a = idx.groupBy(*cols).agg(F.count("*").alias("_ca"))
+    b = inline.groupBy(*cols).agg(F.count("*").alias("_cb"))
+    mismatches = (
+        a.join(b, cols, "full_outer")
+        .filter("_ca IS NULL OR _cb IS NULL OR _ca <> _cb")
+        .count()
+    )
+    n_queries = emb.count()
+    return spark.createDataFrame(
+        [(n_queries, mismatches == 0)], "n_queries long, index_matches_inline boolean"
+    )
+
+
+@register(
+    "x_ivfpq_incremental",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS index_matches_rebuild
+    FROM embeddings
+    """,
+)
+def x_ivfpq_incremental(spark, sf_dir):
+    """Incremental IVFADC lifecycle end-to-end — the composed-index
+    counterpart of x_ivf_incremental/x_pq_incremental (operators/ivfpq.
+    update_ivfpq_index / remove_from_ivfpq_index): build the persisted
+    index on the even-id half, update with the odd half (BOTH
+    quantizers frozen, delta-only Arrow assign+encode, cell-partition
+    appends), then purge every vec_id % 10 == 3 (cell-pruned codes
+    rewrite + bucket-pruned vectors rewrite).  Probing with the full
+    corpus must EQUAL probing a from-scratch build over (union minus
+    removed) with ``train_df=`` the even half — appends never move
+    either quantizer, so the equality is exact."""
+    import shutil as _shutil
+
+    from lwetl_spark.operators.ivfpq import (
+        build_ivfpq_index,
+        query_ivfpq_index,
+        remove_from_ivfpq_index,
+        update_ivfpq_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    even = emb.filter(F.col("vec_id") % 2 == 0)
+    odd = emb.filter(F.col("vec_id") % 2 == 1)
+    removed = emb.filter(F.col("vec_id") % 10 == 3).select("vec_id")
+
+    work = _tmpdir("ivfpqinc")
+    inc_path = os.path.join(work, "inc")
+    ref_path = os.path.join(work, "ref")
+    build_ivfpq_index(even, inc_path)
+    update_ivfpq_index(spark, inc_path, odd)
+    remove_from_ivfpq_index(spark, inc_path, removed)
+    build_ivfpq_index(
+        emb.join(removed, "vec_id", "left_anti"), ref_path, train_df=even
+    )
+
+    inc = query_ivfpq_index(spark, inc_path, emb, k=5)
+    ref = query_ivfpq_index(spark, ref_path, emb, k=5)
+    cols = ["id", "neighbor_id", "cos", "rank"]
+    a = inc.groupBy(*cols).agg(F.count("*").alias("_ca"))
+    b = ref.groupBy(*cols).agg(F.count("*").alias("_cb"))
+    mismatches = (
+        a.join(b, cols, "full_outer")
+        .filter("_ca IS NULL OR _cb IS NULL OR _ca <> _cb")
+        .count()
+    )
+    n_queries = emb.count()
+    _shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        [(n_queries, mismatches == 0)],
+        "n_queries long, index_matches_rebuild boolean",
+    )
+
+
+@register(
     "x_text_index_stats",
     r"""
     WITH tok AS (
