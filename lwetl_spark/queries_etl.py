@@ -1124,6 +1124,95 @@ def x_campaign_vectors(spark, sf_dir):
 
 
 @register(
+    "x_campaign_pq",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS index_matches_rebuild
+    FROM embeddings
+    """,
+)
+def x_campaign_pq(spark, sf_dir):
+    """Dual-index campaign with the PQ vector family (VERDICT r6 #2:
+    `ingest_increment(vector_index_kind='pq')` — the same manifest diff
+    that drives x_campaign_vectors' IVF leg now rides the packed-code
+    lifecycle: bootstrap builds the PQ index and freezes its codebooks
+    on the admitted vectors, day-1 admissions append delta-encoded
+    codes, day-2 retirements purge via bucket-pruned rewrites).  The
+    final probe must EQUAL probing a from-scratch `build_pq_index` over
+    the surviving admitted docs' embeddings with ``train_df=`` the
+    bootstrap batch — the x_pq_incremental == rebuild idiom reached
+    through the composed campaign."""
+    import shutil as _shutil
+
+    from lwetl_spark.operators.incremental import ingest_increment
+    from lwetl_spark.operators.similarity import (
+        build_pq_index,
+        query_pq_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    work = _tmpdir("camppq")
+    man, st, idx, vidx, ref = (
+        os.path.join(work, p) for p in ("m", "s", "x", "v", "ref")
+    )
+
+    even_docs = docs.filter(F.col("doc_id") % 2 == 0)
+    ingest_increment(
+        spark, even_docs, man, st, idx,
+        embeddings=emb, vector_index_path=vidx, vector_index_kind="pq",
+    )
+    # codebooks froze on the day-0 ADMITTED vectors (content-deduped
+    # winners — the x_campaign_vectors lesson: the corpus has real
+    # duplicate texts at sf0.1)
+    boot_ids = spark.read.parquet(st).select("doc_id").localCheckpoint(
+        eager=True
+    )
+    ingest_increment(
+        spark, docs, man, st, idx,
+        embeddings=emb, vector_index_path=vidx, vector_index_kind="pq",
+    )
+    keep = docs.filter(F.col("doc_id") % 10 != 3)
+    ingest_increment(
+        spark, keep, man, st, idx,
+        embeddings=emb, vector_index_path=vidx, vector_index_kind="pq",
+        retire_removed=True,
+    )
+
+    admitted_ids = spark.read.parquet(st).select("doc_id").localCheckpoint(
+        eager=True
+    )
+    boot_emb = emb.join(boot_ids, "doc_id", "left_semi")
+    kept_emb = emb.join(admitted_ids, "doc_id", "left_semi")
+    build_pq_index(
+        kept_emb, ref, vec_col="embedding", id_col="doc_id",
+        train_df=boot_emb,
+    )
+
+    inc = query_pq_index(
+        spark, vidx, emb, k=5, vec_col="embedding", id_col="doc_id"
+    )
+    refq = query_pq_index(
+        spark, ref, emb, k=5, vec_col="embedding", id_col="doc_id"
+    )
+    cols = ["id", "neighbor_id", "cos", "rank"]
+    a = inc.groupBy(*cols).agg(F.count("*").alias("_ca"))
+    b = refq.groupBy(*cols).agg(F.count("*").alias("_cb"))
+    mismatches = (
+        a.join(b, cols, "full_outer")
+        .filter("_ca IS NULL OR _cb IS NULL OR _ca <> _cb")
+        .count()
+    )
+    n_queries = emb.count()
+    _shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        [(n_queries, mismatches == 0)],
+        "n_queries long, index_matches_rebuild boolean",
+    )
+
+
+@register(
     "x_bm25_index_roundtrip",
     """
     SELECT CAST(3 AS BIGINT) AS n_queries, TRUE AS index_matches_inline

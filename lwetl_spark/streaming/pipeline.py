@@ -792,6 +792,7 @@ def stream_ingest_increment(
     max_files_per_trigger: int = 2,
     vector_index_path: str | None = None,
     vec_col: str = "embedding",
+    vector_index_kind: str = "ivf",
 ):
     """Continuous daily-crawl ingestion: every micro-batch of crawled
     documents runs one delta-mode campaign increment
@@ -803,8 +804,9 @@ def stream_ingest_increment(
     fingerprints are already admitted → nothing re-enters) and the
     index stays continuously probe-able while ingestion runs.
 
-    With ``vector_index_path`` the stream maintains the IVF vector
-    index too (the dual-index campaign, VERDICT r5 #2): the streamed
+    With ``vector_index_path`` the stream maintains the vector index
+    too (the dual-index campaign, VERDICT r5 #2; ``vector_index_kind``
+    picks the ANN family — ivf/pq/lsh/ivfpq, VERDICT r6 #2): the streamed
     parquet then carries a ``vec_col`` embedding column (crawl + embed
     the delta arrive together), the FIRST admitting batch builds the
     index and freezes the quantizer, and every later batch's admitted
@@ -835,6 +837,7 @@ def stream_ingest_increment(
                 "embeddings": batch_df.select(id_col, vec_col),
                 "vector_index_path": vector_index_path,
                 "vec_col": vec_col,
+                "vector_index_kind": vector_index_kind,
             }
             if vector_index_path is not None
             else {}
@@ -869,6 +872,7 @@ def stream_ingest_cdc(
     vector_index_path: str | None = None,
     vec_col: str = "embedding",
     order_col: str | None = None,
+    vector_index_kind: str = "ivf",
 ):
     """CDC-stream form of the campaign: every micro-batch carries an
     ``op_col`` (upsert rows + ``delete_op`` tombstone rows — the
@@ -925,6 +929,7 @@ def stream_ingest_cdc(
                 "embeddings": upserts.select(id_col, vec_col),
                 "vector_index_path": vector_index_path,
                 "vec_col": vec_col,
+                "vector_index_kind": vector_index_kind,
             }
             if vector_index_path is not None
             else {}

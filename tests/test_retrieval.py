@@ -996,3 +996,72 @@ def test_docbuckets_sidecar_consistency_and_legacy_fallback(spark, tmp_path):
     got = sorted(map(tuple, query_text_index(spark, path, q, k=10).collect()))
     want = sorted(map(tuple, query_text_index(spark, full, q, k=10).collect()))
     assert got == want and got
+
+
+import pytest
+
+
+@pytest.mark.parametrize("kind", ["lsh", "ivfpq"])
+def test_campaign_vector_kind_dispatch(spark, tmp_path, kind):
+    """ingest_increment(vector_index_kind=...) rides the chosen ANN
+    family through bootstrap → delta append → tombstone purge, and the
+    final probe equals a from-scratch build over the surviving admitted
+    embeddings (train_df-anchored for the frozen-quantizer families;
+    LSH's plane family is data-independent).  The ivf/pq legs are
+    driver-key covered (x_campaign_vectors / x_campaign_pq); this pins
+    the other two."""
+    from pyspark.sql import functions as F
+
+    from lwetl_spark.operators.incremental import ingest_increment
+    from tests.conftest import SF_SMOKE
+
+    if kind == "lsh":
+        from lwetl_spark.operators.similarity import (
+            build_lsh_index as build,
+            query_lsh_index as query,
+        )
+    else:
+        from lwetl_spark.operators.ivfpq import (
+            build_ivfpq_index as build,
+            query_ivfpq_index as query,
+        )
+
+    docs = spark.read.parquet(SF_SMOKE + "/documents.parquet").select(
+        "doc_id", "text"
+    )
+    emb = spark.read.parquet(SF_SMOKE + "/embeddings.parquet").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    base = str(tmp_path / kind)
+    man, st, idx, vidx, ref = (f"{base}/{p}" for p in ("m", "s", "x", "v", "r"))
+
+    even = docs.filter(F.col("doc_id") % 2 == 0)
+    ingest_increment(
+        spark, even, man, st, idx,
+        embeddings=emb, vector_index_path=vidx, vector_index_kind=kind,
+    )
+    boot_ids = spark.read.parquet(st).select("doc_id").localCheckpoint(eager=True)
+    ingest_increment(
+        spark, docs, man, st, idx,
+        embeddings=emb, vector_index_path=vidx, vector_index_kind=kind,
+        snapshot_is_delta=True,
+    )
+    tomb = docs.filter(F.col("doc_id") % 10 == 3).select("doc_id")
+    ingest_increment(
+        spark, docs.filter(F.lit(False)), man, st, idx,
+        embeddings=emb, vector_index_path=vidx, vector_index_kind=kind,
+        snapshot_is_delta=True, tombstones=tomb,
+    )
+
+    admitted = spark.read.parquet(st).select("doc_id").localCheckpoint(eager=True)
+    kept_emb = emb.join(admitted, "doc_id", "left_semi")
+    kwargs = {"vec_col": "embedding", "id_col": "doc_id"}
+    if kind == "ivfpq":
+        boot_emb = emb.join(boot_ids, "doc_id", "left_semi")
+        build(kept_emb, ref, train_df=boot_emb, **kwargs)
+    else:
+        build(kept_emb, ref, **kwargs)
+
+    got = sorted(map(tuple, query(spark, vidx, emb, k=5, **kwargs).collect()))
+    want = sorted(map(tuple, query(spark, ref, emb, k=5, **kwargs).collect()))
+    assert got == want and got
