@@ -54,22 +54,40 @@ def doc_term_stats(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    positions: bool = False,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Tokenize once, return the three inverted-index statistics tables:
 
-    - `tf`: (doc_id, tok, tf) term frequencies,
+    - `tf`: (doc_id, tok, tf) term frequencies — plus a sorted
+      `positions array<int>` column (0-based token offsets) when
+      ``positions=True`` (the phrase-query posting shape, VERDICT r6
+      #3);
     - `dl`: (doc_id, dl) document lengths in tokens,
     - `stats`: single row (n BIGINT, adl_m BIGINT) — corpus size and
       per-mille average document length.
 
-    One explode + two keyed aggs; the explode output carries only
-    (doc_id, tok).
+    One (pos)explode + two keyed aggs; the explode output carries only
+    (doc_id, tok[, pos]).  Positional postings cost ~dl ints per doc of
+    extra index bytes and change NOTHING about tf/df/dl values, so BM25
+    scoring over a positional index is bit-identical to a flat one.
     """
-    tok = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(F.expr(_TOKENIZE.format(col=text_col))).alias("tok"),
-    )
-    tf = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    if positions:
+        tok = docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(F.expr(_TOKENIZE.format(col=text_col))).alias(
+                "pos", "tok"
+            ),
+        )
+        tf = tok.groupBy("doc_id", "tok").agg(
+            F.count("*").alias("tf"),
+            F.sort_array(F.collect_list("pos")).alias("positions"),
+        )
+    else:
+        tok = docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.expr(_TOKENIZE.format(col=text_col))).alias("tok"),
+        )
+        tf = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
     dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
     stats = dl.agg(
         F.count("*").alias("n"),
@@ -185,6 +203,7 @@ def build_text_index(
     path: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    positions: bool = False,
 ) -> None:
     """Persist the inverted-index statistics as a probe-many on-disk
     index: `postings/` (tok, doc_id, tf — hive-partitioned by the
@@ -196,8 +215,19 @@ def build_text_index(
     reads only the directories its terms fall in (partition pruning at
     the file listing, before any I/O); df is precomputed corpus-wide at
     build time so probe-time scoring never aggregates the vocabulary.
+
+    ``positions=True`` (VERDICT r6 #3) stores each posting's sorted
+    token-offset array alongside tf, enabling `phrase_topk` (exact
+    phrase / adjacency queries).  The flag is sticky: maintenance
+    passes (update/compact/remove) detect it from the persisted
+    postings schema and preserve it, so positional parity survives the
+    whole lifecycle.  Index size grows by one int per corpus TOKEN
+    (~dl ints/doc) — BM25 probes still read only (tok, doc_id, tf) via
+    parquet column pruning, so scoring cost is unchanged.
     """
-    tf, dl, stats = doc_term_stats(docs, id_col=id_col, text_col=text_col)
+    tf, dl, stats = doc_term_stats(
+        docs, id_col=id_col, text_col=text_col, positions=positions
+    )
     bucket = F.pmod(F.xxhash64("tok"), F.lit(_INDEX_BUCKETS)).alias("bucket")
     tf.withColumn("bucket", bucket).repartition("bucket").write.mode(
         "overwrite"
@@ -247,9 +277,12 @@ def query_text_index(
         .distinct()
         .collect()
     ]
+    # explicit projection: a positional index carries a positions array
+    # per posting — BM25 scoring must keep reading 3 columns (parquet
+    # column pruning at the scan), never the offsets
     tf = spark.read.parquet(f"{path}/postings").filter(
         F.col("bucket").isin(buckets)
-    ).drop("bucket")
+    ).select("tok", "doc_id", "tf")
     df_table = spark.read.parquet(f"{path}/df").filter(
         F.col("bucket").isin(buckets)
     ).drop("bucket")
@@ -264,6 +297,108 @@ def query_text_index(
         k=k,
         salt_buckets=salt_buckets,
         idf_scale=idf_scale,
+    )
+
+
+def phrase_topk(
+    spark,
+    path: str,
+    phrases: DataFrame,
+    query_id_col: str = "query_id",
+    phrase_col: str = "phrase",
+    k: int = 10,
+    salt_buckets: int = 64,
+) -> DataFrame:
+    """Exact-phrase search over a POSITIONAL text index (VERDICT r6 #3;
+    `build_text_index(positions=True)`): for each (query_id, phrase),
+    return the top-``k`` documents by phrase occurrence count —
+    (query_id, doc_id, n_matches, rnk), ties by doc_id.  A match is
+    STRICT TOKEN ADJACENCY: phrase tokens at consecutive offsets of
+    the whitespace-normalized document (the same tokenizer the index
+    stores), so "exact phrase" re-rank filters — the retrieval-stack
+    stage BM25's bag-of-words cannot express — compose directly with
+    `query_text_index` candidates.
+
+    Plan shape (the bm25 probe idiom): the phrase set is tiny — it
+    tokenizes DRIVER-SIDE (bounded collect) into (query_id, term_pos,
+    tok) rows that broadcast onto the postings; the postings scan
+    prunes to the |phrase terms| hash-bucket directories; per
+    (query, doc) the per-term offset arrays fold JVM-side —
+    ``aggregate(arrs[1:], arrs[0].positions, (acc, s) -> filter(acc,
+    p -> array_contains(s.positions, p + s.term_pos)))`` — counting
+    every start offset where ALL terms sit at their phrase positions
+    (overlaps included, repeated terms handled: each term_pos joins
+    its own posting row).  Top-k is the salted two-phase window, so a
+    stop-wordy phrase never funnels the corpus through one task.
+    """
+    rows = phrases.select(query_id_col, phrase_col).collect()  # bounded:
+    # the query set, never the corpus (the bm25 query-side convention)
+    term_rows: list[tuple[int, int, str]] = []
+    meta_rows: list[tuple[int, int]] = []
+    for r in rows:
+        toks = [t for t in str(r[1]).lower().strip().split() if t]
+        if not toks:
+            continue
+        meta_rows.append((int(r[0]), len(toks)))
+        term_rows.extend((int(r[0]), i, t) for i, t in enumerate(toks))
+    if not term_rows:
+        return spark.createDataFrame(
+            [], "query_id long, doc_id long, n_matches long, rnk long"
+        )
+    q = spark.createDataFrame(term_rows, "query_id long, term_pos int, tok string")
+    qmeta = spark.createDataFrame(meta_rows, "query_id long, n_terms int")
+    buckets = sorted(
+        {
+            r["b"]
+            for r in q.select(
+                F.pmod(F.xxhash64("tok"), F.lit(_INDEX_BUCKETS)).alias("b")
+            ).collect()
+        }
+    )
+    postings = (
+        spark.read.parquet(f"{path}/postings")
+        .filter(F.col("bucket").isin(buckets))
+        .select("tok", "doc_id", "positions")
+    )
+    joined = postings.join(F.broadcast(q), "tok")
+    g = (
+        joined.groupBy("query_id", "doc_id")
+        .agg(
+            F.count("*").alias("_nf"),
+            F.array_sort(F.collect_list(F.struct("term_pos", "positions"))).alias(
+                "_arrs"
+            ),
+        )
+        .join(F.broadcast(qmeta), "query_id")
+        .filter(F.col("_nf") == F.col("n_terms"))  # every phrase slot found
+        .withColumn(
+            "n_matches",
+            F.expr(
+                "size(aggregate("
+                " slice(_arrs, 2, size(_arrs) - 1),"
+                " _arrs[0].positions,"
+                " (acc, s) -> filter(acc,"
+                "   p -> array_contains(s.positions, p + s.term_pos))"
+                "))"
+            ).cast("long"),
+        )
+        .filter(F.col("n_matches") > 0)
+        .select("query_id", "doc_id", "n_matches")
+    )
+    salt = F.pmod(F.xxhash64("doc_id"), F.lit(salt_buckets))
+    w_partial = Window.partitionBy("query_id", "_salt").orderBy(
+        F.desc("n_matches"), F.asc("doc_id")
+    )
+    w_final = Window.partitionBy("query_id").orderBy(
+        F.desc("n_matches"), F.asc("doc_id")
+    )
+    return (
+        g.withColumn("_salt", salt)
+        .withColumn("_rn", F.row_number().over(w_partial))
+        .filter(F.col("_rn") <= k)
+        .drop("_salt", "_rn")
+        .withColumn("rnk", F.row_number().over(w_final).cast("long"))
+        .filter(F.col("rnk") <= k)
     )
 
 
@@ -495,9 +630,15 @@ def update_text_index(
 
     Equivalence contract: after any sequence of updates the index is
     row-identical to a from-scratch build over the union, and probes
-    return identical rankings (pinned by test_retrieval).
+    return identical rankings (pinned by test_retrieval).  The
+    positional flag is STICKY: a positions column in the persisted
+    postings schema makes the delta tokenize positionally too, so
+    phrase parity survives maintenance.
     """
-    tf_new, _, _ = doc_term_stats(new_docs, id_col=id_col, text_col=text_col)
+    positional = "positions" in spark.read.parquet(f"{path}/postings").columns
+    tf_new, _, _ = doc_term_stats(
+        new_docs, id_col=id_col, text_col=text_col, positions=positional
+    )
     bucket = F.pmod(F.xxhash64("tok"), F.lit(_INDEX_BUCKETS)).alias("bucket")
     tf_new = tf_new.localCheckpoint(eager=True)  # tokenize ONCE; postings,
     # df, and doclen all derive from this checkpoint (dl = Σ tf per doc)
@@ -600,9 +741,15 @@ def compact_text_index(
     documents outright — their rows vanish with no replacement (the
     "removed" half of a full-snapshot crawl diff; see
     :func:`remove_from_index`).
+
+    Positional indexes compact positionally (sticky flag, detected
+    from the persisted postings schema) — replaced docs' new offsets
+    enter with their new content.
     """
+    positional = "positions" in spark.read.parquet(f"{path}/postings").columns
     tf_new, _, _ = doc_term_stats(
-        replacement_docs, id_col=id_col, text_col=text_col
+        replacement_docs, id_col=id_col, text_col=text_col,
+        positions=positional,
     )
     tf_new = tf_new.localCheckpoint(eager=True)  # tokenize once
     ids = replacement_docs.select(F.col(id_col).alias("doc_id"))

@@ -1258,6 +1258,80 @@ def x_bm25_index_roundtrip(spark, sf_dir):
 
 
 @register(
+    "x_phrase_search",
+    r"""
+    WITH toks AS (
+        SELECT doc_id, list_filter(
+            string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS t
+        FROM documents
+    ),
+    tok AS (
+        SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS pos
+        FROM toks
+    ),
+    ph2(query_id, p1, p2) AS (
+        VALUES (1, 'table', 'hash'), (2, 'merge', 'group'), (3, 'big', 'big')
+    ),
+    m2 AS (
+        SELECT ph.query_id, a.doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches
+        FROM ph2 ph
+        JOIN tok a ON a.tok = ph.p1
+        JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+                  AND b.tok = ph.p2
+        GROUP BY 1, 2
+    ),
+    m3 AS (
+        SELECT 4 AS query_id, a.doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches
+        FROM tok a
+        JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+                  AND b.tok = 'order'
+        JOIN tok c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+                  AND c.tok = 'group'
+        WHERE a.tok = 'fast'
+        GROUP BY 1, 2
+    ),
+    m AS (SELECT * FROM m2 UNION ALL SELECT * FROM m3),
+    r AS (
+        SELECT query_id, doc_id, n_matches,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY n_matches DESC, doc_id
+               ) AS rnk
+        FROM m
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, n_matches,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= 10
+    """,
+)
+def x_phrase_search(spark, sf_dir):
+    """Exact-phrase search over a POSITIONAL text index (VERDICT r6 #3;
+    operators/retrieval.build_text_index(positions=True) + phrase_topk):
+    postings store each term's sorted token-offset array; a phrase
+    matches where ALL its terms sit at consecutive offsets (strict
+    adjacency, overlaps counted, repeated terms handled — query 3 is
+    'big big').  Top-10 docs per phrase by occurrence count.  FULL
+    value oracle: DuckDB rebuilds the token-position table and counts
+    the same adjacencies with self-joins — every (query, doc,
+    n_matches, rnk) row must match bit-for-bit."""
+    import shutil as _shutil
+
+    from lwetl_spark.operators.retrieval import build_text_index, phrase_topk
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    phrases = spark.createDataFrame(
+        [(1, "table hash"), (2, "merge group"), (3, "big big"),
+         (4, "fast order group")],
+        "query_id long, phrase string",
+    )
+    work = _tmpdir("phrase")
+    path = os.path.join(work, "index")
+    build_text_index(docs, path, positions=True)
+    out = phrase_topk(spark, path, phrases, k=10).localCheckpoint(eager=True)
+    _shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+@register(
     "x_hll_sketch_store",
     """
     WITH s AS (

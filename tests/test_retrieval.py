@@ -1065,3 +1065,100 @@ def test_campaign_vector_kind_dispatch(spark, tmp_path, kind):
     got = sorted(map(tuple, query(spark, vidx, emb, k=5, **kwargs).collect()))
     want = sorted(map(tuple, query(spark, ref, emb, k=5, **kwargs).collect()))
     assert got == want and got
+
+
+def test_positional_index_lifecycle_phrase_parity(spark, tmp_path):
+    """Positional postings survive the whole maintenance lifecycle
+    (VERDICT r6 #3): build(positions=True) on a subset, update with a
+    delta, compact changed content, remove ids — phrase results must
+    equal a fresh positional build over the equivalent corpus, and
+    BM25 probes over the positional index must equal the flat index
+    bit-for-bit (offsets change nothing about tf/df/dl)."""
+    from pyspark.sql import functions as F
+
+    from lwetl_spark.operators.retrieval import (
+        build_text_index,
+        compact_text_index,
+        phrase_topk,
+        query_text_index,
+        remove_from_index,
+        update_text_index,
+    )
+    from tests.conftest import SF_SMOKE
+
+    docs = spark.read.parquet(SF_SMOKE + "/documents.parquet").select(
+        "doc_id", "text"
+    )
+    path = str(tmp_path / "pos_idx")
+    build_text_index(docs.filter(F.col("doc_id") % 2 == 0), path, positions=True)
+    update_text_index(spark, path, docs.filter(F.col("doc_id") % 2 == 1))
+    changed = docs.filter(F.col("doc_id") % 7 == 0).withColumn(
+        "text", F.concat(F.lit("table hash leading "), F.col("text"))
+    )
+    compact_text_index(spark, path, changed)
+    remove_from_index(
+        spark, path, docs.filter(F.col("doc_id") % 9 == 1).select("doc_id")
+    )
+
+    current = (
+        docs.filter(F.col("doc_id") % 9 != 1)
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.lit("table hash leading "), F.col("text")),
+            ).otherwise(F.col("text")),
+        )
+    )
+    full = str(tmp_path / "full_pos")
+    build_text_index(current, full, positions=True)
+
+    phrases = spark.createDataFrame(
+        [(1, "table hash"), (2, "big big")], "query_id long, phrase string"
+    )
+    got = sorted(map(tuple, phrase_topk(spark, path, phrases, k=10).collect()))
+    want = sorted(map(tuple, phrase_topk(spark, full, phrases, k=10).collect()))
+    assert got == want and got
+
+    # BM25 over positional == over flat (offsets don't touch scoring)
+    flat = str(tmp_path / "flat")
+    build_text_index(current, flat, positions=False)
+    q = spark.createDataFrame(
+        [(1, "table"), (1, "hash"), (2, "merge")], "query_id int, term string"
+    )
+    got_bm = sorted(map(tuple, query_text_index(spark, path, q, k=10).collect()))
+    want_bm = sorted(map(tuple, query_text_index(spark, flat, q, k=10).collect()))
+    assert got_bm == want_bm and got_bm
+
+
+def test_phrase_topk_overlaps_and_edge_cases(spark, tmp_path):
+    """Overlapping matches count per start offset ('a a a' has TWO
+    'a a' matches); a single-term phrase degenerates to tf; an absent
+    phrase yields no rows; an empty phrase set yields an empty frame."""
+    from lwetl_spark.operators.retrieval import build_text_index, phrase_topk
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b"), (2, "a b a b"), (3, "c c")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "tiny")
+    build_text_index(docs, path, positions=True)
+    phrases = spark.createDataFrame(
+        [(1, "a a"), (2, "a b"), (3, "b"), (4, "z q")],
+        "query_id long, phrase string",
+    )
+    rows = {
+        (r["query_id"], r["doc_id"]): (r["n_matches"], r["rnk"])
+        for r in phrase_topk(spark, path, phrases, k=10).collect()
+    }
+    assert rows[(1, 1)] == (2, 1)          # overlapping 'a a' in 'a a a'
+    assert (1, 2) not in rows              # 'a b a b' has no 'a a'
+    assert rows[(2, 2)] == (2, 1)          # two 'a b' in 'a b a b'
+    assert rows[(2, 1)] == (1, 2)          # one 'a b' in 'a a a b'
+    assert rows[(3, 2)] == (2, 1) and rows[(3, 1)] == (1, 2)  # tf of 'b'
+    assert not [k for k in rows if k[0] == 4]  # absent phrase
+    empty = phrase_topk(
+        spark, path,
+        spark.createDataFrame([], "query_id long, phrase string"),
+    )
+    assert empty.count() == 0
