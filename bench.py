@@ -82,7 +82,75 @@ EXTENDED = [
     "campaign_bootstrap",
     "campaign_increment",
     "campaign_compact",
+    # r7 additions: the composed IVFADC probe path and the
+    # auto-maintenance retrain pass (drifted-index template, hardlink
+    # copy per run — the campaign-row protocol)
+    "x_ann_ivfpq",
+    "auto_maintain",
 ]
+
+
+def _ivfpq_ann(spark, sf_dir):
+    """Bench surface for x_ann_ivfpq: the raw composed-index top-k at
+    the contract setting.  The queries() entry wraps it in a recall
+    contract that ALSO runs the brute-force exact top-k (the
+    verification harness) — benching that would time the oracle, not
+    the engine."""
+    from lwetl_spark.catalog import load_table
+    from lwetl_spark.operators.ivfpq import ivfpq_topk
+
+    return ivfpq_topk(
+        load_table(spark, sf_dir, "embeddings"), k=5, nprobe=8, rerank=200
+    )
+
+
+#: drifted-IVFADC template for the auto_maintain row, keyed by sf_dir —
+#: built once OUTSIDE the timed window (the campaign-template protocol)
+_MAINT_TEMPLATES: dict[str, str] = {}
+
+
+def _maint_template(spark, sf_dir) -> str:
+    import tempfile
+
+    key = os.path.realpath(sf_dir)
+    if key not in _MAINT_TEMPLATES:
+        from pyspark.sql import functions as F
+
+        from lwetl_spark.catalog import load_table
+        from lwetl_spark.operators.ivfpq import (
+            build_ivfpq_index,
+            update_ivfpq_index,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        base = tempfile.mkdtemp(prefix="bench_maint_tmpl_")
+        build_ivfpq_index(emb.filter(F.col("vec_id") % 2 == 0), f"{base}/v")
+        update_ivfpq_index(
+            spark, f"{base}/v", emb.filter(F.col("vec_id") % 2 == 1)
+        )
+        _MAINT_TEMPLATES[key] = base
+    return _MAINT_TEMPLATES[key]
+
+
+def _auto_maintain(spark, sf_dir):
+    """Maintenance-policy cost: stats read + decision + the fired
+    IVFADC retrain (full re-train + re-encode over current members) on
+    a hardlink copy of a 2×-grown index — the pass a deployment pays
+    when the drift thresholds trip."""
+    import glob
+    import shutil
+    import tempfile
+
+    from lwetl_spark.operators.maintain import auto_maintain
+
+    for stale in glob.glob(tempfile.gettempdir() + "/bench_maint_run_*"):
+        shutil.rmtree(stale, ignore_errors=True)
+    run = tempfile.mkdtemp(prefix="bench_maint_run_")
+    shutil.copytree(
+        f"{_maint_template(spark, sf_dir)}/v", f"{run}/v",
+        copy_function=os.link,
+    )
+    return auto_maintain(spark, f"{run}/v", growth_threshold_pm=1500)
 
 
 def _dedup_clusters(spark, sf_dir):
@@ -278,7 +346,30 @@ BENCH_OVERRIDES = {
     "campaign_bootstrap": _campaign_bootstrap,
     "campaign_increment": _campaign_increment,
     "campaign_compact": _campaign_compact,
+    "x_ann_ivfpq": _ivfpq_ann,
+    "auto_maintain": _auto_maintain,
 }
+
+
+def _calibration(spark) -> "object":
+    """Fixed synthetic workload for the calibration row (VERDICT r6
+    #6): generate → hash → shuffle-agg → sort over 30M rows, zero I/O,
+    constant plan across rounds.  Its wall time moves with BOX LOAD
+    only (this machine swings >2× under concurrent jobs — the r3/r6
+    judges both hit it), so BENCH_rN readers can divide any query's
+    time by the same round's calibration to separate load drift from
+    code regressions."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.range(30_000_000)
+        .select(F.pmod(F.xxhash64("id"), F.lit(100_000)).alias("g"),
+                F.col("id"))
+        .groupBy("g")
+        .agg(F.count("*").alias("n"), F.sum("id").alias("s"))
+        .orderBy(F.desc("n"), "g")
+        .limit(1000)
+    )
 
 
 def main() -> None:
@@ -330,10 +421,24 @@ def main() -> None:
             print(f"# {name}: {best:.2f}s ({n} rows)", file=sys.stderr)
         return timings, total
 
+    # calibration row FIRST (VERDICT r6 #6): a pinned zero-I/O workload
+    # whose wall time moves with box load only — divide any query by it
+    # to separate load drift from code regressions round-over-round
+    cal_best = float("inf")
+    for _ in range(repeats):
+        spark.catalog.clearCache()
+        t0 = time.time()
+        _calibration(spark).count()
+        cal_best = min(cal_best, time.time() - t0)
+    print(f"# calibration: {cal_best:.2f}s", file=sys.stderr)
+
     timings, total = run_suite(HEADLINE)
     # extended suite is additive evidence: its total is reported
     # separately so "value" stays comparable to BENCH_r01-r04
     ext_timings, ext_total = run_suite(EXTENDED)
+
+    def _norm(t: dict[str, float]) -> dict[str, float]:
+        return {k: round(v / cal_best, 2) for k, v in t.items()}
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -345,6 +450,10 @@ def main() -> None:
                 "queries": timings,
                 "extended": ext_timings,
                 "extended_wall": round(ext_total, 3),
+                "calibration_sec": round(cal_best, 3),
+                "calibration_workload": "range30M-hash-shuffleagg-sort",
+                "normalized": _norm(timings),
+                "extended_normalized": _norm(ext_timings),
                 "repeats": repeats,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

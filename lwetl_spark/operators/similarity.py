@@ -798,7 +798,19 @@ def query_lsh_index(
 
     Same output contract as `lsh_ann_topk` (self-matches excluded when a
     query id also exists in the index).
+
+    The plane family comes from `{path}/params` when present (written
+    by every build — so probes keep working after `auto_maintain`
+    resizes num_planes to the corpus); the explicit arguments are the
+    fallback for pre-params indexes only.
     """
+    try:
+        p = spark.read.parquet(f"{path}/params").collect()[0]
+        num_planes, num_tables, dim = (
+            int(p["num_planes"]), int(p["num_tables"]), int(p["dim"]),
+        )
+    except Exception:
+        pass  # pre-params index: trust the caller's family
     q_buckets = _lsh_bucketize(queries_df, vec_col, id_col, num_planes, num_tables, dim)
     c_buckets = spark.read.parquet(f"{path}/buckets").select(
         F.col("id").alias("neighbor_id"), "table_idx", "bucket"
@@ -1118,9 +1130,13 @@ def build_pq_index(
         ],
         "subspace int, code int, centroid array<double>",
     ).write.mode("overwrite").parquet(f"{path}/codebooks")
+    # n_at_train records the corpus size the codebooks were trained
+    # against — auto_maintain's growth drift signal (appends freeze the
+    # codebooks; growth_pm = 1000·n_codes/n_at_train says how far the
+    # index has outgrown them)
     spark.createDataFrame(
-        [(int(m), int(ksub), int(train_sample), int(iters))],
-        "m int, ksub int, train_sample int, iters int",
+        [(int(m), int(ksub), int(train_sample), int(iters), int(df.count()))],
+        "m int, ksub int, train_sample int, iters int, n_at_train long",
     ).write.mode("overwrite").parquet(f"{path}/params")
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     bucket = F.pmod(F.xxhash64("cid"), F.lit(_PQ_BUCKETS)).alias("bucket")

@@ -1124,6 +1124,82 @@ def x_campaign_vectors(spark, sf_dir):
 
 
 @register(
+    "x_auto_maintain",
+    """
+    SELECT 'ivfpq' AS kind, 'retrain' AS action, 'growth_pm' AS metric,
+           CAST(1000 * COUNT(*)
+                // SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS metric_pm,
+           CAST(1500 AS BIGINT) AS threshold_pm,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           TRUE AS retrain_ok, TRUE AS index_matches_rebuild
+    FROM embeddings
+    """,
+)
+def x_auto_maintain(spark, sf_dir):
+    """Auto-maintenance policy end-to-end (VERDICT r6 #5;
+    operators/maintain.auto_maintain): an IVFADC index built on the
+    even-id half and appended with the odd half has outgrown its
+    frozen quantizers — growth_pm = 1000·n/n_at_train, EXACT integer
+    math the oracle recomputes from vec_id parity counts.  With the
+    growth threshold at 1500 the policy must fire 'retrain', refresh
+    n_at_train to the full corpus (retrain_ok), and leave the index
+    probe-identical to a from-scratch build over the same members
+    (index_matches_rebuild) — deterministic fixed-seed trainers make
+    the equality exact, not approximate."""
+    import shutil as _shutil
+
+    from lwetl_spark.operators.ivfpq import (
+        build_ivfpq_index,
+        query_ivfpq_index,
+        update_ivfpq_index,
+    )
+    from lwetl_spark.operators.maintain import auto_maintain
+
+    emb = _t(spark, sf_dir, "embeddings")
+    even = emb.filter(F.col("vec_id") % 2 == 0)
+    odd = emb.filter(F.col("vec_id") % 2 == 1)
+    work = _tmpdir("automaint")
+    path = os.path.join(work, "inc")
+    ref = os.path.join(work, "ref")
+
+    build_ivfpq_index(even, path)
+    update_ivfpq_index(spark, path, odd)
+    decision = auto_maintain(
+        spark, path, growth_threshold_pm=1500
+    ).collect()[0]
+
+    n_total = emb.count()
+    retrain_ok = (
+        spark.read.parquet(f"{path}/params").collect()[0]["n_at_train"]
+        == n_total
+    )
+    build_ivfpq_index(emb, ref)  # fresh quantizers over the full corpus,
+    # exactly what retrain trained on (same sample rule, same seeds)
+    inc = query_ivfpq_index(spark, path, emb, k=5)
+    refq = query_ivfpq_index(spark, ref, emb, k=5)
+    cols = ["id", "neighbor_id", "cos", "rank"]
+    a = inc.groupBy(*cols).agg(F.count("*").alias("_ca"))
+    b = refq.groupBy(*cols).agg(F.count("*").alias("_cb"))
+    mismatches = (
+        a.join(b, cols, "full_outer")
+        .filter("_ca IS NULL OR _cb IS NULL OR _ca <> _cb")
+        .count()
+    )
+    _shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        [(
+            decision["kind"], decision["action"], decision["metric"],
+            decision["metric_pm"], decision["threshold_pm"],
+            n_total, retrain_ok, mismatches == 0,
+        )],
+        "kind string, action string, metric string, metric_pm long,"
+        " threshold_pm long, n_vectors long, retrain_ok boolean,"
+        " index_matches_rebuild boolean",
+    )
+
+
+@register(
     "x_campaign_pq",
     """
     SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS index_matches_rebuild
