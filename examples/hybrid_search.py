@@ -97,6 +97,31 @@ def main() -> None:
     n = picked.count()
     print(f"mmr picked {n} diversified passages across queries")
 
+    # exact-phrase re-rank filter (positional index, VERDICT r6 #3):
+    # keep only fused candidates containing the query's phrase VERBATIM
+    # — strict token adjacency, the constraint BM25's bag-of-words and
+    # dense cosine both cannot express.  One semi-join against the
+    # bucket-pruned phrase hits; the corpus never re-shuffles.
+    import tempfile
+
+    from lwetl_spark.operators.retrieval import build_text_index, phrase_topk
+
+    idx = tempfile.mkdtemp(prefix="hybrid_phrase_") + "/index"
+    build_text_index(docs.select("doc_id", "text"), idx, positions=True)
+    phrases = spark.createDataFrame(
+        [(1, "table hash"), (2, "merge group"), (3, "big big")],
+        "query_id long, phrase string",
+    )
+    hits = phrase_topk(spark, idx, phrases, k=1000)
+    phrase_ok = fused.join(
+        hits.select("query_id", "doc_id"), ["query_id", "doc_id"], "left_semi"
+    )
+    kept = {
+        r["query_id"]: r["n"]
+        for r in phrase_ok.groupBy("query_id").agg(F.count("*").alias("n")).collect()
+    }
+    print(f"phrase filter kept per query (of 10 fused): {kept}")
+
     # final stage: cross-encoder-style re-rank of the fused candidates
     # (portable md5 pair stub here; a real model drops in via scorer=)
     from lwetl_spark.operators.retrieval import cross_encoder_rerank
