@@ -194,6 +194,7 @@ def ingest_increment(
     id_col: str = "doc_id",
     text_col: str = "text",
     compact_changed: bool = False,
+    compact_deferred_threshold: int | None = None,
     snapshot_is_delta: bool = False,
     retire_removed: bool = False,
     tombstones: DataFrame | None = None,
@@ -241,7 +242,14 @@ def ingest_increment(
     Compaction pays one postings read (term-partitioned index, see
     compact_text_index's cost model), so a 100 TB campaign batches it
     (weekly, or when the deferred count crosses a threshold) rather
-    than per-increment — the flag exists for exactly that scheduling.
+    than per-increment — the flag exists for exactly that scheduling,
+    and ``compact_deferred_threshold=N`` AUTOMATES it (the
+    deferred-change-backlog policy, VERDICT r6 #5): every increment
+    counts the backlog with id-only joins (cheap, reported as
+    ``n_deferred``) and runs the full compaction pass only when
+    backlog ≥ N — below it, changed docs stay deferred and the
+    postings-read price is never paid.  ``compact_changed=True``
+    remains the unconditional form (threshold 0, effectively).
 
     ``retire_removed=True`` (full-snapshot mode only — a delta batch
     carries no removal signal) additionally PURGES ``removed`` ids that
@@ -313,7 +321,11 @@ def ingest_increment(
     bootstrap); ids lacking an embedding row enter the text index only.
 
     Returns {"n_snapshot", "n_new_or_changed", "n_admitted",
-    "n_compacted", "n_retired", "n_vec_indexed", "n_vec_retired"}.
+    "n_compacted", "n_deferred", "n_retired", "n_vec_indexed",
+    "n_vec_retired"}.  ``n_deferred`` is the backlog measured this
+    increment (0 when no compaction scheduling was requested — the
+    count is only computed when ``compact_changed`` or
+    ``compact_deferred_threshold`` asks for it).
     """
     from lwetl_spark.operators.retrieval import update_text_index
 
@@ -449,8 +461,10 @@ def ingest_increment(
     if embeddings is not None and n_admitted:
         n_vec_indexed += _vec_add(admitted)
     n_compacted = 0
+    n_deferred = 0
     compacted_ids = None
-    if compact_changed and have_manifest:
+    want_backlog = compact_changed or compact_deferred_threshold is not None
+    if want_backlog and have_manifest:
         from lwetl_spark.operators.retrieval import compact_text_index
 
         # Deferred-change set = any snapshot id that is ALREADY INDEXED
@@ -471,7 +485,18 @@ def ingest_increment(
                 "left_anti",
             )
             .select(id_col)
+            # eager: the backlog count + the cand semi-probe both read it
+            .localCheckpoint(eager=True)
         )
+        # the backlog POLICY (VERDICT r6 #5's "deferred-change backlog"
+        # threshold — the scheduling knob compact_changed's docstring
+        # promised): ids whose applied content is stale this snapshot.
+        # id-only joins — the postings-read price is paid ONLY when the
+        # threshold actually trips.
+        n_deferred = stale_ids.count()
+        if not compact_changed and n_deferred < compact_deferred_threshold:
+            stale_ids = None  # below threshold: stay deferred, no read
+    if want_backlog and have_manifest and stale_ids is not None:
         cand = snapshot.join(stale_ids, id_col, "left_semi").select(
             id_col, text_col, digest.alias("_fp")
         )
@@ -634,6 +659,7 @@ def ingest_increment(
         "n_new_or_changed": n_fresh,
         "n_admitted": n_admitted,
         "n_compacted": n_compacted,
+        "n_deferred": n_deferred,
         "n_retired": n_retired,
         "n_vec_indexed": n_vec_indexed,
         "n_vec_retired": n_vec_retired,

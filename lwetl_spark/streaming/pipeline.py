@@ -869,6 +869,7 @@ def stream_ingest_cdc(
     delete_op: str = "D",
     max_files_per_trigger: int = 2,
     compact_changed: bool = False,
+    compact_deferred_threshold: int | None = None,
     vector_index_path: str | None = None,
     vec_col: str = "embedding",
     order_col: str | None = None,
@@ -884,7 +885,10 @@ def stream_ingest_cdc(
     (the tombstone contract).  ``compact_changed=True`` additionally
     applies deferred changed docs per batch — correct but postings-read
     priced; leave it off and batch compaction into a maintenance window
-    unless the stream is small.
+    unless the stream is small, or set ``compact_deferred_threshold=N``
+    to let the backlog policy fire it automatically (each batch counts
+    the deferred backlog with id-only joins and pays the postings read
+    only when backlog ≥ N).
 
     ``order_col`` (a per-id total order: sequence id or log timestamp)
     enables LAST-WRITE-WINS reduction when one micro-batch can carry
@@ -944,6 +948,7 @@ def stream_ingest_cdc(
             text_col=text_col,
             snapshot_is_delta=True,
             compact_changed=compact_changed,
+            compact_deferred_threshold=compact_deferred_threshold,
             tombstones=deletes,
             **vec_kwargs,
         )

@@ -267,7 +267,7 @@ def test_ingest_increment_campaign_equals_rebuild(spark, tmp_path):
     s0 = ingest_increment(spark, snap0, manifest, state, index)
     assert s0 == {
         "n_snapshot": 5, "n_new_or_changed": 5, "n_admitted": 5,
-        "n_compacted": 0, "n_retired": 0,
+        "n_compacted": 0, "n_deferred": 0, "n_retired": 0,
         "n_vec_indexed": 0, "n_vec_retired": 0,  # text-only campaign
     }
 
@@ -1162,3 +1162,60 @@ def test_phrase_topk_overlaps_and_edge_cases(spark, tmp_path):
         spark.createDataFrame([], "query_id long, phrase string"),
     )
     assert empty.count() == 0
+
+
+def test_compact_deferred_threshold_policy(spark, tmp_path):
+    """compact_deferred_threshold automates the compaction schedule:
+    below the threshold every increment just COUNTS the backlog
+    (n_deferred reported, changed docs stay deferred, no postings
+    read); the increment that pushes the backlog over the threshold
+    runs the full compaction pass and the index equals a rebuild where
+    the changed docs always had their new content."""
+    from pyspark.sql import functions as F
+
+    from lwetl_spark.operators.incremental import ingest_increment
+    from lwetl_spark.operators.retrieval import (
+        build_text_index,
+        query_text_index,
+    )
+
+    texts = {i: f"base document {i} alpha beta gamma delta {'x' * i}"
+             for i in range(6)}
+    snap0 = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    man, st, idx = (str(tmp_path / p) for p in ("m", "s", "x"))
+    s0 = ingest_increment(spark, snap0, man, st, idx,
+                          compact_deferred_threshold=3)
+    assert s0["n_admitted"] == 6 and s0["n_deferred"] == 0
+
+    def changed(ids):
+        return spark.createDataFrame(
+            [(i, texts[i] + " CHANGED" if i in ids else texts[i])
+             for i in texts],
+            "doc_id long, text string",
+        )
+
+    # 2 changed docs: below threshold 3 -> counted, NOT compacted
+    s1 = ingest_increment(spark, changed({0, 1}), man, st, idx,
+                          compact_deferred_threshold=3)
+    assert s1 == {**s1, "n_deferred": 2, "n_compacted": 0}
+    # probe still serves the OLD content (deferral intact)
+    q = spark.createDataFrame([(1, "changed")], "query_id int, term string")
+    assert query_text_index(spark, idx, q, k=10).count() == 0
+
+    # a third change pushes the backlog to threshold -> auto-compact ALL
+    s2 = ingest_increment(spark, changed({0, 1, 2}), man, st, idx,
+                          compact_deferred_threshold=3)
+    assert s2["n_deferred"] == 3 and s2["n_compacted"] == 3
+
+    full = str(tmp_path / "full")
+    build_text_index(changed({0, 1, 2}), full)
+    got = sorted(map(tuple, query_text_index(spark, idx, q, k=10).collect()))
+    want = sorted(map(tuple, query_text_index(spark, full, q, k=10).collect()))
+    assert got == want and len(got) == 3
+
+    # backlog drained: next increment reports 0 deferred
+    s3 = ingest_increment(spark, changed({0, 1, 2}), man, st, idx,
+                          compact_deferred_threshold=3)
+    assert s3["n_deferred"] == 0 and s3["n_compacted"] == 0
