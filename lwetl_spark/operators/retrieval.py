@@ -402,6 +402,140 @@ def phrase_topk(
     )
 
 
+def proximity_topk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    window: int = 8,
+    query_id_col: str = "query_id",
+    terms_col: str = "terms",
+    k: int = 10,
+    salt_buckets: int = 64,
+) -> DataFrame:
+    """Proximity (NEAR) search over a POSITIONAL text index: for each
+    (query_id, terms) row — ``terms`` a space-separated string, treated
+    as a SET (duplicates collapse; order is irrelevant, unlike
+    `phrase_topk`) — return the top-``k`` documents whose MINIMAL SPAN
+    containing all terms is ≤ ``window`` tokens, ranked by
+    (min_span ASC, doc_id): tighter co-occurrence ranks higher, the
+    classic relevance signal between bag-of-words BM25 and strict
+    phrase adjacency.
+
+    min_span = min over position tuples (one offset per distinct term)
+    of (max − min + 1) — the smallest token window covering every
+    term.  Computed per candidate (query, doc) with the textbook
+    k-pointer sweep over the merged offset lists (O(Σ positions) per
+    doc, not O(Π tf) — the naive cross-product blows up on stop-wordy
+    terms), inside one Arrow batch pass; candidates reach it only via
+    the bucket-pruned postings join, so the corpus never shuffles.
+
+    Exactly SQL-checkable (x_proximity_search pins 2- and 3-term
+    queries against DuckDB join-min oracles).
+    """
+    rows = queries.select(query_id_col, terms_col).collect()  # bounded
+    term_rows: list[tuple[int, str]] = []
+    meta_rows: list[tuple[int, int]] = []
+    for r in rows:
+        toks = sorted({t for t in str(r[1]).lower().strip().split() if t})
+        if not toks:
+            continue
+        meta_rows.append((int(r[0]), len(toks)))
+        term_rows.extend((int(r[0]), t) for t in toks)
+    if not term_rows:
+        return spark.createDataFrame(
+            [], "query_id long, doc_id long, min_span long, rnk long"
+        )
+    q = spark.createDataFrame(term_rows, "query_id long, tok string")
+    qmeta = spark.createDataFrame(meta_rows, "query_id long, n_terms int")
+    buckets = sorted(
+        {
+            r["b"]
+            for r in q.select(
+                F.pmod(F.xxhash64("tok"), F.lit(_INDEX_BUCKETS)).alias("b")
+            ).collect()
+        }
+    )
+    postings = (
+        spark.read.parquet(f"{path}/postings")
+        .filter(F.col("bucket").isin(buckets))
+        .select("tok", "doc_id", "positions")
+    )
+    g = (
+        postings.join(F.broadcast(q), "tok")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.count("*").alias("_nf"),
+            F.collect_list("positions").alias("_arrs"),
+        )
+        .join(F.broadcast(qmeta), "query_id")
+        .filter(F.col("_nf") == F.col("n_terms"))  # all terms present
+        .select("query_id", "doc_id", "_arrs")
+    )
+
+    def min_spans(it):
+        import heapq
+
+        import pandas as pd
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            spans = []
+            for arrs in pdf["_arrs"]:
+                # k-pointer sweep: merge (pos, list_idx) ascending, keep
+                # a count per list in the current window; every time all
+                # lists are covered, shrink from the left
+                merged = heapq.merge(
+                    *[[(int(p), i) for p in lst] for i, lst in enumerate(arrs)]
+                )
+                merged = list(merged)
+                need = len(arrs)
+                cnt = [0] * need
+                covered = 0
+                best = None
+                lo = 0
+                for hi, (p, li) in enumerate(merged):
+                    if cnt[li] == 0:
+                        covered += 1
+                    cnt[li] += 1
+                    while covered == need:
+                        span = p - merged[lo][0] + 1
+                        if best is None or span < best:
+                            best = span
+                        llo = merged[lo][1]
+                        cnt[llo] -= 1
+                        if cnt[llo] == 0:
+                            covered -= 1
+                        lo += 1
+                spans.append(best)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "doc_id": pdf["doc_id"],
+                    "min_span": spans,
+                }
+            )
+
+    spans = g.mapInPandas(
+        min_spans, "query_id long, doc_id long, min_span long"
+    ).filter(F.col("min_span") <= window)
+    salt = F.pmod(F.xxhash64("doc_id"), F.lit(salt_buckets))
+    w_partial = Window.partitionBy("query_id", "_salt").orderBy(
+        F.asc("min_span"), F.asc("doc_id")
+    )
+    w_final = Window.partitionBy("query_id").orderBy(
+        F.asc("min_span"), F.asc("doc_id")
+    )
+    return (
+        spans.withColumn("_salt", salt)
+        .withColumn("_rn", F.row_number().over(w_partial))
+        .filter(F.col("_rn") <= k)
+        .drop("_salt", "_rn")
+        .withColumn("rnk", F.row_number().over(w_final).cast("long"))
+        .filter(F.col("rnk") <= k)
+    )
+
+
 def text_index_stats(spark, path: str) -> DataFrame:
     """Census of a persisted text index — the health/maintenance-trigger
     counterpart of `ivf_index_stats`/`pq_index_stats`: document count,

@@ -1408,6 +1408,93 @@ def x_phrase_search(spark, sf_dir):
 
 
 @register(
+    "x_proximity_search",
+    r"""
+    WITH toks AS (
+        SELECT doc_id, list_filter(
+            string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS t
+        FROM documents
+    ),
+    tok AS (
+        SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS pos
+        FROM toks
+    ),
+    m1 AS (  -- q1: hash NEAR table, window 8
+        SELECT 1 AS query_id, a.doc_id,
+               CAST(MIN(GREATEST(a.pos, b.pos) - LEAST(a.pos, b.pos) + 1)
+                    AS BIGINT) AS min_span
+        FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.tok = 'table'
+        WHERE a.tok = 'hash'
+        GROUP BY 2 HAVING min_span <= 8
+    ),
+    m2 AS (  -- q2: merge NEAR sort NEAR window, window 12
+        SELECT 2 AS query_id, a.doc_id,
+               CAST(MIN(GREATEST(a.pos, b.pos, c.pos)
+                        - LEAST(a.pos, b.pos, c.pos) + 1) AS BIGINT)
+                   AS min_span
+        FROM tok a
+        JOIN tok b ON b.doc_id = a.doc_id AND b.tok = 'sort'
+        JOIN tok c ON c.doc_id = a.doc_id AND c.tok = 'window'
+        WHERE a.tok = 'merge'
+        GROUP BY 2 HAVING min_span <= 12
+    ),
+    m3 AS (  -- q3: 'scan scan' collapses to the single term 'scan'
+        SELECT 3 AS query_id, doc_id, CAST(1 AS BIGINT) AS min_span
+        FROM tok WHERE tok = 'scan' GROUP BY 2
+    ),
+    m AS (SELECT * FROM m1 UNION ALL SELECT * FROM m2
+          UNION ALL SELECT * FROM m3),
+    r AS (
+        SELECT query_id, doc_id, min_span,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY min_span, doc_id
+               ) AS rnk
+        FROM m
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, min_span,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= 10
+    """,
+)
+def x_proximity_search(spark, sf_dir):
+    """Proximity (NEAR) search over the positional index
+    (operators/retrieval.proximity_topk): top-10 docs per query by the
+    MINIMAL token span containing all query terms (k-pointer sweep per
+    candidate — O(Σ positions), not the O(Π tf) cross product), span ≤
+    window.  Query 3 carries a duplicated term ('scan scan') pinning
+    the set-semantics collapse.  FULL value oracle: DuckDB recomputes
+    every min_span with position joins — (query, doc, min_span, rnk)
+    must match bit-for-bit."""
+    import shutil as _shutil
+
+    from lwetl_spark.operators.retrieval import (
+        build_text_index,
+        proximity_topk,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    queries = spark.createDataFrame(
+        [(1, "hash table"), (2, "merge sort window"), (3, "scan scan")],
+        "query_id long, terms string",
+    )
+    work = _tmpdir("prox")
+    path = os.path.join(work, "index")
+    build_text_index(docs, path, positions=True)
+    # q2 runs at window=12: split the probe so each query gets its
+    # window (two bucket-pruned probes over the same index)
+    out = proximity_topk(
+        spark, path, queries.filter(F.col("query_id") != 2), window=8, k=10
+    ).unionByName(
+        proximity_topk(
+            spark, path, queries.filter(F.col("query_id") == 2),
+            window=12, k=10,
+        )
+    ).localCheckpoint(eager=True)
+    _shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+@register(
     "x_hll_sketch_store",
     """
     WITH s AS (

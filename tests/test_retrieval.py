@@ -1219,3 +1219,46 @@ def test_compact_deferred_threshold_policy(spark, tmp_path):
     s3 = ingest_increment(spark, changed({0, 1, 2}), man, st, idx,
                           compact_deferred_threshold=3)
     assert s3["n_deferred"] == 0 and s3["n_compacted"] == 0
+
+
+def test_proximity_topk_hand_checked(spark, tmp_path):
+    """Minimal-span semantics on a tiny corpus: unordered co-occurrence
+    window, k-pointer sweep == hand-computed spans, duplicate query
+    terms collapse (set semantics), window filter, span-ascending rank,
+    and absent-term docs never match."""
+    from lwetl_spark.operators.retrieval import build_text_index, proximity_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a x x x b"),          # span(a,b) = 5
+            (2, "b a"),                # span = 2 (unordered)
+            (3, "a x b x x a"),        # spans: [0,2]=3 best (a@0,b@2)
+            (4, "a a a"),              # b absent -> no match
+            (5, "c a b c"),            # span(a,b)=2; span(a,b,c)=3
+        ],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "prox")
+    build_text_index(docs, path, positions=True)
+
+    q = spark.createDataFrame([(1, "a b")], "query_id long, terms string")
+    rows = {r["doc_id"]: (r["min_span"], r["rnk"])
+            for r in proximity_topk(spark, path, q, window=5, k=10).collect()}
+    assert rows == {2: (2, 1), 5: (2, 2), 3: (3, 3), 1: (5, 4)}
+
+    # tighter window drops doc 1
+    rows4 = {r["doc_id"] for r in
+             proximity_topk(spark, path, q, window=4, k=10).collect()}
+    assert rows4 == {2, 3, 5}
+
+    # 3-term query
+    q3 = spark.createDataFrame([(1, "a b c")], "query_id long, terms string")
+    rows3 = {r["doc_id"]: r["min_span"]
+             for r in proximity_topk(spark, path, q3, window=8, k=10).collect()}
+    assert rows3 == {5: 3}
+
+    # duplicate terms collapse: 'a a' == single-term 'a' (min_span 1)
+    qd = spark.createDataFrame([(1, "a a")], "query_id long, terms string")
+    rowsd = {r["doc_id"]: r["min_span"]
+             for r in proximity_topk(spark, path, qd, window=3, k=10).collect()}
+    assert rowsd == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
