@@ -565,6 +565,89 @@ def text_index_stats(spark, path: str) -> DataFrame:
     )
 
 
+def hybrid_topk(
+    spark,
+    text_index_path: str,
+    vector_index_path: str,
+    term_queries: DataFrame,
+    vec_queries: DataFrame,
+    k: int = 10,
+    k_const: int = 60,
+    query_id_col: str = "query_id",
+    term_col: str = "term",
+    vec_col: str = "embedding",
+    nprobe: int = 6,
+    rerank: int = 100,
+    kind: str | None = None,
+) -> DataFrame:
+    """Hybrid retrieval over PERSISTED indexes as one operator: BM25
+    probe of the text index + ANN probe of the vector index (family
+    auto-detected from its layout — ivf/pq/lsh/ivfpq, the
+    `auto_maintain` detector), fused by reciprocal rank (`rrf_fuse`).
+    This is the production shape of the examples/hybrid_search
+    pipeline: build the two indexes once, serve fused top-k per query
+    batch without touching the corpus.
+
+    ``term_queries`` carries (query_id, term) rows (the bm25_topk
+    convention); ``vec_queries`` carries (query_id, ``vec_col``) — the
+    SAME query_id space, which must be DISJOINT from the corpus doc-id
+    space (the ANN probes drop id == neighbor_id self-matches; a query
+    id colliding with a doc id would silently exclude that doc from
+    its own dense list).  Returns rrf_fuse's contract:
+    (query_id, doc_id, n_lists, rrf_ppm, rnk), top-``k`` per query.
+
+    Scale shape: both probes are the pruned persisted-index paths
+    (|q| of 256 postings buckets; nprobe cell dirs / code buckets);
+    the fusion runs over 2·|queries|·k rows.  With ``nprobe`` set to
+    the index's num_centroids the IVF leg is EXACT (every cell
+    probed), which is what the x_hybrid_search oracle pins.
+    """
+    kind_resolved = kind
+    if kind_resolved is None:
+        from lwetl_spark.operators.maintain import detect_index_kind
+
+        kind_resolved = detect_index_kind(spark, vector_index_path)
+    lex = query_text_index(
+        spark, text_index_path, term_queries,
+        query_id_col=query_id_col, term_col=term_col, k=k,
+    )
+    qv = vec_queries.select(
+        F.col(query_id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+    )
+    if kind_resolved == "ivf":
+        from lwetl_spark.operators.similarity import query_ivf_index
+
+        dense = query_ivf_index(spark, vector_index_path, qv, k=k, nprobe=nprobe)
+    elif kind_resolved == "pq":
+        from lwetl_spark.operators.similarity import query_pq_index
+
+        dense = query_pq_index(spark, vector_index_path, qv, k=k, rerank=rerank)
+    elif kind_resolved == "lsh":
+        from lwetl_spark.operators.similarity import query_lsh_index
+
+        dense = query_lsh_index(spark, vector_index_path, qv, k=k)
+    elif kind_resolved == "ivfpq":
+        from lwetl_spark.operators.ivfpq import query_ivfpq_index
+
+        dense = query_ivfpq_index(
+            spark, vector_index_path, qv, k=k, nprobe=nprobe, rerank=rerank
+        )
+    else:
+        raise ValueError(f"unknown vector index kind {kind_resolved!r}")
+    return rrf_fuse(
+        [
+            lex.select("query_id", "doc_id", "rnk"),
+            dense.select(
+                F.col("id").alias("query_id"),
+                F.col("neighbor_id").alias("doc_id"),
+                F.col("rank").cast("long").alias("rnk"),
+            ),
+        ],
+        k_const=k_const,
+        topk=k,
+    )
+
+
 def rank_eval(
     ranking: DataFrame,
     relevance: DataFrame,

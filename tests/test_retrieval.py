@@ -1262,3 +1262,71 @@ def test_proximity_topk_hand_checked(spark, tmp_path):
     rowsd = {r["doc_id"]: r["min_span"]
              for r in proximity_topk(spark, path, qd, window=3, k=10).collect()}
     assert rowsd == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
+
+
+def test_hybrid_topk_over_persisted_indexes(spark, tmp_path):
+    """hybrid_topk composes the persisted-index probes: the fused output
+    equals rrf_fuse over the two legs run separately (plumbing parity),
+    family auto-detection dispatches every ANN kind, and disjoint query
+    ids keep corpus docs in their own dense lists."""
+    from pyspark.sql import functions as F
+
+    from lwetl_spark.operators.ivfpq import build_ivfpq_index
+    from lwetl_spark.operators.retrieval import (
+        build_text_index,
+        hybrid_topk,
+        query_text_index,
+        rrf_fuse,
+    )
+    from lwetl_spark.operators.similarity import (
+        build_ivf_index,
+        query_ivf_index,
+    )
+    from tests.conftest import SF_SMOKE
+
+    docs = spark.read.parquet(SF_SMOKE + "/documents.parquet").select(
+        "doc_id", "text"
+    )
+    emb = spark.read.parquet(SF_SMOKE + "/embeddings.parquet")
+    tpath = str(tmp_path / "text")
+    build_text_index(docs, tpath)
+
+    tq = spark.createDataFrame(
+        [(9000001, "scan"), (9000001, "table"), (9000002, "merge")],
+        "query_id long, term string",
+    )
+    vq = emb.filter(F.col("vec_id").isin(1, 2)).select(
+        (F.col("vec_id") + 9_000_000).alias("query_id"), "embedding"
+    )
+
+    vpath = str(tmp_path / "ivf")
+    build_ivf_index(emb, vpath)
+    got = hybrid_topk(spark, tpath, vpath, tq, vq, k=5)
+
+    lex = query_text_index(spark, tpath, tq, k=5)
+    dense = query_ivf_index(
+        spark, vpath,
+        vq.withColumnRenamed("query_id", "vec_id"), k=5,
+    )
+    want = rrf_fuse(
+        [lex.select("query_id", "doc_id", "rnk"),
+         dense.select(F.col("id").alias("query_id"),
+                      F.col("neighbor_id").alias("doc_id"),
+                      F.col("rank").cast("long").alias("rnk"))],
+        topk=5,
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    assert got.count() > 0
+
+    # every ANN family dispatches (smoke: >= 1 fused row per vec query)
+    from lwetl_spark.operators.similarity import build_lsh_index, build_pq_index
+
+    for kind, build in (
+        ("pq", build_pq_index), ("lsh", build_lsh_index),
+        ("ivfpq", build_ivfpq_index),
+    ):
+        p = str(tmp_path / kind)
+        build(emb, p)
+        out = hybrid_topk(spark, tpath, p, tq, vq, k=5)
+        qids = {r["query_id"] for r in out.select("query_id").distinct().collect()}
+        assert {9000001, 9000002} <= qids
