@@ -87,7 +87,73 @@ EXTENDED = [
     # copy per run — the campaign-row protocol)
     "x_ann_ivfpq",
     "auto_maintain",
+    # r7: persisted-index PROBE costs (build-once templates outside the
+    # timed window — these rows time what a serving deployment pays per
+    # query batch, not the amortized build)
+    "phrase_probe",
+    "hybrid_probe",
 ]
+
+
+#: text (positional) + IVF index templates for the probe rows, built
+#: once per sf_dir outside the timed window
+_RETR_TEMPLATES: dict[str, str] = {}
+
+
+def _retr_template(spark, sf_dir) -> str:
+    import tempfile
+
+    key = os.path.realpath(sf_dir)
+    if key not in _RETR_TEMPLATES:
+        from lwetl_spark.catalog import load_table
+        from lwetl_spark.operators.retrieval import build_text_index
+        from lwetl_spark.operators.similarity import build_ivf_index
+
+        base = tempfile.mkdtemp(prefix="bench_retr_tmpl_")
+        build_text_index(
+            load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+            f"{base}/text", positions=True,
+        )
+        build_ivf_index(load_table(spark, sf_dir, "embeddings"), f"{base}/vec")
+        _RETR_TEMPLATES[key] = base
+    return _RETR_TEMPLATES[key]
+
+
+def _phrase_probe(spark, sf_dir):
+    """Serving cost of exact-phrase search: bucket-pruned positional
+    postings fetch + offset-array adjacency fold + salted top-k."""
+    from lwetl_spark.operators.retrieval import phrase_topk
+
+    base = _retr_template(spark, sf_dir)
+    phrases = spark.createDataFrame(
+        [(1, "table hash"), (2, "merge group"), (3, "big big"),
+         (4, "fast order group")],
+        "query_id long, phrase string",
+    )
+    return phrase_topk(spark, f"{base}/text", phrases, k=10)
+
+
+def _hybrid_probe(spark, sf_dir):
+    """Serving cost of hybrid retrieval: BM25 bucket-pruned probe +
+    IVF nprobe cell probe + RRF fusion, per query batch."""
+    from pyspark.sql import functions as F
+
+    from lwetl_spark.catalog import load_table
+    from lwetl_spark.operators.retrieval import hybrid_topk
+
+    base = _retr_template(spark, sf_dir)
+    tq = spark.createDataFrame(
+        [(9000001, "scan"), (9000001, "table"),
+         (9000002, "merge"), (9000002, "sort"), (9000002, "window"),
+         (9000003, "hash"), (9000003, "part")],
+        "query_id long, term string",
+    )
+    vq = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id").isin(1, 2, 3))
+        .select((F.col("vec_id") + 9_000_000).alias("query_id"), "embedding")
+    )
+    return hybrid_topk(spark, f"{base}/text", f"{base}/vec", tq, vq, k=10)
 
 
 def _ivfpq_ann(spark, sf_dir):
@@ -348,6 +414,8 @@ BENCH_OVERRIDES = {
     "campaign_compact": _campaign_compact,
     "x_ann_ivfpq": _ivfpq_ann,
     "auto_maintain": _auto_maintain,
+    "phrase_probe": _phrase_probe,
+    "hybrid_probe": _hybrid_probe,
 }
 
 

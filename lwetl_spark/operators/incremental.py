@@ -195,6 +195,7 @@ def ingest_increment(
     text_col: str = "text",
     compact_changed: bool = False,
     compact_deferred_threshold: int | None = None,
+    index_positions: bool = False,
     snapshot_is_delta: bool = False,
     retire_removed: bool = False,
     tombstones: DataFrame | None = None,
@@ -221,6 +222,11 @@ def ingest_increment(
     3. **index maintenance** — operators/retrieval.update_text_index
        appends the admitted delta's postings into their hash buckets
        and dynamic-overwrites only the affected df buckets.
+       ``index_positions=True`` makes the BOOTSTRAP build positional
+       (`build_text_index(positions=True)`) — every later increment
+       and compaction inherits the flag from the persisted schema (the
+       sticky-flag contract), so the campaign-maintained index serves
+       `phrase_topk`/`proximity_topk` at any point in its life.
 
     Equivalence contract (pinned by tests/test_retrieval.py): after any
     sequence of increments, probing the index returns rankings
@@ -451,7 +457,8 @@ def ingest_increment(
             from lwetl_spark.operators.retrieval import build_text_index
 
             build_text_index(
-                delta_docs, index_path, id_col=id_col, text_col=text_col
+                delta_docs, index_path, id_col=id_col, text_col=text_col,
+                positions=index_positions,
             )
         admitted.select(F.col("_fp").alias("fp"), id_col).write.mode(
             "append"

@@ -1330,3 +1330,47 @@ def test_hybrid_topk_over_persisted_indexes(spark, tmp_path):
         out = hybrid_topk(spark, tpath, p, tq, vq, k=5)
         qids = {r["query_id"] for r in out.select("query_id").distinct().collect()}
         assert {9000001, 9000002} <= qids
+
+
+def test_campaign_positional_index_serves_phrases(spark, tmp_path):
+    """index_positions=True at bootstrap makes the campaign-maintained
+    index phrase-searchable for its whole life: increments and
+    compactions inherit the positional flag (sticky schema), and
+    phrase results equal a fresh positional build over the admitted
+    content at every step."""
+    from pyspark.sql import functions as F
+
+    from lwetl_spark.operators.incremental import ingest_increment
+    from lwetl_spark.operators.retrieval import build_text_index, phrase_topk
+    from tests.conftest import SF_SMOKE
+
+    docs = spark.read.parquet(SF_SMOKE + "/documents.parquet").select(
+        "doc_id", "text"
+    )
+    man, st, idx = (str(tmp_path / p) for p in ("m", "s", "x"))
+    even = docs.filter(F.col("doc_id") % 2 == 0)
+    ingest_increment(spark, even, man, st, idx, index_positions=True)
+    ingest_increment(
+        spark, docs.filter(F.col("doc_id") % 2 == 1), man, st, idx,
+        snapshot_is_delta=True,
+    )
+    changed = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(F.lit("table hash prefix "), F.col("text")),
+        ).otherwise(F.col("text")),
+    )
+    ingest_increment(spark, changed, man, st, idx, compact_changed=True)
+
+    admitted = spark.read.parquet(st).select("doc_id")
+    full = str(tmp_path / "full")
+    build_text_index(
+        changed.join(admitted, "doc_id", "left_semi"), full, positions=True
+    )
+    phrases = spark.createDataFrame(
+        [(1, "table hash"), (2, "big big")], "query_id long, phrase string"
+    )
+    got = sorted(map(tuple, phrase_topk(spark, idx, phrases, k=10).collect()))
+    want = sorted(map(tuple, phrase_topk(spark, full, phrases, k=10).collect()))
+    assert got == want and got
