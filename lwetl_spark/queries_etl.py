@@ -1408,6 +1408,111 @@ def x_phrase_search(spark, sf_dir):
 
 
 @register(
+    "x_media_sniff",
+    """
+    SELECT fmt, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        SELECT CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                               WHEN 2 THEN 'wav' ELSE 'unknown' END AS fmt
+        FROM documents
+    ) GROUP BY 1
+    """,
+)
+def x_media_sniff(spark, sf_dir):
+    """Magic-byte format sniffing over REAL container bytes
+    (operators/media.sniff_format — one JVM CASE over hex prefixes,
+    whole-stage codegen, zero Python): deterministic PNG/JPEG/WAV/junk
+    payloads synthesize per doc_id (valid signatures, real structure —
+    operators/media generators), the sniffer routes each, and the
+    per-format census must equal the id-arithmetic the generator used.
+    The routing filter every multimodal ingest runs before any
+    per-format decode."""
+    from lwetl_spark.operators.media import sniff_format, synth_media_demo
+
+    docs = _t(spark, sf_dir, "documents")
+    media = synth_media_demo(docs)
+    return (
+        media.select(sniff_format("payload").alias("fmt"))
+        .groupBy("fmt")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+@register(
+    "x_png_dims",
+    """
+    SELECT doc_id,
+           CAST(1 + doc_id % 64 AS BIGINT) AS width,
+           CAST(1 + doc_id % 32 AS BIGINT) AS height,
+           CAST(1000000 * (1 + doc_id % 64) // (1 + doc_id % 32) AS BIGINT)
+               AS aspect_ppm
+    FROM documents WHERE doc_id % 4 = 0
+    """,
+)
+def x_png_dims(spark, sf_dir):
+    """PNG dimensions parsed with PURE JVM expressions
+    (operators/media.png_dims): IHDR is always the first chunk, so the
+    big-endian width/height sit at fixed byte offsets and
+    `conv(hex(substring(payload, 17, 4)), 16, 10)` reads them without
+    leaving whole-stage codegen — the Spark-first proof that
+    fixed-offset container fields never need a UDF.  Payloads are real
+    decodable PNGs (valid zlib IDAT, correct CRCs) built from doc_id
+    arithmetic; every parsed value must equal that arithmetic."""
+    from lwetl_spark.operators.media import png_dims, synth_media_demo
+
+    docs = _t(spark, sf_dir, "documents")
+    media = synth_media_demo(docs).filter(F.col("doc_id") % 4 == 0)
+    w, h = png_dims("payload")
+    return media.select(
+        "doc_id",
+        w.alias("width"),
+        h.alias("height"),
+        F.expr("1000000 * width div height").alias("aspect_ppm"),
+    ).select("doc_id", "width", "height", "aspect_ppm")
+
+
+@register(
+    "x_media_meta",
+    """
+    SELECT doc_id,
+           CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                           WHEN 2 THEN 'wav' ELSE 'unknown' END AS fmt,
+           CASE doc_id % 4 WHEN 0 THEN CAST(1 + doc_id % 64 AS BIGINT)
+                           WHEN 1 THEN CAST(16 + doc_id % 32 AS BIGINT)
+                           END AS width,
+           CASE doc_id % 4 WHEN 0 THEN CAST(1 + doc_id % 32 AS BIGINT)
+                           WHEN 1 THEN CAST(16 + doc_id % 16 AS BIGINT)
+                           END AS height,
+           CASE WHEN doc_id % 4 = 2 THEN CAST(1 + doc_id % 2 AS BIGINT)
+                END AS channels,
+           CASE WHEN doc_id % 4 = 2
+                THEN CAST(8000 + 1000 * (doc_id % 8) AS BIGINT)
+                END AS sample_rate,
+           CASE WHEN doc_id % 4 = 2 THEN CAST(64 + doc_id % 50 AS BIGINT)
+                END AS n_samples,
+           CASE WHEN doc_id % 4 = 2
+                THEN CAST(1000 * (64 + doc_id % 50)
+                          // (8000 + 1000 * (doc_id % 8)) AS BIGINT)
+                END AS duration_ms,
+           doc_id % 4 <> 3 AS valid
+    FROM documents
+    """,
+)
+def x_media_meta(spark, sf_dir):
+    """Full container-metadata extraction (operators/media.media_meta —
+    the one Arrow pass of the media family): PNG IHDR, JPEG SOF marker-
+    segment scan (variable structure — the part that genuinely needs a
+    byte walk), WAV RIFF chunk walk with exact-integer duration, and
+    structural validation; corrupt/unknown payloads yield
+    (fmt='unknown', valid=false, NULL fields) instead of failing the
+    batch.  Every field value-checks against the generator's doc_id
+    arithmetic — REAL bytes parsed, exact oracle."""
+    from lwetl_spark.operators.media import media_meta, synth_media_demo
+
+    docs = _t(spark, sf_dir, "documents")
+    return media_meta(synth_media_demo(docs))
+
+
+@register(
     "x_hybrid_search",
     r"""
     WITH tok AS (
