@@ -1513,6 +1513,68 @@ def x_media_meta(spark, sf_dir):
 
 
 @register(
+    "x_media_curate",
+    """
+    WITH meta AS (
+        SELECT doc_id,
+               CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                               WHEN 2 THEN 'wav' ELSE 'unknown' END AS fmt,
+               CASE doc_id % 4 WHEN 0 THEN 1 + doc_id % 64
+                               WHEN 1 THEN 16 + doc_id % 32 END AS w,
+               CASE doc_id % 4 WHEN 0 THEN 1 + doc_id % 32
+                               WHEN 1 THEN 16 + doc_id % 16 END AS h,
+               doc_id % 4 <> 3 AS valid
+        FROM documents
+    ),
+    kept AS (
+        SELECT fmt,
+               CASE WHEN w >= h THEN 'landscape' ELSE 'portrait' END AS orient,
+               w * h AS px
+        FROM meta
+        WHERE valid AND fmt IN ('png', 'jpeg') AND w >= 4 AND h >= 4
+    )
+    SELECT fmt, orient, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(px) AS BIGINT) AS sum_px,
+           CAST(MIN(px) AS BIGINT) AS min_px,
+           CAST(MAX(px) AS BIGINT) AS max_px
+    FROM kept GROUP BY 1, 2
+    """,
+)
+def x_media_curate(spark, sf_dir):
+    """Composed media-curation gate — the image-side analog of the text
+    curate chain: synthesize real containers, parse them
+    (operators/media.media_meta), DROP corrupt + non-image + tiny
+    payloads (the min-resolution rule every vision-data pipeline
+    applies), and census the survivors by (format, orientation) with
+    exact pixel-count stats.  All decisions run on PARSED BYTES; the
+    oracle recomputes them from the generator arithmetic — the two
+    agree only if every stage (generation, parsing, filtering,
+    bucketing) is byte-faithful."""
+    from lwetl_spark.operators.media import media_meta, synth_media_demo
+
+    docs = _t(spark, sf_dir, "documents")
+    meta = media_meta(synth_media_demo(docs))
+    kept = meta.filter(
+        F.col("valid")
+        & F.col("fmt").isin("png", "jpeg")
+        & (F.col("width") >= 4)
+        & (F.col("height") >= 4)
+    ).select(
+        "fmt",
+        F.when(F.col("width") >= F.col("height"), "landscape")
+        .otherwise("portrait")
+        .alias("orient"),
+        (F.col("width") * F.col("height")).alias("px"),
+    )
+    return kept.groupBy("fmt", "orient").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("px").cast("long").alias("sum_px"),
+        F.min("px").cast("long").alias("min_px"),
+        F.max("px").cast("long").alias("max_px"),
+    )
+
+
+@register(
     "x_hybrid_search",
     r"""
     WITH tok AS (

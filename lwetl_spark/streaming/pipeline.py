@@ -793,6 +793,7 @@ def stream_ingest_increment(
     vector_index_path: str | None = None,
     vec_col: str = "embedding",
     vector_index_kind: str = "ivf",
+    index_positions: bool = False,
 ):
     """Continuous daily-crawl ingestion: every micro-batch of crawled
     documents runs one delta-mode campaign increment
@@ -851,6 +852,7 @@ def stream_ingest_increment(
             id_col=id_col,
             text_col=text_col,
             snapshot_is_delta=True,
+            index_positions=index_positions,
             **vec_kwargs,
         )
 
