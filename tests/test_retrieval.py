@@ -1374,3 +1374,51 @@ def test_campaign_positional_index_serves_phrases(spark, tmp_path):
     got = sorted(map(tuple, phrase_topk(spark, idx, phrases, k=10).collect()))
     want = sorted(map(tuple, phrase_topk(spark, full, phrases, k=10).collect()))
     assert got == want and got
+
+
+def test_phrase_and_proximity_probes_prune_buckets(spark, tmp_path):
+    """Both positional probes must reach the postings scan with a
+    PartitionFilters entry on the tok-hash bucket (file-listing
+    pruning) AND project only the columns they use — phrase never
+    reads tf, BM25 probes over the same index never read positions."""
+    import re
+
+    from lwetl_spark.operators.retrieval import (
+        build_text_index,
+        phrase_topk,
+        proximity_topk,
+        query_text_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta") for i in range(10)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "idx")
+    build_text_index(docs, path, positions=True)
+
+    ph = phrase_topk(
+        spark, path,
+        spark.createDataFrame([(1, "alpha beta")], "query_id long, phrase string"),
+    )
+    plan = ph._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[[^\]]*bucket#\d+ IN ?\(", plan), plan
+
+    px = proximity_topk(
+        spark, path,
+        spark.createDataFrame([(1, "alpha gamma")], "query_id long, terms string"),
+        window=5,
+    )
+    plan_px = px._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[[^\]]*bucket#\d+ IN ?\(", plan_px), plan_px
+
+    # column pruning: the BM25 probe over the positional index reads
+    # 3 columns, never the offsets array
+    bm = query_text_index(
+        spark, path,
+        spark.createDataFrame([(1, "alpha")], "query_id int, term string"),
+        k=3,
+    )
+    plan_bm = bm._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan_bm)
+    assert m and "positions" not in m.group(1), plan_bm
