@@ -1476,23 +1476,22 @@ def x_png_dims(spark, sf_dir):
     SELECT doc_id,
            CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
                            WHEN 2 THEN 'wav' ELSE 'unknown' END AS fmt,
-           CASE doc_id % 4 WHEN 0 THEN CAST(1 + doc_id % 64 AS BIGINT)
-                           WHEN 1 THEN CAST(16 + doc_id % 32 AS BIGINT)
-                           END AS width,
-           CASE doc_id % 4 WHEN 0 THEN CAST(1 + doc_id % 32 AS BIGINT)
-                           WHEN 1 THEN CAST(16 + doc_id % 16 AS BIGINT)
-                           END AS height,
-           CASE WHEN doc_id % 4 = 2 THEN CAST(1 + doc_id % 2 AS BIGINT)
-                END AS channels,
-           CASE WHEN doc_id % 4 = 2
-                THEN CAST(8000 + 1000 * (doc_id % 8) AS BIGINT)
-                END AS sample_rate,
-           CASE WHEN doc_id % 4 = 2 THEN CAST(64 + doc_id % 50 AS BIGINT)
-                END AS n_samples,
-           CASE WHEN doc_id % 4 = 2
-                THEN CAST(1000 * (64 + doc_id % 50)
-                          // (8000 + 1000 * (doc_id % 8)) AS BIGINT)
-                END AS duration_ms,
+           CAST(CASE doc_id % 4 WHEN 0 THEN 1 + doc_id % 64
+                                WHEN 1 THEN 16 + doc_id % 32
+                                ELSE -1 END AS BIGINT) AS width,
+           CAST(CASE doc_id % 4 WHEN 0 THEN 1 + doc_id % 32
+                                WHEN 1 THEN 16 + doc_id % 16
+                                ELSE -1 END AS BIGINT) AS height,
+           CAST(CASE WHEN doc_id % 4 = 2 THEN 1 + doc_id % 2
+                     ELSE -1 END AS BIGINT) AS channels,
+           CAST(CASE WHEN doc_id % 4 = 2 THEN 8000 + 1000 * (doc_id % 8)
+                     ELSE -1 END AS BIGINT) AS sample_rate,
+           CAST(CASE WHEN doc_id % 4 = 2 THEN 64 + doc_id % 50
+                     ELSE -1 END AS BIGINT) AS n_samples,
+           CAST(CASE WHEN doc_id % 4 = 2
+                     THEN 1000 * (64 + doc_id % 50)
+                          // (8000 + 1000 * (doc_id % 8))
+                     ELSE -1 END AS BIGINT) AS duration_ms,
            doc_id % 4 <> 3 AS valid
     FROM documents
     """,
@@ -1505,11 +1504,21 @@ def x_media_meta(spark, sf_dir):
     structural validation; corrupt/unknown payloads yield
     (fmt='unknown', valid=false, NULL fields) instead of failing the
     batch.  Every field value-checks against the generator's doc_id
-    arithmetic — REAL bytes parsed, exact oracle."""
+    arithmetic — REAL bytes parsed, exact oracle.  Not-applicable
+    fields COALESCE to -1 on both sides (the NULL-sentinel parity-
+    harness rule; the operator itself keeps honest NULLs)."""
     from lwetl_spark.operators.media import media_meta, synth_media_demo
 
     docs = _t(spark, sf_dir, "documents")
-    return media_meta(synth_media_demo(docs))
+    out = media_meta(synth_media_demo(docs))
+    num_cols = ["width", "height", "channels", "sample_rate",
+                "n_samples", "duration_ms"]
+    return out.select(
+        "doc_id", "fmt",
+        *[F.coalesce(F.col(c), F.lit(-1)).cast("long").alias(c)
+          for c in num_cols],
+        "valid",
+    )
 
 
 @register(
