@@ -1055,3 +1055,27 @@ def stream_event_pattern(
         tail.write.mode("overwrite").parquet(state_path)
 
     return stream.writeStream.foreachBatch(sink).start(), totals
+
+
+def stream_media_meta(
+    spark: SparkSession,
+    media_path: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming twin of operators/media.media_meta: continuous
+    container-metadata extraction over arriving (doc_id, payload
+    binary) parquet — the front gate of a streaming multimodal ingest
+    (route by sniffed format, drop corrupt files, bucket by
+    resolution/duration before any expensive decode stage).  The Arrow
+    parser is the SAME mapInPandas closure as the batch operator, so
+    per-item results are identical by construction (pinned by
+    test_streaming); corrupt payloads yield valid=false rows, never a
+    failed micro-batch.  Returns the streaming DataFrame for the
+    caller to sink."""
+    from lwetl_spark.operators.media import media_meta
+
+    schema = spark.read.parquet(media_path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return media_meta(reader.parquet(media_path))

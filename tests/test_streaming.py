@@ -946,3 +946,23 @@ def test_stream_ingest_cdc_last_write_wins(spark, tmp_path):
         q.stop()
     assert {r["doc_id"] for r in spark.read.parquet(st).collect()} == {6, 7}
     assert spark.read.parquet(f"{idx}/doclen").count() == 2
+
+
+def test_stream_media_meta_matches_batch(spark, tmp_path):
+    """Streaming container parsing == batch media_meta row-for-row
+    (same Arrow closure), including the corrupt-payload leg."""
+    from lwetl_spark.operators.media import media_meta, synth_media_demo
+    from lwetl_spark.streaming.pipeline import stream_media_meta, stream_to_memory
+
+    ids = spark.range(120).select(F.col("id").alias("doc_id"))
+    media = synth_media_demo(ids).localCheckpoint(eager=True)
+    p = str(tmp_path / "media")
+    media.coalesce(2).write.parquet(p)
+
+    got = stream_to_memory(
+        stream_media_meta(spark, p, max_files_per_trigger=1),
+        name="t_media_meta_out", mode="append",
+    )
+    want = media_meta(media)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    assert got.filter("valid = false").count() == 30  # the %4==3 leg
