@@ -308,6 +308,7 @@ def phrase_topk(
     phrase_col: str = "phrase",
     k: int = 10,
     salt_buckets: int = 64,
+    with_pos: bool = False,
 ) -> DataFrame:
     """Exact-phrase search over a POSITIONAL text index (VERDICT r6 #3;
     `build_text_index(positions=True)`): for each (query_id, phrase),
@@ -330,6 +331,10 @@ def phrase_topk(
     (overlaps included, repeated terms handled: each term_pos joins
     its own posting row).  Top-k is the salted two-phase window, so a
     stop-wordy phrase never funnels the corpus through one task.
+
+    ``with_pos=True`` appends ``first_pos`` (the smallest match start
+    offset, 0-based) — the anchor `phrase_snippets` slices its context
+    windows around.
     """
     rows = phrases.select(query_id_col, phrase_col).collect()  # bounded:
     # the query set, never the corpus (the bm25 query-side convention)
@@ -342,9 +347,10 @@ def phrase_topk(
         meta_rows.append((int(r[0]), len(toks)))
         term_rows.extend((int(r[0]), i, t) for i, t in enumerate(toks))
     if not term_rows:
-        return spark.createDataFrame(
-            [], "query_id long, doc_id long, n_matches long, rnk long"
-        )
+        empty_schema = "query_id long, doc_id long, n_matches long, rnk long"
+        if with_pos:
+            empty_schema += ", first_pos long"
+        return spark.createDataFrame([], empty_schema)
     q = spark.createDataFrame(term_rows, "query_id long, term_pos int, tok string")
     qmeta = spark.createDataFrame(meta_rows, "query_id long, n_terms int")
     buckets = sorted(
@@ -372,18 +378,23 @@ def phrase_topk(
         .join(F.broadcast(qmeta), "query_id")
         .filter(F.col("_nf") == F.col("n_terms"))  # every phrase slot found
         .withColumn(
-            "n_matches",
+            "_m",  # all match START offsets; count and min derive from it
             F.expr(
-                "size(aggregate("
+                "aggregate("
                 " slice(_arrs, 2, size(_arrs) - 1),"
                 " _arrs[0].positions,"
                 " (acc, s) -> filter(acc,"
                 "   p -> array_contains(s.positions, p + s.term_pos))"
-                "))"
-            ).cast("long"),
+                ")"
+            ),
         )
+        .withColumn("n_matches", F.size("_m").cast("long"))
         .filter(F.col("n_matches") > 0)
-        .select("query_id", "doc_id", "n_matches")
+        .select(
+            "query_id", "doc_id", "n_matches",
+            *( [F.array_min("_m").cast("long").alias("first_pos")]
+               if with_pos else [] ),
+        )
     )
     salt = F.pmod(F.xxhash64("doc_id"), F.lit(salt_buckets))
     w_partial = Window.partitionBy("query_id", "_salt").orderBy(
@@ -399,6 +410,55 @@ def phrase_topk(
         .drop("_salt", "_rn")
         .withColumn("rnk", F.row_number().over(w_final).cast("long"))
         .filter(F.col("rnk") <= k)
+    )
+
+
+def phrase_snippets(
+    spark,
+    path: str,
+    docs: DataFrame,
+    phrases: DataFrame,
+    radius: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    phrase_col: str = "phrase",
+    k: int = 10,
+) -> DataFrame:
+    """Snippet extraction — the serving feature on top of phrase
+    search: for each phrase hit, the ±``radius``-token context window
+    around the FIRST match, as whitespace-normalized text.  Returns
+    (query_id, doc_id, n_matches, rnk, first_pos, snippet).
+
+    Plan shape: `phrase_topk(with_pos=True)` finds the hits over the
+    positional index (bucket-pruned, corpus untouched); the |q|·k hit
+    rows then BROADCAST into one id-keyed join that fetches document
+    text (the x_rerank shape — the 100 TB corpus never shuffles for a
+    snippet pass), and the window is a pure JVM token slice:
+    ``array_join(slice(tokens, start+1, len), ' ')``.  Snippets are
+    deterministic functions of (text, first_pos, phrase length,
+    radius), so the whole output value-checks against a SQL oracle
+    (x_phrase_snippets)."""
+    hits = phrase_topk(
+        spark, path, phrases,
+        query_id_col=query_id_col, phrase_col=phrase_col,
+        k=k, with_pos=True,
+    )
+    plen = [
+        (int(r[0]), len([t for t in str(r[1]).lower().strip().split() if t]))
+        for r in phrases.select(query_id_col, phrase_col).collect()
+    ]
+    qlen = spark.createDataFrame(plen, "query_id long, _plen int")
+    toks = F.expr(_TOKENIZE.format(col=text_col))
+    corpus = docs.select(F.col(id_col).alias("doc_id"), toks.alias("_toks"))
+    joined = corpus.join(
+        F.broadcast(hits.join(F.broadcast(qlen), "query_id")), "doc_id"
+    )
+    start = F.greatest(F.col("first_pos") - radius, F.lit(0))
+    cnt = F.col("first_pos") + F.col("_plen") + radius - start
+    return joined.select(
+        "query_id", "doc_id", "n_matches", "rnk", "first_pos",
+        F.array_join(F.slice("_toks", start + 1, cnt), " ").alias("snippet"),
     )
 
 

@@ -1720,6 +1720,72 @@ def x_hybrid_search(spark, sf_dir):
 
 
 @register(
+    "x_phrase_snippets",
+    r"""
+    WITH toks AS (
+        SELECT doc_id, list_filter(
+            string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS t
+        FROM documents
+    ),
+    tok AS (
+        SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS pos
+        FROM toks
+    ),
+    ph(query_id, p1, p2) AS (VALUES (1, 'table', 'hash'), (2, 'big', 'big')),
+    m AS (
+        SELECT ph.query_id, a.doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
+               CAST(MIN(a.pos) - 1 AS BIGINT) AS first_pos
+        FROM ph
+        JOIN tok a ON a.tok = ph.p1
+        JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+                  AND b.tok = ph.p2
+        GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY n_matches DESC, doc_id) AS rnk
+        FROM m
+    ),
+    top AS (SELECT * FROM r WHERE rnk <= 10)
+    SELECT CAST(t.query_id AS BIGINT) AS query_id, t.doc_id, t.n_matches,
+           CAST(t.rnk AS BIGINT) AS rnk, t.first_pos,
+           array_to_string(list_slice(k.t,
+               CAST(GREATEST(t.first_pos - 2, 0) + 1 AS INT),
+               CAST(t.first_pos + 4 AS INT)), ' ') AS snippet
+    FROM top t JOIN toks k USING (doc_id)
+    """,
+)
+def x_phrase_snippets(spark, sf_dir):
+    """Snippet extraction over phrase hits (operators/retrieval.
+    phrase_snippets): the ±2-token context window around each top-10
+    hit's first match, sliced JVM-side from the tokenized text after
+    ONE id-keyed join with the hit set broadcast (the corpus never
+    shuffles for a snippet pass).  FULL value oracle: DuckDB recomputes
+    first positions with adjacency joins and the snippets with
+    list_slice — every (query, doc, n_matches, rnk, first_pos,
+    snippet) row must match character-for-character."""
+    import shutil as _shutil
+
+    from lwetl_spark.operators.retrieval import (
+        build_text_index,
+        phrase_snippets,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    phrases = spark.createDataFrame(
+        [(1, "table hash"), (2, "big big")], "query_id long, phrase string"
+    )
+    work = _tmpdir("snip")
+    path = os.path.join(work, "index")
+    build_text_index(docs, path, positions=True)
+    out = phrase_snippets(
+        spark, path, docs, phrases, radius=2, k=10
+    ).localCheckpoint(eager=True)
+    _shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+@register(
     "x_proximity_search",
     r"""
     WITH toks AS (

@@ -1422,3 +1422,40 @@ def test_phrase_and_proximity_probes_prune_buckets(spark, tmp_path):
     plan_bm = bm._jdf.queryExecution().executedPlan().toString()
     m = re.search(r"ReadSchema: struct<([^>]*)>", plan_bm)
     assert m and "positions" not in m.group(1), plan_bm
+
+
+def test_phrase_snippets_hand_checked(spark, tmp_path):
+    """Snippet slicing on a tiny corpus: window clamps at both document
+    edges, first (not best) match anchors, and with_pos=False keeps the
+    original phrase_topk schema."""
+    from lwetl_spark.operators.retrieval import (
+        build_text_index,
+        phrase_snippets,
+        phrase_topk,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),   # mid-doc match
+            (2, "c d x y z"),         # match at doc start (left clamp)
+            (3, "x y z c d"),         # match at doc end (right clamp)
+            (4, "c d q c d"),         # two matches: first anchors
+        ],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "snip")
+    build_text_index(docs, path, positions=True)
+    phrases = spark.createDataFrame([(1, "c d")], "query_id long, phrase string")
+
+    out = {r["doc_id"]: r for r in
+           phrase_snippets(spark, path, docs, phrases, radius=2, k=10).collect()}
+    assert out[1]["snippet"] == "a b c d e f"      # pos2: [0..5]
+    assert out[1]["first_pos"] == 2
+    assert out[2]["snippet"] == "c d x y"          # left clamp at 0
+    assert out[3]["snippet"] == "y z c d"          # right clamp at len
+    assert out[4]["snippet"] == "c d q c"          # first match anchors
+    assert out[4]["n_matches"] == 2
+
+    # default schema unchanged (no first_pos column)
+    cols = phrase_topk(spark, path, phrases, k=10).columns
+    assert cols == ["query_id", "doc_id", "n_matches", "rnk"]
