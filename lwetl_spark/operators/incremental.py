@@ -204,6 +204,7 @@ def ingest_increment(
     vec_col: str = "embedding",
     vector_num_centroids: int = 16,
     vector_index_kind: str = "ivf",
+    vector_auto_maintain: bool = False,
 ) -> dict:
     """One daily-crawl increment, composed end-to-end (VERDICT r4 #8):
 
@@ -326,12 +327,25 @@ def ingest_increment(
     campaign's FIRST increment onward (the quantizer trains at
     bootstrap); ids lacking an embedding row enter the text index only.
 
+    ``vector_auto_maintain=True`` closes the loop on the vector side:
+    after this increment's index work, `operators/maintain.
+    auto_maintain` reads the index's drift stats and executes a
+    retrain if a threshold tripped (the default policy table).  NOTE:
+    a fired retrain re-trains the quantizers over the CURRENT members
+    — deliberately leaving the frozen-at-bootstrap family behind, so
+    the `== rebuild with train_df=bootstrap` equivalence no longer
+    describes the index (it now equals a FRESH build over the current
+    members, the stronger property).  The returned
+    ``vector_maintenance`` reports the decision ('noop'/'retrain'; ''
+    when not requested or no vector leg).
+
     Returns {"n_snapshot", "n_new_or_changed", "n_admitted",
     "n_compacted", "n_deferred", "n_retired", "n_vec_indexed",
-    "n_vec_retired"}.  ``n_deferred`` is the backlog measured this
-    increment (0 when no compaction scheduling was requested — the
-    count is only computed when ``compact_changed`` or
-    ``compact_deferred_threshold`` asks for it).
+    "n_vec_retired", "vector_maintenance"}.  ``n_deferred`` is the
+    backlog measured this increment (0 when no compaction scheduling
+    was requested — the count is only computed when
+    ``compact_changed`` or ``compact_deferred_threshold`` asks for
+    it).
     """
     from lwetl_spark.operators.retrieval import update_text_index
 
@@ -661,6 +675,17 @@ def ingest_increment(
         # scan feeding the merge/deferral unions above
         manifest_out = manifest_out.localCheckpoint(eager=True)
     manifest_out.write.mode("overwrite").parquet(manifest_path)
+    vec_action = ""
+    if (
+        vector_auto_maintain
+        and vector_index_path is not None
+        and _path_exists(spark, _vec_marker)
+    ):
+        from lwetl_spark.operators.maintain import auto_maintain
+
+        vec_action = auto_maintain(
+            spark, vector_index_path, kind=vector_index_kind
+        ).collect()[0]["action"]
     return {
         "n_snapshot": n_snapshot,
         "n_new_or_changed": n_fresh,
@@ -670,4 +695,5 @@ def ingest_increment(
         "n_retired": n_retired,
         "n_vec_indexed": n_vec_indexed,
         "n_vec_retired": n_vec_retired,
+        "vector_maintenance": vec_action,
     }
