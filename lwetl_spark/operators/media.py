@@ -101,6 +101,293 @@ def wav_bytes(sample_rate: int, channels: int, n_samples: int) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def png_bytes_pattern(w: int, h: int, seed: int) -> bytes:
+    """A real grayscale PNG whose pixel (r, c) = (seed + 7r + 13c) % 256,
+    scanlines alternating filter 0 (None) on even rows and filter 1
+    (Sub) on odd rows — so a decoder must run the actual PNG
+    reconstruction algorithm, not just strip filter bytes."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    lines = []
+    for r in range(h):
+        raw = bytes((seed + 7 * r + 13 * c) % 256 for c in range(w))
+        if r % 2 == 0:
+            lines.append(b"\x00" + raw)
+        else:  # Sub filter: filt[c] = raw[c] - raw[c-1] (mod 256)
+            prev = 0
+            filt = bytearray()
+            for b in raw:
+                filt.append((b - prev) & 0xFF)
+                prev = b
+            lines.append(b"\x01" + bytes(filt))
+    return (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def wav_pcm_bytes(sample_rate: int, samples: list[int], channels: int = 1) -> bytes:
+    """A complete 16-bit PCM WAV carrying the given signed samples."""
+    import struct
+
+    bits = 16
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate,
+        sample_rate * channels * bits // 8, channels * bits // 8, bits,
+    )
+    body = (
+        b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+PNG_PIXEL_SCHEMA = (
+    "doc_id long, width long, height long, n_px long, sum_px long,"
+    " min_px long, max_px long"
+)
+
+
+def png_pixel_stats(df: DataFrame) -> DataFrame:
+    """REAL PNG pixel decode — no image library, no stub: zlib-inflate
+    the IDAT stream and run the PNG reconstruction algorithm (all five
+    scanline filters — None/Sub/Up/Average/Paeth — from the public
+    spec, 8-bit grayscale) to recover the actual pixel values, then
+    emit exact integer stats per image.  This retires the "pixel
+    decode is stubbed" caveat for PNG: the engine decodes real images;
+    only learned feature EXTRACTION still wants an external model.
+
+    Input (doc_id, payload binary); non-PNG/undecodable payloads yield
+    NULL stats rather than failing the batch.  One Arrow pass; numpy
+    does the per-scanline arithmetic."""
+
+    def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import struct
+        import zlib
+
+        import numpy as np
+        import pandas as pd
+
+        def pixels(b: bytes):
+            b = bytes(b)
+            if len(b) < 41 or b[:8] != b"\x89PNG\r\n\x1a\n":
+                return None
+            w, h = struct.unpack(">II", b[16:24])
+            bitdepth, colortype = b[24], b[25]
+            if bitdepth != 8 or colortype != 0:
+                return None  # this decoder: 8-bit grayscale only
+            # concatenate IDAT chunks (spec allows several)
+            idat = bytearray()
+            pos = 8
+            while pos + 8 <= len(b):
+                ln = struct.unpack(">I", b[pos : pos + 4])[0]
+                tag = b[pos + 4 : pos + 8]
+                if tag == b"IDAT":
+                    idat += b[pos + 8 : pos + 8 + ln]
+                if tag == b"IEND":
+                    break
+                pos += 12 + ln
+            try:
+                raw = zlib.decompress(bytes(idat))
+            except zlib.error:
+                return None
+            stride = 1 + w  # filter byte + w 1-byte pixels
+            if len(raw) != h * stride:
+                return None
+            out = np.zeros((h, w), dtype=np.uint8)
+            prev = np.zeros(w, dtype=np.int32)
+            for r in range(h):
+                line = raw[r * stride : (r + 1) * stride]
+                ftype = line[0]
+                cur = np.frombuffer(line[1:], dtype=np.uint8).astype(np.int32)
+                if ftype == 0:  # None
+                    rec = cur
+                elif ftype == 1:  # Sub
+                    rec = cur.copy()
+                    for c in range(1, w):
+                        rec[c] = (rec[c] + rec[c - 1]) & 0xFF
+                elif ftype == 2:  # Up
+                    rec = (cur + prev) & 0xFF
+                elif ftype == 3:  # Average
+                    rec = cur.copy()
+                    rec[0] = (rec[0] + prev[0] // 2) & 0xFF
+                    for c in range(1, w):
+                        rec[c] = (rec[c] + (rec[c - 1] + prev[c]) // 2) & 0xFF
+                elif ftype == 4:  # Paeth
+                    rec = cur.copy()
+                    for c in range(w):
+                        a = rec[c - 1] if c else 0
+                        bb = prev[c]
+                        cc = prev[c - 1] if c else 0
+                        p = a + bb - cc
+                        pa, pb, pc = abs(p - a), abs(p - bb), abs(p - cc)
+                        pred = a if (pa <= pb and pa <= pc) else (bb if pb <= pc else cc)
+                        rec[c] = (rec[c] + pred) & 0xFF
+                else:
+                    return None
+                out[r] = rec
+                prev = rec.astype(np.int32)
+            px = out.astype(np.int64)
+            return (
+                int(w), int(h), int(px.size), int(px.sum()),
+                int(px.min()), int(px.max()),
+            )
+
+        cols = ["width", "height", "n_px", "sum_px", "min_px", "max_px"]
+        for pdf in batches:
+            parsed = [pixels(b) for b in pdf["payload"]]
+            out = pd.DataFrame(
+                [p if p is not None else (None,) * 6 for p in parsed],
+                columns=cols,
+            )
+            out.insert(0, "doc_id", pdf["doc_id"].to_numpy())
+            yield out
+
+    return df.mapInPandas(decode, schema=PNG_PIXEL_SCHEMA)
+
+
+WAV_PCM_SCHEMA = (
+    "doc_id long, n_samples long, peak long, sum_abs long, n_clipped long"
+)
+
+
+def wav_pcm_stats(df: DataFrame, clip_at: int = 32767) -> DataFrame:
+    """REAL PCM sample decode: walk the RIFF chunks, `np.frombuffer`
+    the 16-bit data chunk, and emit exact integer signal stats — peak
+    |amplitude|, total |amplitude| (the integer stand-in for RMS:
+    hash-stable where sqrt is not), and the clipped-sample count
+    (|s| ≥ ``clip_at``) — the loudness/clipping gate an audio ingest
+    applies before any model.  Non-WAV payloads yield NULLs; one Arrow
+    pass."""
+
+    def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import struct
+
+        import numpy as np
+        import pandas as pd
+
+        thr = clip_at
+
+        def stats(b: bytes):
+            b = bytes(b)
+            if len(b) < 44 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+                return None
+            bits = None
+            pos = 12
+            data = None
+            while pos + 8 <= len(b):
+                tag = b[pos : pos + 4]
+                size = struct.unpack("<I", b[pos + 4 : pos + 8])[0]
+                if tag == b"fmt " and pos + 24 <= len(b):
+                    bits = struct.unpack("<H", b[pos + 22 : pos + 24])[0]
+                elif tag == b"data":
+                    data = b[pos + 8 : pos + 8 + size]
+                pos += 8 + size + (size & 1)
+            if bits != 16 or data is None or len(data) % 2:
+                return None
+            s = np.frombuffer(data, dtype="<i2").astype(np.int64)
+            if not len(s):
+                return (0, 0, 0, 0)
+            a = np.abs(s)
+            return (len(s), int(a.max()), int(a.sum()), int((a >= thr).sum()))
+
+        cols = ["n_samples", "peak", "sum_abs", "n_clipped"]
+        for pdf in batches:
+            parsed = [stats(b) for b in pdf["payload"]]
+            out = pd.DataFrame(
+                [p if p is not None else (None,) * 4 for p in parsed],
+                columns=cols,
+            )
+            out.insert(0, "doc_id", pdf["doc_id"].to_numpy())
+            yield out
+
+    return df.mapInPandas(decode, schema=WAV_PCM_SCHEMA)
+
+
+def synth_pixel_media_demo(
+    docs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic DECODABLE media per document — the fixture behind
+    the pixel/sample-decode oracle keys.  All values are doc_id
+    arithmetic, so a SQL oracle can recompute every decoded pixel and
+    sample:
+
+    - even ids → patterned PNG: w = 2+(id%16), h = 1+(id%8),
+      pixel(r, c) = (id%256 + 7r + 13c) % 256, mixed None/Sub filters
+      (the decoder must really reconstruct);
+    - odd ids → 16-bit PCM WAV: n = 40+(id%20) samples,
+      sample(j) = ((id·31 + j·17) % 65536) − 32768, mono 8 kHz.
+
+    One Arrow pass; generators nested (pickled by value)."""
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import struct
+        import zlib
+
+        import pandas as pd
+
+        def _png_pat(w: int, h: int, seed: int) -> bytes:
+            def chunk(tag: bytes, data: bytes) -> bytes:
+                return (
+                    struct.pack(">I", len(data)) + tag + data
+                    + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+                )
+
+            ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+            lines = []
+            for r in range(h):
+                raw = bytes((seed + 7 * r + 13 * c) % 256 for c in range(w))
+                if r % 2 == 0:
+                    lines.append(b"\x00" + raw)
+                else:
+                    prev = 0
+                    filt = bytearray()
+                    for x in raw:
+                        filt.append((x - prev) & 0xFF)
+                        prev = x
+                    lines.append(b"\x01" + bytes(filt))
+            return (
+                b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+                + chunk(b"IEND", b"")
+            )
+
+        def _wav_pcm(samples: list[int]) -> bytes:
+            data = struct.pack(f"<{len(samples)}h", *samples)
+            fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+            body = (
+                b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt
+                + b"data" + struct.pack("<I", len(data)) + data
+            )
+            return b"RIFF" + struct.pack("<I", len(body)) + body
+
+        def one(i: int) -> bytes:
+            if i % 2 == 0:
+                return _png_pat(2 + i % 16, 1 + i % 8, i % 256)
+            n = 40 + i % 20
+            return _wav_pcm(
+                [((i * 31 + j * 17) % 65536) - 32768 for j in range(n)]
+            )
+
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame({"doc_id": ids, "payload": ids.map(one)})
+
+    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        gen, "doc_id long, payload binary"
+    )
+
+
 def synth_media_demo(
     docs: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:

@@ -1522,6 +1522,84 @@ def x_media_meta(spark, sf_dir):
 
 
 @register(
+    "x_png_pixels",
+    """
+    WITH g AS (
+        SELECT doc_id, 2 + doc_id % 16 AS w, 1 + doc_id % 8 AS h,
+               doc_id % 256 AS seed
+        FROM documents WHERE doc_id % 2 = 0
+    ),
+    rr AS (SELECT doc_id, w, h, seed, unnest(range(0, h)) AS r FROM g),
+    px AS (
+        SELECT doc_id, w, h,
+               (seed + 7 * r + 13 * unnest(range(0, w))) % 256 AS v
+        FROM rr
+    )
+    SELECT doc_id, CAST(MAX(w) AS BIGINT) AS width,
+           CAST(MAX(h) AS BIGINT) AS height,
+           CAST(COUNT(*) AS BIGINT) AS n_px,
+           CAST(SUM(v) AS BIGINT) AS sum_px,
+           CAST(MIN(v) AS BIGINT) AS min_px,
+           CAST(MAX(v) AS BIGINT) AS max_px
+    FROM px GROUP BY doc_id
+    """,
+)
+def x_png_pixels(spark, sf_dir):
+    """REAL PNG pixel decode, no image library (operators/media.
+    png_pixel_stats): zlib-inflate the IDAT and run the spec's
+    scanline reconstruction (all five filters; the fixture mixes
+    None and Sub rows so un-filtering must actually happen), then
+    exact integer pixel stats.  Every decoded pixel value-checks
+    against the generator arithmetic the oracle recomputes — this key
+    retires the 'pixel decode is stubbed' caveat for PNG."""
+    from lwetl_spark.operators.media import (
+        png_pixel_stats,
+        synth_pixel_media_demo,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = synth_pixel_media_demo(docs).filter(F.col("doc_id") % 2 == 0)
+    return png_pixel_stats(media)
+
+
+@register(
+    "x_wav_pcm",
+    """
+    WITH g AS (
+        SELECT doc_id, 40 + doc_id % 20 AS n
+        FROM documents WHERE doc_id % 2 = 1
+    ),
+    s AS (SELECT doc_id, n, unnest(range(0, n)) AS j FROM g),
+    v AS (
+        SELECT doc_id, n,
+               ABS((doc_id * 31 + j * 17) % 65536 - 32768) AS a
+        FROM s
+    )
+    SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_samples,
+           CAST(MAX(a) AS BIGINT) AS peak,
+           CAST(SUM(a) AS BIGINT) AS sum_abs,
+           CAST(COUNT(*) FILTER (WHERE a >= 32767) AS BIGINT) AS n_clipped
+    FROM v GROUP BY doc_id
+    """,
+)
+def x_wav_pcm(spark, sf_dir):
+    """REAL PCM sample decode (operators/media.wav_pcm_stats): RIFF
+    chunk walk → np.frombuffer the 16-bit data → exact integer signal
+    stats (peak |amplitude|, total |amplitude| — the hash-stable RMS
+    stand-in — and the clipped-sample census), the loudness/clipping
+    gate an audio ingest applies before any model.  Every decoded
+    sample value-checks against the generator arithmetic."""
+    from lwetl_spark.operators.media import (
+        synth_pixel_media_demo,
+        wav_pcm_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = synth_pixel_media_demo(docs).filter(F.col("doc_id") % 2 == 1)
+    return wav_pcm_stats(media)
+
+
+@register(
     "x_media_curate",
     """
     WITH meta AS (

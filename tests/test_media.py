@@ -111,3 +111,98 @@ def test_corrupt_payloads_detected_not_fatal(spark):
     assert out[3]["fmt"] == "wav" and out[3]["valid"] is False
     assert out[3]["sample_rate"] == 8000
     assert out[4]["fmt"] == "unknown" and out[4]["valid"] is False
+
+
+def _png_with_filters(pixels, filters):
+    """Test-side PNG encoder applying a chosen filter per row — exercises
+    the decoder's full reconstruction (None/Sub/Up/Average/Paeth)."""
+    h = len(pixels)
+    w = len(pixels[0])
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    lines = []
+    prev = [0] * w
+    for r in range(h):
+        raw = pixels[r]
+        f = filters[r % len(filters)]
+        if f == 0:
+            filt = list(raw)
+        elif f == 1:
+            filt = [(raw[c] - (raw[c - 1] if c else 0)) & 0xFF for c in range(w)]
+        elif f == 2:
+            filt = [(raw[c] - prev[c]) & 0xFF for c in range(w)]
+        elif f == 3:
+            filt = [
+                (raw[c] - (((raw[c - 1] if c else 0) + prev[c]) // 2)) & 0xFF
+                for c in range(w)
+            ]
+        else:  # paeth
+            filt = []
+            for c in range(w):
+                a = raw[c - 1] if c else 0
+                b = prev[c]
+                cc = prev[c - 1] if c else 0
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                filt.append((raw[c] - pred) & 0xFF)
+        lines.append(bytes([f]) + bytes(filt))
+        prev = raw
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_pixel_decode_all_filters(spark):
+    """The decoder must reconstruct the SAME pixels no matter which
+    scanline filters the encoder chose — pinned by encoding one image
+    five ways (None/Sub/Up/Average/Paeth per-row mixes) and comparing
+    exact stats."""
+    from lwetl_spark.operators.media import png_pixel_stats
+
+    pixels = [
+        [(11 + 7 * r + 13 * c) % 256 for c in range(9)] for r in range(6)
+    ]
+    want = (
+        9, 6, 54, sum(sum(row) for row in pixels),
+        min(min(r) for r in pixels), max(max(r) for r in pixels),
+    )
+    variants = [
+        _png_with_filters(pixels, [0]),
+        _png_with_filters(pixels, [1]),
+        _png_with_filters(pixels, [2]),
+        _png_with_filters(pixels, [3]),
+        _png_with_filters(pixels, [4]),
+        _png_with_filters(pixels, [0, 1, 2, 3, 4]),
+    ]
+    df = spark.createDataFrame(
+        list(enumerate(variants)), "doc_id long, payload binary"
+    )
+    rows = png_pixel_stats(df).collect()
+    assert len(rows) == 6
+    for r in rows:
+        got = (r["width"], r["height"], r["n_px"], r["sum_px"],
+               r["min_px"], r["max_px"])
+        assert got == want, (r["doc_id"], got, want)
+
+
+def test_wav_pcm_stats_hand_checked(spark):
+    from lwetl_spark.operators.media import wav_pcm_bytes, wav_pcm_stats
+
+    samples = [0, 100, -200, 32767, -32768, 5]
+    df = spark.createDataFrame(
+        [(1, wav_pcm_bytes(8000, samples))], "doc_id long, payload binary"
+    )
+    r = wav_pcm_stats(df).collect()[0]
+    assert r["n_samples"] == 6
+    assert r["peak"] == 32768          # |−32768|
+    assert r["sum_abs"] == sum(abs(s) for s in samples)
+    assert r["n_clipped"] == 2         # 32767 and −32768
