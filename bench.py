@@ -92,6 +92,10 @@ EXTENDED = [
     # query batch, not the amortized build)
     "phrase_probe",
     "hybrid_probe",
+    # r7: the media family's end-to-end pass (synthesize real containers
+    # + parse/validate them — generation and decode are both Arrow work,
+    # so the row tracks the multimodal ingest gate's throughput)
+    "x_media_meta",
 ]
 
 
