@@ -446,6 +446,8 @@ def _calibration(spark) -> "object":
 
 def main() -> None:
     from lwetl_spark.session import get_spark
+    import lwetl_spark.queries_etl  # noqa: F401 — registers the ETL-half
+    # of the catalog into QUERIES (x_media_meta lives there)
     from lwetl_spark.queries import QUERIES
 
     spark = get_spark(app_name="lwetl_spark_bench")
