@@ -60,8 +60,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     try:
         df = spark.read.parquet(path)
-    except Exception:
-        if name != "events":
+    except Exception as e:
+        # the fallback below is ONLY for the nanos schema-conversion
+        # rejection; any other read failure (corrupt file, permissions)
+        # must surface as itself, not as a confusing secondary error
+        # from the pyarrow path (VERDICT r7 nit #1)
+        if name != "events" or "NANOS" not in str(e):
             raise
         # nanos file on a session without the build-time conf: explicit
         # schema from the parquet footer with every timestamp read as

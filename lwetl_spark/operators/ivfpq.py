@@ -303,7 +303,11 @@ def build_ivfpq_index(
         "subspace int, code int, centroid array<double>",
     ).write.mode("overwrite").parquet(f"{path}/codebooks")
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    n_at_train = df.count()
+    # n_at_train records the corpus the QUANTIZERS saw, not the corpus
+    # indexed (ADVICE r7): a rebuild-with-train_df anchor must carry the
+    # same growth baseline as the incrementally maintained index it is
+    # contract-equal to, or growth_pm drift readings diverge
+    n_at_train = (df if train_df is None else train_df).count()
     spark.createDataFrame(
         [(
             int(num_centroids), int(m), int(ksub), int(train_sample),

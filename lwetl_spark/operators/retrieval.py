@@ -44,6 +44,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from lwetl_spark.operators import _partwrite as _pw
+from lwetl_spark.operators._fsutil import path_exists as _path_exists
 
 #: tokenizer shared with x_tfidf / x_corpus_pipeline (split on runs of
 #: whitespace, drop empties) — keep in lockstep with the DuckDB oracle.
@@ -923,12 +924,12 @@ def update_text_index(
     tf_new.withColumn("bucket", bucket).repartition("bucket").write.mode(
         "append"
     ).partitionBy("bucket").parquet(f"{path}/postings")
-    try:  # sidecar append ONLY if the index has one: a pre-sidecar
-        spark.read.parquet(f"{path}/docbuckets")  # index must stay
-        has_db = True  # sidecar-less — a PARTIAL sidecar would make
-    except Exception:  # compaction silently miss pre-existing docs' rows
-        has_db = False
-    if has_db:
+    # sidecar append ONLY if the index has one: a pre-sidecar index must
+    # stay sidecar-less — a PARTIAL sidecar would make compaction
+    # silently miss pre-existing docs' rows.  Explicit existence probe
+    # (not try-read-and-swallow): a corrupt sidecar on an existing path
+    # now raises instead of demoting the index (VERDICT r7 nit #2)
+    if _path_exists(spark, f"{path}/docbuckets"):
         tf_new.select("doc_id", bucket).distinct().write.mode(
             "append"
         ).parquet(f"{path}/docbuckets")
@@ -1044,7 +1045,8 @@ def compact_text_index(
     # honest full postings read this pass used to pay.  A pre-sidecar
     # index falls back to the full read and stays sidecar-less (healing
     # would need a full (doc_id, bucket) distinct; rebuild to adopt).
-    try:
+    have_db = _path_exists(spark, f"{path}/docbuckets")
+    if have_db:
         db_tbl = spark.read.parquet(f"{path}/docbuckets")
         affected_old = [
             r["bucket"]
@@ -1058,10 +1060,8 @@ def compact_text_index(
             if affected_old
             else postings.filter(F.lit(False))
         )
-        have_db = True
-    except Exception:
+    else:
         old_scan = postings
-        have_db = False
     tf_old = old_scan.join(ids, "doc_id", "left_semi").drop("bucket")
     tf_old = tf_old.localCheckpoint(eager=True)
 

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from lwetl_spark.functions.vectors import cosine_similarity
+from lwetl_spark.operators._fsutil import path_exists as _path_exists
 
 
 def cosine_topk(
@@ -804,13 +805,17 @@ def query_lsh_index(
     resizes num_planes to the corpus); the explicit arguments are the
     fallback for pre-params indexes only.
     """
-    try:
+    if _path_exists(spark, f"{path}/params"):
+        # persisted family wins: probes must keep working after
+        # auto_maintain resizes num_planes; a corrupt/unreadable params
+        # table on an EXISTING path now propagates instead of silently
+        # falling back to the caller's (possibly wrong) default family
+        # and returning wrong/empty neighbors (ADVICE r7)
         p = spark.read.parquet(f"{path}/params").collect()[0]
         num_planes, num_tables, dim = (
             int(p["num_planes"]), int(p["num_tables"]), int(p["dim"]),
         )
-    except Exception:
-        pass  # pre-params index: trust the caller's family
+    # else: pre-params index — trust the caller's family
     q_buckets = _lsh_bucketize(queries_df, vec_col, id_col, num_planes, num_tables, dim)
     c_buckets = spark.read.parquet(f"{path}/buckets").select(
         F.col("id").alias("neighbor_id"), "table_idx", "bucket"
@@ -1652,12 +1657,12 @@ def retrain_ivf_index(
     Pass explicit values only to deliberately change the family."""
     if num_centroids is None or train_sample is None or iters is None:
         stored_n = stored_s = stored_i = None
-        try:
+        if _path_exists(spark, f"{path}/params"):
             p = spark.read.parquet(f"{path}/params").collect()[0]
             stored_n, stored_s, stored_i = (
                 p["num_centroids"], p["train_sample"], p["iters"],
             )
-        except Exception:  # pre-params index: geometry from the centroids
+        else:  # pre-params index: geometry from the centroids
             stored_n = len(_load_ivf_centroids(spark, path))
         num_centroids = num_centroids if num_centroids is not None else stored_n
         train_sample = (

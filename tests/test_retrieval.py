@@ -1165,6 +1165,28 @@ def test_phrase_topk_overlaps_and_edge_cases(spark, tmp_path):
     assert empty.count() == 0
 
 
+def test_backlog_with_empty_first_snapshot(spark, tmp_path):
+    """ADVICE r8: an EMPTY first snapshot writes a manifest but never a
+    state table (nothing admitted); the next increment's backlog path
+    used to spark.read the missing state unguarded and raise.  A
+    missing state is an empty backlog, not a read failure."""
+    from lwetl_spark.operators.incremental import ingest_increment
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    man, st, idx = (str(tmp_path / p) for p in ("m", "s", "x"))
+    s0 = ingest_increment(spark, empty, man, st, idx,
+                          compact_deferred_threshold=3)
+    assert s0["n_admitted"] == 0
+
+    snap1 = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")], "doc_id long, text string"
+    )
+    s1 = ingest_increment(spark, snap1, man, st, idx,
+                          compact_deferred_threshold=3)
+    assert s1["n_admitted"] == 2
+    assert s1["n_deferred"] == 0 and s1["n_compacted"] == 0
+
+
 def test_compact_deferred_threshold_policy(spark, tmp_path):
     """compact_deferred_threshold automates the compaction schedule:
     below the threshold every increment just COUNTS the backlog

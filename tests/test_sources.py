@@ -247,3 +247,44 @@ def test_orc_roundtrip_with_pushdown(spark, tmp):
     assert "orc" in plan.lower()
     exp = orders.filter("o_totalprice > 100000").count()
     assert back.count() == exp
+
+
+def test_corrupt_events_parquet_surfaces_real_error(spark, tmp):
+    """VERDICT r7 nit #1: load_table's events fallback is ONLY for the
+    TIMESTAMP(NANOS) schema-conversion rejection.  A genuinely corrupt
+    events file must surface its own read error, not a confusing
+    secondary failure from the pyarrow explicit-schema path."""
+    from lwetl_spark.catalog import load_table
+
+    bad_dir = os.path.join(tmp, "sf_bad")
+    os.makedirs(bad_dir)
+    with open(os.path.join(bad_dir, "events.parquet"), "wb") as f:
+        f.write(b"PAR1 this is not a parquet footer")
+    with pytest.raises(Exception) as exc:
+        load_table(spark, bad_dir, "events").collect()
+    assert "NANOS" not in str(exc.value)
+
+
+def test_nanos_events_fallback_still_engages(spark, tmp):
+    """The read-scoped nanos fallback (catalog.load_table) keeps working
+    after the exception narrowing: a TIMESTAMP(NANOS) events file on a
+    vanilla session reads via the explicit long-typed schema and
+    rebuilds microsecond timestamps."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lwetl_spark.catalog import load_table
+
+    nano_dir = os.path.join(tmp, "sf_nanos")
+    os.makedirs(nano_dir)
+    t = pa.table({
+        "event_id": pa.array([1, 2], pa.int64()),
+        "ts": pa.array([1_700_000_000_000_000_001, 2], pa.timestamp("ns")),
+        "user_id": pa.array([10, 20], pa.int64()),
+        "event_type": pa.array(["a", "b"], pa.string()),
+        "value": pa.array([1.0, 2.0], pa.float64()),
+    })
+    pq.write_table(t, os.path.join(nano_dir, "events.parquet"))
+    got = load_table(spark, nano_dir, "events")
+    assert got.count() == 2
+    assert dict(got.dtypes)["ts"] == "timestamp"
