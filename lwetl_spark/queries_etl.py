@@ -1411,8 +1411,9 @@ def x_phrase_search(spark, sf_dir):
     "x_media_sniff",
     """
     SELECT fmt, CAST(COUNT(*) AS BIGINT) AS n FROM (
-        SELECT CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
-                               WHEN 2 THEN 'wav' ELSE 'unknown' END AS fmt
+        SELECT CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                               WHEN 2 THEN 'wav' WHEN 3 THEN 'mp4'
+                               ELSE 'unknown' END AS fmt
         FROM documents
     ) GROUP BY 1
     """,
@@ -1445,7 +1446,7 @@ def x_media_sniff(spark, sf_dir):
            CAST(1 + doc_id % 32 AS BIGINT) AS height,
            CAST(1000000 * (1 + doc_id % 64) // (1 + doc_id % 32) AS BIGINT)
                AS aspect_ppm
-    FROM documents WHERE doc_id % 4 = 0
+    FROM documents WHERE doc_id % 5 = 0
     """,
 )
 def x_png_dims(spark, sf_dir):
@@ -1460,7 +1461,7 @@ def x_png_dims(spark, sf_dir):
     from lwetl_spark.operators.media import png_dims, synth_media_demo
 
     docs = _t(spark, sf_dir, "documents")
-    media = synth_media_demo(docs).filter(F.col("doc_id") % 4 == 0)
+    media = synth_media_demo(docs).filter(F.col("doc_id") % 5 == 0)
     w, h = png_dims("payload")
     return media.select(
         "doc_id",
@@ -1474,25 +1475,35 @@ def x_png_dims(spark, sf_dir):
     "x_media_meta",
     """
     SELECT doc_id,
-           CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
-                           WHEN 2 THEN 'wav' ELSE 'unknown' END AS fmt,
-           CAST(CASE doc_id % 4 WHEN 0 THEN 1 + doc_id % 64
+           CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                           WHEN 2 THEN 'wav' WHEN 3 THEN 'mp4'
+                           ELSE 'unknown' END AS fmt,
+           CAST(CASE doc_id % 5 WHEN 0 THEN 1 + doc_id % 64
                                 WHEN 1 THEN 16 + doc_id % 32
+                                WHEN 3 THEN 160 + 16 * (doc_id % 28)
                                 ELSE -1 END AS BIGINT) AS width,
-           CAST(CASE doc_id % 4 WHEN 0 THEN 1 + doc_id % 32
+           CAST(CASE doc_id % 5 WHEN 0 THEN 1 + doc_id % 32
                                 WHEN 1 THEN 16 + doc_id % 16
+                                WHEN 3 THEN 90 + 9 * (doc_id % 20)
                                 ELSE -1 END AS BIGINT) AS height,
-           CAST(CASE WHEN doc_id % 4 = 2 THEN 1 + doc_id % 2
+           CAST(CASE WHEN doc_id % 5 = 2
+                     OR (doc_id % 5 = 3 AND doc_id % 7 <> 0)
+                     THEN 1 + doc_id % 2
                      ELSE -1 END AS BIGINT) AS channels,
-           CAST(CASE WHEN doc_id % 4 = 2 THEN 8000 + 1000 * (doc_id % 8)
+           CAST(CASE WHEN doc_id % 5 = 2
+                     OR (doc_id % 5 = 3 AND doc_id % 7 <> 0)
+                     THEN 8000 + 1000 * (doc_id % 8)
                      ELSE -1 END AS BIGINT) AS sample_rate,
-           CAST(CASE WHEN doc_id % 4 = 2 THEN 64 + doc_id % 50
+           CAST(CASE WHEN doc_id % 5 = 2 THEN 64 + doc_id % 50
+                     WHEN doc_id % 5 = 3 AND doc_id % 7 <> 0
+                     THEN 400 + doc_id % 600
                      ELSE -1 END AS BIGINT) AS n_samples,
-           CAST(CASE WHEN doc_id % 4 = 2
+           CAST(CASE WHEN doc_id % 5 = 2
                      THEN 1000 * (64 + doc_id % 50)
                           // (8000 + 1000 * (doc_id % 8))
+                     WHEN doc_id % 5 = 3 THEN 500 + doc_id % 4000
                      ELSE -1 END AS BIGINT) AS duration_ms,
-           doc_id % 4 <> 3 AS valid
+           doc_id % 5 <> 4 AS valid
     FROM documents
     """,
 )
@@ -1518,6 +1529,58 @@ def x_media_meta(spark, sf_dir):
         *[F.coalesce(F.col(c), F.lit(-1)).cast("long").alias(c)
           for c in num_cols],
         "valid",
+    )
+
+
+@register(
+    "x_mp4_meta",
+    """
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'isom' WHEN 1 THEN 'mp42'
+                           ELSE 'iso5' END AS brand,
+           CAST(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 2 END AS BIGINT)
+               AS n_tracks,
+           CASE WHEN doc_id % 2 = 0 THEN 'avc1' ELSE 'hev1' END AS v_codec,
+           CASE WHEN doc_id % 7 <> 0 THEN 'mp4a' ELSE 'none' END AS a_codec,
+           CAST(160 + 16 * (doc_id % 28) AS BIGINT) AS width,
+           CAST(90 + 9 * (doc_id % 20) AS BIGINT) AS height,
+           CAST(CASE WHEN doc_id % 7 <> 0 THEN 1 + doc_id % 2
+                     ELSE -1 END AS BIGINT) AS channels,
+           CAST(CASE WHEN doc_id % 7 <> 0 THEN 8000 + 1000 * (doc_id % 8)
+                     ELSE -1 END AS BIGINT) AS sample_rate,
+           CAST(CASE WHEN doc_id % 7 <> 0 THEN 400 + doc_id % 600
+                     ELSE -1 END AS BIGINT) AS n_samples,
+           CAST(500 + doc_id % 4000 AS BIGINT) AS duration_ms,
+           TRUE AS valid
+    FROM documents WHERE doc_id % 5 = 3
+    """,
+)
+def x_mp4_meta(spark, sf_dir):
+    """MP4 (ISO-BMFF) container census (VERDICT r7 #1 — the last
+    container family gets its walk; operators/media.mp4_meta): ftyp
+    brand sniff, moov/trak/mdhd/stsd box-tree walk → movie duration_ms
+    (1000·duration div mvhd timescale, exact integer), track count,
+    video codec fourcc + dimensions from the stsd sample entry, audio
+    codec/channels/sample-rate (16.16 fixed) and sample count (the
+    sound trak's mdhd duration in its own timescale).  Payloads are
+    REAL minimal MP4s built from doc_id arithmetic (the wav_bytes
+    idiom — spec-shaped boxes, no coded samples); id%7=0 files are
+    video-only, the mixed-track case every crawl contains.  Every
+    parsed field value-checks against the same arithmetic in DuckDB;
+    not-applicable audio fields COALESCE to -1 / 'none' on both sides
+    (the NULL-sentinel parity rule; the operator keeps honest NULLs)."""
+    from lwetl_spark.operators.media import mp4_meta, synth_media_demo
+
+    docs = _t(spark, sf_dir, "documents")
+    media = synth_media_demo(docs).filter(F.col("doc_id") % 5 == 3)
+    out = mp4_meta(media)
+    return out.select(
+        "doc_id", "brand", "n_tracks", "v_codec",
+        F.coalesce(F.col("a_codec"), F.lit("none")).alias("a_codec"),
+        "width", "height",
+        *[F.coalesce(F.col(c), F.lit(-1)).cast("long").alias(c)
+          for c in ("channels", "sample_rate", "n_samples")],
+        "duration_ms", "valid",
     )
 
 
@@ -1604,13 +1667,18 @@ def x_wav_pcm(spark, sf_dir):
     """
     WITH meta AS (
         SELECT doc_id,
-               CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
-                               WHEN 2 THEN 'wav' ELSE 'unknown' END AS fmt,
-               CASE doc_id % 4 WHEN 0 THEN 1 + doc_id % 64
-                               WHEN 1 THEN 16 + doc_id % 32 END AS w,
-               CASE doc_id % 4 WHEN 0 THEN 1 + doc_id % 32
-                               WHEN 1 THEN 16 + doc_id % 16 END AS h,
-               doc_id % 4 <> 3 AS valid
+               CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                               WHEN 2 THEN 'wav' WHEN 3 THEN 'mp4'
+                               ELSE 'unknown' END AS fmt,
+               CASE doc_id % 5 WHEN 0 THEN 1 + doc_id % 64
+                               WHEN 1 THEN 16 + doc_id % 32
+                               WHEN 3 THEN 160 + 16 * (doc_id % 28) END AS w,
+               CASE doc_id % 5 WHEN 0 THEN 1 + doc_id % 32
+                               WHEN 1 THEN 16 + doc_id % 16
+                               WHEN 3 THEN 90 + 9 * (doc_id % 20) END AS h,
+               CASE WHEN doc_id % 5 = 3
+                    THEN 500 + doc_id % 4000 END AS dur_ms,
+               doc_id % 5 <> 4 AS valid
         FROM documents
     ),
     kept AS (
@@ -1618,7 +1686,10 @@ def x_wav_pcm(spark, sf_dir):
                CASE WHEN w >= h THEN 'landscape' ELSE 'portrait' END AS orient,
                w * h AS px
         FROM meta
-        WHERE valid AND fmt IN ('png', 'jpeg') AND w >= 4 AND h >= 4
+        WHERE valid AND (
+            (fmt IN ('png', 'jpeg') AND w >= 4 AND h >= 4)
+            OR (fmt = 'mp4' AND w >= 4 AND h >= 4 AND dur_ms >= 1000)
+        )
     )
     SELECT fmt, orient, CAST(COUNT(*) AS BIGINT) AS n,
            CAST(SUM(px) AS BIGINT) AS sum_px,
@@ -1630,22 +1701,27 @@ def x_wav_pcm(spark, sf_dir):
 def x_media_curate(spark, sf_dir):
     """Composed media-curation gate — the image-side analog of the text
     curate chain: synthesize real containers, parse them
-    (operators/media.media_meta), DROP corrupt + non-image + tiny
-    payloads (the min-resolution rule every vision-data pipeline
-    applies), and census the survivors by (format, orientation) with
-    exact pixel-count stats.  All decisions run on PARSED BYTES; the
-    oracle recomputes them from the generator arithmetic — the two
-    agree only if every stage (generation, parsing, filtering,
-    bucketing) is byte-faithful."""
+    (operators/media.media_meta), DROP corrupt + tiny payloads (the
+    min-resolution rule every vision-data pipeline applies) and, for
+    video, sub-second clips (the min-duration rule — r8: the gate now
+    ROUTES VIDEO, parsing the MP4 box tree for dims + duration), and
+    census the survivors by (format, orientation) with exact
+    pixel-count stats.  All decisions run on PARSED BYTES; the oracle
+    recomputes them from the generator arithmetic — the two agree only
+    if every stage (generation, parsing, filtering, bucketing) is
+    byte-faithful."""
     from lwetl_spark.operators.media import media_meta, synth_media_demo
 
     docs = _t(spark, sf_dir, "documents")
     meta = media_meta(synth_media_demo(docs))
     kept = meta.filter(
         F.col("valid")
-        & F.col("fmt").isin("png", "jpeg")
         & (F.col("width") >= 4)
         & (F.col("height") >= 4)
+        & (
+            F.col("fmt").isin("png", "jpeg")
+            | ((F.col("fmt") == "mp4") & (F.col("duration_ms") >= 1000))
+        )
     ).select(
         "fmt",
         F.when(F.col("width") >= F.col("height"), "landscape")

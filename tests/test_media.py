@@ -65,7 +65,7 @@ def test_sniff_and_jvm_dims_match_arrow_walker(spark):
     w, h = png_dims("payload")
     jvm = {
         r["doc_id"]: (r["w"], r["h"])
-        for r in media.filter(F.col("doc_id") % 4 == 0)
+        for r in media.filter(F.col("doc_id") % 5 == 0)
         .select("doc_id", w.alias("w"), h.alias("h"))
         .collect()
     }
@@ -74,13 +74,24 @@ def test_sniff_and_jvm_dims_match_arrow_walker(spark):
         assert (wv, hv) == (1 + i % 64, 1 + i % 32)
     # WAV geometry: exact-integer duration
     for i, r in meta.items():
-        if i % 4 == 2:
+        if i % 5 == 2:
             rate = 8000 + 1000 * (i % 8)
             n = 64 + i % 50
             assert r["sample_rate"] == rate and r["n_samples"] == n
             assert r["duration_ms"] == 1000 * n // rate
             assert r["valid"]
-        if i % 4 == 3:
+        if i % 5 == 3:  # the r8 video leg routes through the same pass
+            assert r["fmt"] == "mp4" and r["valid"]
+            assert (r["width"], r["height"]) == (
+                160 + 16 * (i % 28), 90 + 9 * (i % 20)
+            )
+            assert r["duration_ms"] == 500 + i % 4000
+            if i % 7 != 0:
+                assert r["sample_rate"] == 8000 + 1000 * (i % 8)
+                assert r["n_samples"] == 400 + i % 600
+            else:  # video-only files carry no audio geometry
+                assert r["sample_rate"] is None and r["n_samples"] is None
+        if i % 5 == 4:
             assert r["fmt"] == "unknown" and r["valid"] is False
 
 
@@ -111,6 +122,26 @@ def test_corrupt_payloads_detected_not_fatal(spark):
     assert out[3]["fmt"] == "wav" and out[3]["valid"] is False
     assert out[3]["sample_rate"] == 8000
     assert out[4]["fmt"] == "unknown" and out[4]["valid"] is False
+
+
+def test_sub_byte_wav_bits_never_kills_batch(spark):
+    """ADVICE r8: a WAV advertising a sub-byte sample width (real-world
+    IMA/ADPCM files say bits_per_sample=4) used to ZeroDivisionError in
+    media_meta's geometry math and kill the whole Arrow batch.  It must
+    come back fmt='wav', valid=false, geometry NULL — and not disturb
+    its batch neighbors."""
+    from lwetl_spark.operators.media import media_meta, wav_bytes
+
+    adpcm = bytearray(wav_bytes(8000, 1, 10))
+    # fmt chunk payload starts at offset 20; bits_per_sample at +14
+    adpcm[34:36] = struct.pack("<H", 4)
+    rows = [(1, bytes(adpcm)), (2, wav_bytes(16000, 2, 5))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in media_meta(df).collect()}
+    assert out[1]["fmt"] == "wav" and out[1]["valid"] is False
+    assert out[1]["n_samples"] is None and out[1]["duration_ms"] is None
+    assert out[1]["sample_rate"] == 8000 and out[1]["channels"] == 1
+    assert out[2]["valid"] is True and out[2]["n_samples"] == 5
 
 
 def _png_with_filters(pixels, filters):
@@ -206,3 +237,80 @@ def test_wav_pcm_stats_hand_checked(spark):
     assert r["peak"] == 32768          # |−32768|
     assert r["sum_abs"] == sum(abs(s) for s in samples)
     assert r["n_clipped"] == 2         # 32767 and −32768
+
+
+def test_mp4_generator_is_a_real_isobmff():
+    """Independent byte-level check of the MP4 generator: box sizes
+    tile the file exactly, ftyp leads, moov carries mvhd + traks, and
+    the 16.16 fixed-point fields hold the requested values at the
+    spec's offsets."""
+    from lwetl_spark.operators.media import mp4_bytes
+
+    b = mp4_bytes(1500, width=320, height=240, sample_rate=44100,
+                  channels=2, n_samples=999, brand=b"mp42")
+    # top-level boxes tile the buffer exactly
+    pos, tags = 0, []
+    while pos < len(b):
+        size = struct.unpack(">I", b[pos : pos + 4])[0]
+        tags.append(b[pos + 4 : pos + 8])
+        assert size >= 8 and pos + size <= len(b)
+        pos += size
+    assert pos == len(b)
+    assert tags == [b"ftyp", b"moov", b"mdat"]
+    assert b[8:12] == b"mp42"  # major brand
+    # mvhd: timescale 1000 at payload offset 8, duration at 12
+    i = b.index(b"mvhd")
+    assert struct.unpack(">II", b[i + 16 : i + 24]) == (1000, 1500)
+    # the audio sample entry carries rate as 16.16 fixed
+    j = b.index(b"mp4a")
+    rate = struct.unpack(">I", b[j + 28 : j + 32])[0] >> 16
+    assert rate == 44100
+
+
+def test_mp4_corruption_detected_not_fatal(spark):
+    """Truncated moov, a box whose size overruns its parent, and a
+    largesize lie all come back fmt='mp4' valid=false (partial census
+    kept) — and never raise inside the Arrow batch."""
+    from lwetl_spark.operators.media import media_meta, mp4_bytes, mp4_meta
+
+    good = mp4_bytes(2000, width=64, height=48, sample_rate=8000,
+                     n_samples=80)
+    trunc = good[:-40]                      # cuts into moov/mdat
+    size_lie = bytearray(good)
+    size_lie[0:4] = struct.pack(">I", 2 ** 31)  # ftyp claims 2 GiB
+    rows = [(1, bytes(good)), (2, bytes(trunc)), (3, bytes(size_lie)),
+            (4, b"\x00\x00\x00\x08ftyp")]   # ftyp with empty payload
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in media_meta(df).collect()}
+    assert out[1]["fmt"] == "mp4" and out[1]["valid"] is True
+    assert out[1]["duration_ms"] == 2000
+    assert out[2]["fmt"] == "mp4" and out[2]["valid"] is False
+    assert out[3]["valid"] is False
+    assert out[4]["fmt"] == "mp4" and out[4]["valid"] is False
+
+    full = {r["doc_id"]: r for r in mp4_meta(df).collect()}
+    assert full[1]["brand"] == "isom" and full[1]["n_tracks"] == 2
+    assert full[1]["v_codec"] == "avc1" and full[1]["a_codec"] == "mp4a"
+    assert full[2]["valid"] is False
+
+
+def test_mp4_video_only_and_audio_only(spark):
+    """Single-medium MP4s parse with the absent medium's fields NULL —
+    the n_tracks census distinguishes them."""
+    from lwetl_spark.operators.media import mp4_bytes, mp4_meta
+
+    rows = [
+        (1, mp4_bytes(1000, width=160, height=90, v_codec=b"hev1")),
+        (2, mp4_bytes(3000, sample_rate=16000, channels=1,
+                      n_samples=48000, a_codec=b"opus")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in mp4_meta(df).collect()}
+    v, a = out[1], out[2]
+    assert v["n_tracks"] == 1 and v["v_codec"] == "hev1"
+    assert (v["width"], v["height"]) == (160, 90)
+    assert v["a_codec"] is None and v["sample_rate"] is None
+    assert a["n_tracks"] == 1 and a["a_codec"] == "opus"
+    assert (a["sample_rate"], a["n_samples"]) == (16000, 48000)
+    assert a["v_codec"] is None and a["width"] is None
+    assert v["valid"] and a["valid"]

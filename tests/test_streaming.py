@@ -965,4 +965,5 @@ def test_stream_media_meta_matches_batch(spark, tmp_path):
     )
     want = media_meta(media)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
-    assert got.filter("valid = false").count() == 30  # the %4==3 leg
+    assert got.filter("valid = false").count() == 24  # the %5==4 junk leg
+    assert got.filter("fmt = 'mp4'").count() == 24    # video routes too (r8)
