@@ -314,3 +314,74 @@ def test_mp4_video_only_and_audio_only(spark):
     assert (a["sample_rate"], a["n_samples"]) == (16000, 48000)
     assert a["v_codec"] is None and a["width"] is None
     assert v["valid"] and a["valid"]
+
+
+def test_jpeg_baseline_encoder_emits_real_entropy_stream():
+    """Independent byte check: the r8 JPEG generator writes DQT, SOF0,
+    DHT (both table classes), SOS and a non-empty entropy segment —
+    a real T.81 baseline stream, not a header shell."""
+    from lwetl_spark.operators.media import jpeg_baseline_bytes
+
+    b = jpeg_baseline_bytes(16, 8, [(5, 3), (-40, 0)])
+    assert b[:2] == b"\xff\xd8" and b[-2:] == b"\xff\xd9"
+    for marker in (b"\xff\xdb", b"\xff\xc0", b"\xff\xc4", b"\xff\xda"):
+        assert marker in b
+    # DHT carries a class-0 (DC) and a class-1 (AC) table
+    i = b.index(b"\xff\xc4")
+    seg = b[i + 4 : i + 2 + struct.unpack(">H", b[i + 2 : i + 4])[0]]
+    assert seg[0] == 0x00
+    assert 0x10 in seg[17:]
+    # entropy data exists between SOS header and EOI
+    j = b.index(b"\xff\xda")
+    sos_len = struct.unpack(">H", b[j + 2 : j + 4])[0]
+    assert len(b) - (j + 2 + sos_len) - 2 > 0
+
+
+def test_jpeg_pixel_decode_hand_checked_blocks():
+    """Decode a hand-built two-block image: block 0 (dc=5, ac=3) must
+    reconstruct rows 128+5±3 with the spec's cos((2y+1)4π/16) sign
+    pattern; block 1 (dc=-40) is flat 88 — and the DC PREDICTION chain
+    (diff = -45 across the block boundary) must carry."""
+    import numpy as np
+
+    from lwetl_spark.operators.media import decode_jpeg, jpeg_baseline_bytes
+
+    px = decode_jpeg(jpeg_baseline_bytes(16, 8, [(5, 3), (-40, 0)]))
+    assert px.shape == (8, 16)
+    sign = np.array([1, -1, -1, 1, 1, -1, -1, 1])
+    assert (px[:, :8] == (133 + 3 * sign)[:, None]).all()
+    assert (px[:, 8:] == 88).all()
+
+
+def test_jpeg_pixel_stats_crop_corruption_and_scope(spark):
+    """jpeg_pixel_stats crops to the SOF dims (21×12 with 8×8 blocks),
+    NULLs truncated entropy data and progressive frames, and never
+    kills the batch."""
+    from lwetl_spark.operators.media import (
+        jpeg_fixture_bytes,
+        jpeg_pixel_stats,
+    )
+
+    good = jpeg_fixture_bytes(21, 12, 37)
+    trunc = good[:-6]
+    prog = bytearray(jpeg_fixture_bytes(8, 8, 1))
+    prog[prog.index(b"\xff\xc0") + 1] = 0xC2  # claim progressive
+    rows = [(1, bytes(good)), (2, bytes(trunc)), (3, bytes(prog))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in jpeg_pixel_stats(df).collect()}
+    g = out[1]
+    assert (g["width"], g["height"], g["n_px"]) == (21, 12, 252)
+    # recompute the fixture arithmetic independently
+    bxn = (21 + 7) // 8
+    total = 0
+    mn, mx = 10**9, -(10**9)
+    for y in range(12):
+        for x in range(21):
+            b = (y // 8) * bxn + (x // 8)
+            d = (37 + 17 * b) % 112 - 56
+            a = (37 + 5 * b) % 13
+            v = 128 + d + (a if y % 8 in (0, 3, 4, 7) else -a)
+            total += v
+            mn, mx = min(mn, v), max(mx, v)
+    assert (g["sum_px"], g["min_px"], g["max_px"]) == (total, mn, mx)
+    assert out[2]["n_px"] is None and out[3]["n_px"] is None
