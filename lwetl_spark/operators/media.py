@@ -266,19 +266,65 @@ def _make_jpeg_gen():
 jpeg_baseline_bytes = _make_jpeg_gen()
 
 
+def _make_exif_gen():
+    """Factory returning the EXIF APP1 segment builder (by-value
+    pickling, see _make_mp4_gen): a real "Exif\0\0" + TIFF structure —
+    byte-order mark (II little / MM big: BOTH endiannesses appear in
+    real crawls), magic 42, IFD0 with ascending-tag entries for
+    Orientation (274, SHORT inline) and DateTime (306, ASCII 20 bytes
+    via offset) — the two tags a vision-data pipeline must honor
+    before any geometry decision (tag 274 ≥ 5 transposes the raster,
+    VERDICT r7 #5)."""
+    import struct
+
+    def app1(orientation: int, datetime_s: str, little: bool = True) -> bytes:
+        e = "<" if little else ">"
+        dt = datetime_s.encode("ascii") + b"\x00"
+        entries = (
+            struct.pack(e + "HHI", 0x0112, 3, 1)
+            + struct.pack(e + "H", orientation) + b"\x00\x00"
+            + struct.pack(e + "HHI", 0x0132, 2, len(dt))
+            + struct.pack(e + "I", 38)  # dt data right after the IFD
+        )
+        tiff = (
+            (b"II" if little else b"MM") + struct.pack(e + "H", 42)
+            + struct.pack(e + "I", 8)           # IFD0 offset
+            + struct.pack(e + "H", 2) + entries
+            + struct.pack(e + "I", 0)            # no next IFD
+            + dt
+        )
+        payload = b"Exif\x00\x00" + tiff
+        return b"\xff\xe1" + struct.pack(">H", 2 + len(payload)) + payload
+
+    return app1
+
+
+#: the EXIF APP1 builder (factory-made; importable for tests)
+exif_app1_bytes = _make_exif_gen()
+
+
 def _make_jpeg_fixture():
     """Factory for the deterministic decodable-JPEG fixture: block b
     (raster order) carries dc = (id + 17b) % 112 − 56 and
     ac = (id + 5b) % 13, so pixel(y, x) = 128 + dc(block) ± ac(block)
     stays inside [60, 195] — no clamping, no rounding ambiguity, pure
-    id arithmetic a SQL oracle replays."""
+    id arithmetic a SQL oracle replays.  r8: every fixture JPEG also
+    carries a deterministic EXIF APP1 (orientation 1+id%8, DateTime
+    from id arithmetic, byte order II/MM by id parity) — real crawls
+    rotate via tag 274, so the curation surface must parse it."""
     enc = _make_jpeg_gen()
+    exif = _make_exif_gen()
 
     def fixture(w: int, h: int, i: int) -> bytes:
         bxn, byn = (w + 7) // 8, (h + 7) // 8
         coeffs = [((i + 17 * b) % 112 - 56, (i + 5 * b) % 13)
                   for b in range(bxn * byn)]
-        return enc(w, h, coeffs)
+        b = enc(w, h, coeffs)
+        dt = "%04d:%02d:%02d %02d:%02d:%02d" % (
+            2015 + i % 10, 1 + i % 12, 1 + i % 28,
+            i % 24, i % 60, i % 60,
+        )
+        return b[:2] + exif(1 + i % 8, dt, little=(i % 2 == 0)) + b[2:]
 
     return fixture
 
@@ -1269,3 +1315,104 @@ def mp4_meta(df: DataFrame) -> DataFrame:
             yield out
 
     return df.mapInPandas(parse, schema=MP4_META_SCHEMA)
+
+
+EXIF_META_SCHEMA = (
+    "doc_id long, byte_order string, orientation long, taken_at string,"
+    " width long, height long, norm_width long, norm_height long,"
+    " valid boolean"
+)
+
+
+def exif_meta(df: DataFrame) -> DataFrame:
+    """EXIF orientation + timestamp parse (r8, VERDICT r7 #5): walk the
+    JPEG marker segments to APP1, verify the "Exif\\0\\0" preamble, and
+    parse the REAL TIFF structure — byte-order mark (II and MM both
+    occur in the wild; the parser honors either), magic 42, IFD0 entry
+    scan for tag 274 (Orientation, SHORT, inline value) and tag 306
+    (DateTime, ASCII, offset-addressed) — plus the SOF dims from the
+    same segment walk, and the orientation-NORMALIZED geometry:
+    orientations 5-8 transpose the raster, so norm_width/norm_height
+    swap — the values a resolution gate must actually use (deriving
+    orientation from stored dims alone, as the pre-r8 curate census
+    did, mislabels every rotated portrait shot).
+
+    Corrupt/absent APP1 → NULL EXIF fields with valid=false; the SOF
+    dims still report when parseable.  One zero-shuffle Arrow pass."""
+
+    def parse(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import struct
+
+        import pandas as pd
+
+        def tiff(t: bytes):
+            """(byte_order, orientation, datetime) or None."""
+            if len(t) < 14 or t[:2] not in (b"II", b"MM"):
+                return None
+            e = "<" if t[:2] == b"II" else ">"
+            if struct.unpack(e + "H", t[2:4])[0] != 42:
+                return None
+            (ifd0,) = struct.unpack(e + "I", t[4:8])
+            if ifd0 + 2 > len(t):
+                return None
+            (n,) = struct.unpack(e + "H", t[ifd0 : ifd0 + 2])
+            orientation = taken = None
+            for k in range(n):
+                o = ifd0 + 2 + 12 * k
+                if o + 12 > len(t):
+                    return None
+                tag, typ, cnt = struct.unpack(e + "HHI", t[o : o + 8])
+                if tag == 0x0112 and typ == 3 and cnt == 1:
+                    (orientation,) = struct.unpack(e + "H", t[o + 8 : o + 10])
+                elif tag == 0x0132 and typ == 2:
+                    if cnt <= 4:
+                        raw = t[o + 8 : o + 8 + cnt]
+                    else:
+                        (off,) = struct.unpack(e + "I", t[o + 8 : o + 12])
+                        if off + cnt > len(t):
+                            return None
+                        raw = t[off : off + cnt]
+                    taken = raw.rstrip(b"\x00").decode("ascii", "replace")
+            return (t[:2].decode("ascii"), orientation, taken)
+
+        def one(b: bytes):
+            b = bytes(b)
+            if len(b) < 4 or b[:3] != b"\xff\xd8\xff":
+                return (None, None, None, None, None, None, None, False)
+            w = h = None
+            exif = None
+            pos = 2
+            while pos + 4 <= len(b) and b[pos] == 0xFF:
+                m = b[pos + 1]
+                if m == 0xD9:
+                    break
+                if 0xD0 <= m <= 0xD8 or m == 0x01:
+                    pos += 2
+                    continue
+                ln = struct.unpack(">H", b[pos + 2 : pos + 4])[0]
+                if m == 0xE1 and b[pos + 4 : pos + 10] == b"Exif\x00\x00":
+                    exif = tiff(b[pos + 10 : pos + 2 + ln])
+                if m in (0xC0, 0xC1, 0xC2, 0xC3) and pos + 9 <= len(b):
+                    h, w = struct.unpack(">HH", b[pos + 5 : pos + 9])
+                if m == 0xDA:
+                    break
+                pos += 2 + ln
+            if exif is None or exif[1] is None:
+                return (None, None, None, w, h, w, h, False)
+            bo, orient, taken = exif
+            swap = orient >= 5
+            return (
+                bo, orient, taken, w, h,
+                (h if swap else w), (w if swap else h), True,
+            )
+
+        cols = ["byte_order", "orientation", "taken_at", "width",
+                "height", "norm_width", "norm_height", "valid"]
+        for pdf in batches:
+            out = pd.DataFrame(
+                [one(b) for b in pdf["payload"]], columns=cols
+            )
+            out.insert(0, "doc_id", pdf["doc_id"].to_numpy())
+            yield out
+
+    return df.mapInPandas(parse, schema=EXIF_META_SCHEMA)

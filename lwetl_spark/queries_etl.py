@@ -1683,6 +1683,43 @@ def x_jpeg_pixels(spark, sf_dir):
 
 
 @register(
+    "x_exif_meta",
+    """
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+           CAST(1 + doc_id % 8 AS BIGINT) AS orientation,
+           printf('%04d:%02d:%02d %02d:%02d:%02d',
+                  2015 + doc_id % 10, 1 + doc_id % 12, 1 + doc_id % 28,
+                  doc_id % 24, doc_id % 60, doc_id % 60) AS taken_at,
+           CAST(16 + doc_id % 32 AS BIGINT) AS width,
+           CAST(16 + doc_id % 16 AS BIGINT) AS height,
+           CAST(CASE WHEN 1 + doc_id % 8 >= 5 THEN 16 + doc_id % 16
+                     ELSE 16 + doc_id % 32 END AS BIGINT) AS norm_width,
+           CAST(CASE WHEN 1 + doc_id % 8 >= 5 THEN 16 + doc_id % 32
+                     ELSE 16 + doc_id % 16 END AS BIGINT) AS norm_height,
+           TRUE AS valid
+    FROM documents WHERE doc_id % 5 = 1
+    """,
+)
+def x_exif_meta(spark, sf_dir):
+    """EXIF orientation/timestamp parse (VERDICT r7 #5; operators/
+    media.exif_meta): the fixture JPEGs carry a REAL APP1 — "Exif\\0\\0"
+    + TIFF header + IFD0 with Orientation (tag 274, SHORT) and DateTime
+    (tag 306, ASCII via offset), byte order alternating II/MM by id
+    parity so BOTH endiannesses are exercised.  The operator walks the
+    marker segments, parses the TIFF structure, and emits the
+    orientation-NORMALIZED geometry (orientations 5-8 transpose the
+    raster — the dims a resolution gate must actually use).  Every
+    field value-checks against the id arithmetic, including the
+    printf-rebuilt timestamp string."""
+    from lwetl_spark.operators.media import exif_meta, synth_media_demo
+
+    docs = _t(spark, sf_dir, "documents")
+    media = synth_media_demo(docs).filter(F.col("doc_id") % 5 == 1)
+    return exif_meta(media)
+
+
+@register(
     "x_wav_pcm",
     """
     WITH g AS (

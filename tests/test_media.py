@@ -385,3 +385,45 @@ def test_jpeg_pixel_stats_crop_corruption_and_scope(spark):
             mn, mx = min(mn, v), max(mx, v)
     assert (g["sum_px"], g["min_px"], g["max_px"]) == (total, mn, mx)
     assert out[2]["n_px"] is None and out[3]["n_px"] is None
+
+
+def test_exif_meta_both_endiannesses_and_corruption(spark):
+    """exif_meta parses II and MM TIFF structures, normalizes dims for
+    orientations >= 5, and treats a mangled APP1 (bad magic, truncated
+    IFD) or a missing APP1 as valid=false with SOF dims kept."""
+    from lwetl_spark.operators.media import (
+        exif_app1_bytes,
+        exif_meta,
+        jpeg_baseline_bytes,
+    )
+
+    base = jpeg_baseline_bytes(24, 16, [(0, 0)] * 6)
+
+    def with_app1(seg):
+        return base[:2] + seg + base[2:]
+
+    ok_le = with_app1(exif_app1_bytes(1, "2021:02:03 04:05:06", little=True))
+    ok_be = with_app1(exif_app1_bytes(6, "2019:12:31 23:59:58", little=False))
+    bad_magic = bytearray(
+        with_app1(exif_app1_bytes(3, "2020:01:01 00:00:00")))
+    bad_magic[bad_magic.index(b"Exif\x00\x00") + 8] = 99  # magic != 42
+    # APP1 whose TIFF body ends after the header — IFD0 offset points
+    # past the data (honest truncation, consistent length field)
+    full = exif_app1_bytes(3, "2020:01:01 00:00:00")
+    cut_payload = full[4:18]  # "Exif\x00\x00" + 8-byte TIFF header only
+    trunc_ifd = with_app1(
+        b"\xff\xe1" + struct.pack(">H", 2 + len(cut_payload)) + cut_payload)
+    rows = [(1, ok_le), (2, ok_be), (3, bytes(bad_magic)),
+            (4, bytes(trunc_ifd)), (5, base)]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in exif_meta(df).collect()}
+    le, be = out[1], out[2]
+    assert le["byte_order"] == "II" and le["orientation"] == 1
+    assert le["taken_at"] == "2021:02:03 04:05:06"
+    assert (le["norm_width"], le["norm_height"]) == (24, 16)  # no swap
+    assert be["byte_order"] == "MM" and be["orientation"] == 6
+    assert (be["norm_width"], be["norm_height"]) == (16, 24)  # transposed
+    for k in (3, 4, 5):
+        assert out[k]["valid"] is False
+        assert (out[k]["width"], out[k]["height"]) == (24, 16)  # SOF kept
+        assert out[k]["orientation"] is None
