@@ -83,6 +83,15 @@ def build_parser() -> argparse.ArgumentParser:
         "--quality-tail", type=float, default=0.1, metavar="FRAC",
         help="score-quantile below which --quality-model drops docs",
     )
+    p.add_argument(
+        "--ppl-filter", action="store_true",
+        help="drop the high-surprisal tail under the corpus bigram LM "
+             "(doc_perplexity; the CCNet-style perplexity gate)",
+    )
+    p.add_argument(
+        "--ppl-tail", type=float, default=0.1, metavar="FRAC",
+        help="surprisal-quantile above which --ppl-filter drops docs",
+    )
     p.add_argument("--report", help="write a multi-sheet XLSX report here")
     return p
 
@@ -104,6 +113,8 @@ def curate(
     n_shards: int | None = None,
     quality_model: bool = False,
     quality_tail: float = 0.1,
+    ppl_filter: bool = False,
+    ppl_tail: float = 0.1,
     attribution: bool = False,
 ):
     """Programmatic surface of the CLI; returns the stats dict.
@@ -251,6 +262,39 @@ def curate(
         )
         kept = _mark("fluency_tail", kept)
 
+    if ppl_filter:
+        # VERDICT r7 #4: the CCNet-style perplexity gate — score every
+        # surviving doc's bigram surprisal under the corpus's OWN LM
+        # (doc_perplexity: ln-free integer ppm, hash-stable) and drop
+        # the high-surprisal tail.  The threshold is ONE percentile_disc
+        # agg collecting a single long (an actual data value, so the
+        # <= filter keeps ties together and drops AT MOST the tail
+        # fraction — deterministic, never splits a surprisal band; the
+        # --quality-model precedent); the survivor set applies as an
+        # id-keyed semi-join, and the ppl table is corpus-sized —
+        # shuffle_hash, never broadcast.  Docs with <2 tokens have no
+        # bigram evidence and drop here (the default min_tokens gate
+        # removes them long before this stage).
+        from lwetl_spark.operators.sampling import doc_perplexity
+
+        ppl = doc_perplexity(kept).localCheckpoint(eager=True)
+        thr_row = ppl.agg(
+            F.expr(
+                f"percentile_disc({1.0 - ppl_tail}) "
+                "WITHIN GROUP (ORDER BY surprisal_ppm)"
+            ).alias("thr")
+        ).collect()[0]
+        stats["ppl_threshold"] = (
+            int(thr_row["thr"]) if thr_row["thr"] is not None else None
+        )
+        if thr_row["thr"] is not None:
+            good = ppl.filter(F.col("surprisal_ppm") <= F.lit(thr_row["thr"]))
+            kept = kept.join(
+                good.select("doc_id").hint("shuffle_hash"),
+                "doc_id", "left_semi",
+            )
+        kept = _mark("ppl_filter", kept)
+
     if max_dup_fraction is not None:
         from lwetl_spark.operators.dedup import duplicate_spans
 
@@ -350,6 +394,8 @@ def main(argv: list[str] | None = None) -> int:
         n_shards=args.shards,
         quality_model=args.quality_model,
         quality_tail=args.quality_tail,
+        ppl_filter=args.ppl_filter,
+        ppl_tail=args.ppl_tail,
     )
     print(
         f"curated {stats['n_input']} -> {stats['n_kept']} docs "

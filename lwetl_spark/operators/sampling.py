@@ -587,3 +587,101 @@ def negative_samples(
             .alias("neg_id"),
         )
     )
+
+
+def doc_perplexity(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    scale: int = 1_000_000,
+    lm: DataFrame | None = None,
+    smooth_k: int = 4,
+) -> DataFrame:
+    """Per-document bigram-LM surprisal (r8, VERDICT r7 #4 — composes
+    the x_bigram_lm estimator into a document score): every adjacent
+    token pair scores its smoothed conditional probability P(w2|w1) in
+    exact integer ppm (`c2·scale DIV (c1 + k)`), and a document's
+    surprisal is `scale − mean(cond_ppm)` — the ln-free integer
+    perplexity stand-in, exactly the `fluency_buckets` idiom one
+    n-gram order up (linear in probability rather than log, so it is
+    hash-stable across engines; the RANKING a perplexity filter needs
+    is preserved because the map is monotone).
+
+    ``smooth_k`` is the add-k pseudo-count on the CONTEXT count and it
+    is load-bearing for self-scoring: under the raw MLE a gibberish
+    singleton bigram scores P=1 — its context count is also 1 — so
+    unsmoothed self-perplexity ranks gibberish as maximally
+    predictable (caught by the crafted-corpus pytest).  With k>0 a
+    conditional estimated from one observation caps at scale/(1+k)
+    while well-attested template bigrams approach scale — gibberish
+    lands in the high-surprisal tail where a perplexity gate expects
+    it.
+
+    ``lm`` defaults to self-scoring (the LM trains on ``df`` itself —
+    the CCNet-style corpus-relative filter).  Pass a (w1, w2, cond_ppm)
+    table to score against a REFERENCE LM instead (the Wikipedia-LM
+    pattern; smoothing is then the trainer's business); bigrams unseen
+    by the reference score cond_ppm=0, i.e. maximum surprisal.
+
+    Scale shape: TOKEN TEXT NEVER SHUFFLES — bigrams reduce to xxhash64
+    longs at the scan (h1 = hash(w1) for the context, h2 = hash(w1, w2)
+    for the pair; the dedup-family idiom — 64-bit collisions are
+    negligible and the DuckDB oracle would catch one), so every
+    exchange carries (hash, count) or (doc_id, hash) longs.  The
+    corpus collapses to pair counts map-side (partial aggregation);
+    the unigram table derives FROM the bigram counts (no second corpus
+    pass); the score join is pairs ⋈ bigram-vocab on h2 with
+    shuffle_hash pinned on both sides (both grow with the corpus —
+    Catalyst's exploded-output underestimate must never broadcast
+    either); the per-doc agg partially aggregates.  Docs with <2
+    tokens have no bigrams and are absent from the output (a curate
+    stage treats them via its own min-token gate).
+
+    Returns (doc_id, n_bigrams, predictability_ppm, surprisal_ppm).
+    """
+    d = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(
+            rf"filter(split(lower(trim({text_col})), '\\s+'), x -> x <> '')"
+        ).alias("t"),
+    ).filter(F.size("t") >= 2)
+    pairs = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(t) - 2),"
+                " i -> struct(t[i] AS w1, t[i + 1] AS w2))"
+            )
+        ).alias("p"),
+    ).select(
+        "doc_id",
+        F.xxhash64("p.w1").alias("h1"),
+        F.xxhash64("p.w1", "p.w2").alias("h2"),
+    )
+    if lm is None:
+        bg = pairs.groupBy("h1", "h2").agg(F.count("*").alias("c2"))
+        un = bg.groupBy("h1").agg(F.sum("c2").alias("c1"))
+        lm_t = bg.join(un.hint("shuffle_hash"), "h1").select(
+            "h2",
+            F.expr(
+                f"c2 * CAST({scale} AS BIGINT) DIV (c1 + {int(smooth_k)})"
+            ).alias("cond_ppm"),
+        )
+        join_type = "inner"  # self-scored: every doc bigram is in the LM
+    else:
+        lm_t = lm.select(
+            F.xxhash64("w1", "w2").alias("h2"), "cond_ppm"
+        )
+        join_type = "left"  # reference LM: unseen bigrams → cond_ppm 0
+    scored = pairs.select("doc_id", "h2").join(
+        lm_t.hint("shuffle_hash"), "h2", join_type
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.expr("sum(coalesce(cond_ppm, 0)) DIV count(*)").alias(
+            "predictability_ppm"
+        ),
+        F.expr(
+            f"CAST({scale} AS BIGINT) - sum(coalesce(cond_ppm, 0)) DIV count(*)"
+        ).alias("surprisal_ppm"),
+    )

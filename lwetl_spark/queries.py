@@ -4748,6 +4748,50 @@ def x_bigram_lm(spark, sf_dir):
 
 
 @register(
+    "x_doc_ppl",
+    r"""
+    WITH tk AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(trim(text)),
+             '\s+'), x -> x <> '') AS t
+      FROM documents
+    ),
+    pr AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t)), i -> [t[i], t[i+1]])) AS p
+      FROM tk WHERE len(t) >= 2
+    ),
+    pairs AS (SELECT doc_id, p[1] AS w1, p[2] AS w2 FROM pr),
+    bg AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2
+           FROM pairs GROUP BY 1, 2),
+    un AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM bg GROUP BY 1),
+    cond AS (SELECT w1, w2, c2 * 1000000 // (c1 + 4) AS cond_ppm
+             FROM bg JOIN un USING (w1)),
+    sc AS (SELECT doc_id, cond_ppm FROM pairs JOIN cond USING (w1, w2))
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(cond_ppm) // COUNT(*) AS BIGINT) AS predictability_ppm,
+           CAST(1000000 - SUM(cond_ppm) // COUNT(*) AS BIGINT) AS surprisal_ppm
+    FROM sc GROUP BY doc_id
+    """,
+)
+def x_doc_ppl(spark, sf_dir):
+    """Per-document bigram-LM surprisal (VERDICT r7 #4;
+    operators/sampling.doc_perplexity): composes the x_bigram_lm
+    estimator into the CCNet-style perplexity score — every adjacent
+    token pair scores add-4-smoothed P(w2|w1) in exact integer ppm
+    (the pseudo-count keeps self-scored singleton bigrams out of the
+    "perfectly predictable" bucket — see the operator docstring) and
+    the document's surprisal is scale − mean(cond_ppm), the ln-free
+    integer perplexity stand-in (monotone in perplexity, hash-stable
+    across engines where log is not).  FULL value oracle: DuckDB
+    retrains the same smoothed LM and rescans every bigram — counts,
+    conditionals, per-doc means must all match exactly.  Feeds
+    cli_curate's --ppl-filter tail gate."""
+    from lwetl_spark.operators.sampling import doc_perplexity
+
+    return doc_perplexity(_t(spark, sf_dir, "documents"))
+
+
+@register(
     "x_soft_dedup",
     """
     WITH RECURSIVE tok AS (

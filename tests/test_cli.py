@@ -367,3 +367,74 @@ def test_cli_curate_quality_model_stage(spark, tmp_path):
     )
     assert stats2["quality_beta"] is None
     assert stats2["n_kept"] == 8
+
+
+def test_doc_perplexity_hand_corpus_and_reference_lm(spark):
+    """doc_perplexity on a 3-doc corpus whose bigram table is small
+    enough to hand-compute; the reference-LM path scores unseen
+    bigrams as maximum surprisal (cond_ppm 0)."""
+    from pyspark.sql import functions as F
+
+    from lwetl_spark.operators.sampling import doc_perplexity
+
+    # bigrams: (a,b)x2 from docs 1 and 3; (a,c)x1 from doc2; (b,a)x1;
+    # context counts: a->3, b->1; smoothed (k=4): /(c1+4)
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, "a c"), (3, "a b")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in doc_perplexity(docs).collect()}
+    p_ba = 2 * 1000000 // (3 + 4)   # P(b|a): 285714
+    p_ca = 1 * 1000000 // (3 + 4)   # P(c|a): 142857
+    p_ab = 1 * 1000000 // (1 + 4)   # P(a|b): 200000
+    assert out[1]["n_bigrams"] == 2
+    assert out[1]["predictability_ppm"] == (p_ba + p_ab) // 2
+    assert out[1]["surprisal_ppm"] == 1000000 - (p_ba + p_ab) // 2
+    assert out[2]["predictability_ppm"] == p_ca
+    assert out[3]["predictability_ppm"] == p_ba
+
+    # reference LM: only (a,b) is known at 600000 ppm (pre-smoothed by
+    # its trainer — the lm path applies no further smoothing)
+    lm = spark.createDataFrame(
+        [("a", "b", 600000)], "w1 string, w2 string, cond_ppm long"
+    )
+    ref = {r["doc_id"]: r for r in doc_perplexity(docs, lm=lm).collect()}
+    assert ref[3]["predictability_ppm"] == 600000
+    assert ref[2]["predictability_ppm"] == 0        # unseen bigram
+    assert ref[2]["surprisal_ppm"] == 1000000       # maximum surprisal
+    assert ref[1]["predictability_ppm"] == (600000 + 0) // 2
+
+
+def test_cli_curate_ppl_filter_stage(spark, tmp_path):
+    """VERDICT r7 #4: --ppl-filter drops the high-surprisal tail under
+    the corpus's own bigram LM.  Crafted corpus: 9 template docs share
+    their bigrams (high P(w2|w1), low surprisal) and 3 gibberish docs
+    are all singleton bigrams (cond_ppm small) — the gate must drop
+    gibberish first, record the threshold, and keep ties together."""
+    from lwetl_spark.cli_curate import curate
+
+    sf = str(tmp_path / "sf")
+    rows = []
+    for i in range(9):
+        rows.append((i, "the quick brown fox jumps over the lazy dog",
+                     "en", 40, "s"))
+    for i in range(9, 12):
+        gib = " ".join(f"zx{i}{j}" for j in range(9))
+        rows.append((i, gib, "en", 40, "s"))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, n_chars int, source string"
+    ).write.parquet(sf + "/documents.parquet")
+
+    out = str(tmp_path / "out")
+    stats = curate(
+        spark, sf, out, min_tokens=1, dedup=False,
+        ppl_filter=True, ppl_tail=0.25, attribution=True,
+    )
+    assert stats["n_input"] == 12
+    assert stats["ppl_threshold"] is not None
+    kept_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(out).select("doc_id").collect()
+    }
+    assert kept_ids == set(range(9))  # every gibberish doc dropped
+    assert stats["n_after_ppl_filter"] == 9

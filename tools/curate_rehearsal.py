@@ -130,6 +130,12 @@ def main() -> None:
         # ~zero shuffle (the envelope assertion below would catch it)
         quality_model=True,
         quality_tail=0.1,
+        # VERDICT r7 #4: the perplexity gate rides the chain too — its
+        # exchanges are (hash, count)/(doc_id, hash) longs only (token
+        # text reduces to xxhash64 at the scan), so the envelope
+        # assertion bounds it like every other metadata-only stage
+        ppl_filter=True,
+        ppl_tail=0.1,
     )
     wall = time.time() - t0
     rd1, wr1, in1 = _shuffle_totals(spark)
