@@ -39,6 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from lwetl_spark.operators._fsutil import path_exists as _path_exists
 from lwetl_spark.operators.similarity import (
     _PQ_BUCKETS,
     _make_assign_cells,
@@ -47,6 +48,42 @@ from lwetl_spark.operators.similarity import (
     _spherical_kmeans_from_matrix,
     _train_sample_matrix,
 )
+
+
+def _opq_rotation(Rres, m: int):
+    """Parametric OPQ rotation (Ge et al. 2013, "Optimized Product
+    Quantization", CVPR — the eigenvalue-allocation variant): PCA-align
+    the residual cloud, then permute the principal directions into m
+    contiguous sub-blocks whose eigenvalue LOG-PRODUCTS balance
+    (greedy: descending eigenvalues into the lightest non-full bucket).
+    For near-Gaussian residuals this provably minimizes the product
+    quantizer's distortion bound among rotations — one d×d eigh on the
+    ALREADY-COLLECTED training sample, d² driver floats, no extra
+    passes.  Eigenvector signs canonicalize (largest-|component| entry
+    positive) so retrains are deterministic.  Returns the d×d
+    orthogonal matrix whose rows are the bucket-ordered basis."""
+    import numpy as np
+
+    d = Rres.shape[1]
+    sub = d // m
+    cov = (Rres.T @ Rres) / max(len(Rres), 1)
+    lam, U = np.linalg.eigh(cov)
+    order = np.argsort(-lam)
+    lam, U = lam[order], U[:, order]
+    for j in range(d):
+        k = int(np.abs(U[:, j]).argmax())
+        if U[k, j] < 0:
+            U[:, j] = -U[:, j]
+    logs = np.log(np.maximum(lam, 1e-12))
+    buckets: list[list[int]] = [[] for _ in range(m)]
+    loads = [0.0] * m
+    for j in range(d):
+        free = [b for b in range(m) if len(buckets[b]) < sub]
+        b = min(free, key=lambda x: (loads[x], x))
+        buckets[b].append(j)
+        loads[b] += float(logs[j])
+    perm = [j for bucket in buckets for j in bucket]
+    return U[:, perm].T
 
 
 def _train_ivfpq(
@@ -58,28 +95,33 @@ def _train_ivfpq(
     ksub: int,
     train_sample: int,
     iters: int,
+    opq: bool = False,
 ):
     """Train the composed quantizer pair on ONE bounded sample collect:
     spherical k-means for the coarse cells (bit-identical to a
     standalone IVF trained on the same sample — shared matrix core),
-    then per-subspace k-means codebooks on the sample's RESIDUALS.
-    Returns (C, books): (num_centroids × dim, m × ksub × dim/m)."""
-    import numpy as np
-
+    then per-subspace k-means codebooks on the sample's RESIDUALS —
+    optionally OPQ-rotated first (r8): the codebooks then quantize the
+    rotation's balanced sub-blocks.  Returns (C, books, Rot):
+    (num_centroids × dim, m × ksub × dim/m, d×d orthogonal or None)."""
     Xn = _train_sample_matrix(df, vec_col, id_col, train_sample)
     C = _spherical_kmeans_from_matrix(Xn, num_centroids, iters)
     assign = (Xn @ C.T).argmax(axis=1)
     R = Xn - C[assign]
+    Rot = _opq_rotation(R, m) if opq else None
+    if Rot is not None:
+        R = R @ Rot.T
     books = _pq_codebooks_from_matrix(R, m, ksub, iters)
-    return C, books
+    return C, books, Rot
 
 
-def _make_ivfpq_encode(b_C, b_books):
+def _make_ivfpq_encode(b_C, b_books, b_R=None):
     """mapInPandas generator: (id, v) → (id, cell, code) — assign each
     row to its nearest cell, pack the RESIDUAL's m sub-codes into one
-    int64.  Shared by `ivfpq_topk`, `build_ivfpq_index` and
-    `update_ivfpq_index` so inline and persisted codes are
-    bit-identical.  Closure captures the two broadcasts only."""
+    int64 (OPQ indexes rotate the residual first — `b_R`).  Shared by
+    `ivfpq_topk`, `build_ivfpq_index` and `update_ivfpq_index` so
+    inline and persisted codes are bit-identical.  Closure captures
+    the broadcasts only."""
 
     def encode(it):
         import numpy as np  # noqa: F811 — pickled by value for workers
@@ -87,6 +129,7 @@ def _make_ivfpq_encode(b_C, b_books):
 
         C = b_C.value
         B = b_books.value
+        Rot = b_R.value if b_R is not None else None
         mm, _, sub = B.shape
         for pdf in it:
             if not len(pdf):
@@ -95,6 +138,8 @@ def _make_ivfpq_encode(b_C, b_books):
             vn = v / np.maximum(np.linalg.norm(v, axis=1), 1e-12)[:, None]
             cell = (vn @ C.T).argmax(axis=1)
             R = vn - C[cell]
+            if Rot is not None:
+                R = R @ Rot.T
             code = np.zeros(len(pdf), dtype=np.int64)
             for j in range(mm):
                 S = R[:, j * sub : (j + 1) * sub]
@@ -111,7 +156,7 @@ def _make_ivfpq_encode(b_C, b_books):
     return encode
 
 
-def _make_ivfpq_adc(b_C, b_books, shortlist_n: int):
+def _make_ivfpq_adc(b_C, b_books, shortlist_n: int, b_R=None):
     """Cell-local ADC scorer (cogroup callback): full-precision queries
     probing a cell × that cell's PACKED CODES → per-(query, cell)
     shortlist of `shortlist_n` candidate pairs with ADC scores.
@@ -119,9 +164,12 @@ def _make_ivfpq_adc(b_C, b_books, shortlist_n: int):
     Per query the work is one (m × ksub) dot table against the
     broadcast residual codebooks plus the scalar ``qn·C[cell]`` cell
     constant; per candidate it is m int lookups — no float vector is
-    ever materialized for a candidate.  HALF_UP 6-dp rounding +
-    position-order tie-break, the family determinism rules, so inline
-    and persisted probes agree bit-for-bit."""
+    ever materialized for a candidate.  OPQ indexes (`b_R`) rotate the
+    QUERY for the table part: the rotation is orthogonal, so
+    qn·r = (R·qn)·(R·r) exactly and the stored codes approximate R·r —
+    same lookup count, zero per-candidate overhead.  HALF_UP 6-dp
+    rounding + position-order tie-break, the family determinism rules,
+    so inline and persisted probes agree bit-for-bit."""
     import numpy as np
     import pandas as pd
 
@@ -131,6 +179,7 @@ def _make_ivfpq_adc(b_C, b_books, shortlist_n: int):
             return empty
         C = b_C.value
         B = b_books.value
+        Rot = b_R.value if b_R is not None else None
         mm, _, sub = B.shape
         cell = int(cpdf["cell"].iloc[0])  # cogroup key: constant per call
         cids = cpdf["id"].to_numpy(np.int64)
@@ -145,8 +194,9 @@ def _make_ivfpq_adc(b_C, b_books, shortlist_n: int):
         qn = qmat / np.maximum(np.linalg.norm(qmat, axis=1), 1e-12)[:, None]
         # ADC: cell constant + m residual-table lookups per candidate
         scores = np.repeat((qn @ C[cell])[:, None], len(cids), axis=1)
+        qt = qn if Rot is None else qn @ Rot.T  # rotate query, not codes
         for j in range(mm):
-            T = qn[:, j * sub : (j + 1) * sub] @ B[j].T  # (nq, ksub)
+            T = qt[:, j * sub : (j + 1) * sub] @ B[j].T  # (nq, ksub)
             scores += T[:, sub_codes[:, j]]
         scores = np.floor(scores * 1e6 + 0.5) / 1e6  # HALF_UP like F.round
         n = len(cids)
@@ -173,6 +223,7 @@ def _ivfpq_shortlist(
     b_C,
     b_books,
     shortlist_n: int,
+    b_R=None,
 ) -> DataFrame:
     """Probes (id, cell, v) cogroup with codes (id, cell, code) per cell;
     per-cell ADC shortlists merge into one per-QUERY shortlist via a
@@ -181,7 +232,7 @@ def _ivfpq_shortlist(
         probe_v.groupBy("cell")
         .cogroup(codes.groupBy("cell"))
         .applyInPandas(
-            _make_ivfpq_adc(b_C, b_books, shortlist_n),
+            _make_ivfpq_adc(b_C, b_books, shortlist_n, b_R),
             "id long, neighbor_id long, score double",
         )
     )
@@ -205,9 +256,14 @@ def ivfpq_topk(
     train_sample: int = 10_000,
     iters: int = 8,
     rerank: int = 100,
+    opq: bool = False,
 ) -> DataFrame:
     """Approximate top-k via inline IVFADC — cell-pruned ADC over packed
     residual codes + exact re-rank of the per-query shortlist.
+    ``opq=True`` trains the parametric OPQ rotation on the residual
+    cloud first (see `_opq_rotation`) — same code budget, better-
+    conditioned subspaces; measured recall@5 delta vs plain IVFADC is
+    documented in SCALE.md's OPQ row.
 
     Compute per query is ``|corpus|·nprobe/num_centroids`` ADC lookups
     (16 B/candidate) instead of |corpus| float-vector cosines; only
@@ -224,22 +280,26 @@ def ivfpq_topk(
     driver-checked by the x_ann_ivfpq recall band."""
     if ksub > 256:
         raise ValueError("ksub > 256 cannot pack into 8-bit sub-codes")
-    C, books = _train_ivfpq(
-        df, vec_col, id_col, num_centroids, m, ksub, train_sample, iters
+    C, books, Rot = _train_ivfpq(
+        df, vec_col, id_col, num_centroids, m, ksub, train_sample, iters,
+        opq=opq,
     )
     spark = df.sparkSession
     b_C = spark.sparkContext.broadcast(C)
     b_books = spark.sparkContext.broadcast(books)
+    b_R = spark.sparkContext.broadcast(Rot) if Rot is not None else None
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     codes = base.mapInPandas(
-        _make_ivfpq_encode(b_C, b_books), "id long, cell int, code long"
+        _make_ivfpq_encode(b_C, b_books, b_R), "id long, cell int, code long"
     )
     probe_n = min(nprobe, len(C))
     probe_v = base.mapInPandas(
         _make_assign_cells(b_C, probe_n, carry_v=True),
         "id long, cell int, v array<double>",
     )
-    shortlist = _ivfpq_shortlist(probe_v, codes, b_C, b_books, max(rerank, k))
+    shortlist = _ivfpq_shortlist(
+        probe_v, codes, b_C, b_books, max(rerank, k), b_R
+    )
     scored = _score_candidates(df, shortlist, vec_col, id_col, "join")
     w = Window.partitionBy("id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
@@ -260,6 +320,7 @@ def build_ivfpq_index(
     train_sample: int = 10_000,
     iters: int = 8,
     train_df: DataFrame | None = None,
+    opq: bool = False,
 ) -> None:
     """Persist an IVFADC index — the layout you'd deploy at 10⁹+
     vectors:
@@ -267,6 +328,9 @@ def build_ivfpq_index(
     - `{path}/centroids`: (cell, centroid) — the coarse quantizer;
     - `{path}/codebooks`: (subspace, code, centroid) — the RESIDUAL
       codebooks;
+    - `{path}/rotation` (OPQ builds only, r8): the d×d orthogonal OPQ
+      matrix, row-major — its PRESENCE marks the index as OPQ, so
+      probes/appends/retrains dispatch without a params migration;
     - `{path}/params`: quantizer family + `n_at_train` (the corpus size
       the quantizers were trained against — `auto_maintain`'s growth
       signal);
@@ -283,13 +347,31 @@ def build_ivfpq_index(
     appends never move either quantizer."""
     if ksub > 256:
         raise ValueError("ksub > 256 cannot pack into 8-bit sub-codes")
-    C, books = _train_ivfpq(
+    C, books, Rot = _train_ivfpq(
         df if train_df is None else train_df,
         vec_col, id_col, num_centroids, m, ksub, train_sample, iters,
+        opq=opq,
     )
     spark = df.sparkSession
     b_C = spark.sparkContext.broadcast(C)
     b_books = spark.sparkContext.broadcast(books)
+    b_R = spark.sparkContext.broadcast(Rot) if Rot is not None else None
+    if Rot is not None:
+        spark.createDataFrame(
+            [(i, [float(x) for x in row]) for i, row in enumerate(Rot)],
+            "row int, basis array<double>",
+        ).write.mode("overwrite").parquet(f"{path}/rotation")
+    else:
+        # a non-OPQ rebuild over a previously-OPQ path must retire the
+        # stale rotation, or every later probe would mis-rotate
+        try:
+            jvm = spark._jvm
+            hp = jvm.org.apache.hadoop.fs.Path(f"{path}/rotation")
+            fs = hp.getFileSystem(spark._jsc.hadoopConfiguration())
+            if fs.exists(hp):
+                fs.delete(hp, True)
+        except Exception:
+            pass  # non-classic session without a JVM gateway
     spark.createDataFrame(
         [(i, [float(x) for x in row]) for i, row in enumerate(C)],
         "cell int, centroid array<double>",
@@ -322,7 +404,7 @@ def build_ivfpq_index(
     # whose parquet footers dominate probe bytes (measured 109 B/row vs
     # 16 B of payload at 256 cells).  The shuffle moves 16-byte rows.
     base.mapInPandas(
-        _make_ivfpq_encode(b_C, b_books), "id long, cell int, code long"
+        _make_ivfpq_encode(b_C, b_books, b_R), "id long, cell int, code long"
     ).repartition("cell").write.mode("overwrite").partitionBy("cell").parquet(
         f"{path}/codes"
     )
@@ -334,9 +416,10 @@ def build_ivfpq_index(
 
 
 def _load_quantizers(spark, path: str):
-    """The two bounded driver reads of the IVFADC family: the
-    num_centroids × dim coarse matrix and the m × ksub × dim/m residual
-    codebooks."""
+    """The bounded driver reads of the IVFADC family: the
+    num_centroids × dim coarse matrix, the m × ksub × dim/m residual
+    codebooks, and (OPQ indexes) the d×d rotation — its presence on
+    disk is the OPQ marker."""
     import numpy as np
 
     cent_rows = spark.read.parquet(f"{path}/centroids").collect()
@@ -351,7 +434,14 @@ def _load_quantizers(spark, path: str):
     books = np.empty((mm, kk, sub))
     for r in cb:
         books[r["subspace"], r["code"]] = r["centroid"]
-    return C, books
+    Rot = None
+    if _path_exists(spark, f"{path}/rotation"):
+        rows = spark.read.parquet(f"{path}/rotation").collect()
+        Rot = np.array(
+            [r["basis"] for r in sorted(rows, key=lambda r: r["row"])],
+            dtype=np.float64,
+        )
+    return C, books, Rot
 
 
 def query_ivfpq_index(
@@ -375,9 +465,10 @@ def query_ivfpq_index(
     (16 B/row) — cell-pruned AND compressed, the property neither half
     has alone.  Same output contract as `ivfpq_topk` (self-matches
     excluded when a query id is indexed)."""
-    C, books = _load_quantizers(spark, path)
+    C, books, Rot = _load_quantizers(spark, path)
     b_C = spark.sparkContext.broadcast(C)
     b_books = spark.sparkContext.broadcast(books)
+    b_R = spark.sparkContext.broadcast(Rot) if Rot is not None else None
     probe_n = min(nprobe, len(C))
     q_base = queries_df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     probe_v = q_base.mapInPandas(
@@ -391,7 +482,9 @@ def query_ivfpq_index(
         .filter(F.col("cell").isin(probed))
         .select("id", "cell", "code")
     )
-    shortlist = _ivfpq_shortlist(probe_v, codes, b_C, b_books, max(rerank, k))
+    shortlist = _ivfpq_shortlist(
+        probe_v, codes, b_C, b_books, max(rerank, k), b_R
+    )
     # exact re-rank vectors: stored corpus ∪ the query batch (same ids
     # carry identical vectors, so the union is conflict-free)
     vectors = (
@@ -428,12 +521,13 @@ def update_ivfpq_index(
     `== rebuild with train_df=` exact), one Arrow assign+encode pass
     over the delta, cell-partition APPENDS into codes and hash-bucket
     APPENDS into vectors."""
-    C, books = _load_quantizers(spark, path)
+    C, books, Rot = _load_quantizers(spark, path)
     b_C = spark.sparkContext.broadcast(C)
     b_books = spark.sparkContext.broadcast(books)
+    b_R = spark.sparkContext.broadcast(Rot) if Rot is not None else None
     base = delta_df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     base.mapInPandas(
-        _make_ivfpq_encode(b_C, b_books), "id long, cell int, code long"
+        _make_ivfpq_encode(b_C, b_books, b_R), "id long, cell int, code long"
     ).write.mode("append").partitionBy("cell").parquet(f"{path}/codes")
     delta_df.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
@@ -574,4 +668,8 @@ def retrain_ivfpq_index(
         members, path, vec_col="vec", id_col="id",
         num_centroids=num_centroids, m=m, ksub=ksub,
         train_sample=train_sample, iters=iters,
+        # OPQ-ness is part of the index family (the rotation marker on
+        # disk), and a maintenance pass must never silently change the
+        # family — re-derive a fresh rotation from the current residuals
+        opq=_path_exists(spark, f"{path}/rotation"),
     )
