@@ -94,8 +94,15 @@ EXTENDED = [
     "hybrid_probe",
     # r7: the media family's end-to-end pass (synthesize real containers
     # + parse/validate them — generation and decode are both Arrow work,
-    # so the row tracks the multimodal ingest gate's throughput)
+    # so the row tracks the multimodal ingest gate's throughput).  r8:
+    # the fixture gained the MP4 leg, so this row now times the video
+    # census too — expect a one-round step-up, explained here.
     "x_media_meta",
+    # r8: baseline JPEG entropy decode (the slowest per-item media pass:
+    # bit-serial Huffman + IDCT per image) and the corpus bigram-LM
+    # perplexity scorer (hash-keyed exchanges, feeds --ppl-filter)
+    "x_jpeg_pixels",
+    "x_doc_ppl",
 ]
 
 
