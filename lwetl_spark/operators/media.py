@@ -533,13 +533,23 @@ def _make_mp4_gen():
         n_samples: int = 0,
         a_codec: bytes = b"mp4a",
         brand: bytes = b"isom",
+        frames: list | None = None,
+        key_every: int = 4,
     ) -> bytes:
         """A REAL minimal ISO-BMFF file: ftyp + moov(mvhd + one trak per
         requested medium) + mdat.  Every box is spec-shaped (version/
         flags, matrices, 16.16 fixed-point dims/rates, sample-table
-        stubs) so any conformant box walker parses it; it carries no
-        coded samples (a structural census fixture, stated honestly —
-        the mdat is padding, exactly like a stripped-moov probe file)."""
+        stubs) so any conformant box walker parses it.
+
+        With ``frames`` (r8: a list of per-frame byte strings) the video
+        trak carries a REAL sample table — stts (uniform delta, last
+        sample absorbs the duration remainder), stss (keyframes every
+        ``key_every``-th sample), stsc (one chunk), stsz (true sizes),
+        stco (the mdat payload offset, patched after moov assembly) —
+        and the mdat holds the concatenated frame payloads, so a sample
+        walker recovers each frame's exact byte range.  Without frames
+        the mdat is padding (a structural census fixture, stated
+        honestly — like a stripped-moov probe file)."""
         matrix = struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
                              0x40000000)
         mvhd = full(b"mvhd", 0, struct.pack(
@@ -568,8 +578,32 @@ def _make_mp4_gen():
 
         dinf = box(b"dinf", full(b"dref", 0, struct.pack(">I", 1)
                                  + full(b"url ", 1, b"")))
-        traks = []
-        if width is not None:
+        def stbl_frames(entry: bytes, offset: int) -> bytes:
+            """Video stbl with a REAL sample table over ``frames``."""
+            n = len(frames)
+            delta = duration_ms // n
+            if n > 1:
+                stts_p = (struct.pack(">I", 2)
+                          + struct.pack(">II", n - 1, delta)
+                          + struct.pack(">II", 1,
+                                        duration_ms - delta * (n - 1)))
+            else:
+                stts_p = struct.pack(">I", 1) + struct.pack(
+                    ">II", 1, duration_ms)
+            keys = [j + 1 for j in range(n) if j % key_every == 0]
+            return box(b"stbl", b"".join((
+                full(b"stsd", 0, struct.pack(">I", 1) + entry),
+                full(b"stts", 0, stts_p),
+                full(b"stss", 0, struct.pack(">I", len(keys))
+                     + b"".join(struct.pack(">I", k) for k in keys)),
+                full(b"stsc", 0, struct.pack(">I", 1)
+                     + struct.pack(">III", 1, n, 1)),
+                full(b"stsz", 0, struct.pack(">II", 0, n)
+                     + b"".join(struct.pack(">I", len(f)) for f in frames)),
+                full(b"stco", 0, struct.pack(">II", 1, offset)),
+            )))
+
+        def video_trak(stco_offset: int) -> bytes:
             entry = (
                 struct.pack(">I", 86) + v_codec + b"\x00" * 6
                 + struct.pack(">H", 1)                       # dref idx
@@ -580,12 +614,18 @@ def _make_mp4_gen():
                 + b"\x00" * 32                               # compressor
                 + struct.pack(">Hh", 24, -1)                 # depth, -1
             )
+            tables = (stbl_frames(entry, stco_offset) if frames
+                      else stbl(entry))
             minf = box(b"minf", full(b"vmhd", 1, b"\x00" * 8) + dinf
-                       + stbl(entry))
+                       + tables)
             mdhd = full(b"mdhd", 0, struct.pack(
                 ">IIII", 0, 0, 1000, duration_ms) + struct.pack(">HH", 0x55C4, 0))
-            traks.append(box(b"trak", tkhd(1, width, height) + box(
-                b"mdia", mdhd + hdlr(b"vide") + minf)))
+            return box(b"trak", tkhd(1, width, height) + box(
+                b"mdia", mdhd + hdlr(b"vide") + minf))
+
+        traks = []
+        if width is not None:
+            traks.append(video_trak(0))
         if sample_rate is not None:
             entry = (
                 struct.pack(">I", 36) + a_codec + b"\x00" * 6
@@ -603,6 +643,15 @@ def _make_mp4_gen():
         ftyp = box(b"ftyp", brand + struct.pack(">I", 0x200)
                    + brand + b"iso2")
         moov = box(b"moov", mvhd + b"".join(traks))
+        if frames and width is not None:
+            # patch the stco chunk offset now that the header size is
+            # known (the fixed-width offset field keeps moov's size
+            # stable across the rebuild — the standard mp4 mux trick)
+            mdat_body = b"".join(frames)
+            offset = len(ftyp) + len(moov) + 8  # + mdat box header
+            traks[0] = video_trak(offset)
+            moov = box(b"moov", mvhd + b"".join(traks))
+            return ftyp + moov + box(b"mdat", mdat_body)
         return ftyp + moov + box(b"mdat", b"\x00" * 8)
 
     return mp4
@@ -729,6 +778,8 @@ def _make_mp4_walker():
         res["valid"] = bool(ok and have_mvhd and res["n_tracks"] > 0)
         return res
 
+    walk.scan = scan  # shared with the sample-table walker factory
+    walk.mdhd_fields = mdhd_fields
     return walk
 
 
@@ -1030,7 +1081,9 @@ def synth_media_demo(
               isom/mp42/iso5 by id%3; an audio trak (rate
               8000+1000·(id%8), channels 1+(id%2), n_samples
               400+(id%600)) except when id%7=0 (video-only files exist
-              in every crawl)
+              in every crawl); r8: a REAL video sample table — 8+(id%9)
+              frames in the mdat, frame j sized 50+(id+13j)%40 with
+              byte k = (id+31j+7k)%256, keyframes every 4th
     - 4 → 16 bytes of 0x00 (no known magic — the corrupt/unknown leg)
 
     One Arrow pass; generators are stdlib-only and pickled by value
@@ -1087,6 +1140,18 @@ def synth_media_demo(
                 return _wav(8000 + 1000 * (i % 8), 1 + i % 2, 64 + i % 50)
             if m == 3:
                 audio = i % 7 != 0
+                # r8: a REAL sample table + mdat frames (frame j has
+                # 50+(i+13j)%40 bytes, byte k = (i+31j+7k)%256,
+                # keyframe every 4th) — x_mp4_frames value-checks the
+                # recovered byte ranges against this arithmetic
+                nf = 8 + i % 9
+                frames = [
+                    bytes(
+                        (i + 31 * j + 7 * k) % 256
+                        for k in range(50 + (i + 13 * j) % 40)
+                    )
+                    for j in range(nf)
+                ]
                 return _mp4(
                     500 + i % 4000,
                     width=160 + 16 * (i % 28),
@@ -1096,6 +1161,7 @@ def synth_media_demo(
                     channels=1 + i % 2,
                     n_samples=400 + i % 600,
                     brand=(b"isom", b"mp42", b"iso5")[i % 3],
+                    frames=frames,
                 )
             return bytes(16)
 
@@ -1416,3 +1482,189 @@ def exif_meta(df: DataFrame) -> DataFrame:
             yield out
 
     return df.mapInPandas(parse, schema=EXIF_META_SCHEMA)
+
+
+def _make_mp4_sample_walker():
+    """Factory returning the MP4 SAMPLE-TABLE walker (by-value pickling,
+    see _make_mp4_gen): expand the video trak's stts/stsz/stsc/stco/stss
+    into per-frame (pts, byte offset, size, keyframe) — the walk every
+    real frame sampler (ffmpeg-style keyframe extraction) performs
+    before any codec work.  Returns None for payloads without a video
+    sample table; malformed tables (offsets past EOF, count mismatches)
+    return None rather than raising."""
+    import struct
+
+    base = _make_mp4_walker()
+    scan = base.scan
+    mdhd_fields = base.mdhd_fields
+
+    def sample_index(b: bytes):
+        b = bytes(b)
+        if len(b) < 8 or b[4:8] != b"ftyp":
+            return None
+        for tag, s, e in scan(b, 0, len(b))[0]:
+            if tag != b"moov":
+                continue
+            for t2, s2, e2 in scan(b, s, e)[0]:
+                if t2 != b"trak":
+                    continue
+                handler = None
+                md_ts = None
+                stbl_span = None
+                for t3, s3, e3 in scan(b, s2, e2)[0]:
+                    if t3 != b"mdia":
+                        continue
+                    for t4, s4, e4 in scan(b, s3, e3)[0]:
+                        if t4 == b"hdlr" and e4 - s4 >= 12:
+                            handler = b[s4 + 8 : s4 + 12]
+                        elif t4 == b"mdhd":
+                            md_ts, _ = mdhd_fields(b, s4, e4)
+                        elif t4 == b"minf":
+                            for t5, s5, e5 in scan(b, s4, e4)[0]:
+                                if t5 == b"stbl":
+                                    stbl_span = (s5, e5)
+                if handler != b"vide" or stbl_span is None:
+                    continue
+                stts = stsz = stco = stsc = None
+                keys: set = set()
+                for t6, s6, e6 in scan(b, *stbl_span)[0]:
+                    p = b[s6:e6]
+                    try:
+                        if t6 == b"stts":
+                            (n,) = struct.unpack(">I", p[4:8])
+                            stts = [
+                                struct.unpack(">II", p[8 + 8 * i : 16 + 8 * i])
+                                for i in range(n)
+                            ]
+                        elif t6 == b"stsz":
+                            sz, n = struct.unpack(">II", p[4:12])
+                            stsz = ([sz] * n if sz else [
+                                struct.unpack(">I", p[12 + 4 * i : 16 + 4 * i])[0]
+                                for i in range(n)
+                            ])
+                        elif t6 == b"stco":
+                            (n,) = struct.unpack(">I", p[4:8])
+                            stco = [
+                                struct.unpack(">I", p[8 + 4 * i : 12 + 4 * i])[0]
+                                for i in range(n)
+                            ]
+                        elif t6 == b"stsc":
+                            (n,) = struct.unpack(">I", p[4:8])
+                            stsc = [
+                                struct.unpack(
+                                    ">III", p[8 + 12 * i : 20 + 12 * i])
+                                for i in range(n)
+                            ]
+                        elif t6 == b"stss":
+                            (n,) = struct.unpack(">I", p[4:8])
+                            keys = {
+                                struct.unpack(">I", p[8 + 4 * i : 12 + 4 * i])[0]
+                                for i in range(n)
+                            }
+                    except struct.error:
+                        return None
+                if not (stts and stsz and stco and stsc):
+                    return None
+                pts = []
+                t = 0
+                for cnt, delta in stts:
+                    for _ in range(cnt):
+                        pts.append(t)
+                        t += delta
+                if len(pts) < len(stsz):
+                    return None
+                # chunk map: stsc rows are (first_chunk, samples/chunk,
+                # desc) ranges; walk each chunk accumulating offsets
+                offsets = []
+                si = 0
+                for ci in range(len(stco)):
+                    spc = stsc[0][1]
+                    for fc, spcv, _d in stsc:
+                        if fc <= ci + 1:
+                            spc = spcv
+                        else:
+                            break
+                    off = stco[ci]
+                    for _ in range(spc):
+                        if si >= len(stsz):
+                            break
+                        offsets.append(off)
+                        off += stsz[si]
+                        si += 1
+                if si < len(stsz):
+                    return None
+                return {
+                    "timescale": md_ts or 1000,
+                    "pts": pts[: len(stsz)],
+                    "sizes": stsz,
+                    "offsets": offsets,
+                    "keys": keys,
+                }
+        return None
+
+    return sample_index
+
+
+#: the MP4 sample-table walker (factory-made; importable for tests)
+mp4_sample_index = _make_mp4_sample_walker()
+
+
+MP4_FRAME_SCHEMA = (
+    "doc_id long, frame_idx long, pts_ms long, size long,"
+    " rel_offset long, is_key boolean, byte_sum long"
+)
+
+
+def mp4_frame_index(df: DataFrame) -> DataFrame:
+    """REAL frame extraction plumbing for MP4 payloads (r8 — retires the
+    'sample_frames is byte-window plumbing' caveat for container-aware
+    inputs): walk the video trak's sample table, recover every frame's
+    exact byte range from stsc/stco/stsz, slice it out of the payload,
+    and emit per-frame rows — presentation time (exact integer ms from
+    the mdhd timescale), size, offset relative to the first frame
+    (layout-independent, so a SQL oracle recomputes it as a prefix sum
+    of sizes), the stss keyframe flag, and the sliced bytes' integer
+    sum (the hash-stable proof the EXACT range was read — one byte off
+    and the sum moves).
+
+    Keyframe-only sampling composes downstream in DataFrame land
+    (`.filter("is_key")` + row_number) — the walk here is the part a
+    codec-equipped production decoder would keep verbatim; only the
+    per-frame decode call would replace the byte sum.  Payloads without
+    a video sample table yield no rows (the opaque-payload fallback is
+    `streaming/multimodal.sample_frames`'s byte windows).  One
+    zero-shuffle Arrow pass; frames never leave their input partition.
+    """
+    walker = _make_mp4_sample_walker()
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        def rows(doc_id: int, b: bytes):
+            idx = walker(b)
+            if idx is None:
+                return
+            ts = idx["timescale"]
+            base_off = idx["offsets"][0] if idx["offsets"] else 0
+            for j, (p, sz, off) in enumerate(
+                zip(idx["pts"], idx["sizes"], idx["offsets"])
+            ):
+                if off + sz > len(b):
+                    return  # malformed table: never a task failure
+                frame = b[off : off + sz]
+                yield (
+                    doc_id, j, 1000 * p // ts, sz, off - base_off,
+                    (j + 1) in idx["keys"], sum(frame),
+                )
+
+        cols = ["doc_id", "frame_idx", "pts_ms", "size", "rel_offset",
+                "is_key", "byte_sum"]
+        for pdf in batches:
+            out = [
+                r
+                for doc_id, payload in zip(pdf["doc_id"], pdf["payload"])
+                for r in rows(int(doc_id), bytes(payload))
+            ]
+            yield pd.DataFrame(out, columns=cols)
+
+    return df.mapInPandas(run, schema=MP4_FRAME_SCHEMA)

@@ -1585,6 +1585,69 @@ def x_mp4_meta(spark, sf_dir):
 
 
 @register(
+    "x_mp4_frames",
+    """
+    WITH g AS (
+        SELECT doc_id, 500 + doc_id % 4000 AS dur, 8 + doc_id % 9 AS nf
+        FROM documents WHERE doc_id % 5 = 3
+    ),
+    fr AS (
+        SELECT doc_id, dur // nf AS delta,
+               unnest(range(0, nf)) AS j
+        FROM g
+    ),
+    sz AS (
+        SELECT doc_id, delta, j,
+               50 + (doc_id + 13 * j) % 40 AS size
+        FROM fr
+    ),
+    offs AS (
+        SELECT doc_id, delta, j, size,
+               COALESCE(SUM(size) OVER (
+                   PARTITION BY doc_id ORDER BY j
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS rel_offset
+        FROM sz
+    ),
+    bexp AS (
+        SELECT doc_id, j, unnest(range(0, size)) AS k
+        FROM sz
+    ),
+    bsum AS (
+        SELECT doc_id, j,
+               CAST(SUM((doc_id + 31 * j + 7 * k) % 256) AS BIGINT)
+                   AS byte_sum
+        FROM bexp GROUP BY doc_id, j
+    )
+    SELECT o.doc_id, CAST(o.j AS BIGINT) AS frame_idx,
+           CAST(o.j * o.delta AS BIGINT) AS pts_ms,
+           CAST(o.size AS BIGINT) AS size,
+           CAST(o.rel_offset AS BIGINT) AS rel_offset,
+           o.j % 4 = 0 AS is_key,
+           b.byte_sum
+    FROM offs o JOIN bsum b ON o.doc_id = b.doc_id AND o.j = b.j
+    """,
+)
+def x_mp4_frames(spark, sf_dir):
+    """REAL MP4 frame extraction (r8; operators/media.mp4_frame_index):
+    the fixture MP4s carry a genuine sample table (stts/stss/stsc/stsz/
+    stco) and real mdat frame payloads; the walker expands it to
+    per-frame presentation times, keyframe flags, and EXACT byte
+    ranges, slices each frame out of the payload, and proves the range
+    with the sliced bytes' integer sum — which DuckDB recomputes from
+    the generator arithmetic (one byte off in offset math and the sum
+    moves).  rel_offset (offset minus first-frame offset) is the
+    layout-independent form, a pure prefix sum of sizes on both sides.
+    This is the walk an ffmpeg-style keyframe sampler performs before
+    any codec work; keyframe-only sampling composes as a filter."""
+    from lwetl_spark.operators.media import mp4_frame_index, synth_media_demo
+
+    docs = _t(spark, sf_dir, "documents")
+    media = synth_media_demo(docs).filter(F.col("doc_id") % 5 == 3)
+    return mp4_frame_index(media)
+
+
+@register(
     "x_png_pixels",
     """
     WITH g AS (

@@ -427,3 +427,46 @@ def test_exif_meta_both_endiannesses_and_corruption(spark):
         assert out[k]["valid"] is False
         assert (out[k]["width"], out[k]["height"]) == (24, 16)  # SOF kept
         assert out[k]["orientation"] is None
+
+
+def test_mp4_frame_index_exact_ranges_and_fallbacks(spark):
+    """mp4_frame_index recovers each frame's exact byte range from the
+    sample table (slice == generated frame, byte sums prove it), maps
+    stss to keyframe flags and stts to integer pts; payloads without a
+    video sample table or with a lying stco yield no rows — never a
+    task failure."""
+    from lwetl_spark.operators.media import (
+        mp4_bytes,
+        mp4_frame_index,
+        mp4_sample_index,
+    )
+
+    frames = [bytes((7 * k + 31 * j) % 256 for k in range(20 + 3 * j))
+              for j in range(5)]
+    good = mp4_bytes(1500, width=64, height=48, frames=frames, key_every=2)
+    no_table = mp4_bytes(1000, width=8, height=8)
+    lying = bytearray(good)
+    i = lying.index(b"stco")
+    lying[i + 8 : i + 12] = struct.pack(">I", len(good))  # offset past EOF
+    rows = [(1, bytes(good)), (2, bytes(no_table)), (3, bytes(lying))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = mp4_frame_index(df).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == {1}
+    got = sorted(by_doc[1], key=lambda r: r["frame_idx"])
+    assert len(got) == 5
+    delta = 1500 // 5
+    rel = 0
+    for j, r in enumerate(got):
+        assert r["pts_ms"] == j * delta
+        assert r["size"] == len(frames[j])
+        assert r["rel_offset"] == rel
+        assert r["is_key"] == (j % 2 == 0)
+        assert r["byte_sum"] == sum(frames[j])
+        rel += len(frames[j])
+    # the sample walker agrees byte-for-byte with the generator
+    idx = mp4_sample_index(good)
+    for j, (off, sz) in enumerate(zip(idx["offsets"], idx["sizes"])):
+        assert good[off : off + sz] == frames[j]
