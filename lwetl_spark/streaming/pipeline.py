@@ -1079,3 +1079,26 @@ def stream_media_meta(
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     return media_meta(reader.parquet(media_path))
+
+
+def stream_mp4_frames(
+    spark: SparkSession,
+    media_path: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming twin of operators/media.mp4_frame_index (r8):
+    continuous per-frame extraction over arriving video payloads — the
+    stage a streaming multimodal ingest runs between the container
+    gate (`stream_media_meta`) and any codec/embedding work, emitting
+    one row per frame with its exact byte range and keyframe flag.
+    Same Arrow closure as the batch operator (identical results by
+    construction, pinned by test_streaming); payloads without a video
+    sample table contribute no rows, malformed tables never fail a
+    micro-batch."""
+    from lwetl_spark.operators.media import mp4_frame_index
+
+    schema = spark.read.parquet(media_path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return mp4_frame_index(reader.parquet(media_path))

@@ -967,3 +967,28 @@ def test_stream_media_meta_matches_batch(spark, tmp_path):
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
     assert got.filter("valid = false").count() == 24  # the %5==4 junk leg
     assert got.filter("fmt = 'mp4'").count() == 24    # video routes too (r8)
+
+
+def test_stream_mp4_frames_matches_batch(spark, tmp_path):
+    """Streaming frame extraction == batch mp4_frame_index row-for-row
+    (same Arrow closure), including the no-sample-table legs that
+    contribute zero rows."""
+    from lwetl_spark.operators.media import mp4_frame_index, synth_media_demo
+    from lwetl_spark.streaming.pipeline import (
+        stream_mp4_frames,
+        stream_to_memory,
+    )
+
+    ids = spark.range(60).select(F.col("id").alias("doc_id"))
+    media = synth_media_demo(ids).localCheckpoint(eager=True)
+    p = str(tmp_path / "vid")
+    media.coalesce(2).write.parquet(p)
+
+    got = stream_to_memory(
+        stream_mp4_frames(spark, p, max_files_per_trigger=1),
+        name="t_mp4_frames_out", mode="append",
+    )
+    want = mp4_frame_index(media)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # only the %5==3 docs have video sample tables: 12 of 60 ids
+    assert got.select("doc_id").distinct().count() == 12
