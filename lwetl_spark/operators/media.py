@@ -303,6 +303,51 @@ def _make_exif_gen():
 exif_app1_bytes = _make_exif_gen()
 
 
+def _make_webp_gen():
+    """Factory returning the WebP generator (by-value pickling, see
+    _make_mp4_gen): real RIFF/WEBP containers in all three bitstream
+    variants a crawl encounters — 'VP8 ' (lossy keyframe header with
+    the 0x9D012A start code and 14-bit LE dims), 'VP8L' (lossless:
+    0x2F signature + 14+14-bit packed dims-minus-one), 'VP8X'
+    (extended: 24-bit LE canvas dims-minus-one).  Chunk sizes honor
+    the RIFF even-padding rule."""
+    import struct
+
+    def webp(w: int, h: int, variant: str = "vp8") -> bytes:
+        if variant == "vp8":
+            payload = (
+                b"\x00\x00\x00"              # frame tag: keyframe
+                + b"\x9d\x01\x2a"            # start code
+                + struct.pack("<HH", w & 0x3FFF, h & 0x3FFF)
+                + bytes(10)
+            )
+            tag = b"VP8 "
+        elif variant == "vp8l":
+            bits = (w - 1) | ((h - 1) << 14)  # version bits 0
+            payload = b"\x2f" + struct.pack("<I", bits)
+            tag = b"VP8L"
+        elif variant == "vp8x":
+            payload = (
+                bytes(4)
+                + struct.pack("<I", w - 1)[:3]
+                + struct.pack("<I", h - 1)[:3]
+            )
+            tag = b"VP8X"
+        else:
+            raise ValueError(f"unknown webp variant {variant!r}")
+        chunk = tag + struct.pack("<I", len(payload)) + payload
+        if len(payload) % 2:
+            chunk += b"\x00"  # RIFF even padding
+        body = b"WEBP" + chunk
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    return webp
+
+
+#: the WebP generator (factory-made; importable for tests)
+webp_bytes = _make_webp_gen()
+
+
 def _make_jpeg_fixture():
     """Factory for the deterministic decodable-JPEG fixture: block b
     (raster order) carries dc = (id + 17b) % 112 − 56 and
@@ -1192,6 +1237,11 @@ def sniff_format(payload: Column | str) -> Column:
             & (F.hex(F.substring(col, 9, 4)) == "57415645"),
             "wav",
         )
+        .when(
+            hx.startswith("52494646")
+            & (F.hex(F.substring(col, 9, 4)) == "57454250"),
+            "webp",
+        )
         .when(hx.startswith("474946383761") | hx.startswith("474946383961"), "gif")
         .when(hx.startswith("25504446"), "pdf")
         # ISO-BMFF: the brand box sits at offset 4 ('ftyp'), after the
@@ -1314,9 +1364,40 @@ def media_meta(df: DataFrame) -> DataFrame:
                 got["valid"],
             )
 
+        def webp(b: bytes):
+            """RIFF/WEBP chunk walk (r8): dims from whichever bitstream
+            variant leads — 'VP8 ' lossy keyframe header (start code
+            0x9D012A, 14-bit LE dims), 'VP8L' lossless (0x2F + packed
+            14+14-bit dims-1), 'VP8X' extended (24-bit canvas dims-1)."""
+            if len(b) < 16 or b[:4] != b"RIFF" or b[8:12] != b"WEBP":
+                return None
+            riff_size = struct.unpack("<I", b[4:8])[0]
+            w = h = None
+            pos = 12
+            while pos + 8 <= len(b):
+                tag = b[pos : pos + 4]
+                size = struct.unpack("<I", b[pos + 4 : pos + 8])[0]
+                p = b[pos + 8 : pos + 8 + size]
+                if tag == b"VP8 " and len(p) >= 10 and p[3:6] == b"\x9d\x01\x2a":
+                    w = struct.unpack("<H", p[6:8])[0] & 0x3FFF
+                    h = struct.unpack("<H", p[8:10])[0] & 0x3FFF
+                    break
+                if tag == b"VP8L" and len(p) >= 5 and p[0] == 0x2F:
+                    bits = struct.unpack("<I", p[1:5])[0]
+                    w = (bits & 0x3FFF) + 1
+                    h = ((bits >> 14) & 0x3FFF) + 1
+                    break
+                if tag == b"VP8X" and len(p) >= 10:
+                    w = int.from_bytes(p[4:7], "little") + 1
+                    h = int.from_bytes(p[7:10], "little") + 1
+                    break
+                pos += 8 + size + (size & 1)
+            valid = riff_size == len(b) - 8 and w is not None
+            return ("webp", w, h, None, None, None, None, valid)
+
         def one(b: bytes):
             b = bytes(b)
-            for p in (png, jpeg, wav, mp4):
+            for p in (png, jpeg, wav, webp, mp4):
                 got = p(b)
                 if got is not None:
                     return got
@@ -1668,3 +1749,37 @@ def mp4_frame_index(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(out, columns=cols)
 
     return df.mapInPandas(run, schema=MP4_FRAME_SCHEMA)
+
+
+def synth_webp_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic WebP payload per document — the x_webp_meta
+    fixture: variant cycles vp8/vp8l/vp8x by id%3 (all three bitstream
+    headers a crawl encounters), dims are 4+(id%200) × 4+(id%100), and
+    every 11th id carries a lying RIFF size (the corrupt leg — dims
+    still parse, valid flips false).  One Arrow pass; the generator is
+    factory-made and ships by value (see _make_mp4_gen)."""
+    _webp = webp_bytes  # closure cellvar → cloudpickle ships it by value
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import struct
+
+        import pandas as pd
+
+        def one(i: int) -> bytes:
+            v = ("vp8", "vp8l", "vp8x")[i % 3]
+            b = _webp(4 + i % 200, 4 + i % 100, v)
+            if i % 11 == 0:  # corrupt leg: the RIFF size lies
+                bb = bytearray(b)
+                bb[4:8] = struct.pack(
+                    "<I", struct.unpack("<I", b[4:8])[0] + 2
+                )
+                return bytes(bb)
+            return b
+
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame({"doc_id": ids, "payload": ids.map(one)})
+
+    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        gen, "doc_id long, payload binary"
+    )

@@ -1648,6 +1648,45 @@ def x_mp4_frames(spark, sf_dir):
 
 
 @register(
+    "x_webp_meta",
+    """
+    SELECT doc_id, 'webp' AS fmt,
+           CASE doc_id % 3 WHEN 0 THEN 'vp8' WHEN 1 THEN 'vp8l'
+                           ELSE 'vp8x' END AS variant,
+           CAST(4 + doc_id % 200 AS BIGINT) AS width,
+           CAST(4 + doc_id % 100 AS BIGINT) AS height,
+           doc_id % 11 <> 0 AS valid
+    FROM documents
+    """,
+)
+def x_webp_meta(spark, sf_dir):
+    """WebP container parsing (r8; operators/media — the other big
+    image format of a real crawl): RIFF/WEBP chunk walk in the shared
+    Arrow pass, dims from whichever bitstream variant leads — 'VP8 '
+    lossy keyframe header (0x9D012A start code, 14-bit LE dims),
+    'VP8L' lossless (0x2F + packed 14+14-bit dims-1), 'VP8X' extended
+    (24-bit canvas dims-1) — and the variant fourcc read as a PURE JVM
+    expression (substring at the fixed chunk offset; the
+    png_dims-style proof that fixed-offset fields never need Python).
+    The corrupt leg (lying RIFF size) must keep its parsed dims and
+    flip valid=false.  Every field value-checks against the generator
+    arithmetic."""
+    from lwetl_spark.operators.media import media_meta, synth_webp_demo
+
+    docs = _t(spark, sf_dir, "documents")
+    media = synth_webp_demo(docs).localCheckpoint(eager=True)
+    variant = media.select(
+        "doc_id",
+        F.lower(F.trim(F.decode(F.substring("payload", 13, 4), "UTF-8")))
+        .alias("variant"),
+    )
+    meta = media_meta(media).select("doc_id", "fmt", "width", "height", "valid")
+    return meta.join(variant.hint("shuffle_hash"), "doc_id").select(
+        "doc_id", "fmt", "variant", "width", "height", "valid"
+    )
+
+
+@register(
     "x_png_pixels",
     """
     WITH g AS (

@@ -470,3 +470,30 @@ def test_mp4_frame_index_exact_ranges_and_fallbacks(spark):
     idx = mp4_sample_index(good)
     for j, (off, sz) in enumerate(zip(idx["offsets"], idx["sizes"])):
         assert good[off : off + sz] == frames[j]
+
+
+def test_webp_all_variants_and_corruption(spark):
+    """media_meta parses all three WebP bitstream variants (VP8 lossy
+    keyframe header, VP8L packed dims, VP8X canvas) and flags a lying
+    RIFF size while keeping the parsed dims; the JVM sniffer agrees."""
+    from lwetl_spark.operators.media import media_meta, sniff_format, webp_bytes
+
+    lossy = webp_bytes(320, 240, "vp8")
+    lossless = webp_bytes(17, 31, "vp8l")
+    extended = webp_bytes(4000, 3000, "vp8x")
+    lying = bytearray(webp_bytes(64, 64, "vp8"))
+    lying[4:8] = struct.pack("<I", 9999)
+    rows = [(1, lossy), (2, lossless), (3, extended), (4, bytes(lying))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in media_meta(df).collect()}
+    assert all(out[k]["fmt"] == "webp" for k in (1, 2, 3, 4))
+    assert (out[1]["width"], out[1]["height"]) == (320, 240)
+    assert (out[2]["width"], out[2]["height"]) == (17, 31)
+    assert (out[3]["width"], out[3]["height"]) == (4000, 3000)
+    assert out[1]["valid"] and out[2]["valid"] and out[3]["valid"]
+    assert out[4]["valid"] is False and out[4]["width"] == 64
+    sniffed = {
+        r["doc_id"]: r["fmt"]
+        for r in df.select("doc_id", sniff_format("payload").alias("fmt")).collect()
+    }
+    assert all(v == "webp" for v in sniffed.values())
