@@ -1783,3 +1783,66 @@ def synth_webp_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
         gen, "doc_id long, payload binary"
     )
+
+
+def video_fingerprint(df: DataFrame) -> DataFrame:
+    """Container-aware video fingerprint (r8): compose
+    `mp4_frame_index` into a per-video content digest — md5 over the
+    ordered (frame_idx, size, byte_sum) triples of the VIDEO SAMPLES,
+    ignoring the container header entirely.  That is the property a
+    crawl dedup needs: re-muxed duplicates (same coded frames, new
+    brand/track metadata/dims ordering) collide, while any single
+    changed frame byte moves a byte_sum and splits the digest.
+
+    Scale shape: the frame walk is the zero-shuffle Arrow pass; the
+    only exchange carries (doc_id, 'idx:size:sum' string) rows — frame
+    BYTES never shuffle — and the groupBy partially aggregates.
+    Returns (doc_id, n_frames, fingerprint)."""
+    frames = mp4_frame_index(df)
+    parts = frames.select(
+        "doc_id",
+        F.format_string("%06d:%d:%d", "frame_idx", "size", "byte_sum")
+        .alias("part"),
+    )
+    return parts.groupBy("doc_id").agg(
+        F.count("*").alias("n_frames"),
+        F.md5(F.concat_ws(",", F.array_sort(F.collect_list("part"))))
+        .alias("fingerprint"),
+    )
+
+
+def synth_video_dup_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixture for x_video_dedup: every document gets an MP4 whose FRAME
+    CONTENT depends only on seed = id % 32 (frame j sized 40+(s+13j)%32
+    with byte k = (s+31j+7k)%256, 6+(s%5) frames) while the CONTAINER
+    varies with the full id (dims, brand, duration) — so ids congruent
+    mod 32 are content-duplicates that no container-level hash would
+    catch.  j=0's size is 40+s (injective in s), so distinct seeds can
+    never produce colliding fingerprints."""
+    _mp4 = mp4_bytes
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        def one(i: int) -> bytes:
+            s = i % 32
+            frames = [
+                bytes((s + 31 * j + 7 * k) % 256
+                      for k in range(40 + (s + 13 * j) % 32))
+                for j in range(6 + s % 5)
+            ]
+            return _mp4(
+                1000 + i % 900,                 # container varies with id
+                width=16 + 16 * (i % 10),
+                height=16 + 9 * (i % 10),
+                brand=(b"isom", b"mp42")[i % 2],
+                frames=frames,
+            )
+
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame({"doc_id": ids, "payload": ids.map(one)})
+
+    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        gen, "doc_id long, payload binary"
+    )

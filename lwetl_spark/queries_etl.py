@@ -1687,6 +1687,60 @@ def x_webp_meta(spark, sf_dir):
 
 
 @register(
+    "x_video_dedup",
+    """
+    WITH g AS (
+        SELECT doc_id, doc_id % 32 AS s FROM documents
+    ),
+    fr AS (
+        SELECT doc_id, s, unnest(range(0, 6 + s % 5)) AS j FROM g
+    ),
+    sz AS (
+        SELECT doc_id, s, j, 40 + (s + 13 * j) % 32 AS size FROM fr
+    ),
+    bexp AS (SELECT doc_id, s, j, size, unnest(range(0, size)) AS k FROM sz),
+    bsum AS (
+        SELECT doc_id, s, j, CAST(MAX(size) AS BIGINT) AS size,
+               CAST(SUM((s + 31 * j + 7 * k) % 256) AS BIGINT) AS byte_sum
+        FROM bexp GROUP BY doc_id, s, j
+    ),
+    fp AS (
+        SELECT doc_id, s,
+               md5(string_agg(printf('%06d:%d:%d', j, size, byte_sum),
+                              ',' ORDER BY j)) AS fingerprint
+        FROM bsum GROUP BY doc_id, s
+    )
+    SELECT fingerprint, CAST(MIN(doc_id) AS BIGINT) AS rep_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_dups
+    FROM fp GROUP BY fingerprint
+    """,
+)
+def x_video_dedup(spark, sf_dir):
+    """Container-aware video dedup (r8; operators/media.
+    video_fingerprint): re-muxed duplicates share coded FRAMES, not
+    container headers — the fixture gives ids congruent mod 32
+    identical frame content under different dims/brand/duration, so a
+    container-level hash finds nothing while the frame-level digest
+    (md5 over ordered (frame_idx, size, byte_sum) triples from the
+    sample-table walk) groups them exactly.  The oracle recomputes THE
+    SAME md5 from the generator arithmetic (DuckDB string_agg ORDER BY
+    j + printf), so the digest string itself is value-checked, not
+    just the group census.  Frame bytes never shuffle; the only
+    exchange carries (doc_id, triple-string) rows."""
+    from lwetl_spark.operators.media import (
+        synth_video_dup_demo,
+        video_fingerprint,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    fp = video_fingerprint(synth_video_dup_demo(docs))
+    return fp.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("rep_doc_id"),
+        F.count("*").alias("n_dups"),
+    )
+
+
+@register(
     "x_png_pixels",
     """
     WITH g AS (

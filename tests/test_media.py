@@ -497,3 +497,28 @@ def test_webp_all_variants_and_corruption(spark):
         for r in df.select("doc_id", sniff_format("payload").alias("fmt")).collect()
     }
     assert all(v == "webp" for v in sniffed.values())
+
+
+def test_video_fingerprint_ignores_container_catches_content(spark):
+    """Frame-level video dedup: two payloads with identical frames but
+    different containers (dims, brand, duration) share a fingerprint;
+    one changed frame byte splits it."""
+    from lwetl_spark.operators.media import mp4_bytes, video_fingerprint
+
+    frames = [bytes((7 * k + 3 * j) % 256 for k in range(30 + j))
+              for j in range(4)]
+    remuxed = mp4_bytes(9000, width=1280, height=720, brand=b"mp42",
+                        frames=frames)
+    original = mp4_bytes(1000, width=640, height=360, frames=frames)
+    tweaked_frames = [bytearray(f) for f in frames]
+    tweaked_frames[2][5] ^= 1
+    tweaked = mp4_bytes(1000, width=640, height=360,
+                        frames=[bytes(f) for f in tweaked_frames])
+    df = spark.createDataFrame(
+        [(1, original), (2, remuxed), (3, tweaked)],
+        "doc_id long, payload binary",
+    )
+    out = {r["doc_id"]: r for r in video_fingerprint(df).collect()}
+    assert out[1]["fingerprint"] == out[2]["fingerprint"]
+    assert out[1]["fingerprint"] != out[3]["fingerprint"]
+    assert out[1]["n_frames"] == 4
