@@ -400,3 +400,56 @@ def gopher_rules(
     for c in rules.values():
         keep = c if keep is None else keep & c
     return {"n_words": n_words, **rules, "keep": keep}
+
+
+def html_text(html: Column | str) -> Column:
+    """Boilerplate-stripping HTML→text extraction (r8) — the first text
+    stage of every web-crawl pipeline, as a PURE JVM expression chain
+    (whole-stage codegen, zero Python): drop script/style blocks and
+    comments (non-greedy dotall — separate patterns per tag because the
+    oracle's RE2 has no backreferences), strip remaining tags, decode
+    the six core entities (literal `replace`, `&amp;` LAST so encoded
+    entities don't double-decode), collapse whitespace, trim.  Every
+    pattern is ASCII-only non-greedy — the subset that behaves
+    identically in Java regex (Spark) and RE2 (DuckDB), so the whole
+    extraction value-checks cross-engine (x_html_extract)."""
+    x = _col(html)
+    x = F.regexp_replace(x, r"(?s)<script[^>]*>.*?</script>", " ")
+    x = F.regexp_replace(x, r"(?s)<style[^>]*>.*?</style>", " ")
+    x = F.regexp_replace(x, r"(?s)<!--.*?-->", " ")
+    x = F.regexp_replace(x, r"<[^>]*>", " ")
+    for ent, ch in (
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+        ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&"),
+    ):
+        x = F.replace(x, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(x, r"\s+", " "))
+
+
+def html_stats(html: Column | str) -> dict[str, Column]:
+    """Boilerplate SIGNALS over raw HTML (r8): link count, tag count,
+    and the extracted-text-to-markup ratio in exact integer ppm — the
+    link/text-density features boilerplate classifiers (jusText/
+    trafilatura-style) threshold on.  Counting uses the length-diff
+    idiom (exact and identical in every SQL dialect); the ratio reuses
+    `html_text`.  All pure JVM expressions."""
+    c = _col(html)
+    low = F.lower(c)
+
+    def _count(sub: str) -> Column:
+        return (
+            (F.length(low) - F.length(F.replace(low, F.lit(sub), F.lit(""))))
+            / len(sub)
+        ).cast("long")
+
+    text = html_text(c)
+    # exact integer division: (a - a mod b) is an exact multiple, and
+    # dividing exact multiples is exact in doubles — a bare a/b cast
+    # could round up across an integer boundary where SQL `div` floors
+    a = (F.lit(1_000_000) * F.length(text)).cast("long")
+    b = F.greatest(F.length(c), F.lit(1)).cast("long")
+    return {
+        "n_links": _count("<a "),
+        "n_tags": _count("<"),
+        "text_ratio_ppm": ((a - F.pmod(a, b)) / b).cast("long"),
+    }

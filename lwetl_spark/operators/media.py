@@ -1247,6 +1247,7 @@ def sniff_format(payload: Column | str) -> Column:
         # ISO-BMFF: the brand box sits at offset 4 ('ftyp'), after the
         # 32-bit size of the first box — covers mp4/mov/m4a/heic family
         .when(F.hex(F.substring(col, 5, 4)) == "66747970", "mp4")
+        .when(hx.startswith("1F8B"), "gzip")
         .otherwise("unknown")
     )
 
@@ -1844,5 +1845,75 @@ def synth_video_dup_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             yield pd.DataFrame({"doc_id": ids, "payload": ids.map(one)})
 
     return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        gen, "doc_id long, payload binary"
+    )
+
+
+GUNZIP_SCHEMA = "doc_id long, text string, n_chars long, ok boolean"
+
+
+def gunzip_text(df: DataFrame) -> DataFrame:
+    """Gzip ingestion gate (r8) — the decompression step in front of any
+    crawl-archive text pipeline (WARC payloads arrive gzip-membered):
+    REAL stdlib-zlib inflate of the gzip wrapper (header + deflate +
+    CRC32/ISIZE trailer verified by zlib itself), UTF-8 decode, char
+    count.  Corrupt/truncated members and non-gzip payloads yield
+    (text NULL, ok=false) — one bad record never kills the batch.  One
+    zero-shuffle Arrow pass; decompressed text stays on its input
+    partition."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import zlib
+
+        import pandas as pd
+
+        def one(b: bytes):
+            b = bytes(b)
+            if len(b) < 18 or b[:2] != b"\x1f\x8b":
+                return (None, None, False)
+            try:
+                raw = zlib.decompress(b, 16 + zlib.MAX_WBITS)
+                text = raw.decode("utf-8")
+            except (zlib.error, UnicodeDecodeError):
+                return (None, None, False)
+            return (text, len(text), True)
+
+        for pdf in batches:
+            out = pd.DataFrame(
+                [one(b) for b in pdf["payload"]],
+                columns=["text", "n_chars", "ok"],
+            )
+            out.insert(0, "doc_id", pdf["doc_id"].to_numpy())
+            yield out
+
+    return df.mapInPandas(run, schema=GUNZIP_SCHEMA)
+
+
+def synth_gzip_demo(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Fixture for x_gzip_ingest: each document's text compressed as a
+    REAL gzip member (zlib.compressobj(wbits=31) — deterministic, no
+    mtime); every 13th id truncates to half (corrupt leg: the CRC/ISIZE
+    trailer is gone, zlib must reject it)."""
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import zlib
+
+        import pandas as pd
+
+        def one(i: int, text: str) -> bytes:
+            co = zlib.compressobj(6, zlib.DEFLATED, 16 + zlib.MAX_WBITS)
+            b = co.compress(text.encode("utf-8")) + co.flush()
+            return b[: len(b) // 2] if i % 13 == 0 else b
+
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame({
+                "doc_id": ids,
+                "payload": [one(int(i), t)
+                            for i, t in zip(ids, pdf[text_col])],
+            })
+
+    return docs.select(id_col, text_col).mapInPandas(
         gen, "doc_id long, payload binary"
     )

@@ -1430,6 +1430,95 @@ def x_ann_opq(spark, sf_dir):
     )
 
 
+_HTML_PREFIX = (
+    '<html><head><title>d</title>'
+    '<script type="text/javascript">var x = 1 < 2;</script>'
+    "<style>.c { color: red; }</style></head><body>"
+    "<!-- boilerplate comment --><h1>Doc "
+)
+_HTML_MID = (
+    "</h1><p>x &amp; y &lt;tag&gt; &quot;q&quot;&nbsp;end</p><p>"
+)
+_HTML_SUFFIX = '</p><a href="/u">link</a><a href="/v">more</a></body></html>'
+
+
+@register(
+    "x_html_extract",
+    r"""
+    WITH h AS (
+        SELECT doc_id,
+               '<html><head><title>d</title>'
+               || '<script type="text/javascript">var x = 1 < 2;</script>'
+               || '<style>.c {{ color: red; }}</style></head><body>'
+               || '<!-- boilerplate comment --><h1>Doc '
+               || CAST(doc_id AS VARCHAR)
+               || '</h1><p>x &amp; y &lt;tag&gt; &quot;q&quot;&nbsp;end</p><p>'
+               || text
+               || '</p><a href="/u">link</a><a href="/v">more</a></body></html>'
+                   AS html
+        FROM documents
+    ),
+    e AS (
+        SELECT doc_id, html,
+               trim(regexp_replace(
+                   replace(replace(replace(replace(replace(replace(
+                       regexp_replace(regexp_replace(regexp_replace(
+                           regexp_replace(html,
+                               '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+                           '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+                           '(?s)<!--.*?-->', ' ', 'g'),
+                           '<[^>]*>', ' ', 'g'),
+                       '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                       '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+                   '\s+', ' ', 'g')) AS t
+        FROM h
+    )
+    SELECT doc_id, md5(t) AS text_md5,
+           CAST(length(t) AS BIGINT) AS n_chars,
+           CAST((length(lower(html))
+                 - length(replace(lower(html), '<a ', ''))) // 3
+                AS BIGINT) AS n_links,
+           CAST(length(lower(html))
+                - length(replace(lower(html), '<', '')) AS BIGINT) AS n_tags,
+           CAST(1000000 * length(t) // greatest(length(html), 1)
+                AS BIGINT) AS text_ratio_ppm
+    FROM e
+    """.replace("{{", "{").replace("}}", "}"),
+)
+def x_html_extract(spark, sf_dir):
+    """HTML boilerplate strip + density signals (r8; functions/text.
+    html_text, html_stats) — the first text stage of a web-crawl
+    pipeline, as a pure JVM expression chain (whole-stage codegen, no
+    UDF): drop script/style/comments (non-greedy dotall, one pattern
+    per tag — RE2 has no backreferences), strip tags, decode the six
+    core entities (&amp; last), collapse whitespace; plus the link/tag
+    counts and extracted-to-markup ratio boilerplate classifiers
+    threshold on (length-diff counting, exact integer ppm).  The
+    fixture wraps each document's text in deterministic markup BUILT
+    IDENTICALLY on both sides, and the oracle replays the exact
+    extraction chain in DuckDB — the md5 of the extracted text matches
+    only if every regex behaves identically across the Java-regex/RE2
+    dialect pair (the ASCII-only-pattern parity rule, SKILL-documented)."""
+    docs = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit(_HTML_PREFIX), F.col("doc_id").cast("string"),
+        F.lit(_HTML_MID), F.col("text"), F.lit(_HTML_SUFFIX),
+    )
+    d = docs.select("doc_id", html.alias("html"))
+    from lwetl_spark.functions.text import html_stats, html_text
+
+    st = html_stats("html")
+    t = html_text("html")
+    return d.select(
+        "doc_id",
+        F.md5(t.cast("binary")).alias("text_md5"),
+        F.length(t).cast("long").alias("n_chars"),
+        st["n_links"].alias("n_links"),
+        st["n_tags"].alias("n_tags"),
+        st["text_ratio_ppm"].alias("text_ratio_ppm"),
+    )
+
+
 @register(
     "x_token_count",
     """

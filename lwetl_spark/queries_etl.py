@@ -1741,6 +1741,41 @@ def x_video_dedup(spark, sf_dir):
 
 
 @register(
+    "x_gzip_ingest",
+    """
+    SELECT doc_id,
+           CASE WHEN doc_id % 13 <> 0 THEN md5(text)
+                ELSE 'none' END AS text_md5,
+           CAST(CASE WHEN doc_id % 13 <> 0 THEN length(text)
+                     ELSE -1 END AS BIGINT) AS n_chars,
+           doc_id % 13 <> 0 AS ok
+    FROM documents
+    """,
+)
+def x_gzip_ingest(spark, sf_dir):
+    """Gzip ingestion gate (r8; operators/media.gunzip_text): documents
+    round-trip through REAL gzip members (stdlib zlib, deterministic
+    wbits=31 wrapper) and the gate inflates them back — the
+    decompression step in front of any WARC-style crawl archive.  The
+    oracle checks the round trip against the ORIGINAL table (md5 +
+    char count must survive compress→inflate exactly); the corrupt leg
+    (every 13th member truncated, trailer CRC gone) must come back
+    ok=false with NULL text — zlib's own integrity check is the
+    detector, never a task failure."""
+    from lwetl_spark.operators.media import gunzip_text, synth_gzip_demo
+
+    docs = _t(spark, sf_dir, "documents")
+    out = gunzip_text(synth_gzip_demo(docs))
+    return out.select(
+        "doc_id",
+        F.coalesce(F.md5(F.col("text").cast("binary")), F.lit("none"))
+        .alias("text_md5"),
+        F.coalesce(F.col("n_chars"), F.lit(-1)).cast("long").alias("n_chars"),
+        "ok",
+    )
+
+
+@register(
     "x_png_pixels",
     """
     WITH g AS (

@@ -566,3 +566,52 @@ def test_bpe_batched_training_disjoint_and_equal_when_independent(spark):
     }
     for w in got:
         assert got[w] == " ".join(segment_word(w, merges))
+
+
+def test_html_text_extraction_edges(spark):
+    """html_text drops script/style/comments (incl. '<' inside script
+    bodies), decodes entities in the right order (&amp;lt; must yield
+    the literal string '&lt;', not '<'), and collapses whitespace;
+    html_stats counts links/tags via the exact length-diff idiom."""
+    from lwetl_spark.functions.text import html_stats, html_text
+
+    html = (
+        '<div>\n  a   b\t</div><script>if (1 < 2) { x("</div>"); }</script>'
+        "<p>&amp;lt; stays encoded</p><!-- <a href x> not a link -->"
+        '<a href="/1">one</a><A HREF="/2">caps tag survives strip</A>'
+    )
+    df = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    st = html_stats("html")
+    r = df.select(
+        html_text("html").alias("t"),
+        st["n_links"].alias("links"), st["n_tags"].alias("tags"),
+    ).collect()[0]
+    assert r["t"] == "a b &lt; stays encoded one caps tag survives strip"
+    # the commented-out '<a href' is inside a dropped comment but the
+    # length-diff count runs on RAW html: 1 real + 1 in-comment = 2;
+    # '<A HREF' is a different byte sequence after lower() -> counted
+    assert r["links"] == 3
+    assert r["tags"] == html.count("<")
+
+
+def test_gunzip_text_roundtrip_and_corruption(spark):
+    """gunzip_text inflates real gzip members, rejects truncated ones
+    (zlib trailer check) and non-gzip payloads, and never fails the
+    batch."""
+    import zlib
+
+    from lwetl_spark.operators.media import gunzip_text
+
+    def gz(s: str) -> bytes:
+        co = zlib.compressobj(6, zlib.DEFLATED, 16 + zlib.MAX_WBITS)
+        return co.compress(s.encode()) + co.flush()
+
+    good = gz("hello crawl world")
+    trunc = gz("x" * 1000)[:20]
+    rows = [(1, good), (2, trunc), (3, b"not gzip at all")]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in gunzip_text(df).collect()}
+    assert out[1]["ok"] and out[1]["text"] == "hello crawl world"
+    assert out[1]["n_chars"] == 17
+    assert out[2]["ok"] is False and out[2]["text"] is None
+    assert out[3]["ok"] is False
