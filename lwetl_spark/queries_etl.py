@@ -1911,6 +1911,58 @@ def x_exif_meta(spark, sf_dir):
 
 
 @register(
+    "x_png_resize",
+    """
+    WITH g AS (
+        SELECT doc_id, 2 + doc_id % 16 AS ws, 1 + doc_id % 8 AS hs,
+               doc_id % 256 AS seed
+        FROM documents WHERE doc_id % 2 = 0
+    ),
+    t AS (SELECT doc_id, ws, hs, seed, unnest(range(0, 4)) AS r FROM g),
+    px AS (
+        SELECT doc_id,
+               (seed + 7 * ((r * hs) // 4)
+                + 13 * ((unnest(range(0, 4)) * ws) // 4)) % 256 AS v
+        FROM t
+    )
+    SELECT doc_id, CAST(16 AS BIGINT) AS n_px,
+           CAST(SUM(v) AS BIGINT) AS sum_px,
+           CAST(MIN(v) AS BIGINT) AS min_px,
+           CAST(MAX(v) AS BIGINT) AS max_px,
+           TRUE AS roundtrip_ok
+    FROM px GROUP BY doc_id
+    """,
+)
+def x_png_resize(spark, sf_dir):
+    """REAL PNG thumbnailing end-to-end (r8; operators/media.
+    png_thumbnails): decode the patterned fixture PNGs (five-filter
+    reconstruction), nearest-neighbor resample to 4×4 (src index =
+    floor(dst·src/4) — exact integer arithmetic), re-encode as REAL
+    PNGs, then DECODE THE THUMBNAILS AGAIN (png_pixel_stats) and emit
+    their pixel stats — a decode→resample→encode→decode chain whose
+    every pixel the oracle recomputes from the generator arithmetic.
+    The md5-level proof that the re-encoded thumbnails are genuine
+    PNGs: the second decode only works if the first encode wrote valid
+    zlib IDAT + CRCs."""
+    from lwetl_spark.operators.media import (
+        png_pixel_stats,
+        png_thumbnails,
+        synth_pixel_media_demo,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = synth_pixel_media_demo(docs).filter(F.col("doc_id") % 2 == 0)
+    thumbs = png_thumbnails(media, width=4, height=4).select(
+        "doc_id", F.col("thumb").alias("payload")
+    )
+    stats = png_pixel_stats(thumbs)
+    return stats.select(
+        "doc_id", "n_px", "sum_px", "min_px", "max_px",
+        (F.col("n_px") == 16).alias("roundtrip_ok"),
+    )
+
+
+@register(
     "x_wav_pcm",
     """
     WITH g AS (
