@@ -2007,11 +2007,17 @@ def x_wav_pcm(spark, sf_dir):
                CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
                                WHEN 2 THEN 'wav' WHEN 3 THEN 'mp4'
                                ELSE 'unknown' END AS fmt,
+               -- jpeg dims are EXIF-NORMALIZED (r8): orientation
+               -- 1+id%8 >= 5 transposes the stored raster
                CASE doc_id % 5 WHEN 0 THEN 1 + doc_id % 64
-                               WHEN 1 THEN 16 + doc_id % 32
+                               WHEN 1 THEN CASE WHEN 1 + doc_id % 8 >= 5
+                                                THEN 16 + doc_id % 16
+                                                ELSE 16 + doc_id % 32 END
                                WHEN 3 THEN 160 + 16 * (doc_id % 28) END AS w,
                CASE doc_id % 5 WHEN 0 THEN 1 + doc_id % 32
-                               WHEN 1 THEN 16 + doc_id % 16
+                               WHEN 1 THEN CASE WHEN 1 + doc_id % 8 >= 5
+                                                THEN 16 + doc_id % 32
+                                                ELSE 16 + doc_id % 16 END
                                WHEN 3 THEN 90 + 9 * (doc_id % 20) END AS h,
                CASE WHEN doc_id % 5 = 3
                     THEN 500 + doc_id % 4000 END AS dur_ms,
@@ -2038,20 +2044,43 @@ def x_wav_pcm(spark, sf_dir):
 def x_media_curate(spark, sf_dir):
     """Composed media-curation gate — the image-side analog of the text
     curate chain: synthesize real containers, parse them
-    (operators/media.media_meta), DROP corrupt + tiny payloads (the
-    min-resolution rule every vision-data pipeline applies) and, for
-    video, sub-second clips (the min-duration rule — r8: the gate now
-    ROUTES VIDEO, parsing the MP4 box tree for dims + duration), and
-    census the survivors by (format, orientation) with exact
-    pixel-count stats.  All decisions run on PARSED BYTES; the oracle
+    (operators/media.media_meta), normalize JPEG geometry through the
+    EXIF orientation tag (r8 — rotated shots census correctly), DROP
+    corrupt + tiny payloads (the min-resolution rule every vision-data
+    pipeline applies) and, for video, sub-second clips (the
+    min-duration rule — r8: the gate ROUTES VIDEO, parsing the MP4 box
+    tree for dims + duration), and census the survivors by (format,
+    orientation) with exact pixel-count stats.  All decisions run on PARSED BYTES; the oracle
     recomputes them from the generator arithmetic — the two agree only
     if every stage (generation, parsing, filtering, bucketing) is
     byte-faithful."""
-    from lwetl_spark.operators.media import media_meta, synth_media_demo
+    from lwetl_spark.operators.media import (
+        exif_meta,
+        media_meta,
+        synth_media_demo,
+    )
 
     docs = _t(spark, sf_dir, "documents")
-    meta = media_meta(synth_media_demo(docs))
-    kept = meta.filter(
+    media = synth_media_demo(docs).localCheckpoint(eager=True)
+    meta = media_meta(media)
+    # r8 (VERDICT r7 #5): real crawls rotate via EXIF tag 274, so the
+    # image gate must use the orientation-NORMALIZED geometry — stored
+    # dims alone mislabel every rotated portrait shot.  The EXIF walk
+    # runs on the same payloads; non-JPEGs keep their container dims.
+    exif = exif_meta(media).select(
+        "doc_id",
+        F.col("norm_width").alias("_nw"),
+        F.col("norm_height").alias("_nh"),
+        F.col("valid").alias("_exif_ok"),
+    )
+    normed = meta.join(exif.hint("shuffle_hash"), "doc_id").select(
+        "fmt", "valid", "duration_ms",
+        F.when((F.col("fmt") == "jpeg") & F.col("_exif_ok"), F.col("_nw"))
+        .otherwise(F.col("width")).alias("width"),
+        F.when((F.col("fmt") == "jpeg") & F.col("_exif_ok"), F.col("_nh"))
+        .otherwise(F.col("height")).alias("height"),
+    )
+    kept = normed.filter(
         F.col("valid")
         & (F.col("width") >= 4)
         & (F.col("height") >= 4)
