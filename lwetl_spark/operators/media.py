@@ -1998,3 +1998,96 @@ def png_thumbnails(df: DataFrame, width: int = 16, height: int = 16) -> DataFram
             })
 
     return df.mapInPandas(run, schema=THUMB_SCHEMA)
+
+
+def _make_wav_codec():
+    """Factory returning (decode, encode) for 16-bit PCM WAV (by-value
+    pickling, see _make_mp4_gen): decode walks the RIFF chunks and
+    returns (sample_rate, channels, int16 sample array) or None; encode
+    writes a complete spec-valid RIFF/fmt/data file.  Shared by
+    wav_pcm_stats-style consumers and `wav_downsample` so the
+    decode→decimate→re-encode chain is one implementation."""
+    import struct
+
+    import numpy as np
+
+    def decode(b: bytes):
+        b = bytes(b)
+        if len(b) < 44 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+            return None
+        bits = ch = rate = None
+        data = None
+        pos = 12
+        while pos + 8 <= len(b):
+            tag = b[pos : pos + 4]
+            size = struct.unpack("<I", b[pos + 4 : pos + 8])[0]
+            if tag == b"fmt " and pos + 24 <= len(b):
+                _, ch, rate, _, _, bits = struct.unpack(
+                    "<HHIIHH", b[pos + 8 : pos + 24]
+                )
+            elif tag == b"data":
+                data = b[pos + 8 : pos + 8 + size]
+            pos += 8 + size + (size & 1)
+        if bits != 16 or not ch or not rate or data is None or len(data) % 2:
+            return None
+        return rate, ch, np.frombuffer(data, dtype="<i2")
+
+    def encode(rate: int, ch: int, samples) -> bytes:
+        data = np.asarray(samples, dtype="<i2").tobytes()
+        fmt = struct.pack(
+            "<HHIIHH", 1, ch, rate, rate * ch * 2, ch * 2, 16
+        )
+        body = (
+            b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    return decode, encode
+
+
+WAV_RESAMPLE_SCHEMA = (
+    "doc_id long, sample_rate long, n_samples long, resampled binary,"
+    " ok boolean"
+)
+
+
+def wav_downsample(df: DataFrame, factor: int = 4) -> DataFrame:
+    """REAL audio resample for PCM WAV payloads (r8 — the audio-side
+    analog of `png_thumbnails`): decode the samples, keep every
+    ``factor``-th FRAME (channel-interleaved — multi-channel frames
+    stay aligned), and re-encode a complete WAV at rate/factor.
+    Integer decimation is the hash-stable resampler (no filter kernel,
+    so a SQL oracle replays it exactly; an anti-aliasing FIR would
+    slot into the same closure).  Undecodable payloads yield
+    (resampled NULL, ok=false); one zero-shuffle Arrow pass."""
+    wav_decode, wav_encode = _make_wav_codec()
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        k = factor
+
+        def one(b: bytes):
+            got = wav_decode(b)
+            if got is None:
+                return (None, None, None, False)
+            rate, ch, s = got
+            if len(s) % ch:
+                return (None, None, None, False)
+            frames = s.reshape(-1, ch)[::k]
+            out_rate = max(rate // k, 1)
+            return (
+                out_rate, len(frames),
+                wav_encode(out_rate, ch, frames.reshape(-1)), True,
+            )
+
+        cols = ["sample_rate", "n_samples", "resampled", "ok"]
+        for pdf in batches:
+            out = pd.DataFrame(
+                [one(b) for b in pdf["payload"]], columns=cols
+            )
+            out.insert(0, "doc_id", pdf["doc_id"].to_numpy())
+            yield out
+
+    return df.mapInPandas(run, schema=WAV_RESAMPLE_SCHEMA)

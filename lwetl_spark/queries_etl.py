@@ -2000,6 +2000,57 @@ def x_wav_pcm(spark, sf_dir):
 
 
 @register(
+    "x_wav_resample",
+    """
+    WITH g AS (
+        SELECT doc_id, 40 + doc_id % 20 AS n
+        FROM documents WHERE doc_id % 2 = 1
+    ),
+    s AS (SELECT doc_id, n, unnest(range(0, n)) AS j FROM g),
+    kept AS (
+        SELECT doc_id, n,
+               ABS((doc_id * 31 + j * 17) % 65536 - 32768) AS a
+        FROM s WHERE j % 4 = 0
+    )
+    SELECT doc_id, CAST(2000 AS BIGINT) AS sample_rate,
+           CAST((MAX(n) + 3) // 4 AS BIGINT) AS n_samples,
+           CAST(MAX(a) AS BIGINT) AS peak,
+           CAST(SUM(a) AS BIGINT) AS sum_abs,
+           TRUE AS roundtrip_ok
+    FROM kept GROUP BY doc_id
+    """,
+)
+def x_wav_resample(spark, sf_dir):
+    """REAL audio downsampling end-to-end (r8; operators/media.
+    wav_downsample): decode the fixture PCM (mono 8 kHz, sample(j) =
+    ((id·31+j·17)%65536)−32768), keep every 4th frame, re-encode a
+    complete 2 kHz WAV, then DECODE THE RESAMPLED FILE AGAIN
+    (wav_pcm_stats) and emit its signal stats — the oracle recomputes
+    peak/total amplitude over exactly the j≡0 (mod 4) samples.  The
+    decode→decimate→encode→decode chain agrees only if the re-encoded
+    file is a genuine spec-valid WAV carrying exactly the decimated
+    frames."""
+    from lwetl_spark.operators.media import (
+        synth_pixel_media_demo,
+        wav_downsample,
+        wav_pcm_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = synth_pixel_media_demo(docs).filter(F.col("doc_id") % 2 == 1)
+    rs = wav_downsample(media, factor=4).select(
+        "doc_id", "sample_rate", F.col("resampled").alias("payload")
+    )
+    stats = wav_pcm_stats(rs.select("doc_id", "payload"))
+    return rs.select("doc_id", "sample_rate").join(
+        stats.hint("shuffle_hash"), "doc_id"
+    ).select(
+        "doc_id", "sample_rate", "n_samples", "peak", "sum_abs",
+        F.col("n_samples").isNotNull().alias("roundtrip_ok"),
+    )
+
+
+@register(
     "x_media_curate",
     """
     WITH meta AS (

@@ -551,3 +551,31 @@ def test_png_thumbnails_real_roundtrip(spark):
         for c in range(4):
             sr, sc = (r * 6) // 4, (c * 10) // 4
             assert line[1 + c] == (5 + 7 * sr + 13 * sc) % 256
+
+
+def test_wav_downsample_real_roundtrip(spark):
+    """wav_downsample keeps every k-th FRAME (stereo frames stay
+    aligned) and re-encodes a spec-valid WAV; an independent stdlib
+    decode of the output verifies both; undecodable payloads flag
+    ok=false."""
+    from lwetl_spark.operators.media import wav_downsample, wav_pcm_bytes
+
+    # stereo: interleave L=j*10, R=-(j*10) for 12 frames
+    inter = []
+    for j in range(12):
+        inter += [j * 10, -(j * 10)]
+    src = wav_pcm_bytes(8000, inter, channels=2)
+    rows = [(1, src), (2, b"nope")]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in wav_downsample(df, factor=3).collect()}
+    assert out[2]["ok"] is False
+    r = out[1]
+    assert r["ok"] and r["sample_rate"] == 8000 // 3 and r["n_samples"] == 4
+    b = bytes(r["resampled"])
+    assert b[:4] == b"RIFF" and struct.unpack("<I", b[4:8])[0] == len(b) - 8
+    ch, rate = struct.unpack("<HI", b[22:28])
+    assert (ch, rate) == (2, 8000 // 3)
+    data = b[44:]
+    got = struct.unpack(f"<{len(data)//2}h", data)
+    # frames 0, 3, 6, 9 survive with L/R intact
+    assert list(got) == [0, 0, 30, -30, 60, -60, 90, -90]
