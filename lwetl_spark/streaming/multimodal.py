@@ -5,11 +5,19 @@ struct.  Decode / feature-extraction runs as Arrow-batched `mapInPandas`
 — the scale-correct shape for per-item Python work (one Python worker per
 partition, batch in/batch out, no per-row serde).
 
-The actual media decode is STUBBED (`_fake_decode`): the image/audio
-libraries are not in this container.  The stub is deterministic (byte
+The LEARNED-FEATURE decode is STUBBED (`_fake_decode`): embedding
+models are not in this container.  The stub is deterministic (byte
 length, crc-like digest, fake 4-dim feature) so tests are stable; swap
-`_fake_decode` for a real PIL/librosa call in production — the
-partitioning, schema, and batch shape do not change.
+`_fake_decode` for a real model call in production — the partitioning,
+schema, and batch shape do not change.
+
+Everything below the feature extractor decodes FOR REAL as of r8 —
+see `operators/media`: PNG pixel decode + thumbnailing
+(`png_thumbnails`), baseline JPEG pixel decode (`jpeg_pixel_stats`),
+WAV PCM decode + downsampling (`wav_downsample`), MP4 box census +
+exact frame extraction (`mp4_frame_index`).  The generic byte-window
+ops in this module (`sample_frames`, `resize_images`) remain the
+OPAQUE-payload fallbacks for formats without a codec.
 """
 
 from __future__ import annotations
@@ -69,12 +77,13 @@ FRAME_SCHEMA = "doc_id long, n_frames int, frame_digests array<string>"
 
 
 def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
-    """Frame-sampling plumbing for video-like payloads: split each binary
-    payload into `n_frames` equal byte windows ("frames") and digest each
-    — the Spark-side shape of ffmpeg-style keyframe extraction (swap the
-    window digest for a real decoder per frame; batching, schema and
-    partitioning are unchanged).  Byte-window arithmetic keeps the stub
-    deterministic and engine-portable for the oracle.
+    """Frame-sampling plumbing for OPAQUE video-like payloads: split
+    each binary payload into `n_frames` equal byte windows ("frames")
+    and digest each.  For MP4 payloads use the REAL sample-table walk
+    (`operators/media.mp4_frame_index`, r8 — exact per-frame byte
+    ranges, pts, keyframe flags); this byte-window fallback covers
+    container-less blobs, deterministic and engine-portable for the
+    oracle.
 
     Input: (doc_id long, payload binary).  Closure is pickled by value —
     see decode_binary_features.
@@ -110,12 +119,12 @@ RESIZE_SCHEMA = "doc_id long, width int, height int, thumb binary"
 
 
 def resize_images(df: DataFrame, width: int = 16, height: int = 16) -> DataFrame:
-    """Image-resize plumbing: produce a fixed-size thumbnail payload per
-    item.  The stub samples width*height evenly-spaced bytes from the
-    payload (deterministic, engine-portable); a real implementation is
-    one line of PIL in the same closure —
-    ``Image.open(io.BytesIO(b)).resize((w, h)).tobytes()`` — with
-    identical schema, batching and partitioning.
+    """Image-resize plumbing for OPAQUE payloads: produce a fixed-size
+    thumbnail payload per item by sampling width*height evenly-spaced
+    bytes (deterministic, engine-portable).  For PNG payloads use the
+    REAL resizer (`operators/media.png_thumbnails` — decode, NN
+    resample, re-encode, r8); this fallback covers formats without a
+    codec, with identical schema, batching and partitioning.
 
     Output thumbnails are CONSTANT-size binary, so downstream stages
     (dedup on thumb digest, embedding extraction) can plan for fixed row
