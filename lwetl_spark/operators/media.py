@@ -1285,6 +1285,11 @@ def sniff_format(payload: Column | str) -> Column:
         # 32-bit size of the first box — covers mp4/mov/m4a/heic family
         .when(F.hex(F.substring(col, 5, 4)) == "66747970", "mp4")
         .when(hx.startswith("1F8B"), "gzip")
+        .when(
+            hx.startswith("494433") | hx.startswith("FFFA")
+            | hx.startswith("FFFB"),
+            "mp3",
+        )
         .otherwise("unknown")
     )
 
@@ -2091,3 +2096,149 @@ def wav_downsample(df: DataFrame, factor: int = 4) -> DataFrame:
             yield out
 
     return df.mapInPandas(run, schema=WAV_RESAMPLE_SCHEMA)
+
+
+def _make_mp3_gen():
+    """Factory returning the MP3 generator (by-value pickling, see
+    _make_mp4_gen): REAL MPEG-1 Layer III frame sequences — each frame
+    carries a spec-correct 32-bit header (11-bit sync, version/layer
+    bits, bitrate + samplerate indices) and exactly
+    floor(144·bitrate/samplerate) bytes, optionally preceded by an
+    ID3v2 tag (syncsafe size) — the layout any CBR census walks."""
+    import struct
+
+    BITRATES = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+                160, 192, 224, 256, 320]  # kbps, MPEG1 Layer III
+    RATES = [44100, 48000, 32000]
+
+    def mp3(bitrate_idx: int, sr_idx: int, n_frames: int,
+            id3_payload: bytes = b"") -> bytes:
+        br = BITRATES[bitrate_idx] * 1000
+        sr = RATES[sr_idx]
+        frame_len = (144 * br) // sr  # padding bit 0
+        hdr = (
+            (0x7FF << 21) | (0b11 << 19) | (0b01 << 17) | (1 << 16)
+            | (bitrate_idx << 12) | (sr_idx << 10)
+        )
+        frame = struct.pack(">I", hdr) + bytes(frame_len - 4)
+        out = b""
+        if id3_payload:
+            n = len(id3_payload)
+            size = bytes([(n >> 21) & 0x7F, (n >> 14) & 0x7F,
+                          (n >> 7) & 0x7F, n & 0x7F])
+            out += b"ID3\x04\x00\x00" + size + id3_payload
+        return out + frame * n_frames
+
+    return mp3
+
+
+#: the MP3 generator (factory-made; importable for tests)
+mp3_bytes = _make_mp3_gen()
+
+
+MP3_META_SCHEMA = (
+    "doc_id long, bitrate_kbps long, sample_rate long, n_frames long,"
+    " duration_ms long, has_id3 boolean, valid boolean"
+)
+
+
+def mp3_meta(df: DataFrame) -> DataFrame:
+    """MP3 (MPEG-1 Layer III) frame-header census (r8 — the third
+    audio container of a real crawl after WAV and MP4/AAC): skip the
+    ID3v2 tag (syncsafe size), then walk the CBR frame sequence —
+    11-bit sync check, bitrate/samplerate indices from the header,
+    frame length = floor(144·bitrate/samplerate) + padding bit — and
+    emit the stream geometry: bitrate, sample rate, frame count, exact
+    integer duration_ms = 1000·1152·n_frames div samplerate (1152
+    samples per Layer III frame).  valid requires the walk to consume
+    the payload exactly; a mid-stream corrupt header stops the walk
+    with valid=false and the census so far.  Non-MP3 payloads yield
+    NULLs; one zero-shuffle Arrow pass."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import struct
+
+        import pandas as pd
+
+        BITRATES = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+                    160, 192, 224, 256, 320]
+        RATES = [44100, 48000, 32000]
+
+        def census(b: bytes):
+            b = bytes(b)
+            pos = 0
+            has_id3 = False
+            if b[:3] == b"ID3" and len(b) >= 10:
+                has_id3 = True
+                n = ((b[6] & 0x7F) << 21) | ((b[7] & 0x7F) << 14) | (
+                    (b[8] & 0x7F) << 7) | (b[9] & 0x7F)
+                pos = 10 + n
+            if pos + 4 > len(b):
+                return None
+            first = struct.unpack(">I", b[pos : pos + 4])[0]
+            if (first >> 21) != 0x7FF or ((first >> 19) & 3) != 0b11 \
+                    or ((first >> 17) & 3) != 0b01:
+                return None  # not an MPEG-1 Layer III sync
+            br_idx = (first >> 12) & 0xF
+            sr_idx = (first >> 10) & 3
+            if br_idx in (0, 15) or sr_idx == 3:
+                return None  # free-format/bad indices: no CBR census
+            br = BITRATES[br_idx] * 1000
+            sr = RATES[sr_idx]
+            n_frames = 0
+            ok = True
+            while pos + 4 <= len(b):
+                h = struct.unpack(">I", b[pos : pos + 4])[0]
+                if (h >> 21) != 0x7FF:
+                    ok = False
+                    break
+                pad = (h >> 9) & 1
+                flen = (144 * br) // sr + pad
+                if pos + flen > len(b):
+                    ok = False
+                    break
+                n_frames += 1
+                pos += flen
+            ok = ok and pos == len(b) and n_frames > 0
+            return (
+                br // 1000, sr, n_frames,
+                1000 * 1152 * n_frames // sr, has_id3, ok,
+            )
+
+        cols = ["bitrate_kbps", "sample_rate", "n_frames",
+                "duration_ms", "has_id3", "valid"]
+        for pdf in batches:
+            parsed = [census(x) for x in pdf["payload"]]
+            out = pd.DataFrame(
+                [p if p is not None else (None,) * 5 + (False,)
+                 for p in parsed],
+                columns=cols,
+            )
+            out.insert(0, "doc_id", pdf["doc_id"].to_numpy())
+            yield out
+
+    return df.mapInPandas(run, schema=MP3_META_SCHEMA)
+
+
+def synth_mp3_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixture for x_mp3_meta: bitrate index 1+(id%14), samplerate
+    index id%3, 5+(id%20) frames; ids %2=0 carry an ID3v2 tag of
+    20+(id%50) payload bytes; every 17th id truncates the last frame
+    (corrupt leg: census parses, valid flips false)."""
+    _mp3 = mp3_bytes
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        def one(i: int) -> bytes:
+            id3 = bytes(20 + i % 50) if i % 2 == 0 else b""
+            b = _mp3(1 + i % 14, i % 3, 5 + i % 20, id3_payload=id3)
+            return b[:-7] if i % 17 == 0 else b
+
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame({"doc_id": ids, "payload": ids.map(one)})
+
+    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        gen, "doc_id long, payload binary"
+    )

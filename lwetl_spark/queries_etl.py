@@ -2051,6 +2051,55 @@ def x_wav_resample(spark, sf_dir):
 
 
 @register(
+    "x_mp3_meta",
+    """
+    WITH g AS (
+        SELECT doc_id, 1 + doc_id % 14 AS bi, doc_id % 3 AS si,
+               5 + doc_id % 20 AS nf
+        FROM documents
+    ),
+    v AS (
+        SELECT doc_id,
+               CASE bi WHEN 1 THEN 32 WHEN 2 THEN 40 WHEN 3 THEN 48
+                       WHEN 4 THEN 56 WHEN 5 THEN 64 WHEN 6 THEN 80
+                       WHEN 7 THEN 96 WHEN 8 THEN 112 WHEN 9 THEN 128
+                       WHEN 10 THEN 160 WHEN 11 THEN 192 WHEN 12 THEN 224
+                       WHEN 13 THEN 256 ELSE 320 END AS br,
+               CASE si WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                       ELSE 32000 END AS sr,
+               nf
+        FROM g
+    )
+    SELECT doc_id, CAST(br AS BIGINT) AS bitrate_kbps,
+           CAST(sr AS BIGINT) AS sample_rate,
+           CAST(CASE WHEN doc_id % 17 = 0 THEN nf - 1
+                     ELSE nf END AS BIGINT) AS n_frames,
+           CAST(1000 * 1152 * CASE WHEN doc_id % 17 = 0 THEN nf - 1
+                                   ELSE nf END // sr AS BIGINT)
+               AS duration_ms,
+           doc_id % 2 = 0 AS has_id3,
+           doc_id % 17 <> 0 AS valid
+    FROM v
+    """,
+)
+def x_mp3_meta(spark, sf_dir):
+    """MP3 frame-header census (r8; operators/media.mp3_meta) — the
+    third audio container after WAV and MP4: skip the ID3v2 tag
+    (syncsafe size), walk the CBR MPEG-1 Layer III frame sequence
+    (sync check, bitrate/samplerate indices, frame length =
+    floor(144·bitrate/samplerate) + padding), and census bitrate /
+    sample rate / frame count / exact integer duration.  The corrupt
+    leg (last frame truncated every 17th id) must keep the census of
+    the frames that DID parse and flip valid=false.  Every field
+    value-checks against the generator arithmetic, including the
+    14-entry bitrate table."""
+    from lwetl_spark.operators.media import mp3_meta, synth_mp3_demo
+
+    docs = _t(spark, sf_dir, "documents")
+    return mp3_meta(synth_mp3_demo(docs))
+
+
+@register(
     "x_media_curate",
     """
     WITH meta AS (

@@ -579,3 +579,27 @@ def test_wav_downsample_real_roundtrip(spark):
     got = struct.unpack(f"<{len(data)//2}h", data)
     # frames 0, 3, 6, 9 survive with L/R intact
     assert list(got) == [0, 0, 30, -30, 60, -60, 90, -90]
+
+
+def test_mp3_census_id3_skip_and_corruption(spark):
+    """mp3_meta skips ID3v2 via the syncsafe size, walks CBR frames to
+    EOF, censuses a truncated stream with valid=false, and rejects
+    non-MP3 bytes."""
+    from lwetl_spark.operators.media import mp3_bytes, mp3_meta
+
+    tagged = mp3_bytes(14, 0, 10, id3_payload=bytes(100))  # 320kbps 44.1k
+    bare = mp3_bytes(9, 1, 3)                              # 128kbps 48k
+    trunc = mp3_bytes(9, 1, 3)[:-5]
+    rows = [(1, tagged), (2, bare), (3, trunc), (4, b"RIFFxxxxWAVE")]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in mp3_meta(df).collect()}
+    t = out[1]
+    assert (t["bitrate_kbps"], t["sample_rate"], t["n_frames"]) == (320, 44100, 10)
+    assert t["duration_ms"] == 1000 * 1152 * 10 // 44100
+    assert t["has_id3"] and t["valid"]
+    b = out[2]
+    assert (b["bitrate_kbps"], b["n_frames"], b["has_id3"]) == (128, 3, False)
+    assert b["valid"]
+    c = out[3]
+    assert c["n_frames"] == 2 and c["valid"] is False  # last frame cut
+    assert out[4]["valid"] is False and out[4]["bitrate_kbps"] is None
