@@ -18,6 +18,7 @@ EXAMPLES = [
     "hybrid_search",
     "daily_increment",
     "dataset_release",
+    "multimodal_ingest",
 ]
 
 
