@@ -84,6 +84,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="score-quantile below which --quality-model drops docs",
     )
     p.add_argument(
+        "--html-extract", action="store_true",
+        help="treat the text column as raw HTML: strip boilerplate "
+             "(script/style/comments/tags, entity decode) before any gate",
+    )
+    p.add_argument(
         "--ppl-filter", action="store_true",
         help="drop the high-surprisal tail under the corpus bigram LM "
              "(doc_perplexity; the CCNet-style perplexity gate)",
@@ -115,6 +120,7 @@ def curate(
     quality_tail: float = 0.1,
     ppl_filter: bool = False,
     ppl_tail: float = 0.1,
+    html_extract: bool = False,
     attribution: bool = False,
 ):
     """Programmatic surface of the CLI; returns the stats dict.
@@ -137,6 +143,16 @@ def curate(
     docs = load_table(spark, sf_dir, "documents")
     n_input = docs.count()
     stats = {"n_input": n_input}
+
+    if html_extract:
+        # stage 0 (r8): the crawl front door — the text column arrives
+        # as raw HTML; strip boilerplate BEFORE any token/quality gate
+        # so every downstream rule sees prose, not markup.  Pure JVM
+        # expression chain (functions/text.html_text): zero UDF, zero
+        # shuffle, rides the same scan as the first filter.
+        from lwetl_spark.functions.text import html_text
+
+        docs = docs.withColumn("text", html_text("text"))
 
     kept = docs.filter(token_count("text") >= min_tokens)
 
@@ -396,6 +412,7 @@ def main(argv: list[str] | None = None) -> int:
         quality_tail=args.quality_tail,
         ppl_filter=args.ppl_filter,
         ppl_tail=args.ppl_tail,
+        html_extract=args.html_extract,
     )
     print(
         f"curated {stats['n_input']} -> {stats['n_kept']} docs "

@@ -438,3 +438,29 @@ def test_cli_curate_ppl_filter_stage(spark, tmp_path):
     }
     assert kept_ids == set(range(9))  # every gibberish doc dropped
     assert stats["n_after_ppl_filter"] == 9
+
+
+def test_cli_curate_html_extract_stage(spark, tmp_path):
+    """--html-extract strips boilerplate BEFORE the gates: a markup-
+    heavy doc whose prose passes min_tokens survives, while one whose
+    apparent length is all tags (prose too short) now drops."""
+    from lwetl_spark.cli_curate import curate
+
+    sf = str(tmp_path / "sf")
+    prose = " ".join(f"word{j}" for j in range(12))
+    rows = [
+        (1, f"<html><body><p>{prose}</p></body></html>", "en", 1, "s"),
+        (2, "<div><span></span></div>" * 20 + "<p>short text</p>",
+         "en", 1, "s"),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, n_chars int, source string"
+    ).write.parquet(sf + "/documents.parquet")
+
+    out = str(tmp_path / "out")
+    stats = curate(spark, sf, out, min_tokens=10, dedup=False,
+                   html_extract=True)
+    kept = spark.read.parquet(out)
+    assert {r["doc_id"] for r in kept.select("doc_id").collect()} == {1}
+    assert kept.collect()[0]["text"] == prose  # markup gone, prose intact
+    assert stats["n_kept"] == 1
