@@ -140,3 +140,33 @@ def test_auto_maintain_lsh_overload_resizes_planes(spark, tmp_path):
     out = query_lsh_index(spark, path, emb.limit(5), k=3)
     rows = out.collect()
     assert rows and all(r["rank"] <= 3 for r in rows)
+
+
+def test_auto_maintain_preserves_opq_family(spark, tmp_path):
+    """A fired retrain on an OPQ IVFADC index must keep the rotation
+    marker (family preservation): auto_maintain → retrain_ivfpq_index →
+    build(opq=True) re-derives a fresh orthogonal rotation, and probes
+    keep answering."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from lwetl_spark.operators.ivfpq import (
+        _load_quantizers,
+        build_ivfpq_index,
+        query_ivfpq_index,
+        update_ivfpq_index,
+    )
+    from lwetl_spark.operators.maintain import auto_maintain
+
+    emb = spark.read.parquet(SF_SMOKE + "/embeddings.parquet")
+    even = emb.filter(F.col("vec_id") % 2 == 0)
+    odd = emb.filter(F.col("vec_id") % 2 == 1)
+    path = str(tmp_path / "opq_maint")
+    build_ivfpq_index(even, path, num_centroids=8, m=8, ksub=32, opq=True)
+    update_ivfpq_index(spark, path, odd)
+    d = auto_maintain(spark, path, growth_threshold_pm=1500).collect()[0]
+    assert d["kind"] == "ivfpq" and d["action"] == "retrain"
+    _, _, rot = _load_quantizers(spark, path)
+    assert rot is not None
+    assert np.allclose(rot @ rot.T, np.eye(rot.shape[0]), atol=1e-10)
+    assert query_ivfpq_index(spark, path, emb.limit(3), k=3).count() > 0
