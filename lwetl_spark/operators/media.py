@@ -2242,3 +2242,164 @@ def synth_mp3_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
         gen, "doc_id long, payload binary"
     )
+
+
+def _make_tar_gen():
+    """Factory returning a ustar (POSIX tar) generator (by-value
+    pickling, see _make_mp4_gen): real 512-byte headers — octal size
+    field, computed checksum (header summed with the chksum field as
+    spaces), 'ustar' magic — content padded to block boundaries, two
+    zero blocks as the terminator.  The WebDataset shard layout every
+    large-scale multimodal trainer streams."""
+
+    def header(name: str, size: int) -> bytes:
+        h = bytearray(512)
+        nb = name.encode("utf-8")
+        h[0 : len(nb)] = nb
+        h[100:108] = b"0000644\x00"
+        h[108:116] = b"0000000\x00"
+        h[116:124] = b"0000000\x00"
+        h[124:136] = ("%011o" % size).encode() + b"\x00"
+        h[136:148] = b"00000000000\x00"
+        h[148:156] = b" " * 8  # checksum computed over spaces
+        h[156] = ord("0")  # regular file
+        h[257:263] = b"ustar\x00"
+        h[263:265] = b"00"
+        chk = sum(h)
+        h[148:156] = ("%06o" % chk).encode() + b"\x00 "
+        return bytes(h)
+
+    def tar(members) -> bytes:
+        out = bytearray()
+        for name, data in members:
+            out += header(name, len(data)) + data
+            if len(data) % 512:
+                out += bytes(512 - len(data) % 512)
+        out += bytes(1024)  # end-of-archive
+        return bytes(out)
+
+    return tar
+
+
+#: the ustar generator (factory-made; importable for tests)
+tar_bytes = _make_tar_gen()
+
+
+TAR_INDEX_SCHEMA = (
+    "doc_id long, member_idx long, name string, size long, offset long,"
+    " byte_sum long, valid boolean"
+)
+
+
+def tar_member_index(df: DataFrame) -> DataFrame:
+    """ustar member index (r8) — the walk a WebDataset-style shard
+    reader performs: scan the 512-byte headers (verify the 'ustar'
+    magic and the spaces-substituted CHECKSUM — a flipped header byte
+    is caught, not silently mis-sized), read each member's octal size,
+    compute its exact content byte range, slice it, and prove the
+    range with the content bytes' integer sum.  A corrupt header stops
+    the walk; members already indexed keep valid=true, and one synthetic
+    row (member_idx −1, valid=false) records the damage — never a task
+    failure.  Offsets are absolute (headers are fixed 512-byte math,
+    so a SQL oracle recomputes them as prefix sums).  One zero-shuffle
+    Arrow pass; member bytes never leave their input partitions."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        def rows(doc_id: int, b: bytes):
+            b = bytes(b)
+            pos = 0
+            idx = 0
+            while pos + 512 <= len(b):
+                h = b[pos : pos + 512]
+                if h == bytes(512):  # terminator block
+                    return
+                if h[257:263] != b"ustar\x00":
+                    yield (doc_id, -1, None, None, pos, None, False)
+                    return
+                stored = h[148:156]
+                try:
+                    chk = int(stored.rstrip(b"\x00 ").lstrip(), 8)
+                    size = int(h[124:136].rstrip(b"\x00 ") or b"0", 8)
+                except ValueError:
+                    yield (doc_id, -1, None, None, pos, None, False)
+                    return
+                if sum(h[:148]) + 8 * 32 + sum(h[156:]) != chk:
+                    yield (doc_id, -1, None, None, pos, None, False)
+                    return
+                name = h[:100].rstrip(b"\x00").decode("utf-8", "replace")
+                content = b[pos + 512 : pos + 512 + size]
+                if len(content) < size:
+                    yield (doc_id, -1, None, None, pos, None, False)
+                    return
+                yield (doc_id, idx, name, size, pos + 512,
+                       sum(content), True)
+                idx += 1
+                pos += 512 + ((size + 511) // 512) * 512
+
+        cols = ["doc_id", "member_idx", "name", "size", "offset",
+                "byte_sum", "valid"]
+        for pdf in batches:
+            out = [
+                r
+                for doc_id, payload in zip(pdf["doc_id"], pdf["payload"])
+                for r in rows(int(doc_id), payload)
+            ]
+            yield pd.DataFrame(out, columns=cols)
+
+    return df.mapInPandas(run, schema=TAR_INDEX_SCHEMA)
+
+
+def webdataset_samples(index: DataFrame) -> DataFrame:
+    """WebDataset sample grouping (r8): members named '{stem}.{ext}'
+    group into SAMPLES by stem — the unit a multimodal trainer consumes
+    (a sample is e.g. 0001.jpg + 0001.cls + 0001.json).  Pure DataFrame
+    composition over `tar_member_index`; the exchange carries metadata
+    rows only.  Returns (doc_id, stem, n_fields, exts, total_bytes)."""
+    parts = index.filter("valid AND member_idx >= 0").select(
+        "doc_id", "size",
+        F.regexp_extract("name", r"^(.*)\.([^.]+)$", 1).alias("stem"),
+        F.regexp_extract("name", r"^(.*)\.([^.]+)$", 2).alias("ext"),
+    )
+    return parts.groupBy("doc_id", "stem").agg(
+        F.count("*").alias("n_fields"),
+        F.array_sort(F.collect_list("ext")).alias("exts"),
+        F.sum("size").alias("total_bytes"),
+    )
+
+
+def synth_tar_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixture for x_tar_index / x_webdataset: each document becomes a
+    WebDataset-style shard of 2+(id%3) SAMPLES, each sample a
+    '{k:04d}.txt' + '{k:04d}.cls' pair; txt member k has 30+(id+13k)%50
+    bytes (byte j = (id+11k+3j)%256), cls members are 1 byte
+    ((id+k)%10 + 48).  Every 19th id flips a header byte (corrupt leg:
+    the checksum must catch it)."""
+    _tar = tar_bytes
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        def one(i: int) -> bytes:
+            members = []
+            for k in range(2 + i % 3):
+                data = bytes((i + 11 * k + 3 * j) % 256
+                             for j in range(30 + (i + 13 * k) % 50))
+                members.append(("%04d.txt" % k, data))
+                members.append(("%04d.cls" % k,
+                                bytes([(i + k) % 10 + 48])))
+            b = _tar(members)
+            if i % 19 == 0:  # corrupt leg: flip a byte in header 0's name
+                bb = bytearray(b)
+                bb[1] ^= 0xFF
+                return bytes(bb)
+            return b
+
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame({"doc_id": ids, "payload": ids.map(one)})
+
+    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        gen, "doc_id long, payload binary"
+    )

@@ -2100,6 +2100,103 @@ def x_mp3_meta(spark, sf_dir):
 
 
 @register(
+    "x_tar_index",
+    """
+    WITH g AS (SELECT doc_id, 2 + doc_id % 3 AS ns FROM documents),
+    clean AS (SELECT doc_id, ns FROM g WHERE doc_id % 19 <> 0),
+    k AS (SELECT doc_id, unnest(range(0, ns)) AS k FROM clean),
+    txt AS (
+        SELECT doc_id, k, 30 + (doc_id + 13 * k) % 50 AS size FROM k
+    ),
+    txtb AS (SELECT doc_id, k, size, unnest(range(0, size)) AS j FROM txt),
+    txtsum AS (
+        SELECT doc_id, k, MAX(size) AS size,
+               CAST(SUM((doc_id + 11 * k + 3 * j) % 256) AS BIGINT)
+                   AS byte_sum
+        FROM txtb GROUP BY doc_id, k
+    ),
+    rows_ AS (
+        SELECT doc_id, CAST(2 * k AS BIGINT) AS member_idx,
+               printf('%04d.txt', k) AS name, CAST(size AS BIGINT) AS size,
+               CAST(1024 * 2 * k + 512 AS BIGINT) AS offset,
+               byte_sum, TRUE AS valid
+        FROM txtsum
+        UNION ALL
+        SELECT doc_id, CAST(2 * k + 1 AS BIGINT),
+               printf('%04d.cls', k), CAST(1 AS BIGINT),
+               CAST(1024 * (2 * k + 1) + 512 AS BIGINT),
+               CAST((doc_id + k) % 10 + 48 AS BIGINT), TRUE
+        FROM k
+        UNION ALL
+        SELECT doc_id, CAST(-1 AS BIGINT), 'none', CAST(-1 AS BIGINT),
+               CAST(0 AS BIGINT), CAST(-1 AS BIGINT), FALSE
+        FROM g WHERE doc_id % 19 = 0
+    )
+    SELECT * FROM rows_
+    """,
+)
+def x_tar_index(spark, sf_dir):
+    """ustar member index (r8; operators/media.tar_member_index) — the
+    walk a WebDataset shard reader performs: 512-byte header scan with
+    REAL checksum verification (the corrupt leg flips one name byte,
+    and only the checksum can catch it — sizes still parse), octal
+    size decode, exact content byte ranges proved by the content
+    bytes' integer sum.  Fixture shards hold interleaved .txt/.cls
+    sample pairs (every member < 512 B, so offsets are the closed-form
+    1024·m + 512 the oracle recomputes); Python's own tarfile reads
+    the generated archives (independent pytest).  NULL-sentinel parity
+    rule on the corrupt rows."""
+    from lwetl_spark.operators.media import synth_tar_demo, tar_member_index
+
+    docs = _t(spark, sf_dir, "documents")
+    idx = tar_member_index(synth_tar_demo(docs))
+    return idx.select(
+        "doc_id", "member_idx",
+        F.coalesce("name", F.lit("none")).alias("name"),
+        F.coalesce("size", F.lit(-1)).cast("long").alias("size"),
+        F.col("offset").cast("long"),
+        F.coalesce("byte_sum", F.lit(-1)).cast("long").alias("byte_sum"),
+        "valid",
+    )
+
+
+@register(
+    "x_webdataset",
+    """
+    WITH g AS (SELECT doc_id, 2 + doc_id % 3 AS ns FROM documents
+               WHERE doc_id % 19 <> 0),
+    k AS (SELECT doc_id, unnest(range(0, ns)) AS k FROM g)
+    SELECT doc_id, printf('%04d', k) AS stem,
+           CAST(2 AS BIGINT) AS n_fields, 'cls,txt' AS exts,
+           CAST(31 + (doc_id + 13 * k) % 50 AS BIGINT) AS total_bytes
+    FROM k
+    """,
+)
+def x_webdataset(spark, sf_dir):
+    """WebDataset sample grouping (r8; operators/media.
+    webdataset_samples): tar members named '{stem}.{ext}' group into
+    the SAMPLES a multimodal trainer consumes — each fixture sample is
+    a .txt/.cls pair, so every stem must report exactly 2 fields with
+    sorted extensions 'cls,txt' and total_bytes = txt size + 1.
+    Corrupt shards (checksum-failed) contribute no samples.  Pure
+    DataFrame composition over the member index; metadata-only
+    exchange."""
+    from lwetl_spark.operators.media import (
+        synth_tar_demo,
+        tar_member_index,
+        webdataset_samples,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    out = webdataset_samples(tar_member_index(synth_tar_demo(docs)))
+    return out.select(
+        "doc_id", "stem", F.col("n_fields").cast("long"),
+        F.concat_ws(",", "exts").alias("exts"),
+        F.col("total_bytes").cast("long"),
+    )
+
+
+@register(
     "x_media_curate",
     """
     WITH meta AS (

@@ -603,3 +603,59 @@ def test_mp3_census_id3_skip_and_corruption(spark):
     c = out[3]
     assert c["n_frames"] == 2 and c["valid"] is False  # last frame cut
     assert out[4]["valid"] is False and out[4]["bitrate_kbps"] is None
+
+
+def test_tar_walker_checksum_and_stdlib_parity(spark):
+    """tar_member_index agrees with Python's own tarfile on names,
+    sizes, and content ranges; a flipped header byte is caught by the
+    CHECKSUM (the size field still parses — only the checksum knows);
+    truncated content is flagged."""
+    import io
+    import tarfile
+
+    from lwetl_spark.operators.media import tar_bytes, tar_member_index
+
+    members = [("a.txt", b"hello"), ("b/c.bin", bytes(range(200))),
+               ("d.cls", b"9")]
+    good = tar_bytes(members)
+    flipped = bytearray(good)
+    flipped[3] ^= 0x55  # name byte: size still parses, checksum breaks
+    trunc = good[: 512 + 2]  # header promises 5 bytes, only 2 remain
+    rows = [(1, good), (2, bytes(flipped)), (3, trunc)]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {}
+    for r in tar_member_index(df).collect():
+        out.setdefault(r["doc_id"], []).append(r)
+    got = sorted(out[1], key=lambda r: r["member_idx"])
+    tf = tarfile.open(fileobj=io.BytesIO(good))
+    for r, info in zip(got, tf.getmembers()):
+        assert r["name"] == info.name and r["size"] == info.size
+        assert r["offset"] == info.offset_data
+        assert r["byte_sum"] == sum(
+            good[info.offset_data : info.offset_data + info.size])
+        assert r["valid"]
+    assert len(out[2]) == 1 and out[2][0]["valid"] is False
+    assert out[2][0]["member_idx"] == -1
+    assert out[3][-1]["valid"] is False
+
+
+def test_webdataset_sample_grouping(spark):
+    """webdataset_samples groups tar members by stem into trainer
+    samples with sorted extension lists."""
+    from lwetl_spark.operators.media import (
+        tar_bytes,
+        tar_member_index,
+        webdataset_samples,
+    )
+
+    shard = tar_bytes([
+        ("0001.jpg", bytes(10)), ("0001.cls", b"3"), ("0001.json", b"{}"),
+        ("0002.jpg", bytes(20)), ("0002.cls", b"7"),
+    ])
+    df = spark.createDataFrame([(1, shard)], "doc_id long, payload binary")
+    out = {r["stem"]: r
+           for r in webdataset_samples(tar_member_index(df)).collect()}
+    assert out["0001"]["n_fields"] == 3
+    assert list(out["0001"]["exts"]) == ["cls", "jpg", "json"]
+    assert out["0001"]["total_bytes"] == 13
+    assert out["0002"]["n_fields"] == 2 and out["0002"]["total_bytes"] == 21
