@@ -8,8 +8,15 @@ decode honesty ledger closed in r8:
   sequential grayscale, progressive/multi-component → NULL);
 - WAV: full 16-bit PCM sample decode (RIFF chunk walk);
 - MP4 (ISO-BMFF, r8): full box-tree census (brand, tracks, codecs,
-  dims, duration) — structural metadata; no codec bitstream decode
-  (an av1/h264 entropy decoder is out of scope, stated honestly);
+  dims, duration) PLUS exact frame extraction from real sample tables
+  (stts/stss/stsc/stsz/stco) — structural + byte-range level; no codec
+  bitstream decode (an av1/h264 entropy decoder is out of scope,
+  stated honestly);
+- WebP (r8): RIFF chunk walk, dims from all three bitstream variants;
+- MP3 (r8): ID3v2 skip + CBR frame-header census;
+- gzip (r8): real zlib inflate with trailer integrity;
+- ustar/WebDataset shards (r8): checksum-verified member index +
+  sample grouping;
 - learned feature EXTRACTION (embeddings) remains the documented
   portable stub in streaming/multimodal — no model libs in this
   environment.
