@@ -266,6 +266,50 @@ def _make_jpeg_gen():
         return (b"\xff\xd8" + dqt + sof + dht + sos
                 + bytes(bw.buf) + b"\xff\xd9")
 
+    def jpeg_color(w: int, h: int, coeffs, qdc: int = 8, qac: int = 8) -> bytes:
+        """3-component YCbCr 4:4:4 baseline (r8): the Y plane carries
+        `coeffs` (the gray coefficient model); chroma blocks are
+        NEUTRAL (DC 0 → Cb = Cr = 128 → the BT.601 transform yields
+        R = G = B = Y EXACTLY, keeping SQL oracles integer-exact) while
+        the stream still exercises the full color path: two quant
+        tables, four Huffman tables (class×id), three interleaved
+        blocks per MCU, three independent DC predictors."""
+        q = [16] * 64
+        q[0], q[10] = qdc, qac
+        bw = _BW()
+        pred_y = 0
+        eob_c, eob_l = AC_CODES[0x00]
+        dc0_c, dc0_l = DC_CODES[0]
+        for dc, ac in coeffs:
+            diff = dc - pred_y
+            pred_y = dc
+            t = abs(diff).bit_length()
+            code, ln = DC_CODES[t]
+            bw.put(code, ln)
+            if t:
+                bw.put(diff if diff > 0 else diff + (1 << t) - 1, t)
+            if ac:
+                s = ac.bit_length()
+                code, ln = AC_CODES[0x90 | s]
+                bw.put(code, ln)
+                bw.put(ac, s)
+            bw.put(eob_c, eob_l)
+            for _ in range(2):  # Cb, Cr: DC diff 0 + EOB
+                bw.put(dc0_c, dc0_l)
+                bw.put(eob_c, eob_l)
+        bw.flush()
+        dqt = seg(0xDB, bytes([0]) + bytes(q) + bytes([1]) + bytes(q))
+        sof = seg(0xC0, b"\x08" + struct.pack(">HH", h, w) + b"\x03"
+                  + b"\x01\x11\x00" + b"\x02\x11\x01" + b"\x03\x11\x01")
+        dht = seg(0xC4, bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS)
+                  + bytes([0x10]) + bytes(AC_BITS) + bytes(AC_VALS)
+                  + bytes([0x01]) + bytes(DC_BITS) + bytes(DC_VALS)
+                  + bytes([0x11]) + bytes(AC_BITS) + bytes(AC_VALS))
+        sos = seg(0xDA, b"\x03\x01\x00\x02\x11\x03\x11\x00\x3f\x00")
+        return (b"\xff\xd8" + dqt + sof + dht + sos
+                + bytes(bw.buf) + b"\xff\xd9")
+
+    jpeg.color = jpeg_color
     return jpeg
 
 
@@ -452,14 +496,20 @@ def _make_jpeg_decoder():
         return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
 
     def decode(b: bytes):
-        """Pixel array (h, w) int64, or None if not decodable baseline
-        grayscale JPEG."""
+        """Pixel array — (h, w) int64 for grayscale, (h, w, 3) int64 RGB
+        for YCbCr 4:4:4 (r8: interleaved-MCU decode with per-component
+        tables + DC predictors, BT.601 color conversion) — or None if
+        not decodable baseline sequential (progressive / arithmetic /
+        subsampled streams return None, stated honestly)."""
         b = bytes(b)
         if len(b) < 4 or b[:2] != b"\xff\xd8":
             return None
         qt: dict = {}
         huff: dict = {}
-        w = h = tq = td = ta = None
+        w = h = None
+        comp_tq: list = []   # per-component quant table id (SOF order)
+        comp_ids: list = []  # component ids, SOF order
+        scan_tabs: dict = {}  # component id -> (td, ta)
         data = None
         pos = 2
         while pos + 4 <= len(b):
@@ -500,58 +550,93 @@ def _make_jpeg_decoder():
                 if len(payload) < 9:
                     return None
                 h, w = struct.unpack(">HH", payload[1:5])
-                if payload[5] != 1:
-                    return None  # single-component decoder (honest scope)
-                tq = payload[8]
+                ncomp = payload[5]
+                if ncomp not in (1, 3):
+                    return None
+                for ci in range(ncomp):
+                    o = 6 + 3 * ci
+                    if payload[o + 1] != 0x11:
+                        return None  # 4:4:4 only (no subsampling)
+                    comp_ids.append(payload[o])
+                    comp_tq.append(payload[o + 2])
             elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
                 return None  # progressive/arithmetic/hierarchical
             elif m == 0xDA:
-                if len(payload) < 6 or payload[0] != 1:
+                ns = payload[0] if payload else 0
+                if len(payload) < 1 + 2 * ns + 3 or ns != len(comp_ids):
                     return None
-                td, ta = payload[2] >> 4, payload[2] & 15
+                for si in range(ns):
+                    cs = payload[1 + 2 * si]
+                    tt = payload[2 + 2 * si]
+                    scan_tabs[cs] = (tt >> 4, tt & 15)
                 data = b[pos + 2 + ln :]
                 break
             pos += 2 + ln
-        if (data is None or w is None or tq not in qt
-                or (0, td) not in huff or (1, ta) not in huff):
+        if data is None or w is None or not comp_ids:
             return None
-        q = qt[tq]
-        dctab, actab = huff[(0, td)], huff[(1, ta)]
+        ncomp = len(comp_ids)
+        tables = []
+        for ci in range(ncomp):
+            cid = comp_ids[ci]
+            if cid not in scan_tabs or comp_tq[ci] not in qt:
+                return None
+            td, ta = scan_tabs[cid]
+            if (0, td) not in huff or (1, ta) not in huff:
+                return None
+            tables.append((huff[(0, td)], huff[(1, ta)], qt[comp_tq[ci]]))
         bxn, byn = (w + 7) // 8, (h + 7) // 8
-        img = np.zeros((byn * 8, bxn * 8))
+        planes = [np.zeros((byn * 8, bxn * 8)) for _ in range(ncomp)]
         br = _BR(data)
-        pred = 0
+        preds = [0] * ncomp
         try:
             for by in range(byn):
                 for bx in range(bxn):
-                    z = [0] * 64
-                    t = hdecode(br, dctab)
-                    pred += extend(br, t)
-                    z[0] = pred * q[0]
-                    k = 1
-                    while k < 64:
-                        rs = hdecode(br, actab)
-                        if rs == 0x00:  # EOB
-                            break
-                        if rs == 0xF0:  # ZRL
-                            k += 16
-                            continue
-                        k += rs >> 4
-                        if k > 63:
-                            return None
-                        z[k] = extend(br, rs & 15) * q[k]
-                        k += 1
-                    S = np.zeros((8, 8))
-                    for kk in range(64):
-                        r, c = ZZ[kk]
-                        S[r, c] = z[kk]
-                    img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
-                        A @ S @ A.T
-                    )
+                    for ci in range(ncomp):  # interleaved MCU at 4:4:4
+                        dctab, actab, q = tables[ci]
+                        z = [0] * 64
+                        t = hdecode(br, dctab)
+                        preds[ci] += extend(br, t)
+                        z[0] = preds[ci] * q[0]
+                        k = 1
+                        while k < 64:
+                            rs = hdecode(br, actab)
+                            if rs == 0x00:  # EOB
+                                break
+                            if rs == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            k += rs >> 4
+                            if k > 63:
+                                return None
+                            z[k] = extend(br, rs & 15) * q[k]
+                            k += 1
+                        S = np.zeros((8, 8))
+                        for kk in range(64):
+                            r, c = ZZ[kk]
+                            S[r, c] = z[kk]
+                        planes[ci][by * 8 : by * 8 + 8,
+                                   bx * 8 : bx * 8 + 8] = A @ S @ A.T
         except _EOF:
             return None
-        return np.clip(np.round(img[:h, :w]) + 128, 0, 255).astype(np.int64)
+        if ncomp == 1:
+            return np.clip(
+                np.round(planes[0][:h, :w]) + 128, 0, 255
+            ).astype(np.int64)
+        # BT.601 inverse transform (ITU T.871 §7): level-shift Y, center
+        # chroma, convert, round, clamp
+        Y = planes[0][:h, :w] + 128.0
+        Cb = planes[1][:h, :w]  # already centered (128 level shift
+        Cr = planes[2][:h, :w]  # cancels the -128 chroma offset)
+        rgb = np.stack(
+            [
+                Y + 1.402 * Cr,
+                Y - 0.344136 * Cb - 0.714136 * Cr,
+                Y + 1.772 * Cb,
+            ],
+            axis=2,
+        )
+        return np.clip(np.round(rgb), 0, 255).astype(np.int64)
 
     return decode
 
@@ -2402,6 +2487,33 @@ def synth_tar_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 bb[1] ^= 0xFF
                 return bytes(bb)
             return b
+
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame({"doc_id": ids, "payload": ids.map(one)})
+
+    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        gen, "doc_id long, payload binary"
+    )
+
+
+def synth_color_jpeg_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixture for x_jpeg_color: every document gets a REAL 3-component
+    YCbCr 4:4:4 baseline JPEG — w = 8·(1+id%3), h = 8·(1+id%2), Y-plane
+    block b carries dc (id+17b)%112−56 / ac (id+5b)%13 (the gray
+    coefficient model), chroma neutral so decoded R = G = B = Y exactly
+    (integer-exact SQL oracle over the full color decode path)."""
+    _enc = jpeg_baseline_bytes.color  # factory-made → ships by value
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        def one(i: int) -> bytes:
+            w, h = 8 * (1 + i % 3), 8 * (1 + i % 2)
+            nb = (w // 8) * (h // 8)
+            coeffs = [((i + 17 * b) % 112 - 56, (i + 5 * b) % 13)
+                      for b in range(nb)]
+            return _enc(w, h, coeffs)
 
         for pdf in batches:
             ids = pdf["doc_id"].astype("int64")

@@ -1963,6 +1963,59 @@ def x_png_resize(spark, sf_dir):
 
 
 @register(
+    "x_jpeg_color",
+    """
+    WITH g AS (
+        SELECT doc_id, 8 * (1 + doc_id % 3) AS w, 8 * (1 + doc_id % 2) AS h,
+               (1 + doc_id % 3) AS bxn
+        FROM documents
+    ),
+    blk AS (
+        SELECT doc_id, w, h, bxn,
+               unnest(range(0, bxn * (h // 8))) AS b
+        FROM g
+    ),
+    blk2 AS (
+        SELECT doc_id, w, h,
+               (doc_id + 17 * b) % 112 - 56 AS d,
+               (doc_id + 5 * b) % 13 AS a
+        FROM blk
+    ),
+    rr AS (SELECT *, unnest(range(0, 8)) AS yy FROM blk2),
+    px AS (
+        SELECT doc_id, w, h,
+               128 + d + CASE WHEN yy IN (0, 3, 4, 7) THEN a ELSE -a END AS v
+        FROM rr
+    )
+    SELECT doc_id, CAST(MAX(w) AS BIGINT) AS width,
+           CAST(MAX(h) AS BIGINT) AS height,
+           CAST(3 * MAX(w) * MAX(h) AS BIGINT) AS n_px,
+           CAST(3 * 8 * SUM(v) AS BIGINT) AS sum_px,
+           CAST(MIN(v) AS BIGINT) AS min_px,
+           CAST(MAX(v) AS BIGINT) AS max_px
+    FROM px GROUP BY doc_id
+    """,
+)
+def x_jpeg_color(spark, sf_dir):
+    """REAL color-JPEG decode (r8 scope extension; operators/media.
+    decode_jpeg): 3-component YCbCr 4:4:4 baseline — two quant tables,
+    four in-file Huffman tables, three interleaved blocks per MCU with
+    independent DC predictors, BT.601 color conversion.  The fixture's
+    neutral chroma makes R = G = B = Y EXACTLY, so DuckDB recomputes
+    every decoded RGB value from the Y-plane arithmetic (n_px and sums
+    count all three channels; each per-row value v covers 8 columns ×
+    3 channels).  Subsampled/progressive streams stay honestly out of
+    scope (NULL)."""
+    from lwetl_spark.operators.media import (
+        jpeg_pixel_stats,
+        synth_color_jpeg_demo,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return jpeg_pixel_stats(synth_color_jpeg_demo(docs))
+
+
+@register(
     "x_wav_pcm",
     """
     WITH g AS (

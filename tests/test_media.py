@@ -659,3 +659,24 @@ def test_webdataset_sample_grouping(spark):
     assert list(out["0001"]["exts"]) == ["cls", "jpg", "json"]
     assert out["0001"]["total_bytes"] == 13
     assert out["0002"]["n_fields"] == 2 and out["0002"]["total_bytes"] == 21
+
+
+def test_jpeg_color_decode_hand_checked(spark):
+    """Color decode: neutral-chroma YCbCr 4:4:4 reconstructs R=G=B=Y
+    with per-component DC predictors intact across MCUs; a 4:2:0
+    (subsampled) SOF is honestly rejected."""
+    import numpy as np
+
+    from lwetl_spark.operators.media import decode_jpeg, jpeg_baseline_bytes
+
+    rgb = decode_jpeg(jpeg_baseline_bytes.color(16, 8, [(5, 3), (-40, 0)]))
+    assert rgb.shape == (8, 16, 3)
+    sign = np.array([1, -1, -1, 1, 1, -1, -1, 1])
+    for c in range(3):
+        assert (rgb[:, :8, c] == (133 + 3 * sign)[:, None]).all()
+        assert (rgb[:, 8:, c] == 88).all()
+    # claim 2x2 subsampling on the Y component -> out of scope, None
+    b = bytearray(jpeg_baseline_bytes.color(8, 8, [(0, 0)]))
+    i = b.index(b"\xff\xc0")
+    b[i + 11] = 0x22  # Y sampling factor 2x2
+    assert decode_jpeg(bytes(b)) is None
