@@ -309,7 +309,64 @@ def _make_jpeg_gen():
         return (b"\xff\xd8" + dqt + sof + dht + sos
                 + bytes(bw.buf) + b"\xff\xd9")
 
+    def _emit_block(bw, dc: int, ac: int, pred: int) -> int:
+        diff = dc - pred
+        t = abs(diff).bit_length()
+        code, ln = DC_CODES[t]
+        bw.put(code, ln)
+        if t:
+            bw.put(diff if diff > 0 else diff + (1 << t) - 1, t)
+        if ac:
+            s = ac.bit_length()
+            code, ln = AC_CODES[0x90 | s]
+            bw.put(code, ln)
+            bw.put(ac, s)
+        code, ln = AC_CODES[0x00]
+        bw.put(code, ln)
+        return dc
+
+    def jpeg_color420(w: int, h: int, ycoeffs, cbcoeffs, crcoeffs,
+                      qdc: int = 8, qac: int = 8) -> bytes:
+        """3-component YCbCr 4:2:0 baseline (r9): Y sampled 2×2, chroma
+        1×1 — the layout of nearly every real-crawl JPEG.  Each MCU
+        covers 16×16 pixels and interleaves FOUR Y blocks (row-major
+        within the MCU) + one Cb + one Cr.  `ycoeffs` is one (dc, ac)
+        pair per Y block in PADDED-raster order over a grid of
+        2·ceil(w/16) × 2·ceil(h/16) blocks; `cbcoeffs`/`crcoeffs` are
+        one (dc, ac) pair per MCU in raster order (the same zigzag-10
+        AC model, so chroma varies WITHIN each block and the decoder's
+        nearest-neighbor upsample is genuinely exercised)."""
+        q = [16] * 64
+        q[0], q[10] = qdc, qac
+        mxn, myn = (w + 15) // 16, (h + 15) // 16
+        bxn = 2 * mxn
+        bw = _BW()
+        pred_y = pred_cb = pred_cr = 0
+        for my in range(myn):
+            for mx in range(mxn):
+                for v in range(2):
+                    for u in range(2):
+                        dc, ac = ycoeffs[(2 * my + v) * bxn + 2 * mx + u]
+                        pred_y = _emit_block(bw, dc, ac, pred_y)
+                m = my * mxn + mx
+                dc, ac = cbcoeffs[m]
+                pred_cb = _emit_block(bw, dc, ac, pred_cb)
+                dc, ac = crcoeffs[m]
+                pred_cr = _emit_block(bw, dc, ac, pred_cr)
+        bw.flush()
+        dqt = seg(0xDB, bytes([0]) + bytes(q) + bytes([1]) + bytes(q))
+        sof = seg(0xC0, b"\x08" + struct.pack(">HH", h, w) + b"\x03"
+                  + b"\x01\x22\x00" + b"\x02\x11\x01" + b"\x03\x11\x01")
+        dht = seg(0xC4, bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS)
+                  + bytes([0x10]) + bytes(AC_BITS) + bytes(AC_VALS)
+                  + bytes([0x01]) + bytes(DC_BITS) + bytes(DC_VALS)
+                  + bytes([0x11]) + bytes(AC_BITS) + bytes(AC_VALS))
+        sos = seg(0xDA, b"\x03\x01\x00\x02\x11\x03\x11\x00\x3f\x00")
+        return (b"\xff\xd8" + dqt + sof + dht + sos
+                + bytes(bw.buf) + b"\xff\xd9")
+
     jpeg.color = jpeg_color
+    jpeg.color420 = jpeg_color420
     return jpeg
 
 
@@ -497,10 +554,11 @@ def _make_jpeg_decoder():
 
     def decode(b: bytes):
         """Pixel array — (h, w) int64 for grayscale, (h, w, 3) int64 RGB
-        for YCbCr 4:4:4 (r8: interleaved-MCU decode with per-component
-        tables + DC predictors, BT.601 color conversion) — or None if
-        not decodable baseline sequential (progressive / arithmetic /
-        subsampled streams return None, stated honestly)."""
+        for YCbCr 4:4:4 AND chroma-subsampled 4:2:0 / 4:2:2 / 4:4:0
+        (r9: generic interleaved-MCU decode with per-component sampling
+        factors, nearest-neighbor chroma upsample, BT.601 conversion) —
+        or None if not decodable baseline sequential (progressive /
+        arithmetic streams return None, stated honestly)."""
         b = bytes(b)
         if len(b) < 4 or b[:2] != b"\xff\xd8":
             return None
@@ -509,6 +567,7 @@ def _make_jpeg_decoder():
         w = h = None
         comp_tq: list = []   # per-component quant table id (SOF order)
         comp_ids: list = []  # component ids, SOF order
+        comp_hv: list = []   # per-component (h_i, v_i) sampling factors
         scan_tabs: dict = {}  # component id -> (td, ta)
         data = None
         pos = 2
@@ -525,7 +584,10 @@ def _make_jpeg_decoder():
             payload = b[pos + 4 : pos + 2 + ln]
             if m == 0xDB:
                 i = 0
-                while i + 65 <= len(payload) + 1 and i < len(payload):
+                # r9 (ADVICE r8): require the FULL 64-entry table —
+                # the old bound admitted a 63-entry tail whose short
+                # list IndexError'd later at q[63]
+                while i + 65 <= len(payload):
                     if payload[i] >> 4 != 0:
                         return None  # 16-bit tables: not baseline
                     qt[payload[i] & 15] = list(payload[i + 1 : i + 65])
@@ -547,17 +609,25 @@ def _make_jpeg_decoder():
                     huff[(tc, th)] = tbl
                     i += 17 + nv
             elif m in (0xC0, 0xC1):
-                if len(payload) < 9:
+                if len(payload) < 6:
                     return None
                 h, w = struct.unpack(">HH", payload[1:5])
                 ncomp = payload[5]
                 if ncomp not in (1, 3):
                     return None
+                # r9 (ADVICE r8): a truncated SOF declaring 3
+                # components but carrying fewer bytes must yield NULL,
+                # not an IndexError that kills the Arrow task
+                if len(payload) < 6 + 3 * ncomp:
+                    return None
                 for ci in range(ncomp):
                     o = 6 + 3 * ci
-                    if payload[o + 1] != 0x11:
-                        return None  # 4:4:4 only (no subsampling)
+                    hv = payload[o + 1]
+                    hi, vi = hv >> 4, hv & 15
+                    if hi not in (1, 2) or vi not in (1, 2):
+                        return None  # beyond 4:4:4 / 4:2:x scope
                     comp_ids.append(payload[o])
+                    comp_hv.append((hi, vi))
                     comp_tq.append(payload[o + 2])
             elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
@@ -585,49 +655,82 @@ def _make_jpeg_decoder():
             if (0, td) not in huff or (1, ta) not in huff:
                 return None
             tables.append((huff[(0, td)], huff[(1, ta)], qt[comp_tq[ci]]))
-        bxn, byn = (w + 7) // 8, (h + 7) // 8
-        planes = [np.zeros((byn * 8, bxn * 8)) for _ in range(ncomp)]
+        # r9: generic interleaved-MCU geometry (T.81 A.2.3) — supports
+        # 4:4:4 AND chroma-subsampled 4:2:0 / 4:2:2 / 4:4:0 streams
+        # (nearly all real-crawl JPEGs are 4:2:0).  Each component ci
+        # contributes h_i×v_i blocks per MCU; planes are stored at
+        # native (subsampled) resolution and upsampled after the scan.
+        hmax = max(hh for hh, _ in comp_hv)
+        vmax = max(vv for _, vv in comp_hv)
+        if ncomp == 1:  # single-scan gray ignores sampling factors
+            hmax = vmax = 1
+            comp_hv = [(1, 1)]
+        mxn = (w + 8 * hmax - 1) // (8 * hmax)
+        myn = (h + 8 * vmax - 1) // (8 * vmax)
+        planes = [np.zeros((myn * 8 * vv, mxn * 8 * hh))
+                  for hh, vv in comp_hv]
         br = _BR(data)
         preds = [0] * ncomp
+
+        def read_block(ci: int) -> "np.ndarray":
+            dctab, actab, q = tables[ci]
+            z = [0] * 64
+            t = hdecode(br, dctab)
+            preds[ci] += extend(br, t)
+            z[0] = preds[ci] * q[0]
+            k = 1
+            while k < 64:
+                rs = hdecode(br, actab)
+                if rs == 0x00:  # EOB
+                    break
+                if rs == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                k += rs >> 4
+                if k > 63:
+                    raise _EOF  # invalid run past block end
+                z[k] = extend(br, rs & 15) * q[k]
+                k += 1
+            S = np.zeros((8, 8))
+            for kk in range(64):
+                r, c = ZZ[kk]
+                S[r, c] = z[kk]
+            return A @ S @ A.T
+
         try:
-            for by in range(byn):
-                for bx in range(bxn):
-                    for ci in range(ncomp):  # interleaved MCU at 4:4:4
-                        dctab, actab, q = tables[ci]
-                        z = [0] * 64
-                        t = hdecode(br, dctab)
-                        preds[ci] += extend(br, t)
-                        z[0] = preds[ci] * q[0]
-                        k = 1
-                        while k < 64:
-                            rs = hdecode(br, actab)
-                            if rs == 0x00:  # EOB
-                                break
-                            if rs == 0xF0:  # ZRL
-                                k += 16
-                                continue
-                            k += rs >> 4
-                            if k > 63:
-                                return None
-                            z[k] = extend(br, rs & 15) * q[k]
-                            k += 1
-                        S = np.zeros((8, 8))
-                        for kk in range(64):
-                            r, c = ZZ[kk]
-                            S[r, c] = z[kk]
-                        planes[ci][by * 8 : by * 8 + 8,
-                                   bx * 8 : bx * 8 + 8] = A @ S @ A.T
+            for my in range(myn):
+                for mx in range(mxn):
+                    for ci in range(ncomp):
+                        hh, vv = comp_hv[ci]
+                        for v in range(vv):
+                            for u in range(hh):
+                                blk = read_block(ci)
+                                r0 = (my * vv + v) * 8
+                                c0 = (mx * hh + u) * 8
+                                planes[ci][r0 : r0 + 8,
+                                           c0 : c0 + 8] = blk
         except _EOF:
             return None
         if ncomp == 1:
             return np.clip(
                 np.round(planes[0][:h, :w]) + 128, 0, 255
             ).astype(np.int64)
+        # nearest-neighbor chroma upsample (JFIF practice; integer
+        # sample replication keeps the SQL oracle exact), then crop
+        full = []
+        for ci in range(ncomp):
+            hh, vv = comp_hv[ci]
+            p = planes[ci]
+            if hh < hmax:
+                p = np.repeat(p, hmax // hh, axis=1)
+            if vv < vmax:
+                p = np.repeat(p, vmax // vv, axis=0)
+            full.append(p[:h, :w])
         # BT.601 inverse transform (ITU T.871 §7): level-shift Y, center
         # chroma, convert, round, clamp
-        Y = planes[0][:h, :w] + 128.0
-        Cb = planes[1][:h, :w]  # already centered (128 level shift
-        Cr = planes[2][:h, :w]  # cancels the -128 chroma offset)
+        Y = full[0] + 128.0
+        Cb = full[1]  # already centered (128 level shift
+        Cr = full[2]  # cancels the -128 chroma offset)
         rgb = np.stack(
             [
                 Y + 1.402 * Cr,
@@ -2514,6 +2617,44 @@ def synth_color_jpeg_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             coeffs = [((i + 17 * b) % 112 - 56, (i + 5 * b) % 13)
                       for b in range(nb)]
             return _enc(w, h, coeffs)
+
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame({"doc_id": ids, "payload": ids.map(one)})
+
+    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        gen, "doc_id long, payload binary"
+    )
+
+
+def synth_jpeg420_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixture for x_jpeg_420 (r9): every document gets a REAL YCbCr
+    4:2:0 baseline JPEG — the sampling layout of nearly all real-crawl
+    JPEGs.  w = 16+8·(id%3), h = 16+8·(id%2) (so the w=24 / h=24 legs
+    force MCU-edge cropping); Y block b (padded raster over the
+    2·ceil(w/16) grid) carries dc (id+17b)%80−40 / ac (id+5b)%13;
+    chroma is NON-neutral — per MCU m, Cb = 5·((id+3m)%11−5) ±
+    5·((id+m)%3) and Cr = 5·((id+7m)%11−5) ± 5·((id+2m)%3) (sign from
+    the zigzag-10 AC row pattern at chroma resolution), multiples of 5
+    chosen so every BT.601 product stays ≥0.025 away from a .5
+    rounding boundary and every RGB value inside [0,255] — the SQL
+    oracle recomputes EVERY decoded pixel, including the 2×2
+    nearest-neighbor chroma upsample."""
+    _enc = jpeg_baseline_bytes.color420  # factory-made → ships by value
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        def one(i: int) -> bytes:
+            w, h = 16 + 8 * (i % 3), 16 + 8 * (i % 2)
+            mxn, myn = (w + 15) // 16, (h + 15) // 16
+            yc = [((i + 17 * b) % 80 - 40, (i + 5 * b) % 13)
+                  for b in range(4 * mxn * myn)]
+            cb = [(5 * ((i + 3 * m) % 11 - 5), 5 * ((i + m) % 3))
+                  for m in range(mxn * myn)]
+            cr = [(5 * ((i + 7 * m) % 11 - 5), 5 * ((i + 2 * m) % 3))
+                  for m in range(mxn * myn)]
+            return _enc(w, h, yc, cb, cr)
 
         for pdf in batches:
             ids = pdf["doc_id"].astype("int64")

@@ -663,8 +663,9 @@ def test_webdataset_sample_grouping(spark):
 
 def test_jpeg_color_decode_hand_checked(spark):
     """Color decode: neutral-chroma YCbCr 4:4:4 reconstructs R=G=B=Y
-    with per-component DC predictors intact across MCUs; a 4:2:0
-    (subsampled) SOF is honestly rejected."""
+    with per-component DC predictors intact across MCUs; a SOF
+    claiming 2x2 Y sampling over a 4:4:4 entropy stream starves the
+    bit reader (too few blocks) and yields None, not garbage."""
     import numpy as np
 
     from lwetl_spark.operators.media import decode_jpeg, jpeg_baseline_bytes
@@ -675,8 +676,67 @@ def test_jpeg_color_decode_hand_checked(spark):
     for c in range(3):
         assert (rgb[:, :8, c] == (133 + 3 * sign)[:, None]).all()
         assert (rgb[:, 8:, c] == 88).all()
-    # claim 2x2 subsampling on the Y component -> out of scope, None
+    # r9: 2x2 sampling is now IN scope, but this stream only carries
+    # 3 blocks where the claimed geometry needs 6 -> entropy underrun
     b = bytearray(jpeg_baseline_bytes.color(8, 8, [(0, 0)]))
     i = b.index(b"\xff\xc0")
     b[i + 11] = 0x22  # Y sampling factor 2x2
     assert decode_jpeg(bytes(b)) is None
+
+
+def test_jpeg_420_decode_hand_checked():
+    """4:2:0 decode (r9): one 16x16 MCU = four Y blocks + one Cb + one
+    Cr.  Hand-check the full reconstruction: per-block Y DC/AC, the
+    2x2 nearest-neighbor chroma upsample (chroma row yc = y//2 drives
+    the AC sign), and the BT.601 transform."""
+    import numpy as np
+
+    from lwetl_spark.operators.media import decode_jpeg, jpeg_baseline_bytes
+
+    # Y blocks (raster): dc 10/20/30/40, ac 0; chroma: Cb dc=5 ac=5,
+    # Cr dc=-10 ac=0
+    rgb = decode_jpeg(jpeg_baseline_bytes.color420(
+        16, 16, [(10, 0), (20, 0), (30, 0), (40, 0)],
+        [(5, 5)], [(-10, 0)],
+    ))
+    assert rgb.shape == (16, 16, 3)
+    sign = np.array([1, -1, -1, 1, 1, -1, -1, 1])
+    y_plane = np.zeros((16, 16))
+    y_plane[:8, :8], y_plane[:8, 8:] = 138, 148
+    y_plane[8:, :8], y_plane[8:, 8:] = 158, 168
+    cb = (5 + 5 * sign)[np.repeat(np.arange(8), 2)][:, None]  # row-driven
+    cr = -10.0
+    exp = np.stack([
+        np.round(y_plane + 1.402 * cr),
+        np.round(y_plane - 0.344136 * cb - 0.714136 * cr),
+        np.round(y_plane + 1.772 * cb),
+    ], axis=2)
+    assert (rgb == exp.astype(np.int64)).all()
+
+    # MCU-edge crop: 24x24 image sits on a padded 32x32 (2x2 MCU) grid;
+    # the visible region must index blocks by PADDED raster position
+    yc = [(b, 0) for b in range(16)]  # dc = padded raster index
+    rgb = decode_jpeg(jpeg_baseline_bytes.color420(
+        24, 24, yc, [(0, 0)] * 4, [(0, 0)] * 4,
+    ))
+    assert rgb.shape == (24, 24, 3)
+    assert rgb[0, 0, 0] == 128 + 0        # block 0
+    assert rgb[0, 16, 0] == 128 + 2       # block 2 (bx=2 on 4-wide grid)
+    assert rgb[16, 0, 0] == 128 + 8       # block (by=2, bx=0)
+    assert rgb[23, 23, 0] == 128 + 10     # block (by=2, bx=2)
+
+
+def test_jpeg_decoder_corrupt_segment_guards():
+    """ADVICE r8: truncated SOF declaring 3 components and a 63-entry
+    DQT slice must yield NULL (None), never an IndexError that kills
+    the Arrow task."""
+    import struct
+
+    from lwetl_spark.operators.media import decode_jpeg
+
+    trunc_sof = (b"\xff\xd8" + b"\xff\xc0" + struct.pack(">H", 11)
+                 + b"\x08\x00\x10\x00\x10\x03\x01\x22\x00")
+    assert decode_jpeg(trunc_sof) is None
+    dqt63 = (b"\xff\xd8" + b"\xff\xdb" + struct.pack(">H", 66)
+             + bytes(64) + b"\xff\xd9")
+    assert decode_jpeg(dqt63) is None
