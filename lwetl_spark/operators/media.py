@@ -830,12 +830,19 @@ def _make_mp4_gen():
             else:
                 stts_p = struct.pack(">I", 1) + struct.pack(
                     ">II", 1, duration_ms)
-            keys = [j + 1 for j in range(n) if j % key_every == 0]
+            # key_every=0/None omits stss entirely — the spec's
+            # "all samples are sync samples" form (all-intra video)
+            if key_every:
+                keys = [j + 1 for j in range(n) if j % key_every == 0]
+                stss_b = full(b"stss", 0, struct.pack(">I", len(keys))
+                              + b"".join(struct.pack(">I", k)
+                                         for k in keys))
+            else:
+                stss_b = b""
             return box(b"stbl", b"".join((
                 full(b"stsd", 0, struct.pack(">I", 1) + entry),
                 full(b"stts", 0, stts_p),
-                full(b"stss", 0, struct.pack(">I", len(keys))
-                     + b"".join(struct.pack(">I", k) for k in keys)),
+                stss_b,
                 full(b"stsc", 0, struct.pack(">I", 1)
                      + struct.pack(">III", 1, n, 1)),
                 full(b"stsz", 0, struct.pack(">II", 0, n)
@@ -1479,6 +1486,8 @@ def sniff_format(payload: Column | str) -> Column:
         # ISO-BMFF: the brand box sits at offset 4 ('ftyp'), after the
         # 32-bit size of the first box — covers mp4/mov/m4a/heic family
         .when(F.hex(F.substring(col, 5, 4)) == "66747970", "mp4")
+        # EBML magic: Matroska / WebM family (r9)
+        .when(hx.startswith("1A45DFA3"), "mkv")
         .when(hx.startswith("1F8B"), "gzip")
         .when(
             hx.startswith("494433") | hx.startswith("FFFA")
@@ -1529,6 +1538,7 @@ def media_meta(df: DataFrame) -> DataFrame:
     pickled by value (the MP4 walker ships by value via its factory
     qualname — see _make_mp4_walker)."""
     mp4_walk = _make_mp4_walker()
+    mkv_walk = _make_mkv_walker()
 
     def parse(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import struct
@@ -1602,6 +1612,18 @@ def media_meta(df: DataFrame) -> DataFrame:
                 got["valid"],
             )
 
+        def mkv(b: bytes):
+            """Matroska/WebM EBML census (r9) — fmt follows DocType."""
+            got = mkv_walk(b)
+            if got is None:
+                return None
+            return (
+                "webm" if got["doctype"] == "webm" else "mkv",
+                got["width"], got["height"], got["channels"],
+                got["sample_rate"], None, got["duration_ms"],
+                got["valid"],
+            )
+
         def webp(b: bytes):
             """RIFF/WEBP chunk walk (r8): dims from whichever bitstream
             variant leads — 'VP8 ' lossy keyframe header (start code
@@ -1635,7 +1657,7 @@ def media_meta(df: DataFrame) -> DataFrame:
 
         def one(b: bytes):
             b = bytes(b)
-            for p in (png, jpeg, wav, webp, mp4):
+            for p in (png, jpeg, wav, webp, mp4, mkv):
                 got = p(b)
                 if got is not None:
                     return got
@@ -1846,6 +1868,7 @@ def _make_mp4_sample_walker():
                     continue
                 stts = stsz = stco = stsc = None
                 keys: set = set()
+                saw_stss = False
                 for t6, s6, e6 in scan(b, *stbl_span)[0]:
                     p = b[s6:e6]
                     try:
@@ -1875,6 +1898,7 @@ def _make_mp4_sample_walker():
                                 for i in range(n)
                             ]
                         elif t6 == b"stss":
+                            saw_stss = True
                             (n,) = struct.unpack(">I", p[4:8])
                             keys = {
                                 struct.unpack(">I", p[8 + 4 * i : 12 + 4 * i])[0]
@@ -1912,6 +1936,13 @@ def _make_mp4_sample_walker():
                         si += 1
                 if si < len(stsz):
                     return None
+                # ISO 14496-12 §8.6.2: when SyncSampleBox is ABSENT,
+                # every sample is a sync sample (all-intra videos omit
+                # it) — only a PRESENT-but-sparse stss filters frames
+                # (ADVICE r8: the old empty-set default silently
+                # dropped every frame of all-intra files)
+                if not saw_stss:
+                    keys = set(range(1, len(stsz) + 1))
                 return {
                     "timescale": md_ts or 1000,
                     "pts": pts[: len(stsz)],
@@ -1926,6 +1957,343 @@ def _make_mp4_sample_walker():
 
 #: the MP4 sample-table walker (factory-made; importable for tests)
 mp4_sample_index = _make_mp4_sample_walker()
+
+
+def _make_mkv_gen():
+    """Factory returning the Matroska/WebM (EBML) generator — the same
+    by-value pickling rationale as `_make_mp4_gen`.  Emits spec-shaped
+    minimal files: EBML header (version/read-version/max-lengths/
+    DocType) + Segment(Info(TimestampScale, Duration) + Tracks(one
+    TrackEntry per medium with CodecID and Video/Audio geometry) + a
+    trailing Void) — every element a real EBML (id, varint size,
+    payload) triple, so any conformant EBML reader walks it.
+    Reference parity: lwetl has no media surface; this extends the
+    engine's crawl-video census to the second major container family
+    (VERDICT r8 #2)."""
+    import struct
+
+    def esize(n: int) -> bytes:
+        # minimal-length EBML size varint (marker bit in the top byte);
+        # all-ones ("unknown size") is never emitted here
+        for ln in range(1, 9):
+            if n < (1 << (7 * ln)) - 1:
+                return (n | (1 << (7 * ln))).to_bytes(ln, "big")
+        raise ValueError("EBML size too large")
+
+    def uint(v: int) -> bytes:
+        return v.to_bytes(max(1, (v.bit_length() + 7) // 8), "big")
+
+    def el(eid: bytes, payload: bytes) -> bytes:
+        return eid + esize(len(payload)) + payload
+
+    def mkv(
+        duration_ms: int,
+        width: int,
+        height: int,
+        v_codec: bytes = b"V_VP9",
+        a_codec: bytes | None = None,
+        channels: int = 2,
+        sample_rate: int = 48000,
+        doctype: bytes = b"webm",
+        trailing_void: int = 16,
+    ) -> bytes:
+        header = el(b"\x1aE\xdf\xa3", b"".join((
+            el(b"\x42\x86", uint(1)),          # EBMLVersion
+            el(b"\x42\xf7", uint(1)),          # EBMLReadVersion
+            el(b"\x42\xf2", uint(4)),          # EBMLMaxIDLength
+            el(b"\x42\xf3", uint(8)),          # EBMLMaxSizeLength
+            el(b"\x42\x82", doctype),          # DocType
+            el(b"\x42\x87", uint(4)),          # DocTypeVersion
+            el(b"\x42\x85", uint(2)),          # DocTypeReadVersion
+        )))
+        info = el(b"\x15\x49\xa9\x66", b"".join((
+            el(b"\x2a\xd7\xb1", uint(1000000)),  # TimestampScale (ns)
+            el(b"\x44\x89", struct.pack(">d", float(duration_ms))),
+            el(b"\x4d\x80", b"lwetl_spark"),     # MuxingApp
+            el(b"\x57\x41", b"lwetl_spark"),     # WritingApp
+        )))
+        entries = [el(b"\xae", b"".join((
+            el(b"\xd7", uint(1)),              # TrackNumber
+            el(b"\x73\xc5", uint(1)),          # TrackUID
+            el(b"\x83", uint(1)),              # TrackType: video
+            el(b"\x86", v_codec),              # CodecID
+            el(b"\xe0", el(b"\xb0", uint(width))
+               + el(b"\xba", uint(height))),   # Video
+        )))]
+        if a_codec is not None:
+            entries.append(el(b"\xae", b"".join((
+                el(b"\xd7", uint(2)),
+                el(b"\x73\xc5", uint(2)),
+                el(b"\x83", uint(2)),          # TrackType: audio
+                el(b"\x86", a_codec),
+                el(b"\xe1", el(b"\xb5", struct.pack(
+                    ">d", float(sample_rate)))
+                   + el(b"\x9f", uint(channels))),  # Audio
+            ))))
+        tracks = el(b"\x16\x54\xae\x6b", b"".join(entries))
+        void = el(b"\xec", bytes(trailing_void))
+        return header + el(b"\x18\x53\x80\x67", info + tracks + void)
+
+    return mkv
+
+
+#: the Matroska/WebM generator (factory-made; importable for tests)
+mkv_bytes = _make_mkv_gen()
+
+
+def _make_mkv_walker():
+    """Factory returning the EBML census walker for Matroska/WebM (the
+    mp4 box-walk pattern transferred to EBML's (vint id, vint size,
+    payload) framing; by-value pickling, see _make_mp4_gen).  Bounded,
+    allocation-light; corruption returns a partial census with
+    valid=False — never an exception.  Unknown-size elements (live-mux
+    Segments/Clusters) extend to the end of their parent, per spec."""
+    import struct
+
+    def vint(b: bytes, pos: int, end: int, strip: bool):
+        """(value, n_bytes) or None; strip=True removes the length
+        marker (size form) and maps all-ones to -1 (unknown size)."""
+        if pos >= end or b[pos] == 0:
+            return None
+        ln = 9 - b[pos].bit_length()
+        if pos + ln > end:
+            return None
+        raw = int.from_bytes(b[pos : pos + ln], "big")
+        if strip:
+            raw -= 1 << (7 * ln)
+            if raw == (1 << (7 * ln)) - 1:
+                raw = -1
+        return raw, ln
+
+    def children(b: bytes, s: int, e: int):
+        """All child elements of [s, e) as (id, body_s, body_e); second
+        return False on a structural lie (truncated varint, element
+        overrunning its parent)."""
+        out, pos = [], s
+        while pos < e:
+            r = vint(b, pos, e, False)
+            if r is None:
+                return out, False
+            eid, iln = r
+            r = vint(b, pos + iln, e, True)
+            if r is None:
+                return out, False
+            sz, sln = r
+            body = pos + iln + sln
+            if sz < 0:  # unknown size: extends to end of parent
+                out.append((eid, body, e))
+                return out, True
+            if body + sz > e:
+                return out, False
+            out.append((eid, body, body + sz))
+            pos = body + sz
+        return out, True
+
+    def _float(b: bytes, s: int, e: int):
+        if e - s == 4:
+            return struct.unpack(">f", b[s:e])[0]
+        if e - s == 8:
+            return struct.unpack(">d", b[s:e])[0]
+        return None
+
+    def _uint(b: bytes, s: int, e: int):
+        if not 0 < e - s <= 8:
+            return None
+        return int.from_bytes(b[s:e], "big")
+
+    def walk(b: bytes):
+        """EBML census or None if the payload is not Matroska-family
+        (no 0x1A45DFA3 magic)."""
+        b = bytes(b)
+        if len(b) < 4 or b[:4] != b"\x1aE\xdf\xa3":
+            return None
+        res = {
+            "doctype": None, "timescale": 1000000, "duration_ms": None,
+            "n_tracks": 0, "v_codec": None, "a_codec": None,
+            "width": None, "height": None, "channels": None,
+            "sample_rate": None,
+        }
+        top, ok = children(b, 0, len(b))
+        dur = None
+        have_segment = False
+        for eid, s, e in top:
+            if eid == 0x1A45DFA3:
+                kids, k_ok = children(b, s, e)
+                ok &= k_ok
+                for e2, s2, e2e in kids:
+                    if e2 == 0x4282:
+                        res["doctype"] = b[s2:e2e].decode(
+                            "ascii", "replace")
+            elif eid == 0x18538067:
+                have_segment = True
+                kids, k_ok = children(b, s, e)
+                ok &= k_ok
+                for e2, s2, e2e in kids:
+                    if e2 == 0x1549A966:  # Info
+                        iks, i_ok = children(b, s2, e2e)
+                        ok &= i_ok
+                        for e3, s3, e3e in iks:
+                            if e3 == 0x2AD7B1:
+                                ts = _uint(b, s3, e3e)
+                                if ts:
+                                    res["timescale"] = ts
+                            elif e3 == 0x4489:
+                                dur = _float(b, s3, e3e)
+                    elif e2 == 0x1654AE6B:  # Tracks
+                        tks, t_ok = children(b, s2, e2e)
+                        ok &= t_ok
+                        for e3, s3, e3e in tks:
+                            if e3 != 0xAE:
+                                continue
+                            res["n_tracks"] += 1
+                            ttype = codec = None
+                            geom: dict = {}
+                            eks, e_ok = children(b, s3, e3e)
+                            ok &= e_ok
+                            for e4, s4, e4e in eks:
+                                if e4 == 0x83:
+                                    ttype = _uint(b, s4, e4e)
+                                elif e4 == 0x86:
+                                    codec = b[s4:e4e].decode(
+                                        "ascii", "replace")
+                                elif e4 == 0xE0:  # Video
+                                    vks, v_ok = children(b, s4, e4e)
+                                    ok &= v_ok
+                                    for e5, s5, e5e in vks:
+                                        if e5 == 0xB0:
+                                            geom["width"] = _uint(
+                                                b, s5, e5e)
+                                        elif e5 == 0xBA:
+                                            geom["height"] = _uint(
+                                                b, s5, e5e)
+                                elif e4 == 0xE1:  # Audio
+                                    aks, a_ok = children(b, s4, e4e)
+                                    ok &= a_ok
+                                    for e5, s5, e5e in aks:
+                                        if e5 == 0xB5:
+                                            fr = _float(b, s5, e5e)
+                                            if fr is not None:
+                                                geom["sample_rate"] = (
+                                                    int(round(fr)))
+                                        elif e5 == 0x9F:
+                                            geom["channels"] = _uint(
+                                                b, s5, e5e)
+                            if ttype == 1:
+                                res["v_codec"] = codec
+                                res["width"] = geom.get("width")
+                                res["height"] = geom.get("height")
+                            elif ttype == 2:
+                                res["a_codec"] = codec
+                                res["channels"] = geom.get("channels")
+                                res["sample_rate"] = geom.get(
+                                    "sample_rate")
+        if dur is not None:
+            # Duration is in TimestampScale (ns) units: ms = dur·ts/1e6
+            res["duration_ms"] = int(round(
+                dur * res["timescale"] / 1_000_000))
+        res["valid"] = bool(
+            ok and have_segment and res["doctype"] is not None
+            and res["n_tracks"] > 0
+        )
+        return res
+
+    walk.children = children  # shared with tests
+    return walk
+
+
+#: the Matroska/WebM census walker (factory-made; importable for tests)
+parse_mkv = _make_mkv_walker()
+
+
+MKV_META_SCHEMA = (
+    "doc_id long, doctype string, duration_ms long, n_tracks long,"
+    " v_codec string, a_codec string, width long, height long,"
+    " channels long, sample_rate long, valid boolean"
+)
+
+
+def mkv_meta(df: DataFrame) -> DataFrame:
+    """Matroska/WebM container census (r9, VERDICT r8 #2 — the other
+    half of crawl video): EBML varint walk over Segment > Info
+    (TimestampScale, Duration) and Tracks > TrackEntry (type, CodecID
+    V_VP9/V_AV1/A_OPUS..., Video/Audio geometry).  Same contract as
+    `mp4_meta`: non-EBML payloads yield (doctype NULL, valid=false)
+    rows; structural corruption yields a PARTIAL census with
+    valid=false — never a task failure.  One zero-shuffle Arrow pass;
+    payload bytes never leave their input partition."""
+    walk = _make_mkv_walker()
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        cols = ["doctype", "duration_ms", "n_tracks", "v_codec",
+                "a_codec", "width", "height", "channels", "sample_rate",
+                "valid"]
+
+        def one(b: bytes):
+            r = walk(b)
+            if r is None:
+                return (None,) * 9 + (False,)
+            return (r["doctype"], r["duration_ms"], r["n_tracks"],
+                    r["v_codec"], r["a_codec"], r["width"], r["height"],
+                    r["channels"], r["sample_rate"], r["valid"])
+
+        for pdf in batches:
+            out = pd.DataFrame(
+                [one(b) for b in pdf["payload"]], columns=cols)
+            out.insert(0, "doc_id", pdf["doc_id"].to_numpy())
+            yield out
+
+    return df.mapInPandas(run, schema=MKV_META_SCHEMA)
+
+
+def synth_mkv_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixture for x_mkv_meta (r9): every document gets a REAL minimal
+    Matroska/WebM file from pure id arithmetic — doctype webm (even
+    ids) / matroska (odd), duration 500·(1+id%40) ms, video codec
+    V_VP9 / V_VP8 / V_AV1 by id%3, dims 64+16·(id%8) × 48+16·(id%4),
+    odd ids add an audio track (A_OPUS when id%5<3 else A_VORBIS,
+    channels 1+(id%4)//2, rate 16000·(1+id%3)).  Every 19th id gets
+    the trailing Void's size varint inflated past its parent Segment —
+    a structural lie the walker must flag (valid=false) while STILL
+    returning the full census parsed before the lie (partial-census
+    contract)."""
+    _gen = mkv_bytes  # factory-made → ships by value
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        def one(i: int) -> bytes:
+            v_codec = (b"V_VP9", b"V_VP8", b"V_AV1")[i % 3]
+            kw: dict = {}
+            if i % 2 == 1:
+                kw = dict(
+                    a_codec=(b"A_OPUS" if i % 5 < 3 else b"A_VORBIS"),
+                    channels=1 + (i % 4) // 2,
+                    sample_rate=16000 * (1 + i % 3),
+                )
+            b = _gen(
+                500 * (1 + i % 40), 64 + 16 * (i % 8), 48 + 16 * (i % 4),
+                v_codec=v_codec,
+                doctype=(b"webm" if i % 2 == 0 else b"matroska"),
+                **kw,
+            )
+            if i % 19 == 0:
+                # the trailing Void is the last 18 bytes (0xEC + size
+                # 0x90 + 16 zeros); inflate its size varint so the
+                # element claims more bytes than its Segment holds
+                bb = bytearray(b)
+                bb[-17] = 0x9F  # claims 31 > 16 available
+                return bytes(bb)
+            return b
+
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame({"doc_id": ids, "payload": ids.map(one)})
+
+    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        gen, "doc_id long, payload binary"
+    )
 
 
 MP4_FRAME_SCHEMA = (

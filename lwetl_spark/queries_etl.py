@@ -1585,6 +1585,57 @@ def x_mp4_meta(spark, sf_dir):
 
 
 @register(
+    "x_mkv_meta",
+    """
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'webm' ELSE 'matroska'
+                END AS doctype,
+           CAST(500 * (1 + doc_id % 40) AS BIGINT) AS duration_ms,
+           CAST(1 + doc_id % 2 AS BIGINT) AS n_tracks,
+           CASE doc_id % 3 WHEN 0 THEN 'V_VP9' WHEN 1 THEN 'V_VP8'
+                           ELSE 'V_AV1' END AS v_codec,
+           CASE WHEN doc_id % 2 = 1 THEN
+                CASE WHEN doc_id % 5 < 3 THEN 'A_OPUS' ELSE 'A_VORBIS' END
+                ELSE 'none' END AS a_codec,
+           CAST(64 + 16 * (doc_id % 8) AS BIGINT) AS width,
+           CAST(48 + 16 * (doc_id % 4) AS BIGINT) AS height,
+           CAST(CASE WHEN doc_id % 2 = 1 THEN 1 + (doc_id % 4) // 2
+                     ELSE -1 END AS BIGINT) AS channels,
+           CAST(CASE WHEN doc_id % 2 = 1 THEN 16000 * (1 + doc_id % 3)
+                     ELSE -1 END AS BIGINT) AS sample_rate,
+           doc_id % 19 <> 0 AS valid
+    FROM documents WHERE doc_id % 4 = 1
+    """,
+)
+def x_mkv_meta(spark, sf_dir):
+    """Matroska/WebM container census (r9, VERDICT r8 #2 — the other
+    half of crawl video; operators/media.mkv_meta): EBML varint walk —
+    DocType from the EBML header, duration_ms from Segment>Info
+    (float Duration × TimestampScale, exact for integer-ms fixtures),
+    per-TrackEntry type/CodecID (V_VP9/V_VP8/V_AV1, A_OPUS/A_VORBIS)
+    and Video/Audio geometry.  Payloads are REAL minimal Matroska
+    built from doc_id arithmetic (the mp4_bytes idiom); every 19th
+    file carries a Void element whose size varint lies past its
+    Segment — the walker must return the PARTIAL census with
+    valid=false (one corrupt file never kills a task).  NULL audio
+    fields COALESCE to -1 / 'none' on both sides (the x_mp4_meta
+    sentinel rule)."""
+    from lwetl_spark.operators.media import mkv_meta, synth_mkv_demo
+
+    docs = _t(spark, sf_dir, "documents")
+    media = synth_mkv_demo(docs.filter(F.col("doc_id") % 4 == 1))
+    out = mkv_meta(media)
+    return out.select(
+        "doc_id", "doctype", "duration_ms", "n_tracks", "v_codec",
+        F.coalesce(F.col("a_codec"), F.lit("none")).alias("a_codec"),
+        "width", "height",
+        *[F.coalesce(F.col(c), F.lit(-1)).cast("long").alias(c)
+          for c in ("channels", "sample_rate")],
+        "valid",
+    )
+
+
+@register(
     "x_mp4_frames",
     """
     WITH g AS (

@@ -740,3 +740,90 @@ def test_jpeg_decoder_corrupt_segment_guards():
     dqt63 = (b"\xff\xd8" + b"\xff\xdb" + struct.pack(">H", 66)
              + bytes(64) + b"\xff\xd9")
     assert decode_jpeg(dqt63) is None
+
+
+def test_mp4_missing_stss_means_all_keyframes():
+    """ISO 14496-12 §8.6.2 (ADVICE r8): when SyncSampleBox is absent
+    every sample is a sync sample — all-intra videos must not lose
+    every frame to filter('is_key'); a present-but-sparse stss keeps
+    its filtering semantics."""
+    from lwetl_spark.operators.media import mp4_bytes, mp4_sample_index
+
+    frames = [bytes(10 + j) for j in range(4)]
+    no_stss = mp4_bytes(1000, width=32, height=32, frames=frames,
+                        key_every=0)
+    assert b"stss" not in no_stss
+    idx = mp4_sample_index(no_stss)
+    assert idx["keys"] == {1, 2, 3, 4}
+    sparse = mp4_bytes(1000, width=32, height=32, frames=frames,
+                       key_every=2)
+    assert mp4_sample_index(sparse)["keys"] == {1, 3}
+
+
+def test_mkv_walker_census_and_corruption():
+    """EBML walk: doctype, duration (float × TimestampScale), per-track
+    codec/geometry; unknown-size Segment extends to end-of-parent; a
+    size varint lying past its parent yields a PARTIAL census with
+    valid=False — never an exception."""
+    from lwetl_spark.operators.media import mkv_bytes, parse_mkv
+
+    b = mkv_bytes(2500, 320, 240, v_codec=b"V_AV1", a_codec=b"A_OPUS",
+                  channels=2, sample_rate=48000, doctype=b"webm")
+    r = parse_mkv(b)
+    assert r["valid"] and r["doctype"] == "webm"
+    assert r["duration_ms"] == 2500 and r["n_tracks"] == 2
+    assert (r["v_codec"], r["width"], r["height"]) == ("V_AV1", 320, 240)
+    assert (r["a_codec"], r["channels"], r["sample_rate"]) == (
+        "A_OPUS", 2, 48000)
+
+    # unknown-size Segment (live-mux form): rewrite the Segment's size
+    # varint to all-ones (8-byte form 0x01FFFFFFFFFFFFFF)
+    seg_at = b.index(b"\x18\x53\x80\x67")
+    size_ln = 9 - b[seg_at + 4].bit_length()
+    body = b[seg_at + 4 + size_ln:]
+    live = (b[:seg_at] + b"\x18\x53\x80\x67"
+            + b"\x01" + b"\xff" * 7 + body)
+    r2 = parse_mkv(live)
+    assert r2["valid"] and r2["duration_ms"] == 2500
+
+    # lying Void size: partial census, valid=False, fields intact
+    bad = bytearray(b)
+    bad[-17] = 0x9F
+    r3 = parse_mkv(bytes(bad))
+    assert not r3["valid"]
+    assert r3["v_codec"] == "V_AV1" and r3["duration_ms"] == 2500
+    # non-EBML and truncated magic
+    assert parse_mkv(b"plainly not a video") is None
+    assert parse_mkv(b"\x1aE\xdf\xa3")["valid"] is False
+
+
+def test_media_meta_routes_mkv(spark):
+    """media_meta routes EBML payloads: fmt follows DocType (webm vs
+    mkv), geometry and duration populated, n_samples honestly NULL."""
+    from lwetl_spark.operators.media import media_meta, mkv_bytes
+
+    rows = [
+        (1, mkv_bytes(1200, 100, 80, doctype=b"webm")),
+        (2, mkv_bytes(900, 64, 48, a_codec=b"A_OPUS", channels=1,
+                      sample_rate=16000, doctype=b"matroska")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in media_meta(df).collect()}
+    assert got[1]["fmt"] == "webm" and got[1]["width"] == 100
+    assert got[1]["duration_ms"] == 1200 and got[1]["valid"]
+    assert got[2]["fmt"] == "mkv" and got[2]["channels"] == 1
+    assert got[2]["sample_rate"] == 16000 and got[2]["n_samples"] is None
+
+
+def test_sniff_format_detects_ebml(spark):
+    """The JVM sniffer routes the EBML magic to 'mkv'."""
+    from lwetl_spark.operators.media import mkv_bytes, sniff_format
+
+    df = spark.createDataFrame(
+        [(1, mkv_bytes(100, 16, 16)), (2, b"\x00\x00\x00\x00")],
+        "doc_id long, payload binary",
+    )
+    got = {r["doc_id"]: r["fmt"] for r in
+           df.select("doc_id", sniff_format("payload").alias("fmt"))
+           .collect()}
+    assert got == {1: "mkv", 2: "unknown"}
