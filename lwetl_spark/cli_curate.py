@@ -286,11 +286,14 @@ def curate(
         # agg collecting a single long (an actual data value, so the
         # <= filter keeps ties together and drops AT MOST the tail
         # fraction — deterministic, never splits a surprisal band; the
-        # --quality-model precedent); the survivor set applies as an
-        # id-keyed semi-join, and the ppl table is corpus-sized —
-        # shuffle_hash, never broadcast.  Docs with <2 tokens have no
-        # bigram evidence and drop here (the default min_tokens gate
-        # removes them long before this stage).
+        # --quality-model precedent); the HIGH-surprisal set applies as
+        # an id-keyed ANTI-join, and the ppl table is corpus-sized —
+        # shuffle_hash, never broadcast.  ADVICE r8: docs with <2
+        # tokens have no bigram evidence and hence no ppl row — the
+        # old semi-join silently removed them even when a user-supplied
+        # min_tokens of 0/1 let them reach this stage; the anti-join
+        # keeps no-evidence docs (this gate only judges docs it can
+        # actually score).
         from lwetl_spark.operators.sampling import doc_perplexity
 
         ppl = doc_perplexity(kept).localCheckpoint(eager=True)
@@ -304,10 +307,10 @@ def curate(
             int(thr_row["thr"]) if thr_row["thr"] is not None else None
         )
         if thr_row["thr"] is not None:
-            good = ppl.filter(F.col("surprisal_ppm") <= F.lit(thr_row["thr"]))
+            bad = ppl.filter(F.col("surprisal_ppm") > F.lit(thr_row["thr"]))
             kept = kept.join(
-                good.select("doc_id").hint("shuffle_hash"),
-                "doc_id", "left_semi",
+                bad.select("doc_id").hint("shuffle_hash"),
+                "doc_id", "left_anti",
             )
         kept = _mark("ppl_filter", kept)
 

@@ -150,9 +150,11 @@ def _keyring_key() -> str | None:
     key-file chain takes over."""
     try:
         import keyring
-
+    except ImportError:
+        return None
+    try:
         return keyring.get_password(_KEYRING_SERVICE, _KEYRING_USER)
-    except Exception:
+    except keyring.errors.KeyringError:  # no backend / locked store
         return None
 
 

@@ -42,6 +42,7 @@ from pyspark.sql import functions as F
 from lwetl_spark.operators._fsutil import path_exists as _path_exists
 from lwetl_spark.operators.similarity import (
     _PQ_BUCKETS,
+    _ann_filter_semi,
     _make_assign_cells,
     _pq_codebooks_from_matrix,
     _score_candidates,
@@ -65,6 +66,12 @@ def _opq_rotation(Rres, m: int):
     import numpy as np
 
     d = Rres.shape[1]
+    if d % m:
+        # ADVICE r8: fail with the same explicit error as
+        # _pq_codebooks_from_matrix — an indivisible dim otherwise
+        # surfaces as an opaque "min() arg is an empty sequence" from
+        # the bucket allocator below
+        raise ValueError(f"dim {d} not divisible by m={m} subspaces")
     sub = d // m
     cov = (Rres.T @ Rres) / max(len(Rres), 1)
     lam, U = np.linalg.eigh(cov)
@@ -372,6 +379,17 @@ def build_ivfpq_index(
                 fs.delete(hp, True)
         except Exception:
             pass  # non-classic session without a JVM gateway
+        # ADVICE r8: _load_quantizers uses rotation-presence as the OPQ
+        # marker, so a silently no-op'd delete (Spark Connect has no
+        # gateway) would make every later query mis-rotate residuals
+        # against non-rotated codebooks with no error.  Verify the
+        # delete actually took; if not, fail loudly now.
+        if _path_exists(spark, f"{path}/rotation"):
+            raise RuntimeError(
+                f"stale OPQ rotation at {path}/rotation could not be"
+                " deleted (no JVM filesystem gateway on this session);"
+                " remove it manually or rebuild with opq=True"
+            )
     spark.createDataFrame(
         [(i, [float(x) for x in row]) for i, row in enumerate(C)],
         "cell int, centroid array<double>",
@@ -453,6 +471,7 @@ def query_ivfpq_index(
     id_col: str = "vec_id",
     nprobe: int = 6,
     rerank: int = 100,
+    filter_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Probe a persisted IVFADC index: load the two quantizers (bounded
     driver reads), assign ONLY the queries to their `nprobe` cells,
@@ -482,6 +501,10 @@ def query_ivfpq_index(
         .filter(F.col("cell").isin(probed))
         .select("id", "cell", "code")
     )
+    # metadata-filter pushdown (r9, VERDICT r8 #3): restrict the
+    # 16-byte code rows BEFORE the ADC shortlist, so the rerank pool
+    # is drawn from the filtered set and k is guaranteed from it
+    codes = _ann_filter_semi(codes, filter_ids, "id")
     shortlist = _ivfpq_shortlist(
         probe_v, codes, b_C, b_books, max(rerank, k), b_R
     )

@@ -259,13 +259,21 @@ def query_text_index(
     k: int = 10,
     salt_buckets: int = 64,
     idf_scale: int = 1000,
+    filter_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Probe a persisted text index: identical output contract to
     `bm25_topk` over the same corpus (pinned by
     x_bm25_index_roundtrip).  The probe filters postings/df on the
     query terms' hash buckets — Catalyst turns the IN-list on the
     partition column into partition pruning, so only |q| of the 256
-    bucket directories are ever listed or read."""
+    bucket directories are ever listed or read.
+
+    ``filter_ids`` (r9): metadata-filter pushdown — a one-column
+    DataFrame of allowed doc ids semi-joined against the postings
+    BEFORE scoring/top-k, so each query's k results are the true
+    top-k of the filtered set (Lucene/ES filtered-search semantics:
+    IDF and length norms stay corpus-level; the filter restricts
+    candidates only)."""
     q = queries.select(
         F.col(query_id_col).cast("long").alias("query_id"),
         F.col(term_col).alias("tok"),
@@ -284,6 +292,10 @@ def query_text_index(
     tf = spark.read.parquet(f"{path}/postings").filter(
         F.col("bucket").isin(buckets)
     ).select("tok", "doc_id", "tf")
+    if filter_ids is not None:
+        from lwetl_spark.operators.similarity import _ann_filter_semi
+
+        tf = _ann_filter_semi(tf, filter_ids, "doc_id")
     df_table = spark.read.parquet(f"{path}/df").filter(
         F.col("bucket").isin(buckets)
     ).drop("bucket")
@@ -640,6 +652,7 @@ def hybrid_topk(
     nprobe: int = 6,
     rerank: int = 100,
     kind: str | None = None,
+    filter_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Hybrid retrieval over PERSISTED indexes as one operator: BM25
     probe of the text index + ANN probe of the vector index (family
@@ -662,6 +675,12 @@ def hybrid_topk(
     the fusion runs over 2·|queries|·k rows.  With ``nprobe`` set to
     the index's num_centroids the IVF leg is EXACT (every cell
     probed), which is what the x_hybrid_search oracle pins.
+
+    ``filter_ids`` (r9): metadata-filter pushdown applied to BOTH legs
+    before their top-k windows (see query_text_index /
+    _ann_filter_semi) — real retrieval filters by source/lang/date at
+    query time, and fusing two post-hoc-filtered lists would under-fill
+    k and mis-rank.
     """
     kind_resolved = kind
     if kind_resolved is None:
@@ -671,6 +690,7 @@ def hybrid_topk(
     lex = query_text_index(
         spark, text_index_path, term_queries,
         query_id_col=query_id_col, term_col=term_col, k=k,
+        filter_ids=filter_ids,
     )
     qv = vec_queries.select(
         F.col(query_id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
@@ -678,20 +698,29 @@ def hybrid_topk(
     if kind_resolved == "ivf":
         from lwetl_spark.operators.similarity import query_ivf_index
 
-        dense = query_ivf_index(spark, vector_index_path, qv, k=k, nprobe=nprobe)
+        dense = query_ivf_index(
+            spark, vector_index_path, qv, k=k, nprobe=nprobe,
+            filter_ids=filter_ids,
+        )
     elif kind_resolved == "pq":
         from lwetl_spark.operators.similarity import query_pq_index
 
-        dense = query_pq_index(spark, vector_index_path, qv, k=k, rerank=rerank)
+        dense = query_pq_index(
+            spark, vector_index_path, qv, k=k, rerank=rerank,
+            filter_ids=filter_ids,
+        )
     elif kind_resolved == "lsh":
         from lwetl_spark.operators.similarity import query_lsh_index
 
-        dense = query_lsh_index(spark, vector_index_path, qv, k=k)
+        dense = query_lsh_index(
+            spark, vector_index_path, qv, k=k, filter_ids=filter_ids
+        )
     elif kind_resolved == "ivfpq":
         from lwetl_spark.operators.ivfpq import query_ivfpq_index
 
         dense = query_ivfpq_index(
-            spark, vector_index_path, qv, k=k, nprobe=nprobe, rerank=rerank
+            spark, vector_index_path, qv, k=k, nprobe=nprobe, rerank=rerank,
+            filter_ids=filter_ids,
         )
     else:
         raise ValueError(f"unknown vector index kind {kind_resolved!r}")

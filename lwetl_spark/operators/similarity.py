@@ -773,6 +773,30 @@ def lsh_index_stats(spark, path: str) -> DataFrame:
     )
 
 
+def _ann_filter_semi(
+    df: DataFrame, filter_ids: DataFrame | None, col: str
+) -> DataFrame:
+    """Metadata-filter pushdown shared by every persisted-index probe
+    (r9, VERDICT r8 #3): semi-join the allowed-id set against the
+    candidate pool BEFORE shortlist/top-k, so each query's k neighbors
+    are the true top-k OF THE FILTERED SET — a post-hoc filter on k
+    pre-filter survivors returns fewer than k and misses filtered-set
+    neighbors that lost to excluded ones.  ``filter_ids`` is any
+    one-column DataFrame of allowed ids (e.g. the output of a
+    metadata predicate on a sidecar table).  The filter side can be
+    corpus-sized (a 50% selectivity filter IS half the corpus), so it
+    is hinted shuffle_hash — never broadcast (the array-size
+    underestimate precedent)."""
+    if filter_ids is None:
+        return df
+    fcol = filter_ids.columns[0]
+    flt = (
+        filter_ids.select(F.col(fcol).cast("long").alias(col))
+        .dropDuplicates([col])
+    )
+    return df.join(flt.hint("shuffle_hash"), col, "left_semi")
+
+
 def query_lsh_index(
     spark,
     path: str,
@@ -783,6 +807,7 @@ def query_lsh_index(
     num_planes: int = 4,
     num_tables: int = 12,
     dim: int = 64,
+    filter_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Probe a persisted LSH index (see `build_lsh_index`) with a batch
     of query vectors: bucketize ONLY the queries (cheap), equi-join
@@ -820,6 +845,9 @@ def query_lsh_index(
     c_buckets = spark.read.parquet(f"{path}/buckets").select(
         F.col("id").alias("neighbor_id"), "table_idx", "bucket"
     )
+    # metadata-filter pushdown (r9): restrict the candidate pool BEFORE
+    # the top-k window, so k is guaranteed from the filtered set
+    c_buckets = _ann_filter_semi(c_buckets, filter_ids, "neighbor_id")
     cand = (
         q_buckets.join(c_buckets, ["table_idx", "bucket"])
         .filter(F.col("id") != F.col("neighbor_id"))
@@ -1167,6 +1195,7 @@ def query_pq_index(
     q_blocks: int = 4,
     c_blocks: int = 4,
     rerank: int = 100,
+    filter_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Probe a persisted PQ index (see `build_pq_index`): load the
     codebooks (m·ksub rows — the one bounded driver read), ADC-scan the
@@ -1187,6 +1216,10 @@ def query_pq_index(
         books[r["subspace"], r["code"]] = r["centroid"]
     b_books = spark.sparkContext.broadcast(books)
     codes = spark.read.parquet(f"{path}/codes").select("cid", "code")
+    # metadata-filter pushdown (r9): filter the 16-byte code rows BEFORE
+    # the ADC shortlist, so the rerank pool is drawn from the filtered
+    # set and k is guaranteed from it
+    codes = _ann_filter_semi(codes, filter_ids, "cid")
     base_q = queries_df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     shortlist = _pq_adc_shortlist(
         base_q, codes, b_books, max(rerank, k), q_blocks, c_blocks
@@ -1456,6 +1489,7 @@ def query_ivf_index(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     nprobe: int = 6,
+    filter_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Probe a persisted IVF index (see `build_ivf_index`) with a batch of
     query vectors: load the centroid matrix (num_centroids rows — the one
@@ -1491,6 +1525,9 @@ def query_ivf_index(
         .filter(F.col("cell").isin(probed))
         .select("id", "cell", "v")
     )
+    # metadata-filter pushdown (r9): restrict cell members BEFORE the
+    # cell-local top-k, so k is guaranteed from the filtered set
+    cells = _ann_filter_semi(cells, filter_ids, "id")
     scored = (
         probe_v.groupBy("cell")
         .cogroup(cells.groupBy("cell"))

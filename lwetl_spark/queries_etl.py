@@ -757,6 +757,64 @@ def x_ivf_incremental(spark, sf_dir):
 
 
 @register(
+    "x_ann_filtered",
+    """
+    WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+        FROM e
+    ),
+    p AS (
+        SELECT a.vec_id AS id, b.vec_id AS neighbor_id,
+               ROUND(list_sum(list_transform(range(1, 65),
+                                             i -> a.v[i] * b.v[i]))
+                     / (a.nrm * b.nrm), 6) AS cos
+        FROM n a JOIN n b ON a.vec_id <> b.vec_id
+        WHERE b.vec_id % 2 = 0 AND a.nrm > 0 AND b.nrm > 0
+    )
+    SELECT id, neighbor_id, cos, rank FROM (
+        SELECT id, neighbor_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY id
+                                  ORDER BY cos DESC, neighbor_id ASC) AS rank
+        FROM p
+    ) WHERE rank <= 5
+    """,
+)
+def x_ann_filtered(spark, sf_dir):
+    """Metadata-filtered ANN probe (r9, VERDICT r8 #3): real retrieval
+    filters by source/lang/date at query time, and filtering AFTER the
+    probe breaks top-k (k survivors pre-filter ≠ top-k of the filtered
+    set).  `query_ivf_index(filter_ids=...)` semi-joins the allowed-id
+    set against cell members BEFORE the cell-local top-k
+    (similarity._ann_filter_semi — the same pushdown all four persisted
+    families and hybrid_topk now take), so k is guaranteed from the
+    filtered pool.  Probing with nprobe = num_centroids makes the IVF
+    leg EXACT, so the oracle is the full brute-force filtered cosine
+    top-5 (every id, cos, rank value-checked cross-engine — not a
+    band)."""
+    import shutil as _shutil
+
+    from lwetl_spark.operators.similarity import (
+        build_ivf_index,
+        query_ivf_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    work = _tmpdir("annflt")
+    path = os.path.join(work, "ivf")
+    build_ivf_index(emb, path, num_centroids=16)
+    flt = emb.filter(F.col("vec_id") % 2 == 0).select("vec_id")
+    out = query_ivf_index(
+        spark, path, emb, k=5, nprobe=16, filter_ids=flt
+    ).localCheckpoint(eager=True)  # materialize before the path vanishes
+    _shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+@register(
     "x_pq_incremental",
     """
     SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS index_matches_rebuild
@@ -2180,11 +2238,21 @@ def x_wav_pcm(spark, sf_dir):
         FROM documents WHERE doc_id % 2 = 1
     ),
     s AS (SELECT doc_id, n, unnest(range(0, n)) AS j FROM g),
-    kept AS (
+    f AS (
         SELECT doc_id, n,
-               ABS((doc_id * 31 + j * 17) % 65536 - 32768) AS a
+               ((    ((doc_id * 31 + GREATEST(j - 2, 0) * 17) % 65536
+                      - 32768)
+                + 4 * ((doc_id * 31 + GREATEST(j - 1, 0) * 17) % 65536
+                       - 32768)
+                + 6 * ((doc_id * 31 + j * 17) % 65536 - 32768)
+                + 4 * ((doc_id * 31 + LEAST(j + 1, n - 1) * 17) % 65536
+                       - 32768)
+                +     ((doc_id * 31 + LEAST(j + 2, n - 1) * 17) % 65536
+                       - 32768)
+                + 524288) // 16) - 32768 AS y
         FROM s WHERE j % 4 = 0
-    )
+    ),
+    kept AS (SELECT doc_id, n, ABS(y) AS a FROM f)
     SELECT doc_id, CAST(2000 AS BIGINT) AS sample_rate,
            CAST((MAX(n) + 3) // 4 AS BIGINT) AS n_samples,
            CAST(MAX(a) AS BIGINT) AS peak,
@@ -2194,15 +2262,18 @@ def x_wav_pcm(spark, sf_dir):
     """,
 )
 def x_wav_resample(spark, sf_dir):
-    """REAL audio downsampling end-to-end (r8; operators/media.
-    wav_downsample): decode the fixture PCM (mono 8 kHz, sample(j) =
-    ((id·31+j·17)%65536)−32768), keep every 4th frame, re-encode a
-    complete 2 kHz WAV, then DECODE THE RESAMPLED FILE AGAIN
-    (wav_pcm_stats) and emit its signal stats — the oracle recomputes
-    peak/total amplitude over exactly the j≡0 (mod 4) samples.  The
-    decode→decimate→encode→decode chain agrees only if the re-encoded
-    file is a genuine spec-valid WAV carrying exactly the decimated
-    frames."""
+    """REAL audio downsampling end-to-end (r8, FIR anti-aliasing r9 —
+    VERDICT r8 #6; operators/media.wav_downsample): decode the fixture
+    PCM (mono 8 kHz, sample(j) = ((id·31+j·17)%65536)−32768), low-pass
+    with the integer binomial FIR [1,4,6,4,1]/16 (edge-replicated,
+    floor division via a +2^19 offset so numpy and SQL agree on
+    negatives), keep every 4th frame, re-encode a complete 2 kHz WAV,
+    then DECODE THE RESAMPLED FILE AGAIN (wav_pcm_stats) and emit its
+    signal stats — the oracle recomputes every FILTERED amplitude at
+    the j≡0 (mod 4) taps from pure id arithmetic.  The
+    decode→filter→decimate→encode→decode chain agrees only if the
+    re-encoded file is a genuine spec-valid WAV carrying exactly the
+    filtered decimated frames."""
     from lwetl_spark.operators.media import (
         synth_pixel_media_demo,
         wav_downsample,

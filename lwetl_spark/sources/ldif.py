@@ -21,6 +21,7 @@ Two modes:
 from __future__ import annotations
 
 import base64
+import binascii
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -53,7 +54,7 @@ def _parse_record(block: str, separator: str | None) -> dict[str, object] | None
                     value: object = decoded.decode("utf-8")
                 except UnicodeDecodeError:
                     value = decoded  # keep raw bytes (e.g. photo)
-            except Exception:
+            except binascii.Error:  # malformed base64: keep literal
                 value = val.strip()
         else:
             attr, _, val = line.partition(":")

@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from lwetl_spark.operators._fsutil import path_exists as _path_exists
+
 
 def stream_events_tumbling(
     spark: SparkSession,
@@ -394,10 +396,13 @@ def stream_dedup_against_corpus(
             .agg(F.min(id_col).alias(id_col))  # in-batch dedup, min-id rep
         )
         sess = batch_df.sparkSession
-        try:
+        # existence probe + unguarded read (ADVICE/VERDICT r8 #7): a
+        # genuinely corrupt state parquet must surface, not silently
+        # restart dedup state as if this were the first batch
+        if _path_exists(sess, state_path):
             state = sess.read.parquet(state_path).select("fp")
             novel = firsts.join(state, "fp", "left_anti")
-        except Exception:  # first batch: no state yet
+        else:  # first batch: no state yet
             novel = firsts
         # eager materialization: the append below must not race the
         # state scan feeding the anti-join (same directory)
@@ -649,10 +654,9 @@ def stream_markov(
         b = batch_df.select("user_id", "event_id", "ts", "event_type")
         w = W.partitionBy("user_id").orderBy("ts", "event_id")
         with_prev = b.withColumn("prev", F.lag("event_type").over(w))
-        try:
-            state = sess.read.parquet(state_path)
-        except Exception:  # first batch: no state yet
-            state = None
+        # existence probe + unguarded read — corrupt state must surface
+        state = (sess.read.parquet(state_path)
+                 if _path_exists(sess, state_path) else None)
         within = with_prev.filter(F.col("prev").isNotNull()).select(
             "prev", F.col("event_type").alias("cur")
         )
@@ -744,7 +748,8 @@ def stream_ab_test(
                 "conv",
             )
         )
-        try:
+        # existence probe + unguarded read — corrupt state must surface
+        if _path_exists(sess, state_path):
             state = sess.read.parquet(state_path)
             merged = (
                 b.select(
@@ -766,7 +771,7 @@ def stream_ab_test(
                     ).alias("conv"),
                 )
             )
-        except Exception:  # first batch: no state yet
+        else:  # first batch: no state yet
             merged = b
         merged = merged.localCheckpoint(eager=True)
         merged.write.mode("overwrite").parquet(state_path)
@@ -1004,10 +1009,9 @@ def stream_event_pattern(
         b = batch_df.select("user_id", "event_id", "ts", "event_type").withColumn(
             "from_state", F.lit(False)
         )
-        try:
-            state = sess.read.parquet(state_path)
-        except Exception:  # first batch: no state yet
-            state = None
+        # existence probe + unguarded read — corrupt state must surface
+        state = (sess.read.parquet(state_path)
+                 if _path_exists(sess, state_path) else None)
         stitched = b
         if state is not None:
             stitched = b.unionByName(

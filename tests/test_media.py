@@ -554,10 +554,10 @@ def test_png_thumbnails_real_roundtrip(spark):
 
 
 def test_wav_downsample_real_roundtrip(spark):
-    """wav_downsample keeps every k-th FRAME (stereo frames stay
-    aligned) and re-encodes a spec-valid WAV; an independent stdlib
-    decode of the output verifies both; undecodable payloads flag
-    ok=false."""
+    """wav_downsample (raw fir=False leg) keeps every k-th FRAME
+    (stereo frames stay aligned) and re-encodes a spec-valid WAV; an
+    independent stdlib decode of the output verifies both; undecodable
+    payloads flag ok=false."""
     from lwetl_spark.operators.media import wav_downsample, wav_pcm_bytes
 
     # stereo: interleave L=j*10, R=-(j*10) for 12 frames
@@ -567,7 +567,8 @@ def test_wav_downsample_real_roundtrip(spark):
     src = wav_pcm_bytes(8000, inter, channels=2)
     rows = [(1, src), (2, b"nope")]
     df = spark.createDataFrame(rows, "doc_id long, payload binary")
-    out = {r["doc_id"]: r for r in wav_downsample(df, factor=3).collect()}
+    out = {r["doc_id"]: r
+           for r in wav_downsample(df, factor=3, fir=False).collect()}
     assert out[2]["ok"] is False
     r = out[1]
     assert r["ok"] and r["sample_rate"] == 8000 // 3 and r["n_samples"] == 4
@@ -827,3 +828,50 @@ def test_sniff_format_detects_ebml(spark):
            df.select("doc_id", sniff_format("payload").alias("fmt"))
            .collect()}
     assert got == {1: "mkv", 2: "unknown"}
+
+
+def test_wav_downsample_fir_hand_checked_and_antialias(spark):
+    """The r9 FIR leg: hand-check the binomial [1,4,6,4,1]/16 kernel
+    with edge replication on a tiny signal, then prove the
+    anti-aliasing property — a tone above the target Nyquist must come
+    out of the filtered decimator far quieter than out of the raw
+    one."""
+    import math
+
+    from lwetl_spark.operators.media import wav_downsample, wav_pcm_bytes
+
+    # hand-check: x = [0, 16, 0, -16, 0, 16] mono; edge-replicated FIR
+    sig = [0, 16, 0, -16, 0, 16]
+
+    def fir_ref(x, j):
+        n = len(x)
+        c = lambda i: x[max(0, min(n - 1, i))]
+        s = c(j-2) + 4*c(j-1) + 6*x[j] + 4*c(j+1) + c(j+2)
+        return (s + 524288) // 16 - 32768
+
+    src = wav_pcm_bytes(8000, sig, channels=1)
+    df = spark.createDataFrame([(1, src)], "doc_id long, payload binary")
+    r = wav_downsample(df, factor=2).collect()[0]
+    assert r["ok"] and r["sample_rate"] == 4000 and r["n_samples"] == 3
+    data = bytes(r["resampled"])[44:]
+    got = list(struct.unpack(f"<{len(data)//2}h", data))
+    assert got == [fir_ref(sig, j) for j in (0, 2, 4)]
+
+    # alias tone: 3.4 kHz at 8 kHz, factor 4 -> target Nyquist 1 kHz.
+    # H(w) = (6 + 8cos(w) + 2cos(2w))/16 at w = 2*pi*3400/8000 ~ 0.003,
+    # so the folded tone must collapse vs the raw decimator.
+    n = 400
+    tone = [int(20000 * math.sin(2 * math.pi * 3400 * j / 8000))
+            for j in range(n)]
+    src = wav_pcm_bytes(8000, tone, channels=1)
+    df = spark.createDataFrame([(1, src)], "doc_id long, payload binary")
+
+    def rms(wav_row):
+        d = bytes(wav_row["resampled"])[44:]
+        xs = struct.unpack(f"<{len(d)//2}h", d)
+        return (sum(v * v for v in xs) / len(xs)) ** 0.5
+
+    raw = rms(wav_downsample(df, factor=4, fir=False).collect()[0])
+    flt = rms(wav_downsample(df, factor=4).collect()[0])
+    assert raw > 10_000          # the raw decimator folds the tone in
+    assert flt < raw / 20        # the FIR attenuates it >26 dB

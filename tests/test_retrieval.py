@@ -1540,3 +1540,163 @@ def test_campaign_vector_auto_maintain(spark, tmp_path):
             spark, vidx, kind="ivfpq", dry_run=True, growth_threshold_pm=1500
         ).collect()[0]
         assert dec["action"] == "retrain"
+
+
+def test_ann_filtered_probe_guarantees_k_from_filtered_pool(spark, tmp_path):
+    """Metadata-filter pushdown (r9, VERDICT r8 #3): the filter applies
+    BEFORE shortlist/top-k in every persisted family, so each query's
+    results are the true top-k of the filtered pool — a post-hoc filter
+    of k pre-filter survivors would under-fill k and miss filtered-set
+    neighbors that lost to excluded ones."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from lwetl_spark.operators.ivfpq import (
+        build_ivfpq_index,
+        query_ivfpq_index,
+    )
+    from lwetl_spark.operators.similarity import (
+        build_ivf_index,
+        build_lsh_index,
+        build_pq_index,
+        query_ivf_index,
+        query_lsh_index,
+        query_pq_index,
+    )
+    from tests.conftest import SF_SMOKE
+
+    emb = spark.read.parquet(SF_SMOKE + "/embeddings.parquet")
+    rows = emb.collect()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    nrm = np.maximum(np.linalg.norm(X, axis=1), 1e-12)
+
+    def exact_filtered(allowed: set, k: int):
+        want = set()
+        amask = np.array([i in allowed for i in ids])
+        for qi, q in zip(ids, X):
+            cos = (X[amask] @ q) / (np.linalg.norm(q) or 1.0) / nrm[amask]
+            cos = np.floor(cos * 1e6 + 0.5) / 1e6
+            nid = ids[amask]
+            keep = nid != qi
+            order = sorted(zip(-cos[keep], nid[keep]))[:k]
+            for rank, (negc, n) in enumerate(order, 1):
+                want.add((int(qi), int(n), float(-negc), rank))
+        return want
+
+    # 50% filter, IVF at nprobe=all: EXACT equality with brute force
+    ivf_path = str(tmp_path / "ivf")
+    build_ivf_index(emb, ivf_path, num_centroids=8)
+    even = emb.filter(F.col("vec_id") % 2 == 0).select("vec_id")
+    got = {
+        (r["id"], r["neighbor_id"], r["cos"], r["rank"])
+        for r in query_ivf_index(
+            spark, ivf_path, emb, k=5, nprobe=8, filter_ids=even
+        ).collect()
+    }
+    assert got == exact_filtered({int(i) for i in ids if i % 2 == 0}, 5)
+
+    # ~1% filter (3 ids), k=5: every query still fills min(k, pool-self)
+    tiny_ids = sorted(int(i) for i in ids)[:3]
+    tiny = spark.createDataFrame([(i,) for i in tiny_ids], "vec_id long")
+    out = query_ivf_index(
+        spark, ivf_path, emb, k=5, nprobe=8, filter_ids=tiny
+    ).collect()
+    per_q = {}
+    for r in out:
+        assert r["neighbor_id"] in tiny_ids
+        per_q.setdefault(r["id"], []).append(r)
+    for qid in ids:
+        pool = len([t for t in tiny_ids if t != qid])
+        assert len(per_q.get(int(qid), [])) == min(5, pool)
+
+    # PQ (full ADC scan) and IVFPQ (nprobe=all, rerank >= pool): same
+    # fill guarantee + subset contract
+    pq_path = str(tmp_path / "pq")
+    build_pq_index(emb, pq_path)
+    out = query_pq_index(
+        spark, pq_path, emb, k=5, rerank=100, filter_ids=tiny
+    ).collect()
+    per_q = {}
+    for r in out:
+        assert r["neighbor_id"] in tiny_ids
+        per_q.setdefault(r["id"], []).append(r)
+    for qid in ids:
+        pool = len([t for t in tiny_ids if t != qid])
+        assert len(per_q.get(int(qid), [])) == min(5, pool)
+
+    ivfpq_path = str(tmp_path / "ivfpq")
+    build_ivfpq_index(emb, ivfpq_path, num_centroids=8)
+    out = query_ivfpq_index(
+        spark, ivfpq_path, emb, k=5, nprobe=8, rerank=100, filter_ids=tiny
+    ).collect()
+    per_q = {}
+    for r in out:
+        assert r["neighbor_id"] in tiny_ids
+        per_q.setdefault(r["id"], []).append(r)
+    for qid in ids:
+        pool = len([t for t in tiny_ids if t != qid])
+        assert len(per_q.get(int(qid), [])) == min(5, pool)
+
+    # LSH: candidates are bucket collisions (no fill guarantee by
+    # construction) — the pushdown contract is subset + ranked among
+    # the FILTERED candidates only
+    lsh_path = str(tmp_path / "lsh")
+    build_lsh_index(emb, lsh_path)
+    out = query_lsh_index(
+        spark, lsh_path, emb, k=5, filter_ids=even
+    ).collect()
+    assert out and all(r["neighbor_id"] % 2 == 0 for r in out)
+
+
+def test_text_and_hybrid_filtered_probe(spark, tmp_path):
+    """query_text_index/hybrid_topk filter pushdown: results come only
+    from the allowed set, and every allowed matching doc appears when
+    the filtered match set fits inside k (post-hoc filtering of a
+    pre-filter top-k would drop allowed docs that lost to excluded
+    ones)."""
+    from pyspark.sql import functions as F
+
+    from lwetl_spark.operators.retrieval import (
+        build_text_index,
+        hybrid_topk,
+        query_text_index,
+    )
+    from lwetl_spark.operators.similarity import build_ivf_index
+    from tests.conftest import SF_SMOKE
+
+    docs = spark.read.parquet(SF_SMOKE + "/documents.parquet").select(
+        "doc_id", "text"
+    )
+    emb = spark.read.parquet(SF_SMOKE + "/embeddings.parquet")
+    tpath = str(tmp_path / "text")
+    build_text_index(docs, tpath)
+
+    tq = spark.createDataFrame(
+        [(9000001, "scan"), (9000001, "table")], "query_id long, term string"
+    )
+    # matching docs BEFORE filtering (big k so nothing is cut)
+    all_hits = {
+        r["doc_id"]
+        for r in query_text_index(spark, tpath, tq, k=10_000).collect()
+    }
+    allowed = sorted(all_hits)[::2]  # every other matching doc
+    flt = spark.createDataFrame([(d,) for d in allowed], "doc_id long")
+    got = query_text_index(spark, tpath, tq, k=10_000, filter_ids=flt)
+    got_ids = {r["doc_id"] for r in got.collect()}
+    assert got_ids == set(allowed)
+
+    # hybrid: both legs filtered; fused ids stay inside the allowed set
+    vpath = str(tmp_path / "ivf")
+    build_ivf_index(emb, vpath, num_centroids=8)
+    vq = emb.limit(2).select(
+        (F.col("vec_id") + 9_000_000).alias("query_id"), "embedding"
+    )
+    vec_allowed = {int(r["vec_id"]) for r in
+                   emb.filter(F.col("vec_id") % 2 == 0).collect()}
+    both = set(allowed) | vec_allowed
+    flt2 = spark.createDataFrame([(d,) for d in sorted(both)], "id long")
+    fused = hybrid_topk(
+        spark, tpath, vpath, tq, vq, k=5, nprobe=8, filter_ids=flt2
+    ).collect()
+    assert fused and all(r["doc_id"] in both for r in fused)

@@ -992,3 +992,38 @@ def test_stream_mp4_frames_matches_batch(spark, tmp_path):
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
     # only the %5==3 docs have video sample tables: 12 of 60 ids
     assert got.select("doc_id").distinct().count() == 12
+
+
+def test_stream_state_corruption_surfaces_not_restarts(spark, tmp_path):
+    """VERDICT r8 #7: a genuinely corrupt state parquet must FAIL the
+    stream with the real error, not silently restart dedup state as if
+    it were the first batch (the old broad-except swallowed it and
+    re-admitted every duplicate)."""
+    import pyspark.sql.utils  # noqa: F401
+
+    from lwetl_spark.streaming.pipeline import stream_dedup_against_corpus
+
+    docs_dir = str(tmp_path / "docs")
+    state_dir = str(tmp_path / "state")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "doc_id long, text string"
+    ).write.parquet(docs_dir)
+    # plant a corrupt state file where the parquet reader will find it
+    import os
+
+    os.makedirs(state_dir, exist_ok=True)
+    with open(os.path.join(state_dir, "part-00000.parquet"), "wb") as fh:
+        fh.write(b"this is not a parquet file")
+
+    q = stream_dedup_against_corpus(spark, docs_dir, state_dir)
+    try:
+        import pytest
+
+        with pytest.raises(Exception) as exc:
+            q.processAllAvailable()
+        # the surfaced error is the parquet reader's, not a fresh-state
+        # silent restart
+        msg = str(exc.value).lower()
+        assert "parquet" in msg or "footer" in msg or "magic" in msg
+    finally:
+        q.stop()
