@@ -2937,6 +2937,115 @@ def tar_member_index(df: DataFrame) -> DataFrame:
     return df.mapInPandas(run, schema=TAR_INDEX_SCHEMA)
 
 
+def tar_member_payloads(df: DataFrame) -> DataFrame:
+    """Extract every valid member's BYTES from WebDataset-style shards
+    (r9 — the payload leg of `tar_member_index`; same ustar header
+    walk, same checksum verification, same corrupt-header-stops-the-
+    walk contract but emitting (doc_id, name, payload) rows instead of
+    the metadata census).  This is the ingest feed: image members go
+    to `media_meta` admission gating, caption members to the campaign
+    text leg (x_webdataset_campaign).  One zero-shuffle Arrow pass;
+    member bytes stay in their input partition until the caller's own
+    plan moves them."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        def rows(doc_id: int, b: bytes):
+            b = bytes(b)
+            pos = 0
+            while pos + 512 <= len(b):
+                h = b[pos : pos + 512]
+                if h == bytes(512):  # terminator block
+                    return
+                if h[257:263] != b"ustar\x00":
+                    return  # corrupt header: shard contributes nothing
+                stored = h[148:156]
+                try:
+                    chk = int(stored.rstrip(b"\x00 ").lstrip(), 8)
+                    size = int(h[124:136].rstrip(b"\x00 ") or b"0", 8)
+                except ValueError:
+                    return
+                if sum(h[:148]) + 8 * 32 + sum(h[156:]) != chk:
+                    return
+                name = h[:100].rstrip(b"\x00").decode("utf-8", "replace")
+                content = b[pos + 512 : pos + 512 + size]
+                if len(content) < size:
+                    return
+                yield (doc_id, name, content)
+                pos += 512 + ((size + 511) // 512) * 512
+
+        cols = ["doc_id", "name", "payload"]
+        for pdf in batches:
+            out = [
+                r
+                for doc_id, payload in zip(pdf["doc_id"], pdf["payload"])
+                for r in rows(int(doc_id), payload)
+            ]
+            yield pd.DataFrame(out, columns=cols)
+
+    return df.mapInPandas(run, schema="doc_id long, name string, payload binary")
+
+
+def synth_wds_shards(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixture for x_webdataset_campaign (r9): each document becomes a
+    multimodal WebDataset shard of 2+(id%3) SAMPLES — '{k:04d}.png' a
+    REAL PNG of 4+(id+k)%8 × 4+(id+2k)%6 pixels (the w<6 legs exist to
+    be dropped by the min-resolution admission gate) and '{k:04d}.txt'
+    the caption 'sample topic {(id+7k)%50} shard' (captions collide
+    across shards by construction, so content dedup must fire).  Every
+    19th shard has a flipped header byte — the checksum catches it and
+    the whole shard contributes nothing."""
+    _tar = tar_bytes  # factory-made → ships by value
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import struct
+        import zlib
+
+        import pandas as pd
+
+        def _png(w: int, h: int) -> bytes:
+            # nested by-value copy of png_bytes (module-level defs
+            # pickle by reference and die on import-less workers)
+            def chunk(tag: bytes, data: bytes) -> bytes:
+                return (struct.pack(">I", len(data)) + tag + data
+                        + struct.pack(
+                            ">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+            ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+            raw = b"".join(b"\x00" + bytes(w) for _ in range(h))
+            return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                    + chunk(b"IDAT", zlib.compress(raw))
+                    + chunk(b"IEND", b""))
+
+        def one(i: int) -> bytes:
+            members = []
+            for k in range(2 + i % 3):
+                members.append(
+                    ("%04d.png" % k,
+                     _png(4 + (i + k) % 8, 4 + (i + 2 * k) % 6))
+                )
+                members.append(
+                    ("%04d.txt" % k,
+                     ("sample topic %d shard" % ((i + 7 * k) % 50))
+                     .encode()),
+                )
+            b = _tar(members)
+            if i % 19 == 0:  # corrupt leg
+                bb = bytearray(b)
+                bb[1] ^= 0xFF
+                return bytes(bb)
+            return b
+
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame({"doc_id": ids, "payload": ids.map(one)})
+
+    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        gen, "doc_id long, payload binary"
+    )
+
+
 def webdataset_samples(index: DataFrame) -> DataFrame:
     """WebDataset sample grouping (r8): members named '{stem}.{ext}'
     group into SAMPLES by stem — the unit a multimodal trainer consumes

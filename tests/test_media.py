@@ -875,3 +875,65 @@ def test_wav_downsample_fir_hand_checked_and_antialias(spark):
     flt = rms(wav_downsample(df, factor=4).collect()[0])
     assert raw > 10_000          # the raw decimator folds the tone in
     assert flt < raw / 20        # the FIR attenuates it >26 dB
+
+
+def test_webdataset_campaign_composition(spark, tmp_path):
+    """The multimodal ingest loop (r9): shard walk -> payload extract ->
+    media_meta admission gate (corrupt shard / min-res drop) ->
+    ingest_increment; re-ingesting the same shard content admits
+    nothing, and a caption duplicated across shards admits once."""
+    from lwetl_spark.operators.incremental import ingest_increment
+    from lwetl_spark.operators.media import (
+        media_meta,
+        png_bytes,
+        tar_bytes,
+        tar_member_payloads,
+    )
+
+    def shard(pairs):
+        return tar_bytes([m for stem, png, cap in pairs for m in
+                          (("%s.png" % stem, png), ("%s.txt" % stem, cap))])
+
+    good_png = png_bytes(8, 8)
+    small_png = png_bytes(4, 4)     # below the min-res gate
+    s1 = shard([("0000", good_png, b"alpha beta"),
+                ("0001", small_png, b"tiny dropped")])
+    s2 = shard([("0000", good_png, b"alpha beta"),     # duplicate caption
+                ("0001", good_png, b"gamma delta")])
+    s3 = bytearray(shard([("0000", good_png, b"never seen")]))
+    s3[1] ^= 0xFF                   # corrupt header: contributes nothing
+    df = spark.createDataFrame(
+        [(1, s1), (2, s2), (3, bytes(s3))], "doc_id long, payload binary"
+    )
+    members = tar_member_payloads(df)
+    got = {(r["doc_id"], r["name"]) for r in members.collect()}
+    assert (3, "0000.png") not in got and len(got) == 8
+
+    parts = members.select(
+        (F.col("doc_id") * 16
+         + F.regexp_extract("name", r"^(\d+)\.", 1).cast("long")
+         ).alias("sample_id"),
+        F.regexp_extract("name", r"\.([^.]+)$", 1).alias("ext"),
+        "payload",
+    )
+    gate = media_meta(
+        parts.filter("ext = 'png'")
+        .select(F.col("sample_id").alias("doc_id"), "payload")
+    ).filter(F.col("valid") & (F.col("width") >= 6)).select("doc_id")
+    samples = (
+        parts.filter("ext = 'txt'")
+        .select(F.col("sample_id").alias("doc_id"),
+                F.decode("payload", "UTF-8").alias("text"))
+        .join(gate, "doc_id", "left_semi")
+        .localCheckpoint(eager=True)
+    )
+    man, state, idx = (str(tmp_path / p) for p in ("m", "s", "i"))
+    r1 = ingest_increment(spark, samples, man, state, idx)
+    # candidates: shard1/0000 (alpha), shard2/0000 (dup alpha),
+    # shard2/0001 (gamma); min-res and corrupt legs never reach ingest
+    assert r1["n_admitted"] == 2
+    texts = {r["doc_id"] for r in spark.read.parquet(state).collect()}
+    assert texts <= {16, 32, 33} and len(texts) == 2
+    # re-shard the same content: nothing readmits
+    r2 = ingest_increment(spark, samples, man, state, idx)
+    assert r2["n_admitted"] == 0
