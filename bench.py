@@ -103,7 +103,22 @@ EXTENDED = [
     # perplexity scorer (hash-keyed exchanges, feeds --ppl-filter)
     "x_jpeg_pixels",
     "x_doc_ppl",
+    # r9: chroma-subsampled (4:2:0) color decode — 6 blocks per MCU, so
+    # per-image cost is ~1.5x the 4:4:4 path at equal pixel count; the
+    # EBML census (cheap varint walk, the mp4_meta analog); and the
+    # metadata-filtered IVF probe (build + filtered nprobe=all probe —
+    # times the semi-join pushdown against the exact-probe baseline)
+    "x_jpeg_420",
+    "x_mkv_meta",
+    "x_ann_filtered",
 ]
+
+#: VERDICT r8 "what's wrong" #3: when a fixture generator (or the
+#: operator behind an existing bench name) changes the WORKLOAD timed
+#: under that name, list the name here for one round so round-over-round
+#: regression triage stays mechanical.  r9: empty — no existing row's
+#: fixture or operator changed (the r9 additions are new rows).
+FIXTURE_CHANGED: list[str] = []
 
 
 #: text (positional) + IVF index templates for the probe rows, built
@@ -535,6 +550,7 @@ def main() -> None:
                 "calibration_workload": "range30M-hash-shuffleagg-sort",
                 "normalized": _norm(timings),
                 "extended_normalized": _norm(ext_timings),
+                "fixture_changed": FIXTURE_CHANGED,
                 "repeats": repeats,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
