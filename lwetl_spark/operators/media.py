@@ -232,16 +232,27 @@ def _make_jpeg_gen():
         return (b"\xff" + bytes([marker])
                 + struct.pack(">H", 2 + len(payload)) + payload)
 
-    def jpeg(w: int, h: int, coeffs, qdc: int = 8, qac: int = 8) -> bytes:
+    def jpeg(w: int, h: int, coeffs, qdc: int = 8, qac: int = 8,
+             restart_interval: int = 0) -> bytes:
         """Encode one grayscale image: `coeffs` is one (dc, ac) pair per
         8×8 block in raster order over ceil(w/8)·ceil(h/8) blocks (SOF
         carries the true dims; decoders crop the padded edge).  dc in
-        [-1024, 1023] after quantization, ac in [0, 15] (size ≤ 4)."""
+        [-1024, 1023] after quantization, ac in [0, 15] (size ≤ 4).
+        ``restart_interval`` > 0 emits a DRI segment and a real RSTn
+        marker every that-many MCUs (byte-aligned, DC predictor reset,
+        n cycling 0-7 — T.81 §B.2.1.2), the layout most real-crawl
+        encoders produce."""
         q = [16] * 64
         q[0], q[10] = qdc, qac
         bw = _BW()
         pred = 0
-        for dc, ac in coeffs:
+        rst = 0
+        for bi, (dc, ac) in enumerate(coeffs):
+            if restart_interval and bi and bi % restart_interval == 0:
+                bw.flush()  # byte-align (1-bit padding per spec)
+                bw.buf += bytes([0xFF, 0xD0 + rst % 8])
+                rst += 1
+                pred = 0  # RST resets the DC predictor
             diff = dc - pred
             pred = dc
             t = abs(diff).bit_length()
@@ -262,8 +273,10 @@ def _make_jpeg_gen():
                   + b"\x01" + b"\x01\x11\x00")
         dht = seg(0xC4, bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS)
                   + bytes([0x10]) + bytes(AC_BITS) + bytes(AC_VALS))
+        dri = (seg(0xDD, struct.pack(">H", restart_interval))
+               if restart_interval else b"")
         sos = seg(0xDA, b"\x01\x01\x00\x00\x3f\x00")
-        return (b"\xff\xd8" + dqt + sof + dht + sos
+        return (b"\xff\xd8" + dqt + sof + dht + dri + sos
                 + bytes(bw.buf) + b"\xff\xd9")
 
     def jpeg_color(w: int, h: int, coeffs, qdc: int = 8, qac: int = 8) -> bytes:
@@ -493,9 +506,11 @@ def _make_jpeg_decoder():
     entropy decode (EOB/ZRL run-length), zigzag dequantization, and a
     separable numpy IDCT with level shift + clamp — the full T.81
     baseline pipeline, no image library.  Scope stated honestly:
-    baseline sequential, single-component (grayscale), no restart
-    markers; progressive/multi-component returns None (undecodable →
-    NULL stats, never a task failure)."""
+    baseline sequential — grayscale or YCbCr at sampling factors 1-2
+    (r9 generic MCU loop), WITH restart markers (r9: DRI parse +
+    byte-aligned RSTn consumption + DC predictor resets);
+    progressive/arithmetic returns None (undecodable → NULL stats,
+    never a task failure)."""
     import struct
 
     import numpy as np
@@ -535,6 +550,17 @@ def _make_jpeg_decoder():
             self.n -= 1
             return (self.acc >> self.n) & 1
 
+        def restart(self) -> None:
+            """Consume one RSTn marker at a restart boundary (T.81
+            §E.2.4): drop padding bits to the byte boundary, then the
+            two marker bytes.  Raises _EOF if the marker isn't there —
+            a corrupt stream, not a different layout."""
+            self.n = 0  # byte-align: discard padding bits
+            if (self.pos + 2 > len(self.d) or self.d[self.pos] != 0xFF
+                    or not 0xD0 <= self.d[self.pos + 1] <= 0xD7):
+                raise _EOF
+            self.pos += 2
+
     def hdecode(br: "_BR", table: dict) -> int:
         code = 0
         for ln in range(1, 17):
@@ -570,6 +596,7 @@ def _make_jpeg_decoder():
         comp_hv: list = []   # per-component (h_i, v_i) sampling factors
         scan_tabs: dict = {}  # component id -> (td, ta)
         data = None
+        ri = 0               # DRI restart interval (MCUs), 0 = none
         pos = 2
         while pos + 4 <= len(b):
             if b[pos] != 0xFF:
@@ -629,6 +656,10 @@ def _make_jpeg_decoder():
                     comp_ids.append(payload[o])
                     comp_hv.append((hi, vi))
                     comp_tq.append(payload[o + 2])
+            elif m == 0xDD:  # DRI: restart interval in MCUs (r9)
+                if len(payload) < 2:
+                    return None
+                ri = struct.unpack(">H", payload[:2])[0]
             elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
                 return None  # progressive/arithmetic/hierarchical
@@ -700,6 +731,13 @@ def _make_jpeg_decoder():
         try:
             for my in range(myn):
                 for mx in range(mxn):
+                    m_idx = my * mxn + mx
+                    if ri and m_idx and m_idx % ri == 0:
+                        # restart boundary (T.81 §E.2.4): byte-align,
+                        # consume the RSTn marker, reset DC predictors
+                        br.restart()
+                        for ci in range(ncomp):
+                            preds[ci] = 0
                     for ci in range(ncomp):
                         hh, vv = comp_hv[ci]
                         for v in range(vv):
@@ -3117,6 +3155,36 @@ def synth_color_jpeg_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             coeffs = [((i + 17 * b) % 112 - 56, (i + 5 * b) % 13)
                       for b in range(nb)]
             return _enc(w, h, coeffs)
+
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame({"doc_id": ids, "payload": ids.map(one)})
+
+    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        gen, "doc_id long, payload binary"
+    )
+
+
+def synth_jpeg_rst_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixture for x_jpeg_rst (r9): the x_jpeg_pixels coefficient model
+    (dc (id+17b)%112−56 / ac (id+5b)%13 per raster block) encoded WITH
+    restart markers — DRI interval 1+(id%4) MCUs, so every file
+    exercises byte-aligned RSTn consumption and DC predictor resets
+    (the layout most real-crawl encoders emit).  Decoded pixels are
+    identical to the unrestarted stream, so the SQL oracle is the
+    x_jpeg_pixels arithmetic verbatim — the decoder only matches if
+    the restart machinery is bit-faithful."""
+    _enc = jpeg_baseline_bytes  # factory-made → ships by value
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        def one(i: int) -> bytes:
+            w, h = 16 + i % 32, 16 + i % 16
+            bxn, byn = (w + 7) // 8, (h + 7) // 8
+            coeffs = [((i + 17 * b) % 112 - 56, (i + 5 * b) % 13)
+                      for b in range(bxn * byn)]
+            return _enc(w, h, coeffs, restart_interval=1 + i % 4)
 
         for pdf in batches:
             ids = pdf["doc_id"].astype("int64")

@@ -2125,6 +2125,62 @@ def x_jpeg_color(spark, sf_dir):
 
 
 @register(
+    "x_jpeg_rst",
+    """
+    WITH g AS (
+        SELECT doc_id, 16 + doc_id % 32 AS w, 16 + doc_id % 16 AS h,
+               (16 + doc_id % 32 + 7) // 8 AS bxn,
+               (16 + doc_id % 16 + 7) // 8 AS byn
+        FROM documents WHERE doc_id % 7 = 4
+    ),
+    blk AS (
+        SELECT doc_id, w, h, bxn,
+               unnest(range(0, bxn * byn)) AS b
+        FROM g
+    ),
+    blk2 AS (
+        SELECT doc_id, w, h, b % bxn AS bx, b // bxn AS by,
+               (doc_id + 17 * b) % 112 - 56 AS d,
+               (doc_id + 5 * b) % 13 AS a
+        FROM blk
+    ),
+    rr AS (SELECT *, unnest(range(0, 8)) AS yy FROM blk2),
+    px AS (
+        SELECT doc_id, w, h,
+               128 + d + CASE WHEN yy IN (0, 3, 4, 7) THEN a ELSE -a END AS v,
+               LEAST(8, w - 8 * bx) AS ncols
+        FROM rr WHERE 8 * by + yy < h
+    )
+    SELECT doc_id, CAST(MAX(w) AS BIGINT) AS width,
+           CAST(MAX(h) AS BIGINT) AS height,
+           CAST(MAX(w) * MAX(h) AS BIGINT) AS n_px,
+           CAST(SUM(v * ncols) AS BIGINT) AS sum_px,
+           CAST(MIN(v) AS BIGINT) AS min_px,
+           CAST(MAX(v) AS BIGINT) AS max_px
+    FROM px GROUP BY doc_id
+    """,
+)
+def x_jpeg_rst(spark, sf_dir):
+    """Restart-marker JPEG decode (r9; operators/media.decode_jpeg DRI
+    path): the fixture re-encodes the x_jpeg_pixels coefficient model
+    with a DRI segment and real RSTn markers every 1+(id%4) MCUs —
+    byte-aligned padding, marker-sequence consumption, per-restart DC
+    predictor resets (T.81 §E.2.4; most real-crawl JPEGs carry
+    restarts, which the r8 decoder honestly rejected).  Decoded pixels
+    must equal the unrestarted arithmetic EXACTLY — any drift in the
+    restart machinery (a predictor not reset, a padding bit consumed
+    as data) moves every downstream pixel and fails the oracle."""
+    from lwetl_spark.operators.media import (
+        jpeg_pixel_stats,
+        synth_jpeg_rst_demo,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = synth_jpeg_rst_demo(docs.filter(F.col("doc_id") % 7 == 4))
+    return jpeg_pixel_stats(media)
+
+
+@register(
     "x_jpeg_420",
     """
     WITH g AS (

@@ -937,3 +937,28 @@ def test_webdataset_campaign_composition(spark, tmp_path):
     # re-shard the same content: nothing readmits
     r2 = ingest_increment(spark, samples, man, state, idx)
     assert r2["n_admitted"] == 0
+
+
+def test_jpeg_restart_markers_hand_checked():
+    """DRI/RSTn decode (r9): restart every 2 MCUs — byte-aligned marker
+    consumption + DC predictor reset reproduce the exact pixels of the
+    unrestarted stream; a DRI that promises restarts the stream doesn't
+    contain yields None."""
+    import struct as _struct
+
+    from lwetl_spark.operators.media import decode_jpeg, jpeg_baseline_bytes
+
+    coeffs = [(10, 0), (-20, 3), (35, 1), (5, 0), (-56, 12), (0, 7)]
+    plain = decode_jpeg(jpeg_baseline_bytes(48, 8, coeffs))
+    rst = decode_jpeg(jpeg_baseline_bytes(48, 8, coeffs,
+                                          restart_interval=2))
+    assert rst is not None and (rst == plain).all()
+    # the restarted stream really carries RST markers
+    b = jpeg_baseline_bytes(48, 8, coeffs, restart_interval=2)
+    assert b"\xff\xdd" in b and b.count(b"\xff\xd0") >= 1
+    # lying DRI: declared interval but no markers in the stream
+    p = jpeg_baseline_bytes(48, 8, coeffs)
+    i = p.index(b"\xff\xda")
+    lying = (p[:i] + b"\xff\xdd" + _struct.pack(">H", 4)
+             + _struct.pack(">H", 2) + p[i:])
+    assert decode_jpeg(lying) is None
