@@ -2034,6 +2034,8 @@ def _make_mkv_gen():
         sample_rate: int = 48000,
         doctype: bytes = b"webm",
         trailing_void: int = 16,
+        frames: list | None = None,
+        key_every: int = 4,
     ) -> bytes:
         header = el(b"\x1aE\xdf\xa3", b"".join((
             el(b"\x42\x86", uint(1)),          # EBMLVersion
@@ -2069,8 +2071,27 @@ def _make_mkv_gen():
                    + el(b"\x9f", uint(channels))),  # Audio
             ))))
         tracks = el(b"\x16\x54\xae\x6b", b"".join(entries))
+        cluster = b""
+        if frames:
+            # one Cluster at timestamp 0; per frame a SimpleBlock:
+            # track-number varint (0x81 = track 1), int16 BE relative
+            # timestamp, flags (0x80 = keyframe), frame payload —
+            # uniform delta, last frame absorbs the remainder (the
+            # mp4 stts idiom)
+            delta = duration_ms // len(frames)
+            blocks = b"".join(
+                el(b"\xa3",
+                   b"\x81" + struct.pack(">h", j * delta)
+                   + bytes([0x80 if key_every and j % key_every == 0
+                            else 0x00])
+                   + f)
+                for j, f in enumerate(frames)
+            )
+            cluster = el(b"\x1f\x43\xb6\x75",
+                         el(b"\xe7", uint(0)) + blocks)
         void = el(b"\xec", bytes(trailing_void))
-        return header + el(b"\x18\x53\x80\x67", info + tracks + void)
+        return header + el(b"\x18\x53\x80\x67",
+                           info + tracks + cluster + void)
 
     return mkv
 
@@ -2241,6 +2262,160 @@ def _make_mkv_walker():
 
 #: the Matroska/WebM census walker (factory-made; importable for tests)
 parse_mkv = _make_mkv_walker()
+
+
+def _make_mkv_block_walker():
+    """Factory returning the Cluster/SimpleBlock walker — the Matroska
+    analog of `_make_mp4_sample_walker` (by-value pickling, see
+    _make_mp4_gen): expand every Cluster's SimpleBlocks into per-frame
+    (pts_ms, byte offset, size, keyframe) with EXACT frame byte
+    ranges.  pts = (cluster Timestamp + block's int16 relative
+    timestamp) scaled by TimestampScale.  Payloads without video
+    blocks return None; malformed structures return None rather than
+    raising."""
+    import struct
+
+    base = _make_mkv_walker()
+    children = base.children
+
+    def block_index(b: bytes):
+        b = bytes(b)
+        if len(b) < 4 or b[:4] != b"\x1aE\xdf\xa3":
+            return None
+        timescale = 1000000
+        frames = []  # (pts_units, offset, size)
+        top, ok = children(b, 0, len(b))
+        if not ok:
+            return None
+        for eid, s, e in top:
+            if eid != 0x18538067:
+                continue
+            kids, k_ok = children(b, s, e)
+            if not k_ok:
+                return None
+            for e2, s2, e2e in kids:
+                if e2 == 0x1549A966:  # Info → TimestampScale
+                    iks, i_ok = children(b, s2, e2e)
+                    if not i_ok:
+                        return None
+                    for e3, s3, e3e in iks:
+                        if e3 == 0x2AD7B1 and 0 < e3e - s3 <= 8:
+                            timescale = int.from_bytes(b[s3:e3e], "big")
+                elif e2 == 0x1F43B675:  # Cluster
+                    cks, c_ok = children(b, s2, e2e)
+                    if not c_ok:
+                        return None
+                    cluster_ts = 0
+                    for e3, s3, e3e in cks:
+                        if e3 == 0xE7 and 0 < e3e - s3 <= 8:
+                            cluster_ts = int.from_bytes(
+                                b[s3:e3e], "big")
+                        elif e3 == 0xA3:  # SimpleBlock
+                            # track-number varint, int16 rel ts, flags
+                            if e3e - s3 < 4 or b[s3] == 0:
+                                return None
+                            tln = 9 - b[s3].bit_length()
+                            hdr = s3 + tln + 3
+                            if hdr > e3e:
+                                return None
+                            rel = struct.unpack(
+                                ">h", b[s3 + tln : s3 + tln + 2])[0]
+                            flags = b[s3 + tln + 2]
+                            frames.append((
+                                cluster_ts + rel, hdr, e3e - hdr,
+                                bool(flags & 0x80),
+                            ))
+        if not frames:
+            return None
+        return {"timescale": timescale, "frames": frames}
+
+    return block_index
+
+
+#: the Matroska SimpleBlock walker (factory-made; importable for tests)
+mkv_block_index = _make_mkv_block_walker()
+
+
+def mkv_frame_index(df: DataFrame) -> DataFrame:
+    """REAL frame extraction plumbing for Matroska/WebM payloads (r9 —
+    the EBML counterpart of `mp4_frame_index`, same output contract):
+    walk the Clusters' SimpleBlocks, recover every frame's exact byte
+    range, slice it, and emit per-frame rows — presentation time
+    (cluster Timestamp + int16 relative, scaled by TimestampScale to
+    exact integer ms), size, offset relative to the first frame (a
+    prefix sum of sizes + inter-block header bytes on the generator's
+    layout — the oracle recomputes rel_offset as a prefix sum over
+    sizes+6 since each SimpleBlock carries a 2-byte EBML id+size
+    header + 4 block-header bytes), the keyframe flag, and the sliced
+    bytes'
+    integer sum (one byte off and the sum moves).  Payloads without
+    video blocks yield no rows; one zero-shuffle Arrow pass — frame
+    bytes never leave their input partition."""
+    walker = _make_mkv_block_walker()
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        def rows(doc_id: int, b: bytes):
+            got = walker(b)
+            if got is None:
+                return
+            ts = got["timescale"]
+            first = got["frames"][0][1] if got["frames"] else 0
+            for j, (pts, off, size, key) in enumerate(got["frames"]):
+                payload = bytes(b[off : off + size])
+                yield (
+                    doc_id, j, pts * ts // 1_000_000, size, off - first,
+                    key, sum(payload),
+                )
+
+        cols = ["doc_id", "frame_idx", "pts_ms", "size", "rel_offset",
+                "is_key", "byte_sum"]
+        for pdf in batches:
+            out = [
+                r
+                for doc_id, payload in zip(pdf["doc_id"], pdf["payload"])
+                for r in rows(int(doc_id), bytes(payload))
+            ]
+            yield pd.DataFrame(out, columns=cols)
+
+    return df.mapInPandas(
+        run,
+        "doc_id long, frame_idx long, pts_ms long, size long,"
+        " rel_offset long, is_key boolean, byte_sum long",
+    )
+
+
+def synth_mkv_frames_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixture for x_mkv_frames (r9): REAL WebM files whose one Cluster
+    carries 8+(id%9) SimpleBlocks — frame j has 50+(id+13j)%40 bytes
+    (byte k = (id+31j+7k)%256), uniform pts delta dur//nf with dur =
+    500+(id%4000), keyframe every 4th — the x_mp4_frames arithmetic
+    verbatim, so the two container walks share one oracle model."""
+    _gen = mkv_bytes  # factory-made → ships by value
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        def one(i: int) -> bytes:
+            nf = 8 + i % 9
+            frames = [
+                bytes((i + 31 * j + 7 * k) % 256
+                      for k in range(50 + (i + 13 * j) % 40))
+                for j in range(nf)
+            ]
+            return _gen(
+                500 + i % 4000, 64 + 16 * (i % 8), 48 + 16 * (i % 4),
+                frames=frames, key_every=4,
+            )
+
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame({"doc_id": ids, "payload": ids.map(one)})
+
+    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        gen, "doc_id long, payload binary"
+    )
 
 
 MKV_META_SCHEMA = (

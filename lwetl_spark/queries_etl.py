@@ -1757,6 +1757,73 @@ def x_mp4_frames(spark, sf_dir):
 
 
 @register(
+    "x_mkv_frames",
+    """
+    WITH g AS (
+        SELECT doc_id, 500 + doc_id % 4000 AS dur, 8 + doc_id % 9 AS nf
+        FROM documents WHERE doc_id % 6 = 1
+    ),
+    fr AS (
+        SELECT doc_id, dur // nf AS delta,
+               unnest(range(0, nf)) AS j
+        FROM g
+    ),
+    sz AS (
+        SELECT doc_id, delta, j,
+               50 + (doc_id + 13 * j) % 40 AS size
+        FROM fr
+    ),
+    offs AS (
+        SELECT doc_id, delta, j, size,
+               COALESCE(SUM(size + 6) OVER (
+                   PARTITION BY doc_id ORDER BY j
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS rel_offset
+        FROM sz
+    ),
+    bexp AS (
+        SELECT doc_id, j, unnest(range(0, size)) AS k
+        FROM sz
+    ),
+    bsum AS (
+        SELECT doc_id, j,
+               CAST(SUM((doc_id + 31 * j + 7 * k) % 256) AS BIGINT)
+                   AS byte_sum
+        FROM bexp GROUP BY doc_id, j
+    )
+    SELECT o.doc_id, CAST(o.j AS BIGINT) AS frame_idx,
+           CAST(o.j * o.delta AS BIGINT) AS pts_ms,
+           CAST(o.size AS BIGINT) AS size,
+           CAST(o.rel_offset AS BIGINT) AS rel_offset,
+           o.j % 4 = 0 AS is_key,
+           b.byte_sum
+    FROM offs o JOIN bsum b ON o.doc_id = b.doc_id AND o.j = b.j
+    """,
+)
+def x_mkv_frames(spark, sf_dir):
+    """REAL Matroska/WebM frame extraction (r9; operators/media.
+    mkv_frame_index — the EBML counterpart of x_mp4_frames, same
+    arithmetic model so the two container walks cross-check one
+    oracle): the fixture WebMs carry a genuine Cluster of SimpleBlocks
+    with real frame payloads; the walker parses each block's
+    track-number varint, int16 relative timestamp (scaled by
+    TimestampScale to exact ms), and keyframe flag, recovers the EXACT
+    frame byte range, slices it, and proves the range with the sliced
+    bytes' integer sum.  rel_offset on this layout is a prefix sum of
+    (size + 6) — the 6 covers each following block's 2-byte EBML
+    id+size header and 4 block-header bytes, so one header byte of
+    drift in the walk moves every later offset and fails the oracle."""
+    from lwetl_spark.operators.media import (
+        mkv_frame_index,
+        synth_mkv_frames_demo,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = synth_mkv_frames_demo(docs.filter(F.col("doc_id") % 6 == 1))
+    return mkv_frame_index(media)
+
+
+@register(
     "x_webp_meta",
     """
     SELECT doc_id, 'webp' AS fmt,

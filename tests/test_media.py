@@ -962,3 +962,46 @@ def test_jpeg_restart_markers_hand_checked():
     lying = (p[:i] + b"\xff\xdd" + _struct.pack(">H", 4)
              + _struct.pack(">H", 2) + p[i:])
     assert decode_jpeg(lying) is None
+
+
+def test_mkv_frame_index_exact_ranges(spark):
+    """mkv_frame_index recovers each SimpleBlock frame's exact byte
+    range (slice == generated frame, byte sums prove it), scales pts
+    by TimestampScale, maps the keyframe flag; payloads without video
+    blocks yield no rows; a corrupt cluster never fails the batch."""
+    from lwetl_spark.operators.media import (
+        mkv_block_index,
+        mkv_bytes,
+        mkv_frame_index,
+    )
+
+    frames = [bytes((7 * k + 31 * j) % 256 for k in range(20 + 3 * j))
+              for j in range(5)]
+    good = mkv_bytes(1500, 64, 48, frames=frames, key_every=2)
+    no_blocks = mkv_bytes(1000, 8, 8)
+    bad = bytearray(good)
+    a3 = bad.index(b"\xa3")
+    bad[a3 + 1] = 0xFF  # SimpleBlock size varint lies (overruns parent)
+    df = spark.createDataFrame(
+        [(1, bytes(good)), (2, no_blocks), (3, bytes(bad))],
+        "doc_id long, payload binary",
+    )
+    out = {}
+    for r in mkv_frame_index(df).collect():
+        out.setdefault(r["doc_id"], []).append(r)
+    assert set(out) == {1}
+    got = sorted(out[1], key=lambda r: r["frame_idx"])
+    assert len(got) == 5
+    delta = 1500 // 5
+    rel = 0
+    for j, r in enumerate(got):
+        assert r["pts_ms"] == j * delta
+        assert r["size"] == len(frames[j])
+        assert r["rel_offset"] == rel
+        assert r["is_key"] == (j % 2 == 0)
+        assert r["byte_sum"] == sum(frames[j])
+        rel += len(frames[j]) + 6
+    # the standalone walker slices the exact bytes
+    idx = mkv_block_index(good)
+    for j, (pts, off, size, key) in enumerate(idx["frames"]):
+        assert good[off : off + size] == frames[j]
