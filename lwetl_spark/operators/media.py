@@ -2605,19 +2605,27 @@ def synth_webp_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 def video_fingerprint(df: DataFrame) -> DataFrame:
-    """Container-aware video fingerprint (r8): compose
-    `mp4_frame_index` into a per-video content digest — md5 over the
-    ordered (frame_idx, size, byte_sum) triples of the VIDEO SAMPLES,
-    ignoring the container header entirely.  That is the property a
-    crawl dedup needs: re-muxed duplicates (same coded frames, new
-    brand/track metadata/dims ordering) collide, while any single
-    changed frame byte moves a byte_sum and splits the digest.
+    """Container-aware video fingerprint (r8; container-AGNOSTIC r9):
+    route each payload by its sniffed magic — ISO-BMFF through
+    `mp4_frame_index`, Matroska/WebM through `mkv_frame_index` — and
+    compose the per-video content digest: md5 over the ordered
+    (frame_idx, size, byte_sum) triples of the VIDEO SAMPLES, ignoring
+    the container entirely.  That is the property a crawl dedup needs:
+    re-muxed duplicates collide EVEN ACROSS CONTAINER FAMILIES (the
+    same coded frames re-wrapped mp4→webm produce identical triples),
+    while any single changed frame byte moves a byte_sum and splits
+    the digest.
 
-    Scale shape: the frame walk is the zero-shuffle Arrow pass; the
-    only exchange carries (doc_id, 'idx:size:sum' string) rows — frame
-    BYTES never shuffle — and the groupBy partially aggregates.
+    Scale shape: both frame walks are zero-shuffle Arrow passes over
+    their format's partition-local rows (the sniff filter is a pure
+    JVM expression — no UDF routing); the only exchange carries
+    (doc_id, 'idx:size:sum' string) rows — frame BYTES never shuffle —
+    and the groupBy partially aggregates.
     Returns (doc_id, n_frames, fingerprint)."""
-    frames = mp4_frame_index(df)
+    fmt = sniff_format("payload")
+    frames = mp4_frame_index(df.filter(fmt == "mp4")).unionByName(
+        mkv_frame_index(df.filter(fmt == "mkv"))
+    )
     parts = frames.select(
         "doc_id",
         F.format_string("%06d:%d:%d", "frame_idx", "size", "byte_sum")
@@ -2655,6 +2663,53 @@ def synth_video_dup_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 width=16 + 16 * (i % 10),
                 height=16 + 9 * (i % 10),
                 brand=(b"isom", b"mp42")[i % 2],
+                frames=frames,
+            )
+
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame({"doc_id": ids, "payload": ids.map(one)})
+
+    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        gen, "doc_id long, payload binary"
+    )
+
+
+def synth_video_dup_xc_demo(
+    docs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Fixture for x_video_dedup_xc (r9): the synth_video_dup_demo
+    frame-content model (seed s = id % 32 drives every frame byte)
+    but the CONTAINER FAMILY alternates by id parity — even ids mux
+    the frames into MP4, odd ids into WebM SimpleBlocks.  Ids
+    congruent mod 32 are therefore content-duplicates ACROSS container
+    families; only a frame-level digest that walks both formats can
+    group them (a mis-routed or dropped format shrinks a group and
+    fails the count oracle)."""
+    _mp4 = mp4_bytes
+    _mkv = mkv_bytes
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        def one(i: int) -> bytes:
+            s = i % 32
+            frames = [
+                bytes((s + 31 * j + 7 * k) % 256
+                      for k in range(40 + (s + 13 * j) % 32))
+                for j in range(6 + s % 5)
+            ]
+            if i % 2 == 0:
+                return _mp4(
+                    1000 + i % 900,
+                    width=16 + 16 * (i % 10),
+                    height=16 + 9 * (i % 10),
+                    brand=(b"isom", b"mp42")[(i // 2) % 2],
+                    frames=frames,
+                )
+            return _mkv(
+                1000 + i % 900, 16 + 16 * (i % 10), 16 + 9 * (i % 10),
+                v_codec=(b"V_VP9", b"V_AV1")[(i // 2) % 2],
                 frames=frames,
             )
 

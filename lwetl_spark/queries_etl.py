@@ -1917,6 +1917,67 @@ def x_video_dedup(spark, sf_dir):
 
 
 @register(
+    "x_video_dedup_xc",
+    """
+    WITH g AS (
+        SELECT doc_id, doc_id % 32 AS s FROM documents
+    ),
+    fr AS (
+        SELECT doc_id, s, unnest(range(0, 6 + s % 5)) AS j FROM g
+    ),
+    sz AS (
+        SELECT doc_id, s, j, 40 + (s + 13 * j) % 32 AS size FROM fr
+    ),
+    bexp AS (SELECT doc_id, s, j, size, unnest(range(0, size)) AS k FROM sz),
+    bsum AS (
+        SELECT doc_id, s, j, CAST(MAX(size) AS BIGINT) AS size,
+               CAST(SUM((s + 31 * j + 7 * k) % 256) AS BIGINT) AS byte_sum
+        FROM bexp GROUP BY doc_id, s, j
+    ),
+    fp AS (
+        SELECT doc_id, s,
+               md5(string_agg(printf('%06d:%d:%d', j, size, byte_sum),
+                              ',' ORDER BY j)) AS fingerprint
+        FROM bsum GROUP BY doc_id, s
+    )
+    SELECT fingerprint, CAST(MIN(doc_id) AS BIGINT) AS rep_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_dups,
+           COUNT(*) FILTER (WHERE doc_id % 2 = 0) > 0
+               AND COUNT(*) FILTER (WHERE doc_id % 2 = 1) > 0
+               AS spans_containers
+    FROM fp GROUP BY fingerprint
+    """,
+)
+def x_video_dedup_xc(spark, sf_dir):
+    """CROSS-CONTAINER video dedup (r9; operators/media.
+    video_fingerprint, now container-agnostic): the fixture muxes the
+    SAME coded frames into MP4 for even ids and WebM SimpleBlocks for
+    odd ids — a re-wrap no container-level hash can see through.  The
+    sniff-routed frame walks (mp4_frame_index / mkv_frame_index)
+    produce identical (frame_idx, size, byte_sum) triples for both
+    wrappers, so ids congruent mod 32 share one digest across
+    families; `spans_containers` pins that every group really holds
+    BOTH parities (a silently dropped format would shrink the group
+    and fail both the count and the flag).  The oracle recomputes the
+    md5 digests themselves from the generator arithmetic."""
+    from lwetl_spark.operators.media import (
+        synth_video_dup_xc_demo,
+        video_fingerprint,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    fp = video_fingerprint(synth_video_dup_xc_demo(docs))
+    return fp.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("rep_doc_id"),
+        F.count("*").alias("n_dups"),
+        (
+            (F.count(F.when(F.col("doc_id") % 2 == 0, 1)) > 0)
+            & (F.count(F.when(F.col("doc_id") % 2 == 1, 1)) > 0)
+        ).alias("spans_containers"),
+    )
+
+
+@register(
     "x_gzip_ingest",
     """
     SELECT doc_id,
