@@ -378,8 +378,45 @@ def _make_jpeg_gen():
         return (b"\xff\xd8" + dqt + sof + dht + sos
                 + bytes(bw.buf) + b"\xff\xd9")
 
+    def jpeg_color422(w: int, h: int, ycoeffs, cbcoeffs, crcoeffs,
+                      qdc: int = 8, qac: int = 8) -> bytes:
+        """3-component YCbCr 4:2:2 baseline (r9): Y sampled 2×1 —
+        each MCU covers 16×8 pixels and interleaves TWO Y blocks +
+        one Cb + one Cr (chroma halved horizontally only).  `ycoeffs`
+        is one (dc, ac) pair per Y block in PADDED-raster order over
+        2·ceil(w/16) × ceil(h/8) blocks; chroma per MCU in raster
+        order."""
+        q = [16] * 64
+        q[0], q[10] = qdc, qac
+        mxn, myn = (w + 15) // 16, (h + 7) // 8
+        bxn = 2 * mxn
+        bw = _BW()
+        pred_y = pred_cb = pred_cr = 0
+        for my in range(myn):
+            for mx in range(mxn):
+                for u in range(2):
+                    dc, ac = ycoeffs[my * bxn + 2 * mx + u]
+                    pred_y = _emit_block(bw, dc, ac, pred_y)
+                m = my * mxn + mx
+                dc, ac = cbcoeffs[m]
+                pred_cb = _emit_block(bw, dc, ac, pred_cb)
+                dc, ac = crcoeffs[m]
+                pred_cr = _emit_block(bw, dc, ac, pred_cr)
+        bw.flush()
+        dqt = seg(0xDB, bytes([0]) + bytes(q) + bytes([1]) + bytes(q))
+        sof = seg(0xC0, b"\x08" + struct.pack(">HH", h, w) + b"\x03"
+                  + b"\x01\x21\x00" + b"\x02\x11\x01" + b"\x03\x11\x01")
+        dht = seg(0xC4, bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS)
+                  + bytes([0x10]) + bytes(AC_BITS) + bytes(AC_VALS)
+                  + bytes([0x01]) + bytes(DC_BITS) + bytes(DC_VALS)
+                  + bytes([0x11]) + bytes(AC_BITS) + bytes(AC_VALS))
+        sos = seg(0xDA, b"\x03\x01\x00\x02\x11\x03\x11\x00\x3f\x00")
+        return (b"\xff\xd8" + dqt + sof + dht + sos
+                + bytes(bw.buf) + b"\xff\xd9")
+
     jpeg.color = jpeg_color
     jpeg.color420 = jpeg_color420
+    jpeg.color422 = jpeg_color422
     return jpeg
 
 

@@ -1005,3 +1005,29 @@ def test_mkv_frame_index_exact_ranges(spark):
     idx = mkv_block_index(good)
     for j, (pts, off, size, key) in enumerate(idx["frames"]):
         assert good[off : off + size] == frames[j]
+
+
+def test_jpeg_422_decode_hand_checked():
+    """4:2:2 decode (r9 generic MCU loop): each 16x8 MCU holds two Y
+    blocks + Cb + Cr; chroma upsamples horizontally only — chroma
+    sample x = x//2, full-resolution rows."""
+    import numpy as np
+
+    from lwetl_spark.operators.media import decode_jpeg, jpeg_baseline_bytes
+
+    # 16x8: Y blocks dc 10 / 30; Cb dc=5 ac=5 (row-varying); Cr dc=-10
+    rgb = decode_jpeg(jpeg_baseline_bytes.color422(
+        16, 8, [(10, 0), (30, 0)], [(5, 5)], [(-10, 0)],
+    ))
+    assert rgb.shape == (8, 16, 3)
+    sign = np.array([1, -1, -1, 1, 1, -1, -1, 1])
+    y_plane = np.zeros((8, 16))
+    y_plane[:, :8], y_plane[:, 8:] = 138, 158
+    cb = (5 + 5 * sign)[:, None]      # full-res rows (V=1)
+    cr = -10.0
+    exp = np.stack([
+        np.round(y_plane + 1.402 * cr),
+        np.round(y_plane - 0.344136 * cb - 0.714136 * cr),
+        np.round(y_plane + 1.772 * cb),
+    ], axis=2)
+    assert (rgb == exp.astype(np.int64)).all()
