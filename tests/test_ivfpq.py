@@ -296,3 +296,35 @@ def test_opq_lifecycle_roundtrip_retrain_and_retirement(spark, tmp_path):
     build_ivfpq_index(emb, inc)
     _, _, rot_gone = _load_quantizers(spark, inc)
     assert rot_gone is None
+
+
+def test_filtered_probe_semi_join_precedes_topk(spark, tmp_path):
+    """Plan pin for the r9 metadata-filter pushdown: the filtered IVF
+    probe plan must contain a LeftSemi join (the allowed-id pushdown)
+    and it must feed the rank window — NOT a post-window filter.  The
+    cell partition pruning must survive the added join."""
+    from lwetl_spark.operators.similarity import (
+        build_ivf_index,
+        query_ivf_index,
+    )
+
+    emb = spark.read.parquet(SF_SMOKE + "/embeddings.parquet")
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, path, num_centroids=8)
+    from pyspark.sql import functions as F2
+
+    flt = emb.filter(F2.col("vec_id") % 2 == 0).select("vec_id")
+    df = query_ivf_index(
+        spark, path, emb.limit(2), k=3, nprobe=2, filter_ids=flt
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan, f"no semi-join pushdown:\n{plan[:2000]}"
+    # the semi-join must appear BELOW the window (pushdown, not
+    # post-hoc): in the executed plan string the Window node prints
+    # above its inputs, so the semi-join text must come after it
+    assert plan.index("Window") < plan.index("LeftSemi"), (
+        "semi-join is not below the rank window (post-hoc filter?)"
+    )
+    m = re.search(r"PartitionFilters: \[[^\]]*cell#\d+", plan)
+    assert m, f"cell pruning lost under the filter join:\n{plan[:2000]}"
+    assert df.count() > 0
