@@ -2847,6 +2847,147 @@ def x_media_curate(spark, sf_dir):
 
 
 @register(
+    "x_hybrid_filtered",
+    r"""
+    WITH tok AS (
+        SELECT doc_id, unnest(list_filter(
+            string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) AS tok
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY 1),
+    st AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(1000 * SUM(dl) // COUNT(*) AS BIGINT) AS adl_m
+        FROM dl
+    ),
+    tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM tok GROUP BY 1, 2),
+    q AS (SELECT * FROM (VALUES (9000001, 'scan'), (9000001, 'table'),
+                                (9000002, 'merge'), (9000002, 'sort'),
+                                (9000002, 'window'),
+                                (9000003, 'hash'), (9000003, 'part'))
+          t(query_id, term)),
+    dfq AS (
+        SELECT tf.tok, CAST(COUNT(*) AS BIGINT) AS df
+        FROM tf JOIN (SELECT DISTINCT term FROM q) qt ON tf.tok = qt.term
+        GROUP BY 1
+    ),
+    sc AS (
+        SELECT CAST(q.query_id AS BIGINT) AS query_id, tf.doc_id,
+               CAST((1000000 * 22 * tf.tf * st.adl_m
+                     // (10 * tf.tf * st.adl_m + 3 * st.adl_m + 9000 * dl.dl))
+                    * (1000 * (2 * st.n - 2 * dfq.df + 1) // (2 * dfq.df + 1))
+                    // 1000 AS BIGINT) AS term_score
+        FROM q JOIN tf ON q.term = tf.tok AND tf.doc_id % 3 <> 0
+        JOIN dfq ON tf.tok = dfq.tok
+        JOIN dl ON tf.doc_id = dl.doc_id
+        CROSS JOIN st
+    ),
+    s AS (
+        SELECT query_id, doc_id, CAST(SUM(term_score) AS BIGINT) AS score_ppm
+        FROM sc GROUP BY 1, 2
+    ),
+    lexr AS (
+        SELECT query_id, doc_id, rnk FROM (
+            SELECT query_id, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY score_ppm DESC, doc_id) AS rnk
+            FROM s
+        ) WHERE rnk <= 10
+    ),
+    e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    nv AS (
+        SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+        FROM e
+    ),
+    qv AS (
+        SELECT 9000000 + vec_id AS query_id, v, nrm FROM nv
+        WHERE vec_id IN (1, 2, 3)
+    ),
+    dn AS (
+        SELECT qv.query_id, nv.vec_id AS doc_id,
+               ROUND(list_sum(list_transform(range(1, 65),
+                                             i -> qv.v[i] * nv.v[i]))
+                     / (qv.nrm * nv.nrm), 6) AS cos
+        FROM qv, nv
+        WHERE qv.nrm > 0 AND nv.nrm > 0
+          AND qv.query_id <> nv.vec_id AND nv.vec_id % 3 <> 0
+    ),
+    denser AS (
+        SELECT query_id, doc_id, rnk FROM (
+            SELECT query_id, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, doc_id) AS rnk
+            FROM dn
+        ) WHERE rnk <= 10
+    ),
+    u AS (SELECT * FROM lexr UNION ALL SELECT * FROM denser),
+    fused AS (
+        SELECT query_id, doc_id, CAST(COUNT(*) AS BIGINT) AS n_lists,
+               CAST(SUM(1000000 // (60 + rnk)) AS BIGINT) AS rrf_ppm
+        FROM u GROUP BY 1, 2
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, n_lists, rrf_ppm,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY rrf_ppm DESC, doc_id) AS rnk
+        FROM fused
+    ) WHERE rnk <= 10
+    """,
+)
+def x_hybrid_filtered(spark, sf_dir):
+    """Metadata-FILTERED hybrid retrieval (r9, VERDICT r8 #3 — the
+    composed form of x_ann_filtered): `hybrid_topk(filter_ids=...)`
+    pushes the allowed-id set into BOTH legs before their top-k
+    windows (BM25 postings semi-join; IVF cell-member semi-join), so
+    the fused top-k is the true top-k of the FILTERED corpus.  The
+    filter keeps ids with id % 3 != 0; IDF/length norms stay
+    corpus-level (Lucene filtered-search semantics), which is exactly
+    what the oracle recomputes — restricting only the candidate rows
+    of each leg while df/dl/stats read the full corpus.  nprobe =
+    num_centroids makes the dense leg exact, so every
+    (query, doc, n_lists, rrf_ppm, rnk) row is value-checked."""
+    import shutil as _shutil
+
+    from lwetl_spark.operators.retrieval import build_text_index, hybrid_topk
+    from lwetl_spark.operators.similarity import build_ivf_index
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = _t(spark, sf_dir, "embeddings")
+    work = _tmpdir("hybridflt")
+    tpath = os.path.join(work, "text")
+    vpath = os.path.join(work, "vec")
+    build_text_index(docs, tpath)
+    build_ivf_index(emb, vpath, num_centroids=16)
+
+    term_queries = spark.createDataFrame(
+        [(9000001, "scan"), (9000001, "table"),
+         (9000002, "merge"), (9000002, "sort"), (9000002, "window"),
+         (9000003, "hash"), (9000003, "part")],
+        "query_id long, term string",
+    )
+    vec_queries = emb.filter(F.col("vec_id").isin(1, 2, 3)).select(
+        (F.col("vec_id") + 9_000_000).alias("query_id"), "embedding"
+    )
+    allowed = (
+        docs.select(F.col("doc_id").alias("id"))
+        .unionByName(emb.select(F.col("vec_id").alias("id")))
+        .filter(F.col("id") % 3 != 0)
+        .distinct()
+    )
+    out = hybrid_topk(
+        spark, tpath, vpath, term_queries, vec_queries,
+        k=10, nprobe=16, filter_ids=allowed,
+    ).localCheckpoint(eager=True)
+    _shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+@register(
     "x_hybrid_search",
     r"""
     WITH tok AS (
