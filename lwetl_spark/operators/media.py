@@ -2759,6 +2759,125 @@ def synth_video_dup_xc_demo(
     )
 
 
+IMAGE_DHASH_SCHEMA = (
+    "doc_id long, width long, height long, dhash string, ok boolean"
+)
+
+
+def image_dhash(df: DataFrame) -> DataFrame:
+    """Perceptual difference-hash for image payloads (r9) — the
+    image-side near-dup fingerprint every multimodal dedup pipeline
+    runs before any learned embedding: decode (PNG via the shared
+    five-filter codec; JPEG via the baseline decoder, RGB reduced to
+    integer Rec.601 luma (299R+587G+114B)//1000), nearest-neighbor
+    resample to the canonical 8×9 grid (src index = (dst·src_dim) div
+    dst_dim — exact integer math), then 64 horizontal gradient bits
+    (p[r][c] > p[r][c+1]) packed row-major and emitted as a 16-hex
+    STRING (the driver dtype whitelist has no unsigned 64-bit).
+    Identical content at identical dims collides exactly; the hash is
+    gradient-based, so global brightness shifts preserve it.
+    Undecodable payloads yield (NULL, ok=false) — one bad file never
+    kills a batch.  One zero-shuffle Arrow pass; downstream grouping /
+    hamming banding exchanges (doc_id, 16-char string) rows only."""
+    png_decode, _ = _make_png_codec()
+    jdec = _make_jpeg_decoder()
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        def one(b: bytes):
+            b = bytes(b)
+            px = None
+            if b[:8] == b"\x89PNG\r\n\x1a\n":
+                px = png_decode(b)
+            elif b[:3] == b"\xff\xd8\xff":
+                px = jdec(b)
+                if px is not None and px.ndim == 3:
+                    px = (299 * px[:, :, 0] + 587 * px[:, :, 1]
+                          + 114 * px[:, :, 2]) // 1000
+            if px is None or px.shape[0] < 1 or px.shape[1] < 2:
+                return (None, None, None, False)
+            h, w = int(px.shape[0]), int(px.shape[1])
+            rows = (np.arange(8) * h) // 8
+            cols = (np.arange(9) * w) // 9
+            g = np.asarray(px, dtype=np.int64)[np.ix_(rows, cols)]
+            bits = (g[:, :8] > g[:, 1:]).astype(np.uint64)
+            idx = (np.arange(8)[:, None] * 8
+                   + np.arange(8)[None, :]).astype(np.uint64)
+            val = int((bits << idx).sum())
+            return (w, h, "%016x" % val, True)
+
+        cols_ = ["width", "height", "dhash", "ok"]
+        for pdf in batches:
+            out = pd.DataFrame(
+                [one(b) for b in pdf["payload"]], columns=cols_)
+            out.insert(0, "doc_id", pdf["doc_id"].to_numpy())
+            yield out
+
+    return df.mapInPandas(run, schema=IMAGE_DHASH_SCHEMA)
+
+
+def synth_image_dup_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixture for x_image_dhash (r9): PNG content depends only on
+    seed s = id % 32 (dims 8+4·(s%5) × 8+4·(s%3), pixel (r,c) =
+    (s + 7r + 13c) % 256 with alternating None/Sub filters), so ids
+    congruent mod 32 are image-duplicates the dhash must collide on.
+    Every 23rd id flips a byte inside the IDAT zlib stream — the
+    adler32 integrity check fails the inflate (a tail truncation is
+    TOLERATED by the chunk walk, so it wouldn't corrupt) →
+    ok=false."""
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import struct
+        import zlib
+
+        import pandas as pd
+
+        def _png_pat(w: int, h: int, seed: int) -> bytes:
+            # nested by-value copy of png_bytes_pattern (module-level
+            # defs pickle by reference and die on import-less workers)
+            def chunk(tag: bytes, data: bytes) -> bytes:
+                return (struct.pack(">I", len(data)) + tag + data
+                        + struct.pack(
+                            ">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+            ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+            lines = []
+            for r in range(h):
+                raw = bytes((seed + 7 * r + 13 * c) % 256
+                            for c in range(w))
+                if r % 2 == 0:
+                    lines.append(b"\x00" + raw)
+                else:
+                    prev = 0
+                    filt = bytearray()
+                    for v in raw:
+                        filt.append((v - prev) & 0xFF)
+                        prev = v
+                    lines.append(b"\x01" + bytes(filt))
+            return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                    + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+                    + chunk(b"IEND", b""))
+
+        def one(i: int) -> bytes:
+            s = i % 32
+            b = _png_pat(8 + 4 * (s % 5), 8 + 4 * (s % 3), s)
+            if i % 23 == 0:  # corrupt leg: break the zlib stream
+                bb = bytearray(b)
+                bb[b.index(b"IDAT") + 8] ^= 0xFF
+                return bytes(bb)
+            return b
+
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame({"doc_id": ids, "payload": ids.map(one)})
+
+    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        gen, "doc_id long, payload binary"
+    )
+
+
 GUNZIP_SCHEMA = "doc_id long, text string, n_chars long, ok boolean"
 
 

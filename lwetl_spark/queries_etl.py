@@ -1917,6 +1917,68 @@ def x_video_dedup(spark, sf_dir):
 
 
 @register(
+    "x_image_dhash",
+    """
+    WITH g AS (
+        SELECT doc_id, doc_id % 32 AS s,
+               8 + 4 * ((doc_id % 32) % 5) AS w,
+               8 + 4 * ((doc_id % 32) % 3) AS h
+        FROM documents
+    ),
+    rr AS (SELECT *, unnest(range(0, 8)) AS r FROM g),
+    cc AS (SELECT *, unnest(range(0, 9)) AS c FROM rr),
+    v AS (
+        SELECT doc_id, w, h, r, c,
+               (s + 7 * ((r * h) // 8) + 13 * ((c * w) // 9)) % 256 AS v
+        FROM cc
+    ),
+    bits AS (
+        SELECT doc_id, w, h, r, c, r * 8 + c AS idx,
+               CASE WHEN v > LEAD(v) OVER (PARTITION BY doc_id, r
+                                           ORDER BY c)
+                    THEN 1 ELSE 0 END AS bit
+        FROM v
+    ),
+    hs AS (
+        SELECT doc_id, MAX(w) AS w, MAX(h) AS h,
+               CAST(SUM(CASE WHEN c < 8 AND idx >= 32 AND bit = 1
+                             THEN (1::BIGINT << (idx - 32))
+                             ELSE 0 END) AS BIGINT) AS hi,
+               CAST(SUM(CASE WHEN c < 8 AND idx < 32 AND bit = 1
+                             THEN (1::BIGINT << idx)
+                             ELSE 0 END) AS BIGINT) AS lo
+        FROM bits GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CASE WHEN doc_id % 23 <> 0 THEN CAST(w AS BIGINT) END AS width,
+           CASE WHEN doc_id % 23 <> 0 THEN CAST(h AS BIGINT) END AS height,
+           CASE WHEN doc_id % 23 <> 0
+                THEN printf('%08x%08x', hi, lo) END AS dhash,
+           doc_id % 23 <> 0 AS ok
+    FROM hs
+    """,
+)
+def x_image_dhash(spark, sf_dir):
+    """Perceptual image difference-hash (r9; operators/media.
+    image_dhash) — the image-side dedup fingerprint: decode the REAL
+    PNGs (five-filter reconstruction), nearest-neighbor resample to
+    the canonical 8×9 grid (exact integer index math), pack the 64
+    horizontal-gradient bits, emit 16-hex strings.  The fixture makes
+    ids congruent mod 32 image-duplicates (same dims + pixel pattern),
+    so equal hashes group them; the oracle recomputes EVERY HASH
+    BIT from the generator arithmetic (LEAD over the sampled grid),
+    split hi/lo to stay inside BIGINT for printf.  Truncated PNGs
+    (every 23rd id) must yield ok=false, never a task failure."""
+    from lwetl_spark.operators.media import (
+        image_dhash,
+        synth_image_dup_demo,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return image_dhash(synth_image_dup_demo(docs))
+
+
+@register(
     "x_video_dedup_xc",
     """
     WITH g AS (

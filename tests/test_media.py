@@ -1031,3 +1031,29 @@ def test_jpeg_422_decode_hand_checked():
         np.round(y_plane + 1.772 * cb),
     ], axis=2)
     assert (rgb == exp.astype(np.int64)).all()
+
+
+def test_image_dhash_collision_and_routes(spark):
+    """image_dhash: identical content collides (the dedup property),
+    different content splits, the JPEG leg routes through the baseline
+    decoder with integer Rec.601 luma, and a corrupt payload yields
+    ok=false without failing the batch."""
+    from lwetl_spark.operators.media import (
+        image_dhash,
+        jpeg_fixture_bytes,
+        png_bytes_pattern,
+    )
+
+    same1 = png_bytes_pattern(16, 12, 5)
+    same2 = png_bytes_pattern(16, 12, 5)
+    other = png_bytes_pattern(16, 12, 99)
+    jpg = jpeg_fixture_bytes(24, 16, 3)
+    rows = [(1, same1), (2, same2), (3, other), (4, jpg), (5, b"junk")]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in image_dhash(df).collect()}
+    assert out[1]["ok"] and out[2]["ok"]
+    assert out[1]["dhash"] == out[2]["dhash"]        # duplicates collide
+    assert out[3]["ok"] and out[3]["dhash"] != out[1]["dhash"]
+    assert out[4]["ok"] and len(out[4]["dhash"]) == 16
+    assert (out[4]["width"], out[4]["height"]) == (24, 16)
+    assert out[5]["ok"] is False and out[5]["dhash"] is None
