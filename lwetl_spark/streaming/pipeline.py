@@ -1106,3 +1106,43 @@ def stream_mp4_frames(
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     return mp4_frame_index(reader.parquet(media_path))
+
+
+def stream_mkv_frames(
+    spark: SparkSession,
+    media_path: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming twin of operators/media.mkv_frame_index (r9): the
+    Matroska leg of continuous frame extraction — same Arrow closure
+    as the batch operator (identical results by construction, pinned
+    by test_streaming); payloads without SimpleBlocks contribute no
+    rows, corrupt clusters never fail a micro-batch."""
+    from lwetl_spark.operators.media import mkv_frame_index
+
+    schema = spark.read.parquet(media_path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return mkv_frame_index(reader.parquet(media_path))
+
+
+def stream_image_dhash(
+    spark: SparkSession,
+    media_path: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming twin of operators/media.image_dhash (r9): continuous
+    perceptual fingerprinting over arriving image payloads — the stage
+    a streaming multimodal ingest runs between the container gate and
+    near-dup admission (compose with `stream_dedup_against_corpus`
+    keyed on the hash for cross-batch image dedup).  Same Arrow
+    closure as the batch operator; corrupt payloads yield ok=false
+    rows, never a failed micro-batch."""
+    from lwetl_spark.operators.media import image_dhash
+
+    schema = spark.read.parquet(media_path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return image_dhash(reader.parquet(media_path))

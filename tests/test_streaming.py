@@ -1027,3 +1027,54 @@ def test_stream_state_corruption_surfaces_not_restarts(spark, tmp_path):
         assert "parquet" in msg or "footer" in msg or "magic" in msg
     finally:
         q.stop()
+
+
+def test_stream_mkv_frames_matches_batch(spark, tmp_path):
+    """Streaming Matroska frame extraction == batch mkv_frame_index
+    row-for-row (same Arrow closure); payloads without SimpleBlocks
+    contribute no rows."""
+    from lwetl_spark.operators.media import (
+        mkv_frame_index,
+        synth_mkv_frames_demo,
+    )
+    from lwetl_spark.streaming.pipeline import (
+        stream_mkv_frames,
+        stream_to_memory,
+    )
+
+    ids = spark.range(40).select(F.col("id").alias("doc_id"))
+    media = synth_mkv_frames_demo(ids).localCheckpoint(eager=True)
+    p = str(tmp_path / "mkv")
+    media.coalesce(2).write.parquet(p)
+
+    got = stream_to_memory(
+        stream_mkv_frames(spark, p, max_files_per_trigger=1),
+        name="t_mkv_frames_out", mode="append",
+    )
+    want = mkv_frame_index(media)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    assert got.select("doc_id").distinct().count() == 40
+
+
+def test_stream_image_dhash_matches_batch(spark, tmp_path):
+    """Streaming perceptual fingerprinting == batch image_dhash
+    row-for-row, including the corrupt leg (ok=false, no failed
+    micro-batch)."""
+    from lwetl_spark.operators.media import image_dhash, synth_image_dup_demo
+    from lwetl_spark.streaming.pipeline import (
+        stream_image_dhash,
+        stream_to_memory,
+    )
+
+    ids = spark.range(70).select(F.col("id").alias("doc_id"))
+    media = synth_image_dup_demo(ids).localCheckpoint(eager=True)
+    p = str(tmp_path / "img")
+    media.coalesce(2).write.parquet(p)
+
+    got = stream_to_memory(
+        stream_image_dhash(spark, p, max_files_per_trigger=1),
+        name="t_img_dhash_out", mode="append",
+    )
+    want = image_dhash(media)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    assert got.filter("ok = false").count() == 4  # ids 0, 23, 46, 69
