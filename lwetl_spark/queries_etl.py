@@ -1950,10 +1950,12 @@ def x_video_dedup(spark, sf_dir):
         FROM bits GROUP BY doc_id
     )
     SELECT doc_id,
-           CASE WHEN doc_id % 23 <> 0 THEN CAST(w AS BIGINT) END AS width,
-           CASE WHEN doc_id % 23 <> 0 THEN CAST(h AS BIGINT) END AS height,
+           CAST(CASE WHEN doc_id % 23 <> 0 THEN w ELSE -1 END
+                AS BIGINT) AS width,
+           CAST(CASE WHEN doc_id % 23 <> 0 THEN h ELSE -1 END
+                AS BIGINT) AS height,
            CASE WHEN doc_id % 23 <> 0
-                THEN printf('%08x%08x', hi, lo) END AS dhash,
+                THEN printf('%08x%08x', hi, lo) ELSE 'none' END AS dhash,
            doc_id % 23 <> 0 AS ok
     FROM hs
     """,
@@ -1967,15 +1969,25 @@ def x_image_dhash(spark, sf_dir):
     ids congruent mod 32 image-duplicates (same dims + pixel pattern),
     so equal hashes group them; the oracle recomputes EVERY HASH
     BIT from the generator arithmetic (LEAD over the sampled grid),
-    split hi/lo to stay inside BIGINT for printf.  Truncated PNGs
-    (every 23rd id) must yield ok=false, never a task failure."""
+    split hi/lo to stay inside BIGINT for printf.  Corrupt PNGs
+    (every 23rd id, broken IDAT zlib stream) must yield ok=false,
+    never a task failure; NULL fields COALESCE to -1 / 'none' on both
+    sides (the x_mp4_meta sentinel rule — the operator keeps honest
+    NULLs)."""
     from lwetl_spark.operators.media import (
         image_dhash,
         synth_image_dup_demo,
     )
 
     docs = _t(spark, sf_dir, "documents")
-    return image_dhash(synth_image_dup_demo(docs))
+    out = image_dhash(synth_image_dup_demo(docs))
+    return out.select(
+        "doc_id",
+        F.coalesce(F.col("width"), F.lit(-1)).cast("long").alias("width"),
+        F.coalesce(F.col("height"), F.lit(-1)).cast("long").alias("height"),
+        F.coalesce(F.col("dhash"), F.lit("none")).alias("dhash"),
+        "ok",
+    )
 
 
 @register(
