@@ -1057,3 +1057,34 @@ def test_image_dhash_collision_and_routes(spark):
     assert out[4]["ok"] and len(out[4]["dhash"]) == 16
     assert (out[4]["width"], out[4]["height"]) == (24, 16)
     assert out[5]["ok"] is False and out[5]["dhash"] is None
+
+
+def test_decoders_never_raise_on_arbitrary_bytes():
+    """One-bad-file-never-kills-a-task, fuzz form: every byte-level
+    walker/decoder must return None/partial-census on ARBITRARY input,
+    never raise — including inputs that start with each format's magic
+    and then go wrong."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from lwetl_spark.operators.media import (
+        decode_jpeg,
+        mkv_block_index,
+        mp4_sample_index,
+        parse_mkv,
+        parse_mp4,
+    )
+
+    magics = [b"", b"\xff\xd8\xff\xe0", b"\x1aE\xdf\xa3",
+              b"\x00\x00\x00\x18ftyp", b"\x89PNG\r\n\x1a\n", b"RIFF"]
+
+    @settings(max_examples=200, deadline=None)
+    @given(prefix=st.sampled_from(magics),
+           body=st.binary(min_size=0, max_size=400))
+    def run(prefix: bytes, body: bytes) -> None:
+        b = prefix + body
+        for fn in (decode_jpeg, parse_mkv, mkv_block_index,
+                   mp4_sample_index, parse_mp4):
+            fn(b)  # must not raise; return value unconstrained
+
+    run()
