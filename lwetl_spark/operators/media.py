@@ -3,9 +3,10 @@ container family of a multimodal crawl parses from REAL bytes, and the
 decode honesty ledger closed in r8:
 
 - PNG: full pixel decode (zlib IDAT + all five scanline filters);
-- JPEG: full BASELINE pixel decode (r8 — Huffman entropy decode with
-  in-file DHT tables, zigzag dequant, IDCT, crop; scope: baseline
-  sequential grayscale, progressive/multi-component → NULL);
+- JPEG: full pixel decode (r8 baseline, r9 everything Huffman-coded —
+  grayscale + YCbCr 4:4:4/4:2:0/4:2:2, restart markers, AND
+  progressive SOF2 with spectral selection + successive
+  approximation; only arithmetic-coded/hierarchical → NULL);
 - WAV: full 16-bit PCM sample decode (RIFF chunk walk);
 - MP4 (ISO-BMFF, r8): full box-tree census (brand, tracks, codecs,
   dims, duration) PLUS exact frame extraction from real sample tables
@@ -414,9 +415,89 @@ def _make_jpeg_gen():
         return (b"\xff\xd8" + dqt + sof + dht + sos
                 + bytes(bw.buf) + b"\xff\xd9")
 
+    def jpeg_progressive(w: int, h: int, coeffs,
+                         qdc: int = 8, qac: int = 8) -> bytes:
+        """Grayscale PROGRESSIVE (SOF2, r9): the libjpeg-style script
+        with both spectral selection AND successive approximation —
+        scan 1 DC first (Al=1, diff-coded dc>>1), scan 2 DC refinement
+        (one raw bit per block), scan 3 AC band 1-63 first (Al=1,
+        EOB-run coded), scan 4 AC refinement (Ah=1→Al=0: newly
+        significant ±1 insertions and correction bits inside EOB
+        runs).  Same per-block (dc, ac) coefficient model as the
+        sequential encoder, so decoded pixels are IDENTICAL — the SQL
+        oracle replays the same arithmetic while the decoder must run
+        the full multi-scan refinement machinery."""
+        q = [16] * 64
+        q[0], q[10] = qdc, qac
+        eob_c, eob_l = AC_CODES[0x00]
+
+        # scan 1: DC first, Al=1 — diff-code dc >> 1
+        bw1 = _BW()
+        pred = 0
+        for dc, _ac in coeffs:
+            v = dc >> 1
+            diff = v - pred
+            pred = v
+            t = abs(diff).bit_length()
+            code, ln = DC_CODES[t]
+            bw1.put(code, ln)
+            if t:
+                bw1.put(diff if diff > 0 else diff + (1 << t) - 1, t)
+        bw1.flush()
+        # scan 2: DC refinement (Ah=1, Al=0) — raw low bits
+        bw2 = _BW()
+        for dc, _ac in coeffs:
+            bw2.put(dc & 1, 1)
+        bw2.flush()
+        # scan 3: AC 1-63 first, Al=1 — the zigzag-10 coefficient at
+        # half precision; blocks where ac>>1 == 0 are EOB-only
+        bw3 = _BW()
+        for _dc, ac in coeffs:
+            v = ac >> 1
+            if v:
+                s = v.bit_length()
+                code, ln = AC_CODES[0x90 | s]
+                bw3.put(code, ln)
+                bw3.put(v, s)
+            bw3.put(eob_c, eob_l)
+        bw3.flush()
+        # scan 4: AC refinement (Ah=1, Al=0): ac==1 becomes newly
+        # significant (run-9 + sign bit, then EOB); ac>=2 sends its
+        # correction bit inside the block's EOB run; ac==0 is EOB-only
+        bw4 = _BW()
+        c91, l91 = AC_CODES[0x91]
+        for _dc, ac in coeffs:
+            if ac == 1:
+                bw4.put(c91, l91)
+                bw4.put(1, 1)  # sign: positive
+                bw4.put(eob_c, eob_l)  # rest of block
+            else:
+                bw4.put(eob_c, eob_l)
+                if ac >= 2:
+                    bw4.put(ac & 1, 1)  # correction bit for k=10
+        bw4.flush()
+
+        dqt = seg(0xDB, bytes([0]) + bytes(q))
+        sof = seg(0xC2, b"\x08" + struct.pack(">HH", h, w)
+                  + b"\x01" + b"\x01\x11\x00")
+        dht = seg(0xC4, bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS)
+                  + bytes([0x10]) + bytes(AC_BITS) + bytes(AC_VALS))
+
+        def sos(ss: int, se: int, ahal: int) -> bytes:
+            return seg(0xDA, b"\x01\x01\x00"
+                       + bytes([ss, se, ahal]))
+
+        return (b"\xff\xd8" + dqt + sof + dht
+                + sos(0, 0, 0x01) + bytes(bw1.buf)
+                + sos(0, 0, 0x10) + bytes(bw2.buf)
+                + sos(1, 63, 0x01) + bytes(bw3.buf)
+                + sos(1, 63, 0x10) + bytes(bw4.buf)
+                + b"\xff\xd9")
+
     jpeg.color = jpeg_color
     jpeg.color420 = jpeg_color420
     jpeg.color422 = jpeg_color422
+    jpeg.progressive = jpeg_progressive
     return jpeg
 
 
@@ -543,11 +624,12 @@ def _make_jpeg_decoder():
     entropy decode (EOB/ZRL run-length), zigzag dequantization, and a
     separable numpy IDCT with level shift + clamp — the full T.81
     baseline pipeline, no image library.  Scope stated honestly:
-    baseline sequential — grayscale or YCbCr at sampling factors 1-2
-    (r9 generic MCU loop), WITH restart markers (r9: DRI parse +
-    byte-aligned RSTn consumption + DC predictor resets);
-    progressive/arithmetic returns None (undecodable → NULL stats,
-    never a task failure)."""
+    baseline sequential AND progressive (r9: SOF2 multi-scan, spectral
+    selection + successive approximation) — grayscale or YCbCr at
+    sampling factors 1-2 (r9 generic MCU loop), WITH restart markers
+    (r9: DRI parse + byte-aligned RSTn consumption + DC predictor
+    resets); arithmetic-coded/hierarchical returns None (undecodable →
+    NULL stats, never a task failure)."""
     import struct
 
     import numpy as np
@@ -615,13 +697,29 @@ def _make_jpeg_decoder():
             v = (v << 1) | br.bit()
         return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
 
+    def recv(br: "_BR", n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | br.bit()
+        return v
+
+    #: natural (row*8+col) position -> zigzag index, for the vectorized
+    #: de-zigzag in the shared finish stage
+    _PERM = [0] * 64
+    for _kk, (_r, _c) in enumerate(ZZ):
+        _PERM[_r * 8 + _c] = _kk
+
     def decode(b: bytes):
         """Pixel array — (h, w) int64 for grayscale, (h, w, 3) int64 RGB
         for YCbCr 4:4:4 AND chroma-subsampled 4:2:0 / 4:2:2 / 4:4:0
         (r9: generic interleaved-MCU decode with per-component sampling
-        factors, nearest-neighbor chroma upsample, BT.601 conversion) —
-        or None if not decodable baseline sequential (progressive /
-        arithmetic streams return None, stated honestly)."""
+        factors, nearest-neighbor chroma upsample, BT.601 conversion).
+        Baseline sequential AND progressive (r9: SOF2 multi-scan —
+        spectral selection and successive approximation, DC and AC
+        first/refinement passes with EOB runs, T.81 §G) both decode
+        through one shared coefficient-accumulation core; only
+        arithmetic-coded and hierarchical streams return None (stated
+        honestly)."""
         b = bytes(b)
         if len(b) < 4 or b[:2] != b"\xff\xd8":
             return None
@@ -631,9 +729,9 @@ def _make_jpeg_decoder():
         comp_tq: list = []   # per-component quant table id (SOF order)
         comp_ids: list = []  # component ids, SOF order
         comp_hv: list = []   # per-component (h_i, v_i) sampling factors
-        scan_tabs: dict = {}  # component id -> (td, ta)
-        data = None
-        ri = 0               # DRI restart interval (MCUs), 0 = none
+        progressive = False
+        ri = 0               # DRI restart interval, snapshot per scan
+        scans: list = []     # (comps, Ss, Se, Ah, Al, data, tabs, ri)
         pos = 2
         while pos + 4 <= len(b):
             if b[pos] != 0xFF:
@@ -672,7 +770,7 @@ def _make_jpeg_decoder():
                         code <<= 1
                     huff[(tc, th)] = tbl
                     i += 17 + nv
-            elif m in (0xC0, 0xC1):
+            elif m in (0xC0, 0xC1, 0xC2):
                 if len(payload) < 6:
                     return None
                 h, w = struct.unpack(">HH", payload[1:5])
@@ -693,99 +791,274 @@ def _make_jpeg_decoder():
                     comp_ids.append(payload[o])
                     comp_hv.append((hi, vi))
                     comp_tq.append(payload[o + 2])
-            elif m == 0xDD:  # DRI: restart interval in MCUs (r9)
+                progressive = m == 0xC2
+            elif m == 0xDD:  # DRI: restart interval (r9)
                 if len(payload) < 2:
                     return None
                 ri = struct.unpack(">H", payload[:2])[0]
-            elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            elif m in (0xC3, 0xC5, 0xC6, 0xC7,
                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-                return None  # progressive/arithmetic/hierarchical
+                return None  # arithmetic/hierarchical/lossless
             elif m == 0xDA:
-                ns = payload[0] if payload else 0
-                if len(payload) < 1 + 2 * ns + 3 or ns != len(comp_ids):
+                if not payload or not comp_ids:
                     return None
+                ns = payload[0]
+                if len(payload) < 1 + 2 * ns + 3:
+                    return None
+                sc = []
                 for si in range(ns):
                     cs = payload[1 + 2 * si]
                     tt = payload[2 + 2 * si]
-                    scan_tabs[cs] = (tt >> 4, tt & 15)
-                data = b[pos + 2 + ln :]
-                break
+                    if cs not in comp_ids:
+                        return None
+                    sc.append((comp_ids.index(cs), tt >> 4, tt & 15))
+                ss, se = payload[1 + 2 * ns], payload[2 + 2 * ns]
+                ah, al = (payload[3 + 2 * ns] >> 4,
+                          payload[3 + 2 * ns] & 15)
+                # entropy segment ends at the next non-stuffed,
+                # non-RST marker (progressive files have many scans)
+                ds = pos + 2 + ln
+                dp = ds
+                while dp + 1 < len(b):
+                    if (b[dp] == 0xFF and b[dp + 1] != 0x00
+                            and not 0xD0 <= b[dp + 1] <= 0xD7):
+                        break
+                    dp += 1
+                scans.append((sc, ss, se, ah, al, b[ds:dp],
+                              dict(huff), ri))
+                pos = dp
+                continue
             pos += 2 + ln
-        if data is None or w is None or not comp_ids:
+        if w is None or not comp_ids or not scans:
             return None
         ncomp = len(comp_ids)
-        tables = []
         for ci in range(ncomp):
-            cid = comp_ids[ci]
-            if cid not in scan_tabs or comp_tq[ci] not in qt:
+            if comp_tq[ci] not in qt:
                 return None
-            td, ta = scan_tabs[cid]
-            if (0, td) not in huff or (1, ta) not in huff:
-                return None
-            tables.append((huff[(0, td)], huff[(1, ta)], qt[comp_tq[ci]]))
         # r9: generic interleaved-MCU geometry (T.81 A.2.3) — supports
         # 4:4:4 AND chroma-subsampled 4:2:0 / 4:2:2 / 4:4:0 streams
         # (nearly all real-crawl JPEGs are 4:2:0).  Each component ci
-        # contributes h_i×v_i blocks per MCU; planes are stored at
-        # native (subsampled) resolution and upsampled after the scan.
+        # contributes h_i×v_i blocks per MCU; quantized coefficients
+        # accumulate in per-component block arrays (the progressive
+        # scans refine them in place), then one shared finish stage
+        # dequantizes, IDCTs, upsamples, and color-converts.
         hmax = max(hh for hh, _ in comp_hv)
         vmax = max(vv for _, vv in comp_hv)
-        if ncomp == 1:  # single-scan gray ignores sampling factors
+        if ncomp == 1:  # single-component scans ignore sampling factors
             hmax = vmax = 1
             comp_hv = [(1, 1)]
         mxn = (w + 8 * hmax - 1) // (8 * hmax)
         myn = (h + 8 * vmax - 1) // (8 * vmax)
-        planes = [np.zeros((myn * 8 * vv, mxn * 8 * hh))
-                  for hh, vv in comp_hv]
-        br = _BR(data)
-        preds = [0] * ncomp
+        bw_i = [mxn * hh for hh, _ in comp_hv]   # padded block grid
+        bh_i = [myn * vv for _, vv in comp_hv]
+        # non-interleaved scans code only the component's OWN grid
+        # (ceil of the scaled dims — excludes MCU padding blocks)
+        cw_i = [(-(-(w * hh) // hmax) + 7) // 8 for hh, _ in comp_hv]
+        ch_i = [(-(-(h * vv) // vmax) + 7) // 8 for _, vv in comp_hv]
+        coefs = [np.zeros((bh_i[ci] * bw_i[ci], 64), dtype=np.int64)
+                 for ci in range(ncomp)]
 
-        def read_block(ci: int) -> "np.ndarray":
-            dctab, actab, q = tables[ci]
-            z = [0] * 64
-            t = hdecode(br, dctab)
-            preds[ci] += extend(br, t)
-            z[0] = preds[ci] * q[0]
-            k = 1
-            while k < 64:
-                rs = hdecode(br, actab)
-                if rs == 0x00:  # EOB
-                    break
-                if rs == 0xF0:  # ZRL
-                    k += 16
-                    continue
-                k += rs >> 4
-                if k > 63:
-                    raise _EOF  # invalid run past block end
-                z[k] = extend(br, rs & 15) * q[k]
-                k += 1
-            S = np.zeros((8, 8))
-            for kk in range(64):
-                r, c = ZZ[kk]
-                S[r, c] = z[kk]
-            return A @ S @ A.T
+        def dc_scan(sc, ah, al, data, tabs, sri) -> None:
+            br = _BR(data)
+            preds = {ci: 0 for ci, _, _ in sc}
+            dctabs = {}
+            for ci, td, _ta in sc:
+                if ah == 0:
+                    if (0, td) not in tabs:
+                        raise _EOF
+                    dctabs[ci] = tabs[(0, td)]
 
-        try:
+            def one(ci: int, bi: int) -> None:
+                row = coefs[ci][bi]
+                if ah == 0:  # first pass: diff-coded, point transform
+                    t = hdecode(br, dctabs[ci])
+                    preds[ci] += extend(br, t)
+                    row[0] = preds[ci] << al
+                elif br.bit():  # refinement: one raw bit per block
+                    row[0] |= 1 << al
+
+            if len(sc) > 1:  # interleaved MCU order
+                for my in range(myn):
+                    for mx in range(mxn):
+                        m_idx = my * mxn + mx
+                        if sri and m_idx and m_idx % sri == 0:
+                            br.restart()
+                            for ci in preds:
+                                preds[ci] = 0
+                        for ci, _td, _ta in sc:
+                            hh, vv = comp_hv[ci]
+                            for v in range(vv):
+                                for u in range(hh):
+                                    one(ci, (my * vv + v) * bw_i[ci]
+                                        + mx * hh + u)
+            else:  # single component: its own (non-padded) raster
+                ci = sc[0][0]
+                n_done = 0
+                for by in range(ch_i[ci]):
+                    for bx in range(cw_i[ci]):
+                        if sri and n_done and n_done % sri == 0:
+                            br.restart()
+                            preds[ci] = 0
+                        one(ci, by * bw_i[ci] + bx)
+                        n_done += 1
+
+        def ac_scan(sc, ss, se, ah, al, data, tabs, sri) -> None:
+            if len(sc) != 1 or ss == 0 or se > 63 or ss > se:
+                raise _EOF  # spec: AC scans carry exactly one component
+            ci, _td, ta = sc[0]
+            if (1, ta) not in tabs:
+                raise _EOF
+            actab = tabs[(1, ta)]
+            br = _BR(data)
+            eobrun = 0
+            p1, m1 = 1 << al, -(1 << al)
+            n_done = 0
+            for by in range(ch_i[ci]):
+                for bx in range(cw_i[ci]):
+                    if sri and n_done and n_done % sri == 0:
+                        br.restart()
+                        eobrun = 0
+                    n_done += 1
+                    row = coefs[ci][by * bw_i[ci] + bx]
+                    if ah == 0:  # first pass (T.81 G.1.2.2)
+                        if eobrun:
+                            eobrun -= 1
+                            continue
+                        k = ss
+                        while k <= se:
+                            rs = hdecode(br, actab)
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                eobrun = (1 << r) - 1
+                                if r:
+                                    eobrun += recv(br, r)
+                                break
+                            k += r
+                            if k > se:
+                                raise _EOF
+                            row[k] = extend(br, s) << al
+                            k += 1
+                        continue
+                    # refinement pass (T.81 G.1.2.3): correction bits
+                    # for already-nonzero coefficients, new ±1<<Al
+                    # insertions, EOB runs that still carry corrections
+                    k = ss
+                    if eobrun == 0:
+                        while k <= se:
+                            rs = hdecode(br, actab)
+                            r, s = rs >> 4, rs & 15
+                            val = 0
+                            if s:
+                                if s != 1:
+                                    raise _EOF
+                                val = p1 if br.bit() else m1
+                            elif r != 15:
+                                eobrun = 1 << r
+                                if r:
+                                    eobrun += recv(br, r)
+                                break
+                            while k <= se:
+                                if row[k]:
+                                    if br.bit() and not row[k] & p1:
+                                        row[k] += p1 if row[k] > 0 else m1
+                                else:
+                                    if r == 0:
+                                        break
+                                    r -= 1
+                                k += 1
+                            if val and k <= se:
+                                row[k] = val
+                            k += 1
+                    if eobrun > 0:
+                        while k <= se:
+                            if row[k]:
+                                if br.bit() and not row[k] & p1:
+                                    row[k] += p1 if row[k] > 0 else m1
+                            k += 1
+                        eobrun -= 1
+
+        def full_scan(sc, data, tabs, sri) -> None:
+            """Baseline sequential: ONE interleaved scan, DC+AC."""
+            tables = []
+            for ci, td, ta in sc:
+                if (0, td) not in tabs or (1, ta) not in tabs:
+                    raise _EOF
+                tables.append((tabs[(0, td)], tabs[(1, ta)]))
+            br = _BR(data)
+            preds = [0] * len(sc)
+
+            def read_block(si: int, bi: int) -> None:
+                dctab, actab = tables[si]
+                row = coefs[sc[si][0]][bi]
+                t = hdecode(br, dctab)
+                preds[si] += extend(br, t)
+                row[0] = preds[si]
+                k = 1
+                while k < 64:
+                    rs = hdecode(br, actab)
+                    if rs == 0x00:  # EOB
+                        break
+                    if rs == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    k += rs >> 4
+                    if k > 63:
+                        raise _EOF  # invalid run past block end
+                    row[k] = extend(br, rs & 15)
+                    k += 1
+
             for my in range(myn):
                 for mx in range(mxn):
                     m_idx = my * mxn + mx
-                    if ri and m_idx and m_idx % ri == 0:
+                    if sri and m_idx and m_idx % sri == 0:
                         # restart boundary (T.81 §E.2.4): byte-align,
                         # consume the RSTn marker, reset DC predictors
                         br.restart()
-                        for ci in range(ncomp):
-                            preds[ci] = 0
-                    for ci in range(ncomp):
+                        for si in range(len(sc)):
+                            preds[si] = 0
+                    for si, (ci, _td, _ta) in enumerate(sc):
                         hh, vv = comp_hv[ci]
                         for v in range(vv):
                             for u in range(hh):
-                                blk = read_block(ci)
-                                r0 = (my * vv + v) * 8
-                                c0 = (mx * hh + u) * 8
-                                planes[ci][r0 : r0 + 8,
-                                           c0 : c0 + 8] = blk
+                                read_block(
+                                    si,
+                                    (my * vv + v) * bw_i[ci]
+                                    + mx * hh + u,
+                                )
+
+        try:
+            if progressive:
+                for (sc, ss, se, ah, al, data, tabs, sri) in scans:
+                    if ss == 0:
+                        if se != 0:
+                            raise _EOF  # DC scan must be Ss=Se=0
+                        dc_scan(sc, ah, al, data, tabs, sri)
+                    else:
+                        ac_scan(sc, ss, se, ah, al, data, tabs, sri)
+            else:
+                sc, ss, se, ah, al, data, tabs, sri = scans[0]
+                if (len(sc) != ncomp or ss != 0 or se != 63
+                        or ah or al):
+                    raise _EOF
+                full_scan(sc, data, tabs, sri)
         except _EOF:
             return None
+        # shared finish: dequantize, de-zigzag, IDCT every block at
+        # once (einsum), scatter into planes
+        planes = []
+        for ci in range(ncomp):
+            q = np.array(qt[comp_tq[ci]], dtype=np.float64)
+            C = coefs[ci].astype(np.float64) * q[None, :]
+            S = C[:, _PERM].reshape(-1, 8, 8)
+            blocks = np.einsum("ij,njk,lk->nil", A, S, A)
+            planes.append(
+                blocks.reshape(bh_i[ci], bw_i[ci], 8, 8)
+                .transpose(0, 2, 1, 3)
+                .reshape(bh_i[ci] * 8, bw_i[ci] * 8)
+            )
         if ncomp == 1:
             return np.clip(
                 np.round(planes[0][:h, :w]) + 128, 0, 255
@@ -1256,8 +1529,9 @@ def jpeg_pixel_stats(df: DataFrame) -> DataFrame:
     stream with the DHT tables carried in the file, dequantize through
     the zigzag, run the separable IDCT, level-shift, clamp, crop to the
     SOF dims — then exact integer pixel stats, same output contract as
-    `png_pixel_stats`.  Non-JPEG / progressive / multi-component /
-    truncated payloads yield NULL stats rather than failing the batch.
+    `png_pixel_stats`.  Baseline AND progressive streams decode (r9);
+    non-JPEG / arithmetic-coded / truncated payloads yield NULL stats
+    rather than failing the batch.
 
     One zero-shuffle Arrow pass; entropy decoding is inherently
     sequential PER ITEM (every baseline decoder's shape), so the
@@ -3540,6 +3814,37 @@ def synth_color_jpeg_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             nb = (w // 8) * (h // 8)
             coeffs = [((i + 17 * b) % 112 - 56, (i + 5 * b) % 13)
                       for b in range(nb)]
+            return _enc(w, h, coeffs)
+
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame({"doc_id": ids, "payload": ids.map(one)})
+
+    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        gen, "doc_id long, payload binary"
+    )
+
+
+def synth_jpeg_prog_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixture for x_jpeg_progressive (r9): the x_jpeg_pixels
+    coefficient model re-encoded as PROGRESSIVE (SOF2) with the
+    libjpeg-style 4-scan script — DC first at Al=1, DC refinement,
+    AC band first at Al=1, AC refinement — so every file exercises
+    spectral selection AND successive approximation (DC raw-bit
+    refinement, EOB-run coding, newly-significant ±1 insertions,
+    correction bits).  Decoded pixels are identical to the sequential
+    stream, so the SQL oracle is the x_jpeg_pixels arithmetic
+    verbatim."""
+    _enc = jpeg_baseline_bytes.progressive  # factory-made → by value
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        def one(i: int) -> bytes:
+            w, h = 16 + i % 32, 16 + i % 16
+            bxn, byn = (w + 7) // 8, (h + 7) // 8
+            coeffs = [((i + 17 * b) % 112 - 56, (i + 5 * b) % 13)
+                      for b in range(bxn * byn)]
             return _enc(w, h, coeffs)
 
         for pdf in batches:

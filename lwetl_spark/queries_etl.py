@@ -2315,8 +2315,9 @@ def x_jpeg_color(spark, sf_dir):
     neutral chroma makes R = G = B = Y EXACTLY, so DuckDB recomputes
     every decoded RGB value from the Y-plane arithmetic (n_px and sums
     count all three channels; each per-row value v covers 8 columns ×
-    3 channels).  Subsampled/progressive streams stay honestly out of
-    scope (NULL)."""
+    3 channels).  Subsampled streams decode via the r9 generic MCU
+    loop (x_jpeg_420); progressive via the r9 multi-scan path
+    (x_jpeg_progressive)."""
     from lwetl_spark.operators.media import (
         jpeg_pixel_stats,
         synth_color_jpeg_demo,
@@ -2324,6 +2325,66 @@ def x_jpeg_color(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return jpeg_pixel_stats(synth_color_jpeg_demo(docs))
+
+
+@register(
+    "x_jpeg_progressive",
+    """
+    WITH g AS (
+        SELECT doc_id, 16 + doc_id % 32 AS w, 16 + doc_id % 16 AS h,
+               (16 + doc_id % 32 + 7) // 8 AS bxn,
+               (16 + doc_id % 16 + 7) // 8 AS byn
+        FROM documents WHERE doc_id % 9 = 5
+    ),
+    blk AS (
+        SELECT doc_id, w, h, bxn,
+               unnest(range(0, bxn * byn)) AS b
+        FROM g
+    ),
+    blk2 AS (
+        SELECT doc_id, w, h, b % bxn AS bx, b // bxn AS by,
+               (doc_id + 17 * b) % 112 - 56 AS d,
+               (doc_id + 5 * b) % 13 AS a
+        FROM blk
+    ),
+    rr AS (SELECT *, unnest(range(0, 8)) AS yy FROM blk2),
+    px AS (
+        SELECT doc_id, w, h,
+               128 + d + CASE WHEN yy IN (0, 3, 4, 7) THEN a ELSE -a END AS v,
+               LEAST(8, w - 8 * bx) AS ncols
+        FROM rr WHERE 8 * by + yy < h
+    )
+    SELECT doc_id, CAST(MAX(w) AS BIGINT) AS width,
+           CAST(MAX(h) AS BIGINT) AS height,
+           CAST(MAX(w) * MAX(h) AS BIGINT) AS n_px,
+           CAST(SUM(v * ncols) AS BIGINT) AS sum_px,
+           CAST(MIN(v) AS BIGINT) AS min_px,
+           CAST(MAX(v) AS BIGINT) AS max_px
+    FROM px GROUP BY doc_id
+    """,
+)
+def x_jpeg_progressive(spark, sf_dir):
+    """PROGRESSIVE JPEG decode (r9 — retires the last in-environment
+    decode stub; operators/media.decode_jpeg SOF2 multi-scan path):
+    the fixture re-encodes the x_jpeg_pixels coefficient model with
+    the libjpeg-style progressive script — spectral selection AND
+    successive approximation across four scans (DC first at Al=1 with
+    diff coding, DC raw-bit refinement, AC band first with EOB runs,
+    AC refinement with newly-significant insertions and correction
+    bits, T.81 §G).  The decoder accumulates quantized coefficients
+    across scans and runs the shared dequant+IDCT finish; decoded
+    pixels must equal the sequential arithmetic EXACTLY — a predictor
+    not reset, a correction bit mis-ordered, or an EOB run off by one
+    moves every later coefficient and fails the oracle.  Only
+    arithmetic-coded/hierarchical JPEG remains out of scope."""
+    from lwetl_spark.operators.media import (
+        jpeg_pixel_stats,
+        synth_jpeg_prog_demo,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = synth_jpeg_prog_demo(docs.filter(F.col("doc_id") % 9 == 5))
+    return jpeg_pixel_stats(media)
 
 
 @register(
@@ -2440,7 +2501,7 @@ def x_jpeg_420(spark, sf_dir):
     model, upsample geometry, rounding — from pure id arithmetic.
     w=24/h=24 legs force MCU-edge cropping (padded 32-grid, visible
     24), so the padded-raster block indexing is verified too.
-    Progressive JPEG stays an honest NULL (SCALE.md ledger)."""
+    Progressive JPEG decodes too (x_jpeg_progressive, r9)."""
     from lwetl_spark.operators.media import (
         jpeg_pixel_stats,
         synth_jpeg420_demo,

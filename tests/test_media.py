@@ -1088,3 +1088,26 @@ def test_decoders_never_raise_on_arbitrary_bytes():
             fn(b)  # must not raise; return value unconstrained
 
     run()
+
+
+def test_jpeg_progressive_decode_hand_checked():
+    """Progressive (SOF2) decode: four-scan successive approximation —
+    DC first at Al=1, DC raw-bit refinement, AC band first, AC
+    refinement (newly-significant insertions for ac==1, correction
+    bits for ac>=2, EOB-only for ac==0) — reconstructs pixels
+    identical to the sequential stream for every coefficient class,
+    including negative DC values; a truncated scan yields None."""
+    from lwetl_spark.operators.media import decode_jpeg, jpeg_baseline_bytes
+
+    # one block per class: ac==0, ac==1 (newly significant in refine),
+    # ac>=2 even (correction bit 0), ac>=2 odd (correction bit 1);
+    # dc covers negative-odd / negative-even / positive
+    coeffs = [(-55, 0), (-56, 1), (10, 6), (35, 7), (0, 12), (5, 2)]
+    prog = jpeg_baseline_bytes.progressive(48, 8, coeffs)
+    assert prog[2:4] == b"\xff\xdb" and b"\xff\xc2" in prog
+    assert prog.count(b"\xff\xda") == 4  # four scans
+    p = decode_jpeg(prog)
+    base = decode_jpeg(jpeg_baseline_bytes(48, 8, coeffs))
+    assert p is not None and (p == base).all()
+    # truncation mid-scan: NULL, never an exception
+    assert decode_jpeg(prog[: len(prog) // 2]) is None
