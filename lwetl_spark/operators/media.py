@@ -494,10 +494,101 @@ def _make_jpeg_gen():
                 + sos(1, 63, 0x10) + bytes(bw4.buf)
                 + b"\xff\xd9")
 
+    def jpeg_progressive_color(w: int, h: int, ycoeffs, cbcoeffs,
+                               crcoeffs, sampling: str = "444",
+                               qdc: int = 8, qac: int = 8) -> bytes:
+        """3-component PROGRESSIVE YCbCr (r9), 4:4:4 or 4:2:0: DC first
+        scan INTERLEAVED over MCUs at Al=1 (three independent
+        predictors), DC raw-bit refinement in the same order, then one
+        full-precision AC scan (Ss=1..63, Ah=Al=0) PER COMPONENT over
+        its own non-interleaved grid — which for 4:2:0 Y excludes the
+        MCU padding blocks (cw < padded grid width), the geometry real
+        progressive files make decoders get right."""
+        yh, yv = (2, 2) if sampling == "420" else (1, 1)
+        q = [16] * 64
+        q[0], q[10] = qdc, qac
+        mxn = (w + 8 * yh - 1) // (8 * yh)
+        myn = (h + 8 * yv - 1) // (8 * yv)
+        bxn = mxn * yh
+
+        def dc_stream():
+            for my in range(myn):
+                for mx in range(mxn):
+                    for v in range(yv):
+                        for u in range(yh):
+                            yield 0, ycoeffs[(my * yv + v) * bxn
+                                             + mx * yh + u][0]
+                    m = my * mxn + mx
+                    yield 1, cbcoeffs[m][0]
+                    yield 2, crcoeffs[m][0]
+
+        bw1 = _BW()
+        preds = [0, 0, 0]
+        for ci, dc in dc_stream():
+            v = dc >> 1
+            diff = v - preds[ci]
+            preds[ci] = v
+            t = abs(diff).bit_length()
+            code, ln = DC_CODES[t]
+            bw1.put(code, ln)
+            if t:
+                bw1.put(diff if diff > 0 else diff + (1 << t) - 1, t)
+        bw1.flush()
+        bw2 = _BW()
+        for _ci, dc in dc_stream():
+            bw2.put(dc & 1, 1)
+        bw2.flush()
+
+        eob_c, eob_l = AC_CODES[0x00]
+
+        def ac_bits(coeffs_i, cw, ch, grid_w):
+            bwx = _BW()
+            for by in range(ch):
+                for bx in range(cw):
+                    ac = coeffs_i[by * grid_w + bx][1]
+                    if ac:
+                        s = ac.bit_length()
+                        code, ln = AC_CODES[0x90 | s]
+                        bwx.put(code, ln)
+                        bwx.put(ac, s)
+                    bwx.put(eob_c, eob_l)
+            bwx.flush()
+            return bwx
+
+        # per-component non-interleaved grids: Y codes its UNPADDED
+        # ceil(w/8)×ceil(h/8) blocks inside the padded bxn-wide array;
+        # chroma grids have no padding at these samplings
+        ac_scans = [
+            (1, ac_bits(ycoeffs, (w + 7) // 8, (h + 7) // 8, bxn)),
+            (2, ac_bits(cbcoeffs, mxn, myn, mxn)),
+            (3, ac_bits(crcoeffs, mxn, myn, mxn)),
+        ]
+        dqt = seg(0xDB, bytes([0]) + bytes(q) + bytes([1]) + bytes(q))
+        samp = bytes([(yh << 4) | yv])
+        sof = seg(0xC2, b"\x08" + struct.pack(">HH", h, w) + b"\x03"
+                  + b"\x01" + samp + b"\x00" + b"\x02\x11\x01"
+                  + b"\x03\x11\x01")
+        dht = seg(0xC4, bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS)
+                  + bytes([0x10]) + bytes(AC_BITS) + bytes(AC_VALS)
+                  + bytes([0x01]) + bytes(DC_BITS) + bytes(DC_VALS)
+                  + bytes([0x11]) + bytes(AC_BITS) + bytes(AC_VALS))
+        out = b"\xff\xd8" + dqt + sof + dht
+        # DC scans: all three components (Y table 0, chroma table 1)
+        out += seg(0xDA, b"\x03\x01\x00\x02\x11\x03\x11"
+                   + bytes([0, 0, 0x01])) + bytes(bw1.buf)
+        out += seg(0xDA, b"\x03\x01\x00\x02\x11\x03\x11"
+                   + bytes([0, 0, 0x10])) + bytes(bw2.buf)
+        for cid, bwx in ac_scans:
+            tt = 0x00 if cid == 1 else 0x11
+            out += seg(0xDA, b"\x01" + bytes([cid, tt])
+                       + bytes([1, 63, 0x00])) + bytes(bwx.buf)
+        return out + b"\xff\xd9"
+
     jpeg.color = jpeg_color
     jpeg.color420 = jpeg_color420
     jpeg.color422 = jpeg_color422
     jpeg.progressive = jpeg_progressive
+    jpeg.progressive_color = jpeg_progressive_color
     return jpeg
 
 

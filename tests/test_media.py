@@ -1111,3 +1111,32 @@ def test_jpeg_progressive_decode_hand_checked():
     assert p is not None and (p == base).all()
     # truncation mid-scan: NULL, never an exception
     assert decode_jpeg(prog[: len(prog) // 2]) is None
+
+
+def test_jpeg_progressive_color_and_subsampled():
+    """Progressive color decode: interleaved DC scans (three
+    predictors, MCU order at both 4:4:4 and 4:2:0) + per-component
+    non-interleaved AC scans — which for 4:2:0 Y exclude the MCU
+    padding blocks (coded grid ceil(w/8) inside the padded array).
+    Pixels must equal the sequential encodings of the same
+    coefficients."""
+    from lwetl_spark.operators.media import decode_jpeg, jpeg_baseline_bytes
+
+    J = jpeg_baseline_bytes
+    # 4:4:4 neutral chroma == the sequential color stream
+    yc = [(5, 3), (-40, 0)]
+    zeros = [(0, 0)] * 2
+    p = decode_jpeg(J.progressive_color(16, 8, yc, zeros, zeros, "444"))
+    assert p is not None and (p == decode_jpeg(J.color(16, 8, yc))).all()
+    # 4:2:0 at 24x24: 2x2 MCU grid, visible 3x3 Y blocks (cw=3 < 4),
+    # non-neutral row-varying chroma
+    i = 7
+    mxn = myn = 2
+    yc = [((i + 17 * b) % 80 - 40, (i + 5 * b) % 13) for b in range(16)]
+    cb = [(5 * ((i + 3 * m) % 11 - 5), 5 * ((i + m) % 3))
+          for m in range(4)]
+    cr = [(5 * ((i + 7 * m) % 11 - 5), 5 * ((i + 2 * m) % 3))
+          for m in range(4)]
+    p = decode_jpeg(J.progressive_color(24, 24, yc, cb, cr, "420"))
+    base = decode_jpeg(J.color420(24, 24, yc, cb, cr))
+    assert p is not None and (p == base).all()
