@@ -306,6 +306,76 @@ def ppjoin_pairs(
     )
 
 
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+) -> DataFrame:
+    """Paragraph-level exact dedup WITH document reassembly (r9) — the
+    CCNet/Dolma preprocessing step: boilerplate paragraphs (headers,
+    navigation, license blurbs) repeat across millions of pages, so
+    dedup must happen BELOW document granularity, keeping each
+    paragraph's first corpus occurrence and rewriting every document
+    from its surviving paragraphs.
+
+    Pure DataFrame composition, no UDF: posexplode on ``sep`` →
+    md5 fingerprint per paragraph (the portable exact-dedup key, the
+    dedup_exact precedent) → winner per fingerprint via ONE
+    min(struct(doc_id, pos)) aggregation (partial-combining and
+    therefore skew-safe — a paragraph duplicated a million times
+    never builds a million-row window partition) → semi-join keeps
+    winners → per-document reassembly via array_sort(collect_list)
+    over (pos, para) structs.  Whitespace-only paragraphs pass
+    through (document structure, not content).
+
+    Scale shape: two shuffles, both on (fp) / (doc_id) keys carrying
+    paragraph-sized rows; the winner agg is metadata-sized output
+    (one row per DISTINCT paragraph).  Returns
+    (id_col, text, n_paras, n_kept) where ``text`` is the cleaned
+    document ('' when every paragraph was a duplicate)."""
+    parts = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), sep, -1)).alias(
+            "pos", "para"),
+    )
+    keyed = parts.withColumn("fp", F.md5("para"))
+    winners = keyed.groupBy("fp").agg(
+        F.min(F.struct("doc_id", "pos")).alias("w")
+    ).select(
+        "fp",
+        F.col("w.doc_id").alias("doc_id"),
+        F.col("w.pos").alias("pos"),
+    )
+    kept = keyed.join(
+        winners.hint("shuffle_hash"), ["fp", "doc_id", "pos"],
+        "left_semi",
+    ).unionByName(
+        keyed.filter(F.trim("para") == "")  # structure passes through
+        .join(winners.hint("shuffle_hash"),
+              ["fp", "doc_id", "pos"], "left_anti")
+    )
+    agg = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"],
+            ),
+        ).alias("text"),
+        F.count("*").cast("long").alias("n_kept"),
+    )
+    totals = parts.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_paras")
+    )
+    return totals.join(agg.hint("shuffle_hash"), "doc_id", "left").select(
+        F.col("doc_id").alias(id_col),
+        F.coalesce(F.col("text"), F.lit("")).alias("text"),
+        "n_paras",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+    )
+
+
 def duplicate_spans(
     df: DataFrame,
     text_col: str = "text",

@@ -1917,6 +1917,70 @@ def x_video_dedup(spark, sf_dir):
 
 
 @register(
+    "x_paragraph_dedup",
+    r"""
+    WITH toks AS (
+        SELECT doc_id, list_filter(
+            string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+        FROM documents
+    ),
+    paras AS (
+        SELECT doc_id, CAST(gi AS BIGINT) AS pos,
+               array_to_string(t[gi * 8 + 1 : gi * 8 + 8], ' ') AS para
+        FROM toks, unnest(range(0, (len(t) + 7) // 8)) AS u(gi)
+    ),
+    win AS (
+        SELECT para, MIN(doc_id * 1048576 + pos) AS wk
+        FROM paras GROUP BY para
+    ),
+    kept AS (
+        SELECT p.doc_id, p.pos, p.para
+        FROM paras p JOIN win ON p.para = win.para
+        WHERE p.doc_id * 1048576 + p.pos = win.wk
+    ),
+    agg AS (
+        SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS text,
+               CAST(COUNT(*) AS BIGINT) AS n_kept
+        FROM kept GROUP BY doc_id
+    ),
+    tot AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_paras
+        FROM paras GROUP BY doc_id
+    )
+    SELECT t.doc_id, COALESCE(a.text, '') AS text, t.n_paras,
+           CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept
+    FROM tot t LEFT JOIN agg a ON t.doc_id = a.doc_id
+    """,
+)
+def x_paragraph_dedup(spark, sf_dir):
+    """Paragraph-level dedup with document reassembly (r9 —
+    CCNet/Dolma's sub-document dedup; operators/dedup.paragraph_dedup):
+    documents are chunked into 8-token paragraphs (pure expressions on
+    both engines — the template-heavy corpus repeats chunks across
+    docs by construction), each paragraph keeps only its FIRST corpus
+    occurrence (min (doc_id, pos), computed as ONE partial-combining
+    min-struct agg — skew-safe where a per-fingerprint window is not),
+    and every document is rewritten from its surviving paragraphs.
+    The oracle rebuilds the chunking, the winner rule (doc_id·2^20+pos
+    ≡ the struct ordering since pos < 2^20), and the REASSEMBLED TEXT
+    itself — the full cleaned document strings hash-check
+    cross-engine."""
+    from lwetl_spark.operators.dedup import paragraph_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n = F.size(toks)
+    paras = F.when(n > 0, F.transform(
+        F.sequence(F.lit(0), F.ceil(n / F.lit(8)) - 1),
+        lambda i: F.array_join(F.slice(toks, i * 8 + 1, 8), " "),
+    )).otherwise(F.array().cast("array<string>"))
+    structured = docs.select(
+        "doc_id", F.array_join(paras, "\n").alias("text")
+    )
+    return paragraph_dedup(structured)
+
+
+@register(
     "x_image_dhash",
     """
     WITH g AS (

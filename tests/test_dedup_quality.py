@@ -571,3 +571,26 @@ def test_cdc_chunks_shift_invariance_and_reassembly(spark):
     out = cdc_chunks(short).collect()
     assert len(out) == 1 and out[0]["chunk_len"] == 4
     assert out[0]["chunk_md5"] == hashlib.md5(b"tiny").hexdigest()
+
+
+def test_paragraph_dedup_first_occurrence_and_reassembly(spark):
+    """paragraph_dedup keeps each paragraph's FIRST corpus occurrence
+    (min doc_id, then min position), passes whitespace-only paragraphs
+    through, rewrites documents from survivors in original order, and
+    empties a document whose every paragraph already appeared."""
+    from lwetl_spark.operators.dedup import paragraph_dedup
+
+    rows = [
+        (1, "alpha beta\ncommon header\ngamma"),
+        (2, "common header\ndelta"),          # loses the header to doc 1
+        (3, "common header"),                 # loses everything
+        (4, "alpha beta\n \nepsilon"),        # blank line passes through
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in paragraph_dedup(df).collect()}
+    assert out[1]["text"] == "alpha beta\ncommon header\ngamma"
+    assert out[1]["n_paras"] == 3 and out[1]["n_kept"] == 3
+    assert out[2]["text"] == "delta" and out[2]["n_kept"] == 1
+    assert out[3]["text"] == "" and out[3]["n_kept"] == 0
+    # doc 4: 'alpha beta' lost to doc 1; the whitespace line survives
+    assert out[4]["text"] == " \nepsilon" and out[4]["n_kept"] == 2
