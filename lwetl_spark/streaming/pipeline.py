@@ -350,6 +350,90 @@ def stream_cms(
     return q, counters
 
 
+def stream_paragraph_dedup(
+    spark: SparkSession,
+    docs_path: str,
+    out_path: str,
+    state_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    max_files_per_trigger: int = 2,
+):
+    """Streaming twin of operators/dedup.paragraph_dedup (r9): every
+    micro-batch's paragraphs dedup against the PERSISTED seen-paragraph
+    state AND within the batch (first occurrence by (doc_id, pos)),
+    cleaned documents append to ``out_path``, and only the novel
+    fingerprints append to the state — so a paragraph admitted in any
+    earlier batch never survives a later one (the cross-batch
+    first-occurrence rule a daily-crawl boilerplate filter needs).
+
+    Scale shape per micro-batch: one min-struct agg over the batch's
+    paragraphs, one anti-join against state keyed on the 16-byte
+    fingerprint (paragraph text never joins against state), one
+    reassembly agg.  State grows by exactly the novel paragraphs."""
+    schema = spark.read.parquet(docs_path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(docs_path)
+    )
+
+    def sink(batch_df, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        parts = batch_df.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(F.split(F.col(text_col), sep, -1)).alias(
+                "pos", "para"),
+        ).withColumn("fp", F.md5("para")).localCheckpoint(eager=True)
+        # existence probe + unguarded read (the r9 state-read rule)
+        if _path_exists(sess, state_path):
+            seen = sess.read.parquet(state_path).select("fp")
+            fresh = parts.join(seen.hint("shuffle_hash"), "fp",
+                               "left_anti")
+        else:
+            fresh = parts
+        winners = fresh.groupBy("fp").agg(
+            F.min(F.struct("doc_id", "pos")).alias("w")
+        ).select(
+            "fp",
+            F.col("w.doc_id").alias("doc_id"),
+            F.col("w.pos").alias("pos"),
+        ).localCheckpoint(eager=True)
+        kept = fresh.join(
+            winners.hint("shuffle_hash"), ["fp", "doc_id", "pos"],
+            "left_semi",
+        ).unionByName(
+            parts.filter(F.trim("para") == "")
+            .join(winners.hint("shuffle_hash"),
+                  ["fp", "doc_id", "pos"], "left_anti")
+        )
+        agg = kept.groupBy("doc_id").agg(
+            F.concat_ws(
+                sep,
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                    lambda s: s["para"],
+                ),
+            ).alias("text"),
+            F.count("*").cast("long").alias("n_kept"),
+        )
+        totals = parts.groupBy("doc_id").agg(
+            F.count("*").cast("long").alias("n_paras")
+        )
+        out = totals.join(agg.hint("shuffle_hash"), "doc_id", "left").select(
+            F.col("doc_id").alias(id_col),
+            F.coalesce(F.col("text"), F.lit("")).alias("text"),
+            "n_paras",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long")
+            .alias("n_kept"),
+        ).localCheckpoint(eager=True)
+        out.write.mode("append").parquet(out_path)
+        winners.select("fp").write.mode("append").parquet(state_path)
+
+    return stream.writeStream.foreachBatch(sink).start()
+
+
 def stream_dedup_against_corpus(
     spark: SparkSession,
     docs_path: str,

@@ -1078,3 +1078,40 @@ def test_stream_image_dhash_matches_batch(spark, tmp_path):
     want = image_dhash(media)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
     assert got.filter("ok = false").count() == 4  # ids 0, 23, 46, 69
+
+
+def test_stream_paragraph_dedup_cross_batch_first_occurrence(spark, tmp_path):
+    """stream_paragraph_dedup: a paragraph admitted in an earlier
+    micro-batch never survives a later one; in-batch first-occurrence
+    matches the batch operator; state grows only by novel
+    fingerprints."""
+    from lwetl_spark.streaming.pipeline import stream_paragraph_dedup
+
+    docs_dir = str(tmp_path / "docs")
+    out_dir = str(tmp_path / "out")
+    state_dir = str(tmp_path / "state")
+    spark.createDataFrame(
+        [(1, "alpha beta\ncommon header\ngamma")],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(docs_dir)
+    spark.createDataFrame(
+        [(2, "common header\ndelta"), (3, "delta\nepsilon")],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("append").parquet(docs_dir)
+
+    q = stream_paragraph_dedup(
+        spark, docs_dir, out_dir, state_dir, max_files_per_trigger=1
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = {r["doc_id"]: r for r in spark.read.parquet(out_dir).collect()}
+    assert out[1]["text"] == "alpha beta\ncommon header\ngamma"
+    # doc 2 loses 'common header' to batch 1's doc 1
+    assert out[2]["text"] == "delta" and out[2]["n_paras"] == 2
+    # docs 2 and 3 were one batch: 'delta' kept once (min doc_id=2)
+    assert out[3]["text"] == "epsilon" and out[3]["n_kept"] == 1
+    # 5 novel paragraphs total: alpha beta, common header, gamma,
+    # delta, epsilon
+    assert spark.read.parquet(state_dir).count() == 5
