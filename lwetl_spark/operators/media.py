@@ -1480,17 +1480,26 @@ PNG_PIXEL_SCHEMA = (
 
 
 def _make_png_codec():
-    """Factory returning (decode, encode) for 8-bit grayscale PNG
-    (by-value pickling, see _make_mp4_gen).  decode runs the full spec
-    reconstruction (zlib IDAT + all five scanline filters) and returns
-    an (h, w) uint8 array or None; encode writes filter-0 scanlines
-    with a zlib IDAT and correct CRCs — a real, any-viewer-decodable
-    PNG.  Shared by png_pixel_stats and png_thumbnails so the
-    decode→resample→re-encode chain is one implementation."""
+    """Factory returning (decode, encode) for 8-bit PNG — grayscale,
+    gray+alpha, truecolor RGB, and RGBA (color types 0/4/2/6; r9 —
+    real-crawl PNGs are mostly truecolor, the r8 codec was
+    grayscale-only).  decode runs the full spec reconstruction (zlib
+    IDAT + all five scanline filters AT THE CORRECT bpp OFFSET — the
+    Sub/Average/Paeth 'left' neighbor is the byte one PIXEL back, not
+    one byte) and returns an (h, w) or (h, w, ch) uint8 array or
+    None; Adam7-interlaced and 16-bit streams return None (stated
+    honestly).  encode writes filter-0 scanlines with a zlib IDAT and
+    correct CRCs for 2-D gray or 3-D 2/3/4-channel arrays — a real,
+    any-viewer-decodable PNG.  Shared by png_pixel_stats,
+    png_thumbnails, and image_dhash so every chain is one
+    implementation."""
     import struct
     import zlib
 
     import numpy as np
+
+    CH = {0: 1, 4: 2, 2: 3, 6: 4}
+    CT = {1: 0, 2: 4, 3: 2, 4: 6}
 
     def decode(b: bytes):
         b = bytes(b)
@@ -1498,8 +1507,10 @@ def _make_png_codec():
             return None
         w, h = struct.unpack(">II", b[16:24])
         bitdepth, colortype = b[24], b[25]
-        if bitdepth != 8 or colortype != 0:
-            return None  # this codec: 8-bit grayscale only
+        interlace = b[28]
+        ch = CH.get(colortype)
+        if bitdepth != 8 or ch is None or interlace != 0:
+            return None  # 16-bit / palette / Adam7: out of scope
         idat = bytearray()
         pos = 8
         while pos + 8 <= len(b):
@@ -1514,11 +1525,12 @@ def _make_png_codec():
             raw = zlib.decompress(bytes(idat))
         except zlib.error:
             return None
-        stride = 1 + w
+        wb = w * ch  # scanline bytes
+        stride = 1 + wb
         if len(raw) != h * stride:
             return None
-        out = np.zeros((h, w), dtype=np.uint8)
-        prev = np.zeros(w, dtype=np.int32)
+        out = np.zeros((h, wb), dtype=np.uint8)
+        prev = np.zeros(wb, dtype=np.int32)
         for r in range(h):
             line = raw[r * stride : (r + 1) * stride]
             ftype = line[0]
@@ -1527,21 +1539,21 @@ def _make_png_codec():
                 rec = cur
             elif ftype == 1:  # Sub
                 rec = cur.copy()
-                for c in range(1, w):
-                    rec[c] = (rec[c] + rec[c - 1]) & 0xFF
+                for c in range(ch, wb):
+                    rec[c] = (rec[c] + rec[c - ch]) & 0xFF
             elif ftype == 2:  # Up
                 rec = (cur + prev) & 0xFF
             elif ftype == 3:  # Average
                 rec = cur.copy()
-                rec[0] = (rec[0] + prev[0] // 2) & 0xFF
-                for c in range(1, w):
-                    rec[c] = (rec[c] + (rec[c - 1] + prev[c]) // 2) & 0xFF
+                for c in range(wb):
+                    left = rec[c - ch] if c >= ch else 0
+                    rec[c] = (rec[c] + (left + prev[c]) // 2) & 0xFF
             elif ftype == 4:  # Paeth
                 rec = cur.copy()
-                for c in range(w):
-                    a = rec[c - 1] if c else 0
+                for c in range(wb):
+                    a = rec[c - ch] if c >= ch else 0
                     bb = prev[c]
-                    cc = prev[c - 1] if c else 0
+                    cc = prev[c - ch] if c >= ch else 0
                     pp = a + bb - cc
                     pa, pb, pc = abs(pp - a), abs(pp - bb), abs(pp - cc)
                     pred = a if (pa <= pb and pa <= pc) else (
@@ -1551,10 +1563,18 @@ def _make_png_codec():
                 return None
             out[r] = rec
             prev = rec.astype(np.int32)
-        return out
+        if ch == 1:
+            return out
+        return out.reshape(h, w, ch)
 
     def encode(px) -> bytes:
-        h, w = px.shape
+        px = np.asarray(px)
+        if px.ndim == 2:
+            h, w = px.shape
+            ch = 1
+        else:
+            h, w, ch = px.shape
+        colortype = CT[ch]
 
         def chunk(tag: bytes, data: bytes) -> bytes:
             return (
@@ -1562,9 +1582,10 @@ def _make_png_codec():
                 + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
             )
 
-        ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, colortype, 0, 0, 0)
+        rows = px.reshape(h, w * ch)
         raw = b"".join(
-            b"\x00" + px[r].astype(np.uint8).tobytes() for r in range(h)
+            b"\x00" + rows[r].astype(np.uint8).tobytes() for r in range(h)
         )
         return (
             b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
@@ -1572,6 +1593,95 @@ def _make_png_codec():
         )
 
     return decode, encode
+
+
+def _make_png_color_gen():
+    """Factory returning the TRUECOLOR PNG generator (by-value
+    pickling, see _make_mp4_gen): RGB pixel (r, c, k) =
+    (seed + 7r + 13c + 89k) % 256, scanline filters rotating through
+    ALL FIVE spec filters by row (r % 5) at the 3-byte pixel offset —
+    so a decoder must run the full color reconstruction, left
+    neighbors one PIXEL (not one byte) back."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    def png_color(w: int, h: int, seed: int) -> bytes:
+        bpp = 3
+        wb = w * bpp
+        lines = []
+        prev = [0] * wb
+        for r in range(h):
+            raw = [(seed + 7 * r + 13 * (i // bpp) + 89 * (i % bpp))
+                   % 256 for i in range(wb)]
+            f = r % 5
+            if f == 0:
+                filt = list(raw)
+            elif f == 1:  # Sub
+                filt = [(raw[i] - (raw[i - bpp] if i >= bpp else 0))
+                        & 0xFF for i in range(wb)]
+            elif f == 2:  # Up
+                filt = [(raw[i] - prev[i]) & 0xFF for i in range(wb)]
+            elif f == 3:  # Average
+                filt = [
+                    (raw[i] - (((raw[i - bpp] if i >= bpp else 0)
+                                + prev[i]) // 2)) & 0xFF
+                    for i in range(wb)
+                ]
+            else:  # Paeth
+                filt = []
+                for i in range(wb):
+                    a = raw[i - bpp] if i >= bpp else 0
+                    b2 = prev[i]
+                    c2 = prev[i - bpp] if i >= bpp else 0
+                    p = a + b2 - c2
+                    pa, pb, pc = abs(p - a), abs(p - b2), abs(p - c2)
+                    pred = a if (pa <= pb and pa <= pc) else (
+                        b2 if pb <= pc else c2)
+                    filt.append((raw[i] - pred) & 0xFF)
+            lines.append(bytes([f]) + bytes(filt))
+            prev = raw
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+                + chunk(b"IEND", b""))
+
+    return png_color
+
+
+#: the truecolor PNG generator (factory-made; importable for tests)
+png_color_bytes = _make_png_color_gen()
+
+
+def synth_png_color_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixture for x_png_color (r9): every document gets a REAL
+    truecolor PNG — dims 4+(id%12) × 4+(id%6), RGB pixel (r, c, k) =
+    (id + 7r + 13c + 89k) % 256, scanline filters rotating through all
+    five spec filters by row; every 29th id flips a byte inside the
+    IDAT zlib stream (adler32 fails the inflate → NULL stats)."""
+    _gen = png_color_bytes  # factory-made → ships by value
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        def one(i: int) -> bytes:
+            b = _gen(4 + i % 12, 4 + i % 6, i % 256)
+            if i % 29 == 0:
+                bb = bytearray(b)
+                bb[b.index(b"IDAT") + 8] ^= 0xFF
+                return bytes(bb)
+            return b
+
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame({"doc_id": ids, "payload": ids.map(one)})
+
+    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        gen, "doc_id long, payload binary"
+    )
 
 
 def png_pixel_stats(df: DataFrame) -> DataFrame:
@@ -3158,9 +3268,15 @@ def image_dhash(df: DataFrame) -> DataFrame:
                 px = png_decode(b)
             elif b[:3] == b"\xff\xd8\xff":
                 px = jdec(b)
-                if px is not None and px.ndim == 3:
+            if px is not None and px.ndim == 3:
+                # any color/alpha decode reduces to integer Rec.601
+                # luma (cast first: PNG arrays are uint8)
+                px = px.astype(np.int64)
+                if px.shape[2] >= 3:
                     px = (299 * px[:, :, 0] + 587 * px[:, :, 1]
                           + 114 * px[:, :, 2]) // 1000
+                else:  # gray+alpha: the gray channel
+                    px = px[:, :, 0]
             if px is None or px.shape[0] < 1 or px.shape[1] < 2:
                 return (None, None, None, False)
             h, w = int(px.shape[0]), int(px.shape[1])
@@ -3340,7 +3456,7 @@ def png_thumbnails(df: DataFrame, width: int = 16, height: int = 16) -> DataFram
             px = png_decode(b)
             if px is None:
                 return (None, False)
-            hs, ws = px.shape
+            hs, ws = px.shape[:2]  # color arrays carry channels (r9)
             rows = (np.arange(ht) * hs) // ht
             cols = (np.arange(wt) * ws) // wt
             return (png_encode(px[np.ix_(rows, cols)]), True)

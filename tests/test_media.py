@@ -1140,3 +1140,61 @@ def test_jpeg_progressive_color_and_subsampled():
     p = decode_jpeg(J.progressive_color(24, 24, yc, cb, cr, "420"))
     base = decode_jpeg(J.color420(24, 24, yc, cb, cr))
     assert p is not None and (p == base).all()
+
+
+def test_png_color_codec_roundtrip_and_filters():
+    """Truecolor PNG decode (r9): all five filters at the 3-byte pixel
+    offset reconstruct exactly; encode round-trips RGB, RGBA, and
+    gray+alpha arrays; Adam7 interlace is honestly rejected."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from lwetl_spark.operators.media import _make_png_codec, png_color_bytes
+
+    dec, enc = _make_png_codec()
+    px = dec(png_color_bytes(11, 7, 42))
+    assert px.shape == (7, 11, 3)
+    for r in range(7):
+        for c in range(11):
+            for k in range(3):
+                assert px[r, c, k] == (42 + 7 * r + 13 * c + 89 * k) % 256
+    assert (dec(enc(px)) == px).all()
+    rgba = (np.arange(80, dtype=np.uint8).reshape(4, 5, 4) * 3) % 256
+    assert (dec(enc(rgba)) == rgba).all()
+    ga = (np.arange(30, dtype=np.uint8).reshape(5, 3, 2) * 7) % 256
+    assert (dec(enc(ga)) == ga).all()
+    # interlaced: rejected with the IHDR CRC fixed up
+    b = bytearray(png_color_bytes(8, 8, 1))
+    b[28] = 1
+    b[29:33] = struct.pack(">I", zlib.crc32(bytes(b[12:29])) & 0xFFFFFFFF)
+    assert dec(bytes(b)) is None
+
+
+def test_image_dhash_and_thumbnails_handle_color(spark):
+    """image_dhash reduces color PNGs to integer Rec.601 luma;
+    png_thumbnails resamples color arrays and re-encodes truecolor
+    thumbnails that decode back."""
+    from lwetl_spark.operators.media import (
+        _make_png_codec,
+        image_dhash,
+        png_color_bytes,
+        png_thumbnails,
+    )
+
+    b = png_color_bytes(16, 12, 9)
+    df = spark.createDataFrame([(1, b)], "doc_id long, payload binary")
+    r = image_dhash(df).collect()[0]
+    assert r["ok"] and len(r["dhash"]) == 16
+    t = png_thumbnails(df, width=4, height=4).collect()[0]
+    assert t["ok"]
+    dec, _ = _make_png_codec()
+    tpx = dec(bytes(t["thumb"]))
+    assert tpx.shape == (4, 4, 3)
+    # nearest-neighbor source indices replayed exactly
+    for r2 in range(4):
+        for c2 in range(4):
+            sr, sc = (r2 * 12) // 4, (c2 * 16) // 4
+            for k in range(3):
+                assert tpx[r2, c2, k] == (9 + 7 * sr + 13 * sc + 89 * k) % 256
