@@ -1595,6 +1595,194 @@ def _make_png_codec():
     return decode, encode
 
 
+def _make_gif_gen():
+    """Factory returning the GIF89a generator (by-value pickling, see
+    _make_mp4_gen): spec-shaped header + logical screen descriptor
+    (+ optional global color table), N frames each as [optional
+    Graphic Control Extension with delay] + image descriptor +
+    minimal LZW-stub sub-blocks, trailer.  Real crawls are full of
+    animated GIFs; the census walks this exact structure."""
+    import struct
+
+    def gif(w: int, h: int, n_frames: int, delay_cs: int = 0,
+            gct_bits: int = 1) -> bytes:
+        # logical screen descriptor: GCT flag set, 2^(gct_bits+1) entries
+        packed = 0x80 | ((gct_bits & 7) << 4) | (gct_bits & 7)
+        out = (b"GIF89a" + struct.pack("<HH", w, h)
+               + bytes([packed, 0, 0]))
+        out += bytes(3 * (2 << (gct_bits & 7)))  # global color table
+        for j in range(n_frames):
+            if delay_cs:
+                out += (b"\x21\xf9\x04\x00"
+                        + struct.pack("<H", delay_cs) + b"\x00\x00")
+            out += (b"\x2c" + struct.pack("<HHHH", 0, 0, w, h)
+                    + b"\x00")                     # no local color table
+            out += bytes([2])                      # LZW min code size
+            data = bytes([(j + k) % 256 for k in range(4)])
+            out += bytes([len(data)]) + data + b"\x00"  # sub-blocks
+        return out + b"\x3b"  # trailer
+
+    return gif
+
+
+#: the GIF89a generator (factory-made; importable for tests)
+gif_bytes = _make_gif_gen()
+
+
+def _make_gif_walker():
+    """Factory returning the GIF census walker (by-value pickling):
+    header version, logical screen dims, global-color-table skip, then
+    the block walk — extensions (0x21: GCE delays accumulate into
+    duration), image descriptors (0x2C: frame count, local color
+    tables and LZW sub-blocks skipped by their declared lengths),
+    trailer (0x3B).  Corruption (truncated sub-block, unknown block
+    introducer) returns the partial census with valid=False — never an
+    exception."""
+    import struct
+
+    def walk(b: bytes):
+        b = bytes(b)
+        if len(b) < 13 or b[:4] != b"GIF8" or b[4:6] not in (b"7a", b"9a"):
+            return None
+        version = b[3:6].decode("ascii", "replace")
+        w, h = struct.unpack("<HH", b[6:10])
+        packed = b[10]
+        pos = 13
+        if packed & 0x80:  # global color table
+            pos += 3 * (2 << (packed & 7))
+        n_frames = 0
+        duration_cs = 0
+        pending_delay = 0
+        ok = True
+        saw_trailer = False
+
+        def skip_subblocks(p: int) -> int:
+            while p < len(b):
+                n = b[p]
+                p += 1
+                if n == 0:
+                    return p
+                p += n
+            return -1  # truncated
+
+        while pos < len(b):
+            intro = b[pos]
+            if intro == 0x3B:  # trailer
+                saw_trailer = True
+                break
+            if intro == 0x21:  # extension
+                if pos + 2 > len(b):
+                    ok = False
+                    break
+                label = b[pos + 1]
+                if label == 0xF9 and pos + 7 <= len(b):
+                    pending_delay = struct.unpack(
+                        "<H", b[pos + 4 : pos + 6])[0]
+                p = skip_subblocks(pos + 2)
+                if p < 0:
+                    ok = False
+                    break
+                pos = p
+            elif intro == 0x2C:  # image descriptor
+                if pos + 10 > len(b):
+                    ok = False
+                    break
+                lpacked = b[pos + 9]
+                p = pos + 10
+                if lpacked & 0x80:
+                    p += 3 * (2 << (lpacked & 7))
+                p += 1  # LZW minimum code size
+                p = skip_subblocks(p)
+                if p < 0:
+                    ok = False
+                    break
+                n_frames += 1
+                duration_cs += pending_delay
+                pending_delay = 0
+                pos = p
+            else:
+                ok = False  # unknown block introducer
+                break
+        return {
+            "version": version, "width": w, "height": h,
+            "n_frames": n_frames, "duration_ms": duration_cs * 10,
+            "animated": n_frames > 1,
+            "valid": bool(ok and saw_trailer and n_frames > 0),
+        }
+
+    return walk
+
+
+#: the GIF census walker (factory-made; importable for tests)
+parse_gif = _make_gif_walker()
+
+
+GIF_META_SCHEMA = (
+    "doc_id long, version string, width long, height long,"
+    " n_frames long, duration_ms long, animated boolean, valid boolean"
+)
+
+
+def gif_meta(df: DataFrame) -> DataFrame:
+    """GIF census (r9): header/LSD parse + block walk (frame count via
+    image descriptors, total animation duration from GCE delays,
+    color-table and LZW sub-block skipping by declared lengths).
+    Same contract as the other censuses: non-GIF payloads yield
+    (version NULL, valid=false); corruption yields the partial census
+    with valid=false.  One zero-shuffle Arrow pass.  LZW pixel decode
+    stays out of scope (stated honestly — the census is the crawl
+    admission gate's need: dims, frame count, animation length)."""
+    walk = _make_gif_walker()
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        cols = ["version", "width", "height", "n_frames",
+                "duration_ms", "animated", "valid"]
+
+        def one(b: bytes):
+            r = walk(b)
+            if r is None:
+                return (None,) * 5 + (False, False)
+            return (r["version"], r["width"], r["height"],
+                    r["n_frames"], r["duration_ms"], r["animated"],
+                    r["valid"])
+
+        for pdf in batches:
+            out = pd.DataFrame(
+                [one(b) for b in pdf["payload"]], columns=cols)
+            out.insert(0, "doc_id", pdf["doc_id"].to_numpy())
+            yield out
+
+    return df.mapInPandas(run, schema=GIF_META_SCHEMA)
+
+
+def synth_gif_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixture for x_gif_meta (r9): REAL GIF89a files from id
+    arithmetic — dims 10+(id%50) × 10+(id%30), 1+(id%6) frames, GCE
+    delay 4+(id%25) centiseconds per frame when animated (id%6>0);
+    every 31st id truncates mid-sub-block (the walker must flag
+    valid=false while keeping the frames counted before the cut)."""
+    _gen = gif_bytes  # factory-made → ships by value
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        def one(i: int) -> bytes:
+            nf = 1 + i % 6
+            b = _gen(10 + i % 50, 10 + i % 30, nf,
+                     delay_cs=(4 + i % 25) if nf > 1 else 0)
+            return b[:-3] if i % 31 == 0 else b
+
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame({"doc_id": ids, "payload": ids.map(one)})
+
+    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        gen, "doc_id long, payload binary"
+    )
+
+
 def _make_png_color_gen():
     """Factory returning the TRUECOLOR PNG generator (by-value
     pickling, see _make_mp4_gen): RGB pixel (r, c, k) =
@@ -2089,6 +2277,7 @@ def media_meta(df: DataFrame) -> DataFrame:
     qualname — see _make_mp4_walker)."""
     mp4_walk = _make_mp4_walker()
     mkv_walk = _make_mkv_walker()
+    gif_walk = _make_gif_walker()
 
     def parse(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import struct
@@ -2174,6 +2363,16 @@ def media_meta(df: DataFrame) -> DataFrame:
                 got["valid"],
             )
 
+        def gif(b: bytes):
+            """GIF census (r9) — frames ride the n_samples slot."""
+            got = gif_walk(b)
+            if got is None:
+                return None
+            return (
+                "gif", got["width"], got["height"], None, None,
+                got["n_frames"], got["duration_ms"], got["valid"],
+            )
+
         def webp(b: bytes):
             """RIFF/WEBP chunk walk (r8): dims from whichever bitstream
             variant leads — 'VP8 ' lossy keyframe header (start code
@@ -2207,7 +2406,7 @@ def media_meta(df: DataFrame) -> DataFrame:
 
         def one(b: bytes):
             b = bytes(b)
-            for p in (png, jpeg, wav, webp, mp4, mkv):
+            for p in (png, jpeg, wav, webp, mp4, mkv, gif):
                 got = p(b)
                 if got is not None:
                     return got

@@ -2392,6 +2392,46 @@ def x_jpeg_color(spark, sf_dir):
 
 
 @register(
+    "x_gif_meta",
+    """
+    WITH g AS (
+        SELECT doc_id, 1 + doc_id % 6 AS nf,
+               CASE WHEN 1 + doc_id % 6 > 1 THEN 4 + doc_id % 25
+                    ELSE 0 END AS delay,
+               doc_id % 31 = 0 AS corrupt
+        FROM documents
+    )
+    SELECT doc_id, '89a' AS version,
+           CAST(10 + doc_id % 50 AS BIGINT) AS width,
+           CAST(10 + doc_id % 30 AS BIGINT) AS height,
+           CAST(CASE WHEN corrupt THEN nf - 1 ELSE nf END AS BIGINT)
+               AS n_frames,
+           CAST(10 * delay * (CASE WHEN corrupt THEN nf - 1 ELSE nf END)
+                AS BIGINT) AS duration_ms,
+           (CASE WHEN corrupt THEN nf - 1 ELSE nf END) > 1 AS animated,
+           NOT corrupt AS valid
+    FROM g
+    """,
+)
+def x_gif_meta(spark, sf_dir):
+    """GIF census (r9; operators/media.gif_meta): header/logical-
+    screen parse + block walk — frame count via image descriptors,
+    animation duration from Graphic Control Extension delays,
+    color-table and LZW sub-block skipping by declared lengths
+    (crawls are full of animated GIFs; the census is the admission
+    gate's need).  Every 31st fixture truncates mid-sub-block: the
+    walker keeps the frames counted BEFORE the cut and flags
+    valid=false — the partial-census contract, value-checked (the
+    oracle recomputes the exact truncated frame count and the
+    delay-sum duration).  LZW pixel decode stays honestly out of
+    scope."""
+    from lwetl_spark.operators.media import gif_meta, synth_gif_demo
+
+    docs = _t(spark, sf_dir, "documents")
+    return gif_meta(synth_gif_demo(docs))
+
+
+@register(
     "x_png_color",
     """
     WITH g AS (

@@ -1198,3 +1198,30 @@ def test_image_dhash_and_thumbnails_handle_color(spark):
             sr, sc = (r2 * 12) // 4, (c2 * 16) // 4
             for k in range(3):
                 assert tpx[r2, c2, k] == (9 + 7 * sr + 13 * sc + 89 * k) % 256
+
+
+def test_gif_census_and_media_meta_route(spark):
+    """parse_gif: frame counting, GCE delay accumulation, sub-block
+    skipping, trailer requirement; media_meta routes gif with frames
+    in the n_samples slot; corruption yields a partial census."""
+    from lwetl_spark.operators.media import gif_bytes, media_meta, parse_gif
+
+    b = gif_bytes(20, 10, 3, delay_cs=7)
+    r = parse_gif(b)
+    assert r["valid"] and (r["width"], r["height"]) == (20, 10)
+    assert r["n_frames"] == 3 and r["duration_ms"] == 210
+    assert r["animated"]
+    still = parse_gif(gif_bytes(5, 5, 1))
+    assert still["valid"] and not still["animated"]
+    assert still["duration_ms"] == 0
+    # truncated mid-sub-block: frames before the cut survive
+    t = parse_gif(b[:-3])
+    assert not t["valid"] and t["n_frames"] == 2
+    assert parse_gif(b"NOTGIF") is None
+    df = spark.createDataFrame(
+        [(1, b), (2, b"\x00" * 20)], "doc_id long, payload binary"
+    )
+    out = {r2["doc_id"]: r2 for r2 in media_meta(df).collect()}
+    assert out[1]["fmt"] == "gif" and out[1]["n_samples"] == 3
+    assert out[1]["duration_ms"] == 210 and out[1]["valid"]
+    assert out[2]["fmt"] == "unknown"
