@@ -111,6 +111,11 @@ EXTENDED = [
     "x_jpeg_420",
     "x_mkv_meta",
     "x_ann_filtered",
+    # r9 late additions: multi-scan progressive decode (the slowest
+    # JPEG path: 4 entropy scans per image) and sub-document dedup
+    # with reassembly (two corpus-keyed shuffles)
+    "x_jpeg_progressive",
+    "x_paragraph_dedup",
 ]
 
 #: VERDICT r8 "what's wrong" #3: when a fixture generator (or the
