@@ -1595,6 +1595,45 @@ def _make_png_codec():
     return decode, encode
 
 
+def bmp_bytes(w: int, h: int, bpp: int = 24) -> bytes:
+    """A real minimal BMP (BITMAPINFOHEADER): 'BM' + file size + pixel
+    offset + 40-byte DIB header + bottom-up padded pixel rows of
+    zeros."""
+    import struct
+
+    row = ((w * (bpp // 8) + 3) // 4) * 4
+    data = bytes(row * h)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, bpp, 0, len(data),
+                      2835, 2835, 0, 0)
+    hdr = b"BM" + struct.pack("<IHHI", 14 + 40 + len(data), 0, 0, 54)
+    return hdr + dib + data
+
+
+def bmp_dims(payload: Column | str) -> tuple[Column, Column, Column]:
+    """BMP width/height/bpp as PURE JVM expressions (r9): the
+    BITMAPINFOHEADER fields sit at fixed offsets 19/23/29 (1-based),
+    little-endian — reverse the hex of the substring and conv() it,
+    never leaving codegen (the png_dims idiom for the other
+    fixed-offset format crawls actually contain).  Height is stored
+    signed (negative = top-down rows); callers take abs()."""
+    col = F.col(payload) if isinstance(payload, str) else payload
+
+    def le32(off: int) -> Column:
+        # little-endian: reverse the 4 bytes before hex-parsing
+        b1 = F.hex(F.substring(col, off + 3, 1))
+        b2 = F.hex(F.substring(col, off + 2, 1))
+        b3 = F.hex(F.substring(col, off + 1, 1))
+        b4 = F.hex(F.substring(col, off, 1))
+        raw = F.conv(F.concat(b1, b2, b3, b4), 16, 10).cast("long")
+        # sign-extend 32-bit (height can be negative = top-down)
+        return F.when(raw >= 2147483648, raw - 4294967296).otherwise(raw)
+
+    w = le32(19)
+    h = le32(23)
+    bpp = F.conv(F.hex(F.substring(col, 29, 1)), 16, 10).cast("long")
+    return w, h, bpp
+
+
 def _make_gif_gen():
     """Factory returning the GIF89a generator (by-value pickling, see
     _make_mp4_gen): spec-shaped header + logical screen descriptor
@@ -1773,6 +1812,38 @@ def synth_gif_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             b = _gen(10 + i % 50, 10 + i % 30, nf,
                      delay_cs=(4 + i % 25) if nf > 1 else 0)
             return b[:-3] if i % 31 == 0 else b
+
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame({"doc_id": ids, "payload": ids.map(one)})
+
+    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        gen, "doc_id long, payload binary"
+    )
+
+
+def synth_bmp_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixture for x_bmp_meta (r9): REAL minimal BMPs — dims
+    16+(id%100) × 16+(id%60) at 24 bpp, every 4th id stored TOP-DOWN
+    (negative height, the orientation real screen-capture BMPs use)."""
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import struct
+
+        import pandas as pd
+
+        def _bmp(w: int, h: int) -> bytes:
+            # nested by-value copy of bmp_bytes + signed-height form
+            row = ((w * 3 + 3) // 4) * 4
+            data = bytes(row * abs(h))
+            dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                              len(data), 2835, 2835, 0, 0)
+            hdr = b"BM" + struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+            return hdr + dib + data
+
+        def one(i: int) -> bytes:
+            w, h = 16 + i % 100, 16 + i % 60
+            return _bmp(w, -h if i % 4 == 0 else h)
 
         for pdf in batches:
             ids = pdf["doc_id"].astype("int64")
@@ -2226,6 +2297,7 @@ def sniff_format(payload: Column | str) -> Column:
         .when(F.hex(F.substring(col, 5, 4)) == "66747970", "mp4")
         # EBML magic: Matroska / WebM family (r9)
         .when(hx.startswith("1A45DFA3"), "mkv")
+        .when(hx.startswith("424D"), "bmp")
         .when(hx.startswith("1F8B"), "gzip")
         .when(
             hx.startswith("494433") | hx.startswith("FFFA")
@@ -2373,6 +2445,17 @@ def media_meta(df: DataFrame) -> DataFrame:
                 got["n_frames"], got["duration_ms"], got["valid"],
             )
 
+        def bmp(b: bytes):
+            """BMP census (r9): fixed-offset BITMAPINFOHEADER; height
+            is signed (negative = top-down), dims reported absolute."""
+            if len(b) < 54 or b[:2] != b"BM":
+                return None
+            wv = int.from_bytes(b[18:22], "little", signed=True)
+            hv = int.from_bytes(b[22:26], "little", signed=True)
+            declared = int.from_bytes(b[2:6], "little")
+            return ("bmp", abs(wv), abs(hv), None, None, None, None,
+                    declared == len(b) and wv > 0 and hv != 0)
+
         def webp(b: bytes):
             """RIFF/WEBP chunk walk (r8): dims from whichever bitstream
             variant leads — 'VP8 ' lossy keyframe header (start code
@@ -2406,7 +2489,7 @@ def media_meta(df: DataFrame) -> DataFrame:
 
         def one(b: bytes):
             b = bytes(b)
-            for p in (png, jpeg, wav, webp, mp4, mkv, gif):
+            for p in (png, jpeg, wav, webp, mp4, mkv, gif, bmp):
                 got = p(b)
                 if got is not None:
                     return got

@@ -2392,6 +2392,40 @@ def x_jpeg_color(spark, sf_dir):
 
 
 @register(
+    "x_bmp_meta",
+    """
+    SELECT doc_id,
+           CAST(16 + doc_id % 100 AS BIGINT) AS width,
+           CAST(16 + doc_id % 60 AS BIGINT) AS height,
+           CAST(24 AS BIGINT) AS bpp,
+           doc_id % 4 = 0 AS top_down
+    FROM documents WHERE doc_id % 2 = 0
+    """,
+)
+def x_bmp_meta(spark, sf_dir):
+    """BMP geometry as PURE JVM expressions (r9; operators/media.
+    bmp_dims — the png_dims idiom for the other fixed-offset format
+    crawls actually contain): little-endian 32-bit fields parsed by
+    reversing the hex of per-byte substrings inside whole-stage
+    codegen, INCLUDING the sign extension real BMPs need (negative
+    height = top-down row order — every 4th fixture).  No UDF, no
+    Arrow pass; the oracle recomputes dims/orientation from id
+    arithmetic."""
+    from lwetl_spark.operators.media import bmp_dims, synth_bmp_demo
+
+    docs = _t(spark, sf_dir, "documents")
+    media = synth_bmp_demo(docs.filter(F.col("doc_id") % 2 == 0))
+    w, h, bpp = bmp_dims("payload")
+    return media.select(
+        "doc_id",
+        F.abs(w).alias("width"),
+        F.abs(h).alias("height"),
+        bpp.alias("bpp"),
+        (h < 0).alias("top_down"),
+    )
+
+
+@register(
     "x_gif_meta",
     """
     WITH g AS (

@@ -1076,15 +1076,17 @@ def test_decoders_never_raise_on_arbitrary_bytes():
     )
 
     magics = [b"", b"\xff\xd8\xff\xe0", b"\x1aE\xdf\xa3",
-              b"\x00\x00\x00\x18ftyp", b"\x89PNG\r\n\x1a\n", b"RIFF"]
+              b"\x00\x00\x00\x18ftyp", b"\x89PNG\r\n\x1a\n", b"RIFF",
+              b"GIF89a", b"BM"]
 
     @settings(max_examples=200, deadline=None)
     @given(prefix=st.sampled_from(magics),
            body=st.binary(min_size=0, max_size=400))
     def run(prefix: bytes, body: bytes) -> None:
         b = prefix + body
+        from lwetl_spark.operators.media import parse_gif
         for fn in (decode_jpeg, parse_mkv, mkv_block_index,
-                   mp4_sample_index, parse_mp4):
+                   mp4_sample_index, parse_mp4, parse_gif):
             fn(b)  # must not raise; return value unconstrained
 
     run()
@@ -1225,3 +1227,29 @@ def test_gif_census_and_media_meta_route(spark):
     assert out[1]["fmt"] == "gif" and out[1]["n_samples"] == 3
     assert out[1]["duration_ms"] == 210 and out[1]["valid"]
     assert out[2]["fmt"] == "unknown"
+
+
+def test_bmp_dims_jvm_and_media_meta_route(spark):
+    """bmp_dims parses LE fields with sign extension inside codegen
+    (no UDF); media_meta routes BMP with a declared-size validity
+    check; top-down (negative height) reports absolute dims."""
+    from lwetl_spark.operators.media import bmp_bytes, bmp_dims, media_meta
+
+    up = bmp_bytes(33, 21)
+    down = bytearray(bmp_bytes(10, 8))
+    down[22:26] = (-8).to_bytes(4, "little", signed=True)
+    lying = bytearray(bmp_bytes(5, 5))
+    lying[2:6] = (999).to_bytes(4, "little")
+    rows = [(1, up), (2, bytes(down)), (3, bytes(lying))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    w, h, bpp = bmp_dims("payload")
+    got = {r["doc_id"]: r for r in df.select(
+        "doc_id", w.alias("w"), h.alias("h"), bpp.alias("bpp")
+    ).collect()}
+    assert (got[1]["w"], got[1]["h"], got[1]["bpp"]) == (33, 21, 24)
+    assert got[2]["h"] == -8  # sign-extended; callers take abs
+    meta = {r["doc_id"]: r for r in media_meta(df).collect()}
+    assert meta[1]["fmt"] == "bmp" and meta[1]["valid"]
+    assert (meta[2]["width"], meta[2]["height"]) == (10, 8)
+    assert meta[2]["valid"]
+    assert meta[3]["fmt"] == "bmp" and meta[3]["valid"] is False
