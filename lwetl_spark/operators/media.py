@@ -1486,9 +1486,11 @@ def _make_png_codec():
     grayscale-only).  decode runs the full spec reconstruction (zlib
     IDAT + all five scanline filters AT THE CORRECT bpp OFFSET — the
     Sub/Average/Paeth 'left' neighbor is the byte one PIXEL back, not
-    one byte) and returns an (h, w) or (h, w, ch) uint8 array or
-    None; Adam7-interlaced and 16-bit streams return None (stated
-    honestly).  encode writes filter-0 scanlines with a zlib IDAT and
+    one byte — AND Adam7 interlacing: seven independently-filtered
+    passes scattered onto their grids) and returns an (h, w) or
+    (h, w, ch) uint8 array or None; 16-bit and palette streams return
+    None (stated honestly).  encode writes filter-0 scanlines with a
+    zlib IDAT and
     correct CRCs for 2-D gray or 3-D 2/3/4-channel arrays — a real,
     any-viewer-decodable PNG.  Shared by png_pixel_stats,
     png_thumbnails, and image_dhash so every chain is one
@@ -1501,38 +1503,24 @@ def _make_png_codec():
     CH = {0: 1, 4: 2, 2: 3, 6: 4}
     CT = {1: 0, 2: 4, 3: 2, 4: 6}
 
-    def decode(b: bytes):
-        b = bytes(b)
-        if len(b) < 41 or b[:8] != b"\x89PNG\r\n\x1a\n":
-            return None
-        w, h = struct.unpack(">II", b[16:24])
-        bitdepth, colortype = b[24], b[25]
-        interlace = b[28]
-        ch = CH.get(colortype)
-        if bitdepth != 8 or ch is None or interlace != 0:
-            return None  # 16-bit / palette / Adam7: out of scope
-        idat = bytearray()
-        pos = 8
-        while pos + 8 <= len(b):
-            ln = struct.unpack(">I", b[pos : pos + 4])[0]
-            tag = b[pos + 4 : pos + 8]
-            if tag == b"IDAT":
-                idat += b[pos + 8 : pos + 8 + ln]
-            if tag == b"IEND":
-                break
-            pos += 12 + ln
-        try:
-            raw = zlib.decompress(bytes(idat))
-        except zlib.error:
-            return None
-        wb = w * ch  # scanline bytes
+    #: Adam7 pass grid: (x_start, y_start, x_step, y_step)
+    ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+             (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+
+    def _recon(raw: bytes, off: int, wpx: int, hpx: int, ch: int):
+        """Reconstruct one filtered sub-image of hpx scanlines × wpx
+        pixels starting at raw[off]; returns ((hpx, wpx·ch) uint8
+        array, bytes consumed) or (None, 0) on corruption.  Shared by
+        the sequential path (one sub-image = the image) and each
+        Adam7 pass (filters reset per pass, per spec)."""
+        wb = wpx * ch
         stride = 1 + wb
-        if len(raw) != h * stride:
-            return None
-        out = np.zeros((h, wb), dtype=np.uint8)
+        if off + hpx * stride > len(raw):
+            return None, 0
+        out = np.zeros((hpx, wb), dtype=np.uint8)
         prev = np.zeros(wb, dtype=np.int32)
-        for r in range(h):
-            line = raw[r * stride : (r + 1) * stride]
+        for r in range(hpx):
+            line = raw[off + r * stride : off + (r + 1) * stride]
             ftype = line[0]
             cur = np.frombuffer(line[1:], dtype=np.uint8).astype(np.int32)
             if ftype == 0:  # None
@@ -1560,12 +1548,59 @@ def _make_png_codec():
                         bb if pb <= pc else cc)
                     rec[c] = (rec[c] + pred) & 0xFF
             else:
-                return None
+                return None, 0
             out[r] = rec
             prev = rec.astype(np.int32)
-        if ch == 1:
-            return out
-        return out.reshape(h, w, ch)
+        return out, hpx * stride
+
+    def decode(b: bytes):
+        b = bytes(b)
+        if len(b) < 41 or b[:8] != b"\x89PNG\r\n\x1a\n":
+            return None
+        w, h = struct.unpack(">II", b[16:24])
+        bitdepth, colortype = b[24], b[25]
+        interlace = b[28]
+        ch = CH.get(colortype)
+        if bitdepth != 8 or ch is None or interlace not in (0, 1):
+            return None  # 16-bit / palette: out of scope
+        idat = bytearray()
+        pos = 8
+        while pos + 8 <= len(b):
+            ln = struct.unpack(">I", b[pos : pos + 4])[0]
+            tag = b[pos + 4 : pos + 8]
+            if tag == b"IDAT":
+                idat += b[pos + 8 : pos + 8 + ln]
+            if tag == b"IEND":
+                break
+            pos += 12 + ln
+        try:
+            raw = zlib.decompress(bytes(idat))
+        except zlib.error:
+            return None
+        if interlace == 0:
+            if len(raw) != h * (1 + w * ch):
+                return None
+            out, _used = _recon(raw, 0, w, h, ch)
+            if out is None:
+                return None
+            return out if ch == 1 else out.reshape(h, w, ch)
+        # Adam7 (r9): seven independently-filtered passes, each a
+        # sub-image scattered onto its (y0::ys, x0::xs) grid
+        full = np.zeros((h, w, ch), dtype=np.uint8)
+        off = 0
+        for x0, y0, xs, ys in ADAM7:
+            pw = (w - x0 + xs - 1) // xs
+            ph = (h - y0 + ys - 1) // ys
+            if pw <= 0 or ph <= 0:
+                continue
+            sub, used = _recon(raw, off, pw, ph, ch)
+            if sub is None:
+                return None
+            off += used
+            full[y0::ys, x0::xs, :] = sub.reshape(ph, pw, ch)
+        if off != len(raw):
+            return None  # trailing garbage: structural lie
+        return full[:, :, 0] if ch == 1 else full
 
     def encode(px) -> bytes:
         px = np.asarray(px)
@@ -1913,6 +1948,88 @@ def _make_png_color_gen():
 
 #: the truecolor PNG generator (factory-made; importable for tests)
 png_color_bytes = _make_png_color_gen()
+
+
+def _make_png_adam7_gen():
+    """Factory returning the ADAM7-INTERLACED truecolor PNG generator
+    (by-value pickling): the same RGB pixel model as png_color_bytes —
+    (seed + 7r + 13c + 89k) % 256 in FINAL image coordinates — split
+    into the seven interlace passes, each pass independently filtered
+    with rotating None/Sub/Up filters.  A decoder reproduces the
+    png_color_bytes pixels only if its pass geometry, per-pass filter
+    resets, and scatter grid are all spec-faithful."""
+    import struct
+    import zlib
+
+    ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+             (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    def png_adam7(w: int, h: int, seed: int) -> bytes:
+        bpp = 3
+        lines = []
+        for x0, y0, xs, ys in ADAM7:
+            pw = (w - x0 + xs - 1) // xs
+            ph = (h - y0 + ys - 1) // ys
+            if pw <= 0 or ph <= 0:
+                continue
+            wb = pw * bpp
+            prev = [0] * wb
+            for pr in range(ph):
+                r = y0 + pr * ys
+                raw = [(seed + 7 * r + 13 * (x0 + (i // bpp) * xs)
+                        + 89 * (i % bpp)) % 256 for i in range(wb)]
+                f = pr % 3
+                if f == 0:
+                    filt = list(raw)
+                elif f == 1:  # Sub
+                    filt = [(raw[i] - (raw[i - bpp] if i >= bpp else 0))
+                            & 0xFF for i in range(wb)]
+                else:  # Up (resets per pass: prev starts at zeros)
+                    filt = [(raw[i] - prev[i]) & 0xFF for i in range(wb)]
+                lines.append(bytes([f]) + bytes(filt))
+                prev = raw
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)  # interlace
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+                + chunk(b"IEND", b""))
+
+    return png_adam7
+
+
+#: the Adam7 interlaced PNG generator (factory-made; importable)
+png_adam7_bytes = _make_png_adam7_gen()
+
+
+def synth_png_adam7_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixture for x_png_adam7 (r9): REAL Adam7-interlaced truecolor
+    PNGs — dims 4+(id%13) × 4+(id%7) (odd sizes leave some passes
+    empty), the png_color_bytes pixel model in final coordinates, each
+    pass independently filtered; every 29th id breaks the IDAT zlib
+    stream (NULL stats)."""
+    _gen = png_adam7_bytes  # factory-made → ships by value
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        def one(i: int) -> bytes:
+            b = _gen(4 + i % 13, 4 + i % 7, i % 256)
+            if i % 29 == 0:
+                bb = bytearray(b)
+                bb[b.index(b"IDAT") + 8] ^= 0xFF
+                return bytes(bb)
+            return b
+
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame({"doc_id": ids, "payload": ids.map(one)})
+
+    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        gen, "doc_id long, payload binary"
+    )
 
 
 def synth_png_color_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:

@@ -2466,6 +2466,71 @@ def x_gif_meta(spark, sf_dir):
 
 
 @register(
+    "x_png_adam7",
+    """
+    WITH g AS (
+        SELECT doc_id, 4 + doc_id % 13 AS w, 4 + doc_id % 7 AS h,
+               doc_id % 256 AS s
+        FROM documents
+    ),
+    rr AS (SELECT *, unnest(range(0, h)) AS r FROM g),
+    cc AS (SELECT *, unnest(range(0, w)) AS c FROM rr),
+    kk AS (SELECT *, unnest(range(0, 3)) AS k FROM cc),
+    v AS (
+        SELECT doc_id, w, h,
+               (s + 7 * r + 13 * c + 89 * k) % 256 AS v
+        FROM kk
+    ),
+    st AS (
+        SELECT doc_id, MAX(w) AS w, MAX(h) AS h,
+               CAST(SUM(v) AS BIGINT) AS sum_px,
+               CAST(MIN(v) AS BIGINT) AS min_px,
+               CAST(MAX(v) AS BIGINT) AS max_px
+        FROM v GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(CASE WHEN doc_id % 29 <> 0 THEN w ELSE -1 END
+                AS BIGINT) AS width,
+           CAST(CASE WHEN doc_id % 29 <> 0 THEN h ELSE -1 END
+                AS BIGINT) AS height,
+           CAST(CASE WHEN doc_id % 29 <> 0 THEN 3 * w * h ELSE -1 END
+                AS BIGINT) AS n_px,
+           CAST(CASE WHEN doc_id % 29 <> 0 THEN sum_px ELSE -1 END
+                AS BIGINT) AS sum_px,
+           CAST(CASE WHEN doc_id % 29 <> 0 THEN min_px ELSE -1 END
+                AS BIGINT) AS min_px,
+           CAST(CASE WHEN doc_id % 29 <> 0 THEN max_px ELSE -1 END
+                AS BIGINT) AS max_px
+    FROM st
+    """,
+)
+def x_png_adam7(spark, sf_dir):
+    """ADAM7-INTERLACED PNG decode (r9 — retires the interlace
+    rejection added earlier this round; operators/media.
+    _make_png_codec): seven independently-filtered passes, each
+    reconstructed with the full five-filter logic and scattered onto
+    its (y0::ys, x0::xs) grid; odd fixture sizes leave some passes
+    empty (pw·ph = 0), the geometry real interlaced files make
+    decoders get right.  Pixels are the png_color_bytes model in
+    FINAL coordinates, so the oracle recomputes every channel value
+    while the decoder must run the whole pass machinery; corrupt-IDAT
+    legs get -1 sentinels."""
+    from lwetl_spark.operators.media import (
+        png_pixel_stats,
+        synth_png_adam7_demo,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    out = png_pixel_stats(synth_png_adam7_demo(docs))
+    return out.select(
+        "doc_id",
+        *[F.coalesce(F.col(c), F.lit(-1)).cast("long").alias(c)
+          for c in ("width", "height", "n_px", "sum_px", "min_px",
+                    "max_px")],
+    )
+
+
+@register(
     "x_png_color",
     """
     WITH g AS (
@@ -2514,7 +2579,8 @@ def x_png_color(spark, sf_dir):
     filters by row and the oracle recomputes every channel value from
     id arithmetic; every 29th id has a broken IDAT zlib stream → NULL
     stats with -1 sentinels (the x_mp4_meta rule), never a task
-    failure.  Adam7/16-bit stay honestly out of scope."""
+    failure.  Adam7 decodes too (x_png_adam7); 16-bit/palette stay
+    honestly out of scope."""
     from lwetl_spark.operators.media import (
         png_pixel_stats,
         synth_png_color_demo,

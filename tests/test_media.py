@@ -1167,11 +1167,19 @@ def test_png_color_codec_roundtrip_and_filters():
     assert (dec(enc(rgba)) == rgba).all()
     ga = (np.arange(30, dtype=np.uint8).reshape(5, 3, 2) * 7) % 256
     assert (dec(enc(ga)) == ga).all()
-    # interlaced: rejected with the IHDR CRC fixed up
+    # a SEQUENTIAL layout with the interlace flag flipped is a
+    # structural lie (pass sizes don't add up) -> None, not garbage
     b = bytearray(png_color_bytes(8, 8, 1))
     b[28] = 1
     b[29:33] = struct.pack(">I", zlib.crc32(bytes(b[12:29])) & 0xFFFFFFFF)
     assert dec(bytes(b)) is None
+    # REAL Adam7 decodes to the same pixels as the sequential stream,
+    # including odd dims where some passes are empty
+    from lwetl_spark.operators.media import png_adam7_bytes
+
+    for (w2, h2) in [(11, 7), (1, 9), (8, 8)]:
+        a = dec(png_adam7_bytes(w2, h2, 42))
+        assert a is not None and (a == dec(png_color_bytes(w2, h2, 42))).all()
 
 
 def test_image_dhash_and_thumbnails_handle_color(spark):
