@@ -1560,29 +1560,47 @@ def _make_png_codec():
         w, h = struct.unpack(">II", b[16:24])
         bitdepth, colortype = b[24], b[25]
         interlace = b[28]
-        ch = CH.get(colortype)
+        # palette (type 3, r9): indices reconstruct as a 1-channel
+        # plane, then map through PLTE to RGB
+        ch = 1 if colortype == 3 else CH.get(colortype)
         if bitdepth != 8 or ch is None or interlace not in (0, 1):
-            return None  # 16-bit / palette: out of scope
+            return None  # 16-bit: out of scope
         idat = bytearray()
+        plte = None
         pos = 8
         while pos + 8 <= len(b):
             ln = struct.unpack(">I", b[pos : pos + 4])[0]
             tag = b[pos + 4 : pos + 8]
             if tag == b"IDAT":
                 idat += b[pos + 8 : pos + 8 + ln]
+            if tag == b"PLTE":
+                plte = b[pos + 8 : pos + 8 + ln]
             if tag == b"IEND":
                 break
             pos += 12 + ln
+        if colortype == 3:
+            if plte is None or len(plte) % 3 or not plte:
+                return None
+            pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
         try:
             raw = zlib.decompress(bytes(idat))
         except zlib.error:
             return None
+        def _palettize(arr):
+            """Map an (h, w) index plane through PLTE → (h, w, 3);
+            out-of-range indices are a structural lie."""
+            if arr.max(initial=0) >= len(pal):
+                return None
+            return pal[arr]
+
         if interlace == 0:
             if len(raw) != h * (1 + w * ch):
                 return None
             out, _used = _recon(raw, 0, w, h, ch)
             if out is None:
                 return None
+            if colortype == 3:
+                return _palettize(out)
             return out if ch == 1 else out.reshape(h, w, ch)
         # Adam7 (r9): seven independently-filtered passes, each a
         # sub-image scattered onto its (y0::ys, x0::xs) grid
@@ -1600,6 +1618,8 @@ def _make_png_codec():
             full[y0::ys, x0::xs, :] = sub.reshape(ph, pw, ch)
         if off != len(raw):
             return None  # trailing garbage: structural lie
+        if colortype == 3:
+            return _palettize(full[:, :, 0])
         return full[:, :, 0] if ch == 1 else full
 
     def encode(px) -> bytes:
@@ -1948,6 +1968,80 @@ def _make_png_color_gen():
 
 #: the truecolor PNG generator (factory-made; importable for tests)
 png_color_bytes = _make_png_color_gen()
+
+
+def _make_png_palette_gen():
+    """Factory returning the INDEXED (palette) PNG generator (by-value
+    pickling): PLTE entry p = ((3p+11)%256, (5p+29)%256, (7p+47)%256),
+    index(r, c) = (seed + 7r + 13c) % n_pal, the index plane filtered
+    with rotating None/Sub/Up filters at bpp=1.  Icons/logos in real
+    crawls are type-3 PNGs; a decoder reproduces the RGB values only
+    if reconstruction AND palette mapping are both right."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    def png_pal(w: int, h: int, seed: int, n_pal: int) -> bytes:
+        plte = b"".join(
+            bytes(((3 * p + 11) % 256, (5 * p + 29) % 256,
+                   (7 * p + 47) % 256))
+            for p in range(n_pal)
+        )
+        lines = []
+        prev = [0] * w
+        for r in range(h):
+            raw = [(seed + 7 * r + 13 * c) % n_pal for c in range(w)]
+            f = r % 3
+            if f == 0:
+                filt = list(raw)
+            elif f == 1:  # Sub
+                filt = [(raw[c] - (raw[c - 1] if c else 0)) & 0xFF
+                        for c in range(w)]
+            else:  # Up
+                filt = [(raw[c] - prev[c]) & 0xFF for c in range(w)]
+            lines.append(bytes([f]) + bytes(filt))
+            prev = raw
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"PLTE", plte)
+                + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+                + chunk(b"IEND", b""))
+
+    return png_pal
+
+
+#: the palette PNG generator (factory-made; importable for tests)
+png_palette_bytes = _make_png_palette_gen()
+
+
+def synth_png_palette_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixture for x_png_palette (r9): REAL type-3 indexed PNGs — dims
+    4+(id%10) × 4+(id%8), palette size 16+(id%17), the arithmetic
+    palette/index model of png_palette_bytes; every 29th id breaks the
+    IDAT zlib stream (NULL stats)."""
+    _gen = png_palette_bytes  # factory-made → ships by value
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        def one(i: int) -> bytes:
+            b = _gen(4 + i % 10, 4 + i % 8, i % 256, 16 + i % 17)
+            if i % 29 == 0:
+                bb = bytearray(b)
+                bb[b.index(b"IDAT") + 8] ^= 0xFF
+                return bytes(bb)
+            return b
+
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame({"doc_id": ids, "payload": ids.map(one)})
+
+    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        gen, "doc_id long, payload binary"
+    )
 
 
 def _make_png_adam7_gen():

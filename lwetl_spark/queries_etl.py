@@ -2466,6 +2466,74 @@ def x_gif_meta(spark, sf_dir):
 
 
 @register(
+    "x_png_palette",
+    """
+    WITH g AS (
+        SELECT doc_id, 4 + doc_id % 10 AS w, 4 + doc_id % 8 AS h,
+               doc_id % 256 AS s, 16 + doc_id % 17 AS np
+        FROM documents
+    ),
+    rr AS (SELECT *, unnest(range(0, h)) AS r FROM g),
+    cc AS (SELECT *, unnest(range(0, w)) AS c FROM rr),
+    px AS (
+        SELECT doc_id, w, h, (s + 7 * r + 13 * c) % np AS p
+        FROM cc
+    ),
+    v AS (
+        SELECT doc_id, w, h, (3 * p + 11) % 256 AS r0,
+               (5 * p + 29) % 256 AS g0, (7 * p + 47) % 256 AS b0
+        FROM px
+    ),
+    st AS (
+        SELECT doc_id, MAX(w) AS w, MAX(h) AS h,
+               CAST(SUM(r0 + g0 + b0) AS BIGINT) AS sum_px,
+               CAST(LEAST(MIN(r0), MIN(g0), MIN(b0)) AS BIGINT) AS min_px,
+               CAST(GREATEST(MAX(r0), MAX(g0), MAX(b0)) AS BIGINT)
+                   AS max_px
+        FROM v GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(CASE WHEN doc_id % 29 <> 0 THEN w ELSE -1 END
+                AS BIGINT) AS width,
+           CAST(CASE WHEN doc_id % 29 <> 0 THEN h ELSE -1 END
+                AS BIGINT) AS height,
+           CAST(CASE WHEN doc_id % 29 <> 0 THEN 3 * w * h ELSE -1 END
+                AS BIGINT) AS n_px,
+           CAST(CASE WHEN doc_id % 29 <> 0 THEN sum_px ELSE -1 END
+                AS BIGINT) AS sum_px,
+           CAST(CASE WHEN doc_id % 29 <> 0 THEN min_px ELSE -1 END
+                AS BIGINT) AS min_px,
+           CAST(CASE WHEN doc_id % 29 <> 0 THEN max_px ELSE -1 END
+                AS BIGINT) AS max_px
+    FROM st
+    """,
+)
+def x_png_palette(spark, sf_dir):
+    """INDEXED (palette) PNG decode (r9; operators/media.
+    _make_png_codec type-3 path): the index plane reconstructs through
+    the five-filter logic at bpp=1, then maps through the in-file PLTE
+    to RGB — icons/logos in real crawls are type-3.  The oracle
+    recomputes every channel from the arithmetic palette AND index
+    models (a decoder that confuses index-space with sample-space
+    fails immediately); out-of-range indices are a structural lie
+    (pytest); corrupt-IDAT legs get -1 sentinels.  16-bit remains the
+    only out-of-scope PNG form."""
+    from lwetl_spark.operators.media import (
+        png_pixel_stats,
+        synth_png_palette_demo,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    out = png_pixel_stats(synth_png_palette_demo(docs))
+    return out.select(
+        "doc_id",
+        *[F.coalesce(F.col(c), F.lit(-1)).cast("long").alias(c)
+          for c in ("width", "height", "n_px", "sum_px", "min_px",
+                    "max_px")],
+    )
+
+
+@register(
     "x_png_adam7",
     """
     WITH g AS (

@@ -1261,3 +1261,31 @@ def test_bmp_dims_jvm_and_media_meta_route(spark):
     assert (meta[2]["width"], meta[2]["height"]) == (10, 8)
     assert meta[2]["valid"]
     assert meta[3]["fmt"] == "bmp" and meta[3]["valid"] is False
+
+
+def test_png_palette_decode_and_short_plte():
+    """Type-3 PNG: the index plane reconstructs at bpp=1 and maps
+    through PLTE to RGB; an index past the palette end is a structural
+    lie (None, never IndexError)."""
+    import struct
+    import zlib
+
+    from lwetl_spark.operators.media import _make_png_codec, png_palette_bytes
+
+    dec, _ = _make_png_codec()
+    px = dec(png_palette_bytes(9, 6, 5, 20))
+    assert px.shape == (6, 9, 3)
+    for r in range(6):
+        for c in range(9):
+            p = (5 + 7 * r + 13 * c) % 20
+            assert tuple(int(v) for v in px[r, c]) == (
+                (3 * p + 11) % 256, (5 * p + 29) % 256, (7 * p + 47) % 256)
+    # shrink PLTE to 2 entries: indices overrun the palette -> None
+    b = png_palette_bytes(4, 4, 0, 16)
+    i0 = b.index(b"PLTE") - 4
+    ln = struct.unpack(">I", b[i0 : i0 + 4])[0]
+    pl = b[i0 + 8 : i0 + 14]
+    short = (b[:i0] + struct.pack(">I", 6) + b"PLTE" + pl
+             + struct.pack(">I", zlib.crc32(b"PLTE" + pl) & 0xFFFFFFFF)
+             + b[i0 + 12 + ln :])
+    assert dec(short) is None
