@@ -1689,6 +1689,178 @@ def bmp_dims(payload: Column | str) -> tuple[Column, Column, Column]:
     return w, h, bpp
 
 
+def _make_warc_gen():
+    """Factory returning the WARC/1.0 generator (by-value pickling):
+    spec-shaped records — version line, WARC-Type / Record-ID / Date /
+    Target-URI / Content-Length headers, CRLF-CRLF separator, exact
+    payload bytes, CRLF-CRLF record terminator.  WARC is THE container
+    web crawls actually ship as (Common Crawl et al.); the census
+    walks this exact structure."""
+
+    def warc(records) -> bytes:
+        out = bytearray()
+        for j, (rtype, uri, payload) in enumerate(records):
+            hdr = [
+                "WARC/1.0",
+                f"WARC-Type: {rtype}",
+                f"WARC-Record-ID: <urn:uuid:rec-{j}>",
+                "WARC-Date: 2024-01-01T00:00:00Z",
+            ]
+            if uri:
+                hdr.append(f"WARC-Target-URI: {uri}")
+            hdr.append(f"Content-Length: {len(payload)}")
+            out += ("\r\n".join(hdr) + "\r\n\r\n").encode()
+            out += payload
+            out += b"\r\n\r\n"
+        return bytes(out)
+
+    return warc
+
+
+#: the WARC generator (factory-made; importable for tests)
+warc_bytes = _make_warc_gen()
+
+
+def _make_warc_walker():
+    """Factory returning the WARC record walker (by-value pickling):
+    per record, parse the version line + headers up to the CRLF-CRLF
+    separator, skip exactly Content-Length payload bytes, require the
+    CRLF-CRLF terminator.  A malformed version line, missing
+    Content-Length, or truncated payload stops the walk — the records
+    parsed before the lie survive (partial census)."""
+
+    def walk(b: bytes):
+        b = bytes(b)
+        recs = []
+        pos = 0
+        ok = True
+        while pos < len(b):
+            end = b.find(b"\r\n\r\n", pos)
+            if end < 0:
+                ok = False
+                break
+            head = b[pos:end]
+            lines = head.split(b"\r\n")
+            if not lines or not lines[0].startswith(b"WARC/"):
+                ok = False
+                break
+            fields = {}
+            for ln in lines[1:]:
+                k, _, v = ln.partition(b": ")
+                fields[k.decode("ascii", "replace").lower()] = v.decode(
+                    "utf-8", "replace")
+            try:
+                clen = int(fields.get("content-length", ""))
+            except ValueError:
+                ok = False
+                break
+            body_s = end + 4
+            body_e = body_s + clen
+            if body_e + 4 > len(b) or b[body_e : body_e + 4] != b"\r\n\r\n":
+                ok = False
+                break
+            recs.append({
+                "rec_type": fields.get("warc-type"),
+                "target_uri": fields.get("warc-target-uri"),
+                "content_length": clen,
+                "byte_sum": sum(b[body_s:body_e]),
+            })
+            pos = body_e + 4
+        return {"records": recs, "valid": ok and bool(recs)}
+
+    return walk
+
+
+#: the WARC walker (factory-made; importable for tests)
+parse_warc = _make_warc_walker()
+
+
+WARC_SCHEMA = (
+    "doc_id long, rec_idx long, rec_type string, target_uri string,"
+    " content_length long, byte_sum long, valid boolean"
+)
+
+
+def warc_records(df: DataFrame) -> DataFrame:
+    """WARC record census (r9): one row per record with its type,
+    target URI, exact content length, and the payload bytes' integer
+    sum (the proof the EXACT body range was read — the byte_sum idiom
+    of the frame walks).  ``valid`` is the per-SHARD structural flag
+    (replicated on each of its rows); a shard whose walk broke still
+    emits the records parsed before the lie.  Non-WARC payloads emit a
+    single (rec_idx −1, valid=false) row.  One zero-shuffle Arrow
+    pass; record bodies never leave their input partition."""
+    walk = _make_warc_walker()
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        def rows(doc_id: int, b: bytes):
+            got = walk(b)
+            if not got["records"]:
+                yield (doc_id, -1, None, None, None, None, False)
+                return
+            for j, r in enumerate(got["records"]):
+                yield (doc_id, j, r["rec_type"], r["target_uri"],
+                       r["content_length"], r["byte_sum"],
+                       got["valid"])
+
+        cols = ["doc_id", "rec_idx", "rec_type", "target_uri",
+                "content_length", "byte_sum", "valid"]
+        for pdf in batches:
+            out = [
+                r
+                for doc_id, payload in zip(pdf["doc_id"], pdf["payload"])
+                for r in rows(int(doc_id), bytes(payload))
+            ]
+            yield pd.DataFrame(out, columns=cols)
+
+    return df.mapInPandas(run, schema=WARC_SCHEMA)
+
+
+def synth_warc_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixture for x_warc_records (r9): each document becomes a WARC
+    shard of 2+(id%4) records — types rotating warcinfo/request/
+    response by (id+j)%3 (warcinfo carries no Target-URI), uri
+    'http://site{(id+j)%50}.example/page{j}', payload of 20+(id+7j)%40
+    bytes (byte k = (id+11j+3k)%256).  Every 23rd id corrupts record
+    1's version line — the walker must keep record 0 and flag the
+    shard."""
+    _gen = warc_bytes  # factory-made → ships by value
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        def one(i: int) -> bytes:
+            recs = []
+            for j in range(2 + i % 4):
+                t = ("warcinfo", "request", "response")[(i + j) % 3]
+                uri = (None if t == "warcinfo"
+                       else "http://site%d.example/page%d"
+                       % ((i + j) % 50, j))
+                payload = bytes((i + 11 * j + 3 * k) % 256
+                                for k in range(20 + (i + 7 * j) % 40))
+                recs.append((t, uri, payload))
+            b = _gen(recs)
+            if i % 23 == 0:
+                # corrupt record 1's version line (payload bytes step
+                # by 3 mod 256, so "WARC/1.0" can only be a real
+                # record start)
+                k2 = b.index(b"WARC/1.0", 1)
+                bb = bytearray(b)
+                bb[k2] = 0x58  # 'X'
+                return bytes(bb)
+            return b
+
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame({"doc_id": ids, "payload": ids.map(one)})
+
+    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        gen, "doc_id long, payload binary"
+    )
+
+
 def _make_gif_gen():
     """Factory returning the GIF89a generator (by-value pickling, see
     _make_mp4_gen): spec-shaped header + logical screen descriptor

@@ -2426,6 +2426,63 @@ def x_bmp_meta(spark, sf_dir):
 
 
 @register(
+    "x_warc_records",
+    """
+    WITH g AS (
+        SELECT doc_id, 2 + doc_id % 4 AS nr, doc_id % 23 = 0 AS corrupt
+        FROM documents WHERE doc_id % 3 = 1
+    ),
+    r AS (
+        SELECT doc_id, corrupt,
+               unnest(range(0, CASE WHEN corrupt THEN 1 ELSE nr END)) AS j
+        FROM g
+    ),
+    t AS (
+        SELECT doc_id, corrupt, j,
+               CASE (doc_id + j) % 3 WHEN 0 THEN 'warcinfo'
+                    WHEN 1 THEN 'request' ELSE 'response' END AS rec_type,
+               20 + (doc_id + 7 * j) % 40 AS clen
+        FROM r
+    ),
+    bexp AS (SELECT doc_id, j, clen, unnest(range(0, clen)) AS k FROM t),
+    bsum AS (
+        SELECT doc_id, j,
+               CAST(SUM((doc_id + 11 * j + 3 * k) % 256) AS BIGINT)
+                   AS byte_sum
+        FROM bexp GROUP BY doc_id, j
+    )
+    SELECT t.doc_id, CAST(t.j AS BIGINT) AS rec_idx, t.rec_type,
+           CASE WHEN t.rec_type = 'warcinfo' THEN 'none'
+                ELSE printf('http://site%d.example/page%d',
+                            (t.doc_id + t.j) % 50, t.j) END AS target_uri,
+           CAST(t.clen AS BIGINT) AS content_length,
+           b.byte_sum, NOT t.corrupt AS valid
+    FROM t JOIN bsum b ON t.doc_id = b.doc_id AND t.j = b.j
+    """,
+)
+def x_warc_records(spark, sf_dir):
+    """WARC record walk (r9; operators/media.warc_records) — the
+    container web crawls actually ship as: per record, the version
+    line + header parse up to CRLF-CRLF, an EXACT Content-Length body
+    skip proved by the payload bytes' integer sum, and the record
+    terminator check.  Every 23rd fixture corrupts record 1's version
+    line: the walker keeps record 0 (partial census, valid=false on
+    the shard's rows).  The oracle recomputes every type, URI,
+    length, and byte sum from id arithmetic; warcinfo records carry
+    no Target-URI ('none' sentinel on both sides)."""
+    from lwetl_spark.operators.media import synth_warc_demo, warc_records
+
+    docs = _t(spark, sf_dir, "documents")
+    out = warc_records(synth_warc_demo(
+        docs.filter(F.col("doc_id") % 3 == 1)))
+    return out.select(
+        "doc_id", "rec_idx", "rec_type",
+        F.coalesce(F.col("target_uri"), F.lit("none")).alias("target_uri"),
+        "content_length", "byte_sum", "valid",
+    )
+
+
+@register(
     "x_gif_meta",
     """
     WITH g AS (

@@ -1289,3 +1289,33 @@ def test_png_palette_decode_and_short_plte():
              + struct.pack(">I", zlib.crc32(b"PLTE" + pl) & 0xFFFFFFFF)
              + b[i0 + 12 + ln :])
     assert dec(short) is None
+
+
+def test_warc_walker_and_census(spark):
+    """parse_warc: header parse, exact Content-Length body skip (byte
+    sums prove the range), terminator check; corruption keeps the
+    records before the lie; warc_records emits per-record rows and a
+    single sentinel row for non-WARC payloads."""
+    from lwetl_spark.operators.media import parse_warc, warc_bytes, warc_records
+
+    recs = [("warcinfo", None, b"software: test"),
+            ("response", "http://a.example/x", bytes(range(50)))]
+    b = warc_bytes(recs)
+    got = parse_warc(b)
+    assert got["valid"] and len(got["records"]) == 2
+    r1 = got["records"][1]
+    assert (r1["rec_type"], r1["target_uri"]) == (
+        "response", "http://a.example/x")
+    assert r1["content_length"] == 50 and r1["byte_sum"] == sum(range(50))
+    # truncated body: record 0 survives, shard flagged
+    cut = b[: b.index(b"WARC/1.0", 1) + 40]
+    g2 = parse_warc(cut)
+    assert not g2["valid"] and len(g2["records"]) == 1
+    df = spark.createDataFrame(
+        [(1, b), (2, b"plainly not warc")], "doc_id long, payload binary"
+    )
+    out = {}
+    for r in warc_records(df).collect():
+        out.setdefault(r["doc_id"], []).append(r)
+    assert len(out[1]) == 2 and all(r["valid"] for r in out[1])
+    assert out[2][0]["rec_idx"] == -1 and out[2][0]["valid"] is False
