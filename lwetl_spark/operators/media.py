@@ -1861,6 +1861,107 @@ def synth_warc_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def warc_payloads(df: DataFrame) -> DataFrame:
+    """Extract record BODIES from WARC shards (r9 — the payload leg of
+    `warc_records`, the tar_member_payloads idiom): same header walk,
+    same partial-census-on-corruption contract, but emitting
+    (doc_id, rec_idx, rec_type, target_uri, payload) rows — the feed a
+    crawl ingest consumes (response bodies → HTML strip → campaign).
+    One zero-shuffle Arrow pass."""
+    walk = _make_warc_walker()
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        def rows(doc_id: int, b: bytes):
+            # re-walk with body slicing (the walker proves ranges via
+            # byte sums; here we carry the bytes themselves)
+            pos = 0
+            j = 0
+            while pos < len(b):
+                end = b.find(b"\r\n\r\n", pos)
+                if end < 0:
+                    return
+                head = b[pos:end]
+                lines = head.split(b"\r\n")
+                if not lines or not lines[0].startswith(b"WARC/"):
+                    return
+                fields = {}
+                for ln in lines[1:]:
+                    k, _, v = ln.partition(b": ")
+                    fields[k.decode("ascii", "replace").lower()] = (
+                        v.decode("utf-8", "replace"))
+                try:
+                    clen = int(fields.get("content-length", ""))
+                except ValueError:
+                    return
+                body_s = end + 4
+                body_e = body_s + clen
+                if (body_e + 4 > len(b)
+                        or b[body_e : body_e + 4] != b"\r\n\r\n"):
+                    return
+                yield (doc_id, j, fields.get("warc-type"),
+                       fields.get("warc-target-uri"),
+                       b[body_s:body_e])
+                j += 1
+                pos = body_e + 4
+
+        cols = ["doc_id", "rec_idx", "rec_type", "target_uri", "payload"]
+        for pdf in batches:
+            out = [
+                r
+                for doc_id, payload in zip(pdf["doc_id"], pdf["payload"])
+                for r in rows(int(doc_id), bytes(payload))
+            ]
+            yield pd.DataFrame(out, columns=cols)
+
+    return df.mapInPandas(
+        run,
+        "doc_id long, rec_idx long, rec_type string, target_uri string,"
+        " payload binary",
+    )
+
+
+def synth_warc_html_demo(docs: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Fixture for x_warc_ingest (r9): each document becomes a WARC
+    shard of warcinfo + request + ONE response whose body is the
+    document's text wrapped in real HTML boilerplate (a script block
+    the extractor must drop, a constant title, tags, a comment).  The
+    crawl-ingest composition must recover 'page ' + the original
+    text, whitespace-collapsed."""
+    _gen = warc_bytes  # factory-made → ships by value
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        def one(i: int, text: str) -> bytes:
+            html = (
+                "<html><head><script>var n=%d;</script>"
+                "<title>page</title></head><body><p>%s</p>"
+                "<!-- crawl --></body></html>" % (i, text)
+            )
+            return _gen([
+                ("warcinfo", None, b"software: lwetl_spark"),
+                ("request", "http://site%d.example/p" % (i % 50),
+                 b"GET /p HTTP/1.1"),
+                ("response", "http://site%d.example/p" % (i % 50),
+                 html.encode()),
+            ])
+
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame({
+                "doc_id": ids,
+                "payload": [one(int(i), t) for i, t in
+                            zip(ids, pdf["text"])],
+            })
+
+    return docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    ).mapInPandas(gen, "doc_id long, payload binary")
+
+
 def _make_gif_gen():
     """Factory returning the GIF89a generator (by-value pickling, see
     _make_mp4_gen): spec-shaped header + logical screen descriptor

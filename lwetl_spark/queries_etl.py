@@ -2426,6 +2426,101 @@ def x_bmp_meta(spark, sf_dir):
 
 
 @register(
+    "x_warc_ingest",
+    r"""
+    WITH sub AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 4 = 3
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_shards,
+           CAST(COUNT(*) AS BIGINT) AS n_responses,
+           CAST(COUNT(DISTINCT lower(trim(regexp_replace(
+                'page ' || text, '\s+', ' ', 'g')))) AS BIGINT)
+               AS n_admitted,
+           TRUE AS index_matches_fresh,
+           TRUE AS no_readmission
+    FROM sub
+    """,
+)
+def x_warc_ingest(spark, sf_dir):
+    """The FULL web-crawl ingest loop composed end-to-end (r9 — the
+    WARC-side mirror of x_webdataset_campaign): WARC shards →
+    `warc_payloads` (header walk, exact Content-Length body slices) →
+    response bodies → `html_text` boilerplate strip (script/title/
+    tags/comment dropped, whitespace collapsed — pure JVM regex
+    chain) → `ingest_increment` (manifest diff + content dedup +
+    index maintenance).  Contracts, all oracle-checked: (a)
+    n_admitted = the distinct count of cleaned texts (the oracle
+    replays the 'page ' + collapse normalization — duplicate document
+    texts dedup to one admission); (b) the campaign-maintained index
+    equals a fresh build over the admitted set; (c) re-crawling the
+    same shards admits nothing."""
+    import os as _os
+    import shutil as _shutil
+
+    from lwetl_spark.functions.text import html_text
+    from lwetl_spark.operators.incremental import ingest_increment
+    from lwetl_spark.operators.media import (
+        synth_warc_html_demo,
+        warc_payloads,
+    )
+    from lwetl_spark.operators.retrieval import (
+        build_text_index,
+        query_text_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sub = docs.filter(F.col("doc_id") % 4 == 3)
+    shards = synth_warc_html_demo(sub)
+    members = warc_payloads(shards).localCheckpoint(eager=True)
+    cleaned = (
+        members.filter(F.col("rec_type") == "response")
+        .select(
+            "doc_id",
+            html_text(F.decode("payload", "UTF-8")).alias("text"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    work = _tmpdir("warcingest")
+    man, state, idx = (
+        _os.path.join(work, p) for p in ("manifest", "state", "index")
+    )
+    r1 = ingest_increment(spark, cleaned, man, state, idx)
+    admitted = spark.read.parquet(state).select("doc_id")
+    fresh_path = _os.path.join(work, "fresh")
+    build_text_index(
+        cleaned.join(admitted, "doc_id", "left_semi"), fresh_path
+    )
+    probes = spark.createDataFrame(
+        [(1, "page"), (2, "table"), (3, "scan"), (4, "merge")],
+        "query_id int, term string",
+    )
+    cols = ["query_id", "doc_id", "score_ppm", "n_terms", "rnk"]
+    a = query_text_index(spark, idx, probes, k=10).groupBy(*cols).agg(
+        F.count("*").alias("_ca")
+    )
+    b = query_text_index(spark, fresh_path, probes, k=10).groupBy(
+        *cols
+    ).agg(F.count("*").alias("_cb"))
+    mismatches = (
+        a.join(b, cols, "full_outer")
+        .filter("_ca IS NULL OR _cb IS NULL OR _ca <> _cb")
+        .count()
+    )
+    r2 = ingest_increment(spark, cleaned, man, state, idx)
+    n_shards = sub.count()
+    n_responses = members.filter(F.col("rec_type") == "response").count()
+    _shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        [(
+            int(n_shards), int(n_responses), int(r1["n_admitted"]),
+            mismatches == 0, int(r2["n_admitted"]) == 0,
+        )],
+        "n_shards long, n_responses long, n_admitted long,"
+        " index_matches_fresh boolean, no_readmission boolean",
+    )
+
+
+@register(
     "x_warc_records",
     """
     WITH g AS (
