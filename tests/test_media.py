@@ -1077,16 +1077,16 @@ def test_decoders_never_raise_on_arbitrary_bytes():
 
     magics = [b"", b"\xff\xd8\xff\xe0", b"\x1aE\xdf\xa3",
               b"\x00\x00\x00\x18ftyp", b"\x89PNG\r\n\x1a\n", b"RIFF",
-              b"GIF89a", b"BM"]
+              b"GIF89a", b"BM", b"WARC/1.0\r\n"]
 
     @settings(max_examples=200, deadline=None)
     @given(prefix=st.sampled_from(magics),
            body=st.binary(min_size=0, max_size=400))
     def run(prefix: bytes, body: bytes) -> None:
         b = prefix + body
-        from lwetl_spark.operators.media import parse_gif
+        from lwetl_spark.operators.media import parse_gif, parse_warc
         for fn in (decode_jpeg, parse_mkv, mkv_block_index,
-                   mp4_sample_index, parse_mp4, parse_gif):
+                   mp4_sample_index, parse_mp4, parse_gif, parse_warc):
             fn(b)  # must not raise; return value unconstrained
 
     run()
