@@ -1480,21 +1480,23 @@ PNG_PIXEL_SCHEMA = (
 
 
 def _make_png_codec():
-    """Factory returning (decode, encode) for 8-bit PNG — grayscale,
+    """Factory returning (decode, encode) for PNG — grayscale,
     gray+alpha, truecolor RGB, and RGBA (color types 0/4/2/6; r9 —
     real-crawl PNGs are mostly truecolor, the r8 codec was
-    grayscale-only).  decode runs the full spec reconstruction (zlib
-    IDAT + all five scanline filters AT THE CORRECT bpp OFFSET — the
-    Sub/Average/Paeth 'left' neighbor is the byte one PIXEL back, not
-    one byte — AND Adam7 interlacing: seven independently-filtered
-    passes scattered onto their grids) and returns an (h, w) or
-    (h, w, ch) uint8 array or None; 16-bit and palette streams return
-    None (stated honestly).  encode writes filter-0 scanlines with a
-    zlib IDAT and
-    correct CRCs for 2-D gray or 3-D 2/3/4-channel arrays — a real,
-    any-viewer-decodable PNG.  Shared by png_pixel_stats,
-    png_thumbnails, and image_dhash so every chain is one
-    implementation."""
+    grayscale-only) at 8-bit AND 16-bit sample depth (r9: the last PNG
+    form; scientific/scanner imagery in crawls is 16-bit).  decode
+    runs the full spec reconstruction (zlib IDAT + all five scanline
+    filters AT THE CORRECT bpp OFFSET — the Sub/Average/Paeth 'left'
+    neighbor is the byte one PIXEL back, not one byte; at depth 16
+    that is ch·2 bytes, and filtering happens on BYTES before the
+    big-endian pair combine, per spec — AND Adam7 interlacing: seven
+    independently-filtered passes scattered onto their grids) and
+    returns an (h, w) or (h, w, ch) uint8 (depth 8) or uint16
+    (depth 16) array, or None.  encode writes filter-0 scanlines with
+    a zlib IDAT and correct CRCs for 2-D gray or 3-D 2/3/4-channel
+    arrays — uint16 input emits a real 16-bit big-endian PNG.  Shared
+    by png_pixel_stats, png_thumbnails, and image_dhash so every
+    chain is one implementation."""
     import struct
     import zlib
 
@@ -1563,8 +1565,12 @@ def _make_png_codec():
         # palette (type 3, r9): indices reconstruct as a 1-channel
         # plane, then map through PLTE to RGB
         ch = 1 if colortype == 3 else CH.get(colortype)
-        if bitdepth != 8 or ch is None or interlace not in (0, 1):
-            return None  # 16-bit: out of scope
+        if bitdepth not in (8, 16) or ch is None or interlace not in (0, 1):
+            return None  # sub-byte depths (1/2/4): out of scope
+        if bitdepth == 16 and colortype == 3:
+            return None  # spec: palette depth is 1/2/4/8 only
+        nb = bitdepth // 8
+        bpp = ch * nb  # filter offset is BYTES per pixel
         idat = bytearray()
         plte = None
         pos = 8
@@ -1593,28 +1599,44 @@ def _make_png_codec():
                 return None
             return pal[arr]
 
+        def _pairs(arr, rows, wpx):
+            """Combine big-endian byte pairs of a reconstructed
+            (rows, wpx·ch·2) byte plane into (rows, wpx·ch) uint16 —
+            the depth-16 finish, AFTER byte-level filtering."""
+            return (
+                np.frombuffer(arr.tobytes(), dtype=">u2")
+                .astype(np.uint16)
+                .reshape(rows, wpx * ch)
+            )
+
         if interlace == 0:
-            if len(raw) != h * (1 + w * ch):
+            if len(raw) != h * (1 + w * bpp):
                 return None
-            out, _used = _recon(raw, 0, w, h, ch)
+            out, _used = _recon(raw, 0, w, h, bpp)
             if out is None:
                 return None
+            if nb == 2:
+                out = _pairs(out, h, w)
             if colortype == 3:
                 return _palettize(out)
             return out if ch == 1 else out.reshape(h, w, ch)
         # Adam7 (r9): seven independently-filtered passes, each a
         # sub-image scattered onto its (y0::ys, x0::xs) grid
-        full = np.zeros((h, w, ch), dtype=np.uint8)
+        full = np.zeros(
+            (h, w, ch), dtype=np.uint16 if nb == 2 else np.uint8
+        )
         off = 0
         for x0, y0, xs, ys in ADAM7:
             pw = (w - x0 + xs - 1) // xs
             ph = (h - y0 + ys - 1) // ys
             if pw <= 0 or ph <= 0:
                 continue
-            sub, used = _recon(raw, off, pw, ph, ch)
+            sub, used = _recon(raw, off, pw, ph, bpp)
             if sub is None:
                 return None
             off += used
+            if nb == 2:
+                sub = _pairs(sub, ph, pw)
             full[y0::ys, x0::xs, :] = sub.reshape(ph, pw, ch)
         if off != len(raw):
             return None  # trailing garbage: structural lie
@@ -1637,10 +1659,14 @@ def _make_png_codec():
                 + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
             )
 
-        ihdr = struct.pack(">IIBBBBB", w, h, 8, colortype, 0, 0, 0)
+        depth = 16 if px.dtype == np.uint16 else 8
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, colortype, 0, 0, 0)
         rows = px.reshape(h, w * ch)
         raw = b"".join(
-            b"\x00" + rows[r].astype(np.uint8).tobytes() for r in range(h)
+            b"\x00" + rows[r].astype(
+                ">u2" if depth == 16 else np.uint8
+            ).tobytes()
+            for r in range(h)
         )
         return (
             b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
@@ -2412,6 +2438,103 @@ def synth_png_color_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
         def one(i: int) -> bytes:
             b = _gen(4 + i % 12, 4 + i % 6, i % 256)
+            if i % 29 == 0:
+                bb = bytearray(b)
+                bb[b.index(b"IDAT") + 8] ^= 0xFF
+                return bytes(bb)
+            return b
+
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame({"doc_id": ids, "payload": ids.map(one)})
+
+    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        gen, "doc_id long, payload binary"
+    )
+
+
+def _make_png16_gen():
+    """Factory returning the 16-BIT PNG generator (by-value pickling,
+    see _make_mp4_gen): sample (r, c, k) = (seed·257 + 131r + 241c +
+    7919k) % 65536 stored as big-endian byte PAIRS, scanline filters
+    rotating through ALL FIVE spec filters by row at the ch·2-byte
+    pixel offset — so a decoder must filter on BYTES (not samples)
+    with the left neighbor one full 16-bit pixel back, then combine
+    pairs.  Gray (ch=1) and RGB (ch=3) variants."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    def png16(w: int, h: int, seed: int, ch: int = 3) -> bytes:
+        bpp = ch * 2
+        wb = w * bpp
+        colortype = {1: 0, 3: 2}[ch]
+
+        def byte_at(r: int, i: int) -> int:
+            v = (seed * 257 + 131 * r + 241 * (i // bpp)
+                 + 7919 * ((i % bpp) // 2)) % 65536
+            return (v >> 8) & 0xFF if i % 2 == 0 else v & 0xFF
+
+        lines = []
+        prev = [0] * wb
+        for r in range(h):
+            raw = [byte_at(r, i) for i in range(wb)]
+            f = r % 5
+            if f == 0:
+                filt = list(raw)
+            elif f == 1:  # Sub
+                filt = [(raw[i] - (raw[i - bpp] if i >= bpp else 0))
+                        & 0xFF for i in range(wb)]
+            elif f == 2:  # Up
+                filt = [(raw[i] - prev[i]) & 0xFF for i in range(wb)]
+            elif f == 3:  # Average
+                filt = [
+                    (raw[i] - (((raw[i - bpp] if i >= bpp else 0)
+                                + prev[i]) // 2)) & 0xFF
+                    for i in range(wb)
+                ]
+            else:  # Paeth
+                filt = []
+                for i in range(wb):
+                    a = raw[i - bpp] if i >= bpp else 0
+                    b2 = prev[i]
+                    c2 = prev[i - bpp] if i >= bpp else 0
+                    p = a + b2 - c2
+                    pa, pb, pc = abs(p - a), abs(p - b2), abs(p - c2)
+                    pred = a if (pa <= pb and pa <= pc) else (
+                        b2 if pb <= pc else c2)
+                    filt.append((raw[i] - pred) & 0xFF)
+            lines.append(bytes([f]) + bytes(filt))
+            prev = raw
+        ihdr = struct.pack(">IIBBBBB", w, h, 16, colortype, 0, 0, 0)
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+                + chunk(b"IEND", b""))
+
+    return png16
+
+
+#: the 16-bit PNG generator (factory-made; importable for tests)
+png16_bytes = _make_png16_gen()
+
+
+def synth_png16_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixture for x_png_16bit (r9): REAL 16-bit PNGs — dims
+    4+(id%11) × 4+(id%6), gray for odd ids / RGB for even, the
+    arithmetic sample model of png16_bytes with all five filters
+    rotating at the 16-bit pixel offset; every 29th id breaks the
+    IDAT zlib stream (NULL stats)."""
+    _gen = png16_bytes  # factory-made → ships by value
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        def one(i: int) -> bytes:
+            b = _gen(4 + i % 11, 4 + i % 6, i % 256,
+                     1 if i % 2 == 1 else 3)
             if i % 29 == 0:
                 bb = bytearray(b)
                 bb[b.index(b"IDAT") + 8] ^= 0xFF

@@ -2799,8 +2799,8 @@ def x_png_color(spark, sf_dir):
     filters by row and the oracle recomputes every channel value from
     id arithmetic; every 29th id has a broken IDAT zlib stream → NULL
     stats with -1 sentinels (the x_mp4_meta rule), never a task
-    failure.  Adam7 decodes too (x_png_adam7); 16-bit/palette stay
-    honestly out of scope."""
+    failure.  Adam7 (x_png_adam7), palette (x_png_palette), and
+    16-bit (x_png_16bit) decode too."""
     from lwetl_spark.operators.media import (
         png_pixel_stats,
         synth_png_color_demo,
@@ -2808,6 +2808,73 @@ def x_png_color(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     out = png_pixel_stats(synth_png_color_demo(docs))
+    return out.select(
+        "doc_id",
+        *[F.coalesce(F.col(c), F.lit(-1)).cast("long").alias(c)
+          for c in ("width", "height", "n_px", "sum_px", "min_px",
+                    "max_px")],
+    )
+
+
+@register(
+    "x_png_16bit",
+    """
+    WITH g AS (
+        SELECT doc_id, 4 + doc_id % 11 AS w, 4 + doc_id % 6 AS h,
+               doc_id % 256 AS s,
+               CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 3 END AS nch
+        FROM documents
+    ),
+    rr AS (SELECT *, unnest(range(0, h)) AS r FROM g),
+    cc AS (SELECT *, unnest(range(0, w)) AS c FROM rr),
+    kk AS (SELECT *, unnest(range(0, 3)) AS k FROM cc),
+    v AS (
+        SELECT doc_id, w, h, nch,
+               (s * 257 + 131 * r + 241 * c + 7919 * k) % 65536 AS v
+        FROM kk WHERE k < nch
+    ),
+    st AS (
+        SELECT doc_id, MAX(w) AS w, MAX(h) AS h, MAX(nch) AS nch,
+               CAST(SUM(v) AS BIGINT) AS sum_px,
+               CAST(MIN(v) AS BIGINT) AS min_px,
+               CAST(MAX(v) AS BIGINT) AS max_px
+        FROM v GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(CASE WHEN doc_id % 29 <> 0 THEN w ELSE -1 END
+                AS BIGINT) AS width,
+           CAST(CASE WHEN doc_id % 29 <> 0 THEN h ELSE -1 END
+                AS BIGINT) AS height,
+           CAST(CASE WHEN doc_id % 29 <> 0 THEN nch * w * h ELSE -1 END
+                AS BIGINT) AS n_px,
+           CAST(CASE WHEN doc_id % 29 <> 0 THEN sum_px ELSE -1 END
+                AS BIGINT) AS sum_px,
+           CAST(CASE WHEN doc_id % 29 <> 0 THEN min_px ELSE -1 END
+                AS BIGINT) AS min_px,
+           CAST(CASE WHEN doc_id % 29 <> 0 THEN max_px ELSE -1 END
+                AS BIGINT) AS max_px
+    FROM st
+    """,
+)
+def x_png_16bit(spark, sf_dir):
+    """16-BIT PNG pixel decode (r9 — closes the PNG ledger: every
+    spec color type and byte-aligned depth now decodes; operators/
+    media._make_png_codec): scanline filters run on BYTES with the
+    left neighbor ch·2 bytes back, THEN big-endian pairs combine into
+    uint16 samples — the order a 16-bit decoder must get right (a
+    sample-space filter or a little-endian combine fails every
+    non-trivial pixel).  Gray and RGB fixtures rotate all five spec
+    filters; the oracle recomputes every 16-bit sample from id
+    arithmetic; corrupt-IDAT legs get -1 sentinels (the x_mp4_meta
+    rule).  Sub-byte depths (1/2/4) remain the only out-of-scope PNG
+    forms."""
+    from lwetl_spark.operators.media import (
+        png_pixel_stats,
+        synth_png16_demo,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    out = png_pixel_stats(synth_png16_demo(docs))
     return out.select(
         "doc_id",
         *[F.coalesce(F.col(c), F.lit(-1)).cast("long").alias(c)

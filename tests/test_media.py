@@ -1319,3 +1319,72 @@ def test_warc_walker_and_census(spark):
         out.setdefault(r["doc_id"], []).append(r)
     assert len(out[1]) == 2 and all(r["valid"] for r in out[1])
     assert out[2][0]["rec_idx"] == -1 and out[2][0]["valid"] is False
+
+
+def test_png_16bit_decode_byte_filter_then_pair_combine():
+    """Depth-16 PNG (r9, closes the PNG ledger): filters run on BYTES
+    with the left neighbor ch*2 back, THEN big-endian pairs combine —
+    a sample-space filter or LE combine fails every pixel below.
+    Covers gray + RGB, encode round-trip, hand-built Adam7 at 16-bit,
+    and the spec rejection of 16-bit palette."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from lwetl_spark.operators.media import _make_png_codec, png16_bytes
+
+    dec, enc = _make_png_codec()
+    for ch in (1, 3):
+        px = dec(png16_bytes(7, 6, 42, ch))
+        assert px is not None and px.dtype == np.uint16
+        got = px if px.ndim == 3 else px[:, :, None]
+        for r in range(6):
+            for c in range(7):
+                for k in range(ch):
+                    assert int(got[r, c, k]) == (
+                        42 * 257 + 131 * r + 241 * c + 7919 * k) % 65536
+    # encode round-trip keeps 16-bit depth exactly
+    arr = (np.arange(5 * 4, dtype=np.uint16).reshape(5, 4) * 4111) % 65536
+    arr = arr.astype(np.uint16)
+    again = dec(enc(arr))
+    assert again.dtype == np.uint16 and (again == arr).all()
+
+    # hand-built Adam7 16-bit gray 4x4: value = 256*r + c (hi byte is
+    # the row, lo byte the column -- any pass-scatter mistake shows)
+    w = h = 4
+
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    passes = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+              (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+    raw = bytearray()
+    for x0, y0, xs, ys in passes:
+        pw = (w - x0 + xs - 1) // xs
+        ph = (h - y0 + ys - 1) // ys
+        if pw <= 0 or ph <= 0:
+            continue
+        for pr in range(ph):
+            raw.append(0)  # filter None
+            for pc in range(pw):
+                r, c = y0 + pr * ys, x0 + pc * xs
+                raw += struct.pack(">H", 256 * r + c)
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, 0, 0, 0, 1)
+    b = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+         + chunk(b"IDAT", zlib.compress(bytes(raw)))
+         + chunk(b"IEND", b""))
+    px = dec(b)
+    assert px is not None and px.dtype == np.uint16
+    for r in range(h):
+        for c in range(w):
+            assert int(px[r, c]) == 256 * r + c
+
+    # 16-bit palette is a spec violation -> None, not a decode attempt
+    pal_ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 3, 0, 0, 0)
+    bad = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", pal_ihdr)
+           + chunk(b"PLTE", bytes(6))
+           + chunk(b"IDAT", zlib.compress(bytes(10)))
+           + chunk(b"IEND", b""))
+    assert dec(bad) is None
