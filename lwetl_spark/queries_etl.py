@@ -2618,6 +2618,81 @@ def x_gif_meta(spark, sf_dir):
 
 
 @register(
+    "x_gif_pixels",
+    """
+    WITH g AS (
+        SELECT doc_id, 4 + doc_id % 9 AS w, 4 + doc_id % 7 AS h,
+               1 + doc_id % 4 AS nf, 5 + doc_id % 12 AS np,
+               doc_id % 256 AS s
+        FROM documents
+    ),
+    ff AS (SELECT *, unnest(range(0, 4)) AS f FROM g),
+    rr AS (SELECT *, unnest(range(0, h)) AS r FROM ff WHERE f < nf),
+    cc AS (SELECT *, unnest(range(0, w)) AS c FROM rr),
+    px AS (
+        SELECT doc_id, w, h, nf,
+               (s + 7 * r + 13 * c + 17 * f) % np AS p
+        FROM cc
+    ),
+    v AS (
+        SELECT doc_id, w, h, nf, (3 * p + 11) % 256 AS r0,
+               (5 * p + 29) % 256 AS g0, (7 * p + 47) % 256 AS b0
+        FROM px
+    ),
+    st AS (
+        SELECT doc_id, MAX(w) AS w, MAX(h) AS h, MAX(nf) AS nf,
+               CAST(SUM(r0 + g0 + b0) AS BIGINT) AS sum_px,
+               CAST(LEAST(MIN(r0), MIN(g0), MIN(b0)) AS BIGINT) AS min_px,
+               CAST(GREATEST(MAX(r0), MAX(g0), MAX(b0)) AS BIGINT)
+                   AS max_px
+        FROM v GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(CASE WHEN doc_id % 31 <> 0 THEN w ELSE -1 END
+                AS BIGINT) AS width,
+           CAST(CASE WHEN doc_id % 31 <> 0 THEN h ELSE -1 END
+                AS BIGINT) AS height,
+           CAST(CASE WHEN doc_id % 31 <> 0 THEN nf ELSE -1 END
+                AS BIGINT) AS n_frames,
+           CAST(CASE WHEN doc_id % 31 <> 0 THEN 3 * w * h * nf
+                ELSE -1 END AS BIGINT) AS n_px,
+           CAST(CASE WHEN doc_id % 31 <> 0 THEN sum_px ELSE -1 END
+                AS BIGINT) AS sum_px,
+           CAST(CASE WHEN doc_id % 31 <> 0 THEN min_px ELSE -1 END
+                AS BIGINT) AS min_px,
+           CAST(CASE WHEN doc_id % 31 <> 0 THEN max_px ELSE -1 END
+                AS BIGINT) AS max_px
+    FROM st
+    """,
+)
+def x_gif_pixels(spark, sf_dir):
+    """GIF-LZW PIXEL decode (r9 — retires the census's 'LZW out of
+    scope' caveat; operators/media.gif_pixel_stats): per-frame LZW
+    decompression (LSB-first variable-width codes, CLEAR/END, KwKwK,
+    the decoder-side width bump at 2^width — one BEFORE the encoder's,
+    the lag real codecs must honor), palette mapping through the
+    arithmetic color table, and 8/8/4/2 de-interlacing on every 5th
+    fixture.  Stats cover ALL frames of animated fixtures, so a
+    decoder that stops at frame 0 or mis-resets the dictionary between
+    frames fails the value hash.  Every 31st id truncates the last
+    frame's code stream → NULL stats with -1 sentinels (the
+    x_mp4_meta rule), never a task failure."""
+    from lwetl_spark.operators.media import (
+        gif_pixel_stats,
+        synth_gif_px_demo,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    out = gif_pixel_stats(synth_gif_px_demo(docs))
+    return out.select(
+        "doc_id",
+        *[F.coalesce(F.col(c), F.lit(-1)).cast("long").alias(c)
+          for c in ("width", "height", "n_frames", "n_px", "sum_px",
+                    "min_px", "max_px")],
+    )
+
+
+@register(
     "x_png_palette",
     """
     WITH g AS (

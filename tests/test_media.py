@@ -1388,3 +1388,63 @@ def test_png_16bit_decode_byte_filter_then_pair_combine():
            + chunk(b"IDAT", zlib.compress(bytes(10)))
            + chunk(b"IEND", b""))
     assert dec(bad) is None
+
+
+def test_gif_lzw_pixel_decode():
+    """GIF-LZW (r9, closes the GIF ledger): encoder/decoder width-bump
+    lag (encoder at 2^w+1, decoder at 2^w), KwKwK case, interlace
+    reorder, local-color-table precedence, and the truncation/early-END
+    None contract."""
+    import struct
+
+    import numpy as np
+
+    from lwetl_spark.operators.media import (
+        gif_decode_pixels,
+        gif_lzw_bytes,
+        parse_gif,
+    )
+
+    # value-exact round trip incl. interlace and animation
+    for (w, h, s, npal, nf, il) in [(5, 6, 3, 7, 2, False),
+                                    (11, 9, 250, 16, 3, True)]:
+        r = gif_decode_pixels(gif_lzw_bytes(w, h, s, npal, nf,
+                                            interlaced=il))
+        assert r is not None and r["n_frames"] == nf
+        for f in range(nf):
+            for rr in range(h):
+                for cc in range(w):
+                    p = (s + 7 * rr + 13 * cc + 17 * f) % npal
+                    assert tuple(
+                        int(v) for v in r["frames"][f][rr, cc]) == (
+                        (3 * p + 11) % 256, (5 * p + 29) % 256,
+                        (7 * p + 47) % 256)
+    # uniform image: the code stream is pure KwKwK chains
+    r = gif_decode_pixels(gif_lzw_bytes(16, 16, 0, 1, 1))
+    assert r is not None and (r["frames"][0][:, :, 0] == 11).all()
+    # many width bumps (1200 px, 4-bit palette)
+    big = gif_lzw_bytes(40, 30, 77, 16, 1)
+    assert parse_gif(big)["valid"]
+    r = gif_decode_pixels(big)
+    p = (77 + 7 * 29 + 13 * 39) % 16
+    assert tuple(int(v) for v in r["frames"][0][29, 39]) == (
+        (3 * p + 11) % 256, (5 * p + 29) % 256, (7 * p + 47) % 256)
+    # truncated code stream -> None (pixel shortfall)
+    assert gif_decode_pixels(
+        gif_lzw_bytes(6, 6, 9, 7, 2, trunc_last=True)) is None
+    # local color table wins over global: rebuild one frame with an
+    # LCT that permutes channels; decoder must use it
+    b = bytearray(gif_lzw_bytes(4, 4, 2, 4, 1))
+    i = 13 + 3 * 4  # header + 4-entry global table -> image descriptor
+    assert b[i] == 0x2C
+    lct = bytes(v for pp in range(4)
+                for v in ((7 * pp + 47) % 256, (3 * pp + 11) % 256,
+                          (5 * pp + 29) % 256))
+    b2 = bytes(b[:i + 9]) + bytes([0x80 | 1]) + lct + bytes(b[i + 10:])
+    r2 = gif_decode_pixels(b2)
+    p = (2 + 0 + 0) % 4
+    assert tuple(int(v) for v in r2["frames"][0][0, 0]) == (
+        (7 * p + 47) % 256, (3 * p + 11) % 256, (5 * p + 29) % 256)
+    # garbage and no-frames forms
+    assert gif_decode_pixels(b"GIF89a" + bytes(20)) is None
+    assert gif_decode_pixels(b"not gif") is None
