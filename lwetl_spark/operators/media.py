@@ -3233,6 +3233,7 @@ def sniff_format(payload: Column | str) -> Column:
         .when(hx.startswith("1A45DFA3"), "mkv")
         .when(hx.startswith("424D"), "bmp")
         .when(hx.startswith("1F8B"), "gzip")
+        .when(hx.startswith("504B0304"), "zip")
         .when(
             hx.startswith("494433") | hx.startswith("FFFA")
             | hx.startswith("FFFB"),
@@ -5209,6 +5210,232 @@ def synth_tar_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             if i % 19 == 0:  # corrupt leg: flip a byte in header 0's name
                 bb = bytearray(b)
                 bb[1] ^= 0xFF
+                return bytes(bb)
+            return b
+
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame({"doc_id": ids, "payload": ids.map(one)})
+
+    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        gen, "doc_id long, payload binary"
+    )
+
+
+def _make_zip_gen():
+    """Factory returning the ZIP generator (by-value pickling, see
+    _make_mp4_gen): a REAL PKZIP archive — per member a local file
+    header (real CRC-32, method 0 stored or method 8 raw deflate via
+    zlib at wbits=-15), then the central directory with
+    local-header offsets, then EOCD.  Datasets and crawl bundles ship
+    as zip at least as often as tar; the walker/extractor read this
+    exact structure."""
+    import struct
+    import zlib
+
+    def zipf(members) -> bytes:
+        """members: [(name, payload, method)] with method in
+        ('stored', 'deflate')."""
+        out = bytearray()
+        central = bytearray()
+        for name, data, method in members:
+            nm = name.encode()
+            crc = zlib.crc32(data) & 0xFFFFFFFF
+            if method == "deflate":
+                comp = zlib.compressobj(6, zlib.DEFLATED, -15)
+                blob = comp.compress(data) + comp.flush()
+                m = 8
+            else:
+                blob = data
+                m = 0
+            off = len(out)
+            hdr = struct.pack(
+                "<IHHHHHIIIHH", 0x04034B50, 20, 0, m, 0, 0, crc,
+                len(blob), len(data), len(nm), 0)
+            out += hdr + nm + blob
+            central += struct.pack(
+                "<IHHHHHHIIIHHHHHII", 0x02014B50, 20, 20, 0, m, 0, 0,
+                crc, len(blob), len(data), len(nm), 0, 0, 0, 0, 0, off
+            ) + nm
+        cd_off = len(out)
+        out += central
+        out += struct.pack(
+            "<IHHHHIIH", 0x06054B50, 0, 0, len(members), len(members),
+            len(central), cd_off, 0)
+        return bytes(out)
+
+    return zipf
+
+
+#: the ZIP generator (factory-made; importable for tests)
+zip_bytes = _make_zip_gen()
+
+
+def _make_zip_walker():
+    """Factory returning (index, extract) for ZIP archives (by-value
+    pickling): EOCD located by a bounded backward scan (spec: it sits
+    in the last 64 KiB + 22 bytes — comments push it off the end),
+    central-directory walk for the member catalog, local-header
+    signature validation, and REAL member extraction — stored bytes
+    or raw-deflate inflate (zlib wbits=-15) with CRC-32
+    verification.  Corruption keeps the members catalogued before the
+    lie (partial census, valid=False); extraction failures mark the
+    member ok=False, never a task failure."""
+    import struct
+    import zlib
+
+    def index(b: bytes):
+        b = bytes(b)
+        if len(b) < 22 or b[:4] != b"PK\x03\x04":
+            return None
+        tail = b[-(65536 + 22):]
+        e = tail.rfind(b"PK\x05\x06")
+        if e < 0 or e + 22 > len(tail):
+            return None
+        n_entries, _cd_size, cd_off = struct.unpack(
+            "<HII", tail[e + 10 : e + 20])
+        members = []
+        ok = True
+        pos = cd_off
+        for _ in range(n_entries):
+            if pos + 46 > len(b) or b[pos : pos + 4] != b"PK\x01\x02":
+                ok = False
+                break
+            (m, crc, csz, usz, nlen, xlen, clen) = (
+                struct.unpack("<H", b[pos + 10 : pos + 12])[0],
+                struct.unpack("<I", b[pos + 16 : pos + 20])[0],
+                struct.unpack("<I", b[pos + 20 : pos + 24])[0],
+                struct.unpack("<I", b[pos + 24 : pos + 28])[0],
+                struct.unpack("<H", b[pos + 28 : pos + 30])[0],
+                struct.unpack("<H", b[pos + 30 : pos + 32])[0],
+                struct.unpack("<H", b[pos + 32 : pos + 34])[0],
+            )
+            loff = struct.unpack("<I", b[pos + 42 : pos + 46])[0]
+            name = b[pos + 46 : pos + 46 + nlen].decode("utf-8", "replace")
+            if (loff + 30 > len(b)
+                    or b[loff : loff + 4] != b"PK\x03\x04"):
+                ok = False
+                break
+            members.append({
+                "name": name, "method": m, "crc": crc,
+                "comp_size": csz, "uncomp_size": usz, "offset": loff,
+            })
+            pos += 46 + nlen + xlen + clen
+        return {"members": members, "valid": ok and bool(members)}
+
+    def extract(b: bytes, member: dict):
+        """One member's payload bytes, CRC-verified, or None."""
+        b = bytes(b)
+        loff = member["offset"]
+        if loff + 30 > len(b):
+            return None
+        nlen, xlen = struct.unpack("<HH", b[loff + 26 : loff + 30])
+        start = loff + 30 + nlen + xlen
+        blob = b[start : start + member["comp_size"]]
+        if len(blob) < member["comp_size"]:
+            return None
+        if member["method"] == 0:
+            data = blob
+        elif member["method"] == 8:
+            try:
+                data = zlib.decompressobj(-15).decompress(blob)
+            except zlib.error:
+                return None
+        else:
+            return None  # bzip2/lzma members: out of scope
+        if len(data) != member["uncomp_size"]:
+            return None
+        if (zlib.crc32(data) & 0xFFFFFFFF) != member["crc"]:
+            return None
+        return data
+
+    return index, extract
+
+
+#: the ZIP walker pair (factory-made; importable for tests)
+parse_zip, extract_zip_member = _make_zip_walker()
+
+
+ZIP_MEMBER_SCHEMA = (
+    "doc_id long, member_idx long, name string, method string,"
+    " uncomp_size long, byte_sum long, ok boolean, valid boolean"
+)
+
+
+def zip_member_contents(df: DataFrame) -> DataFrame:
+    """ZIP archive walk + REAL member extraction (r9): central
+    directory catalog, then per-member stored-copy or raw-deflate
+    inflate with CRC-32 verification; emits one row per member with
+    the decompressed byte sum (proving the extraction, not just the
+    catalog).  Non-ZIP payloads yield a single sentinel row
+    (member_idx -1, valid=false); a corrupted central directory keeps
+    the members catalogued before the lie with valid=false on the
+    shard's rows.  One zero-shuffle Arrow pass — member bodies never
+    leave their input partitions (the tar/WebDataset cost shape)."""
+    zidx, zext = _make_zip_walker()
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        meth = {0: "stored", 8: "deflate"}
+
+        def rows(i: int, b: bytes):
+            r = zidx(b)
+            if r is None:
+                return [(i, -1, None, None, None, None, False, False)]
+            out = []
+            for j, m in enumerate(r["members"]):
+                data = zext(b, m)
+                out.append((
+                    i, j, m["name"],
+                    meth.get(m["method"], "other"),
+                    m["uncomp_size"],
+                    sum(data) if data is not None else None,
+                    data is not None, r["valid"],
+                ))
+            if not out:
+                out.append((i, -1, None, None, None, None, False, False))
+            return out
+
+        cols = ["doc_id", "member_idx", "name", "method",
+                "uncomp_size", "byte_sum", "ok", "valid"]
+        for pdf in batches:
+            recs = []
+            for i, b in zip(pdf["doc_id"], pdf["payload"]):
+                recs.extend(rows(int(i), b))
+            yield pd.DataFrame(recs, columns=cols)
+
+    return df.mapInPandas(run, schema=ZIP_MEMBER_SCHEMA)
+
+
+def synth_zip_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixture for x_zip_extract (r9): each document becomes a REAL
+    ZIP of 1+(id%5) members — member j named 'm{j}.bin' with
+    20+(id+7j)%40 payload bytes (byte k = (id+11j+3k)%256), STORED
+    for even id+j / DEFLATED for odd (real compression, real CRCs).
+    Every 23rd id corrupts the LAST member's central-directory
+    signature: the walker keeps the members before the lie
+    (valid=false on the shard's rows)."""
+    _gen = zip_bytes  # factory-made → ships by value
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        def one(i: int) -> bytes:
+            members = []
+            for j in range(1 + i % 5):
+                data = bytes((i + 11 * j + 3 * k) % 256
+                             for k in range(20 + (i + 7 * j) % 40))
+                members.append(("m%d.bin" % j, data,
+                                "stored" if (i + j) % 2 == 0
+                                else "deflate"))
+            b = _gen(members)
+            if i % 23 == 0:
+                bb = bytearray(b)
+                # last central entry: search back from EOCD
+                e = bb.rfind(b"PK\x05\x06")
+                c = bb.rfind(b"PK\x01\x02", 0, e)
+                bb[c + 1] ^= 0xFF
                 return bytes(bb)
             return b
 

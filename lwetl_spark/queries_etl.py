@@ -2618,6 +2618,78 @@ def x_gif_meta(spark, sf_dir):
 
 
 @register(
+    "x_zip_extract",
+    """
+    WITH g AS (
+        SELECT doc_id, 1 + doc_id % 5 AS nm, doc_id % 23 = 0 AS corrupt
+        FROM documents
+    ),
+    n AS (
+        SELECT doc_id, corrupt,
+               CASE WHEN corrupt THEN nm - 1 ELSE nm END AS keep
+        FROM g
+    ),
+    mem AS (
+        SELECT doc_id, corrupt, unnest(range(0, keep)) AS j
+        FROM n WHERE keep > 0
+    ),
+    bexp AS (
+        SELECT doc_id, j, 20 + (doc_id + 7 * j) % 40 AS usz,
+               unnest(range(0, 20 + (doc_id + 7 * j) % 40)) AS k
+        FROM mem
+    ),
+    bsum AS (
+        SELECT doc_id, j, MAX(usz) AS usz,
+               CAST(SUM((doc_id + 11 * j + 3 * k) % 256) AS BIGINT)
+                   AS byte_sum
+        FROM bexp GROUP BY doc_id, j
+    )
+    SELECT m.doc_id, CAST(m.j AS BIGINT) AS member_idx,
+           printf('m%d.bin', m.j) AS name,
+           CASE WHEN (m.doc_id + m.j) % 2 = 0 THEN 'stored'
+                ELSE 'deflate' END AS method,
+           CAST(b.usz AS BIGINT) AS uncomp_size,
+           b.byte_sum, TRUE AS ok, NOT m.corrupt AS valid
+    FROM mem m JOIN bsum b ON m.doc_id = b.doc_id AND m.j = b.j
+    UNION ALL
+    SELECT doc_id, CAST(-1 AS BIGINT), 'none', 'none',
+           CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), FALSE, FALSE
+    FROM n WHERE keep = 0
+    """,
+)
+def x_zip_extract(spark, sf_dir):
+    """ZIP walk + REAL member extraction (r9; operators/media.
+    zip_member_contents): EOCD backward scan, central-directory
+    catalog with local-header validation, then stored-copy or
+    raw-deflate (zlib wbits=-15) inflate with CRC-32 verification —
+    datasets ship as zip at least as often as tar, and the extraction
+    is proved by each member's decompressed byte SUM, not just the
+    catalog.  Fixtures mix stored and deflated members (real
+    compression, real CRCs; generator cross-checked against the
+    stdlib zipfile reader in pytest).  Every 23rd id corrupts the
+    last central entry: the walker keeps the members before the lie,
+    valid=false on the shard (a fully-emptied catalog yields the
+    sentinel row)."""
+    from lwetl_spark.operators.media import (
+        synth_zip_demo,
+        zip_member_contents,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    out = zip_member_contents(synth_zip_demo(docs))
+    return out.select(
+        "doc_id", "member_idx",
+        F.coalesce(F.col("name"), F.lit("none")).alias("name"),
+        F.coalesce(F.col("method"), F.lit("none")).alias("method"),
+        F.coalesce(F.col("uncomp_size"), F.lit(-1)).cast("long")
+        .alias("uncomp_size"),
+        F.coalesce(F.col("byte_sum"), F.lit(-1)).cast("long")
+        .alias("byte_sum"),
+        "ok", "valid",
+    )
+
+
+@register(
     "x_gif_pixels",
     """
     WITH g AS (

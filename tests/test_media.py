@@ -1448,3 +1448,68 @@ def test_gif_lzw_pixel_decode():
     # garbage and no-frames forms
     assert gif_decode_pixels(b"GIF89a" + bytes(20)) is None
     assert gif_decode_pixels(b"not gif") is None
+
+
+def test_zip_walker_stdlib_cross_check(spark):
+    """ZIP (r9): our generator must be readable by the stdlib zipfile
+    module AND our walker must read stdlib-written archives — both
+    directions prove the format is real, not a private dialect.
+    Corruption keeps the members catalogued before the lie; bzip2
+    members and CRC lies mark ok=False."""
+    import io
+    import struct
+    import zipfile
+
+    from lwetl_spark.operators.media import (
+        extract_zip_member,
+        parse_zip,
+        zip_bytes,
+        zip_member_contents,
+    )
+
+    members = [("a.bin", bytes(range(100)), "stored"),
+               ("b/c.txt", b"hello world" * 20, "deflate"),
+               ("empty", b"", "stored")]
+    b = zip_bytes(members)
+    zf = zipfile.ZipFile(io.BytesIO(b))
+    assert zf.namelist() == ["a.bin", "b/c.txt", "empty"]
+    assert zf.read("b/c.txt") == b"hello world" * 20
+    r = parse_zip(b)
+    assert r["valid"] and len(r["members"]) == 3
+    for m, (nm, data, _) in zip(r["members"], members):
+        assert m["name"] == nm and extract_zip_member(b, m) == data
+    # stdlib-written archive through our walker
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("x.txt", b"payload bytes here" * 50)
+    r2 = parse_zip(buf.getvalue())
+    assert r2["valid"]
+    assert extract_zip_member(
+        buf.getvalue(), r2["members"][0]) == b"payload bytes here" * 50
+    # CRC lie -> ok=False at extract
+    bad = bytearray(b)
+    e = bad.rfind(b"PK\x05\x06")
+    c = bad.rfind(b"PK\x01\x02", 0, e)  # last central entry ('empty')
+    c0 = bad.find(b"PK\x01\x02")        # first ('a.bin'): flip its CRC
+    bad[c0 + 16] ^= 0xFF
+    r3 = parse_zip(bytes(bad))
+    assert r3["valid"]
+    assert extract_zip_member(bytes(bad), r3["members"][0]) is None
+    # corrupted central signature: partial census
+    bad2 = bytearray(b)
+    bad2[c + 1] ^= 0xFF
+    r4 = parse_zip(bytes(bad2))
+    assert not r4["valid"] and len(r4["members"]) == 2
+    # unsupported method (12 = bzip2) -> None from extract
+    m0 = dict(r["members"][0], method=12)
+    assert extract_zip_member(b, m0) is None
+    # spark surface: sentinel row for a non-zip payload
+    df = spark.createDataFrame(
+        [(1, b), (2, b"PK\x03\x04 but truncated")],
+        "doc_id long, payload binary")
+    got = {}
+    for row in zip_member_contents(df).collect():
+        got.setdefault(row["doc_id"], []).append(row)
+    assert len(got[1]) == 3 and all(r_["ok"] for r_ in got[1])
+    assert got[1][1]["byte_sum"] == sum(b"hello world" * 20)
+    assert got[2][0]["member_idx"] == -1 and got[2][0]["valid"] is False
