@@ -3234,6 +3234,8 @@ def sniff_format(payload: Column | str) -> Column:
         .when(hx.startswith("424D"), "bmp")
         .when(hx.startswith("1F8B"), "gzip")
         .when(hx.startswith("504B0304"), "zip")
+        .when(hx.startswith("664C6143"), "flac")
+        .when(hx.startswith("4F676753"), "ogg")
         .when(
             hx.startswith("494433") | hx.startswith("FFFA")
             | hx.startswith("FFFB"),
@@ -3285,6 +3287,8 @@ def media_meta(df: DataFrame) -> DataFrame:
     mp4_walk = _make_mp4_walker()
     mkv_walk = _make_mkv_walker()
     gif_walk = _make_gif_walker()
+    flac_walk = _make_flac_walker()
+    ogg_walk = _make_ogg_walker()
 
     def parse(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import struct
@@ -3422,9 +3426,34 @@ def media_meta(df: DataFrame) -> DataFrame:
             valid = riff_size == len(b) - 8 and w is not None
             return ("webp", w, h, None, None, None, None, valid)
 
+        def flac(b: bytes):
+            """FLAC census route (r9): STREAMINFO geometry."""
+            if b[:4] != b"fLaC":
+                return None
+            r = flac_walk(b)
+            if r is None:
+                return ("flac", None, None, None, None, None, None,
+                        False)
+            return ("flac", None, None, r["channels"],
+                    r["sample_rate"], r["total_samples"],
+                    r["duration_ms"], r["valid"])
+
+        def ogg(b: bytes):
+            """Ogg census route (r9): page walk + codec id header."""
+            if b[:4] != b"OggS":
+                return None
+            r = ogg_walk(b)
+            if r is None:
+                return ("ogg", None, None, None, None, None, None,
+                        False)
+            return ("ogg", None, None, r["channels"],
+                    r["sample_rate"], None, r["duration_ms"],
+                    r["valid"])
+
         def one(b: bytes):
             b = bytes(b)
-            for p in (png, jpeg, wav, webp, mp4, mkv, gif, bmp):
+            for p in (png, jpeg, wav, webp, mp4, mkv, gif, bmp, flac,
+                      ogg):
                 got = p(b)
                 if got is not None:
                     return got
@@ -4942,6 +4971,379 @@ def synth_mp3_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             id3 = bytes(20 + i % 50) if i % 2 == 0 else b""
             b = _mp3(1 + i % 14, i % 3, 5 + i % 20, id3_payload=id3)
             return b[:-7] if i % 17 == 0 else b
+
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame({"doc_id": ids, "payload": ids.map(one)})
+
+    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        gen, "doc_id long, payload binary"
+    )
+
+
+def _make_flac_gen():
+    """Factory returning the FLAC generator (by-value pickling, see
+    _make_mp4_gen): 'fLaC' magic + a real STREAMINFO block (the
+    20/3/5/36-bit packed rate / channels-1 / bps-1 / total-samples
+    word, per the public FLAC format spec) + extra PADDING metadata
+    blocks + a token frame-sync tail.  Frame (audio) decode is out of
+    scope; the census is the crawl admission gate's need."""
+    import struct
+
+    def flac(rate: int, channels: int, bps: int, total: int,
+             n_extra: int, pad_len: int) -> bytes:
+        si = struct.pack(">HH", 4096, 4096)  # min/max blocksize
+        si += bytes(3) * 2  # min/max framesize (24-bit each)
+        word = (rate << 44) | ((channels - 1) << 41) \
+            | ((bps - 1) << 36) | total
+        si += struct.pack(">Q", word) + bytes(16)  # + md5
+        assert len(si) == 34
+        out = bytearray(b"fLaC")
+        out += bytes([0]) + len(si).to_bytes(3, "big") + si
+        for j in range(n_extra):
+            last = j == n_extra - 1
+            out += bytes([(0x80 if last else 0) | 1])  # PADDING
+            out += pad_len.to_bytes(3, "big") + bytes(pad_len)
+        if n_extra == 0:  # STREAMINFO must carry the last flag
+            out[4] |= 0x80
+        return bytes(out) + b"\xff\xf8" + bytes(8)  # token frame sync
+
+    return flac
+
+
+#: the FLAC generator (factory-made; importable for tests)
+flac_bytes = _make_flac_gen()
+
+
+def _make_flac_walker():
+    """Factory returning the FLAC census walker (by-value pickling):
+    magic check, metadata-block walk by the 1+3-byte headers to the
+    last-flag, STREAMINFO bit unpack (rate/channels/bps/total
+    samples → exact duration_ms = total·1000 div rate).  Truncation
+    inside a block returns None (the x_mp4_meta NULL contract)."""
+    import struct
+
+    def walk(b: bytes):
+        b = bytes(b)
+        if len(b) < 8 or b[:4] != b"fLaC":
+            return None
+        pos = 4
+        rate = ch = bps = total = None
+        n_blocks = 0
+        while pos + 4 <= len(b):
+            hdr = b[pos]
+            btype = hdr & 0x7F
+            blen = int.from_bytes(b[pos + 1 : pos + 4], "big")
+            if pos + 4 + blen > len(b):
+                return None  # truncated block
+            if btype == 0 and blen >= 34:
+                word = struct.unpack(
+                    ">Q", b[pos + 14 : pos + 22])[0]
+                rate = word >> 44
+                ch = ((word >> 41) & 0x7) + 1
+                bps = ((word >> 36) & 0x1F) + 1
+                total = word & ((1 << 36) - 1)
+            n_blocks += 1
+            pos += 4 + blen
+            if hdr & 0x80:
+                break
+        else:
+            return None  # no last-flag before the bytes ran out
+        if rate is None or rate == 0:
+            return None
+        has_frames = b[pos : pos + 2] == b"\xff\xf8"
+        return {
+            "sample_rate": rate, "channels": ch, "bps": bps,
+            "total_samples": total,
+            "duration_ms": total * 1000 // rate,
+            "n_blocks": n_blocks, "valid": bool(has_frames),
+        }
+
+    return walk
+
+
+#: the FLAC census walker (factory-made; importable for tests)
+parse_flac = _make_flac_walker()
+
+
+def _make_ogg_crc():
+    """Factory returning the Ogg page CRC (by-value pickling): CRC-32
+    with polynomial 0x04C11DB7, NO reflection, zero init, zero final
+    xor — deliberately different from zlib.crc32 (reflected), so a
+    shared implementation between generator and walker is the only
+    way both sides agree."""
+    table = []
+    for i in range(256):
+        r = i << 24
+        for _ in range(8):
+            r = ((r << 1) ^ 0x04C11DB7 if r & 0x80000000 else r << 1) \
+                & 0xFFFFFFFF
+        table.append(r)
+
+    def crc(data: bytes) -> int:
+        c = 0
+        for byte in data:
+            c = ((c << 8) & 0xFFFFFFFF) ^ table[((c >> 24) & 0xFF) ^ byte]
+        return c
+
+    return crc
+
+
+#: the Ogg CRC (factory-made; importable for tests)
+ogg_crc = _make_ogg_crc()
+
+
+def _make_ogg_gen():
+    """Factory returning the Ogg generator (by-value pickling): real
+    'OggS' pages — version 0, BOS/EOS header types, 64-bit granule
+    positions, lacing segment table, and the REAL Ogg CRC (0x04C11DB7
+    unreflected, computed with the checksum field zeroed).  First
+    page carries an OpusHead or Vorbis identification header."""
+    import struct
+
+    _crc = _make_ogg_crc()
+
+    def page(htype: int, granule: int, serial: int, seq: int,
+             payload: bytes) -> bytes:
+        segs = []
+        n = len(payload)
+        while n >= 255:
+            segs.append(255)
+            n -= 255
+        segs.append(n)
+        head = (b"OggS" + bytes([0, htype])
+                + struct.pack("<q", granule)
+                + struct.pack("<II", serial, seq)
+                + b"\x00\x00\x00\x00"
+                + bytes([len(segs)]) + bytes(segs))
+        full = head + payload
+        c = _crc(full)
+        return full[:22] + struct.pack("<I", c) + full[26:]
+
+    def ogg(codec: str, channels: int, rate: int, total_granule: int,
+            n_pages: int, serial: int) -> bytes:
+        if codec == "opus":
+            idp = (b"OpusHead" + bytes([1, channels])
+                   + struct.pack("<H", 312) + struct.pack("<I", rate)
+                   + struct.pack("<h", 0) + bytes([0]))
+        else:
+            idp = (b"\x01vorbis" + struct.pack("<I", 0)
+                   + bytes([channels]) + struct.pack("<I", rate)
+                   + struct.pack("<iii", -1, rate * 8, -1)
+                   + bytes([0xB8, 0x01]))
+        out = page(0x02, 0, serial, 0, idp)
+        for j in range(1, n_pages):
+            gran = total_granule * j // (n_pages - 1)
+            body = bytes((serial + 3 * j + k) % 256
+                         for k in range(20 + j % 10))
+            htype = 0x04 if j == n_pages - 1 else 0x00
+            out += page(htype, gran, serial, j, body)
+        return out
+
+    return ogg
+
+
+#: the Ogg generator (factory-made; importable for tests)
+ogg_bytes = _make_ogg_gen()
+
+
+def _make_ogg_walker():
+    """Factory returning the Ogg census walker (by-value pickling):
+    page walk with REAL per-page CRC verification (a flipped payload
+    byte anywhere fails exactly that page), codec identification from
+    the first page (OpusHead / Vorbis id header), duration from the
+    highest CRC-valid granule (Opus granules are always 48 kHz, per
+    RFC 7845; Vorbis granules are sample-rate ticks).  A bad page
+    keeps the census of the pages before it (valid=False)."""
+    import struct
+
+    _crc = _make_ogg_crc()
+
+    def walk(b: bytes):
+        b = bytes(b)
+        if len(b) < 28 or b[:4] != b"OggS":
+            return None
+        pos = 0
+        codec = None
+        ch = rate = None
+        n_pages = 0
+        max_granule = 0
+        ok = True
+        saw_bos = saw_eos = False
+        while pos + 27 <= len(b):
+            if b[pos : pos + 4] != b"OggS":
+                ok = False
+                break
+            htype = b[pos + 5]
+            granule = struct.unpack("<q", b[pos + 6 : pos + 14])[0]
+            crc_stored = struct.unpack("<I", b[pos + 22 : pos + 26])[0]
+            nseg = b[pos + 26]
+            if pos + 27 + nseg > len(b):
+                ok = False
+                break
+            plen = sum(b[pos + 27 : pos + 27 + nseg])
+            end = pos + 27 + nseg + plen
+            if end > len(b):
+                ok = False
+                break
+            zeroed = (b[pos : pos + 22] + b"\x00\x00\x00\x00"
+                      + b[pos + 26 : end])
+            if _crc(zeroed) != crc_stored:
+                ok = False
+                break
+            payload = b[pos + 27 + nseg : end]
+            if htype & 0x02:
+                saw_bos = True
+                if payload[:8] == b"OpusHead" and len(payload) >= 16:
+                    codec = "opus"
+                    ch = payload[9]
+                    rate = struct.unpack("<I", payload[12:16])[0]
+                elif payload[:7] == b"\x01vorbis" and len(payload) >= 16:
+                    codec = "vorbis"
+                    ch = payload[11]
+                    rate = struct.unpack("<I", payload[12:16])[0]
+            if htype & 0x04:
+                saw_eos = True
+            if granule > max_granule:
+                max_granule = granule
+            n_pages += 1
+            pos = end
+        if codec is None:
+            return None
+        tick = 48000 if codec == "opus" else rate
+        duration_ms = (max_granule * 1000 // tick) if tick else None
+        return {
+            "codec": codec, "channels": ch, "sample_rate": rate,
+            "n_pages": n_pages, "duration_ms": duration_ms,
+            "valid": bool(ok and saw_bos and saw_eos),
+        }
+
+    return walk
+
+
+#: the Ogg census walker (factory-made; importable for tests)
+parse_ogg = _make_ogg_walker()
+
+
+FLAC_META_SCHEMA = (
+    "doc_id long, sample_rate long, channels long, bps long,"
+    " total_samples long, duration_ms long, n_blocks long, valid boolean"
+)
+
+
+def flac_meta(df: DataFrame) -> DataFrame:
+    """FLAC census (r9; operators/media._make_flac_walker): metadata
+    block walk + STREAMINFO bit unpack — the lossless-audio half of a
+    crawl's audio payload.  Non-FLAC / truncated payloads yield NULL
+    fields (the x_mp4_meta rule).  One zero-shuffle Arrow pass."""
+    walk = _make_flac_walker()
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        cols = ["sample_rate", "channels", "bps", "total_samples",
+                "duration_ms", "n_blocks", "valid"]
+
+        def one(b: bytes):
+            r = walk(b)
+            if r is None:
+                return (None,) * 6 + (False,)
+            return (r["sample_rate"], r["channels"], r["bps"],
+                    r["total_samples"], r["duration_ms"],
+                    r["n_blocks"], r["valid"])
+
+        for pdf in batches:
+            out = pd.DataFrame(
+                [one(b) for b in pdf["payload"]], columns=cols)
+            out.insert(0, "doc_id", pdf["doc_id"].to_numpy())
+            yield out
+
+    return df.mapInPandas(run, schema=FLAC_META_SCHEMA)
+
+
+OGG_META_SCHEMA = (
+    "doc_id long, codec string, channels long, sample_rate long,"
+    " n_pages long, duration_ms long, valid boolean"
+)
+
+
+def ogg_meta(df: DataFrame) -> DataFrame:
+    """Ogg census (r9; operators/media._make_ogg_walker): page walk
+    with real CRC verification (0x04C11DB7 unreflected), Opus/Vorbis
+    identification, duration from the highest valid granule.  A
+    corrupted page keeps the census of the pages before it
+    (valid=false); non-Ogg payloads yield NULL fields.  One
+    zero-shuffle Arrow pass."""
+    walk = _make_ogg_walker()
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        cols = ["codec", "channels", "sample_rate", "n_pages",
+                "duration_ms", "valid"]
+
+        def one(b: bytes):
+            r = walk(b)
+            if r is None:
+                return (None,) * 5 + (False,)
+            return (r["codec"], r["channels"], r["sample_rate"],
+                    r["n_pages"], r["duration_ms"], r["valid"])
+
+        for pdf in batches:
+            out = pd.DataFrame(
+                [one(b) for b in pdf["payload"]], columns=cols)
+            out.insert(0, "doc_id", pdf["doc_id"].to_numpy())
+            yield out
+
+    return df.mapInPandas(run, schema=OGG_META_SCHEMA)
+
+
+def synth_flac_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixture for x_flac_meta (r9): REAL FLAC metadata — rate
+    8000+250·(id%32), channels 1+(id%8), bps 8+4·(id%3), total
+    samples 1000+(37·id)%100000, 1+(id%3) extra PADDING blocks of
+    4+(id%10) bytes; every 27th id truncates mid-STREAMINFO (NULL
+    census)."""
+    _gen = flac_bytes  # factory-made → ships by value
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        def one(i: int) -> bytes:
+            b = _gen(8000 + 250 * (i % 32), 1 + i % 8, 8 + 4 * (i % 3),
+                     1000 + (37 * i) % 100000, 1 + i % 3, 4 + i % 10)
+            return b[:20] if i % 27 == 0 else b
+
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame({"doc_id": ids, "payload": ids.map(one)})
+
+    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        gen, "doc_id long, payload binary"
+    )
+
+
+def synth_ogg_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixture for x_ogg_meta (r9): REAL Ogg streams — Opus for even
+    ids / Vorbis for odd, channels 1+(id%2), rate 8000+1000·(id%8),
+    total granule 1000+(23·id)%50000, 3+(id%4) pages; every 27th id
+    flips a byte in the LAST page's payload (its CRC fails: the
+    census keeps the pages before it, valid=false, duration from the
+    last intact granule)."""
+    _gen = ogg_bytes  # factory-made → ships by value
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        def one(i: int) -> bytes:
+            b = _gen("opus" if i % 2 == 0 else "vorbis", 1 + i % 2,
+                     8000 + 1000 * (i % 8), 1000 + (23 * i) % 50000,
+                     3 + i % 4, i % 100000)
+            if i % 27 == 0:
+                bb = bytearray(b)
+                bb[-1] ^= 0xFF  # last payload byte -> last page CRC lie
+                return bytes(bb)
+            return b
 
         for pdf in batches:
             ids = pdf["doc_id"].astype("int64")

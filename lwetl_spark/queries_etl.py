@@ -2618,6 +2618,109 @@ def x_gif_meta(spark, sf_dir):
 
 
 @register(
+    "x_flac_meta",
+    """
+    WITH g AS (
+        SELECT doc_id, 8000 + 250 * (doc_id % 32) AS rate,
+               1 + doc_id % 8 AS ch, 8 + 4 * (doc_id % 3) AS bps,
+               1000 + (37 * doc_id) % 100000 AS total,
+               2 + doc_id % 3 AS nb, doc_id % 27 = 0 AS corrupt
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(CASE WHEN corrupt THEN -1 ELSE rate END AS BIGINT)
+               AS sample_rate,
+           CAST(CASE WHEN corrupt THEN -1 ELSE ch END AS BIGINT)
+               AS channels,
+           CAST(CASE WHEN corrupt THEN -1 ELSE bps END AS BIGINT)
+               AS bps,
+           CAST(CASE WHEN corrupt THEN -1 ELSE total END AS BIGINT)
+               AS total_samples,
+           CAST(CASE WHEN corrupt THEN -1
+                ELSE total * 1000 // rate END AS BIGINT) AS duration_ms,
+           CAST(CASE WHEN corrupt THEN -1 ELSE nb END AS BIGINT)
+               AS n_blocks,
+           NOT corrupt AS valid
+    FROM g
+    """,
+)
+def x_flac_meta(spark, sf_dir):
+    """FLAC census (r9; operators/media.flac_meta): metadata-block
+    walk to the last-flag + STREAMINFO bit unpack — the 20/3/5/36-bit
+    packed rate/channels/bps/total word a decoder must shift apart
+    exactly (any off-by-one in the field widths corrupts every
+    column).  duration_ms = total·1000 div rate, exact integer.
+    Every 27th id truncates mid-STREAMINFO → NULL census with -1
+    sentinels (the x_mp4_meta rule)."""
+    from lwetl_spark.operators.media import flac_meta, synth_flac_demo
+
+    docs = _t(spark, sf_dir, "documents")
+    out = flac_meta(synth_flac_demo(docs))
+    return out.select(
+        "doc_id",
+        *[F.coalesce(F.col(c), F.lit(-1)).cast("long").alias(c)
+          for c in ("sample_rate", "channels", "bps", "total_samples",
+                    "duration_ms", "n_blocks")],
+        "valid",
+    )
+
+
+@register(
+    "x_ogg_meta",
+    """
+    WITH g AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'opus' ELSE 'vorbis' END
+                   AS codec,
+               1 + doc_id % 2 AS ch, 8000 + 1000 * (doc_id % 8) AS rate,
+               1000 + (23 * doc_id) % 50000 AS tg,
+               3 + doc_id % 4 AS np, doc_id % 27 = 0 AS corrupt
+        FROM documents
+    ),
+    d AS (
+        SELECT *,
+               CASE WHEN corrupt THEN tg * (np - 2) // (np - 1)
+                    ELSE tg END AS granule,
+               CASE WHEN codec = 'opus' THEN 48000 ELSE rate END AS tick
+        FROM g
+    )
+    SELECT doc_id, codec,
+           CAST(ch AS BIGINT) AS channels,
+           CAST(rate AS BIGINT) AS sample_rate,
+           CAST(CASE WHEN corrupt THEN np - 1 ELSE np END AS BIGINT)
+               AS n_pages,
+           CAST(granule * 1000 // tick AS BIGINT) AS duration_ms,
+           NOT corrupt AS valid
+    FROM d
+    """,
+)
+def x_ogg_meta(spark, sf_dir):
+    """Ogg census (r9; operators/media.ogg_meta): page walk with REAL
+    per-page CRC verification — the 0x04C11DB7 UNREFLECTED CRC-32 the
+    Ogg spec mandates (zlib's reflected crc32 fails every page, so
+    passing this key proves a from-scratch implementation) — plus
+    Opus/Vorbis identification-header parse and duration from the
+    highest valid granule (Opus granules are 48 kHz per RFC 7845;
+    Vorbis granules tick at the stream's own rate — the oracle
+    encodes BOTH rules).  Every 27th id flips the last page's payload
+    byte: its CRC fails, the census keeps the pages before it, and
+    duration falls back to the last intact granule — all
+    arithmetic-replayed."""
+    from lwetl_spark.operators.media import ogg_meta, synth_ogg_demo
+
+    docs = _t(spark, sf_dir, "documents")
+    out = ogg_meta(synth_ogg_demo(docs))
+    return out.select(
+        "doc_id",
+        F.coalesce(F.col("codec"), F.lit("none")).alias("codec"),
+        *[F.coalesce(F.col(c), F.lit(-1)).cast("long").alias(c)
+          for c in ("channels", "sample_rate", "n_pages",
+                    "duration_ms")],
+        "valid",
+    )
+
+
+@register(
     "x_zip_extract",
     """
     WITH g AS (

@@ -1513,3 +1513,52 @@ def test_zip_walker_stdlib_cross_check(spark):
     assert len(got[1]) == 3 and all(r_["ok"] for r_ in got[1])
     assert got[1][1]["byte_sum"] == sum(b"hello world" * 20)
     assert got[2][0]["member_idx"] == -1 and got[2][0]["valid"] is False
+
+
+def test_flac_ogg_census_and_media_meta_route(spark):
+    """FLAC STREAMINFO bit unpack + Ogg page walk with the real
+    unreflected 0x04C11DB7 CRC; media_meta routes both formats."""
+    import zlib
+
+    from lwetl_spark.operators.media import (
+        flac_bytes,
+        media_meta,
+        ogg_bytes,
+        ogg_crc,
+        parse_flac,
+        parse_ogg,
+    )
+
+    r = parse_flac(flac_bytes(44100, 2, 16, 123456, 2, 8))
+    assert (r["sample_rate"], r["channels"], r["bps"],
+            r["total_samples"]) == (44100, 2, 16, 123456)
+    assert r["duration_ms"] == 123456 * 1000 // 44100
+    assert r["n_blocks"] == 3 and r["valid"]
+    # zero-extra-blocks form: STREAMINFO itself carries the last flag
+    assert parse_flac(flac_bytes(8000, 1, 8, 1000, 0, 0))["n_blocks"] == 1
+    assert parse_flac(flac_bytes(44100, 2, 16, 5, 2, 8)[:20]) is None
+
+    # the Ogg CRC is NOT zlib's (reflected) crc32
+    assert ogg_crc(b"OggS") != (zlib.crc32(b"OggS") & 0xFFFFFFFF)
+    for codec, tick in (("opus", 48000), ("vorbis", 15000)):
+        b = ogg_bytes(codec, 2, 15000, 49999, 6, 777)
+        r = parse_ogg(b)
+        assert (r["codec"], r["channels"], r["sample_rate"],
+                r["n_pages"]) == (codec, 2, 15000, 6)
+        assert r["valid"] and r["duration_ms"] == 49999 * 1000 // tick
+    # flipped payload byte: that page's CRC fails, census is partial
+    b = bytearray(ogg_bytes("opus", 1, 8000, 10000, 4, 5))
+    b[-1] ^= 0xFF
+    r = parse_ogg(bytes(b))
+    assert not r["valid"] and r["n_pages"] == 3
+    assert r["duration_ms"] == (10000 * 2 // 3) * 1000 // 48000
+
+    df = spark.createDataFrame(
+        [(1, flac_bytes(22050, 1, 16, 44100, 1, 4)),
+         (2, ogg_bytes("vorbis", 2, 44100, 88200, 3, 9))],
+        "doc_id long, payload binary")
+    got = {row["doc_id"]: row for row in media_meta(df).collect()}
+    assert got[1]["fmt"] == "flac" and got[1]["sample_rate"] == 22050
+    assert got[1]["n_samples"] == 44100 and got[1]["duration_ms"] == 2000
+    assert got[2]["fmt"] == "ogg" and got[2]["channels"] == 2
+    assert got[2]["duration_ms"] == 2000 and got[2]["valid"]
