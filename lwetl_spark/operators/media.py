@@ -3236,6 +3236,8 @@ def sniff_format(payload: Column | str) -> Column:
         .when(hx.startswith("504B0304"), "zip")
         .when(hx.startswith("664C6143"), "flac")
         .when(hx.startswith("4F676753"), "ogg")
+        .when(hx.startswith("49492A00") | hx.startswith("4D4D002A"),
+              "tiff")
         .when(
             hx.startswith("494433") | hx.startswith("FFFA")
             | hx.startswith("FFFB"),
@@ -3289,6 +3291,7 @@ def media_meta(df: DataFrame) -> DataFrame:
     gif_walk = _make_gif_walker()
     flac_walk = _make_flac_walker()
     ogg_walk = _make_ogg_walker()
+    tiff_walk = _make_tiff_walker()
 
     def parse(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import struct
@@ -3450,10 +3453,23 @@ def media_meta(df: DataFrame) -> DataFrame:
                     r["sample_rate"], None, r["duration_ms"],
                     r["valid"])
 
+        def tif(b: bytes):
+            """TIFF census route (r9): first-page geometry from the
+            IFD chain (II and MM byte orders both occur)."""
+            if b[:4] not in (b"II\x2a\x00", b"MM\x00\x2a"):
+                return None
+            r = tiff_walk(b)
+            if r is None or not r["pages"]:
+                return ("tiff", None, None, None, None, None, None,
+                        False)
+            p0 = r["pages"][0]
+            return ("tiff", p0["width"], p0["height"], None, None,
+                    None, None, r["valid"])
+
         def one(b: bytes):
             b = bytes(b)
             for p in (png, jpeg, wav, webp, mp4, mkv, gif, bmp, flac,
-                      ogg):
+                      ogg, tif):
                 got = p(b)
                 if got is not None:
                     return got
@@ -4971,6 +4987,200 @@ def synth_mp3_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             id3 = bytes(20 + i % 50) if i % 2 == 0 else b""
             b = _mp3(1 + i % 14, i % 3, 5 + i % 20, id3_payload=id3)
             return b[:-7] if i % 17 == 0 else b
+
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame({"doc_id": ids, "payload": ids.map(one)})
+
+    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        gen, "doc_id long, payload binary"
+    )
+
+
+def _make_tiff_gen():
+    """Factory returning the TIFF generator (by-value pickling, see
+    _make_mp4_gen): a real multi-page baseline TIFF — II or MM byte
+    order, magic 42, one IFD per page carrying
+    ImageWidth/ImageLength/BitsPerSample/Compression/Photometric +
+    StripOffsets/StripByteCounts addressing a real zero strip, IFDs
+    chained by next-IFD pointers (0 terminates).  Scanner/document
+    crawls ship multi-page TIFFs; the census walks this exact
+    structure."""
+    import struct
+
+    def tiff(pages, little: bool = True) -> bytes:
+        """pages: [(width, height, bits, compression)]."""
+        e = "<" if little else ">"
+        out = bytearray((b"II" if little else b"MM")
+                        + struct.pack(e + "H", 42) + bytes(4))
+        strip = bytes(8)  # shared token strip for every page
+
+        def entry(tag: int, typ: int, count: int, val: int) -> bytes:
+            raw = struct.pack(e + "HHI", tag, typ, count)
+            if typ == 3:  # SHORT: inline, left-justified in the cell
+                return raw + struct.pack(e + "HH", val, 0)
+            return raw + struct.pack(e + "I", val)
+
+        strip_off = len(out)
+        out += strip
+        ifd_offs = []
+        for w, h, bits, comp in pages:
+            ifd_offs.append(len(out))
+            ents = [
+                entry(256, 4, 1, w), entry(257, 4, 1, h),
+                entry(258, 3, 1, bits), entry(259, 3, 1, comp),
+                entry(262, 3, 1, 1),
+                entry(273, 4, 1, strip_off),
+                entry(279, 4, 1, len(strip)),
+            ]
+            out += struct.pack(e + "H", len(ents)) + b"".join(ents)
+            out += bytes(4)  # next-IFD pointer, patched below
+        # chain the IFDs and point the header at the first
+        out[4:8] = struct.pack(e + "I", ifd_offs[0])
+        for i, off in enumerate(ifd_offs):
+            nxt = ifd_offs[i + 1] if i + 1 < len(ifd_offs) else 0
+            p = off + 2 + 7 * 12
+            out[p : p + 4] = struct.pack(e + "I", nxt)
+        return bytes(out)
+
+    return tiff
+
+
+#: the TIFF generator (factory-made; importable for tests)
+tiff_bytes = _make_tiff_gen()
+
+
+def _make_tiff_walker():
+    """Factory returning the TIFF census walker (by-value pickling):
+    byte-order mark (II/MM), magic 42, then the IFD chain — per page
+    the entry scan for dims/bits/compression (SHORT values read from
+    the left-justified inline cell, honoring the byte order; LONG
+    inline).  A next-IFD pointer past the bytes, a truncated entry
+    table, or a cycle keeps the pages walked before the lie
+    (valid=False).  Returns {pages: [...], byte_order, valid} or
+    None."""
+    import struct
+
+    def walk(b: bytes):
+        b = bytes(b)
+        if len(b) < 8 or b[:2] not in (b"II", b"MM"):
+            return None
+        e = "<" if b[:2] == b"II" else ">"
+        if struct.unpack(e + "H", b[2:4])[0] != 42:
+            return None
+        (off,) = struct.unpack(e + "I", b[4:8])
+        pages = []
+        seen = set()
+        ok = True
+        while off:
+            if off in seen or off + 2 > len(b):
+                ok = False
+                break
+            seen.add(off)
+            (n,) = struct.unpack(e + "H", b[off : off + 2])
+            if off + 2 + 12 * n + 4 > len(b):
+                ok = False
+                break
+            page = {"width": None, "height": None, "bits": None,
+                    "compression": None}
+            for i in range(n):
+                p = off + 2 + 12 * i
+                tag, typ, _cnt = struct.unpack(
+                    e + "HHI", b[p : p + 8])
+                if typ == 3:  # SHORT: inline, first 2 bytes
+                    val = struct.unpack(e + "H", b[p + 8 : p + 10])[0]
+                elif typ == 4:
+                    val = struct.unpack(e + "I", b[p + 8 : p + 12])[0]
+                else:
+                    continue
+                if tag == 256:
+                    page["width"] = val
+                elif tag == 257:
+                    page["height"] = val
+                elif tag == 258:
+                    page["bits"] = val
+                elif tag == 259:
+                    page["compression"] = val
+            pages.append(page)
+            (off,) = struct.unpack(
+                e + "I", b[off + 2 + 12 * n : off + 2 + 12 * n + 4])
+        return {"pages": pages,
+                "byte_order": "II" if e == "<" else "MM",
+                "valid": bool(ok and pages)}
+
+    return walk
+
+
+#: the TIFF census walker (factory-made; importable for tests)
+parse_tiff = _make_tiff_walker()
+
+
+TIFF_PAGE_SCHEMA = (
+    "doc_id long, page_idx long, byte_order string, width long,"
+    " height long, bits long, compression long, valid boolean"
+)
+
+
+def tiff_pages(df: DataFrame) -> DataFrame:
+    """TIFF census (r9; operators/media._make_tiff_walker): one row
+    per page of the IFD chain — scanner/document crawls ship
+    multi-page TIFFs and the admission gate needs per-page geometry.
+    Non-TIFF payloads yield a single sentinel row (page_idx -1,
+    valid=false); a broken chain keeps the pages before the lie.
+    One zero-shuffle Arrow pass."""
+    walk = _make_tiff_walker()
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        def rows(i: int, b: bytes):
+            r = walk(b)
+            if r is None or not r["pages"]:
+                return [(i, -1, None, None, None, None, None, False)]
+            return [
+                (i, j, r["byte_order"], p["width"], p["height"],
+                 p["bits"], p["compression"], r["valid"])
+                for j, p in enumerate(r["pages"])
+            ]
+
+        cols = ["doc_id", "page_idx", "byte_order", "width", "height",
+                "bits", "compression", "valid"]
+        for pdf in batches:
+            recs = []
+            for i, b in zip(pdf["doc_id"], pdf["payload"]):
+                recs.extend(rows(int(i), b))
+            yield pd.DataFrame(recs, columns=cols)
+
+    return df.mapInPandas(run, schema=TIFF_PAGE_SCHEMA)
+
+
+def synth_tiff_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixture for x_tiff_meta (r9): REAL multi-page TIFFs — 1+(id%3)
+    pages, page p sized 16+(id+9p)%120 × 16+(id+5p)%80 at
+    8·(1+(id+p)%2) bits, compression 1 or 5 by (id+p)%2, byte order
+    II for even ids / MM for odd (both occur in the wild).  Every
+    25th id points the LAST next-IFD pointer past the file: the walk
+    keeps the real pages, valid=false."""
+    _gen = tiff_bytes  # factory-made → ships by value
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import struct
+
+        import pandas as pd
+
+        def one(i: int) -> bytes:
+            pages = [
+                (16 + (i + 9 * p) % 120, 16 + (i + 5 * p) % 80,
+                 8 * (1 + (i + p) % 2), 1 + 4 * ((i + p) % 2))
+                for p in range(1 + i % 3)
+            ]
+            b = _gen(pages, little=(i % 2 == 0))
+            if i % 25 == 0:
+                e = "<" if i % 2 == 0 else ">"
+                bb = bytearray(b)
+                bb[-4:] = struct.pack(e + "I", len(b) + 1000)
+                return bytes(bb)
+            return b
 
         for pdf in batches:
             ids = pdf["doc_id"].astype("int64")

@@ -2618,6 +2618,49 @@ def x_gif_meta(spark, sf_dir):
 
 
 @register(
+    "x_tiff_meta",
+    """
+    WITH g AS (
+        SELECT doc_id, 1 + doc_id % 3 AS np, doc_id % 25 = 0 AS corrupt
+        FROM documents
+    ),
+    pg AS (SELECT doc_id, np, corrupt, unnest(range(0, np)) AS p FROM g)
+    SELECT doc_id, CAST(p AS BIGINT) AS page_idx,
+           CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END
+               AS byte_order,
+           CAST(16 + (doc_id + 9 * p) % 120 AS BIGINT) AS width,
+           CAST(16 + (doc_id + 5 * p) % 80 AS BIGINT) AS height,
+           CAST(8 * (1 + (doc_id + p) % 2) AS BIGINT) AS bits,
+           CAST(1 + 4 * ((doc_id + p) % 2) AS BIGINT) AS compression,
+           NOT corrupt AS valid
+    FROM pg
+    """,
+)
+def x_tiff_meta(spark, sf_dir):
+    """TIFF census (r9; operators/media.tiff_pages): byte-order mark
+    (II and MM fixtures both), magic 42, then the IFD chain — one row
+    per page with dims/bits/compression read from SHORT (inline,
+    byte-order-honoring) and LONG entry cells.  Scanner/document
+    crawls ship multi-page TIFFs; a parser that assumes
+    single-page-little-endian fails half the rows.  Every 25th id
+    points the last next-IFD pointer past the file: the walk keeps
+    every real page, valid=false (partial-census contract; a cycle
+    in the chain is also caught — pytest)."""
+    from lwetl_spark.operators.media import synth_tiff_demo, tiff_pages
+
+    docs = _t(spark, sf_dir, "documents")
+    out = tiff_pages(synth_tiff_demo(docs))
+    return out.select(
+        "doc_id", "page_idx",
+        F.coalesce(F.col("byte_order"), F.lit("none"))
+        .alias("byte_order"),
+        *[F.coalesce(F.col(c), F.lit(-1)).cast("long").alias(c)
+          for c in ("width", "height", "bits", "compression")],
+        "valid",
+    )
+
+
+@register(
     "x_flac_meta",
     """
     WITH g AS (

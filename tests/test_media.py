@@ -1562,3 +1562,46 @@ def test_flac_ogg_census_and_media_meta_route(spark):
     assert got[1]["n_samples"] == 44100 and got[1]["duration_ms"] == 2000
     assert got[2]["fmt"] == "ogg" and got[2]["channels"] == 2
     assert got[2]["duration_ms"] == 2000 and got[2]["valid"]
+
+
+def test_tiff_walker_and_media_meta_route(spark):
+    """TIFF (r9): IFD chain walk in both byte orders, SHORT inline
+    cells honoring endianness, broken-pointer and cycle guards;
+    media_meta routes first-page geometry."""
+    import struct
+
+    from lwetl_spark.operators.media import (
+        media_meta,
+        parse_tiff,
+        tiff_bytes,
+        tiff_pages,
+    )
+
+    for little in (True, False):
+        pages = [(100, 80, 8, 1), (64, 48, 16, 5)]
+        r = parse_tiff(tiff_bytes(pages, little))
+        assert r["valid"] and r["byte_order"] == ("II" if little else "MM")
+        for got, (w, h, bits, c) in zip(r["pages"], pages):
+            assert (got["width"], got["height"], got["bits"],
+                    got["compression"]) == (w, h, bits, c)
+    bb = bytearray(tiff_bytes([(10, 10, 8, 1)], True))
+    first = struct.unpack("<I", bb[4:8])[0]
+    bb[-4:] = struct.pack("<I", first)  # cycle
+    r = parse_tiff(bytes(bb))
+    assert not r["valid"] and len(r["pages"]) == 1
+    assert parse_tiff(b"II\x2b\x00" + bytes(8)) is None  # BigTIFF: no
+
+    df = spark.createDataFrame(
+        [(1, tiff_bytes([(33, 21, 8, 1)], False)),
+         (2, b"II\x2a\x00" + bytes(2))],
+        "doc_id long, payload binary")
+    got = {row["doc_id"]: row for row in media_meta(df).collect()}
+    assert got[1]["fmt"] == "tiff" and (got[1]["width"],
+                                        got[1]["height"]) == (33, 21)
+    assert got[1]["valid"]
+    assert got[2]["fmt"] == "tiff" and got[2]["valid"] is False
+    out = {}
+    for row in tiff_pages(df).collect():
+        out.setdefault(row["doc_id"], []).append(row)
+    assert len(out[1]) == 1 and out[1][0]["byte_order"] == "MM"
+    assert out[2][0]["page_idx"] == -1
