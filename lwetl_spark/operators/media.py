@@ -4997,6 +4997,242 @@ def synth_mp3_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def _make_pdf_gen():
+    """Factory returning the PDF generator (by-value pickling, see
+    _make_mp4_gen): a real %PDF-1.x file — Catalog → Pages → per-page
+    Page objects with Contents streams (raw or genuinely
+    FlateDecode-compressed via zlib), a correct xref table with
+    byte-exact offsets, trailer, startxref.  Crawls are full of PDFs;
+    the walker/extractor read this exact structure."""
+    import zlib
+
+    def pdf(texts, deflate: bool = False, version: str = "1.7") -> bytes:
+        """texts: one content-stream text per page."""
+        n = len(texts)
+        objs = []  # (num, bytes) in object-number order
+        kids = " ".join("%d 0 R" % (3 + 2 * p) for p in range(n))
+        objs.append((1, b"<< /Type /Catalog /Pages 2 0 R >>"))
+        objs.append((
+            2, ("<< /Type /Pages /Kids [%s] /Count %d >>"
+                % (kids, n)).encode()))
+        for p, txt in enumerate(texts):
+            num = 3 + 2 * p
+            objs.append((num, (
+                "<< /Type /Page /Parent 2 0 R /Contents %d 0 R"
+                " /MediaBox [0 0 612 792] >>" % (num + 1)).encode()))
+            content = ("BT /F1 12 Tf 72 720 Td (%s) Tj ET" % txt).encode()
+            if deflate:
+                blob = zlib.compress(content)
+                sd = b"<< /Length %d /Filter /FlateDecode >>" % len(blob)
+            else:
+                blob = content
+                sd = b"<< /Length %d >>" % len(blob)
+            objs.append((num + 1,
+                         sd + b"\nstream\n" + blob + b"\nendstream"))
+        out = bytearray(b"%PDF-" + version.encode() + b"\n")
+        offsets = {}
+        for num, body in objs:
+            offsets[num] = len(out)
+            out += b"%d 0 obj\n" % num + body + b"\nendobj\n"
+        xref_off = len(out)
+        out += b"xref\n0 %d\n" % (len(objs) + 1)
+        out += b"0000000000 65535 f \n"
+        for num, _ in objs:
+            out += b"%010d 00000 n \n" % offsets[num]
+        out += (b"trailer\n<< /Size %d /Root 1 0 R >>\n"
+                b"startxref\n%d\n%%%%EOF\n" % (len(objs) + 1, xref_off))
+        return bytes(out)
+
+    return pdf
+
+
+#: the PDF generator (factory-made; importable for tests)
+pdf_bytes = _make_pdf_gen()
+
+
+def _make_pdf_walker():
+    """Factory returning (census, extract_text) for PDF (by-value
+    pickling).  census: header version, object count, /Type /Page
+    count, /Encrypt flag, startxref consistency.  extract_text: per
+    content stream, the dict before 'stream' decides raw vs
+    FlateDecode (REAL zlib inflate), then the text operators are
+    parsed out of the stream — (…) Tj shows, TJ arrays concatenate
+    their string elements, octal/escape sequences (\\( \\) \\\\ \\ooo)
+    unescape per the spec.  Encrypted or undecodable streams are
+    skipped (partial text, never a failure)."""
+    import re
+    import zlib
+
+    obj_re = re.compile(rb"(\d+)\s+0\s+obj")
+    page_re = re.compile(rb"/Type\s*/Page(?![a-zA-Z])")
+    startxref_re = re.compile(rb"startxref\s+(\d+)")
+
+    def census(b: bytes):
+        b = bytes(b)
+        if not b.startswith(b"%PDF-"):
+            return None
+        eol = b.find(b"\n")
+        version = b[5 : eol if eol > 0 else 12].strip().decode(
+            "ascii", "replace")[:8]
+        n_objects = len(obj_re.findall(b))
+        n_pages = len(page_re.findall(b))
+        m = None
+        for m in startxref_re.finditer(b):
+            pass
+        xref_ok = False
+        if m is not None:
+            off = int(m.group(1))
+            xref_ok = b[off : off + 4] == b"xref"
+        return {
+            "version": version, "n_objects": n_objects,
+            "n_pages": n_pages,
+            "encrypted": b"/Encrypt" in b,
+            "valid": bool(n_pages > 0 and xref_ok
+                          and b.rstrip().endswith(b"%%EOF")),
+        }
+
+    stream_re = re.compile(rb"<<(.*?)>>\s*stream\r?\n", re.S)
+    # a PDF literal string, with escaped chars kept for unescaping
+    txt_re = re.compile(
+        rb"\(((?:[^()\\]|\\.)*)\)\s*Tj|\[((?:[^\]\\]|\\.)*)\]\s*TJ",
+        re.S)
+    str_re = re.compile(rb"\(((?:[^()\\]|\\.)*)\)", re.S)
+
+    def _unescape(s: bytes) -> str:
+        out = bytearray()
+        i = 0
+        while i < len(s):
+            c = s[i]
+            if c == 0x5C and i + 1 < len(s):  # backslash
+                n = s[i + 1]
+                if n in b"nrtbf":
+                    out += {0x6E: b"\n", 0x72: b"\r", 0x74: b"\t",
+                            0x62: b"\b", 0x66: b"\f"}[n]
+                    i += 2
+                elif 0x30 <= n <= 0x37:  # octal, up to 3 digits
+                    j = i + 1
+                    oct_s = b""
+                    while j < len(s) and len(oct_s) < 3 \
+                            and 0x30 <= s[j] <= 0x37:
+                        oct_s += bytes([s[j]])
+                        j += 1
+                    out.append(int(oct_s, 8) & 0xFF)
+                    i = j
+                else:
+                    out.append(n)
+                    i += 2
+            else:
+                out.append(c)
+                i += 1
+        return out.decode("latin-1")
+
+    def extract_text(b: bytes):
+        """List of text runs in stream order, or None for non-PDF."""
+        b = bytes(b)
+        if not b.startswith(b"%PDF-"):
+            return None
+        runs = []
+        for m in stream_re.finditer(b):
+            sd = m.group(1)
+            start = m.end()
+            end = b.find(b"endstream", start)
+            if end < 0:
+                continue
+            blob = b[start:end]
+            if blob.endswith(b"\n"):
+                blob = blob[:-1]
+            if b"/FlateDecode" in sd:
+                try:
+                    blob = zlib.decompress(blob)
+                except zlib.error:
+                    continue  # undecodable stream: skip, keep going
+            elif b"/Filter" in sd:
+                continue  # other filters (DCT, LZW...): out of scope
+            for tm in txt_re.finditer(blob):
+                if tm.group(1) is not None:
+                    runs.append(_unescape(tm.group(1)))
+                else:  # TJ array: concatenate its string elements
+                    runs.append("".join(
+                        _unescape(sm.group(1))
+                        for sm in str_re.finditer(tm.group(2))))
+        return runs
+
+    return census, extract_text
+
+
+#: the PDF walker pair (factory-made; importable for tests)
+parse_pdf, extract_pdf_text = _make_pdf_walker()
+
+
+PDF_TEXT_SCHEMA = (
+    "doc_id long, version string, n_pages long, n_objects long,"
+    " encrypted boolean, text string, valid boolean"
+)
+
+
+def pdf_text(df: DataFrame) -> DataFrame:
+    """PDF census + REAL text extraction (r9): header/xref/trailer
+    census plus per-stream content parse — raw or FlateDecode
+    (genuine zlib inflate) streams, (…) Tj and […] TJ text operators,
+    PDF string escapes.  The single most common document format in
+    any web crawl; a text-pipeline admission gate needs exactly this
+    row: geometry + extracted text.  Non-PDF payloads yield NULL
+    fields; encrypted or foreign-filter streams are skipped
+    (partial text), never a task failure.  One zero-shuffle Arrow
+    pass (the media-family cost shape)."""
+    pcensus, pextract = _make_pdf_walker()
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        cols = ["version", "n_pages", "n_objects", "encrypted",
+                "text", "valid"]
+
+        def one(b: bytes):
+            c = pcensus(b)
+            if c is None:
+                return (None, None, None, False, None, False)
+            runs = pextract(b) or []
+            return (c["version"], c["n_pages"], c["n_objects"],
+                    c["encrypted"], "\n".join(runs), c["valid"])
+
+        for pdf_ in batches:
+            out = pd.DataFrame(
+                [one(b) for b in pdf_["payload"]], columns=cols)
+            out.insert(0, "doc_id", pdf_["doc_id"].to_numpy())
+            yield out
+
+    return df.mapInPandas(run, schema=PDF_TEXT_SCHEMA)
+
+
+def synth_pdf_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixture for x_pdf_text (r9): REAL PDFs — 1+(id%4) pages, page p
+    text 'Doc {id} page {p} lorem {(7·id+p)%100}', content streams
+    FlateDecode-compressed for odd ids / raw for even (both legal,
+    both must parse); every 21st id truncates before the trailer
+    (census keeps object/page counts, valid=false)."""
+    _gen = pdf_bytes  # factory-made → ships by value
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        def one(i: int) -> bytes:
+            texts = ["Doc %d page %d lorem %d" % (i, p, (7 * i + p) % 100)
+                     for p in range(1 + i % 4)]
+            b = _gen(texts, deflate=(i % 2 == 1))
+            if i % 21 == 0:
+                return b[: b.rfind(b"trailer")]
+            return b
+
+        for pdf_ in batches:
+            ids = pdf_["doc_id"].astype("int64")
+            yield pd.DataFrame({"doc_id": ids, "payload": ids.map(one)})
+
+    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        gen, "doc_id long, payload binary"
+    )
+
+
 def _make_tiff_gen():
     """Factory returning the TIFF generator (by-value pickling, see
     _make_mp4_gen): a real multi-page baseline TIFF — II or MM byte

@@ -2618,6 +2618,56 @@ def x_gif_meta(spark, sf_dir):
 
 
 @register(
+    "x_pdf_text",
+    """
+    WITH g AS (
+        SELECT doc_id, 1 + doc_id % 4 AS np, doc_id % 21 = 0 AS corrupt
+        FROM documents
+    ),
+    pg AS (SELECT doc_id, np, corrupt, unnest(range(0, np)) AS p FROM g),
+    tx AS (
+        SELECT doc_id,
+               string_agg(
+                   printf('Doc %d page %d lorem %d', doc_id, p,
+                          (7 * doc_id + p) % 100),
+                   chr(10) ORDER BY p) AS text
+        FROM pg GROUP BY doc_id
+    )
+    SELECT g.doc_id, '1.7' AS version,
+           CAST(g.np AS BIGINT) AS n_pages,
+           CAST(2 + 2 * g.np AS BIGINT) AS n_objects,
+           FALSE AS encrypted, t.text, NOT g.corrupt AS valid
+    FROM g JOIN tx t ON g.doc_id = t.doc_id
+    """,
+)
+def x_pdf_text(spark, sf_dir):
+    """PDF census + REAL text extraction (r9; operators/media.
+    pdf_text): the most common document format in any crawl.  Census
+    walks header version, object/page counts, /Encrypt, startxref →
+    xref consistency, %%EOF; extraction parses every content stream —
+    FlateDecode streams genuinely zlib-inflated (odd ids), raw
+    streams read direct (even ids) — and pulls (…) Tj text operators
+    with PDF string unescaping.  The oracle replays the per-page text
+    and the newline-joined concatenation exactly (a parser that
+    drops a page, misorders streams, or fails the inflate
+    hash-mismatches).  Every 21st id truncates before the trailer:
+    counts survive, valid=false."""
+    from lwetl_spark.operators.media import pdf_text, synth_pdf_demo
+
+    docs = _t(spark, sf_dir, "documents")
+    out = pdf_text(synth_pdf_demo(docs))
+    return out.select(
+        "doc_id",
+        F.coalesce(F.col("version"), F.lit("none")).alias("version"),
+        *[F.coalesce(F.col(c), F.lit(-1)).cast("long").alias(c)
+          for c in ("n_pages", "n_objects")],
+        "encrypted",
+        F.coalesce(F.col("text"), F.lit("none")).alias("text"),
+        "valid",
+    )
+
+
+@register(
     "x_tiff_meta",
     """
     WITH g AS (

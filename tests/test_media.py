@@ -1605,3 +1605,56 @@ def test_tiff_walker_and_media_meta_route(spark):
         out.setdefault(row["doc_id"], []).append(row)
     assert len(out[1]) == 1 and out[1][0]["byte_order"] == "MM"
     assert out[2][0]["page_idx"] == -1
+
+
+def test_pdf_census_and_text_extraction(spark):
+    """PDF (r9): census (version/objects/pages/xref/%%EOF), raw and
+    FlateDecode content streams, Tj + TJ-array text operators, PDF
+    string escapes, foreign-filter and corrupt-stream skips."""
+    import zlib
+
+    from lwetl_spark.operators.media import (
+        extract_pdf_text,
+        parse_pdf,
+        pdf_bytes,
+        pdf_text,
+    )
+
+    b = pdf_bytes(["Hello world 42", "Second page"], deflate=False)
+    c = parse_pdf(b)
+    assert (c["version"], c["n_pages"], c["n_objects"],
+            c["encrypted"], c["valid"]) == ("1.7", 2, 6, False, True)
+    assert extract_pdf_text(b) == ["Hello world 42", "Second page"]
+    assert extract_pdf_text(
+        pdf_bytes(["Deflated body"], deflate=True)) == ["Deflated body"]
+
+    # hand-built stream: TJ array with kerning numbers + escapes
+    content = (rb"BT [ (Hel) -20 (lo\(esc\)) 5 (\134end) ] TJ "
+               rb"(line\n2) Tj ET")
+    raw = (b"%PDF-1.4\n1 0 obj << /Type /Page >> endobj\n"
+           + (b"2 0 obj << /Length %d >>\nstream\n" % len(content))
+           + content + b"\nendstream endobj\n"
+           b"xref\ntrailer\nstartxref\n0\n%%EOF\n")
+    got = extract_pdf_text(raw)
+    assert got == ["Hello(esc)\\end", "line\n2"], got
+
+    # foreign filter skipped; corrupt Flate skipped; both keep going
+    okpart = (b"%PDF-1.5\n"
+              b"1 0 obj << /Length 4 /Filter /DCTDecode >>\n"
+              b"stream\nabcd\nendstream endobj\n"
+              b"2 0 obj << /Length 9 /Filter /FlateDecode >>\n"
+              b"stream\nbadzlib!!\nendstream endobj\n"
+              b"3 0 obj << /Length 20 >>\nstream\n(still here) Tj\n"
+              b"endstream endobj\n%%EOF\n")
+    assert extract_pdf_text(okpart) == ["still here"]
+    assert parse_pdf(b"not a pdf") is None
+    # encrypted flag
+    enc = b + b"\n%% /Encrypt in a comment counts structurally\n"
+    assert parse_pdf(enc)["encrypted"]
+
+    df = spark.createDataFrame(
+        [(1, pdf_bytes(["Spark row"], deflate=True)), (2, b"nope")],
+        "doc_id long, payload binary")
+    got2 = {r["doc_id"]: r for r in pdf_text(df).collect()}
+    assert got2[1]["text"] == "Spark row" and got2[1]["valid"]
+    assert got2[2]["version"] is None and got2[2]["valid"] is False
