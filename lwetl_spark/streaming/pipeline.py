@@ -1230,3 +1230,45 @@ def stream_image_dhash(
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     return image_dhash(reader.parquet(media_path))
+
+
+def stream_pdf_text(
+    spark: SparkSession,
+    media_path: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming twin of operators/media.pdf_text (r9): continuous
+    PDF census + text extraction over arriving document payloads —
+    the stage a streaming crawl ingest runs in front of the text
+    pipeline (compose with `stream_ingest_increment` on the extracted
+    text for campaign admission).  Same Arrow closure as the batch
+    operator (identical results by construction, pinned by
+    test_streaming); encrypted/corrupt payloads yield partial or NULL
+    rows, never a failed micro-batch."""
+    from lwetl_spark.operators.media import pdf_text
+
+    schema = spark.read.parquet(media_path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return pdf_text(reader.parquet(media_path))
+
+
+def stream_zip_members(
+    spark: SparkSession,
+    media_path: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming twin of operators/media.zip_member_contents (r9):
+    continuous archive cataloguing + member extraction over arriving
+    zip payloads — the front stage of a streaming bundle ingest (the
+    tar/WebDataset twin's sibling for the other dominant archive
+    format).  Same Arrow closure as the batch operator; corrupt
+    archives yield partial catalogs, never a failed micro-batch."""
+    from lwetl_spark.operators.media import zip_member_contents
+
+    schema = spark.read.parquet(media_path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return zip_member_contents(reader.parquet(media_path))

@@ -1115,3 +1115,44 @@ def test_stream_paragraph_dedup_cross_batch_first_occurrence(spark, tmp_path):
     # 5 novel paragraphs total: alpha beta, common header, gamma,
     # delta, epsilon
     assert spark.read.parquet(state_dir).count() == 5
+
+
+def test_stream_pdf_text_and_zip_members_match_batch(spark, tmp_path):
+    """Streaming PDF extraction and ZIP cataloguing == their batch
+    operators row-for-row (same Arrow closures), including corrupt
+    legs."""
+    from lwetl_spark.operators.media import (
+        pdf_text,
+        synth_pdf_demo,
+        synth_zip_demo,
+        zip_member_contents,
+    )
+    from lwetl_spark.streaming.pipeline import (
+        stream_pdf_text,
+        stream_to_memory,
+        stream_zip_members,
+    )
+
+    ids = spark.range(80).select(F.col("id").alias("doc_id"))
+    pdfs = synth_pdf_demo(ids).localCheckpoint(eager=True)
+    p1 = str(tmp_path / "pdfs")
+    pdfs.coalesce(2).write.parquet(p1)
+    got = stream_to_memory(
+        stream_pdf_text(spark, p1, max_files_per_trigger=1),
+        name="t_pdf_out", mode="append",
+    )
+    want = pdf_text(pdfs)
+    assert sorted(map(tuple, got.collect())) \
+        == sorted(map(tuple, want.collect()))
+    assert got.filter("valid = false").count() == 4  # ids 0,21,42,63
+
+    zips = synth_zip_demo(ids).localCheckpoint(eager=True)
+    p2 = str(tmp_path / "zips")
+    zips.coalesce(2).write.parquet(p2)
+    got2 = stream_to_memory(
+        stream_zip_members(spark, p2, max_files_per_trigger=1),
+        name="t_zip_out", mode="append",
+    )
+    want2 = zip_member_contents(zips)
+    assert sorted(map(tuple, got2.collect())) \
+        == sorted(map(tuple, want2.collect()))
