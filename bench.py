@@ -116,6 +116,14 @@ EXTENDED = [
     # with reassembly (two corpus-keyed shuffles)
     "x_jpeg_progressive",
     "x_paragraph_dedup",
+    # r9 format-ledger closers: GIF-LZW frame decode (bit-serial like
+    # the JPEG rows, × n_frames), 16-bit PNG (double-width scanlines),
+    # PDF text extraction (zlib inflate + content-stream parse), and
+    # ZIP member extraction (inflate + CRC per member)
+    "x_gif_pixels",
+    "x_png_16bit",
+    "x_pdf_text",
+    "x_zip_extract",
 ]
 
 #: VERDICT r8 "what's wrong" #3: when a fixture generator (or the
