@@ -3224,6 +3224,11 @@ def sniff_format(payload: Column | str) -> Column:
             & (F.hex(F.substring(col, 9, 4)) == "57454250"),
             "webp",
         )
+        .when(
+            hx.startswith("52494646")
+            & (F.hex(F.substring(col, 9, 4)) == "41564920"),
+            "avi",
+        )
         .when(hx.startswith("474946383761") | hx.startswith("474946383961"), "gif")
         .when(hx.startswith("25504446"), "pdf")
         # ISO-BMFF: the brand box sits at offset 4 ('ftyp'), after the
@@ -3292,6 +3297,7 @@ def media_meta(df: DataFrame) -> DataFrame:
     flac_walk = _make_flac_walker()
     ogg_walk = _make_ogg_walker()
     tiff_walk = _make_tiff_walker()
+    avi_walk = _make_avi_walker()
 
     def parse(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import struct
@@ -3466,10 +3472,21 @@ def media_meta(df: DataFrame) -> DataFrame:
             return ("tiff", p0["width"], p0["height"], None, None,
                     None, None, r["valid"])
 
+        def avi(b: bytes):
+            """AVI census route (r9): avih geometry + duration."""
+            if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+                return None
+            r = avi_walk(b)
+            if r is None:
+                return ("avi", None, None, None, None, None, None,
+                        False)
+            return ("avi", r["width"], r["height"], None, None, None,
+                    r["duration_ms"], r["valid"])
+
         def one(b: bytes):
             b = bytes(b)
             for p in (png, jpeg, wav, webp, mp4, mkv, gif, bmp, flac,
-                      ogg, tif):
+                      ogg, tif, avi):
                 got = p(b)
                 if got is not None:
                     return got
@@ -4994,6 +5011,264 @@ def synth_mp3_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
         gen, "doc_id long, payload binary"
+    )
+
+
+def _make_avi_gen():
+    """Factory returning the AVI generator (by-value pickling, see
+    _make_mp4_gen): a real RIFF/AVI — LIST hdrl with a 56-byte avih
+    (frame timing, total frames, stream count, dims) + one strl LIST
+    per stream (strh carrying 'vids'/'auds' fccType), LIST movi,
+    idx1.  The third crawl video container after MP4/Matroska."""
+    import struct
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        pad = b"\x00" if len(data) % 2 else b""
+        return tag + struct.pack("<I", len(data)) + data + pad
+
+    def lst(kind: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", kind + data)
+
+    def avi(w: int, h: int, n_frames: int, us_per_frame: int,
+            with_audio: bool) -> bytes:
+        n_streams = 2 if with_audio else 1
+        avih = struct.pack(
+            "<IIIIIIIIIIIIII", us_per_frame, 0, 0, 0x10, n_frames,
+            0, n_streams, 0, w, h, 0, 0, 0, 0)
+        strh_v = chunk(b"strh", struct.pack(
+            "<4s4sIHHIIIIIIIIhhhh", b"vids", b"\x00" * 4, 0, 0, 0, 0,
+            1, 1000000 // max(us_per_frame, 1), 0, n_frames, 0, 0, 0,
+            0, 0, w, h))
+        strl_v = lst(b"strl", strh_v)
+        hdrl = chunk(b"avih", avih) + strl_v
+        if with_audio:
+            strh_a = chunk(b"strh", struct.pack(
+                "<4s4sIHHIIIIIIIIhhhh", b"auds", b"\x00" * 4, 0, 0, 0,
+                0, 1, 8000, 0, 8000, 0, 0, 0, 0, 0, 0, 0))
+            hdrl += lst(b"strl", strh_a)
+        body = (b"AVI " + lst(b"hdrl", hdrl)
+                + lst(b"movi", chunk(b"00dc", bytes(8)))
+                + chunk(b"idx1", bytes(16)))
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    return avi
+
+
+#: the AVI generator (factory-made; importable for tests)
+avi_bytes = _make_avi_gen()
+
+
+def _make_avi_walker():
+    """Factory returning the AVI census walker (by-value pickling):
+    RIFF/'AVI ' check, LIST walk into hdrl, avih fixed-offset unpack
+    (frame timing × total frames → exact duration), per-strl fccType
+    scan for the audio flag.  Truncated chunks keep the fields parsed
+    before the cut (partial census, valid=False)."""
+    import struct
+
+    def walk(b: bytes):
+        b = bytes(b)
+        if len(b) < 16 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+            return None
+        riff_size = struct.unpack("<I", b[4:8])[0]
+        w = h = n_frames = us_pf = n_streams = None
+        has_audio = False
+        ok = True
+
+        def walk_list(start: int, end: int) -> None:
+            nonlocal w, h, n_frames, us_pf, n_streams, has_audio, ok
+            pos = start
+            while pos + 8 <= end:
+                tag = b[pos : pos + 4]
+                size = struct.unpack("<I", b[pos + 4 : pos + 8])[0]
+                if pos + 8 + size > end:
+                    ok = False
+                    return
+                if tag == b"LIST":
+                    kind = b[pos + 8 : pos + 12]
+                    if kind in (b"hdrl", b"strl"):
+                        walk_list(pos + 12, pos + 8 + size)
+                elif tag == b"avih" and size >= 40:
+                    vals = struct.unpack(
+                        "<10I", b[pos + 8 : pos + 48])
+                    us_pf, n_frames = vals[0], vals[4]
+                    n_streams = vals[6]
+                    w, h = vals[8], vals[9]
+                elif tag == b"strh" and size >= 4:
+                    if b[pos + 8 : pos + 12] == b"auds":
+                        has_audio = True
+                pos += 8 + size + (size & 1)
+
+        walk_list(12, min(len(b), 8 + riff_size))
+        if us_pf is None:
+            return None
+        return {
+            "width": w, "height": h, "n_frames": n_frames,
+            "n_streams": n_streams, "has_audio": has_audio,
+            "duration_ms": us_pf * n_frames // 1000,
+            "valid": bool(ok and riff_size == len(b) - 8),
+        }
+
+    return walk
+
+
+#: the AVI census walker (factory-made; importable for tests)
+parse_avi = _make_avi_walker()
+
+
+AVI_META_SCHEMA = (
+    "doc_id long, width long, height long, n_frames long,"
+    " n_streams long, has_audio boolean, duration_ms long, valid boolean"
+)
+
+
+def avi_meta(df: DataFrame) -> DataFrame:
+    """AVI census (r9; operators/media._make_avi_walker): the third
+    crawl video container after MP4 and Matroska — RIFF LIST walk to
+    avih geometry/timing and per-stream fccTypes.  Non-AVI payloads
+    yield NULL fields; truncation keeps what parsed (valid=false).
+    One zero-shuffle Arrow pass."""
+    walk = _make_avi_walker()
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        cols = ["width", "height", "n_frames", "n_streams",
+                "has_audio", "duration_ms", "valid"]
+
+        def one(b: bytes):
+            r = walk(b)
+            if r is None:
+                return (None,) * 4 + (False, None, False)
+            return (r["width"], r["height"], r["n_frames"],
+                    r["n_streams"], r["has_audio"], r["duration_ms"],
+                    r["valid"])
+
+        for pdf in batches:
+            out = pd.DataFrame(
+                [one(b) for b in pdf["payload"]], columns=cols)
+            out.insert(0, "doc_id", pdf["doc_id"].to_numpy())
+            yield out
+
+    return df.mapInPandas(run, schema=AVI_META_SCHEMA)
+
+
+def synth_avi_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixture for x_avi_meta (r9): REAL RIFF/AVI files — dims
+    160+8·(id%30) × 120+6·(id%20), 10+(id%90) frames at
+    33333+100·(id%5) µs/frame, audio stream present except when
+    id%7=0; every 26th id truncates inside hdrl (partial census,
+    valid=false)."""
+    _gen = avi_bytes  # factory-made → ships by value
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        def one(i: int) -> bytes:
+            b = _gen(160 + 8 * (i % 30), 120 + 6 * (i % 20),
+                     10 + i % 90, 33333 + 100 * (i % 5), i % 7 != 0)
+            return b[:60] if i % 26 == 0 else b
+
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame({"doc_id": ids, "payload": ids.map(one)})
+
+    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        gen, "doc_id long, payload binary"
+    )
+
+
+def srt_cues(df: DataFrame, text_col: str = "srt") -> DataFrame:
+    """SubRip (SRT) subtitle parse as PURE JVM expressions (r9) — the
+    caption format video training sets pair with their frames; cue
+    text is the transcript a text pipeline ingests.  No UDF, no Arrow
+    pass: blank-line split + posexplode, per-cue line split, timestamp
+    regex → exact start/end milliseconds, remaining lines rejoined as
+    the cue text.  Malformed index or timestamp lines mark the cue
+    valid=false with NULL times (text still extracted); whole-stage
+    codegen end to end.
+
+    Input (doc_id, <text_col> string) → one row per cue:
+    (doc_id, cue_idx, start_ms, end_ms, text, valid)."""
+    ts = r"(\d{2}):(\d{2}):(\d{2}),(\d{3})"
+    pat = "^" + ts + " --> " + ts + "$"
+
+    cues = df.select(
+        "doc_id",
+        F.posexplode(
+            F.split(F.col(text_col), r"\r?\n\r?\n+")
+        ).alias("cue_idx", "cue"),
+    ).filter(F.trim("cue") != "")
+    lines = F.split(F.regexp_replace("cue", r"\r\n", "\n"), r"\n")
+    withl = cues.select(
+        "doc_id", "cue_idx", lines.alias("lines")
+    )
+    tline = F.col("lines").getItem(1)
+
+    def _g(i: int) -> Column:
+        return F.regexp_extract(tline, pat, i).cast("long")
+
+    ok = (
+        (F.size("lines") >= 2)
+        & F.col("lines").getItem(0).rlike(r"^\d+$")
+        & tline.rlike(pat)
+    )
+    start = _g(1) * 3600000 + _g(2) * 60000 + _g(3) * 1000 + _g(4)
+    end = _g(5) * 3600000 + _g(6) * 60000 + _g(7) * 1000 + _g(8)
+    return withl.select(
+        "doc_id",
+        F.col("cue_idx").cast("long").alias("cue_idx"),
+        F.when(ok, start).alias("start_ms"),
+        F.when(ok, end).alias("end_ms"),
+        F.expr(
+            "array_join(slice(lines, 3, greatest(size(lines) - 2, 0)),"
+            " '\n')"
+        ).alias("text"),
+        ok.alias("valid"),
+    )
+
+
+def synth_srt_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixture for x_srt_cues (r9), generated as PURE JVM expressions
+    (transform over sequence — zero shuffle, zero UDF): 1+(id%5) cues
+    per document — cue k spans [60000·(id%3) + 1000k + id%1000,
+    +500+(id%500)] ms, text 'Cue {k} of doc {id}' plus a second line
+    for odd k; every 17th id breaks cue 0's arrow ('->') so the
+    timestamp regex fails exactly that cue."""
+    i = F.col("doc_id")
+
+    def hms(ms: Column) -> Column:
+        return F.format_string(
+            "%02d:%02d:%02d,%03d",
+            (ms / 3600000).cast("long"),
+            ((ms / 60000) % 60).cast("long"),
+            ((ms / 1000) % 60).cast("long"),
+            (ms % 1000).cast("long"),
+        )
+
+    def cue(k: Column) -> Column:
+        start = (i % 3) * 60000 + k * 1000 + (i % 1000)
+        end = start + 500 + (i % 500)
+        arrow = F.when(
+            (i % 17 == 0) & (k == 0), F.lit(" -> ")
+        ).otherwise(F.lit(" --> "))
+        return F.concat(
+            (k + 1).cast("string"), F.lit("\n"),
+            hms(start), arrow, hms(end), F.lit("\n"),
+            F.format_string("Cue %d of doc %d", k, i),
+            F.when(k % 2 == 1,
+                   F.format_string("\nline two %d", i + k))
+            .otherwise(F.lit("")),
+        )
+
+    return docs.select(F.col(id_col).alias("doc_id")).select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), (i % 5).cast("int")), cue
+            ),
+            "\n\n",
+        ).alias("srt"),
     )
 
 

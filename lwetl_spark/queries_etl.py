@@ -2618,6 +2618,106 @@ def x_gif_meta(spark, sf_dir):
 
 
 @register(
+    "x_srt_cues",
+    """
+    WITH g AS (
+        SELECT doc_id, unnest(range(0, 1 + doc_id % 5)) AS k
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, k,
+               (doc_id % 3) * 60000 + k * 1000 + (doc_id % 1000)
+                   AS start_ms,
+               doc_id % 17 = 0 AND k = 0 AS corrupt
+        FROM g
+    )
+    SELECT doc_id, CAST(k AS BIGINT) AS cue_idx,
+           CAST(CASE WHEN corrupt THEN -1 ELSE start_ms END AS BIGINT)
+               AS start_ms,
+           CAST(CASE WHEN corrupt THEN -1
+                ELSE start_ms + 500 + (doc_id % 500) END AS BIGINT)
+               AS end_ms,
+           printf('Cue %d of doc %d', k, doc_id)
+               || CASE WHEN k % 2 = 1
+                       THEN chr(10) || printf('line two %d', doc_id + k)
+                       ELSE '' END AS text,
+           NOT corrupt AS valid
+    FROM c
+    """,
+)
+def x_srt_cues(spark, sf_dir):
+    """SubRip (SRT) subtitle parse (r9; operators/media.srt_cues) —
+    the caption format video training sets pair with their frames —
+    as PURE JVM expressions: blank-line split + posexplode, timestamp
+    regex → exact milliseconds, multi-line cue text rejoined.  No
+    UDF, no Arrow pass: whole-stage codegen end to end (the bmp_dims
+    precedent, and the fixture generator is itself a zero-shuffle
+    transform-over-sequence).  Every 17th id breaks cue 0's arrow:
+    that cue alone goes valid=false with NULL times while its text
+    still extracts — the per-cue (not per-file) failure contract."""
+    from lwetl_spark.operators.media import srt_cues, synth_srt_demo
+
+    docs = _t(spark, sf_dir, "documents")
+    out = srt_cues(synth_srt_demo(docs))
+    return out.select(
+        "doc_id", "cue_idx",
+        F.coalesce(F.col("start_ms"), F.lit(-1)).cast("long")
+        .alias("start_ms"),
+        F.coalesce(F.col("end_ms"), F.lit(-1)).cast("long")
+        .alias("end_ms"),
+        "text", "valid",
+    )
+
+
+@register(
+    "x_avi_meta",
+    """
+    WITH g AS (
+        SELECT doc_id, 160 + 8 * (doc_id % 30) AS w,
+               120 + 6 * (doc_id % 20) AS h, 10 + doc_id % 90 AS nf,
+               33333 + 100 * (doc_id % 5) AS uspf,
+               doc_id % 7 <> 0 AS audio, doc_id % 26 = 0 AS corrupt
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(CASE WHEN corrupt THEN -1 ELSE w END AS BIGINT)
+               AS width,
+           CAST(CASE WHEN corrupt THEN -1 ELSE h END AS BIGINT)
+               AS height,
+           CAST(CASE WHEN corrupt THEN -1 ELSE nf END AS BIGINT)
+               AS n_frames,
+           CAST(CASE WHEN corrupt THEN -1
+                WHEN audio THEN 2 ELSE 1 END AS BIGINT) AS n_streams,
+           (NOT corrupt) AND audio AS has_audio,
+           CAST(CASE WHEN corrupt THEN -1
+                ELSE uspf * nf // 1000 END AS BIGINT) AS duration_ms,
+           NOT corrupt AS valid
+    FROM g
+    """,
+)
+def x_avi_meta(spark, sf_dir):
+    """AVI census (r9; operators/media.avi_meta): the third crawl
+    video container after MP4 (r8) and Matroska (r9) — RIFF LIST walk
+    into hdrl, the 56-byte avih unpack (µs-per-frame × total frames →
+    exact duration_ms), per-strl fccType scan for the audio flag
+    (video-only AVIs exist in every crawl: id%7=0 legs).  Every 26th
+    id truncates mid-avih → NULL census with -1 sentinels."""
+    from lwetl_spark.operators.media import avi_meta, synth_avi_demo
+
+    docs = _t(spark, sf_dir, "documents")
+    out = avi_meta(synth_avi_demo(docs))
+    return out.select(
+        "doc_id",
+        *[F.coalesce(F.col(c), F.lit(-1)).cast("long").alias(c)
+          for c in ("width", "height", "n_frames", "n_streams")],
+        F.coalesce(F.col("has_audio"), F.lit(False)).alias("has_audio"),
+        F.coalesce(F.col("duration_ms"), F.lit(-1)).cast("long")
+        .alias("duration_ms"),
+        "valid",
+    )
+
+
+@register(
     "x_pdf_text",
     """
     WITH g AS (

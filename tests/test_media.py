@@ -1658,3 +1658,50 @@ def test_pdf_census_and_text_extraction(spark):
     got2 = {r["doc_id"]: r for r in pdf_text(df).collect()}
     assert got2[1]["text"] == "Spark row" and got2[1]["valid"]
     assert got2[2]["version"] is None and got2[2]["valid"] is False
+
+
+def test_avi_census_and_srt_cues(spark):
+    """AVI RIFF walk (avih geometry/timing, audio-stream flag) and
+    the pure-JVM SRT cue parser (timestamp math, multi-line text,
+    per-cue failure contract)."""
+    from lwetl_spark.operators.media import (
+        avi_bytes,
+        media_meta,
+        parse_avi,
+        srt_cues,
+        synth_srt_demo,
+    )
+
+    r = parse_avi(avi_bytes(320, 240, 100, 33333, True))
+    assert (r["width"], r["height"], r["n_frames"], r["n_streams"],
+            r["has_audio"]) == (320, 240, 100, 2, True)
+    assert r["duration_ms"] == 3333 and r["valid"]
+    assert parse_avi(avi_bytes(160, 120, 10, 40000, False))[
+        "has_audio"] is False
+    assert parse_avi(avi_bytes(320, 240, 9, 1, True)[:60]) is None
+    assert parse_avi(b"RIFF\x04\x00\x00\x00WAVE") is None
+
+    df = spark.createDataFrame(
+        [(1, avi_bytes(640, 480, 30, 33333, True))],
+        "doc_id long, payload binary")
+    m = media_meta(df).collect()[0]
+    assert m["fmt"] == "avi" and (m["width"], m["height"]) == (640, 480)
+    assert m["duration_ms"] == 999 and m["valid"]
+
+    docs = spark.range(40).select(F.col("id").alias("doc_id"))
+    out = srt_cues(synth_srt_demo(docs))
+    rows = {(r["doc_id"], r["cue_idx"]): r for r in out.collect()}
+    r7 = rows[(7, 1)]
+    assert r7["start_ms"] == 61007 and r7["end_ms"] == 61514
+    assert r7["text"] == "Cue 1 of doc 7\nline two 8" and r7["valid"]
+    bad = rows[(17, 0)]
+    assert bad["valid"] is False and bad["start_ms"] is None
+    assert bad["text"] == "Cue 0 of doc 17"
+    # hand-written SRT with CRLF line endings and an hour-scale stamp
+    hand = ("5\r\n01:02:03,456 --> 01:02:04,000\r\nHello\r\nWorld\r\n"
+            "\r\n6\r\nbroken line\r\nX")
+    df2 = spark.createDataFrame([(9, hand)], "doc_id long, srt string")
+    got = {r["cue_idx"]: r for r in srt_cues(df2).collect()}
+    assert got[0]["start_ms"] == 3723456 and got[0]["end_ms"] == 3724000
+    assert got[0]["text"] == "Hello\nWorld" and got[0]["valid"]
+    assert got[1]["valid"] is False and got[1]["text"] == "X"
