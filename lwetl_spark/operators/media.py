@@ -5519,12 +5519,14 @@ def _make_tiff_gen():
     structure."""
     import struct
 
-    def tiff(pages, little: bool = True) -> bytes:
-        """pages: [(width, height, bits, compression)]."""
+    def tiff(pages, little: bool = True, seed: int | None = None) -> bytes:
+        """pages: [(width, height, bits, compression)].  With `seed`,
+        each page carries a REAL uncompressed gray strip — pixel
+        (r, c) of page p = (seed + 7r + 13c + 19p) % 256 — instead of
+        the shared token strip (census-only fixtures)."""
         e = "<" if little else ">"
         out = bytearray((b"II" if little else b"MM")
                         + struct.pack(e + "H", 42) + bytes(4))
-        strip = bytes(8)  # shared token strip for every page
 
         def entry(tag: int, typ: int, count: int, val: int) -> bytes:
             raw = struct.pack(e + "HHI", tag, typ, count)
@@ -5532,17 +5534,26 @@ def _make_tiff_gen():
                 return raw + struct.pack(e + "HH", val, 0)
             return raw + struct.pack(e + "I", val)
 
-        strip_off = len(out)
-        out += strip
+        strips = []
+        if seed is None:
+            strip_off = len(out)
+            out += bytes(8)  # shared token strip for every page
+            strips = [(strip_off, 8)] * len(pages)
+        else:
+            for p, (w, h, _bits, _comp) in enumerate(pages):
+                data = bytes((seed + 7 * r + 13 * c + 19 * p) % 256
+                             for r in range(h) for c in range(w))
+                strips.append((len(out), len(data)))
+                out += data
         ifd_offs = []
-        for w, h, bits, comp in pages:
+        for (w, h, bits, comp), (soff, slen) in zip(pages, strips):
             ifd_offs.append(len(out))
             ents = [
                 entry(256, 4, 1, w), entry(257, 4, 1, h),
                 entry(258, 3, 1, bits), entry(259, 3, 1, comp),
                 entry(262, 3, 1, 1),
-                entry(273, 4, 1, strip_off),
-                entry(279, 4, 1, len(strip)),
+                entry(273, 4, 1, soff),
+                entry(279, 4, 1, slen),
             ]
             out += struct.pack(e + "H", len(ents)) + b"".join(ents)
             out += bytes(4)  # next-IFD pointer, patched below
@@ -5612,6 +5623,10 @@ def _make_tiff_walker():
                     page["bits"] = val
                 elif tag == 259:
                     page["compression"] = val
+                elif tag == 273:
+                    page["strip_off"] = val
+                elif tag == 279:
+                    page["strip_len"] = val
             pages.append(page)
             (off,) = struct.unpack(
                 e + "I", b[off + 2 + 12 * n : off + 2 + 12 * n + 4])
@@ -5686,6 +5701,102 @@ def synth_tiff_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 for p in range(1 + i % 3)
             ]
             b = _gen(pages, little=(i % 2 == 0))
+            if i % 25 == 0:
+                e = "<" if i % 2 == 0 else ">"
+                bb = bytearray(b)
+                bb[-4:] = struct.pack(e + "I", len(b) + 1000)
+                return bytes(bb)
+            return b
+
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame({"doc_id": ids, "payload": ids.map(one)})
+
+    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        gen, "doc_id long, payload binary"
+    )
+
+
+TIFF_PIXEL_SCHEMA = (
+    "doc_id long, width long, height long, n_pages long, n_px long,"
+    " sum_px long, min_px long, max_px long"
+)
+
+
+def tiff_pixel_stats(df: DataFrame) -> DataFrame:
+    """REAL TIFF pixel decode (r9 — upgrades the census to decode for
+    the uncompressed-baseline form): per page, the single gray 8-bit
+    strip addressed by StripOffsets/StripByteCounts is read and
+    stat'd over ALL pages (the gif_pixel_stats contract).  Pages with
+    LZW/packbits compression, non-8-bit samples, or strips past the
+    payload yield NULL stats for the whole item (stated honestly —
+    compressed TIFF decode is out of scope); non-TIFF payloads NULL
+    too.  One zero-shuffle Arrow pass."""
+    walk = _make_tiff_walker()
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        def stats(b: bytes):
+            b = bytes(b)
+            r = walk(b)
+            if r is None or not r["pages"] or not r["valid"]:
+                return None
+            tot = cnt = 0
+            mn, mx = 255, 0
+            for p in r["pages"]:
+                w, h = p["width"], p["height"]
+                soff = p.get("strip_off")
+                slen = p.get("strip_len")
+                if (p["compression"] != 1 or p["bits"] != 8
+                        or soff is None or slen is None
+                        or slen != (w or 0) * (h or 0)
+                        or soff + slen > len(b)):
+                    return None
+                data = b[soff : soff + slen]
+                tot += sum(data)
+                cnt += slen
+                if slen:
+                    mn = min(mn, min(data))
+                    mx = max(mx, max(data))
+            p0 = r["pages"][0]
+            return (p0["width"], p0["height"], len(r["pages"]), cnt,
+                    tot, mn, mx)
+
+        cols = ["width", "height", "n_pages", "n_px", "sum_px",
+                "min_px", "max_px"]
+        for pdf in batches:
+            parsed = [stats(b) for b in pdf["payload"]]
+            out = pd.DataFrame(
+                [p if p is not None else (None,) * 7 for p in parsed],
+                columns=cols,
+            )
+            out.insert(0, "doc_id", pdf["doc_id"].to_numpy())
+            yield out
+
+    return df.mapInPandas(run, schema=TIFF_PIXEL_SCHEMA)
+
+
+def synth_tiff_px_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixture for x_tiff_pixels (r9): REAL pixel-carrying TIFFs —
+    1+(id%3) pages, page p sized 8+(id+9p)%40 × 8+(id+5p)%30, gray
+    8-bit uncompressed strips with pixel (r,c) =
+    (id%256 + 7r + 13c + 19p) % 256, byte order by id parity; every
+    25th id breaks the last next-IFD pointer (walk invalid → NULL
+    stats)."""
+    _gen = tiff_bytes  # factory-made → ships by value
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import struct
+
+        import pandas as pd
+
+        def one(i: int) -> bytes:
+            pages = [
+                (8 + (i + 9 * p) % 40, 8 + (i + 5 * p) % 30, 8, 1)
+                for p in range(1 + i % 3)
+            ]
+            b = _gen(pages, little=(i % 2 == 0), seed=i % 256)
             if i % 25 == 0:
                 e = "<" if i % 2 == 0 else ">"
                 bb = bytearray(b)

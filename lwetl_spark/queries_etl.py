@@ -2618,6 +2618,78 @@ def x_gif_meta(spark, sf_dir):
 
 
 @register(
+    "x_tiff_pixels",
+    """
+    WITH g AS (
+        SELECT doc_id, 1 + doc_id % 3 AS np, doc_id % 256 AS s,
+               doc_id % 25 = 0 AS corrupt
+        FROM documents
+    ),
+    pg AS (SELECT doc_id, np, s, corrupt,
+                  unnest(range(0, np)) AS p FROM g),
+    dims AS (
+        SELECT doc_id, np, s, corrupt, p,
+               8 + (doc_id + 9 * p) % 40 AS w,
+               8 + (doc_id + 5 * p) % 30 AS h
+        FROM pg
+    ),
+    rr AS (SELECT *, unnest(range(0, h)) AS r FROM dims),
+    cc AS (SELECT *, unnest(range(0, w)) AS c FROM rr),
+    v AS (
+        SELECT doc_id, corrupt, p,
+               (s + 7 * r + 13 * c + 19 * p) % 256 AS v
+        FROM cc
+    ),
+    st AS (
+        SELECT doc_id, CAST(SUM(v) AS BIGINT) AS sum_px,
+               CAST(COUNT(*) AS BIGINT) AS n_px,
+               CAST(MIN(v) AS BIGINT) AS min_px,
+               CAST(MAX(v) AS BIGINT) AS max_px
+        FROM v GROUP BY doc_id
+    )
+    SELECT g.doc_id,
+           CAST(CASE WHEN corrupt THEN -1
+                ELSE 8 + g.doc_id % 40 END AS BIGINT) AS width,
+           CAST(CASE WHEN corrupt THEN -1
+                ELSE 8 + g.doc_id % 30 END AS BIGINT) AS height,
+           CAST(CASE WHEN corrupt THEN -1 ELSE g.np END AS BIGINT)
+               AS n_pages,
+           CAST(CASE WHEN corrupt THEN -1 ELSE st.n_px END AS BIGINT)
+               AS n_px,
+           CAST(CASE WHEN corrupt THEN -1 ELSE st.sum_px END AS BIGINT)
+               AS sum_px,
+           CAST(CASE WHEN corrupt THEN -1 ELSE st.min_px END AS BIGINT)
+               AS min_px,
+           CAST(CASE WHEN corrupt THEN -1 ELSE st.max_px END AS BIGINT)
+               AS max_px
+    FROM g JOIN st ON g.doc_id = st.doc_id
+    """,
+)
+def x_tiff_pixels(spark, sf_dir):
+    """TIFF PIXEL decode (r9 — upgrades x_tiff_meta's census to a
+    real decode for uncompressed-baseline TIFFs; operators/media.
+    tiff_pixel_stats): per page the gray 8-bit strip addressed by
+    StripOffsets/StripByteCounts reads out and every pixel
+    value-checks against id arithmetic across ALL pages and BOTH byte
+    orders.  Compressed/odd-depth/overrun strips yield NULL stats
+    (stated honestly); every 25th id breaks the IFD chain → -1
+    sentinels."""
+    from lwetl_spark.operators.media import (
+        synth_tiff_px_demo,
+        tiff_pixel_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    out = tiff_pixel_stats(synth_tiff_px_demo(docs))
+    return out.select(
+        "doc_id",
+        *[F.coalesce(F.col(c), F.lit(-1)).cast("long").alias(c)
+          for c in ("width", "height", "n_pages", "n_px", "sum_px",
+                    "min_px", "max_px")],
+    )
+
+
+@register(
     "x_srt_cues",
     """
     WITH g AS (

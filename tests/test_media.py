@@ -1705,3 +1705,44 @@ def test_avi_census_and_srt_cues(spark):
     assert got[0]["start_ms"] == 3723456 and got[0]["end_ms"] == 3724000
     assert got[0]["text"] == "Hello\nWorld" and got[0]["valid"]
     assert got[1]["valid"] is False and got[1]["text"] == "X"
+
+
+def test_tiff_pixel_strip_decode(spark):
+    """TIFF strip decode (r9): uncompressed gray strips value-check in
+    both byte orders; compressed/overrun/short strips are honest
+    NULLs."""
+    import struct
+
+    from lwetl_spark.operators.media import (
+        synth_tiff_px_demo,
+        tiff_bytes,
+        tiff_pixel_stats,
+    )
+
+    for little in (True, False):
+        b = tiff_bytes([(10, 8, 8, 1), (12, 9, 8, 1)], little, seed=33)
+        df = spark.createDataFrame([(1, b)], "doc_id long, payload binary")
+        r = tiff_pixel_stats(df).collect()[0]
+        exp = []
+        for p, (w, h) in enumerate([(10, 8), (12, 9)]):
+            exp += [(33 + 7 * rr + 13 * cc + 19 * p) % 256
+                    for rr in range(h) for cc in range(w)]
+        assert (r["n_px"], r["sum_px"], r["min_px"], r["max_px"]) == (
+            len(exp), sum(exp), min(exp), max(exp))
+        assert (r["width"], r["height"], r["n_pages"]) == (10, 8, 2)
+    # LZW-compressed page -> NULL (out of scope, stated)
+    b2 = tiff_bytes([(10, 8, 8, 5)], True, seed=3)
+    df2 = spark.createDataFrame([(1, b2)], "doc_id long, payload binary")
+    assert tiff_pixel_stats(df2).collect()[0]["n_px"] is None
+    # strip overruns the payload -> NULL, not IndexError
+    b3 = bytearray(tiff_bytes([(10, 8, 8, 1)], True, seed=3))
+    # first IFD entry 273 (strip offset) -> point past the end
+    r3 = spark.createDataFrame(
+        [(1, bytes(b3[:40]))], "doc_id long, payload binary")
+    assert tiff_pixel_stats(r3).collect()[0]["n_px"] is None
+    # the fixture's corrupt leg really NULLs
+    docs = spark.range(26).select(F.col("id").alias("doc_id"))
+    got = {r["doc_id"]: r for r in
+           tiff_pixel_stats(synth_tiff_px_demo(docs)).collect()}
+    assert got[0]["n_px"] is None and got[25]["n_px"] is None
+    assert got[1]["n_px"] is not None
