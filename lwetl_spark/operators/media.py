@@ -5508,6 +5508,36 @@ def synth_pdf_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def synth_pdf_campaign_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixture for x_pdf_ingest (r9): PDFs whose text depends ONLY on
+    the duplicate class cls = id%50 (np = 1+cls%3 pages, page p text
+    'Class {cls} line {p}'), so ids congruent mod 50 are
+    content-duplicates the campaign must admit once; FlateDecode by
+    id parity; every 21st id truncated before the trailer (the
+    admission gate drops it on valid=false)."""
+    _gen = pdf_bytes  # factory-made → ships by value
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        def one(i: int) -> bytes:
+            cls = i % 50
+            texts = ["Class %d line %d" % (cls, p)
+                     for p in range(1 + cls % 3)]
+            b = _gen(texts, deflate=(i % 2 == 1))
+            if i % 21 == 0:
+                return b[: b.rfind(b"trailer")]
+            return b
+
+        for pdf_ in batches:
+            ids = pdf_["doc_id"].astype("int64")
+            yield pd.DataFrame({"doc_id": ids, "payload": ids.map(one)})
+
+    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        gen, "doc_id long, payload binary"
+    )
+
+
 def _make_tiff_gen():
     """Factory returning the TIFF generator (by-value pickling, see
     _make_mp4_gen): a real multi-page baseline TIFF — II or MM byte

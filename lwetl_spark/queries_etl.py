@@ -2618,6 +2618,96 @@ def x_gif_meta(spark, sf_dir):
 
 
 @register(
+    "x_pdf_ingest",
+    """
+    WITH sub AS (
+        SELECT doc_id, doc_id % 50 AS cls
+        FROM documents WHERE doc_id % 4 = 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) FILTER (WHERE doc_id % 21 <> 0) AS BIGINT)
+               AS n_extracted,
+           CAST(COUNT(DISTINCT cls) FILTER (WHERE doc_id % 21 <> 0)
+                AS BIGINT) AS n_admitted,
+           TRUE AS index_matches_fresh,
+           TRUE AS no_readmission
+    FROM sub
+    """,
+)
+def x_pdf_ingest(spark, sf_dir):
+    """The PDF crawl loop composed end-to-end (r9 — the document-side
+    sibling of x_warc_ingest): PDFs → `pdf_text` (census gate +
+    FlateDecode/raw stream text extraction) → valid-only admission →
+    `ingest_increment` (manifest diff + content dedup + index
+    maintenance).  Contracts, all oracle-checked: (a) n_extracted
+    counts only census-valid PDFs (truncated fixtures drop at the
+    gate); (b) n_admitted = distinct duplicate-classes among them
+    (ids congruent mod 50 carry identical extracted text and dedup to
+    ONE admission); (c) the campaign-maintained index equals a fresh
+    build over the admitted set; (d) re-crawling the same PDFs admits
+    nothing."""
+    import os as _os
+    import shutil as _shutil
+
+    from lwetl_spark.operators.incremental import ingest_increment
+    from lwetl_spark.operators.media import (
+        pdf_text,
+        synth_pdf_campaign_demo,
+    )
+    from lwetl_spark.operators.retrieval import (
+        build_text_index,
+        query_text_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sub = docs.filter(F.col("doc_id") % 4 == 1)
+    extracted = pdf_text(synth_pdf_campaign_demo(sub))
+    cleaned = (
+        extracted.filter(F.col("valid"))
+        .select("doc_id", "text")
+        .localCheckpoint(eager=True)
+    )
+    work = _tmpdir("pdfingest")
+    man, state, idx = (
+        _os.path.join(work, p) for p in ("manifest", "state", "index")
+    )
+    r1 = ingest_increment(spark, cleaned, man, state, idx)
+    admitted = spark.read.parquet(state).select("doc_id")
+    fresh_path = _os.path.join(work, "fresh")
+    build_text_index(
+        cleaned.join(admitted, "doc_id", "left_semi"), fresh_path
+    )
+    probes = spark.createDataFrame(
+        [(1, "class"), (2, "line"), (3, "0"), (4, "7")],
+        "query_id int, term string",
+    )
+    cols = ["query_id", "doc_id", "score_ppm", "n_terms", "rnk"]
+    a = query_text_index(spark, idx, probes, k=10).groupBy(*cols).agg(
+        F.count("*").alias("_ca")
+    )
+    b = query_text_index(spark, fresh_path, probes, k=10).groupBy(
+        *cols
+    ).agg(F.count("*").alias("_cb"))
+    mismatches = (
+        a.join(b, cols, "full_outer")
+        .filter("_ca IS NULL OR _cb IS NULL OR _ca <> _cb")
+        .count()
+    )
+    r2 = ingest_increment(spark, cleaned, man, state, idx)
+    n_docs = sub.count()
+    n_extracted = cleaned.count()
+    _shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        [(
+            int(n_docs), int(n_extracted), int(r1["n_admitted"]),
+            mismatches == 0, int(r2["n_admitted"]) == 0,
+        )],
+        "n_docs long, n_extracted long, n_admitted long,"
+        " index_matches_fresh boolean, no_readmission boolean",
+    )
+
+
+@register(
     "x_tiff_pixels",
     """
     WITH g AS (
