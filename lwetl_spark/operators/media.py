@@ -4532,9 +4532,16 @@ def image_dhash(df: DataFrame) -> DataFrame:
     gradient-based, so global brightness shifts preserve it.
     Undecodable payloads yield (NULL, ok=false) — one bad file never
     kills a batch.  One zero-shuffle Arrow pass; downstream grouping /
-    hamming banding exchanges (doc_id, 16-char string) rows only."""
+    hamming banding exchanges (doc_id, 16-char string) rows only.
+
+    r9: GIF (first frame via the LZW decoder) and uncompressed-strip
+    TIFF (first page) route too, so perceptual dedup covers every
+    format the engine decodes — a logo re-exported gif→png→jpeg lands
+    in one near-dup bucket."""
     png_decode, _ = _make_png_codec()
     jdec = _make_jpeg_decoder()
+    gdec = _make_gif_pixel_decoder()
+    twalk = _make_tiff_walker()
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import numpy as np
@@ -4547,6 +4554,23 @@ def image_dhash(df: DataFrame) -> DataFrame:
                 px = png_decode(b)
             elif b[:3] == b"\xff\xd8\xff":
                 px = jdec(b)
+            elif b[:6] in (b"GIF87a", b"GIF89a"):
+                g = gdec(b)
+                px = g["frames"][0] if g else None
+            elif b[:4] in (b"II\x2a\x00", b"MM\x00\x2a"):
+                t = twalk(b)
+                px = None
+                if t and t["pages"] and t["valid"]:
+                    p0 = t["pages"][0]
+                    soff, slen = p0.get("strip_off"), p0.get("strip_len")
+                    w0, h0 = p0["width"], p0["height"]
+                    if (p0["compression"] == 1 and p0["bits"] == 8
+                            and soff is not None and slen is not None
+                            and slen == (w0 or 0) * (h0 or 0)
+                            and soff + slen <= len(b)):
+                        px = np.frombuffer(
+                            b[soff : soff + slen], dtype=np.uint8
+                        ).reshape(h0, w0)
             if px is not None and px.ndim == 3:
                 # any color/alpha decode reduces to integer Rec.601
                 # luma (cast first: PNG arrays are uint8)

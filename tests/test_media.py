@@ -1746,3 +1746,35 @@ def test_tiff_pixel_strip_decode(spark):
            tiff_pixel_stats(synth_tiff_px_demo(docs)).collect()}
     assert got[0]["n_px"] is None and got[25]["n_px"] is None
     assert got[1]["n_px"] is not None
+
+
+def test_image_dhash_routes_gif_and_tiff(spark):
+    """Perceptual dedup spans formats (r9): the SAME pixel content
+    encoded as PNG and as an uncompressed-strip TIFF produces the
+    SAME dhash; GIF frames hash too; corrupt routes stay ok=false."""
+    import numpy as np
+
+    from lwetl_spark.operators.media import (
+        _make_png_codec,
+        gif_lzw_bytes,
+        image_dhash,
+        tiff_bytes,
+    )
+
+    _, png_encode = _make_png_codec()
+    # reproduce tiff_bytes' seeded pixel model as a PNG
+    w, h, seed = 24, 16, 9
+    px = np.array([[(seed + 7 * r + 13 * c) % 256 for c in range(w)]
+                   for r in range(h)], dtype=np.uint8)
+    png = png_encode(px)
+    tif = tiff_bytes([(w, h, 8, 1)], True, seed=seed)
+    gif = gif_lzw_bytes(12, 10, 5, 7, 1)
+    df = spark.createDataFrame(
+        [(1, png), (2, tif), (3, gif), (4, b"II\x2a\x00" + bytes(4))],
+        "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in image_dhash(df).collect()}
+    assert got[1]["ok"] and got[2]["ok"]
+    assert got[1]["dhash"] == got[2]["dhash"]  # format-independent
+    assert (got[2]["width"], got[2]["height"]) == (w, h)
+    assert got[3]["ok"] and got[3]["width"] == 12
+    assert got[4]["ok"] is False
