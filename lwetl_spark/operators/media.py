@@ -5252,6 +5252,64 @@ def srt_cues(df: DataFrame, text_col: str = "srt") -> DataFrame:
     )
 
 
+def vtt_cues(df: DataFrame, text_col: str = "vtt") -> DataFrame:
+    """WebVTT cue parse as PURE JVM expressions (r9) — the web's
+    caption format (SRT's sibling; the dialect differences are
+    exactly the traps: '.' before milliseconds, OPTIONAL hours field,
+    OPTIONAL cue-identifier line).  Header block dropped; per cue the
+    arrow line is found at position 0 or 1 (identifier present or
+    not), timestamps parse with an optional hours group, remaining
+    lines rejoin as the text.  No UDF; whole-stage codegen.
+
+    Input (doc_id, <text_col> string) → (doc_id, cue_idx, start_ms,
+    end_ms, text, valid)."""
+    ts = r"(?:(\d{2,}):)?(\d{2}):(\d{2})\.(\d{3})"
+    pat = "^" + ts + " --> " + ts + r"(?: .*)?$"
+
+    body = F.regexp_replace(
+        F.col(text_col), r"(?s)^WEBVTT[^\n]*\n\r?\n", "")
+    cues = df.select(
+        "doc_id",
+        F.posexplode(F.split(body, r"\r?\n\r?\n+"))
+        .alias("cue_idx", "cue"),
+    ).filter(F.trim("cue") != "")
+    lines = F.split(F.regexp_replace("cue", r"\r\n", "\n"), r"\n")
+    withl = cues.select("doc_id", "cue_idx", lines.alias("lines"))
+    l0 = F.col("lines").getItem(0)
+    has_id = ~l0.rlike(pat)
+    tline = F.when(has_id, F.col("lines").getItem(1)).otherwise(l0)
+    first_text = F.when(has_id, F.lit(3)).otherwise(F.lit(2))
+
+    def _g(i: int) -> Column:
+        # optional-hours groups extract '' when absent -> 0
+        g = F.regexp_extract(tline, pat, i)
+        return F.when(g == "", F.lit(0)).otherwise(g.cast("long"))
+
+    ok = tline.rlike(pat) & (
+        ~has_id | (F.size("lines") >= 2)
+    )
+    start = _g(1) * 3600000 + _g(2) * 60000 + _g(3) * 1000 + _g(4)
+    end = _g(5) * 3600000 + _g(6) * 60000 + _g(7) * 1000 + _g(8)
+    return withl.select(
+        "doc_id",
+        F.col("cue_idx").cast("long").alias("cue_idx"),
+        F.when(ok, start).alias("start_ms"),
+        F.when(ok, end).alias("end_ms"),
+        F.array_join(
+            F.slice(
+                F.col("lines"),
+                first_text.cast("int"),
+                F.greatest(
+                    F.size("lines") - first_text.cast("int") + 1,
+                    F.lit(0),
+                ),
+            ),
+            "\n",
+        ).alias("text"),
+        ok.alias("valid"),
+    )
+
+
 def synth_srt_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Fixture for x_srt_cues (r9), generated as PURE JVM expressions
     (transform over sequence — zero shuffle, zero UDF): 1+(id%5) cues
@@ -5293,6 +5351,62 @@ def synth_srt_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             ),
             "\n\n",
         ).alias("srt"),
+    )
+
+
+def synth_vtt_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixture for x_vtt_cues (r9), PURE JVM like synth_srt_demo:
+    WEBVTT header + 1+(id%4) cues — cue k spans the SRT model's
+    [(id%3)·60000 + 1000k + id%1000, +500+(id%500)] ms, written WITH
+    the hours field for odd k / bare mm:ss.mmm for even (both legal
+    VTT), an identifier line when k%3=0; every 19th id breaks cue 0's
+    arrow."""
+    i = F.col("doc_id")
+
+    def cue(k: Column) -> Column:
+        start = (i % 3) * 60000 + k * 1000 + (i % 1000)
+        end = start + 500 + (i % 500)
+
+        def stamp(ms: Column) -> Column:
+            return F.when(
+                k % 2 == 1,
+                F.format_string(
+                    "%02d:%02d:%02d.%03d",
+                    (ms / 3600000).cast("long"),
+                    ((ms / 60000) % 60).cast("long"),
+                    ((ms / 1000) % 60).cast("long"),
+                    (ms % 1000).cast("long"),
+                ),
+            ).otherwise(
+                F.format_string(
+                    "%02d:%02d.%03d",
+                    (ms / 60000).cast("long"),
+                    ((ms / 1000) % 60).cast("long"),
+                    (ms % 1000).cast("long"),
+                )
+            )
+
+        arrow = F.when(
+            (i % 19 == 0) & (k == 0), F.lit(" -> ")
+        ).otherwise(F.lit(" --> "))
+        return F.concat(
+            F.when(k % 3 == 0,
+                   F.format_string("cue-%d\n", k)).otherwise(F.lit("")),
+            stamp(start), arrow, stamp(end), F.lit("\n"),
+            F.format_string("Vtt cue %d doc %d", k, i),
+        )
+
+    return docs.select(F.col(id_col).alias("doc_id")).select(
+        "doc_id",
+        F.concat(
+            F.lit("WEBVTT\n\n"),
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(0), (i % 4).cast("int")), cue
+                ),
+                "\n\n",
+            ),
+        ).alias("vtt"),
     )
 
 

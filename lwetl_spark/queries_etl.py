@@ -2832,6 +2832,54 @@ def x_srt_cues(spark, sf_dir):
 
 
 @register(
+    "x_vtt_cues",
+    """
+    WITH g AS (
+        SELECT doc_id, unnest(range(0, 1 + doc_id % 4)) AS k
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, k,
+               (doc_id % 3) * 60000 + k * 1000 + (doc_id % 1000)
+                   AS start_ms,
+               doc_id % 19 = 0 AND k = 0 AS corrupt
+        FROM g
+    )
+    SELECT doc_id, CAST(k AS BIGINT) AS cue_idx,
+           CAST(CASE WHEN corrupt THEN -1 ELSE start_ms END AS BIGINT)
+               AS start_ms,
+           CAST(CASE WHEN corrupt THEN -1
+                ELSE start_ms + 500 + (doc_id % 500) END AS BIGINT)
+               AS end_ms,
+           printf('Vtt cue %d doc %d', k, doc_id) AS text,
+           NOT corrupt AS valid
+    FROM c
+    """,
+)
+def x_vtt_cues(spark, sf_dir):
+    """WebVTT cue parse (r9; operators/media.vtt_cues) — SRT's web
+    sibling, PURE JVM again, and the dialect differences are the
+    oracle's probes: '.' milliseconds, the OPTIONAL hours field (odd
+    cues carry hours, even cues are bare mm:ss.mmm — both must land
+    on the same exact ms), and the OPTIONAL cue-identifier line
+    (every third cue has one, shifting where the text starts).  Every
+    19th id breaks cue 0's arrow: per-cue valid=false, text still
+    extracted."""
+    from lwetl_spark.operators.media import synth_vtt_demo, vtt_cues
+
+    docs = _t(spark, sf_dir, "documents")
+    out = vtt_cues(synth_vtt_demo(docs))
+    return out.select(
+        "doc_id", "cue_idx",
+        F.coalesce(F.col("start_ms"), F.lit(-1)).cast("long")
+        .alias("start_ms"),
+        F.coalesce(F.col("end_ms"), F.lit(-1)).cast("long")
+        .alias("end_ms"),
+        "text", "valid",
+    )
+
+
+@register(
     "x_avi_meta",
     """
     WITH g AS (

@@ -1778,3 +1778,22 @@ def test_image_dhash_routes_gif_and_tiff(spark):
     assert (got[2]["width"], got[2]["height"]) == (w, h)
     assert got[3]["ok"] and got[3]["width"] == 12
     assert got[4]["ok"] is False
+
+
+def test_vtt_cues_dialect(spark):
+    """WebVTT (r9): header strip, optional hours, optional identifier
+    line, align metadata after the end stamp, per-cue failure."""
+    from lwetl_spark.operators.media import vtt_cues
+
+    doc = ("WEBVTT - demo\n\n"
+           "intro-cue\n00:01.500 --> 00:04.000\nHello world\n\n"
+           "01:02:03.456 --> 01:02:04.000 align:start\n"
+           "No id line\nsecond line\n\n"
+           "badcue\nnot a timestamp\nX")
+    df = spark.createDataFrame([(1, doc)], "doc_id long, vtt string")
+    rows = vtt_cues(df).orderBy("cue_idx").collect()
+    assert rows[0]["start_ms"] == 1500 and rows[0]["end_ms"] == 4000
+    assert rows[0]["text"] == "Hello world" and rows[0]["valid"]
+    assert rows[1]["start_ms"] == 3723456
+    assert rows[1]["text"] == "No id line\nsecond line"
+    assert rows[2]["valid"] is False and rows[2]["text"] == "X"
