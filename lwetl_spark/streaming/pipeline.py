@@ -1272,3 +1272,26 @@ def stream_zip_members(
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     return zip_member_contents(reader.parquet(media_path))
+
+
+def stream_media_apply(
+    spark: SparkSession,
+    media_path: str,
+    op,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Generic streaming twin for any batch media operator (r9):
+    `op` is one of the (doc_id, payload) → rows operators
+    (gif_pixel_stats, flac_meta, ogg_meta, tiff_pages,
+    tiff_pixel_stats, avi_meta, …) — they are all single
+    mapInPandas/select passes, so applying the SAME callable to a
+    readStream frame yields identical per-item results by
+    construction (pinned for two representatives in test_streaming;
+    the named twins above remain for the operators that predate
+    this).  Corrupt payloads follow each operator's own NULL/partial
+    contract — never a failed micro-batch."""
+    schema = spark.read.parquet(media_path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return op(reader.parquet(media_path))

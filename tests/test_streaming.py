@@ -1156,3 +1156,34 @@ def test_stream_pdf_text_and_zip_members_match_batch(spark, tmp_path):
     want2 = zip_member_contents(zips)
     assert sorted(map(tuple, got2.collect())) \
         == sorted(map(tuple, want2.collect()))
+
+
+def test_stream_media_apply_generic_twin(spark, tmp_path):
+    """The generic media twin == batch for two representative r9
+    operators (GIF-LZW pixel decode and the FLAC census), corrupt
+    legs included."""
+    from lwetl_spark.operators.media import (
+        flac_meta,
+        gif_pixel_stats,
+        synth_flac_demo,
+        synth_gif_px_demo,
+    )
+    from lwetl_spark.streaming.pipeline import (
+        stream_media_apply,
+        stream_to_memory,
+    )
+
+    ids = spark.range(70).select(F.col("id").alias("doc_id"))
+    for tag, fixture, op in (
+        ("gifpx", synth_gif_px_demo, gif_pixel_stats),
+        ("flac", synth_flac_demo, flac_meta),
+    ):
+        data = fixture(ids).localCheckpoint(eager=True)
+        p = str(tmp_path / tag)
+        data.coalesce(2).write.parquet(p)
+        got = stream_to_memory(
+            stream_media_apply(spark, p, op, max_files_per_trigger=1),
+            name=f"t_generic_{tag}", mode="append",
+        )
+        assert sorted(map(tuple, got.collect())) \
+            == sorted(map(tuple, op(data).collect()))
