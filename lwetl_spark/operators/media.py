@@ -6810,6 +6810,120 @@ def zip_member_contents(df: DataFrame) -> DataFrame:
     return df.mapInPandas(run, schema=ZIP_MEMBER_SCHEMA)
 
 
+EPUB_CHAPTER_SCHEMA = (
+    "doc_id long, chapter_idx long, xhtml string, ok boolean,"
+    " valid boolean"
+)
+
+
+def epub_chapters(df: DataFrame) -> DataFrame:
+    """EPUB chapter extraction (r9) — books are core LLM training
+    data and EPUB is a ZIP in disguise: the walk catalogs members,
+    verifies the spec's `mimetype` contract (FIRST member, STORED,
+    exactly 'application/epub+zip'), and inflates each OEBPS/chN.xhtml
+    chapter to its markup string.  Downstream the JVM `html_text`
+    chain strips it to training text (x_epub_text) — byte work in the
+    Arrow pass, text work in codegen.  Non-zip payloads yield a
+    sentinel row; a corrupted central directory keeps the chapters
+    before the lie with valid=false (the zip contract); a bad
+    mimetype flags valid=false on every row."""
+    zidx, zext = _make_zip_walker()
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        def rows(i: int, b: bytes):
+            r = zidx(b)
+            if r is None:
+                return [(i, -1, None, False, False)]
+            is_epub = False
+            if r["members"]:
+                m0 = r["members"][0]
+                if m0["name"] == "mimetype" and m0["method"] == 0:
+                    is_epub = zext(b, m0) == b"application/epub+zip"
+            shard_ok = r["valid"] and is_epub
+            out = []
+            for m in r["members"]:
+                name = m["name"]
+                if not (name.startswith("OEBPS/ch")
+                        and name.endswith(".xhtml")):
+                    continue
+                try:
+                    k = int(name[len("OEBPS/ch"):-len(".xhtml")])
+                except ValueError:
+                    continue
+                data = zext(b, m)
+                if data is None:
+                    out.append((i, k, None, False, shard_ok))
+                else:
+                    out.append((i, k,
+                                data.decode("utf-8", "replace"),
+                                True, shard_ok))
+            if not out:
+                out = [(i, -1, None, False, False)]
+            return out
+
+        cols = ["doc_id", "chapter_idx", "xhtml", "ok", "valid"]
+        for pdf in batches:
+            recs = []
+            for i, b in zip(pdf["doc_id"], pdf["payload"]):
+                recs.extend(rows(int(i), b))
+            yield pd.DataFrame(recs, columns=cols)
+
+    return df.mapInPandas(run, schema=EPUB_CHAPTER_SCHEMA)
+
+
+def synth_epub_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixture for x_epub_text (r9): REAL minimal EPUBs — the stored
+    `mimetype` member first, META-INF/container.xml + content.opf,
+    then 2+(id%3) deflated XHTML chapters whose stripped text is pure
+    id arithmetic (title + h1 + two paragraphs + an &amp; entity the
+    strip must decode).  Every 23rd id corrupts the LAST central
+    entry (the final chapter drops, valid=false on the shard)."""
+    _gen = zip_bytes  # factory-made → ships by value
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        def one(i: int) -> bytes:
+            members = [
+                ("mimetype", b"application/epub+zip", "stored"),
+                ("META-INF/container.xml",
+                 b'<?xml version="1.0"?><container/>', "deflate"),
+                ("OEBPS/content.opf",
+                 b'<?xml version="1.0"?><package/>', "deflate"),
+            ]
+            for k in range(2 + i % 3):
+                xhtml = (
+                    "<html><head><title>Book %d</title>"
+                    "<style>p{margin:0}</style></head>"
+                    "<body><h1>Chapter %d</h1>"
+                    "<p>Paragraph 0 of chapter %d book %d</p>"
+                    "<p>Paragraph 1 of chapter %d book %d</p>"
+                    "<p>Fish &amp; chips %d</p>"
+                    "</body></html>"
+                    % (i, k, k, i, k, i, i + k)
+                ).encode()
+                members.append(("OEBPS/ch%d.xhtml" % k, xhtml,
+                                "deflate"))
+            b = _gen(members)
+            if i % 23 == 0:
+                bb = bytearray(b)
+                e = bb.rfind(b"PK\x05\x06")
+                c = bb.rfind(b"PK\x01\x02", 0, e)
+                bb[c + 1] ^= 0xFF
+                return bytes(bb)
+            return b
+
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame({"doc_id": ids, "payload": ids.map(one)})
+
+    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        gen, "doc_id long, payload binary"
+    )
+
+
 def synth_zip_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Fixture for x_zip_extract (r9): each document becomes a REAL
     ZIP of 1+(id%5) members — member j named 'm{j}.bin' with

@@ -2832,6 +2832,52 @@ def x_srt_cues(spark, sf_dir):
 
 
 @register(
+    "x_epub_text",
+    """
+    WITH g AS (
+        SELECT doc_id, 2 + doc_id % 3 AS nch, doc_id % 23 = 0 AS corrupt
+        FROM documents
+    ),
+    ch AS (
+        SELECT doc_id, corrupt,
+               unnest(range(0, CASE WHEN corrupt THEN nch - 1
+                                    ELSE nch END)) AS k
+        FROM g
+    )
+    SELECT doc_id, CAST(k AS BIGINT) AS chapter_idx,
+           printf('Book %d Chapter %d Paragraph 0 of chapter %d book'
+                  || ' %d Paragraph 1 of chapter %d book %d Fish &'
+                  || ' chips %d',
+                  doc_id, k, k, doc_id, k, doc_id, doc_id + k) AS text,
+           TRUE AS ok, NOT corrupt AS valid
+    FROM ch
+    """,
+)
+def x_epub_text(spark, sf_dir):
+    """EPUB → training text (r9; operators/media.epub_chapters +
+    functions/text.html_text): books are core LLM training data and
+    EPUB is a ZIP in disguise — the walk verifies the spec's
+    mimetype contract (first member, STORED, exact content), inflates
+    each chapter's XHTML in the Arrow pass, and the JVM html_text
+    chain strips markup/style and decodes entities to the text a
+    pipeline ingests.  The oracle replays every chapter's stripped
+    text char-exact (title + heading + paragraphs + the &amp;
+    decode).  Every 23rd id loses its LAST chapter to a corrupted
+    central entry: remaining chapters survive with valid=false (the
+    partial-census contract)."""
+    from lwetl_spark.functions.text import html_text
+    from lwetl_spark.operators.media import epub_chapters, synth_epub_demo
+
+    docs = _t(spark, sf_dir, "documents")
+    out = epub_chapters(synth_epub_demo(docs))
+    return out.select(
+        "doc_id", "chapter_idx",
+        html_text(F.coalesce(F.col("xhtml"), F.lit(""))).alias("text"),
+        "ok", "valid",
+    )
+
+
+@register(
     "x_vtt_cues",
     """
     WITH g AS (

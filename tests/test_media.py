@@ -1797,3 +1797,42 @@ def test_vtt_cues_dialect(spark):
     assert rows[1]["start_ms"] == 3723456
     assert rows[1]["text"] == "No id line\nsecond line"
     assert rows[2]["valid"] is False and rows[2]["text"] == "X"
+
+
+def test_epub_chapters_contract(spark):
+    """EPUB (r9): mimetype spec contract (first member, stored, exact
+    content), chapter extraction, corrupt-shard and non-zip legs."""
+    from lwetl_spark.operators.media import (
+        epub_chapters,
+        synth_epub_demo,
+        zip_bytes,
+    )
+
+    docs = spark.range(24).select(F.col("id").alias("doc_id"))
+    out = epub_chapters(synth_epub_demo(docs))
+    rows = {}
+    for r in out.collect():
+        rows.setdefault(r["doc_id"], []).append(r)
+    # doc 1: 3 chapters (1%3=1 -> 2+1), all valid
+    assert len(rows[1]) == 3 and all(r["valid"] for r in rows[1])
+    assert "Chapter 2" in [r["xhtml"] for r in rows[1]
+                           if r["chapter_idx"] == 2][0]
+    # doc 0: corrupt leg (0%23==0): last chapter gone, valid=false
+    assert len(rows[0]) == 1 and rows[0][0]["valid"] is False
+    # wrong mimetype -> valid False on every row
+    bad = zip_bytes([
+        ("mimetype", b"text/plain", "stored"),
+        ("OEBPS/ch0.xhtml", b"<p>x</p>", "deflate"),
+    ])
+    df = spark.createDataFrame(
+        [(9, bad), (10, b"not zip")], "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in epub_chapters(df).collect()}
+    assert got[9]["ok"] and got[9]["valid"] is False
+    assert got[10]["chapter_idx"] == -1 and got[10]["valid"] is False
+    # deflated (non-stored) mimetype also violates the spec
+    bad2 = zip_bytes([
+        ("mimetype", b"application/epub+zip", "deflate"),
+        ("OEBPS/ch0.xhtml", b"<p>x</p>", "deflate"),
+    ])
+    df2 = spark.createDataFrame([(1, bad2)], "doc_id long, payload binary")
+    assert epub_chapters(df2).collect()[0]["valid"] is False
