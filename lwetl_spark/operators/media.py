@@ -2347,10 +2347,10 @@ def _make_gif_pixel_decoder():
         gct = None
         if packed & 0x80:
             n = 2 << (packed & 7)
-            gct = np.frombuffer(
-                b[pos : pos + 3 * n], dtype=np.uint8).reshape(-1, 3)
-            if gct.shape[0] < n:
-                return None
+            raw_t = b[pos : pos + 3 * n]
+            if len(raw_t) < 3 * n:  # truncated table: check BEFORE
+                return None  # the reshape (heavy-fuzz find, r9)
+            gct = np.frombuffer(raw_t, dtype=np.uint8).reshape(-1, 3)
             pos += 3 * n
         frames = []
         while pos < len(b):
@@ -2377,10 +2377,11 @@ def _make_gif_pixel_decoder():
                 ct = gct
                 if lpacked & 0x80:
                     n = 2 << (lpacked & 7)
-                    ct = np.frombuffer(
-                        b[p : p + 3 * n], dtype=np.uint8).reshape(-1, 3)
-                    if ct.shape[0] < n:
+                    raw_t = b[p : p + 3 * n]
+                    if len(raw_t) < 3 * n:
                         return None
+                    ct = np.frombuffer(
+                        raw_t, dtype=np.uint8).reshape(-1, 3)
                     p += 3 * n
                 if ct is None or p >= len(b):
                     return None

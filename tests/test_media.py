@@ -1077,17 +1077,43 @@ def test_decoders_never_raise_on_arbitrary_bytes():
 
     magics = [b"", b"\xff\xd8\xff\xe0", b"\x1aE\xdf\xa3",
               b"\x00\x00\x00\x18ftyp", b"\x89PNG\r\n\x1a\n", b"RIFF",
-              b"GIF89a", b"BM", b"WARC/1.0\r\n"]
+              b"GIF89a", b"BM", b"WARC/1.0\r\n",
+              # r9 format sweep: zip EOCD magic, FLAC, Ogg, TIFF both
+              # orders, PDF header, AVI RIFF body
+              b"PK\x03\x04", b"fLaC", b"OggS", b"II\x2a\x00",
+              b"MM\x00\x2a", b"%PDF-1.4\n", b"RIFF\x10\x00\x00\x00AVI "]
 
     @settings(max_examples=200, deadline=None)
     @given(prefix=st.sampled_from(magics),
            body=st.binary(min_size=0, max_size=400))
     def run(prefix: bytes, body: bytes) -> None:
         b = prefix + body
-        from lwetl_spark.operators.media import parse_gif, parse_warc
+        from lwetl_spark.operators.media import (
+            extract_pdf_text,
+            gif_decode_pixels,
+            parse_avi,
+            parse_flac,
+            parse_gif,
+            parse_ogg,
+            parse_pdf,
+            parse_tiff,
+            parse_warc,
+            parse_zip,
+        )
+        png_dec, _ = __import__(
+            "lwetl_spark.operators.media", fromlist=["_make_png_codec"]
+        )._make_png_codec()
         for fn in (decode_jpeg, parse_mkv, mkv_block_index,
-                   mp4_sample_index, parse_mp4, parse_gif, parse_warc):
+                   mp4_sample_index, parse_mp4, parse_gif, parse_warc,
+                   parse_zip, parse_flac, parse_ogg, parse_tiff,
+                   parse_avi, parse_pdf, extract_pdf_text,
+                   gif_decode_pixels, png_dec):
             fn(b)  # must not raise; return value unconstrained
+        r = parse_zip(b)
+        if r is not None:  # extraction must also never raise
+            from lwetl_spark.operators.media import extract_zip_member
+            for m in r["members"]:
+                extract_zip_member(b, m)
 
     run()
 
@@ -1836,3 +1862,14 @@ def test_epub_chapters_contract(spark):
     ])
     df2 = spark.createDataFrame([(1, bad2)], "doc_id long, payload binary")
     assert epub_chapters(df2).collect()[0]["valid"] is False
+
+
+def test_gif_truncated_color_table_returns_none():
+    """Heavy-fuzz regression (r9): a GIF cut mid-color-table must
+    return None from the pixel decoder (the truncation check runs
+    BEFORE the (-1,3) reshape), and a mid-LCT cut likewise."""
+    from lwetl_spark.operators.media import gif_decode_pixels, gif_lzw_bytes
+
+    b = gif_lzw_bytes(8, 7, 9, 7, 1)
+    assert gif_decode_pixels(b[:15]) is None      # inside the GCT
+    assert gif_decode_pixels(b[:13]) is None      # GCT fully absent
