@@ -811,7 +811,7 @@ def _make_jpeg_decoder():
         through one shared coefficient-accumulation core; only
         arithmetic-coded and hierarchical streams return None (stated
         honestly)."""
-        b = bytes(b)
+        b = bytes(b) if b is not None else b""
         if len(b) < 4 or b[:2] != b"\xff\xd8":
             return None
         qt: dict = {}
@@ -1436,7 +1436,7 @@ def _make_mp4_walker():
     def walk(b: bytes):
         """Full ISO-BMFF census or None if the payload is not MP4-family
         (no ftyp at offset 4)."""
-        b = bytes(b)
+        b = bytes(b) if b is not None else b""
         if len(b) < 8 or b[4:8] != b"ftyp":
             return None
         res = {
@@ -1556,7 +1556,7 @@ def _make_png_codec():
         return out, hpx * stride
 
     def decode(b: bytes):
-        b = bytes(b)
+        b = bytes(b) if b is not None else b""
         if len(b) < 41 or b[:8] != b"\x89PNG\r\n\x1a\n":
             return None
         w, h = struct.unpack(">II", b[16:24])
@@ -1756,7 +1756,7 @@ def _make_warc_walker():
     parsed before the lie survive (partial census)."""
 
     def walk(b: bytes):
-        b = bytes(b)
+        b = bytes(b) if b is not None else b""
         recs = []
         pos = 0
         ok = True
@@ -1837,7 +1837,9 @@ def warc_records(df: DataFrame) -> DataFrame:
             out = [
                 r
                 for doc_id, payload in zip(pdf["doc_id"], pdf["payload"])
-                for r in rows(int(doc_id), bytes(payload))
+                for r in rows(int(doc_id),
+                          bytes(payload) if payload is not None
+                          else b"")
             ]
             yield pd.DataFrame(out, columns=cols)
 
@@ -1937,7 +1939,9 @@ def warc_payloads(df: DataFrame) -> DataFrame:
             out = [
                 r
                 for doc_id, payload in zip(pdf["doc_id"], pdf["payload"])
-                for r in rows(int(doc_id), bytes(payload))
+                for r in rows(int(doc_id),
+                          bytes(payload) if payload is not None
+                          else b"")
             ]
             yield pd.DataFrame(out, columns=cols)
 
@@ -2034,7 +2038,7 @@ def _make_gif_walker():
     import struct
 
     def walk(b: bytes):
-        b = bytes(b)
+        b = bytes(b) if b is not None else b""
         if len(b) < 13 or b[:4] != b"GIF8" or b[4:6] not in (b"7a", b"9a"):
             return None
         version = b[3:6].decode("ascii", "replace")
@@ -2338,7 +2342,7 @@ def _make_gif_pixel_decoder():
         return out[:npx]
 
     def decode(b: bytes):
-        b = bytes(b)
+        b = bytes(b) if b is not None else b""
         if len(b) < 13 or b[:4] != b"GIF8" or b[4:6] not in (b"7a", b"9a"):
             return None
         w, h = struct.unpack("<HH", b[6:10])
@@ -2982,7 +2986,7 @@ def wav_pcm_stats(df: DataFrame, clip_at: int = 32767) -> DataFrame:
         thr = clip_at
 
         def stats(b: bytes):
-            b = bytes(b)
+            b = bytes(b) if b is not None else b""
             if len(b) < 44 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
                 return None
             bits = None
@@ -3485,7 +3489,7 @@ def media_meta(df: DataFrame) -> DataFrame:
                     r["duration_ms"], r["valid"])
 
         def one(b: bytes):
-            b = bytes(b)
+            b = bytes(b) if b is not None else b""
             for p in (png, jpeg, wav, webp, mp4, mkv, gif, bmp, flac,
                       ogg, tif, avi):
                 got = p(b)
@@ -3538,7 +3542,7 @@ def mp4_meta(df: DataFrame) -> DataFrame:
                 "duration_ms", "valid"]
 
         def one(b: bytes):
-            got = mp4_walk(bytes(b))
+            got = mp4_walk(bytes(b) if b is not None else b"")
             if got is None:
                 return (None, 0, None, None, None, None, None, None,
                         None, None, False)
@@ -3613,7 +3617,7 @@ def exif_meta(df: DataFrame) -> DataFrame:
             return (t[:2].decode("ascii"), orientation, taken)
 
         def one(b: bytes):
-            b = bytes(b)
+            b = bytes(b) if b is not None else b""
             if len(b) < 4 or b[:3] != b"\xff\xd8\xff":
                 return (None, None, None, None, None, None, None, False)
             w = h = None
@@ -3670,7 +3674,7 @@ def _make_mp4_sample_walker():
     mdhd_fields = base.mdhd_fields
 
     def sample_index(b: bytes):
-        b = bytes(b)
+        b = bytes(b) if b is not None else b""
         if len(b) < 8 or b[4:8] != b"ftyp":
             return None
         for tag, s, e in scan(b, 0, len(b))[0]:
@@ -3955,7 +3959,7 @@ def _make_mkv_walker():
     def walk(b: bytes):
         """EBML census or None if the payload is not Matroska-family
         (no 0x1A45DFA3 magic)."""
-        b = bytes(b)
+        b = bytes(b) if b is not None else b""
         if len(b) < 4 or b[:4] != b"\x1aE\xdf\xa3":
             return None
         res = {
@@ -4071,7 +4075,7 @@ def _make_mkv_block_walker():
     children = base.children
 
     def block_index(b: bytes):
-        b = bytes(b)
+        b = bytes(b) if b is not None else b""
         if len(b) < 4 or b[:4] != b"\x1aE\xdf\xa3":
             return None
         timescale = 1000000
@@ -4167,7 +4171,9 @@ def mkv_frame_index(df: DataFrame) -> DataFrame:
             out = [
                 r
                 for doc_id, payload in zip(pdf["doc_id"], pdf["payload"])
-                for r in rows(int(doc_id), bytes(payload))
+                for r in rows(int(doc_id),
+                          bytes(payload) if payload is not None
+                          else b"")
             ]
             yield pd.DataFrame(out, columns=cols)
 
@@ -4355,7 +4361,9 @@ def mp4_frame_index(df: DataFrame) -> DataFrame:
             out = [
                 r
                 for doc_id, payload in zip(pdf["doc_id"], pdf["payload"])
-                for r in rows(int(doc_id), bytes(payload))
+                for r in rows(int(doc_id),
+                          bytes(payload) if payload is not None
+                          else b"")
             ]
             yield pd.DataFrame(out, columns=cols)
 
@@ -4549,7 +4557,7 @@ def image_dhash(df: DataFrame) -> DataFrame:
         import pandas as pd
 
         def one(b: bytes):
-            b = bytes(b)
+            b = bytes(b) if b is not None else b""
             px = None
             if b[:8] == b"\x89PNG\r\n\x1a\n":
                 px = png_decode(b)
@@ -4682,7 +4690,7 @@ def gunzip_text(df: DataFrame) -> DataFrame:
         import pandas as pd
 
         def one(b: bytes):
-            b = bytes(b)
+            b = bytes(b) if b is not None else b""
             if len(b) < 18 or b[:2] != b"\x1f\x8b":
                 return (None, None, False)
             try:
@@ -4789,7 +4797,7 @@ def _make_wav_codec():
     import numpy as np
 
     def decode(b: bytes):
-        b = bytes(b)
+        b = bytes(b) if b is not None else b""
         if len(b) < 44 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
             return None
         bits = ch = rate = None
@@ -4960,7 +4968,7 @@ def mp3_meta(df: DataFrame) -> DataFrame:
         RATES = [44100, 48000, 32000]
 
         def census(b: bytes):
-            b = bytes(b)
+            b = bytes(b) if b is not None else b""
             pos = 0
             has_id3 = False
             if b[:3] == b"ID3" and len(b) >= 10:
@@ -5092,7 +5100,7 @@ def _make_avi_walker():
     import struct
 
     def walk(b: bytes):
-        b = bytes(b)
+        b = bytes(b) if b is not None else b""
         if len(b) < 16 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
             return None
         riff_size = struct.unpack("<I", b[4:8])[0]
@@ -5482,7 +5490,7 @@ def _make_pdf_walker():
     startxref_re = re.compile(rb"startxref\s+(\d+)")
 
     def census(b: bytes):
-        b = bytes(b)
+        b = bytes(b) if b is not None else b""
         if not b.startswith(b"%PDF-"):
             return None
         eol = b.find(b"\n")
@@ -5542,7 +5550,7 @@ def _make_pdf_walker():
 
     def extract_text(b: bytes):
         """List of text runs in stream order, or None for non-PDF."""
-        b = bytes(b)
+        b = bytes(b) if b is not None else b""
         if not b.startswith(b"%PDF-"):
             return None
         runs = []
@@ -5753,7 +5761,7 @@ def _make_tiff_walker():
     import struct
 
     def walk(b: bytes):
-        b = bytes(b)
+        b = bytes(b) if b is not None else b""
         if len(b) < 8 or b[:2] not in (b"II", b"MM"):
             return None
         e = "<" if b[:2] == b"II" else ">"
@@ -5907,7 +5915,7 @@ def tiff_pixel_stats(df: DataFrame) -> DataFrame:
         import pandas as pd
 
         def stats(b: bytes):
-            b = bytes(b)
+            b = bytes(b) if b is not None else b""
             r = walk(b)
             if r is None or not r["pages"] or not r["valid"]:
                 return None
@@ -6025,7 +6033,7 @@ def _make_flac_walker():
     import struct
 
     def walk(b: bytes):
-        b = bytes(b)
+        b = bytes(b) if b is not None else b""
         if len(b) < 8 or b[:4] != b"fLaC":
             return None
         pos = 4
@@ -6161,7 +6169,7 @@ def _make_ogg_walker():
     _crc = _make_ogg_crc()
 
     def walk(b: bytes):
-        b = bytes(b)
+        b = bytes(b) if b is not None else b""
         if len(b) < 28 or b[:4] != b"OggS":
             return None
         pos = 0
@@ -6419,7 +6427,7 @@ def tar_member_index(df: DataFrame) -> DataFrame:
         import pandas as pd
 
         def rows(doc_id: int, b: bytes):
-            b = bytes(b)
+            b = bytes(b) if b is not None else b""
             pos = 0
             idx = 0
             while pos + 512 <= len(b):
@@ -6477,7 +6485,7 @@ def tar_member_payloads(df: DataFrame) -> DataFrame:
         import pandas as pd
 
         def rows(doc_id: int, b: bytes):
-            b = bytes(b)
+            b = bytes(b) if b is not None else b""
             pos = 0
             while pos + 512 <= len(b):
                 h = b[pos : pos + 512]
@@ -6688,7 +6696,7 @@ def _make_zip_walker():
     import zlib
 
     def index(b: bytes):
-        b = bytes(b)
+        b = bytes(b) if b is not None else b""
         if len(b) < 22 or b[:4] != b"PK\x03\x04":
             return None
         tail = b[-(65536 + 22):]
@@ -6728,7 +6736,7 @@ def _make_zip_walker():
 
     def extract(b: bytes, member: dict):
         """One member's payload bytes, CRC-verified, or None."""
-        b = bytes(b)
+        b = bytes(b) if b is not None else b""
         loff = member["offset"]
         if loff + 30 > len(b):
             return None

@@ -1873,3 +1873,29 @@ def test_gif_truncated_color_table_returns_none():
     b = gif_lzw_bytes(8, 7, 9, 7, 1)
     assert gif_decode_pixels(b[:15]) is None      # inside the GCT
     assert gif_decode_pixels(b[:13]) is None      # GCT fully absent
+
+
+def test_null_payload_never_kills_any_media_op(spark):
+    """A NULL payload cell (real tables have them) must behave like an
+    unparseable payload in EVERY media operator — r9 sweep: before
+    this pin, 27 of 28 ops died with TypeError('bytes(None)')."""
+    from lwetl_spark.operators import media as M
+
+    df = spark.createDataFrame(
+        [(1, None), (2, b"GIF89a junk")], "doc_id long, payload binary")
+    ops = [
+        "media_meta", "gif_pixel_stats", "png_pixel_stats",
+        "jpeg_pixel_stats", "zip_member_contents", "flac_meta",
+        "ogg_meta", "tiff_pages", "tiff_pixel_stats", "avi_meta",
+        "pdf_text", "image_dhash", "gif_meta", "mp3_meta",
+        "epub_chapters", "warc_records", "tar_member_index",
+        "png_thumbnails", "exif_meta", "mp4_meta", "mkv_meta",
+        "video_fingerprint", "mp4_frame_index", "mkv_frame_index",
+        "gunzip_text", "warc_payloads", "tar_member_payloads",
+        "wav_pcm_stats",
+    ]
+    for name in ops:
+        getattr(M, name)(df).collect()  # must not raise
+    # row-emitting ops give the NULL row its sentinel
+    meta = {r["doc_id"]: r for r in M.media_meta(df).collect()}
+    assert meta[1]["fmt"] == "unknown" and meta[1]["valid"] is False
