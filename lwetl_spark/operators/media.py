@@ -4753,10 +4753,17 @@ def png_thumbnails(df: DataFrame, width: int = 16, height: int = 16) -> DataFram
     PNG.  Output thumbnails are constant-dimension, so downstream
     stages (thumb-digest dedup, embedding extraction) plan for fixed
     row width regardless of source size.  Undecodable payloads yield
-    (thumb NULL, ok=false); one zero-shuffle Arrow pass.  Non-PNG
-    formats keep the generic byte-sample fallback
-    (`streaming/multimodal.resize_images`), stated honestly."""
+    (thumb NULL, ok=false); one zero-shuffle Arrow pass.
+
+    r9: JPEG (baseline+progressive), GIF (first frame), and
+    uncompressed-strip TIFF route through the same resample —
+    thumbnails re-encode as PNG whatever the source, so downstream
+    stages see ONE format.  Other formats keep the generic
+    byte-sample fallback (`streaming/multimodal.resize_images`)."""
     png_decode, png_encode = _make_png_codec()
+    jdec = _make_jpeg_decoder()
+    gdec = _make_gif_pixel_decoder()
+    twalk = _make_tiff_walker()
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import numpy as np
@@ -4764,9 +4771,35 @@ def png_thumbnails(df: DataFrame, width: int = 16, height: int = 16) -> DataFram
 
         wt, ht = width, height
 
+        def _decode(b: bytes):
+            b = bytes(b) if b is not None else b""
+            if b[:8] == b"\x89PNG\r\n\x1a\n":
+                return png_decode(b)
+            if b[:3] == b"\xff\xd8\xff":
+                return jdec(b)
+            if b[:6] in (b"GIF87a", b"GIF89a"):
+                g = gdec(b)
+                return g["frames"][0] if g else None
+            if b[:4] in (b"II\x2a\x00", b"MM\x00\x2a"):
+                t = twalk(b)
+                if t and t["pages"] and t["valid"]:
+                    p0 = t["pages"][0]
+                    soff = p0.get("strip_off")
+                    slen = p0.get("strip_len")
+                    w0, h0 = p0["width"], p0["height"]
+                    if (p0["compression"] == 1 and p0["bits"] == 8
+                            and soff is not None and slen is not None
+                            and slen == (w0 or 0) * (h0 or 0)
+                            and soff + slen <= len(b)):
+                        return np.frombuffer(
+                            b[soff : soff + slen], dtype=np.uint8
+                        ).reshape(h0, w0)
+                return None
+            return None
+
         def thumb(b: bytes):
-            px = png_decode(b)
-            if px is None:
+            px = _decode(b)
+            if px is None or px.shape[0] < 1 or px.shape[1] < 1:
                 return (None, False)
             hs, ws = px.shape[:2]  # color arrays carry channels (r9)
             rows = (np.arange(ht) * hs) // ht

@@ -1899,3 +1899,42 @@ def test_null_payload_never_kills_any_media_op(spark):
     # row-emitting ops give the NULL row its sentinel
     meta = {r["doc_id"]: r for r in M.media_meta(df).collect()}
     assert meta[1]["fmt"] == "unknown" and meta[1]["valid"] is False
+
+
+def test_thumbnails_route_all_decodable_formats(spark):
+    """Thumbnailing (r9): JPEG/GIF/TIFF sources resize through the
+    same resample and re-encode as PNG, so downstream sees one
+    format; identical pixel content thumbnails identically whatever
+    the container."""
+    import numpy as np
+
+    from lwetl_spark.operators.media import (
+        _make_png_codec,
+        gif_lzw_bytes,
+        jpeg_baseline_bytes,
+        png_thumbnails,
+        tiff_bytes,
+    )
+
+    dec, enc = _make_png_codec()
+    w, h, seed = 24, 16, 9
+    px = np.array([[(seed + 7 * r + 13 * c) % 256 for c in range(w)]
+                   for r in range(h)], dtype=np.uint8)
+    rows = [
+        (1, enc(px)),
+        (2, tiff_bytes([(w, h, 8, 1)], True, seed=seed)),
+        (3, gif_lzw_bytes(12, 10, 5, 7, 1)),
+        (4, jpeg_baseline_bytes(16, 8, [(10, 3), (-5, 2)])),
+        (5, b"not an image"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in
+           png_thumbnails(df, width=4, height=4).collect()}
+    assert got[1]["ok"] and got[2]["ok"] and got[3]["ok"] and got[4]["ok"]
+    assert got[5]["ok"] is False and got[5]["thumb"] is None
+    # same pixels, different container -> byte-identical PNG thumbs
+    assert bytes(got[1]["thumb"]) == bytes(got[2]["thumb"])
+    # every thumb decodes back as a real 4x4 PNG
+    for d in (1, 2, 3, 4):
+        t = dec(bytes(got[d]["thumb"]))
+        assert t is not None and t.shape[:2] == (4, 4)
