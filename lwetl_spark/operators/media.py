@@ -1565,12 +1565,15 @@ def _make_png_codec():
         # palette (type 3, r9): indices reconstruct as a 1-channel
         # plane, then map through PLTE to RGB
         ch = 1 if colortype == 3 else CH.get(colortype)
-        if bitdepth not in (8, 16) or ch is None or interlace not in (0, 1):
-            return None  # sub-byte depths (1/2/4): out of scope
+        if bitdepth not in (1, 2, 4, 8, 16) or ch is None \
+                or interlace not in (0, 1):
+            return None
         if bitdepth == 16 and colortype == 3:
             return None  # spec: palette depth is 1/2/4/8 only
-        nb = bitdepth // 8
-        bpp = ch * nb  # filter offset is BYTES per pixel
+        if bitdepth < 8 and colortype not in (0, 3):
+            return None  # spec: sub-byte is gray/palette only
+        nb = max(bitdepth // 8, 1)
+        bpp = ch * nb  # filter offset is BYTES per pixel (1 sub-byte)
         idat = bytearray()
         plte = None
         pos = 8
@@ -1608,6 +1611,49 @@ def _make_png_codec():
                 .astype(np.uint16)
                 .reshape(rows, wpx * ch)
             )
+
+        def _unpack_bits(arr, rows, wpx):
+            """Split a reconstructed (rows, wb) byte plane into wpx
+            RAW sub-byte samples per row, MSB-first per spec (the
+            depth-1/2/4 finish, AFTER byte-level filtering).  Values
+            are the raw 0..2^d-1 samples (indices for type 3)."""
+            d = bitdepth
+            per = 8 // d
+            shifts = [8 - d * (j + 1) for j in range(per)]
+            mask = (1 << d) - 1
+            a = arr.astype(np.int32)
+            cols = [(a >> s) & mask for s in shifts]
+            wide = np.stack(cols, axis=2).reshape(rows, -1)
+            return wide[:, :wpx].astype(np.uint8)
+
+        if bitdepth < 8:
+            wb = (w * bitdepth + 7) // 8
+            if interlace == 0:
+                if len(raw) != h * (1 + wb):
+                    return None
+                out, _used = _recon(raw, 0, wb, h, 1)
+                if out is None:
+                    return None
+                out = _unpack_bits(out, h, w)
+            else:  # Adam7 at sub-byte: per-pass byte widths
+                out = np.zeros((h, w), dtype=np.uint8)
+                off = 0
+                for x0, y0, xs, ys in ADAM7:
+                    pw = (w - x0 + xs - 1) // xs
+                    ph = (h - y0 + ys - 1) // ys
+                    if pw <= 0 or ph <= 0:
+                        continue
+                    pwb = (pw * bitdepth + 7) // 8
+                    sub, used = _recon(raw, off, pwb, ph, 1)
+                    if sub is None:
+                        return None
+                    off += used
+                    out[y0::ys, x0::xs] = _unpack_bits(sub, ph, pw)
+                if off != len(raw):
+                    return None
+            if colortype == 3:
+                return _palettize(out)
+            return out
 
         if interlace == 0:
             if len(raw) != h * (1 + w * bpp):
@@ -2867,6 +2913,101 @@ def synth_png16_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
         def one(i: int) -> bytes:
             b = _gen(4 + i % 11, 4 + i % 6, i % 256,
                      1 if i % 2 == 1 else 3)
+            if i % 29 == 0:
+                bb = bytearray(b)
+                bb[b.index(b"IDAT") + 8] ^= 0xFF
+                return bytes(bb)
+            return b
+
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame({"doc_id": ids, "payload": ids.map(one)})
+
+    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        gen, "doc_id long, payload binary"
+    )
+
+
+def _make_png_sub_gen():
+    """Factory returning the SUB-BYTE PNG generator (by-value
+    pickling): depth-1/2/4 grayscale or palette — sample (r, c) =
+    (seed + 7r + 13c) % n_vals packed MSB-first into
+    ceil(w·d/8)-byte scanlines, filters rotating None/Sub/Up at the
+    1-byte offset the spec mandates for sub-byte pixels.  Icons and
+    fax-style scans in crawls use these forms."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    def png_sub(w: int, h: int, seed: int, depth: int,
+                n_pal: int = 0) -> bytes:
+        """n_pal > 0 → palette (type 3, n_pal entries ≤ 2^depth);
+        n_pal = 0 → grayscale raw samples over the full 2^depth."""
+        n_vals = n_pal if n_pal else (1 << depth)
+        per = 8 // depth
+        wb = (w * depth + 7) // 8
+        lines = []
+        prev = [0] * wb
+        for r in range(h):
+            samples = [(seed + 7 * r + 13 * c) % n_vals
+                       for c in range(w)]
+            raw = []
+            for i in range(wb):
+                byte = 0
+                for j in range(per):
+                    c = i * per + j
+                    v = samples[c] if c < w else 0
+                    byte |= v << (8 - depth * (j + 1))
+                raw.append(byte)
+            f = r % 3
+            if f == 0:
+                filt = list(raw)
+            elif f == 1:  # Sub at the 1-byte offset
+                filt = [(raw[i] - (raw[i - 1] if i else 0)) & 0xFF
+                        for i in range(wb)]
+            else:  # Up
+                filt = [(raw[i] - prev[i]) & 0xFF for i in range(wb)]
+            lines.append(bytes([f]) + bytes(filt))
+            prev = raw
+        colortype = 3 if n_pal else 0
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, colortype, 0, 0, 0)
+        out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        if n_pal:
+            plte = b"".join(
+                bytes(((3 * p + 11) % 256, (5 * p + 29) % 256,
+                       (7 * p + 47) % 256))
+                for p in range(n_pal))
+            out += chunk(b"PLTE", plte)
+        return (out + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+                + chunk(b"IEND", b""))
+
+    return png_sub
+
+
+#: the sub-byte PNG generator (factory-made; importable for tests)
+png_sub_bytes = _make_png_sub_gen()
+
+
+def synth_png_sub_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixture for x_png_subbyte (r9 — closes the LAST PNG form):
+    depth d = 1/2/4 by id%3, GRAY for even ids (raw 2^d samples) /
+    4-bit PALETTE for odd ids at d=4 (gray otherwise, palette needs
+    d=4 here to fit the 5+(id%11)-entry table), dims 5+(id%12) ×
+    4+(id%7) — widths deliberately off byte boundaries so pad bits
+    exercise; every 29th id breaks the IDAT zlib stream (NULL
+    stats)."""
+    _gen = png_sub_bytes  # factory-made → ships by value
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        def one(i: int) -> bytes:
+            d = (1, 2, 4)[i % 3]
+            n_pal = (5 + i % 11) if (i % 2 == 1 and d == 4) else 0
+            b = _gen(5 + i % 12, 4 + i % 7, i % 256, d, n_pal)
             if i % 29 == 0:
                 bb = bytearray(b)
                 bb[b.index(b"IDAT") + 8] ^= 0xFF

@@ -3242,6 +3242,85 @@ def x_zip_extract(spark, sf_dir):
 
 
 @register(
+    "x_png_subbyte",
+    """
+    WITH g AS (
+        SELECT doc_id, 5 + doc_id % 12 AS w, 4 + doc_id % 7 AS h,
+               doc_id % 256 AS s,
+               CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 2
+                    ELSE 4 END AS d,
+               doc_id % 2 = 1 AND doc_id % 3 = 2 AS pal,
+               doc_id % 29 = 0 AS corrupt
+        FROM documents
+    ),
+    gv AS (
+        SELECT *, CASE WHEN pal THEN 5 + doc_id % 11
+                       ELSE 1 << d END AS n_vals
+        FROM g
+    ),
+    rr AS (SELECT *, unnest(range(0, h)) AS r FROM gv),
+    cc AS (SELECT *, unnest(range(0, w)) AS c FROM rr),
+    kk AS (SELECT *, unnest(range(0, 3)) AS k FROM cc),
+    v AS (
+        SELECT doc_id, w, h, pal,
+               CASE WHEN NOT pal THEN (s + 7 * r + 13 * c) % n_vals
+                    WHEN k = 0
+                    THEN (3 * ((s + 7 * r + 13 * c) % n_vals) + 11) % 256
+                    WHEN k = 1
+                    THEN (5 * ((s + 7 * r + 13 * c) % n_vals) + 29) % 256
+                    ELSE (7 * ((s + 7 * r + 13 * c) % n_vals) + 47) % 256
+               END AS v
+        FROM kk WHERE k < CASE WHEN pal THEN 3 ELSE 1 END
+    ),
+    st AS (
+        SELECT doc_id, MAX(w) AS w, MAX(h) AS h, BOOL_OR(pal) AS pal,
+               CAST(COUNT(*) AS BIGINT) AS n_px,
+               CAST(SUM(v) AS BIGINT) AS sum_px,
+               CAST(MIN(v) AS BIGINT) AS min_px,
+               CAST(MAX(v) AS BIGINT) AS max_px
+        FROM v GROUP BY doc_id
+    )
+    SELECT s2.doc_id,
+           CAST(CASE WHEN g2.corrupt THEN -1 ELSE s2.w END AS BIGINT)
+               AS width,
+           CAST(CASE WHEN g2.corrupt THEN -1 ELSE s2.h END AS BIGINT)
+               AS height,
+           CAST(CASE WHEN g2.corrupt THEN -1 ELSE s2.n_px END AS BIGINT)
+               AS n_px,
+           CAST(CASE WHEN g2.corrupt THEN -1 ELSE s2.sum_px END
+                AS BIGINT) AS sum_px,
+           CAST(CASE WHEN g2.corrupt THEN -1 ELSE s2.min_px END
+                AS BIGINT) AS min_px,
+           CAST(CASE WHEN g2.corrupt THEN -1 ELSE s2.max_px END
+                AS BIGINT) AS max_px
+    FROM st s2 JOIN g g2 ON s2.doc_id = g2.doc_id
+    """,
+)
+def x_png_subbyte(spark, sf_dir):
+    """SUB-BYTE PNG decode (r9 — with this, EVERY legal PNG form
+    decodes: depths 1/2/4/8/16 × all color types × both interlace
+    modes; operators/media._make_png_codec): depth-1/2/4 scanlines
+    filter at the spec's 1-BYTE offset, then samples unpack MSB-first
+    with pad bits discarded (fixture widths sit off byte
+    boundaries deliberately).  Gray fixtures value-check raw
+    2^d-range samples; 4-bit palette fixtures map through PLTE — the
+    icon form.  Corrupt-IDAT legs get -1 sentinels."""
+    from lwetl_spark.operators.media import (
+        png_pixel_stats,
+        synth_png_sub_demo,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    out = png_pixel_stats(synth_png_sub_demo(docs))
+    return out.select(
+        "doc_id",
+        *[F.coalesce(F.col(c), F.lit(-1)).cast("long").alias(c)
+          for c in ("width", "height", "n_px", "sum_px", "min_px",
+                    "max_px")],
+    )
+
+
+@register(
     "x_gif_pixels",
     """
     WITH g AS (
@@ -3565,8 +3644,8 @@ def x_png_16bit(spark, sf_dir):
     non-trivial pixel).  Gray and RGB fixtures rotate all five spec
     filters; the oracle recomputes every 16-bit sample from id
     arithmetic; corrupt-IDAT legs get -1 sentinels (the x_mp4_meta
-    rule).  Sub-byte depths (1/2/4) remain the only out-of-scope PNG
-    forms."""
+    rule).  Sub-byte depths decode too (x_png_subbyte) — every
+    legal PNG form now decodes."""
     from lwetl_spark.operators.media import (
         png_pixel_stats,
         synth_png16_demo,

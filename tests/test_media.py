@@ -1938,3 +1938,58 @@ def test_thumbnails_route_all_decodable_formats(spark):
     for d in (1, 2, 3, 4):
         t = dec(bytes(got[d]["thumb"]))
         assert t is not None and t.shape[:2] == (4, 4)
+
+
+def test_png_subbyte_decode():
+    """Depth-1/2/4 PNG (r9, the LAST PNG form): byte-level filters at
+    the 1-byte offset, MSB-first unpack, pad-bit discard at off-
+    boundary widths, 4-bit palette mapping, and a hand-built Adam7
+    1-bit image."""
+    import struct
+    import zlib
+
+    from lwetl_spark.operators.media import _make_png_codec, png_sub_bytes
+
+    dec, _ = _make_png_codec()
+    for d in (1, 2, 4):
+        px = dec(png_sub_bytes(13, 7, 200, d))
+        for r in range(7):
+            for c in range(13):
+                assert int(px[r, c]) == (200 + 7 * r + 13 * c) % (1 << d)
+    px = dec(png_sub_bytes(9, 5, 4, 4, n_pal=7))
+    p = (4 + 7 * 2 + 13 * 3) % 7
+    assert tuple(int(v) for v in px[2, 3]) == (
+        (3 * p + 11) % 256, (5 * p + 29) % 256, (7 * p + 47) % 256)
+    # sub-byte RGB is a spec violation -> None
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+    bad = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 4, 2, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(bytes(8)))
+           + chunk(b"IEND", b""))
+    assert dec(bad) is None
+    # hand-built Adam7 1-bit 4x4: pixel = (r+c) % 2 (checkerboard)
+    passes = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+              (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+    raw = bytearray()
+    for x0, y0, xs, ys in passes:
+        pw = (4 - x0 + xs - 1) // xs
+        ph = (4 - y0 + ys - 1) // ys
+        if pw <= 0 or ph <= 0:
+            continue
+        for pr in range(ph):
+            raw.append(0)
+            byte = 0
+            for pc in range(pw):
+                r, c = y0 + pr * ys, x0 + pc * xs
+                byte |= ((r + c) % 2) << (7 - pc)
+            raw.append(byte)
+    b7 = (b"\x89PNG\r\n\x1a\n"
+          + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 1, 0, 0, 0, 1))
+          + chunk(b"IDAT", zlib.compress(bytes(raw)))
+          + chunk(b"IEND", b""))
+    px = dec(b7)
+    for r in range(4):
+        for c in range(4):
+            assert int(px[r, c]) == (r + c) % 2
