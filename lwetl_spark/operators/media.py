@@ -5221,6 +5221,181 @@ def synth_mp3_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def _make_ico_gen():
+    """Factory returning the ICO generator (by-value pickling):
+    ICONDIR (reserved 0, type 1, count) + 16-byte ICONDIRENTRYs
+    (width/height bytes where 0 means 256, color/planes/bpp, payload
+    size + offset) + the per-icon payloads — PNG-embedded (how modern
+    favicons ship 256px icons) or DIB (BITMAPINFOHEADER)."""
+    import struct
+    import zlib
+
+    def _png(w: int, h: int) -> bytes:
+        # nested by-value copy of png_bytes (module-level defs pickle
+        # by reference and die on import-less workers)
+        def chunk(tag: bytes, data: bytes) -> bytes:
+            return (struct.pack(">I", len(data)) + tag + data
+                    + struct.pack(
+                        ">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+        raw = b"".join(b"\x00" + bytes(w) for _ in range(h))
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(raw))
+                + chunk(b"IEND", b""))
+
+    def ico(entries) -> bytes:
+        """entries: [(w, h, inner)] with inner in ('png', 'dib');
+        w/h up to 256 (stored as 0 per spec)."""
+        n = len(entries)
+        head = struct.pack("<HHH", 0, 1, n)
+        payloads = []
+        for w, h, inner in entries:
+            if inner == "png":
+                payloads.append(_png(w, h))
+            else:  # minimal DIB: header declares double height (XOR+AND)
+                payloads.append(struct.pack(
+                    "<IiiHHIIiiII", 40, w, 2 * h, 1, 32, 0,
+                    w * h * 4, 0, 0, 0, 0) + bytes(w * h * 4))
+        off = 6 + 16 * n
+        out = bytearray(head)
+        for (w, h, _inner), blob in zip(entries, payloads):
+            out += struct.pack(
+                "<BBBBHHII", w % 256, h % 256, 0, 0, 1, 32,
+                len(blob), off)
+            off += len(blob)
+        for blob in payloads:
+            out += blob
+        return bytes(out)
+
+    return ico
+
+
+#: the ICO generator (factory-made; importable for tests)
+ico_bytes = _make_ico_gen()
+
+
+def _make_ico_walker():
+    """Factory returning the ICO census walker (by-value pickling):
+    ICONDIR check, per-entry dims (0 → 256 per spec), payload range
+    validation, and the inner-format sniff (PNG magic vs DIB
+    BITMAPINFOHEADER at the entry offset — modern favicons embed
+    whole PNGs).  Entries pointing outside the payload flag
+    valid=False on the file while keeping the catalog."""
+    import struct
+
+    def walk(b: bytes):
+        b = bytes(b)
+        if len(b) < 6:
+            return None
+        res, typ, n = struct.unpack("<HHH", b[:6])
+        if res != 0 or typ != 1 or n == 0 or 6 + 16 * n > len(b):
+            return None
+        icons = []
+        ok = True
+        for j in range(n):
+            p = 6 + 16 * j
+            w, h = b[p], b[p + 1]
+            size, off = struct.unpack("<II", b[p + 8 : p + 16])
+            inner = "unknown"
+            if off + size <= len(b) and size >= 8:
+                blob = b[off : off + 8]
+                if blob == b"\x89PNG\r\n\x1a\n":
+                    inner = "png"
+                elif blob[:4] == b"\x28\x00\x00\x00":
+                    inner = "dib"
+            else:
+                ok = False
+            icons.append({
+                "width": w or 256, "height": h or 256,
+                "size": size, "inner": inner,
+            })
+        return {"icons": icons, "valid": ok}
+
+    return walk
+
+
+#: the ICO census walker (factory-made; importable for tests)
+parse_ico = _make_ico_walker()
+
+
+ICO_META_SCHEMA = (
+    "doc_id long, icon_idx long, width long, height long, size long,"
+    " inner string, valid boolean"
+)
+
+
+def ico_meta(df: DataFrame) -> DataFrame:
+    """ICO census (r9): favicons are everywhere in a web crawl — one
+    row per directory entry with dims (0 → 256 per spec), payload
+    size, and the sniffed inner format (modern favicons embed whole
+    PNGs; classic ones are DIBs).  Non-ICO payloads yield a sentinel
+    row; out-of-range entries keep the catalog with valid=false.  One
+    zero-shuffle Arrow pass."""
+    walk = _make_ico_walker()
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        def rows(i: int, b: bytes):
+            r = walk(b)
+            if r is None:
+                return [(i, -1, None, None, None, None, False)]
+            return [
+                (i, j, ic["width"], ic["height"], ic["size"],
+                 ic["inner"], r["valid"])
+                for j, ic in enumerate(r["icons"])
+            ]
+
+        cols = ["doc_id", "icon_idx", "width", "height", "size",
+                "inner", "valid"]
+        for pdf in batches:
+            recs = []
+            for i, b in zip(pdf["doc_id"], pdf["payload"]):
+                recs.extend(rows(
+                    int(i), bytes(b) if b is not None else b""))
+            yield pd.DataFrame(recs, columns=cols)
+
+    return df.mapInPandas(run, schema=ICO_META_SCHEMA)
+
+
+def synth_ico_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixture for x_ico_meta (r9): REAL multi-icon ICOs — 1+(id%4)
+    icons, icon j sized [16,32,48,256][(id+j)%4] square, PNG-embedded
+    for even id+j / DIB for odd; every 24th id lies about the LAST
+    entry's offset (catalog kept, valid=false)."""
+    _gen = ico_bytes  # factory-made → ships by value
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import struct
+
+        import pandas as pd
+
+        def one(i: int) -> bytes:
+            dims = [16, 32, 48, 256]
+            entries = [
+                (dims[(i + j) % 4], dims[(i + j) % 4],
+                 "png" if (i + j) % 2 == 0 else "dib")
+                for j in range(1 + i % 4)
+            ]
+            b = _gen(entries)
+            if i % 24 == 0:
+                bb = bytearray(b)
+                n = 1 + i % 4
+                p = 6 + 16 * (n - 1) + 12
+                bb[p : p + 4] = struct.pack("<I", len(b) + 999)
+                return bytes(bb)
+            return b
+
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame({"doc_id": ids, "payload": ids.map(one)})
+
+    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        gen, "doc_id long, payload binary"
+    )
+
+
 def _make_avi_gen():
     """Factory returning the AVI generator (by-value pickling, see
     _make_mp4_gen): a real RIFF/AVI — LIST hdrl with a 56-byte avih

@@ -2926,6 +2926,46 @@ def x_vtt_cues(spark, sf_dir):
 
 
 @register(
+    "x_ico_meta",
+    """
+    WITH g AS (
+        SELECT doc_id, unnest(range(0, 1 + doc_id % 4)) AS j,
+               doc_id % 24 = 0 AS corrupt
+        FROM documents
+    )
+    SELECT doc_id, CAST(j AS BIGINT) AS icon_idx,
+           CAST(CASE (doc_id + j) % 4 WHEN 0 THEN 16 WHEN 1 THEN 32
+                WHEN 2 THEN 48 ELSE 256 END AS BIGINT) AS width,
+           CAST(CASE (doc_id + j) % 4 WHEN 0 THEN 16 WHEN 1 THEN 32
+                WHEN 2 THEN 48 ELSE 256 END AS BIGINT) AS height,
+           CASE WHEN corrupt AND j = doc_id % 4 THEN 'unknown'
+                WHEN (doc_id + j) % 2 = 0 THEN 'png'
+                ELSE 'dib' END AS inner,
+           NOT corrupt AS valid
+    FROM g
+    """,
+)
+def x_ico_meta(spark, sf_dir):
+    """ICO census (r9; operators/media.ico_meta): favicons are
+    everywhere in a crawl — directory-entry walk with the 0→256 dim
+    rule, payload-range validation, and the inner-format sniff (PNG
+    magic vs DIB header at each entry's offset; modern favicons embed
+    whole PNGs).  Every 24th id lies about its LAST entry's offset:
+    the catalog survives, that icon sniffs 'unknown', valid=false."""
+    from lwetl_spark.operators.media import ico_meta, synth_ico_demo
+
+    docs = _t(spark, sf_dir, "documents")
+    out = ico_meta(synth_ico_demo(docs))
+    return out.select(
+        "doc_id", "icon_idx",
+        *[F.coalesce(F.col(c), F.lit(-1)).cast("long").alias(c)
+          for c in ("width", "height")],
+        F.coalesce(F.col("inner"), F.lit("none")).alias("inner"),
+        "valid",
+    )
+
+
+@register(
     "x_avi_meta",
     """
     WITH g AS (

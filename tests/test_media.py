@@ -1993,3 +1993,28 @@ def test_png_subbyte_decode():
     for r in range(4):
         for c in range(4):
             assert int(px[r, c]) == (r + c) % 2
+
+
+def test_ico_census(spark):
+    """ICO (r9): directory walk with the 0->256 dim rule, inner PNG
+    vs DIB sniff, and the lying-offset leg keeping the catalog."""
+    import struct
+
+    from lwetl_spark.operators.media import ico_bytes, ico_meta, parse_ico
+
+    b = ico_bytes([(16, 16, "png"), (256, 256, "png"), (32, 32, "dib")])
+    r = parse_ico(b)
+    assert r["valid"] and [i["width"] for i in r["icons"]] == [16, 256, 32]
+    assert [i["inner"] for i in r["icons"]] == ["png", "png", "dib"]
+    bb = bytearray(b)
+    bb[6 + 16 * 2 + 12 : 6 + 16 * 2 + 16] = struct.pack("<I", len(b) + 9)
+    r2 = parse_ico(bytes(bb))
+    assert not r2["valid"] and r2["icons"][2]["inner"] == "unknown"
+    assert parse_ico(b"xx") is None
+    df = spark.createDataFrame(
+        [(1, b), (2, b"not ico at all!!")], "doc_id long, payload binary")
+    got = {}
+    for row in ico_meta(df).collect():
+        got.setdefault(row["doc_id"], []).append(row)
+    assert len(got[1]) == 3 and got[1][1]["width"] == 256
+    assert got[2][0]["icon_idx"] == -1 and got[2][0]["valid"] is False
