@@ -1560,6 +1560,10 @@ def _make_png_codec():
         if len(b) < 41 or b[:8] != b"\x89PNG\r\n\x1a\n":
             return None
         w, h = struct.unpack(">II", b[16:24])
+        if w == 0 or h == 0:
+            return None  # spec: IHDR width/height MUST be nonzero;
+            # a 0-dim image would hand zero-size arrays to stats
+            # min()/max() downstream (ADVICE r9)
         bitdepth, colortype = b[24], b[25]
         interlace = b[28]
         # palette (type 3, r9): indices reconstruct as a 1-channel
@@ -2422,6 +2426,10 @@ def _make_gif_pixel_decoder():
                 if pos + 11 > len(b):
                     return None
                 fw, fh = struct.unpack("<HH", b[pos + 5 : pos + 9])
+                if fw == 0 or fh == 0:
+                    return None  # zero-area image descriptor: legal
+                    # bytes, but a (h, 0, 3) frame would crash the
+                    # stats min()/max() reductions (ADVICE r9)
                 lpacked = b[pos + 9]
                 p = pos + 10
                 ct = gct
@@ -2506,10 +2514,14 @@ def gif_pixel_stats(df: DataFrame) -> DataFrame:
             mn, mx = 255, 0
             for fr in r["frames"]:
                 px = fr.astype("int64")
+                if not px.size:  # belt-and-braces: the decoder
+                    continue  # rejects 0-area frames (ADVICE r9)
                 tot += int(px.sum())
                 cnt += int(px.size)
                 mn = min(mn, int(px.min()))
                 mx = max(mx, int(px.max()))
+            if cnt == 0:
+                return None
             return (r["width"], r["height"], r["n_frames"], cnt, tot,
                     mn, mx)
 
@@ -5634,7 +5646,12 @@ def vtt_cues(df: DataFrame, text_col: str = "vtt") -> DataFrame:
     lines = F.split(F.regexp_replace("cue", r"\r\n", "\n"), r"\n")
     withl = cues.select("doc_id", "cue_idx", lines.alias("lines"))
     l0 = F.col("lines").getItem(0)
-    has_id = ~l0.rlike(pat)
+    # spec: a cue identifier MUST NOT contain '-->' — detect it by
+    # that, not by full timestamp-pattern match: an identifier-less
+    # cue whose timestamp line is merely MALFORMED must still treat
+    # line 0 as the timestamp line, keeping the first text line in
+    # the extracted text (ADVICE r9)
+    has_id = ~l0.contains("-->")
     tline = F.when(has_id, F.col("lines").getItem(1)).otherwise(l0)
     first_text = F.when(has_id, F.lit(3)).otherwise(F.lit(2))
 
@@ -5777,8 +5794,14 @@ def _make_pdf_gen():
     the walker/extractor read this exact structure."""
     import zlib
 
-    def pdf(texts, deflate: bool = False, version: str = "1.7") -> bytes:
-        """texts: one content-stream text per page."""
+    def pdf(texts, deflate: bool = False, version: str = "1.7",
+            images=None) -> bytes:
+        """texts: one content-stream text per page.  `images` (r10):
+        optional [(filter_name, width, height, blob)] — each becomes
+        an /XObject /Subtype /Image stream object referenced from page
+        1's /Resources, e.g. ('DCTDecode', w, h, jpeg_bytes) for an
+        embedded JPEG or ('JPXDecode', …) for the foreign-filter
+        rejection leg."""
         n = len(texts)
         objs = []  # (num, bytes) in object-number order
         kids = " ".join("%d 0 R" % (3 + 2 * p) for p in range(n))
@@ -5786,11 +5809,18 @@ def _make_pdf_gen():
         objs.append((
             2, ("<< /Type /Pages /Kids [%s] /Count %d >>"
                 % (kids, n)).encode()))
+        img_base = 3 + 2 * n
         for p, txt in enumerate(texts):
             num = 3 + 2 * p
+            res = ""
+            if p == 0 and images:
+                xs = " ".join("/Im%d %d 0 R" % (i, img_base + i)
+                              for i in range(len(images)))
+                res = " /Resources << /XObject << %s >> >>" % xs
             objs.append((num, (
                 "<< /Type /Page /Parent 2 0 R /Contents %d 0 R"
-                " /MediaBox [0 0 612 792] >>" % (num + 1)).encode()))
+                " /MediaBox [0 0 612 792]%s >>"
+                % (num + 1, res)).encode()))
             content = ("BT /F1 12 Tf 72 720 Td (%s) Tj ET" % txt).encode()
             if deflate:
                 blob = zlib.compress(content)
@@ -5799,6 +5829,14 @@ def _make_pdf_gen():
                 blob = content
                 sd = b"<< /Length %d >>" % len(blob)
             objs.append((num + 1,
+                         sd + b"\nstream\n" + blob + b"\nendstream"))
+        for i, (filt, iw, ih, blob) in enumerate(images or ()):
+            fent = (" /Filter /%s" % filt).encode() if filt else b""
+            sd = (b"<< /Type /XObject /Subtype /Image /Width %d"
+                  b" /Height %d /ColorSpace /DeviceGray"
+                  b" /BitsPerComponent 8%b /Length %d >>"
+                  % (iw, ih, fent, len(blob)))
+            objs.append((img_base + i,
                          sd + b"\nstream\n" + blob + b"\nendstream"))
         out = bytearray(b"%PDF-" + version.encode() + b"\n")
         offsets = {}
@@ -5862,7 +5900,57 @@ def _make_pdf_walker():
                           and b.rstrip().endswith(b"%%EOF")),
         }
 
-    stream_re = re.compile(rb"<<(.*?)>>\s*stream\r?\n", re.S)
+    def iter_streams(b: bytes):
+        """Yield (dict_bytes, data_start) per `stream` keyword, the
+        dict being the INNERMOST balanced <<…>> immediately before it
+        (ADVICE r9 fix: the old first-'<<'-after-previous-stream regex
+        could swallow several unrelated dicts, so /Filter checks keyed
+        off a preceding page/annotation dict — a raw content stream
+        preceded by any object mentioning /Filter was wrongly skipped,
+        and vice versa).  Balanced backward scan: '>>' opens a nesting
+        level, '<<' closes one; depth 0 at '<<' is the stream dict's
+        start."""
+        pos = 0
+        while True:
+            k = b.find(b"stream", pos)
+            if k < 0:
+                return
+            if b[k - 3 : k] == b"end":  # 'endstream', not a start
+                pos = k + 6
+                continue
+            j = k
+            while j > 0 and b[j - 1 : j] in (b" ", b"\t", b"\r", b"\n"):
+                j -= 1
+            if b[j - 2 : j] != b">>":
+                pos = k + 6
+                continue
+            depth = 0
+            i = j
+            start = -1
+            while i >= 2:
+                two = b[i - 2 : i]
+                if two == b">>":
+                    depth += 1
+                    i -= 2
+                elif two == b"<<":
+                    depth -= 1
+                    i -= 2
+                    if depth == 0:
+                        start = i
+                        break
+                else:
+                    i -= 1
+            if start < 0:
+                pos = k + 6
+                continue
+            ds = k + 6  # data begins after the keyword's EOL
+            if b[ds : ds + 2] == b"\r\n":
+                ds += 2
+            elif b[ds : ds + 1] == b"\n":
+                ds += 1
+            yield b[start + 2 : j - 2], ds
+            pos = ds
+
     # a PDF literal string, with escaped chars kept for unescaping
     txt_re = re.compile(
         rb"\(((?:[^()\\]|\\.)*)\)\s*Tj|\[((?:[^\]\\]|\\.)*)\]\s*TJ",
@@ -5903,9 +5991,7 @@ def _make_pdf_walker():
         if not b.startswith(b"%PDF-"):
             return None
         runs = []
-        for m in stream_re.finditer(b):
-            sd = m.group(1)
-            start = m.end()
+        for sd, start in iter_streams(b):
             end = b.find(b"endstream", start)
             if end < 0:
                 continue
@@ -5928,11 +6014,42 @@ def _make_pdf_walker():
                         for sm in str_re.finditer(tm.group(2))))
         return runs
 
-    return census, extract_text
+    img_re = re.compile(rb"/Subtype\s*/Image(?![a-zA-Z])")
+    filt_re = re.compile(rb"/Filter\s*(?:\[\s*)?/([A-Za-z0-9]+)")
+
+    def extract_images(b: bytes):
+        """List of (filter_name, stream_bytes) per /Subtype /Image
+        XObject stream, in file order (r10, VERDICT r9 task 4): the
+        stream-dict scan is the SAME innermost-dict walk as
+        extract_text, so the filter decision keys off the image's own
+        dict.  filter_name is the first /Filter entry ('' when the
+        stream is raw); callers route DCTDecode blobs — which ARE
+        complete JPEG files, per the PDF spec — into decode_jpeg and
+        must leave foreign filters (JPXDecode, CCITTFaxDecode...)
+        undecoded.  Returns None for non-PDF payloads."""
+        b = bytes(b) if b is not None else b""
+        if not b.startswith(b"%PDF-"):
+            return None
+        out = []
+        for sd, start in iter_streams(b):
+            if not img_re.search(sd):
+                continue
+            end = b.find(b"endstream", start)
+            if end < 0:
+                continue
+            blob = b[start:end]
+            if blob.endswith(b"\n"):
+                blob = blob[:-1]
+            fm = filt_re.search(sd)
+            out.append((fm.group(1).decode("ascii") if fm else "",
+                        blob))
+        return out
+
+    return census, extract_text, extract_images
 
 
 #: the PDF walker pair (factory-made; importable for tests)
-parse_pdf, extract_pdf_text = _make_pdf_walker()
+parse_pdf, extract_pdf_text, extract_pdf_images = _make_pdf_walker()
 
 
 PDF_TEXT_SCHEMA = (
@@ -5951,7 +6068,7 @@ def pdf_text(df: DataFrame) -> DataFrame:
     fields; encrypted or foreign-filter streams are skipped
     (partial text), never a task failure.  One zero-shuffle Arrow
     pass (the media-family cost shape)."""
-    pcensus, pextract = _make_pdf_walker()
+    pcensus, pextract, _pimages = _make_pdf_walker()
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
@@ -6034,6 +6151,120 @@ def synth_pdf_campaign_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFram
     )
 
 
+def _make_tiff_lzw():
+    """Factory returning (decode, encode) for TIFF-variant LZW (r10,
+    VERDICT r9 task 5): the GIF engine re-parameterized per the TIFF 6
+    spec — MSB-first bit order, fixed 256/257 Clear/EOI, 9-bit initial
+    width, and the TIFF 'early change' rule (the code width bumps when
+    the NEXT free code reaches 2^width − 1, one code earlier than
+    GIF).  decode(data, n) returns exactly n bytes or None on any
+    structural lie (bad code, shortfall, missing Clear reset at 4094);
+    encode is the fixture-side compressor (emits Clear up front and
+    resets at table-full, per spec).  Scanner/document crawls are
+    predominantly LZW-compressed TIFF, so this closes the census→
+    decode gap for that population."""
+
+    def decode(data: bytes, n: int):
+        clear, eoi = 256, 257
+        width = 9
+        table: dict = {}
+        next_code = 258
+        out = bytearray()
+        prev = None
+        acc = 0
+        nbits = 0
+        pos = 0
+        while len(out) < n:
+            while nbits < width:
+                if pos >= len(data):
+                    return None  # stream ends before n bytes
+                acc = (acc << 8) | data[pos]  # MSB-first
+                pos += 1
+                nbits += 8
+            code = (acc >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == clear:
+                table = {}
+                next_code = 258
+                width = 9
+                prev = None
+                continue
+            if code == eoi:
+                return None  # early EOI: byte shortfall
+            if prev is None:
+                if code > 255:
+                    return None  # first code must be a literal
+                entry = (code,)
+            else:
+                if code < 256:
+                    entry = (code,)
+                elif code in table:
+                    entry = table[code]
+                elif code == next_code:
+                    entry = prev + (prev[0],)  # KwKwK
+                else:
+                    return None
+                table[next_code] = prev + (entry[0],)
+                next_code += 1
+                if next_code == (1 << width) - 1 and width < 12:
+                    width += 1  # TIFF early change
+            out.extend(entry)
+            prev = entry
+        return bytes(out) if len(out) == n else None
+
+    def encode(data: bytes) -> bytes:
+        bits: list = []  # (code, width) stream
+
+        table = {bytes([i]): i for i in range(256)}
+        next_code = 258
+        width = 9
+        bits.append((256, width))  # leading Clear, per spec
+        w = b""
+        for ch in data:
+            wc = w + bytes([ch])
+            if wc in table:
+                w = wc
+                continue
+            bits.append((table[w], width))
+            table[wc] = next_code
+            next_code += 1
+            # encoder threshold is one ABOVE the decoder's 2^w−1:
+            # the decoder's table add lags the encoder's by exactly
+            # one entry, so equal thresholds would desync the first
+            # wide code (derived in tests/test_media_r10 vector)
+            if next_code == (1 << width) and width < 12:
+                width += 1
+            w = bytes([ch])
+            if next_code >= 4094:  # table full: flush + Clear
+                bits.append((table[w], width))
+                bits.append((256, width))
+                table = {bytes([i]): i for i in range(256)}
+                next_code = 258
+                width = 9
+                w = b""
+        if w:
+            bits.append((table[w], width))
+        bits.append((257, width))
+        acc = 0
+        nb = 0
+        out = bytearray()
+        for code, cw in bits:  # MSB-first packer
+            acc = (acc << cw) | code
+            nb += cw
+            while nb >= 8:
+                out.append((acc >> (nb - 8)) & 0xFF)
+                nb -= 8
+        if nb:
+            out.append((acc << (8 - nb)) & 0xFF)
+        return bytes(out)
+
+    return decode, encode
+
+
+#: the TIFF-LZW codec (factory-made; importable for tests)
+tiff_lzw_decode, tiff_lzw_encode = _make_tiff_lzw()
+
+
 def _make_tiff_gen():
     """Factory returning the TIFF generator (by-value pickling, see
     _make_mp4_gen): a real multi-page baseline TIFF — II or MM byte
@@ -6045,11 +6276,20 @@ def _make_tiff_gen():
     structure."""
     import struct
 
+    _, _lzwe = _make_tiff_lzw()  # captured by value into the closure
+
     def tiff(pages, little: bool = True, seed: int | None = None) -> bytes:
-        """pages: [(width, height, bits, compression)].  With `seed`,
-        each page carries a REAL uncompressed gray strip — pixel
-        (r, c) of page p = (seed + 7r + 13c + 19p) % 256 — instead of
-        the shared token strip (census-only fixtures)."""
+        """pages: [(width, height, bits, compression)] or — for pixel
+        fixtures (seed given) — optionally extended to
+        (w, h, bits, comp, rows_per_strip, predictor): comp 5 strips
+        are REAL TIFF-LZW streams, rows_per_strip < h splits the page
+        into a multi-strip StripOffsets/StripByteCounts ARRAY (the
+        count>1 pointer form, r10), predictor 2 applies horizontal
+        differencing before compression.  With `seed`, pixel (r, c)
+        of page p = (seed + 7r + 13c + 19p) % 256 regardless of the
+        storage form (lossless codecs — the oracle never changes)."""
+        from_none = seed is None
+        lzwe = _lzwe
         e = "<" if little else ">"
         out = bytearray((b"II" if little else b"MM")
                         + struct.pack(e + "H", 42) + bytes(4))
@@ -6060,34 +6300,72 @@ def _make_tiff_gen():
                 return raw + struct.pack(e + "HH", val, 0)
             return raw + struct.pack(e + "I", val)
 
-        strips = []
-        if seed is None:
+        strips: list = []
+        if from_none:
             strip_off = len(out)
             out += bytes(8)  # shared token strip for every page
-            strips = [(strip_off, 8)] * len(pages)
+            strips = [([strip_off], [8], None, 1)] * len(pages)
         else:
-            for p, (w, h, _bits, _comp) in enumerate(pages):
-                data = bytes((seed + 7 * r + 13 * c + 19 * p) % 256
-                             for r in range(h) for c in range(w))
-                strips.append((len(out), len(data)))
-                out += data
+            for p, pg in enumerate(pages):
+                w, h = pg[0], pg[1]
+                comp = pg[3]
+                rps = pg[4] if len(pg) > 4 else h
+                pred = pg[5] if len(pg) > 5 else 1
+                rows = [
+                    [(seed + 7 * r + 13 * c + 19 * p) % 256
+                     for c in range(w)]
+                    for r in range(h)
+                ]
+                if pred == 2:  # horizontal differencing
+                    rows = [[row[0]] + [(row[c] - row[c - 1]) % 256
+                                        for c in range(1, w)]
+                            for row in rows]
+                offs, lens = [], []
+                for r0 in range(0, h, rps):
+                    chunk = b"".join(
+                        bytes(row) for row in rows[r0 : r0 + rps])
+                    if comp == 5:
+                        chunk = lzwe(chunk)
+                    offs.append(len(out))
+                    lens.append(len(chunk))
+                    out += chunk
+                strips.append((offs, lens, rps, pred))
         ifd_offs = []
-        for (w, h, bits, comp), (soff, slen) in zip(pages, strips):
+        ifd_ents = []
+        for pg, (offs, lens, rps, pred) in zip(pages, strips):
+            w, h, bits, comp = pg[0], pg[1], pg[2], pg[3]
+            # count>1 value arrays live out-of-line, BEFORE the IFD
+            if len(offs) > 1:
+                so_ptr = len(out)
+                out += struct.pack(e + "I" * len(offs), *offs)
+                sl_ptr = len(out)
+                out += struct.pack(e + "I" * len(lens), *lens)
+                strip_es = [entry(273, 4, len(offs), so_ptr),
+                            entry(279, 4, len(lens), sl_ptr)]
+            else:
+                strip_es = [entry(273, 4, 1, offs[0]),
+                            entry(279, 4, 1, lens[0])]
             ifd_offs.append(len(out))
             ents = [
                 entry(256, 4, 1, w), entry(257, 4, 1, h),
                 entry(258, 3, 1, bits), entry(259, 3, 1, comp),
                 entry(262, 3, 1, 1),
-                entry(273, 4, 1, soff),
-                entry(279, 4, 1, slen),
+                strip_es[0],
             ]
+            if rps is not None and rps != h:
+                ents.append(entry(278, 4, 1, rps))
+            ents.append(strip_es[1])
+            if pred != 1:
+                ents.append(entry(317, 3, 1, pred))
+            ents.sort(key=lambda b_: struct.unpack(e + "H", b_[:2])[0])
+            ifd_ents.append(len(ents))
             out += struct.pack(e + "H", len(ents)) + b"".join(ents)
             out += bytes(4)  # next-IFD pointer, patched below
         # chain the IFDs and point the header at the first
         out[4:8] = struct.pack(e + "I", ifd_offs[0])
         for i, off in enumerate(ifd_offs):
             nxt = ifd_offs[i + 1] if i + 1 < len(ifd_offs) else 0
-            p = off + 2 + 7 * 12
+            p = off + 2 + ifd_ents[i] * 12
             out[p : p + 4] = struct.pack(e + "I", nxt)
         return bytes(out)
 
@@ -6101,13 +6379,21 @@ tiff_bytes = _make_tiff_gen()
 def _make_tiff_walker():
     """Factory returning the TIFF census walker (by-value pickling):
     byte-order mark (II/MM), magic 42, then the IFD chain — per page
-    the entry scan for dims/bits/compression (SHORT values read from
-    the left-justified inline cell, honoring the byte order; LONG
-    inline).  A next-IFD pointer past the bytes, a truncated entry
-    table, or a cycle keeps the pages walked before the lie
-    (valid=False).  Returns {pages: [...], byte_order, valid} or
-    None."""
+    the entry scan for dims/bits/compression/strips.  Entry values
+    honor the TIFF value-or-pointer rule (ADVICE r9 fix): the 4-byte
+    cell holds the values inline only when count·type_size ≤ 4;
+    otherwise it is an offset to the value array — so count>1 tags
+    (BitsPerSample on RGB, multi-strip StripOffsets/StripByteCounts)
+    now dereference instead of reporting pointer garbage.  A pointer
+    or next-IFD past the bytes, a truncated entry table, or a cycle
+    keeps the pages walked before the lie (valid=False).  Returns
+    {pages: [...], byte_order, valid} or None; per page the strip
+    arrays land in strip_offs/strip_lens (full lists) with
+    strip_off/strip_len keeping the first value, plus rows_per_strip
+    and predictor when present."""
     import struct
+
+    TSZ = {1: (1, "B"), 3: (2, "H"), 4: (4, "I")}
 
     def walk(b: bytes):
         b = bytes(b) if b is not None else b""
@@ -6133,26 +6419,39 @@ def _make_tiff_walker():
                     "compression": None}
             for i in range(n):
                 p = off + 2 + 12 * i
-                tag, typ, _cnt = struct.unpack(
+                tag, typ, cnt = struct.unpack(
                     e + "HHI", b[p : p + 8])
-                if typ == 3:  # SHORT: inline, first 2 bytes
-                    val = struct.unpack(e + "H", b[p + 8 : p + 10])[0]
-                elif typ == 4:
-                    val = struct.unpack(e + "I", b[p + 8 : p + 12])[0]
-                else:
+                sz_fmt = TSZ.get(typ)
+                if sz_fmt is None or cnt == 0:
                     continue
+                sz, fmt = sz_fmt
+                total = sz * cnt
+                if total <= 4:  # inline, left-justified
+                    cell = b[p + 8 : p + 8 + total]
+                else:  # the cell is a pointer to the value array
+                    (ptr,) = struct.unpack(e + "I", b[p + 8 : p + 12])
+                    if ptr + total > len(b):
+                        continue  # dangling pointer: skip the tag
+                    cell = b[ptr : ptr + total]
+                vals = struct.unpack(e + fmt * cnt, cell)
                 if tag == 256:
-                    page["width"] = val
+                    page["width"] = vals[0]
                 elif tag == 257:
-                    page["height"] = val
-                elif tag == 258:
-                    page["bits"] = val
+                    page["height"] = vals[0]
+                elif tag == 258:  # BitsPerSample: per-sample array
+                    page["bits"] = vals[0]
                 elif tag == 259:
-                    page["compression"] = val
+                    page["compression"] = vals[0]
                 elif tag == 273:
-                    page["strip_off"] = val
+                    page["strip_off"] = vals[0]
+                    page["strip_offs"] = list(vals)
+                elif tag == 278:
+                    page["rows_per_strip"] = vals[0]
                 elif tag == 279:
-                    page["strip_len"] = val
+                    page["strip_len"] = vals[0]
+                    page["strip_lens"] = list(vals)
+                elif tag == 317:
+                    page["predictor"] = vals[0]
             pages.append(page)
             (off,) = struct.unpack(
                 e + "I", b[off + 2 + 12 * n : off + 2 + 12 * n + 4])
@@ -6250,18 +6549,59 @@ TIFF_PIXEL_SCHEMA = (
 
 
 def tiff_pixel_stats(df: DataFrame) -> DataFrame:
-    """REAL TIFF pixel decode (r9 — upgrades the census to decode for
-    the uncompressed-baseline form): per page, the single gray 8-bit
-    strip addressed by StripOffsets/StripByteCounts is read and
-    stat'd over ALL pages (the gif_pixel_stats contract).  Pages with
-    LZW/packbits compression, non-8-bit samples, or strips past the
-    payload yield NULL stats for the whole item (stated honestly —
-    compressed TIFF decode is out of scope); non-TIFF payloads NULL
-    too.  One zero-shuffle Arrow pass."""
+    """REAL TIFF pixel decode — r10 upgrades the r9
+    uncompressed-single-strip form to the shapes scanner/document
+    crawls actually ship: MULTI-strip pages (RowsPerStrip splits the
+    image; the r9 walker's count>1 pointer fix makes the strip arrays
+    readable), LZW compression (tag 259 == 5; MSB-first early-change
+    variant via _make_tiff_lzw), and the horizontal-differencing
+    Predictor (tag 317 == 2) that LZW TIFFs pair with it — undone as
+    a per-row cumulative sum mod 256.  Gray 8-bit only (the census
+    reports bits/compression for everything else); pages with other
+    compressions, non-8-bit samples, strip geometry that disagrees
+    with width×height, or strips past the payload yield NULL stats
+    for the whole item; non-TIFF payloads NULL too.  One zero-shuffle
+    Arrow pass (the gif_pixel_stats cost model: rows/partition)."""
     walk = _make_tiff_walker()
+    lzw_dec, _ = _make_tiff_lzw()
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
         import pandas as pd
+
+        def page_bytes(b: bytes, p: dict):
+            """Decode one page to its raw gray rows, or None."""
+            w, h = p["width"], p["height"]
+            offs = p.get("strip_offs")
+            lens = p.get("strip_lens")
+            pred = p.get("predictor", 1)
+            if (p["compression"] not in (1, 5) or p["bits"] != 8
+                    or not w or not h or not offs or not lens
+                    or len(offs) != len(lens) or pred not in (1, 2)):
+                return None
+            rps = p.get("rows_per_strip") or h
+            if rps <= 0 or len(offs) != -(-h // rps):
+                return None
+            out = bytearray()
+            row = 0
+            for soff, slen in zip(offs, lens):
+                nrows = min(rps, h - row)
+                if soff + slen > len(b):
+                    return None
+                raw = b[soff : soff + slen]
+                if p["compression"] == 5:
+                    raw = lzw_dec(raw, nrows * w)
+                    if raw is None:
+                        return None
+                elif slen != nrows * w:
+                    return None
+                out += raw
+                row += nrows
+            if pred == 2:  # undo horizontal differencing per row
+                arr = np.frombuffer(bytes(out), np.uint8).reshape(h, w)
+                arr = np.cumsum(arr.astype(np.int64), axis=1) & 0xFF
+                out = arr.astype(np.uint8).tobytes()
+            return bytes(out)
 
         def stats(b: bytes):
             b = bytes(b) if b is not None else b""
@@ -6271,20 +6611,13 @@ def tiff_pixel_stats(df: DataFrame) -> DataFrame:
             tot = cnt = 0
             mn, mx = 255, 0
             for p in r["pages"]:
-                w, h = p["width"], p["height"]
-                soff = p.get("strip_off")
-                slen = p.get("strip_len")
-                if (p["compression"] != 1 or p["bits"] != 8
-                        or soff is None or slen is None
-                        or slen != (w or 0) * (h or 0)
-                        or soff + slen > len(b)):
+                data = page_bytes(b, p)
+                if data is None or not data:
                     return None
-                data = b[soff : soff + slen]
                 tot += sum(data)
-                cnt += slen
-                if slen:
-                    mn = min(mn, min(data))
-                    mx = max(mx, max(data))
+                cnt += len(data)
+                mn = min(mn, min(data))
+                mx = max(mx, max(data))
             p0 = r["pages"][0]
             return (p0["width"], p0["height"], len(r["pages"]), cnt,
                     tot, mn, mx)
@@ -6304,12 +6637,17 @@ def tiff_pixel_stats(df: DataFrame) -> DataFrame:
 
 
 def synth_tiff_px_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Fixture for x_tiff_pixels (r9): REAL pixel-carrying TIFFs —
-    1+(id%3) pages, page p sized 8+(id+9p)%40 × 8+(id+5p)%30, gray
-    8-bit uncompressed strips with pixel (r,c) =
-    (id%256 + 7r + 13c + 19p) % 256, byte order by id parity; every
-    25th id breaks the last next-IFD pointer (walk invalid → NULL
-    stats)."""
+    """Fixture for x_tiff_pixels (r9; storage legs widened r10): REAL
+    pixel-carrying TIFFs — 1+(id%3) pages, page p sized
+    8+(id+9p)%40 × 8+(id+5p)%30, gray 8-bit with pixel (r,c) =
+    (id%256 + 7r + 13c + 19p) % 256, byte order by id parity.  The
+    STORAGE form now rotates through what scanner crawls actually
+    ship (all lossless, so the pixel oracle is unchanged):
+    compression 1 or TIFF-LZW 5 by (id+p)%2, RowsPerStrip splitting
+    pages into 1/2/3-row-group multi-strip arrays by (id+p)%3 (the
+    count>1 StripOffsets pointer form), horizontal-differencing
+    Predictor 2 when (id+2p)%3==0.  Every 25th id breaks the last
+    next-IFD pointer (walk invalid → NULL stats)."""
     _gen = tiff_bytes  # factory-made → ships by value
 
     def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -6318,10 +6656,14 @@ def synth_tiff_px_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
         import pandas as pd
 
         def one(i: int) -> bytes:
-            pages = [
-                (8 + (i + 9 * p) % 40, 8 + (i + 5 * p) % 30, 8, 1)
-                for p in range(1 + i % 3)
-            ]
+            pages = []
+            for p in range(1 + i % 3):
+                w = 8 + (i + 9 * p) % 40
+                h = 8 + (i + 5 * p) % 30
+                comp = 1 + 4 * ((i + p) % 2)
+                rps = (h, -(-h // 2), 3)[(i + p) % 3]
+                pred = 2 if (i + 2 * p) % 3 == 0 else 1
+                pages.append((w, h, 8, comp, rps, pred))
             b = _gen(pages, little=(i % 2 == 0), seed=i % 256)
             if i % 25 == 0:
                 e = "<" if i % 2 == 0 else ">"

@@ -1,0 +1,296 @@
+"""Round-10 media depth: TIFF-LZW codec (bit-exact vector + early
+change polarity), multi-strip / predictor TIFF decode, the count>1
+IFD pointer fix, PDF innermost-stream-dict anchoring + embedded-image
+extraction (DCTDecode routing, foreign-filter rejection), and the
+zero-dimension image guards from ADVICE r9."""
+
+from __future__ import annotations
+
+import struct
+
+from pyspark.sql import functions as F
+
+
+def _pack_msb(codes):
+    """Independent MSB-first bit packer: [(code, width)] -> bytes.
+    Deliberately NOT the encoder under test."""
+    acc = 0
+    n = 0
+    out = bytearray()
+    for code, w in codes:
+        acc = (acc << w) | code
+        n += w
+        while n >= 8:
+            out.append((acc >> (n - 8)) & 0xFF)
+            n -= 8
+    if n:
+        out.append((acc << (8 - n)) & 0xFF)
+    return bytes(out)
+
+
+def test_tiff_lzw_hand_vector():
+    """The encoder's exact output for a small input is hand-derived
+    (codes 256,7,258,8,8,258,6,6,257 all at 9 bits), and the decoder
+    inverts an INDEPENDENTLY packed copy of that stream."""
+    from lwetl_spark.operators.media import tiff_lzw_decode, tiff_lzw_encode
+
+    data = bytes([7, 7, 7, 8, 8, 7, 7, 6, 6])
+    expect_codes = [(c, 9) for c in (256, 7, 258, 8, 8, 258, 6, 6, 257)]
+    assert tiff_lzw_encode(data) == _pack_msb(expect_codes)
+    assert tiff_lzw_decode(_pack_msb(expect_codes), len(data)) == data
+
+
+def test_tiff_lzw_early_change_polarity():
+    """Pin the decoder's width-bump position per TIFF 6 early change:
+    after the table add that makes the next free code 511 (the 253rd
+    add, which happens while processing the 254th code), reads switch
+    to 10 bits — so literal #255 onward is packed 10-bit.  A GIF-style
+    decoder (bump at 512) reads garbage here."""
+    from lwetl_spark.operators.media import tiff_lzw_decode
+
+    lits = [i % 251 for i in range(400)]
+    # ensure no two adjacent literals repeat a prior pair (251 is
+    # prime vs the 400 range, pairs (i%251, (i+1)%251) are distinct)
+    codes = [(256, 9)]
+    for k, v in enumerate(lits, start=1):
+        width = 9 if k <= 254 else 10
+        codes.append((v, width))
+    codes.append((257, 10))
+    got = tiff_lzw_decode(_pack_msb(codes), len(lits))
+    assert got == bytes(lits)
+
+
+def test_tiff_lzw_roundtrip_across_width_boundaries():
+    """Encoder/decoder agree across the 9->10->11 bumps and the
+    table-full Clear reset (incompressible input grows the table
+    fastest)."""
+    from lwetl_spark.operators.media import tiff_lzw_decode, tiff_lzw_encode
+
+    # pseudo-random but deterministic, few repeated pairs
+    data = bytes((i * 197 + (i * i) % 251) % 256 for i in range(30000))
+    assert tiff_lzw_decode(tiff_lzw_encode(data), len(data)) == data
+    assert tiff_lzw_decode(tiff_lzw_encode(b""), 0) == b""
+    # robustness: truncated stream, garbage codes
+    assert tiff_lzw_decode(b"", 4) is None
+    enc = tiff_lzw_encode(data[:100])
+    assert tiff_lzw_decode(enc[: len(enc) // 2], 100) is None
+
+
+def test_tiff_ifd_count_gt1_dereferences_pointer():
+    """ADVICE r9: a BitsPerSample entry with count=3 stores a POINTER
+    in its value cell; the census must dereference it (bits=8), not
+    report the pointer as the bit depth."""
+    from lwetl_spark.operators.media import parse_tiff
+
+    for e, bom in (("<", b"II"), (">", b"MM")):
+        out = bytearray(bom + struct.pack(e + "H", 42) + bytes(4))
+        bps_ptr = len(out)
+        out += struct.pack(e + "HHH", 8, 8, 8)  # the 3-sample array
+        ifd = len(out)
+        out[4:8] = struct.pack(e + "I", ifd)
+
+        def entry(tag, typ, cnt, val):
+            raw = struct.pack(e + "HHI", tag, typ, cnt)
+            if typ == 3 and cnt == 1:
+                return raw + struct.pack(e + "HH", val, 0)
+            return raw + struct.pack(e + "I", val)
+
+        ents = [
+            entry(256, 4, 1, 20), entry(257, 4, 1, 10),
+            entry(258, 3, 3, bps_ptr),  # count=3 -> pointer cell
+            entry(259, 3, 1, 1),
+        ]
+        out += struct.pack(e + "H", len(ents)) + b"".join(ents) + bytes(4)
+        r = parse_tiff(bytes(out))
+        assert r is not None and r["valid"]
+        assert r["pages"][0]["bits"] == 8  # not bps_ptr
+        assert r["pages"][0]["width"] == 20
+        # dangling pointer -> tag skipped, page survives
+        bad = bytearray(out)
+        p = ifd + 2 + 2 * 12 + 8  # BitsPerSample value cell
+        bad[p : p + 4] = struct.pack(e + "I", len(out) + 999)
+        r2 = parse_tiff(bytes(bad))
+        assert r2["valid"] and r2["pages"][0]["bits"] is None
+
+
+def test_tiff_multistrip_lzw_predictor_decode(spark):
+    """Every storage combination decodes to the same pixels: single
+    vs multi strip × compression 1/5 × predictor 1/2, both byte
+    orders — the r10 x_tiff_pixels legs."""
+    from lwetl_spark.operators.media import tiff_bytes, tiff_pixel_stats
+
+    exp = [(33 + 7 * rr + 13 * cc) % 256
+           for rr in range(10) for cc in range(9)]
+    want = (len(exp), sum(exp), min(exp), max(exp))
+    for little in (True, False):
+        for comp in (1, 5):
+            for rps in (10, 4, 3, 1):
+                for pred in (1, 2):
+                    b = tiff_bytes([(9, 10, 8, comp, rps, pred)],
+                                   little=little, seed=33)
+                    df = spark.createDataFrame(
+                        [(1, b)], "doc_id long, payload binary")
+                    r = tiff_pixel_stats(df).collect()[0]
+                    got = (r["n_px"], r["sum_px"], r["min_px"],
+                           r["max_px"])
+                    assert got == want, (little, comp, rps, pred)
+                    assert (r["width"], r["height"]) == (9, 10)
+
+
+def test_tiff_strip_count_mismatch_nulls(spark):
+    """Strip geometry that disagrees with height/RowsPerStrip is an
+    honest NULL, never an exception."""
+    from lwetl_spark.operators.media import tiff_bytes, tiff_pixel_stats
+
+    b = bytearray(tiff_bytes([(9, 10, 8, 1, 4, 1)], seed=3))
+    # corrupt RowsPerStrip to 7: ceil(10/7)=2 != 3 strips present
+    r = None
+    from lwetl_spark.operators.media import parse_tiff
+
+    page = parse_tiff(bytes(b))["pages"][0]
+    assert page["rows_per_strip"] == 4 and len(page["strip_offs"]) == 3
+    # find + patch the 278 entry value (LONG at entry cell)
+    ifd_off = struct.unpack("<I", b[4:8])[0]
+    n = struct.unpack("<H", b[ifd_off : ifd_off + 2])[0]
+    for i in range(n):
+        p = ifd_off + 2 + 12 * i
+        tag = struct.unpack("<H", b[p : p + 2])[0]
+        if tag == 278:
+            b[p + 8 : p + 12] = struct.pack("<I", 7)
+    df = spark.createDataFrame([(1, bytes(b))],
+                               "doc_id long, payload binary")
+    r = tiff_pixel_stats(df).collect()[0]
+    assert r["n_px"] is None
+
+
+def test_pdf_innermost_stream_dict():
+    """ADVICE r9: the stream dict is the INNERMOST balanced <<...>>
+    before 'stream' — a preceding unrelated dict mentioning /Filter
+    (or /FlateDecode) must not poison the raw stream's routing, and a
+    nested dict inside the stream dict must not break the scan."""
+    from lwetl_spark.operators.media import extract_pdf_text, pdf_bytes
+
+    b = pdf_bytes(["real text"])
+    # poison: an annotation-ish object mentioning /Filter before the
+    # raw content stream
+    poisoned = b.replace(
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Catalog /Pages 2 0 R /Junk /Filter /Odd >>")
+    assert extract_pdf_text(poisoned) == ["real text"]
+    # nested dict INSIDE the stream dict (e.g. /DecodeParms)
+    raw = b"BT (nested ok) Tj ET"
+    doc = (b"%PDF-1.7\n1 0 obj\n<< /Length "
+           + str(len(raw)).encode() + b" /DP << /K 1 /Cols 2 >>"
+           b" >>\nstream\n" + raw + b"\nendstream\nendobj\n")
+    assert extract_pdf_text(doc) == ["nested ok"]
+
+
+def test_pdf_image_extraction_routes_dct(spark=None):
+    """Embedded DCTDecode XObjects come back as byte-identical JPEG
+    streams in file order; JPX/raw image streams are reported with
+    their filter names, never decoded here."""
+    import numpy as np
+
+    from lwetl_spark.operators.media import (
+        decode_jpeg,
+        extract_pdf_images,
+        jpeg_baseline_bytes,
+        pdf_bytes,
+    )
+
+    coeffs = [((7 + 17 * bi) % 112 - 56, (3 + 5 * bi) % 13)
+              for bi in range(4)]
+    jp = jpeg_baseline_bytes(16, 16, coeffs)
+    b = pdf_bytes(
+        ["caption"],
+        images=[("DCTDecode", 16, 16, jp),
+                ("JPXDecode", 8, 8, b"\x00" * 32),
+                ("", 4, 4, bytes(16))],
+    )
+    imgs = extract_pdf_images(b)
+    assert [f for f, _ in imgs] == ["DCTDecode", "JPXDecode", ""]
+    assert imgs[0][1] == jp
+    px = decode_jpeg(imgs[0][1])
+    assert px is not None and px.shape == (16, 16)
+    # a JPX blob through decode_jpeg must fail cleanly, not decode
+    assert decode_jpeg(imgs[1][1]) is None
+    # non-PDF / image-free PDFs
+    assert extract_pdf_images(b"GIF89a") is None
+    assert extract_pdf_images(pdf_bytes(["no images"])) == []
+    assert isinstance(np.int64(1), np.integer)  # keep numpy import
+
+
+def test_gif_zero_dim_frame_is_null_not_crash(spark):
+    """ADVICE r9 (medium): a GIF image descriptor with width or
+    height 0 must yield NULL stats, not a zero-size-reduction
+    ValueError killing the task."""
+    from lwetl_spark.operators.media import (
+        gif_decode_pixels,
+        gif_lzw_bytes,
+        gif_pixel_stats,
+    )
+
+    b = bytearray(gif_lzw_bytes(6, 5, 9, 7, 1))
+    # locate the image descriptor (skip header + GCT + extensions)
+    packed = b[10]
+    pos = 13 + (3 * (2 << (packed & 7)) if packed & 0x80 else 0)
+    while b[pos] == 0x21:
+        p = pos + 2
+        while b[p] != 0:
+            p += 1 + b[p]
+        pos = p + 1
+    assert b[pos] == 0x2C
+    for wz, hz in ((0, 5), (6, 0), (0, 0)):
+        bb = bytearray(b)
+        bb[pos + 5 : pos + 9] = struct.pack("<HH", wz, hz)
+        assert gif_decode_pixels(bytes(bb)) is None
+        df = spark.createDataFrame([(1, bytes(bb))],
+                                   "doc_id long, payload binary")
+        r = gif_pixel_stats(df).collect()[0]
+        assert r["n_px"] is None  # and no task failure
+
+
+def test_png_zero_dim_is_null_not_crash(spark):
+    """Same guard for PNG: IHDR with width/height 0 (spec-illegal)
+    must decode to None -> NULL stats."""
+    from lwetl_spark.operators.media import (
+        _make_png_codec,
+        png_bytes,
+        png_pixel_stats,
+    )
+
+    png_decode, _ = _make_png_codec()
+    b = bytearray(png_bytes(7, 3))
+    for wz, hz in ((0, 3), (7, 0)):
+        bb = bytearray(b)
+        bb[16:24] = struct.pack(">II", wz, hz)
+        assert png_decode(bytes(bb)) is None
+        df = spark.createDataFrame([(1, bytes(bb))],
+                                   "doc_id long, payload binary")
+        assert png_pixel_stats(df).collect()[0]["n_px"] is None
+
+
+def test_vtt_no_id_malformed_timestamp_keeps_first_text_line(spark):
+    """ADVICE r9: a cue with NO identifier whose timestamp line is
+    malformed must still treat line 0 as the timestamp line — text
+    keeps the first real text line (valid stays false)."""
+    from lwetl_spark.operators.media import vtt_cues
+
+    vtt = ("WEBVTT\n\n"
+           "00:0x:00.000 --> 00:05.000\nfirst text\nsecond line")
+    df = spark.createDataFrame([(1, vtt)], "doc_id long, vtt string")
+    r = vtt_cues(df).collect()[0]
+    assert r["valid"] is False
+    assert r["text"] == "first text\nsecond line"
+    # identifier + malformed timestamp: text starts at line 2
+    vtt2 = ("WEBVTT\n\n"
+            "cue-1\n00:0x:00.000 --> 00:05.000\nbody here")
+    df2 = spark.createDataFrame([(1, vtt2)], "doc_id long, vtt string")
+    r2 = vtt_cues(df2).collect()[0]
+    assert r2["valid"] is False and r2["text"] == "body here"
+    # healthy cue without identifier still parses
+    vtt3 = "WEBVTT\n\n00:01.000 --> 00:05.000\nok text"
+    df3 = spark.createDataFrame([(1, vtt3)], "doc_id long, vtt string")
+    r3 = vtt_cues(df3).collect()[0]
+    assert r3["valid"] and r3["start_ms"] == 1000
+    assert r3["text"] == "ok text"
