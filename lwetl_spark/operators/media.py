@@ -7335,9 +7335,15 @@ def _make_zip_gen():
     import struct
     import zlib
 
-    def zipf(members) -> bytes:
+    def zipf(members, zip64: bool = False) -> bytes:
         """members: [(name, payload, method)] with method in
-        ('stored', 'deflate')."""
+        ('stored', 'deflate').  ``zip64=True`` (r10) writes the FORCED
+        zip64 form real >4 GiB bundles use, scaled down: 32-bit
+        size/offset cells carry the 0xFFFFFFFF sentinel with the real
+        values in 0x0001 extra fields, and the EOCD (sentinel counts)
+        is preceded by the EOCD64 record + locator — byte-compatible
+        with stdlib zipfile's force_zip64 output."""
+        S32, S16 = 0xFFFFFFFF, 0xFFFF
         out = bytearray()
         central = bytearray()
         for name, data, method in members:
@@ -7351,19 +7357,41 @@ def _make_zip_gen():
                 blob = data
                 m = 0
             off = len(out)
-            hdr = struct.pack(
-                "<IHHHHHIIIHH", 0x04034B50, 20, 0, m, 0, 0, crc,
-                len(blob), len(data), len(nm), 0)
-            out += hdr + nm + blob
-            central += struct.pack(
-                "<IHHHHHHIIIHHHHHII", 0x02014B50, 20, 20, 0, m, 0, 0,
-                crc, len(blob), len(data), len(nm), 0, 0, 0, 0, 0, off
-            ) + nm
+            if zip64:
+                lx = struct.pack("<HHQQ", 1, 16, len(data), len(blob))
+                hdr = struct.pack(
+                    "<IHHHHHIIIHH", 0x04034B50, 45, 0, m, 0, 0, crc,
+                    S32, S32, len(nm), len(lx))
+                out += hdr + nm + lx + blob
+                cx = struct.pack("<HHQQQ", 1, 24, len(data),
+                                 len(blob), off)
+                central += struct.pack(
+                    "<IHHHHHHIIIHHHHHII", 0x02014B50, 45, 45, 0, m,
+                    0, 0, crc, S32, S32, len(nm), len(cx), 0, 0, 0,
+                    0, S32) + nm + cx
+            else:
+                hdr = struct.pack(
+                    "<IHHHHHIIIHH", 0x04034B50, 20, 0, m, 0, 0, crc,
+                    len(blob), len(data), len(nm), 0)
+                out += hdr + nm + blob
+                central += struct.pack(
+                    "<IHHHHHHIIIHHHHHII", 0x02014B50, 20, 20, 0, m,
+                    0, 0, crc, len(blob), len(data), len(nm), 0, 0,
+                    0, 0, 0, off) + nm
         cd_off = len(out)
         out += central
-        out += struct.pack(
-            "<IHHHHIIH", 0x06054B50, 0, 0, len(members), len(members),
-            len(central), cd_off, 0)
+        if zip64:
+            e64 = len(out)
+            out += struct.pack(
+                "<IQHHIIQQQQ", 0x06064B50, 44, 45, 45, 0, 0,
+                len(members), len(members), len(central), cd_off)
+            out += struct.pack("<IIQI", 0x07064B50, 0, e64, 1)
+            out += struct.pack(
+                "<IHHHHIIH", 0x06054B50, 0, 0, S16, S16, S32, S32, 0)
+        else:
+            out += struct.pack(
+                "<IHHHHIIH", 0x06054B50, 0, 0, len(members),
+                len(members), len(central), cd_off, 0)
         return bytes(out)
 
     return zipf
@@ -7377,6 +7405,10 @@ def _make_zip_walker():
     """Factory returning (index, extract) for ZIP archives (by-value
     pickling): EOCD located by a bounded backward scan (spec: it sits
     in the last 64 KiB + 22 bytes — comments push it off the end),
+    zip64 EOCD64-locator resolution when the EOCD carries sentinel
+    counts/offsets (r10 — >4 GiB / >65k-member crawl bundles, incl.
+    per-entry 0x0001 extra-field 64-bit sizes/offsets, cross-checked
+    against stdlib zipfile's force_zip64 in both directions),
     central-directory walk for the member catalog, local-header
     signature validation, and REAL member extraction — stored bytes
     or raw-deflate inflate (zlib wbits=-15) with CRC-32
@@ -7386,6 +7418,8 @@ def _make_zip_walker():
     import struct
     import zlib
 
+    SENT32, SENT16 = 0xFFFFFFFF, 0xFFFF
+
     def index(b: bytes):
         b = bytes(b) if b is not None else b""
         if len(b) < 22 or b[:4] != b"PK\x03\x04":
@@ -7394,8 +7428,22 @@ def _make_zip_walker():
         e = tail.rfind(b"PK\x05\x06")
         if e < 0 or e + 22 > len(tail):
             return None
-        n_entries, _cd_size, cd_off = struct.unpack(
+        n_entries, cd_size, cd_off = struct.unpack(
             "<HII", tail[e + 10 : e + 20])
+        if SENT16 == n_entries or SENT32 in (cd_size, cd_off):
+            # zip64 (r10, VERDICT r9 task 3 — real crawl bundles and
+            # WebDataset shards exceed 4 GiB / 65k members): the
+            # EOCD64 locator (PK\x06\x07) sits 20 bytes before the
+            # EOCD and points at the EOCD64 record (PK\x06\x06)
+            # carrying the 64-bit entry count / cd offset
+            lpos = (len(b) - len(tail)) + e - 20
+            if lpos < 0 or b[lpos : lpos + 4] != b"PK\x06\x07":
+                return None
+            (e64,) = struct.unpack("<Q", b[lpos + 8 : lpos + 16])
+            if e64 + 56 > len(b) or b[e64 : e64 + 4] != b"PK\x06\x06":
+                return None
+            (n_entries,) = struct.unpack("<Q", b[e64 + 32 : e64 + 40])
+            (cd_off,) = struct.unpack("<Q", b[e64 + 48 : e64 + 56])
         members = []
         ok = True
         pos = cd_off
@@ -7414,6 +7462,39 @@ def _make_zip_walker():
             )
             loff = struct.unpack("<I", b[pos + 42 : pos + 46])[0]
             name = b[pos + 46 : pos + 46 + nlen].decode("utf-8", "replace")
+            if SENT32 in (csz, usz, loff):
+                # 64-bit values live in the 0x0001 extra field, in
+                # fixed order (usz, csz, loff) but ONLY the fields
+                # whose 32-bit cell is the sentinel, per APPNOTE 4.5.3
+                extra = b[pos + 46 + nlen : pos + 46 + nlen + xlen]
+                ep = 0
+                found = False
+                while ep + 4 <= len(extra):
+                    hid, hsz = struct.unpack("<HH", extra[ep : ep + 4])
+                    if hid == 0x0001:
+                        fp = ep + 4
+                        fend = min(ep + 4 + hsz, len(extra))
+                        try:
+                            if usz == SENT32:
+                                (usz,) = struct.unpack(
+                                    "<Q", extra[fp : fp + 8])
+                                fp += 8
+                            if csz == SENT32:
+                                (csz,) = struct.unpack(
+                                    "<Q", extra[fp : fp + 8])
+                                fp += 8
+                            if loff == SENT32:
+                                (loff,) = struct.unpack(
+                                    "<Q", extra[fp : fp + 8])
+                                fp += 8
+                        except struct.error:
+                            break
+                        found = fp <= fend
+                        break
+                    ep += 4 + hsz
+                if not found:
+                    ok = False
+                    break
             if (loff + 30 > len(b)
                     or b[loff : loff + 4] != b"PK\x03\x04"):
                 ok = False
@@ -7629,6 +7710,10 @@ def synth_zip_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     ZIP of 1+(id%5) members — member j named 'm{j}.bin' with
     20+(id+7j)%40 payload bytes (byte k = (id+11j+3k)%256), STORED
     for even id+j / DEFLATED for odd (real compression, real CRCs).
+    Every 3rd id (i%3==1, r10) writes the FORCED-zip64 form —
+    sentinel 32-bit cells, 0x0001 extra fields, EOCD64 + locator —
+    the layout real >4 GiB WebDataset/EPUB bundles use (lossless
+    framing: the member oracle is unchanged).
     Every 23rd id corrupts the LAST member's central-directory
     signature: the walker keeps the members before the lie
     (valid=false on the shard's rows)."""
@@ -7645,7 +7730,7 @@ def synth_zip_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 members.append(("m%d.bin" % j, data,
                                 "stored" if (i + j) % 2 == 0
                                 else "deflate"))
-            b = _gen(members)
+            b = _gen(members, zip64=(i % 3 == 1))
             if i % 23 == 0:
                 bb = bytearray(b)
                 # last central entry: search back from EOCD

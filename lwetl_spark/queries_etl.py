@@ -3258,7 +3258,10 @@ def x_zip_extract(spark, sf_dir):
     is proved by each member's decompressed byte SUM, not just the
     catalog.  Fixtures mix stored and deflated members (real
     compression, real CRCs; generator cross-checked against the
-    stdlib zipfile reader in pytest).  Every 23rd id corrupts the
+    stdlib zipfile reader in pytest) and — r10 — every 3rd id is a
+    FORCED-zip64 archive (EOCD64 + locator + 0x0001 extra fields, the
+    >4 GiB bundle layout; stdlib force_zip64 cross-checked both
+    directions).  Every 23rd id corrupts the
     last central entry: the walker keeps the members before the lie,
     valid=false on the shard (a fully-emptied catalog yields the
     sentinel row)."""

@@ -294,3 +294,50 @@ def test_vtt_no_id_malformed_timestamp_keeps_first_text_line(spark):
     r3 = vtt_cues(df3).collect()[0]
     assert r3["valid"] and r3["start_ms"] == 1000
     assert r3["text"] == "ok text"
+
+
+def test_zip64_roundtrip_and_stdlib_crosscheck():
+    """zip64 archives (EOCD64 + locator + 0x0001 extras) read in both
+    directions vs stdlib zipfile: ours->stdlib and stdlib's
+    force_zip64 -> ours; a corrupt locator is an honest None."""
+    import io
+    import zipfile
+
+    from lwetl_spark.operators.media import (
+        extract_zip_member,
+        parse_zip,
+        zip_bytes,
+    )
+
+    members = [("a.txt", b"hello world" * 10, "stored"),
+               ("dir/b.bin", bytes(range(256)) * 4, "deflate"),
+               ("c", b"", "stored")]
+    for z64 in (False, True):
+        b = zip_bytes(members, zip64=z64)
+        r = parse_zip(b)
+        assert r is not None and r["valid"]
+        assert [m["name"] for m in r["members"]] == [
+            "a.txt", "dir/b.bin", "c"]
+        for m, (_, data, _) in zip(r["members"], members):
+            assert extract_zip_member(b, m) == data
+        zf = zipfile.ZipFile(io.BytesIO(b))
+        assert zf.testzip() is None
+        for n, data, _ in members:
+            assert zf.read(n) == data
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        for n, data, meth in members:
+            zi = zipfile.ZipInfo(n)
+            zi.compress_type = (zipfile.ZIP_STORED if meth == "stored"
+                                else zipfile.ZIP_DEFLATED)
+            with zf.open(zi, "w", force_zip64=True) as f:
+                f.write(data)
+    sb = buf.getvalue()
+    r = parse_zip(sb)
+    assert r is not None and r["valid"]
+    for m, (_, data, _) in zip(r["members"], members):
+        assert extract_zip_member(sb, m) == data
+    bb = bytearray(zip_bytes(members, zip64=True))
+    i = bytes(bb).rfind(b"PK\x06\x07")
+    bb[i : i + 4] = b"XXXX"
+    assert parse_zip(bytes(bb)) is None
