@@ -14,6 +14,8 @@ from __future__ import annotations
 
 import os
 
+from py4j.protocol import Py4JError
+from pyspark.errors import SparkNoSuchElementException
 from pyspark.sql import DataFrame, SparkSession
 
 #: tables the driver materializes in /root/testdata/sf*/
@@ -148,6 +150,6 @@ def engine_info(spark: SparkSession) -> DataFrame:
     for k in keys:
         try:
             rows.append((k, str(spark.conf.get(k))))
-        except Exception:
-            rows.append((k, None))
+        except (SparkNoSuchElementException, Py4JError):
+            rows.append((k, None))  # conf unset on this session
     return spark.createDataFrame(rows, "PROPERTY string, VALUE string")

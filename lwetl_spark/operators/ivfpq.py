@@ -36,6 +36,7 @@ designs are FAISS's IndexIVFPQ and the paper above.
 
 from __future__ import annotations
 
+from py4j.protocol import Py4JError
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -377,8 +378,11 @@ def build_ivfpq_index(
             fs = hp.getFileSystem(spark._jsc.hadoopConfiguration())
             if fs.exists(hp):
                 fs.delete(hp, True)
-        except Exception:
+        except (AttributeError, Py4JError):
             pass  # non-classic session without a JVM gateway
+            # (AttributeError: no _jvm on Connect; Py4JError: gateway
+            # call failed) — the loud _path_exists post-check below
+            # still catches a delete that silently did not take
         # ADVICE r8: _load_quantizers uses rotation-presence as the OPQ
         # marker, so a silently no-op'd delete (Spark Connect has no
         # gateway) would make every later query mis-rotate residuals

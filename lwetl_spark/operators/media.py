@@ -5100,8 +5100,8 @@ def _make_mp3_gen():
                 160, 192, 224, 256, 320]  # kbps, MPEG1 Layer III
     RATES = [44100, 48000, 32000]
 
-    def mp3(bitrate_idx: int, sr_idx: int, n_frames: int,
-            id3_payload: bytes = b"") -> bytes:
+    def _frame(bitrate_idx: int, sr_idx: int,
+               body_patch: bytes = b"") -> bytes:
         br = BITRATES[bitrate_idx] * 1000
         sr = RATES[sr_idx]
         frame_len = (144 * br) // sr  # padding bit 0
@@ -5109,15 +5109,49 @@ def _make_mp3_gen():
             (0x7FF << 21) | (0b11 << 19) | (0b01 << 17) | (1 << 16)
             | (bitrate_idx << 12) | (sr_idx << 10)
         )
-        frame = struct.pack(">I", hdr) + bytes(frame_len - 4)
-        out = b""
-        if id3_payload:
-            n = len(id3_payload)
-            size = bytes([(n >> 21) & 0x7F, (n >> 14) & 0x7F,
-                          (n >> 7) & 0x7F, n & 0x7F])
-            out += b"ID3\x04\x00\x00" + size + id3_payload
-        return out + frame * n_frames
+        body = bytearray(frame_len - 4)
+        body[: len(body_patch)] = body_patch
+        return struct.pack(">I", hdr) + bytes(body)
 
+    def _id3(payload: bytes) -> bytes:
+        if not payload:
+            return b""
+        n = len(payload)
+        size = bytes([(n >> 21) & 0x7F, (n >> 14) & 0x7F,
+                      (n >> 7) & 0x7F, n & 0x7F])
+        return b"ID3\x04\x00\x00" + size + payload
+
+    def mp3(bitrate_idx: int, sr_idx: int, n_frames: int,
+            id3_payload: bytes = b"") -> bytes:
+        return _id3(id3_payload) + _frame(
+            bitrate_idx, sr_idx) * n_frames
+
+    def mp3_vbr(br_indices, sr_idx: int, tag: str = "Xing",
+                tag_frames: int | None = None,
+                id3_payload: bytes = b"") -> bytes:
+        """VBR stream (r10, VERDICT r9 task 6): frame f carries its
+        OWN bitrate index br_indices[f]; the FIRST frame embeds a
+        Xing / Info / VBRI tag at the spec position (4-byte header +
+        32 bytes of MPEG-1-stereo side info = offset 36) claiming
+        ``tag_frames`` (defaults to the true count — pass a different
+        value for the lying-tag leg).  tag='Info' is LAME's
+        CBR-tagged form; tag=None embeds nothing."""
+        if tag_frames is None:
+            tag_frames = len(br_indices)
+        if tag in ("Xing", "Info"):
+            patch = bytes(32) + tag.encode() + struct.pack(
+                ">II", 0x1, tag_frames)  # flags: FRAMES only
+        elif tag == "VBRI":
+            patch = bytes(32) + b"VBRI" + struct.pack(
+                ">HHHII", 1, 0, 0, 0, tag_frames)
+        else:
+            patch = b""
+        out = _id3(id3_payload)
+        for f, bi in enumerate(br_indices):
+            out += _frame(bi, sr_idx, patch if f == 0 else b"")
+        return out
+
+    mp3.vbr = mp3_vbr
     return mp3
 
 
@@ -5127,22 +5161,30 @@ mp3_bytes = _make_mp3_gen()
 
 MP3_META_SCHEMA = (
     "doc_id long, bitrate_kbps long, sample_rate long, n_frames long,"
-    " duration_ms long, has_id3 boolean, valid boolean"
+    " duration_ms long, has_id3 boolean, vbr boolean, tag_frames long,"
+    " valid boolean"
 )
 
 
 def mp3_meta(df: DataFrame) -> DataFrame:
-    """MP3 (MPEG-1 Layer III) frame-header census (r8 — the third
-    audio container of a real crawl after WAV and MP4/AAC): skip the
-    ID3v2 tag (syncsafe size), then walk the CBR frame sequence —
-    11-bit sync check, bitrate/samplerate indices from the header,
-    frame length = floor(144·bitrate/samplerate) + padding bit — and
-    emit the stream geometry: bitrate, sample rate, frame count, exact
-    integer duration_ms = 1000·1152·n_frames div samplerate (1152
-    samples per Layer III frame).  valid requires the walk to consume
-    the payload exactly; a mid-stream corrupt header stops the walk
-    with valid=false and the census so far.  Non-MP3 payloads yield
-    NULLs; one zero-shuffle Arrow pass."""
+    """MP3 (MPEG-1 Layer III) frame-header census (r8; VBR r10 — most
+    real-world MP3s are VBR, where a constant-frame-length walk reads
+    garbage and a Xing-trusting reader gets lied to): skip the ID3v2
+    tag (syncsafe size), then walk the frame sequence with each
+    frame's OWN bitrate index — 11-bit sync check, frame length =
+    floor(144·bitrate/samplerate) + padding bit — and emit the stream
+    geometry: average bitrate (floor of the per-frame-header mean;
+    equals the bitrate for CBR), sample rate, frame count, exact
+    integer duration_ms = 1000·1152·n_frames div samplerate.  The
+    first frame is scanned for Xing/Info (at the side-info offset)
+    and VBRI (at offset 36) tags: ``vbr`` is true for Xing/VBRI
+    (Info is LAME's CBR marker), ``tag_frames`` reports the tag's
+    frame-count CLAIM — duration always comes from the walk, so a
+    lying tag shows up as tag_frames ≠ n_frames instead of a wrong
+    duration.  valid requires the walk to consume the payload
+    exactly; a mid-stream corrupt header stops the walk with
+    valid=false and the census so far.  Non-MP3 payloads yield NULLs;
+    one zero-shuffle Arrow pass."""
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import struct
@@ -5168,38 +5210,67 @@ def mp3_meta(df: DataFrame) -> DataFrame:
             if (first >> 21) != 0x7FF or ((first >> 19) & 3) != 0b11 \
                     or ((first >> 17) & 3) != 0b01:
                 return None  # not an MPEG-1 Layer III sync
-            br_idx = (first >> 12) & 0xF
             sr_idx = (first >> 10) & 3
-            if br_idx in (0, 15) or sr_idx == 3:
-                return None  # free-format/bad indices: no CBR census
-            br = BITRATES[br_idx] * 1000
+            if ((first >> 12) & 0xF) in (0, 15) or sr_idx == 3:
+                return None  # free-format/bad indices: no census
             sr = RATES[sr_idx]
             n_frames = 0
+            br_sum = 0
+            vbr = False
+            tag_frames = None
             ok = True
             while pos + 4 <= len(b):
                 h = struct.unpack(">I", b[pos : pos + 4])[0]
-                if (h >> 21) != 0x7FF:
+                if (h >> 21) != 0x7FF or ((h >> 19) & 3) != 0b11 \
+                        or ((h >> 17) & 3) != 0b01:
                     ok = False
                     break
+                bi = (h >> 12) & 0xF
+                if bi in (0, 15) or ((h >> 10) & 3) != sr_idx:
+                    ok = False  # free-format frame or samplerate
+                    break  # switch mid-stream: a structural lie
                 pad = (h >> 9) & 1
-                flen = (144 * br) // sr + pad
+                flen = (144 * BITRATES[bi] * 1000) // sr + pad
                 if pos + flen > len(b):
                     ok = False
                     break
+                if n_frames == 0:
+                    # Xing/Info sit after the side info (MPEG-1:
+                    # 17 bytes mono, 32 otherwise); VBRI at fixed 36
+                    si = 17 if ((h >> 6) & 3) == 3 else 32
+                    tp = pos + 4 + si
+                    t4 = b[tp : tp + 4]
+                    if t4 in (b"Xing", b"Info") and tp + 8 <= len(b):
+                        (flags,) = struct.unpack(
+                            ">I", b[tp + 4 : tp + 8])
+                        if flags & 0x1 and tp + 12 <= len(b):
+                            (tag_frames,) = struct.unpack(
+                                ">I", b[tp + 8 : tp + 12])
+                        vbr = t4 == b"Xing"
+                    elif b[pos + 36 : pos + 40] == b"VBRI" \
+                            and pos + 54 <= len(b):
+                        (tag_frames,) = struct.unpack(
+                            ">I", b[pos + 50 : pos + 54])
+                        vbr = True
+                br_sum += BITRATES[bi]
                 n_frames += 1
                 pos += flen
             ok = ok and pos == len(b) and n_frames > 0
+            if n_frames == 0:
+                return None
             return (
-                br // 1000, sr, n_frames,
-                1000 * 1152 * n_frames // sr, has_id3, ok,
+                br_sum // n_frames, sr, n_frames,
+                1000 * 1152 * n_frames // sr, has_id3, vbr,
+                tag_frames, ok,
             )
 
         cols = ["bitrate_kbps", "sample_rate", "n_frames",
-                "duration_ms", "has_id3", "valid"]
+                "duration_ms", "has_id3", "vbr", "tag_frames",
+                "valid"]
         for pdf in batches:
             parsed = [census(x) for x in pdf["payload"]]
             out = pd.DataFrame(
-                [p if p is not None else (None,) * 5 + (False,)
+                [p if p is not None else (None,) * 7 + (False,)
                  for p in parsed],
                 columns=cols,
             )
@@ -5210,10 +5281,15 @@ def mp3_meta(df: DataFrame) -> DataFrame:
 
 
 def synth_mp3_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Fixture for x_mp3_meta: bitrate index 1+(id%14), samplerate
-    index id%3, 5+(id%20) frames; ids %2=0 carry an ID3v2 tag of
-    20+(id%50) payload bytes; every 17th id truncates the last frame
-    (corrupt leg: census parses, valid flips false)."""
+    """Fixture for x_mp3_meta (r8; VBR legs r10): 5+(id%20) frames at
+    samplerate index id%3; ids %2=0 carry an ID3v2 tag of 20+(id%50)
+    payload bytes; every 17th id truncates the last frame (corrupt
+    leg: census parses, valid flips false).  Storage legs by id%5:
+    2 → VBR (frame f bitrate index 1+(id+3f)%14) with a Xing tag —
+    or VBRI when id%10==7; 4 → CBR with LAME's 'Info' tag; else plain
+    CBR at index 1+(id%14).  Every 29th id's tag LIES by +5 frames:
+    duration must still come from the walk, the claim surfaces as
+    tag_frames."""
     _mp3 = mp3_bytes
 
     def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -5221,7 +5297,18 @@ def synth_mp3_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
         def one(i: int) -> bytes:
             id3 = bytes(20 + i % 50) if i % 2 == 0 else b""
-            b = _mp3(1 + i % 14, i % 3, 5 + i % 20, id3_payload=id3)
+            nf = 5 + i % 20
+            lie = 5 if i % 29 == 0 else 0
+            if i % 5 == 2:
+                tag = "VBRI" if i % 10 == 7 else "Xing"
+                b = _mp3.vbr([1 + (i + 3 * f) % 14 for f in range(nf)],
+                             i % 3, tag=tag, tag_frames=nf + lie,
+                             id3_payload=id3)
+            elif i % 5 == 4:
+                b = _mp3.vbr([1 + i % 14] * nf, i % 3, tag="Info",
+                             tag_frames=nf + lie, id3_payload=id3)
+            else:
+                b = _mp3(1 + i % 14, i % 3, nf, id3_payload=id3)
             return b[:-7] if i % 17 == 0 else b
 
         for pdf in batches:

@@ -3994,49 +3994,71 @@ def x_wav_resample(spark, sf_dir):
     "x_mp3_meta",
     """
     WITH g AS (
-        SELECT doc_id, 1 + doc_id % 14 AS bi, doc_id % 3 AS si,
-               5 + doc_id % 20 AS nf
+        SELECT doc_id, doc_id % 3 AS si, 5 + doc_id % 20 AS nf,
+               doc_id % 17 = 0 AS trunc, doc_id % 5 AS leg,
+               CASE WHEN doc_id % 29 = 0 THEN 5 ELSE 0 END AS lie
         FROM documents
     ),
     v AS (
-        SELECT doc_id,
-               CASE bi WHEN 1 THEN 32 WHEN 2 THEN 40 WHEN 3 THEN 48
-                       WHEN 4 THEN 56 WHEN 5 THEN 64 WHEN 6 THEN 80
-                       WHEN 7 THEN 96 WHEN 8 THEN 112 WHEN 9 THEN 128
-                       WHEN 10 THEN 160 WHEN 11 THEN 192 WHEN 12 THEN 224
-                       WHEN 13 THEN 256 ELSE 320 END AS br,
+        SELECT doc_id, si, nf, trunc, leg, lie,
+               CASE WHEN trunc THEN nf - 1 ELSE nf END AS wf,
                CASE si WHEN 0 THEN 44100 WHEN 1 THEN 48000
-                       ELSE 32000 END AS sr,
-               nf
+                       ELSE 32000 END AS sr
         FROM g
+    ),
+    fr AS (SELECT doc_id, leg, unnest(range(0, wf)) AS f FROM v),
+    fb AS (
+        SELECT doc_id,
+               CASE WHEN leg = 2 THEN 1 + (doc_id + 3 * f) % 14
+                    ELSE 1 + doc_id % 14 END AS bi
+        FROM fr
+    ),
+    kb AS (
+        SELECT doc_id,
+               CAST(SUM(CASE bi
+                   WHEN 1 THEN 32 WHEN 2 THEN 40 WHEN 3 THEN 48
+                   WHEN 4 THEN 56 WHEN 5 THEN 64 WHEN 6 THEN 80
+                   WHEN 7 THEN 96 WHEN 8 THEN 112 WHEN 9 THEN 128
+                   WHEN 10 THEN 160 WHEN 11 THEN 192 WHEN 12 THEN 224
+                   WHEN 13 THEN 256 ELSE 320 END) AS BIGINT) AS brsum,
+               COUNT(*) AS n
+        FROM fb GROUP BY doc_id
     )
-    SELECT doc_id, CAST(br AS BIGINT) AS bitrate_kbps,
-           CAST(sr AS BIGINT) AS sample_rate,
-           CAST(CASE WHEN doc_id % 17 = 0 THEN nf - 1
-                     ELSE nf END AS BIGINT) AS n_frames,
-           CAST(1000 * 1152 * CASE WHEN doc_id % 17 = 0 THEN nf - 1
-                                   ELSE nf END // sr AS BIGINT)
-               AS duration_ms,
-           doc_id % 2 = 0 AS has_id3,
-           doc_id % 17 <> 0 AS valid
-    FROM v
+    SELECT v.doc_id,
+           CAST(kb.brsum // kb.n AS BIGINT) AS bitrate_kbps,
+           CAST(v.sr AS BIGINT) AS sample_rate,
+           CAST(v.wf AS BIGINT) AS n_frames,
+           CAST(1000 * 1152 * v.wf // v.sr AS BIGINT) AS duration_ms,
+           v.doc_id % 2 = 0 AS has_id3,
+           v.leg = 2 AS vbr,
+           CAST(CASE WHEN v.leg IN (2, 4) THEN v.nf + v.lie
+                     ELSE -1 END AS BIGINT) AS tag_frames,
+           NOT v.trunc AS valid
+    FROM v JOIN kb ON v.doc_id = kb.doc_id
     """,
 )
 def x_mp3_meta(spark, sf_dir):
-    """MP3 frame-header census (r8; operators/media.mp3_meta) — the
-    third audio container after WAV and MP4: skip the ID3v2 tag
-    (syncsafe size), walk the CBR MPEG-1 Layer III frame sequence
-    (sync check, bitrate/samplerate indices, frame length =
-    floor(144·bitrate/samplerate) + padding), and census bitrate /
-    sample rate / frame count / exact integer duration.  The corrupt
-    leg (last frame truncated every 17th id) must keep the census of
-    the frames that DID parse and flip valid=false.  Every field
-    value-checks against the generator arithmetic, including the
-    14-entry bitrate table."""
+    """MP3 frame census (r8; VBR r10 — operators/media.mp3_meta):
+    skip the ID3v2 tag, walk MPEG-1 Layer III frames with each
+    frame's OWN bitrate index (most real MP3s are VBR; a
+    constant-length walk reads garbage), parse Xing / Info / VBRI
+    first-frame tags, and census average bitrate / sample rate /
+    frame count / exact integer duration.  Fixture legs by id%5:
+    VBR+Xing (VBRI every id%10==7), CBR+'Info', plain CBR; every
+    29th id's tag LIES by +5 frames — duration comes from the walk
+    so the lie surfaces only as tag_frames ≠ n_frames; every 17th id
+    truncates the last frame (census keeps the parsed frames,
+    valid=false).  Every field value-checks against the generator
+    arithmetic, including the per-frame 14-entry bitrate table
+    average."""
     from lwetl_spark.operators.media import mp3_meta, synth_mp3_demo
 
     docs = _t(spark, sf_dir, "documents")
-    return mp3_meta(synth_mp3_demo(docs))
+    out = mp3_meta(synth_mp3_demo(docs))
+    return out.withColumn(
+        "tag_frames",
+        F.coalesce(F.col("tag_frames"), F.lit(-1)).cast("long"),
+    )
 
 
 @register(

@@ -341,3 +341,40 @@ def test_zip64_roundtrip_and_stdlib_crosscheck():
     i = bytes(bb).rfind(b"PK\x06\x07")
     bb[i : i + 4] = b"XXXX"
     assert parse_zip(bytes(bb)) is None
+
+
+def test_mp3_vbr_xing_vbri_and_lying_tag(spark):
+    """VBR MP3 (r10): per-frame bitrate walk, Xing/Info/VBRI tag
+    parse — and when the tag LIES about the frame count, duration
+    still comes from the walk; the claim surfaces as tag_frames."""
+    from lwetl_spark.operators.media import mp3_bytes, mp3_meta
+
+    brs = [1 + (3 * f) % 14 for f in range(12)]
+    honest = mp3_bytes.vbr(brs, 0, tag="Xing")
+    lying = mp3_bytes.vbr(brs, 0, tag="Xing", tag_frames=99)
+    vbri = mp3_bytes.vbr(brs, 1, tag="VBRI")
+    info = mp3_bytes.vbr([9] * 6, 2, tag="Info")
+    plain = mp3_bytes(9, 1, 3)
+    df = spark.createDataFrame(
+        [(1, honest), (2, lying), (3, vbri), (4, info), (5, plain)],
+        "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in mp3_meta(df).collect()}
+    BITR = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+            160, 192, 224, 256, 320]
+    avg = sum(BITR[i] for i in brs) // len(brs)
+    for d in (1, 2):
+        r = out[d]
+        assert r["valid"] and r["vbr"] and r["n_frames"] == 12
+        assert r["bitrate_kbps"] == avg
+        assert r["duration_ms"] == 1000 * 1152 * 12 // 44100
+    assert out[1]["tag_frames"] == 12
+    assert out[2]["tag_frames"] == 99  # the lie, reported not trusted
+    r3 = out[3]
+    assert r3["vbr"] and r3["tag_frames"] == 12 and r3["valid"]
+    assert r3["duration_ms"] == 1000 * 1152 * 12 // 48000
+    r4 = out[4]  # Info = LAME's CBR marker: NOT vbr, tag still read
+    assert r4["vbr"] is False and r4["tag_frames"] == 6
+    assert r4["bitrate_kbps"] == 128
+    r5 = out[5]  # untagged CBR: vbr false, tag_frames NULL
+    assert r5["vbr"] is False and r5["tag_frames"] is None
+    assert r5["n_frames"] == 3 and r5["valid"]
