@@ -6208,6 +6208,105 @@ def synth_pdf_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+PDF_IMAGE_SCHEMA = (
+    "doc_id long, img_idx long, filter string, width long,"
+    " height long, n_px long, sum_px long, min_px long, max_px long,"
+    " decoded boolean"
+)
+
+
+def pdf_image_stats(df: DataFrame) -> DataFrame:
+    """PDF embedded-image extraction (r10, VERDICT r9 task 4 — the
+    reference's examples/extract-images.py blob-extraction workflow
+    on PDFs, and the entry point for PDF-figure training data): walk
+    /Subtype /Image XObject streams (innermost-dict scan shared with
+    extract_text), route /Filter /DCTDecode streams — which the PDF
+    spec defines as complete JPEG files — through the full decode_jpeg
+    pipeline, and emit per-image dims + exact integer pixel stats.
+    Foreign filters (JPXDecode, CCITTFaxDecode, raw) are REPORTED with
+    their filter name and decoded=false, never mis-decoded; an
+    undecodable DCT stream is decoded=false too.  Non-PDF or image-
+    free payloads yield a single sentinel row (img_idx -1).  One
+    zero-shuffle Arrow pass — image bytes never leave their input
+    partition (the warc_payloads cost shape)."""
+    _, _, pimages = _make_pdf_walker()
+    jdec = _make_jpeg_decoder()
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        def rows(i: int, b: bytes):
+            imgs = pimages(b)
+            if not imgs:  # None (non-PDF) or [] (no image XObjects)
+                return [(i, -1, None, None, None, None, None, None,
+                         None, False)]
+            out = []
+            for j, (filt, blob) in enumerate(imgs):
+                px = jdec(blob) if filt == "DCTDecode" else None
+                if px is None:
+                    out.append((i, j, filt, None, None, None, None,
+                                None, None, False))
+                else:
+                    p = px.astype("int64")
+                    out.append((
+                        i, j, filt, int(p.shape[1]), int(p.shape[0]),
+                        int(p.size), int(p.sum()), int(p.min()),
+                        int(p.max()), True,
+                    ))
+            return out
+
+        cols = ["doc_id", "img_idx", "filter", "width", "height",
+                "n_px", "sum_px", "min_px", "max_px", "decoded"]
+        for pdf_ in batches:
+            recs = []
+            for i, b in zip(pdf_["doc_id"], pdf_["payload"]):
+                recs.extend(rows(int(i), b))
+            yield pd.DataFrame(recs, columns=cols)
+
+    return df.mapInPandas(run, schema=PDF_IMAGE_SCHEMA)
+
+
+def synth_pdf_img_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixture for x_pdf_images (r10): REAL PDFs embedding 1+(id%3)
+    image XObjects — image k is a fully entropy-coded baseline JPEG
+    sized 8·(1+(id+k)%3) × 8·(1+(id+k)%2) with block b carrying
+    dc (id+17b+7k)%112−56 / ac (id+5b+3k)%13 (the exact-IDCT
+    coefficient model: pixel = 128 + dc ± ac, SQL-recomputable),
+    EXCEPT every (id+k)%4==0 image which ships as a JPXDecode stub
+    (the foreign-filter rejection leg — reported, never decoded).
+    Every 19th id's payload is not a PDF at all (sentinel row)."""
+    _gen = pdf_bytes  # factory-made → ships by value
+    _jenc = jpeg_baseline_bytes
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        def one(i: int) -> bytes:
+            if i % 19 == 0:
+                return b"GIF89a not a pdf"
+            images = []
+            for k in range(1 + i % 3):
+                if (i + k) % 4 == 0:
+                    images.append(("JPXDecode", 8, 8, bytes(40)))
+                    continue
+                w, h = 8 * (1 + (i + k) % 3), 8 * (1 + (i + k) % 2)
+                nb = (w // 8) * (h // 8)
+                coeffs = [((i + 17 * b + 7 * k) % 112 - 56,
+                           (i + 5 * b + 3 * k) % 13)
+                          for b in range(nb)]
+                images.append(("DCTDecode", w, h, _jenc(w, h, coeffs)))
+            return _gen(["Doc %d caption" % i], deflate=(i % 2 == 1),
+                        images=images)
+
+        for pdf_ in batches:
+            ids = pdf_["doc_id"].astype("int64")
+            yield pd.DataFrame({"doc_id": ids, "payload": ids.map(one)})
+
+    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        gen, "doc_id long, payload binary"
+    )
+
+
 def synth_pdf_campaign_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Fixture for x_pdf_ingest (r9): PDFs whose text depends ONLY on
     the duplicate class cls = id%50 (np = 1+cls%3 pages, page p text

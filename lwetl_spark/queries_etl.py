@@ -3064,6 +3064,88 @@ def x_pdf_text(spark, sf_dir):
 
 
 @register(
+    "x_pdf_images",
+    """
+    WITH g AS (
+        SELECT doc_id, 1 + doc_id % 3 AS ni, doc_id % 19 = 0 AS corrupt
+        FROM documents
+    ),
+    img AS (
+        SELECT doc_id, unnest(range(0, ni)) AS k
+        FROM g WHERE NOT corrupt
+    ),
+    cls AS (
+        SELECT doc_id, k, (doc_id + k) % 4 = 0 AS jpx,
+               8 * (1 + (doc_id + k) % 3) AS w,
+               8 * (1 + (doc_id + k) % 2) AS h
+        FROM img
+    ),
+    blk AS (
+        SELECT doc_id, k, w, h,
+               unnest(range(0, (w // 8) * (h // 8))) AS b
+        FROM cls WHERE NOT jpx
+    ),
+    bc AS (
+        SELECT doc_id, k, w, h,
+               (doc_id + 17 * b + 7 * k) % 112 - 56 AS d,
+               (doc_id + 5 * b + 3 * k) % 13 AS a
+        FROM blk
+    ),
+    st AS (
+        SELECT doc_id, k, MAX(w) AS w, MAX(h) AS h,
+               CAST(SUM(64 * (128 + d)) AS BIGINT) AS sum_px,
+               CAST(MIN(128 + d - a) AS BIGINT) AS min_px,
+               CAST(MAX(128 + d + a) AS BIGINT) AS max_px
+        FROM bc GROUP BY doc_id, k
+    )
+    SELECT doc_id, CAST(k AS BIGINT) AS img_idx,
+           'DCTDecode' AS filter, CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height, CAST(w * h AS BIGINT) AS n_px,
+           sum_px, min_px, max_px, TRUE AS decoded
+    FROM st
+    UNION ALL
+    SELECT doc_id, CAST(k AS BIGINT), 'JPXDecode',
+           CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+           CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+           FALSE
+    FROM cls WHERE jpx
+    UNION ALL
+    SELECT doc_id, CAST(-1 AS BIGINT), 'none',
+           CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+           CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+           FALSE
+    FROM g WHERE corrupt
+    """,
+)
+def x_pdf_images(spark, sf_dir):
+    """PDF embedded-image extraction (r10, VERDICT r9 task 4;
+    operators/media.pdf_image_stats) — the reference's
+    examples/extract-images.py blob workflow on PDFs and the entry
+    point for PDF-figure training data: /Subtype /Image XObject
+    streams are walked with the innermost-dict scan, /DCTDecode blobs
+    (complete JPEG files per the PDF spec) run the FULL baseline
+    entropy decode, and every decoded pixel value-checks against the
+    exact-IDCT coefficient model (pixel = 128 + dc ± ac).  JPXDecode
+    stubs are reported with their filter name and decoded=false —
+    never mis-decoded; every 19th id is not a PDF (sentinel row)."""
+    from lwetl_spark.operators.media import (
+        pdf_image_stats,
+        synth_pdf_img_demo,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    out = pdf_image_stats(synth_pdf_img_demo(docs))
+    return out.select(
+        "doc_id", "img_idx",
+        F.coalesce(F.col("filter"), F.lit("none")).alias("filter"),
+        *[F.coalesce(F.col(c), F.lit(-1)).cast("long").alias(c)
+          for c in ("width", "height", "n_px", "sum_px", "min_px",
+                    "max_px")],
+        "decoded",
+    )
+
+
+@register(
     "x_tiff_meta",
     """
     WITH g AS (
