@@ -2042,6 +2042,88 @@ def synth_warc_html_demo(docs: DataFrame, id_col: str = "doc_id",
     ).mapInPandas(gen, "doc_id long, payload binary")
 
 
+def synth_warc_imgtext_demo(docs: DataFrame,
+                            id_col: str = "doc_id") -> DataFrame:
+    """Fixture for x_imgtext_pairs (r10 — the LAION-style multimodal
+    crawl): shard i is a REAL WARC of warcinfo + one HTML response
+    whose body carries 1+(i%3) <img src alt> tags (tag j references
+    image class k = (i+17j)%40) + one image response per reference at
+    'http://images.example/im{k}.png'.  Image class k is byte-
+    identical EVERYWHERE it appears: a REAL PNG (k even; nonlinear
+    pixel (k·29 + 7r + 13c + (rc(k%7+1))%64) % 256) or a REAL
+    entropy-coded baseline JPEG (k odd; block b dc (13k+29b)%112−56 /
+    ac (7k+5b)%13) sized 10+k%30 × 10+(3k)%25 — the admission gate
+    later drops dims < 16.  Classes k%5==3 are ALSO re-hosted: the
+    HTML adds a mirror tag at 'http://cdn.example/mim{k}.png' (alt
+    'Mirror caption {k}') and the shard carries the identical bytes
+    at that URI — the cross-url near-dup the dhash collapse must
+    merge.  Every 13th shard's j==0 image copy is BROKEN in a
+    format-appropriate way (PNG: IDAT byte flip — census-valid,
+    decode fails on adler32; JPEG: EOI truncated — census invalid):
+    the class still admits through its other copies, the broken copy
+    never counts."""
+    _warc = warc_bytes  # factory-made → ships by value
+    _jenc = jpeg_baseline_bytes
+    _, png_encode = _make_png_codec()  # product captured, not factory
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        def class_bytes(k: int) -> bytes:
+            w, h = 10 + k % 30, 10 + (3 * k) % 25
+            if k % 2 == 0:
+                px = np.fromfunction(
+                    lambda r, c: (k * 29 + 7 * r + 13 * c
+                                  + (r * c * (k % 7 + 1)) % 64) % 256,
+                    (h, w), dtype=np.int64).astype(np.uint8)
+                return png_encode(px)
+            nb = ((w + 7) // 8) * ((h + 7) // 8)
+            coeffs = [((13 * k + 29 * b) % 112 - 56,
+                       (7 * k + 5 * b) % 13) for b in range(nb)]
+            return _jenc(w, h, coeffs)
+
+        def broken(img: bytes) -> bytes:
+            bb = bytearray(img)
+            if img[:8] == b"\x89PNG\r\n\x1a\n":
+                p = img.find(b"IDAT") + 8
+                bb[p] ^= 0xFF  # adler32 fails the inflate
+            else:
+                bb = bb[:-2]  # EOI gone: census valid=false
+            return bytes(bb)
+
+        def one(i: int) -> bytes:
+            tags = []
+            recs = [("warcinfo", None, b"software: lwetl_spark")]
+            for j in range(1 + i % 3):
+                k = (i + 17 * j) % 40
+                url = "http://images.example/im%d.png" % k
+                tags.append('<img src="%s" alt="Img caption %d tok%d"/>'
+                            % (url, k, k % 7))
+                img = class_bytes(k)
+                body = broken(img) if (i % 13 == 0 and j == 0) else img
+                recs.append(("response", url, body))
+                if k % 5 == 3:
+                    murl = "http://cdn.example/mim%d.png" % k
+                    tags.append('<img src="%s" alt="Mirror caption %d"/>'
+                                % (murl, k))
+                    recs.append(("response", murl, img))
+            html = ("<html><head><title>g</title></head><body>%s"
+                    "</body></html>" % "".join(tags))
+            recs.insert(1, ("response",
+                            "http://site%d.example/p%d" % (i % 50, i),
+                            html.encode()))
+            return _warc(recs)
+
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame({"doc_id": ids, "payload": ids.map(one)})
+
+    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        gen, "doc_id long, payload binary"
+    )
+
+
 def _make_gif_gen():
     """Factory returning the GIF89a generator (by-value pickling, see
     _make_mp4_gen): spec-shaped header + logical screen descriptor

@@ -378,3 +378,80 @@ def test_mp3_vbr_xing_vbri_and_lying_tag(spark):
     r5 = out[5]  # untagged CBR: vbr false, tag_frames NULL
     assert r5["vbr"] is False and r5["tag_frames"] is None
     assert r5["n_frames"] == 3 and r5["valid"]
+
+
+def test_imgtext_class_dhashes_distinct_and_stable():
+    """Fixture safety pin for x_imgtext_pairs: the gate-passing image
+    classes must have pairwise-DISTINCT dhashes (a collision would
+    silently merge two classes' pairs), and byte-identical content
+    must collide exactly."""
+    import numpy as np
+
+    from lwetl_spark.operators.media import (
+        _make_png_codec,
+        decode_jpeg,
+        jpeg_baseline_bytes,
+    )
+
+    png_decode, png_encode = _make_png_codec()
+
+    def class_bytes(k):
+        w, h = 10 + k % 30, 10 + (3 * k) % 25
+        if k % 2 == 0:
+            px = np.fromfunction(
+                lambda r, c: (k * 29 + 7 * r + 13 * c
+                              + (r * c * (k % 7 + 1)) % 64) % 256,
+                (h, w), dtype=np.int64).astype(np.uint8)
+            return png_encode(px)
+        nb = ((w + 7) // 8) * ((h + 7) // 8)
+        coeffs = [((13 * k + 29 * b) % 112 - 56, (7 * k + 5 * b) % 13)
+                  for b in range(nb)]
+        return jpeg_baseline_bytes(w, h, coeffs)
+
+    def dhash(b):
+        px = png_decode(b) if b[:8] == b"\x89PNG\r\n\x1a\n" \
+            else decode_jpeg(b)
+        assert px is not None
+        h0, w0 = px.shape[:2]
+        rows = (np.arange(8) * h0) // 8
+        cols = (np.arange(9) * w0) // 9
+        g = np.asarray(px, dtype=np.int64)[np.ix_(rows, cols)]
+        bits = (g[:, :8] > g[:, 1:]).astype(np.uint64)
+        idx = (np.arange(8)[:, None] * 8
+               + np.arange(8)[None, :]).astype(np.uint64)
+        return int((bits << idx).sum())
+
+    passing = [k for k in range(40)
+               if 10 + k % 30 >= 16 and 10 + (3 * k) % 25 >= 16]
+    hashes = {k: dhash(class_bytes(k)) for k in passing}
+    assert len(set(hashes.values())) == len(passing), hashes
+    # determinism: same class -> same bytes -> same hash
+    assert dhash(class_bytes(passing[0])) == hashes[passing[0]]
+
+
+def test_imgtext_pairs_lifecycle(spark):
+    """The flagship composition end-to-end on a small shard set:
+    census gate order, dhash cross-url merge, broken-copy exclusion,
+    and the zero-readmission campaign contract."""
+    import lwetl_spark.queries_etl  # noqa: F401  (registers the key)
+    from lwetl_spark.queries import QUERIES
+
+    out = {r["img_url"]: r for r in
+           QUERIES["x_imgtext_pairs"](spark, "/root/testdata/sf0.001")
+           .collect()}
+    assert out, "no pairs mined"
+    for url, r in out.items():
+        assert r["no_readmission"] is True
+        assert r["width"] >= 16 and r["height"] >= 16
+        assert r["n_copies"] >= 1 and r["n_refs"] >= r["n_copies"] - 1
+        assert r["caption"].startswith("Img caption ")
+    # mirror classes (k%5==3) merged under the cdn canonical url:
+    # every reference contributes a tag at BOTH hosts, so the merged
+    # group's n_refs is even, and no images.example row remains for
+    # that class k
+    cdn = [u for u in out if u.startswith("http://cdn.example/")]
+    assert cdn, "no mirror classes surfaced"
+    for u in cdn:
+        assert out[u]["n_refs"] % 2 == 0
+        k = u.rsplit("mim", 1)[1].split(".")[0]
+        assert ("http://images.example/im%s.png" % k) not in out
