@@ -250,11 +250,20 @@ def fuzzy_join_blocked(
     lc, rc = F.col(left_col), F.col(f"r_{right_col}")
 
     def _fuzzy_cand(lf: DataFrame) -> DataFrame:
+        # lengths are PRE-projected per row (r10): inside the join the
+        # band filter runs as a pure int compare per candidate pair —
+        # leaving F.length() in the filter re-walks both strings
+        # O(len) per PAIR (codegen does not CSE across the join
+        # condition), which at a dense block's |L|·|R| pairs was the
+        # dominant cost after levenshtein itself
         return (
-            lf.join(r, on=block_cols, how="inner")
-            .filter(F.abs(F.length(lc) - F.length(rc)) <= max_dist)
+            lf.withColumn("__llen", F.length(lc))
+            .join(r.withColumn("__rlen", F.length(rc)),
+                  on=block_cols, how="inner")
+            .filter(F.abs(F.col("__llen") - F.col("__rlen")) <= max_dist)
             .withColumn("dist", F.levenshtein(lc, rc, max_dist).cast("long"))
             .filter(F.col("dist") >= 0)
+            .drop("__llen", "__rlen")
         )
 
     if not best_only:
@@ -273,6 +282,17 @@ def fuzzy_join_blocked(
     )
     matched_ids = exact.select(left_id).distinct()
     residue = l.join(matched_ids, left_id, "left_anti")
+    # Round-robin re-spread BEFORE the block product (r10, the real
+    # x_fuzzy_join regression): AQE coalesces the anti-join's output
+    # by BYTES, and a few thousand residue rows are one partition's
+    # worth of bytes but millions of candidate pairs' worth of
+    # levenshtein — the expensive probe stage was running on ONE
+    # core.  Cost model: a full shuffle of the residue is O(residue
+    # rows), noise next to the per-pair work it parallelizes; with a
+    # broadcast catalog side the probe inherits exactly this
+    # partitioning.
+    residue = residue.repartition(
+        residue.sparkSession.sparkContext.defaultParallelism)
     cand = exact.unionByName(_fuzzy_cand(residue))
     w = Window.partitionBy(left_id).orderBy(F.asc("dist"), F.asc(f"r_{right_order}"))
     return (

@@ -5954,6 +5954,190 @@ def synth_vtt_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def _make_tiff_lzw():
+    """Factory returning (decode, encode) for TIFF-variant LZW (r10,
+    VERDICT r9 task 5): the GIF engine re-parameterized per the TIFF 6
+    spec — MSB-first bit order, fixed 256/257 Clear/EOI, 9-bit initial
+    width, and the TIFF 'early change' rule (the code width bumps when
+    the NEXT free code reaches 2^width − 1, one code earlier than
+    GIF).  decode(data, n) returns exactly n bytes or None on any
+    structural lie (bad code, shortfall, missing Clear reset at 4094);
+    encode is the fixture-side compressor (emits Clear up front and
+    resets at table-full, per spec).  Scanner/document crawls are
+    predominantly LZW-compressed TIFF, so this closes the census→
+    decode gap for that population."""
+
+    def decode(data: bytes, n: int | None, max_out: int = 1 << 24):
+        """n set: exactly n bytes (TIFF strips — shortfall/overshoot
+        is None).  n None: decode until the EOI code (PDF LZWDecode
+        streams carry no explicit output length; EarlyChange=1, the
+        PDF default, is the same TIFF variant), bounded by max_out."""
+        clear, eoi = 256, 257
+        width = 9
+        table: dict = {}
+        next_code = 258
+        out = bytearray()
+        prev = None
+        acc = 0
+        nbits = 0
+        pos = 0
+        while n is None or len(out) < n:
+            while nbits < width:
+                if pos >= len(data):
+                    return None  # stream ends before n bytes / EOI
+                acc = (acc << 8) | data[pos]  # MSB-first
+                pos += 1
+                nbits += 8
+            code = (acc >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == clear:
+                table = {}
+                next_code = 258
+                width = 9
+                prev = None
+                continue
+            if code == eoi:
+                if n is None:
+                    return bytes(out)
+                return None  # early EOI: byte shortfall
+            if prev is None:
+                if code > 255:
+                    return None  # first code must be a literal
+                entry = (code,)
+            else:
+                if code < 256:
+                    entry = (code,)
+                elif code in table:
+                    entry = table[code]
+                elif code == next_code:
+                    entry = prev + (prev[0],)  # KwKwK
+                else:
+                    return None
+                table[next_code] = prev + (entry[0],)
+                next_code += 1
+                if next_code == (1 << width) - 1 and width < 12:
+                    width += 1  # TIFF early change
+            out.extend(entry)
+            prev = entry
+            if len(out) > max_out:
+                return None  # runaway stream: refuse, never OOM
+        return bytes(out) if len(out) == n else None
+
+    def encode(data: bytes) -> bytes:
+        bits: list = []  # (code, width) stream
+
+        table = {bytes([i]): i for i in range(256)}
+        next_code = 258
+        width = 9
+        bits.append((256, width))  # leading Clear, per spec
+        w = b""
+        for ch in data:
+            wc = w + bytes([ch])
+            if wc in table:
+                w = wc
+                continue
+            bits.append((table[w], width))
+            table[wc] = next_code
+            next_code += 1
+            # encoder threshold is one ABOVE the decoder's 2^w−1:
+            # the decoder's table add lags the encoder's by exactly
+            # one entry, so equal thresholds would desync the first
+            # wide code (derived in tests/test_media_r10 vector)
+            if next_code == (1 << width) and width < 12:
+                width += 1
+            w = bytes([ch])
+            if next_code >= 4094:  # table full: flush + Clear
+                bits.append((table[w], width))
+                bits.append((256, width))
+                table = {bytes([i]): i for i in range(256)}
+                next_code = 258
+                width = 9
+                w = b""
+        if w:
+            bits.append((table[w], width))
+        bits.append((257, width))
+        acc = 0
+        nb = 0
+        out = bytearray()
+        for code, cw in bits:  # MSB-first packer
+            acc = (acc << cw) | code
+            nb += cw
+            while nb >= 8:
+                out.append((acc >> (nb - 8)) & 0xFF)
+                nb -= 8
+        if nb:
+            out.append((acc << (8 - nb)) & 0xFF)
+        return bytes(out)
+
+    return decode, encode
+
+
+#: the TIFF-LZW codec (factory-made; importable for tests)
+tiff_lzw_decode, tiff_lzw_encode = _make_tiff_lzw()
+
+
+def _make_packbits():
+    """Factory returning (decode, encode) for PackBits (r10) — TIFF
+    compression 32773, the Macintosh RLE scanner TIFFs ship when they
+    don't ship LZW: control byte c in 0..127 copies c+1 literals,
+    129..255 repeats the next byte 257−c times, 128 is a no-op.
+    decode(data, n) returns exactly n bytes or None; encode is the
+    fixture-side compressor (runs ≥ 3 become repeat packets)."""
+
+    def decode(data: bytes, n: int):
+        out = bytearray()
+        pos = 0
+        while len(out) < n:
+            if pos >= len(data):
+                return None
+            c = data[pos]
+            pos += 1
+            if c == 128:  # no-op, per spec
+                continue
+            if c < 128:  # c+1 literal bytes
+                if pos + c + 1 > len(data):
+                    return None
+                out += data[pos : pos + c + 1]
+                pos += c + 1
+            else:  # repeat next byte 257-c times
+                if pos >= len(data):
+                    return None
+                out += bytes([data[pos]]) * (257 - c)
+                pos += 1
+        return bytes(out) if len(out) == n else None
+
+    def encode(data: bytes) -> bytes:
+        out = bytearray()
+        i = 0
+        while i < len(data):
+            run = 1
+            while (i + run < len(data) and run < 128
+                   and data[i + run] == data[i]):
+                run += 1
+            if run >= 3:
+                out += bytes([257 - run, data[i]])
+                i += run
+                continue
+            j = i
+            while j < len(data) and j - i < 128:
+                r = 1
+                while (j + r < len(data) and r < 3
+                       and data[j + r] == data[j]):
+                    r += 1
+                if r >= 3:
+                    break
+                j += 1
+            out += bytes([j - i - 1]) + data[i:j]
+            i = j
+        return bytes(out)
+
+    return decode, encode
+
+
+#: the PackBits codec (factory-made; importable for tests)
+packbits_decode, packbits_encode = _make_packbits()
+
+
 def _make_pdf_gen():
     """Factory returning the PDF generator (by-value pickling, see
     _make_mp4_gen): a real %PDF-1.x file — Catalog → Pages → per-page
@@ -5963,8 +6147,10 @@ def _make_pdf_gen():
     the walker/extractor read this exact structure."""
     import zlib
 
+    _, _lzwe = _make_tiff_lzw()  # PDF LZWDecode == the TIFF variant
+
     def pdf(texts, deflate: bool = False, version: str = "1.7",
-            images=None) -> bytes:
+            images=None, codec: str | None = None) -> bytes:
         """texts: one content-stream text per page.  `images` (r10):
         optional [(filter_name, width, height, blob)] — each becomes
         an /XObject /Subtype /Image stream object referenced from page
@@ -5991,9 +6177,13 @@ def _make_pdf_gen():
                 " /MediaBox [0 0 612 792]%s >>"
                 % (num + 1, res)).encode()))
             content = ("BT /F1 12 Tf 72 720 Td (%s) Tj ET" % txt).encode()
-            if deflate:
+            eff = codec or ("flate" if deflate else None)
+            if eff == "flate":
                 blob = zlib.compress(content)
                 sd = b"<< /Length %d /Filter /FlateDecode >>" % len(blob)
+            elif eff == "lzw":  # r10: the pre-Flate PDF compression
+                blob = _lzwe(content)
+                sd = b"<< /Length %d /Filter /LZWDecode >>" % len(blob)
             else:
                 blob = content
                 sd = b"<< /Length %d >>" % len(blob)
@@ -6040,6 +6230,9 @@ def _make_pdf_walker():
     skipped (partial text, never a failure)."""
     import re
     import zlib
+
+    _lzw_all, _ = _make_tiff_lzw()  # PDF LZWDecode (EarlyChange=1,
+    # the default) IS the TIFF variant; decode-until-EOI form (r10)
 
     obj_re = re.compile(rb"(\d+)\s+0\s+obj")
     page_re = re.compile(rb"/Type\s*/Page(?![a-zA-Z])")
@@ -6172,8 +6365,12 @@ def _make_pdf_walker():
                     blob = zlib.decompress(blob)
                 except zlib.error:
                     continue  # undecodable stream: skip, keep going
+            elif b"/LZWDecode" in sd:
+                blob = _lzw_all(blob, None)  # until EOI (r10)
+                if blob is None:
+                    continue
             elif b"/Filter" in sd:
-                continue  # other filters (DCT, LZW...): out of scope
+                continue  # foreign filters (DCT, JBIG2...): skipped
             for tm in txt_re.finditer(blob):
                 if tm.group(1) is not None:
                     runs.append(_unescape(tm.group(1)))
@@ -6185,17 +6382,24 @@ def _make_pdf_walker():
 
     img_re = re.compile(rb"/Subtype\s*/Image(?![a-zA-Z])")
     filt_re = re.compile(rb"/Filter\s*(?:\[\s*)?/([A-Za-z0-9]+)")
+    w_re = re.compile(rb"/Width\s+(\d+)")
+    h_re = re.compile(rb"/Height\s+(\d+)")
+    gray_re = re.compile(rb"/ColorSpace\s*/DeviceGray(?![a-zA-Z])")
+    bpc_re = re.compile(rb"/BitsPerComponent\s+(\d+)")
 
     def extract_images(b: bytes):
-        """List of (filter_name, stream_bytes) per /Subtype /Image
-        XObject stream, in file order (r10, VERDICT r9 task 4): the
-        stream-dict scan is the SAME innermost-dict walk as
-        extract_text, so the filter decision keys off the image's own
-        dict.  filter_name is the first /Filter entry ('' when the
-        stream is raw); callers route DCTDecode blobs — which ARE
-        complete JPEG files, per the PDF spec — into decode_jpeg and
-        must leave foreign filters (JPXDecode, CCITTFaxDecode...)
-        undecoded.  Returns None for non-PDF payloads."""
+        """List of (filter_name, width, height, gray8, stream_bytes)
+        per /Subtype /Image XObject stream, in file order (r10,
+        VERDICT r9 task 4): the stream-dict scan is the SAME
+        innermost-dict walk as extract_text, so every field keys off
+        the image's own dict.  filter_name is the first /Filter entry
+        ('' when the stream is raw); width/height from the dict (None
+        if absent); gray8 marks /ColorSpace /DeviceGray at
+        /BitsPerComponent 8 — the form whose FlateDecode payload is a
+        raw gray bitmap.  Callers route DCTDecode blobs (complete
+        JPEG files, per the PDF spec) into decode_jpeg and must leave
+        foreign filters (JPXDecode, CCITTFaxDecode...) undecoded.
+        Returns None for non-PDF payloads."""
         b = bytes(b) if b is not None else b""
         if not b.startswith(b"%PDF-"):
             return None
@@ -6210,8 +6414,17 @@ def _make_pdf_walker():
             if blob.endswith(b"\n"):
                 blob = blob[:-1]
             fm = filt_re.search(sd)
-            out.append((fm.group(1).decode("ascii") if fm else "",
-                        blob))
+            wm = w_re.search(sd)
+            hm = h_re.search(sd)
+            bm = bpc_re.search(sd)
+            gray8 = bool(gray_re.search(sd)) and bool(bm) \
+                and bm.group(1) == b"8"
+            out.append((
+                fm.group(1).decode("ascii") if fm else "",
+                int(wm.group(1)) if wm else None,
+                int(hm.group(1)) if hm else None,
+                gray8, blob,
+            ))
         return out
 
     return census, extract_text, extract_images
@@ -6263,11 +6476,13 @@ def pdf_text(df: DataFrame) -> DataFrame:
 
 
 def synth_pdf_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Fixture for x_pdf_text (r9): REAL PDFs — 1+(id%4) pages, page p
-    text 'Doc {id} page {p} lorem {(7·id+p)%100}', content streams
-    FlateDecode-compressed for odd ids / raw for even (both legal,
-    both must parse); every 21st id truncates before the trailer
-    (census keeps object/page counts, valid=false)."""
+    """Fixture for x_pdf_text (r9; LZW leg r10): REAL PDFs — 1+(id%4)
+    pages, page p text 'Doc {id} page {p} lorem {(7·id+p)%100}',
+    content streams LZWDecode-compressed for id%4==3 (the pre-Flate
+    PDF compression, real early-change LZW streams), FlateDecode for
+    the other odd ids, raw for even (all three legal, all must
+    parse); every 21st id truncates before the trailer (census keeps
+    object/page counts, valid=false)."""
     _gen = pdf_bytes  # factory-made → ships by value
 
     def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -6276,7 +6491,9 @@ def synth_pdf_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
         def one(i: int) -> bytes:
             texts = ["Doc %d page %d lorem %d" % (i, p, (7 * i + p) % 100)
                      for p in range(1 + i % 4)]
-            b = _gen(texts, deflate=(i % 2 == 1))
+            b = _gen(texts,
+                     codec="lzw" if i % 4 == 3
+                     else ("flate" if i % 2 == 1 else None))
             if i % 21 == 0:
                 return b[: b.rfind(b"trailer")]
             return b
@@ -6304,18 +6521,36 @@ def pdf_image_stats(df: DataFrame) -> DataFrame:
     /Subtype /Image XObject streams (innermost-dict scan shared with
     extract_text), route /Filter /DCTDecode streams — which the PDF
     spec defines as complete JPEG files — through the full decode_jpeg
-    pipeline, and emit per-image dims + exact integer pixel stats.
-    Foreign filters (JPXDecode, CCITTFaxDecode, raw) are REPORTED with
-    their filter name and decoded=false, never mis-decoded; an
-    undecodable DCT stream is decoded=false too.  Non-PDF or image-
-    free payloads yield a single sentinel row (img_idx -1).  One
-    zero-shuffle Arrow pass — image bytes never leave their input
-    partition (the warc_payloads cost shape)."""
+    pipeline, inflate /FlateDecode /DeviceGray 8-bit bitmaps (the form
+    matplotlib-style generators embed; r10), and emit per-image dims +
+    exact integer pixel stats.  Foreign filters (JPXDecode,
+    CCITTFaxDecode, raw non-gray) are REPORTED with their filter name
+    and decoded=false, never mis-decoded; an undecodable DCT/Flate
+    stream is decoded=false too.  Non-PDF or image-free payloads yield
+    a single sentinel row (img_idx -1).  One zero-shuffle Arrow pass —
+    image bytes never leave their input partition (the warc_payloads
+    cost shape)."""
     _, _, pimages = _make_pdf_walker()
     jdec = _make_jpeg_decoder()
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import zlib
+
+        import numpy as np
         import pandas as pd
+
+        def decode_one(filt, w, h, gray8, blob):
+            if filt == "DCTDecode":
+                return jdec(blob)
+            if filt == "FlateDecode" and gray8 and w and h:
+                try:
+                    raw = zlib.decompress(blob)
+                except zlib.error:
+                    return None
+                if len(raw) != w * h:
+                    return None
+                return np.frombuffer(raw, np.uint8).reshape(h, w)
+            return None
 
         def rows(i: int, b: bytes):
             imgs = pimages(b)
@@ -6323,8 +6558,8 @@ def pdf_image_stats(df: DataFrame) -> DataFrame:
                 return [(i, -1, None, None, None, None, None, None,
                          None, False)]
             out = []
-            for j, (filt, blob) in enumerate(imgs):
-                px = jdec(blob) if filt == "DCTDecode" else None
+            for j, (filt, w, h, gray8, blob) in enumerate(imgs):
+                px = decode_one(filt, w, h, gray8, blob)
                 if px is None:
                     out.append((i, j, filt, None, None, None, None,
                                 None, None, False))
@@ -6354,13 +6589,18 @@ def synth_pdf_img_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     sized 8·(1+(id+k)%3) × 8·(1+(id+k)%2) with block b carrying
     dc (id+17b+7k)%112−56 / ac (id+5b+3k)%13 (the exact-IDCT
     coefficient model: pixel = 128 + dc ± ac, SQL-recomputable),
-    EXCEPT every (id+k)%4==0 image which ships as a JPXDecode stub
-    (the foreign-filter rejection leg — reported, never decoded).
+    EXCEPT: every (id+k)%4==0 image ships as a JPXDecode stub (the
+    foreign-filter rejection leg — reported, never decoded) and every
+    (id+k)%4==2 image as a FlateDecode /DeviceGray 8-bit bitmap
+    (pixel (r,c) = (id + 9r + 23c) % 256, genuine zlib stream — the
+    matplotlib-generator form, r10).
     Every 19th id's payload is not a PDF at all (sentinel row)."""
     _gen = pdf_bytes  # factory-made → ships by value
     _jenc = jpeg_baseline_bytes
 
     def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import zlib
+
         import pandas as pd
 
         def one(i: int) -> bytes:
@@ -6368,15 +6608,23 @@ def synth_pdf_img_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 return b"GIF89a not a pdf"
             images = []
             for k in range(1 + i % 3):
-                if (i + k) % 4 == 0:
+                leg = (i + k) % 4
+                if leg == 0:
                     images.append(("JPXDecode", 8, 8, bytes(40)))
-                    continue
-                w, h = 8 * (1 + (i + k) % 3), 8 * (1 + (i + k) % 2)
-                nb = (w // 8) * (h // 8)
-                coeffs = [((i + 17 * b + 7 * k) % 112 - 56,
-                           (i + 5 * b + 3 * k) % 13)
-                          for b in range(nb)]
-                images.append(("DCTDecode", w, h, _jenc(w, h, coeffs)))
+                elif leg == 2:
+                    w, h = 6 + (i + k) % 20, 6 + (i + k) % 10
+                    raw = bytes((i + 9 * r + 23 * c) % 256
+                                for r in range(h) for c in range(w))
+                    images.append(("FlateDecode", w, h,
+                                   zlib.compress(raw)))
+                else:
+                    w, h = 8 * (1 + (i + k) % 3), 8 * (1 + (i + k) % 2)
+                    nb = (w // 8) * (h // 8)
+                    coeffs = [((i + 17 * b + 7 * k) % 112 - 56,
+                               (i + 5 * b + 3 * k) % 13)
+                              for b in range(nb)]
+                    images.append(("DCTDecode", w, h,
+                                   _jenc(w, h, coeffs)))
             return _gen(["Doc %d caption" % i], deflate=(i % 2 == 1),
                         images=images)
 
@@ -6419,120 +6667,6 @@ def synth_pdf_campaign_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFram
     )
 
 
-def _make_tiff_lzw():
-    """Factory returning (decode, encode) for TIFF-variant LZW (r10,
-    VERDICT r9 task 5): the GIF engine re-parameterized per the TIFF 6
-    spec — MSB-first bit order, fixed 256/257 Clear/EOI, 9-bit initial
-    width, and the TIFF 'early change' rule (the code width bumps when
-    the NEXT free code reaches 2^width − 1, one code earlier than
-    GIF).  decode(data, n) returns exactly n bytes or None on any
-    structural lie (bad code, shortfall, missing Clear reset at 4094);
-    encode is the fixture-side compressor (emits Clear up front and
-    resets at table-full, per spec).  Scanner/document crawls are
-    predominantly LZW-compressed TIFF, so this closes the census→
-    decode gap for that population."""
-
-    def decode(data: bytes, n: int):
-        clear, eoi = 256, 257
-        width = 9
-        table: dict = {}
-        next_code = 258
-        out = bytearray()
-        prev = None
-        acc = 0
-        nbits = 0
-        pos = 0
-        while len(out) < n:
-            while nbits < width:
-                if pos >= len(data):
-                    return None  # stream ends before n bytes
-                acc = (acc << 8) | data[pos]  # MSB-first
-                pos += 1
-                nbits += 8
-            code = (acc >> (nbits - width)) & ((1 << width) - 1)
-            nbits -= width
-            if code == clear:
-                table = {}
-                next_code = 258
-                width = 9
-                prev = None
-                continue
-            if code == eoi:
-                return None  # early EOI: byte shortfall
-            if prev is None:
-                if code > 255:
-                    return None  # first code must be a literal
-                entry = (code,)
-            else:
-                if code < 256:
-                    entry = (code,)
-                elif code in table:
-                    entry = table[code]
-                elif code == next_code:
-                    entry = prev + (prev[0],)  # KwKwK
-                else:
-                    return None
-                table[next_code] = prev + (entry[0],)
-                next_code += 1
-                if next_code == (1 << width) - 1 and width < 12:
-                    width += 1  # TIFF early change
-            out.extend(entry)
-            prev = entry
-        return bytes(out) if len(out) == n else None
-
-    def encode(data: bytes) -> bytes:
-        bits: list = []  # (code, width) stream
-
-        table = {bytes([i]): i for i in range(256)}
-        next_code = 258
-        width = 9
-        bits.append((256, width))  # leading Clear, per spec
-        w = b""
-        for ch in data:
-            wc = w + bytes([ch])
-            if wc in table:
-                w = wc
-                continue
-            bits.append((table[w], width))
-            table[wc] = next_code
-            next_code += 1
-            # encoder threshold is one ABOVE the decoder's 2^w−1:
-            # the decoder's table add lags the encoder's by exactly
-            # one entry, so equal thresholds would desync the first
-            # wide code (derived in tests/test_media_r10 vector)
-            if next_code == (1 << width) and width < 12:
-                width += 1
-            w = bytes([ch])
-            if next_code >= 4094:  # table full: flush + Clear
-                bits.append((table[w], width))
-                bits.append((256, width))
-                table = {bytes([i]): i for i in range(256)}
-                next_code = 258
-                width = 9
-                w = b""
-        if w:
-            bits.append((table[w], width))
-        bits.append((257, width))
-        acc = 0
-        nb = 0
-        out = bytearray()
-        for code, cw in bits:  # MSB-first packer
-            acc = (acc << cw) | code
-            nb += cw
-            while nb >= 8:
-                out.append((acc >> (nb - 8)) & 0xFF)
-                nb -= 8
-        if nb:
-            out.append((acc << (8 - nb)) & 0xFF)
-        return bytes(out)
-
-    return decode, encode
-
-
-#: the TIFF-LZW codec (factory-made; importable for tests)
-tiff_lzw_decode, tiff_lzw_encode = _make_tiff_lzw()
-
-
 def _make_tiff_gen():
     """Factory returning the TIFF generator (by-value pickling, see
     _make_mp4_gen): a real multi-page baseline TIFF — II or MM byte
@@ -6545,6 +6679,7 @@ def _make_tiff_gen():
     import struct
 
     _, _lzwe = _make_tiff_lzw()  # captured by value into the closure
+    _, _pbe = _make_packbits()
 
     def tiff(pages, little: bool = True, seed: int | None = None) -> bytes:
         """pages: [(width, height, bits, compression)] or — for pixel
@@ -6558,6 +6693,7 @@ def _make_tiff_gen():
         storage form (lossless codecs — the oracle never changes)."""
         from_none = seed is None
         lzwe = _lzwe
+        pbe = _pbe
         e = "<" if little else ">"
         out = bytearray((b"II" if little else b"MM")
                         + struct.pack(e + "H", 42) + bytes(4))
@@ -6594,6 +6730,8 @@ def _make_tiff_gen():
                         bytes(row) for row in rows[r0 : r0 + rps])
                     if comp == 5:
                         chunk = lzwe(chunk)
+                    elif comp == 32773:
+                        chunk = pbe(chunk)
                     offs.append(len(out))
                     lens.append(len(chunk))
                     out += chunk
@@ -6822,9 +6960,11 @@ def tiff_pixel_stats(df: DataFrame) -> DataFrame:
     crawls actually ship: MULTI-strip pages (RowsPerStrip splits the
     image; the r9 walker's count>1 pointer fix makes the strip arrays
     readable), LZW compression (tag 259 == 5; MSB-first early-change
-    variant via _make_tiff_lzw), and the horizontal-differencing
-    Predictor (tag 317 == 2) that LZW TIFFs pair with it — undone as
-    a per-row cumulative sum mod 256.  Gray 8-bit only (the census
+    variant via _make_tiff_lzw), PackBits (32773 — the Mac RLE the
+    rest of the scanner population uses), and the horizontal-
+    differencing Predictor (tag 317 == 2) that LZW TIFFs pair with it
+    — undone as a per-row cumulative sum mod 256.  Gray 8-bit only
+    (the census
     reports bits/compression for everything else); pages with other
     compressions, non-8-bit samples, strip geometry that disagrees
     with width×height, or strips past the payload yield NULL stats
@@ -6832,6 +6972,7 @@ def tiff_pixel_stats(df: DataFrame) -> DataFrame:
     Arrow pass (the gif_pixel_stats cost model: rows/partition)."""
     walk = _make_tiff_walker()
     lzw_dec, _ = _make_tiff_lzw()
+    pb_dec, _ = _make_packbits()
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import numpy as np
@@ -6843,7 +6984,8 @@ def tiff_pixel_stats(df: DataFrame) -> DataFrame:
             offs = p.get("strip_offs")
             lens = p.get("strip_lens")
             pred = p.get("predictor", 1)
-            if (p["compression"] not in (1, 5) or p["bits"] != 8
+            if (p["compression"] not in (1, 5, 32773)
+                    or p["bits"] != 8
                     or not w or not h or not offs or not lens
                     or len(offs) != len(lens) or pred not in (1, 2)):
                 return None
@@ -6859,9 +7001,11 @@ def tiff_pixel_stats(df: DataFrame) -> DataFrame:
                 raw = b[soff : soff + slen]
                 if p["compression"] == 5:
                     raw = lzw_dec(raw, nrows * w)
-                    if raw is None:
-                        return None
+                elif p["compression"] == 32773:
+                    raw = pb_dec(raw, nrows * w)
                 elif slen != nrows * w:
+                    return None
+                if raw is None:
                     return None
                 out += raw
                 row += nrows
@@ -6911,10 +7055,10 @@ def synth_tiff_px_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     (id%256 + 7r + 13c + 19p) % 256, byte order by id parity.  The
     STORAGE form now rotates through what scanner crawls actually
     ship (all lossless, so the pixel oracle is unchanged):
-    compression 1 or TIFF-LZW 5 by (id+p)%2, RowsPerStrip splitting
-    pages into 1/2/3-row-group multi-strip arrays by (id+p)%3 (the
-    count>1 StripOffsets pointer form), horizontal-differencing
-    Predictor 2 when (id+2p)%3==0.  Every 25th id breaks the last
+    compression 1 / TIFF-LZW 5 / PackBits 32773 by (id+p)%3,
+    RowsPerStrip splitting pages into 1/2/3-row-group multi-strip
+    arrays by (id+7p)%3 (the count>1 StripOffsets pointer form),
+    horizontal-differencing Predictor 2 when (id+2p)%3==0.  Every 25th id breaks the last
     next-IFD pointer (walk invalid → NULL stats)."""
     _gen = tiff_bytes  # factory-made → ships by value
 
@@ -6928,8 +7072,8 @@ def synth_tiff_px_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             for p in range(1 + i % 3):
                 w = 8 + (i + 9 * p) % 40
                 h = 8 + (i + 5 * p) % 30
-                comp = 1 + 4 * ((i + p) % 2)
-                rps = (h, -(-h // 2), 3)[(i + p) % 3]
+                comp = (1, 5, 32773)[(i + p) % 3]
+                rps = (h, -(-h // 2), 3)[(i + 7 * p) % 3]
                 pred = 2 if (i + 2 * p) % 3 == 0 else 1
                 pages.append((w, h, 8, comp, rps, pred))
             b = _gen(pages, little=(i % 2 == 0), seed=i % 256)

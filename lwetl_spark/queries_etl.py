@@ -3180,9 +3180,10 @@ def x_pdf_text(spark, sf_dir):
     pdf_text): the most common document format in any crawl.  Census
     walks header version, object/page counts, /Encrypt, startxref →
     xref consistency, %%EOF; extraction parses every content stream —
-    FlateDecode streams genuinely zlib-inflated (odd ids), raw
-    streams read direct (even ids) — and pulls (…) Tj text operators
-    with PDF string unescaping.  The oracle replays the per-page text
+    FlateDecode streams genuinely zlib-inflated, LZWDecode streams
+    (id%4==3, r10) through the real early-change LZW engine
+    decode-until-EOI, raw streams read direct — and pulls (…) Tj text
+    operators with PDF string unescaping.  The oracle replays the per-page text
     and the newline-joined concatenation exactly (a parser that
     drops a page, misorders streams, or fails the inflate
     hash-mismatches).  Every 21st id truncates before the trailer:
@@ -3214,15 +3215,17 @@ def x_pdf_text(spark, sf_dir):
         FROM g WHERE NOT corrupt
     ),
     cls AS (
-        SELECT doc_id, k, (doc_id + k) % 4 = 0 AS jpx,
+        SELECT doc_id, k, (doc_id + k) % 4 AS leg,
                8 * (1 + (doc_id + k) % 3) AS w,
-               8 * (1 + (doc_id + k) % 2) AS h
+               8 * (1 + (doc_id + k) % 2) AS h,
+               6 + (doc_id + k) % 20 AS fw,
+               6 + (doc_id + k) % 10 AS fh
         FROM img
     ),
     blk AS (
         SELECT doc_id, k, w, h,
                unnest(range(0, (w // 8) * (h // 8))) AS b
-        FROM cls WHERE NOT jpx
+        FROM cls WHERE leg IN (1, 3)
     ),
     bc AS (
         SELECT doc_id, k, w, h,
@@ -3236,6 +3239,26 @@ def x_pdf_text(spark, sf_dir):
                CAST(MIN(128 + d - a) AS BIGINT) AS min_px,
                CAST(MAX(128 + d + a) AS BIGINT) AS max_px
         FROM bc GROUP BY doc_id, k
+    ),
+    frow AS (
+        SELECT doc_id, k, fw, fh, unnest(range(0, fh)) AS r
+        FROM cls WHERE leg = 2
+    ),
+    fcol AS (
+        SELECT doc_id, k, fw, fh, r, unnest(range(0, fw)) AS c
+        FROM frow
+    ),
+    fpx AS (
+        SELECT doc_id, k, fw, fh,
+               (doc_id + 9 * r + 23 * c) % 256 AS v
+        FROM fcol
+    ),
+    fst AS (
+        SELECT doc_id, k, MAX(fw) AS w, MAX(fh) AS h,
+               CAST(SUM(v) AS BIGINT) AS sum_px,
+               CAST(MIN(v) AS BIGINT) AS min_px,
+               CAST(MAX(v) AS BIGINT) AS max_px
+        FROM fpx GROUP BY doc_id, k
     )
     SELECT doc_id, CAST(k AS BIGINT) AS img_idx,
            'DCTDecode' AS filter, CAST(w AS BIGINT) AS width,
@@ -3243,11 +3266,17 @@ def x_pdf_text(spark, sf_dir):
            sum_px, min_px, max_px, TRUE AS decoded
     FROM st
     UNION ALL
+    SELECT doc_id, CAST(k AS BIGINT) AS img_idx,
+           'FlateDecode' AS filter, CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height, CAST(w * h AS BIGINT) AS n_px,
+           sum_px, min_px, max_px, TRUE AS decoded
+    FROM fst
+    UNION ALL
     SELECT doc_id, CAST(k AS BIGINT), 'JPXDecode',
            CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
            CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
            FALSE
-    FROM cls WHERE jpx
+    FROM cls WHERE leg = 0
     UNION ALL
     SELECT doc_id, CAST(-1 AS BIGINT), 'none',
            CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
@@ -3263,10 +3292,12 @@ def x_pdf_images(spark, sf_dir):
     point for PDF-figure training data: /Subtype /Image XObject
     streams are walked with the innermost-dict scan, /DCTDecode blobs
     (complete JPEG files per the PDF spec) run the FULL baseline
-    entropy decode, and every decoded pixel value-checks against the
-    exact-IDCT coefficient model (pixel = 128 + dc ± ac).  JPXDecode
-    stubs are reported with their filter name and decoded=false —
-    never mis-decoded; every 19th id is not a PDF (sentinel row)."""
+    entropy decode with every decoded pixel value-checked against the
+    exact-IDCT coefficient model (pixel = 128 + dc ± ac), and
+    /FlateDecode /DeviceGray 8-bit bitmaps inflate to per-pixel-
+    checked rasters (r10).  JPXDecode stubs are reported with their
+    filter name and decoded=false — never mis-decoded; every 19th id
+    is not a PDF (sentinel row)."""
     from lwetl_spark.operators.media import (
         pdf_image_stats,
         synth_pdf_img_demo,

@@ -198,22 +198,33 @@ def test_pdf_image_extraction_routes_dct(spark=None):
         pdf_bytes,
     )
 
+    import zlib
+
     coeffs = [((7 + 17 * bi) % 112 - 56, (3 + 5 * bi) % 13)
               for bi in range(4)]
     jp = jpeg_baseline_bytes(16, 16, coeffs)
+    raw = bytes((9 * r + 23 * c) % 256 for r in range(5)
+                for c in range(6))
     b = pdf_bytes(
         ["caption"],
         images=[("DCTDecode", 16, 16, jp),
                 ("JPXDecode", 8, 8, b"\x00" * 32),
+                ("FlateDecode", 6, 5, zlib.compress(raw)),
                 ("", 4, 4, bytes(16))],
     )
     imgs = extract_pdf_images(b)
-    assert [f for f, _ in imgs] == ["DCTDecode", "JPXDecode", ""]
-    assert imgs[0][1] == jp
-    px = decode_jpeg(imgs[0][1])
+    assert [f for f, *_ in imgs] == [
+        "DCTDecode", "JPXDecode", "FlateDecode", ""]
+    assert [(w, h) for _, w, h, _, _ in imgs] == [
+        (16, 16), (8, 8), (6, 5), (4, 4)]
+    assert imgs[0][4] == jp
+    px = decode_jpeg(imgs[0][4])
     assert px is not None and px.shape == (16, 16)
     # a JPX blob through decode_jpeg must fail cleanly, not decode
-    assert decode_jpeg(imgs[1][1]) is None
+    assert decode_jpeg(imgs[1][4]) is None
+    # the Flate gray leg round-trips and is flagged gray8
+    assert imgs[2][3] is True
+    assert zlib.decompress(imgs[2][4]) == raw
     # non-PDF / image-free PDFs
     assert extract_pdf_images(b"GIF89a") is None
     assert extract_pdf_images(pdf_bytes(["no images"])) == []
@@ -455,3 +466,79 @@ def test_imgtext_pairs_lifecycle(spark):
         assert out[u]["n_refs"] % 2 == 0
         k = u.rsplit("mim", 1)[1].split(".")[0]
         assert ("http://images.example/im%s.png" % k) not in out
+
+
+def test_packbits_spec_vector_and_roundtrip():
+    """PackBits pinned against Apple's published example vector, plus
+    round-trips over runs/noise and truncation robustness."""
+    from lwetl_spark.operators.media import packbits_decode, packbits_encode
+
+    vec = bytes([0xFE, 0xAA, 0x02, 0x80, 0x00, 0x2A, 0xFD, 0xAA,
+                 0x03, 0x80, 0x00, 0x2A, 0x22, 0xF7, 0xAA])
+    exp = bytes([0xAA] * 3 + [0x80, 0x00, 0x2A] + [0xAA] * 4
+                + [0x80, 0x00, 0x2A, 0x22] + [0xAA] * 10)
+    assert packbits_decode(vec, len(exp)) == exp
+    for data in (b"", b"x", bytes([7] * 300) + bytes(range(100)),
+                 bytes((i * 37) % 256 for i in range(1000))):
+        assert packbits_decode(packbits_encode(data), len(data)) == data
+    assert packbits_decode(b"", 3) is None
+    assert packbits_decode(b"\xfe", 3) is None  # repeat w/o its byte
+
+
+def test_tiff_packbits_strip_decode(spark):
+    """Compression 32773 pages decode pixel-exact (with predictor and
+    multi-strip), completing the scanner trio raw/LZW/PackBits."""
+    from lwetl_spark.operators.media import tiff_bytes, tiff_pixel_stats
+
+    exp = [(5 + 7 * rr + 13 * cc) % 256
+           for rr in range(10) for cc in range(9)]
+    want = (len(exp), sum(exp), min(exp), max(exp))
+    for little in (True, False):
+        for rps, pred in ((10, 1), (4, 2), (3, 1)):
+            b = tiff_bytes([(9, 10, 8, 32773, rps, pred)],
+                           little=little, seed=5)
+            df = spark.createDataFrame([(1, b)],
+                                       "doc_id long, payload binary")
+            r = tiff_pixel_stats(df).collect()[0]
+            assert (r["n_px"], r["sum_px"], r["min_px"],
+                    r["max_px"]) == want, (little, rps, pred)
+
+
+def test_pdf_lzw_text_stream():
+    """LZWDecode content streams (decode-until-EOI) extract the same
+    text as raw/Flate; a truncated LZW stream is skipped, never a
+    failure."""
+    from lwetl_spark.operators.media import extract_pdf_text, pdf_bytes
+
+    texts = ["alpha beta 1", "gamma 2"]
+    b = pdf_bytes(texts, codec="lzw")
+    assert extract_pdf_text(b) == texts
+    assert extract_pdf_text(pdf_bytes(texts)) == texts
+    assert extract_pdf_text(pdf_bytes(texts, codec="flate")) == texts
+    # corrupt the LZW stream body: that stream skips, the rest stays
+    i = b.find(b"stream\n") + 7
+    bad = b[:i] + b"\x00\x00" + b[i + 2:]
+    got = extract_pdf_text(bad)
+    assert got is not None and texts[1] in got and texts[0] not in got
+
+
+def test_pdf_flate_gray_image_stats(spark):
+    """FlateDecode /DeviceGray 8-bit image XObjects decode to exact
+    pixel stats; a non-gray Flate image stays decoded=false."""
+    import zlib
+
+    from lwetl_spark.operators.media import pdf_bytes, pdf_image_stats
+
+    raw = bytes((3 + 9 * r + 23 * c) % 256
+                for r in range(5) for c in range(6))
+    b = pdf_bytes(["t"], images=[("FlateDecode", 6, 5,
+                                  zlib.compress(raw))])
+    # non-gray variant: strip the DeviceGray marker
+    b2 = b.replace(b"/ColorSpace /DeviceGray", b"/ColorSpace /DeviceRGB")
+    df = spark.createDataFrame([(1, b), (2, b2)],
+                               "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in pdf_image_stats(df).collect()}
+    r1 = out[1]
+    assert r1["decoded"] and (r1["width"], r1["height"]) == (6, 5)
+    assert r1["sum_px"] == sum(raw) and r1["min_px"] == min(raw)
+    assert out[2]["decoded"] is False and out[2]["filter"] == "FlateDecode"
