@@ -4846,6 +4846,113 @@ def image_dhash(df: DataFrame) -> DataFrame:
     return df.mapInPandas(run, schema=IMAGE_DHASH_SCHEMA)
 
 
+def dhash_near_dup(df: DataFrame, max_hamming: int = 3,
+                   id_col: str = "doc_id",
+                   hash_col: str = "dhash") -> DataFrame:
+    """Perceptual NEAR-dup pairs over dhash values (r10 — upgrades
+    the r9 exact-collision grouping to the hamming-radius match real
+    re-encodes need: a JPEG re-save of a PNG shifts a few gradient
+    bits, not zero): 4-band LSH over the 64-bit hash.  Each hash
+    splits into four 16-bit bands; candidate pairs share at least one
+    exact band — the pigeonhole guarantees EXACT recall for
+    hamming ≤ 3 (3 differing bits can dirty at most 3 of 4 bands) —
+    then the true hamming distance verifies JVM-side via two 32-bit
+    conv halves, bitwiseXOR, and bit_count.  Output
+    (id_l, id_r, hamming) with id_l < id_r.
+
+    Scale: candidates come ONLY from the (band_idx, band_value)
+    equi-join — no all-pairs stage; shuffles carry (id, two longs,
+    4-hex band) rows, never image bytes.  A band bucket's size is the
+    near-dup cluster size (crawl-natural fan-in); banding is the same
+    shape as the MinHash-LSH dedup family."""
+    if not 0 <= max_hamming <= 3:
+        raise ValueError(
+            "4-band LSH guarantees exact recall only for"
+            f" max_hamming <= 3 (got {max_hamming}); add bands for"
+            " a wider radius")
+    halves = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(hash_col).alias("__h"),
+        F.conv(F.substring(hash_col, 1, 8), 16, 10)
+        .cast("long").alias("__hi"),
+        F.conv(F.substring(hash_col, 9, 8), 16, 10)
+        .cast("long").alias("__lo"),
+    )
+    bands = halves.select(
+        "__id", "__hi", "__lo",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("b"),
+                     F.substring("__h", 1 + 4 * b, 4).alias("v"))
+            for b in range(4)
+        ])).alias("__band"),
+    ).select("__id", "__hi", "__lo",
+             F.col("__band.b").alias("__b"),
+             F.col("__band.v").alias("__v"))
+    left = bands.select(
+        F.col("__id").alias("id_l"), F.col("__hi").alias("__lhi"),
+        F.col("__lo").alias("__llo"), "__b", "__v")
+    right = bands.select(
+        F.col("__id").alias("id_r"), F.col("__hi").alias("__rhi"),
+        F.col("__lo").alias("__rlo"), "__b", "__v")
+    cand = (
+        left.join(right, ["__b", "__v"])
+        .filter(F.col("id_l") < F.col("id_r"))
+        .select("id_l", "id_r", "__lhi", "__llo", "__rhi", "__rlo")
+        .distinct()  # pairs sharing several bands collapse to one
+    )
+    ham = (
+        F.bit_count(F.col("__lhi").bitwiseXOR(F.col("__rhi")))
+        + F.bit_count(F.col("__llo").bitwiseXOR(F.col("__rlo")))
+    ).cast("long")
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_l", "id_r", "hamming")
+    )
+
+
+def synth_dhash_neardup_demo(docs: DataFrame,
+                             id_col: str = "doc_id") -> DataFrame:
+    """Fixture for x_dhash_neardup (r10): REAL PNGs whose SAMPLED
+    8×9 grid realizes a CHOSEN bit matrix, so the oracle knows every
+    hash bit arithmetically.  Geometry 18×16 puts the dhash sample
+    grid on every 2nd pixel exactly; grid values walk ±10 from 128 so
+    g[k] > g[k+1] iff the wanted bit is 1.  Class k = id%10 has base
+    bit(r,c) = ((11k + 3r + 5c) % 7) < 3; variant t = (id%40)//10
+    flips t extra bits at positions (7k + 13t + 17j) % 64 — so
+    same-variant copies are hamming-0, variants (0,t) are hamming-t,
+    (1,2) is 3, and (1,3)/(2,3) land at 4/5 BEYOND the radius: the
+    operator must find exactly the ≤3 pairs and nothing else."""
+    _, png_encode = _make_png_codec()  # product captured, not factory
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        def one(i: int) -> bytes:
+            k, t = i % 10, (i % 40) // 10
+            flips = {(7 * k + 13 * t + 17 * j) % 64 for j in range(t)}
+            px = np.zeros((16, 18), dtype=np.uint8)
+            for r in range(8):
+                g = [128]
+                for c in range(8):
+                    bit = int(((11 * k + 3 * r + 5 * c) % 7) < 3)
+                    bit ^= (r * 8 + c) in flips
+                    g.append(g[-1] - 10 if bit else g[-1] + 10)
+                row = np.repeat(np.asarray(g, dtype=np.uint8), 2)
+                px[2 * r] = row
+                px[2 * r + 1] = row
+            return png_encode(px)
+
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame({"doc_id": ids, "payload": ids.map(one)})
+
+    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        gen, "doc_id long, payload binary"
+    )
+
+
 def synth_image_dup_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Fixture for x_image_dhash (r9): PNG content depends only on
     seed s = id % 32 (dims 8+4·(s%5) × 8+4·(s%3), pixel (r,c) =

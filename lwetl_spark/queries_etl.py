@@ -2521,6 +2521,69 @@ def x_warc_ingest(spark, sf_dir):
 
 
 @register(
+    "x_dhash_neardup",
+    """
+    WITH g AS (
+        SELECT doc_id, doc_id % 10 AS k, (doc_id % 40) // 10 AS t
+        FROM documents WHERE doc_id % 5 = 0
+    ),
+    pos AS (SELECT doc_id, k, t, unnest(range(0, 64)) AS idx FROM g),
+    fl AS (
+        SELECT doc_id, idx,
+               CASE WHEN ((11 * k + 3 * (idx // 8) + 5 * (idx % 8))
+                          % 7) < 3 THEN 1 ELSE 0 END AS base,
+               CASE WHEN t >= 1 AND (7 * k + 13 * t) % 64 = idx
+                    THEN 1 ELSE 0 END
+               + CASE WHEN t >= 2 AND (7 * k + 13 * t + 17) % 64 = idx
+                      THEN 1 ELSE 0 END
+               + CASE WHEN t >= 3 AND (7 * k + 13 * t + 34) % 64 = idx
+                      THEN 1 ELSE 0 END AS nf
+        FROM pos
+    ),
+    bits AS (SELECT doc_id, idx, (base + nf) % 2 AS bit FROM fl),
+    hl AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN idx >= 32 AND bit = 1
+                             THEN 1::BIGINT << (idx - 32)
+                             ELSE 0 END) AS BIGINT) AS hi,
+               CAST(SUM(CASE WHEN idx < 32 AND bit = 1
+                             THEN 1::BIGINT << idx
+                             ELSE 0 END) AS BIGINT) AS lo
+        FROM bits GROUP BY doc_id
+    )
+    SELECT a.doc_id AS id_l, b.doc_id AS id_r,
+           CAST(bit_count(xor(a.hi, b.hi))
+                + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS hamming
+    FROM hl a JOIN hl b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.hi, b.hi))
+          + bit_count(xor(a.lo, b.lo)) <= 3
+    """,
+)
+def x_dhash_neardup(spark, sf_dir):
+    """Perceptual NEAR-dup image pairs (r10; operators/media.
+    dhash_near_dup): real PNGs decode through image_dhash, then
+    4-band LSH over the 64-bit hash — pairs sharing an exact 16-bit
+    band verify true hamming ≤ 3 via conv-halves + bitwiseXOR +
+    bit_count, all JVM-side.  The pigeonhole makes 4-band recall
+    EXACT at radius 3, so the operator's band-join output must equal
+    the oracle's brute-force all-pairs hamming filter — the fixture
+    encodes every hash bit arithmetically (grid-walk PNGs) with
+    variants at hamming 0/1/2/3 AND 4/5 beyond the radius, so missed
+    bands, broken banding, or wrong bit packing all change the pair
+    set.  No all-pairs stage in the plan; shuffles carry (id, band,
+    two longs) rows only."""
+    from lwetl_spark.operators.media import (
+        dhash_near_dup,
+        image_dhash,
+        synth_dhash_neardup_demo,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    hashes = image_dhash(synth_dhash_neardup_demo(docs)).filter("ok")
+    return dhash_near_dup(hashes.select("doc_id", "dhash"))
+
+
+@register(
     "x_imgtext_pairs",
     """
     WITH shards AS (

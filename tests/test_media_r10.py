@@ -542,3 +542,61 @@ def test_pdf_flate_gray_image_stats(spark):
     assert r1["decoded"] and (r1["width"], r1["height"]) == (6, 5)
     assert r1["sum_px"] == sum(raw) and r1["min_px"] == min(raw)
     assert out[2]["decoded"] is False and out[2]["filter"] == "FlateDecode"
+
+
+def test_dhash_near_dup_radius_and_recall(spark):
+    """4-band LSH recall is exact at hamming <= 3: hand-built hashes
+    at distance 0/1/3 pair up, distance 4 does not (even when it
+    shares a band), and >3 max_hamming is refused."""
+    import pytest
+
+    from lwetl_spark.operators.media import dhash_near_dup
+
+    base = 0x0123456789ABCDEF
+    rows = [
+        (1, "%016x" % base),
+        (2, "%016x" % base),                      # dist 0
+        (3, "%016x" % (base ^ 0x1)),              # dist 1
+        (4, "%016x" % (base ^ 0b111)),            # dist 3
+        (5, "%016x" % (base ^ 0x000F)),           # dist 4: shares 3
+        # bands with base but must NOT pair (verify filter)
+        (6, "%016x" % (base ^ ((1 << 0) | (1 << 16) | (1 << 32)
+                               | (1 << 48)))),    # dist 4, every band
+        # dirty: candidate only via... no shared band -> never seen
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, dhash string")
+    got = {(r["id_l"], r["id_r"]): r["hamming"]
+           for r in dhash_near_dup(df).collect()}
+    assert got[(1, 2)] == 0 and got[(2, 3)] == 1
+    assert got[(1, 3)] == 1 and got[(1, 4)] == 3
+    assert (1, 5) not in got and (1, 6) not in got
+    assert got[(3, 4)] == 2  # 0b1 vs 0b111
+    with pytest.raises(ValueError):
+        dhash_near_dup(df, max_hamming=4)
+    # no all-pairs stage
+    plan = dhash_near_dup(df)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dhash_neardup_fixture_variant_distances(spark):
+    """The fixture's variant geometry holds end-to-end through the
+    real PNG decode: same class variants (0,1,2,3) sit at the
+    designed hamming distances."""
+    from lwetl_spark.operators.media import (
+        dhash_near_dup,
+        image_dhash,
+        synth_dhash_neardup_demo,
+    )
+
+    # ids 0,10,20,30 are class 0 variants t=0,1,2,3
+    docs = spark.createDataFrame([(i,) for i in (0, 10, 20, 30)],
+                                 "doc_id long")
+    hashes = image_dhash(synth_dhash_neardup_demo(docs))
+    assert all(r["ok"] for r in hashes.collect())
+    got = {(r["id_l"], r["id_r"]): r["hamming"]
+           for r in dhash_near_dup(hashes.select("doc_id", "dhash"))
+           .collect()}
+    assert got[(0, 10)] == 1 and got[(0, 20)] == 2 and got[(0, 30)] == 3
+    assert got[(10, 20)] == 3  # {13} vs {26,43}
+    assert (10, 30) not in got and (20, 30) not in got  # 4 and 5
