@@ -5509,6 +5509,154 @@ def synth_mp3_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+ID3_TAGS_SCHEMA = (
+    "doc_id long, version string, n_frames long, title string,"
+    " artist string, album string, year long, valid boolean"
+)
+
+
+def id3_tags(df: DataFrame) -> DataFrame:
+    """ID3v2 text-frame parse (r10) — the audio-side caption/metadata
+    surface an audio-text training pipeline mines (title/artist pair
+    with the waveform the way alt-text pairs with an image): walk the
+    ID3v2.3 / v2.4 frame sequence — 10-byte frame headers (4-char id,
+    size plain-BE32 in v2.3 / SYNCSAFE in v2.4 — the classic version
+    trap — 2 flag bytes), text frames decoded per their encoding byte
+    (0 latin-1, 1 utf-16 BOM, 2 utf-16be, 3 utf-8) — and emit
+    TIT2/TPE1/TALB plus the year (TDRC in v2.4, TYER in v2.3).
+    valid requires every frame to fit inside the tag (zero padding
+    terminates the walk, per spec); a frame size past the tag end
+    keeps the frames parsed before the lie.  Non-ID3 payloads yield
+    NULLs; one zero-shuffle Arrow pass."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import struct
+
+        import pandas as pd
+
+        ENC = {0: "latin-1", 1: "utf-16", 2: "utf-16-be", 3: "utf-8"}
+
+        def census(b: bytes):
+            b = bytes(b) if b is not None else b""
+            if b[:3] != b"ID3" or len(b) < 10:
+                return None
+            ver = b[3]
+            if ver not in (3, 4):
+                return None
+            tag_sz = ((b[6] & 0x7F) << 21) | ((b[7] & 0x7F) << 14) \
+                | ((b[8] & 0x7F) << 7) | (b[9] & 0x7F)
+            end = min(10 + tag_sz, len(b))
+            pos = 10
+            frames = {}
+            n = 0
+            ok = True
+            while pos + 10 <= end:
+                fid = b[pos : pos + 4]
+                if fid[0] == 0:  # zero padding: tag ends, per spec
+                    break
+                if ver == 4:  # syncsafe frame size
+                    fsz = ((b[pos + 4] & 0x7F) << 21) \
+                        | ((b[pos + 5] & 0x7F) << 14) \
+                        | ((b[pos + 6] & 0x7F) << 7) \
+                        | (b[pos + 7] & 0x7F)
+                else:  # v2.3: plain big-endian
+                    (fsz,) = struct.unpack(">I", b[pos + 4 : pos + 8])
+                body_s = pos + 10
+                if body_s + fsz > end:
+                    ok = False  # frame overruns the tag: keep the
+                    break  # frames parsed before the lie
+                n += 1
+                if fid[:1] == b"T" and fsz >= 1:
+                    enc = b[body_s]
+                    raw = b[body_s + 1 : body_s + fsz]
+                    try:
+                        txt = raw.decode(ENC.get(enc, "latin-1"))
+                    except UnicodeDecodeError:
+                        txt = raw.decode("latin-1", "replace")
+                    frames[fid.decode("ascii", "replace")] = \
+                        txt.rstrip("\x00")
+                pos = body_s + fsz
+            year_s = frames.get("TDRC" if ver == 4 else "TYER", "")
+            year = int(year_s[:4]) if year_s[:4].isdigit() else None
+            return ("2.%d" % ver, n, frames.get("TIT2"),
+                    frames.get("TPE1"), frames.get("TALB"), year, ok)
+
+        cols = ["version", "n_frames", "title", "artist", "album",
+                "year", "valid"]
+        for pdf in batches:
+            parsed = [census(x) for x in pdf["payload"]]
+            out = pd.DataFrame(
+                [p if p is not None else (None,) * 6 + (False,)
+                 for p in parsed],
+                columns=cols,
+            )
+            out.insert(0, "doc_id", pdf["doc_id"].to_numpy())
+            yield out
+
+    return df.mapInPandas(run, schema=ID3_TAGS_SCHEMA)
+
+
+def synth_id3_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixture for x_id3_tags (r10): REAL MP3s whose ID3v2 tag carries
+    real text frames — version 2.4 for even ids (SYNCSAFE frame
+    sizes, year in TDRC) / 2.3 for odd (plain-BE32 sizes, TYER) —
+    TIT2 'Track {id}', TPE1 'Artist {id%25}', TALB 'Album {id%12}',
+    year 1990+(id%35), plus one non-text frame (PRIV) the text walk
+    must count but skip.  Text encodings rotate by id%3: latin-1,
+    utf-16 (BOM), and utf-8 for v2.4 / utf-16be for v2.3 (utf-8 is a
+    v2.4-only encoding, per spec).  Every 19th id's LAST frame lies
+    its size past the tag end: the earlier frames survive,
+    valid=false."""
+    _mp3 = mp3_bytes
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import struct
+
+        import pandas as pd
+
+        def frame(ver: int, fid: bytes, body: bytes,
+                  lie: bool = False) -> bytes:
+            fsz = len(body) + (10_000 if lie else 0)
+            if ver == 4:
+                sz = bytes([(fsz >> 21) & 0x7F, (fsz >> 14) & 0x7F,
+                            (fsz >> 7) & 0x7F, fsz & 0x7F])
+            else:
+                sz = struct.pack(">I", fsz)
+            return fid + sz + b"\x00\x00" + body
+
+        def text_frame(ver: int, i: int, fid: bytes, txt: str,
+                       lie: bool = False) -> bytes:
+            enc = (0, 1, 3 if ver == 4 else 2)[i % 3]
+            codec = {0: "latin-1", 1: "utf-16",
+                     2: "utf-16-be", 3: "utf-8"}[enc]
+            return frame(ver, fid, bytes([enc]) + txt.encode(codec),
+                         lie=lie)
+
+        def one(i: int) -> bytes:
+            ver = 4 if i % 2 == 0 else 3
+            fs = [
+                text_frame(ver, i, b"TIT2", "Track %d" % i),
+                text_frame(ver, i, b"TPE1", "Artist %d" % (i % 25)),
+                text_frame(ver, i, b"TALB", "Album %d" % (i % 12)),
+                frame(ver, b"PRIV", b"owner\x00" + bytes(6)),
+                text_frame(ver, i, b"TDRC" if ver == 4 else b"TYER",
+                           "%d" % (1990 + i % 35), lie=(i % 19 == 0)),
+            ]
+            payload = b"".join(fs) + bytes(8)  # trailing padding
+            b = _mp3(1 + i % 14, i % 3, 3, id3_payload=payload)
+            bb = bytearray(b)
+            bb[3] = ver  # the generator writes v2.4 headers; pin ver
+            return bytes(bb)
+
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame({"doc_id": ids, "payload": ids.map(one)})
+
+    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        gen, "doc_id long, payload binary"
+    )
+
+
 def _make_ico_gen():
     """Factory returning the ICO generator (by-value pickling):
     ICONDIR (reserved 0, type 1, count) + 16-byte ICONDIRENTRYs

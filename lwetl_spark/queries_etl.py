@@ -2521,6 +2521,49 @@ def x_warc_ingest(spark, sf_dir):
 
 
 @register(
+    "x_id3_tags",
+    """
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN '2.4' ELSE '2.3' END
+               AS version,
+           CAST(CASE WHEN doc_id % 19 = 0 THEN 4 ELSE 5 END
+                AS BIGINT) AS n_frames,
+           printf('Track %d', doc_id) AS title,
+           printf('Artist %d', doc_id % 25) AS artist,
+           printf('Album %d', doc_id % 12) AS album,
+           CAST(CASE WHEN doc_id % 19 = 0 THEN -1
+                     ELSE 1990 + doc_id % 35 END AS BIGINT) AS year,
+           doc_id % 19 <> 0 AS valid
+    FROM documents
+    """,
+)
+def x_id3_tags(spark, sf_dir):
+    """ID3v2 text-frame parse (r10; operators/media.id3_tags) — the
+    audio-side caption surface: real ID3v2.3 AND v2.4 tags (plain vs
+    SYNCSAFE frame sizes — the classic version trap), TIT2/TPE1/TALB
+    text frames across latin-1 / utf-16-BOM / utf-8 / utf-16be
+    encodings, TDRC-vs-TYER year, a PRIV frame the text walk counts
+    but skips.  Every 19th id's last frame lies its size past the
+    tag end: the earlier frames survive (title/artist/album intact,
+    n_frames 4), valid=false.  Every string value-checks against the
+    printf arithmetic through the encoding round-trip."""
+    from lwetl_spark.operators.media import id3_tags, synth_id3_demo
+
+    docs = _t(spark, sf_dir, "documents")
+    out = id3_tags(synth_id3_demo(docs))
+    return out.select(
+        "doc_id",
+        F.coalesce(F.col("version"), F.lit("none")).alias("version"),
+        F.coalesce(F.col("n_frames"), F.lit(-1)).cast("long")
+        .alias("n_frames"),
+        *[F.coalesce(F.col(c), F.lit("none")).alias(c)
+          for c in ("title", "artist", "album")],
+        F.coalesce(F.col("year"), F.lit(-1)).cast("long").alias("year"),
+        "valid",
+    )
+
+
+@register(
     "x_dhash_neardup",
     """
     WITH g AS (

@@ -600,3 +600,33 @@ def test_dhash_neardup_fixture_variant_distances(spark):
     assert got[(0, 10)] == 1 and got[(0, 20)] == 2 and got[(0, 30)] == 3
     assert got[(10, 20)] == 3  # {13} vs {26,43}
     assert (10, 30) not in got and (20, 30) not in got  # 4 and 5
+
+
+def test_id3_tags_versions_encodings_and_lying_frame(spark):
+    """ID3v2.3 plain sizes vs v2.4 syncsafe, all four text encodings,
+    TDRC/TYER, PRIV skipped-but-counted, and a frame size lying past
+    the tag end (partial parse, valid=false)."""
+    from lwetl_spark.operators.media import id3_tags, synth_id3_demo
+
+    docs = spark.createDataFrame(
+        [(i,) for i in (0, 1, 2, 3, 19, 38)], "doc_id long")
+    out = {r["doc_id"]: r for r in
+           id3_tags(synth_id3_demo(docs)).collect()}
+    for i in (1, 2, 3):
+        r = out[i]
+        assert r["version"] == ("2.4" if i % 2 == 0 else "2.3")
+        assert r["title"] == "Track %d" % i
+        assert r["artist"] == "Artist %d" % (i % 25)
+        assert r["album"] == "Album %d" % (i % 12)
+        assert r["year"] == 1990 + i % 35
+        assert r["n_frames"] == 5 and r["valid"]
+    for i in (0, 19, 38):  # the lying-size leg
+        r = out[i]
+        assert r["valid"] is False and r["n_frames"] == 4
+        assert r["title"] == "Track %d" % i  # frames before the lie
+        assert r["year"] is None
+    # non-ID3 payload -> NULLs
+    df2 = spark.createDataFrame([(9, b"\xff\xfb junk")],
+                                "doc_id long, payload binary")
+    r9 = id3_tags(df2).collect()[0]
+    assert r9["title"] is None and r9["valid"] is False
