@@ -124,14 +124,30 @@ EXTENDED = [
     "x_png_16bit",
     "x_pdf_text",
     "x_zip_extract",
+    # r10 additions: the LAION-style WARC pair mine (census gate ->
+    # decode -> dhash collapse -> caption campaign, the flagship
+    # composition), banded perceptual near-dup pairs, PDF embedded-
+    # image decode (DCT + Flate rasters), and the widened TIFF decode
+    # (multi-strip / LZW / PackBits / predictor)
+    "x_imgtext_pairs",
+    "x_dhash_neardup",
+    "x_pdf_images",
+    "x_tiff_pixels",
 ]
 
 #: VERDICT r8 "what's wrong" #3: when a fixture generator (or the
 #: operator behind an existing bench name) changes the WORKLOAD timed
 #: under that name, list the name here for one round so round-over-round
-#: regression triage stays mechanical.  r9: empty — no existing row's
-#: fixture or operator changed (the r9 additions are new rows).
-FIXTURE_CHANGED: list[str] = []
+#: regression triage stays mechanical.  r10: x_pdf_text's fixture
+#: gained the LZWDecode leg (id%4==3 streams now pay the Python LZW
+#: decode — expect a step-up), x_zip_extract gained forced-zip64
+#: archives (every 3rd id), x_tiff_pixels' storage legs widened to
+#: multi-strip/LZW/PackBits/predictor (was uncompressed single-strip),
+#: and x_fuzzy_join's operator was FIXED (AQE residue coalescing ran
+#: the levenshtein product on one core — expect a large step-DOWN).
+FIXTURE_CHANGED: list[str] = [
+    "x_pdf_text", "x_zip_extract", "x_tiff_pixels", "x_fuzzy_join",
+]
 
 
 #: text (positional) + IVF index templates for the probe rows, built

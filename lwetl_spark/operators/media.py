@@ -3204,13 +3204,19 @@ WAV_PCM_SCHEMA = (
 
 
 def wav_pcm_stats(df: DataFrame, clip_at: int = 32767) -> DataFrame:
-    """REAL PCM sample decode: walk the RIFF chunks, `np.frombuffer`
-    the 16-bit data chunk, and emit exact integer signal stats — peak
-    |amplitude|, total |amplitude| (the integer stand-in for RMS:
-    hash-stable where sqrt is not), and the clipped-sample count
-    (|s| ≥ ``clip_at``) — the loudness/clipping gate an audio ingest
-    applies before any model.  Non-WAV payloads yield NULLs; one Arrow
-    pass."""
+    """REAL PCM sample decode: walk the RIFF chunks, decode the data
+    chunk at its DECLARED bit depth — 8-bit unsigned (offset-128, per
+    the WAV spec), 16/32-bit signed LE, and 24-bit signed LE packed
+    3-byte samples (r10: real-world WAVs span all four; a 16-bit-only
+    reader mis-sizes everything else) — and emit exact integer signal
+    stats: peak |amplitude|, total |amplitude| (the integer stand-in
+    for RMS: hash-stable where sqrt is not), and the clipped-sample
+    count.  ``clip_at`` is expressed in 16-bit full-scale units and
+    scales to the stream's depth (<<8 for 24-bit, >>8 for 8-bit …) so
+    one gate value works across mixed-depth corpora; reported stats
+    stay in NATIVE units.  A data chunk that is not a whole number of
+    samples is an honest NULL.  Non-WAV payloads yield NULLs; one
+    Arrow pass."""
 
     def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import struct
@@ -3235,13 +3241,28 @@ def wav_pcm_stats(df: DataFrame, clip_at: int = 32767) -> DataFrame:
                 elif tag == b"data":
                     data = b[pos + 8 : pos + 8 + size]
                 pos += 8 + size + (size & 1)
-            if bits != 16 or data is None or len(data) % 2:
+            if bits not in (8, 16, 24, 32) or data is None \
+                    or len(data) % (bits // 8):
                 return None
-            s = np.frombuffer(data, dtype="<i2").astype(np.int64)
+            if bits == 8:  # unsigned, offset 128 per spec
+                s = np.frombuffer(data, np.uint8).astype(np.int64) - 128
+                t = max(thr >> 8, 1)
+            elif bits == 16:
+                s = np.frombuffer(data, dtype="<i2").astype(np.int64)
+                t = thr
+            elif bits == 32:
+                s = np.frombuffer(data, dtype="<i4").astype(np.int64)
+                t = thr << 16
+            else:  # 24-bit packed LE, two's complement
+                a3 = np.frombuffer(data, np.uint8).astype(
+                    np.int64).reshape(-1, 3)
+                s = a3[:, 0] | (a3[:, 1] << 8) | (a3[:, 2] << 16)
+                s -= (s >> 23) * (1 << 24)  # sign-extend bit 23
+                t = thr << 8
             if not len(s):
                 return (0, 0, 0, 0)
             a = np.abs(s)
-            return (len(s), int(a.max()), int(a.sum()), int((a >= thr).sum()))
+            return (len(s), int(a.max()), int(a.sum()), int((a >= t).sum()))
 
         cols = ["n_samples", "peak", "sum_abs", "n_clipped"]
         for pdf in batches:
@@ -3254,6 +3275,55 @@ def wav_pcm_stats(df: DataFrame, clip_at: int = 32767) -> DataFrame:
             yield out
 
     return df.mapInPandas(decode, schema=WAV_PCM_SCHEMA)
+
+
+def synth_wav_depth_demo(docs: DataFrame,
+                         id_col: str = "doc_id") -> DataFrame:
+    """Fixture for x_wav_pcm (r10 — depth legs): REAL RIFF/WAVE files
+    at bit depth (8, 16, 24, 32)[id%4] with 40+(id%20) mono samples;
+    sample j's 16-bit-scale value v16 = (id·31 + j·17) % 65536 − 32768
+    stores at native depth (8-bit: (v16>>8)+128 unsigned offset per
+    spec; 24-bit: v16<<8 packed 3-byte LE; 32-bit: v16<<16) so the
+    oracle recomputes every decoded sample.  Every 29th non-8-bit
+    id's data chunk gains a stray byte — not a whole number of
+    samples, an honest NULL (at 8 bits every byte IS a sample, so
+    that leg only exists where it can lie)."""
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import struct
+
+        import pandas as pd
+
+        def one(i: int) -> bytes:
+            bits = (8, 16, 24, 32)[i % 4]
+            n = 40 + i % 20
+            v16 = [(i * 31 + j * 17) % 65536 - 32768 for j in range(n)]
+            if bits == 8:
+                data = bytes(((v >> 8) + 128) & 0xFF for v in v16)
+            elif bits == 16:
+                data = b"".join(struct.pack("<h", v) for v in v16)
+            elif bits == 24:
+                data = b"".join(
+                    ((v << 8) & 0xFFFFFF).to_bytes(3, "little")
+                    for v in v16)
+            else:
+                data = b"".join(struct.pack("<i", v << 16) for v in v16)
+            if i % 29 == 0 and bits != 8:
+                data += b"\x00"  # stray byte: sample count lies
+            fmt = struct.pack("<HHIIHH", 1, 1, 16000,
+                              16000 * bits // 8, bits // 8, bits)
+            body = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                    + b"data" + struct.pack("<I", len(data)) + data)
+            return (b"RIFF" + struct.pack("<I", 4 + len(body))
+                    + b"WAVE" + body)
+
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame({"doc_id": ids, "payload": ids.map(one)})
+
+    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        gen, "doc_id long, payload binary"
+    )
 
 
 def synth_pixel_media_demo(

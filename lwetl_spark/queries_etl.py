@@ -4251,37 +4251,72 @@ def x_jpeg_420(spark, sf_dir):
     "x_wav_pcm",
     """
     WITH g AS (
-        SELECT doc_id, 40 + doc_id % 20 AS n
-        FROM documents WHERE doc_id % 2 = 1
+        SELECT doc_id, doc_id % 4 AS dl, 40 + doc_id % 20 AS n,
+               doc_id % 29 = 0 AND doc_id % 4 <> 0 AS corrupt
+        FROM documents
     ),
-    s AS (SELECT doc_id, n, unnest(range(0, n)) AS j FROM g),
+    s AS (SELECT doc_id, dl, corrupt, n, unnest(range(0, n)) AS j
+          FROM g),
     v AS (
-        SELECT doc_id, n,
-               ABS((doc_id * 31 + j * 17) % 65536 - 32768) AS a
+        SELECT doc_id, dl, corrupt,
+               (doc_id * 31 + j * 17) % 65536 - 32768 AS v16
         FROM s
+    ),
+    nat AS (
+        SELECT doc_id, corrupt,
+               CASE dl WHEN 0 THEN ABS(((v16 + 65536) // 256) - 256)
+                       WHEN 1 THEN ABS(v16)
+                       WHEN 2 THEN ABS(v16 * 256)
+                       ELSE ABS(v16 * 65536) END AS a,
+               CASE dl WHEN 0 THEN 127 WHEN 1 THEN 32767
+                       WHEN 2 THEN 32767 * 256
+                       ELSE CAST(32767 AS BIGINT) * 65536 END AS thr
+        FROM v
+    ),
+    st AS (
+        SELECT doc_id, BOOL_OR(corrupt) AS corrupt,
+               CAST(COUNT(*) AS BIGINT) AS n_samples,
+               CAST(MAX(a) AS BIGINT) AS peak,
+               CAST(SUM(a) AS BIGINT) AS sum_abs,
+               CAST(COUNT(*) FILTER (WHERE a >= thr) AS BIGINT)
+                   AS n_clipped
+        FROM nat GROUP BY doc_id
     )
-    SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_samples,
-           CAST(MAX(a) AS BIGINT) AS peak,
-           CAST(SUM(a) AS BIGINT) AS sum_abs,
-           CAST(COUNT(*) FILTER (WHERE a >= 32767) AS BIGINT) AS n_clipped
-    FROM v GROUP BY doc_id
+    SELECT doc_id,
+           CAST(CASE WHEN corrupt THEN -1 ELSE n_samples END
+                AS BIGINT) AS n_samples,
+           CAST(CASE WHEN corrupt THEN -1 ELSE peak END
+                AS BIGINT) AS peak,
+           CAST(CASE WHEN corrupt THEN -1 ELSE sum_abs END
+                AS BIGINT) AS sum_abs,
+           CAST(CASE WHEN corrupt THEN -1 ELSE n_clipped END
+                AS BIGINT) AS n_clipped
+    FROM st
     """,
 )
 def x_wav_pcm(spark, sf_dir):
-    """REAL PCM sample decode (operators/media.wav_pcm_stats): RIFF
-    chunk walk → np.frombuffer the 16-bit data → exact integer signal
-    stats (peak |amplitude|, total |amplitude| — the hash-stable RMS
-    stand-in — and the clipped-sample census), the loudness/clipping
-    gate an audio ingest applies before any model.  Every decoded
-    sample value-checks against the generator arithmetic."""
+    """REAL PCM sample decode (r10 — widened to ALL four PCM depths;
+    operators/media.wav_pcm_stats): RIFF chunk walk → decode the data
+    chunk at its declared depth — 8-bit unsigned offset-128, 16/32-bit
+    signed LE, 24-bit packed 3-byte two's complement — then exact
+    integer signal stats (peak |amplitude|, total |amplitude| — the
+    hash-stable RMS stand-in — and the clipped-sample census with the
+    gate value scaled to the stream's depth).  Every decoded sample
+    value-checks against the generator arithmetic at its native
+    scale; non-whole-sample data chunks (every 29th non-8-bit id)
+    are honest NULL sentinels."""
     from lwetl_spark.operators.media import (
-        synth_pixel_media_demo,
+        synth_wav_depth_demo,
         wav_pcm_stats,
     )
 
     docs = _t(spark, sf_dir, "documents")
-    media = synth_pixel_media_demo(docs).filter(F.col("doc_id") % 2 == 1)
-    return wav_pcm_stats(media)
+    out = wav_pcm_stats(synth_wav_depth_demo(docs))
+    return out.select(
+        "doc_id",
+        *[F.coalesce(F.col(c), F.lit(-1)).cast("long").alias(c)
+          for c in ("n_samples", "peak", "sum_abs", "n_clipped")],
+    )
 
 
 @register(

@@ -630,3 +630,51 @@ def test_id3_tags_versions_encodings_and_lying_frame(spark):
                                 "doc_id long, payload binary")
     r9 = id3_tags(df2).collect()[0]
     assert r9["title"] is None and r9["valid"] is False
+
+
+def test_wav_pcm_all_depths(spark):
+    """8/16/24/32-bit PCM decode to native-scale stats with the clip
+    gate scaled per depth; a non-whole-sample data chunk is NULL."""
+    import struct
+
+    from lwetl_spark.operators.media import wav_pcm_stats
+
+    def wav(bits, samples16, stray=False):
+        if bits == 8:
+            data = bytes((((v >> 8) + 128) & 0xFF) for v in samples16)
+        elif bits == 16:
+            data = b"".join(struct.pack("<h", v) for v in samples16)
+        elif bits == 24:
+            data = b"".join(((v << 8) & 0xFFFFFF).to_bytes(3, "little")
+                            for v in samples16)
+        else:
+            data = b"".join(struct.pack("<i", v << 16)
+                            for v in samples16)
+        if stray:
+            data += b"\x00"
+        fmt = struct.pack("<HHIIHH", 1, 1, 16000, 16000 * bits // 8,
+                          bits // 8, bits)
+        body = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(data)) + data)
+        return (b"RIFF" + struct.pack("<I", 4 + len(body))
+                + b"WAVE" + body)
+
+    vals = [-32768, -1, 0, 1, 32767, 20000, -32767]
+    rows = [(bits, wav(bits, vals)) for bits in (8, 16, 24, 32)]
+    rows.append((99, wav(24, vals, stray=True)))
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in wav_pcm_stats(df).collect()}
+    for bits, scale, thr in ((16, 1, 32767), (24, 256, 32767 * 256),
+                             (32, 65536, 32767 * 65536)):
+        r = out[bits]
+        native = [v * scale for v in vals]
+        assert r["n_samples"] == len(vals)
+        assert r["peak"] == max(abs(v) for v in native)
+        assert r["sum_abs"] == sum(abs(v) for v in native)
+        assert r["n_clipped"] == sum(abs(v) >= thr for v in native)
+    r8 = out[8]
+    native8 = [v >> 8 for v in vals]  # floor shift, matches storage
+    assert r8["peak"] == max(abs(v) for v in native8)
+    assert r8["sum_abs"] == sum(abs(v) for v in native8)
+    assert r8["n_clipped"] == sum(abs(v) >= 127 for v in native8)
+    assert out[99]["n_samples"] is None  # stray byte -> honest NULL
