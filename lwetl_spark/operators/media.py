@@ -4965,7 +4965,12 @@ def dhash_near_dup(df: DataFrame, max_hamming: int = 3,
         F.col("__id").alias("id_r"), F.col("__hi").alias("__rhi"),
         F.col("__lo").alias("__rlo"), "__b", "__v")
     cand = (
-        left.join(right, ["__b", "__v"])
+        # shuffle_hash-hinted: BOTH sides grow with the corpus, and
+        # Catalyst's size estimate would happily broadcast one at
+        # bench scale — a broadcast of every document's bands is
+        # exactly what must not happen at 100 TB (the _ann_filter_semi
+        # rule)
+        left.join(right.hint("shuffle_hash"), ["__b", "__v"])
         .filter(F.col("id_l") < F.col("id_r"))
         .select("id_l", "id_r", "__lhi", "__llo", "__rhi", "__rlo")
         .distinct()  # pairs sharing several bands collapse to one

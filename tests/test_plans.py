@@ -659,3 +659,16 @@ def test_transitive_root_rounds_are_bounded_joins(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert out.count() == 4095  # nodes 1..4095, exactly once each
+
+
+def test_dhash_neardup_band_join_never_broadcasts(spark):
+    """x_dhash_neardup: both band-join sides grow with the corpus, so
+    the join must be shuffled (hinted), never a broadcast of every
+    document's bands; and no all-pairs stage exists."""
+    import lwetl_spark.queries_etl  # noqa: F401  (registers the key)
+
+    plan = _plan(spark, "x_dhash_neardup")
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
