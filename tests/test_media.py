@@ -1756,18 +1756,22 @@ def test_tiff_pixel_strip_decode(spark):
         assert (r["n_px"], r["sum_px"], r["min_px"], r["max_px"]) == (
             len(exp), sum(exp), min(exp), max(exp))
         assert (r["width"], r["height"], r["n_pages"]) == (10, 8, 2)
-    # LZW-compressed page decodes for real (r10 — retires the r9
-    # 'out of scope' caveat); packbits (comp 32773) stays NULL
-    b2 = tiff_bytes([(10, 8, 8, 5)], True, seed=3)
-    df2 = spark.createDataFrame([(1, b2)], "doc_id long, payload binary")
-    r2 = tiff_pixel_stats(df2).collect()[0]
+    # LZW and PackBits pages decode for real (r10 — retires the r9
+    # 'out of scope' caveat); a foreign compression (7, TIFF-JPEG)
+    # stays an honest NULL
     exp2 = [(3 + 7 * rr + 13 * cc) % 256
             for rr in range(8) for cc in range(10)]
-    assert (r2["n_px"], r2["sum_px"], r2["min_px"], r2["max_px"]) == (
-        len(exp2), sum(exp2), min(exp2), max(exp2))
-    b2p = tiff_bytes([(10, 8, 8, 32773)], True, seed=3)
-    df2p = spark.createDataFrame([(1, b2p)], "doc_id long, payload binary")
-    assert tiff_pixel_stats(df2p).collect()[0]["n_px"] is None
+    for comp in (5, 32773):
+        b2 = tiff_bytes([(10, 8, 8, comp)], True, seed=3)
+        df2 = spark.createDataFrame([(1, b2)],
+                                    "doc_id long, payload binary")
+        r2 = tiff_pixel_stats(df2).collect()[0]
+        assert (r2["n_px"], r2["sum_px"], r2["min_px"],
+                r2["max_px"]) == (len(exp2), sum(exp2), min(exp2),
+                                  max(exp2)), comp
+    b2j = tiff_bytes([(10, 8, 8, 7)], True, seed=3)
+    df2j = spark.createDataFrame([(1, b2j)], "doc_id long, payload binary")
+    assert tiff_pixel_stats(df2j).collect()[0]["n_px"] is None
     # strip overruns the payload -> NULL, not IndexError
     b3 = bytearray(tiff_bytes([(10, 8, 8, 1)], True, seed=3))
     # first IFD entry 273 (strip offset) -> point past the end
