@@ -7011,7 +7011,8 @@ def _make_tiff_gen():
     _, _lzwe = _make_tiff_lzw()  # captured by value into the closure
     _, _pbe = _make_packbits()
 
-    def tiff(pages, little: bool = True, seed: int | None = None) -> bytes:
+    def tiff(pages, little: bool = True, seed: int | None = None,
+             bigtiff: bool = False) -> bytes:
         """pages: [(width, height, bits, compression)] or — for pixel
         fixtures (seed given) — optionally extended to
         (w, h, bits, comp, rows_per_strip, predictor): comp 5 strips
@@ -7025,14 +7026,29 @@ def _make_tiff_gen():
         lzwe = _lzwe
         pbe = _pbe
         e = "<" if little else ">"
-        out = bytearray((b"II" if little else b"MM")
-                        + struct.pack(e + "H", 42) + bytes(4))
+        if bigtiff:  # r10: magic 43, 8-byte offsets everywhere
+            out = bytearray((b"II" if little else b"MM")
+                            + struct.pack(e + "HHH", 43, 8, 0)
+                            + bytes(8))
+            csz, esz, psz = 8, 20, 8
+            cfmt, pfmt = "Q", "Q"
+            ptr_typ = 16  # LONG8
+        else:
+            out = bytearray((b"II" if little else b"MM")
+                            + struct.pack(e + "H", 42) + bytes(4))
+            csz, esz, psz = 2, 12, 4
+            cfmt, pfmt = "H", "I"
+            ptr_typ = 4
 
         def entry(tag: int, typ: int, count: int, val: int) -> bytes:
-            raw = struct.pack(e + "HHI", tag, typ, count)
+            raw = struct.pack(e + "HH", tag, typ) + struct.pack(
+                e + pfmt, count)
+            cell = 8 if bigtiff else 4
             if typ == 3:  # SHORT: inline, left-justified in the cell
-                return raw + struct.pack(e + "HH", val, 0)
-            return raw + struct.pack(e + "I", val)
+                return raw + struct.pack(e + "H", val) + bytes(cell - 2)
+            if typ == 4:  # LONG: inline, left-justified
+                return raw + struct.pack(e + "I", val) + bytes(cell - 4)
+            return raw + struct.pack(e + "Q", val)  # LONG8 (bigtiff)
 
         strips: list = []
         if from_none:
@@ -7071,16 +7087,17 @@ def _make_tiff_gen():
         for pg, (offs, lens, rps, pred) in zip(pages, strips):
             w, h, bits, comp = pg[0], pg[1], pg[2], pg[3]
             # count>1 value arrays live out-of-line, BEFORE the IFD
+            st = ptr_typ  # strip offsets/lengths: LONG8 in bigtiff
             if len(offs) > 1:
                 so_ptr = len(out)
-                out += struct.pack(e + "I" * len(offs), *offs)
+                out += struct.pack(e + pfmt * len(offs), *offs)
                 sl_ptr = len(out)
-                out += struct.pack(e + "I" * len(lens), *lens)
-                strip_es = [entry(273, 4, len(offs), so_ptr),
-                            entry(279, 4, len(lens), sl_ptr)]
+                out += struct.pack(e + pfmt * len(lens), *lens)
+                strip_es = [entry(273, st, len(offs), so_ptr),
+                            entry(279, st, len(lens), sl_ptr)]
             else:
-                strip_es = [entry(273, 4, 1, offs[0]),
-                            entry(279, 4, 1, lens[0])]
+                strip_es = [entry(273, st, 1, offs[0]),
+                            entry(279, st, 1, lens[0])]
             ifd_offs.append(len(out))
             ents = [
                 entry(256, 4, 1, w), entry(257, 4, 1, h),
@@ -7095,14 +7112,15 @@ def _make_tiff_gen():
                 ents.append(entry(317, 3, 1, pred))
             ents.sort(key=lambda b_: struct.unpack(e + "H", b_[:2])[0])
             ifd_ents.append(len(ents))
-            out += struct.pack(e + "H", len(ents)) + b"".join(ents)
-            out += bytes(4)  # next-IFD pointer, patched below
+            out += struct.pack(e + cfmt, len(ents)) + b"".join(ents)
+            out += bytes(psz)  # next-IFD pointer, patched below
         # chain the IFDs and point the header at the first
-        out[4:8] = struct.pack(e + "I", ifd_offs[0])
+        hdr_at = 8 if bigtiff else 4
+        out[hdr_at : hdr_at + psz] = struct.pack(e + pfmt, ifd_offs[0])
         for i, off in enumerate(ifd_offs):
             nxt = ifd_offs[i + 1] if i + 1 < len(ifd_offs) else 0
-            p = off + 2 + ifd_ents[i] * 12
-            out[p : p + 4] = struct.pack(e + "I", nxt)
+            p = off + csz + ifd_ents[i] * esz
+            out[p : p + psz] = struct.pack(e + pfmt, nxt)
         return bytes(out)
 
     return tiff
@@ -7114,58 +7132,78 @@ tiff_bytes = _make_tiff_gen()
 
 def _make_tiff_walker():
     """Factory returning the TIFF census walker (by-value pickling):
-    byte-order mark (II/MM), magic 42, then the IFD chain — per page
-    the entry scan for dims/bits/compression/strips.  Entry values
-    honor the TIFF value-or-pointer rule (ADVICE r9 fix): the 4-byte
-    cell holds the values inline only when count·type_size ≤ 4;
+    byte-order mark (II/MM), magic 42 — or 43, BigTIFF (r10): the
+    >4 GiB form scanner/document crawls actually ship, the TIFF-side
+    zip64 analog — then the IFD chain — per page the entry scan for
+    dims/bits/compression/strips.  BigTIFF differs mechanically:
+    8-byte offsets everywhere (first-IFD pointer, next-IFD pointers),
+    8-byte IFD entry counts, 20-byte entries with 8-byte value cells
+    (inline threshold 8), and the LONG8 type (16).  Entry values
+    honor the TIFF value-or-pointer rule (ADVICE r9 fix): the cell
+    holds the values inline only when count·type_size ≤ cell size;
     otherwise it is an offset to the value array — so count>1 tags
     (BitsPerSample on RGB, multi-strip StripOffsets/StripByteCounts)
-    now dereference instead of reporting pointer garbage.  A pointer
+    dereference instead of reporting pointer garbage.  A pointer
     or next-IFD past the bytes, a truncated entry table, or a cycle
     keeps the pages walked before the lie (valid=False).  Returns
-    {pages: [...], byte_order, valid} or None; per page the strip
-    arrays land in strip_offs/strip_lens (full lists) with
+    {pages: [...], byte_order, bigtiff, valid} or None; per page the
+    strip arrays land in strip_offs/strip_lens (full lists) with
     strip_off/strip_len keeping the first value, plus rows_per_strip
     and predictor when present."""
     import struct
 
-    TSZ = {1: (1, "B"), 3: (2, "H"), 4: (4, "I")}
+    TSZ = {1: (1, "B"), 3: (2, "H"), 4: (4, "I"), 16: (8, "Q")}
 
     def walk(b: bytes):
         b = bytes(b) if b is not None else b""
         if len(b) < 8 or b[:2] not in (b"II", b"MM"):
             return None
         e = "<" if b[:2] == b"II" else ">"
-        if struct.unpack(e + "H", b[2:4])[0] != 42:
+        magic = struct.unpack(e + "H", b[2:4])[0]
+        if magic == 42:
+            big = False
+            (off,) = struct.unpack(e + "I", b[4:8])
+            esz, csz, psz = 12, 2, 4  # entry / count / pointer bytes
+            cfmt, pfmt, cellsz = "H", "I", 4
+        elif magic == 43:
+            if len(b) < 16 or struct.unpack(e + "HH", b[4:8]) != (8, 0):
+                return None  # spec: offset size 8, constant 0
+            big = True
+            (off,) = struct.unpack(e + "Q", b[8:16])
+            esz, csz, psz = 20, 8, 8
+            cfmt, pfmt, cellsz = "Q", "Q", 8
+        else:
             return None
-        (off,) = struct.unpack(e + "I", b[4:8])
         pages = []
         seen = set()
         ok = True
         while off:
-            if off in seen or off + 2 > len(b):
+            if off in seen or off + csz > len(b):
                 ok = False
                 break
             seen.add(off)
-            (n,) = struct.unpack(e + "H", b[off : off + 2])
-            if off + 2 + 12 * n + 4 > len(b):
+            (n,) = struct.unpack(e + cfmt, b[off : off + csz])
+            if off + csz + esz * n + psz > len(b):
                 ok = False
                 break
             page = {"width": None, "height": None, "bits": None,
                     "compression": None}
             for i in range(n):
-                p = off + 2 + 12 * i
-                tag, typ, cnt = struct.unpack(
-                    e + "HHI", b[p : p + 8])
+                p = off + csz + esz * i
+                tag, typ = struct.unpack(e + "HH", b[p : p + 4])
+                (cnt,) = struct.unpack(
+                    e + ("Q" if big else "I"), b[p + 4 : p + 4 + psz])
                 sz_fmt = TSZ.get(typ)
-                if sz_fmt is None or cnt == 0:
+                if sz_fmt is None or cnt == 0 or cnt > len(b):
                     continue
                 sz, fmt = sz_fmt
                 total = sz * cnt
-                if total <= 4:  # inline, left-justified
-                    cell = b[p + 8 : p + 8 + total]
+                cell_at = p + 4 + psz
+                if total <= cellsz:  # inline, left-justified
+                    cell = b[cell_at : cell_at + total]
                 else:  # the cell is a pointer to the value array
-                    (ptr,) = struct.unpack(e + "I", b[p + 8 : p + 12])
+                    (ptr,) = struct.unpack(
+                        e + pfmt, b[cell_at : cell_at + cellsz])
                     if ptr + total > len(b):
                         continue  # dangling pointer: skip the tag
                     cell = b[ptr : ptr + total]
@@ -7189,10 +7227,12 @@ def _make_tiff_walker():
                 elif tag == 317:
                     page["predictor"] = vals[0]
             pages.append(page)
+            np_at = off + csz + esz * n
             (off,) = struct.unpack(
-                e + "I", b[off + 2 + 12 * n : off + 2 + 12 * n + 4])
+                e + pfmt, b[np_at : np_at + psz])
         return {"pages": pages,
                 "byte_order": "II" if e == "<" else "MM",
+                "bigtiff": big,
                 "valid": bool(ok and pages)}
 
     return walk
@@ -7261,11 +7301,15 @@ def synth_tiff_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                  8 * (1 + (i + p) % 2), 1 + 4 * ((i + p) % 2))
                 for p in range(1 + i % 3)
             ]
-            b = _gen(pages, little=(i % 2 == 0))
+            big = i % 7 == 3  # r10: BigTIFF census legs
+            b = _gen(pages, little=(i % 2 == 0), bigtiff=big)
             if i % 25 == 0:
                 e = "<" if i % 2 == 0 else ">"
                 bb = bytearray(b)
-                bb[-4:] = struct.pack(e + "I", len(b) + 1000)
+                if big:
+                    bb[-8:] = struct.pack(e + "Q", len(b) + 1000)
+                else:
+                    bb[-4:] = struct.pack(e + "I", len(b) + 1000)
                 return bytes(bb)
             return b
 
@@ -7406,11 +7450,17 @@ def synth_tiff_px_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 rps = (h, -(-h // 2), 3)[(i + 7 * p) % 3]
                 pred = 2 if (i + 2 * p) % 3 == 0 else 1
                 pages.append((w, h, 8, comp, rps, pred))
-            b = _gen(pages, little=(i % 2 == 0), seed=i % 256)
+            big = i % 7 == 3  # r10: BigTIFF legs (magic 43, 8-byte
+            # offsets, LONG8 strips) — lossless framing, same oracle
+            b = _gen(pages, little=(i % 2 == 0), seed=i % 256,
+                     bigtiff=big)
             if i % 25 == 0:
                 e = "<" if i % 2 == 0 else ">"
                 bb = bytearray(b)
-                bb[-4:] = struct.pack(e + "I", len(b) + 1000)
+                if big:  # next-IFD pointer is 8 bytes here
+                    bb[-8:] = struct.pack(e + "Q", len(b) + 1000)
+                else:
+                    bb[-4:] = struct.pack(e + "I", len(b) + 1000)
                 return bytes(bb)
             return b
 

@@ -678,3 +678,35 @@ def test_wav_pcm_all_depths(spark):
     assert r8["sum_abs"] == sum(abs(v) for v in native8)
     assert r8["n_clipped"] == sum(abs(v) >= 127 for v in native8)
     assert out[99]["n_samples"] is None  # stray byte -> honest NULL
+
+
+def test_bigtiff_walk_and_decode(spark):
+    """BigTIFF (magic 43 — the >4 GiB scanner form, the TIFF-side
+    zip64): 8-byte offsets/counts, 20-byte entries, LONG8 strips —
+    walks and pixel-decodes identically to classic TIFF in both byte
+    orders; a wrong offset-size header is an honest None."""
+    import struct
+
+    from lwetl_spark.operators.media import (
+        parse_tiff,
+        tiff_bytes,
+        tiff_pixel_stats,
+    )
+
+    exp = [(42 + 7 * rr + 13 * cc) % 256
+           for rr in range(10) for cc in range(9)]
+    want = (len(exp), sum(exp), min(exp), max(exp))
+    for little in (True, False):
+        b = tiff_bytes([(9, 10, 8, 5, 4, 2)], little=little, seed=42,
+                       bigtiff=True)
+        r = parse_tiff(b)
+        assert r["valid"] and r["bigtiff"] and len(r["pages"]) == 1
+        df = spark.createDataFrame([(1, b)],
+                                   "doc_id long, payload binary")
+        s = tiff_pixel_stats(df).collect()[0]
+        assert (s["n_px"], s["sum_px"], s["min_px"], s["max_px"]) \
+            == want, little
+    # spec: BigTIFF offset size MUST be 8 (constant 0 follows)
+    assert parse_tiff(
+        b"II" + struct.pack("<HHH", 43, 4, 0) + bytes(8)) is None
+    assert parse_tiff(b"II\x2b\x00" + bytes(8)) is None  # truncated
