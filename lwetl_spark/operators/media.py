@@ -4916,6 +4916,34 @@ def image_dhash(df: DataFrame) -> DataFrame:
     return df.mapInPandas(run, schema=IMAGE_DHASH_SCHEMA)
 
 
+def dhash_bands(df: DataFrame, id_col: str = "doc_id",
+                hash_col: str = "dhash") -> DataFrame:
+    """Exploded 4-band LSH rows for a dhash column (r10): per input
+    row, four (__b, __v) 16-bit-band rows plus the 32-bit conv halves
+    (__hi, __lo) the hamming verify needs.  Shared by dhash_near_dup
+    and the streaming admission twin so the banding is ONE
+    implementation (and the persisted streaming state is exactly this
+    shape)."""
+    halves = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(hash_col).alias("__h"),
+        F.conv(F.substring(hash_col, 1, 8), 16, 10)
+        .cast("long").alias("__hi"),
+        F.conv(F.substring(hash_col, 9, 8), 16, 10)
+        .cast("long").alias("__lo"),
+    )
+    return halves.select(
+        "__id", "__hi", "__lo",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("b"),
+                     F.substring("__h", 1 + 4 * b, 4).alias("v"))
+            for b in range(4)
+        ])).alias("__band"),
+    ).select("__id", "__hi", "__lo",
+             F.col("__band.b").alias("__b"),
+             F.col("__band.v").alias("__v"))
+
+
 def dhash_near_dup(df: DataFrame, max_hamming: int = 3,
                    id_col: str = "doc_id",
                    hash_col: str = "dhash") -> DataFrame:
@@ -4940,24 +4968,7 @@ def dhash_near_dup(df: DataFrame, max_hamming: int = 3,
             "4-band LSH guarantees exact recall only for"
             f" max_hamming <= 3 (got {max_hamming}); add bands for"
             " a wider radius")
-    halves = df.select(
-        F.col(id_col).alias("__id"),
-        F.col(hash_col).alias("__h"),
-        F.conv(F.substring(hash_col, 1, 8), 16, 10)
-        .cast("long").alias("__hi"),
-        F.conv(F.substring(hash_col, 9, 8), 16, 10)
-        .cast("long").alias("__lo"),
-    )
-    bands = halves.select(
-        "__id", "__hi", "__lo",
-        F.explode(F.array(*[
-            F.struct(F.lit(b).alias("b"),
-                     F.substring("__h", 1 + 4 * b, 4).alias("v"))
-            for b in range(4)
-        ])).alias("__band"),
-    ).select("__id", "__hi", "__lo",
-             F.col("__band.b").alias("__b"),
-             F.col("__band.v").alias("__v"))
+    bands = dhash_bands(df, id_col=id_col, hash_col=hash_col)
     left = bands.select(
         F.col("__id").alias("id_l"), F.col("__hi").alias("__lhi"),
         F.col("__lo").alias("__llo"), "__b", "__v")

@@ -1295,3 +1295,83 @@ def stream_media_apply(
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     return op(reader.parquet(media_path))
+
+
+def stream_dhash_neardup(
+    spark: SparkSession,
+    media_path: str,
+    state_path: str,
+    max_hamming: int = 3,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming perceptual image admission (r10 — the image-side
+    sibling of `stream_dedup_against_corpus`, with a hamming RADIUS
+    instead of exact fingerprints): every micro-batch of
+    (doc_id, payload) decodes through `image_dhash`, and an image is
+    admitted iff it has NO smaller-id in-batch neighbor and NO
+    already-admitted neighbor within ``max_hamming`` — so re-uploads
+    and slight re-encodes of an admitted image are never admitted
+    twice.  The admission rule is the set-based DOMINATOR form
+    (reject on any smaller-id neighbor, admitted or not): one banded
+    join per batch, no iterative closure — deterministic under any
+    partitioning, and equal to the one-shot batch result whenever
+    near-dup clusters are star-shaped around their smallest id (the
+    common crawl case: N copies of one original; pinned in
+    test_streaming).
+
+    Scale shape: the persisted state at ``state_path`` is the
+    `dhash_bands` layout — (__id, __hi, __lo, __b, __v) rows, 4 per
+    admitted image — so the state probe is a (band, value) equi-join
+    (shuffle_hash-hinted: the state grows with the corpus) plus the
+    bit_count hamming verify; payload bytes never leave the batch.
+    Returns the started StreamingQuery (caller stops it)."""
+    from lwetl_spark.operators.media import (
+        dhash_bands,
+        dhash_near_dup,
+        image_dhash,
+    )
+
+    if not 0 <= max_hamming <= 3:
+        raise ValueError("4-band LSH recall is exact only to radius 3")
+    schema = spark.read.parquet(media_path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option(
+            "maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(media_path)
+
+    def sink(batch_df, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        hx = (
+            image_dhash(batch_df)
+            .filter("ok")
+            .select("doc_id", "dhash")
+            .localCheckpoint(eager=True)
+        )
+        # (1) smaller-id in-batch neighbor -> reject the larger id
+        in_batch = dhash_near_dup(hx, max_hamming=max_hamming)
+        rejects = in_batch.select(F.col("id_r").alias("doc_id"))
+        # (2) neighbor among the admitted state's band rows
+        if _path_exists(sess, state_path):
+            state = sess.read.parquet(state_path)
+            bands = dhash_bands(hx)
+            ham = (
+                F.bit_count(bands["__hi"].bitwiseXOR(state["__hi"]))
+                + F.bit_count(bands["__lo"].bitwiseXOR(state["__lo"]))
+            )
+            st_rej = (
+                bands.join(
+                    state.hint("shuffle_hash"),
+                    (bands["__b"] == state["__b"])
+                    & (bands["__v"] == state["__v"]),
+                )
+                .filter(ham <= max_hamming)
+                .select(bands["__id"].alias("doc_id"))
+            )
+            rejects = rejects.unionByName(st_rej)
+        admitted = hx.join(
+            rejects.distinct(), "doc_id", "left_anti"
+        ).localCheckpoint(eager=True)  # never race the state scan
+        dhash_bands(admitted).write.mode("append").parquet(state_path)
+
+    return stream.writeStream.foreachBatch(sink).start()

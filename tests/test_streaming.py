@@ -1187,3 +1187,61 @@ def test_stream_media_apply_generic_twin(spark, tmp_path):
         )
         assert sorted(map(tuple, got.collect())) \
             == sorted(map(tuple, op(data).collect()))
+
+
+def test_stream_dhash_neardup_admits_one_per_cluster(spark, tmp_path):
+    """Streaming perceptual admission (r10): star-shaped near-dup
+    clusters (N variants of one original, the crawl case) admit
+    exactly their smallest id across batches; replay admits nothing;
+    the state is the dhash_bands layout (4 rows per admitted id)."""
+    from lwetl_spark.operators.media import synth_dhash_neardup_demo
+    from lwetl_spark.streaming.pipeline import stream_dhash_neardup
+
+    media_dir = str(tmp_path / "media")
+    state_dir = str(tmp_path / "bands")
+    # classes 0-9; ids k, k+10, k+20, k+30 are variants t=0..3 of
+    # class k — hamming(t0, t) <= 3 for all t, so each cluster is a
+    # star around its smallest id (the variant-0 copy)
+    ids = spark.createDataFrame([(i,) for i in range(20)], "doc_id long")
+    synth_dhash_neardup_demo(ids).coalesce(1).write.parquet(media_dir)
+    ids2 = spark.createDataFrame([(i,) for i in range(20, 40)],
+                                 "doc_id long")
+    synth_dhash_neardup_demo(ids2).coalesce(1).write.mode(
+        "append").parquet(media_dir)
+
+    q = stream_dhash_neardup(spark, media_dir, state_dir,
+                             max_files_per_trigger=1)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    admitted = sorted(
+        r["__id"]
+        for r in spark.read.parquet(state_dir)
+        .select("__id").distinct().collect()
+    )
+    # == the one-shot batch dominator rule: admitted iff NO
+    # smaller-id neighbor anywhere in the corpus (clusters here are
+    # stars around their smallest member, so batch == stream)
+    from lwetl_spark.operators.media import dhash_near_dup, image_dhash
+
+    all_ids = spark.createDataFrame([(i,) for i in range(40)],
+                                    "doc_id long")
+    hx = image_dhash(synth_dhash_neardup_demo(all_ids)).filter(
+        "ok").select("doc_id", "dhash")
+    pairs = dhash_near_dup(hx).collect()
+    dominated = {r["id_r"] for r in pairs}
+    expect = sorted(set(range(40)) - dominated)
+    assert admitted == expect
+    assert 0 in admitted and 10 not in admitted  # variant star sanity
+    n_rows = spark.read.parquet(state_dir).count()
+    assert n_rows == 4 * len(admitted)  # 4 band rows per admitted id
+
+    # replay: the same media admits nothing new
+    q2 = stream_dhash_neardup(spark, media_dir, state_dir,
+                              max_files_per_trigger=2)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert spark.read.parquet(state_dir).count() == n_rows
