@@ -8156,6 +8156,10 @@ def _make_zip_gen():
                 comp = zlib.compressobj(6, zlib.DEFLATED, -15)
                 blob = comp.compress(data) + comp.flush()
                 m = 8
+            elif method == "bzip2":  # APPNOTE method 12 (r10)
+                import bz2
+                blob = bz2.compress(data)
+                m = 12
             else:
                 blob = data
                 m = 0
@@ -8327,8 +8331,41 @@ def _make_zip_walker():
                 data = zlib.decompressobj(-15).decompress(blob)
             except zlib.error:
                 return None
+        elif member["method"] == 12:  # bzip2 (APPNOTE 4.4.5), r10
+            import bz2
+            try:
+                data = bz2.decompress(blob)
+            except (OSError, ValueError):
+                return None
+        elif member["method"] == 14:  # LZMA, r10: 2-byte version +
+            # 2-byte props size + LZMA1 properties (lclppb byte +
+            # 4-byte LE dict size), then the raw stream — which may
+            # carry NO end marker (the EOS flag form), so decompress
+            # to exactly uncomp_size bytes (APPNOTE 4.4.5 / 5.8)
+            import lzma
+            if len(blob) < 4:
+                return None
+            (psz,) = struct.unpack("<H", blob[2:4])
+            props = blob[4 : 4 + psz]
+            if psz < 5 or len(props) != psz or props[0] >= 225:
+                return None
+            lc = props[0] % 9
+            lp = (props[0] // 9) % 5
+            pb = props[0] // 45
+            (dsz,) = struct.unpack("<I", props[1:5])
+            try:
+                dec = lzma.LZMADecompressor(
+                    format=lzma.FORMAT_RAW,
+                    filters=[{"id": lzma.FILTER_LZMA1, "lc": lc,
+                              "lp": lp, "pb": pb,
+                              "dict_size": max(dsz, 4096)}],
+                )
+                data = dec.decompress(
+                    blob[4 + psz:], max_length=member["uncomp_size"])
+            except (lzma.LZMAError, ValueError):
+                return None
         else:
-            return None  # bzip2/lzma members: out of scope
+            return None  # foreign methods (ppmd, zstd...): honest None
         if len(data) != member["uncomp_size"]:
             return None
         if (zlib.crc32(data) & 0xFFFFFFFF) != member["crc"]:
@@ -8363,7 +8400,7 @@ def zip_member_contents(df: DataFrame) -> DataFrame:
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
-        meth = {0: "stored", 8: "deflate"}
+        meth = {0: "stored", 8: "deflate", 12: "bzip2", 14: "lzma"}
 
         def rows(i: int, b: bytes):
             r = zidx(b)
@@ -8511,8 +8548,10 @@ def synth_epub_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
 def synth_zip_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Fixture for x_zip_extract (r9): each document becomes a REAL
     ZIP of 1+(id%5) members — member j named 'm{j}.bin' with
-    20+(id+7j)%40 payload bytes (byte k = (id+11j+3k)%256), STORED
-    for even id+j / DEFLATED for odd (real compression, real CRCs).
+    20+(id+7j)%40 payload bytes (byte k = (id+11j+3k)%256), method
+    rotating stored / deflate / bzip2 by (id+j)%3 (real compression,
+    real CRCs; the LZMA method is pytest-covered via the stdlib
+    cross-check).
     Every 3rd id (i%3==1, r10) writes the FORCED-zip64 form —
     sentinel 32-bit cells, 0x0001 extra fields, EOCD64 + locator —
     the layout real >4 GiB WebDataset/EPUB bundles use (lossless
@@ -8530,9 +8569,9 @@ def synth_zip_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             for j in range(1 + i % 5):
                 data = bytes((i + 11 * j + 3 * k) % 256
                              for k in range(20 + (i + 7 * j) % 40))
-                members.append(("m%d.bin" % j, data,
-                                "stored" if (i + j) % 2 == 0
-                                else "deflate"))
+                members.append((
+                    "m%d.bin" % j, data,
+                    ("stored", "deflate", "bzip2")[(i + j) % 3]))
             b = _gen(members, zip64=(i % 3 == 1))
             if i % 23 == 0:
                 bb = bytearray(b)

@@ -3596,8 +3596,8 @@ def x_ogg_meta(spark, sf_dir):
     )
     SELECT m.doc_id, CAST(m.j AS BIGINT) AS member_idx,
            printf('m%d.bin', m.j) AS name,
-           CASE WHEN (m.doc_id + m.j) % 2 = 0 THEN 'stored'
-                ELSE 'deflate' END AS method,
+           CASE (m.doc_id + m.j) % 3 WHEN 0 THEN 'stored'
+                WHEN 1 THEN 'deflate' ELSE 'bzip2' END AS method,
            CAST(b.usz AS BIGINT) AS uncomp_size,
            b.byte_sum, TRUE AS ok, NOT m.corrupt AS valid
     FROM mem m JOIN bsum b ON m.doc_id = b.doc_id AND m.j = b.j

@@ -710,3 +710,42 @@ def test_bigtiff_walk_and_decode(spark):
     assert parse_tiff(
         b"II" + struct.pack("<HHH", 43, 4, 0) + bytes(8)) is None
     assert parse_tiff(b"II\x2b\x00" + bytes(8)) is None  # truncated
+
+
+def test_zip_bzip2_and_lzma_members():
+    """APPNOTE methods 12 (bzip2) and 14 (LZMA, version+props header,
+    EOS-agnostic raw stream) extract CRC-verified; truncated streams
+    are honest Nones.  Cross-checked against stdlib zipfile in both
+    directions (stdlib writes both methods)."""
+    import io
+    import zipfile
+
+    from lwetl_spark.operators.media import (
+        extract_zip_member,
+        parse_zip,
+        zip_bytes,
+    )
+
+    members = [("a.txt", b"bzip me " * 200, zipfile.ZIP_BZIP2),
+               ("b.bin", bytes(range(256)) * 30, zipfile.ZIP_LZMA),
+               ("c.txt", b"plain", zipfile.ZIP_STORED)]
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        for n, data, meth in members:
+            zi = zipfile.ZipInfo(n)
+            zi.compress_type = meth
+            with zf.open(zi, "w") as f:
+                f.write(data)
+    sb = buf.getvalue()
+    r = parse_zip(sb)
+    assert r["valid"]
+    assert [x["method"] for x in r["members"]] == [12, 14, 0]
+    for mm, (_, data, _) in zip(r["members"], members):
+        assert extract_zip_member(sb, mm) == data
+    short = dict(r["members"][0])
+    short["comp_size"] -= 5
+    assert extract_zip_member(sb, short) is None
+    # our generator's bzip2 members read back through stdlib
+    ours = zip_bytes([("x", b"payload " * 50, "bzip2")])
+    zf2 = zipfile.ZipFile(io.BytesIO(ours))
+    assert zf2.read("x") == b"payload " * 50
