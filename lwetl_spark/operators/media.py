@@ -7065,50 +7065,79 @@ def _make_tiff_gen():
         if from_none:
             strip_off = len(out)
             out += bytes(8)  # shared token strip for every page
-            strips = [([strip_off], [8], None, 1)] * len(pages)
+            strips = [([strip_off], [8], None, 1, None)] * len(pages)
         else:
             for p, pg in enumerate(pages):
                 w, h = pg[0], pg[1]
                 comp = pg[3]
                 rps = pg[4] if len(pg) > 4 else h
                 pred = pg[5] if len(pg) > 5 else 1
+                tile = pg[6] if len(pg) > 6 else None
                 rows = [
                     [(seed + 7 * r + 13 * c + 19 * p) % 256
                      for c in range(w)]
                     for r in range(h)
                 ]
-                if pred == 2:  # horizontal differencing
-                    rows = [[row[0]] + [(row[c] - row[c - 1]) % 256
-                                        for c in range(1, w)]
-                            for row in rows]
-                offs, lens = [], []
-                for r0 in range(0, h, rps):
-                    chunk = b"".join(
-                        bytes(row) for row in rows[r0 : r0 + rps])
+
+                def _enc(chunk: bytes) -> bytes:
                     if comp == 5:
-                        chunk = lzwe(chunk)
-                    elif comp == 32773:
-                        chunk = pbe(chunk)
+                        return lzwe(chunk)
+                    if comp == 32773:
+                        return pbe(chunk)
+                    return chunk
+
+                def _diff(seg: list) -> list:
+                    return [seg[0]] + [(seg[c] - seg[c - 1]) % 256
+                                       for c in range(1, len(seg))]
+
+                offs, lens = [], []
+                if tile is not None:  # tiled layout (r10): edge
+                    tw, tl = tile  # tiles PAD to full size, per spec
+                    for ty in range(-(-h // tl)):
+                        for tx in range(-(-w // tw)):
+                            segs = []
+                            for rr in range(ty * tl, ty * tl + tl):
+                                seg = [
+                                    rows[rr][tx * tw + cc]
+                                    if rr < h and tx * tw + cc < w
+                                    else 0
+                                    for cc in range(tw)
+                                ] if rr < h else [0] * tw
+                                if pred == 2:
+                                    seg = _diff(seg)
+                                segs.append(bytes(seg))
+                            chunk = _enc(b"".join(segs))
+                            offs.append(len(out))
+                            lens.append(len(chunk))
+                            out += chunk
+                    strips.append((offs, lens, rps, pred, tile))
+                    continue
+                if pred == 2:  # horizontal differencing
+                    rows = [_diff(row) for row in rows]
+                for r0 in range(0, h, rps):
+                    chunk = _enc(b"".join(
+                        bytes(row) for row in rows[r0 : r0 + rps]))
                     offs.append(len(out))
                     lens.append(len(chunk))
                     out += chunk
-                strips.append((offs, lens, rps, pred))
+                strips.append((offs, lens, rps, pred, None))
         ifd_offs = []
         ifd_ents = []
-        for pg, (offs, lens, rps, pred) in zip(pages, strips):
+        for pg, (offs, lens, rps, pred, tile) in zip(pages, strips):
             w, h, bits, comp = pg[0], pg[1], pg[2], pg[3]
             # count>1 value arrays live out-of-line, BEFORE the IFD
             st = ptr_typ  # strip offsets/lengths: LONG8 in bigtiff
+            off_tag, len_tag = (324, 325) if tile else (273, 279)
             if len(offs) > 1:
                 so_ptr = len(out)
                 out += struct.pack(e + pfmt * len(offs), *offs)
                 sl_ptr = len(out)
                 out += struct.pack(e + pfmt * len(lens), *lens)
-                strip_es = [entry(273, st, len(offs), so_ptr),
-                            entry(279, st, len(lens), sl_ptr)]
+                strip_es = [entry(off_tag, st, len(offs), so_ptr),
+                            entry(len_tag, st, len(lens), sl_ptr)]
             else:
-                strip_es = [entry(273, st, 1, offs[0]),
-                            entry(279, st, 1, lens[0])]
+                strip_es = [entry(off_tag, st, 1, offs[0]),
+                            entry(len_tag, st, 1, lens[0])]
             ifd_offs.append(len(out))
             ents = [
                 entry(256, 4, 1, w), entry(257, 4, 1, h),
@@ -7116,7 +7145,10 @@ def _make_tiff_gen():
                 entry(262, 3, 1, 1),
                 strip_es[0],
             ]
-            if rps is not None and rps != h:
+            if tile is not None:
+                ents.append(entry(322, 4, 1, tile[0]))
+                ents.append(entry(323, 4, 1, tile[1]))
+            elif rps is not None and rps != h:
                 ents.append(entry(278, 4, 1, rps))
             ents.append(strip_es[1])
             if pred != 1:
@@ -7237,6 +7269,14 @@ def _make_tiff_walker():
                     page["strip_lens"] = list(vals)
                 elif tag == 317:
                     page["predictor"] = vals[0]
+                elif tag == 322:  # tiled layout (r10): GIS/scan
+                    page["tile_width"] = vals[0]  # pyramids ship
+                elif tag == 323:  # tiles, not strips
+                    page["tile_length"] = vals[0]
+                elif tag == 324:
+                    page["tile_offs"] = list(vals)
+                elif tag == 325:
+                    page["tile_lens"] = list(vals)
             pages.append(page)
             np_at = off + csz + esz * n
             (off,) = struct.unpack(
@@ -7363,8 +7403,61 @@ def tiff_pixel_stats(df: DataFrame) -> DataFrame:
         import numpy as np
         import pandas as pd
 
+        def chunk_bytes(b: bytes, comp: int, soff: int, slen: int,
+                        n: int):
+            """One strip/tile's decoded bytes (exactly n), or None."""
+            if soff + slen > len(b):
+                return None
+            raw = b[soff : soff + slen]
+            if comp == 5:
+                return lzw_dec(raw, n)
+            if comp == 32773:
+                return pb_dec(raw, n)
+            return raw if slen == n else None
+
+        def undo_pred2(raw: bytes, nrows: int, ncols: int) -> bytes:
+            a = np.frombuffer(raw, np.uint8).reshape(nrows, ncols)
+            a = np.cumsum(a.astype(np.int64), axis=1) & 0xFF
+            return a.astype(np.uint8).tobytes()
+
+        def tile_bytes(b: bytes, p: dict):
+            """Tiled-layout page (r10, tags 322-325): edge tiles are
+            PADDED to full tile size per the spec — decode each tile,
+            undo the per-row predictor at tile width, assemble, crop
+            the padding away."""
+            w, h = p["width"], p["height"]
+            tw, tl = p["tile_width"], p["tile_length"]
+            offs = p.get("tile_offs")
+            lens = p.get("tile_lens")
+            pred = p.get("predictor", 1)
+            if (p["compression"] not in (1, 5, 32773)
+                    or p["bits"] != 8 or not w or not h
+                    or not tw or not tl or not offs or not lens
+                    or len(offs) != len(lens) or pred not in (1, 2)):
+                return None
+            ntx, nty = -(-w // tw), -(-h // tl)
+            if len(offs) != ntx * nty:
+                return None
+            img = np.zeros((h, w), np.uint8)
+            for ti, (soff, slen) in enumerate(zip(offs, lens)):
+                raw = chunk_bytes(b, p["compression"], soff, slen,
+                                  tw * tl)
+                if raw is None:
+                    return None
+                if pred == 2:
+                    raw = undo_pred2(raw, tl, tw)
+                arr = np.frombuffer(raw, np.uint8).reshape(tl, tw)
+                ty, tx = ti // ntx, ti % ntx
+                y0, x0 = ty * tl, tx * tw
+                ch = min(tl, h - y0)
+                cw = min(tw, w - x0)
+                img[y0 : y0 + ch, x0 : x0 + cw] = arr[:ch, :cw]
+            return img.tobytes()
+
         def page_bytes(b: bytes, p: dict):
             """Decode one page to its raw gray rows, or None."""
+            if p.get("tile_width") is not None:
+                return tile_bytes(b, p)
             w, h = p["width"], p["height"]
             offs = p.get("strip_offs")
             lens = p.get("strip_lens")
@@ -7381,23 +7474,14 @@ def tiff_pixel_stats(df: DataFrame) -> DataFrame:
             row = 0
             for soff, slen in zip(offs, lens):
                 nrows = min(rps, h - row)
-                if soff + slen > len(b):
-                    return None
-                raw = b[soff : soff + slen]
-                if p["compression"] == 5:
-                    raw = lzw_dec(raw, nrows * w)
-                elif p["compression"] == 32773:
-                    raw = pb_dec(raw, nrows * w)
-                elif slen != nrows * w:
-                    return None
+                raw = chunk_bytes(b, p["compression"], soff, slen,
+                                  nrows * w)
                 if raw is None:
                     return None
                 out += raw
                 row += nrows
             if pred == 2:  # undo horizontal differencing per row
-                arr = np.frombuffer(bytes(out), np.uint8).reshape(h, w)
-                arr = np.cumsum(arr.astype(np.int64), axis=1) & 0xFF
-                out = arr.astype(np.uint8).tobytes()
+                return undo_pred2(bytes(out), h, w)
             return bytes(out)
 
         def stats(b: bytes):
@@ -7460,7 +7544,12 @@ def synth_tiff_px_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 comp = (1, 5, 32773)[(i + p) % 3]
                 rps = (h, -(-h // 2), 3)[(i + 7 * p) % 3]
                 pred = 2 if (i + 2 * p) % 3 == 0 else 1
-                pages.append((w, h, 8, comp, rps, pred))
+                # tiled legs (r10): every 5th (i+3p) page stores as
+                # padded TILES (tags 322-325) instead of strips —
+                # the GIS/scan-pyramid layout; lossless, same oracle
+                tile = ((4 + i % 5, 3 + i % 4)
+                        if (i + 3 * p) % 5 == 2 else None)
+                pages.append((w, h, 8, comp, rps, pred, tile))
             big = i % 7 == 3  # r10: BigTIFF legs (magic 43, 8-byte
             # offsets, LONG8 strips) — lossless framing, same oracle
             b = _gen(pages, little=(i % 2 == 0), seed=i % 256,

@@ -749,3 +749,46 @@ def test_zip_bzip2_and_lzma_members():
     ours = zip_bytes([("x", b"payload " * 50, "bzip2")])
     zf2 = zipfile.ZipFile(io.BytesIO(ours))
     assert zf2.read("x") == b"payload " * 50
+
+
+def test_tiled_tiff_decode(spark):
+    """Tiled TIFF (tags 322-325 — the GIS/scan-pyramid layout): padded
+    edge tiles decode and crop correctly across compressions,
+    predictor, byte orders, and BigTIFF framing; a tile-count lie is
+    an honest NULL."""
+    import struct
+
+    from lwetl_spark.operators.media import (
+        parse_tiff,
+        tiff_bytes,
+        tiff_pixel_stats,
+    )
+
+    exp = [(33 + 7 * r + 13 * c) % 256
+           for r in range(10) for c in range(9)]
+    want = (len(exp), sum(exp), min(exp), max(exp))
+    for little in (True, False):
+        for big in (False, True):
+            for comp, pred, tile in ((1, 1, (4, 3)), (5, 2, (16, 16)),
+                                     (32773, 1, (9, 10))):
+                b = tiff_bytes([(9, 10, 8, comp, 10, pred, tile)],
+                               little=little, seed=33, bigtiff=big)
+                p0 = parse_tiff(b)["pages"][0]
+                assert (p0["tile_width"], p0["tile_length"]) == tile
+                df = spark.createDataFrame(
+                    [(1, b)], "doc_id long, payload binary")
+                r = tiff_pixel_stats(df).collect()[0]
+                assert (r["n_px"], r["sum_px"], r["min_px"],
+                        r["max_px"]) == want, (little, big, comp)
+    # lie: patch TileWidth so the tile count disagrees
+    b = tiff_bytes([(9, 10, 8, 1, 10, 1, (4, 3))], seed=33)
+    bb = bytearray(b)
+    ifd = struct.unpack("<I", bb[4:8])[0]
+    n = struct.unpack("<H", bb[ifd : ifd + 2])[0]
+    for i in range(n):
+        p = ifd + 2 + 12 * i
+        if struct.unpack("<H", bb[p : p + 2])[0] == 322:
+            bb[p + 8 : p + 12] = struct.pack("<I", 7)
+    df = spark.createDataFrame([(1, bytes(bb))],
+                               "doc_id long, payload binary")
+    assert tiff_pixel_stats(df).collect()[0]["n_px"] is None
