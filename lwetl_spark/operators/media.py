@@ -1773,7 +1773,13 @@ def _make_warc_gen():
     web crawls actually ship as (Common Crawl et al.); the census
     walks this exact structure."""
 
-    def warc(records) -> bytes:
+    import zlib
+
+    def warc(records, gz: bool = False) -> bytes:
+        """``gz=True`` (r10) emits the Common Crawl layout: each
+        record individually gzipped, members concatenated — what a
+        real .warc.gz shard is.  zlib's gzip wrapper writes mtime 0,
+        so the output stays deterministic."""
         out = bytearray()
         for j, (rtype, uri, payload) in enumerate(records):
             hdr = [
@@ -1785,9 +1791,13 @@ def _make_warc_gen():
             if uri:
                 hdr.append(f"WARC-Target-URI: {uri}")
             hdr.append(f"Content-Length: {len(payload)}")
-            out += ("\r\n".join(hdr) + "\r\n\r\n").encode()
-            out += payload
-            out += b"\r\n\r\n"
+            rec = (("\r\n".join(hdr) + "\r\n\r\n").encode()
+                   + payload + b"\r\n\r\n")
+            if gz:
+                c = zlib.compressobj(6, zlib.DEFLATED, 31)
+                out += c.compress(rec) + c.flush()
+            else:
+                out += rec
         return bytes(out)
 
     return warc
@@ -1797,16 +1807,57 @@ def _make_warc_gen():
 warc_bytes = _make_warc_gen()
 
 
+def _make_gunzip_members():
+    """Factory returning the concatenated-gzip-member inflater (r10):
+    a real .warc.gz is each record gzipped INDIVIDUALLY with the
+    members concatenated (the Common Crawl layout — random access by
+    member offset), so one zlib pass is not enough: loop
+    decompressobj(wbits=31) over `unused_data`.  Returns
+    (plain_bytes, ok): the input unchanged when it is not gzip
+    (ok=True); on a corrupt or truncated member, whatever the INTACT
+    leading members inflated with ok=False — callers walk those
+    records AND flag the shard (the partial-census contract; a
+    silently-valid partial would hide the corruption)."""
+    import zlib
+
+    def gunzip(b: bytes):
+        if b[:2] != b"\x1f\x8b":
+            return b, True
+        out = bytearray()
+        rest = b
+        while rest:
+            d = zlib.decompressobj(31)
+            try:
+                out += d.decompress(rest)
+                out += d.flush()
+            except zlib.error:
+                return bytes(out), False
+            if not d.eof:  # truncated final member
+                return bytes(out), False
+            rest = d.unused_data
+        return bytes(out), True
+
+    return gunzip
+
+
+#: the gzip-member inflater (factory-made; importable for tests)
+gunzip_members = _make_gunzip_members()
+
+
 def _make_warc_walker():
     """Factory returning the WARC record walker (by-value pickling):
     per record, parse the version line + headers up to the CRLF-CRLF
     separator, skip exactly Content-Length payload bytes, require the
-    CRLF-CRLF terminator.  A malformed version line, missing
-    Content-Length, or truncated payload stops the walk — the records
-    parsed before the lie survive (partial census)."""
+    CRLF-CRLF terminator.  Gzipped shards (.warc.gz, per-record
+    members — the Common Crawl layout) inflate transparently first
+    (r10).  A malformed version line, missing Content-Length, or
+    truncated payload stops the walk — the records parsed before the
+    lie survive (partial census)."""
+    _gz = _make_gunzip_members()
 
     def walk(b: bytes):
         b = bytes(b) if b is not None else b""
+        b, gz_ok = _gz(b)
         recs = []
         pos = 0
         ok = True
@@ -1842,7 +1893,7 @@ def _make_warc_walker():
                 "byte_sum": sum(b[body_s:body_e]),
             })
             pos = body_e + 4
-        return {"records": recs, "valid": ok and bool(recs)}
+        return {"records": recs, "valid": gz_ok and ok and bool(recs)}
 
     return walk
 
@@ -1919,16 +1970,18 @@ def synth_warc_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 payload = bytes((i + 11 * j + 3 * k) % 256
                                 for k in range(20 + (i + 7 * j) % 40))
                 recs.append((t, uri, payload))
-            b = _gen(recs)
             if i % 23 == 0:
                 # corrupt record 1's version line (payload bytes step
                 # by 3 mod 256, so "WARC/1.0" can only be a real
                 # record start)
+                b = _gen(recs)
                 k2 = b.index(b"WARC/1.0", 1)
                 bb = bytearray(b)
                 bb[k2] = 0x58  # 'X'
                 return bytes(bb)
-            return b
+            # r10: odd ids ship as .warc.gz (per-record gzip members,
+            # the Common Crawl layout) — lossless, same oracle
+            return _gen(recs, gz=(i % 2 == 1))
 
         for pdf in batches:
             ids = pdf["doc_id"].astype("int64")
@@ -1945,13 +1998,17 @@ def warc_payloads(df: DataFrame) -> DataFrame:
     same partial-census-on-corruption contract, but emitting
     (doc_id, rec_idx, rec_type, target_uri, payload) rows — the feed a
     crawl ingest consumes (response bodies → HTML strip → campaign).
-    One zero-shuffle Arrow pass."""
+    Gzipped shards (.warc.gz per-record members, r10) inflate
+    transparently.  One zero-shuffle Arrow pass."""
     walk = _make_warc_walker()
+    gz = _make_gunzip_members()
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
         def rows(doc_id: int, b: bytes):
+            b, _gz_ok = gz(b)  # partial members still yield their
+            # records; census-level validity lives in warc_records
             # re-walk with body slicing (the walker proves ranges via
             # byte sums; here we carry the bytes themselves)
             pos = 0
@@ -2027,7 +2084,7 @@ def synth_warc_html_demo(docs: DataFrame, id_col: str = "doc_id",
                  b"GET /p HTTP/1.1"),
                 ("response", "http://site%d.example/p" % (i % 50),
                  html.encode()),
-            ])
+            ], gz=(i % 3 == 0))  # r10: .warc.gz legs, same oracle
 
         for pdf in batches:
             ids = pdf["doc_id"].astype("int64")
@@ -2113,7 +2170,8 @@ def synth_warc_imgtext_demo(docs: DataFrame,
             recs.insert(1, ("response",
                             "http://site%d.example/p%d" % (i % 50, i),
                             html.encode()))
-            return _warc(recs)
+            # r10: alternating shards ship gzipped (.warc.gz)
+            return _warc(recs, gz=((i // 4) % 2 == 0))
 
         for pdf in batches:
             ids = pdf["doc_id"].astype("int64")

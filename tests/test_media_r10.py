@@ -792,3 +792,38 @@ def test_tiled_tiff_decode(spark):
     df = spark.createDataFrame([(1, bytes(bb))],
                                "doc_id long, payload binary")
     assert tiff_pixel_stats(df).collect()[0]["n_px"] is None
+
+
+def test_warc_gz_per_record_members():
+    """.warc.gz (per-record gzip members, the Common Crawl layout)
+    inflates transparently; a corrupt or truncated member keeps the
+    records from intact leading members AND flags the shard."""
+    from lwetl_spark.operators.media import (
+        gunzip_members,
+        parse_warc,
+        warc_bytes,
+    )
+
+    recs = [("warcinfo", None, b"sw"),
+            ("response", "http://a/b", b"hello world"),
+            ("response", "http://a/c", b"bytes " * 50)]
+    plain = warc_bytes(recs)
+    gz = warc_bytes(recs, gz=True)
+    assert gz[:2] == b"\x1f\x8b"
+    assert gunzip_members(gz) == (plain, True)
+    r = parse_warc(gz)
+    assert r["valid"] and len(r["records"]) == 3
+    assert [x["byte_sum"] for x in r["records"]] == [
+        sum(b"sw"), sum(b"hello world"), sum(b"bytes " * 50)]
+    # corrupt the SECOND member's magic: record 0 survives, flagged
+    i = gz.index(b"\x1f\x8b", 2)
+    bad = gz[:i] + b"XX" + gz[i + 2:]
+    r2 = parse_warc(bad)
+    assert len(r2["records"]) == 1 and r2["valid"] is False
+    # truncated tail member: flagged
+    r3 = parse_warc(gz[: len(gz) - 4])
+    assert r3["valid"] is False
+    # stdlib gzip reads our members back (one-member case)
+    import gzip as _gzip
+    one = warc_bytes(recs[:1], gz=True)
+    assert _gzip.decompress(one) == warc_bytes(recs[:1])
