@@ -4890,6 +4890,178 @@ IMAGE_DHASH_SCHEMA = (
 )
 
 
+IMAGE_CAPTION_SCHEMA = (
+    "doc_id long, item_idx long, source string, key string,"
+    " text string"
+)
+
+
+def image_captions(df: DataFrame) -> DataFrame:
+    """Embedded image-caption extraction (r10) — the caption text that
+    lives INSIDE image files, the third alt-text source after HTML
+    attributes and sidecar JSON: PNG textual chunks — tEXt
+    (keyword\\0 latin-1 text), zTXt (keyword\\0 method-0 zlib text,
+    REALLY inflated), iTXt (language-tagged UTF-8, optionally
+    zlib-compressed) — and JPEG COM (0xFFFE) comment segments from
+    the marker walk.  One row per textual item in file order;
+    undecodable chunks (bad zlib, bad UTF-8) are skipped while the
+    rest of the file's items survive; non-image or caption-free
+    payloads yield a single sentinel row (item_idx -1).  One
+    zero-shuffle Arrow pass."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import struct
+        import zlib
+
+        import pandas as pd
+
+        def png_items(b: bytes):
+            pos = 8
+            while pos + 8 <= len(b):
+                (ln,) = struct.unpack(">I", b[pos : pos + 4])
+                tag = b[pos + 4 : pos + 8]
+                data = b[pos + 8 : pos + 8 + ln]
+                if tag == b"tEXt":
+                    k, _, v = data.partition(b"\x00")
+                    yield ("png_text", k.decode("latin-1"),
+                           v.decode("latin-1"))
+                elif tag == b"zTXt":
+                    k, _, rest = data.partition(b"\x00")
+                    if rest[:1] == b"\x00":  # method 0 = zlib
+                        try:
+                            yield ("png_ztxt", k.decode("latin-1"),
+                                   zlib.decompress(rest[1:])
+                                   .decode("latin-1"))
+                        except zlib.error:
+                            pass  # bad stream: skip this chunk only
+                elif tag == b"iTXt":
+                    k, _, rest = data.partition(b"\x00")
+                    if len(rest) >= 2:
+                        comp, meth = rest[0], rest[1]
+                        _lang, _, rest2 = rest[2:].partition(b"\x00")
+                        _tr, _, txt = rest2.partition(b"\x00")
+                        if comp == 1 and meth == 0:
+                            try:
+                                txt = zlib.decompress(txt)
+                            except zlib.error:
+                                txt = None
+                        elif comp != 0:
+                            txt = None
+                        if txt is not None:
+                            try:
+                                yield ("png_itxt", k.decode("latin-1"),
+                                       txt.decode("utf-8"))
+                            except UnicodeDecodeError:
+                                pass
+                elif tag == b"IEND":
+                    return
+                pos += 12 + ln
+
+        def jpeg_items(b: bytes):
+            pos = 2
+            while pos + 4 <= len(b):
+                if b[pos] != 0xFF:
+                    return
+                marker = b[pos + 1]
+                if marker == 0xDA:  # SOS: entropy data follows
+                    return
+                (ln,) = struct.unpack(">H", b[pos + 2 : pos + 4])
+                if marker == 0xFE:  # COM
+                    yield ("jpeg_com", "comment",
+                           b[pos + 4 : pos + 2 + ln]
+                           .decode("latin-1"))
+                pos += 2 + ln
+
+        def rows(i: int, b: bytes):
+            b = bytes(b) if b is not None else b""
+            items = []
+            if b[:8] == b"\x89PNG\r\n\x1a\n":
+                items = list(png_items(b))
+            elif b[:3] == b"\xff\xd8\xff":
+                items = list(jpeg_items(b))
+            if not items:
+                return [(i, -1, "none", "none", "none")]
+            return [(i, j, s, k, t)
+                    for j, (s, k, t) in enumerate(items)]
+
+        cols = ["doc_id", "item_idx", "source", "key", "text"]
+        for pdf in batches:
+            recs = []
+            for i, b in zip(pdf["doc_id"], pdf["payload"]):
+                recs.extend(rows(int(i), b))
+            yield pd.DataFrame(recs, columns=cols)
+
+    return df.mapInPandas(run, schema=IMAGE_CAPTION_SCHEMA)
+
+
+def synth_image_caption_demo(docs: DataFrame,
+                             id_col: str = "doc_id") -> DataFrame:
+    """Fixture for x_img_captions (r10): even ids are REAL PNGs with a
+    tEXt Title 'Img title {i}', a zTXt Description
+    'Compressed desc {i}' (genuine zlib stream), and an iTXt Comment
+    carrying UTF-8 'Unicode caption {i} é' — zlib-compressed when
+    i%4==0 (both legal iTXt forms); odd ids are REAL baseline JPEGs
+    with a COM segment 'Jpeg comment {i}'.  Every 23rd id's zTXt
+    stream is corrupted: that chunk alone is skipped, the other
+    captions survive."""
+    _jenc = jpeg_baseline_bytes  # factory product → ships by value
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import struct
+        import zlib
+
+        import pandas as pd
+
+        def chunk(tag: bytes, data: bytes) -> bytes:
+            return (struct.pack(">I", len(data)) + tag + data
+                    + struct.pack(">I",
+                                  zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+        def _pngbase(w: int, h: int) -> bytes:
+            # nested by-value copy of png_bytes (module-level defs
+            # pickle by reference and die on import-less workers)
+            ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+            raw = b"".join(b"\x00" + bytes(w) for _ in range(h))
+            return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                    + chunk(b"IDAT", zlib.compress(raw))
+                    + chunk(b"IEND", b""))
+
+        def one(i: int) -> bytes:
+            if i % 2 == 1:
+                base = _jenc(16, 16, [(0, 0)] * 4)
+                com = ("Jpeg comment %d" % i).encode("latin-1")
+                seg = (b"\xff\xfe" + struct.pack(">H", len(com) + 2)
+                       + com)
+                return base[:2] + seg + base[2:]
+            base = _pngbase(8, 8)
+            zdata = ("Compressed desc %d" % i).encode("latin-1")
+            z = zlib.compress(zdata)
+            if i % 23 == 0:
+                z = z[:-3]  # adler tail gone: chunk skipped
+            itxt = ("Unicode caption %d é" % i).encode("utf-8")
+            if i % 4 == 0:
+                body = b"Comment\x00\x01\x00en\x00\x00" \
+                    + zlib.compress(itxt)
+            else:
+                body = b"Comment\x00\x00\x00en\x00\x00" + itxt
+            chunks = (
+                chunk(b"tEXt", b"Title\x00"
+                      + ("Img title %d" % i).encode("latin-1"))
+                + chunk(b"zTXt", b"Description\x00\x00" + z)
+                + chunk(b"iTXt", body)
+            )
+            ihdr_end = 33  # signature(8) + IHDR chunk(25)
+            return base[:ihdr_end] + chunks + base[ihdr_end:]
+
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame({"doc_id": ids, "payload": ids.map(one)})
+
+    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        gen, "doc_id long, payload binary"
+    )
+
+
 def image_dhash(df: DataFrame) -> DataFrame:
     """Perceptual difference-hash for image payloads (r9) — the
     image-side near-dup fingerprint every multimodal dedup pipeline

@@ -2521,6 +2521,50 @@ def x_warc_ingest(spark, sf_dir):
 
 
 @register(
+    "x_img_captions",
+    """
+    WITH g AS (SELECT doc_id AS i FROM documents)
+    SELECT i AS doc_id, CAST(0 AS BIGINT) AS item_idx,
+           'jpeg_com' AS source, 'comment' AS key,
+           printf('Jpeg comment %d', i) AS text
+    FROM g WHERE i % 2 = 1
+    UNION ALL
+    SELECT i, CAST(0 AS BIGINT), 'png_text', 'Title',
+           printf('Img title %d', i)
+    FROM g WHERE i % 2 = 0
+    UNION ALL
+    SELECT i, CAST(1 AS BIGINT), 'png_ztxt', 'Description',
+           printf('Compressed desc %d', i)
+    FROM g WHERE i % 2 = 0 AND i % 23 <> 0
+    UNION ALL
+    SELECT i, CAST(CASE WHEN i % 23 = 0 THEN 1 ELSE 2 END AS BIGINT),
+           'png_itxt', 'Comment',
+           printf('Unicode caption %d é', i)
+    FROM g WHERE i % 2 = 0
+    """,
+)
+def x_img_captions(spark, sf_dir):
+    """Embedded image-caption extraction (r10; operators/media.
+    image_captions) — the caption text that lives INSIDE image files,
+    the third alt-text source after HTML attributes and sidecar JSON:
+    PNG tEXt (latin-1), zTXt (REAL zlib inflate), iTXt (UTF-8,
+    optionally compressed — fixtures alternate both legal forms), and
+    JPEG COM segments from the marker walk.  Every 23rd PNG's zTXt
+    stream is corrupted: that chunk alone is skipped (later items'
+    indices shift accordingly) while the file's other captions
+    survive — the per-chunk failure contract.  Every string
+    value-checks through the encoding round-trips, including the
+    non-ASCII UTF-8 iTXt."""
+    from lwetl_spark.operators.media import (
+        image_captions,
+        synth_image_caption_demo,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return image_captions(synth_image_caption_demo(docs))
+
+
+@register(
     "x_id3_tags",
     """
     SELECT doc_id,

@@ -827,3 +827,38 @@ def test_warc_gz_per_record_members():
     import gzip as _gzip
     one = warc_bytes(recs[:1], gz=True)
     assert _gzip.decompress(one) == warc_bytes(recs[:1])
+
+
+def test_image_captions_chunk_contracts(spark):
+    """PNG tEXt/zTXt/iTXt + JPEG COM extraction: encodings round-trip
+    (incl. non-ASCII UTF-8 iTXt), a bad zlib chunk skips alone, and
+    non-image payloads yield the sentinel row."""
+    from lwetl_spark.operators.media import (
+        image_captions,
+        synth_image_caption_demo,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in (0, 1, 2, 4, 23, 46)],
+                                 "doc_id long")
+    out = {}
+    for r in image_captions(synth_image_caption_demo(docs)).collect():
+        out.setdefault(r["doc_id"], []).append(
+            (r["item_idx"], r["source"], r["key"], r["text"]))
+    assert out[1] == [(0, "jpeg_com", "comment", "Jpeg comment 1")]
+    assert out[2] == [
+        (0, "png_text", "Title", "Img title 2"),
+        (1, "png_ztxt", "Description", "Compressed desc 2"),
+        (2, "png_itxt", "Comment", "Unicode caption 2 é"),
+    ]
+    # i%4==0: iTXt is the COMPRESSED form; same decoded text
+    assert (2, "png_itxt", "Comment", "Unicode caption 4 é") in out[4]
+    # corrupted zTXt (46 is even and %23==0): skipped, indices shift
+    assert out[46] == [
+        (0, "png_text", "Title", "Img title 46"),
+        (1, "png_itxt", "Comment", "Unicode caption 46 é"),
+    ]
+    # non-image payload
+    df2 = spark.createDataFrame([(9, b"not an image")],
+                                "doc_id long, payload binary")
+    r9 = image_captions(df2).collect()[0]
+    assert r9["item_idx"] == -1 and r9["source"] == "none"
