@@ -852,6 +852,10 @@ def _make_jpeg_decoder():
                     bits = list(payload[i + 1 : i + 17])
                     nv = sum(bits)
                     vals = list(payload[i + 17 : i + 17 + nv])
+                    if len(vals) < nv:
+                        return None  # DHT declares more symbols than
+                        # the segment carries (r10 fuzz find: the
+                        # truncated-table IndexError killed the task)
                     tbl, code, k = {}, 0, 0
                     for cl in range(1, 17):
                         for _ in range(bits[cl - 1]):

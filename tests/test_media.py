@@ -1905,6 +1905,8 @@ def test_null_payload_never_kills_any_media_op(spark):
         "video_fingerprint", "mp4_frame_index", "mkv_frame_index",
         "gunzip_text", "warc_payloads", "tar_member_payloads",
         "wav_pcm_stats",
+        # r10 additions join the roster
+        "pdf_image_stats", "image_captions", "id3_tags",
     ]
     for name in ops:
         getattr(M, name)(df).collect()  # must not raise

@@ -862,3 +862,21 @@ def test_image_captions_chunk_contracts(spark):
                                 "doc_id long, payload binary")
     r9 = image_captions(df2).collect()[0]
     assert r9["item_idx"] == -1 and r9["source"] == "none"
+
+
+def test_truncated_dht_is_null_not_crash():
+    """r10 mutation-fuzz find: a DHT segment declaring more Huffman
+    symbols than it carries must decode to None, not IndexError."""
+    import struct
+
+    from lwetl_spark.operators.media import decode_jpeg, jpeg_baseline_bytes
+
+    b = jpeg_baseline_bytes(16, 16, [(3, 2)] * 4)
+    assert decode_jpeg(b) is not None
+    # find the DHT segment and inflate its first 'bits' count so
+    # sum(bits) exceeds the symbols actually present
+    i = b.find(b"\xff\xc4")
+    assert i > 0
+    bb = bytearray(b)
+    bb[i + 5] = 250  # bits[0] lies
+    assert decode_jpeg(bytes(bb)) is None
