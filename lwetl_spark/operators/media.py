@@ -3577,6 +3577,175 @@ def synth_media_demo(
 # JVM-side parsers (whole-stage codegen, zero Python)                #
 # ---------------------------------------------------------------- #
 
+def _make_heif_walker():
+    """Factory returning the HEIF/AVIF census walker (r10 — phone
+    photography ships as heic, the AV1 web as avif; both are ISO-BMFF
+    but IMAGES, so the mp4 walker's track census is the wrong shape):
+    ftyp brand check, then the box walk into meta → iprp → ipco where
+    every 'ispe' property carries an image extent (FULLBOX: 4
+    version/flags bytes, then 32-bit width/height).  'meta' itself is
+    a FULLBOX — the classic parser trap: treating it as a plain
+    container misreads every child.  A box size past its parent stops
+    that level's walk (the properties parsed before the lie survive,
+    valid=False).  Returns {brand, ispes: [(w, h)...], valid} or
+    None for non-HEIF payloads."""
+    import struct
+
+    BRANDS = ("heic", "heix", "mif1", "msf1", "avif")
+
+    def walk(b: bytes):
+        b = bytes(b) if b is not None else b""
+        if len(b) < 16 or b[4:8] != b"ftyp":
+            return None
+        brand = b[8:12].decode("ascii", "replace")
+        if brand not in BRANDS:
+            return None
+        ispes = []
+        ok = True
+
+        def children(pos: int, end: int):
+            nonlocal ok
+            while pos + 8 <= end:
+                (sz,) = struct.unpack(">I", b[pos : pos + 4])
+                tag = b[pos + 4 : pos + 8]
+                if sz < 8 or pos + sz > end:
+                    ok = False  # size lie: keep what parsed
+                    return
+                yield tag, pos + 8, pos + sz
+                pos += sz
+            if pos != end:
+                ok = False
+
+        for tag, s, e in children(0, len(b)):
+            if tag != b"meta":
+                continue
+            for t2, s2, e2 in children(s + 4, e):  # meta is a fullbox
+                if t2 != b"iprp":
+                    continue
+                for t3, s3, e3 in children(s2, e2):
+                    if t3 != b"ipco":
+                        continue
+                    for t4, s4, e4 in children(s3, e3):
+                        if t4 == b"ispe" and e4 - s4 >= 12:
+                            w, h = struct.unpack(
+                                ">II", b[s4 + 4 : s4 + 12])
+                            ispes.append((w, h))
+        return {"brand": brand, "ispes": ispes,
+                "valid": bool(ok and ispes)}
+
+    return walk
+
+
+#: the HEIF walker (factory-made; importable for tests)
+parse_heif = _make_heif_walker()
+
+
+def _make_heif_gen():
+    """Factory returning the HEIF/AVIF generator (by-value pickling):
+    ftyp (brand + minor + compatible brands) + meta FULLBOX
+    {hdlr stub, iprp{ipco{ispe×n}}} + a token mdat — the structure
+    parse_heif walks."""
+    import struct
+
+    def box(tag: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + tag + body
+
+    def heif(brand: str, dims, minor: int = 0) -> bytes:
+        ftyp = box(b"ftyp", brand.encode()
+                   + struct.pack(">I", minor) + brand.encode()
+                   + b"mif1")
+        ispes = b"".join(
+            box(b"ispe", struct.pack(">III", 0, w, h))
+            for w, h in dims)
+        hdlr = box(b"hdlr", struct.pack(">I", 0) + bytes(4)
+                   + b"pict" + bytes(12))
+        meta = box(b"meta", struct.pack(">I", 0) + hdlr
+                   + box(b"iprp", box(b"ipco", ispes)))
+        return ftyp + meta + box(b"mdat", bytes(8))
+
+    return heif
+
+
+#: the HEIF generator (factory-made; importable for tests)
+heif_bytes = _make_heif_gen()
+
+
+HEIF_META_SCHEMA = (
+    "doc_id long, brand string, n_ispe long, width long, height long,"
+    " valid boolean"
+)
+
+
+def heif_meta(df: DataFrame) -> DataFrame:
+    """HEIF/AVIF census (r10; operators/media.parse_heif): brand +
+    image-extent properties — the admission-gate geometry for the
+    formats modern phones and AV1-era sites actually serve.  The
+    primary extent is the FIRST ispe (thumbnails/auxiliary images
+    follow it in real files).  Non-HEIF payloads yield NULLs; a box
+    size lying past its parent keeps the properties parsed before
+    the lie with valid=false.  One zero-shuffle Arrow pass."""
+    walk = _make_heif_walker()
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        def census(b: bytes):
+            r = walk(b)
+            if r is None:
+                return None
+            w, h = r["ispes"][0] if r["ispes"] else (None, None)
+            return (r["brand"], len(r["ispes"]), w, h, r["valid"])
+
+        cols = ["brand", "n_ispe", "width", "height", "valid"]
+        for pdf in batches:
+            parsed = [census(x) for x in pdf["payload"]]
+            out = pd.DataFrame(
+                [p if p is not None else (None,) * 4 + (False,)
+                 for p in parsed],
+                columns=cols,
+            )
+            out.insert(0, "doc_id", pdf["doc_id"].to_numpy())
+            yield out
+
+    return df.mapInPandas(run, schema=HEIF_META_SCHEMA)
+
+
+def synth_heif_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixture for x_heif_meta (r10): brand heic for even ids / avif
+    for odd; 1+(id%3) ispe extents — the primary sized
+    (256+id%512) × (192+id%384), later ones the id%7-scaled
+    thumbnails real files carry.  Every 17th id's LAST ispe size lies
+    past ipco: earlier extents survive, valid=false."""
+    _gen = heif_bytes  # factory-made → ships by value
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import struct
+
+        import pandas as pd
+
+        def one(i: int) -> bytes:
+            dims = [(256 + i % 512, 192 + i % 384)]
+            for k in range(i % 3):
+                dims.append((16 + (i + k) % 64, 16 + (i + 2 * k) % 48))
+            b = _gen("heic" if i % 2 == 0 else "avif", dims)
+            if i % 17 == 0:
+                # inflate the LAST ispe box size past its parent
+                p = b.rfind(b"ispe") - 4
+                bb = bytearray(b)
+                (sz,) = struct.unpack(">I", bb[p : p + 4])
+                bb[p : p + 4] = struct.pack(">I", sz + 1000)
+                return bytes(bb)
+            return b
+
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame({"doc_id": ids, "payload": ids.map(one)})
+
+    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        gen, "doc_id long, payload binary"
+    )
+
+
 def sniff_format(payload: Column | str) -> Column:
     """Magic-byte format sniff as ONE JVM CASE expression — the routing
     filter in front of any per-format decode stage, fully inside
@@ -3604,7 +3773,15 @@ def sniff_format(payload: Column | str) -> Column:
         .when(hx.startswith("474946383761") | hx.startswith("474946383961"), "gif")
         .when(hx.startswith("25504446"), "pdf")
         # ISO-BMFF: the brand box sits at offset 4 ('ftyp'), after the
-        # 32-bit size of the first box — covers mp4/mov/m4a/heic family
+        # 32-bit size of the first box.  HEIF brands split out first
+        # (r10: phone photos are heic/avif, IMAGES not video — a gate
+        # that routes them to the mp4 walker loses them)
+        .when(
+            (F.hex(F.substring(col, 5, 4)) == "66747970")
+            & F.substring(col, 9, 4).cast("string")
+            .isin("heic", "heix", "mif1", "msf1", "avif"),
+            "heif",
+        )
         .when(F.hex(F.substring(col, 5, 4)) == "66747970", "mp4")
         # EBML magic: Matroska / WebM family (r9)
         .when(hx.startswith("1A45DFA3"), "mkv")
@@ -6313,6 +6490,101 @@ def synth_avi_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
         gen, "doc_id long, payload binary"
+    )
+
+
+def svg_meta(df: DataFrame, text_col: str = "svg") -> DataFrame:
+    """SVG census as PURE JVM expressions (r10 — crawls are full of
+    SVG and it is TEXT, so the srt_cues/bmp_dims rule applies: no
+    UDF, whole-stage codegen): root <svg> width/height attributes
+    (unit suffixes like 'px' stripped; -1 when absent — real SVGs
+    often size only via viewBox), the four viewBox numbers, element
+    censuses for <path>/<image>/<text>, and the first <title> text.
+    Non-SVG strings yield valid=false with NULL fields.
+
+    Input (doc_id, <text_col> string) → (doc_id, width, height,
+    vb_w, vb_h, n_paths, n_images, n_texts, title, valid)."""
+    s = F.col(text_col)
+    root = F.regexp_extract(s, r"(?s)<svg\b([^>]*)>", 1)
+    ok = s.rlike(r"(?s)<svg\b") & s.rlike(r"(?s)</svg>")
+
+    def attr(name: str) -> Column:
+        g = F.regexp_extract(root, name + r'="([0-9.]+)(?:px)?"', 1)
+        return F.when(g == "", F.lit(-1)).otherwise(
+            g.cast("double")).cast("long")
+
+    vb = F.regexp_extract(
+        root, r'viewBox="([0-9. ]+)"', 1)
+    vbs = F.split(F.trim(vb), r"\s+")
+    vb_w = F.when(F.size(vbs) == 4,
+                  F.element_at(vbs, 3).cast("double")
+                  .cast("long")).otherwise(F.lit(-1))
+    vb_h = F.when(F.size(vbs) == 4,
+                  F.element_at(vbs, 4).cast("double")
+                  .cast("long")).otherwise(F.lit(-1))
+
+    def count_tag(tag: str) -> Column:
+        return F.size(F.regexp_extract_all(
+            s, F.lit("<" + tag + r"\b"), 0)).cast("long")
+
+    title = F.regexp_extract(s, r"(?s)<title>(.*?)</title>", 1)
+    return df.select(
+        "doc_id",
+        F.when(ok, attr("width")).alias("width"),
+        F.when(ok, attr("height")).alias("height"),
+        F.when(ok, vb_w).alias("vb_w"),
+        F.when(ok, vb_h).alias("vb_h"),
+        F.when(ok, count_tag("path")).alias("n_paths"),
+        F.when(ok, count_tag("image")).alias("n_images"),
+        F.when(ok, count_tag("text")).alias("n_texts"),
+        F.when(ok & (title != ""), title).alias("title"),
+        ok.alias("valid"),
+    )
+
+
+def synth_svg_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixture for x_svg_meta (r10), PURE JVM like synth_srt_demo:
+    1+(id%4) <path> elements, id%3 <image> refs, a <text> for odd
+    ids; width/height attributes (with a 'px' suffix for id%5==0)
+    present only when id%3!=1 — otherwise sizing is viewBox-only (the
+    common hand-authored form); viewBox always '0 0 {64+id%100}
+    {48+id%60}'; <title>Icon {id%40}</title>.  Every 19th id loses
+    the closing </svg> (valid=false)."""
+    i = F.col("doc_id")
+    w = (64 + i % 100).cast("string")
+    h = (48 + i % 60).cast("string")
+    px = F.when(i % 5 == 0, F.lit("px")).otherwise(F.lit(""))
+    dims = F.when(
+        i % 3 != 1,
+        F.concat(F.lit(' width="'), w, px, F.lit('" height="'),
+                 h, px, F.lit('"')),
+    ).otherwise(F.lit(""))
+    paths = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), (i % 4).cast("int")),
+            lambda k: F.concat(F.lit('<path d="M0 0L'),
+                               (k + 1).cast("string"), F.lit(" 1Z\"/>")),
+        ), "")
+    imgs = F.when(i % 3 == 0, F.lit("")).otherwise(
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), (i % 3).cast("int")),
+                lambda k: F.concat(
+                    F.lit('<image href="im'), k.cast("string"),
+                    F.lit('.png"/>')),
+            ), ""))
+    textel = F.when(
+        i % 2 == 1, F.lit("<text>label</text>")).otherwise(F.lit(""))
+    body = F.concat(
+        F.lit('<svg xmlns="http://www.w3.org/2000/svg"'), dims,
+        F.lit(' viewBox="0 0 '), w, F.lit(" "), h, F.lit('">'),
+        F.lit("<title>Icon "), (i % 40).cast("string"),
+        F.lit("</title>"), paths, imgs, textel, F.lit("</svg>"))
+    return docs.select(F.col(id_col).alias("doc_id")).select(
+        "doc_id",
+        F.when(i % 19 == 0,
+               F.regexp_replace(body, "</svg>", "")).otherwise(body)
+        .alias("svg"),
     )
 
 

@@ -2521,6 +2521,101 @@ def x_warc_ingest(spark, sf_dir):
 
 
 @register(
+    "x_heif_meta",
+    """
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'heic' ELSE 'avif' END
+               AS brand,
+           CAST(CASE WHEN doc_id % 17 = 0 THEN doc_id % 3
+                     ELSE 1 + doc_id % 3 END AS BIGINT) AS n_ispe,
+           CAST(CASE WHEN doc_id % 17 = 0 AND doc_id % 3 = 0 THEN -1
+                     ELSE 256 + doc_id % 512 END AS BIGINT) AS width,
+           CAST(CASE WHEN doc_id % 17 = 0 AND doc_id % 3 = 0 THEN -1
+                     ELSE 192 + doc_id % 384 END AS BIGINT) AS height,
+           doc_id % 17 <> 0 AS valid
+    FROM documents
+    """,
+)
+def x_heif_meta(spark, sf_dir):
+    """HEIF/AVIF census (r10; operators/media.heif_meta) — the image
+    formats phones (heic) and AV1-era sites (avif) actually serve:
+    ftyp brand + the meta→iprp→ipco walk to every ispe image extent,
+    with 'meta' handled as the FULLBOX it is (the classic parser
+    trap).  The primary extent is the first ispe; fixtures carry
+    id%3 extra thumbnail extents.  Every 17th id's LAST ispe lies its
+    size past ipco: earlier extents survive, valid=false — when the
+    LYING one was the only extent (id%3==0) the censys is honest
+    NULLs.  sniff_format routes the heif brand family separately
+    from mp4 (an image gate that loses phone photos to the video
+    walker is wrong)."""
+    from lwetl_spark.operators.media import heif_meta, synth_heif_demo
+
+    docs = _t(spark, sf_dir, "documents")
+    out = heif_meta(synth_heif_demo(docs))
+    return out.select(
+        "doc_id",
+        F.coalesce(F.col("brand"), F.lit("none")).alias("brand"),
+        *[F.coalesce(F.col(c), F.lit(-1)).cast("long").alias(c)
+          for c in ("n_ispe", "width", "height")],
+        "valid",
+    )
+
+
+@register(
+    "x_svg_meta",
+    """
+    WITH g AS (
+        SELECT doc_id AS i, doc_id % 19 = 0 AS corrupt,
+               64 + doc_id % 100 AS w, 48 + doc_id % 60 AS h
+        FROM documents
+    )
+    SELECT i AS doc_id,
+           CAST(CASE WHEN corrupt THEN -1
+                     WHEN i % 3 = 1 THEN -1 ELSE w END AS BIGINT)
+               AS width,
+           CAST(CASE WHEN corrupt THEN -1
+                     WHEN i % 3 = 1 THEN -1 ELSE h END AS BIGINT)
+               AS height,
+           CAST(CASE WHEN corrupt THEN -1 ELSE w END AS BIGINT) AS vb_w,
+           CAST(CASE WHEN corrupt THEN -1 ELSE h END AS BIGINT) AS vb_h,
+           CAST(CASE WHEN corrupt THEN -1 ELSE 1 + i % 4 END AS BIGINT)
+               AS n_paths,
+           CAST(CASE WHEN corrupt THEN -1
+                     WHEN i % 3 = 0 THEN 0 ELSE i % 3 END AS BIGINT)
+               AS n_images,
+           CAST(CASE WHEN corrupt THEN -1 ELSE i % 2 END AS BIGINT)
+               AS n_texts,
+           CASE WHEN corrupt THEN 'none'
+                ELSE printf('Icon %d', i % 40) END AS title,
+           NOT corrupt AS valid
+    FROM g
+    """,
+)
+def x_svg_meta(spark, sf_dir):
+    """SVG census (r10; operators/media.svg_meta) — crawls are full
+    of SVG, and it is TEXT, so the parse is PURE Catalyst expressions
+    (regexp_extract/_all + split over the root attributes; the
+    srt_cues/bmp_dims rule — no UDF, whole-stage codegen): root
+    width/height with unit-suffix strip (and the viewBox-only sizing
+    form real hand-authored SVGs use — every id%3==1 fixture omits
+    the attributes), the viewBox geometry, path/image/text element
+    censuses, and the <title> string.  Every 19th id loses its
+    closing tag: valid=false, NULL fields → sentinels."""
+    from lwetl_spark.operators.media import svg_meta, synth_svg_demo
+
+    docs = _t(spark, sf_dir, "documents")
+    out = svg_meta(synth_svg_demo(docs))
+    return out.select(
+        "doc_id",
+        *[F.coalesce(F.col(c), F.lit(-1)).cast("long").alias(c)
+          for c in ("width", "height", "vb_w", "vb_h", "n_paths",
+                    "n_images", "n_texts")],
+        F.coalesce(F.col("title"), F.lit("none")).alias("title"),
+        "valid",
+    )
+
+
+@register(
     "x_img_captions",
     """
     WITH g AS (SELECT doc_id AS i FROM documents)

@@ -880,3 +880,70 @@ def test_truncated_dht_is_null_not_crash():
     bb = bytearray(b)
     bb[i + 5] = 250  # bits[0] lies
     assert decode_jpeg(bytes(bb)) is None
+
+
+def test_svg_meta_jvm_parse(spark):
+    """SVG census: attribute vs viewBox-only sizing, px suffix strip,
+    element censuses, title, and the missing-close-tag leg."""
+    from lwetl_spark.operators.media import svg_meta
+
+    rows = [
+        (1, '<svg width="64px" height="48px" viewBox="0 0 64 48">'
+            '<title>T</title><path d="M0 0"/><text>x</text></svg>'),
+        (2, '<svg viewBox="0 0 100 50"><path d="M0 0"/>'
+            '<image href="a.png"/></svg>'),
+        (3, '<svg width="10" height="9">no close'),
+        (4, "not svg at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, svg string")
+    out = {r["doc_id"]: r for r in svg_meta(df).collect()}
+    r1 = out[1]
+    assert (r1["width"], r1["height"]) == (64, 48)
+    assert (r1["vb_w"], r1["vb_h"]) == (64, 48)
+    assert r1["n_paths"] == 1 and r1["n_texts"] == 1
+    assert r1["title"] == "T" and r1["valid"]
+    r2 = out[2]
+    assert (r2["width"], r2["height"]) == (-1, -1)  # viewBox-only
+    assert (r2["vb_w"], r2["vb_h"]) == (100, 50)
+    assert r2["n_images"] == 1 and r2["title"] is None
+    assert out[3]["valid"] is False and out[4]["valid"] is False
+
+
+def test_heif_walker_fullbox_meta_and_size_lie(spark):
+    """HEIF/AVIF: 'meta' parsed as the FULLBOX it is; multi-extent
+    files census all ispes; a size lie keeps earlier extents and
+    flags; mp4-brand ftyp is NOT heif; sniff routes the brand
+    family."""
+    import struct
+
+    from pyspark.sql import functions as F2
+
+    from lwetl_spark.operators.media import (
+        heif_bytes,
+        heif_meta,
+        parse_heif,
+        sniff_format,
+    )
+
+    b = heif_bytes("avif", [(640, 480), (32, 24)])
+    r = parse_heif(b)
+    assert r["brand"] == "avif" and r["ispes"] == [(640, 480), (32, 24)]
+    assert r["valid"]
+    assert parse_heif(b"\x00\x00\x00\x10ftypisom\x00\x00\x00\x00") is None
+    p = b.rfind(b"ispe") - 4
+    bb = bytearray(b)
+    (sz,) = struct.unpack(">I", bb[p : p + 4])
+    bb[p : p + 4] = struct.pack(">I", sz + 999)
+    r2 = parse_heif(bytes(bb))
+    assert r2["ispes"] == [(640, 480)] and r2["valid"] is False
+    df = spark.createDataFrame(
+        [(1, b), (2, b"\x00\x00\x00\x10ftypisom\x00\x00\x00\x00"),
+         (3, None)],
+        "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in heif_meta(df).collect()}
+    assert out[1]["width"] == 640 and out[1]["n_ispe"] == 2
+    assert out[2]["brand"] is None and out[3]["valid"] is False
+    sn = {r["doc_id"]: r["fmt"] for r in df.select(
+        "doc_id", sniff_format("payload").alias("fmt")).collect()}
+    assert sn[1] == "heif" and sn[2] == "mp4"
+    assert F2 is not None
