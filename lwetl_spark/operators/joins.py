@@ -291,8 +291,14 @@ def fuzzy_join_blocked(
     # rows), noise next to the per-pair work it parallelizes; with a
     # broadcast catalog side the probe inherits exactly this
     # partitioning.
-    residue = residue.repartition(
-        residue.sparkSession.sparkContext.defaultParallelism)
+    spark = residue.sparkSession
+    try:
+        n_spread = spark.sparkContext.defaultParallelism
+    except Exception:
+        # Spark Connect: no sparkContext on the session.  Fall back to
+        # the shuffle width, which the probe stage would inherit anyway.
+        n_spread = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    residue = residue.repartition(n_spread)
     cand = exact.unionByName(_fuzzy_cand(residue))
     w = Window.partitionBy(left_id).orderBy(F.asc("dist"), F.asc(f"r_{right_order}"))
     return (

@@ -6021,10 +6021,17 @@ def id3_tags(df: DataFrame) -> DataFrame:
     trap — 2 flag bytes), text frames decoded per their encoding byte
     (0 latin-1, 1 utf-16 BOM, 2 utf-16be, 3 utf-8) — and emit
     TIT2/TPE1/TALB plus the year (TDRC in v2.4, TYER in v2.3).
-    valid requires every frame to fit inside the tag (zero padding
-    terminates the walk, per spec); a frame size past the tag end
-    keeps the frames parsed before the lie.  Non-ID3 payloads yield
-    NULLs; one zero-shuffle Arrow pass."""
+    Header flag bits are honored (r11, advisor): unsynchronisation
+    0x80 — whole-tag de-unsync (ff 00 → ff) for v2.3, per-frame for
+    v2.4 where the STORED frame size walks the file and only the text
+    body is de-unsynced (also via the v2.4 per-frame format flag
+    0x02) — and the extended header 0x40 is skipped before the frame
+    walk (v2.4: syncsafe size including itself; v2.3: BE32 size
+    excluding its own 4 size bytes).  valid requires every frame to
+    fit inside the tag (zero padding terminates the walk, per spec);
+    a frame size past the tag end keeps the frames parsed before the
+    lie.  Non-ID3 payloads yield NULLs; one zero-shuffle Arrow
+    pass."""
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import struct
@@ -6040,32 +6047,59 @@ def id3_tags(df: DataFrame) -> DataFrame:
             ver = b[3]
             if ver not in (3, 4):
                 return None
+            hflags = b[5]
             tag_sz = ((b[6] & 0x7F) << 21) | ((b[7] & 0x7F) << 14) \
                 | ((b[8] & 0x7F) << 7) | (b[9] & 0x7F)
-            end = min(10 + tag_sz, len(b))
-            pos = 10
+            body = b[10 : min(10 + tag_sz, len(b))]
+            if ver == 3 and hflags & 0x80:
+                # v2.3 unsynchronisation is applied to the WHOLE tag
+                # after rendering: frame sizes refer to the restored
+                # bytes, so de-unsync once up front.
+                body = body.replace(b"\xff\x00", b"\xff")
+            if hflags & 0x40:  # extended header precedes the frames
+                if len(body) < 4:
+                    return ("2.%d" % ver, 0, None, None, None, None,
+                            False)
+                if ver == 4:  # syncsafe, includes the whole ext header
+                    esz = ((body[0] & 0x7F) << 21) \
+                        | ((body[1] & 0x7F) << 14) \
+                        | ((body[2] & 0x7F) << 7) | (body[3] & 0x7F)
+                else:  # v2.3: BE32, excludes its own 4 size bytes
+                    esz = struct.unpack(">I", body[:4])[0] + 4
+                if esz < 4 or esz > len(body):
+                    return ("2.%d" % ver, 0, None, None, None, None,
+                            False)
+                body = body[esz:]
+            end = len(body)
+            pos = 0
             frames = {}
             n = 0
             ok = True
             while pos + 10 <= end:
-                fid = b[pos : pos + 4]
+                fid = body[pos : pos + 4]
                 if fid[0] == 0:  # zero padding: tag ends, per spec
                     break
-                if ver == 4:  # syncsafe frame size
-                    fsz = ((b[pos + 4] & 0x7F) << 21) \
-                        | ((b[pos + 5] & 0x7F) << 14) \
-                        | ((b[pos + 6] & 0x7F) << 7) \
-                        | (b[pos + 7] & 0x7F)
+                if ver == 4:  # syncsafe frame size (stored bytes)
+                    fsz = ((body[pos + 4] & 0x7F) << 21) \
+                        | ((body[pos + 5] & 0x7F) << 14) \
+                        | ((body[pos + 6] & 0x7F) << 7) \
+                        | (body[pos + 7] & 0x7F)
                 else:  # v2.3: plain big-endian
-                    (fsz,) = struct.unpack(">I", b[pos + 4 : pos + 8])
+                    (fsz,) = struct.unpack(">I", body[pos + 4 : pos + 8])
                 body_s = pos + 10
                 if body_s + fsz > end:
                     ok = False  # frame overruns the tag: keep the
                     break  # frames parsed before the lie
                 n += 1
                 if fid[:1] == b"T" and fsz >= 1:
-                    enc = b[body_s]
-                    raw = b[body_s + 1 : body_s + fsz]
+                    raw = body[body_s : body_s + fsz]
+                    if ver == 4 and (hflags & 0x80
+                                     or body[pos + 9] & 0x02):
+                        # v2.4 unsync is per frame; the stored size
+                        # already walked the file, restore the body
+                        raw = raw.replace(b"\xff\x00", b"\xff")
+                    enc = raw[0]
+                    raw = raw[1:]
                     try:
                         txt = raw.decode(ENC.get(enc, "latin-1"))
                     except UnicodeDecodeError:
@@ -6496,11 +6530,14 @@ def synth_avi_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
 def svg_meta(df: DataFrame, text_col: str = "svg") -> DataFrame:
     """SVG census as PURE JVM expressions (r10 — crawls are full of
     SVG and it is TEXT, so the srt_cues/bmp_dims rule applies: no
-    UDF, whole-stage codegen): root <svg> width/height attributes
-    (unit suffixes like 'px' stripped; -1 when absent — real SVGs
-    often size only via viewBox), the four viewBox numbers, element
-    censuses for <path>/<image>/<text>, and the first <title> text.
-    Non-SVG strings yield valid=false with NULL fields.
+    UDF, whole-stage codegen): root <svg> width/height attributes —
+    either quote style, 'px' suffix stripped; -1 when ABSENT (real
+    SVGs often size only via viewBox), -2 when present but in a
+    non-px unit ('100%', '5em', …) so non-px sizing is distinguished
+    from a missing attribute (r11, advisor) — the four viewBox
+    numbers, element censuses for <path>/<image>/<text>, and the
+    first <title> text.  Non-SVG strings yield valid=false with NULL
+    fields.
 
     Input (doc_id, <text_col> string) → (doc_id, width, height,
     vb_w, vb_h, n_paths, n_images, n_texts, title, valid)."""
@@ -6509,9 +6546,16 @@ def svg_meta(df: DataFrame, text_col: str = "svg") -> DataFrame:
     ok = s.rlike(r"(?s)<svg\b") & s.rlike(r"(?s)</svg>")
 
     def attr(name: str) -> Column:
-        g = F.regexp_extract(root, name + r'="([0-9.]+)(?:px)?"', 1)
-        return F.when(g == "", F.lit(-1)).otherwise(
-            g.cast("double")).cast("long")
+        # group 1 = number, group 2 = unit token (empty or px → px)
+        pat = name + r'''\s*=\s*["']\s*([0-9.]+)\s*([a-zA-Z%]*)\s*["']'''
+        num = F.regexp_extract(root, pat, 1)
+        unit = F.regexp_extract(root, pat, 2)
+        return (
+            F.when(num == "", F.lit(-1))
+            .when(~unit.isin("", "px"), F.lit(-2))
+            .otherwise(num.cast("double"))
+            .cast("long")
+        )
 
     vb = F.regexp_extract(
         root, r'viewBox="([0-9. ]+)"', 1)

@@ -1303,6 +1303,7 @@ def stream_dhash_neardup(
     state_path: str,
     max_hamming: int = 3,
     max_files_per_trigger: int | None = None,
+    checkpoint_path: str | None = None,
 ):
     """Streaming perceptual image admission (r10 — the image-side
     sibling of `stream_dedup_against_corpus`, with a hamming RADIUS
@@ -1372,6 +1373,20 @@ def stream_dhash_neardup(
         admitted = hx.join(
             rejects.distinct(), "doc_id", "left_anti"
         ).localCheckpoint(eager=True)  # never race the state scan
-        dhash_bands(admitted).write.mode("append").parquet(state_path)
+        new_bands = dhash_bands(admitted)
+        if _path_exists(sess, state_path):
+            # Idempotent append (r11, advisor): a crash between this
+            # write and the source-progress commit — or a restart under
+            # a fresh checkpoint — replays the batch; anti-joining on
+            # __id keeps the 4-rows-per-admitted-id state invariant.
+            seen = sess.read.parquet(state_path).select("__id").distinct()
+            # Materialize BEFORE the append so the state scan never
+            # races the files this very write adds.
+            new_bands = new_bands.join(seen, "__id", "left_anti") \
+                .localCheckpoint(eager=True)
+        new_bands.write.mode("append").parquet(state_path)
 
-    return stream.writeStream.foreachBatch(sink).start()
+    writer = stream.writeStream.foreachBatch(sink)
+    if checkpoint_path:
+        writer = writer.option("checkpointLocation", checkpoint_path)
+    return writer.start()

@@ -1,0 +1,90 @@
+"""Round-11 media tests: advisor fixes (ID3v2 header flags, SVG attr
+units) plus the round's new decoders as they land."""
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+
+def _syncsafe(n: int) -> bytes:
+    return bytes([(n >> 21) & 0x7F, (n >> 14) & 0x7F,
+                  (n >> 7) & 0x7F, n & 0x7F])
+
+
+def _id3(ver: int, flags: int, body: bytes) -> bytes:
+    return b"ID3" + bytes([ver, 0, flags]) + _syncsafe(len(body)) + body
+
+
+def _frame(ver: int, fid: bytes, body: bytes, fflags: int = 0) -> bytes:
+    sz = _syncsafe(len(body)) if ver == 4 else struct.pack(">I", len(body))
+    return fid + sz + bytes([0, fflags]) + body
+
+
+def test_id3_extended_header_skipped(spark):
+    """An ID3v2 tag with the extended-header flag (0x40) must skip the
+    ext header before the frame walk — v2.4 syncsafe-includes-itself
+    vs v2.3 BE32-excluding-own-size (pre-r11 the ext header bytes were
+    misread as a frame id, yielding n_frames=0)."""
+    from lwetl_spark.operators.media import id3_tags
+
+    tit = _frame(4, b"TIT2", b"\x03Ext Title")
+    ext4 = _syncsafe(6) + b"\x01\x00"  # v2.4: size incl. itself = 6
+    t4 = _id3(4, 0x40, ext4 + tit)
+    tit3 = _frame(3, b"TIT2", b"\x00Ext Title")
+    ext3 = struct.pack(">I", 6) + b"\x00\x00" + struct.pack(">I", 0)
+    t3 = _id3(3, 0x40, ext3 + tit3)  # v2.3: 6 excl. the 4 size bytes
+    # a lying ext header size (past the tag) must fail loudly
+    bad = _id3(4, 0x40, _syncsafe(5000) + b"\x01\x00" + tit)
+    df = spark.createDataFrame(
+        [(1, t4), (2, t3), (3, bad)], "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in id3_tags(df).collect()}
+    for i in (1, 2):
+        assert out[i]["title"] == "Ext Title", out[i]
+        assert out[i]["n_frames"] == 1 and out[i]["valid"]
+    assert out[3]["valid"] is False and out[3]["n_frames"] == 0
+
+
+def test_id3_unsynchronisation(spark):
+    """Header unsync flag 0x80: v2.3 de-unsyncs the WHOLE tag body
+    before the walk; v2.4 de-unsyncs per frame body (stored sizes walk
+    the file), both via the header flag and the per-frame format flag
+    0x02."""
+    from lwetl_spark.operators.media import id3_tags
+
+    # v2.3 whole-tag: text contains 0xff (latin-1 'ÿ'); unsync is
+    # applied to the rendered tag, so sizes refer to restored bytes.
+    body3 = _frame(3, b"TIT2", b"\x00a\xffb")
+    t3 = _id3(3, 0x80, body3.replace(b"\xff", b"\xff\x00"))
+    # v2.4 header flag: frame body STORED unsynced, size = stored size
+    stored = b"\x00a\xff\x00b"
+    t4h = _id3(4, 0x80, _frame(4, b"TIT2", stored))
+    # v2.4 per-frame format flag only (header flags clear)
+    t4f = _id3(4, 0, _frame(4, b"TIT2", stored, fflags=0x02))
+    df = spark.createDataFrame(
+        [(1, t3), (2, t4h), (3, t4f)], "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in id3_tags(df).collect()}
+    for i in (1, 2, 3):
+        assert out[i]["title"] == "a\xffb", out[i]
+        assert out[i]["n_frames"] == 1 and out[i]["valid"]
+
+
+def test_svg_attr_quotes_and_units(spark):
+    """svg_meta width/height: single quotes accepted; '%'/'em' report
+    -2 (present, non-px) instead of conflating with -1 (absent)."""
+    from lwetl_spark.operators.media import svg_meta
+
+    rows = [
+        (1, "<svg width='64' height='48px' viewBox='0 0 1 1'>"
+            "<path d='M0 0'/></svg>"),
+        (2, '<svg width="100%" height="5em"><path d="M0 0"/></svg>'),
+        (3, '<svg viewBox="0 0 9 9"><path d="M0 0"/></svg>'),
+        (4, '<svg width = "32" height= "16"><path d="M0 0"/></svg>'),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, svg string")
+    out = {r["doc_id"]: r for r in svg_meta(df).collect()}
+    assert (out[1]["width"], out[1]["height"]) == (64, 48)
+    assert (out[2]["width"], out[2]["height"]) == (-2, -2)
+    assert (out[3]["width"], out[3]["height"]) == (-1, -1)
+    assert (out[4]["width"], out[4]["height"]) == (32, 16)
+    assert all(out[i]["valid"] for i in (1, 2, 3, 4))
