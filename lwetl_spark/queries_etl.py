@@ -3413,9 +3413,13 @@ def x_avi_meta(spark, sf_dir):
                    chr(10) ORDER BY p) AS text
         FROM pg GROUP BY doc_id
     )
-    SELECT g.doc_id, '1.7' AS version,
+    SELECT g.doc_id,
+           CASE WHEN g.doc_id % 5 = 2 THEN '1.5' ELSE '1.7' END
+               AS version,
            CAST(g.np AS BIGINT) AS n_pages,
-           CAST(2 + 2 * g.np AS BIGINT) AS n_objects,
+           CAST(2 + 2 * g.np
+                + CASE WHEN g.doc_id % 5 = 2 THEN 2 ELSE 0 END
+                AS BIGINT) AS n_objects,
            FALSE AS encrypted, t.text, NOT g.corrupt AS valid
     FROM g JOIN tx t ON g.doc_id = t.doc_id
     """,
@@ -3428,11 +3432,17 @@ def x_pdf_text(spark, sf_dir):
     FlateDecode streams genuinely zlib-inflated, LZWDecode streams
     (id%4==3, r10) through the real early-change LZW engine
     decode-until-EOI, raw streams read direct — and pulls (…) Tj text
-    operators with PDF string unescaping.  The oracle replays the per-page text
-    and the newline-joined concatenation exactly (a parser that
-    drops a page, misorders streams, or fails the inflate
-    hash-mismatches).  Every 21st id truncates before the trailer:
-    counts survive, valid=false."""
+    operators with PDF string unescaping.  id%5==2 (r11, VERDICT r10
+    task 1) ships the MODERN ≥1.5 form — /Type /XRef cross-reference
+    STREAM (PNG-Up-predicted for id%10==2) + dict objects packed in a
+    FlateDecode /ObjStm — so the census must inflate and walk both to
+    see its 2·np+4 objects and np pages (classic counts 2·np+2); the
+    startxref gate follows the offset into the XRef stream and
+    value-checks its W-typed row grid.  The oracle replays the
+    per-page text and the newline-joined concatenation exactly (a
+    parser that drops a page, misorders streams, or fails the inflate
+    hash-mismatches).  Every 21st id truncates before the trailer /
+    startxref: counts survive, valid=false."""
     from lwetl_spark.operators.media import pdf_text, synth_pdf_demo
 
     docs = _t(spark, sf_dir, "documents")

@@ -88,3 +88,76 @@ def test_svg_attr_quotes_and_units(spark):
     assert (out[3]["width"], out[3]["height"]) == (-1, -1)
     assert (out[4]["width"], out[4]["height"]) == (32, 16)
     assert all(out[i]["valid"] for i in (1, 2, 3, 4))
+
+
+def _pdf_mod(texts, **kw):
+    from lwetl_spark.operators.media import pdf_bytes
+    return pdf_bytes(texts, **kw)
+
+
+def test_pdf_xref_stream_and_objstm_census():
+    """Modern (≥1.5) PDFs: dict objects inside a FlateDecode /ObjStm,
+    cross-reference as a /Type /XRef stream — census counts packed
+    objects and pages, follows startxref into the stream, and text
+    extraction is unchanged; the PNG-Up predictor leg decodes."""
+    from lwetl_spark.operators.media import extract_pdf_text, parse_pdf
+
+    texts = ["Pg %d words" % p for p in range(3)]
+    for pred in (False, True):
+        b = _pdf_mod(texts, deflate=True, version="1.5",
+                     modern=True, predictor=pred)
+        c = parse_pdf(b)
+        assert c["n_pages"] == 3 and c["n_objects"] == 10, c
+        assert c["valid"] and c["version"] == "1.5"
+        assert extract_pdf_text(b) == texts
+    # classic counts unchanged: 2 + 2*np
+    c = parse_pdf(_pdf_mod(texts))
+    assert c["n_objects"] == 8 and c["valid"]
+
+
+def test_pdf_lying_xref_stream():
+    """A /Type /XRef stream whose grid lies — corrupt Flate payload,
+    wrong /W row width vs data, bad /Size — must fail the startxref
+    gate (valid=false) while object/page counts survive."""
+    from lwetl_spark.operators.media import parse_pdf
+
+    b = _pdf_mod(["One page"], modern=True, predictor=True)
+    # corrupt a byte inside the xref stream blob
+    pos = b.rfind(b"/Type /XRef")
+    ks = b.find(b"stream", pos)
+    bb = bytearray(b)
+    bb[ks + 10] ^= 0xFF
+    c = parse_pdf(bytes(bb))
+    assert c["valid"] is False and c["n_pages"] == 1
+    # lie the /Size so the row count mismatches
+    b2 = b.replace(b"/Type /XRef /Size 7", b"/Type /XRef /Size 9")
+    c2 = parse_pdf(b2)
+    assert c2["valid"] is False and c2["n_objects"] == 6
+    # truncation before startxref: counts survive, valid=false
+    c3 = parse_pdf(b[: b.rfind(b"startxref")])
+    assert c3["valid"] is False and c3["n_objects"] == 6
+
+
+def test_pdf_hybrid_classic_plus_xref_stream_update():
+    """An incremental update appending a /Type /XRef stream with
+    /Prev → the original classic table (the hybrid vintage): the
+    census validates the TOP section and keeps full counts."""
+    import re
+    import zlib
+
+    from lwetl_spark.operators.media import parse_pdf
+
+    base = _pdf_mod(["Hybrid page"])
+    xref_off = int(re.search(rb"startxref\s+(\d+)", base).group(1))
+    body = base[: base.rfind(b"startxref")]
+    new_off = len(body)
+    # one type-1 entry for the xref stream object itself (obj 5)
+    data = bytes([1]) + new_off.to_bytes(2, "big") + bytes([0])
+    blob = zlib.compress(data)
+    upd = (b"5 0 obj\n<< /Type /XRef /Size 6 /Index [5 1] /W [1 2 1]"
+           b" /Root 1 0 R /Prev %d /Filter /FlateDecode"
+           b" /Length %d >>\nstream\n" % (xref_off, len(blob))
+           ) + blob + (b"\nendstream\nendobj\nstartxref\n%d\n%%%%EOF\n"
+                       % new_off)
+    c = parse_pdf(body + upd)
+    assert c["valid"] and c["n_pages"] == 1 and c["n_objects"] == 5
