@@ -7029,6 +7029,261 @@ def _make_packbits():
 packbits_decode, packbits_encode = _make_packbits()
 
 
+def _make_ccitt_g4():
+    """Factory returning (decode, encode) for CCITT Group 4 (ITU-T
+    T.6 2-D MMR — TIFF compression 4 and PDF CCITTFaxDecode with
+    /K < 0), the compression the scanned-document population
+    predominantly ships (r11, VERDICT r10 task 2).  Pure 2-D coding:
+    every row is coded against the previous (reference) row — an
+    imaginary all-white row above row 0 — via Pass / Horizontal /
+    Vertical(±3) modes; Horizontal runs use the T.4 modified-Huffman
+    white/black terminating + makeup tables (extended makeups to 2560
+    shared by both colors).  No EOLs inside the stream; an optional
+    EOFB terminates.  decode(data, width, nrows) → one 0/1 byte per
+    pixel (1 = black), row-major, or None on any malformed code /
+    geometry lie / truncation; encode(bits, width) is the
+    fixture-side compressor emitting the same mode decisions a
+    standard coder makes (pass when b2 < a1, vertical within ±3,
+    horizontal otherwise) + EOFB."""
+    from bisect import bisect_right
+
+    W_TERM = [  # white run 0..63 (ITU-T T.4 table 1)
+        "00110101", "000111", "0111", "1000", "1011", "1100", "1110",
+        "1111", "10011", "10100", "00111", "01000", "001000",
+        "000011", "110100", "110101", "101010", "101011", "0100111",
+        "0001100", "0001000", "0010111", "0000011", "0000100",
+        "0101000", "0101011", "0010011", "0100100", "0011000",
+        "00000010", "00000011", "00011010", "00011011", "00010010",
+        "00010011", "00010100", "00010101", "00010110", "00010111",
+        "00101000", "00101001", "00101010", "00101011", "00101100",
+        "00101101", "00000100", "00000101", "00001010", "00001011",
+        "01010010", "01010011", "01010100", "01010101", "00100100",
+        "00100101", "01011000", "01011001", "01011010", "01011011",
+        "01001010", "01001011", "00110010", "00110011", "00110100",
+    ]
+    W_MAKE = {  # white makeup 64..1728
+        64: "11011", 128: "10010", 192: "010111", 256: "0110111",
+        320: "00110110", 384: "00110111", 448: "01100100",
+        512: "01100101", 576: "01101000", 640: "01100111",
+        704: "011001100", 768: "011001101", 832: "011010010",
+        896: "011010011", 960: "011010100", 1024: "011010101",
+        1088: "011010110", 1152: "011010111", 1216: "011011000",
+        1280: "011011001", 1344: "011011010", 1408: "011011011",
+        1472: "010011000", 1536: "010011001", 1600: "010011010",
+        1664: "011000", 1728: "010011011",
+    }
+    B_TERM = [  # black run 0..63 (T.4 table 2)
+        "0000110111", "010", "11", "10", "011", "0011", "0010",
+        "00011", "000101", "000100", "0000100", "0000101", "0000111",
+        "00000100", "00000111", "000011000", "0000010111",
+        "0000011000", "0000001000", "00001100111", "00001101000",
+        "00001101100", "00000110111", "00000101000", "00000010111",
+        "00000011000", "000011001010", "000011001011", "000011001100",
+        "000011001101", "000001101000", "000001101001",
+        "000001101010", "000001101011", "000011010010",
+        "000011010011", "000011010100", "000011010101",
+        "000011010110", "000011010111", "000001101100",
+        "000001101101", "000011011010", "000011011011",
+        "000001010100", "000001010101", "000001010110",
+        "000001010111", "000001100100", "000001100101",
+        "000001010010", "000001010011", "000000100100",
+        "000000110111", "000000111000", "000000100111",
+        "000000101000", "000001011000", "000001011001",
+        "000000101011", "000000101100", "000001011010",
+        "000001100110", "000001100111",
+    ]
+    B_MAKE = {  # black makeup 64..1728
+        64: "0000001111", 128: "000011001000", 192: "000011001001",
+        256: "000001011011", 320: "000000110011", 384: "000000110100",
+        448: "000000110101", 512: "0000001101100",
+        576: "0000001101101", 640: "0000001001010",
+        704: "0000001001011", 768: "0000001001100",
+        832: "0000001001101", 896: "0000001110010",
+        960: "0000001110011", 1024: "0000001110100",
+        1088: "0000001110101", 1152: "0000001110110",
+        1216: "0000001110111", 1280: "0000001010010",
+        1344: "0000001010011", 1408: "0000001010100",
+        1472: "0000001010101", 1536: "0000001011010",
+        1600: "0000001011011", 1664: "0000001100100",
+        1728: "0000001100101",
+    }
+    X_MAKE = {  # extended makeup 1792..2560, shared by both colors
+        1792: "00000001000", 1856: "00000001100", 1920: "00000001101",
+        1984: "000000010010", 2048: "000000010011",
+        2112: "000000010100", 2176: "000000010101",
+        2240: "000000010110", 2304: "000000010111",
+        2368: "000000011100", 2432: "000000011101",
+        2496: "000000011110", 2560: "000000011111",
+    }
+    # decode dicts: bitstring -> run
+    W_DEC = {c: r for r, c in enumerate(W_TERM)}
+    W_DEC.update({c: r for r, c in W_MAKE.items()})
+    W_DEC.update({c: r for r, c in X_MAKE.items()})
+    B_DEC = {c: r for r, c in enumerate(B_TERM)}
+    B_DEC.update({c: r for r, c in B_MAKE.items()})
+    B_DEC.update({c: r for r, c in X_MAKE.items()})
+
+    class _Bad(Exception):
+        pass
+
+    def decode(data: bytes, width: int, nrows: int):
+        if width <= 0 or nrows <= 0:
+            return None
+        nbits = len(data) * 8
+        pos = 0
+
+        def rd() -> int:
+            nonlocal pos
+            if pos >= nbits:
+                raise _Bad
+            b = (data[pos >> 3] >> (7 - (pos & 7))) & 1
+            pos += 1
+            return b
+
+        def read_run(black: bool) -> int:
+            tbl = B_DEC if black else W_DEC
+            total = 0
+            while True:
+                key = ""
+                run = None
+                for _ in range(14):
+                    key += "1" if rd() else "0"
+                    run = tbl.get(key)
+                    if run is not None:
+                        break
+                if run is None:
+                    raise _Bad
+                total += run
+                if run < 64:
+                    return total
+
+        out = bytearray(width * nrows)
+        ref = [width, width]  # imaginary all-white reference row
+        try:
+            for r in range(nrows):
+                cur: list = []
+                a0, color = -1, 0  # rows start white
+                while a0 < width:
+                    # b1: first ref transition > a0 whose NEW color is
+                    # the opposite of the coding color (index parity
+                    # == color since transitions alternate from white)
+                    i = bisect_right(ref, a0)
+                    if (i & 1) != color:
+                        i += 1
+                    b1 = ref[i] if i < len(ref) else width
+                    b2 = ref[i + 1] if i + 1 < len(ref) else width
+                    if rd():  # 1 = V0
+                        a1 = b1
+                    else:
+                        if rd():  # 01x = VR1/VL1
+                            a1 = b1 + (1 if rd() else -1)
+                        elif rd():  # 001 = Horizontal
+                            base = a0 if a0 > 0 else 0
+                            r1 = read_run(color == 1)
+                            r2 = read_run(color == 0)
+                            a1 = base + r1
+                            a2 = a1 + r2
+                            if a1 < base or a2 < a1 or a2 > width \
+                                    or (a0 >= 0 and a2 <= a0):
+                                raise _Bad
+                            cur += [a1, a2]
+                            a0 = a2
+                            continue
+                        elif rd():  # 0001 = Pass
+                            if b2 <= a0:
+                                raise _Bad
+                            a0 = b2
+                            continue
+                        elif rd():  # 00001 1x = VR2/VL2
+                            a1 = b1 + (2 if rd() else -2)
+                        elif rd():  # 000001 1x = VR3/VL3
+                            a1 = b1 + (3 if rd() else -3)
+                        else:  # 0000000...: EOL/EOFB mid-stream
+                            raise _Bad
+                    if a1 < 0 or a1 > width or (cur and a1 < cur[-1]):
+                        raise _Bad
+                    cur.append(a1)
+                    if a1 <= a0 and a0 >= 0:
+                        raise _Bad
+                    a0 = a1
+                    color ^= 1
+                # paint the black runs of this row
+                base = r * width
+                for k in range(0, len(cur) - 1, 2):
+                    s = min(cur[k], width)
+                    e = min(cur[k + 1], width)
+                    for x in range(s, e):
+                        out[base + x] = 1
+                if len(cur) % 2 == 1 and cur[-1] < width:
+                    for x in range(cur[-1], width):
+                        out[base + x] = 1
+                ref = cur + [width, width]
+        except _Bad:
+            return None
+        return bytes(out)
+
+    def _run_code(run: int, black: bool) -> str:
+        term = B_TERM if black else W_TERM
+        make = B_MAKE if black else W_MAKE
+        bits = ""
+        while run >= 2624:
+            bits += X_MAKE[2560]
+            run -= 2560
+        if run >= 64:
+            mk = (run // 64) * 64
+            bits += X_MAKE[mk] if mk > 1728 else make[mk]
+            run -= mk
+        return bits + term[run]
+
+    def encode(bits, width: int) -> bytes:
+        nrows = len(bits) // width
+        out = []
+        ref = [width, width]
+        for r in range(nrows):
+            row = bits[r * width : (r + 1) * width]
+            cur = [x for x in range(width)
+                   if row[x] != (row[x - 1] if x else 0)]
+            ext = cur + [width, width, width]
+            a0, color = -1, 0
+            while a0 < width:
+                i = bisect_right(ref, a0)
+                if (i & 1) != color:
+                    i += 1
+                b1 = ref[i] if i < len(ref) else width
+                b2 = ref[i + 1] if i + 1 < len(ref) else width
+                j = bisect_right(cur, a0)
+                if (j & 1) != color:
+                    j += 1
+                a1 = ext[j]
+                if b2 < a1:  # pass
+                    out.append("0001")
+                    a0 = b2
+                elif abs(a1 - b1) <= 3:  # vertical
+                    out.append({0: "1", 1: "011", -1: "010",
+                                2: "000011", -2: "000010",
+                                3: "0000011", -3: "0000010"}[a1 - b1])
+                    a0 = a1
+                    color ^= 1
+                else:  # horizontal
+                    a2 = ext[j + 1]
+                    base = a0 if a0 > 0 else 0
+                    out.append("001")
+                    out.append(_run_code(a1 - base, color == 1))
+                    out.append(_run_code(a2 - a1, color == 0))
+                    a0 = a2
+            ref = cur + [width, width]
+        out.append("000000000001" * 2)  # EOFB
+        s = "".join(out)
+        s += "0" * (-len(s) % 8)
+        return bytes(int(s[i : i + 8], 2) for i in range(0, len(s), 8))
+
+    return decode, encode
+
+
+#: the CCITT G4 codec (factory-made; importable for tests)
+ccitt_g4_decode, ccitt_g4_encode = _make_ccitt_g4()
+
+
 def _make_pdf_gen():
     """Factory returning the PDF generator (by-value pickling, see
     _make_mp4_gen): a real %PDF-1.x file — Catalog → Pages → per-page
@@ -7089,11 +7344,19 @@ def _make_pdf_gen():
             objs.append((num + 1,
                          sd + b"\nstream\n" + blob + b"\nendstream"))
         for i, (filt, iw, ih, blob) in enumerate(images or ()):
-            fent = (" /Filter /%s" % filt).encode() if filt else b""
-            sd = (b"<< /Type /XObject /Subtype /Image /Width %d"
-                  b" /Height %d /ColorSpace /DeviceGray"
-                  b" /BitsPerComponent 8%b /Length %d >>"
-                  % (iw, ih, fent, len(blob)))
+            if filt == "CCITTFaxDecode":  # r11: G4 fax, /K < 0
+                sd = (b"<< /Type /XObject /Subtype /Image /Width %d"
+                      b" /Height %d /ColorSpace /DeviceGray"
+                      b" /BitsPerComponent 1 /Filter /CCITTFaxDecode"
+                      b" /DecodeParms << /K -1 /Columns %d /Rows %d"
+                      b" /BlackIs1 true >> /Length %d >>"
+                      % (iw, ih, iw, ih, len(blob)))
+            else:
+                fent = (" /Filter /%s" % filt).encode() if filt else b""
+                sd = (b"<< /Type /XObject /Subtype /Image /Width %d"
+                      b" /Height %d /ColorSpace /DeviceGray"
+                      b" /BitsPerComponent 8%b /Length %d >>"
+                      % (iw, ih, fent, len(blob)))
             objs.append((img_base + i,
                          sd + b"\nstream\n" + blob + b"\nendstream"))
         if modern:
@@ -7507,20 +7770,29 @@ def _make_pdf_walker():
     h_re = re.compile(rb"/Height\s+(\d+)")
     gray_re = re.compile(rb"/ColorSpace\s*/DeviceGray(?![a-zA-Z])")
     bpc_re = re.compile(rb"/BitsPerComponent\s+(\d+)")
+    k_re = re.compile(rb"/K\s+(-?\d+)")
+    cols_re = re.compile(rb"/Columns\s+(\d+)")
+    rows_re = re.compile(rb"/Rows\s+(\d+)")
+    b1_re = re.compile(rb"/BlackIs1\s+true")
 
     def extract_images(b: bytes):
-        """List of (filter_name, width, height, gray8, stream_bytes)
-        per /Subtype /Image XObject stream, in file order (r10,
-        VERDICT r9 task 4): the stream-dict scan is the SAME
-        innermost-dict walk as extract_text, so every field keys off
-        the image's own dict.  filter_name is the first /Filter entry
-        ('' when the stream is raw); width/height from the dict (None
-        if absent); gray8 marks /ColorSpace /DeviceGray at
-        /BitsPerComponent 8 — the form whose FlateDecode payload is a
-        raw gray bitmap.  Callers route DCTDecode blobs (complete
-        JPEG files, per the PDF spec) into decode_jpeg and must leave
-        foreign filters (JPXDecode, CCITTFaxDecode...) undecoded.
-        Returns None for non-PDF payloads."""
+        """List of (filter_name, width, height, gray8, stream_bytes,
+        ccitt) per /Subtype /Image XObject stream, in file order
+        (r10, VERDICT r9 task 4; ccitt element r11): the stream-dict
+        scan is the SAME innermost-dict walk as extract_text, so
+        every field keys off the image's own dict.  filter_name is
+        the first /Filter entry ('' when the stream is raw);
+        width/height from the dict (None if absent); gray8 marks
+        /ColorSpace /DeviceGray at /BitsPerComponent 8 — the form
+        whose FlateDecode payload is a raw gray bitmap.  For
+        CCITTFaxDecode streams `ccitt` carries the /DecodeParms
+        (k, columns, rows, blackis1) with the spec defaults (K=0,
+        Columns=1728, Rows=/Height, BlackIs1 false); None for every
+        other filter.  Callers route DCTDecode blobs (complete JPEG
+        files, per the PDF spec) into decode_jpeg, CCITT K<0 blobs
+        into the G4 engine, and must leave other foreign filters
+        (JPXDecode...) undecoded.  Returns None for non-PDF
+        payloads."""
         b = bytes(b) if b is not None else b""
         if not b.startswith(b"%PDF-"):
             return None
@@ -7540,12 +7812,19 @@ def _make_pdf_walker():
             bm = bpc_re.search(sd)
             gray8 = bool(gray_re.search(sd)) and bool(bm) \
                 and bm.group(1) == b"8"
-            out.append((
-                fm.group(1).decode("ascii") if fm else "",
-                int(wm.group(1)) if wm else None,
-                int(hm.group(1)) if hm else None,
-                gray8, blob,
-            ))
+            filt = fm.group(1).decode("ascii") if fm else ""
+            w = int(wm.group(1)) if wm else None
+            h = int(hm.group(1)) if hm else None
+            ccitt = None
+            if filt == "CCITTFaxDecode":
+                km = k_re.search(sd)
+                cm = cols_re.search(sd)
+                rm = rows_re.search(sd)
+                ccitt = (int(km.group(1)) if km else 0,
+                         int(cm.group(1)) if cm else 1728,
+                         int(rm.group(1)) if rm else h,
+                         bool(b1_re.search(sd)))
+            out.append((filt, w, h, gray8, blob, ccitt))
         return out
 
     return census, extract_text, extract_images
@@ -7652,16 +7931,20 @@ def pdf_image_stats(df: DataFrame) -> DataFrame:
     extract_text), route /Filter /DCTDecode streams — which the PDF
     spec defines as complete JPEG files — through the full decode_jpeg
     pipeline, inflate /FlateDecode /DeviceGray 8-bit bitmaps (the form
-    matplotlib-style generators embed; r10), and emit per-image dims +
-    exact integer pixel stats.  Foreign filters (JPXDecode,
-    CCITTFaxDecode, raw non-gray) are REPORTED with their filter name
-    and decoded=false, never mis-decoded; an undecodable DCT/Flate
-    stream is decoded=false too.  Non-PDF or image-free payloads yield
+    matplotlib-style generators embed; r10), decode /CCITTFaxDecode
+    /K<0 streams through the from-scratch T.6 G4 engine (r11 — the
+    scanned-PDF population; sample values honor /BlackIs1), and emit
+    per-image dims + exact integer pixel stats.  Foreign filters
+    (JPXDecode, CCITT G3, raw non-gray) are REPORTED with their filter
+    name and decoded=false, never mis-decoded; an undecodable
+    DCT/Flate/G4 stream is decoded=false too.  Non-PDF or image-free
+    payloads yield
     a single sentinel row (img_idx -1).  One zero-shuffle Arrow pass —
     image bytes never leave their input partition (the warc_payloads
     cost shape)."""
     _, _, pimages = _make_pdf_walker()
     jdec = _make_jpeg_decoder()
+    g4dec, _ = _make_ccitt_g4()
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import zlib
@@ -7669,7 +7952,7 @@ def pdf_image_stats(df: DataFrame) -> DataFrame:
         import numpy as np
         import pandas as pd
 
-        def decode_one(filt, w, h, gray8, blob):
+        def decode_one(filt, w, h, gray8, blob, ccitt):
             if filt == "DCTDecode":
                 return jdec(blob)
             if filt == "FlateDecode" and gray8 and w and h:
@@ -7680,6 +7963,17 @@ def pdf_image_stats(df: DataFrame) -> DataFrame:
                 if len(raw) != w * h:
                     return None
                 return np.frombuffer(raw, np.uint8).reshape(h, w)
+            if filt == "CCITTFaxDecode" and ccitt:
+                k, cols, nr, blackis1 = ccitt
+                if k >= 0 or not cols or not nr:
+                    return None  # G3 stays honestly undecoded
+                bits = g4dec(blob, cols, nr)
+                if bits is None:
+                    return None
+                a = np.frombuffer(bits, np.uint8).reshape(nr, cols)
+                # sample VALUES: BlackIs1 false (the default) stores
+                # black as 0, per the CCITTFaxDecode spec
+                return a if blackis1 else 1 - a
             return None
 
         def rows(i: int, b: bytes):
@@ -7688,8 +7982,8 @@ def pdf_image_stats(df: DataFrame) -> DataFrame:
                 return [(i, -1, None, None, None, None, None, None,
                          None, False)]
             out = []
-            for j, (filt, w, h, gray8, blob) in enumerate(imgs):
-                px = decode_one(filt, w, h, gray8, blob)
+            for j, (filt, w, h, gray8, blob, ccitt) in enumerate(imgs):
+                px = decode_one(filt, w, h, gray8, blob, ccitt)
                 if px is None:
                     out.append((i, j, filt, None, None, None, None,
                                 None, None, False))
@@ -7719,14 +8013,18 @@ def synth_pdf_img_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     sized 8·(1+(id+k)%3) × 8·(1+(id+k)%2) with block b carrying
     dc (id+17b+7k)%112−56 / ac (id+5b+3k)%13 (the exact-IDCT
     coefficient model: pixel = 128 + dc ± ac, SQL-recomputable),
-    EXCEPT: every (id+k)%4==0 image ships as a JPXDecode stub (the
-    foreign-filter rejection leg — reported, never decoded) and every
-    (id+k)%4==2 image as a FlateDecode /DeviceGray 8-bit bitmap
+    EXCEPT: every (id+k)%8==0 image ships as a JPXDecode stub (the
+    foreign-filter rejection leg — reported, never decoded), every
+    (id+k)%8==4 image as a REAL CCITT Group 4 fax (r11: /K -1,
+    /BlackIs1 true, bit (r,c) = [(id + 3r + c + 5k) % 23 < 11] —
+    the scanned-PDF form, decoded bit-exactly by the T.6 engine) and
+    every (id+k)%4==2 image as a FlateDecode /DeviceGray 8-bit bitmap
     (pixel (r,c) = (id + 9r + 23c) % 256, genuine zlib stream — the
     matplotlib-generator form, r10).
     Every 19th id's payload is not a PDF at all (sentinel row)."""
     _gen = pdf_bytes  # factory-made → ships by value
     _jenc = jpeg_baseline_bytes
+    _g4e2 = ccitt_g4_encode
 
     def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import zlib
@@ -7739,7 +8037,14 @@ def synth_pdf_img_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             images = []
             for k in range(1 + i % 3):
                 leg = (i + k) % 4
-                if leg == 0:
+                if leg == 0 and (i + k) % 8 == 4:
+                    w, h = 5 + (i + k) % 25, 5 + (i + k) % 12
+                    bits = bytes(
+                        1 if (i + 3 * r + c + 5 * k) % 23 < 11 else 0
+                        for r in range(h) for c in range(w))
+                    images.append(("CCITTFaxDecode", w, h,
+                                   _g4e2(bits, w)))
+                elif leg == 0:
                     images.append(("JPXDecode", 8, 8, bytes(40)))
                 elif leg == 2:
                     w, h = 6 + (i + k) % 20, 6 + (i + k) % 10
@@ -7816,6 +8121,7 @@ def _make_tiff_gen():
 
     _, _lzwe = _make_tiff_lzw()  # captured by value into the closure
     _, _pbe = _make_packbits()
+    _, _g4e = _make_ccitt_g4()
 
     def tiff(pages, little: bool = True, seed: int | None = None,
              bigtiff: bool = False) -> bytes:
@@ -7827,10 +8133,15 @@ def _make_tiff_gen():
         count>1 pointer form, r10), predictor 2 applies horizontal
         differencing before compression.  With `seed`, pixel (r, c)
         of page p = (seed + 7r + 13c + 19p) % 256 regardless of the
-        storage form (lossless codecs — the oracle never changes)."""
+        storage form (lossless codecs — the oracle never changes).
+        comp 4 pages (r11) are 1-bit CCITT Group 4: bit (r, c) =
+        [(seed + 3r + c + 19p) % 23 < 11] (runs of both colors, so
+        all three T.6 modes are exercised), each strip/tile an
+        independent MMR stream per the TIFF spec."""
         from_none = seed is None
         lzwe = _lzwe
         pbe = _pbe
+        g4e = _g4e
         e = "<" if little else ">"
         if bigtiff:  # r10: magic 43, 8-byte offsets everywhere
             out = bytearray((b"II" if little else b"MM")
@@ -7868,6 +8179,39 @@ def _make_tiff_gen():
                 rps = pg[4] if len(pg) > 4 else h
                 pred = pg[5] if len(pg) > 5 else 1
                 tile = pg[6] if len(pg) > 6 else None
+                if comp == 4:  # 1-bit G4 page: strips/tiles are
+                    offs, lens = [], []  # independent MMR streams
+                    if tile is not None:
+                        tw, tl = tile
+                        for ty in range(-(-h // tl)):
+                            for tx in range(-(-w // tw)):
+                                tb = bytes(
+                                    1 if (rr < h and tx * tw + cc < w
+                                          and (seed + 3 * rr
+                                               + (tx * tw + cc)
+                                               + 19 * p) % 23 < 11)
+                                    else 0
+                                    for rr in range(ty * tl,
+                                                    ty * tl + tl)
+                                    for cc in range(tw))
+                                chunk = g4e(tb, tw)
+                                offs.append(len(out))
+                                lens.append(len(chunk))
+                                out += chunk
+                    else:
+                        for r0 in range(0, h, rps):
+                            nr = min(rps, h - r0)
+                            sb = bytes(
+                                1 if (seed + 3 * r + c
+                                      + 19 * p) % 23 < 11 else 0
+                                for r in range(r0, r0 + nr)
+                                for c in range(w))
+                            chunk = g4e(sb, w)
+                            offs.append(len(out))
+                            lens.append(len(chunk))
+                            out += chunk
+                    strips.append((offs, lens, rps, 1, tile))
+                    continue
                 rows = [
                     [(seed + 7 * r + 13 * c + 19 * p) % 256
                      for c in range(w)]
@@ -8183,27 +8527,36 @@ def tiff_pixel_stats(df: DataFrame) -> DataFrame:
     variant via _make_tiff_lzw), PackBits (32773 — the Mac RLE the
     rest of the scanner population uses), and the horizontal-
     differencing Predictor (tag 317 == 2) that LZW TIFFs pair with it
-    — undone as a per-row cumulative sum mod 256.  Gray 8-bit only
-    (the census
+    — undone as a per-row cumulative sum mod 256.  r11 adds CCITT
+    Group 4 (compression 4, 1-bit — the dominant scanned-document
+    form): each strip/tile decodes as an independent T.6 MMR stream
+    through the from-scratch _make_ccitt_g4 engine, pixels emitted as
+    0/1 sample values.  Otherwise gray 8-bit only (the census
     reports bits/compression for everything else); pages with other
-    compressions, non-8-bit samples, strip geometry that disagrees
-    with width×height, or strips past the payload yield NULL stats
-    for the whole item; non-TIFF payloads NULL too.  One zero-shuffle
-    Arrow pass (the gif_pixel_stats cost model: rows/partition)."""
+    compressions, unsupported sample depths, strip geometry that
+    disagrees with width×height, or strips past the payload yield
+    NULL stats for the whole item; non-TIFF payloads NULL too.  One
+    zero-shuffle Arrow pass (the gif_pixel_stats cost model:
+    rows/partition)."""
     walk = _make_tiff_walker()
     lzw_dec, _ = _make_tiff_lzw()
     pb_dec, _ = _make_packbits()
+    g4_dec, _ = _make_ccitt_g4()
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import numpy as np
         import pandas as pd
 
         def chunk_bytes(b: bytes, comp: int, soff: int, slen: int,
-                        n: int):
-            """One strip/tile's decoded bytes (exactly n), or None."""
+                        n: int, g4_w: int = 0):
+            """One strip/tile's decoded bytes (exactly n), or None.
+            For comp 4 (CCITT G4) n is pixels and g4_w the row width:
+            the MMR stream decodes to one 0/1 byte per pixel."""
             if soff + slen > len(b):
                 return None
             raw = b[soff : soff + slen]
+            if comp == 4:
+                return g4_dec(raw, g4_w, n // g4_w) if g4_w else None
             if comp == 5:
                 return lzw_dec(raw, n)
             if comp == 32773:
@@ -8215,6 +8568,14 @@ def tiff_pixel_stats(df: DataFrame) -> DataFrame:
             a = np.cumsum(a.astype(np.int64), axis=1) & 0xFF
             return a.astype(np.uint8).tobytes()
 
+        def _form_ok(p: dict, pred: int) -> bool:
+            """Decodable (compression, depth) forms: gray-8 under
+            none/LZW/PackBits (±predictor 2), 1-bit under CCITT G4."""
+            if p["compression"] == 4:
+                return p["bits"] == 1 and pred == 1
+            return (p["compression"] in (1, 5, 32773)
+                    and p["bits"] == 8 and pred in (1, 2))
+
         def tile_bytes(b: bytes, p: dict):
             """Tiled-layout page (r10, tags 322-325): edge tiles are
             PADDED to full tile size per the spec — decode each tile,
@@ -8225,10 +8586,9 @@ def tiff_pixel_stats(df: DataFrame) -> DataFrame:
             offs = p.get("tile_offs")
             lens = p.get("tile_lens")
             pred = p.get("predictor", 1)
-            if (p["compression"] not in (1, 5, 32773)
-                    or p["bits"] != 8 or not w or not h
+            if (not _form_ok(p, pred) or not w or not h
                     or not tw or not tl or not offs or not lens
-                    or len(offs) != len(lens) or pred not in (1, 2)):
+                    or len(offs) != len(lens)):
                 return None
             ntx, nty = -(-w // tw), -(-h // tl)
             if len(offs) != ntx * nty:
@@ -8236,7 +8596,7 @@ def tiff_pixel_stats(df: DataFrame) -> DataFrame:
             img = np.zeros((h, w), np.uint8)
             for ti, (soff, slen) in enumerate(zip(offs, lens)):
                 raw = chunk_bytes(b, p["compression"], soff, slen,
-                                  tw * tl)
+                                  tw * tl, g4_w=tw)
                 if raw is None:
                     return None
                 if pred == 2:
@@ -8257,10 +8617,9 @@ def tiff_pixel_stats(df: DataFrame) -> DataFrame:
             offs = p.get("strip_offs")
             lens = p.get("strip_lens")
             pred = p.get("predictor", 1)
-            if (p["compression"] not in (1, 5, 32773)
-                    or p["bits"] != 8
+            if (not _form_ok(p, pred)
                     or not w or not h or not offs or not lens
-                    or len(offs) != len(lens) or pred not in (1, 2)):
+                    or len(offs) != len(lens)):
                 return None
             rps = p.get("rows_per_strip") or h
             if rps <= 0 or len(offs) != -(-h // rps):
@@ -8270,7 +8629,7 @@ def tiff_pixel_stats(df: DataFrame) -> DataFrame:
             for soff, slen in zip(offs, lens):
                 nrows = min(rps, h - row)
                 raw = chunk_bytes(b, p["compression"], soff, slen,
-                                  nrows * w)
+                                  nrows * w, g4_w=w)
                 if raw is None:
                     return None
                 out += raw
@@ -8322,7 +8681,11 @@ def synth_tiff_px_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     compression 1 / TIFF-LZW 5 / PackBits 32773 by (id+p)%3,
     RowsPerStrip splitting pages into 1/2/3-row-group multi-strip
     arrays by (id+7p)%3 (the count>1 StripOffsets pointer form),
-    horizontal-differencing Predictor 2 when (id+2p)%3==0.  Every 25th id breaks the last
+    horizontal-differencing Predictor 2 when (id+2p)%3==0.  Pages
+    with (id+p)%4==3 (r11) store as 1-bit CCITT Group 4 instead —
+    bit (r,c) = [(s + 3r + c + 19p) % 23 < 11], strip- AND
+    tile-framed, both byte orders — the scanned-document population.
+    Every 25th id breaks the last
     next-IFD pointer (walk invalid → NULL stats)."""
     _gen = tiff_bytes  # factory-made → ships by value
 
@@ -8339,12 +8702,16 @@ def synth_tiff_px_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 comp = (1, 5, 32773)[(i + p) % 3]
                 rps = (h, -(-h // 2), 3)[(i + 7 * p) % 3]
                 pred = 2 if (i + 2 * p) % 3 == 0 else 1
+                bits = 8
+                if (i + p) % 4 == 3:  # r11: CCITT G4 page — the
+                    # scanned-document form; 1-bit, strip/tile MMR
+                    bits, comp, pred = 1, 4, 1
                 # tiled legs (r10): every 5th (i+3p) page stores as
                 # padded TILES (tags 322-325) instead of strips —
                 # the GIS/scan-pyramid layout; lossless, same oracle
                 tile = ((4 + i % 5, 3 + i % 4)
                         if (i + 3 * p) % 5 == 2 else None)
-                pages.append((w, h, 8, comp, rps, pred, tile))
+                pages.append((w, h, bits, comp, rps, pred, tile))
             big = i % 7 == 3  # r10: BigTIFF legs (magic 43, 8-byte
             # offsets, LONG8 strips) — lossless framing, same oracle
             b = _gen(pages, little=(i % 2 == 0), seed=i % 256,

@@ -215,7 +215,7 @@ def test_pdf_image_extraction_routes_dct(spark=None):
     imgs = extract_pdf_images(b)
     assert [f for f, *_ in imgs] == [
         "DCTDecode", "JPXDecode", "FlateDecode", ""]
-    assert [(w, h) for _, w, h, _, _ in imgs] == [
+    assert [(w, h) for _, w, h, _, _, _ in imgs] == [
         (16, 16), (8, 8), (6, 5), (4, 4)]
     assert imgs[0][4] == jp
     px = decode_jpeg(imgs[0][4])

@@ -161,3 +161,77 @@ def test_pdf_hybrid_classic_plus_xref_stream_update():
                        % new_off)
     c = parse_pdf(body + upd)
     assert c["valid"] and c["n_pages"] == 1 and c["n_objects"] == 5
+
+
+def test_ccitt_g4_codec_roundtrip_and_corruption():
+    """T.6 MMR codec: encode→decode identity over structured, random,
+    all-white and all-black bitmaps; spec-exact bitstream on a
+    hand-computed row; truncation and geometry lies return None."""
+    import random
+
+    from lwetl_spark.operators.media import (
+        ccitt_g4_decode,
+        ccitt_g4_encode,
+    )
+
+    random.seed(11)
+    for trial in range(40):
+        w = random.randint(1, 60)
+        h = random.randint(1, 30)
+        bits = (bytes(random.randint(0, 1) for _ in range(w * h))
+                if trial % 2 else
+                bytes(1 if (3 * r + c) % 23 < 11 else 0
+                      for r in range(h) for c in range(w)))
+        assert ccitt_g4_decode(ccitt_g4_encode(bits, w), w, h) == bits
+    # hand-computed: row 00110000 -> H(w2,b2) V0 = 001 0111 11 1
+    enc = ccitt_g4_encode(bytes([0, 0, 1, 1, 0, 0, 0, 0]), 8)
+    got = "".join(format(x, "08b") for x in enc)
+    assert got.startswith("0010111111" + "000000000001" * 2)
+    # truncation mid-stream and a wrong row count must fail cleanly
+    bits = bytes(1 if (3 * r + c) % 23 < 11 else 0
+                 for r in range(20) for c in range(40))
+    enc = ccitt_g4_encode(bits, 40)
+    assert ccitt_g4_decode(enc[: len(enc) // 3], 40, 20) is None
+    assert ccitt_g4_decode(enc, 40, 50) is None  # rows past the data
+
+
+def test_tiff_g4_strips_tiles_and_pdf_ccitt(spark):
+    """G4 end-to-end: 1-bit compression-4 TIFF pages (strip and tile
+    framing, both byte orders) decode to exact bit stats through
+    tiff_pixel_stats; a /CCITTFaxDecode /K -1 PDF image decodes
+    through pdf_image_stats with /BlackIs1 honored both ways."""
+    from lwetl_spark.operators.media import (
+        ccitt_g4_encode,
+        pdf_bytes,
+        pdf_image_stats,
+        tiff_bytes,
+        tiff_pixel_stats,
+    )
+
+    rows_pdf = []
+    for i, little in ((3, True), (8, False)):
+        pages = [(20, 15, 1, 4, 4, 1, None), (17, 9, 1, 4, 9, 1, (6, 4))]
+        rows_pdf.append((i, tiff_bytes(pages, little=little, seed=i)))
+    df = spark.createDataFrame(rows_pdf, "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in tiff_pixel_stats(df).collect()}
+    for i in (3, 8):
+        exp = sum(1 for p, (w, h) in enumerate(((20, 15), (17, 9)))
+                  for r in range(h) for c in range(w)
+                  if (i + 3 * r + c + 19 * p) % 23 < 11)
+        r = out[i]
+        assert r["sum_px"] == exp and r["n_px"] == 20 * 15 + 17 * 9
+        assert (r["min_px"], r["max_px"]) == (0, 1)
+    # PDF: BlackIs1 true -> stats over 1=black; default inverts
+    w, h = 11, 7
+    bits = bytes(1 if (3 * r + c) % 5 < 2 else 0
+                 for r in range(h) for c in range(w))
+    blob = ccitt_g4_encode(bits, w)
+    b = pdf_bytes(["cap"], images=[("CCITTFaxDecode", w, h, blob)])
+    dfp = spark.createDataFrame([(1, b)], "doc_id long, payload binary")
+    r = pdf_image_stats(dfp).collect()[0]
+    assert r["decoded"] and r["n_px"] == w * h
+    assert r["sum_px"] == sum(bits)
+    b0 = b.replace(b"/BlackIs1 true ", b"")  # spec default: 0 = black
+    r0 = pdf_image_stats(spark.createDataFrame(
+        [(1, b0)], "doc_id long, payload binary")).collect()[0]
+    assert r0["decoded"] and r0["sum_px"] == w * h - sum(bits)
