@@ -2063,31 +2063,152 @@ def warc_payloads(df: DataFrame) -> DataFrame:
     )
 
 
+def _make_charset_sniffer():
+    """Factory returning sniff(bytes, content_type=None) → (text,
+    charset) for crawl HTML (r11, VERDICT r10 task 3): real crawls
+    are full of windows-1252/gbk/latin-1 pages, so a hard-UTF-8
+    decode mojibakes exactly the long tail a training corpus needs.
+    Resolution order (the WHATWG encoding-sniff shape): BOM → the
+    HTTP Content-Type charset parameter → a <meta> charset
+    declaration in the first 2048 bytes (both the HTML5 `charset=`
+    and the legacy http-equiv `content=...; charset=` forms) →
+    strict UTF-8 probe → latin-1 (never fails).  A DECLARED charset
+    that fails to decode the bytes (a lying server) falls through to
+    the probe chain.  The returned charset is the python codec
+    actually used."""
+    import codecs
+    import re
+
+    meta_tag_re = re.compile(rb"<meta[^>]*>", re.I)
+    cs_re = re.compile(rb"charset\s*=\s*[\"']?\s*([A-Za-z0-9_\-]+)",
+                       re.I)
+    ALIAS = {
+        "utf8": "utf-8", "utf-8": "utf-8", "us-ascii": "ascii",
+        "iso-8859-1": "latin-1", "latin1": "latin-1",
+        "latin-1": "latin-1", "windows-1252": "cp1252",
+        "cp1252": "cp1252", "gb2312": "gbk", "gbk": "gbk",
+        "gb18030": "gb18030", "big5": "big5",
+        "shift-jis": "shift_jis", "shift_jis": "shift_jis",
+        "sjis": "shift_jis", "euc-jp": "euc_jp", "euc-kr": "euc_kr",
+        "koi8-r": "koi8_r", "windows-1251": "cp1251",
+        "utf-16": "utf-16", "utf-16le": "utf-16-le",
+        "utf-16be": "utf-16-be",
+    }
+
+    def resolve(name: str):
+        cod = ALIAS.get(name.strip().lower(), name.strip().lower())
+        try:
+            codecs.lookup(cod)
+            return cod
+        except LookupError:
+            return None
+
+    def sniff(b: bytes, content_type: str | None = None):
+        b = bytes(b) if b is not None else b""
+        if b.startswith(b"\xef\xbb\xbf"):
+            return b[3:].decode("utf-8", "replace"), "utf-8"
+        if b.startswith(b"\xff\xfe"):
+            return b[2:].decode("utf-16-le", "replace"), "utf-16-le"
+        if b.startswith(b"\xfe\xff"):
+            return b[2:].decode("utf-16-be", "replace"), "utf-16-be"
+        cand = None
+        if content_type:
+            m = cs_re.search(content_type.encode("latin-1", "replace"))
+            if m:
+                cand = resolve(m.group(1).decode("ascii", "replace"))
+        if cand is None:
+            for tag in meta_tag_re.finditer(b[:2048]):
+                m = cs_re.search(tag.group(0))
+                if m:
+                    cand = resolve(m.group(1).decode("ascii",
+                                                     "replace"))
+                    if cand:
+                        break
+        if cand:
+            try:
+                return b.decode(cand), cand
+            except (UnicodeDecodeError, LookupError):
+                pass  # lying declaration: fall through to the probe
+        try:
+            return b.decode("utf-8"), "utf-8"
+        except UnicodeDecodeError:
+            return b.decode("latin-1"), "latin-1"
+
+    return sniff
+
+
+#: the charset sniffer (factory-made; importable for tests)
+sniff_charset = _make_charset_sniffer()
+
+
+def sniff_decode_html(df: DataFrame, payload_col: str = "payload",
+                      content_type_col: str | None = None) -> DataFrame:
+    """Charset-sniffing HTML decode (r11): (doc_id, <payload_col>
+    [, <content_type_col>]) → (doc_id, html, charset) via
+    `sniff_charset` — BOM → HTTP Content-Type → <meta> → UTF-8 probe
+    → latin-1, per row.  The decode-bytes-to-text-ONCE gate in front
+    of `html_text`; one zero-shuffle Arrow pass."""
+    sniff = _make_charset_sniffer()
+    ct = content_type_col
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            cts = pdf[ct] if ct else [None] * len(pdf)
+            pairs = [sniff(b, c if isinstance(c, str) else None)
+                     for b, c in zip(pdf[payload_col], cts)]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].to_numpy(),
+                "html": [p[0] for p in pairs],
+                "charset": [p[1] for p in pairs],
+            })
+
+    return df.mapInPandas(
+        run, "doc_id long, html string, charset string")
+
+
 def synth_warc_html_demo(docs: DataFrame, id_col: str = "doc_id",
                          text_col: str = "text") -> DataFrame:
-    """Fixture for x_warc_ingest (r9): each document becomes a WARC
-    shard of warcinfo + request + ONE response whose body is the
-    document's text wrapped in real HTML boilerplate (a script block
-    the extractor must drop, a constant title, tags, a comment).  The
-    crawl-ingest composition must recover 'page ' + the original
-    text, whitespace-collapsed."""
+    """Fixture for x_warc_ingest (r9; charset legs r11): each document
+    becomes a WARC shard of warcinfo + request + ONE response whose
+    body is the document's text wrapped in real HTML boilerplate (a
+    script block the extractor must drop, a constant title, tags, a
+    comment).  Page ENCODING rotates by id%3 (r11, VERDICT r10 task
+    3 — real crawls are not UTF-8): 0 → plain UTF-8; 1 →
+    windows-1252 declared via the legacy http-equiv form, body text
+    prefixed with '€ ' (0x80 in cp1252 — a byte hard-UTF-8 decoding
+    mojibakes); 2 → gbk declared via <meta charset>, prefixed with
+    '页 ' (the CJK 'page').  The crawl-ingest composition must
+    recover 'page ' + the (prefixed) original text,
+    whitespace-collapsed."""
     _gen = warc_bytes  # factory-made → ships by value
 
     def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
         def one(i: int, text: str) -> bytes:
+            leg = i % 3
+            if leg == 1:
+                meta = ('<meta http-equiv="Content-Type" content='
+                        '"text/html; charset=windows-1252">')
+                pre, codec = "€ ", "cp1252"
+            elif leg == 2:
+                meta = '<meta charset="gbk">'
+                pre, codec = "页 ", "gbk"
+            else:
+                meta, pre, codec = "", "", "utf-8"
             html = (
-                "<html><head><script>var n=%d;</script>"
-                "<title>page</title></head><body><p>%s</p>"
-                "<!-- crawl --></body></html>" % (i, text)
+                "<html><head>%s<script>var n=%d;</script>"
+                "<title>page</title></head><body><p>%s%s</p>"
+                "<!-- crawl --></body></html>" % (meta, i, pre, text)
             )
             return _gen([
                 ("warcinfo", None, b"software: lwetl_spark"),
                 ("request", "http://site%d.example/p" % (i % 50),
                  b"GET /p HTTP/1.1"),
                 ("response", "http://site%d.example/p" % (i % 50),
-                 html.encode()),
+                 html.encode(codec)),
             ], gz=(i % 3 == 0))  # r10: .warc.gz legs, same oracle
 
         for pdf in batches:
@@ -2103,12 +2224,63 @@ def synth_warc_html_demo(docs: DataFrame, id_col: str = "doc_id",
     ).mapInPandas(gen, "doc_id long, payload binary")
 
 
+def synth_charset_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixture for x_charset_sniff (r11): HTML payloads whose BYTES
+    rotate through the encodings a real crawl ships, every one with
+    non-ASCII text the decode must restore char-exact.  leg = id%5:
+    0 → utf-8 with <meta charset> (plus a UTF-8 BOM when id%2==0);
+    1 → windows-1252 declared via the legacy http-equiv form ('€',
+    'ÿ' — bytes a hard-UTF-8 reader rejects or mojibakes); 2 → gbk
+    via <meta charset> (CJK text); 3 → UNDECLARED valid UTF-8 (the
+    strict-probe leg, 'Ω'); 4 → undeclared cp1252 bytes whose
+    non-ASCII is latin-1-coincident ('é' = 0xE9 — the fallback leg
+    decodes it char-exact)."""
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        def one(i: int) -> bytes:
+            n = i % 100
+            leg = i % 5
+            if leg == 0:
+                meta, body, codec = ('<meta charset="utf-8">',
+                                     "café %d naïve" % n, "utf-8")
+            elif leg == 1:
+                meta = ('<meta http-equiv="Content-Type" content='
+                        '"text/html; charset=windows-1252">')
+                body, codec = "€ price %d ÿes" % n, "cp1252"
+            elif leg == 2:
+                meta, body, codec = ('<meta charset="gbk">',
+                                     "数据 %d 页" % n, "gbk")
+            elif leg == 3:
+                meta, body, codec = "", "omega Ω %d" % n, "utf-8"
+            else:
+                meta, body, codec = "", "café %d" % n, "cp1252"
+            html = ("<html><head>%s<title>t%d</title></head>"
+                    "<body><p>%s</p></body></html>"
+                    % (meta, i % 9, body)).encode(codec)
+            if leg == 0 and i % 2 == 0:
+                html = b"\xef\xbb\xbf" + html
+            return html
+
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame({"doc_id": ids, "payload": ids.map(one)})
+
+    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        gen, "doc_id long, payload binary"
+    )
+
+
 def synth_warc_imgtext_demo(docs: DataFrame,
                             id_col: str = "doc_id") -> DataFrame:
     """Fixture for x_imgtext_pairs (r10 — the LAION-style multimodal
-    crawl): shard i is a REAL WARC of warcinfo + one HTML response
-    whose body carries 1+(i%3) <img src alt> tags (tag j references
-    image class k = (i+17j)%40) + one image response per reference at
+    crawl; charset legs r11): shard i is a REAL WARC of warcinfo +
+    one HTML response whose body carries 1+(i%3) <img src alt> tags
+    (tag j references image class k = (i+17j)%40; alt text carries a
+    '€', and the page encoding rotates utf-8 / windows-1252 / gb18030 by
+    i%3 — the sniffer must resolve it or the caption mojibakes) +
+    one image response per reference at
     'http://images.example/im{k}.png'.  Image class k is byte-
     identical EVERYWHERE it appears: a REAL PNG (k even; nonlinear
     pixel (k·29 + 7r + 13c + (rc(k%7+1))%64) % 256) or a REAL
@@ -2159,7 +2331,7 @@ def synth_warc_imgtext_demo(docs: DataFrame,
             for j in range(1 + i % 3):
                 k = (i + 17 * j) % 40
                 url = "http://images.example/im%d.png" % k
-                tags.append('<img src="%s" alt="Img caption %d tok%d"/>'
+                tags.append('<img src="%s" alt="Img caption %d €tok%d"/>'
                             % (url, k, k % 7))
                 img = class_bytes(k)
                 body = broken(img) if (i % 13 == 0 and j == 0) else img
@@ -2169,11 +2341,27 @@ def synth_warc_imgtext_demo(docs: DataFrame,
                     tags.append('<img src="%s" alt="Mirror caption %d"/>'
                                 % (murl, k))
                     recs.append(("response", murl, img))
-            html = ("<html><head><title>g</title></head><body>%s"
-                    "</body></html>" % "".join(tags))
+            # charset legs (r11): captions carry '€' and the page
+            # encoding rotates by shard — windows-1252 via http-equiv,
+            # gb18030 via <meta charset> (both encode €), plain utf-8 —
+            # so a hard-UTF-8 reader mojibakes the caption strings the
+            # oracle checks char-exact.  Caption TEXT stays a pure
+            # function of the image class; only the bytes rotate.
+            leg = i % 3
+            if leg == 1:
+                meta = ('<meta http-equiv="Content-Type" content='
+                        '"text/html; charset=windows-1252">')
+                codec = "cp1252"
+            elif leg == 2:  # gb18030, the gbk superset that still
+                meta = '<meta charset="gb18030">'  # encodes '€'
+                codec = "gb18030"
+            else:
+                meta, codec = "", "utf-8"
+            html = ("<html><head>%s<title>g</title></head><body>%s"
+                    "</body></html>" % (meta, "".join(tags)))
             recs.insert(1, ("response",
                             "http://site%d.example/p%d" % (i % 50, i),
-                            html.encode()))
+                            html.encode(codec)))
             # r10: alternating shards ship gzipped (.warc.gz)
             return _warc(recs, gz=((i // 4) % 2 == 0))
 

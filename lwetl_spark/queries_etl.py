@@ -2434,7 +2434,9 @@ def x_bmp_meta(spark, sf_dir):
     SELECT CAST(COUNT(*) AS BIGINT) AS n_shards,
            CAST(COUNT(*) AS BIGINT) AS n_responses,
            CAST(COUNT(DISTINCT lower(trim(regexp_replace(
-                'page ' || text, '\s+', ' ', 'g')))) AS BIGINT)
+                'page ' || CASE doc_id % 3 WHEN 1 THEN '€ '
+                           WHEN 2 THEN '页 ' ELSE '' END || text,
+                '\s+', ' ', 'g')))) AS BIGINT)
                AS n_admitted,
            TRUE AS index_matches_fresh,
            TRUE AS no_readmission
@@ -2445,7 +2447,11 @@ def x_warc_ingest(spark, sf_dir):
     """The FULL web-crawl ingest loop composed end-to-end (r9 — the
     WARC-side mirror of x_webdataset_campaign): WARC shards →
     `warc_payloads` (header walk, exact Content-Length body slices) →
-    response bodies → `html_text` boilerplate strip (script/title/
+    response bodies → `sniff_decode_html` charset resolution (r11:
+    BOM → Content-Type → <meta> → UTF-8 probe → latin-1; the fixture
+    rotates utf-8 / windows-1252 / gbk pages whose € / 页 prefixes
+    value-check char-exact through the distinct-count) → `html_text`
+    boilerplate strip (script/title/
     tags/comment dropped, whitespace collapsed — pure JVM regex
     chain) → `ingest_increment` (manifest diff + content dedup +
     index maintenance).  Contracts, all oracle-checked: (a)
@@ -2460,6 +2466,7 @@ def x_warc_ingest(spark, sf_dir):
     from lwetl_spark.functions.text import html_text
     from lwetl_spark.operators.incremental import ingest_increment
     from lwetl_spark.operators.media import (
+        sniff_decode_html,
         synth_warc_html_demo,
         warc_payloads,
     )
@@ -2472,12 +2479,14 @@ def x_warc_ingest(spark, sf_dir):
     sub = docs.filter(F.col("doc_id") % 4 == 3)
     shards = synth_warc_html_demo(sub)
     members = warc_payloads(shards).localCheckpoint(eager=True)
+    # charset-sniffed decode (r11): the fixture rotates utf-8 /
+    # windows-1252 (http-equiv) / gbk (<meta charset>) pages — a
+    # hard-UTF-8 decode would mojibake the € / 页 body prefixes
     cleaned = (
-        members.filter(F.col("rec_type") == "response")
-        .select(
-            "doc_id",
-            html_text(F.decode("payload", "UTF-8")).alias("text"),
-        )
+        sniff_decode_html(
+            members.filter(F.col("rec_type") == "response")
+            .select("doc_id", "payload"))
+        .select("doc_id", html_text(F.col("html")).alias("text"))
         .localCheckpoint(eager=True)
     )
     work = _tmpdir("warcingest")
@@ -2798,7 +2807,7 @@ def x_dhash_neardup(spark, sf_dir):
                 THEN printf('http://cdn.example/mim%d.png', k)
                 ELSE printf('http://images.example/im%d.png', k)
            END AS img_url,
-           printf('Img caption %d tok%d', k, k % 7) AS caption,
+           printf('Img caption %d €tok%d', k, k % 7) AS caption,
            CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
            CASE WHEN k % 5 = 3 THEN ncop_base + nrefs_base
                 ELSE ncop_base END AS n_copies,
@@ -2832,6 +2841,7 @@ def x_imgtext_pairs(spark, sf_dir):
     from lwetl_spark.operators.media import (
         image_dhash,
         media_meta,
+        sniff_decode_html,
         synth_warc_imgtext_demo,
         warc_payloads,
     )
@@ -2843,8 +2853,10 @@ def x_imgtext_pairs(spark, sf_dir):
     )
     tag_re = r'<img src="([^"]*)" alt="([^"]*)"/>'
     refs = (
-        recs.filter(F.col("target_uri").startswith("http://site"))
-        .select(F.decode("payload", "UTF-8").alias("html"))
+        sniff_decode_html(
+            recs.filter(F.col("target_uri").startswith("http://site"))
+            .select("doc_id", "payload"))
+        .select("html")
         .select(F.explode(
             F.regexp_extract_all("html", F.lit(tag_re), 0)).alias("tag"))
         .select(
@@ -5457,3 +5469,45 @@ def x_hll_sketch_store(spark, sf_dir):
             "all_sources_within_5pct",
         )
     )
+
+
+@register(
+    "x_charset_sniff",
+    """
+    SELECT doc_id,
+           CASE doc_id % 5
+                WHEN 0 THEN 'utf-8' WHEN 1 THEN 'cp1252'
+                WHEN 2 THEN 'gbk' WHEN 3 THEN 'utf-8'
+                ELSE 'latin-1' END AS charset,
+           printf('t%d ', doc_id % 9) ||
+           CASE doc_id % 5
+                WHEN 0 THEN printf('café %d naïve', doc_id % 100)
+                WHEN 1 THEN printf('€ price %d ÿes', doc_id % 100)
+                WHEN 2 THEN printf('数据 %d 页', doc_id % 100)
+                WHEN 3 THEN printf('omega Ω %d', doc_id % 100)
+                ELSE printf('café %d', doc_id % 100) END AS text
+    FROM documents
+    """,
+)
+def x_charset_sniff(spark, sf_dir):
+    """Charset-sniffing HTML decode (r11, VERDICT r10 task 3;
+    operators/media.sniff_decode_html + functions/text.html_text):
+    real crawls are full of windows-1252/gbk/latin-1 pages a hard
+    UTF-8 decode mojibakes.  Resolution order value-checked leg by
+    leg — BOM strip, <meta charset>, the legacy http-equiv form,
+    strict-UTF-8 probe on undeclared pages, latin-1 last resort —
+    with every extracted text char-exact against the oracle's
+    unicode literals (a reader that ignores the declaration, decodes
+    before stripping the BOM, or falls back differently
+    hash-mismatches).  The same sniffer fronts the x_warc_ingest and
+    x_imgtext_pairs crawl loops."""
+    from lwetl_spark.functions.text import html_text
+    from lwetl_spark.operators.media import (
+        sniff_decode_html,
+        synth_charset_demo,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    out = sniff_decode_html(synth_charset_demo(docs))
+    return out.select(
+        "doc_id", "charset", html_text(F.col("html")).alias("text"))

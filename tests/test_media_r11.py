@@ -235,3 +235,44 @@ def test_tiff_g4_strips_tiles_and_pdf_ccitt(spark):
     r0 = pdf_image_stats(spark.createDataFrame(
         [(1, b0)], "doc_id long, payload binary")).collect()[0]
     assert r0["decoded"] and r0["sum_px"] == w * h - sum(bits)
+
+
+def test_charset_sniffer_resolution_order_and_mojibake():
+    """sniff_charset: BOM > Content-Type > <meta> (both forms) >
+    strict-UTF-8 probe > latin-1; a hard-UTF-8 reader mojibakes the
+    cp1252 page this decodes char-exact; lying declarations fall
+    through to the probe."""
+    from lwetl_spark.operators.media import sniff_charset as s
+
+    # BOM wins over everything
+    t, cs = s(b"\xef\xbb\xbf<meta charset=\"gbk\">ok")
+    assert cs == "utf-8" and t.startswith("<meta")
+    # http Content-Type wins over meta
+    body = '<meta charset="utf-8">€'.encode("cp1252")
+    t, cs = s(body, "text/html; charset=windows-1252")
+    assert cs == "cp1252" and "€" in t
+    # legacy http-equiv form resolves
+    page = ('<html><head><meta http-equiv="Content-Type" content='
+            '"text/html; charset=windows-1252"></head>'
+            "<body>€ price \xff</body></html>")
+    raw = page.encode("cp1252")
+    t, cs = s(raw)
+    assert cs == "cp1252" and "€ price \xff" in t
+    # the mojibake check: hard-UTF-8 'replace' CANNOT recover it
+    assert "€" not in raw.decode("utf-8", "replace")
+    # gbk meta with CJK
+    g = '<meta charset="gbk">页 page'.encode("gbk")
+    t, cs = s(g)
+    assert cs == "gbk" and "页" in t
+    # undeclared valid utf-8 -> strict probe
+    t, cs = s("plain Ω".encode("utf-8"))
+    assert cs == "utf-8" and "Ω" in t
+    # undeclared cp1252/latin-1 bytes -> latin-1 never fails
+    t, cs = s(b"caf\xe9")
+    assert cs == "latin-1" and t == "caf\xe9"
+    # lying declaration whose decode fails falls through
+    t, cs = s('<meta charset="gbk">ok €'.encode("utf-8"))
+    assert cs == "utf-8" and t.endswith("€")
+    # unknown charset name ignored
+    t, cs = s(b'<meta charset="klingon-1">ok')
+    assert cs == "utf-8"
