@@ -5516,13 +5516,20 @@ def image_dhash(df: DataFrame) -> DataFrame:
 
 
 def dhash_bands(df: DataFrame, id_col: str = "doc_id",
-                hash_col: str = "dhash") -> DataFrame:
-    """Exploded 4-band LSH rows for a dhash column (r10): per input
-    row, four (__b, __v) 16-bit-band rows plus the 32-bit conv halves
-    (__hi, __lo) the hamming verify needs.  Shared by dhash_near_dup
-    and the streaming admission twin so the banding is ONE
-    implementation (and the persisted streaming state is exactly this
+                hash_col: str = "dhash",
+                n_bands: int = 4) -> DataFrame:
+    """Exploded n-band LSH rows for a dhash column (r10; n_bands
+    r11): per input row, n_bands (__b, __v) hex-band rows plus the
+    32-bit conv halves (__hi, __lo) the hamming verify needs.
+    n_bands must divide 16 hex chars evenly (4 → 16-bit bands,
+    exact recall ≤ 3; 8 → 8-bit bands, exact recall ≤ 7 — the
+    aggressive-re-encode radius).  Shared by dhash_near_dup and the
+    streaming admission twin so the banding is ONE implementation
+    (and the persisted streaming state is exactly the 4-band
     shape)."""
+    if 16 % n_bands:
+        raise ValueError("n_bands must divide the 16 hex chars")
+    step = 16 // n_bands
     halves = df.select(
         F.col(id_col).alias("__id"),
         F.col(hash_col).alias("__h"),
@@ -5535,8 +5542,8 @@ def dhash_bands(df: DataFrame, id_col: str = "doc_id",
         "__id", "__hi", "__lo",
         F.explode(F.array(*[
             F.struct(F.lit(b).alias("b"),
-                     F.substring("__h", 1 + 4 * b, 4).alias("v"))
-            for b in range(4)
+                     F.substring("__h", 1 + step * b, step).alias("v"))
+            for b in range(n_bands)
         ])).alias("__band"),
     ).select("__id", "__hi", "__lo",
              F.col("__band.b").alias("__b"),
@@ -5545,15 +5552,19 @@ def dhash_bands(df: DataFrame, id_col: str = "doc_id",
 
 def dhash_near_dup(df: DataFrame, max_hamming: int = 3,
                    id_col: str = "doc_id",
-                   hash_col: str = "dhash") -> DataFrame:
+                   hash_col: str = "dhash",
+                   n_bands: int = 4) -> DataFrame:
     """Perceptual NEAR-dup pairs over dhash values (r10 — upgrades
     the r9 exact-collision grouping to the hamming-radius match real
     re-encodes need: a JPEG re-save of a PNG shifts a few gradient
-    bits, not zero): 4-band LSH over the 64-bit hash.  Each hash
-    splits into four 16-bit bands; candidate pairs share at least one
-    exact band — the pigeonhole guarantees EXACT recall for
-    hamming ≤ 3 (3 differing bits can dirty at most 3 of 4 bands) —
-    then the true hamming distance verifies JVM-side via two 32-bit
+    bits, not zero): n-band LSH over the 64-bit hash.  Each hash
+    splits into n_bands equal hex bands; candidate pairs share at
+    least one exact band — the pigeonhole guarantees EXACT recall for
+    hamming ≤ n_bands−1 (k differing bits can dirty at most k bands).
+    The default 4×16-bit banding covers radius 3; n_bands=8 (8-bit
+    bands, r11) covers radius 7 — where aggressive resize+re-JPEG
+    copies land — at the cost of 2× band rows and coarser buckets.
+    The true hamming distance verifies JVM-side via two 32-bit
     conv halves, bitwiseXOR, and bit_count.  Output
     (id_l, id_r, hamming) with id_l < id_r.
 
@@ -5562,12 +5573,13 @@ def dhash_near_dup(df: DataFrame, max_hamming: int = 3,
     4-hex band) rows, never image bytes.  A band bucket's size is the
     near-dup cluster size (crawl-natural fan-in); banding is the same
     shape as the MinHash-LSH dedup family."""
-    if not 0 <= max_hamming <= 3:
+    if not 0 <= max_hamming <= n_bands - 1:
         raise ValueError(
-            "4-band LSH guarantees exact recall only for"
-            f" max_hamming <= 3 (got {max_hamming}); add bands for"
-            " a wider radius")
-    bands = dhash_bands(df, id_col=id_col, hash_col=hash_col)
+            f"{n_bands}-band LSH guarantees exact recall only for"
+            f" max_hamming <= {n_bands - 1} (got {max_hamming});"
+            " add bands for a wider radius")
+    bands = dhash_bands(df, id_col=id_col, hash_col=hash_col,
+                        n_bands=n_bands)
     left = bands.select(
         F.col("__id").alias("id_l"), F.col("__hi").alias("__lhi"),
         F.col("__lo").alias("__llo"), "__b", "__v")
@@ -5597,17 +5609,22 @@ def dhash_near_dup(df: DataFrame, max_hamming: int = 3,
 
 
 def synth_dhash_neardup_demo(docs: DataFrame,
-                             id_col: str = "doc_id") -> DataFrame:
-    """Fixture for x_dhash_neardup (r10): REAL PNGs whose SAMPLED
-    8×9 grid realizes a CHOSEN bit matrix, so the oracle knows every
-    hash bit arithmetically.  Geometry 18×16 puts the dhash sample
-    grid on every 2nd pixel exactly; grid values walk ±10 from 128 so
-    g[k] > g[k+1] iff the wanted bit is 1.  Class k = id%10 has base
-    bit(r,c) = ((11k + 3r + 5c) % 7) < 3; variant t = (id%40)//10
-    flips t extra bits at positions (7k + 13t + 17j) % 64 — so
+                             id_col: str = "doc_id",
+                             t_mod: int = 40) -> DataFrame:
+    """Fixture for x_dhash_neardup (r10; t_mod r11): REAL PNGs whose
+    SAMPLED 8×9 grid realizes a CHOSEN bit matrix, so the oracle
+    knows every hash bit arithmetically.  Geometry 18×16 puts the
+    dhash sample grid on every 2nd pixel exactly; grid values walk
+    ±10 from 128 so g[k] > g[k+1] iff the wanted bit is 1.  Class
+    k = id%10 has base bit(r,c) = ((11k + 3r + 5c) % 7) < 3; variant
+    t = (id%t_mod)//10 flips t extra bits at positions
+    (7k + 13t + 17j) % 64.  At the default t_mod=40 (t ≤ 3):
     same-variant copies are hamming-0, variants (0,t) are hamming-t,
-    (1,2) is 3, and (1,3)/(2,3) land at 4/5 BEYOND the radius: the
-    operator must find exactly the ≤3 pairs and nothing else."""
+    (1,2) is 3, and (1,3)/(2,3) land at 4/5 BEYOND the radius —
+    the operator must find exactly the ≤3 pairs and nothing else.
+    t_mod=80 (r11) widens variants to t ≤ 7 for the 8-band
+    radius-6 leg, with pair distances spread through and beyond the
+    wider radius."""
     _, png_encode = _make_png_codec()  # product captured, not factory
 
     def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -5615,7 +5632,7 @@ def synth_dhash_neardup_demo(docs: DataFrame,
         import pandas as pd
 
         def one(i: int) -> bytes:
-            k, t = i % 10, (i % 40) // 10
+            k, t = i % 10, (i % t_mod) // 10
             flips = {(7 * k + 13 * t + 17 * j) % 64 for j in range(t)}
             px = np.zeros((16, 18), dtype=np.uint8)
             for r in range(8):

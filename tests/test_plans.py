@@ -672,3 +672,16 @@ def test_dhash_neardup_band_join_never_broadcasts(spark):
     assert "BroadcastHashJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dhash_neardup_r6_band_join_never_broadcasts(spark):
+    """The 8-band radius-6 variant keeps the same scale shape: the
+    wider banding doubles band rows, never the join strategy — still
+    shuffled, no broadcast, no all-pairs stage."""
+    import lwetl_spark.queries_etl  # noqa: F401  (registers the key)
+
+    plan = _plan(spark, "x_dhash_neardup_r6")
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
