@@ -3985,6 +3985,14 @@ def sniff_format(payload: Column | str) -> Column:
             | hx.startswith("FFFB"),
             "mp3",
         )
+        # ADTS AAC (r11): syncword FFF + layer 00 — byte 1 is
+        # F0/F1 (MPEG-4, with/without CRC) or F8/F9 (MPEG-2);
+        # distinct from MP3's FFFA/FFFB (layer III bits)
+        .when(
+            hx.startswith("FFF0") | hx.startswith("FFF1")
+            | hx.startswith("FFF8") | hx.startswith("FFF9"),
+            "aac",
+        )
         .otherwise("unknown")
     )
 
@@ -6201,6 +6209,162 @@ def synth_mp3_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             else:
                 b = _mp3(1 + i % 14, i % 3, nf, id3_payload=id3)
             return b[:-7] if i % 17 == 0 else b
+
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame({"doc_id": ids, "payload": ids.map(one)})
+
+    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        gen, "doc_id long, payload binary"
+    )
+
+
+def _make_aac_gen():
+    """Factory returning the raw-AAC (ADTS) generator (by-value
+    pickling, see _make_mp3_gen): frame = 7-byte ADTS header
+    (syncword FFF, MPEG id, layer 00, protection_absent, 2-bit
+    profile, 4-bit sampling-frequency index, 3-bit channel config
+    split across bytes 2/3, 13-bit aac_frame_length INCLUDING the
+    header, buffer fullness, raw-data-block count) + optional 2-byte
+    CRC + the raw payload.  ISO 14496-3 §1.A.2."""
+
+    def aac(profile: int, sr_idx: int, channels: int, sizes,
+            crc: bool = False, mpeg2: bool = False) -> bytes:
+        out = bytearray()
+        for sz in sizes:
+            flen = (9 if crc else 7) + sz
+            b = bytearray(7)
+            b[0] = 0xFF
+            b[1] = 0xF0 | (0x08 if mpeg2 else 0) | (0 if crc else 1)
+            b[2] = ((profile & 3) << 6) | ((sr_idx & 0xF) << 2) \
+                | ((channels >> 2) & 1)
+            b[3] = ((channels & 3) << 6) | ((flen >> 11) & 3)
+            b[4] = (flen >> 3) & 0xFF
+            b[5] = ((flen & 7) << 5) | 0x1F
+            b[6] = 0xFC  # fullness low 6 bits; 1 raw data block
+            out += b
+            if crc:
+                out += b"\x00\x00"
+            out += bytes(sz)
+        return bytes(out)
+
+    return aac
+
+
+#: the ADTS generator (factory-made; importable for tests)
+aac_bytes = _make_aac_gen()
+
+
+AAC_META_SCHEMA = (
+    "doc_id long, profile long, sample_rate long, channels long,"
+    " n_frames long, duration_ms long, crc boolean, mpeg2 boolean,"
+    " valid boolean"
+)
+
+#: ISO 14496-3 sampling_frequency_index table
+_AAC_RATES = (96000, 88200, 64000, 48000, 44100, 32000, 24000,
+              22050, 16000, 12000, 11025, 8000, 7350)
+
+
+def aac_meta(df: DataFrame) -> DataFrame:
+    """Raw-AAC (ADTS) frame-header census (r11, VERDICT r10 task 7 —
+    the last common crawl-audio shape with no walk; the MP3-walk
+    pattern verbatim): walk the ADTS frame sequence — 12-bit
+    syncword + layer-00 check, profile / sampling-frequency-index /
+    channel-configuration fields, the 13-bit aac_frame_length that
+    includes its own header — and emit the stream geometry: profile
+    (0 Main / 1 LC / 2 SSR), sample rate from the ISO table,
+    channels, frame count, exact integer duration_ms =
+    1000·1024·n_frames div samplerate (one raw data block per
+    frame), plus the protection (CRC) and MPEG-2 flags from the
+    first header.  A profile/rate/channel switch mid-stream is a
+    structural lie, a frame overrunning the payload a truncation:
+    both stop the walk with valid=false and the census so far.
+    Non-ADTS payloads yield NULLs; one zero-shuffle Arrow pass."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        RATES = (96000, 88200, 64000, 48000, 44100, 32000, 24000,
+                 22050, 16000, 12000, 11025, 8000, 7350)
+
+        def census(b: bytes):
+            b = bytes(b) if b is not None else b""
+            if len(b) < 7 or b[0] != 0xFF or (b[1] & 0xF6) != 0xF0:
+                return None
+            sr_idx = (b[2] >> 2) & 0xF
+            if sr_idx >= 13:
+                return None
+            profile = (b[2] >> 6) & 3
+            ch = ((b[2] & 1) << 2) | ((b[3] >> 6) & 3)
+            crc = not (b[1] & 1)
+            mpeg2 = bool(b[1] & 0x08)
+            pos = 0
+            n = 0
+            samples = 0
+            ok = True
+            while pos + 7 <= len(b):
+                h = b[pos : pos + 7]
+                if h[0] != 0xFF or (h[1] & 0xF6) != 0xF0:
+                    ok = False
+                    break
+                if (((h[2] >> 2) & 0xF) != sr_idx
+                        or ((h[2] >> 6) & 3) != profile
+                        or ((((h[2] & 1) << 2)
+                             | ((h[3] >> 6) & 3))) != ch):
+                    ok = False  # mid-stream parameter switch
+                    break
+                flen = ((h[3] & 3) << 11) | (h[4] << 3) | (h[5] >> 5)
+                hdr = 9 if not (h[1] & 1) else 7
+                if flen < hdr or pos + flen > len(b):
+                    ok = False
+                    break
+                rdb = (h[6] & 3) + 1
+                samples += 1024 * rdb
+                n += 1
+                pos = pos + flen
+            if pos != len(b):
+                ok = False
+            sr = RATES[sr_idx]
+            return (profile, sr, ch, n, 1000 * samples // sr,
+                    crc, mpeg2, ok)
+
+        cols = ["profile", "sample_rate", "channels", "n_frames",
+                "duration_ms", "crc", "mpeg2", "valid"]
+        for pdf in batches:
+            parsed = [census(x) for x in pdf["payload"]]
+            out = pd.DataFrame(
+                [p if p is not None else (None,) * 7 + (False,)
+                 for p in parsed],
+                columns=cols,
+            )
+            out.insert(0, "doc_id", pdf["doc_id"].to_numpy())
+            yield out
+
+    return df.mapInPandas(run, schema=AAC_META_SCHEMA)
+
+
+def synth_aac_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixture for x_aac_meta (r11): REAL ADTS streams — profile
+    id%3, sampling index id%13 (every ISO rate), channel config
+    1+(id%3), 5+(id%40) frames of 13+((7·id+f)%29) payload bytes,
+    CRC headers for id%4==0, MPEG-2 id bit for id%5==3.  Every 23rd
+    id drops the last 5 bytes (the final frame overruns: census
+    keeps the frames before it, valid=false); every 31st id is not
+    ADTS at all (NULL row)."""
+    _gen = aac_bytes  # factory-made → ships by value
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        def one(i: int) -> bytes:
+            if i % 31 == 0:
+                return b"RIFFnot aac"
+            nf = 5 + i % 40
+            b = _gen(i % 3, i % 13, 1 + i % 3,
+                     [13 + (7 * i + f) % 29 for f in range(nf)],
+                     crc=(i % 4 == 0), mpeg2=(i % 5 == 3))
+            return b[:-5] if i % 23 == 0 else b
 
         for pdf in batches:
             ids = pdf["doc_id"].astype("int64")

@@ -5578,3 +5578,73 @@ def x_dhash_neardup_r6(spark, sf_dir):
         synth_dhash_neardup_demo(docs, t_mod=80)).filter("ok")
     return dhash_near_dup(hashes.select("doc_id", "dhash"),
                           max_hamming=6, n_bands=8)
+
+
+@register(
+    "x_aac_meta",
+    """
+    WITH g AS (
+        SELECT doc_id,
+               doc_id % 3 AS profile,
+               doc_id % 13 AS sr_idx,
+               1 + doc_id % 3 AS ch,
+               5 + doc_id % 40 AS nf,
+               doc_id % 4 = 0 AS crc,
+               doc_id % 5 = 3 AS mpeg2,
+               doc_id % 23 = 0 AS trunc,
+               doc_id % 31 = 0 AS nonaac
+        FROM documents
+    ),
+    r AS (
+        SELECT *,
+               CASE sr_idx WHEN 0 THEN 96000 WHEN 1 THEN 88200
+                    WHEN 2 THEN 64000 WHEN 3 THEN 48000
+                    WHEN 4 THEN 44100 WHEN 5 THEN 32000
+                    WHEN 6 THEN 24000 WHEN 7 THEN 22050
+                    WHEN 8 THEN 16000 WHEN 9 THEN 12000
+                    WHEN 10 THEN 11025 WHEN 11 THEN 8000
+                    ELSE 7350 END AS sr,
+               nf - CASE WHEN trunc THEN 1 ELSE 0 END AS n_seen
+        FROM g
+    )
+    SELECT doc_id,
+           CAST(CASE WHEN nonaac THEN -1 ELSE profile END AS BIGINT)
+               AS profile,
+           CAST(CASE WHEN nonaac THEN -1 ELSE sr END AS BIGINT)
+               AS sample_rate,
+           CAST(CASE WHEN nonaac THEN -1 ELSE ch END AS BIGINT)
+               AS channels,
+           CAST(CASE WHEN nonaac THEN -1 ELSE n_seen END AS BIGINT)
+               AS n_frames,
+           CAST(CASE WHEN nonaac THEN -1
+                ELSE 1000 * 1024 * n_seen // sr END AS BIGINT)
+               AS duration_ms,
+           NOT nonaac AND crc AS crc,
+           NOT nonaac AND mpeg2 AS mpeg2,
+           NOT (nonaac OR trunc) AS valid
+    FROM r
+    """,
+)
+def x_aac_meta(spark, sf_dir):
+    """Raw-AAC (ADTS) frame-header census (r11, VERDICT r10 task 7;
+    operators/media.aac_meta): the last common crawl-audio shape —
+    syncword/layer check, profile + ISO sampling-frequency table +
+    channel config, the 13-bit frame-length walk (header included,
+    CRC legs two bytes longer), exact integer duration from the
+    1024-samples-per-frame model.  All thirteen ISO rates, both CRC
+    framings, MPEG-2/4 id bits; every 23rd id truncates the last
+    frame (partial census, valid=false), every 31st is not ADTS
+    (NULL sentinels).  All fields recompute from id arithmetic."""
+    from lwetl_spark.operators.media import aac_meta, synth_aac_demo
+
+    docs = _t(spark, sf_dir, "documents")
+    out = aac_meta(synth_aac_demo(docs))
+    return out.select(
+        "doc_id",
+        *[F.coalesce(F.col(c), F.lit(-1)).cast("long").alias(c)
+          for c in ("profile", "sample_rate", "channels", "n_frames",
+                    "duration_ms")],
+        F.coalesce(F.col("crc"), F.lit(False)).alias("crc"),
+        F.coalesce(F.col("mpeg2"), F.lit(False)).alias("mpeg2"),
+        "valid",
+    )

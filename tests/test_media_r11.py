@@ -276,3 +276,40 @@ def test_charset_sniffer_resolution_order_and_mojibake():
     # unknown charset name ignored
     t, cs = s(b'<meta charset="klingon-1">ok')
     assert cs == "utf-8"
+
+
+def test_aac_adts_walk_truncation_and_sniff(spark):
+    """ADTS census: CRC vs no-CRC framing, MPEG-2 id bit, exact
+    duration; truncation keeps frames before the cut (valid=false);
+    a mid-stream samplerate switch is a structural lie; the sniffer
+    routes ADTS (not MP3) bytes to 'aac'."""
+    from lwetl_spark.operators.media import (
+        aac_bytes,
+        aac_meta,
+        sniff_format,
+    )
+
+    good = aac_bytes(1, 4, 2, [20, 25, 30])           # LC 44100 stereo
+    crc = aac_bytes(2, 11, 1, [10] * 4, crc=True)     # SSR 8000 mono
+    m2 = aac_bytes(0, 0, 3, [15] * 2, mpeg2=True)     # Main 96000
+    trunc = aac_bytes(1, 4, 2, [20, 25, 30])[:-5]
+    switch = bytearray(aac_bytes(1, 4, 2, [20, 20]))
+    switch[27 + 2] ^= 0x04  # second frame's sr_idx flips a bit
+    rows = [(1, good), (2, crc), (3, m2), (4, trunc),
+            (5, bytes(switch)), (6, b"OggSnot")]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in aac_meta(df).collect()}
+    r = out[1]
+    assert (r["profile"], r["sample_rate"], r["channels"]) == (1, 44100, 2)
+    assert r["n_frames"] == 3 and r["valid"] and not r["crc"]
+    assert r["duration_ms"] == 1000 * 1024 * 3 // 44100
+    assert out[2]["crc"] and out[2]["n_frames"] == 4 \
+        and out[2]["sample_rate"] == 8000 and out[2]["valid"]
+    assert out[3]["mpeg2"] and out[3]["valid"]
+    assert out[4]["valid"] is False and out[4]["n_frames"] == 2
+    assert out[5]["valid"] is False and out[5]["n_frames"] == 1
+    assert out[6]["profile"] is None and out[6]["valid"] is False
+    sn = {r["doc_id"]: r["fmt"] for r in df.select(
+        "doc_id", sniff_format("payload").alias("fmt")).collect()}
+    assert sn[1] == "aac" and sn[2] == "aac" and sn[3] == "aac"
+    assert sn[6] == "ogg"
