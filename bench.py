@@ -133,20 +133,23 @@ EXTENDED = [
     "x_dhash_neardup",
     "x_pdf_images",
     "x_tiff_pixels",
+    # r11: the 8-band radius-6 perceptual variant (2x band rows vs the
+    # 4-band row above — tracks the wider-radius candidate fan-in)
+    "x_dhash_neardup_r6",
 ]
 
 #: VERDICT r8 "what's wrong" #3: when a fixture generator (or the
 #: operator behind an existing bench name) changes the WORKLOAD timed
 #: under that name, list the name here for one round so round-over-round
-#: regression triage stays mechanical.  r10: x_pdf_text's fixture
-#: gained the LZWDecode leg (id%4==3 streams now pay the Python LZW
-#: decode — expect a step-up), x_zip_extract gained forced-zip64
-#: archives (every 3rd id), x_tiff_pixels' storage legs widened to
-#: multi-strip/LZW/PackBits/predictor (was uncompressed single-strip),
-#: and x_fuzzy_join's operator was FIXED (AQE residue coalescing ran
-#: the levenshtein product on one core — expect a large step-DOWN).
+#: regression triage stays mechanical.  r11: x_pdf_text gained the
+#: modern xref-stream/ObjStm legs (id%5==2 now pays an extra inflate
+#: + ObjStm walk), x_tiff_pixels gained 1-bit CCITT G4 pages
+#: ((id+p)%4==3 — pure-Python MMR decode, expect a step-up),
+#: x_pdf_images gained the CCITT leg ((id+k)%8==4), and
+#: x_imgtext_pairs routes HTML through the charset sniffer with
+#: rotating cp1252/gb18030 fixture encodings.
 FIXTURE_CHANGED: list[str] = [
-    "x_pdf_text", "x_zip_extract", "x_tiff_pixels", "x_fuzzy_join",
+    "x_pdf_text", "x_tiff_pixels", "x_pdf_images", "x_imgtext_pairs",
 ]
 
 
@@ -529,28 +532,46 @@ def main() -> None:
     # between queries keeps persist()-ing queries (minhash) from
     # subsidizing later ones.
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "5")))
-    # the historically volatile rows get best-of-7 (VERDICT r9 task 7:
-    # x_fuzzy_join swung 2.62→1.79→2.38 s across rounds on
+    # the historically volatile rows get best-of-7 (VERDICT r9 task 7 /
+    # r10 task 5: x_fuzzy_join swung 2.62→1.79→2.38 s and
+    # x_quality_logreg +28% / x_dedup_clusters +10% r9→r10 on
     # byte-identical code) — best-of-7 for EVERY extended row was
     # tried first and blew the suite past a 10-minute wall
-    volatile = {"x_fuzzy_join", "curate_chain"}
+    volatile = {"x_fuzzy_join", "curate_chain", "x_quality_logreg",
+                "x_dedup_clusters"}
     repeats_hot = max(repeats, int(
         os.environ.get("SPARK_GRAFT_BENCH_REPEATS_HOT", "7")))
 
+    #: per-row repeat statistics (VERDICT r10 task 5: emit stddev so
+    #: the judge can separate box-load noise from real regressions
+    #: mechanically) — {name: {min, med, sd, n}}
+    row_stats: dict[str, dict[str, float]] = {}
+
     def run_suite(names: list[str]) -> tuple[dict[str, float], float]:
+        import statistics
+
         timings: dict[str, float] = {}
         total = 0.0
         for name in names:
             fn = BENCH_OVERRIDES.get(name) or QUERIES[name]
-            best, n = float("inf"), 0
+            times: list[float] = []
+            n = 0
             for _ in range(repeats_hot if name in volatile else repeats):
                 spark.catalog.clearCache()
                 t0 = time.time()
                 n = fn(spark, SF_DIR).count()
-                best = min(best, time.time() - t0)
+                times.append(time.time() - t0)
+            best = min(times)
             timings[name] = round(best, 3)
+            row_stats[name] = {
+                "min": round(best, 3),
+                "med": round(statistics.median(times), 3),
+                "sd": round(statistics.pstdev(times), 3),
+                "n": len(times),
+            }
             total += best
-            print(f"# {name}: {best:.2f}s ({n} rows)", file=sys.stderr)
+            print(f"# {name}: {best:.2f}s ({n} rows, "
+                  f"sd {row_stats[name]['sd']:.2f})", file=sys.stderr)
         return timings, total
 
     # calibration row FIRST (VERDICT r6 #6): a pinned zero-I/O workload
@@ -586,6 +607,7 @@ def main() -> None:
                 "calibration_workload": "range30M-hash-shuffleagg-sort",
                 "normalized": _norm(timings),
                 "extended_normalized": _norm(ext_timings),
+                "row_stats": row_stats,
                 "fixture_changed": FIXTURE_CHANGED,
                 "repeats": repeats,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

@@ -3975,6 +3975,10 @@ def sniff_format(payload: Column | str) -> Column:
         .when(hx.startswith("1A45DFA3"), "mkv")
         .when(hx.startswith("424D"), "bmp")
         .when(hx.startswith("1F8B"), "gzip")
+        # zstd frame magic (r11): .warc.zst / .zst — ROUTED so the
+        # gate never drops it silently; decode is out of scope
+        # (SCALE.md r11 addendum 5: no zstd codec in python 3.11)
+        .when(hx.startswith("28B52FFD"), "zstd")
         .when(hx.startswith("504B0304"), "zip")
         .when(hx.startswith("664C6143"), "flac")
         .when(hx.startswith("4F676753"), "ogg")
@@ -10020,7 +10024,11 @@ def zip_member_contents(df: DataFrame) -> DataFrame:
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
-        meth = {0: "stored", 8: "deflate", 12: "bzip2", 14: "lzma"}
+        # 93 = zstd (APPNOTE 4.4.5): named so the gate can ROUTE it,
+        # decoded nowhere — python 3.11 has no zstd codec (SCALE.md
+        # r11 addendum 5 records the boundary)
+        meth = {0: "stored", 8: "deflate", 12: "bzip2", 14: "lzma",
+                93: "zstd"}
 
         def rows(i: int, b: bytes):
             r = zidx(b)

@@ -313,3 +313,34 @@ def test_aac_adts_walk_truncation_and_sniff(spark):
         "doc_id", sniff_format("payload").alias("fmt")).collect()}
     assert sn[1] == "aac" and sn[2] == "aac" and sn[3] == "aac"
     assert sn[6] == "ogg"
+
+
+def test_zstd_routed_named_never_decoded(spark):
+    """The zstd boundary is explicit (SCALE.md r11 addendum 5): the
+    sniffer routes the frame magic, a method-93 ZIP member reports
+    method='zstd' with ok=false — never a crash, never a mis-decode."""
+    import struct
+    import zlib
+
+    from lwetl_spark.operators.media import (
+        sniff_format,
+        zip_bytes,
+        zip_member_contents,
+    )
+
+    df = spark.createDataFrame(
+        [(1, b"\x28\xb5\x2f\xfd\x00\x00junk")],
+        "doc_id long, payload binary")
+    assert df.select(sniff_format("payload").alias("f")) \
+        .collect()[0]["f"] == "zstd"
+    # hand-build a zip whose one member claims method 93
+    z = bytearray(zip_bytes([("a.txt", b"hello zstd", "stored")]))
+    pos = z.find(struct.pack("<H", 0), z.find(b"PK\x03\x04") + 8)
+    # patch method fields (local header offset 8, central offset 10)
+    z[8:10] = struct.pack("<H", 93)
+    cd = z.find(b"PK\x01\x02")
+    z[cd + 10 : cd + 12] = struct.pack("<H", 93)
+    out = zip_member_contents(spark.createDataFrame(
+        [(1, bytes(z))], "doc_id long, payload binary")).collect()[0]
+    assert out["method"] == "zstd" and out["ok"] is False
+    assert zlib.crc32(b"") == 0  # keep zlib import purposeful
