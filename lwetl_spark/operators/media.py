@@ -7650,11 +7650,107 @@ def _make_ccitt_g4():
         s += "0" * (-len(s) % 8)
         return bytes(int(s[i : i + 8], 2) for i in range(0, len(s), 8))
 
-    return decode, encode
+    def mh_decode(data: bytes, width: int, nrows: int,
+                  eol: bool = False, byte_align: bool = False):
+        """1-D Modified Huffman rows (T.4 — TIFF compression 2 with
+        byte_align, compression 3 / PDF /K 0 with or without EOLs;
+        r11): every row codes independently as alternating white/
+        black run lengths starting white, summing exactly to width.
+        `eol` expects each row preceded by the T.4 EOL (≥ 11 zero
+        fill+sync bits then 1); `byte_align` starts each row on a
+        byte boundary (zero pad bits).  Returns one 0/1 byte per
+        pixel or None on malformed codes / geometry lies."""
+        if width <= 0 or nrows <= 0:
+            return None
+        nbits = len(data) * 8
+        pos = 0
+
+        def rd() -> int:
+            nonlocal pos
+            if pos >= nbits:
+                raise _Bad
+            b = (data[pos >> 3] >> (7 - (pos & 7))) & 1
+            pos += 1
+            return b
+
+        def read_run(black: bool) -> int:
+            tbl = B_DEC if black else W_DEC
+            total = 0
+            while True:
+                key = ""
+                run = None
+                for _ in range(14):
+                    key += "1" if rd() else "0"
+                    run = tbl.get(key)
+                    if run is not None:
+                        break
+                if run is None:
+                    raise _Bad
+                total += run
+                if run < 64:
+                    return total
+
+        out = bytearray(width * nrows)
+        try:
+            for r in range(nrows):
+                if byte_align:
+                    pos = (pos + 7) & ~7
+                if eol:  # ≥ 11 zeros (fill allowed) then the 1 bit
+                    zeros = 0
+                    while not rd():
+                        zeros += 1
+                    if zeros < 11:
+                        raise _Bad
+                col = 0
+                black = False
+                base = r * width
+                zero_runs = 0
+                while col < width:
+                    run = read_run(black)
+                    # only the leading white run may be empty; two
+                    # zero runs in a row would loop forever
+                    zero_runs = zero_runs + 1 if run == 0 else 0
+                    if col + run > width or zero_runs > 1:
+                        raise _Bad
+                    if black:
+                        for x in range(col, col + run):
+                            out[base + x] = 1
+                    col += run
+                    black = not black
+        except _Bad:
+            return None
+        return bytes(out)
+
+    def mh_encode(bits, width: int, eol: bool = False,
+                  byte_align: bool = False) -> bytes:
+        nrows = len(bits) // width
+        s = ""
+        for r in range(nrows):
+            if byte_align:
+                s += "0" * (-len(s) % 8)
+            if eol:
+                s += "000000000001"
+            row = bits[r * width : (r + 1) * width]
+            col = 0
+            black = False
+            while col < width:
+                run = 0
+                while col + run < width and \
+                        bool(row[col + run]) == black:
+                    run += 1
+                s += _run_code(run, black)
+                col += run
+                black = not black
+        s += "0" * (-len(s) % 8)
+        return bytes(int(s[i : i + 8], 2) for i in range(0, len(s), 8))
+
+    return decode, encode, mh_decode, mh_encode
 
 
-#: the CCITT G4 codec (factory-made; importable for tests)
-ccitt_g4_decode, ccitt_g4_encode = _make_ccitt_g4()
+#: the CCITT codecs (factory-made; importable for tests): G4 (T.6)
+#: pair + the 1-D Modified Huffman (T.4) pair
+(ccitt_g4_decode, ccitt_g4_encode,
+ ccitt_mh_decode, ccitt_mh_encode) = _make_ccitt_g4()
 
 
 def _make_pdf_gen():
@@ -7716,14 +7812,16 @@ def _make_pdf_gen():
                 sd = b"<< /Length %d >>" % len(blob)
             objs.append((num + 1,
                          sd + b"\nstream\n" + blob + b"\nendstream"))
-        for i, (filt, iw, ih, blob) in enumerate(images or ()):
-            if filt == "CCITTFaxDecode":  # r11: G4 fax, /K < 0
+        for i, ent in enumerate(images or ()):
+            filt, iw, ih, blob = ent[:4]
+            if filt == "CCITTFaxDecode":  # r11: fax — 5th element is
+                fax_k = ent[4] if len(ent) > 4 else -1  # /K (dflt G4)
                 sd = (b"<< /Type /XObject /Subtype /Image /Width %d"
                       b" /Height %d /ColorSpace /DeviceGray"
                       b" /BitsPerComponent 1 /Filter /CCITTFaxDecode"
-                      b" /DecodeParms << /K -1 /Columns %d /Rows %d"
+                      b" /DecodeParms << /K %d /Columns %d /Rows %d"
                       b" /BlackIs1 true >> /Length %d >>"
-                      % (iw, ih, iw, ih, len(blob)))
+                      % (iw, ih, fax_k, iw, ih, len(blob)))
             else:
                 fent = (" /Filter /%s" % filt).encode() if filt else b""
                 sd = (b"<< /Type /XObject /Subtype /Image /Width %d"
@@ -8147,6 +8245,8 @@ def _make_pdf_walker():
     cols_re = re.compile(rb"/Columns\s+(\d+)")
     rows_re = re.compile(rb"/Rows\s+(\d+)")
     b1_re = re.compile(rb"/BlackIs1\s+true")
+    eolp_re = re.compile(rb"/EndOfLine\s+true")
+    eba_re = re.compile(rb"/EncodedByteAlign\s+true")
 
     def extract_images(b: bytes):
         """List of (filter_name, width, height, gray8, stream_bytes,
@@ -8196,7 +8296,9 @@ def _make_pdf_walker():
                 ccitt = (int(km.group(1)) if km else 0,
                          int(cm.group(1)) if cm else 1728,
                          int(rm.group(1)) if rm else h,
-                         bool(b1_re.search(sd)))
+                         bool(b1_re.search(sd)),
+                         bool(eolp_re.search(sd)),
+                         bool(eba_re.search(sd)))
             out.append((filt, w, h, gray8, blob, ccitt))
         return out
 
@@ -8317,7 +8419,7 @@ def pdf_image_stats(df: DataFrame) -> DataFrame:
     cost shape)."""
     _, _, pimages = _make_pdf_walker()
     jdec = _make_jpeg_decoder()
-    g4dec, _ = _make_ccitt_g4()
+    g4dec, _, mhdec, _ = _make_ccitt_g4()
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import zlib
@@ -8337,10 +8439,17 @@ def pdf_image_stats(df: DataFrame) -> DataFrame:
                     return None
                 return np.frombuffer(raw, np.uint8).reshape(h, w)
             if filt == "CCITTFaxDecode" and ccitt:
-                k, cols, nr, blackis1 = ccitt
-                if k >= 0 or not cols or not nr:
-                    return None  # G3 stays honestly undecoded
-                bits = g4dec(blob, cols, nr)
+                k, cols, nr, blackis1, eolp, eba = ccitt
+                if not cols or not nr:
+                    return None
+                if k < 0:  # G4 2-D MMR
+                    bits = g4dec(blob, cols, nr)
+                elif k == 0:  # pure 1-D MH rows (r11): EOLs and
+                    # byte alignment per the dict flags
+                    bits = mhdec(blob, cols, nr, eol=eolp,
+                                 byte_align=eba)
+                else:
+                    return None  # mixed 2-D G3 (K>0): out of scope
                 if bits is None:
                     return None
                 a = np.frombuffer(bits, np.uint8).reshape(nr, cols)
@@ -8388,9 +8497,10 @@ def synth_pdf_img_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     coefficient model: pixel = 128 + dc ± ac, SQL-recomputable),
     EXCEPT: every (id+k)%8==0 image ships as a JPXDecode stub (the
     foreign-filter rejection leg — reported, never decoded), every
-    (id+k)%8==4 image as a REAL CCITT Group 4 fax (r11: /K -1,
-    /BlackIs1 true, bit (r,c) = [(id + 3r + c + 5k) % 23 < 11] —
-    the scanned-PDF form, decoded bit-exactly by the T.6 engine) and
+    (id+k)%8==4 image as a REAL CCITT fax (r11: /K -1 T.6 G4, or the
+    /K 0 pure-MH 1-D form when (id+k)%16==12; /BlackIs1 true, bit
+    (r,c) = [(id + 3r + c + 5k) % 23 < 11] — the scanned-PDF forms,
+    decoded bit-exactly) and
     every (id+k)%4==2 image as a FlateDecode /DeviceGray 8-bit bitmap
     (pixel (r,c) = (id + 9r + 23c) % 256, genuine zlib stream — the
     matplotlib-generator form, r10).
@@ -8398,6 +8508,7 @@ def synth_pdf_img_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     _gen = pdf_bytes  # factory-made → ships by value
     _jenc = jpeg_baseline_bytes
     _g4e2 = ccitt_g4_encode
+    _mhe2 = ccitt_mh_encode
 
     def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import zlib
@@ -8415,8 +8526,12 @@ def synth_pdf_img_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     bits = bytes(
                         1 if (i + 3 * r + c + 5 * k) % 23 < 11 else 0
                         for r in range(h) for c in range(w))
-                    images.append(("CCITTFaxDecode", w, h,
-                                   _g4e2(bits, w)))
+                    if (i + k) % 16 == 12:  # r11: the /K 0 pure-MH
+                        images.append(("CCITTFaxDecode", w, h,
+                                       _mhe2(bits, w), 0))  # form
+                    else:
+                        images.append(("CCITTFaxDecode", w, h,
+                                       _g4e2(bits, w)))
                 elif leg == 0:
                     images.append(("JPXDecode", 8, 8, bytes(40)))
                 elif leg == 2:
@@ -8494,7 +8609,7 @@ def _make_tiff_gen():
 
     _, _lzwe = _make_tiff_lzw()  # captured by value into the closure
     _, _pbe = _make_packbits()
-    _, _g4e = _make_ccitt_g4()
+    _, _g4e, _, _mhe = _make_ccitt_g4()
 
     def tiff(pages, little: bool = True, seed: int | None = None,
              bigtiff: bool = False) -> bytes:
@@ -8507,10 +8622,12 @@ def _make_tiff_gen():
         differencing before compression.  With `seed`, pixel (r, c)
         of page p = (seed + 7r + 13c + 19p) % 256 regardless of the
         storage form (lossless codecs — the oracle never changes).
-        comp 4 pages (r11) are 1-bit CCITT Group 4: bit (r, c) =
+        comp 4 pages (r11) are 1-bit CCITT Group 4 — bit (r, c) =
         [(seed + 3r + c + 19p) % 23 < 11] (runs of both colors, so
-        all three T.6 modes are exercised), each strip/tile an
-        independent MMR stream per the TIFF spec."""
+        all three T.6 modes are exercised) — and comps 2/3 the 1-D
+        fax forms (byte-aligned Modified Huffman / EOL-prefixed G3)
+        over the SAME bits; each strip/tile an independent stream
+        per the TIFF spec."""
         from_none = seed is None
         lzwe = _lzwe
         pbe = _pbe
@@ -8552,8 +8669,16 @@ def _make_tiff_gen():
                 rps = pg[4] if len(pg) > 4 else h
                 pred = pg[5] if len(pg) > 5 else 1
                 tile = pg[6] if len(pg) > 6 else None
-                if comp == 4:  # 1-bit G4 page: strips/tiles are
-                    offs, lens = [], []  # independent MMR streams
+                if comp in (2, 3, 4):  # 1-bit fax page: strips/tiles
+                    # are independent streams — G4 MMR (4), or 1-D MH
+                    # byte-aligned (2) / EOL-prefixed G3 (3), r11
+                    def fax_enc(bt: bytes, bw: int) -> bytes:
+                        if comp == 4:
+                            return g4e(bt, bw)
+                        return _mhe(bt, bw, eol=(comp == 3),
+                                    byte_align=(comp == 2))
+
+                    offs, lens = [], []
                     if tile is not None:
                         tw, tl = tile
                         for ty in range(-(-h // tl)):
@@ -8567,7 +8692,7 @@ def _make_tiff_gen():
                                     for rr in range(ty * tl,
                                                     ty * tl + tl)
                                     for cc in range(tw))
-                                chunk = g4e(tb, tw)
+                                chunk = fax_enc(tb, tw)
                                 offs.append(len(out))
                                 lens.append(len(chunk))
                                 out += chunk
@@ -8579,7 +8704,7 @@ def _make_tiff_gen():
                                       + 19 * p) % 23 < 11 else 0
                                 for r in range(r0, r0 + nr)
                                 for c in range(w))
-                            chunk = g4e(sb, w)
+                            chunk = fax_enc(sb, w)
                             offs.append(len(out))
                             lens.append(len(chunk))
                             out += chunk
@@ -8914,7 +9039,7 @@ def tiff_pixel_stats(df: DataFrame) -> DataFrame:
     walk = _make_tiff_walker()
     lzw_dec, _ = _make_tiff_lzw()
     pb_dec, _ = _make_packbits()
-    g4_dec, _ = _make_ccitt_g4()
+    g4_dec, _, mh_dec, _ = _make_ccitt_g4()
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import numpy as np
@@ -8930,6 +9055,11 @@ def tiff_pixel_stats(df: DataFrame) -> DataFrame:
             raw = b[soff : soff + slen]
             if comp == 4:
                 return g4_dec(raw, g4_w, n // g4_w) if g4_w else None
+            if comp in (2, 3):  # 1-D fax rows (r11): MH byte-aligned
+                if not g4_w:    # (2) / EOL-prefixed G3 (3)
+                    return None
+                return mh_dec(raw, g4_w, n // g4_w, eol=(comp == 3),
+                              byte_align=(comp == 2))
             if comp == 5:
                 return lzw_dec(raw, n)
             if comp == 32773:
@@ -8943,8 +9073,9 @@ def tiff_pixel_stats(df: DataFrame) -> DataFrame:
 
         def _form_ok(p: dict, pred: int) -> bool:
             """Decodable (compression, depth) forms: gray-8 under
-            none/LZW/PackBits (±predictor 2), 1-bit under CCITT G4."""
-            if p["compression"] == 4:
+            none/LZW/PackBits (±predictor 2), 1-bit under the CCITT
+            fax family (MH 2 / G3 3 / G4 4)."""
+            if p["compression"] in (2, 3, 4):  # the fax family
                 return p["bits"] == 1 and pred == 1
             return (p["compression"] in (1, 5, 32773)
                     and p["bits"] == 8 and pred in (1, 2))
@@ -9076,9 +9207,11 @@ def synth_tiff_px_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 rps = (h, -(-h // 2), 3)[(i + 7 * p) % 3]
                 pred = 2 if (i + 2 * p) % 3 == 0 else 1
                 bits = 8
-                if (i + p) % 4 == 3:  # r11: CCITT G4 page — the
-                    # scanned-document form; 1-bit, strip/tile MMR
-                    bits, comp, pred = 1, 4, 1
+                if (i + p) % 4 == 3:  # r11: CCITT fax page — the
+                    # scanned-document form; 1-bit, rotating G4 MMR /
+                    # byte-aligned MH (2) / EOL G3 (3) framing
+                    bits, pred = 1, 1
+                    comp = (4, 2, 3)[(i + 2 * p) % 3]
                 # tiled legs (r10): every 5th (i+3p) page stores as
                 # padded TILES (tags 322-325) instead of strips —
                 # the GIS/scan-pyramid layout; lossless, same oracle

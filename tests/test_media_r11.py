@@ -344,3 +344,71 @@ def test_zstd_routed_named_never_decoded(spark):
         [(1, bytes(z))], "doc_id long, payload binary")).collect()[0]
     assert out["method"] == "zstd" and out["ok"] is False
     assert zlib.crc32(b"") == 0  # keep zlib import purposeful
+
+
+def test_ccitt_mh_g3_codec_and_tiff_legs(spark):
+    """1-D Modified Huffman codec: round-trip in all three framings
+    (plain / EOL-prefixed G3 / byte-aligned), spec-exact codes on a
+    hand-computed row, zero-run loop guard; TIFF compressions 2 and 3
+    decode through tiff_pixel_stats with exact bit stats."""
+    import random
+
+    from lwetl_spark.operators.media import (
+        ccitt_mh_decode,
+        ccitt_mh_encode,
+        tiff_bytes,
+        tiff_pixel_stats,
+    )
+
+    random.seed(5)
+    for trial in range(20):
+        w, h = random.randint(1, 50), random.randint(1, 20)
+        bits = bytes(random.randint(0, 1) for _ in range(w * h))
+        for eol, ba in ((False, False), (True, False), (False, True)):
+            enc = ccitt_mh_encode(bits, w, eol=eol, byte_align=ba)
+            assert ccitt_mh_decode(enc, w, h, eol=eol,
+                                   byte_align=ba) == bits
+    # white2 black3 white3 -> 0111 10 1000 (T.4 tables)
+    enc = ccitt_mh_encode(bytes([0, 0, 1, 1, 1, 0, 0, 0]), 8)
+    assert "".join(format(x, "08b") for x in enc).startswith(
+        "0111" + "10" + "1000")
+    # truncation fails cleanly
+    full = ccitt_mh_encode(bytes(64), 8)
+    assert ccitt_mh_decode(full[:1], 8, 8) is None
+    # TIFF comps 2 and 3, strip-split, both byte orders
+    rows = []
+    for i, little in ((5, True), (6, False)):
+        pages = [(21, 13, 1, 2, 5, 1, None), (15, 11, 1, 3, 11, 1, None)]
+        rows.append((i, tiff_bytes(pages, little=little, seed=i)))
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in tiff_pixel_stats(df).collect()}
+    for i in (5, 6):
+        exp = sum(1 for p, (w, h) in enumerate(((21, 13), (15, 11)))
+                  for r in range(h) for c in range(w)
+                  if (i + 3 * r + c + 19 * p) % 23 < 11)
+        assert out[i]["sum_px"] == exp, (i, out[i])
+        assert out[i]["n_px"] == 21 * 13 + 15 * 11
+
+
+def test_pdf_ccitt_k0_mh_leg(spark):
+    """/CCITTFaxDecode /K 0 (pure 1-D MH rows) decodes through
+    pdf_image_stats; /K 1 (mixed 2-D G3) stays honestly undecoded."""
+    from lwetl_spark.operators.media import (
+        ccitt_mh_encode,
+        pdf_bytes,
+        pdf_image_stats,
+    )
+
+    w, h = 13, 6
+    bits = bytes(1 if (3 * r + c) % 7 < 3 else 0
+                 for r in range(h) for c in range(w))
+    blob = ccitt_mh_encode(bits, w)
+    b = pdf_bytes(["cap"], images=[("CCITTFaxDecode", w, h, blob, 0),
+                                   ("CCITTFaxDecode", w, h, blob, 1)])
+    out = pdf_image_stats(spark.createDataFrame(
+        [(1, b)], "doc_id long, payload binary")).collect()
+    r0 = next(r for r in out if r["img_idx"] == 0)
+    r1 = next(r for r in out if r["img_idx"] == 1)
+    assert r0["decoded"] and r0["sum_px"] == sum(bits) \
+        and r0["n_px"] == w * h
+    assert r1["decoded"] is False and r1["filter"] == "CCITTFaxDecode"
