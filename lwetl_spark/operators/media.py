@@ -2174,7 +2174,11 @@ def synth_warc_html_demo(docs: DataFrame, id_col: str = "doc_id",
     becomes a WARC shard of warcinfo + request + ONE response whose
     body is the document's text wrapped in real HTML boilerplate (a
     script block the extractor must drop, a constant title, tags, a
-    comment).  Page ENCODING rotates by id%3 (r11, VERDICT r10 task
+    comment).  id%2==0 responses store the FULL HTTP message (status
+    line + Content-Type header + body — the real WARC response
+    shape, r11), and id%6==4 declares the charset ONLY in that
+    header (no meta tag: header-driven resolution or mojibake).
+    Page ENCODING rotates by id%3 (r11, VERDICT r10 task
     3 — real crawls are not UTF-8): 0 → plain UTF-8; 1 →
     windows-1252 declared via the legacy http-equiv form, body text
     prefixed with '€ ' (0x80 in cp1252 — a byte hard-UTF-8 decoding
@@ -2187,6 +2191,17 @@ def synth_warc_html_demo(docs: DataFrame, id_col: str = "doc_id",
     def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
+        def _http_wrap(body: bytes, codec: str) -> bytes:
+            """Full HTTP/1.1 response message (r11): what a real WARC
+            response record actually stores."""
+            ct = {"cp1252": "text/html; charset=windows-1252",
+                  "gbk": "text/html; charset=gbk",
+                  "utf-8": "text/html; charset=utf-8"}[codec]
+            return (b"HTTP/1.1 200 OK\r\nContent-Type: "
+                    + ct.encode("ascii")
+                    + b"\r\nContent-Length: %d\r\n\r\n" % len(body)
+                    + body)
+
         def one(i: int, text: str) -> bytes:
             leg = i % 3
             if leg == 1:
@@ -2198,6 +2213,8 @@ def synth_warc_html_demo(docs: DataFrame, id_col: str = "doc_id",
                 pre, codec = "页 ", "gbk"
             else:
                 meta, pre, codec = "", "", "utf-8"
+            if i % 6 == 4:  # r11: header-ONLY charset declaration —
+                meta = ""   # the sniffer must read Content-Type
             html = (
                 "<html><head>%s<script>var n=%d;</script>"
                 "<title>page</title></head><body><p>%s%s</p>"
@@ -2208,7 +2225,8 @@ def synth_warc_html_demo(docs: DataFrame, id_col: str = "doc_id",
                 ("request", "http://site%d.example/p" % (i % 50),
                  b"GET /p HTTP/1.1"),
                 ("response", "http://site%d.example/p" % (i % 50),
-                 html.encode(codec)),
+                 _http_wrap(html.encode(codec), codec)
+                 if i % 2 == 0 else html.encode(codec)),
             ], gz=(i % 3 == 0))  # r10: .warc.gz legs, same oracle
 
         for pdf in batches:
@@ -2222,6 +2240,68 @@ def synth_warc_html_demo(docs: DataFrame, id_col: str = "doc_id",
     return docs.select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
     ).mapInPandas(gen, "doc_id long, payload binary")
+
+
+def http_response_parts(df: DataFrame,
+                        payload_col: str = "payload") -> DataFrame:
+    """Split full HTTP/1.x response messages into (status,
+    content_type, body) (r11): real WARC response records store the
+    ENTIRE HTTP message — status line + headers + body — so an
+    ingest that treats the record payload as page bytes reads header
+    text as content and never sees the Content-Type charset.
+    Payloads starting with 'HTTP/' split at the first CRLFCRLF
+    (tolerating bare-LF headers, which real servers emit): status
+    from the status line, content_type from the (case-insensitive)
+    Content-Type header, body = the remainder.  Non-HTTP payloads
+    pass through whole as the body with NULL status/content_type —
+    the fixture/bare-HTML case.  One zero-shuffle Arrow pass.
+
+    Input (doc_id, rec_idx, <payload_col>) → (doc_id, rec_idx,
+    status, content_type, body)."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import re
+
+        import pandas as pd
+
+        ct_re = re.compile(rb"^content-type:\s*(.+?)\s*$",
+                           re.I | re.M)
+
+        def parts(b: bytes):
+            b = bytes(b) if b is not None else b""
+            if not b.startswith(b"HTTP/"):
+                return None, None, b
+            end = b.find(b"\r\n\r\n")
+            skip = 4
+            if end < 0:
+                end = b.find(b"\n\n")
+                skip = 2
+            if end < 0:
+                return None, None, b
+            head = b[:end].replace(b"\r\n", b"\n")
+            line0 = head.split(b"\n", 1)[0].split(b" ")
+            status = None
+            if len(line0) >= 2 and line0[1].isdigit():
+                status = int(line0[1])
+            m = ct_re.search(head)
+            ct = m.group(1).decode("latin-1") if m else None
+            return status, ct, b[end + skip :]
+
+        for pdf in batches:
+            rows = [parts(b) for b in pdf[payload_col]]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].to_numpy(),
+                "rec_idx": pdf["rec_idx"].to_numpy(),
+                "status": [r[0] for r in rows],
+                "content_type": [r[1] for r in rows],
+                "body": [r[2] for r in rows],
+            })
+
+    return df.mapInPandas(
+        run,
+        "doc_id long, rec_idx long, status long, content_type string,"
+        " body binary",
+    )
 
 
 def synth_charset_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -2269,6 +2349,52 @@ def synth_charset_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
         gen, "doc_id long, payload binary"
+    )
+
+
+def synth_http_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixture for x_http_parts (r11): raw HTTP/1.x response messages
+    (what WARC response records store).  leg = id%4: 0 → 200 CRLF
+    headers, charset ONLY in Content-Type (cp1252 body '€ hdr {n}');
+    1 → 404 text/plain ('missing {n}'); 2 → 200 with BARE-LF headers
+    (real servers emit these) + charset=gbk ('页 {n}'); 3 → not HTTP
+    at all (bare utf-8 HTML, passthrough body, NULL status)."""
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        def one(i: int) -> bytes:
+            n = i % 100
+            leg = i % 4
+            if leg == 3:
+                return ("<html><body><p>plain %d</p></body></html>"
+                        % n).encode()
+            if leg == 1:
+                body = ("missing %d" % n).encode()
+                return (b"HTTP/1.1 404 Not Found\r\n"
+                        b"Content-Type: text/plain\r\n\r\n" + body)
+            if leg == 2:
+                body = ("<html><body><p>页 %d</p></body></html>"
+                        % n).encode("gbk")
+                return (b"HTTP/1.1 200 OK\n"
+                        b"content-type: text/html; charset=gbk\n\n"
+                        + body)
+            body = ("<html><body><p>€ hdr %d</p></body></html>"
+                    % n).encode("cp1252")
+            return (b"HTTP/1.1 200 OK\r\nServer: x\r\nContent-Type:"
+                    b" text/html; charset=windows-1252\r\n"
+                    b"Content-Length: %d\r\n\r\n" % len(body) + body)
+
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame({
+                "doc_id": ids,
+                "rec_idx": ids % 7,
+                "payload": ids.map(one),
+            })
+
+    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        gen, "doc_id long, rec_idx long, payload binary"
     )
 
 

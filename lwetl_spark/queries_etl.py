@@ -2466,6 +2466,7 @@ def x_warc_ingest(spark, sf_dir):
     from lwetl_spark.functions.text import html_text
     from lwetl_spark.operators.incremental import ingest_increment
     from lwetl_spark.operators.media import (
+        http_response_parts,
         sniff_decode_html,
         synth_warc_html_demo,
         warc_payloads,
@@ -2479,13 +2480,20 @@ def x_warc_ingest(spark, sf_dir):
     sub = docs.filter(F.col("doc_id") % 4 == 3)
     shards = synth_warc_html_demo(sub)
     members = warc_payloads(shards).localCheckpoint(eager=True)
-    # charset-sniffed decode (r11): the fixture rotates utf-8 /
-    # windows-1252 (http-equiv) / gbk (<meta charset>) pages — a
+    # HTTP-message split + charset-sniffed decode (r11): half the
+    # fixture responses are FULL HTTP messages (and id%6==4 declares
+    # the charset only in the Content-Type header); pages rotate
+    # utf-8 / windows-1252 (http-equiv) / gbk (<meta charset>) — a
     # hard-UTF-8 decode would mojibake the € / 页 body prefixes
+    parts = http_response_parts(
+        members.filter(F.col("rec_type") == "response")
+        .select("doc_id", "rec_idx", "payload"))
     cleaned = (
         sniff_decode_html(
-            members.filter(F.col("rec_type") == "response")
-            .select("doc_id", "payload"))
+            parts.filter(F.col("status").isNull()
+                         | (F.col("status") == 200))
+            .select("doc_id", "body", "content_type"),
+            payload_col="body", content_type_col="content_type")
         .select("doc_id", html_text(F.col("html")).alias("text"))
         .localCheckpoint(eager=True)
     )
@@ -5647,4 +5655,63 @@ def x_aac_meta(spark, sf_dir):
         F.coalesce(F.col("crc"), F.lit(False)).alias("crc"),
         F.coalesce(F.col("mpeg2"), F.lit(False)).alias("mpeg2"),
         "valid",
+    )
+
+
+@register(
+    "x_http_parts",
+    """
+    SELECT doc_id,
+           CAST(doc_id % 7 AS BIGINT) AS rec_idx,
+           CAST(CASE doc_id % 4 WHEN 0 THEN 200 WHEN 1 THEN 404
+                WHEN 2 THEN 200 ELSE -1 END AS BIGINT) AS status,
+           CASE doc_id % 4
+                WHEN 0 THEN 'text/html; charset=windows-1252'
+                WHEN 1 THEN 'text/plain'
+                WHEN 2 THEN 'text/html; charset=gbk'
+                ELSE 'none' END AS content_type,
+           CASE doc_id % 4 WHEN 0 THEN 'cp1252' WHEN 2 THEN 'gbk'
+                ELSE 'utf-8' END AS charset,
+           CASE doc_id % 4
+                WHEN 0 THEN printf('€ hdr %d', doc_id % 100)
+                WHEN 1 THEN printf('missing %d', doc_id % 100)
+                WHEN 2 THEN printf('页 %d', doc_id % 100)
+                ELSE printf('plain %d', doc_id % 100) END AS text
+    FROM documents
+    """,
+)
+def x_http_parts(spark, sf_dir):
+    """HTTP-response splitting + header-driven charset resolution
+    (r11; operators/media.http_response_parts + sniff_decode_html):
+    real WARC response records store the FULL HTTP message, so the
+    ingest must split status line + headers + body and feed the
+    Content-Type charset parameter to the decoder — value-checked
+    leg by leg: CRLF and bare-LF header framings, a 404 text/plain,
+    charset declared ONLY in the header (no meta tag: a body-only
+    sniffer mojibakes the € page), and a non-HTTP passthrough with
+    NULL status.  Text char-exact against unicode oracle
+    literals."""
+    from lwetl_spark.functions.text import html_text
+    from lwetl_spark.operators.media import (
+        http_response_parts,
+        sniff_decode_html,
+        synth_http_demo,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    parts = http_response_parts(synth_http_demo(docs))
+    dec = sniff_decode_html(
+        parts.select("doc_id", "body", "content_type"),
+        payload_col="body", content_type_col="content_type")
+    return (
+        parts.select("doc_id", "rec_idx", "status", "content_type")
+        .join(dec, "doc_id")
+        .select(
+            "doc_id", "rec_idx",
+            F.coalesce(F.col("status"), F.lit(-1)).alias("status"),
+            F.coalesce(F.col("content_type"), F.lit("none"))
+            .alias("content_type"),
+            "charset",
+            html_text(F.col("html")).alias("text"),
+        )
     )

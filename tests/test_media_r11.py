@@ -412,3 +412,32 @@ def test_pdf_ccitt_k0_mh_leg(spark):
     assert r0["decoded"] and r0["sum_px"] == sum(bits) \
         and r0["n_px"] == w * h
     assert r1["decoded"] is False and r1["filter"] == "CCITTFaxDecode"
+
+
+def test_http_response_parts(spark):
+    """HTTP message split: CRLF and bare-LF header framings, status
+    parse, case-insensitive Content-Type, non-HTTP passthrough, and
+    a headers-only message with no body separator."""
+    from lwetl_spark.operators.media import http_response_parts
+
+    rows = [
+        (1, 0, b"HTTP/1.1 200 OK\r\nContent-Type: text/html;"
+               b" charset=utf-8\r\n\r\n<p>a</p>"),
+        (2, 1, b"HTTP/1.0 404 Not Found\ncontent-type: text/plain\n\n"
+               b"gone"),
+        (3, 2, b"<p>bare</p>"),
+        (4, 3, b"HTTP/1.1 200 OK\r\nX-No-Body-Separator: 1"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, rec_idx long, payload binary")
+    out = {r["doc_id"]: r for r in http_response_parts(df).collect()}
+    assert out[1]["status"] == 200 and bytes(out[1]["body"]) == b"<p>a</p>"
+    assert out[1]["content_type"] == "text/html; charset=utf-8"
+    assert out[2]["status"] == 404 \
+        and out[2]["content_type"] == "text/plain"
+    assert bytes(out[2]["body"]) == b"gone"
+    assert out[3]["status"] is None \
+        and bytes(out[3]["body"]) == b"<p>bare</p>"
+    # no separator: treated as non-HTTP passthrough (whole payload)
+    assert out[4]["status"] is None
+    assert bytes(out[4]["body"]).startswith(b"HTTP/1.1")
