@@ -441,3 +441,66 @@ def test_http_response_parts(spark):
     # no separator: treated as non-HTTP passthrough (whole payload)
     assert out[4]["status"] is None
     assert bytes(out[4]["body"]).startswith(b"HTTP/1.1")
+
+
+def test_r11_decoder_fuzz_sweep(spark):
+    """Seeded mutation fuzz over every r11 decode path (modern PDF,
+    CCITT G4/MH/G3, ADTS, HTTP split + charset sniff, fax TIFF):
+    flipped bytes, truncations, and injections must yield NULL /
+    valid=false rows — never a failed task (the r10 sweep's contract,
+    which caught a real JPEG task-killer)."""
+    import random
+
+    from lwetl_spark.operators.media import (
+        aac_bytes,
+        aac_meta,
+        ccitt_g4_encode,
+        http_response_parts,
+        pdf_bytes,
+        pdf_image_stats,
+        pdf_text,
+        sniff_decode_html,
+        tiff_bytes,
+        tiff_pixel_stats,
+    )
+
+    random.seed(1101)
+
+    def mutate(b):
+        bb = bytearray(b)
+        op = random.randrange(3)
+        if op == 0 and bb:
+            for _ in range(random.randint(1, 5)):
+                bb[random.randrange(len(bb))] ^= 1 << random.randrange(8)
+        elif op == 1:
+            bb = bb[: random.randrange(len(bb) + 1)]
+        else:
+            pos = random.randrange(len(bb) + 1)
+            bb[pos:pos] = bytes(random.randint(0, 255)
+                                for _ in range(random.randint(1, 8)))
+        return bytes(bb)
+
+    bits = bytes(1 if (3 * r + c) % 23 < 11 else 0
+                 for r in range(12) for c in range(17))
+    seeds = [
+        pdf_bytes(["a", "b"], modern=True, predictor=True),
+        pdf_bytes(["a"], images=[("CCITTFaxDecode", 17, 12,
+                                  ccitt_g4_encode(bits, 17))]),
+        tiff_bytes([(17, 12, 1, 2, 6, 1, None),
+                    (17, 12, 1, 3, 12, 1, None)], seed=3),
+        aac_bytes(1, 4, 2, [20] * 5, crc=True),
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html;"
+        b" charset=gbk\r\n\r\n<p>\xd2\xb3</p>",
+    ]
+    rows = [(i, mutate(seeds[i % len(seeds)])) for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    assert pdf_text(df).count() == 120
+    assert pdf_image_stats(df).count() >= 120
+    assert tiff_pixel_stats(df).count() == 120
+    assert aac_meta(df).count() == 120
+    parts = http_response_parts(
+        df.selectExpr("doc_id", "doc_id as rec_idx", "payload"))
+    assert sniff_decode_html(
+        parts.select("doc_id", "body", "content_type"),
+        payload_col="body", content_type_col="content_type",
+    ).count() == 120
