@@ -145,11 +145,16 @@ EXTENDED = [
 #: modern xref-stream/ObjStm legs (id%5==2 now pays an extra inflate
 #: + ObjStm walk), x_tiff_pixels gained 1-bit CCITT G4 pages
 #: ((id+p)%4==3 — pure-Python MMR decode, expect a step-up),
-#: x_pdf_images gained the CCITT leg ((id+k)%8==4), and
+#: x_pdf_images gained the CCITT leg ((id+k)%8==4) — both later also
+#: the mixed 2-D G3 (/K>0, T4Options) legs — and
 #: x_imgtext_pairs routes HTML through the charset sniffer with
-#: rotating cp1252/gb18030 fixture encodings.
+#: rotating cp1252/gb18030 fixture encodings.  Late-r11: x_zip_extract's
+#: member-method rotation widened from %3 to %4 adding REAL zstd
+#: members (Arrow's bundled libzstd); x_warc_records (not a bench
+#: row) also gained a .warc.zst framing leg.
 FIXTURE_CHANGED: list[str] = [
     "x_pdf_text", "x_tiff_pixels", "x_pdf_images", "x_imgtext_pairs",
+    "x_zip_extract",
 ]
 
 

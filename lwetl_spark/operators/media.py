@@ -1769,6 +1769,115 @@ def bmp_dims(payload: Column | str) -> tuple[Column, Column, Column]:
     return w, h, bpp
 
 
+def _make_zstd_tools():
+    """Factory returning (compress, inflate_members, frame_end) for
+    zstd (RFC 8878) — the framing Common Crawl's newer shards
+    (`.warc.zst`) and ZIP method 93 (APPNOTE 4.4.5) use.  The codec
+    itself is Arrow's bundled libzstd reached through the PUBLIC
+    pyarrow API (`pa.Codec`/`pa.input_stream`) — pyarrow is already a
+    hard dependency of every Arrow pass in this module, so no new
+    requirement.  What this factory adds on top is the FRAME WALK:
+    frame boundaries are computable without decompression (magic +
+    frame-header descriptor sizing + the 3-byte block-header chain,
+    RFC 8878 §3.1.1), so a multi-frame shard decodes FRAME BY FRAME
+    and a corrupt or truncated trailing frame still yields every
+    intact leading frame — the same partial-census contract as
+    `gunzip_members`.  Skippable frames (magic 0x184D2A50-5F — the
+    slot Common Crawl parks its shared dictionary in) are skipped
+    structurally; a frame whose header demands that dictionary
+    (Dictionary_ID set) then fails its own decode cleanly (ok=False)
+    rather than mis-decoding.
+
+    ``compress(data)`` emits one deterministic single-frame blob;
+    ``inflate_members(b)`` returns (plain_bytes, ok) and passes
+    non-zstd input through unchanged (ok=True) like the gzip twin;
+    ``frame_end(b, pos)`` returns the offset one past the frame
+    starting at ``pos`` or None on structural truncation."""
+    try:
+        import pyarrow as _pa
+        _codec_ok = _pa.Codec.is_available("zstd")
+    except ImportError:  # pragma: no cover - pyarrow is a hard dep
+        _pa, _codec_ok = None, False
+
+    _MAGIC = b"\x28\xb5\x2f\xfd"
+
+    def _skippable(b: bytes, pos: int) -> bool:
+        return (pos + 4 <= len(b) and 0x50 <= b[pos] <= 0x5F
+                and b[pos + 1 : pos + 4] == b"\x2a\x4d\x18")
+
+    def frame_end(b: bytes, pos: int):
+        if _skippable(b, pos):
+            if pos + 8 > len(b):
+                return None
+            size = int.from_bytes(b[pos + 4 : pos + 8], "little")
+            end = pos + 8 + size
+            return end if end <= len(b) else None
+        if b[pos : pos + 4] != _MAGIC or pos + 5 > len(b):
+            return None
+        p = pos + 4
+        fhd = b[p]
+        p += 1
+        if (fhd >> 3) & 1:  # reserved bit must be 0 (§3.1.1.1.1)
+            return None
+        single = (fhd >> 5) & 1
+        if not single:
+            p += 1  # Window_Descriptor
+        p += (0, 1, 2, 4)[fhd & 3]  # Dictionary_ID
+        p += ((1 if single else 0), 2, 4, 8)[fhd >> 6]  # FCS field
+        if p > len(b):
+            return None
+        while True:  # 3-byte block headers carry their stored sizes
+            if p + 3 > len(b):
+                return None
+            h = int.from_bytes(b[p : p + 3], "little")
+            p += 3
+            btype = (h >> 1) & 3
+            if btype == 3:  # reserved block type
+                return None
+            p += 1 if btype == 1 else (h >> 3)  # RLE stores ONE byte
+            if p > len(b):
+                return None
+            if h & 1:  # Last_Block
+                break
+        if (fhd >> 2) & 1:  # Content_Checksum
+            p += 4
+        return p if p <= len(b) else None
+
+    def compress(data: bytes) -> bytes:
+        if not _codec_ok:  # pragma: no cover - env without the codec
+            raise RuntimeError("zstd codec unavailable in pyarrow")
+        return _pa.Codec("zstd").compress(bytes(data), asbytes=True)
+
+    def inflate_members(b: bytes):
+        if not (b[:4] == _MAGIC or _skippable(b, 0)):
+            return b, True
+        if not _codec_ok:  # pragma: no cover - env without the codec
+            return b"", False
+        out = bytearray()
+        pos = 0
+        while pos < len(b):
+            end = frame_end(b, pos)
+            if end is None:
+                return bytes(out), False
+            if _skippable(b, pos):
+                pos = end
+                continue
+            try:
+                s = _pa.input_stream(
+                    _pa.BufferReader(b[pos:end]), compression="zstd")
+                out += s.read()
+            except (OSError, ValueError, _pa.ArrowException):
+                return bytes(out), False
+            pos = end
+        return bytes(out), True
+
+    return compress, inflate_members, frame_end
+
+
+#: the zstd tools (factory-made; importable for tests)
+zstd_bytes, unzstd_members, zstd_frame_end = _make_zstd_tools()
+
+
 def _make_warc_gen():
     """Factory returning the WARC/1.0 generator (by-value pickling):
     spec-shaped records — version line, WARC-Type / Record-ID / Date /
@@ -1779,11 +1888,16 @@ def _make_warc_gen():
 
     import zlib
 
-    def warc(records, gz: bool = False) -> bytes:
+    _zstd_c = _make_zstd_tools()[0]
+
+    def warc(records, gz: bool = False, zst: bool = False) -> bytes:
         """``gz=True`` (r10) emits the Common Crawl layout: each
         record individually gzipped, members concatenated — what a
         real .warc.gz shard is.  zlib's gzip wrapper writes mtime 0,
-        so the output stays deterministic."""
+        so the output stays deterministic.  ``zst=True`` (r11) emits
+        the newer CC framing instead: each record its own zstd frame,
+        frames concatenated (deterministic — Arrow's libzstd at its
+        default level)."""
         out = bytearray()
         for j, (rtype, uri, payload) in enumerate(records):
             hdr = [
@@ -1800,6 +1914,8 @@ def _make_warc_gen():
             if gz:
                 c = zlib.compressobj(6, zlib.DEFLATED, 31)
                 out += c.compress(rec) + c.flush()
+            elif zst:
+                out += _zstd_c(rec)
             else:
                 out += rec
         return bytes(out)
@@ -1853,15 +1969,19 @@ def _make_warc_walker():
     per record, parse the version line + headers up to the CRLF-CRLF
     separator, skip exactly Content-Length payload bytes, require the
     CRLF-CRLF terminator.  Gzipped shards (.warc.gz, per-record
-    members — the Common Crawl layout) inflate transparently first
-    (r10).  A malformed version line, missing Content-Length, or
-    truncated payload stops the walk — the records parsed before the
-    lie survive (partial census)."""
+    members — the Common Crawl layout, r10) and zstd shards
+    (.warc.zst, per-record frames — the newer Common Crawl framing,
+    r11) inflate transparently first.  A malformed version line,
+    missing Content-Length, or truncated payload stops the walk — the
+    records parsed before the lie survive (partial census)."""
     _gz = _make_gunzip_members()
+    _zs = _make_zstd_tools()[1]
 
     def walk(b: bytes):
         b = bytes(b) if b is not None else b""
         b, gz_ok = _gz(b)
+        if gz_ok:  # both inflaters pass non-matching magic through
+            b, gz_ok = _zs(b)
         recs = []
         pos = 0
         ok = True
@@ -1983,9 +2103,16 @@ def synth_warc_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 bb = bytearray(b)
                 bb[k2] = 0x58  # 'X'
                 return bytes(bb)
-            # r10: odd ids ship as .warc.gz (per-record gzip members,
-            # the Common Crawl layout) — lossless, same oracle
-            return _gen(recs, gz=(i % 2 == 1))
+            # r10: odd ids ship compressed — lossless, same oracle.
+            # i%4==1 → .warc.gz (per-record gzip members, the classic
+            # Common Crawl layout); i%4==3 → .warc.zst (r11:
+            # per-record zstd frames, the newer CC framing, with the
+            # skippable-frame prefix real shards park a dictionary in)
+            b = _gen(recs, gz=(i % 4 == 1), zst=(i % 4 == 3))
+            if i % 4 == 3:
+                b = (b"\x50\x2a\x4d\x18"
+                     + (8).to_bytes(4, "little") + b"CCDICT00" + b)
+            return b
 
         for pdf in batches:
             ids = pdf["doc_id"].astype("int64")
@@ -2002,10 +2129,12 @@ def warc_payloads(df: DataFrame) -> DataFrame:
     same partial-census-on-corruption contract, but emitting
     (doc_id, rec_idx, rec_type, target_uri, payload) rows — the feed a
     crawl ingest consumes (response bodies → HTML strip → campaign).
-    Gzipped shards (.warc.gz per-record members, r10) inflate
-    transparently.  One zero-shuffle Arrow pass."""
+    Gzipped shards (.warc.gz per-record members, r10) and zstd shards
+    (.warc.zst per-record frames, r11) inflate transparently.  One
+    zero-shuffle Arrow pass."""
     walk = _make_warc_walker()
     gz = _make_gunzip_members()
+    zs = _make_zstd_tools()[1]
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
@@ -2015,6 +2144,8 @@ def warc_payloads(df: DataFrame) -> DataFrame:
             # records; census-level validity lives in warc_records
             # re-walk with body slicing (the walker proves ranges via
             # byte sums; here we carry the bytes themselves)
+            if _gz_ok:
+                b, _gz_ok = zs(b)
             pos = 0
             j = 0
             while pos < len(b):
@@ -4101,9 +4232,9 @@ def sniff_format(payload: Column | str) -> Column:
         .when(hx.startswith("1A45DFA3"), "mkv")
         .when(hx.startswith("424D"), "bmp")
         .when(hx.startswith("1F8B"), "gzip")
-        # zstd frame magic (r11): .warc.zst / .zst — ROUTED so the
-        # gate never drops it silently; decode is out of scope
-        # (SCALE.md r11 addendum 5: no zstd codec in python 3.11)
+        # zstd frame magic (r11): .warc.zst / .zst — routed here,
+        # DECODED by unzstd_members via Arrow's bundled libzstd
+        # (SCALE.md r11 addendum 5)
         .when(hx.startswith("28B52FFD"), "zstd")
         .when(hx.startswith("504B0304"), "zip")
         .when(hx.startswith("664C6143"), "flac")
@@ -7625,19 +7756,19 @@ def _make_ccitt_g4():
     class _Bad(Exception):
         pass
 
-    def decode(data: bytes, width: int, nrows: int):
-        if width <= 0 or nrows <= 0:
-            return None
+    def _make_reader(data: bytes):
+        """Bit reader + run reader over one stream (shared by every
+        decode form): rd() the next MSB-first bit, read_run(black)
+        one complete MH run (makeups + terminating)."""
         nbits = len(data) * 8
-        pos = 0
+        state = [0]  # bit position (list cell: callers may byte-align)
 
         def rd() -> int:
-            nonlocal pos
+            pos = state[0]
             if pos >= nbits:
                 raise _Bad
-            b = (data[pos >> 3] >> (7 - (pos & 7))) & 1
-            pos += 1
-            return b
+            state[0] = pos + 1
+            return (data[pos >> 3] >> (7 - (pos & 7))) & 1
 
         def read_run(black: bool) -> int:
             tbl = B_DEC if black else W_DEC
@@ -7656,66 +7787,136 @@ def _make_ccitt_g4():
                 if run < 64:
                     return total
 
+        return rd, read_run, state
+
+    def _row2d(rd, read_run, ref: list, width: int) -> list:
+        """Decode ONE 2-D-coded row against reference transitions
+        `ref`, returning the row's transition positions (shared by G4
+        and the K>0 mixed mode — T.6 and T.4 §4.2.1 use the same
+        Pass / Horizontal / Vertical(±3) codes)."""
+        cur: list = []
+        a0, color = -1, 0  # rows start white
+        while a0 < width:
+            # b1: first ref transition > a0 whose NEW color is
+            # the opposite of the coding color (index parity
+            # == color since transitions alternate from white)
+            i = bisect_right(ref, a0)
+            if (i & 1) != color:
+                i += 1
+            b1 = ref[i] if i < len(ref) else width
+            b2 = ref[i + 1] if i + 1 < len(ref) else width
+            if rd():  # 1 = V0
+                a1 = b1
+            else:
+                if rd():  # 01x = VR1/VL1
+                    a1 = b1 + (1 if rd() else -1)
+                elif rd():  # 001 = Horizontal
+                    base = a0 if a0 > 0 else 0
+                    r1 = read_run(color == 1)
+                    r2 = read_run(color == 0)
+                    a1 = base + r1
+                    a2 = a1 + r2
+                    if a1 < base or a2 < a1 or a2 > width \
+                            or (a0 >= 0 and a2 <= a0):
+                        raise _Bad
+                    cur += [a1, a2]
+                    a0 = a2
+                    continue
+                elif rd():  # 0001 = Pass
+                    if b2 <= a0:
+                        raise _Bad
+                    a0 = b2
+                    continue
+                elif rd():  # 00001 1x = VR2/VL2
+                    a1 = b1 + (2 if rd() else -2)
+                elif rd():  # 000001 1x = VR3/VL3
+                    a1 = b1 + (3 if rd() else -3)
+                else:  # 0000000...: EOL/EOFB mid-stream
+                    raise _Bad
+            if a1 < 0 or a1 > width or (cur and a1 < cur[-1]):
+                raise _Bad
+            cur.append(a1)
+            if a1 <= a0 and a0 >= 0:
+                raise _Bad
+            a0 = a1
+            color ^= 1
+        return cur
+
+    def _row1d(rd, read_run, width: int) -> list:
+        """Decode ONE 1-D MH-coded row to transition positions (the
+        K>0 mixed-mode 1-D rows — same runs as mh_decode but emitting
+        transitions so the row can referee the next 2-D row)."""
+        cur: list = []
+        col = 0
+        black = False
+        zero_runs = 0
+        while col < width:
+            run = read_run(black)
+            # only the leading white run may be empty; two zero runs
+            # in a row would loop forever
+            zero_runs = zero_runs + 1 if run == 0 else 0
+            if col + run > width or zero_runs > 1:
+                raise _Bad
+            col += run
+            cur.append(col)
+            black = not black
+        return cur
+
+    def _paint(out: bytearray, base: int, cur: list, width: int):
+        """Paint the black runs of one row given its transitions
+        (slice assignment — the decode hot loop is interpreter-bound,
+        so per-run beats per-pixel)."""
+        for k in range(0, len(cur) - 1, 2):
+            s = min(cur[k], width)
+            e = min(cur[k + 1], width)
+            if e > s:
+                out[base + s : base + e] = b"\x01" * (e - s)
+        if len(cur) % 2 == 1 and cur[-1] < width:
+            out[base + cur[-1] : base + width] = \
+                b"\x01" * (width - cur[-1])
+
+    def decode(data: bytes, width: int, nrows: int):
+        if width <= 0 or nrows <= 0:
+            return None
+        rd, read_run, _ = _make_reader(data)
         out = bytearray(width * nrows)
         ref = [width, width]  # imaginary all-white reference row
         try:
             for r in range(nrows):
-                cur: list = []
-                a0, color = -1, 0  # rows start white
-                while a0 < width:
-                    # b1: first ref transition > a0 whose NEW color is
-                    # the opposite of the coding color (index parity
-                    # == color since transitions alternate from white)
-                    i = bisect_right(ref, a0)
-                    if (i & 1) != color:
-                        i += 1
-                    b1 = ref[i] if i < len(ref) else width
-                    b2 = ref[i + 1] if i + 1 < len(ref) else width
-                    if rd():  # 1 = V0
-                        a1 = b1
-                    else:
-                        if rd():  # 01x = VR1/VL1
-                            a1 = b1 + (1 if rd() else -1)
-                        elif rd():  # 001 = Horizontal
-                            base = a0 if a0 > 0 else 0
-                            r1 = read_run(color == 1)
-                            r2 = read_run(color == 0)
-                            a1 = base + r1
-                            a2 = a1 + r2
-                            if a1 < base or a2 < a1 or a2 > width \
-                                    or (a0 >= 0 and a2 <= a0):
-                                raise _Bad
-                            cur += [a1, a2]
-                            a0 = a2
-                            continue
-                        elif rd():  # 0001 = Pass
-                            if b2 <= a0:
-                                raise _Bad
-                            a0 = b2
-                            continue
-                        elif rd():  # 00001 1x = VR2/VL2
-                            a1 = b1 + (2 if rd() else -2)
-                        elif rd():  # 000001 1x = VR3/VL3
-                            a1 = b1 + (3 if rd() else -3)
-                        else:  # 0000000...: EOL/EOFB mid-stream
-                            raise _Bad
-                    if a1 < 0 or a1 > width or (cur and a1 < cur[-1]):
-                        raise _Bad
-                    cur.append(a1)
-                    if a1 <= a0 and a0 >= 0:
-                        raise _Bad
-                    a0 = a1
-                    color ^= 1
-                # paint the black runs of this row
-                base = r * width
-                for k in range(0, len(cur) - 1, 2):
-                    s = min(cur[k], width)
-                    e = min(cur[k + 1], width)
-                    for x in range(s, e):
-                        out[base + x] = 1
-                if len(cur) % 2 == 1 and cur[-1] < width:
-                    for x in range(cur[-1], width):
-                        out[base + x] = 1
+                cur = _row2d(rd, read_run, ref, width)
+                _paint(out, r * width, cur, width)
+                ref = cur + [width, width]
+        except _Bad:
+            return None
+        return bytes(out)
+
+    def g3mx_decode(data: bytes, width: int, nrows: int):
+        """Mixed 2-D G3 (ITU-T T.4 §4.2.1 — TIFF compression 3 with
+        T4Options bit 0, PDF CCITTFaxDecode /K > 0; r11): every row
+        is preceded by an EOL (≥ 11 zero fill/sync bits then 1)
+        followed by a TAG bit — 1 = the row is 1-D MH coded, 0 = 2-D
+        coded against the previous row.  Byte-aligned streams
+        (/EncodedByteAlign, T4Options bit 2) need no flag: their pad
+        zeros are absorbed by the EOL's fill-bit scan.  Returns one
+        0/1 byte per pixel or None on any malformed code / geometry
+        lie / truncation."""
+        if width <= 0 or nrows <= 0:
+            return None
+        rd, read_run, _ = _make_reader(data)
+        out = bytearray(width * nrows)
+        ref = [width, width]
+        try:
+            for r in range(nrows):
+                zeros = 0
+                while not rd():  # EOL: fill + ≥ 11 zeros, then 1
+                    zeros += 1
+                if zeros < 11:
+                    raise _Bad
+                if rd():  # tag: 1 = 1-D row
+                    cur = _row1d(rd, read_run, width)
+                else:  # 0 = 2-D row against the previous row
+                    cur = _row2d(rd, read_run, ref, width)
+                _paint(out, r * width, cur, width)
                 ref = cur + [width, width]
         except _Bad:
             return None
@@ -7734,45 +7935,95 @@ def _make_ccitt_g4():
             run -= mk
         return bits + term[run]
 
+    def _transitions(row, width: int) -> list:
+        return [x for x in range(width)
+                if row[x] != (row[x - 1] if x else 0)]
+
+    def _enc_row2d(cur: list, ref: list, width: int) -> str:
+        """Mode-code ONE row's transitions against the reference
+        row's (shared by the G4 and mixed-G3 encoders)."""
+        ext = cur + [width, width, width]
+        out = []
+        a0, color = -1, 0
+        while a0 < width:
+            i = bisect_right(ref, a0)
+            if (i & 1) != color:
+                i += 1
+            b1 = ref[i] if i < len(ref) else width
+            b2 = ref[i + 1] if i + 1 < len(ref) else width
+            j = bisect_right(cur, a0)
+            if (j & 1) != color:
+                j += 1
+            a1 = ext[j]
+            if b2 < a1:  # pass
+                out.append("0001")
+                a0 = b2
+            elif abs(a1 - b1) <= 3:  # vertical
+                out.append({0: "1", 1: "011", -1: "010",
+                            2: "000011", -2: "000010",
+                            3: "0000011", -3: "0000010"}[a1 - b1])
+                a0 = a1
+                color ^= 1
+            else:  # horizontal
+                a2 = ext[j + 1]
+                base = a0 if a0 > 0 else 0
+                out.append("001")
+                out.append(_run_code(a1 - base, color == 1))
+                out.append(_run_code(a2 - a1, color == 0))
+                a0 = a2
+        return "".join(out)
+
+    def _enc_row1d(row, width: int) -> str:
+        """MH-code ONE row as alternating runs (shared by the 1-D
+        and mixed-G3 encoders)."""
+        s = ""
+        col = 0
+        black = False
+        while col < width:
+            run = 0
+            while col + run < width and \
+                    bool(row[col + run]) == black:
+                run += 1
+            s += _run_code(run, black)
+            col += run
+            black = not black
+        return s
+
     def encode(bits, width: int) -> bytes:
         nrows = len(bits) // width
         out = []
         ref = [width, width]
         for r in range(nrows):
             row = bits[r * width : (r + 1) * width]
-            cur = [x for x in range(width)
-                   if row[x] != (row[x - 1] if x else 0)]
-            ext = cur + [width, width, width]
-            a0, color = -1, 0
-            while a0 < width:
-                i = bisect_right(ref, a0)
-                if (i & 1) != color:
-                    i += 1
-                b1 = ref[i] if i < len(ref) else width
-                b2 = ref[i + 1] if i + 1 < len(ref) else width
-                j = bisect_right(cur, a0)
-                if (j & 1) != color:
-                    j += 1
-                a1 = ext[j]
-                if b2 < a1:  # pass
-                    out.append("0001")
-                    a0 = b2
-                elif abs(a1 - b1) <= 3:  # vertical
-                    out.append({0: "1", 1: "011", -1: "010",
-                                2: "000011", -2: "000010",
-                                3: "0000011", -3: "0000010"}[a1 - b1])
-                    a0 = a1
-                    color ^= 1
-                else:  # horizontal
-                    a2 = ext[j + 1]
-                    base = a0 if a0 > 0 else 0
-                    out.append("001")
-                    out.append(_run_code(a1 - base, color == 1))
-                    out.append(_run_code(a2 - a1, color == 0))
-                    a0 = a2
+            cur = _transitions(row, width)
+            out.append(_enc_row2d(cur, ref, width))
             ref = cur + [width, width]
         out.append("000000000001" * 2)  # EOFB
         s = "".join(out)
+        s += "0" * (-len(s) % 8)
+        return bytes(int(s[i : i + 8], 2) for i in range(0, len(s), 8))
+
+    def g3mx_encode(bits, width: int, k: int = 2,
+                    byte_align: bool = False) -> bytes:
+        """Mixed 2-D G3 fixture-side compressor (T.4 §4.2.1): every
+        k-th row 1-D MH coded (tag 1), the rows between 2-D coded
+        against the previous row (tag 0), each row preceded by EOL;
+        `byte_align` pads with fill zeros so each EOL ends on a byte
+        boundary (TIFF T4Options bit 2 / PDF /EncodedByteAlign)."""
+        nrows = len(bits) // width
+        s = ""
+        ref = [width, width]
+        for r in range(nrows):
+            if byte_align:
+                s += "0" * (-(len(s) + 12) % 8)
+            s += "000000000001"  # EOL
+            one_d = (r % max(k, 1) == 0)
+            s += "1" if one_d else "0"  # tag bit
+            row = bits[r * width : (r + 1) * width]
+            cur = _transitions(row, width)
+            s += (_enc_row1d(row, width) if one_d
+                  else _enc_row2d(cur, ref, width))
+            ref = cur + [width, width]
         s += "0" * (-len(s) % 8)
         return bytes(int(s[i : i + 8], 2) for i in range(0, len(s), 8))
 
@@ -7788,61 +8039,20 @@ def _make_ccitt_g4():
         pixel or None on malformed codes / geometry lies."""
         if width <= 0 or nrows <= 0:
             return None
-        nbits = len(data) * 8
-        pos = 0
-
-        def rd() -> int:
-            nonlocal pos
-            if pos >= nbits:
-                raise _Bad
-            b = (data[pos >> 3] >> (7 - (pos & 7))) & 1
-            pos += 1
-            return b
-
-        def read_run(black: bool) -> int:
-            tbl = B_DEC if black else W_DEC
-            total = 0
-            while True:
-                key = ""
-                run = None
-                for _ in range(14):
-                    key += "1" if rd() else "0"
-                    run = tbl.get(key)
-                    if run is not None:
-                        break
-                if run is None:
-                    raise _Bad
-                total += run
-                if run < 64:
-                    return total
-
+        rd, read_run, state = _make_reader(data)
         out = bytearray(width * nrows)
         try:
             for r in range(nrows):
                 if byte_align:
-                    pos = (pos + 7) & ~7
+                    state[0] = (state[0] + 7) & ~7
                 if eol:  # ≥ 11 zeros (fill allowed) then the 1 bit
                     zeros = 0
                     while not rd():
                         zeros += 1
                     if zeros < 11:
                         raise _Bad
-                col = 0
-                black = False
-                base = r * width
-                zero_runs = 0
-                while col < width:
-                    run = read_run(black)
-                    # only the leading white run may be empty; two
-                    # zero runs in a row would loop forever
-                    zero_runs = zero_runs + 1 if run == 0 else 0
-                    if col + run > width or zero_runs > 1:
-                        raise _Bad
-                    if black:
-                        for x in range(col, col + run):
-                            out[base + x] = 1
-                    col += run
-                    black = not black
+                _paint(out, r * width,
+                       _row1d(rd, read_run, width), width)
         except _Bad:
             return None
         return bytes(out)
@@ -7856,27 +8066,17 @@ def _make_ccitt_g4():
                 s += "0" * (-len(s) % 8)
             if eol:
                 s += "000000000001"
-            row = bits[r * width : (r + 1) * width]
-            col = 0
-            black = False
-            while col < width:
-                run = 0
-                while col + run < width and \
-                        bool(row[col + run]) == black:
-                    run += 1
-                s += _run_code(run, black)
-                col += run
-                black = not black
+            s += _enc_row1d(bits[r * width : (r + 1) * width], width)
         s += "0" * (-len(s) % 8)
         return bytes(int(s[i : i + 8], 2) for i in range(0, len(s), 8))
 
-    return decode, encode, mh_decode, mh_encode
+    return decode, encode, mh_decode, mh_encode, g3mx_decode, g3mx_encode
 
 
 #: the CCITT codecs (factory-made; importable for tests): G4 (T.6)
 #: pair + the 1-D Modified Huffman (T.4) pair
-(ccitt_g4_decode, ccitt_g4_encode,
- ccitt_mh_decode, ccitt_mh_encode) = _make_ccitt_g4()
+(ccitt_g4_decode, ccitt_g4_encode, ccitt_mh_decode, ccitt_mh_encode,
+ ccitt_g3mx_decode, ccitt_g3mx_encode) = _make_ccitt_g4()
 
 
 def _make_pdf_gen():
@@ -8545,7 +8745,7 @@ def pdf_image_stats(df: DataFrame) -> DataFrame:
     cost shape)."""
     _, _, pimages = _make_pdf_walker()
     jdec = _make_jpeg_decoder()
-    g4dec, _, mhdec, _ = _make_ccitt_g4()
+    g4dec, _, mhdec, _, g3mxdec, _ = _make_ccitt_g4()
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import zlib
@@ -8574,8 +8774,9 @@ def pdf_image_stats(df: DataFrame) -> DataFrame:
                     # byte alignment per the dict flags
                     bits = mhdec(blob, cols, nr, eol=eolp,
                                  byte_align=eba)
-                else:
-                    return None  # mixed 2-D G3 (K>0): out of scope
+                else:  # mixed 2-D G3, /K > 0 (late r11): EOL+tag
+                    # rows; fill/byte-align absorbed by the EOL scan
+                    bits = g3mxdec(blob, cols, nr)
                 if bits is None:
                     return None
                 a = np.frombuffer(bits, np.uint8).reshape(nr, cols)
@@ -8623,10 +8824,12 @@ def synth_pdf_img_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     coefficient model: pixel = 128 + dc ± ac, SQL-recomputable),
     EXCEPT: every (id+k)%8==0 image ships as a JPXDecode stub (the
     foreign-filter rejection leg — reported, never decoded), every
-    (id+k)%8==4 image as a REAL CCITT fax (r11: /K -1 T.6 G4, or the
-    /K 0 pure-MH 1-D form when (id+k)%16==12; /BlackIs1 true, bit
+    (id+k)%8==4 image as a REAL CCITT fax (r11: /K -1 T.6 G4; the
+    /K 0 pure-MH 1-D form when (id+k)%16==12; late r11 the /K 2
+    MIXED 2-D G3 form — EOL+tag rows, byte-aligned on even ids —
+    when (id+k)%16==4 and id%3==1; /BlackIs1 true, bit
     (r,c) = [(id + 3r + c + 5k) % 23 < 11] — the scanned-PDF forms,
-    decoded bit-exactly) and
+    decoded bit-exactly, all framings lossless so ONE oracle) and
     every (id+k)%4==2 image as a FlateDecode /DeviceGray 8-bit bitmap
     (pixel (r,c) = (id + 9r + 23c) % 256, genuine zlib stream — the
     matplotlib-generator form, r10).
@@ -8635,6 +8838,7 @@ def synth_pdf_img_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     _jenc = jpeg_baseline_bytes
     _g4e2 = ccitt_g4_encode
     _mhe2 = ccitt_mh_encode
+    _g3e2 = ccitt_g3mx_encode
 
     def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import zlib
@@ -8655,6 +8859,11 @@ def synth_pdf_img_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     if (i + k) % 16 == 12:  # r11: the /K 0 pure-MH
                         images.append(("CCITTFaxDecode", w, h,
                                        _mhe2(bits, w), 0))  # form
+                    elif i % 3 == 1:  # late r11: /K 2 mixed 2-D G3
+                        images.append((
+                            "CCITTFaxDecode", w, h,
+                            _g3e2(bits, w, k=2,
+                                  byte_align=(i % 2 == 0)), 2))
                     else:
                         images.append(("CCITTFaxDecode", w, h,
                                        _g4e2(bits, w)))
@@ -8735,7 +8944,7 @@ def _make_tiff_gen():
 
     _, _lzwe = _make_tiff_lzw()  # captured by value into the closure
     _, _pbe = _make_packbits()
-    _, _g4e, _, _mhe = _make_ccitt_g4()
+    _, _g4e, _, _mhe, _, _g3mxe = _make_ccitt_g4()
 
     def tiff(pages, little: bool = True, seed: int | None = None,
              bigtiff: bool = False) -> bytes:
@@ -8795,12 +9004,18 @@ def _make_tiff_gen():
                 rps = pg[4] if len(pg) > 4 else h
                 pred = pg[5] if len(pg) > 5 else 1
                 tile = pg[6] if len(pg) > 6 else None
+                t4o = pg[7] if len(pg) > 7 else 0
                 if comp in (2, 3, 4):  # 1-bit fax page: strips/tiles
                     # are independent streams — G4 MMR (4), or 1-D MH
-                    # byte-aligned (2) / EOL-prefixed G3 (3), r11
+                    # byte-aligned (2) / EOL-prefixed G3 (3), r11;
+                    # comp 3 + T4Options bit 0 = MIXED 2-D G3 (late
+                    # r11, tag 292; bit 2 = fill to byte before EOL)
                     def fax_enc(bt: bytes, bw: int) -> bytes:
                         if comp == 4:
                             return g4e(bt, bw)
+                        if comp == 3 and t4o & 1:
+                            return _g3mxe(bt, bw, k=2,
+                                          byte_align=bool(t4o & 4))
                         return _mhe(bt, bw, eol=(comp == 3),
                                     byte_align=(comp == 2))
 
@@ -8914,6 +9129,8 @@ def _make_tiff_gen():
             elif rps is not None and rps != h:
                 ents.append(entry(278, 4, 1, rps))
             ents.append(strip_es[1])
+            if len(pg) > 7 and pg[7]:  # T4Options (late r11)
+                ents.append(entry(292, 4, 1, pg[7]))
             if pred != 1:
                 ents.append(entry(317, 3, 1, pred))
             ents.sort(key=lambda b_: struct.unpack(e + "H", b_[:2])[0])
@@ -9030,6 +9247,8 @@ def _make_tiff_walker():
                 elif tag == 279:
                     page["strip_len"] = vals[0]
                     page["strip_lens"] = list(vals)
+                elif tag == 292:  # T4Options (late r11): bit 0 = the
+                    page["t4_options"] = vals[0]  # mixed 2-D G3 form
                 elif tag == 317:
                     page["predictor"] = vals[0]
                 elif tag == 322:  # tiled layout (r10): GIS/scan
@@ -9165,14 +9384,14 @@ def tiff_pixel_stats(df: DataFrame) -> DataFrame:
     walk = _make_tiff_walker()
     lzw_dec, _ = _make_tiff_lzw()
     pb_dec, _ = _make_packbits()
-    g4_dec, _, mh_dec, _ = _make_ccitt_g4()
+    g4_dec, _, mh_dec, _, g3mx_dec, _ = _make_ccitt_g4()
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import numpy as np
         import pandas as pd
 
         def chunk_bytes(b: bytes, comp: int, soff: int, slen: int,
-                        n: int, g4_w: int = 0):
+                        n: int, g4_w: int = 0, t4: int = 0):
             """One strip/tile's decoded bytes (exactly n), or None.
             For comp 4 (CCITT G4) n is pixels and g4_w the row width:
             the MMR stream decodes to one 0/1 byte per pixel."""
@@ -9184,6 +9403,9 @@ def tiff_pixel_stats(df: DataFrame) -> DataFrame:
             if comp in (2, 3):  # 1-D fax rows (r11): MH byte-aligned
                 if not g4_w:    # (2) / EOL-prefixed G3 (3)
                     return None
+                if comp == 3 and t4 & 1:  # late r11: T4Options bit 0
+                    # = mixed 2-D G3 (EOL+tag rows; fill absorbed)
+                    return g3mx_dec(raw, g4_w, n // g4_w)
                 return mh_dec(raw, g4_w, n // g4_w, eol=(comp == 3),
                               byte_align=(comp == 2))
             if comp == 5:
@@ -9226,7 +9448,8 @@ def tiff_pixel_stats(df: DataFrame) -> DataFrame:
             img = np.zeros((h, w), np.uint8)
             for ti, (soff, slen) in enumerate(zip(offs, lens)):
                 raw = chunk_bytes(b, p["compression"], soff, slen,
-                                  tw * tl, g4_w=tw)
+                                  tw * tl, g4_w=tw,
+                                  t4=p.get("t4_options", 0))
                 if raw is None:
                     return None
                 if pred == 2:
@@ -9259,7 +9482,8 @@ def tiff_pixel_stats(df: DataFrame) -> DataFrame:
             for soff, slen in zip(offs, lens):
                 nrows = min(rps, h - row)
                 raw = chunk_bytes(b, p["compression"], soff, slen,
-                                  nrows * w, g4_w=w)
+                                  nrows * w, g4_w=w,
+                                  t4=p.get("t4_options", 0))
                 if raw is None:
                     return None
                 out += raw
@@ -9312,9 +9536,12 @@ def synth_tiff_px_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     RowsPerStrip splitting pages into 1/2/3-row-group multi-strip
     arrays by (id+7p)%3 (the count>1 StripOffsets pointer form),
     horizontal-differencing Predictor 2 when (id+2p)%3==0.  Pages
-    with (id+p)%4==3 (r11) store as 1-bit CCITT Group 4 instead —
-    bit (r,c) = [(s + 3r + c + 19p) % 23 < 11], strip- AND
-    tile-framed, both byte orders — the scanned-document population.
+    with (id+p)%4==3 (r11) store as 1-bit CCITT fax instead —
+    bit (r,c) = [(s + 3r + c + 19p) % 23 < 11], rotating G4 MMR /
+    byte-aligned MH / EOL G3 — with half the G3 pages MIXED 2-D
+    (T4Options bit 0, late r11; bit 2 byte-aligned on i%4==1) —
+    strip- AND tile-framed, both byte orders — the
+    scanned-document population.
     Every 25th id breaks the last
     next-IFD pointer (walk invalid → NULL stats)."""
     _gen = tiff_bytes  # factory-made → ships by value
@@ -9333,17 +9560,23 @@ def synth_tiff_px_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 rps = (h, -(-h // 2), 3)[(i + 7 * p) % 3]
                 pred = 2 if (i + 2 * p) % 3 == 0 else 1
                 bits = 8
+                t4o = 0
                 if (i + p) % 4 == 3:  # r11: CCITT fax page — the
                     # scanned-document form; 1-bit, rotating G4 MMR /
-                    # byte-aligned MH (2) / EOL G3 (3) framing
+                    # byte-aligned MH (2) / EOL G3 (3) framing; late
+                    # r11: half the G3 pages ((i+5p)%2==1) carry
+                    # T4Options bit 0 = MIXED 2-D rows (+ bit 2
+                    # byte-align when i%4==1)
                     bits, pred = 1, 1
                     comp = (4, 2, 3)[(i + 2 * p) % 3]
+                    if comp == 3 and (i + 5 * p) % 2 == 1:
+                        t4o = 1 | (4 if i % 4 == 1 else 0)
                 # tiled legs (r10): every 5th (i+3p) page stores as
                 # padded TILES (tags 322-325) instead of strips —
                 # the GIS/scan-pyramid layout; lossless, same oracle
                 tile = ((4 + i % 5, 3 + i % 4)
                         if (i + 3 * p) % 5 == 2 else None)
-                pages.append((w, h, bits, comp, rps, pred, tile))
+                pages.append((w, h, bits, comp, rps, pred, tile, t4o))
             big = i % 7 == 3  # r10: BigTIFF legs (magic 43, 8-byte
             # offsets, LONG8 strips) — lossless framing, same oracle
             b = _gen(pages, little=(i % 2 == 0), seed=i % 256,
@@ -10021,9 +10254,12 @@ def _make_zip_gen():
     import struct
     import zlib
 
+    _zstd_c = _make_zstd_tools()[0]
+
     def zipf(members, zip64: bool = False) -> bytes:
         """members: [(name, payload, method)] with method in
-        ('stored', 'deflate').  ``zip64=True`` (r10) writes the FORCED
+        ('stored', 'deflate', 'bzip2', 'zstd').  ``zip64=True`` (r10)
+        writes the FORCED
         zip64 form real >4 GiB bundles use, scaled down: 32-bit
         size/offset cells carry the 0xFFFFFFFF sentinel with the real
         values in 0x0001 extra fields, and the EOCD (sentinel counts)
@@ -10043,6 +10279,10 @@ def _make_zip_gen():
                 import bz2
                 blob = bz2.compress(data)
                 m = 12
+            elif method == "zstd":  # APPNOTE method 93 (r11): the
+                # member data is one raw zstd frame
+                blob = _zstd_c(data)
+                m = 93
             else:
                 blob = data
                 m = 0
@@ -10107,6 +10347,8 @@ def _make_zip_walker():
     member ok=False, never a task failure."""
     import struct
     import zlib
+
+    _unzstd = _make_zstd_tools()[1]
 
     SENT32, SENT16 = 0xFFFFFFFF, 0xFFFF
 
@@ -10247,8 +10489,17 @@ def _make_zip_walker():
                     blob[4 + psz:], max_length=member["uncomp_size"])
             except (lzma.LZMAError, ValueError):
                 return None
+        elif member["method"] == 93:  # zstd (APPNOTE 4.4.5), r11:
+            # the member data is raw zstd frame(s); decode via Arrow's
+            # bundled libzstd with the frame-by-frame walk (non-zstd
+            # magic or a failed frame → honest None, never a crash)
+            if blob[:4] != b"\x28\xb5\x2f\xfd":
+                return None
+            data, z_ok = _unzstd(blob)
+            if not z_ok:
+                return None
         else:
-            return None  # foreign methods (ppmd, zstd...): honest None
+            return None  # foreign methods (ppmd, wavpack...): honest None
         if len(data) != member["uncomp_size"]:
             return None
         if (zlib.crc32(data) & 0xFFFFFFFF) != member["crc"]:
@@ -10283,9 +10534,8 @@ def zip_member_contents(df: DataFrame) -> DataFrame:
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
-        # 93 = zstd (APPNOTE 4.4.5): named so the gate can ROUTE it,
-        # decoded nowhere — python 3.11 has no zstd codec (SCALE.md
-        # r11 addendum 5 records the boundary)
+        # 93 = zstd (APPNOTE 4.4.5), DECODED since r11 via Arrow's
+        # bundled libzstd (SCALE.md r11 addendum 5)
         meth = {0: "stored", 8: "deflate", 12: "bzip2", 14: "lzma",
                 93: "zstd"}
 
@@ -10436,8 +10686,9 @@ def synth_zip_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Fixture for x_zip_extract (r9): each document becomes a REAL
     ZIP of 1+(id%5) members — member j named 'm{j}.bin' with
     20+(id+7j)%40 payload bytes (byte k = (id+11j+3k)%256), method
-    rotating stored / deflate / bzip2 by (id+j)%3 (real compression,
-    real CRCs; the LZMA method is pytest-covered via the stdlib
+    rotating stored / deflate / bzip2 / zstd by (id+j)%4 (real
+    compression, real CRCs; zstd since r11 via Arrow's bundled
+    libzstd; the LZMA method is pytest-covered via the stdlib
     cross-check).
     Every 3rd id (i%3==1, r10) writes the FORCED-zip64 form —
     sentinel 32-bit cells, 0x0001 extra fields, EOCD64 + locator —
@@ -10458,7 +10709,7 @@ def synth_zip_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                              for k in range(20 + (i + 7 * j) % 40))
                 members.append((
                     "m%d.bin" % j, data,
-                    ("stored", "deflate", "bzip2")[(i + j) % 3]))
+                    ("stored", "deflate", "bzip2", "zstd")[(i + j) % 4]))
             b = _gen(members, zip64=(i % 3 == 1))
             if i % 23 == 0:
                 bb = bytearray(b)

@@ -2966,7 +2966,12 @@ def x_warc_records(spark, sf_dir):
     skip proved by the payload bytes' integer sum, and the record
     terminator check.  Every 23rd fixture corrupts record 1's version
     line: the walker keeps record 0 (partial census, valid=false on
-    the shard's rows).  The oracle recomputes every type, URI,
+    the shard's rows).  Fixture framing rotates by id: plain WARC,
+    .warc.gz (per-record gzip members, r10), and .warc.zst
+    (per-record zstd frames behind a skippable dictionary-slot frame,
+    r11 — the newer Common Crawl layout; Arrow's bundled libzstd) —
+    all lossless, so ONE oracle covers the three framings.  The
+    oracle recomputes every type, URI,
     length, and byte sum from id arithmetic; warcinfo records carry
     no Target-URI ('none' sentinel on both sides)."""
     from lwetl_spark.operators.media import synth_warc_demo, warc_records
@@ -3805,8 +3810,9 @@ def x_ogg_meta(spark, sf_dir):
     )
     SELECT m.doc_id, CAST(m.j AS BIGINT) AS member_idx,
            printf('m%d.bin', m.j) AS name,
-           CASE (m.doc_id + m.j) % 3 WHEN 0 THEN 'stored'
-                WHEN 1 THEN 'deflate' ELSE 'bzip2' END AS method,
+           CASE (m.doc_id + m.j) % 4 WHEN 0 THEN 'stored'
+                WHEN 1 THEN 'deflate' WHEN 2 THEN 'bzip2'
+                ELSE 'zstd' END AS method,
            CAST(b.usz AS BIGINT) AS uncomp_size,
            b.byte_sum, TRUE AS ok, NOT m.corrupt AS valid
     FROM mem m JOIN bsum b ON m.doc_id = b.doc_id AND m.j = b.j
@@ -3823,9 +3829,11 @@ def x_zip_extract(spark, sf_dir):
     raw-deflate (zlib wbits=-15) inflate with CRC-32 verification —
     datasets ship as zip at least as often as tar, and the extraction
     is proved by each member's decompressed byte SUM, not just the
-    catalog.  Fixtures mix stored and deflated members (real
-    compression, real CRCs; generator cross-checked against the
-    stdlib zipfile reader in pytest) and — r10 — every 3rd id is a
+    catalog.  Fixtures rotate stored / deflate / bzip2 / zstd members
+    (real compression, real CRCs; zstd — APPNOTE method 93, the
+    WebDataset-era framing — decodes since r11 via Arrow's bundled
+    libzstd with the frame-boundary walk; generator cross-checked
+    against the stdlib zipfile reader in pytest) and — r10 — every 3rd id is a
     FORCED-zip64 archive (EOCD64 + locator + 0x0001 extra fields, the
     >4 GiB bundle layout; stdlib force_zip64 cross-checked both
     directions).  Every 23rd id corrupts the

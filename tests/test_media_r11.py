@@ -315,17 +315,26 @@ def test_aac_adts_walk_truncation_and_sniff(spark):
     assert sn[6] == "ogg"
 
 
-def test_zstd_routed_named_never_decoded(spark):
-    """The zstd boundary is explicit (SCALE.md r11 addendum 5): the
-    sniffer routes the frame magic, a method-93 ZIP member reports
-    method='zstd' with ok=false — never a crash, never a mis-decode."""
-    import struct
-    import zlib
-
+def test_zstd_decode_zip_and_warc(spark):
+    """zstd decodes since r11 via Arrow's bundled libzstd (SCALE.md
+    r11 addendum 5): the sniffer routes the frame magic, a method-93
+    ZIP member extracts CRC-verified, and .warc.zst (per-record
+    frames behind a skippable dictionary-slot frame) walks
+    identically to the plain shard.  Corruption keeps the
+    partial-census contract: a corrupt member is ok=false, a corrupt
+    tail frame keeps the intact leading records, a frame that DEMANDS
+    a dictionary fails cleanly — never a crash, never a mis-decode."""
     from lwetl_spark.operators.media import (
+        parse_warc,
+        parse_zip,
+        extract_zip_member,
         sniff_format,
+        unzstd_members,
+        warc_bytes,
         zip_bytes,
         zip_member_contents,
+        zstd_bytes,
+        zstd_frame_end,
     )
 
     df = spark.createDataFrame(
@@ -333,17 +342,43 @@ def test_zstd_routed_named_never_decoded(spark):
         "doc_id long, payload binary")
     assert df.select(sniff_format("payload").alias("f")) \
         .collect()[0]["f"] == "zstd"
-    # hand-build a zip whose one member claims method 93
-    z = bytearray(zip_bytes([("a.txt", b"hello zstd", "stored")]))
-    pos = z.find(struct.pack("<H", 0), z.find(b"PK\x03\x04") + 8)
-    # patch method fields (local header offset 8, central offset 10)
-    z[8:10] = struct.pack("<H", 93)
-    cd = z.find(b"PK\x01\x02")
-    z[cd + 10 : cd + 12] = struct.pack("<H", 93)
-    out = zip_member_contents(spark.createDataFrame(
-        [(1, bytes(z))], "doc_id long, payload binary")).collect()[0]
-    assert out["method"] == "zstd" and out["ok"] is False
-    assert zlib.crc32(b"") == 0  # keep zlib import purposeful
+
+    # real method-93 member: extracts, CRC-verified, through the op
+    data = bytes((7 * k) % 256 for k in range(300))
+    z = zip_bytes([("a.bin", data, "zstd"), ("b.bin", b"plain", "stored")])
+    out = {r["name"]: r for r in zip_member_contents(
+        spark.createDataFrame([(1, z)], "doc_id long, payload binary"))
+        .collect()}
+    assert out["a.bin"]["method"] == "zstd" and out["a.bin"]["ok"]
+    assert out["a.bin"]["byte_sum"] == sum(data)
+    # corrupt the member's frame payload: ok=false, not a crash
+    zb = bytearray(z)
+    zb[z.index(b"\x28\xb5\x2f\xfd") + 9] ^= 0xFF
+    assert extract_zip_member(
+        bytes(zb), parse_zip(bytes(zb))["members"][0]) is None
+
+    # .warc.zst: frame-per-record + skippable prefix == plain walk
+    recs = [("response", "http://a/p", b"hello" * 9),
+            ("request", "http://b/q", b"world" * 5)]
+    plain, zstw = warc_bytes(recs), warc_bytes(recs, zst=True)
+    skip = (b"\x50\x2a\x4d\x18" + (8).to_bytes(4, "little") + b"CCDICT00")
+    assert parse_warc(skip + zstw) == parse_warc(plain)
+    # truncated tail frame: record 0 survives, shard flagged
+    e0 = zstd_frame_end(zstw, 0)
+    assert e0 is not None
+    r = parse_warc(zstw[: e0 + 10])
+    assert len(r["records"]) == 1 and r["valid"] is False
+    # a frame demanding a dictionary (DID flag set) fails cleanly:
+    # descriptor 0x21 = single-segment + 1-byte dict id, FCS 1 byte
+    dict_frame = (b"\x28\xb5\x2f\xfd\x21\x07\x05"
+                  + b"\x09\x00\x00" + b"\x00")
+    got, ok = unzstd_members(dict_frame)
+    assert ok is False and got == b""
+    # non-zstd input passes through unchanged
+    assert unzstd_members(b"not zstd at all") == (b"not zstd at all", True)
+    # multi-frame round-trip through the member inflater
+    two = zstd_bytes(b"A" * 100) + zstd_bytes(b"B" * 50)
+    assert unzstd_members(two) == (b"A" * 100 + b"B" * 50, True)
 
 
 def test_ccitt_mh_g3_codec_and_tiff_legs(spark):
@@ -454,6 +489,7 @@ def test_r11_decoder_fuzz_sweep(spark):
     from lwetl_spark.operators.media import (
         aac_bytes,
         aac_meta,
+        ccitt_g3mx_encode,
         ccitt_g4_encode,
         http_response_parts,
         pdf_bytes,
@@ -462,6 +498,10 @@ def test_r11_decoder_fuzz_sweep(spark):
         sniff_decode_html,
         tiff_bytes,
         tiff_pixel_stats,
+        warc_bytes,
+        warc_records,
+        zip_bytes,
+        zip_member_contents,
     )
 
     random.seed(1101)
@@ -491,16 +531,97 @@ def test_r11_decoder_fuzz_sweep(spark):
         aac_bytes(1, 4, 2, [20] * 5, crc=True),
         b"HTTP/1.1 200 OK\r\nContent-Type: text/html;"
         b" charset=gbk\r\n\r\n<p>\xd2\xb3</p>",
+        # late-r11 paths: mixed 2-D G3 TIFF, /K 2 PDF image, zstd
+        # WARC shard, zstd ZIP member
+        tiff_bytes([(17, 12, 1, 3, 6, 1, None, 5)], seed=9),
+        pdf_bytes(["k2"], images=[(
+            "CCITTFaxDecode", 17, 12,
+            ccitt_g3mx_encode(bits, 17, k=2), 2)]),
+        warc_bytes([("response", "http://x/y", b"pay" * 9)], zst=True),
+        zip_bytes([("a.bin", bytes(range(64)), "zstd")]),
     ]
-    rows = [(i, mutate(seeds[i % len(seeds)])) for i in range(120)]
+    rows = [(i, mutate(seeds[i % len(seeds)])) for i in range(180)]
     df = spark.createDataFrame(rows, "doc_id long, payload binary")
-    assert pdf_text(df).count() == 120
-    assert pdf_image_stats(df).count() >= 120
-    assert tiff_pixel_stats(df).count() == 120
-    assert aac_meta(df).count() == 120
+    assert pdf_text(df).count() == 180
+    assert pdf_image_stats(df).count() >= 180
+    assert tiff_pixel_stats(df).count() == 180
+    assert aac_meta(df).count() == 180
+    assert warc_records(df).count() >= 180
+    assert zip_member_contents(df).count() >= 180
     parts = http_response_parts(
         df.selectExpr("doc_id", "doc_id as rec_idx", "payload"))
     assert sniff_decode_html(
         parts.select("doc_id", "body", "content_type"),
         payload_col="body", content_type_col="content_type",
-    ).count() == 120
+    ).count() == 180
+
+
+def test_ccitt_g3_mixed_2d(spark):
+    """Mixed 2-D G3 (T.4 §4.2.1 — TIFF compression 3 + T4Options
+    bit 0, PDF CCITTFaxDecode /K > 0; late r11): EOL+tag rows mixing
+    1-D MH rows with 2-D rows coded against the previous row.
+    Round-trips at every k / byte-alignment, decodes bit-exactly
+    through BOTH container paths, and fails cleanly on truncation."""
+    import random
+
+    from lwetl_spark.operators.media import (
+        ccitt_g3mx_decode,
+        ccitt_g3mx_encode,
+        pdf_bytes,
+        pdf_image_stats,
+        tiff_bytes,
+        tiff_pixel_stats,
+    )
+
+    random.seed(11)
+    for _ in range(25):
+        w, h = random.randint(1, 45), random.randint(1, 18)
+        bits = bytes(random.randint(0, 1) for _ in range(w * h))
+        for k in (1, 2, 4):
+            for ba in (False, True):
+                enc = ccitt_g3mx_encode(bits, w, k=k, byte_align=ba)
+                assert ccitt_g3mx_decode(enc, w, h) == bits
+    # hand-checked stream: row0 = EOL+tag1 then 1-D white2 black3
+    # white3; row1 all-same -> EOL+tag0 then V0 codes
+    bits2 = bytes([0, 0, 1, 1, 1, 0, 0, 0] * 2)
+    enc = ccitt_g3mx_encode(bits2, 8, k=2)
+    s = "".join(format(x, "08b") for x in enc)
+    assert s.startswith("000000000001" + "1" + "0111" + "10" + "1000"
+                        + "000000000001" + "0" + "111")
+    # truncation / garbage fail cleanly
+    full = ccitt_g3mx_encode(bytes([1, 0] * 32), 8, k=2)
+    assert ccitt_g3mx_decode(full[: len(full) // 2], 8, 8) is None
+    assert ccitt_g3mx_decode(b"\xff\xff", 8, 4) is None
+
+    # TIFF: comp-3 pages with T4Options 1 and 5, strip- and
+    # tile-framed, both byte orders — exact bit stats
+    exp = {}
+    rows = []
+    for i, little in ((9, True), (10, False)):
+        pages = [(19, 12, 1, 3, 6, 1, None, 1),
+                 (14, 9, 1, 3, 9, 1, (6, 4), 5)]
+        rows.append((i, tiff_bytes(pages, little=little, seed=i)))
+        n = s_ = 0
+        for p, (w, h) in enumerate(((19, 12), (14, 9))):
+            for r in range(h):
+                for c in range(w):
+                    v = 1 if (i + 3 * r + c + 19 * p) % 23 < 11 else 0
+                    n += 1
+                    s_ += v
+        exp[i] = (n, s_)
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in tiff_pixel_stats(df).collect()}
+    for i in (9, 10):
+        assert (out[i]["n_px"], out[i]["sum_px"]) == exp[i], i
+
+    # PDF: /K 2 image decodes through pdf_image_stats (BlackIs1)
+    w, h = 11, 7
+    pbits = bytes(1 if (3 * r + c) % 5 < 2 else 0
+                  for r in range(h) for c in range(w))
+    pdf = pdf_bytes(["cap"], images=[(
+        "CCITTFaxDecode", w, h,
+        ccitt_g3mx_encode(pbits, w, k=2, byte_align=True), 2)])
+    row = pdf_image_stats(spark.createDataFrame(
+        [(1, pdf)], "doc_id long, payload binary")).collect()[0]
+    assert row["decoded"] and row["n_px"] == w * h
+    assert row["sum_px"] == sum(pbits)
