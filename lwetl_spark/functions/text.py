@@ -283,6 +283,40 @@ def url_host(url: Column | str) -> Column:
     return F.try_parse_url(_col(url), F.lit("HOST"))
 
 
+def surt_key(url: Column | str) -> Column:
+    """SURT urlkey (late r11) — the Sort-friendly URI Reordering
+    Transform the Common Crawl CDX index keys records by: lowercase,
+    scheme/fragment/userinfo dropped, leading www\\d* label dropped,
+    host labels REVERSED and comma-joined, default ports 80/443
+    dropped (others kept), ')' separator, path as-is ('/' when
+    empty), query parameters SORTED and re-joined (dropped when
+    empty).  `http://www.Example.com:80/a/B?b=2&a=1#f` →
+    `com,example)/a/b?a=1&b=2`.  Pure Catalyst string expressions —
+    the canonical key for crawl-index joins computes JVM-side with
+    zero Python, so keying 100 TB of CDX lines is a map-only pass."""
+    u = F.lower(F.trim(_col(url)))
+    u = F.regexp_replace(u, r"^[a-z][a-z0-9+.\-]*://", "")
+    u = F.regexp_replace(u, r"#.*$", "")  # fragment
+    netloc = F.regexp_extract(u, r"^([^/?]*)", 1)
+    rest = F.regexp_replace(u, r"^[^/?]*", "")
+    host = F.regexp_replace(netloc, r"^[^@]*@", "")  # userinfo
+    port = F.regexp_extract(host, r":(\d+)$", 1)
+    host = F.regexp_replace(host, r":\d+$", "")
+    host = F.regexp_replace(host, r"^www\d*\.", "")
+    rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    port_sfx = F.when(port.isin("", "80", "443"), F.lit("")) \
+        .otherwise(F.concat(F.lit(":"), port))
+    path = F.regexp_extract(rest, r"^([^?]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(rest, r"\?(.*)$", 1)
+    qs = F.array_join(
+        F.array_sort(F.filter(F.split(query, "&"),
+                              lambda x: x != F.lit(""))), "&")
+    return F.concat(
+        rev, port_sfx, F.lit(")"), path,
+        F.when(qs == "", F.lit("")).otherwise(F.concat(F.lit("?"), qs)))
+
+
 def registrable_domain(host: Column | str, labels: int = 2) -> Column:
     """Naive registrable domain: the last ``labels`` dot-labels of a
     hostname (www.news.site7.com -> site7.com).  A production crawl

@@ -1,0 +1,203 @@
+"""Crawl-INDEX operators (late r11): the selection layer in front of
+the WARC ingest loops — CDX-J record parsing and robots.txt rule
+extraction + URL gating.
+
+A 100 TB crawl pipeline reads the INDEX first: it picks (urlkey,
+offset, length) ranges out of the CDX and checks robots rules BEFORE
+touching a single WARC byte, because the index is ~1/1000th the size
+of the payload.  These operators supply that layer for the engine's
+media.warc_payloads → campaign loops (reference parity: lwetl's query
+surface has no crawl side at all — this extends the SURVEY §2.10
+ingest story the same way the WARC/PDF loops did).
+
+Everything here is pure Catalyst — string/JSON expressions and
+equi-joins, no Python in any hot path (the SRT/`bmp_dims` precedent:
+text-structured formats parse as expressions, not Arrow passes).
+Scale shapes:
+- `cdx_records` is map-only; one CDX line never meets another.
+- `robots_gate` joins urls ⋈ rules on host — a shuffle equi-join
+  where BOTH sides grow with the corpus (never broadcast); rules per
+  host are bounded (dozens), so per-pair wildcard matching is O(1)
+  and AQE handles mega-host skew on the url side.
+"""
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["cdx_records", "robots_rules", "robots_gate"]
+
+
+#: struct schema of the CDX-J JSON payload (all strings in the wire
+#: format; numeric casts happen after the parse)
+_CDX_JSON = ("url string, mime string, status string, digest string,"
+             " length string, offset string, filename string")
+
+
+def cdx_records(df: DataFrame, line_col: str = "line",
+                id_col: str = "doc_id") -> DataFrame:
+    """Parse CDX-J index lines (the Common Crawl `cdx-*.gz` record
+    shape): `<urlkey> <14-digit timestamp> <JSON>` per line, the JSON
+    carrying url/mime/status/digest and the (filename, offset,
+    length) triple that addresses the WARC range — exactly what an
+    ingest loop fetches INSTEAD of scanning whole shards.
+
+    Emits (id, urlkey, ts, url, mime, status, length, offset,
+    filename, valid): `status` int, `length`/`offset` long (NULL when
+    non-numeric), `valid` false when the line head is malformed, the
+    timestamp is not 14 digits, or the JSON does not parse / lacks a
+    url (from_json yields null fields on malformed input).  Pure
+    Catalyst — regexp splits + from_json, map-only at any scale."""
+    line = F.col(line_col)
+    urlkey = F.regexp_extract(line, r"^(\S+) ", 1)
+    ts = F.regexp_extract(line, r"^\S+ (\d{14}) ", 1)
+    js = F.regexp_extract(line, r"^\S+ \S+ (\{.*\})\s*$", 1)
+    p = F.from_json(js, _CDX_JSON)
+    valid = (urlkey != "") & (ts != "") & p["url"].isNotNull()
+    return df.select(
+        F.col(id_col),
+        F.when(valid, urlkey).alias("urlkey"),
+        F.when(valid, ts).alias("ts"),
+        p["url"].alias("url"),
+        p["mime"].alias("mime"),
+        p["status"].try_cast("int").alias("status"),
+        p["length"].try_cast("long").alias("length"),
+        p["offset"].try_cast("long").alias("offset"),
+        p["filename"].alias("filename"),
+        valid.alias("valid"),
+    )
+
+
+def robots_rules(df: DataFrame, text_col: str = "robots",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Parse robots.txt bodies (RFC 9309) into one row per
+    (agent, rule): lines split, comments stripped, groups formed the
+    REP way — consecutive `User-agent:` lines open a group shared by
+    all named agents, the `Allow:`/`Disallow:` lines that follow
+    belong to that group until the next agent run.  `Sitemap:` lines
+    are group-independent and emitted with agent NULL.
+
+    Emits (id, agent, directive, pattern, rule_idx) — directive in
+    ('allow', 'disallow', 'sitemap'), `rule_idx` the line order
+    (stable tiebreak), empty-pattern allow/disallow rows dropped (an
+    empty Disallow imposes no restriction, per the RFC).  Pure
+    Catalyst: split + posexplode + two window passes over
+    (id, line order) — map-side except the per-document windows,
+    which shuffle only (id, line) rows, never the corpus."""
+    w = Window.partitionBy("_id").orderBy("_pos")
+    lines = (
+        df.select(F.col(id_col).alias("_id"),
+                  F.posexplode(F.split(F.col(text_col), "\r?\n"))
+                  .alias("_pos", "_raw"))
+        .select(
+            "_id", "_pos",
+            F.trim(F.regexp_replace("_raw", "#.*$", "")).alias("_ln"))
+        .withColumn("_ua", F.regexp_extract(
+            "_ln", r"(?i)^user-agent\s*:\s*(\S+)", 1))
+        .withColumn("_dir", F.lower(F.regexp_extract(
+            "_ln", r"(?i)^(allow|disallow|sitemap)\s*:", 1)))
+        .withColumn("_val", F.trim(F.regexp_extract(
+            "_ln", r"(?i)^(?:allow|disallow|sitemap)\s*:\s*(\S*)", 1)))
+        .filter((F.col("_ua") != "") | (F.col("_dir") != ""))
+    )
+    # a user-agent line starts a NEW group iff the previous
+    # significant line was not itself a user-agent line
+    grouped = (
+        lines
+        .withColumn("_prev_ua", F.lag(
+            (F.col("_ua") != "").cast("int"), 1, 0).over(w))
+        .withColumn("_start", ((F.col("_ua") != "")
+                               & (F.col("_prev_ua") == 0)).cast("int"))
+        .withColumn("_grp", F.sum("_start").over(w))
+    )
+    agents = (
+        grouped.filter(F.col("_ua") != "")
+        .groupBy("_id", "_grp")
+        .agg(F.collect_set(F.lower("_ua")).alias("_agents"))
+    )
+    rules = (
+        grouped.filter(F.col("_dir").isin("allow", "disallow")
+                       & (F.col("_val") != ""))
+        .join(agents, ["_id", "_grp"])
+        .select("_id", F.explode("_agents").alias("agent"),
+                F.col("_dir").alias("directive"),
+                F.col("_val").alias("pattern"),
+                F.col("_pos").cast("long").alias("rule_idx"))
+    )
+    sitemaps = (
+        grouped.filter(F.col("_dir") == "sitemap")
+        .select("_id", F.lit(None).cast("string").alias("agent"),
+                F.lit("sitemap").alias("directive"),
+                F.col("_val").alias("pattern"),
+                F.col("_pos").cast("long").alias("rule_idx"))
+    )
+    return (rules.unionByName(sitemaps)
+            .withColumnRenamed("_id", id_col))
+
+
+def _rep_regex(pattern: Column) -> Column:
+    """RFC 9309 wildcard pattern → Java/RE2 regex (both engines agree
+    on this ASCII subset): regex specials escaped, `*` → `.*`, a
+    TRAILING `$` anchors end-of-url, always anchored at the start."""
+    ends = pattern.endswith("$")
+    body = F.when(ends, pattern.substr(
+        F.lit(1), F.length(pattern) - 1)).otherwise(pattern)
+    esc = F.regexp_replace(body, r"([.^$+?(){}\[\]|\\])", r"\\$1")
+    esc = F.regexp_replace(esc, r"\*", ".*")
+    return F.concat(F.lit("^"), esc,
+                    F.when(ends, F.lit("$")).otherwise(F.lit("")))
+
+
+def robots_gate(urls: DataFrame, rules: DataFrame, agent: str = "*",
+                url_col: str = "url", host_col: str = "host"
+                ) -> DataFrame:
+    """Gate URLs against parsed robots rules for one crawler agent
+    (RFC 9309 §2.2.2): per host the MATCHING group is the one naming
+    the agent, falling back to `*`; among matching rules the most
+    specific (longest pattern) wins, ties break least-restrictive
+    (allow); no matching rule — or no rules at all for the host —
+    means allowed.
+
+    `urls` carries (url_col, host_col) with url_col the PATH+QUERY
+    part rules match against; `rules` is `robots_rules` output plus a
+    host_col column.  Emits (url_col, host_col, allowed,
+    matched_pattern, matched_directive).
+
+    Scale shape: group selection reduces rules per (host, agent)
+    FIRST (rule-side only — small), then ONE shuffle equi-join on
+    host where both sides grow with the corpus (hash join, never
+    broadcast); per-url matching is a bounded loop over that host's
+    rules, and the longest-match pick is a per-url window over
+    matched candidates only."""
+    my = rules.filter(F.col("directive").isin("allow", "disallow")) \
+        .withColumn("_spec", F.when(
+            F.col("agent") == agent.lower(), 2).when(
+            F.col("agent") == "*", 1))
+    my = my.filter(F.col("_spec").isNotNull())
+    best = my.groupBy(host_col).agg(F.max("_spec").alias("_best"))
+    picked = (my.join(best, host_col)
+              .filter(F.col("_spec") == F.col("_best"))
+              .withColumn("_rx", _rep_regex(F.col("pattern"))))
+    # rules grow with the corpus (one group set per host) — Catalyst
+    # UNDERESTIMATES the exploded rule side, so pin the hash join
+    # rather than risk a corpus-sized broadcast at scale
+    cand = (urls.join(picked.hint("shuffle_hash"), host_col, "left")
+            .withColumn("_m", F.expr(f"{url_col} rlike _rx")))
+    # rank: matched rules first, then longest pattern, allow on
+    # ties, line order as the stable tail
+    wm = Window.partitionBy(host_col, url_col).orderBy(
+        F.col("_m").desc_nulls_last(),
+        F.length("pattern").desc_nulls_last(),
+        F.when(F.col("directive") == "allow", 0).otherwise(1),
+        F.col("rule_idx").asc_nulls_last())
+    return (cand.withColumn("_rn", F.row_number().over(wm))
+            .filter(F.col("_rn") == 1)
+            .select(
+                url_col, host_col,
+                F.when(F.col("_m"), F.col("directive") == "allow")
+                .otherwise(F.lit(True)).alias("allowed"),
+                F.when(F.col("_m"), F.col("pattern"))
+                .alias("matched_pattern"),
+                F.when(F.col("_m"), F.col("directive"))
+                .alias("matched_directive"),
+            ))

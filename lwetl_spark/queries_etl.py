@@ -5723,3 +5723,291 @@ def x_http_parts(spark, sf_dir):
             html_text(F.col("html")).alias("text"),
         )
     )
+
+
+# ----------------------------------------------------------------------------
+# Crawl-index layer (late r11): SURT urlkeys, CDX-J parse, robots rules+gate
+# — the selection layer in front of the WARC ingest loops (no reference
+# analog: lwetl has no crawl surface; extends SURVEY §2.10)
+# ----------------------------------------------------------------------------
+
+
+@register(
+    "x_surt_key",
+    """
+    WITH g AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END
+                   AS scheme,
+               CASE doc_id % 3 WHEN 0 THEN '' WHEN 1 THEN 'WWW.'
+                    ELSE 'www2.' END AS www,
+               CASE doc_id % 4 WHEN 0 THEN '' WHEN 1 THEN ':80'
+                    WHEN 2 THEN ':443' ELSE ':8080' END AS port,
+               CASE WHEN doc_id % 3 = 0 THEN ''
+                    ELSE printf('?z=%d&a=%d', doc_id % 13, doc_id % 7)
+               END AS q,
+               CASE WHEN doc_id % 5 = 0 THEN '#Sec2' ELSE '' END AS frag
+        FROM documents
+    )
+    SELECT doc_id,
+           scheme || '://' || www
+               || printf('S%d.Ex%d.COM', doc_id % 7, doc_id % 5)
+               || port || printf('/A%d/B', doc_id % 11) || q || frag
+               AS url,
+           printf('com,ex%d,s%d%s)/a%d/b%s', doc_id % 5, doc_id % 7,
+                  CASE WHEN doc_id % 4 = 3 THEN ':8080' ELSE '' END,
+                  doc_id % 11,
+                  CASE WHEN doc_id % 3 = 0 THEN ''
+                       ELSE printf('?a=%d&z=%d', doc_id % 7,
+                                   doc_id % 13) END) AS urlkey
+    FROM g
+    """,
+)
+def x_surt_key(spark, sf_dir):
+    """SURT urlkey canonicalization (late r11; functions/text.
+    surt_key): the Common Crawl CDX key transform — lowercase, scheme/
+    fragment/userinfo dropped, leading www\\d* dropped, host labels
+    reversed comma-joined, default ports dropped (others kept), query
+    params sorted.  Fixtures rotate scheme, WWW/www2 prefixes, ports
+    (none/80/443/8080), uppercase paths, unordered queries, and
+    fragments; the oracle recomputes the EXPECTED key from id
+    arithmetic, proving every variant collapses to the same canonical
+    form.  Pure Catalyst (zero Python) — the 100 TB index-keying pass
+    is map-only."""
+    from lwetl_spark.functions.text import surt_key
+
+    i = F.col("doc_id")
+    scheme = F.when(i % 2 == 0, F.lit("http")).otherwise(F.lit("https"))
+    www = F.when(i % 3 == 0, F.lit("")) \
+        .when(i % 3 == 1, F.lit("WWW.")).otherwise(F.lit("www2."))
+    port = F.when(i % 4 == 0, F.lit("")) \
+        .when(i % 4 == 1, F.lit(":80")) \
+        .when(i % 4 == 2, F.lit(":443")).otherwise(F.lit(":8080"))
+    q = F.when(i % 3 == 0, F.lit("")).otherwise(
+        F.format_string("?z=%d&a=%d", i % 13, i % 7))
+    frag = F.when(i % 5 == 0, F.lit("#Sec2")).otherwise(F.lit(""))
+    url = F.concat(
+        scheme, F.lit("://"), www,
+        F.format_string("S%d.Ex%d.COM", i % 7, i % 5), port,
+        F.format_string("/A%d/B", i % 11), q, frag)
+    return (_t(spark, sf_dir, "documents").select("doc_id")
+            .select("doc_id", url.alias("url"),
+                    surt_key(url).alias("urlkey")))
+
+
+@register(
+    "x_cdx_parse",
+    """
+    WITH g AS (
+        SELECT doc_id,
+               doc_id % 13 = 0 AS bad_json,
+               doc_id % 13 <> 0 AND doc_id % 17 = 0 AS bad_ts
+        FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN bad_json OR bad_ts THEN 'none'
+                ELSE printf('com,ex,s%d)/p%d', doc_id % 9, doc_id % 31)
+           END AS urlkey,
+           CASE WHEN bad_json OR bad_ts THEN 'none'
+                ELSE printf('2024%02d%02d120000', 1 + doc_id % 12,
+                            1 + doc_id % 28) END AS ts,
+           CASE WHEN bad_json THEN 'none'
+                ELSE printf('http://s%d.ex.com/p%d', doc_id % 9,
+                            doc_id % 31) END AS url,
+           CASE WHEN bad_json THEN 'none'
+                ELSE CASE doc_id % 4 WHEN 0 THEN 'text/html'
+                     WHEN 1 THEN 'application/pdf'
+                     WHEN 2 THEN 'image/jpeg' ELSE 'text/plain' END
+           END AS mime,
+           CAST(CASE WHEN bad_json THEN -1
+                ELSE CASE doc_id % 5 WHEN 0 THEN 200 WHEN 1 THEN 200
+                     WHEN 2 THEN 301 WHEN 3 THEN 404 ELSE 503 END
+           END AS BIGINT) AS status,
+           CAST(CASE WHEN bad_json THEN -1
+                ELSE 100 + doc_id % 9000 END AS BIGINT) AS length,
+           CAST(CASE WHEN bad_json THEN -1
+                ELSE (doc_id * 7) % 100000 END AS BIGINT) AS offset,
+           CASE WHEN bad_json THEN 'none'
+                ELSE printf('crawl-%05d.warc.gz', doc_id % 300)
+           END AS filename,
+           NOT (bad_json OR bad_ts) AS valid
+    FROM g
+    """,
+)
+def x_cdx_parse(spark, sf_dir):
+    """CDX-J index parse (late r11; operators/crawl.cdx_records): the
+    Common Crawl `cdx-*.gz` record shape — `<urlkey> <14-digit ts>
+    <JSON>` with the (filename, offset, length) triple that addresses
+    the WARC byte range.  A 100 TB ingest reads THIS first and
+    fetches ranges instead of scanning shards.  Fixtures rotate
+    mime/status/geometry; every 13th line carries broken JSON and
+    every 17th a short timestamp — both must flag valid=false without
+    killing the parse (broken JSON nulls the payload fields, a bad
+    timestamp keeps them — the partial-parse contract).  Pure
+    Catalyst (regexp + from_json), map-only."""
+    from lwetl_spark.operators.crawl import cdx_records
+
+    i = F.col("doc_id")
+    mime = F.when(i % 4 == 0, F.lit("text/html")) \
+        .when(i % 4 == 1, F.lit("application/pdf")) \
+        .when(i % 4 == 2, F.lit("image/jpeg")) \
+        .otherwise(F.lit("text/plain"))
+    status = F.when(i % 5 == 0, 200).when(i % 5 == 1, 200) \
+        .when(i % 5 == 2, 301).when(i % 5 == 3, 404).otherwise(503)
+    js = F.format_string(
+        '{"url": "http://s%d.ex.com/p%d", "mime": "%s",'
+        ' "status": "%d", "digest": "sha1:D%d", "length": "%d",'
+        ' "offset": "%d", "filename": "crawl-%05d.warc.gz"}',
+        i % 9, i % 31, mime, status, i % 1000,
+        (100 + i % 9000).cast("long"), ((i * 7) % 100000).cast("long"),
+        i % 300)
+    urlkey = F.format_string("com,ex,s%d)/p%d", i % 9, i % 31)
+    ts = F.format_string("2024%02d%02d120000", 1 + i % 12, 1 + i % 28)
+    line = F.when(i % 13 == 0,
+                  F.concat(urlkey, F.lit(" "), ts, F.lit(" {broken"))) \
+        .when(i % 17 == 0, F.concat(urlkey, F.lit(" 2024 "), js)) \
+        .otherwise(F.concat_ws(" ", urlkey, ts, js))
+    out = cdx_records(
+        _t(spark, sf_dir, "documents").select("doc_id")
+        .select("doc_id", line.alias("line")))
+    return out.select(
+        "doc_id",
+        F.coalesce(F.col("urlkey"), F.lit("none")).alias("urlkey"),
+        F.coalesce(F.col("ts"), F.lit("none")).alias("ts"),
+        F.coalesce(F.col("url"), F.lit("none")).alias("url"),
+        F.coalesce(F.col("mime"), F.lit("none")).alias("mime"),
+        F.coalesce(F.col("status").cast("long"), F.lit(-1))
+        .alias("status"),
+        F.coalesce(F.col("length"), F.lit(-1)).alias("length"),
+        F.coalesce(F.col("offset"), F.lit(-1)).alias("offset"),
+        F.coalesce(F.col("filename"), F.lit("none")).alias("filename"),
+        "valid",
+    )
+
+
+def _robots_fixture(spark, sf_dir):
+    """Shared robots.txt fixture: one document per host h = doc_id%20
+    — hosts with h%2==0 carry a DataBot group (Disallow /d{h}/ +
+    Allow /d{h}/ok*), every host a `*` group (Disallow /tmp$), every
+    3rd host a Sitemap line."""
+    from lwetl_spark.operators.crawl import robots_rules
+
+    hosts = (_t(spark, sf_dir, "documents")
+             .select((F.col("doc_id") % 20).alias("h")).distinct())
+    hh = F.col("h")
+    databot = F.when(hh % 2 == 0, F.format_string(
+        "User-agent: DataBot\nDisallow: /d%d/\nAllow: /d%d/ok*\n\n",
+        hh, hh)).otherwise(F.lit(""))
+    text = F.concat(
+        F.lit("# robots\n"), databot,
+        F.lit("User-agent: *\nDisallow: /tmp$\n"),
+        F.when(hh % 3 == 0,
+               F.format_string("Sitemap: https://h%d/map.xml\n", hh))
+        .otherwise(F.lit("")))
+    return hosts, robots_rules(
+        hosts.select(hh.alias("doc_id"), text.alias("robots")))
+
+
+@register(
+    "x_robots_rules",
+    """
+    WITH hosts AS (
+        SELECT DISTINCT doc_id % 20 AS h FROM documents
+    )
+    SELECT h AS doc_id, 'databot' AS agent, 'disallow' AS directive,
+           printf('/d%d/', h) AS pattern, CAST(2 AS BIGINT) AS rule_idx
+    FROM hosts WHERE h % 2 = 0
+    UNION ALL
+    SELECT h, 'databot', 'allow', printf('/d%d/ok*', h), 3
+    FROM hosts WHERE h % 2 = 0
+    UNION ALL
+    SELECT h, '*', 'disallow', '/tmp$',
+           CASE WHEN h % 2 = 0 THEN 6 ELSE 2 END
+    FROM hosts
+    UNION ALL
+    SELECT h, 'none', 'sitemap', printf('https://h%d/map.xml', h),
+           CASE WHEN h % 2 = 0 THEN 7 ELSE 3 END
+    FROM hosts WHERE h % 3 = 0
+    """,
+)
+def x_robots_rules(spark, sf_dir):
+    """robots.txt parse (late r11; operators/crawl.robots_rules):
+    RFC 9309 group formation — consecutive User-agent lines share a
+    group, Allow/Disallow lines bind to it, Sitemap lines are
+    group-independent, comments stripped.  The oracle recomputes
+    every (agent, directive, pattern, LINE NUMBER) from host
+    arithmetic — rule_idx proves the group walk hit the exact lines.
+    Pure Catalyst: split + posexplode + per-document windows; only
+    (id, line) rows ever shuffle."""
+    _, rules = _robots_fixture(spark, sf_dir)
+    return rules.select(
+        "doc_id",
+        F.coalesce(F.col("agent"), F.lit("none")).alias("agent"),
+        "directive", "pattern", "rule_idx",
+    )
+
+
+@register(
+    "x_robots_gate",
+    """
+    WITH hosts AS (
+        SELECT DISTINCT doc_id % 20 AS h FROM documents
+    ),
+    u AS (
+        SELECT h, printf('h%d', h) AS host,
+               CASE h % 5
+                    WHEN 0 THEN printf('/d%d/x', h)
+                    WHEN 1 THEN printf('/d%d/ok1', h)
+                    WHEN 2 THEN '/tmp' WHEN 3 THEN '/tmpz'
+                    ELSE '/free' END AS url,
+               h % 2 = 0 AS db
+        FROM hosts
+    )
+    SELECT host, url,
+           CASE WHEN h % 5 = 0 AND db THEN FALSE
+                WHEN h % 5 = 2 AND NOT db THEN FALSE
+                ELSE TRUE END AS allowed,
+           CASE WHEN h % 5 = 0 AND db THEN printf('/d%d/', h)
+                WHEN h % 5 = 1 AND db THEN printf('/d%d/ok*', h)
+                WHEN h % 5 = 2 AND NOT db THEN '/tmp$'
+                ELSE 'none' END AS matched_pattern,
+           CASE WHEN h % 5 = 0 AND db THEN 'disallow'
+                WHEN h % 5 = 1 AND db THEN 'allow'
+                WHEN h % 5 = 2 AND NOT db THEN 'disallow'
+                ELSE 'none' END AS matched_directive
+    FROM u
+    """,
+)
+def x_robots_gate(spark, sf_dir):
+    """robots URL gating (late r11; operators/crawl.robots_gate):
+    RFC 9309 §2.2.2 — the group naming the agent beats `*` (and
+    SHADOWS it: a /tmp$ star rule must NOT block a host whose DataBot
+    group says nothing about /tmp), longest pattern wins, allow wins
+    ties, wildcard `*` and terminal `$` honored, rule-free hosts
+    allowed.  The oracle enumerates every (host-shape, path-leg)
+    outcome from arithmetic.  Scale shape: rules reduce per
+    (host, agent) first, then ONE hash equi-join on host (both sides
+    corpus-growing — never broadcast) and a per-url window over
+    matched candidates only."""
+    from lwetl_spark.operators.crawl import robots_gate
+
+    hosts, rules = _robots_fixture(spark, sf_dir)
+    hh = F.col("h")
+    urls = hosts.select(
+        F.format_string("h%d", hh).alias("host"),
+        F.when(hh % 5 == 0, F.format_string("/d%d/x", hh))
+        .when(hh % 5 == 1, F.format_string("/d%d/ok1", hh))
+        .when(hh % 5 == 2, F.lit("/tmp"))
+        .when(hh % 5 == 3, F.lit("/tmpz"))
+        .otherwise(F.lit("/free")).alias("url"))
+    out = robots_gate(
+        urls,
+        rules.withColumn("host", F.format_string("h%d", F.col("doc_id"))),
+        agent="DataBot")
+    return out.select(
+        "host", "url", "allowed",
+        F.coalesce(F.col("matched_pattern"), F.lit("none"))
+        .alias("matched_pattern"),
+        F.coalesce(F.col("matched_directive"), F.lit("none"))
+        .alias("matched_directive"),
+    )

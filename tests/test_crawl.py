@@ -1,0 +1,130 @@
+"""Crawl-index operators (late r11): SURT urlkeys, CDX-J parsing,
+robots.txt rules + gating."""
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_surt_key_variants(spark):
+    """Canonical-form collapse: scheme/case/www/default-port/query-
+    order/fragment variants of one resource share ONE urlkey;
+    non-default ports and real host differences keep distinct keys."""
+    from lwetl_spark.functions.text import surt_key
+
+    variants = [
+        "http://www.Example.com/a/B?b=2&a=1",
+        "https://EXAMPLE.com:443/a/b?a=1&b=2#frag",
+        "http://example.com:80/a/B?b=2&a=1",
+        "https://u:pw@www2.example.com/a/b?a=1&b=2",
+    ]
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(variants)],
+                               "id long, url string")
+    keys = {r["k"] for r in df.select(surt_key("url").alias("k")).collect()}
+    assert keys == {"com,example)/a/b?a=1&b=2"}
+    other = spark.createDataFrame([
+        (1, "http://example.com:8080/a/b"),
+        (2, "http://sub.example.com/a/b"),
+        (3, "http://example.com/"),
+        (4, "example.com/x?&"),  # scheme-less, empty query params
+    ], "id long, url string")
+    got = {r["id"]: r["k"] for r in other.select(
+        "id", surt_key("url").alias("k")).collect()}
+    assert got[1] == "com,example:8080)/a/b"
+    assert got[2] == "com,example,sub)/a/b"
+    assert got[3] == "com,example)/"
+    assert got[4] == "com,example)/x"
+
+
+def test_cdx_records_parse_and_corruption(spark):
+    """Field extraction, numeric casts, and the two failure legs:
+    malformed JSON nulls the payload fields; a non-14-digit timestamp
+    keeps them but flags the line — neither kills the task."""
+    from lwetl_spark.operators.crawl import cdx_records
+
+    lines = [
+        (1, 'com,ex)/p 20240301120000 {"url": "http://ex.com/p",'
+            ' "mime": "text/html", "status": "200", "digest": "d1",'
+            ' "length": "321", "offset": "99", "filename": "c.warc.gz"}'),
+        (2, "com,ex)/q 2024 "
+            '{"url": "http://ex.com/q", "status": "301"}'),
+        (3, "com,ex)/r 20240301120000 {nope"),
+        (4, ""),
+    ]
+    out = {r["doc_id"]: r for r in cdx_records(
+        spark.createDataFrame(lines, "doc_id long, line string"))
+        .collect()}
+    r1 = out[1]
+    assert r1["valid"] and r1["urlkey"] == "com,ex)/p"
+    assert (r1["status"], r1["length"], r1["offset"]) == (200, 321, 99)
+    assert r1["filename"] == "c.warc.gz"
+    assert out[2]["valid"] is False and out[2]["url"] == "http://ex.com/q"
+    assert out[2]["ts"] is None
+    assert out[3]["valid"] is False and out[3]["url"] is None
+    assert out[4]["valid"] is False
+
+
+def test_robots_rules_grouping(spark):
+    """REP group formation: shared user-agent runs, comment
+    stripping, empty-Disallow dropped, sitemap group-independence,
+    case-insensitive directives, CRLF tolerance."""
+    from lwetl_spark.operators.crawl import robots_rules
+
+    txt = ("# top comment\r\n"
+           "USER-AGENT: BotA\r\n"
+           "user-agent: BotB\r\n"
+           "disallow: /x/  # trailing comment\r\n"
+           "Disallow:\r\n"          # empty: no restriction, dropped
+           "\r\n"
+           "User-agent: *\r\n"
+           "Allow: /ok\r\n"
+           "Sitemap: https://s/map.xml\r\n")
+    rows = robots_rules(spark.createDataFrame(
+        [(7, txt)], "doc_id long, robots string")).collect()
+    got = {(r["agent"], r["directive"], r["pattern"]) for r in rows}
+    assert got == {
+        ("bota", "disallow", "/x/"),
+        ("botb", "disallow", "/x/"),
+        ("*", "allow", "/ok"),
+        (None, "sitemap", "https://s/map.xml"),
+    }
+
+
+def test_robots_gate_precedence(spark):
+    """RFC 9309 precedence: specific group SHADOWS `*` entirely,
+    longest match wins, allow wins length ties, `$` anchors, `*`
+    wildcards, unknown hosts allowed."""
+    from lwetl_spark.operators.crawl import robots_gate, robots_rules
+
+    txt = ("User-agent: Me\n"
+           "Disallow: /a/\n"
+           "Allow: /a/pub*\n"
+           "Disallow: /exact$\n"
+           "Allow: /tie/\n"
+           "Disallow: /tie/\n"
+           "\n"
+           "User-agent: *\n"
+           "Disallow: /\n")
+    rules = robots_rules(spark.createDataFrame(
+        [(1, txt)], "doc_id long, robots string")) \
+        .withColumn("host", F.lit("h"))
+    urls = spark.createDataFrame(
+        [("/a/secret", "h"), ("/a/public1", "h"), ("/exact", "h"),
+         ("/exactly", "h"), ("/tie/x", "h"), ("/other", "h"),
+         ("/any", "unknown-host")],
+        "url string, host string")
+    got = {(r["url"], r["host"]): r for r in
+           robots_gate(urls, rules, agent="Me").collect()}
+    assert got[("/a/secret", "h")]["allowed"] is False
+    assert got[("/a/public1", "h")]["allowed"] is True
+    assert got[("/a/public1", "h")]["matched_pattern"] == "/a/pub*"
+    assert got[("/exact", "h")]["allowed"] is False
+    assert got[("/exactly", "h")]["allowed"] is True  # $ anchored
+    assert got[("/tie/x", "h")]["allowed"] is True    # allow wins tie
+    # the * group's Disallow / must NOT leak into Me's verdicts
+    assert got[("/other", "h")]["allowed"] is True
+    assert got[("/any", "unknown-host")]["allowed"] is True
+    # an agent with no specific group falls back to *
+    star = {(r["url"], r["host"]): r for r in
+            robots_gate(urls, rules, agent="Stranger").collect()}
+    assert star[("/other", "h")]["allowed"] is False
+    assert star[("/any", "unknown-host")]["allowed"] is True
