@@ -685,3 +685,29 @@ def test_dhash_neardup_r6_band_join_never_broadcasts(spark):
     assert "BroadcastHashJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_robots_gate_rules_join_never_broadcasts(spark):
+    """x_robots_gate (late r11): the rules side grows with the corpus
+    (one group set per host), so the urls ⋈ rules join must stay a
+    hinted shuffled-hash join — never a corpus-sized broadcast — and
+    no all-pairs stage exists; the longest-match pick is a window,
+    not a self-join."""
+    import lwetl_spark.queries_etl  # noqa: F401  (registers the key)
+
+    plan = _plan(spark, "x_robots_gate")
+    assert "ShuffledHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_surt_and_cdx_are_map_only(spark):
+    """x_surt_key / x_cdx_parse: pure-expression passes — zero
+    exchanges besides none at all; the 100 TB index-keying pass must
+    not shuffle a single row."""
+    import lwetl_spark.queries_etl  # noqa: F401  (registers the key)
+
+    for key in ("x_surt_key", "x_cdx_parse"):
+        plan = _plan(spark, key)
+        assert "Exchange" not in plan, key
+        assert "BroadcastHashJoin" not in plan, key
