@@ -7756,11 +7756,39 @@ def _make_ccitt_g4():
     class _Bad(Exception):
         pass
 
+    # Table-driven decode (late r11 perf): every run code is <= 13
+    # bits and every 2-D mode code <= 7, so a single N-bit peek
+    # resolves any code in ONE list lookup (prefix-free => padding
+    # bits cannot create a false match) - replacing the per-bit
+    # closure calls that dominated the fax rows' interpreter time.
+    def _fill_table(dec_map: dict, n: int) -> list:
+        tbl = [None] * (1 << n)
+        for code, run in dec_map.items():
+            ln = len(code)
+            base = int(code, 2) << (n - ln)
+            for fill in range(1 << (n - ln)):
+                tbl[base | fill] = (run, ln)
+        return tbl
+
+    W_TBL = _fill_table(W_DEC, 14)
+    B_TBL = _fill_table(B_DEC, 14)
+    #: 2-D mode codes (T.6 / T.4 SS4.2.1): V0, VR1, VL1, Horizontal,
+    #: Pass, VR2, VL2, VR3, VL3 - ids index _V_DELTA for verticals
+    MODE_TBL = _fill_table({
+        "1": 0, "011": 1, "010": 2, "001": 3, "0001": 4,
+        "000011": 5, "000010": 6, "0000011": 7, "0000010": 8,
+    }, 7)
+    _V_DELTA = (0, 1, -1, 0, 0, 2, -2, 3, -3)
+
     def _make_reader(data: bytes):
-        """Bit reader + run reader over one stream (shared by every
-        decode form): rd() the next MSB-first bit, read_run(black)
-        one complete MH run (makeups + terminating)."""
+        """Bit reader over one stream (shared by every decode form):
+        rd() the next MSB-first bit, peek(pos, n) the next n bits
+        WITHOUT consuming (zero-padded past the end - the per-code
+        length check is the truncation gate), read_run(black) one
+        complete MH run (makeups + terminating) via the 14-bit
+        table.  Returns (rd, read_run, state, peek, nbits)."""
         nbits = len(data) * 8
+        padded = bytes(data) + b"\x00\x00"  # peek window may overrun
         state = [0]  # bit position (list cell: callers may byte-align)
 
         def rd() -> int:
@@ -7768,32 +7796,37 @@ def _make_ccitt_g4():
             if pos >= nbits:
                 raise _Bad
             state[0] = pos + 1
-            return (data[pos >> 3] >> (7 - (pos & 7))) & 1
+            return (padded[pos >> 3] >> (7 - (pos & 7))) & 1
+
+        def peek(pos: int, n: int) -> int:
+            i = pos >> 3
+            chunk = ((padded[i] << 16) | (padded[i + 1] << 8)
+                     | padded[i + 2])
+            return (chunk >> (24 - n - (pos & 7))) & ((1 << n) - 1)
 
         def read_run(black: bool) -> int:
-            tbl = B_DEC if black else W_DEC
+            tbl = B_TBL if black else W_TBL
             total = 0
             while True:
-                key = ""
-                run = None
-                for _ in range(14):
-                    key += "1" if rd() else "0"
-                    run = tbl.get(key)
-                    if run is not None:
-                        break
-                if run is None:
+                pos = state[0]
+                got = tbl[peek(pos, 14)] if pos < nbits else None
+                if got is None or pos + got[1] > nbits:
                     raise _Bad
-                total += run
-                if run < 64:
+                state[0] = pos + got[1]
+                total += got[0]
+                if got[0] < 64:
                     return total
 
-        return rd, read_run, state
+        return rd, read_run, state, peek, nbits
 
-    def _row2d(rd, read_run, ref: list, width: int) -> list:
+    def _row2d(rdr, ref: list, width: int) -> list:
         """Decode ONE 2-D-coded row against reference transitions
         `ref`, returning the row's transition positions (shared by G4
         and the K>0 mixed mode — T.6 and T.4 §4.2.1 use the same
-        Pass / Horizontal / Vertical(±3) codes)."""
+        Pass / Horizontal / Vertical(±3) codes); each mode resolves
+        in one 7-bit table lookup (EOL/EOFB prefixes hit the None
+        cells and fail exactly like the bit-serial walk did)."""
+        _, read_run, state, peek, nbits = rdr
         cur: list = []
         a0, color = -1, 0  # rows start white
         while a0 < width:
@@ -7805,34 +7838,30 @@ def _make_ccitt_g4():
                 i += 1
             b1 = ref[i] if i < len(ref) else width
             b2 = ref[i + 1] if i + 1 < len(ref) else width
-            if rd():  # 1 = V0
-                a1 = b1
-            else:
-                if rd():  # 01x = VR1/VL1
-                    a1 = b1 + (1 if rd() else -1)
-                elif rd():  # 001 = Horizontal
-                    base = a0 if a0 > 0 else 0
-                    r1 = read_run(color == 1)
-                    r2 = read_run(color == 0)
-                    a1 = base + r1
-                    a2 = a1 + r2
-                    if a1 < base or a2 < a1 or a2 > width \
-                            or (a0 >= 0 and a2 <= a0):
-                        raise _Bad
-                    cur += [a1, a2]
-                    a0 = a2
-                    continue
-                elif rd():  # 0001 = Pass
-                    if b2 <= a0:
-                        raise _Bad
-                    a0 = b2
-                    continue
-                elif rd():  # 00001 1x = VR2/VL2
-                    a1 = b1 + (2 if rd() else -2)
-                elif rd():  # 000001 1x = VR3/VL3
-                    a1 = b1 + (3 if rd() else -3)
-                else:  # 0000000...: EOL/EOFB mid-stream
+            pos = state[0]
+            got = MODE_TBL[peek(pos, 7)] if pos < nbits else None
+            if got is None or pos + got[1] > nbits:
+                raise _Bad
+            mode = got[0]
+            state[0] = pos + got[1]
+            if mode == 3:  # Horizontal: two MH runs from a0
+                base = a0 if a0 > 0 else 0
+                r1 = read_run(color == 1)
+                r2 = read_run(color == 0)
+                a1 = base + r1
+                a2 = a1 + r2
+                if a1 < base or a2 < a1 or a2 > width \
+                        or (a0 >= 0 and a2 <= a0):
                     raise _Bad
+                cur += [a1, a2]
+                a0 = a2
+                continue
+            if mode == 4:  # Pass
+                if b2 <= a0:
+                    raise _Bad
+                a0 = b2
+                continue
+            a1 = b1 + _V_DELTA[mode]  # V0 / VR / VL
             if a1 < 0 or a1 > width or (cur and a1 < cur[-1]):
                 raise _Bad
             cur.append(a1)
@@ -7842,10 +7871,11 @@ def _make_ccitt_g4():
             color ^= 1
         return cur
 
-    def _row1d(rd, read_run, width: int) -> list:
+    def _row1d(rdr, width: int) -> list:
         """Decode ONE 1-D MH-coded row to transition positions (the
         K>0 mixed-mode 1-D rows — same runs as mh_decode but emitting
         transitions so the row can referee the next 2-D row)."""
+        read_run = rdr[1]
         cur: list = []
         col = 0
         black = False
@@ -7878,12 +7908,12 @@ def _make_ccitt_g4():
     def decode(data: bytes, width: int, nrows: int):
         if width <= 0 or nrows <= 0:
             return None
-        rd, read_run, _ = _make_reader(data)
+        rdr = _make_reader(data)
         out = bytearray(width * nrows)
         ref = [width, width]  # imaginary all-white reference row
         try:
             for r in range(nrows):
-                cur = _row2d(rd, read_run, ref, width)
+                cur = _row2d(rdr, ref, width)
                 _paint(out, r * width, cur, width)
                 ref = cur + [width, width]
         except _Bad:
@@ -7902,7 +7932,8 @@ def _make_ccitt_g4():
         lie / truncation."""
         if width <= 0 or nrows <= 0:
             return None
-        rd, read_run, _ = _make_reader(data)
+        rdr = _make_reader(data)
+        rd = rdr[0]
         out = bytearray(width * nrows)
         ref = [width, width]
         try:
@@ -7913,9 +7944,9 @@ def _make_ccitt_g4():
                 if zeros < 11:
                     raise _Bad
                 if rd():  # tag: 1 = 1-D row
-                    cur = _row1d(rd, read_run, width)
+                    cur = _row1d(rdr, width)
                 else:  # 0 = 2-D row against the previous row
-                    cur = _row2d(rd, read_run, ref, width)
+                    cur = _row2d(rdr, ref, width)
                 _paint(out, r * width, cur, width)
                 ref = cur + [width, width]
         except _Bad:
@@ -8039,7 +8070,8 @@ def _make_ccitt_g4():
         pixel or None on malformed codes / geometry lies."""
         if width <= 0 or nrows <= 0:
             return None
-        rd, read_run, state = _make_reader(data)
+        rdr = _make_reader(data)
+        rd, state = rdr[0], rdr[2]
         out = bytearray(width * nrows)
         try:
             for r in range(nrows):
@@ -8051,8 +8083,7 @@ def _make_ccitt_g4():
                         zeros += 1
                     if zeros < 11:
                         raise _Bad
-                _paint(out, r * width,
-                       _row1d(rd, read_run, width), width)
+                _paint(out, r * width, _row1d(rdr, width), width)
         except _Bad:
             return None
         return bytes(out)
