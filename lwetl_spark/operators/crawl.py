@@ -25,7 +25,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["cdx_records", "robots_rules", "robots_gate"]
+__all__ = ["cdx_records", "robots_rules", "robots_gate",
+           "sitemap_entries"]
 
 
 #: struct schema of the CDX-J JSON payload (all strings in the wire
@@ -201,3 +202,50 @@ def robots_gate(urls: DataFrame, rules: DataFrame, agent: str = "*",
                 F.when(F.col("_m"), F.col("directive"))
                 .alias("matched_directive"),
             ))
+
+
+def sitemap_entries(df: DataFrame, xml_col: str = "xml",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Parse sitemap XML (sitemaps.org protocol — the discovery layer
+    robots.txt `Sitemap:` lines point at): `<urlset>` documents yield
+    one row per `<url>` entry (loc / lastmod / changefreq /
+    priority), `<sitemapindex>` documents one row per child
+    `<sitemap>` (loc / lastmod) with kind='index' so the caller can
+    recurse.  Machine-generated sitemap XML is regular enough for
+    expression parsing (the SRT/`bmp_dims` precedent): complete
+    `<url>…</url>` blocks extract via regexp_extract_all, so a
+    TRUNCATED document naturally keeps the entries closed before the
+    cut (partial census; valid=false flags a payload with no
+    recognized root).  Entries missing `<loc>` are dropped — loc is
+    the protocol's one required field.  Pure Catalyst, map-only; one
+    sitemap never meets another."""
+    xml = F.col(xml_col)
+    kind = F.when(xml.rlike("(?s)<\\s*urlset[\\s>]"), "urlset") \
+        .when(xml.rlike("(?s)<\\s*sitemapindex[\\s>]"), "index") \
+        .otherwise("invalid")
+    blocks = F.when(
+        kind == "urlset",
+        F.regexp_extract_all(xml, F.lit(r"(?s)<url>(.*?)</url>"), 1),
+    ).when(
+        kind == "index",
+        F.regexp_extract_all(
+            xml, F.lit(r"(?s)<sitemap>(.*?)</sitemap>"), 1),
+    ).otherwise(F.array().cast("array<string>"))
+    base = df.select(
+        F.col(id_col), kind.alias("kind"),
+        F.posexplode_outer(blocks).alias("entry_idx", "_b"))
+    b = F.col("_b")
+    loc = F.regexp_extract(b, r"(?s)<loc>\s*(.*?)\s*</loc>", 1)
+    return (base.select(
+        id_col, "kind", F.col("entry_idx").cast("long").alias("entry_idx"),
+        loc.alias("loc"),
+        F.regexp_extract(b, r"(?s)<lastmod>\s*(.*?)\s*</lastmod>", 1)
+        .alias("lastmod"),
+        F.regexp_extract(
+            b, r"(?s)<changefreq>\s*(.*?)\s*</changefreq>", 1)
+        .alias("changefreq"),
+        F.regexp_extract(b, r"(?s)<priority>\s*(.*?)\s*</priority>", 1)
+        .alias("priority"),
+        (F.col("kind") != "invalid").alias("valid"))
+        .filter((F.col("loc") != "") | F.col("loc").isNull()
+                | (F.col("kind") == "invalid")))

@@ -6011,3 +6011,110 @@ def x_robots_gate(spark, sf_dir):
         F.coalesce(F.col("matched_directive"), F.lit("none"))
         .alias("matched_directive"),
     )
+
+
+@register(
+    "x_sitemap_parse",
+    """
+    WITH g AS (
+        SELECT doc_id,
+               doc_id % 19 = 0 AS corrupt,
+               doc_id % 7 = 3 AS is_index,
+               1 + doc_id % 4 AS n
+        FROM documents
+    ),
+    ent AS (
+        SELECT doc_id, is_index, n, unnest(range(0, n)) AS j
+        FROM g WHERE NOT corrupt
+    )
+    SELECT doc_id,
+           CASE WHEN is_index THEN 'index' ELSE 'urlset' END AS kind,
+           CAST(j AS BIGINT) AS entry_idx,
+           CASE WHEN is_index
+                THEN printf('https://s%d.ex/map%d.xml', doc_id % 9, j)
+                ELSE printf('https://s%d.ex/p%d', doc_id % 9, j)
+           END AS loc,
+           CASE WHEN is_index OR (doc_id + j) % 3 <> 0
+                THEN printf('2024-%02d-%02d', 1 + (doc_id + j) % 12,
+                            1 + (doc_id + j) % 28)
+                ELSE '' END AS lastmod,
+           CASE WHEN NOT is_index AND (doc_id + j) % 2 = 0
+                THEN CASE (doc_id + j) % 3 WHEN 0 THEN 'daily'
+                     WHEN 1 THEN 'weekly' ELSE 'monthly' END
+                ELSE '' END AS changefreq,
+           CASE WHEN NOT is_index AND doc_id % 2 = 1
+                THEN printf('0.%d', doc_id % 10) ELSE '' END
+               AS priority,
+           TRUE AS valid
+    FROM ent
+    UNION ALL
+    SELECT doc_id, 'invalid', CAST(-1 AS BIGINT), 'none', 'none',
+           'none', 'none', FALSE
+    FROM g WHERE corrupt
+    """,
+)
+def x_sitemap_parse(spark, sf_dir):
+    """Sitemap XML parse (late r11; operators/crawl.sitemap_entries):
+    the discovery layer robots `Sitemap:` lines point at — `<urlset>`
+    entries (loc/lastmod/changefreq/priority) and `<sitemapindex>`
+    children (kind='index' for recursion), parsed as pure Catalyst
+    regexp over complete blocks (truncation keeps the entries closed
+    before the cut).  Fixtures rotate entry counts, optional fields,
+    and both document kinds; every 19th payload is not XML (sentinel
+    row).  Completes the crawl-discovery trio: robots → sitemap →
+    CDX → WARC ranges."""
+    from lwetl_spark.operators.crawl import sitemap_entries
+
+    i = F.col("doc_id")
+
+    def urlset_entry(jj):
+        lastmod = F.when(
+            (i + jj) % 3 != 0,
+            F.format_string("<lastmod>2024-%02d-%02d</lastmod>",
+                            1 + (i + jj) % 12, 1 + (i + jj) % 28)
+        ).otherwise(F.lit(""))
+        cf = F.when(
+            (i + jj) % 2 == 0,
+            F.concat(F.lit("<changefreq>"),
+                     F.element_at(
+                         F.array(F.lit("daily"), F.lit("weekly"),
+                                 F.lit("monthly")),
+                         ((i + jj) % 3 + 1).cast("int")),
+                     F.lit("</changefreq>"))).otherwise(F.lit(""))
+        pr = F.when(i % 2 == 1, F.format_string(
+            "<priority>0.%d</priority>", i % 10)).otherwise(F.lit(""))
+        return F.format_string(
+            "<url><loc>https://s%d.ex/p%d</loc>%s%s%s</url>",
+            i % 9, jj, lastmod, cf, pr)
+
+    def index_entry(jj):
+        return F.format_string(
+            "<sitemap><loc>https://s%d.ex/map%d.xml</loc>"
+            "<lastmod>2024-%02d-%02d</lastmod></sitemap>",
+            i % 9, jj, 1 + (i + jj) % 12, 1 + (i + jj) % 28)
+
+    seq = F.sequence(F.lit(0).cast("long"), (i % 4).cast("long"))
+    xml = F.when(i % 19 == 0, F.lit("GIF89a not xml")).when(
+        i % 7 == 3,
+        F.concat(F.lit("<sitemapindex>"),
+                 F.concat_ws("", F.transform(seq, index_entry)),
+                 F.lit("</sitemapindex>"))
+    ).otherwise(
+        F.concat(
+            F.lit('<urlset xmlns="http://www.sitemaps.org/'
+                  'schemas/sitemap/0.9">'),
+            F.concat_ws("", F.transform(seq, urlset_entry)),
+            F.lit("</urlset>")))
+    out = sitemap_entries(
+        _t(spark, sf_dir, "documents").select("doc_id")
+        .select("doc_id", xml.alias("xml")))
+    return out.select(
+        "doc_id", "kind",
+        F.coalesce(F.col("entry_idx"), F.lit(-1)).alias("entry_idx"),
+        F.coalesce(F.col("loc"), F.lit("none")).alias("loc"),
+        F.coalesce(F.col("lastmod"), F.lit("none")).alias("lastmod"),
+        F.coalesce(F.col("changefreq"), F.lit("none"))
+        .alias("changefreq"),
+        F.coalesce(F.col("priority"), F.lit("none")).alias("priority"),
+        "valid",
+    )

@@ -128,3 +128,34 @@ def test_robots_gate_precedence(spark):
             robots_gate(urls, rules, agent="Stranger").collect()}
     assert star[("/other", "h")]["allowed"] is False
     assert star[("/any", "unknown-host")]["allowed"] is True
+
+
+def test_sitemap_entries_kinds_and_truncation(spark):
+    """urlset vs sitemapindex kinds, optional fields, loc-less entry
+    dropped, truncated tail block keeps closed entries, non-XML
+    payload yields the invalid sentinel row."""
+    from lwetl_spark.operators.crawl import sitemap_entries
+
+    xmls = [
+        (1, '<urlset xmlns="http://www.sitemaps.org/schemas/'
+            'sitemap/0.9"><url><loc>https://a/p1</loc>'
+            "<lastmod>2024-01-01</lastmod><priority>0.8</priority>"
+            "</url><url><loc> https://a/p2 </loc>"
+            "<changefreq>daily</changefreq></url>"
+            "<url><lastmod>2024-02-02</lastmod></url></urlset>"),
+        (2, "<sitemapindex><sitemap><loc>https://a/s1.xml</loc>"
+            "<lastmod>2024-03-03</lastmod></sitemap></sitemapindex>"),
+        (3, "not xml at all"),
+        (4, "<urlset><url><loc>https://b/x</loc></url>"
+            "<url><loc>https://b/y</loc>"),
+    ]
+    out = sitemap_entries(spark.createDataFrame(
+        xmls, "doc_id long, xml string"))
+    rows = sorted((tuple(r) for r in out.collect()))
+    assert rows == [
+        (1, "urlset", 0, "https://a/p1", "2024-01-01", "", "0.8", True),
+        (1, "urlset", 1, "https://a/p2", "", "daily", "", True),
+        (2, "index", 0, "https://a/s1.xml", "2024-03-03", "", "", True),
+        (3, "invalid", None, None, None, None, None, False),
+        (4, "urlset", 0, "https://b/x", "", "", "", True),
+    ]
