@@ -460,6 +460,76 @@ def html_text(html: Column | str) -> Column:
     return F.trim(F.regexp_replace(x, r"\s+", " "))
 
 
+def html_links(html: Column | str) -> Column:
+    """href values of anchor tags as an array<string> (late r11) —
+    the edge list a crawl frontier grows from.  Matches single- and
+    double-quoted hrefs case-insensitively, any attribute order
+    (`<a class=.. href=..>`); unquoted hrefs (rare, invalid-ish
+    HTML5) are out of scope and documented so — a census comparing
+    `n_links` from html_stats against size(html_links) exposes any
+    gap.  Pure JVM expression; feed through `resolve_url` +
+    `surt_key` for frontier keys."""
+    return F.regexp_extract_all(
+        _col(html),
+        F.lit(r"(?is)<a\s[^>]*?href\s*=\s*[\"']([^\"']*)[\"']"), 1)
+
+
+#: dot-segment removal depth bound (resolve_url): ../ chains deeper
+#: than this stay unresolved — 12 covers any real site hierarchy and
+#: keeps the expression tree bounded; NOT a silent cap (docstringed)
+_DOTSEG_ROUNDS = 12
+
+
+def resolve_url(base: Column | str, ref: Column | str) -> Column:
+    """RFC 3986 §5.2 reference resolution as pure Catalyst (late
+    r11): absolute refs pass through, `//host/x` takes the base
+    scheme, `/x` the base origin, relative paths merge onto the base
+    path's directory, fragment-only refs return the base — and
+    FRAGMENTS NEVER TRAVEL (a crawl frontier treats #sec as the same
+    resource).  Dot segments (`.` and `..`) are removed with a
+    bounded expression loop of depth 12 (`_DOTSEG_ROUNDS`) — deeper
+    `../` chains than any real site nests stay unresolved rather
+    than silently wrong, and `..` can never climb past the host.
+    Empty refs resolve to the base without its fragment."""
+    b = F.regexp_replace(F.trim(_col(base)), r"#.*$", "")
+    r = F.regexp_replace(F.trim(_col(ref)), r"#.*$", "")
+    scheme = F.lower(F.regexp_extract(b, r"(?i)^([a-z][a-z0-9+.\-]*):", 1))
+    origin = F.regexp_extract(b, r"(?i)^([a-z][a-z0-9+.\-]*://[^/?#]*)", 1)
+    # base path's directory: path up to and including the last '/'
+    bpath = F.regexp_extract(b, r"(?i)^[a-z][a-z0-9+.\-]*://[^/?#]*([^?#]*)", 1)
+    bdir = F.regexp_replace(bpath, r"[^/]*$", "")
+    resolved = (
+        F.when(r == "", b)
+        .when(r.rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*:"), r)
+        .when(r.startswith("//"), F.concat(scheme, F.lit(":"), r))
+        .when(r.startswith("/"), F.concat(origin, r))
+        .otherwise(F.concat(
+            origin,
+            F.when(bdir == "", F.lit("/")).otherwise(bdir), r)))
+    pre = F.regexp_extract(resolved, r"^([^?]*)", 1)
+    q = F.regexp_extract(resolved, r"(\?.*)$", 1)
+    for _ in range(_DOTSEG_ROUNDS):
+        # inner /./ drops; a TERMINAL /. leaves the trailing slash
+        # (RFC 5.2.4: '.' replaces the final segment with empty)
+        pre = F.regexp_replace(pre, r"(?<!/)/\.(?=/)", "")
+    pre = F.regexp_replace(pre, r"(?<!/)/\.$", "/")
+    for _ in range(_DOTSEG_ROUNDS):
+        # /seg/../ -> /  (seg itself never '..'; '//' in the origin
+        # can't match because [^/]+ needs at least one non-slash);
+        # a TERMINAL /seg/.. likewise keeps the trailing slash
+        pre = F.regexp_replace(
+            pre, r"/(?!\.\./)[^/]+/\.\.(?=/)", "")
+        pre = F.regexp_replace(pre, r"/(?!\.\./)[^/]+/\.\.$", "/")
+        # a /../ left at the root drops (RFC: excess ..s are removed)
+        pre = F.regexp_replace(
+            pre, r"(?i)^([a-z][a-z0-9+.\-]*://[^/?#]*)/\.\.(?=/|$)",
+            "$1")
+    # a path fully consumed by dot-removal still addresses the root
+    pre = F.when(pre.rlike(r"(?i)^[a-z][a-z0-9+.\-]*://[^/?#]*$"),
+                 F.concat(pre, F.lit("/"))).otherwise(pre)
+    return F.concat(pre, q)
+
+
 def html_stats(html: Column | str) -> dict[str, Column]:
     """Boilerplate SIGNALS over raw HTML (r8): link count, tag count,
     and the extracted-text-to-markup ratio in exact integer ppm — the

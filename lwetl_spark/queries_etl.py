@@ -6118,3 +6118,102 @@ def x_sitemap_parse(spark, sf_dir):
         F.coalesce(F.col("priority"), F.lit("none")).alias("priority"),
         "valid",
     )
+
+
+@register(
+    "x_link_extract",
+    """
+    WITH g AS (
+        SELECT doc_id, unnest(range(0, 1 + doc_id % 5)) AS j
+        FROM documents
+    )
+    SELECT doc_id, CAST(j AS BIGINT) AS link_idx,
+           CASE (doc_id + j) % 6
+                WHEN 0 THEN printf('http://other%d.ex/abs%d', j,
+                                   doc_id % 9)
+                WHEN 1 THEN printf('/r/%d/x', j)
+                WHEN 2 THEN printf('rel%d/y', j)
+                WHEN 3 THEN printf('../up%d', j)
+                WHEN 4 THEN printf('//cdn%d.ex/z', j)
+                ELSE printf('#sec%d', j) END AS ref,
+           CASE (doc_id + j) % 6
+                WHEN 0 THEN printf('http://other%d.ex/abs%d', j,
+                                   doc_id % 9)
+                WHEN 1 THEN printf('https://WWW.h%d.Example/r/%d/x',
+                                   doc_id % 6, j)
+                WHEN 2 THEN printf(
+                    'https://WWW.h%d.Example/dir%d/sub/rel%d/y',
+                    doc_id % 6, doc_id % 4, j)
+                WHEN 3 THEN printf(
+                    'https://WWW.h%d.Example/dir%d/up%d',
+                    doc_id % 6, doc_id % 4, j)
+                WHEN 4 THEN printf('https://cdn%d.ex/z', j)
+                ELSE printf(
+                    'https://WWW.h%d.Example/dir%d/sub/page.html',
+                    doc_id % 6, doc_id % 4) END AS resolved,
+           CASE (doc_id + j) % 6
+                WHEN 0 THEN printf('ex,other%d)/abs%d', j, doc_id % 9)
+                WHEN 1 THEN printf('example,h%d)/r/%d/x',
+                                   doc_id % 6, j)
+                WHEN 2 THEN printf('example,h%d)/dir%d/sub/rel%d/y',
+                                   doc_id % 6, doc_id % 4, j)
+                WHEN 3 THEN printf('example,h%d)/dir%d/up%d',
+                                   doc_id % 6, doc_id % 4, j)
+                WHEN 4 THEN printf('ex,cdn%d)/z', j)
+                ELSE printf('example,h%d)/dir%d/sub/page.html',
+                            doc_id % 6, doc_id % 4) END AS urlkey
+    FROM g
+    """,
+)
+def x_link_extract(spark, sf_dir):
+    """Link extraction + RFC 3986 resolution + SURT keying (late r11;
+    functions/text.html_links, resolve_url, surt_key) — the frontier
+    step of a crawl: harvest hrefs, resolve every reference form
+    against the page URL (absolute / root-relative / relative /
+    parent `../` / scheme-relative `//` / fragment-only, both quote
+    styles), and canonicalize to the CDX urlkey.  The oracle
+    recomputes ref, RESOLVED URL, and urlkey per link from id
+    arithmetic — proving the whole chain character-exact.  Pure
+    Catalyst end to end: extraction, resolution, and keying are one
+    map-only codegen pass."""
+    from lwetl_spark.functions.text import (
+        html_links,
+        resolve_url,
+        surt_key,
+    )
+
+    i = F.col("doc_id")
+    base = F.format_string(
+        "https://WWW.h%d.Example/dir%d/sub/page.html", i % 6, i % 4)
+
+    def link(jj):
+        ref = F.when((i + jj) % 6 == 0, F.format_string(
+            "http://other%d.ex/abs%d", jj, i % 9)) \
+            .when((i + jj) % 6 == 1, F.format_string("/r/%d/x", jj)) \
+            .when((i + jj) % 6 == 2, F.format_string("rel%d/y", jj)) \
+            .when((i + jj) % 6 == 3, F.format_string("../up%d", jj)) \
+            .when((i + jj) % 6 == 4,
+                  F.format_string("//cdn%d.ex/z", jj)) \
+            .otherwise(F.format_string("#sec%d", jj))
+        quoted = F.when(
+            jj % 2 == 0, F.format_string('"%s"', ref)) \
+            .otherwise(F.format_string("'%s'", ref))
+        return F.format_string(
+            '<a class="c%d" href=%s>t%d</a>', jj, quoted, jj)
+
+    html = F.concat(
+        F.lit("<html><body>"),
+        F.concat_ws("", F.transform(
+            F.sequence(F.lit(0).cast("long"), i % 5), link)),
+        F.lit("</body></html>"))
+    pages = (_t(spark, sf_dir, "documents").select("doc_id")
+             .select("doc_id", base.alias("base"),
+                     html_links(html).alias("refs")))
+    links = pages.select(
+        "doc_id", "base",
+        F.posexplode("refs").alias("link_idx", "ref"))
+    resolved = resolve_url(F.col("base"), F.col("ref"))
+    return links.select(
+        "doc_id", F.col("link_idx").cast("long").alias("link_idx"),
+        "ref", resolved.alias("resolved"),
+        surt_key(resolved).alias("urlkey"))

@@ -159,3 +159,45 @@ def test_sitemap_entries_kinds_and_truncation(spark):
         (3, "invalid", None, None, None, None, None, False),
         (4, "urlset", 0, "https://b/x", "", "", "", True),
     ]
+
+
+def test_resolve_url_rfc3986(spark):
+    """Reference-resolution forms (RFC 3986 §5.2/§5.4): absolute,
+    scheme-relative, root-relative, relative, ./ and ../ chains (incl.
+    climbing past the root), terminal dot segments keeping the
+    trailing slash, fragment-only, query-only, and foreign schemes."""
+    from lwetl_spark.functions.text import html_links, resolve_url
+
+    base = "https://WWW.H1.example/dir2/sub/page.html?x=1#top"
+    cases = [
+        ("", "https://WWW.H1.example/dir2/sub/page.html?x=1"),
+        ("http://abs.ex/a", "http://abs.ex/a"),
+        ("//cdn.ex/z", "https://cdn.ex/z"),
+        ("/r/x", "https://WWW.H1.example/r/x"),
+        ("rel/y", "https://WWW.H1.example/dir2/sub/rel/y"),
+        ("../up", "https://WWW.H1.example/dir2/up"),
+        ("../../top", "https://WWW.H1.example/top"),
+        ("../../../over", "https://WWW.H1.example/over"),
+        ("./here", "https://WWW.H1.example/dir2/sub/here"),
+        ("a/./b/../c", "https://WWW.H1.example/dir2/sub/a/c"),
+        ("#sec", "https://WWW.H1.example/dir2/sub/page.html?x=1"),
+        ("q?only=2", "https://WWW.H1.example/dir2/sub/q?only=2"),
+        ("mailto:x@y.z", "mailto:x@y.z"),
+        ("..", "https://WWW.H1.example/dir2/"),
+        (".", "https://WWW.H1.example/dir2/sub/"),
+        ("../", "https://WWW.H1.example/dir2/"),
+        ("x/..", "https://WWW.H1.example/dir2/sub/"),
+    ]
+    df = spark.createDataFrame(
+        [(i, base, r) for i, (r, _) in enumerate(cases)],
+        "id long, b string, r string")
+    got = {r["id"]: r["res"] for r in df.select(
+        "id", resolve_url("b", "r").alias("res")).collect()}
+    for i, (ref, exp) in enumerate(cases):
+        assert got[i] == exp, (ref, got[i], exp)
+
+    html = ('<p><a href="/x">1</a><A CLASS="z" HREF=\'rel/y\'>2</A>'
+            '<a data-x="1" href = "#s">3</a><a>nohref</a></p>')
+    refs = spark.createDataFrame([(1, html)], "id long, h string") \
+        .select(html_links("h").alias("l")).collect()[0]["l"]
+    assert refs == ["/x", "rel/y", "#s"]

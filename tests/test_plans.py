@@ -707,7 +707,7 @@ def test_surt_and_cdx_are_map_only(spark):
     not shuffle a single row."""
     import lwetl_spark.queries_etl  # noqa: F401  (registers the key)
 
-    for key in ("x_surt_key", "x_cdx_parse"):
+    for key in ("x_surt_key", "x_cdx_parse", "x_link_extract"):
         plan = _plan(spark, key)
         assert "Exchange" not in plan, key
         assert "BroadcastHashJoin" not in plan, key
