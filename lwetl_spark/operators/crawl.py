@@ -26,7 +26,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["cdx_records", "robots_rules", "robots_gate",
-           "sitemap_entries"]
+           "sitemap_entries", "fetch_schedule"]
 
 
 #: struct schema of the CDX-J JSON payload (all strings in the wire
@@ -76,11 +76,13 @@ def robots_rules(df: DataFrame, text_col: str = "robots",
     REP way — consecutive `User-agent:` lines open a group shared by
     all named agents, the `Allow:`/`Disallow:` lines that follow
     belong to that group until the next agent run.  `Sitemap:` lines
-    are group-independent and emitted with agent NULL.
+    are group-independent and emitted with agent NULL; `Crawl-delay:`
+    lines (the de-facto politeness extension) bind to their group
+    like allow/disallow — `fetch_schedule` consumes them.
 
     Emits (id, agent, directive, pattern, rule_idx) — directive in
-    ('allow', 'disallow', 'sitemap'), `rule_idx` the line order
-    (stable tiebreak), empty-pattern allow/disallow rows dropped (an
+    ('allow', 'disallow', 'crawl-delay', 'sitemap'), `rule_idx` the
+    line order (stable tiebreak), empty-pattern rows dropped (an
     empty Disallow imposes no restriction, per the RFC).  Pure
     Catalyst: split + posexplode + two window passes over
     (id, line order) — map-side except the per-document windows,
@@ -96,9 +98,12 @@ def robots_rules(df: DataFrame, text_col: str = "robots",
         .withColumn("_ua", F.regexp_extract(
             "_ln", r"(?i)^user-agent\s*:\s*(\S+)", 1))
         .withColumn("_dir", F.lower(F.regexp_extract(
-            "_ln", r"(?i)^(allow|disallow|sitemap)\s*:", 1)))
+            "_ln", r"(?i)^(allow|disallow|sitemap|crawl-delay)\s*:",
+            1)))
         .withColumn("_val", F.trim(F.regexp_extract(
-            "_ln", r"(?i)^(?:allow|disallow|sitemap)\s*:\s*(\S*)", 1)))
+            "_ln",
+            r"(?i)^(?:allow|disallow|sitemap|crawl-delay)\s*:\s*(\S*)",
+            1)))
         .filter((F.col("_ua") != "") | (F.col("_dir") != ""))
     )
     # a user-agent line starts a NEW group iff the previous
@@ -117,8 +122,9 @@ def robots_rules(df: DataFrame, text_col: str = "robots",
         .agg(F.collect_set(F.lower("_ua")).alias("_agents"))
     )
     rules = (
-        grouped.filter(F.col("_dir").isin("allow", "disallow")
-                       & (F.col("_val") != ""))
+        grouped.filter(
+            F.col("_dir").isin("allow", "disallow", "crawl-delay")
+            & (F.col("_val") != ""))
         .join(agents, ["_id", "_grp"])
         .select("_id", F.explode("_agents").alias("agent"),
                 F.col("_dir").alias("directive"),
@@ -249,3 +255,47 @@ def sitemap_entries(df: DataFrame, xml_col: str = "xml",
         (F.col("kind") != "invalid").alias("valid"))
         .filter((F.col("loc") != "") | F.col("loc").isNull()
                 | (F.col("kind") == "invalid")))
+
+
+def fetch_schedule(urls: DataFrame, rules: DataFrame,
+                   agent: str = "*", default_delay_s: int = 1,
+                   url_col: str = "url", host_col: str = "host"
+                   ) -> DataFrame:
+    """Per-host politeness scheduling (the fetch layer after
+    `robots_gate`): each host's delay is its matching group's
+    `Crawl-delay` (agent-specific beats `*`, same precedence as the
+    gate; `default_delay_s` when absent or non-numeric), and the
+    host's URLs get consecutive fetch slots — url k of a host fetches
+    at `k * delay_s * 1000` ms.  Slot order is `url_col` ascending
+    (deterministic under any partitioning).
+
+    Emits (url_col, host_col, delay_s, slot, fetch_at_ms).  Scale
+    shape: the delay lookup reduces rules to ONE row per host before
+    the join (hinted shuffle-hash — hosts grow with the corpus), and
+    slot assignment is a per-host window: a mega-host's million URLs
+    shuffle to one partition ONCE to be sequenced — inherent to
+    politeness (the slots ARE a per-host total order), and the rows
+    carried are (host, url) only."""
+    cd = rules.filter(F.col("directive") == "crawl-delay") \
+        .withColumn("_spec", F.when(
+            F.col("agent") == agent.lower(), 2).when(
+            F.col("agent") == "*", 1))
+    cd = cd.filter(F.col("_spec").isNotNull())
+    wd = Window.partitionBy(host_col).orderBy(
+        F.col("_spec").desc(), F.col("rule_idx").asc())
+    delays = (cd.withColumn("_rn", F.row_number().over(wd))
+              .filter(F.col("_rn") == 1)
+              .select(host_col,
+                      F.coalesce(
+                          F.col("pattern").try_cast("long"),
+                          F.lit(int(default_delay_s)))
+                      .alias("delay_s")))
+    ws = Window.partitionBy(host_col).orderBy(url_col)
+    return (urls.join(delays.hint("shuffle_hash"), host_col, "left")
+            .withColumn("delay_s", F.coalesce(
+                F.col("delay_s"), F.lit(int(default_delay_s))))
+            .withColumn("slot",
+                        (F.row_number().over(ws) - 1).cast("long"))
+            .select(url_col, host_col, "delay_s", "slot",
+                    (F.col("slot") * F.col("delay_s") * 1000)
+                    .cast("long").alias("fetch_at_ms")))

@@ -5888,19 +5888,22 @@ def x_cdx_parse(spark, sf_dir):
 def _robots_fixture(spark, sf_dir):
     """Shared robots.txt fixture: one document per host h = doc_id%20
     — hosts with h%2==0 carry a DataBot group (Disallow /d{h}/ +
-    Allow /d{h}/ok*), every host a `*` group (Disallow /tmp$), every
-    3rd host a Sitemap line."""
+    Allow /d{h}/ok* + Crawl-delay 2+h%4), every host a `*` group
+    (Disallow /tmp$, plus Crawl-delay 1+h%3 when h%5!=0 — the
+    default-delay fallback leg), every 3rd host a Sitemap line."""
     from lwetl_spark.operators.crawl import robots_rules
 
     hosts = (_t(spark, sf_dir, "documents")
              .select((F.col("doc_id") % 20).alias("h")).distinct())
     hh = F.col("h")
     databot = F.when(hh % 2 == 0, F.format_string(
-        "User-agent: DataBot\nDisallow: /d%d/\nAllow: /d%d/ok*\n\n",
-        hh, hh)).otherwise(F.lit(""))
+        "User-agent: DataBot\nDisallow: /d%d/\nAllow: /d%d/ok*\n"
+        "Crawl-delay: %d\n\n", hh, hh, 2 + hh % 4)).otherwise(F.lit(""))
+    star_cd = F.when(hh % 5 != 0, F.format_string(
+        "Crawl-delay: %d\n", 1 + hh % 3)).otherwise(F.lit(""))
     text = F.concat(
         F.lit("# robots\n"), databot,
-        F.lit("User-agent: *\nDisallow: /tmp$\n"),
+        F.lit("User-agent: *\nDisallow: /tmp$\n"), star_cd,
         F.when(hh % 3 == 0,
                F.format_string("Sitemap: https://h%d/map.xml\n", hh))
         .otherwise(F.lit("")))
@@ -5921,12 +5924,20 @@ def _robots_fixture(spark, sf_dir):
     SELECT h, 'databot', 'allow', printf('/d%d/ok*', h), 3
     FROM hosts WHERE h % 2 = 0
     UNION ALL
+    SELECT h, 'databot', 'crawl-delay', printf('%d', 2 + h % 4), 4
+    FROM hosts WHERE h % 2 = 0
+    UNION ALL
     SELECT h, '*', 'disallow', '/tmp$',
-           CASE WHEN h % 2 = 0 THEN 6 ELSE 2 END
+           CASE WHEN h % 2 = 0 THEN 7 ELSE 2 END
     FROM hosts
     UNION ALL
+    SELECT h, '*', 'crawl-delay', printf('%d', 1 + h % 3),
+           CASE WHEN h % 2 = 0 THEN 8 ELSE 3 END
+    FROM hosts WHERE h % 5 <> 0
+    UNION ALL
     SELECT h, 'none', 'sitemap', printf('https://h%d/map.xml', h),
-           CASE WHEN h % 2 = 0 THEN 7 ELSE 3 END
+           CASE WHEN h % 2 = 0 THEN 8 ELSE 3 END
+           + CASE WHEN h % 5 <> 0 THEN 1 ELSE 0 END
     FROM hosts WHERE h % 3 = 0
     """,
 )
@@ -6217,3 +6228,52 @@ def x_link_extract(spark, sf_dir):
         "doc_id", F.col("link_idx").cast("long").alias("link_idx"),
         "ref", resolved.alias("resolved"),
         surt_key(resolved).alias("urlkey"))
+
+
+@register(
+    "x_fetch_schedule",
+    """
+    WITH hosts AS (
+        SELECT DISTINCT doc_id % 20 AS h FROM documents
+    ),
+    u AS (
+        SELECT h, printf('h%d', h) AS host,
+               unnest(range(0, 1 + h % 3)) AS k,
+               CASE WHEN h % 2 = 0 THEN 2 + h % 4
+                    WHEN h % 5 <> 0 THEN 1 + h % 3
+                    ELSE 1 END AS delay_s
+        FROM hosts
+    )
+    SELECT printf('/q%d', k) AS url, host,
+           CAST(delay_s AS BIGINT) AS delay_s,
+           CAST(k AS BIGINT) AS slot,
+           CAST(k * delay_s * 1000 AS BIGINT) AS fetch_at_ms
+    FROM u
+    """,
+)
+def x_fetch_schedule(spark, sf_dir):
+    """Per-host politeness scheduling (late r11; operators/crawl.
+    fetch_schedule): each host's Crawl-delay resolves with the same
+    agent precedence as the gate (DataBot group beats `*`, default
+    when absent), and the host's URLs take consecutive fetch slots —
+    slot k fetches at k·delay·1000 ms.  The oracle recomputes every
+    (delay, slot, timestamp) from host arithmetic across all three
+    delay sources (agent group / star group / default).  Scale shape:
+    delays reduce to ONE row per host before a hinted shuffle-hash
+    join; slot sequencing is the inherent per-host total order, and
+    only (host, url) rows shuffle."""
+    from lwetl_spark.operators.crawl import fetch_schedule
+
+    hosts, rules = _robots_fixture(spark, sf_dir)
+    hh = F.col("h")
+    urls = hosts.select(
+        F.format_string("h%d", hh).alias("host"),
+        F.posexplode(F.sequence(F.lit(0).cast("long"), hh % 3))
+        .alias("_k", "_")).select(
+        F.format_string("/q%d", F.col("_k")).alias("url"), "host")
+    out = fetch_schedule(
+        urls,
+        rules.withColumn("host",
+                         F.format_string("h%d", F.col("doc_id"))),
+        agent="DataBot", default_delay_s=1)
+    return out.select("url", "host", "delay_s", "slot", "fetch_at_ms")

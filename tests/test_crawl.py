@@ -201,3 +201,32 @@ def test_resolve_url_rfc3986(spark):
     refs = spark.createDataFrame([(1, html)], "id long, h string") \
         .select(html_links("h").alias("l")).collect()[0]["l"]
     assert refs == ["/x", "rel/y", "#s"]
+
+
+def test_fetch_schedule_delays_and_slots(spark):
+    """Crawl-delay resolution (agent group beats `*`, default when
+    absent or non-numeric) and per-host slot sequencing ordered by
+    url."""
+    from lwetl_spark.operators.crawl import fetch_schedule, robots_rules
+
+    txts = [
+        (1, "User-agent: Me\nCrawl-delay: 5\n\n"
+            "User-agent: *\nCrawl-delay: 2\n"),
+        (2, "User-agent: *\nCrawl-delay: 7\n"),
+        (3, "User-agent: *\nCrawl-delay: soon\n"),  # non-numeric
+    ]
+    rules = robots_rules(spark.createDataFrame(
+        txts, "doc_id long, robots string")) \
+        .withColumn("host", F.format_string("h%d", F.col("doc_id")))
+    urls = spark.createDataFrame(
+        [("/b", "h1"), ("/a", "h1"), ("/c", "h1"),
+         ("/x", "h2"), ("/y", "h3"), ("/z", "h4")],
+        "url string, host string")
+    got = {(r["host"], r["url"]): r for r in fetch_schedule(
+        urls, rules, agent="Me", default_delay_s=4).collect()}
+    assert [got[("h1", u)]["fetch_at_ms"]
+            for u in ("/a", "/b", "/c")] == [0, 5000, 10000]
+    assert got[("h2", "/x")]["delay_s"] == 7   # * fallback
+    assert got[("h3", "/y")]["delay_s"] == 4   # non-numeric -> default
+    assert got[("h4", "/z")]["delay_s"] == 4   # no rules -> default
+    assert all(r["slot"] == 0 for k, r in got.items() if k[0] != "h1")
