@@ -1390,3 +1390,76 @@ def stream_dhash_neardup(
     if checkpoint_path:
         writer = writer.option("checkpointLocation", checkpoint_path)
     return writer.start()
+
+
+def stream_crawl_frontier(
+    spark: SparkSession,
+    pages_path: str,
+    state_path: str,
+    max_files_per_trigger: int | None = None,
+    checkpoint_path: str | None = None,
+):
+    """Streaming crawl frontier (late r11 — the link-graph sibling of
+    `stream_dedup_against_corpus`): every micro-batch of (doc_id,
+    base, html) pages harvests hrefs (`html_links`), resolves them
+    against the page URL (`resolve_url`, fragments never travel),
+    canonicalizes to SURT urlkeys, and admits each urlkey ONCE across
+    the whole stream — in-batch dedup keeps the smallest
+    (doc_id, link_idx) witness, and the persisted state (one row per
+    admitted urlkey with its first witness) anti-joins
+    re-discoveries away, so a page linking to an already-known
+    resource never re-enqueues it.  Non-http(s) references (mailto:,
+    javascript:) are dropped at the door.  Equal to the one-shot
+    batch result (first witness per distinct urlkey) — pinned in
+    test_streaming.
+
+    Scale shape: only (urlkey, url, doc_id, link_idx) rows ever
+    shuffle — html bytes never leave their batch; the state probe is
+    an equi-join on urlkey, shuffle_hash-hinted because the frontier
+    grows with the crawl.  Idempotent append: a replayed batch
+    anti-joins the already-admitted keys first (the
+    stream_dhash_neardup contract).  Returns the started
+    StreamingQuery (caller stops it)."""
+    from pyspark.sql import Window
+
+    from lwetl_spark.functions.text import (
+        html_links,
+        resolve_url,
+        surt_key,
+    )
+
+    schema = spark.read.parquet(pages_path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option(
+            "maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(pages_path)
+
+    def sink(batch_df, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        links = batch_df.select(
+            "doc_id", "base",
+            F.posexplode(html_links(F.col("html")))
+            .alias("link_idx", "ref"))
+        resolved = resolve_url(F.col("base"), F.col("ref"))
+        cand = (links.select(
+            "doc_id", F.col("link_idx").cast("long").alias("link_idx"),
+            resolved.alias("url"))
+            .filter(F.col("url").rlike(r"(?i)^https?://"))
+            .withColumn("urlkey", surt_key(F.col("url"))))
+        wk = Window.partitionBy("urlkey").orderBy("doc_id", "link_idx")
+        first = (cand.withColumn("_rn", F.row_number().over(wk))
+                 .filter(F.col("_rn") == 1).drop("_rn"))
+        if _path_exists(sess, state_path):
+            seen = sess.read.parquet(state_path).select("urlkey")
+            first = first.join(
+                seen.hint("shuffle_hash"), "urlkey", "left_anti")
+        # materialize BEFORE the append so the state scan never races
+        # the files this very write adds
+        first.localCheckpoint(eager=True) \
+            .write.mode("append").parquet(state_path)
+
+    writer = stream.writeStream.foreachBatch(sink)
+    if checkpoint_path:
+        writer = writer.option("checkpointLocation", checkpoint_path)
+    return writer.start()

@@ -1245,3 +1245,60 @@ def test_stream_dhash_neardup_admits_one_per_cluster(spark, tmp_path):
     finally:
         q2.stop()
     assert spark.read.parquet(state_dir).count() == n_rows
+
+
+def test_stream_crawl_frontier_admits_each_urlkey_once(spark, tmp_path):
+    """Streaming crawl frontier (late r11): urlkeys admit exactly
+    once across batches with their FIRST (doc_id, link_idx) witness;
+    canonicalization collapses URL variants to one admission;
+    non-http refs never enter; replay admits nothing."""
+    from pyspark.sql import functions as F
+
+    from lwetl_spark.streaming.pipeline import stream_crawl_frontier
+
+    pages_dir = str(tmp_path / "pages")
+    state_dir = str(tmp_path / "frontier")
+    rows1 = [
+        (1, "https://h1.ex/a/page.html",
+         '<a href="/p1">x</a><a href="rel/p2">y</a>'
+         '<a href="mailto:z@q">skip</a>'),
+        (2, "https://h2.ex/",
+         '<a href="https://h1.ex/p1">dupe-of-p1</a>'
+         '<a href="//h3.ex/c">c</a>'),
+    ]
+    spark.createDataFrame(
+        rows1, "doc_id long, base string, html string"
+    ).coalesce(1).write.parquet(pages_dir)
+    rows2 = [
+        # variants of already-admitted resources + one new
+        (3, "http://WWW.h1.ex/",
+         '<a href="/p1?">v</a><a href="/new">n</a>'),
+    ]
+    spark.createDataFrame(
+        rows2, "doc_id long, base string, html string"
+    ).coalesce(1).write.mode("append").parquet(pages_dir)
+
+    q = stream_crawl_frontier(spark, pages_dir, state_dir,
+                              max_files_per_trigger=1)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    state = {r["urlkey"]: r for r in
+             spark.read.parquet(state_dir).collect()}
+    assert sorted(state) == [
+        "ex,h1)/a/rel/p2", "ex,h1)/new", "ex,h1)/p1", "ex,h3)/c"]
+    assert state["ex,h1)/p1"]["doc_id"] == 1      # first witness wins
+    assert state["ex,h1)/new"]["doc_id"] == 3
+    assert state["ex,h3)/c"]["url"] == "https://h3.ex/c"
+    n = spark.read.parquet(state_dir).count()
+    assert n == 4  # one row per admitted key
+
+    # replay: nothing re-admits
+    q2 = stream_crawl_frontier(spark, pages_dir, state_dir,
+                               max_files_per_trigger=2)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert spark.read.parquet(state_dir).count() == n
