@@ -6131,6 +6131,55 @@ def x_sitemap_parse(spark, sf_dir):
     )
 
 
+def _link_fixture(spark, sf_dir):
+    """Shared link fixture: per document a page at
+    https://WWW.h{id%6}.Example/dir{id%4}/sub/page.html carrying
+    1+id%5 anchors rotating all six reference forms and both quote
+    styles; returns (doc_id, link_idx, ref, resolved, urlkey) rows
+    through the real html_links → resolve_url → surt_key chain."""
+    from lwetl_spark.functions.text import (
+        html_links,
+        resolve_url,
+        surt_key,
+    )
+
+    i = F.col("doc_id")
+    base = F.format_string(
+        "https://WWW.h%d.Example/dir%d/sub/page.html", i % 6, i % 4)
+
+    def link(jj):
+        ref = F.when((i + jj) % 6 == 0, F.format_string(
+            "http://other%d.ex/abs%d", jj, i % 9)) \
+            .when((i + jj) % 6 == 1, F.format_string("/r/%d/x", jj)) \
+            .when((i + jj) % 6 == 2, F.format_string("rel%d/y", jj)) \
+            .when((i + jj) % 6 == 3, F.format_string("../up%d", jj)) \
+            .when((i + jj) % 6 == 4,
+                  F.format_string("//cdn%d.ex/z", jj)) \
+            .otherwise(F.format_string("#sec%d", jj))
+        quoted = F.when(
+            jj % 2 == 0, F.format_string('"%s"', ref)) \
+            .otherwise(F.format_string("'%s'", ref))
+        return F.format_string(
+            '<a class="c%d" href=%s>t%d</a>', jj, quoted, jj)
+
+    html = F.concat(
+        F.lit("<html><body>"),
+        F.concat_ws("", F.transform(
+            F.sequence(F.lit(0).cast("long"), i % 5), link)),
+        F.lit("</body></html>"))
+    pages = (_t(spark, sf_dir, "documents").select("doc_id")
+             .select("doc_id", base.alias("base"),
+                     html_links(html).alias("refs")))
+    links = pages.select(
+        "doc_id", "base",
+        F.posexplode("refs").alias("link_idx", "ref"))
+    resolved = resolve_url(F.col("base"), F.col("ref"))
+    return links.select(
+        "doc_id", F.col("link_idx").cast("long").alias("link_idx"),
+        "ref", resolved.alias("resolved"),
+        surt_key(resolved).alias("urlkey"))
+
+
 @register(
     "x_link_extract",
     """
@@ -6187,47 +6236,7 @@ def x_link_extract(spark, sf_dir):
     arithmetic — proving the whole chain character-exact.  Pure
     Catalyst end to end: extraction, resolution, and keying are one
     map-only codegen pass."""
-    from lwetl_spark.functions.text import (
-        html_links,
-        resolve_url,
-        surt_key,
-    )
-
-    i = F.col("doc_id")
-    base = F.format_string(
-        "https://WWW.h%d.Example/dir%d/sub/page.html", i % 6, i % 4)
-
-    def link(jj):
-        ref = F.when((i + jj) % 6 == 0, F.format_string(
-            "http://other%d.ex/abs%d", jj, i % 9)) \
-            .when((i + jj) % 6 == 1, F.format_string("/r/%d/x", jj)) \
-            .when((i + jj) % 6 == 2, F.format_string("rel%d/y", jj)) \
-            .when((i + jj) % 6 == 3, F.format_string("../up%d", jj)) \
-            .when((i + jj) % 6 == 4,
-                  F.format_string("//cdn%d.ex/z", jj)) \
-            .otherwise(F.format_string("#sec%d", jj))
-        quoted = F.when(
-            jj % 2 == 0, F.format_string('"%s"', ref)) \
-            .otherwise(F.format_string("'%s'", ref))
-        return F.format_string(
-            '<a class="c%d" href=%s>t%d</a>', jj, quoted, jj)
-
-    html = F.concat(
-        F.lit("<html><body>"),
-        F.concat_ws("", F.transform(
-            F.sequence(F.lit(0).cast("long"), i % 5), link)),
-        F.lit("</body></html>"))
-    pages = (_t(spark, sf_dir, "documents").select("doc_id")
-             .select("doc_id", base.alias("base"),
-                     html_links(html).alias("refs")))
-    links = pages.select(
-        "doc_id", "base",
-        F.posexplode("refs").alias("link_idx", "ref"))
-    resolved = resolve_url(F.col("base"), F.col("ref"))
-    return links.select(
-        "doc_id", F.col("link_idx").cast("long").alias("link_idx"),
-        "ref", resolved.alias("resolved"),
-        surt_key(resolved).alias("urlkey"))
+    return _link_fixture(spark, sf_dir)
 
 
 @register(
@@ -6277,3 +6286,71 @@ def x_fetch_schedule(spark, sf_dir):
                          F.format_string("h%d", F.col("doc_id"))),
         agent="DataBot", default_delay_s=1)
     return out.select("url", "host", "delay_s", "slot", "fetch_at_ms")
+
+
+@register(
+    "x_crawl_frontier",
+    """
+    WITH g AS (
+        SELECT doc_id, unnest(range(0, 1 + doc_id % 5)) AS j
+        FROM documents
+    ),
+    lk AS (
+        SELECT doc_id, j,
+               CASE (doc_id + j) % 6
+                    WHEN 0 THEN printf('http://other%d.ex/abs%d', j,
+                                       doc_id % 9)
+                    WHEN 1 THEN printf(
+                        'https://WWW.h%d.Example/r/%d/x', doc_id % 6, j)
+                    WHEN 2 THEN printf(
+                        'https://WWW.h%d.Example/dir%d/sub/rel%d/y',
+                        doc_id % 6, doc_id % 4, j)
+                    WHEN 3 THEN printf(
+                        'https://WWW.h%d.Example/dir%d/up%d',
+                        doc_id % 6, doc_id % 4, j)
+                    WHEN 4 THEN printf('https://cdn%d.ex/z', j)
+                    ELSE printf(
+                        'https://WWW.h%d.Example/dir%d/sub/page.html',
+                        doc_id % 6, doc_id % 4) END AS url,
+               CASE (doc_id + j) % 6
+                    WHEN 0 THEN printf('ex,other%d)/abs%d', j,
+                                       doc_id % 9)
+                    WHEN 1 THEN printf('example,h%d)/r/%d/x',
+                                       doc_id % 6, j)
+                    WHEN 2 THEN printf(
+                        'example,h%d)/dir%d/sub/rel%d/y',
+                        doc_id % 6, doc_id % 4, j)
+                    WHEN 3 THEN printf('example,h%d)/dir%d/up%d',
+                                       doc_id % 6, doc_id % 4, j)
+                    WHEN 4 THEN printf('ex,cdn%d)/z', j)
+                    ELSE printf('example,h%d)/dir%d/sub/page.html',
+                                doc_id % 6, doc_id % 4) END AS urlkey
+        FROM g
+    ),
+    w AS (
+        SELECT urlkey, url, doc_id, j,
+               ROW_NUMBER() OVER (PARTITION BY urlkey
+                                  ORDER BY doc_id, j) AS rn
+        FROM lk
+    )
+    SELECT urlkey, url, doc_id, CAST(j AS BIGINT) AS link_idx
+    FROM w WHERE rn = 1
+    """,
+)
+def x_crawl_frontier(spark, sf_dir):
+    """Batch crawl frontier (late r11) — the one-shot form the
+    streaming twin (`stream_crawl_frontier`) is pinned against: every
+    harvested link resolves and canonicalizes, then each distinct
+    urlkey keeps its FIRST witness (smallest doc_id, then link
+    order).  The oracle replays the same first-witness window in SQL.
+    Scale shape: the only shuffle is the per-urlkey window — the
+    inherent dedup exchange — carrying (urlkey, url, doc_id,
+    link_idx) rows only."""
+    from pyspark.sql import Window
+
+    links = _link_fixture(spark, sf_dir)
+    wk = Window.partitionBy("urlkey").orderBy("doc_id", "link_idx")
+    return (links.withColumn("_rn", F.row_number().over(wk))
+            .filter(F.col("_rn") == 1)
+            .select("urlkey", F.col("resolved").alias("url"),
+                    "doc_id", "link_idx"))
