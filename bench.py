@@ -136,6 +136,10 @@ EXTENDED = [
     # r11: the 8-band radius-6 perceptual variant (2x band rows vs the
     # 4-band row above — tracks the wider-radius candidate fan-in)
     "x_dhash_neardup_r6",
+    # late r11: the crawl-frontier chain — href harvest + RFC 3986
+    # resolution + SURT keying (one map-only codegen pass) into the
+    # per-urlkey first-witness dedup window (the one inherent shuffle)
+    "x_crawl_frontier",
 ]
 
 #: VERDICT r8 "what's wrong" #3: when a fixture generator (or the
