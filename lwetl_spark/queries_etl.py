@@ -6354,3 +6354,124 @@ def x_crawl_frontier(spark, sf_dir):
             .filter(F.col("_rn") == 1)
             .select("urlkey", F.col("resolved").alias("url"),
                     "doc_id", "link_idx"))
+
+
+@register(
+    "x_crawl_select",
+    """
+    WITH hosts AS (
+        SELECT DISTINCT doc_id % 20 AS h FROM documents
+    ),
+    rec AS (
+        SELECT h, printf('h%d', h) AS host,
+               unnest(range(0, 3 + h % 3)) AS k,
+               h % 2 = 0 AS db
+        FROM hosts
+    ),
+    cdx AS (
+        SELECT h, host, k, db,
+               CASE k % 5
+                    WHEN 0 THEN printf('/d%d/x%d', h, k)
+                    WHEN 1 THEN printf('/d%d/ok%d', h, k)
+                    WHEN 2 THEN '/tmp'
+                    WHEN 3 THEN printf('/tmpz%d', k)
+                    ELSE printf('/free%d', k) END AS path,
+               CASE WHEN (h + k) % 7 = 0 THEN 404 ELSE 200 END
+                   AS status,
+               CASE WHEN (h + k) % 11 = 0 THEN 'image/jpeg'
+                    ELSE 'text/html' END AS mime,
+               CAST(1000 * h + 13 * k AS BIGINT) AS "offset",
+               CAST(100 + (h * 7 + k) % 900 AS BIGINT) AS length
+        FROM rec
+    ),
+    elig AS (
+        SELECT * FROM cdx
+        WHERE status = 200 AND mime = 'text/html'
+    ),
+    gated AS (
+        SELECT *,
+               NOT ((k % 5 = 0 AND db) OR (k % 5 = 2 AND NOT db))
+                   AS allowed
+        FROM elig
+    ),
+    sched AS (
+        SELECT *,
+               CASE WHEN db THEN 2 + h % 4
+                    WHEN h % 5 <> 0 THEN 1 + h % 3
+                    ELSE 1 END AS delay_s,
+               ROW_NUMBER() OVER (PARTITION BY host ORDER BY path) - 1
+                   AS slot
+        FROM gated WHERE allowed
+    )
+    SELECT host, path AS url, CAST(delay_s AS BIGINT) AS delay_s,
+           CAST(slot AS BIGINT) AS slot,
+           CAST(slot * delay_s * 1000 AS BIGINT) AS fetch_at_ms,
+           "offset", length
+    FROM sched
+    """,
+)
+def x_crawl_select(spark, sf_dir):
+    """The composed crawl-index selection pipeline (late r11 — the
+    index-side flagship): CDX-J lines parse (`cdx_records`), records
+    filter to fetchable (status 200, text/html), robots rules gate
+    each path for the DataBot agent (`robots_gate`: group precedence,
+    longest-match, wildcards), and the survivors take per-host
+    politeness slots (`fetch_schedule`) carrying their WARC
+    (offset, length) ranges — everything a 100 TB crawl decides
+    BEFORE touching a payload byte, in one plan.  The oracle replays
+    the entire chain (eligibility, gate outcome, delay source, slot
+    window) from host arithmetic.  Scale shape: parse is map-only;
+    gate + schedule shuffle only (host, path) rows through hinted
+    hash joins and the two inherent per-host windows."""
+    from lwetl_spark.functions.text import url_host
+    from lwetl_spark.operators.crawl import (
+        cdx_records,
+        fetch_schedule,
+        robots_gate,
+    )
+
+    hosts, rules = _robots_fixture(spark, sf_dir)
+    hh = F.col("h")
+    rec = hosts.select(
+        "h", F.posexplode(F.sequence(F.lit(0).cast("long"),
+                                     2 + hh % 3)).alias("_p", "k"))
+    k = F.col("k")
+    path = F.when(k % 5 == 0, F.format_string("/d%d/x%d", hh, k)) \
+        .when(k % 5 == 1, F.format_string("/d%d/ok%d", hh, k)) \
+        .when(k % 5 == 2, F.lit("/tmp")) \
+        .when(k % 5 == 3, F.format_string("/tmpz%d", k)) \
+        .otherwise(F.format_string("/free%d", k))
+    status = F.when((hh + k) % 7 == 0, 404).otherwise(200)
+    mime = F.when((hh + k) % 11 == 0, F.lit("image/jpeg")) \
+        .otherwise(F.lit("text/html"))
+    line = F.format_string(
+        'surt)/ignored 20240101120000 {"url": "https://h%d%s",'
+        ' "mime": "%s", "status": "%d", "length": "%d",'
+        ' "offset": "%d", "filename": "crawl-%05d.warc.gz"}',
+        hh, path, mime, status,
+        (100 + (hh * 7 + k) % 900).cast("long"),
+        (1000 * hh + 13 * k).cast("long"), hh)
+    parsed = cdx_records(
+        rec.select((hh * 100 + k).alias("doc_id"), line.alias("line")))
+    elig = (parsed.filter(
+        F.col("valid") & (F.col("status") == 200)
+        & (F.col("mime") == "text/html"))
+        .select(
+            url_host(F.col("url")).alias("host"),
+            F.regexp_replace(F.col("url"), r"^https?://[^/]+", "")
+            .alias("url"),
+            "offset", "length"))
+    gate = robots_gate(
+        elig.select("url", "host"),
+        rules.withColumn("host",
+                         F.format_string("h%d", F.col("doc_id"))),
+        agent="DataBot")
+    allowed = gate.filter("allowed").select("url", "host")
+    sched = fetch_schedule(
+        allowed,
+        rules.withColumn("host",
+                         F.format_string("h%d", F.col("doc_id"))),
+        agent="DataBot", default_delay_s=1)
+    return (sched.join(elig, ["url", "host"])
+            .select("host", "url", "delay_s", "slot", "fetch_at_ms",
+                    "offset", "length"))
