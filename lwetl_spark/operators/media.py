@@ -2383,32 +2383,100 @@ def http_response_parts(df: DataFrame,
     Payloads starting with 'HTTP/' split at the first CRLFCRLF
     (tolerating bare-LF headers, which real servers emit): status
     from the status line, content_type from the (case-insensitive)
-    Content-Type header, body = the remainder.  Non-HTTP payloads
-    pass through whole as the body with NULL status/content_type —
-    the fixture/bare-HTML case.  One zero-shuffle Arrow pass.
+    Content-Type header, body = the remainder — then the WIRE
+    decodings real responses carry (late r11): a
+    `Transfer-Encoding: chunked` body de-chunks (hex sizes, chunk
+    extensions tolerated, trailers ignored; a malformed chunk keeps
+    the chunks decoded before the lie, ok=false), and
+    `Content-Encoding` gzip / x-gzip / deflate (zlib OR the raw form
+    broken servers send) / br (Arrow's bundled brotli) inflates.
+    `encoding` reports what was APPLIED ('chunked', 'gzip',
+    'chunked,gzip', ... or 'identity'), `body_ok` whether every
+    declared layer decoded; an unknown Content-Encoding leaves the
+    body raw with ok=false — never a crash.  Non-HTTP payloads pass
+    through whole as the body with NULL status/content_type — the
+    fixture/bare-HTML case.  One zero-shuffle Arrow pass.
 
     Input (doc_id, rec_idx, <payload_col>) → (doc_id, rec_idx,
-    status, content_type, body)."""
+    status, content_type, body, encoding, body_ok)."""
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import re
+        import zlib
 
         import pandas as pd
 
         ct_re = re.compile(rb"^content-type:\s*(.+?)\s*$",
                            re.I | re.M)
+        te_re = re.compile(rb"^transfer-encoding:\s*(.+?)\s*$",
+                           re.I | re.M)
+        ce_re = re.compile(rb"^content-encoding:\s*(.+?)\s*$",
+                           re.I | re.M)
+
+        def dechunk(b: bytes):
+            out = bytearray()
+            pos = 0
+            while True:
+                nl = b.find(b"\n", pos)
+                if nl < 0:
+                    return bytes(out), False
+                size_tok = b[pos:nl].strip().split(b";", 1)[0]
+                try:
+                    size = int(size_tok, 16)
+                except ValueError:
+                    return bytes(out), False
+                pos = nl + 1
+                if size == 0:  # trailers (if any) are ignored
+                    return bytes(out), True
+                if pos + size > len(b):
+                    return bytes(out), False
+                out += b[pos : pos + size]
+                pos += size
+                # chunk data is followed by CRLF (or bare LF)
+                if b[pos : pos + 2] == b"\r\n":
+                    pos += 2
+                elif b[pos : pos + 1] == b"\n":
+                    pos += 1
+                else:
+                    return bytes(out), False
+
+        def inflate(body: bytes, codec: bytes):
+            if codec in (b"gzip", b"x-gzip"):
+                try:  # 47 = auto-detect zlib or gzip wrapper
+                    return zlib.decompressobj(47).decompress(body), True
+                except zlib.error:
+                    return body, False
+            if codec == b"deflate":
+                for wb in (15, -15):  # zlib-wrapped, then the raw
+                    try:  # form broken servers send
+                        return (zlib.decompressobj(wb)
+                                .decompress(body), True)
+                    except zlib.error:
+                        continue
+                return body, False
+            if codec == b"br":
+                try:
+                    import pyarrow as pa
+                    s = pa.input_stream(pa.BufferReader(body),
+                                        compression="brotli")
+                    return s.read(), True
+                except (ImportError, OSError, ValueError):
+                    return body, False
+            if codec in (b"identity", b""):
+                return body, True
+            return body, False  # unknown coding: raw, flagged
 
         def parts(b: bytes):
             b = bytes(b) if b is not None else b""
             if not b.startswith(b"HTTP/"):
-                return None, None, b
+                return None, None, b, "identity", True
             end = b.find(b"\r\n\r\n")
             skip = 4
             if end < 0:
                 end = b.find(b"\n\n")
                 skip = 2
             if end < 0:
-                return None, None, b
+                return None, None, b, "identity", True
             head = b[:end].replace(b"\r\n", b"\n")
             line0 = head.split(b"\n", 1)[0].split(b" ")
             status = None
@@ -2416,7 +2484,23 @@ def http_response_parts(df: DataFrame,
                 status = int(line0[1])
             m = ct_re.search(head)
             ct = m.group(1).decode("latin-1") if m else None
-            return status, ct, b[end + skip :]
+            body = b[end + skip :]
+            applied = []
+            ok = True
+            m = te_re.search(head)
+            if m and b"chunked" in m.group(1).lower():
+                body, c_ok = dechunk(body)
+                applied.append("chunked")
+                ok = ok and c_ok
+            m = ce_re.search(head)
+            if m:
+                codec = m.group(1).lower().strip()
+                if codec not in (b"identity", b""):
+                    body, e_ok = inflate(body, codec)
+                    applied.append(codec.decode("latin-1"))
+                    ok = ok and e_ok
+            return (status, ct, body,
+                    ",".join(applied) or "identity", ok)
 
         for pdf in batches:
             rows = [parts(b) for b in pdf[payload_col]]
@@ -2426,12 +2510,14 @@ def http_response_parts(df: DataFrame,
                 "status": [r[0] for r in rows],
                 "content_type": [r[1] for r in rows],
                 "body": [r[2] for r in rows],
+                "encoding": [r[3] for r in rows],
+                "body_ok": [r[4] for r in rows],
             })
 
     return df.mapInPandas(
         run,
         "doc_id long, rec_idx long, status long, content_type string,"
-        " body binary",
+        " body binary, encoding string, body_ok boolean",
     )
 
 
@@ -2489,10 +2575,26 @@ def synth_http_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     headers, charset ONLY in Content-Type (cp1252 body '€ hdr {n}');
     1 → 404 text/plain ('missing {n}'); 2 → 200 with BARE-LF headers
     (real servers emit these) + charset=gbk ('页 {n}'); 3 → not HTTP
-    at all (bare utf-8 HTML, passthrough body, NULL status)."""
+    at all (bare utf-8 HTML, passthrough body, NULL status).
+    Late-r11 WIRE-DECODING sub-legs (same decoded text, so the text
+    oracle never changes): id%8==4 ships leg 0 chunked (7-byte
+    chunks + a chunk extension), id%8==6 gzips leg 2's body
+    (Content-Encoding under bare-LF headers), id%8==5 brotli-encodes
+    leg 1's body (Arrow's bundled brotli)."""
 
     def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import zlib
+
         import pandas as pd
+
+        def chunked(body: bytes) -> bytes:
+            out = bytearray()
+            for p in range(0, len(body), 7):
+                piece = body[p : p + 7]
+                ext = b";x=1" if p == 0 else b""  # chunk extension
+                out += b"%x" % len(piece) + ext + b"\r\n"
+                out += piece + b"\r\n"
+            return bytes(out) + b"0\r\n\r\n"
 
         def one(i: int) -> bytes:
             n = i % 100
@@ -2502,16 +2604,35 @@ def synth_http_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                         % n).encode()
             if leg == 1:
                 body = ("missing %d" % n).encode()
+                if i % 8 == 5:  # late r11: Content-Encoding br
+                    import pyarrow as pa
+                    body = pa.Codec("brotli").compress(
+                        body, asbytes=True)
+                    return (b"HTTP/1.1 404 Not Found\r\n"
+                            b"Content-Type: text/plain\r\n"
+                            b"Content-Encoding: br\r\n\r\n" + body)
                 return (b"HTTP/1.1 404 Not Found\r\n"
                         b"Content-Type: text/plain\r\n\r\n" + body)
             if leg == 2:
                 body = ("<html><body><p>页 %d</p></body></html>"
                         % n).encode("gbk")
+                if i % 8 == 6:  # late r11: gzip under bare-LF heads
+                    c = zlib.compressobj(6, zlib.DEFLATED, 31)
+                    body = c.compress(body) + c.flush()
+                    return (b"HTTP/1.1 200 OK\n"
+                            b"content-type: text/html; charset=gbk\n"
+                            b"Content-Encoding: gzip\n\n" + body)
                 return (b"HTTP/1.1 200 OK\n"
                         b"content-type: text/html; charset=gbk\n\n"
                         + body)
             body = ("<html><body><p>€ hdr %d</p></body></html>"
                     % n).encode("cp1252")
+            if i % 8 == 4:  # late r11: Transfer-Encoding chunked
+                return (b"HTTP/1.1 200 OK\r\nServer: x\r\n"
+                        b"Content-Type: text/html;"
+                        b" charset=windows-1252\r\n"
+                        b"Transfer-Encoding: chunked\r\n\r\n"
+                        + chunked(body))
             return (b"HTTP/1.1 200 OK\r\nServer: x\r\nContent-Type:"
                     b" text/html; charset=windows-1252\r\n"
                     b"Content-Length: %d\r\n\r\n" % len(body) + body)

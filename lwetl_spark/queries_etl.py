@@ -5680,6 +5680,9 @@ def x_aac_meta(spark, sf_dir):
                 ELSE 'none' END AS content_type,
            CASE doc_id % 4 WHEN 0 THEN 'cp1252' WHEN 2 THEN 'gbk'
                 ELSE 'utf-8' END AS charset,
+           CASE doc_id % 8 WHEN 4 THEN 'chunked' WHEN 5 THEN 'br'
+                WHEN 6 THEN 'gzip' ELSE 'identity' END AS encoding,
+           TRUE AS body_ok,
            CASE doc_id % 4
                 WHEN 0 THEN printf('€ hdr %d', doc_id % 100)
                 WHEN 1 THEN printf('missing %d', doc_id % 100)
@@ -5697,8 +5700,13 @@ def x_http_parts(spark, sf_dir):
     leg by leg: CRLF and bare-LF header framings, a 404 text/plain,
     charset declared ONLY in the header (no meta tag: a body-only
     sniffer mojibakes the € page), and a non-HTTP passthrough with
-    NULL status.  Text char-exact against unicode oracle
-    literals."""
+    NULL status.  Late-r11 wire-decoding legs: a chunked
+    Transfer-Encoding body (chunk extension included), a gzipped
+    Content-Encoding body under bare-LF headers, and a
+    brotli-encoded body (Arrow's bundled codec) — each must decode
+    to the SAME text as its identity twin (the oracle literal never
+    changes), with `encoding` reporting what was applied.  Text
+    char-exact against unicode oracle literals."""
     from lwetl_spark.functions.text import html_text
     from lwetl_spark.operators.media import (
         http_response_parts,
@@ -5712,14 +5720,15 @@ def x_http_parts(spark, sf_dir):
         parts.select("doc_id", "body", "content_type"),
         payload_col="body", content_type_col="content_type")
     return (
-        parts.select("doc_id", "rec_idx", "status", "content_type")
+        parts.select("doc_id", "rec_idx", "status", "content_type",
+                     "encoding", "body_ok")
         .join(dec, "doc_id")
         .select(
             "doc_id", "rec_idx",
             F.coalesce(F.col("status"), F.lit(-1)).alias("status"),
             F.coalesce(F.col("content_type"), F.lit("none"))
             .alias("content_type"),
-            "charset",
+            "charset", "encoding", "body_ok",
             html_text(F.col("html")).alias("text"),
         )
     )

@@ -625,3 +625,66 @@ def test_ccitt_g3_mixed_2d(spark):
         [(1, pdf)], "doc_id long, payload binary")).collect()[0]
     assert row["decoded"] and row["n_px"] == w * h
     assert row["sum_px"] == sum(pbits)
+
+
+def test_http_wire_decodings(spark):
+    """Transfer-Encoding: chunked de-chunks (extensions tolerated,
+    trailers ignored, malformed framing keeps the chunks before the
+    lie with ok=false); Content-Encoding gzip / raw-deflate / br
+    inflate; unknown codings leave the body raw flagged; stacked
+    chunked+gzip applies in wire order."""
+    import zlib
+
+    import pyarrow as pa
+
+    from lwetl_spark.operators.media import http_response_parts
+
+    gz = zlib.compressobj(6, zlib.DEFLATED, 31)
+    gz_body = gz.compress(b"<p>zipped</p>") + gz.flush()
+    raw_def = zlib.compressobj(6, zlib.DEFLATED, -15)
+    rd_body = raw_def.compress(b"<p>raw-deflate</p>") + raw_def.flush()
+    br_body = pa.Codec("brotli").compress(b"<p>brotli</p>",
+                                          asbytes=True)
+
+    def chunked(b: bytes) -> bytes:
+        out = b""
+        for p in range(0, len(b), 5):
+            out += b"%x\r\n" % len(b[p:p + 5]) + b[p:p + 5] + b"\r\n"
+        return out + b"0\r\nX-Trailer: t\r\n\r\n"
+
+    rows = [
+        (1, b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+            + chunked(b"<p>in chunks</p>")),
+        (2, b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n"
+            + gz_body),
+        (3, b"HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n\r\n"
+            + rd_body),
+        (4, b"HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n\r\n"
+            + br_body),
+        (5, b"HTTP/1.1 200 OK\r\nContent-Encoding: zstd9\r\n\r\n"
+            b"mystery-bytes"),
+        # malformed chunk size after one good chunk
+        (6, b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+            b"4\r\ngood\r\nZZ\r\nbad"),
+        # chunked THEN gzip (wire order: un-chunk first, then inflate)
+        (7, b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n"
+            b"Content-Encoding: gzip\r\n\r\n" + chunked(gz_body)),
+    ]
+    df = spark.createDataFrame(
+        [(i, i, b) for i, b in rows],
+        "doc_id long, rec_idx long, payload binary")
+    out = {r["doc_id"]: r for r in http_response_parts(df).collect()}
+    assert bytes(out[1]["body"]) == b"<p>in chunks</p>"
+    assert out[1]["encoding"] == "chunked" and out[1]["body_ok"]
+    assert bytes(out[2]["body"]) == b"<p>zipped</p>"
+    assert out[2]["encoding"] == "gzip" and out[2]["body_ok"]
+    assert bytes(out[3]["body"]) == b"<p>raw-deflate</p>"
+    assert out[3]["body_ok"]
+    assert bytes(out[4]["body"]) == b"<p>brotli</p>"
+    assert out[4]["encoding"] == "br" and out[4]["body_ok"]
+    assert bytes(out[5]["body"]) == b"mystery-bytes"
+    assert out[5]["body_ok"] is False
+    assert bytes(out[6]["body"]) == b"good"      # partial, flagged
+    assert out[6]["body_ok"] is False
+    assert bytes(out[7]["body"]) == b"<p>zipped</p>"
+    assert out[7]["encoding"] == "chunked,gzip" and out[7]["body_ok"]
