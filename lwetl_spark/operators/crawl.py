@@ -26,7 +26,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["cdx_records", "robots_rules", "robots_gate",
-           "sitemap_entries", "fetch_schedule"]
+           "sitemap_entries", "fetch_schedule", "resolve_redirects"]
 
 
 #: struct schema of the CDX-J JSON payload (all strings in the wire
@@ -299,3 +299,81 @@ def fetch_schedule(urls: DataFrame, rules: DataFrame,
             .select(url_col, host_col, "delay_s", "slot",
                     (F.col("slot") * F.col("delay_s") * 1000)
                     .cast("long").alias("fetch_at_ms")))
+
+
+def resolve_redirects(records: DataFrame, max_hops: int = 5,
+                      key_col: str = "urlkey",
+                      status_col: str = "status",
+                      redirect_col: str = "redirect_key") -> DataFrame:
+    """Follow CDX redirect chains to their landing record (the
+    Common Crawl index stores a 3xx record's Location target as a
+    `redirect` urlkey): starting from EVERY record, hop
+    `redirect_col` → `key_col` while the current record is a 3xx
+    with a target, up to ``max_hops`` joins.  Emits one row per
+    start record — (key_col, final_key, final_status, hops,
+    outcome) with outcome
+    'ok'        landed on a non-3xx record,
+    'dangling'  the target key has no record in the snapshot,
+    'loop'      the chain revisited a key (cycle),
+    'cap'       still redirecting after max_hops.
+
+    Scale shape: ``max_hops`` bounded equi-joins on urlkey (the
+    record side re-used each hop, hinted shuffle-hash — both sides
+    are index-sized); only rows STILL redirecting re-join, so hop
+    k's frontier is the (shrinking) 3xx tail; the visited-key array
+    carried for loop detection is ≤ max_hops entries."""
+    rec = records.select(
+        F.col(key_col).alias("_k"),
+        F.col(status_col).cast("int").alias("_s"),
+        F.col(redirect_col).alias("_r"),
+    ).hint("shuffle_hash")
+    is3xx = (F.col("_s") >= 300) & (F.col("_s") < 400) \
+        & F.col("_r").isNotNull()
+    cur = records.select(
+        F.col(key_col).alias("start"),
+        F.col(key_col).alias("_k"),
+        F.col(status_col).cast("int").alias("_s"),
+        F.col(redirect_col).alias("_r"),
+        F.lit(0).alias("hops"),
+        F.array(F.col(key_col)).alias("_seen"),
+        F.lit(None).cast("string").alias("outcome"),
+    )
+    done_parts = []
+    for _ in range(max_hops):
+        settled = cur.filter(F.col("outcome").isNotNull() | ~is3xx) \
+            .withColumn("outcome", F.coalesce(F.col("outcome"),
+                                              F.lit("ok")))
+        done_parts.append(settled)
+        frontier = cur.filter(F.col("outcome").isNull() & is3xx)
+        stepped = (frontier.alias("f")
+                   .join(rec.alias("t"),
+                         F.col("f._r") == F.col("t._k"), "left")
+                   .select(
+                       F.col("f.start").alias("start"),
+                       F.coalesce(F.col("t._k"), F.col("f._r"))
+                       .alias("_k"),
+                       F.col("t._s").alias("_s"),
+                       F.col("t._r").alias("_r"),
+                       (F.col("f.hops") + 1).alias("hops"),
+                       F.array_append(F.col("f._seen"), F.col("f._r"))
+                       .alias("_seen"),
+                       F.when(F.col("t._k").isNull(), "dangling")
+                       .when(F.array_contains(F.col("f._seen"),
+                                              F.col("f._r")), "loop")
+                       .alias("outcome"),
+                   ))
+        cur = stepped
+    done_parts.append(cur.withColumn(
+        "outcome",
+        F.coalesce(F.col("outcome"),
+                   F.when(is3xx, "cap").otherwise("ok"))))
+    out = done_parts[0]
+    for part in done_parts[1:]:
+        out = out.unionByName(part)
+    return out.select(
+        F.col("start").alias(key_col),
+        F.col("_k").alias("final_key"),
+        F.col("_s").cast("long").alias("final_status"),
+        F.col("hops").cast("long").alias("hops"),
+        "outcome",
+    )

@@ -6484,3 +6484,70 @@ def x_crawl_select(spark, sf_dir):
     return (sched.join(elig, ["url", "host"])
             .select("host", "url", "delay_s", "slot", "fetch_at_ms",
                     "offset", "length"))
+
+
+@register(
+    "x_redirect_chain",
+    """
+    WITH g AS (
+        SELECT doc_id, doc_id % 8 AS p,
+               (doc_id - doc_id % 8) AS base,
+               ((doc_id - doc_id % 8) / 8) % 3 AS gm
+        FROM documents
+    )
+    SELECT printf('k%d', doc_id) AS urlkey,
+           CASE WHEN p = 0 THEN printf('k%d', doc_id)
+                WHEN p <= 5 THEN printf('k%d', base)
+                WHEN p = 6 AND gm = 0 THEN printf('k%d', doc_id)
+                WHEN p = 7 AND gm = 0 THEN printf('k%d', doc_id)
+                WHEN p = 7 AND gm = 1 THEN printf('kMISSING%d', doc_id)
+                ELSE printf('k%d', doc_id - 5) END AS final_key,
+           CAST(CASE WHEN p = 0 THEN 200
+                WHEN p <= 5 THEN 200
+                WHEN p = 7 AND gm = 1 THEN -1
+                ELSE 301 END AS BIGINT) AS final_status,
+           CAST(CASE WHEN p = 0 THEN 0
+                WHEN p <= 5 THEN p
+                WHEN gm = 0 THEN 2
+                WHEN p = 7 AND gm = 1 THEN 1
+                ELSE 5 END AS BIGINT) AS hops,
+           CASE WHEN p = 0 OR p <= 5 THEN 'ok'
+                WHEN gm = 0 THEN 'loop'
+                WHEN p = 7 AND gm = 1 THEN 'dangling'
+                ELSE 'cap' END AS outcome
+    FROM g
+    """,
+)
+def x_redirect_chain(spark, sf_dir):
+    """CDX redirect-chain resolution (late r11; operators/crawl.
+    resolve_redirects): follow each record's 3xx Location target up
+    to max_hops joins, detecting landings ('ok'), snapshot holes
+    ('dangling'), cycles ('loop' via the carried visited-key array),
+    and over-long chains ('cap').  Fixture groups of 8 keys form
+    descending chains of length 0-7 (so hops 6-7 hit the cap at
+    max_hops=5), every 3rd group swaps keys 6↔7 into a 2-cycle, and
+    every 3rd+1 group's key 7 points at a key outside the snapshot;
+    the oracle enumerates every (position, group-kind) outcome.
+    Scale shape: max_hops bounded equi-joins on urlkey against the
+    hinted record side; only still-redirecting rows re-join, so each
+    hop's frontier is the shrinking 3xx tail."""
+    from lwetl_spark.operators.crawl import resolve_redirects
+
+    i = F.col("doc_id")
+    p = i % 8
+    gm = ((i - p) / 8).cast("long") % 3
+    status = F.when(p == 0, 200).otherwise(301)
+    redirect = F.when(p == 0, F.lit(None).cast("string")) \
+        .when((p == 6) & (gm == 0), F.format_string("k%d", i + 1)) \
+        .when((p == 7) & (gm == 1),
+              F.format_string("kMISSING%d", i)) \
+        .otherwise(F.format_string("k%d", i - 1))
+    records = _t(spark, sf_dir, "documents").select(
+        F.format_string("k%d", i).alias("urlkey"),
+        status.alias("status"), redirect.alias("redirect_key"))
+    out = resolve_redirects(records, max_hops=5)
+    return out.select(
+        "urlkey", "final_key",
+        F.coalesce(F.col("final_status"), F.lit(-1))
+        .alias("final_status"),
+        "hops", "outcome")

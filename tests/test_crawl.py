@@ -230,3 +230,35 @@ def test_fetch_schedule_delays_and_slots(spark):
     assert got[("h3", "/y")]["delay_s"] == 4   # non-numeric -> default
     assert got[("h4", "/z")]["delay_s"] == 4   # no rules -> default
     assert all(r["slot"] == 0 for k, r in got.items() if k[0] != "h1")
+
+
+def test_resolve_redirects_outcomes(spark):
+    """Chains land ('ok' with hop counts), cycles detect via the
+    visited array ('loop', including self-loops), snapshot holes are
+    'dangling', and over-long chains hit 'cap' at max_hops."""
+    from lwetl_spark.operators.crawl import resolve_redirects
+
+    rows = [
+        ("a", 301, "b"), ("b", 301, "c"), ("c", 200, None),
+        ("x", 302, "y"), ("y", 302, "x"),
+        ("d", 301, "missing"),
+        ("e", 200, None),
+        ("f", 301, "f"),
+        ("l1", 301, "l2"), ("l2", 301, "l3"), ("l3", 301, "l4"),
+        ("l4", 301, "l5"), ("l5", 200, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "urlkey string, status int, redirect_key string")
+    got = {r["urlkey"]: r for r in
+           resolve_redirects(df, max_hops=3).collect()}
+    assert (got["a"]["final_key"], got["a"]["hops"],
+            got["a"]["outcome"]) == ("c", 2, "ok")
+    assert got["c"]["hops"] == 0 and got["c"]["outcome"] == "ok"
+    assert got["x"]["outcome"] == "loop" and got["x"]["hops"] == 2
+    assert got["f"]["outcome"] == "loop" and got["f"]["hops"] == 1
+    assert got["d"]["outcome"] == "dangling"
+    assert got["d"]["final_key"] == "missing"
+    assert got["e"]["outcome"] == "ok" and got["e"]["hops"] == 0
+    # l1 needs 4 hops; at max_hops=3 it's capped mid-chain
+    assert got["l1"]["outcome"] == "cap" and got["l1"]["hops"] == 3
+    assert got["l2"]["outcome"] == "ok" and got["l2"]["hops"] == 3
