@@ -317,6 +317,11 @@ def resolve_redirects(records: DataFrame, max_hops: int = 5,
     'loop'      the chain revisited a key (cycle),
     'cap'       still redirecting after max_hops.
 
+    Input cardinality: ONE record per urlkey — a real CDX holds
+    multiple captures per key, so reduce to the chosen capture
+    (latest timestamp, the usual policy) BEFORE resolving; duplicate
+    keys would fan the hop joins out multiplicatively.
+
     Scale shape: ``max_hops`` bounded equi-joins on urlkey (the
     record side re-used each hop, hinted shuffle-hash — both sides
     are index-sized); only rows STILL redirecting re-join, so hop
