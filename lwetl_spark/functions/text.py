@@ -508,25 +508,30 @@ def resolve_url(base: Column | str, ref: Column | str) -> Column:
             F.when(bdir == "", F.lit("/")).otherwise(bdir), r)))
     pre = F.regexp_extract(resolved, r"^([^?]*)", 1)
     q = F.regexp_extract(resolved, r"(\?.*)$", 1)
+    norm = pre
     for _ in range(_DOTSEG_ROUNDS):
         # inner /./ drops; a TERMINAL /. leaves the trailing slash
         # (RFC 5.2.4: '.' replaces the final segment with empty)
-        pre = F.regexp_replace(pre, r"(?<!/)/\.(?=/)", "")
-    pre = F.regexp_replace(pre, r"(?<!/)/\.$", "/")
+        norm = F.regexp_replace(norm, r"(?<!/)/\.(?=/)", "")
+    norm = F.regexp_replace(norm, r"(?<!/)/\.$", "/")
     for _ in range(_DOTSEG_ROUNDS):
         # /seg/../ -> /  (seg itself never '..'; '//' in the origin
         # can't match because [^/]+ needs at least one non-slash);
         # a TERMINAL /seg/.. likewise keeps the trailing slash
-        pre = F.regexp_replace(
-            pre, r"/(?!\.\./)[^/]+/\.\.(?=/)", "")
-        pre = F.regexp_replace(pre, r"/(?!\.\./)[^/]+/\.\.$", "/")
+        norm = F.regexp_replace(
+            norm, r"/(?!\.\./)[^/]+/\.\.(?=/)", "")
+        norm = F.regexp_replace(norm, r"/(?!\.\./)[^/]+/\.\.$", "/")
         # a /../ left at the root drops (RFC: excess ..s are removed)
-        pre = F.regexp_replace(
-            pre, r"(?i)^([a-z][a-z0-9+.\-]*://[^/?#]*)/\.\.(?=/|$)",
+        norm = F.regexp_replace(
+            norm, r"(?i)^([a-z][a-z0-9+.\-]*://[^/?#]*)/\.\.(?=/|$)",
             "$1")
     # a path fully consumed by dot-removal still addresses the root
-    pre = F.when(pre.rlike(r"(?i)^[a-z][a-z0-9+.\-]*://[^/?#]*$"),
-                 F.concat(pre, F.lit("/"))).otherwise(pre)
+    norm = F.when(norm.rlike(r"(?i)^[a-z][a-z0-9+.\-]*://[^/?#]*$"),
+                  F.concat(norm, F.lit("/"))).otherwise(norm)
+    # codegen If is lazy per row: the ~35-regex removal pipeline only
+    # runs for the minority of paths that actually CONTAIN a dot
+    # segment ('/.' also covers '/..'); clean paths pass through
+    pre = F.when(pre.contains("/."), norm).otherwise(pre)
     return F.concat(pre, q)
 
 
