@@ -6551,3 +6551,81 @@ def x_redirect_chain(spark, sf_dir):
         F.coalesce(F.col("final_status"), F.lit(-1))
         .alias("final_status"),
         "hops", "outcome")
+
+
+@register(
+    "x_html_tables",
+    """
+    WITH g AS (
+        SELECT doc_id, unnest(range(0, 1 + doc_id % 2)) AS t
+        FROM documents
+    ),
+    dims AS (
+        SELECT doc_id, t, 2 + (doc_id + t) % 3 AS ncols,
+               1 + (doc_id + t) % 3 AS ndata
+        FROM g
+    ),
+    rr AS (
+        SELECT doc_id, t, ncols,
+               unnest(range(0, 1 + ndata)) AS r
+        FROM dims
+    ),
+    cc AS (
+        SELECT doc_id, t, r, unnest(range(0, ncols)) AS c
+        FROM rr
+    )
+    SELECT doc_id, CAST(t AS BIGINT) AS table_idx,
+           CAST(r AS BIGINT) AS row_idx,
+           CAST(c AS BIGINT) AS col_idx,
+           r = 0 AS is_header,
+           CASE WHEN r = 0 THEN printf('h%d', c)
+                ELSE printf('v%d t%dr%dc%d', doc_id % 50, t, r, c)
+           END AS cell
+    FROM cc
+    """,
+)
+def x_html_tables(spark, sf_dir):
+    """HTML table mining (late r11; operators/webmine.html_tables):
+    lift `<table>` blocks into relational (table, row, col, cell)
+    rows — the structure `html_text` deliberately flattens, mined
+    separately by every table-corpus pipeline.  Fixtures rotate
+    table counts and geometries with `<th>` header rows, mixed tag
+    case, bold-wrapped first cells (the strip chain must clean
+    them), and surrounding non-table markup; the oracle enumerates
+    every cell from id arithmetic.  Three posexplode stages, zero
+    joins, zero Python — map-only."""
+    from lwetl_spark.operators.webmine import html_tables
+
+    i = F.col("doc_id")
+
+    def cell(t, r, c):
+        inner = F.when(r == 0, F.format_string("h%d", c)).otherwise(
+            F.format_string("v%d t%dr%dc%d", i % 50, t, r, c))
+        wrapped = F.when(
+            (c == 0) & (r > 0),
+            F.format_string("<b>%s</b>", inner)).otherwise(inner)
+        tag = F.when(r == 0, F.lit("th")).otherwise(F.lit("td"))
+        return F.format_string("<%s>%s</%s>", tag, wrapped, tag)
+
+    def row(t, r):
+        ncols = 2 + (i + t) % 3
+        return F.format_string("<tr>%s</tr>", F.concat_ws("", F.transform(
+            F.sequence(F.lit(0).cast("long"), ncols - 1),
+            lambda c: cell(t, r, c))))
+
+    def table(t):
+        ndata = 1 + (i + t) % 3
+        return F.format_string(
+            '<TABLE class="x%d">%s</TABLE>', t,
+            F.concat_ws("", F.transform(
+                F.sequence(F.lit(0).cast("long"), ndata),
+                lambda r: row(t, r))))
+
+    html = F.concat(
+        F.lit("<html><p>not a table</p>"),
+        F.concat_ws("", F.transform(
+            F.sequence(F.lit(0).cast("long"), i % 2), table)),
+        F.lit("<div>tail</div></html>"))
+    return html_tables(
+        _t(spark, sf_dir, "documents").select("doc_id")
+        .select("doc_id", html.alias("html")))

@@ -262,3 +262,27 @@ def test_resolve_redirects_outcomes(spark):
     # l1 needs 4 hops; at max_hops=3 it's capped mid-chain
     assert got["l1"]["outcome"] == "cap" and got["l1"]["hops"] == 3
     assert got["l2"]["outcome"] == "ok" and got["l2"]["hops"] == 3
+
+
+def test_html_tables_extraction(spark):
+    """Case-insensitive table/tr/th/td blocks with attributes, entity
+    decode + tag strip through the html_text chain, header flags,
+    multiple tables, and the no-table / truncated-table behaviors."""
+    from lwetl_spark.operators.webmine import html_tables
+
+    html = ('<html><p>junk</p><TABLE class="z">'
+            "<tr><TH>Name</th><th>Qty</th></tr>"
+            "<tr><td> Apple &amp; co </td><td><b>5</b></td></tr>"
+            "</TABLE><table><tr><td>solo</td></tr></table></html>")
+    rows = [(1, html), (2, "<p>no tables</p>"),
+            (3, "<table><tr><td>done</td></tr><tr><td>cut")]
+    out = html_tables(spark.createDataFrame(
+        rows, "doc_id long, html string"))
+    got = sorted(tuple(r) for r in out.collect())
+    assert got == [
+        (1, 0, 0, 0, True, "Name"),
+        (1, 0, 0, 1, True, "Qty"),
+        (1, 0, 1, 0, False, "Apple & co"),
+        (1, 0, 1, 1, False, "5"),
+        (1, 1, 0, 0, False, "solo"),
+    ]  # doc 2: no rows; doc 3: unterminated table -> no block
