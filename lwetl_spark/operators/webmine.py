@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from lwetl_spark.functions.text import html_text
 
-__all__ = ["html_tables"]
+__all__ = ["html_tables", "feed_entries"]
 
 
 def html_tables(df: DataFrame, html_col: str = "html",
@@ -56,4 +56,63 @@ def html_tables(df: DataFrame, html_col: str = "html",
         F.col("col_idx").cast("long").alias("col_idx"),
         F.col("_cell").rlike(r"(?i)^<th").alias("is_header"),
         html_text(F.col("_cell")).alias("cell"),
+    )
+
+
+def feed_entries(df: DataFrame, xml_col: str = "xml",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Parse syndication feeds — RSS 2.0 `<item>` blocks and Atom
+    `<entry>` blocks — into one row per entry: (id, kind, entry_idx,
+    title, link, updated, guid, valid).  The crawl-discovery sibling
+    of `sitemap_entries`: feeds are how update-driven recrawl finds
+    fresh URLs without re-walking sites.  RSS links are element text
+    (`<link>url</link>`, `updated` from `<pubDate>`, `guid` from
+    `<guid>`); Atom links are the `href` attribute (the
+    rel="alternate" or first `<link>`), `updated` from `<updated>`,
+    `guid` from `<id>`.  Titles strip markup/entities through the
+    page chain.  A payload with neither root yields one invalid
+    sentinel row; complete blocks before a truncation survive (the
+    sitemap contract).  Pure Catalyst, map-only."""
+    xml = F.col(xml_col)
+    kind = F.when(xml.rlike(r"(?is)<\s*rss[\s>]"), "rss") \
+        .when(xml.rlike(r"(?is)<\s*feed[\s>]"), "atom") \
+        .otherwise("invalid")
+    blocks = F.when(
+        kind == "rss",
+        F.regexp_extract_all(xml, F.lit(r"(?s)<item>(.*?)</item>"), 1),
+    ).when(
+        kind == "atom",
+        F.regexp_extract_all(
+            xml, F.lit(r"(?s)<entry>(.*?)</entry>"), 1),
+    ).otherwise(F.array().cast("array<string>"))
+    base = df.select(
+        F.col(id_col), kind.alias("kind"),
+        F.posexplode_outer(blocks).alias("entry_idx", "_b"))
+    b = F.col("_b")
+    rss_link = F.regexp_extract(b, r"(?s)<link>\s*(.*?)\s*</link>", 1)
+    atom_link = F.coalesce(
+        F.nullif(F.regexp_extract(
+            b, r"(?is)<link[^>]*rel=[\"']alternate[\"'][^>]*"
+               r"href=[\"']([^\"']*)[\"']", 1), F.lit("")),
+        F.regexp_extract(
+            b, r"(?is)<link[^>]*href=[\"']([^\"']*)[\"']", 1))
+    updated = F.when(
+        F.col("kind") == "rss",
+        F.regexp_extract(b, r"(?s)<pubDate>\s*(.*?)\s*</pubDate>", 1),
+    ).otherwise(F.regexp_extract(
+        b, r"(?s)<updated>\s*(.*?)\s*</updated>", 1))
+    guid = F.when(
+        F.col("kind") == "rss",
+        F.regexp_extract(b, r"(?s)<guid[^>]*>\s*(.*?)\s*</guid>", 1),
+    ).otherwise(F.regexp_extract(b, r"(?s)<id>\s*(.*?)\s*</id>", 1))
+    return base.select(
+        id_col, "kind",
+        F.col("entry_idx").cast("long").alias("entry_idx"),
+        html_text(F.regexp_extract(
+            b, r"(?s)<title[^>]*>(.*?)</title>", 1)).alias("title"),
+        F.when(F.col("kind") == "rss", rss_link)
+        .otherwise(atom_link).alias("link"),
+        updated.alias("updated"),
+        guid.alias("guid"),
+        (F.col("kind") != "invalid").alias("valid"),
     )

@@ -6629,3 +6629,119 @@ def x_html_tables(spark, sf_dir):
     return html_tables(
         _t(spark, sf_dir, "documents").select("doc_id")
         .select("doc_id", html.alias("html")))
+
+
+@register(
+    "x_feed_parse",
+    """
+    WITH g AS (
+        SELECT doc_id,
+               doc_id % 17 = 0 AS corrupt,
+               doc_id % 5 = 2 AS is_atom,
+               1 + doc_id % 3 AS n
+        FROM documents
+    ),
+    ent AS (
+        SELECT doc_id, is_atom, unnest(range(0, n)) AS j
+        FROM g WHERE NOT corrupt
+    )
+    SELECT doc_id,
+           CASE WHEN is_atom THEN 'atom' ELSE 'rss' END AS kind,
+           CAST(j AS BIGINT) AS entry_idx,
+           CASE WHEN is_atom THEN printf('A%d-%d', doc_id % 50, j)
+                WHEN (doc_id + j) % 4 = 0
+                THEN printf('Post & %d-%d', doc_id % 50, j)
+                ELSE printf('Post %d-%d', doc_id % 50, j)
+           END AS title,
+           CASE WHEN is_atom AND (doc_id + j) % 2 = 0
+                THEN printf('https://a%d.ex/alt%d', doc_id % 9, j)
+                WHEN is_atom
+                THEN printf('https://a%d.ex/e%d', doc_id % 9, j)
+                ELSE printf('https://s%d.ex/p%d', doc_id % 9, j)
+           END AS link,
+           CASE WHEN is_atom
+                THEN printf('2024-%02d-%02dT00:00:00Z',
+                            1 + (doc_id + j) % 12,
+                            1 + (doc_id + j) % 28)
+                WHEN (doc_id + j) % 3 <> 0
+                THEN printf('Day %d Jan 2024', 1 + (doc_id + j) % 28)
+                ELSE '' END AS updated,
+           CASE WHEN is_atom THEN printf('tag:%d,%d', doc_id, j)
+                WHEN (doc_id + j) % 2 = 0
+                THEN printf('g%d-%d', doc_id, j)
+                ELSE '' END AS guid,
+           TRUE AS valid
+    FROM ent
+    UNION ALL
+    SELECT doc_id, 'invalid', CAST(-1 AS BIGINT), 'none', 'none',
+           'none', 'none', FALSE
+    FROM g WHERE corrupt
+    """,
+)
+def x_feed_parse(spark, sf_dir):
+    """Syndication-feed parse (late r11; operators/webmine.
+    feed_entries): RSS 2.0 `<item>` and Atom `<entry>` blocks — the
+    update-driven recrawl discovery channel next to sitemaps.  RSS
+    element-text links / pubDate / guid; Atom href-attribute links
+    with rel="alternate" preferred over rel="self", `<updated>`,
+    `<id>`; titles entity-decoded through the page chain.  Fixtures
+    rotate kinds, entry counts, optional fields, and alternate-link
+    presence; every 17th payload is not a feed (sentinel row)."""
+    from lwetl_spark.operators.webmine import feed_entries
+
+    i = F.col("doc_id")
+
+    def rss_item(j):
+        amp = (i + j) % 4 == 0
+        title = F.when(amp, F.format_string(
+            "Post &amp; %d-%d", i % 50, j)).otherwise(
+            F.format_string("Post %d-%d", i % 50, j))
+        pub = F.when((i + j) % 3 != 0, F.format_string(
+            "<pubDate>Day %d Jan 2024</pubDate>",
+            1 + (i + j) % 28)).otherwise(F.lit(""))
+        guid = F.when((i + j) % 2 == 0, F.format_string(
+            '<guid isPermaLink="false">g%d-%d</guid>', i, j)) \
+            .otherwise(F.lit(""))
+        return F.format_string(
+            "<item><title>%s</title><link>https://s%d.ex/p%d</link>"
+            "%s%s</item>", title, i % 9, j, pub, guid)
+
+    def atom_entry(j):
+        links = F.when(
+            (i + j) % 2 == 0,
+            F.format_string(
+                '<link rel="self" href="https://a%d.ex/self%d"/>'
+                '<link rel="alternate" href="https://a%d.ex/alt%d"/>',
+                i % 9, j, i % 9, j)).otherwise(
+            F.format_string('<link href="https://a%d.ex/e%d"/>',
+                            i % 9, j))
+        return F.format_string(
+            '<entry><title type="text">A%d-%d</title>%s'
+            "<updated>2024-%02d-%02dT00:00:00Z</updated>"
+            "<id>tag:%d,%d</id></entry>",
+            i % 50, j, links, 1 + (i + j) % 12, 1 + (i + j) % 28,
+            i, j)
+
+    seq = F.sequence(F.lit(0).cast("long"), i % 3)
+    xml = F.when(i % 17 == 0, F.lit("GIF89a not a feed")).when(
+        i % 5 == 2,
+        F.concat(F.lit('<feed xmlns="http://www.w3.org/2005/Atom">'
+                       "<title>F</title>"),
+                 F.concat_ws("", F.transform(seq, atom_entry)),
+                 F.lit("</feed>"))
+    ).otherwise(
+        F.concat(F.lit('<rss version="2.0"><channel><title>B</title>'),
+                 F.concat_ws("", F.transform(seq, rss_item)),
+                 F.lit("</channel></rss>")))
+    out = feed_entries(
+        _t(spark, sf_dir, "documents").select("doc_id")
+        .select("doc_id", xml.alias("xml")))
+    return out.select(
+        "doc_id", "kind",
+        F.coalesce(F.col("entry_idx"), F.lit(-1)).alias("entry_idx"),
+        F.coalesce(F.col("title"), F.lit("none")).alias("title"),
+        F.coalesce(F.col("link"), F.lit("none")).alias("link"),
+        F.coalesce(F.col("updated"), F.lit("none")).alias("updated"),
+        F.coalesce(F.col("guid"), F.lit("none")).alias("guid"),
+        "valid",
+    )

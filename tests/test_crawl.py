@@ -286,3 +286,41 @@ def test_html_tables_extraction(spark):
         (1, 0, 1, 1, False, "5"),
         (1, 1, 0, 0, False, "solo"),
     ]  # doc 2: no rows; doc 3: unterminated table -> no block
+
+
+def test_feed_entries_rss_and_atom(spark):
+    """RSS element-text links / pubDate / guid vs Atom href links
+    (rel=alternate preferred over rel=self), entity-decoded titles,
+    invalid sentinel, and complete-blocks-before-truncation."""
+    from lwetl_spark.operators.webmine import feed_entries
+
+    rss = ('<rss version="2.0"><channel><title>B</title>'
+           "<item><title>Post &amp; one</title>"
+           "<link>https://b/p1</link>"
+           "<pubDate>Mon, 01 Jan 2024 00:00:00 GMT</pubDate>"
+           '<guid isPermaLink="true">https://b/p1</guid></item>'
+           "<item><title>Two</title><link> https://b/p2 </link>"
+           "</item></channel></rss>")
+    atom = ('<feed xmlns="http://www.w3.org/2005/Atom"><title>F</title>'
+            '<entry><title type="text">A1</title>'
+            '<link rel="self" href="https://a/self"/>'
+            '<link rel="alternate" href="https://a/e1"/>'
+            "<updated>2024-02-02T00:00:00Z</updated>"
+            "<id>tag:a,e1</id></entry>"
+            '<entry><title>A2</title><link href="https://a/e2"/>'
+            "</entry></feed>")
+    rows = [(1, rss), (2, atom), (3, "not a feed"),
+            (4, "<rss><channel><item><title>ok</title>"
+                "<link>u</link></item><item><title>cut")]
+    out = {(r["doc_id"], r["entry_idx"]): r for r in feed_entries(
+        spark.createDataFrame(rows, "doc_id long, xml string"))
+        .collect()}
+    assert out[(1, 0)]["title"] == "Post & one"
+    assert out[(1, 0)]["link"] == "https://b/p1"
+    assert out[(1, 1)]["link"] == "https://b/p2"
+    assert out[(2, 0)]["link"] == "https://a/e1"   # alternate wins
+    assert out[(2, 0)]["guid"] == "tag:a,e1"
+    assert out[(2, 1)]["link"] == "https://a/e2"
+    assert out[(3, None)]["valid"] is False
+    assert out[(4, 0)]["title"] == "ok" and len(
+        [k for k in out if k[0] == 4]) == 1
