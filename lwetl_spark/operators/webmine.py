@@ -116,3 +116,69 @@ def feed_entries(df: DataFrame, xml_col: str = "xml",
         guid.alias("guid"),
         (F.col("kind") != "invalid").alias("valid"),
     )
+
+
+def page_meta(df: DataFrame, html_col: str = "html",
+              id_col: str = "doc_id") -> DataFrame:
+    """Page-metadata census — the head fields crawl curation filters
+    on BEFORE reading body text: `<title>`, the description and
+    robots `<meta name=...>` values, OpenGraph `og:title` /
+    `og:image` (`<meta property=...>`), and the `<link
+    rel="canonical">` href.  Attribute order varies in the wild, so
+    each field matches both name-first and content-first forms; the
+    robots value lowercases (a `noindex` there is an admission-gate
+    signal with legal weight); absent fields are empty strings.
+    One row per document, pure Catalyst, map-only."""
+    h = F.col(html_col)
+
+    def meta(attr: str, key: str):
+        a = F.regexp_extract(h, rf"""(?is)<meta\s[^>]*{attr}\s*=\s*["']{key}["'][^>]*content\s*=\s*["']([^"']*)["']""", 1)
+        b = F.regexp_extract(h, rf"""(?is)<meta\s[^>]*content\s*=\s*["']([^"']*)["'][^>]*{attr}\s*=\s*["']{key}["']""", 1)
+        return F.coalesce(F.nullif(a, F.lit("")), F.nullif(b, F.lit("")),
+                          F.lit(""))
+
+    canonical = F.coalesce(
+        F.nullif(F.regexp_extract(
+            h, r"""(?is)<link\s[^>]*rel\s*=\s*["']canonical["'][^>]*href\s*=\s*["']([^"']*)["']""", 1), F.lit("")),
+        F.nullif(F.regexp_extract(
+            h, r"""(?is)<link\s[^>]*href\s*=\s*["']([^"']*)["'][^>]*rel\s*=\s*["']canonical["']""", 1), F.lit("")),
+        F.lit(""))
+    return df.select(
+        F.col(id_col),
+        html_text(F.regexp_extract(
+            h, r"(?is)<title[^>]*>(.*?)</title>", 1)).alias("title"),
+        meta("name", "description").alias("description"),
+        F.lower(meta("name", "robots")).alias("robots"),
+        meta("property", "og:title").alias("og_title"),
+        meta("property", "og:image").alias("og_image"),
+        canonical.alias("canonical"),
+    )
+
+
+def jsonld_blocks(df: DataFrame, html_col: str = "html",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Extract schema.org JSON-LD — the structured-data channel
+    (`<script type="application/ld+json">`) product/article/event
+    miners read: one row per block with its `@type`, `name`, and
+    `url` top-level fields plus the raw block for downstream
+    from_json with richer schemas.  `parsed` is false for blocks
+    whose JSON is malformed (fields null) — never a crash.  Pure
+    Catalyst (regexp + from_json), map-only; documents without
+    blocks yield no rows."""
+    blocks = F.regexp_extract_all(
+        F.col(html_col),
+        F.lit(r"""(?is)<script[^>]*type\s*=\s*["']application/ld\+json["'][^>]*>(.*?)</script>"""), 1)
+    base = df.select(
+        F.col(id_col),
+        F.posexplode(blocks).alias("block_idx", "_raw"))
+    p = F.from_json(
+        F.col("_raw"), "`@type` string, name string, url string")
+    return base.select(
+        id_col,
+        F.col("block_idx").cast("long").alias("block_idx"),
+        p["@type"].alias("ld_type"),
+        p["name"].alias("name"),
+        p["url"].alias("url"),
+        p["@type"].isNotNull().alias("parsed"),
+        F.trim(F.col("_raw")).alias("raw"),
+    )

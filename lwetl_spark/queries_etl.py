@@ -6745,3 +6745,141 @@ def x_feed_parse(spark, sf_dir):
         F.coalesce(F.col("guid"), F.lit("none")).alias("guid"),
         "valid",
     )
+
+
+@register(
+    "x_page_meta",
+    """
+    SELECT doc_id,
+           CASE WHEN doc_id % 4 = 0
+                THEN printf('T & %d', doc_id % 50)
+                ELSE printf('T %d', doc_id % 50) END AS title,
+           CASE WHEN doc_id % 3 <> 0
+                THEN printf('D%d', doc_id % 50) ELSE '' END
+               AS description,
+           CASE doc_id % 5 WHEN 1 THEN 'noindex'
+                WHEN 2 THEN 'noindex, nofollow'
+                WHEN 4 THEN 'all' ELSE '' END AS robots,
+           CASE WHEN doc_id % 2 = 0
+                THEN printf('OG%d', doc_id % 50) ELSE '' END
+               AS og_title,
+           CASE WHEN doc_id % 6 = 0
+                THEN printf('https://img%d.ex/o.jpg', doc_id % 9)
+                ELSE '' END AS og_image,
+           CASE WHEN doc_id % 3 = 0
+                THEN printf('https://c%d.ex/p%d', doc_id % 9,
+                            doc_id % 20)
+                ELSE '' END AS canonical
+    FROM documents
+    """,
+)
+def x_page_meta(spark, sf_dir):
+    """Page-metadata census (late r11; operators/webmine.page_meta):
+    title, meta description, the robots directive (lowercased — a
+    noindex is an admission gate with legal weight), OpenGraph
+    title/image, and the canonical link — the head fields curation
+    filters on before reading body text.  Fixtures flip attribute
+    ORDER per field (name-first vs content-first, the wild's mix),
+    rotate presence/absence, and uppercase some robots values; the
+    oracle enumerates every field from id arithmetic."""
+    from lwetl_spark.operators.webmine import page_meta
+
+    i = F.col("doc_id")
+    title = F.when(i % 4 == 0, F.format_string(
+        "T &amp; %d", i % 50)).otherwise(F.format_string("T %d", i % 50))
+    desc = F.when(
+        (i % 3 != 0) & (i % 2 == 0),
+        F.format_string('<meta name="description" content="D%d">',
+                        i % 50)) \
+        .when(i % 3 != 0, F.format_string(
+            "<meta content='D%d' name='description'>", i % 50)) \
+        .otherwise(F.lit(""))
+    robots = F.when(i % 5 == 1, F.lit(
+        '<meta name="robots" content="NOINDEX">')) \
+        .when(i % 5 == 2, F.lit(
+            '<meta content="noindex, nofollow" name="robots">')) \
+        .when(i % 5 == 4, F.lit('<meta name="robots" content="all">')) \
+        .otherwise(F.lit(""))
+    og = F.when(i % 2 == 0, F.format_string(
+        '<meta property="og:title" content="OG%d"/>', i % 50)) \
+        .otherwise(F.lit(""))
+    ogi = F.when(i % 6 == 0, F.format_string(
+        '<meta content="https://img%d.ex/o.jpg" property="og:image"/>',
+        i % 9)).otherwise(F.lit(""))
+    canon = F.when(
+        (i % 3 == 0) & (i % 2 == 1),
+        F.format_string('<link rel="canonical" href="https://c%d.ex'
+                        '/p%d"/>', i % 9, i % 20)) \
+        .when(i % 3 == 0, F.format_string(
+            '<link href="https://c%d.ex/p%d" rel="canonical"/>',
+            i % 9, i % 20)) \
+        .otherwise(F.lit(""))
+    html = F.format_string(
+        "<html><head><TITLE>%s</TITLE>%s%s%s%s%s</head>"
+        "<body>b</body></html>", title, desc, robots, og, ogi, canon)
+    return page_meta(
+        _t(spark, sf_dir, "documents").select("doc_id")
+        .select("doc_id", html.alias("html")))
+
+
+@register(
+    "x_jsonld",
+    """
+    WITH g AS (
+        SELECT doc_id, unnest(range(0, doc_id % 3)) AS j
+        FROM documents WHERE doc_id % 3 <> 0
+    )
+    SELECT doc_id, CAST(j AS BIGINT) AS block_idx,
+           CASE WHEN (doc_id + j) % 7 = 0 THEN 'none'
+                ELSE CASE (doc_id + j) % 3 WHEN 0 THEN 'Article'
+                     WHEN 1 THEN 'Product' ELSE 'Event' END
+           END AS ld_type,
+           CASE WHEN (doc_id + j) % 7 = 0 THEN 'none'
+                ELSE printf('N%d-%d', doc_id % 50, j) END AS name,
+           CASE WHEN (doc_id + j) % 7 = 0 THEN 'none'
+                ELSE printf('https://l%d.ex/%d', doc_id % 9, j)
+           END AS url,
+           (doc_id + j) % 7 <> 0 AS parsed
+    FROM g
+    """,
+)
+def x_jsonld(spark, sf_dir):
+    """schema.org JSON-LD extraction (late r11; operators/webmine.
+    jsonld_blocks): `<script type="application/ld+json">` blocks —
+    the structured-data channel product/article miners read — with
+    top-level @type/name/url parsed and malformed JSON flagged
+    (parsed=false, fields null) rather than fatal.  Fixtures rotate
+    block counts (incl. zero-block documents emitting no rows),
+    types, and a broken-JSON leg every 7th (doc+block)."""
+    from lwetl_spark.operators.webmine import jsonld_blocks
+
+    i = F.col("doc_id")
+
+    def block(j):
+        good = F.format_string(
+            '{"@type": "%s", "name": "N%d-%d",'
+            ' "url": "https://l%d.ex/%d"}',
+            F.when((i + j) % 3 == 0, F.lit("Article"))
+            .when((i + j) % 3 == 1, F.lit("Product"))
+            .otherwise(F.lit("Event")),
+            i % 50, j, i % 9, j)
+        body = F.when((i + j) % 7 == 0, F.lit("{broken")).otherwise(good)
+        return F.format_string(
+            '<script type="application/ld+json">%s</script>', body)
+
+    html = F.when(i % 3 == 0, F.lit("<html><p>none</p></html>")) \
+        .otherwise(F.concat(
+            F.lit("<html><head>"),
+            F.concat_ws("", F.transform(
+                F.sequence(F.lit(0).cast("long"), i % 3 - 1), block)),
+            F.lit("</head></html>")))
+    out = jsonld_blocks(
+        _t(spark, sf_dir, "documents").select("doc_id")
+        .select("doc_id", html.alias("html")))
+    return out.select(
+        "doc_id", "block_idx",
+        F.coalesce(F.col("ld_type"), F.lit("none")).alias("ld_type"),
+        F.coalesce(F.col("name"), F.lit("none")).alias("name"),
+        F.coalesce(F.col("url"), F.lit("none")).alias("url"),
+        "parsed",
+    )

@@ -324,3 +324,39 @@ def test_feed_entries_rss_and_atom(spark):
     assert out[(3, None)]["valid"] is False
     assert out[(4, 0)]["title"] == "ok" and len(
         [k for k in out if k[0] == 4]) == 1
+
+
+def test_page_meta_and_jsonld(spark):
+    """Attribute order both ways, case-insensitive tags, robots
+    lowercased, entity-decoded titles; JSON-LD blocks parse with the
+    malformed-flag contract and bare pages yield empty/no rows."""
+    from lwetl_spark.operators.webmine import jsonld_blocks, page_meta
+
+    html = ('<html><head><TITLE>My &amp; Page</TITLE>'
+            '<meta name="description" content="A test page">'
+            '<meta content="NOINDEX, nofollow" name="robots">'
+            '<meta property="og:title" content="OG Title"/>'
+            '<meta content="https://c/i.jpg" property="og:image"/>'
+            '<link href="https://c/page" rel="canonical"/>'
+            '<script type="application/ld+json">'
+            '{"@type": "Article", "name": "N1", "url": "https://c/a"}'
+            "</script>"
+            '<script type="application/ld+json">{bad json</script>'
+            "</head><body>x</body></html>")
+    df = spark.createDataFrame(
+        [(1, html), (2, "<p>bare</p>")], "doc_id long, html string")
+    pm = {r["doc_id"]: r for r in page_meta(df).collect()}
+    assert pm[1]["title"] == "My & Page"
+    assert pm[1]["description"] == "A test page"
+    assert pm[1]["robots"] == "noindex, nofollow"
+    assert pm[1]["og_title"] == "OG Title"
+    assert pm[1]["og_image"] == "https://c/i.jpg"
+    assert pm[1]["canonical"] == "https://c/page"
+    assert all(pm[2][c] == "" for c in
+               ("title", "description", "robots", "og_title",
+                "og_image", "canonical"))
+    ld = {(r["doc_id"], r["block_idx"]): r
+          for r in jsonld_blocks(df).collect()}
+    assert ld[(1, 0)]["ld_type"] == "Article" and ld[(1, 0)]["parsed"]
+    assert ld[(1, 1)]["parsed"] is False
+    assert not [k for k in ld if k[0] == 2]
