@@ -55,6 +55,39 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _gen_input(docs: DataFrame, id_col: str) -> DataFrame:
+    """One-column (doc_id) input frame for a fixture generator, spread
+    across the session's parallelism when the upstream scan produced
+    fewer partitions (r11 optimization, guide §2.5's input-skew rule:
+    the sf-dir documents table is ONE parquet split, so every
+    interpreter-bound generate+decode Arrow chain downstream was
+    serializing on a single core — measured 6.45 s wall for ~14 CPU-s
+    of codec work on local[32]).  Only the id column shuffles — the
+    payloads are generated AFTER the spread, inside their final
+    partition, so the no-payload-shuffle discipline is untouched.  At
+    real scale the corpus scan has thousands of splits and this
+    no-ops; the round-robin repartition is deterministic
+    (sortBeforeRepartition) and fixtures are pure per-id functions,
+    so results are partitioning-invariant."""
+    return _spread(docs.select(F.col(id_col).alias("doc_id")))
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin a (small) frame across the session's parallelism
+    when it has fewer partitions — the shared engine of `_gen_input`
+    for generators whose input carries more than the id column."""
+    spark = df.sparkSession
+    try:
+        target = spark.sparkContext.defaultParallelism
+    except Exception:  # Spark Connect: no sparkContext on the session
+        target = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    try:
+        have = df.rdd.getNumPartitions()
+    except Exception:  # Connect again: no RDD surface — spread anyway
+        have = 1
+    return df if have >= target else df.repartition(target)
+
+
 # ---------------------------------------------------------------- #
 # deterministic container generators (stdlib only, workers-safe)    #
 # ---------------------------------------------------------------- #
@@ -2118,7 +2151,7 @@ def synth_warc_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             ids = pdf["doc_id"].astype("int64")
             yield pd.DataFrame({"doc_id": ids, "payload": ids.map(one)})
 
-    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+    return _gen_input(docs, id_col).mapInPandas(
         gen, "doc_id long, payload binary"
     )
 
@@ -2368,9 +2401,9 @@ def synth_warc_html_demo(docs: DataFrame, id_col: str = "doc_id",
                             zip(ids, pdf["text"])],
             })
 
-    return docs.select(
+    return _spread(docs.select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
-    ).mapInPandas(gen, "doc_id long, payload binary")
+    )).mapInPandas(gen, "doc_id long, payload binary")
 
 
 def http_response_parts(df: DataFrame,
@@ -2564,7 +2597,7 @@ def synth_charset_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             ids = pdf["doc_id"].astype("int64")
             yield pd.DataFrame({"doc_id": ids, "payload": ids.map(one)})
 
-    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+    return _gen_input(docs, id_col).mapInPandas(
         gen, "doc_id long, payload binary"
     )
 
@@ -2645,7 +2678,7 @@ def synth_http_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 "payload": ids.map(one),
             })
 
-    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+    return _gen_input(docs, id_col).mapInPandas(
         gen, "doc_id long, rec_idx long, payload binary"
     )
 
@@ -2747,7 +2780,7 @@ def synth_warc_imgtext_demo(docs: DataFrame,
             ids = pdf["doc_id"].astype("int64")
             yield pd.DataFrame({"doc_id": ids, "payload": ids.map(one)})
 
-    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+    return _gen_input(docs, id_col).mapInPandas(
         gen, "doc_id long, payload binary"
     )
 
@@ -2935,7 +2968,7 @@ def synth_gif_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             ids = pdf["doc_id"].astype("int64")
             yield pd.DataFrame({"doc_id": ids, "payload": ids.map(one)})
 
-    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+    return _gen_input(docs, id_col).mapInPandas(
         gen, "doc_id long, payload binary"
     )
 
@@ -3271,7 +3304,7 @@ def synth_gif_px_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             ids = pdf["doc_id"].astype("int64")
             yield pd.DataFrame({"doc_id": ids, "payload": ids.map(one)})
 
-    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+    return _gen_input(docs, id_col).mapInPandas(
         gen, "doc_id long, payload binary"
     )
 
@@ -3303,7 +3336,7 @@ def synth_bmp_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             ids = pdf["doc_id"].astype("int64")
             yield pd.DataFrame({"doc_id": ids, "payload": ids.map(one)})
 
-    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+    return _gen_input(docs, id_col).mapInPandas(
         gen, "doc_id long, payload binary"
     )
 
@@ -3438,7 +3471,7 @@ def synth_png_palette_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame
             ids = pdf["doc_id"].astype("int64")
             yield pd.DataFrame({"doc_id": ids, "payload": ids.map(one)})
 
-    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+    return _gen_input(docs, id_col).mapInPandas(
         gen, "doc_id long, payload binary"
     )
 
@@ -3520,7 +3553,7 @@ def synth_png_adam7_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             ids = pdf["doc_id"].astype("int64")
             yield pd.DataFrame({"doc_id": ids, "payload": ids.map(one)})
 
-    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+    return _gen_input(docs, id_col).mapInPandas(
         gen, "doc_id long, payload binary"
     )
 
@@ -3548,7 +3581,7 @@ def synth_png_color_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             ids = pdf["doc_id"].astype("int64")
             yield pd.DataFrame({"doc_id": ids, "payload": ids.map(one)})
 
-    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+    return _gen_input(docs, id_col).mapInPandas(
         gen, "doc_id long, payload binary"
     )
 
@@ -3645,7 +3678,7 @@ def synth_png16_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             ids = pdf["doc_id"].astype("int64")
             yield pd.DataFrame({"doc_id": ids, "payload": ids.map(one)})
 
-    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+    return _gen_input(docs, id_col).mapInPandas(
         gen, "doc_id long, payload binary"
     )
 
@@ -3740,7 +3773,7 @@ def synth_png_sub_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             ids = pdf["doc_id"].astype("int64")
             yield pd.DataFrame({"doc_id": ids, "payload": ids.map(one)})
 
-    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+    return _gen_input(docs, id_col).mapInPandas(
         gen, "doc_id long, payload binary"
     )
 
@@ -3949,7 +3982,7 @@ def synth_wav_depth_demo(docs: DataFrame,
             ids = pdf["doc_id"].astype("int64")
             yield pd.DataFrame({"doc_id": ids, "payload": ids.map(one)})
 
-    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+    return _gen_input(docs, id_col).mapInPandas(
         gen, "doc_id long, payload binary"
     )
 
@@ -4023,7 +4056,7 @@ def synth_pixel_media_demo(
             ids = pdf["doc_id"].astype("int64")
             yield pd.DataFrame({"doc_id": ids, "payload": ids.map(one)})
 
-    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+    return _gen_input(docs, id_col).mapInPandas(
         gen, "doc_id long, payload binary"
     )
 
@@ -4134,7 +4167,7 @@ def synth_media_demo(
             ids = pdf["doc_id"].astype("int64")
             yield pd.DataFrame({"doc_id": ids, "payload": ids.map(one)})
 
-    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+    return _gen_input(docs, id_col).mapInPandas(
         gen, "doc_id long, payload binary"
     )
 
@@ -4307,7 +4340,7 @@ def synth_heif_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             ids = pdf["doc_id"].astype("int64")
             yield pd.DataFrame({"doc_id": ids, "payload": ids.map(one)})
 
-    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+    return _gen_input(docs, id_col).mapInPandas(
         gen, "doc_id long, payload binary"
     )
 
@@ -5333,7 +5366,7 @@ def synth_mkv_frames_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             ids = pdf["doc_id"].astype("int64")
             yield pd.DataFrame({"doc_id": ids, "payload": ids.map(one)})
 
-    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+    return _gen_input(docs, id_col).mapInPandas(
         gen, "doc_id long, payload binary"
     )
 
@@ -5424,7 +5457,7 @@ def synth_mkv_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             ids = pdf["doc_id"].astype("int64")
             yield pd.DataFrame({"doc_id": ids, "payload": ids.map(one)})
 
-    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+    return _gen_input(docs, id_col).mapInPandas(
         gen, "doc_id long, payload binary"
     )
 
@@ -5521,7 +5554,7 @@ def synth_webp_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             ids = pdf["doc_id"].astype("int64")
             yield pd.DataFrame({"doc_id": ids, "payload": ids.map(one)})
 
-    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+    return _gen_input(docs, id_col).mapInPandas(
         gen, "doc_id long, payload binary"
     )
 
@@ -5592,7 +5625,7 @@ def synth_video_dup_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             ids = pdf["doc_id"].astype("int64")
             yield pd.DataFrame({"doc_id": ids, "payload": ids.map(one)})
 
-    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+    return _gen_input(docs, id_col).mapInPandas(
         gen, "doc_id long, payload binary"
     )
 
@@ -5639,7 +5672,7 @@ def synth_video_dup_xc_demo(
             ids = pdf["doc_id"].astype("int64")
             yield pd.DataFrame({"doc_id": ids, "payload": ids.map(one)})
 
-    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+    return _gen_input(docs, id_col).mapInPandas(
         gen, "doc_id long, payload binary"
     )
 
@@ -5816,7 +5849,7 @@ def synth_image_caption_demo(docs: DataFrame,
             ids = pdf["doc_id"].astype("int64")
             yield pd.DataFrame({"doc_id": ids, "payload": ids.map(one)})
 
-    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+    return _gen_input(docs, id_col).mapInPandas(
         gen, "doc_id long, payload binary"
     )
 
@@ -6040,7 +6073,7 @@ def synth_dhash_neardup_demo(docs: DataFrame,
             ids = pdf["doc_id"].astype("int64")
             yield pd.DataFrame({"doc_id": ids, "payload": ids.map(one)})
 
-    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+    return _gen_input(docs, id_col).mapInPandas(
         gen, "doc_id long, payload binary"
     )
 
@@ -6100,7 +6133,7 @@ def synth_image_dup_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             ids = pdf["doc_id"].astype("int64")
             yield pd.DataFrame({"doc_id": ids, "payload": ids.map(one)})
 
-    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+    return _gen_input(docs, id_col).mapInPandas(
         gen, "doc_id long, payload binary"
     )
 
@@ -6170,7 +6203,7 @@ def synth_gzip_demo(docs: DataFrame, id_col: str = "doc_id",
                             for i, t in zip(ids, pdf[text_col])],
             })
 
-    return docs.select(id_col, text_col).mapInPandas(
+    return _spread(docs.select(id_col, text_col)).mapInPandas(
         gen, "doc_id long, payload binary"
     )
 
@@ -6596,7 +6629,7 @@ def synth_mp3_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             ids = pdf["doc_id"].astype("int64")
             yield pd.DataFrame({"doc_id": ids, "payload": ids.map(one)})
 
-    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+    return _gen_input(docs, id_col).mapInPandas(
         gen, "doc_id long, payload binary"
     )
 
@@ -6752,7 +6785,7 @@ def synth_aac_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             ids = pdf["doc_id"].astype("int64")
             yield pd.DataFrame({"doc_id": ids, "payload": ids.map(one)})
 
-    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+    return _gen_input(docs, id_col).mapInPandas(
         gen, "doc_id long, payload binary"
     )
 
@@ -6934,7 +6967,7 @@ def synth_id3_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             ids = pdf["doc_id"].astype("int64")
             yield pd.DataFrame({"doc_id": ids, "payload": ids.map(one)})
 
-    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+    return _gen_input(docs, id_col).mapInPandas(
         gen, "doc_id long, payload binary"
     )
 
@@ -7109,7 +7142,7 @@ def synth_ico_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             ids = pdf["doc_id"].astype("int64")
             yield pd.DataFrame({"doc_id": ids, "payload": ids.map(one)})
 
-    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+    return _gen_input(docs, id_col).mapInPandas(
         gen, "doc_id long, payload binary"
     )
 
@@ -7273,7 +7306,7 @@ def synth_avi_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             ids = pdf["doc_id"].astype("int64")
             yield pd.DataFrame({"doc_id": ids, "payload": ids.map(one)})
 
-    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+    return _gen_input(docs, id_col).mapInPandas(
         gen, "doc_id long, payload binary"
     )
 
@@ -8864,7 +8897,7 @@ def synth_pdf_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             ids = pdf_["doc_id"].astype("int64")
             yield pd.DataFrame({"doc_id": ids, "payload": ids.map(one)})
 
-    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+    return _gen_input(docs, id_col).mapInPandas(
         gen, "doc_id long, payload binary"
     )
 
@@ -9042,7 +9075,7 @@ def synth_pdf_img_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             ids = pdf_["doc_id"].astype("int64")
             yield pd.DataFrame({"doc_id": ids, "payload": ids.map(one)})
 
-    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+    return _gen_input(docs, id_col).mapInPandas(
         gen, "doc_id long, payload binary"
     )
 
@@ -9078,7 +9111,7 @@ def synth_pdf_campaign_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFram
             ids = pdf_["doc_id"].astype("int64")
             yield pd.DataFrame({"doc_id": ids, "payload": ids.map(one)})
 
-    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+    return _gen_input(docs, id_col).mapInPandas(
         gen, "doc_id long, payload binary"
     )
 
@@ -9502,7 +9535,7 @@ def synth_tiff_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             ids = pdf["doc_id"].astype("int64")
             yield pd.DataFrame({"doc_id": ids, "payload": ids.map(one)})
 
-    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+    return _gen_input(docs, id_col).mapInPandas(
         gen, "doc_id long, payload binary"
     )
 
@@ -9747,7 +9780,7 @@ def synth_tiff_px_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             ids = pdf["doc_id"].astype("int64")
             yield pd.DataFrame({"doc_id": ids, "payload": ids.map(one)})
 
-    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+    return _gen_input(docs, id_col).mapInPandas(
         gen, "doc_id long, payload binary"
     )
 
@@ -10089,7 +10122,7 @@ def synth_flac_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             ids = pdf["doc_id"].astype("int64")
             yield pd.DataFrame({"doc_id": ids, "payload": ids.map(one)})
 
-    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+    return _gen_input(docs, id_col).mapInPandas(
         gen, "doc_id long, payload binary"
     )
 
@@ -10120,7 +10153,7 @@ def synth_ogg_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             ids = pdf["doc_id"].astype("int64")
             yield pd.DataFrame({"doc_id": ids, "payload": ids.map(one)})
 
-    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+    return _gen_input(docs, id_col).mapInPandas(
         gen, "doc_id long, payload binary"
     )
 
@@ -10336,7 +10369,7 @@ def synth_wds_shards(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             ids = pdf["doc_id"].astype("int64")
             yield pd.DataFrame({"doc_id": ids, "payload": ids.map(one)})
 
-    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+    return _gen_input(docs, id_col).mapInPandas(
         gen, "doc_id long, payload binary"
     )
 
@@ -10390,7 +10423,7 @@ def synth_tar_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             ids = pdf["doc_id"].astype("int64")
             yield pd.DataFrame({"doc_id": ids, "payload": ids.map(one)})
 
-    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+    return _gen_input(docs, id_col).mapInPandas(
         gen, "doc_id long, payload binary"
     )
 
@@ -10829,7 +10862,7 @@ def synth_epub_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             ids = pdf["doc_id"].astype("int64")
             yield pd.DataFrame({"doc_id": ids, "payload": ids.map(one)})
 
-    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+    return _gen_input(docs, id_col).mapInPandas(
         gen, "doc_id long, payload binary"
     )
 
@@ -10876,7 +10909,7 @@ def synth_zip_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             ids = pdf["doc_id"].astype("int64")
             yield pd.DataFrame({"doc_id": ids, "payload": ids.map(one)})
 
-    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+    return _gen_input(docs, id_col).mapInPandas(
         gen, "doc_id long, payload binary"
     )
 
@@ -10903,7 +10936,7 @@ def synth_color_jpeg_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             ids = pdf["doc_id"].astype("int64")
             yield pd.DataFrame({"doc_id": ids, "payload": ids.map(one)})
 
-    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+    return _gen_input(docs, id_col).mapInPandas(
         gen, "doc_id long, payload binary"
     )
 
@@ -10934,7 +10967,7 @@ def synth_jpeg_prog_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             ids = pdf["doc_id"].astype("int64")
             yield pd.DataFrame({"doc_id": ids, "payload": ids.map(one)})
 
-    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+    return _gen_input(docs, id_col).mapInPandas(
         gen, "doc_id long, payload binary"
     )
 
@@ -10964,7 +10997,7 @@ def synth_jpeg_rst_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             ids = pdf["doc_id"].astype("int64")
             yield pd.DataFrame({"doc_id": ids, "payload": ids.map(one)})
 
-    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+    return _gen_input(docs, id_col).mapInPandas(
         gen, "doc_id long, payload binary"
     )
 
@@ -11002,6 +11035,6 @@ def synth_jpeg420_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             ids = pdf["doc_id"].astype("int64")
             yield pd.DataFrame({"doc_id": ids, "payload": ids.map(one)})
 
-    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+    return _gen_input(docs, id_col).mapInPandas(
         gen, "doc_id long, payload binary"
     )
