@@ -41,6 +41,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from lwetl_spark.operators._fsutil import path_exists as _path_exists
+from lwetl_spark.operators._parallel import spread as _spread
 from lwetl_spark.operators.similarity import (
     _PQ_BUCKETS,
     _ann_filter_semi,
@@ -406,7 +407,7 @@ def build_ivfpq_index(
         ],
         "subspace int, code int, centroid array<double>",
     ).write.mode("overwrite").parquet(f"{path}/codebooks")
-    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    base = _spread(df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")))
     # n_at_train records the corpus the QUANTIZERS saw, not the corpus
     # indexed (ADVICE r7): a rebuild-with-train_df anchor must carry the
     # same growth baseline as the incrementally maintained index it is
@@ -493,7 +494,7 @@ def query_ivfpq_index(
     b_books = spark.sparkContext.broadcast(books)
     b_R = spark.sparkContext.broadcast(Rot) if Rot is not None else None
     probe_n = min(nprobe, len(C))
-    q_base = queries_df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    q_base = _spread(queries_df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")))
     probe_v = q_base.mapInPandas(
         _make_assign_cells(b_C, probe_n, carry_v=True),
         "id long, cell int, v array<double>",

@@ -54,6 +54,8 @@ from collections.abc import Iterator
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from lwetl_spark.operators._parallel import spread as _spread
+
 
 def _gen_input(docs: DataFrame, id_col: str) -> DataFrame:
     """One-column (doc_id) input frame for a fixture generator, spread
@@ -70,22 +72,6 @@ def _gen_input(docs: DataFrame, id_col: str) -> DataFrame:
     (sortBeforeRepartition) and fixtures are pure per-id functions,
     so results are partitioning-invariant."""
     return _spread(docs.select(F.col(id_col).alias("doc_id")))
-
-
-def _spread(df: DataFrame) -> DataFrame:
-    """Round-robin a (small) frame across the session's parallelism
-    when it has fewer partitions — the shared engine of `_gen_input`
-    for generators whose input carries more than the id column."""
-    spark = df.sparkSession
-    try:
-        target = spark.sparkContext.defaultParallelism
-    except Exception:  # Spark Connect: no sparkContext on the session
-        target = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    try:
-        have = df.rdd.getNumPartitions()
-    except Exception:  # Connect again: no RDD surface — spread anyway
-        have = 1
-    return df if have >= target else df.repartition(target)
 
 
 # ---------------------------------------------------------------- #

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from lwetl_spark.functions.vectors import cosine_similarity
 from lwetl_spark.operators._fsutil import path_exists as _path_exists
+from lwetl_spark.operators._parallel import spread as _spread
 
 
 def cosine_topk(
@@ -132,7 +133,7 @@ def cosine_topk_pandas(
                 }
             )
 
-    return df.select(id_col, vec_col).mapInPandas(
+    return _spread(df.select(id_col, vec_col)).mapInPandas(
         topk_batches, schema="id long, neighbor_id long, cos double, rank int"
     )
 
@@ -624,9 +625,13 @@ def build_lsh_index(
     query with the SAME (num_planes, num_tables, dim).
     """
     bucketed = _lsh_bucketize(df, vec_col, id_col, num_planes, num_tables, dim)
-    bucketed.write.mode("overwrite").partitionBy("table_idx").parquet(
-        f"{path}/buckets"
-    )
+    # cluster by the write-partition column so each table_idx lands as
+    # one file per writer task, not one per (input task x table) —
+    # guide #6's hash distribution-mode; required now the bucketize
+    # pass upstream is spread across cores (_parallel.spread)
+    bucketed.repartition("table_idx").write.mode("overwrite").partitionBy(
+        "table_idx"
+    ).parquet(f"{path}/buckets")
     spark = df.sparkSession
     spark.createDataFrame(
         [(int(num_planes), int(num_tables), int(dim))],
@@ -1171,13 +1176,13 @@ def build_pq_index(
         [(int(m), int(ksub), int(train_sample), int(iters), int(df.count()))],
         "m int, ksub int, train_sample int, iters int, n_at_train long",
     ).write.mode("overwrite").parquet(f"{path}/params")
-    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    base = _spread(df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")))
     bucket = F.pmod(F.xxhash64("cid"), F.lit(_PQ_BUCKETS)).alias("bucket")
     base.mapInPandas(
         _make_pq_encode(b_books), "cid long, code long"
-    ).withColumn("bucket", bucket).write.mode("overwrite").partitionBy(
-        "bucket"
-    ).parquet(f"{path}/codes")
+    ).withColumn("bucket", bucket).repartition("bucket").write.mode(
+        "overwrite"
+    ).partitionBy("bucket").parquet(f"{path}/codes")
     df.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
     ).withColumn(
@@ -1462,11 +1467,13 @@ def build_ivf_index(
         [(int(num_centroids), int(train_sample), int(iters))],
         "num_centroids int, train_sample int, iters int",
     ).write.mode("overwrite").parquet(f"{path}/params")
-    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    base = _spread(df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")))
     assigned = base.mapInPandas(
         _make_assign_cells(b_C, 1, carry_v=True), "id long, cell int, v array<double>"
     )
-    assigned.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/cells")
+    assigned.repartition("cell").write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(f"{path}/cells")
 
 
 def _load_ivf_centroids(spark, path: str):
@@ -1506,7 +1513,7 @@ def query_ivf_index(
     C = _load_ivf_centroids(spark, path)
     b_C = spark.sparkContext.broadcast(C)
     probe_n = min(nprobe, len(C))
-    q_base = queries_df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    q_base = _spread(queries_df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")))
     probe_v = q_base.mapInPandas(
         _make_assign_cells(b_C, probe_n, carry_v=True),
         "id long, cell int, v array<double>",
@@ -1763,7 +1770,9 @@ def _lsh_bucketize(
                 }
             )
 
-    return df.select(ic, vc).mapInPandas(bucketize, "id long, table_idx int, bucket int")
+    return _spread(df.select(ic, vc)).mapInPandas(
+        bucketize, "id long, table_idx int, bucket int"
+    )
 
 
 def semantic_dedup(
@@ -1959,7 +1968,7 @@ def _lsh_bucket_scored(
                 }
             )
 
-    bucketed = df.select(ic, vc).mapInPandas(
+    bucketed = _spread(df.select(ic, vc)).mapInPandas(
         bucketize_v, "id long, v array<double>, table_idx int, bucket int"
     )
 
@@ -2037,7 +2046,7 @@ def kmeans_cluster(
             )
 
     out_id_type = dict(df.dtypes)[id_col]
-    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    base = _spread(df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")))
     return base.mapInPandas(
         gen, f"id {out_id_type}, cluster_id int, cos double"
     ).select(F.col("id").alias(id_col), "cluster_id", "cos")
