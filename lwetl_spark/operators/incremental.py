@@ -330,12 +330,18 @@ def ingest_increment(
     ``compact_changed`` or ``compact_deferred_threshold`` asks for
     it).
     """
+    from lwetl_spark.operators._parallel import spread as _spread
     from lwetl_spark.operators.retrieval import update_text_index
 
     if (embeddings is None) != (vector_index_path is None):
         raise ValueError(
             "dual-index mode needs BOTH embeddings and vector_index_path"
         )
+    # r11 optimization (guide §2.5 input-skew rule): a single-split
+    # snapshot scan otherwise serializes the md5 fingerprint pass and
+    # every map side of the diff/dedup joins on one core; no-op once
+    # the snapshot arrives in enough splits (the 100 TB case).
+    snapshot = _spread(snapshot)
     _vec_build = _vec_update = _vec_remove = None
     if vector_index_path is not None:
         _vec_build, _vec_update, _vec_remove = _vector_family(
