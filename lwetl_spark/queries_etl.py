@@ -6140,12 +6140,17 @@ def x_sitemap_parse(spark, sf_dir):
     )
 
 
-def _link_fixture(spark, sf_dir):
+def _link_fixture(spark, sf_dir, spread: bool = False):
     """Shared link fixture: per document a page at
     https://WWW.h{id%6}.Example/dir{id%4}/sub/page.html carrying
     1+id%5 anchors rotating all six reference forms and both quote
     styles; returns (doc_id, link_idx, ref, resolved, urlkey) rows
-    through the real html_links → resolve_url → surt_key chain."""
+    through the real html_links → resolve_url → surt_key chain.
+
+    ``spread=True`` (r11 optimization, guide §2.5) round-robins the
+    id input across cores so the heavy regex chain parallelizes on a
+    single-split scan — used by x_crawl_frontier, whose window pays a
+    hash exchange anyway; x_link_extract stays map-only as pinned."""
     from lwetl_spark.functions.text import (
         html_links,
         resolve_url,
@@ -6176,9 +6181,13 @@ def _link_fixture(spark, sf_dir):
         F.concat_ws("", F.transform(
             F.sequence(F.lit(0).cast("long"), i % 5), link)),
         F.lit("</body></html>"))
-    pages = (_t(spark, sf_dir, "documents").select("doc_id")
-             .select("doc_id", base.alias("base"),
-                     html_links(html).alias("refs")))
+    ids = _t(spark, sf_dir, "documents").select("doc_id")
+    if spread:
+        from lwetl_spark.operators._parallel import spread as _spread
+
+        ids = _spread(ids)
+    pages = ids.select("doc_id", base.alias("base"),
+                       html_links(html).alias("refs"))
     links = pages.select(
         "doc_id", "base",
         F.posexplode("refs").alias("link_idx", "ref"))
@@ -6357,7 +6366,7 @@ def x_crawl_frontier(spark, sf_dir):
     link_idx) rows only."""
     from pyspark.sql import Window
 
-    links = _link_fixture(spark, sf_dir)
+    links = _link_fixture(spark, sf_dir, spread=True)
     wk = Window.partitionBy("urlkey").orderBy("doc_id", "link_idx")
     return (links.withColumn("_rn", F.row_number().over(wk))
             .filter(F.col("_rn") == 1)
