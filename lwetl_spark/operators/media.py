@@ -7642,6 +7642,11 @@ def _make_tiff_lzw():
         acc = 0
         nbits = 0
         pos = 0
+        # r11 perf: table entries are bytes (C-speed concat/extend, vs
+        # the r10 tuples), and `acc` is masked to its live bits after
+        # every code — unmasked it grew one Python-int limb per input
+        # byte, making every shift O(stream length)
+        lits = [bytes([i]) for i in range(256)]
         while n is None or len(out) < n:
             while nbits < width:
                 if pos >= len(data):
@@ -7649,8 +7654,9 @@ def _make_tiff_lzw():
                 acc = (acc << 8) | data[pos]  # MSB-first
                 pos += 1
                 nbits += 8
-            code = (acc >> (nbits - width)) & ((1 << width) - 1)
             nbits -= width
+            code = acc >> nbits
+            acc &= (1 << nbits) - 1
             if code == clear:
                 table = {}
                 next_code = 258
@@ -7664,21 +7670,21 @@ def _make_tiff_lzw():
             if prev is None:
                 if code > 255:
                     return None  # first code must be a literal
-                entry = (code,)
+                entry = lits[code]
             else:
                 if code < 256:
-                    entry = (code,)
+                    entry = lits[code]
                 elif code in table:
                     entry = table[code]
                 elif code == next_code:
-                    entry = prev + (prev[0],)  # KwKwK
+                    entry = prev + prev[:1]  # KwKwK
                 else:
                     return None
-                table[next_code] = prev + (entry[0],)
+                table[next_code] = prev + entry[:1]
                 next_code += 1
                 if next_code == (1 << width) - 1 and width < 12:
                     width += 1  # TIFF early change
-            out.extend(entry)
+            out += entry
             prev = entry
             if len(out) > max_out:
                 return None  # runaway stream: refuse, never OOM

