@@ -330,18 +330,24 @@ def ingest_increment(
     ``compact_changed`` or ``compact_deferred_threshold`` asks for
     it).
     """
-    from lwetl_spark.operators._parallel import spread as _spread
     from lwetl_spark.operators.retrieval import update_text_index
 
     if (embeddings is None) != (vector_index_path is None):
         raise ValueError(
             "dual-index mode needs BOTH embeddings and vector_index_path"
         )
-    # r11 optimization (guide §2.5 input-skew rule): a single-split
-    # snapshot scan otherwise serializes the md5 fingerprint pass and
-    # every map side of the diff/dedup joins on one core; no-op once
-    # the snapshot arrives in enough splits (the 100 TB case).
-    snapshot = _spread(snapshot)
+    # r11: a _spread(snapshot) at entry was tried and REVERTED (guide
+    # §1.1 measure-first): the map work it parallelizes (md5
+    # fingerprint, diff-join map sides) is trivial, while widening the
+    # snapshot to 32 partitions multiplies the task count of every
+    # downstream eager checkpoint in this delta-sized chain.
+    # Best-of-N A/B on a quiet box: campaign_increment 4.81→6.16,
+    # campaign_compact 10.36→10.80, campaign_bootstrap 6.00→7.17,
+    # x_imgtext_pairs 6.08→6.57 (all WORSE with the spread).  At
+    # 100 TB the snapshot scan has thousands of splits and the spread
+    # would no-op anyway; the index build's tokenize parallelism comes
+    # from the admission joins' shuffle partitioning, not from the
+    # input's split count.
     _vec_build = _vec_update = _vec_remove = None
     if vector_index_path is not None:
         _vec_build, _vec_update, _vec_remove = _vector_family(
