@@ -356,10 +356,14 @@ def ingest_increment(
         _vec_marker = f"{vector_index_path}/{_VEC_MARKER[vector_index_kind]}"
 
     def _vec_delta_for(ids_df: DataFrame) -> DataFrame:
+        # r11: lazy checkpoint — _vec_add's count() is the next action
+        # and materializes the blocks in the SAME job (an eager
+        # checkpoint runs its own count internally, so eager + count
+        # paid two jobs + two plan analyses per call)
         return (
             embeddings.select(id_col, vec_col)
             .join(ids_df.select(id_col), id_col, "left_semi")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
 
     def _vec_add(ids_df: DataFrame) -> int:
@@ -398,9 +402,12 @@ def ingest_increment(
         snapshot = snapshot.join(tomb, id_col, "left_anti")
 
     digest = F.md5(F.lower(F.trim(F.col(text_col))))
+    # r11: the count() below is the materializing action for this and
+    # every other lazy localCheckpoint in this function — one job per
+    # checkpoint instead of eager's internal count + the visible one
     manifest_new = snapshot.select(
         F.col(id_col), digest.alias("dg")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     n_snapshot = manifest_new.count()
 
     have_manifest = _path_exists(spark, manifest_path)
@@ -426,7 +433,7 @@ def ingest_increment(
     # delta-sized).  After the diff, fresh is added+changed rows only, so
     # the materialization is delta-sized in steady state and one
     # corpus-sized pass at bootstrap.
-    fresh = fresh.localCheckpoint(eager=True)
+    fresh = fresh.localCheckpoint(eager=False)  # materialized by count()
     n_fresh = fresh.count()
 
     if _path_exists(spark, state_path):
@@ -449,8 +456,10 @@ def ingest_increment(
     w_min = novel.groupBy("_fp").agg(F.min(id_col).alias(id_col))
     admitted = (
         novel.join(w_min.hint("shuffle_hash"), [id_col, "_fp"], "left_semi")
-        # eager: state/manifest appends below must not race their scans
-        .localCheckpoint(eager=True)
+        # the count() right below materializes the checkpoint BEFORE the
+        # state/manifest appends run, so they still cannot race their
+        # scans (r11: lazy + count = one job, was eager + count = two)
+        .localCheckpoint(eager=False)
     )
     n_admitted = admitted.count()
 
@@ -509,8 +518,9 @@ def ingest_increment(
                     "left_anti",
                 )
                 .select(id_col)
-                # eager: the backlog count + cand semi-probe both read it
-                .localCheckpoint(eager=True)
+                # the backlog count right below materializes it; the
+                # cand semi-probe then reads the cached blocks
+                .localCheckpoint(eager=False)
             )
             # the backlog POLICY (VERDICT r6 #5's "deferred-change
             # backlog" threshold — the scheduling knob compact_changed's
@@ -541,7 +551,7 @@ def ingest_increment(
         wc = cand.groupBy("_fp").agg(F.min(id_col).alias(id_col))
         cand = cand.join(
             wc.hint("shuffle_hash"), [id_col, "_fp"], "left_semi"
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)  # materialized by count()
         n_compacted = cand.count()
         compacted_ids = cand.select(id_col)
         if n_compacted:
@@ -581,7 +591,7 @@ def ingest_increment(
                 diff.filter(F.col("status") == "removed")
                 .select(id_col)
                 .join(state_now.select(id_col), id_col, "left_semi")
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)  # materialized by count()
             )
             n_retired = removed.count()
             if n_retired:
@@ -609,7 +619,7 @@ def ingest_increment(
         if state_now is not None:
             removed_t = tomb.join(
                 state_now.select(id_col), id_col, "left_semi"
-            ).localCheckpoint(eager=True)
+            ).localCheckpoint(eager=False)  # materialized by count()
             n_tomb = removed_t.count()
             if n_tomb:
                 remove_from_index(spark, index_path, removed_t, id_col=id_col)
