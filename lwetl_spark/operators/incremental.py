@@ -390,6 +390,36 @@ def ingest_increment(
             )
         return n
 
+    # --- cached state/manifest reads (r11, guide §1.1/§6): state_path
+    # is consulted up to FIVE times per increment and every
+    # spark.read.parquet pays a schema-inference footer job plus a
+    # fresh driver-side file listing.  Both schemas are knowable here
+    # (fp/dg are md5 hex strings; the id keeps the snapshot's type), so
+    # reads pin the schema (no footer job), and one read is REUSED
+    # until this function itself writes the path again — a DataFrame's
+    # file listing is a read-time snapshot, so reuse across our own
+    # appends/overwrites would miss them, but between writes the disk
+    # state cannot change (single-writer campaign contract).
+    from pyspark.sql import types as T
+
+    _id_type = snapshot.schema[id_col].dataType
+    _state_schema = T.StructType([
+        T.StructField("fp", T.StringType()),
+        T.StructField(id_col, _id_type),
+    ])
+    _state_cache: list = [None]
+
+    def _read_state() -> DataFrame | None:
+        """Current state table, or None when no state exists yet."""
+        if _state_cache[0] is None and _path_exists(spark, state_path):
+            _state_cache[0] = spark.read.schema(_state_schema).parquet(
+                state_path
+            )
+        return _state_cache[0]
+
+    def _state_written() -> None:
+        _state_cache[0] = None
+
     tomb = None
     if tombstones is not None:
         tomb = (
@@ -412,7 +442,13 @@ def ingest_increment(
 
     have_manifest = _path_exists(spark, manifest_path)
     if have_manifest:
-        manifest_old = spark.read.parquet(manifest_path)
+        # schema pinned for the same no-footer-job reason as the state
+        manifest_old = spark.read.schema(
+            T.StructType([
+                T.StructField(id_col, _id_type),
+                T.StructField("dg", T.StringType()),
+            ])
+        ).parquet(manifest_path)
 
     if have_manifest:
         diff = manifest_diff(manifest_old, manifest_new, id_col=id_col)
@@ -436,8 +472,8 @@ def ingest_increment(
     fresh = fresh.localCheckpoint(eager=False)  # materialized by count()
     n_fresh = fresh.count()
 
-    if _path_exists(spark, state_path):
-        state = spark.read.parquet(state_path)
+    state = _read_state()
+    if state is not None:
         novel = fresh.join(
             state.select("fp"), fresh["_fp"] == state["fp"], "left_anti"
         )
@@ -481,6 +517,7 @@ def ingest_increment(
         admitted.select(F.col("_fp").alias("fp"), id_col).write.mode(
             "append"
         ).parquet(state_path)
+        _state_written()
     n_vec_indexed = 0
     n_vec_retired = 0
     if embeddings is not None and n_admitted:
@@ -504,10 +541,10 @@ def ingest_increment(
         # A manifest can exist with NO state yet (empty first snapshot
         # admitted nothing, ADVICE r7): missing state = empty backlog,
         # not a read failure
-        if not _path_exists(spark, state_path):
+        state_full = _read_state()
+        if state_full is None:
             stale_ids = None
         else:
-            state_full = spark.read.parquet(state_path)
             stale_ids = (
                 manifest_new.join(
                     state_full.select(id_col), id_col, "left_semi"
@@ -570,6 +607,7 @@ def ingest_increment(
                 .localCheckpoint(eager=True)
             )
             new_state.write.mode("overwrite").parquet(state_path)
+            _state_written()
             if embeddings is not None:
                 # vector-side compaction: remove-then-re-add, so the
                 # NEW content's embedding replaces the old one under
@@ -581,11 +619,7 @@ def ingest_increment(
     if retire_removed and have_manifest and not snapshot_is_delta:
         from lwetl_spark.operators.retrieval import remove_from_index
 
-        state_now = (
-            spark.read.parquet(state_path)
-            if _path_exists(spark, state_path)
-            else None
-        )
+        state_now = _read_state()
         if state_now is not None:
             removed = (
                 diff.filter(F.col("status") == "removed")
@@ -600,6 +634,7 @@ def ingest_increment(
                     removed, id_col, "left_anti"
                 ).localCheckpoint(eager=True)
                 kept_state.write.mode("overwrite").parquet(state_path)
+                _state_written()
                 if embeddings is not None:
                     _vec_remove(spark, vector_index_path, removed)
                     n_vec_retired = n_retired
@@ -611,11 +646,7 @@ def ingest_increment(
         # the first pass, so the semi-join below finds nothing)
         from lwetl_spark.operators.retrieval import remove_from_index
 
-        state_now = (
-            spark.read.parquet(state_path)
-            if _path_exists(spark, state_path)
-            else None
-        )
+        state_now = _read_state()
         if state_now is not None:
             removed_t = tomb.join(
                 state_now.select(id_col), id_col, "left_semi"
@@ -627,6 +658,7 @@ def ingest_increment(
                     removed_t, id_col, "left_anti"
                 ).localCheckpoint(eager=True)
                 kept_state.write.mode("overwrite").parquet(state_path)
+                _state_written()
                 if embeddings is not None:
                     _vec_remove(spark, vector_index_path, removed_t)
                     n_vec_retired += n_tomb
@@ -653,11 +685,7 @@ def ingest_increment(
         # later re-crawl of the id re-enters as 'added'
         manifest_out = manifest_out.join(tomb, id_col, "left_anti")
     if have_manifest:
-        state_pairs = (
-            spark.read.parquet(state_path)
-            if _path_exists(spark, state_path)
-            else None
-        )
+        state_pairs = _read_state()
         if state_pairs is not None:
             # deferred = indexed ids whose new digest differs from the
             # indexed fingerprint (same pair-derived set as compaction:
