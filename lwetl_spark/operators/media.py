@@ -757,61 +757,126 @@ def _make_jpeg_decoder():
         pass
 
     class _BR:
+        """Buffered bit reader (r11, guide §4.2): the old reader made a
+        Python call PER BIT; this one keeps a ≥16-bit accumulator so
+        hdecode/recv slice whole codes out of it.  The unstuffing rules
+        are unchanged: FF 00 delivers an FF data byte, any other FF
+        stops the fill (RSTn or truncated tail — bits past it are
+        never delivered, so _EOF fires exactly where the per-bit
+        reader raised it)."""
+
         def __init__(self, data: bytes):
             self.d = data
             self.pos = 0
             self.acc = 0
             self.n = 0
 
-        def bit(self) -> int:
-            if self.n == 0:
-                if self.pos >= len(self.d):
-                    raise _EOF
-                byte = self.d[self.pos]
-                self.pos += 1
+        def fill(self) -> None:
+            """Top the accumulator up to ≥16 bits, stopping early (and
+            consuming nothing) at a real marker or end of data."""
+            d, pos, n = self.d, self.pos, self.n
+            acc = self.acc & ((1 << n) - 1)  # drop consumed high bits
+            L = len(d)
+            while n < 32 and pos < L:
+                byte = d[pos]
                 if byte == 0xFF:
-                    if self.pos < len(self.d) and self.d[self.pos] == 0x00:
-                        self.pos += 1  # stuffed zero
+                    if pos + 1 < L and d[pos + 1] == 0x00:
+                        pos += 2  # stuffed zero
                     else:
-                        raise _EOF  # a real marker ends the scan
-                self.acc = byte
-                self.n = 8
-            self.n -= 1
-            return (self.acc >> self.n) & 1
+                        break  # a real marker ends the scan
+                else:
+                    pos += 1
+                acc = (acc << 8) | byte
+                n += 8
+            self.pos, self.n, self.acc = pos, n, acc
+
+        def bit(self) -> int:
+            n = self.n
+            if n == 0:
+                self.fill()
+                n = self.n
+                if n == 0:
+                    raise _EOF
+            self.n = n = n - 1
+            return (self.acc >> n) & 1
 
         def restart(self) -> None:
             """Consume one RSTn marker at a restart boundary (T.81
             §E.2.4): drop padding bits to the byte boundary, then the
             two marker bytes.  Raises _EOF if the marker isn't there —
-            a corrupt stream, not a different layout."""
+            a corrupt stream, not a different layout.  ≥8 buffered bits
+            here means at least one whole undecoded data byte precedes
+            the marker — the same corrupt shape the per-bit reader
+            rejected by finding a data byte where the marker belongs."""
+            if self.n >= 8:
+                raise _EOF
             self.n = 0  # byte-align: discard padding bits
             if (self.pos + 2 > len(self.d) or self.d[self.pos] != 0xFF
                     or not 0xD0 <= self.d[self.pos + 1] <= 0xD7):
                 raise _EOF
             self.pos += 2
 
-    def hdecode(br: "_BR", table: dict) -> int:
+    def hdecode(br: "_BR", table: tuple) -> int:
+        """Canonical-Huffman decode via a 2-level table (T.81 fast
+        path): codes ≤8 bits resolve in ONE 256-entry LUT probe on the
+        top byte of the accumulator; longer codes fall back to the
+        (len, code) dict from length 9.  Bit-exact with the old
+        per-bit walk: canonical tables are prefix-free, so the first
+        match is the only match."""
+        lut, longd = table
+        n = br.n
+        if n < 16:
+            br.fill()
+            n = br.n
+        acc = br.acc
+        if n >= 8:
+            e = lut[(acc >> (n - 8)) & 0xFF]
+            if e is not None:
+                br.n = n - e[1]
+                return e[0]
+            for ln in range(9, 17):
+                if ln > n:
+                    raise _EOF
+                sym = longd.get((ln, (acc >> (n - ln)) & ((1 << ln) - 1)))
+                if sym is not None:
+                    br.n = n - ln
+                    return sym
+            raise _EOF
+        # tail: fewer than 8 bits remain in the whole scan segment
         code = 0
         for ln in range(1, 17):
-            code = (code << 1) | br.bit()
-            sym = table.get((ln, code))
-            if sym is not None:
-                return sym
+            if ln > n:
+                raise _EOF
+            code = (code << 1) | ((acc >> (n - ln)) & 1)
+            e = lut[code << (8 - ln)] if ln <= 8 else None
+            if e is not None and e[1] == ln:
+                br.n = n - ln
+                return e[0]
         raise _EOF
 
     def extend(br: "_BR", t: int) -> int:
         if not t:
             return 0
-        v = 0
-        for _ in range(t):
-            v = (v << 1) | br.bit()
+        v = recv(br, t)
         return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
 
     def recv(br: "_BR", n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | br.bit()
-        return v
+        if n > 16:  # corrupt-table guard (DC category past the spec's
+            # 16): consume in chunks exactly as the per-bit reader did
+            v = 0
+            for _ in range(n >> 4):
+                v = (v << 16) | recv(br, 16)
+            if n & 15:
+                v = (v << (n & 15)) | recv(br, n & 15)
+            return v
+        have = br.n
+        if have < n:
+            br.fill()
+            have = br.n
+            if have < n:
+                raise _EOF
+        br.n = have = have - n
+        return (br.acc >> have) & ((1 << n) - 1)
 
     #: natural (row*8+col) position -> zigzag index, for the vectorized
     #: de-zigzag in the shared finish stage
@@ -875,14 +940,29 @@ def _make_jpeg_decoder():
                         return None  # DHT declares more symbols than
                         # the segment carries (r10 fuzz find: the
                         # truncated-table IndexError killed the task)
-                    tbl, code, k = {}, 0, 0
+                    # 2-level decode table (r11 fast path): codes ≤8
+                    # bits pre-expand into a 256-entry LUT keyed by the
+                    # next byte of the stream (each code owns all its
+                    # suffix slots); longer codes stay (len, code)->sym
+                    lut: list = [None] * 256
+                    longd, code, k = {}, 0, 0
                     for cl in range(1, 17):
                         for _ in range(bits[cl - 1]):
-                            tbl[(cl, code)] = vals[k]
+                            # corrupt DHT: a code counter past 2^cl can
+                            # never match cl read bits — the old dict
+                            # stored such entries dead; skip them
+                            if code < (1 << cl):
+                                if cl <= 8:
+                                    e = (vals[k], cl)
+                                    base = code << (8 - cl)
+                                    for s in range(1 << (8 - cl)):
+                                        lut[base | s] = e
+                                else:
+                                    longd[(cl, code)] = vals[k]
                             code += 1
                             k += 1
                         code <<= 1
-                    huff[(tc, th)] = tbl
+                    huff[(tc, th)] = (lut, longd)
                     i += 17 + nv
             elif m in (0xC0, 0xC1, 0xC2):
                 if len(payload) < 6:

@@ -748,3 +748,53 @@ def test_spread_helper_is_conditional(spark):
 
     already = spark.range(1000).repartition(target + 4)
     assert spread(already) is already
+
+
+def test_jpeg_huffman_lut_decoder_paths():
+    """r11 fast-path rewrite of the JPEG entropy decoder (buffered bit
+    reader + 2-level Huffman LUT): pixel decode stays bit-exact on
+    every encoder shape, a corrupt DHT whose code counter overflows
+    2^len yields None (not an IndexError from the LUT expansion), and
+    restart-marker streams decode through the buffered reader."""
+    from lwetl_spark.operators.media import (
+        _make_jpeg_decoder,
+        jpeg_baseline_bytes as enc,
+    )
+
+    dec = _make_jpeg_decoder()
+
+    def coeffs(nb, i, top=13):
+        return [((i + 17 * b) % 112 - 56, (i + 5 * b) % top)
+                for b in range(nb)]
+
+    w, h = 40, 24
+    nb = ((w + 7) // 8) * ((h + 7) // 8)
+    # oracle pixels from the fixture's closed form: block b carries
+    # dc=(i+17b)%112-56 via qdc=8 -> every pixel of an AC-free block
+    # is 128 + dc*... -- instead of replaying IDCT math, pin against a
+    # restart-interval re-encode of the SAME coefficients: identical
+    # coefficients must decode to identical pixels whichever framing
+    # carried them (exercises _BR.restart on the buffered reader).
+    import numpy as np
+
+    for i in (0, 3, 11):
+        plain = dec(enc(w, h, coeffs(nb, i)))
+        rst = dec(enc(w, h, coeffs(nb, i), restart_interval=2))
+        assert plain is not None and rst is not None
+        assert np.array_equal(plain, rst)
+
+    # >8-bit Huffman codes take the longd fallback: the fixture AC
+    # table carries 16-bit codes for rare symbols -- progressive color
+    # scans hit them; a decode returning an array proves the path
+    prog = dec(enc.progressive(w, h, coeffs(nb, 5)))
+    assert prog is not None and prog.shape == (h, w)
+
+    # corrupt DHT: inflate a BITS entry so the canonical code counter
+    # overflows 2^len mid-table -- the decoder must return None
+    b = bytearray(enc(w, h, coeffs(nb, 1)))
+    at = b.find(bytes([0xFF, 0xC4]))
+    assert at > 0
+    # DHT payload: [tc/th][BITS x16][vals...]; set BITS[1] (2-bit codes)
+    # to 255 declared symbols -- far past the 4 codes 2 bits can hold
+    b[at + 5] = 255
+    assert dec(bytes(b)) is None
