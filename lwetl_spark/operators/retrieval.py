@@ -1053,7 +1053,13 @@ def compact_text_index(
     from the persisted postings schema) — replaced docs' new offsets
     enter with their new content.
     """
-    positional = "positions" in spark.read.parquet(f"{path}/postings").columns
+    # ONE postings read serves the positional probe, the old-row scan,
+    # and the kept-row scan below (r11, guide §6): every
+    # spark.read.parquet re-lists the 256 bucket dirs and re-infers the
+    # schema as its own driver job — all three consumers run before any
+    # write, so the snapshot is shared safely
+    postings = spark.read.parquet(f"{path}/postings")
+    positional = "positions" in postings.columns
     tf_new, _, _ = doc_term_stats(
         replacement_docs, id_col=id_col, text_col=text_col,
         positions=positional,
@@ -1067,7 +1073,6 @@ def compact_text_index(
     ids = ids.localCheckpoint(eager=True)
 
     bucket = F.pmod(F.xxhash64("tok"), F.lit(_INDEX_BUCKETS)).alias("bucket")
-    postings = spark.read.parquet(f"{path}/postings")
     # locate the replaced ids' old rows.  With the docbuckets sidecar
     # (r6, written by build/update) the scan prunes to the ≤256 buckets
     # that actually hold a replaced doc's postings — replacing the one
@@ -1198,16 +1203,20 @@ def compact_text_index(
     if have_db:
         # sidecar follows the content: replaced/removed ids' rows drop,
         # the replacements' new (doc_id, bucket) rows enter — the same
-        # metadata-sized filter-out + union overwrite as doclen
+        # metadata-sized filter-out + union overwrite as doclen.
+        # db_tbl reuses the affected_old read (docbuckets was not
+        # written in between), saving its re-list + re-infer job
         db_merged = (
-            spark.read.parquet(f"{path}/docbuckets")
+            db_tbl
             .join(ids, "doc_id", "left_anti")
             .unionByName(tf_new.select("doc_id", bucket).distinct())
             .localCheckpoint(eager=True)
         )
         db_merged.write.mode("overwrite").parquet(f"{path}/docbuckets")
+    # stats from the just-checkpointed dl_merged — row-identical to the
+    # doclen table the overwrite above wrote, without re-reading it
     stats = (
-        spark.read.parquet(f"{path}/doclen")
+        dl_merged
         .agg(
             F.count("*").alias("n"),
             F.expr("1000 * sum(dl) div count(*)").alias("adl_m"),
