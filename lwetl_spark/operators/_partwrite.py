@@ -75,3 +75,22 @@ def write_empty_partition(
         .write.mode("overwrite")
         .parquet(f"{path}/{part_col}={part_value}")
     )
+
+
+def cluster_for_write(df: DataFrame, part_col: str, threshold: int = 8) -> DataFrame:
+    """Cluster a to-be-hive-partitioned frame by its partition column
+    when — and only when — it has enough input partitions for the
+    tasks × partition-values sliver explosion to matter (guide §6's
+    distribution-mode rule).  Below the threshold a write produces at
+    most ``threshold`` files per partition directory and the clustering
+    exchange (which must move the full payload, e.g. array<double>
+    vectors) costs more than the footers it saves; above it — every
+    corpus-sized build at real scale — the exchange is mandatory or the
+    write emits tasks × values files whose parquet footers dominate
+    later reads.  Row content is partitioning-invariant (same rows,
+    different file layout), so results are identical either way."""
+    try:
+        have = df.rdd.getNumPartitions()
+    except Exception:  # Spark Connect: no RDD surface — cluster (safe)
+        have = threshold + 1
+    return df.repartition(part_col) if have > threshold else df

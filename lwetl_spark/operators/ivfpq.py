@@ -40,6 +40,7 @@ from py4j.protocol import Py4JError
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from lwetl_spark.operators import _partwrite as _pw
 from lwetl_spark.operators._fsutil import path_exists as _path_exists
 from lwetl_spark.operators._parallel import spread as _spread
 from lwetl_spark.operators.similarity import (
@@ -431,11 +432,21 @@ def build_ivfpq_index(
     ).repartition("cell").write.mode("overwrite").partitionBy("cell").parquet(
         f"{path}/codes"
     )
-    df.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
-    ).withColumn(
-        "bucket", F.pmod(F.xxhash64("id"), F.lit(_PQ_BUCKETS))
-    ).write.mode("overwrite").partitionBy("bucket").parquet(f"{path}/vectors")
+    # r11: cluster by the partition column when the input is many-split
+    # (the codes-write idiom above, made conditional) — without it a
+    # many-split corpus writes tasks × buckets sliver files, and the
+    # retrain path re-reads ALL of them; a 1-split local build skips
+    # the array<double> exchange (measured +0.4 s on x_ann_pq)
+    _pw.cluster_for_write(
+        df.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+        ).withColumn(
+            "bucket", F.pmod(F.xxhash64("id"), F.lit(_PQ_BUCKETS))
+        ),
+        "bucket",
+    ).write.mode("overwrite").partitionBy("bucket").parquet(
+        f"{path}/vectors"
+    )
 
 
 def _load_quantizers(spark, path: str):

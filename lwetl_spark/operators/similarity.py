@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from lwetl_spark.functions.vectors import cosine_similarity
+from lwetl_spark.operators import _partwrite as _pw
 from lwetl_spark.operators._fsutil import path_exists as _path_exists
 from lwetl_spark.operators._parallel import spread as _spread
 
@@ -637,11 +638,19 @@ def build_lsh_index(
         [(int(num_planes), int(num_tables), int(dim))],
         "num_planes int, num_tables int, dim int",
     ).write.mode("overwrite").parquet(f"{path}/params")
-    df.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
-    ).withColumn(
-        "vbucket", F.pmod(F.xxhash64("id"), F.lit(_PQ_BUCKETS))
-    ).write.mode("overwrite").partitionBy("vbucket").parquet(f"{path}/vectors")
+    # r11: cluster by the partition column when many-split (the
+    # buckets-write idiom above, made conditional) — one file per
+    # vbucket instead of tasks × vbuckets at scale
+    _pw.cluster_for_write(
+        df.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+        ).withColumn(
+            "vbucket", F.pmod(F.xxhash64("id"), F.lit(_PQ_BUCKETS))
+        ),
+        "vbucket",
+    ).write.mode("overwrite").partitionBy("vbucket").parquet(
+        f"{path}/vectors"
+    )
 
 
 def update_lsh_index(
@@ -1183,11 +1192,20 @@ def build_pq_index(
     ).withColumn("bucket", bucket).repartition("bucket").write.mode(
         "overwrite"
     ).partitionBy("bucket").parquet(f"{path}/codes")
-    df.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
-    ).withColumn(
-        "bucket", F.pmod(F.xxhash64("id"), F.lit(_PQ_BUCKETS))
-    ).write.mode("overwrite").partitionBy("bucket").parquet(f"{path}/vectors")
+    # r11: cluster by the partition column when many-split (the
+    # codes-write idiom above, made conditional) — one file per bucket
+    # instead of tasks × buckets at scale; a 1-split local build skips
+    # the array<double> exchange
+    _pw.cluster_for_write(
+        df.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+        ).withColumn(
+            "bucket", F.pmod(F.xxhash64("id"), F.lit(_PQ_BUCKETS))
+        ),
+        "bucket",
+    ).write.mode("overwrite").partitionBy("bucket").parquet(
+        f"{path}/vectors"
+    )
 
 
 def query_pq_index(

@@ -45,3 +45,32 @@ def test_eager_checkpoints_remain_where_no_count_follows():
     assert "localCheckpoint(eager=True)" in src, (
         "the write-guard eager checkpoints must not be converted to lazy"
     )
+
+
+def test_cluster_for_write_is_conditional(spark):
+    """_partwrite.cluster_for_write: a many-split frame clusters by the
+    partition column (one file per value at scale), a few-split frame
+    passes through untouched (no array-payload exchange on local
+    builds); rows are identical either way."""
+    from pyspark.sql import functions as F
+
+    from lwetl_spark.operators._partwrite import cluster_for_write
+
+    few = spark.range(100).withColumn("b", F.pmod("id", F.lit(4))).coalesce(2)
+    assert cluster_for_write(few, "b") is few
+
+    many = spark.range(100).withColumn(
+        "b", F.pmod("id", F.lit(4))
+    ).repartition(16)
+    out = cluster_for_write(many, "b")
+    assert out is not many
+    # clustered: each b value lives in exactly ONE partition, so a
+    # partitionBy write emits one file per value, not one per task
+    per_part = out.rdd.mapPartitionsWithIndex(
+        lambda i, it: [(i, b) for b in {r["b"] for r in it}]
+    ).collect()
+    partitions_per_value: dict = {}
+    for i, b in per_part:
+        partitions_per_value.setdefault(b, set()).add(i)
+    assert all(len(ps) == 1 for ps in partitions_per_value.values())
+    assert sorted(r["id"] for r in out.collect()) == list(range(100))
