@@ -141,6 +141,19 @@ def curate(
     from lwetl_spark.functions.text import token_count
 
     docs = load_table(spark, sf_dir, "documents")
+    # r11 (guide §2.5): a local sf-dir corpus is ONE parquet split, so
+    # the whole HOF battery (gopher rules, minhash signatures) ran on a
+    # single core — and a bare repartition cannot fix it because the
+    # deterministic filters push through it back to the one-split scan.
+    # When spread actually widens the frame (few-split input only), a
+    # lazy checkpoint materialized by the n_input count below pins the
+    # 32-way layout; at real scale spread no-ops and the corpus rides
+    # its scan unmaterialized (checkpointing 100 TB would be absurd).
+    from lwetl_spark.operators._parallel import spread as _spread
+
+    _wide = _spread(docs)
+    if _wide is not docs:
+        docs = _wide.localCheckpoint(eager=False)
     n_input = docs.count()
     stats = {"n_input": n_input}
 
