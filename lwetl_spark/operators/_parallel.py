@@ -32,6 +32,12 @@ def spread(df: DataFrame) -> DataFrame:
         target = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     try:
         have = df.rdd.getNumPartitions()
-    except Exception:  # Connect again: no RDD surface — spread anyway
-        have = 1
+    except Exception:
+        # Spark Connect: no RDD surface, so the partition count is
+        # unknowable.  Default to IDENTITY (r12, VERDICT r11 #8 /
+        # ADVICE): on a Connect cluster at real scale the input has
+        # thousands of splits and spreading unconditionally would
+        # re-introduce the full-payload exchange this helper exists
+        # to avoid (e.g. the array<double> corpus in the ANN builds).
+        return df
     return df if have >= target else df.repartition(target)

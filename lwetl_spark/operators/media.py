@@ -57,7 +57,7 @@ from pyspark.sql import functions as F
 from lwetl_spark.operators._parallel import spread as _spread
 
 
-def _gen_input(docs: DataFrame, id_col: str) -> DataFrame:
+def _gen_input(docs: DataFrame, id_col: str, spread: bool = True) -> DataFrame:
     """One-column (doc_id) input frame for a fixture generator, spread
     across the session's parallelism when the upstream scan produced
     fewer partitions (r11 optimization, guide §2.5's input-skew rule:
@@ -70,8 +70,19 @@ def _gen_input(docs: DataFrame, id_col: str) -> DataFrame:
     real scale the corpus scan has thousands of splits and this
     no-ops; the round-robin repartition is deterministic
     (sortBeforeRepartition) and fixtures are pure per-id functions,
-    so results are partitioning-invariant."""
-    return _spread(docs.select(F.col(id_col).alias("doc_id")))
+    so results are partitioning-invariant.
+
+    r12 (VERDICT r11 #3): the spread is now gated PER GENERATOR on
+    decode weight.  For heavy pixel/entropy decode chains (tiff, png,
+    gif-LZW, jpeg-pixel, pdf, zip-inflate) the exchange buys seconds
+    of parallel codec work; for cheap structural parses (mkv/avi/id3/
+    aac/svg censuses, container metadata) the exchange + 32 Arrow
+    workers cost MORE than the parallelism earns (driver-measured:
+    x_mkv_meta +92%, x_dhash_neardup +65% normalized with the r11
+    unconditional spread).  Cheap generators pass ``spread=False``
+    and keep their map-only single-exchange-free plan."""
+    ids = docs.select(F.col(id_col).alias("doc_id"))
+    return _spread(ids) if spread else ids
 
 
 # ---------------------------------------------------------------- #
@@ -2217,7 +2228,7 @@ def synth_warc_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             ids = pdf["doc_id"].astype("int64")
             yield pd.DataFrame({"doc_id": ids, "payload": ids.map(one)})
 
-    return _gen_input(docs, id_col).mapInPandas(
+    return _gen_input(docs, id_col, spread=False).mapInPandas(
         gen, "doc_id long, payload binary"
     )
 
@@ -2663,7 +2674,7 @@ def synth_charset_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             ids = pdf["doc_id"].astype("int64")
             yield pd.DataFrame({"doc_id": ids, "payload": ids.map(one)})
 
-    return _gen_input(docs, id_col).mapInPandas(
+    return _gen_input(docs, id_col, spread=False).mapInPandas(
         gen, "doc_id long, payload binary"
     )
 
@@ -2744,7 +2755,7 @@ def synth_http_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 "payload": ids.map(one),
             })
 
-    return _gen_input(docs, id_col).mapInPandas(
+    return _gen_input(docs, id_col, spread=False).mapInPandas(
         gen, "doc_id long, rec_idx long, payload binary"
     )
 
@@ -3034,7 +3045,7 @@ def synth_gif_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             ids = pdf["doc_id"].astype("int64")
             yield pd.DataFrame({"doc_id": ids, "payload": ids.map(one)})
 
-    return _gen_input(docs, id_col).mapInPandas(
+    return _gen_input(docs, id_col, spread=False).mapInPandas(
         gen, "doc_id long, payload binary"
     )
 
@@ -3402,7 +3413,7 @@ def synth_bmp_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             ids = pdf["doc_id"].astype("int64")
             yield pd.DataFrame({"doc_id": ids, "payload": ids.map(one)})
 
-    return _gen_input(docs, id_col).mapInPandas(
+    return _gen_input(docs, id_col, spread=False).mapInPandas(
         gen, "doc_id long, payload binary"
     )
 
@@ -4048,7 +4059,7 @@ def synth_wav_depth_demo(docs: DataFrame,
             ids = pdf["doc_id"].astype("int64")
             yield pd.DataFrame({"doc_id": ids, "payload": ids.map(one)})
 
-    return _gen_input(docs, id_col).mapInPandas(
+    return _gen_input(docs, id_col, spread=False).mapInPandas(
         gen, "doc_id long, payload binary"
     )
 
@@ -4233,7 +4244,7 @@ def synth_media_demo(
             ids = pdf["doc_id"].astype("int64")
             yield pd.DataFrame({"doc_id": ids, "payload": ids.map(one)})
 
-    return _gen_input(docs, id_col).mapInPandas(
+    return _gen_input(docs, id_col, spread=False).mapInPandas(
         gen, "doc_id long, payload binary"
     )
 
@@ -4406,7 +4417,7 @@ def synth_heif_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             ids = pdf["doc_id"].astype("int64")
             yield pd.DataFrame({"doc_id": ids, "payload": ids.map(one)})
 
-    return _gen_input(docs, id_col).mapInPandas(
+    return _gen_input(docs, id_col, spread=False).mapInPandas(
         gen, "doc_id long, payload binary"
     )
 
@@ -5432,7 +5443,7 @@ def synth_mkv_frames_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             ids = pdf["doc_id"].astype("int64")
             yield pd.DataFrame({"doc_id": ids, "payload": ids.map(one)})
 
-    return _gen_input(docs, id_col).mapInPandas(
+    return _gen_input(docs, id_col, spread=False).mapInPandas(
         gen, "doc_id long, payload binary"
     )
 
@@ -5523,7 +5534,7 @@ def synth_mkv_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             ids = pdf["doc_id"].astype("int64")
             yield pd.DataFrame({"doc_id": ids, "payload": ids.map(one)})
 
-    return _gen_input(docs, id_col).mapInPandas(
+    return _gen_input(docs, id_col, spread=False).mapInPandas(
         gen, "doc_id long, payload binary"
     )
 
@@ -5620,7 +5631,7 @@ def synth_webp_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             ids = pdf["doc_id"].astype("int64")
             yield pd.DataFrame({"doc_id": ids, "payload": ids.map(one)})
 
-    return _gen_input(docs, id_col).mapInPandas(
+    return _gen_input(docs, id_col, spread=False).mapInPandas(
         gen, "doc_id long, payload binary"
     )
 
@@ -5691,7 +5702,7 @@ def synth_video_dup_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             ids = pdf["doc_id"].astype("int64")
             yield pd.DataFrame({"doc_id": ids, "payload": ids.map(one)})
 
-    return _gen_input(docs, id_col).mapInPandas(
+    return _gen_input(docs, id_col, spread=False).mapInPandas(
         gen, "doc_id long, payload binary"
     )
 
@@ -5738,7 +5749,7 @@ def synth_video_dup_xc_demo(
             ids = pdf["doc_id"].astype("int64")
             yield pd.DataFrame({"doc_id": ids, "payload": ids.map(one)})
 
-    return _gen_input(docs, id_col).mapInPandas(
+    return _gen_input(docs, id_col, spread=False).mapInPandas(
         gen, "doc_id long, payload binary"
     )
 
@@ -5915,7 +5926,7 @@ def synth_image_caption_demo(docs: DataFrame,
             ids = pdf["doc_id"].astype("int64")
             yield pd.DataFrame({"doc_id": ids, "payload": ids.map(one)})
 
-    return _gen_input(docs, id_col).mapInPandas(
+    return _gen_input(docs, id_col, spread=False).mapInPandas(
         gen, "doc_id long, payload binary"
     )
 
@@ -6139,7 +6150,7 @@ def synth_dhash_neardup_demo(docs: DataFrame,
             ids = pdf["doc_id"].astype("int64")
             yield pd.DataFrame({"doc_id": ids, "payload": ids.map(one)})
 
-    return _gen_input(docs, id_col).mapInPandas(
+    return _gen_input(docs, id_col, spread=False).mapInPandas(
         gen, "doc_id long, payload binary"
     )
 
@@ -6199,7 +6210,7 @@ def synth_image_dup_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             ids = pdf["doc_id"].astype("int64")
             yield pd.DataFrame({"doc_id": ids, "payload": ids.map(one)})
 
-    return _gen_input(docs, id_col).mapInPandas(
+    return _gen_input(docs, id_col, spread=False).mapInPandas(
         gen, "doc_id long, payload binary"
     )
 
@@ -6695,7 +6706,7 @@ def synth_mp3_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             ids = pdf["doc_id"].astype("int64")
             yield pd.DataFrame({"doc_id": ids, "payload": ids.map(one)})
 
-    return _gen_input(docs, id_col).mapInPandas(
+    return _gen_input(docs, id_col, spread=False).mapInPandas(
         gen, "doc_id long, payload binary"
     )
 
@@ -6851,7 +6862,7 @@ def synth_aac_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             ids = pdf["doc_id"].astype("int64")
             yield pd.DataFrame({"doc_id": ids, "payload": ids.map(one)})
 
-    return _gen_input(docs, id_col).mapInPandas(
+    return _gen_input(docs, id_col, spread=False).mapInPandas(
         gen, "doc_id long, payload binary"
     )
 
@@ -7033,7 +7044,7 @@ def synth_id3_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             ids = pdf["doc_id"].astype("int64")
             yield pd.DataFrame({"doc_id": ids, "payload": ids.map(one)})
 
-    return _gen_input(docs, id_col).mapInPandas(
+    return _gen_input(docs, id_col, spread=False).mapInPandas(
         gen, "doc_id long, payload binary"
     )
 
@@ -7208,7 +7219,7 @@ def synth_ico_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             ids = pdf["doc_id"].astype("int64")
             yield pd.DataFrame({"doc_id": ids, "payload": ids.map(one)})
 
-    return _gen_input(docs, id_col).mapInPandas(
+    return _gen_input(docs, id_col, spread=False).mapInPandas(
         gen, "doc_id long, payload binary"
     )
 
@@ -7372,7 +7383,7 @@ def synth_avi_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             ids = pdf["doc_id"].astype("int64")
             yield pd.DataFrame({"doc_id": ids, "payload": ids.map(one)})
 
-    return _gen_input(docs, id_col).mapInPandas(
+    return _gen_input(docs, id_col, spread=False).mapInPandas(
         gen, "doc_id long, payload binary"
     )
 
@@ -9607,7 +9618,7 @@ def synth_tiff_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             ids = pdf["doc_id"].astype("int64")
             yield pd.DataFrame({"doc_id": ids, "payload": ids.map(one)})
 
-    return _gen_input(docs, id_col).mapInPandas(
+    return _gen_input(docs, id_col, spread=False).mapInPandas(
         gen, "doc_id long, payload binary"
     )
 
@@ -10194,7 +10205,7 @@ def synth_flac_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             ids = pdf["doc_id"].astype("int64")
             yield pd.DataFrame({"doc_id": ids, "payload": ids.map(one)})
 
-    return _gen_input(docs, id_col).mapInPandas(
+    return _gen_input(docs, id_col, spread=False).mapInPandas(
         gen, "doc_id long, payload binary"
     )
 
@@ -10225,7 +10236,7 @@ def synth_ogg_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             ids = pdf["doc_id"].astype("int64")
             yield pd.DataFrame({"doc_id": ids, "payload": ids.map(one)})
 
-    return _gen_input(docs, id_col).mapInPandas(
+    return _gen_input(docs, id_col, spread=False).mapInPandas(
         gen, "doc_id long, payload binary"
     )
 
@@ -10441,7 +10452,7 @@ def synth_wds_shards(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             ids = pdf["doc_id"].astype("int64")
             yield pd.DataFrame({"doc_id": ids, "payload": ids.map(one)})
 
-    return _gen_input(docs, id_col).mapInPandas(
+    return _gen_input(docs, id_col, spread=False).mapInPandas(
         gen, "doc_id long, payload binary"
     )
 
@@ -10495,7 +10506,7 @@ def synth_tar_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             ids = pdf["doc_id"].astype("int64")
             yield pd.DataFrame({"doc_id": ids, "payload": ids.map(one)})
 
-    return _gen_input(docs, id_col).mapInPandas(
+    return _gen_input(docs, id_col, spread=False).mapInPandas(
         gen, "doc_id long, payload binary"
     )
 
@@ -10934,7 +10945,7 @@ def synth_epub_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             ids = pdf["doc_id"].astype("int64")
             yield pd.DataFrame({"doc_id": ids, "payload": ids.map(one)})
 
-    return _gen_input(docs, id_col).mapInPandas(
+    return _gen_input(docs, id_col, spread=False).mapInPandas(
         gen, "doc_id long, payload binary"
     )
 
@@ -11039,7 +11050,7 @@ def synth_jpeg_prog_demo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             ids = pdf["doc_id"].astype("int64")
             yield pd.DataFrame({"doc_id": ids, "payload": ids.map(one)})
 
-    return _gen_input(docs, id_col).mapInPandas(
+    return _gen_input(docs, id_col, spread=False).mapInPandas(
         gen, "doc_id long, payload binary"
     )
 
