@@ -603,26 +603,35 @@ def main() -> None:
         return {k: round(v / cal_best, 2) for k, v in t.items()}
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_wall",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "extended": ext_timings,
-                "extended_wall": round(ext_total, 3),
-                "calibration_sec": round(cal_best, 3),
-                "calibration_workload": "range30M-hash-shuffleagg-sort",
-                "normalized": _norm(timings),
-                "extended_normalized": _norm(ext_timings),
-                "row_stats": row_stats,
-                "fixture_changed": FIXTURE_CHANGED,
-                "repeats": repeats,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # r12 measurement fix (VERDICT r11 #2a, NOT a methodology change —
+    # the timing protocol above is untouched): r11's single JSON line
+    # outgrew the driver's 2000-char tail once row_stats landed, so the
+    # archived BENCH tail lost `value`/`calibration_sec`/the headline
+    # dict.  A COMPACT contract line (metric/value/queries/extended/
+    # calibration, well under 2000 chars) now prints FIRST; the full
+    # r11-format line (same fields + normalized + row_stats — the shape
+    # the r11 driver parsed successfully) follows, so first-line,
+    # any-line, and full-stdout parsers all recover the contract.
+    compact = {
+        "metric": "headline_suite_wall",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "extended": ext_timings,
+        "extended_wall": round(ext_total, 3),
+        "calibration_sec": round(cal_best, 3),
+        "calibration_workload": "range30M-hash-shuffleagg-sort",
+        "fixture_changed": FIXTURE_CHANGED,
+        "repeats": repeats,
+        "sf": sf_val,
+    }
+    print(json.dumps(compact))
+    full = dict(compact)
+    full["normalized"] = _norm(timings)
+    full["extended_normalized"] = _norm(ext_timings)
+    full["row_stats"] = row_stats
+    print(json.dumps(full))
 
 
 if __name__ == "__main__":
