@@ -469,6 +469,15 @@ def ingest_increment(
     # delta-sized).  After the diff, fresh is added+changed rows only, so
     # the materialization is delta-sized in steady state and one
     # corpus-sized pass at bootstrap.
+    # r12: a BOOTSTRAP-ONLY spread of `fresh` before this checkpoint
+    # (VERDICT r11 #7's targeted-respread hypothesis) was tried and
+    # REVERTED on measurement: in-session interleaved best-of-6 A/B
+    # (arms alternated by monkeypatching the spread to identity for
+    # this call site only) measured campaign_bootstrap min 7.84 / med
+    # 10.98 s WITH the spread vs 6.72 / 10.68 WITHOUT — the exchange +
+    # widened downstream checkpoints cost more than the ~1.3 s 1-task
+    # checkpoint stage it parallelizes, the same loss mode as the r11
+    # entry-spread revert above.
     fresh = fresh.localCheckpoint(eager=False)  # materialized by count()
     n_fresh = fresh.count()
 

@@ -154,12 +154,42 @@ def bm25_topk(
     is bounded by the postings of |q| terms, not the corpus.
     """
     tf, dl, stats = doc_term_stats(docs, id_col=id_col, text_col=text_col)
-    q = queries.select(
+    q = _compact_queries(queries.select(
         F.col(query_id_col).cast("long").alias("query_id"),
         F.col(term_col).alias("tok"),
-    )
+    ))
     return _bm25_from_stats(
         tf, dl, stats, q, k=k, salt_buckets=salt_buckets, idf_scale=idf_scale
+    )
+
+
+def _compact_queries(q: DataFrame) -> DataFrame:
+    """Land a query batch on ONE partition (r12, guide §1.1 census
+    finding): query sets are bounded by contract (every consumer
+    broadcasts them), but a tiny ``createDataFrame`` arrives on
+    defaultParallelism partitions, and every probe-side collect /
+    broadcast-build job then re-executes its plan and pays one task
+    PER PARTITION — measured 0.4-0.9 s of pure scheduling per job at
+    local[32] for 7-row query frames (the reason probe rows ran FASTER
+    at 8 cores than 32 in BENCH_r11_c8).  One bounded collect (the
+    driver-side convention phrase_topk's tokenizer established) +
+    re-parallelize onto one slice fixes every downstream job at once.
+
+    NOT ``coalesce(1)``: SQL coalesce over a parallelized local
+    collection iterates its 32 parents sequentially through the
+    Python-runner boundary — measured a near-constant ~5 s per action
+    (interleaved best-of-7: coalesce1 4.80 s, raw 0.40 s, this 0.23 s).
+    Identity when the frame is already narrow or the partition count
+    is unknowable (Connect)."""
+    try:
+        if q.rdd.getNumPartitions() <= 4:
+            return q
+    except Exception:
+        return q
+    spark = q.sparkSession
+    rows = q.collect()  # bounded: the query batch, never the corpus
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), q.schema
     )
 
 
@@ -307,10 +337,10 @@ def query_text_index(
     top-k of the filtered set (Lucene/ES filtered-search semantics:
     IDF and length norms stay corpus-level; the filter restricts
     candidates only)."""
-    q = queries.select(
+    q = _compact_queries(queries.select(
         F.col(query_id_col).cast("long").alias("query_id"),
         F.col(term_col).alias("tok"),
-    )
+    ))
     buckets = [
         r["b"]
         for r in q.select(
@@ -402,8 +432,18 @@ def phrase_topk(
         if with_pos:
             empty_schema += ", first_pos long"
         return spark.createDataFrame([], empty_schema)
-    q = spark.createDataFrame(term_rows, "query_id long, term_pos int, tok string")
-    qmeta = spark.createDataFrame(meta_rows, "query_id long, n_terms int")
+    # driver-local rows: create on ONE slice, or the createDataFrame
+    # lands on defaultParallelism partitions and every collect /
+    # broadcast-build job below pays a task per partition (r12; see
+    # _compact_queries for why coalesce(1) is NOT the way)
+    q = spark.createDataFrame(
+        spark.sparkContext.parallelize(term_rows, 1),
+        "query_id long, term_pos int, tok string",
+    )
+    qmeta = spark.createDataFrame(
+        spark.sparkContext.parallelize(meta_rows, 1),
+        "query_id long, n_terms int",
+    )
     buckets = sorted(
         {
             r["b"]
@@ -499,7 +539,9 @@ def phrase_snippets(
         (int(r[0]), len([t for t in str(r[1]).lower().strip().split() if t]))
         for r in phrases.select(query_id_col, phrase_col).collect()
     ]
-    qlen = spark.createDataFrame(plen, "query_id long, _plen int")
+    qlen = spark.createDataFrame(
+        spark.sparkContext.parallelize(plen, 1), "query_id long, _plen int"
+    )
     toks = F.expr(_TOKENIZE.format(col=text_col))
     corpus = docs.select(F.col(id_col).alias("doc_id"), toks.alias("_toks"))
     joined = corpus.join(
@@ -556,8 +598,15 @@ def proximity_topk(
         return spark.createDataFrame(
             [], "query_id long, doc_id long, min_span long, rnk long"
         )
-    q = spark.createDataFrame(term_rows, "query_id long, tok string")
-    qmeta = spark.createDataFrame(meta_rows, "query_id long, n_terms int")
+    # driver-local rows: ONE slice (r12, see phrase_topk note)
+    q = spark.createDataFrame(
+        spark.sparkContext.parallelize(term_rows, 1),
+        "query_id long, tok string",
+    )
+    qmeta = spark.createDataFrame(
+        spark.sparkContext.parallelize(meta_rows, 1),
+        "query_id long, n_terms int",
+    )
     buckets = sorted(
         {
             r["b"]
