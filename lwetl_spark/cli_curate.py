@@ -153,7 +153,21 @@ def curate(
 
     _wide = _spread(docs)
     if _wide is not docs:
-        docs = _wide.localCheckpoint(eager=False)
+        # r12 (ADVICE r11): few-split does not imply small — one large
+        # multi-row-group parquet file would be fully pinned in
+        # executor memory/disk by this checkpoint.  Gate on the
+        # optimizer's size estimate too (for parquet scans: the file
+        # size sum); past the bound the corpus rides its scan and only
+        # the local split-bound parallelism is forgone.
+        try:
+            _est = int(
+                docs._jdf.queryExecution().optimizedPlan().stats()
+                .sizeInBytes()
+            )
+        except Exception:
+            _est = 0
+        if _est <= 2 * 1024**3:
+            docs = _wide.localCheckpoint(eager=False)
     n_input = docs.count()
     stats = {"n_input": n_input}
 

@@ -802,13 +802,20 @@ def x_ann_filtered(spark, sf_dir):
         query_ivf_index,
     )
 
+    from lwetl_spark.operators._parallel import spread as _spread
+
     emb = _t(spark, sf_dir, "embeddings")
     work = _tmpdir("annflt")
     path = os.path.join(work, "ivf")
     build_ivf_index(emb, path, num_centroids=16)
     flt = emb.filter(F.col("vec_id") % 2 == 0).select("vec_id")
+    # r12: the probe batch here is the WHOLE corpus (exactness harness),
+    # so the caller spreads it — query_ivf_index itself no longer
+    # spreads (real probe batches are small at every scale, VERDICT r11
+    # #1); a corpus-sized self-probe is the one caller that should.
+    # Round-robin is partitioning-invariant for the per-row assign.
     out = query_ivf_index(
-        spark, path, emb, k=5, nprobe=16, filter_ids=flt
+        spark, path, _spread(emb), k=5, nprobe=16, filter_ids=flt
     ).localCheckpoint(eager=True)  # materialize before the path vanishes
     _shutil.rmtree(work, ignore_errors=True)
     return out

@@ -15,26 +15,69 @@ import re
 from lwetl_spark.operators import incremental
 
 
+def _assignment_target(lines, i):
+    """Walk back from the checkpoint line to the statement head and
+    return the assigned name — or None for a ``return`` expression."""
+    j = i
+    while j >= 0:
+        m = re.match(r"^\s*(\w+)\s*=\s*\(?", lines[j])
+        if m and "==" not in lines[j]:
+            return m.group(1)
+        if re.match(r"^\s*return\b", lines[j]):
+            return None
+        j -= 1
+    return None
+
+
 def test_every_lazy_checkpoint_is_materialized_by_an_adjacent_count():
+    """r12 (ADVICE r11): match the materializing ``.count()`` to the
+    CHECKPOINTED NAME, not to any count inside a fixed line window —
+    the old 7-line window could be satisfied by an unrelated frame's
+    count (or broken by a reformat)."""
     src = inspect.getsource(incremental)
     lines = src.splitlines()
     lazy_sites = [i for i, ln in enumerate(lines)
                   if "localCheckpoint(eager=False)" in ln]
     assert lazy_sites, "expected the r11 lazy-checkpoint sites to exist"
     for i in lazy_sites:
-        # a .count() call must appear within the next few source lines,
-        # before any write/save/append on the checkpointed frame
-        window = "\n".join(lines[i + 1:i + 8])
-        m = re.search(r"\.count\(\)", window)
-        assert m, (
-            f"lazy localCheckpoint at incremental.py:{i + 1} has no "
-            f"adjacent .count() materializer — either make it eager or "
-            f"restore the count"
+        name = _assignment_target(lines, i)
+        if name is None:
+            # return-expression site (_vec_delta_for): every caller
+            # must count the returned frame before any other action
+            fn = None
+            for j in range(i, -1, -1):
+                m = re.match(r"\s*def (\w+)", lines[j])
+                if m:
+                    fn = m.group(1)
+                    break
+            assert fn, f"no enclosing def for checkpoint at line {i + 1}"
+            callers = [
+                (k, re.match(rf"^\s*(\w+)\s*=\s*{fn}\(", ln))
+                for k, ln in enumerate(lines)
+            ]
+            callers = [(k, m) for k, m in callers if m]
+            assert callers, f"return-site checkpoint in {fn} never called"
+            for k, m in callers:
+                var = m.group(1)
+                window = "\n".join(lines[k + 1:k + 6])
+                assert re.search(rf"\b{var}\.count\(\)", window), (
+                    f"{fn}() result '{var}' at line {k + 1} is not "
+                    f"counted right after — the lazy checkpoint inside "
+                    f"{fn} would go unmaterialized"
+                )
+            continue
+        # named site: the NEXT action on that name must be .count()
+        window = "\n".join(lines[i + 1:i + 16])
+        mc = re.search(rf"\b(?:\w+\s*=\s*)?{name}\.count\(\)", window)
+        assert mc, (
+            f"lazy localCheckpoint assigned to '{name}' at "
+            f"incremental.py:{i + 1} has no adjacent {name}.count() "
+            f"materializer — either make it eager or restore the count"
         )
-        before_count = window[: m.start()]
-        assert not re.search(r"\.(write|save|parquet)\b", before_count), (
-            f"lazy checkpoint at line {i + 1}: a write runs before the "
-            f"materializing count"
+        before = window[: mc.start()]
+        assert not re.search(rf"\b{name}\.(write|save|parquet)\b", before), (
+            f"lazy checkpoint '{name}' at line {i + 1}: a write on it "
+            f"runs before the materializing count"
         )
 
 
