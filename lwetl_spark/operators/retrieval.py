@@ -289,28 +289,54 @@ def build_text_index(
     (~dl ints/doc) — BM25 probes still read only (tok, doc_id, tf) via
     parquet column pruning, so scoring cost is unchanged.
     """
-    tf, dl, stats = doc_term_stats(
+    tf, _, _ = doc_term_stats(
         docs, id_col=id_col, text_col=text_col, positions=positions
     )
     bucket = F.pmod(F.xxhash64("tok"), F.lit(_INDEX_BUCKETS)).alias("bucket")
     tf.withColumn("bucket", bucket).repartition("bucket").write.mode(
         "overwrite"
     ).partitionBy("bucket").parquet(f"{path}/postings")
-    df_table = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    # r12 (guide §1.2: don't recompute what you already materialized):
+    # df/doclen/stats/docbuckets previously each re-derived from the
+    # UN-materialized `tf` — FIVE full corpus tokenize+agg passes per
+    # build (at 100 TB: five passes over the corpus text).  The written
+    # postings table IS the materialization of the one tokenize pass,
+    # so every sidecar now derives from reading it back — column-pruned
+    # (tok/doc_id/tf only, never the positions arrays) and
+    # index-sized, not corpus-text-sized.  Values are identical:
+    # df = rows per tok, dl = Σ tf per doc (the token count — the same
+    # identity update_text_index has always relied on), stats from dl.
+    spark = docs.sparkSession
+    post_schema = tf.schema.add("bucket", "integer")
+    post = (
+        spark.read.schema(post_schema).parquet(f"{path}/postings")
+        .select("tok", "doc_id", "tf", "bucket")
+    )
+    df_table = post.groupBy("tok").agg(F.count("*").alias("df"))
     df_table.withColumn("bucket", bucket).repartition("bucket").write.mode(
         "overwrite"
     ).partitionBy("bucket").parquet(f"{path}/df")
+    dl = post.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     dl.write.mode("overwrite").parquet(f"{path}/doclen")
+    dl_read = spark.read.schema(
+        _index_sidecar_schemas(post_schema["doc_id"].dataType)["doclen"]
+    ).parquet(f"{path}/doclen")
+    stats = dl_read.agg(
+        F.count("*").alias("n"),
+        F.expr("1000 * sum(dl) div count(*)").alias("adl_m"),
+    )
     stats.write.mode("overwrite").parquet(f"{path}/stats")
     # doc→bucket sidecar (r6): which hash buckets hold each document's
     # postings — lets compaction/removal LOCATE a doc's old rows by
     # reading only its buckets instead of one full postings scan (the
     # term-partitioned index's classic maintenance trade, removed).
     # Size: ≤ min(distinct tokens, 256) rows of two longs per doc —
-    # corpus-doc-count-scaled metadata, not postings-scaled.
-    tf.select("doc_id", bucket).distinct().write.mode("overwrite").parquet(
-        f"{path}/docbuckets"
-    )
+    # corpus-doc-count-scaled metadata, not postings-scaled.  The
+    # bucket comes back as the partition-directory int; cast to long
+    # to match the (pmod) type update_text_index appends.
+    post.select(
+        "doc_id", F.col("bucket").cast("long").alias("bucket")
+    ).distinct().write.mode("overwrite").parquet(f"{path}/docbuckets")
 
 
 def query_text_index(
