@@ -21,6 +21,47 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+#: r12 (guide §2.6): overlap independent maintenance legs.  Checked at
+#: call time so an A/B harness can monkeypatch it to reproduce the
+#: sequential (pre-r12) execution order without a code change.
+OVERLAP_MAINTENANCE = True
+
+
+def overlap_legs(background, foreground):
+    """Run two INDEPENDENT maintenance legs as concurrent Spark job
+    groups (guide §2.6: actions are only sequential because driver code
+    calls them sequentially; FIFO scheduling back-fills executors freed
+    by one leg's stragglers with the other leg's tasks).
+
+    ``background`` runs on a helper thread, ``foreground`` on the
+    caller's thread; returns ``foreground()``'s result after BOTH legs
+    complete.  Callers must guarantee independence: the legs read only
+    frames that are already checkpoint-materialized and write disjoint
+    paths, so execution order cannot change any result (the sequential
+    fallback when ``OVERLAP_MAINTENANCE`` is false runs background
+    first — the pre-r12 order — and is behavior-identical).
+
+    Failure semantics: the background leg is always joined; its
+    exception propagates unless the foreground leg also raised (then
+    the foreground's wins, as in sequential execution).
+    """
+    if not OVERLAP_MAINTENANCE:
+        background()
+        return foreground()
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        fut = pool.submit(background)
+        try:
+            out = foreground()
+        except BaseException:
+            fut.exception()  # join; foreground's exception wins
+            raise
+        exc = fut.exception()
+        if exc is not None:
+            raise exc
+        return out
+
 
 def spread(df: DataFrame) -> DataFrame:
     """Round-robin `df` across the session's default parallelism when

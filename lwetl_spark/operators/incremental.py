@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 # shared with similarity/retrieval/maintain (r8: one probe, no local copies)
 from lwetl_spark.operators._fsutil import path_exists as _path_exists
+from lwetl_spark.operators._parallel import overlap_legs
 
 
 #: marker table per vector-index family — its presence at
@@ -508,29 +509,42 @@ def ingest_increment(
     )
     n_admitted = admitted.count()
 
+    n_vec_indexed = 0
+    n_vec_retired = 0
     if n_admitted:
         # first increment: no index yet — build instead of update
         have_index = _path_exists(spark, f"{index_path}/stats")
         delta_docs = admitted.select(id_col, text_col)
-        if have_index:
-            update_text_index(
-                spark, index_path, delta_docs, id_col=id_col, text_col=text_col
-            )
-        else:
-            from lwetl_spark.operators.retrieval import build_text_index
 
-            build_text_index(
-                delta_docs, index_path, id_col=id_col, text_col=text_col,
-                positions=index_positions,
-            )
-        admitted.select(F.col("_fp").alias("fp"), id_col).write.mode(
-            "append"
-        ).parquet(state_path)
-        _state_written()
-    n_vec_indexed = 0
-    n_vec_retired = 0
-    if embeddings is not None and n_admitted:
-        n_vec_indexed += _vec_add(admitted)
+        def _text_leg():
+            if have_index:
+                update_text_index(
+                    spark, index_path, delta_docs,
+                    id_col=id_col, text_col=text_col,
+                )
+            else:
+                from lwetl_spark.operators.retrieval import build_text_index
+
+                build_text_index(
+                    delta_docs, index_path, id_col=id_col, text_col=text_col,
+                    positions=index_positions,
+                )
+
+        def _state_vec_leg() -> int:
+            admitted.select(F.col("_fp").alias("fp"), id_col).write.mode(
+                "append"
+            ).parquet(state_path)
+            _state_written()
+            return _vec_add(admitted) if embeddings is not None else 0
+
+        # r12 (guide §2.6): the text-index leg (index_path), the state
+        # append (state_path) and the vector leg (vector_index_path) are
+        # independent — all derive from the checkpoint-materialized
+        # `admitted` and write disjoint paths — so the text leg runs on
+        # a helper thread instead of serializing every downstream job
+        # behind it.  Everything that depends on either leg (backlog,
+        # retire, manifest) runs only after overlap_legs joins both.
+        n_vec_indexed += overlap_legs(_text_leg, _state_vec_leg)
     n_compacted = 0
     n_deferred = 0
     compacted_ids = None
@@ -601,28 +615,44 @@ def ingest_increment(
         n_compacted = cand.count()
         compacted_ids = cand.select(id_col)
         if n_compacted:
-            compact_text_index(
-                spark,
-                index_path,
-                cand.select(id_col, text_col),
-                id_col=id_col,
-                text_col=text_col,
+
+            def _compact_text_leg():
+                compact_text_index(
+                    spark,
+                    index_path,
+                    cand.select(id_col, text_col),
+                    id_col=id_col,
+                    text_col=text_col,
+                )
+
+            def _compact_state_vec_leg() -> int:
+                # state fingerprints follow the content: drop the
+                # compacted ids' old rows, append their new (fp, id) rows
+                new_state = (
+                    state_full.join(cand.select(id_col), id_col, "left_anti")
+                    .unionByName(cand.select(F.col("_fp").alias("fp"), id_col))
+                    .localCheckpoint(eager=True)
+                )
+                new_state.write.mode("overwrite").parquet(state_path)
+                _state_written()
+                if embeddings is not None:
+                    # vector-side compaction: remove-then-re-add, so the
+                    # NEW content's embedding replaces the old one under
+                    # the frozen quantizer (assign-only — == rebuild
+                    # holds)
+                    _vec_remove(spark, vector_index_path, cand.select(id_col))
+                    return _vec_add(cand)
+                return 0
+
+            # r12 (guide §2.6): same independence argument as the
+            # admission legs — both legs derive from the materialized
+            # `cand` / the already-read `state_full` and write disjoint
+            # paths (index_path vs state_path + vector_index_path); the
+            # retire/manifest sections below touch the text index and
+            # re-read the state, so they run only after both legs join.
+            n_vec_indexed += overlap_legs(
+                _compact_text_leg, _compact_state_vec_leg
             )
-            # state fingerprints follow the content: drop the compacted
-            # ids' old rows, append their new (fp, id) rows
-            new_state = (
-                state_full.join(cand.select(id_col), id_col, "left_anti")
-                .unionByName(cand.select(F.col("_fp").alias("fp"), id_col))
-                .localCheckpoint(eager=True)
-            )
-            new_state.write.mode("overwrite").parquet(state_path)
-            _state_written()
-            if embeddings is not None:
-                # vector-side compaction: remove-then-re-add, so the
-                # NEW content's embedding replaces the old one under
-                # the frozen quantizer (assign-only — == rebuild holds)
-                _vec_remove(spark, vector_index_path, cand.select(id_col))
-                n_vec_indexed += _vec_add(cand)
 
     n_retired = 0
     if retire_removed and have_manifest and not snapshot_is_delta:

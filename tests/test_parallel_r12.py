@@ -102,3 +102,77 @@ def test_lsh_buckets_write_salted_and_prunable(spark, tmp_path):
         .collect()
     )
     assert sum(r["count"] for r in got) == 200 * 4
+
+
+# --- r12: overlap_legs (guide §2.6 maintenance-leg overlap) ------------
+
+
+def test_overlap_legs_runs_both_and_returns_foreground():
+    import threading
+
+    from lwetl_spark.operators import _parallel
+
+    ran = {"bg": None, "fg": None}
+
+    def bg():
+        ran["bg"] = threading.current_thread().name
+
+    def fg():
+        ran["fg"] = threading.current_thread().name
+        return 41
+
+    assert _parallel.overlap_legs(bg, fg) == 41
+    assert ran["bg"] is not None and ran["fg"] is not None
+    # the background leg really left the caller's thread
+    assert ran["bg"] != ran["fg"]
+
+
+def test_overlap_legs_sequential_fallback_preserves_pre_r12_order():
+    from lwetl_spark.operators import _parallel
+
+    order = []
+    old = _parallel.OVERLAP_MAINTENANCE
+    _parallel.OVERLAP_MAINTENANCE = False
+    try:
+        out = _parallel.overlap_legs(
+            lambda: order.append("bg"),
+            lambda: (order.append("fg"), 7)[1],
+        )
+    finally:
+        _parallel.OVERLAP_MAINTENANCE = old
+    assert out == 7
+    assert order == ["bg", "fg"]  # background (text leg) first, as before
+
+
+def test_overlap_legs_background_exception_propagates():
+    import pytest as _pytest
+
+    from lwetl_spark.operators import _parallel
+
+    def bg():
+        raise RuntimeError("bg boom")
+
+    with _pytest.raises(RuntimeError, match="bg boom"):
+        _parallel.overlap_legs(bg, lambda: 1)
+
+
+def test_overlap_legs_foreground_exception_wins_and_joins_background():
+    import time
+
+    import pytest as _pytest
+
+    from lwetl_spark.operators import _parallel
+
+    done = {"bg": False}
+
+    def bg():
+        time.sleep(0.2)
+        done["bg"] = True
+        raise RuntimeError("bg late boom")
+
+    def fg():
+        raise ValueError("fg boom")
+
+    with _pytest.raises(ValueError, match="fg boom"):
+        _parallel.overlap_legs(bg, fg)
+    assert done["bg"]  # the background leg was joined, not abandoned
