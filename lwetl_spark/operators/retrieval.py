@@ -43,6 +43,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from lwetl_spark.operators import _parallel as _pl
 from lwetl_spark.operators import _partwrite as _pw
 from lwetl_spark.operators._fsutil import path_exists as _path_exists
 
@@ -801,43 +802,59 @@ def hybrid_topk(
         from lwetl_spark.operators.maintain import detect_index_kind
 
         kind_resolved = detect_index_kind(spark, vector_index_path)
-    lex = query_text_index(
-        spark, text_index_path, term_queries,
-        query_id_col=query_id_col, term_col=term_col, k=k,
-        filter_ids=filter_ids,
-    )
+
+    # r12 (guide §2.6): the lexical and dense probe legs are
+    # independent — they read disjoint index paths and only share the
+    # (read-only) query frames — yet each runs several EAGER driver
+    # actions (affected-bucket collects, broadcast builds, probe
+    # checkpoints) that used to serialize one leg behind the other.
+    # The text leg runs on a helper thread while the vector leg runs
+    # here; overlap_legs joins both before the fusion plan is built.
+    _lex_out: list = [None]
+
+    def _lex_leg():
+        _lex_out[0] = query_text_index(
+            spark, text_index_path, term_queries,
+            query_id_col=query_id_col, term_col=term_col, k=k,
+            filter_ids=filter_ids,
+        )
+
     qv = vec_queries.select(
         F.col(query_id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
     )
-    if kind_resolved == "ivf":
-        from lwetl_spark.operators.similarity import query_ivf_index
 
-        dense = query_ivf_index(
-            spark, vector_index_path, qv, k=k, nprobe=nprobe,
-            filter_ids=filter_ids,
-        )
-    elif kind_resolved == "pq":
-        from lwetl_spark.operators.similarity import query_pq_index
+    def _dense_leg():
+        if kind_resolved == "ivf":
+            from lwetl_spark.operators.similarity import query_ivf_index
 
-        dense = query_pq_index(
-            spark, vector_index_path, qv, k=k, rerank=rerank,
-            filter_ids=filter_ids,
-        )
-    elif kind_resolved == "lsh":
-        from lwetl_spark.operators.similarity import query_lsh_index
+            return query_ivf_index(
+                spark, vector_index_path, qv, k=k, nprobe=nprobe,
+                filter_ids=filter_ids,
+            )
+        if kind_resolved == "pq":
+            from lwetl_spark.operators.similarity import query_pq_index
 
-        dense = query_lsh_index(
-            spark, vector_index_path, qv, k=k, filter_ids=filter_ids
-        )
-    elif kind_resolved == "ivfpq":
-        from lwetl_spark.operators.ivfpq import query_ivfpq_index
+            return query_pq_index(
+                spark, vector_index_path, qv, k=k, rerank=rerank,
+                filter_ids=filter_ids,
+            )
+        if kind_resolved == "lsh":
+            from lwetl_spark.operators.similarity import query_lsh_index
 
-        dense = query_ivfpq_index(
-            spark, vector_index_path, qv, k=k, nprobe=nprobe, rerank=rerank,
-            filter_ids=filter_ids,
-        )
-    else:
+            return query_lsh_index(
+                spark, vector_index_path, qv, k=k, filter_ids=filter_ids
+            )
+        if kind_resolved == "ivfpq":
+            from lwetl_spark.operators.ivfpq import query_ivfpq_index
+
+            return query_ivfpq_index(
+                spark, vector_index_path, qv, k=k, nprobe=nprobe,
+                rerank=rerank, filter_ids=filter_ids,
+            )
         raise ValueError(f"unknown vector index kind {kind_resolved!r}")
+
+    dense = _pl.overlap_legs(_lex_leg, _dense_leg)
+    lex = _lex_out[0]
     return rrf_fuse(
         [
             lex.select("query_id", "doc_id", "rnk"),
