@@ -63,6 +63,40 @@ def overlap_legs(background, foreground):
         return out
 
 
+def overlap_all(*legs) -> None:
+    """N-way :func:`overlap_legs`: run all but the last leg on helper
+    threads, the last on the caller's thread, and join every leg before
+    returning.  Same independence contract (legs read only
+    already-materialized frames / disjoint tables and write disjoint
+    paths, so execution order cannot change any result).  When
+    ``OVERLAP_MAINTENANCE`` is false, runs the legs sequentially in
+    declaration order — callers declare them in the pre-r12 order, so
+    the fallback is behavior-identical.  The first helper-leg exception
+    propagates unless the caller's leg also raised (then the caller's
+    wins, as in sequential execution)."""
+    if not OVERLAP_MAINTENANCE or len(legs) <= 1:
+        for leg in legs:
+            leg()
+        return
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(legs) - 1) as pool:
+        futs = [pool.submit(leg) for leg in legs[:-1]]
+        try:
+            legs[-1]()
+        except BaseException:
+            for f in futs:
+                f.exception()  # join; the caller leg's exception wins
+            raise
+        first_exc = None
+        for f in futs:
+            exc = f.exception()
+            if first_exc is None and exc is not None:
+                first_exc = exc
+        if first_exc is not None:
+            raise first_exc
+
+
 def spread(df: DataFrame) -> DataFrame:
     """Round-robin `df` across the session's default parallelism when
     it has fewer partitions; identity otherwise."""

@@ -313,20 +313,27 @@ def build_text_index(
         spark.read.schema(post_schema).parquet(f"{path}/postings")
         .select("tok", "doc_id", "tf", "bucket")
     )
-    df_table = post.groupBy("tok").agg(F.count("*").alias("df"))
-    df_table.withColumn("bucket", bucket).repartition("bucket").write.mode(
-        "overwrite"
-    ).partitionBy("bucket").parquet(f"{path}/df")
-    dl = post.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    dl.write.mode("overwrite").parquet(f"{path}/doclen")
-    dl_read = spark.read.schema(
-        _index_sidecar_schemas(post_schema["doc_id"].dataType)["doclen"]
-    ).parquet(f"{path}/doclen")
-    stats = dl_read.agg(
-        F.count("*").alias("n"),
-        F.expr("1000 * sum(dl) div count(*)").alias("adl_m"),
-    )
-    stats.write.mode("overwrite").parquet(f"{path}/stats")
+    # r12 (guide §2.6): the three sidecar legs below all derive from
+    # `post` (the just-written postings, never re-written here) and
+    # write disjoint subdirs — they run as concurrent job groups.
+    def _df_leg():
+        df_table = post.groupBy("tok").agg(F.count("*").alias("df"))
+        df_table.withColumn("bucket", bucket).repartition(
+            "bucket"
+        ).write.mode("overwrite").partitionBy("bucket").parquet(f"{path}/df")
+
+    def _doclen_stats_leg():
+        dl = post.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+        dl.write.mode("overwrite").parquet(f"{path}/doclen")
+        dl_read = spark.read.schema(
+            _index_sidecar_schemas(post_schema["doc_id"].dataType)["doclen"]
+        ).parquet(f"{path}/doclen")
+        stats = dl_read.agg(
+            F.count("*").alias("n"),
+            F.expr("1000 * sum(dl) div count(*)").alias("adl_m"),
+        )
+        stats.write.mode("overwrite").parquet(f"{path}/stats")
+
     # doc→bucket sidecar (r6): which hash buckets hold each document's
     # postings — lets compaction/removal LOCATE a doc's old rows by
     # reading only its buckets instead of one full postings scan (the
@@ -335,9 +342,12 @@ def build_text_index(
     # corpus-doc-count-scaled metadata, not postings-scaled.  The
     # bucket comes back as the partition-directory int; cast to long
     # to match the (pmod) type update_text_index appends.
-    post.select(
-        "doc_id", F.col("bucket").cast("long").alias("bucket")
-    ).distinct().write.mode("overwrite").parquet(f"{path}/docbuckets")
+    def _db_leg():
+        post.select(
+            "doc_id", F.col("bucket").cast("long").alias("bucket")
+        ).distinct().write.mode("overwrite").parquet(f"{path}/docbuckets")
+
+    _pl.overlap_all(_df_leg, _doclen_stats_leg, _db_leg)
 
 
 def query_text_index(
@@ -1085,62 +1095,80 @@ def update_text_index(
     tf_new = tf_new.localCheckpoint(eager=True)  # tokenize ONCE; postings,
     # df, and doclen all derive from this checkpoint (dl = Σ tf per doc)
     dl_new = tf_new.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    tf_new.withColumn("bucket", bucket).repartition("bucket").write.mode(
-        "append"
-    ).partitionBy("bucket").parquet(f"{path}/postings")
+
+    # r12 (guide §2.6): the four maintenance legs below all derive from
+    # the tf_new checkpoint and touch disjoint tables (postings append /
+    # docbuckets append / df merge-overwrite / doclen append → stats) —
+    # they run as concurrent job groups, joined before returning.
+    def _postings_leg():
+        tf_new.withColumn("bucket", bucket).repartition(
+            "bucket"
+        ).write.mode("append").partitionBy("bucket").parquet(
+            f"{path}/postings"
+        )
+
     # sidecar append ONLY if the index has one: a pre-sidecar index must
     # stay sidecar-less — a PARTIAL sidecar would make compaction
     # silently miss pre-existing docs' rows.  Explicit existence probe
     # (not try-read-and-swallow): a corrupt sidecar on an existing path
     # now raises instead of demoting the index (VERDICT r7 nit #2)
-    if _path_exists(spark, f"{path}/docbuckets"):
-        tf_new.select("doc_id", bucket).distinct().write.mode(
-            "append"
-        ).parquet(f"{path}/docbuckets")
+    def _db_leg():
+        if _path_exists(spark, f"{path}/docbuckets"):
+            tf_new.select("doc_id", bucket).distinct().write.mode(
+                "append"
+            ).parquet(f"{path}/docbuckets")
 
-    delta_df = tf_new.groupBy("tok").agg(F.count("*").alias("df"))
-    affected = [
-        r["b"]
-        for r in delta_df.select(
-            F.pmod(F.xxhash64("tok"), F.lit(_INDEX_BUCKETS)).alias("b")
+    def _df_leg():
+        delta_df = tf_new.groupBy("tok").agg(F.count("*").alias("df"))
+        affected = [
+            r["b"]
+            for r in delta_df.select(
+                F.pmod(F.xxhash64("tok"), F.lit(_INDEX_BUCKETS)).alias("b")
+            )
+            .distinct()
+            .collect()
+        ]  # bounded: at most 256 values
+        old_df = (
+            spark.read.schema(_schemas["df"]).parquet(f"{path}/df")
+            .filter(F.col("bucket").isin(affected))
+            .drop("bucket")
         )
-        .distinct()
-        .collect()
-    ]  # bounded: at most 256 values
-    old_df = (
-        spark.read.schema(_schemas["df"]).parquet(f"{path}/df")
-        .filter(F.col("bucket").isin(affected))
-        .drop("bucket")
-    )
-    merged = (
-        old_df.select("tok", F.col("df").alias("_old"))
-        .join(delta_df.select("tok", F.col("df").alias("_new")), "tok", "full_outer")
-        .select(
-            "tok",
-            (
-                F.coalesce(F.col("_old"), F.lit(0))
-                + F.coalesce(F.col("_new"), F.lit(0))
-            ).alias("df"),
+        merged = (
+            old_df.select("tok", F.col("df").alias("_old"))
+            .join(
+                delta_df.select("tok", F.col("df").alias("_new")),
+                "tok",
+                "full_outer",
+            )
+            .select(
+                "tok",
+                (
+                    F.coalesce(F.col("_old"), F.lit(0))
+                    + F.coalesce(F.col("_new"), F.lit(0))
+                ).alias("df"),
+            )
+            .withColumn("bucket", bucket)
+            # eager: the dynamic-overwrite below must not race the scan
+            .localCheckpoint(eager=True)
         )
-        .withColumn("bucket", bucket)
-        # eager: the dynamic-overwrite below must not race the scan above
-        .localCheckpoint(eager=True)
-    )
-    # per-write dynamic mode: the session conf is never mutated, so a
-    # concurrent job on the same SparkSession cannot observe the wrong
-    # overwrite mode mid-write (r5 ADVICE)
-    _pw.dynamic_overwrite(merged, f"{path}/df", "bucket", repartition=True)
+        # per-write dynamic mode: the session conf is never mutated, so
+        # a concurrent job on the same SparkSession cannot observe the
+        # wrong overwrite mode mid-write (r5 ADVICE)
+        _pw.dynamic_overwrite(merged, f"{path}/df", "bucket", repartition=True)
 
-    dl_new.write.mode("append").parquet(f"{path}/doclen")
-    stats = (
-        spark.read.schema(_schemas["doclen"]).parquet(f"{path}/doclen")
-        .agg(
-            F.count("*").alias("n"),
-            F.expr("1000 * sum(dl) div count(*)").alias("adl_m"),
+    def _doclen_stats_leg():
+        dl_new.write.mode("append").parquet(f"{path}/doclen")
+        stats = (
+            spark.read.schema(_schemas["doclen"]).parquet(f"{path}/doclen")
+            .agg(
+                F.count("*").alias("n"),
+                F.expr("1000 * sum(dl) div count(*)").alias("adl_m"),
+            )
+            .localCheckpoint(eager=True)
         )
-        .localCheckpoint(eager=True)
-    )
-    stats.write.mode("overwrite").parquet(f"{path}/stats")
+        stats.write.mode("overwrite").parquet(f"{path}/stats")
+
+    _pl.overlap_all(_postings_leg, _db_leg, _df_leg, _doclen_stats_leg)
 
 
 def compact_text_index(
@@ -1250,44 +1278,52 @@ def compact_text_index(
         return
 
     # postings: affected buckets rewrite as (old-bucket-rows minus
-    # replaced ids) + new rows; untouched buckets keep their files
-    kept = (
-        postings.filter(F.col("bucket").isin(affected))
-        .drop("bucket")
-        .join(ids, "doc_id", "left_anti")
-    )
-    merged_tf = (
-        kept.unionByName(tf_new)
-        .withColumn("bucket", bucket)
-        # eager: the dynamic-overwrite must not race its own scan
-        .localCheckpoint(eager=True)
-    )
-
-    # df: old − removed + added, per token within affected buckets
-    old_df = (
-        spark.read.schema(_schemas["df"]).parquet(f"{path}/df")
-        .filter(F.col("bucket").isin(affected))
-        .drop("bucket")
-    )
-    rem_df = tf_old.groupBy("tok").agg(F.count("*").alias("_rem"))
-    add_df = tf_new.groupBy("tok").agg(F.count("*").alias("_add"))
-    merged_df = (
-        # full outer: a replacement can introduce tokens new to the
-        # bucket (no old_df row) — they must still enter with df=_add
-        old_df.join(rem_df, "tok", "full_outer")
-        .join(add_df, "tok", "full_outer")
-        .select(
-            "tok",
-            (
-                F.coalesce(F.col("df"), F.lit(0))
-                - F.coalesce(F.col("_rem"), F.lit(0))
-                + F.coalesce(F.col("_add"), F.lit(0))
-            ).alias("df"),
+    # replaced ids) + new rows; untouched buckets keep their files.
+    # r12 (guide §2.6): the four maintenance legs below derive only
+    # from the tf_old/tf_new/ids checkpoints and the function-start
+    # table snapshots, and each leg reads/writes its OWN table — they
+    # run as concurrent job groups, joined before returning.
+    def _postings_leg():
+        kept = (
+            postings.filter(F.col("bucket").isin(affected))
+            .drop("bucket")
+            .join(ids, "doc_id", "left_anti")
         )
-        .filter(F.col("df") > 0)
-        .withColumn("bucket", bucket)
-        .localCheckpoint(eager=True)
-    )
+        merged_tf = (
+            kept.unionByName(tf_new)
+            .withColumn("bucket", bucket)
+            # eager: the dynamic-overwrite must not race its own scan
+            .localCheckpoint(eager=True)
+        )
+        _overwrite(merged_tf, "postings")
+
+    def _df_leg():
+        # df: old − removed + added, per token within affected buckets
+        old_df = (
+            spark.read.schema(_schemas["df"]).parquet(f"{path}/df")
+            .filter(F.col("bucket").isin(affected))
+            .drop("bucket")
+        )
+        rem_df = tf_old.groupBy("tok").agg(F.count("*").alias("_rem"))
+        add_df = tf_new.groupBy("tok").agg(F.count("*").alias("_add"))
+        merged_df = (
+            # full outer: a replacement can introduce tokens new to the
+            # bucket (no old_df row) — they must still enter with df=_add
+            old_df.join(rem_df, "tok", "full_outer")
+            .join(add_df, "tok", "full_outer")
+            .select(
+                "tok",
+                (
+                    F.coalesce(F.col("df"), F.lit(0))
+                    - F.coalesce(F.col("_rem"), F.lit(0))
+                    + F.coalesce(F.col("_add"), F.lit(0))
+                ).alias("df"),
+            )
+            .filter(F.col("df") > 0)
+            .withColumn("bucket", bucket)
+            .localCheckpoint(eager=True)
+        )
+        _overwrite(merged_df, "df")
 
     # dynamic partition overwrite cannot DELETE a bucket whose rows all
     # belonged to replaced docs (no rows for it in the written frame →
@@ -1327,20 +1363,31 @@ def compact_text_index(
                     frame.drop("bucket").schema,
                 )
 
-    _overwrite(merged_tf, "postings")
-    _overwrite(merged_df, "df")
+    def _doclen_stats_leg():
+        # doclen: filter-out + union overwrite (one (doc_id, dl) pass)
+        dl_new = tf_new.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+        dl_merged = (
+            spark.read.schema(_schemas["doclen"]).parquet(f"{path}/doclen")
+            .join(ids, "doc_id", "left_anti")
+            .unionByName(dl_new)
+            .localCheckpoint(eager=True)
+        )
+        dl_merged.write.mode("overwrite").parquet(f"{path}/doclen")
+        # stats from the just-checkpointed dl_merged — row-identical to
+        # the doclen table the overwrite above wrote, w/o re-reading it
+        stats = (
+            dl_merged
+            .agg(
+                F.count("*").alias("n"),
+                F.expr("1000 * sum(dl) div count(*)").alias("adl_m"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        stats.write.mode("overwrite").parquet(f"{path}/stats")
 
-    # doclen: filter-out + union overwrite (one (doc_id, dl)-sized pass)
-    dl_new = tf_new.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    dl_merged = (
-        spark.read.schema(_schemas["doclen"]).parquet(f"{path}/doclen")
-        .join(ids, "doc_id", "left_anti")
-        .unionByName(dl_new)
-        .localCheckpoint(eager=True)
-    )
-    dl_merged.write.mode("overwrite").parquet(f"{path}/doclen")
-
-    if have_db:
+    def _db_leg():
+        if not have_db:
+            return
         # sidecar follows the content: replaced/removed ids' rows drop,
         # the replacements' new (doc_id, bucket) rows enter — the same
         # metadata-sized filter-out + union overwrite as doclen.
@@ -1353,17 +1400,8 @@ def compact_text_index(
             .localCheckpoint(eager=True)
         )
         db_merged.write.mode("overwrite").parquet(f"{path}/docbuckets")
-    # stats from the just-checkpointed dl_merged — row-identical to the
-    # doclen table the overwrite above wrote, without re-reading it
-    stats = (
-        dl_merged
-        .agg(
-            F.count("*").alias("n"),
-            F.expr("1000 * sum(dl) div count(*)").alias("adl_m"),
-        )
-        .localCheckpoint(eager=True)
-    )
-    stats.write.mode("overwrite").parquet(f"{path}/stats")
+
+    _pl.overlap_all(_postings_leg, _df_leg, _db_leg, _doclen_stats_leg)
 
 
 def remove_from_index(

@@ -176,3 +176,55 @@ def test_overlap_legs_foreground_exception_wins_and_joins_background():
     with _pytest.raises(ValueError, match="fg boom"):
         _parallel.overlap_legs(bg, fg)
     assert done["bg"]  # the background leg was joined, not abandoned
+
+
+def test_overlap_all_runs_every_leg_and_joins():
+    import threading
+
+    from lwetl_spark.operators import _parallel
+
+    names = []
+    lock = threading.Lock()
+
+    def mk(i):
+        def leg():
+            with lock:
+                names.append((i, threading.current_thread().name))
+        return leg
+
+    _parallel.overlap_all(mk(0), mk(1), mk(2), mk(3))
+    assert sorted(i for i, _ in names) == [0, 1, 2, 3]
+    # the last leg ran on the caller's thread, the others elsewhere
+    caller = threading.current_thread().name
+    by_leg = dict(names)
+    assert by_leg[3] == caller
+    assert all(by_leg[i] != caller for i in (0, 1, 2))
+
+
+def test_overlap_all_sequential_fallback_keeps_declaration_order():
+    from lwetl_spark.operators import _parallel
+
+    order = []
+    old = _parallel.OVERLAP_MAINTENANCE
+    _parallel.OVERLAP_MAINTENANCE = False
+    try:
+        _parallel.overlap_all(
+            lambda: order.append("a"),
+            lambda: order.append("b"),
+            lambda: order.append("c"),
+        )
+    finally:
+        _parallel.OVERLAP_MAINTENANCE = old
+    assert order == ["a", "b", "c"]
+
+
+def test_overlap_all_first_helper_exception_propagates():
+    import pytest as _pytest
+
+    from lwetl_spark.operators import _parallel
+
+    def boom():
+        raise RuntimeError("leg boom")
+
+    with _pytest.raises(RuntimeError, match="leg boom"):
+        _parallel.overlap_all(boom, lambda: None, lambda: None)
