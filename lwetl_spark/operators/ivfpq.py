@@ -40,6 +40,7 @@ from py4j.protocol import Py4JError
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from lwetl_spark.operators import _parallel as _pl
 from lwetl_spark.operators import _partwrite as _pw
 from lwetl_spark.operators._fsutil import path_exists as _path_exists
 from lwetl_spark.operators._parallel import spread as _spread
@@ -432,31 +433,42 @@ def build_ivfpq_index(
         "num_centroids int, m int, ksub int, train_sample int,"
         " iters int, n_at_train long",
     ).write.mode("overwrite").parquet(f"{path}/params")
-    # repartition("cell") before the partitioned write (the
-    # build_text_index idiom): without it every task writes a sliver
-    # file into every cell it holds — num_centroids × tasks tiny files
-    # whose parquet footers dominate probe bytes (measured 109 B/row vs
-    # 16 B of payload at 256 cells).  The shuffle moves 16-byte rows.
-    base.mapInPandas(
-        _make_ivfpq_encode(b_C, b_books, b_R), "id long, cell int, code long"
-    ).repartition("cell").write.mode("overwrite").partitionBy("cell").parquet(
-        f"{path}/codes"
-    )
-    # r11: cluster by the partition column when the input is many-split
-    # (the codes-write idiom above, made conditional) — without it a
-    # many-split corpus writes tasks × buckets sliver files, and the
-    # retrain path re-reads ALL of them; a 1-split local build skips
-    # the array<double> exchange (measured +0.4 s on x_ann_pq)
-    _pw.cluster_for_write(
-        df.select(
-            F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
-        ).withColumn(
-            "bucket", F.pmod(F.xxhash64("id"), F.lit(_PQ_BUCKETS))
-        ),
-        "bucket",
-    ).write.mode("overwrite").partitionBy("bucket").parquet(
-        f"{path}/vectors"
-    )
+    # r12 (guide §2.6): the codes and vectors writes are independent —
+    # both pure functions of `df`, disjoint output tables — so they run
+    # as concurrent job groups (the vectors copy hides under the encode)
+    def _codes_leg():
+        # repartition("cell") before the partitioned write (the
+        # build_text_index idiom): without it every task writes a sliver
+        # file into every cell it holds — num_centroids × tasks tiny
+        # files whose parquet footers dominate probe bytes (measured
+        # 109 B/row vs 16 B of payload at 256 cells).  The shuffle
+        # moves 16-byte rows.
+        base.mapInPandas(
+            _make_ivfpq_encode(b_C, b_books, b_R),
+            "id long, cell int, code long",
+        ).repartition("cell").write.mode("overwrite").partitionBy(
+            "cell"
+        ).parquet(f"{path}/codes")
+
+    def _vectors_leg():
+        # r11: cluster by the partition column when the input is
+        # many-split (the codes-write idiom above, made conditional) —
+        # without it a many-split corpus writes tasks × buckets sliver
+        # files, and the retrain path re-reads ALL of them; a 1-split
+        # local build skips the array<double> exchange (measured
+        # +0.4 s on x_ann_pq)
+        _pw.cluster_for_write(
+            df.select(
+                F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+            ).withColumn(
+                "bucket", F.pmod(F.xxhash64("id"), F.lit(_PQ_BUCKETS))
+            ),
+            "bucket",
+        ).write.mode("overwrite").partitionBy("bucket").parquet(
+            f"{path}/vectors"
+        )
+
+    _pl.overlap_all(_codes_leg, _vectors_leg)
 
 
 def _load_quantizers(spark, path: str):
@@ -579,14 +591,25 @@ def update_ivfpq_index(
     b_books = spark.sparkContext.broadcast(books)
     b_R = spark.sparkContext.broadcast(Rot) if Rot is not None else None
     base = delta_df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    base.mapInPandas(
-        _make_ivfpq_encode(b_C, b_books, b_R), "id long, cell int, code long"
-    ).write.mode("append").partitionBy("cell").parquet(f"{path}/codes")
-    delta_df.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
-    ).withColumn(
-        "bucket", F.pmod(F.xxhash64("id"), F.lit(_PQ_BUCKETS))
-    ).write.mode("append").partitionBy("bucket").parquet(f"{path}/vectors")
+
+    # r12 (guide §2.6): independent appends to disjoint tables — run
+    # as concurrent job groups
+    def _codes_leg():
+        base.mapInPandas(
+            _make_ivfpq_encode(b_C, b_books, b_R),
+            "id long, cell int, code long",
+        ).write.mode("append").partitionBy("cell").parquet(f"{path}/codes")
+
+    def _vectors_leg():
+        delta_df.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+        ).withColumn(
+            "bucket", F.pmod(F.xxhash64("id"), F.lit(_PQ_BUCKETS))
+        ).write.mode("append").partitionBy("bucket").parquet(
+            f"{path}/vectors"
+        )
+
+    _pl.overlap_all(_codes_leg, _vectors_leg)
 
 
 def remove_from_ivfpq_index(spark, path: str, ids: DataFrame) -> None:

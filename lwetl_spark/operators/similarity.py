@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from lwetl_spark.functions.vectors import cosine_similarity
+from lwetl_spark.operators import _parallel as _pl
 from lwetl_spark.operators import _partwrite as _pw
 from lwetl_spark.operators._fsutil import path_exists as _path_exists
 from lwetl_spark.operators._parallel import spread as _spread
@@ -652,30 +653,39 @@ def build_lsh_index(
         _have = bucketed.rdd.getNumPartitions()
     except Exception:  # Spark Connect: size unknowable — salt modestly
         _have = 32 * num_tables
-    _pw.cluster_for_write(
-        bucketed, "table_idx",
-        salt_col="id", salt_per_value=max(1, _have // max(1, num_tables)),
-    ).write.mode("overwrite").partitionBy("table_idx").parquet(
-        f"{path}/buckets"
-    )
     spark = df.sparkSession
     spark.createDataFrame(
         [(int(num_planes), int(num_tables), int(dim))],
         "num_planes int, num_tables int, dim int",
     ).write.mode("overwrite").parquet(f"{path}/params")
+
+    # r12 (guide §2.6): the buckets and vectors writes are independent —
+    # both pure functions of `df`, disjoint output tables — so they run
+    # as concurrent job groups
+    def _buckets_leg():
+        _pw.cluster_for_write(
+            bucketed, "table_idx",
+            salt_col="id", salt_per_value=max(1, _have // max(1, num_tables)),
+        ).write.mode("overwrite").partitionBy("table_idx").parquet(
+            f"{path}/buckets"
+        )
+
     # r11: cluster by the partition column when many-split (the
     # buckets-write idiom above, made conditional) — one file per
     # vbucket instead of tasks × vbuckets at scale
-    _pw.cluster_for_write(
-        df.select(
-            F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
-        ).withColumn(
-            "vbucket", F.pmod(F.xxhash64("id"), F.lit(_PQ_BUCKETS))
-        ),
-        "vbucket",
-    ).write.mode("overwrite").partitionBy("vbucket").parquet(
-        f"{path}/vectors"
-    )
+    def _vectors_leg():
+        _pw.cluster_for_write(
+            df.select(
+                F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+            ).withColumn(
+                "vbucket", F.pmod(F.xxhash64("id"), F.lit(_PQ_BUCKETS))
+            ),
+            "vbucket",
+        ).write.mode("overwrite").partitionBy("vbucket").parquet(
+            f"{path}/vectors"
+        )
+
+    _pl.overlap_all(_buckets_leg, _vectors_leg)
 
 
 def update_lsh_index(
@@ -696,14 +706,24 @@ def update_lsh_index(
     bucketed = _lsh_bucketize(
         delta_df, vec_col, id_col, p["num_planes"], p["num_tables"], p["dim"]
     )
-    bucketed.write.mode("append").partitionBy("table_idx").parquet(
-        f"{path}/buckets"
-    )
-    delta_df.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
-    ).withColumn(
-        "vbucket", F.pmod(F.xxhash64("id"), F.lit(_PQ_BUCKETS))
-    ).write.mode("append").partitionBy("vbucket").parquet(f"{path}/vectors")
+
+    # r12 (guide §2.6): independent appends to disjoint tables — run
+    # as concurrent job groups
+    def _buckets_leg():
+        bucketed.write.mode("append").partitionBy("table_idx").parquet(
+            f"{path}/buckets"
+        )
+
+    def _vectors_leg():
+        delta_df.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+        ).withColumn(
+            "vbucket", F.pmod(F.xxhash64("id"), F.lit(_PQ_BUCKETS))
+        ).write.mode("append").partitionBy("vbucket").parquet(
+            f"{path}/vectors"
+        )
+
+    _pl.overlap_all(_buckets_leg, _vectors_leg)
 
 
 def remove_from_lsh_index(spark, path: str, ids: DataFrame) -> None:
@@ -1212,25 +1232,34 @@ def build_pq_index(
     ).write.mode("overwrite").parquet(f"{path}/params")
     base = _spread(df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")))
     bucket = F.pmod(F.xxhash64("cid"), F.lit(_PQ_BUCKETS)).alias("bucket")
-    base.mapInPandas(
-        _make_pq_encode(b_books), "cid long, code long"
-    ).withColumn("bucket", bucket).repartition("bucket").write.mode(
-        "overwrite"
-    ).partitionBy("bucket").parquet(f"{path}/codes")
+
+    # r12 (guide §2.6): the codes and vectors writes are independent —
+    # both pure functions of `df`, disjoint output tables — so they run
+    # as concurrent job groups (the vectors copy hides under the encode)
+    def _codes_leg():
+        base.mapInPandas(
+            _make_pq_encode(b_books), "cid long, code long"
+        ).withColumn("bucket", bucket).repartition("bucket").write.mode(
+            "overwrite"
+        ).partitionBy("bucket").parquet(f"{path}/codes")
+
     # r11: cluster by the partition column when many-split (the
     # codes-write idiom above, made conditional) — one file per bucket
     # instead of tasks × buckets at scale; a 1-split local build skips
     # the array<double> exchange
-    _pw.cluster_for_write(
-        df.select(
-            F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
-        ).withColumn(
-            "bucket", F.pmod(F.xxhash64("id"), F.lit(_PQ_BUCKETS))
-        ),
-        "bucket",
-    ).write.mode("overwrite").partitionBy("bucket").parquet(
-        f"{path}/vectors"
-    )
+    def _vectors_leg():
+        _pw.cluster_for_write(
+            df.select(
+                F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+            ).withColumn(
+                "bucket", F.pmod(F.xxhash64("id"), F.lit(_PQ_BUCKETS))
+            ),
+            "bucket",
+        ).write.mode("overwrite").partitionBy("bucket").parquet(
+            f"{path}/vectors"
+        )
+
+    _pl.overlap_all(_codes_leg, _vectors_leg)
 
 
 def query_pq_index(
@@ -1322,16 +1351,27 @@ def update_pq_index(
         books[r["subspace"], r["code"]] = r["centroid"]
     b_books = spark.sparkContext.broadcast(books)
     base = delta_df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    base.mapInPandas(
-        _make_pq_encode(b_books), "cid long, code long"
-    ).withColumn(
-        "bucket", F.pmod(F.xxhash64("cid"), F.lit(_PQ_BUCKETS))
-    ).write.mode("append").partitionBy("bucket").parquet(f"{path}/codes")
-    delta_df.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
-    ).withColumn(
-        "bucket", F.pmod(F.xxhash64("id"), F.lit(_PQ_BUCKETS))
-    ).write.mode("append").partitionBy("bucket").parquet(f"{path}/vectors")
+
+    # r12 (guide §2.6): the codes and vectors appends are independent —
+    # disjoint tables, both pure functions of the delta — so they run
+    # as concurrent job groups
+    def _codes_leg():
+        base.mapInPandas(
+            _make_pq_encode(b_books), "cid long, code long"
+        ).withColumn(
+            "bucket", F.pmod(F.xxhash64("cid"), F.lit(_PQ_BUCKETS))
+        ).write.mode("append").partitionBy("bucket").parquet(f"{path}/codes")
+
+    def _vectors_leg():
+        delta_df.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+        ).withColumn(
+            "bucket", F.pmod(F.xxhash64("id"), F.lit(_PQ_BUCKETS))
+        ).write.mode("append").partitionBy("bucket").parquet(
+            f"{path}/vectors"
+        )
+
+    _pl.overlap_all(_codes_leg, _vectors_leg)
 
 
 def remove_from_pq_index(spark, path: str, ids: DataFrame) -> None:
